@@ -1,0 +1,55 @@
+"""Central query registry: every implemented operator from SURVEY.md §2
+(plus the beyond-reference training-data ops) gets
+
+- a ``queries()`` entry: ``name -> (spark, sf_dir) -> DataFrame``
+- where SQL-expressible, an ``oracle_sql()`` entry: equivalent DuckDB
+  SQL over the same parquet tables (views pre-registered by the driver).
+
+Column names are aliased identically on both sides — the driver's
+compare sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    _QUERIES[name] = fn
+    if oracle is not None:
+        _ORACLES[name] = oracle
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    from .operators import wordcount
+
+    register("wordcount", wordcount.wordcount_query, wordcount.WORDCOUNT_ORACLE)
+    register(
+        "wordcount_point_lookup",
+        wordcount.point_lookup_query,
+        wordcount.POINT_LOOKUP_ORACLE,
+    )
+    _LOADED = True

@@ -1,0 +1,50 @@
+"""Loaders for the driver-provided parquet star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under an ``sf_dir``.
+
+Reading is always via ``spark.read.parquet`` so Catalyst gets a real
+datasource relation: filter pushdown, column pruning and partition
+pruning all apply (verify with ``plans.assert_pushed_filters``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor: their
+# cardinality is fixed (region=5, nation=25) or grows slowly; Spark's
+# autoBroadcastJoinThreshold handles the rest at runtime via AQE.
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() mirrors the
+    DuckDB oracle environment (same view names)."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

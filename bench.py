@@ -1,0 +1,62 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed with a count()-style action so the full plan runs
+but rows stay on the executors (no driver collect bottleneck in the
+measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _kafka_streams_scaffold_spark import session  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = session.build_session("bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    qs = entrymod.queries()
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plans, not first-touch overheads.
+    next(iter(qs.values()))(spark, sf_dir).count() if qs else None
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name, fn in qs.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet tables, then compares row count, sorted
+column names, and order-insensitive values (exact after canonical
+string rendering, floats rounded to 9 significant digits).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _canon(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("\t".join(_canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    import duckdb
+
+    from _kafka_streams_scaffold_spark import session, tables
+    import __spark_entry__ as e
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = session.build_session("check-oracle")
+    con = duckdb.connect()
+    for name in tables.TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            duck_cols = [d[0] for d in rel.description]
+            duck_rows = rel.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures += 1
+            continue
+        problems = []
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rows {len(spark_rows)} vs {len(duck_rows)}")
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"cols {sorted(spark_cols)} vs {sorted(duck_cols)}")
+        if not problems:
+            s, d = _rowset(spark_cols, spark_rows), _rowset(duck_cols, duck_rows)
+            if s != d:
+                diff = next(
+                    (f"spark={a!r} duck={b!r}" for a, b in zip(s, d) if a != b),
+                    "row multiset differs",
+                )
+                problems.append(f"values differ; first: {diff}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(spark_rows)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{failures} failure(s)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
