@@ -1,0 +1,84 @@
+"""Stateless record transforms + the poison-pill resilience policy.
+
+Covers SURVEY.md §2 items:
+- P2  mapValues uppercase (``main/Uppercase.java:33-36``)
+- P3  dynamic-JSON enrich: add ``"processed": true``
+      (``serde/JsonObjectSerdeTests.java:55,61-64``)
+- P7/R1  poison-pill skip: the reference throws on the literal
+  ``"quack"`` and its uncaught-exception handler commits the failed
+  offset and replaces the thread — net effect: the record is DROPPED
+  and the stream continues
+  (``resilience/ReplaceThreadExceptionHandler.java:8-17``). In Spark
+  the *policy* (drop-and-continue) is expressed declaratively as a
+  filter + quarantine split — deterministic, no thread races, and it
+  stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+
+POISON_VALUE = "quack"
+
+
+def is_poison(col: F.Column) -> F.Column:
+    return F.lower(F.trim(col)) == POISON_VALUE
+
+
+def uppercase(df: DataFrame, value_col: str = "text") -> DataFrame:
+    """mapValues(toUpperCase) with the poison-pill skip policy applied."""
+    return df.filter(~is_poison(F.col(value_col))).withColumn(
+        "value", F.upper(F.col(value_col))
+    )
+
+
+def quarantine(df: DataFrame, value_col: str = "text") -> DataFrame:
+    """The records the policy dropped, with their provenance — the
+    Spark analog of the handler's topic/partition/offset log line
+    (``ReplaceThreadExceptionHandler.java:10-12``). In streaming this
+    is written to a dead-letter sink instead of being logged."""
+    return df.filter(is_poison(F.col(value_col)))
+
+
+def uppercase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.table(spark, sf_dir, "documents")
+    return uppercase(docs).select("doc_id", "value")
+
+
+def json_enrich(df: DataFrame, props_col: str = "props") -> DataFrame:
+    """Dynamic-JSON mutate (P3): parse what we need, preserve the
+    payload, append ``processed: true``. The JSON text is rebuilt with
+    an explicit, deterministic rendering (no engine-specific JSON
+    serializer quirks)."""
+    k = F.get_json_object(F.col(props_col), "$.k").cast("long")
+    return df.select(
+        F.col("event_id"),
+        k.alias("k"),
+        F.lit(True).alias("processed"),
+        F.concat(
+            F.lit('{"k": '), k.cast("string"), F.lit(', "processed": true}')
+        ).alias("json_out"),
+    )
+
+
+def json_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return json_enrich(tables.table(spark, sf_dir, "events"))
+
+
+UPPERCASE_ORACLE = """
+SELECT doc_id, upper(text) AS value
+FROM documents
+WHERE NOT (lower(trim(text)) = 'quack')
+"""
+
+JSON_ENRICH_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       true AS processed,
+       '{"k": ' || CAST(json_extract_string(props, '$.k') AS BIGINT)
+           || ', "processed": true}' AS json_out
+FROM events
+"""

@@ -44,7 +44,7 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .operators import wordcount
+    from .operators import mapvalues, purchases, wordcount
 
     register("wordcount", wordcount.wordcount_query, wordcount.WORDCOUNT_ORACLE)
     register(
@@ -52,4 +52,12 @@ def _ensure_loaded() -> None:
         wordcount.point_lookup_query,
         wordcount.POINT_LOOKUP_ORACLE,
     )
+    register(
+        "purchases_agg", purchases.purchases_agg_query, purchases.PURCHASES_AGG_ORACLE
+    )
+    register(
+        "purchases_range_scan", purchases.range_scan_query, purchases.RANGE_SCAN_ORACLE
+    )
+    register("uppercase", mapvalues.uppercase_query, mapvalues.UPPERCASE_ORACLE)
+    register("json_enrich", mapvalues.json_enrich_query, mapvalues.JSON_ENRICH_ORACLE)
     _LOADED = True
