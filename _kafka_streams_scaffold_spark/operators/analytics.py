@@ -1,0 +1,412 @@
+"""Beyond-reference relational analytics (SURVEY.md §2.8 gap inventory,
+§7 M3): joins, window functions, rollup, set ops, sessionization,
+as-of join, time-bucketed aggregation.
+
+The reference has none of these (verified across all its topologies) —
+they are the capability extension the north star requires, expressed
+as single declarative plans so Catalyst picks physical strategies.
+
+Cross-engine determinism rules used throughout (the DuckDB oracle must
+hash-match exactly):
+- Money math in DECIMAL with explicitly chosen precision/scale so no
+  engine-specific rounding can occur, cast to DOUBLE only at the end.
+- Timestamps emitted at microsecond precision on both sides.
+- Every ORDER BY ... LIMIT has a total tiebreak (unique key last).
+
+Scale notes (100 TB posture):
+- region/nation joins carry an explicit ``broadcast()`` hint — their
+  cardinality is fixed (5/25) at every SF, so they must never shuffle.
+- customer/orders/lineitem joins are left to Catalyst: broadcast when
+  under threshold, sort-merge + AQE skew splitting beyond it.
+- Aggregates are all partial-aggregatable (count/sum/min/max) so
+  map-side combine runs before every shuffle.
+- Window functions partition by high-cardinality keys (custkey,
+  user_id) — no single-partition global windows anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import tables
+
+# Decimal shapes for TPC-H-ish money columns (all 2-decimal doubles in
+# the driver data): price fits decimal(12,2); discount/tax in [0,1).
+_PRICE = "decimal(12,2)"
+_RATE = "decimal(3,2)"
+
+
+def _dec(col: str, typ: str = _PRICE) -> F.Column:
+    return F.col(col).cast(typ)
+
+
+def _one_minus(col: str) -> F.Column:
+    return F.lit(1).cast(_RATE) - _dec(col, _RATE)
+
+
+def _one_plus(col: str) -> F.Column:
+    return F.lit(1).cast(_RATE) + _dec(col, _RATE)
+
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary (filter -> groupBy aggregate, no join)
+# --------------------------------------------------------------------------
+
+def pricing_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * _one_plus("l_tax")).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+            * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+           AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q3-style shipping priority (3-way join + top-k)
+# --------------------------------------------------------------------------
+
+def shipping_priority_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = tables.table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = tables.table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Q5-style local-supplier revenue (6-way star join)
+# --------------------------------------------------------------------------
+
+def local_supplier_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: tables.table(spark, sf_dir, n) for n in tables.TABLE_NAMES}
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+LOCAL_SUPPLIER_REVENUE_ORACLE = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions: top-3 orders per customer
+# --------------------------------------------------------------------------
+
+def top_orders_per_customer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Rollup: revenue by region/nation with subtotals
+# --------------------------------------------------------------------------
+
+def revenue_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: tables.table(spark, sf_dir, n) for n in ("customer", "orders", "nation")}
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+REVENUE_ROLLUP_ORACLE = """
+SELECT n_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations + semi/anti joins
+# --------------------------------------------------------------------------
+
+def active_rich_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers that have orders AND acctbal > 5000."""
+    cust = tables.table(spark, sf_dir, "customer")
+    orders = tables.table(spark, sf_dir, "orders")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return with_orders.intersect(rich)
+
+
+ACTIVE_RICH_CUSTOMERS_ORACLE = """
+SELECT DISTINCT o_custkey AS c_custkey FROM orders
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+"""
+
+
+def customers_without_orders_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no pending ('P') order.
+    left_anti keeps the build side small — only matching order keys
+    shuffle, and the status filter is pushed into the orders scan."""
+    cust = tables.table(spark, sf_dir, "customer")
+    pending = tables.table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
+    return cust.join(
+        pending, cust.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+"""
+
+
+def customers_with_open_orders_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS)."""
+    cust = tables.table(spark, sf_dir, "customer")
+    open_orders = tables.table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+CUSTOMERS_WITH_OPEN_ORDERS_ORACLE = """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: time-bucketed aggregation, sessionization, as-of join
+# --------------------------------------------------------------------------
+
+def events_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (batch form). The streaming form is
+    ``window(ts, '1 hour')`` + watermark in streaming/pipeline.py;
+    ``date_trunc`` is the same bucketing, SQL-expressible."""
+    ev = tables.table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+EVENTS_HOURLY_ORACLE = """
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+       event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+SESSION_GAP_MINUTES = 30
+
+
+def user_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): a new session starts after a
+    >30 min silence per user. This is the batch-SQL equivalent of
+    ``session_window`` (streaming form in streaming/pipeline.py) —
+    expressed with window functions so the oracle can check it.
+
+    Scale: both windows partition by user_id; one shuffle total
+    (sort within user), then a partial-aggregatable groupBy.
+    """
+    ev = tables.table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    new_session = (
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(order)
+        > gap_us
+    ).cast("int")
+    sess_id = F.sum(F.coalesce(new_session, F.lit(0))).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_event = ev.withColumn("session_id", sess_id)
+    return (
+        per_event.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("session_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("session_events").alias("max_session_events"),
+            F.sum("session_events").alias("total_events"),
+        )
+    )
+
+
+USER_SESSIONS_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_MINUTES * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS session_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       MAX(session_events) AS max_session_events,
+       SUM(session_events) AS total_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def asof_prev_purchase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click event, the most recent strictly
+    earlier 'purchase' by the same user. Implemented as a running
+    conditional max over an event-ordered window — one shuffle on
+    user_id, no self-join, no cross product (the classic scalable
+    as-of formulation; a sort-merge self-join would re-shuffle both
+    sides and explode on hot users)."""
+    ev = tables.table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("prev_purchase_ts", prev_purchase)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "prev_purchase_ts")
+    )
+
+
+ASOF_PREV_PURCHASE_ORACLE = """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(prev_purchase_ts AS TIMESTAMP) AS prev_purchase_ts
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         max(CASE WHEN event_type = 'purchase' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_purchase_ts
+  FROM events
+)
+WHERE event_type = 'click'
+"""

@@ -60,4 +60,44 @@ def _ensure_loaded() -> None:
     )
     register("uppercase", mapvalues.uppercase_query, mapvalues.UPPERCASE_ORACLE)
     register("json_enrich", mapvalues.json_enrich_query, mapvalues.JSON_ENRICH_ORACLE)
+
+    from .operators import analytics as an
+
+    register("pricing_summary", an.pricing_summary_query, an.PRICING_SUMMARY_ORACLE)
+    register(
+        "shipping_priority", an.shipping_priority_query, an.SHIPPING_PRIORITY_ORACLE
+    )
+    register(
+        "local_supplier_revenue",
+        an.local_supplier_revenue_query,
+        an.LOCAL_SUPPLIER_REVENUE_ORACLE,
+    )
+    register(
+        "top_orders_per_customer",
+        an.top_orders_per_customer_query,
+        an.TOP_ORDERS_PER_CUSTOMER_ORACLE,
+    )
+    register("revenue_rollup", an.revenue_rollup_query, an.REVENUE_ROLLUP_ORACLE)
+    register(
+        "active_rich_customers",
+        an.active_rich_customers_query,
+        an.ACTIVE_RICH_CUSTOMERS_ORACLE,
+    )
+    register(
+        "customers_without_orders",
+        an.customers_without_orders_query,
+        an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
+    )
+    register(
+        "customers_with_open_orders",
+        an.customers_with_open_orders_query,
+        an.CUSTOMERS_WITH_OPEN_ORDERS_ORACLE,
+    )
+    register("events_hourly", an.events_hourly_query, an.EVENTS_HOURLY_ORACLE)
+    register("user_sessions", an.user_sessions_query, an.USER_SESSIONS_ORACLE)
+    register(
+        "asof_prev_purchase",
+        an.asof_prev_purchase_query,
+        an.ASOF_PREV_PURCHASE_ORACLE,
+    )
     _LOADED = True

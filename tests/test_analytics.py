@@ -1,0 +1,84 @@
+"""Analytics operator tests: golden semantics on crafted frames plus
+physical-plan assertions (pushdown / pruning / broadcast) — the plan
+shape IS the 100 TB contract, so it's tested like behavior."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from _kafka_streams_scaffold_spark import plans
+from _kafka_streams_scaffold_spark.operators import analytics
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_sessionization_golden(spark, sf_dir, monkeypatch):
+    rows = [
+        Row(event_id=1, user_id=1, ts=_ts("2024-01-01T00:00:00")),
+        Row(event_id=2, user_id=1, ts=_ts("2024-01-01T00:10:00")),  # same session
+        Row(event_id=3, user_id=1, ts=_ts("2024-01-01T01:00:00")),  # new (50m gap)
+        Row(event_id=4, user_id=2, ts=_ts("2024-01-01T00:00:00")),
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(
+        analytics.tables, "table", lambda spark_, sf, name: df
+    )
+    got = {
+        r["user_id"]: (r["n_sessions"], r["max_session_events"], r["total_events"])
+        for r in analytics.user_sessions_query(spark, sf_dir).collect()
+    }
+    assert got == {1: (2, 2, 3), 2: (1, 1, 1)}
+
+
+def test_asof_strictly_prior(spark, sf_dir, monkeypatch):
+    rows = [
+        Row(event_id=1, user_id=1, ts=_ts("2024-01-01T00:00:00"), event_type="purchase"),
+        Row(event_id=2, user_id=1, ts=_ts("2024-01-01T00:05:00"), event_type="click"),
+        Row(event_id=3, user_id=1, ts=_ts("2024-01-01T00:06:00"), event_type="purchase"),
+        Row(event_id=4, user_id=1, ts=_ts("2024-01-01T00:07:00"), event_type="click"),
+        # click before any purchase -> null
+        Row(event_id=5, user_id=2, ts=_ts("2024-01-01T00:00:00"), event_type="click"),
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(analytics.tables, "table", lambda *a: df)
+    got = {
+        r["event_id"]: r["prev_purchase_ts"]
+        for r in analytics.asof_prev_purchase_query(spark, sf_dir).collect()
+    }
+    assert got[2] == _ts("2024-01-01T00:00:00")
+    assert got[4] == _ts("2024-01-01T00:06:00")
+    assert got[5] is None
+
+
+def test_pricing_summary_plan_pushdown(spark, sf_dir):
+    df = analytics.pricing_summary_query(spark, sf_dir)
+    # The shipdate filter must reach the parquet scan...
+    assert any("l_shipdate" in f for f in plans.pushed_filters(df))
+    # ...and the scan must NOT read columns the query never uses.
+    (cols,) = plans.read_schema_columns(df)
+    assert "l_partkey" not in cols and "l_orderkey" not in cols
+    assert set(cols) >= {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = analytics.local_supplier_revenue_query(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+def test_top_orders_deterministic_tiebreak(spark, sf_dir, monkeypatch):
+    rows = [
+        Row(o_custkey=1, o_orderkey=k, o_totalprice=100.0) for k in (5, 3, 1, 9)
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(analytics.tables, "table", lambda *a: df)
+    got = [
+        (r["o_orderkey"], r["rn"])
+        for r in analytics.top_orders_per_customer_query(spark, sf_dir)
+        .orderBy("rn")
+        .collect()
+    ]
+    assert got == [(1, 1), (3, 2), (5, 3)]  # equal prices -> lowest key wins
