@@ -1,0 +1,466 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each the idiomatic Spark formulation of a published
+technique (MinHash/LSH per Broder '97; SimHash per Charikar '02 as
+used in Manku et al. WWW'07 for web dedup):
+
+- exact:   hash-groupBy on a normalized fingerprint. One shuffle of
+           (16-byte digest, doc_id) — never the full text.
+- n-gram:  word-3-gram shingles + inverted-index join. The join is on
+           the *shingle* (the classic candidate-pair generation), so
+           cost is bounded by shingle co-occurrence, not |docs|^2.
+- minhash: 32 md5-derived min-hashes, 8 bands x 4 rows, candidate
+           pairs from band-bucket collisions, verified with exact
+           jaccard. Scales to corpora where the shingle join is too
+           hot: signatures are 32 ints/doc regardless of doc size.
+- simhash: 32-bit weighted-token signature; near-dup pairs block on
+           8-bit bands (a pair within hamming distance d <= 4 shares
+           at least one of 4 bands by pigeonhole), verified by exact
+           hamming distance.
+
+Every hash is md5-derived (functions/xhash.py) so the DuckDB oracle
+reproduces signatures bit-for-bit — the whole LSH pipeline is
+oracle-checked, not just sampled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from .textops import fingerprint_expr
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group identical (normalized) texts; keep the smallest doc_id as
+    the canonical representative."""
+    docs = tables.table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint_expr().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS rep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Shared shingling
+# --------------------------------------------------------------------------
+
+SHINGLE_N = 3
+
+# Tokenization is materialized as a column ONCE; the shingle transform
+# references it. Inlining the filter(split(...)) into every element_at
+# term makes Spark re-tokenize the document ~3x per shingle — measured
+# >10x slowdown at sf0.1.
+_SPARK_TOKS = r"filter(split(lower(text), '\\W+'), x -> x != '')"
+_SPARK_SHINGLES = (
+    f"case when size(toks) < {SHINGLE_N} then cast(array() as array<string>) "
+    f"else transform(sequence(1, size(toks) - {SHINGLE_N - 1}), "
+    "i -> concat_ws(' ', "
+    + ", ".join(f"element_at(toks, i + {k})" for k in range(SHINGLE_N))
+    + ")) end"
+)
+
+_DUCK_SHINGLE_CTE = f"""
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest([{" || ' ' || ".join(f"toks[i + {k}]" for k in range(SHINGLE_N))}
+                 for i in generate_series(1, len(toks) - {SHINGLE_N - 1})]) AS shingle
+  FROM tok
+  WHERE len(toks) >= {SHINGLE_N}
+)"""
+
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per document."""
+    return docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks")).select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle")
+    )
+
+
+def _pair_jaccard(shingle_df: DataFrame, candidates: DataFrame | None) -> DataFrame:
+    """Exact jaccard for doc pairs sharing >=1 shingle (optionally
+    restricted to a candidate set). The inverted-index join on the
+    shingle is what keeps this sub-quadratic."""
+    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    joinable = shingle_df
+    if candidates is not None:
+        # Prune BEFORE the self-join: only docs appearing in some
+        # candidate pair participate. At scale this turns a corpus-wide
+        # shingle join into one over the (tiny) candidate neighborhood.
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .union(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        joinable = shingle_df.join(cand_docs, "doc_id", "left_semi")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    na = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram jaccard dedup (inverted-index join, exact)
+# --------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.8
+
+
+def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    return _pair_jaccard(sh, None).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH {_DUCK_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingles a
+  JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS  # 4
+
+# Universal hashing: ONE md5 per shingle reduced to a 28-bit base, then
+# 32 affine transforms (a_j * base + b_j) mod p. Cuts the md5 count by
+# 32x vs hashing per-seed; the affine family keeps the hashes pairwise
+# independent enough for minhash. Constants are fixed at import so both
+# engines (and every round) see identical signatures. Bounds: a < 2^31,
+# base < 2^28 -> product < 2^59, no int64 overflow on either engine.
+_MERSENNE_P = 2_147_483_647
+
+
+def _affine_constants() -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return [
+        (int(rng.integers(1, _MERSENNE_P)), int(rng.integers(0, _MERSENNE_P)))
+        for _ in range(N_HASHES)
+    ]
+
+
+_AFFINE = _affine_constants()
+
+_BASE_SPARK = "cast(conv(substring(md5(shingle), 1, 7), 16, 10) as bigint)"
+_BASE_DUCK = "CAST('0x' || substring(md5(shingle), 1, 7) AS BIGINT)"
+
+
+def minhash_signatures(shingle_df: DataFrame) -> DataFrame:
+    """One row per doc: 32 min-hash values, computed in a single
+    partial-aggregatable pass (32 `min` aggregates over the exploded
+    shingles — no per-hash shuffle)."""
+    hashed = shingle_df.select("doc_id", F.expr(_BASE_SPARK).alias("base"))
+    aggs = [
+        F.min(F.expr(f"({a} * base + {b}) % {_MERSENNE_P}")).alias(f"h{j}")
+        for j, (a, b) in enumerate(_AFFINE)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _band_sig(seed0: int) -> F.Column:
+    return F.concat_ws(
+        ":", *[F.col(f"h{seed0 + k}").cast("string") for k in range(ROWS_PER_BAND)]
+    )
+
+
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Band the signatures; docs colliding in any band are candidates."""
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_sig(b * ROWS_PER_BAND).alias("sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation + exact-jaccard verification.
+
+    At 100 TB the shingle join inside verification only ever sees
+    candidate pairs (left_semi pruned), and candidate generation
+    shuffles 32 ints per doc — the full text never moves."""
+    docs = tables.table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    cand = lsh_candidates(minhash_signatures(sh))
+    return _pair_jaccard(sh, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def _duck_band_rows() -> str:
+    rows = []
+    for b in range(N_BANDS):
+        sig = " || ':' || ".join(
+            f"CAST(h{b * ROWS_PER_BAND + k} AS VARCHAR)"
+            for k in range(ROWS_PER_BAND)
+        )
+        rows.append(f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs")
+    return " UNION ALL ".join(rows)
+
+
+MINHASH_LSH_ORACLE = f"""
+WITH {_DUCK_SHINGLE_CTE},
+hashed AS (
+  SELECT doc_id, {_BASE_DUCK} AS base FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(({a} * base + {b}) % {_MERSENNE_P}) AS h{j}" for j, (a, b) in enumerate(_AFFINE))}
+  FROM hashed GROUP BY doc_id
+),
+bands AS ({_duck_band_rows()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+HAMMING_THRESHOLD = 4
+SIMHASH_BANDS = 4  # 8 bits each; pigeonhole-complete for distance <= 4 - 1... see note
+
+
+def _bit_pm(side: str, b: int, tok: str = "tok") -> str:
+    """+1/-1 for bit b of md5(tok): hex digit b's top bit."""
+    if side == "spark":
+        return (
+            f"case when instr('89abcdef', substring(md5({tok}), {b}, 1)) > 0 "
+            "then 1 else -1 end"
+        )
+    return (
+        f"CASE WHEN instr('89abcdef', substring(md5({tok}), {b}, 1)) > 0 "
+        "THEN 1 ELSE -1 END"
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over the token multiset (token counts are the
+    weights). One explode + one partial-aggregatable groupBy."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != F.lit("")
+            )
+        ).alias("tok"),
+    )
+    weighted = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    bit_sums = weighted.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"cnt * ({_bit_pm('spark', b)})")).alias(f"s{b}")
+            for b in range(1, SIMHASH_BITS + 1)
+        ]
+    )
+    combine = " + ".join(
+        f"(case when s{b} > 0 then {1 << (b - 1)}L else 0L end)"
+        for b in range(1, SIMHASH_BITS + 1)
+    )
+    return bit_sums.select("doc_id", F.expr(combine).alias("simhash"))
+
+
+def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(tables.table(spark, sf_dir, "documents"))
+
+
+SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+weighted AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+),
+bit_sums AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(cnt * ({_bit_pm('duck', b)})) AS s{b}" for b in range(1, SIMHASH_BITS + 1))}
+  FROM weighted GROUP BY doc_id
+)
+SELECT doc_id,
+       {" + ".join(f"(CASE WHEN s{b} > 0 THEN CAST({1 << (b - 1)} AS BIGINT) ELSE 0 END)" for b in range(1, SIMHASH_BITS + 1))}
+           AS simhash
+FROM bit_sums
+"""
+
+
+def simhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 8-bit bands (any pair with
+    hamming distance <= 3 must agree on at least one of the 4 bands;
+    we verify candidates with the exact distance and keep <= HAMMING_THRESHOLD,
+    accepting the standard pigeonhole boundary at exactly 4)."""
+    sigs = simhash_query(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"shiftright(simhash, {8 * i}) & 255").alias("bv"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", "bs.band", "bs.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )
+
+
+SIMHASH_PAIRS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+weighted AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+),
+bit_sums AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(cnt * ({_bit_pm('duck', b)})) AS s{b}" for b in range(1, SIMHASH_BITS + 1))}
+  FROM weighted GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         {" + ".join(f"(CASE WHEN s{b} > 0 THEN CAST({1 << (b - 1)} AS BIGINT) ELSE 0 END)" for b in range(1, SIMHASH_BITS + 1))}
+             AS simhash
+  FROM bit_sums
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, simhash, {i} AS band, (simhash >> {8 * i}) & 255 AS bv FROM sigs" for i in range(SIMHASH_BANDS))}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+"""

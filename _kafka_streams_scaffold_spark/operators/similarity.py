@@ -1,0 +1,210 @@
+"""Similarity search over embedding columns (``embeddings.embedding``,
+``array<float>`` of fixed dim 64).
+
+Three operators:
+
+- ``ann_topk``: brute-force cosine top-k for a (small) query set —
+  the correctness baseline. The query set is broadcast; the big side
+  streams through a nested-loop join, so the cost is one scan of the
+  corpus per batch of queries, no shuffle of the corpus.
+- ``ivf_near_dup``: all-pairs cosine >= tau *within a coarse
+  partition* (here the ``label`` column standing in for an IVF/k-means
+  cell id). This is the scale path for near-dup: a cluster-id
+  blocking key turns O(n^2) into sum over cells of O(|cell|^2), and
+  each cell's pairs co-locate in one shuffle partition.
+- ``lsh_ann``: random-hyperplane (SRP) bucketed top-k — candidates
+  only within matching sign-buckets. Approximate by construction
+  (recall < 1), so it is registered rows-only, with the exact
+  ``ann_topk`` as its quality reference.
+
+Determinism contract for the oracle-checked ops: dot products are an
+explicit 64-term left-associated sum generated identically for Spark
+and DuckDB — IEEE doubles added in the same order are bit-identical,
+so no rounding tolerance is needed anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import tables
+
+DIM = 64
+TOP_K = 5
+N_QUERIES = 10
+NEAR_DUP_COSINE = 0.3
+
+
+def _dot_sql(a: str, b: str, engine: str) -> str:
+    if engine == "spark":
+        terms = [
+            f"cast(element_at({a}, {i}) as double) * cast(element_at({b}, {i}) as double)"
+            for i in range(1, DIM + 1)
+        ]
+    else:
+        terms = [
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+            for i in range(1, DIM + 1)
+        ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _norm_sql(a: str, engine: str) -> str:
+    return f"sqrt({_dot_sql(a, a, engine)})"
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.expr(_norm_sql(vec_col, "spark")))
+
+
+def ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors vec_id < 10."""
+    emb = with_norm(tables.table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+    )
+    cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
+        F.col("q_norm") * F.col("n_norm")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ANN_TOPK_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         {_dot_sql('q.embedding', 'n.embedding', 'duck')} / (q.norm * n.norm)
+             AS cosine
+  FROM normed q
+  CROSS JOIN normed n
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def ivf_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors (cosine >= 0.3) within each label cell.
+
+    The self-join key is the cell id, so Spark shuffles each cell to
+    one partition and the quadratic work is per-cell only. At real
+    scale the cell id comes from a k-means/IVF assignment; skewed
+    (oversized) cells are split by AQE or a finer quantizer."""
+    emb = with_norm(tables.table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    cosine = F.expr(_dot_sql("va", "vb", "spark")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("label", "vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
+IVF_NEAR_DUP_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, label, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+)
+SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.norm * b.norm)
+           AS cosine
+FROM normed a
+JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.norm * b.norm)
+      >= {NEAR_DUP_COSINE}
+"""
+
+
+# --------------------------------------------------------------------------
+# SRP-LSH bucketed ANN (approximate -> rows-only check)
+# --------------------------------------------------------------------------
+
+N_PLANES = 8
+
+# Deterministic hyperplanes: fixed seed, generated once at import.
+_PLANES = np.random.default_rng(42).standard_normal((N_PLANES, DIM))
+
+
+def _bucket_expr(vec_col: str) -> F.Column:
+    """Sign-pattern bucket id: bit j = (vec . plane_j) >= 0."""
+    bits = []
+    for j in range(N_PLANES):
+        dot = " + ".join(
+            f"cast(element_at({vec_col}, {i + 1}) as double) * {_PLANES[j, i]!r}"
+            for i in range(DIM)
+        )
+        bits.append(f"(case when ({dot}) >= 0 then {1 << j} else 0 end)")
+    return F.expr("(" + " + ".join(bits) + ")")
+
+
+def lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: rank only within the query's sign bucket.
+    Registered without an oracle (approximate recall); compare against
+    ann_topk to measure it."""
+    emb = with_norm(tables.table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", _bucket_expr("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+        F.col("bucket"),
+    )
+    cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
+        F.col("q_norm") * F.col("n_norm")
+    )
+    scored = (
+        queries.join(corpus, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -1,0 +1,207 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All four are single-pass, shuffle-free per-document column expressions
+(whole-stage codegen, no UDFs) — at 100 TB they run at parquet-scan
+speed. Only lang-ID aggregates (over the *exploded* token stream,
+partial-aggregated before its one shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Order matters: it is the deterministic tie-break (first wins).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "los", "y", "que", "en"),
+    "de": ("der", "die", "das", "und", "ein", "zu", "ist"),
+    "fr": ("le", "les", "des", "et", "un", "une", "est"),
+}
+
+_EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def tokens_expr(text_col: str = "text") -> F.Column:
+    """Non-empty lowercase word tokens (same split as wordcount)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != F.lit("")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+def quality_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + a composite score.
+
+    Features are exact integers (lengths, counts); the score combines
+    them with fixed double arithmetic, so results are reproducible
+    bit-for-bit across engines and partitionings.
+    """
+    docs = tables.table(spark, sf_dir, "documents")
+    toks = tokens_expr()
+    n_tokens = F.size(toks)
+    token_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*_EN_STOPWORDS))
+    )
+    n_chars = F.length("text")
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_actual"),
+        (token_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
+        (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
+        (
+            F.lit(0.4) * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(50.0))
+            + F.lit(0.3) * (alpha_chars.cast("double") / n_chars)
+            + F.lit(0.3) * (F.lit(1.0) - stop_hits.cast("double") / n_tokens)
+        ).alias("quality_score"),
+    )
+
+
+QUALITY_SCORE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\W+'),
+                     x -> x <> '') AS toks,
+         length(text) AS n_chars_actual,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_chars_actual, alpha_chars,
+         len(toks) AS n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) AS token_chars,
+         len(list_filter(toks, x -> x IN ({_sql_list(_EN_STOPWORDS)}))) AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars_actual,
+       CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(alpha_chars AS DOUBLE) / n_chars_actual AS alpha_ratio,
+       0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+         + 0.3 * (CAST(alpha_chars AS DOUBLE) / n_chars_actual)
+         + 0.3 * (1.0 - CAST(stop_hits AS DOUBLE) / n_tokens) AS quality_score
+FROM feat
+"""
+
+
+# --------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex)
+# --------------------------------------------------------------------------
+
+_BPE_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.table(spark, sf_dir, "documents")
+    # Spark SQL string literals process backslash escapes ('\s' -> 's'),
+    # so the regex needs doubled backslashes there; DuckDB keeps them.
+    spark_pattern = _BPE_PATTERN.replace("\\", "\\\\")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_expr()).alias("ws_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{spark_pattern}', 0)")
+        ).alias("bpe_tokens"),
+    )
+
+
+TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> ''))
+           AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS bpe_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Document fingerprint (normalization + md5)
+# --------------------------------------------------------------------------
+
+def fingerprint_expr(text_col: str = "text") -> F.Column:
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_expr().alias("fingerprint"))
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Language identification (stopword-hit heuristic)
+# --------------------------------------------------------------------------
+
+def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict language as the stopword list with the most token hits;
+    ties and zero-hit documents resolve deterministically (declaration
+    order, then 'und' for undetermined)."""
+    docs = tables.table(spark, sf_dir, "documents")
+    toks = tokens_expr()
+
+    def _hits(words: tuple[str, ...]) -> F.Column:
+        # Single-param lambda: a second (defaulted) param would make
+        # PySpark treat it as an (element, index) lambda.
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    scores = {lang: _hits(words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_STOPWORDS)):
+        pred = F.when(
+            (best > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    sel = [F.col("doc_id")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_STOPWORDS]
+    sel.append(pred.alias("pred_lang"))
+    return docs.select(*sel)
+
+
+def _lang_score_duck(lang: str) -> str:
+    return (
+        "len(list_filter(toks, x -> x IN "
+        f"({_sql_list(LANG_STOPWORDS[lang])})))"
+    )
+
+
+LANG_ID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {", ".join(f"{_lang_score_duck(lang)} AS score_{lang}" for lang in LANG_STOPWORDS)}
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+    FROM documents
+  )
+)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in LANG_STOPWORDS)},
+       CASE
+         WHEN greatest({", ".join(f"score_{lang}" for lang in LANG_STOPWORDS)}) = 0 THEN 'und'
+         {" ".join(f"WHEN score_{lang} = greatest({', '.join(f'score_{x}' for x in LANG_STOPWORDS)}) THEN '{lang}'" for lang in LANG_STOPWORDS)}
+       END AS pred_lang
+FROM scored
+"""

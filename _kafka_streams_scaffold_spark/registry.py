@@ -100,4 +100,30 @@ def _ensure_loaded() -> None:
         an.asof_prev_purchase_query,
         an.ASOF_PREV_PURCHASE_ORACLE,
     )
+
+    from .operators import dedup, similarity, textops
+
+    register("quality_score", textops.quality_score_query, textops.QUALITY_SCORE_ORACLE)
+    register("token_count", textops.token_count_query, textops.TOKEN_COUNT_ORACLE)
+    register("doc_fingerprint", textops.fingerprint_query, textops.FINGERPRINT_ORACLE)
+    register("lang_id", textops.lang_id_query, textops.LANG_ID_ORACLE)
+
+    register("exact_dedup", dedup.exact_dedup_query, dedup.EXACT_DEDUP_ORACLE)
+    register(
+        "ngram_jaccard_pairs",
+        dedup.ngram_jaccard_pairs_query,
+        dedup.NGRAM_JACCARD_ORACLE,
+    )
+    register(
+        "minhash_lsh_pairs", dedup.minhash_lsh_pairs_query, dedup.MINHASH_LSH_ORACLE
+    )
+    register("simhash", dedup.simhash_query, dedup.SIMHASH_ORACLE)
+    register("simhash_pairs", dedup.simhash_pairs_query, dedup.SIMHASH_PAIRS_ORACLE)
+
+    register("ann_topk", similarity.ann_topk_query, similarity.ANN_TOPK_ORACLE)
+    register(
+        "ivf_near_dup", similarity.ivf_near_dup_query, similarity.IVF_NEAR_DUP_ORACLE
+    )
+    # Approximate by construction (bucketed recall < 1): rows-only check.
+    register("lsh_ann", similarity.lsh_ann_query, None)
     _LOADED = True

@@ -1,0 +1,106 @@
+"""Tests for the training-data-pipeline operators: text analysis,
+dedup (exact / n-gram / MinHash-LSH / SimHash), similarity search."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+
+from _kafka_streams_scaffold_spark.operators import dedup, similarity, textops
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark, monkeypatch):
+    df = _docs(spark, ["Hello  World", "hello world", "other doc entirely"])
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: df)
+    rows = dedup.exact_dedup_query(spark, "_").collect()
+    by_rep = {r["rep_doc_id"]: r["n_copies"] for r in rows}
+    assert by_rep == {0: 2, 2: 1}
+
+
+def test_minhash_finds_planted_near_dup(spark, monkeypatch):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different text about spark query engines and shuffles"
+    df = _docs(spark, [base, near, other + " " + other])
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: df)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs_query(spark, "_").collect()
+    }
+    assert (0, 1) in pairs
+    assert all(p in {(0, 1)} for p in pairs)
+
+
+def test_simhash_identical_texts_distance_zero(spark, monkeypatch):
+    df = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta"])
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: df)
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash_query(spark, "_").collect()}
+    assert sig[0] == sig[1]
+    assert 0 <= sig[0] < 2**dedup.SIMHASH_BITS
+    pairs = dedup.simhash_pairs_query(spark, "_").collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] == [(0, 1, 0)]
+
+
+def test_ann_topk_agrees_with_numpy(spark, sf_dir):
+    got = similarity.ann_topk_query(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    ids = sorted(emb)
+    M = np.stack([emb[i] / np.linalg.norm(emb[i]) for i in ids])
+    S = M @ M.T
+    for r in [g for g in got if g["rank"] == 1]:
+        qi = ids.index(r["q_id"])
+        sims = S[qi].copy()
+        sims[qi] = -np.inf
+        best = ids[int(np.argmax(sims))]
+        assert r["n_id"] == best, (r["q_id"], r["n_id"], best)
+        assert abs(r["cosine"] - sims.max()) < 1e-9
+
+
+def test_lsh_ann_is_subset_of_bucket_and_ranked(spark, sf_dir):
+    rows = similarity.lsh_ann_query(spark, sf_dir).collect()
+    assert all(1 <= r["rank"] <= similarity.TOP_K for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in per_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+
+
+def test_quality_score_golden(spark, monkeypatch):
+    df = _docs(spark, ["the cat sat"])
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    r = textops.quality_score_query(spark, "_").collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["stopword_ratio"] == 1 / 3  # 'the'
+    assert abs(r["avg_token_len"] - 3.0) < 1e-12
+    expected = 0.4 * (3 / 50) + 0.3 * (9 / 11) + 0.3 * (2 / 3)
+    assert abs(r["quality_score"] - expected) < 1e-12
+
+
+def test_token_count_bpe_vs_ws(spark, monkeypatch):
+    df = _docs(spark, ["don't stop-me now 123"])
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    r = textops.token_count_query(spark, "_").collect()[0]
+    # ws: don/t/stop/me/now/123 after \W+ split -> 6
+    assert r["ws_tokens"] == 6
+    # bpe-ish: don ' t stop - me now 1 2 3 -> 10
+    assert r["bpe_tokens"] == 10
+
+
+def test_lang_id_deterministic_tiebreak(spark, monkeypatch):
+    df = _docs(spark, ["the la", "zzz qqq"])
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    got = {r["doc_id"]: r["pred_lang"] for r in textops.lang_id_query(spark, "_").collect()}
+    # doc 0: en=1 ('the'), es=1 ('la'), fr=1 ('la') -> tie, declaration order wins
+    assert got[0] == "en"
+    assert got[1] == "und"
