@@ -1,0 +1,102 @@
+"""Serving layer: the replacement for the reference's per-instance
+state stores + interactive-query HTTP tier (SURVEY.md §2.5 Q1-Q4).
+
+The reference materializes aggregates into RocksDB stores, then
+answers point/range reads per instance with HTTP redirect
+(``WordCountService.java:110-112``) or scatter-gather merge
+(``PurchasesService.java:58-94``). Spark is one logical engine over
+all partitions, so serving collapses to: ``foreachBatch`` upserts the
+per-batch *update rows* into a changelog table; reads resolve the
+latest value per key. No routing, no fan-out, no provenance-header
+loop guard.
+
+``ParquetChangelogStore`` is the scale-grade backend: each micro-batch
+APPENDS its update rows stamped with the batch id (append-only — no
+read-modify-write race), and reads compact on the fly with a
+latest-batch-wins window. This is exactly a KTable changelog with
+compaction-on-read; a compaction job (or Delta/Iceberg MERGE) bounds
+read amplification in production.
+
+``MemoryStore`` is the in-process equivalent for tests and
+interactive point lookups.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class MemoryStore:
+    """Driver-side key -> row map. The moral equivalent of one
+    RocksDB store; used by tests and small interactive serving."""
+
+    def __init__(self, key_cols: list[str]):
+        self.key_cols = key_cols
+        self._data: dict[tuple, dict] = {}
+        self._lock = threading.Lock()
+
+    def upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = [r.asDict() for r in batch_df.collect()]
+        with self._lock:
+            for r in rows:
+                self._data[tuple(r[k] for k in self.key_cols)] = r
+
+    def get(self, *key) -> dict | None:
+        """Point lookup — Q1 (``WordCountService.java:88-108``)."""
+        return self._data.get(tuple(key))
+
+    def range_prefix(self, prefix: str, key_col: str | None = None) -> list[dict]:
+        """Prefix range scan — Q2 (``PurchasesService.java:100-123``)."""
+        kc = key_col or self.key_cols[0]
+        return sorted(
+            (r for r in self._data.values() if str(r[kc]).startswith(prefix)),
+            key=lambda r: str(r[kc]),
+        )
+
+    def snapshot(self) -> dict[tuple, dict]:
+        with self._lock:
+            return dict(self._data)
+
+
+class ParquetChangelogStore:
+    """Append-only parquet changelog with latest-wins reads."""
+
+    def __init__(self, path: str, key_cols: list[str]):
+        self.path = path
+        self.key_cols = key_cols
+
+    def upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Compact-on-read: latest batch wins per key. One shuffle on
+        the key — the same partitioning the upstream aggregation used,
+        so at scale this coalesces to a near-no-op with AQE."""
+        df = spark.read.parquet(self.path)
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col("_batch_id").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_batch_id")
+        )
+
+    def get(self, spark: SparkSession, *key) -> dict | None:
+        df = self.read(spark)
+        for col, val in zip(self.key_cols, key):
+            df = df.filter(F.col(col) == val)
+        rows = df.collect()
+        return rows[0].asDict() if rows else None
+
+
+def foreach_batch_upsert(store) -> callable:
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        store.upsert_batch(batch_df, batch_id)
+
+    return _fn

@@ -1,0 +1,57 @@
+"""Custom stateful aggregation via ``applyInPandasWithState`` — the
+general escape hatch for accumulators that do NOT decompose into
+built-in aggregates (SURVEY.md §2.4 A2 notes the reference's
+CountAndTotal *does* decompose; this exists for the ones that don't,
+and doubles as the A2 parity path with explicit state).
+
+State layout mirrors the reference's CountAndTotal POJO
+(``model-json/.../CountAndTotal.json``): (count, total) per key,
+initialized to (0, 0) (``PurchasesTopology.java:75-80``) and updated
+record-at-a-time (``:62-66``) — here batch-at-a-time per key, same
+converged result.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "key string, cnt long, total double"
+STATE_SCHEMA = "cnt long, total double"
+
+
+def _update_count_and_total(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        cnt, total = state.get
+    else:
+        cnt, total = 0, 0.0  # initializer parity: PurchasesTopology.java:75-80
+    for pdf in pdf_iter:
+        cnt += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((cnt, total))
+    yield pd.DataFrame({"key": [key[0]], "cnt": [cnt], "total": [total]})
+
+
+def stateful_count_and_total(keyed: DataFrame) -> DataFrame:
+    """``keyed`` must have columns (key string, value double) and be a
+    streaming DataFrame. Emits the running (count, total) per key each
+    micro-batch.
+
+    Scale notes: state lives in the state store (RocksDB provider in
+    production — same backend family as the reference's stores);
+    groups are Arrow-batched into pandas, so the Python crossing is
+    columnar, not per-record."""
+    return keyed.groupBy("key").applyInPandasWithState(
+        _update_count_and_total,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,213 @@
+"""Streaming-layer tests: converged streaming state must equal the
+batch result (the A4 emission contract), poison pills must be skipped
+with the stream surviving, audit envelopes must carry offsets, and
+the custom stateful accumulator must match the built-in aggregate."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from _kafka_streams_scaffold_spark.operators import wordcount
+from _kafka_streams_scaffold_spark.sources import kafka as ksrc
+from _kafka_streams_scaffold_spark.streaming import audit, pipeline, serving, stateful
+
+
+def _write_json(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _file_stream(spark, dirpath, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .json(dirpath)
+    )
+
+
+LINES = T.StructType([T.StructField("text", T.StringType())])
+
+
+def test_streaming_wordcount_converges_to_batch(spark, tmp_path):
+    rows = [{"text": "the quick brown fox"}, {"text": "the lazy dog"}]
+    rows2 = [{"text": "the quick fox again"}]
+    src = str(tmp_path / "src")
+    _write_json(src, "a.json", rows)
+    _write_json(src, "b.json", rows2)
+
+    agg = pipeline.streaming_wordcount(_file_stream(spark, src, LINES))
+    store = serving.MemoryStore(["word"])
+    q = pipeline.run_update_into_store(agg, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    batch = {
+        r["word"]: r["cnt"]
+        for r in wordcount.wordcount(
+            spark.createDataFrame([Row(text=r["text"]) for r in rows + rows2])
+        ).collect()
+    }
+    converged = {k[0]: v["cnt"] for k, v in store.snapshot().items()}
+    assert converged == batch
+    assert converged["the"] == 3
+    # Interactive queries against the store (Q1 point lookup parity)
+    assert store.get("fox")["cnt"] == 2
+
+
+def test_streaming_purchases_with_parquet_changelog(spark, tmp_path):
+    evs = [
+        {"user_id": 1, "event_type": "a", "value": 2.0},
+        {"user_id": 1, "event_type": "a", "value": 3.0},
+        {"user_id": 2, "event_type": "b", "value": 5.0},
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    _write_json(src, "a.json", evs[:2])
+    _write_json(src, "b.json", evs[2:])
+
+    agg = pipeline.streaming_purchases(_file_stream(spark, src, schema))
+    store = serving.ParquetChangelogStore(str(tmp_path / "store"), ["key"])
+    q = pipeline.run_update_into_store(agg, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    served = {
+        r["key"]: (r["cnt"], r["total"]) for r in store.read(spark).collect()
+    }
+    assert served == {"1-a": (2, 5.0), "2-b": (1, 5.0)}
+    # Range scan over the served table (Q2 parity)
+    row = store.get(spark, "1-a")
+    assert row["cnt"] == 2
+
+
+def test_streaming_poison_pill_skip_and_continue(spark, tmp_path):
+    rows = [{"text": t} for t in ["moo", "quack", "moo moo"]]
+    src = str(tmp_path / "src")
+    _write_json(src, "a.json", rows)
+
+    out = pipeline.streaming_uppercase(_file_stream(spark, src, LINES))
+    sink = str(tmp_path / "out")
+    q = pipeline.run_append_to_parquet(
+        out.select("value"), sink, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = sorted(r["value"] for r in spark.read.parquet(sink).collect())
+    assert got == ["MOO", "MOO MOO"]  # quack dropped, stream survived
+
+
+def test_audit_listener_emits_offset_envelopes(spark, tmp_path):
+    listener = audit.AuditListener("test-app")
+    spark.streams.addListener(listener)
+    try:
+        rows = [{"text": "a b c"}]
+        src = str(tmp_path / "src")
+        _write_json(src, "a.json", rows)
+        agg = pipeline.streaming_wordcount(_file_stream(spark, src, LINES))
+        store = serving.MemoryStore(["word"])
+        q = pipeline.run_update_into_store(agg, store, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        deadline = time.time() + 30
+        while not listener.envelopes and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.envelopes, "no audit envelopes received"
+    env = listener.envelopes[0]
+    assert env["client"] == {
+        "applicationId": "test-app",
+        "type": "spark-structured-streaming",
+    }
+    assert env["record"]["numInputRows"] >= 1
+    assert env["record"]["sources"][0]["endOffset"] is not None
+
+
+def test_stateful_count_and_total_matches_builtin(spark, tmp_path):
+    evs = [
+        {"key": "k1", "value": 2.0},
+        {"key": "k1", "value": 3.0},
+        {"key": "k2", "value": 7.0},
+    ]
+    schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+    src = str(tmp_path / "src")
+    _write_json(src, "a.json", evs[:1])
+    _write_json(src, "b.json", evs[1:])
+
+    agg = stateful.stateful_count_and_total(_file_stream(spark, src, schema))
+    store = serving.MemoryStore(["key"])
+    q = pipeline.run_update_into_store(agg, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {k[0]: (v["cnt"], v["total"]) for k, v in store.snapshot().items()}
+    assert got == {"k1": (2, 5.0), "k2": (1, 7.0)}
+
+
+def test_windowed_counts_streaming(spark, tmp_path):
+    evs = [
+        {"ts": "2024-01-01T00:10:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T00:20:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01T01:10:00", "event_type": "click", "value": 4.0},
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    _write_json(src, "a.json", evs)
+    agg = pipeline.windowed_event_counts(_file_stream(spark, src, schema))
+    store = serving.MemoryStore(["window_start", "event_type"])
+    q = pipeline.run_update_into_store(agg, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {
+        (str(k[0]), k[1]): (v["cnt"], v["total_value"])
+        for k, v in store.snapshot().items()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "click"): (2, 3.0),
+        ("2024-01-01 01:00:00", "click"): (1, 4.0),
+    }
+
+
+def test_kafka_config_builders():
+    src = ksrc.KafkaSourceConfig("broker:9092", "words", starting_offsets="earliest")
+    assert src.options() == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "words",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+    }
+    sink = ksrc.KafkaSinkConfig("broker:9092", "counts", "/tmp/ckpt")
+    assert sink.options()["topic"] == "counts"
+    assert sink.options()["checkpointLocation"] == "/tmp/ckpt"
+
+
+def test_kafka_encode_decode_roundtrip(spark):
+    df = spark.createDataFrame([Row(word="fox", cnt=2)])
+    encoded = ksrc.encode_kv(df, "word", ["word", "cnt"])
+    row = encoded.collect()[0]
+    assert row["key"] == "fox"
+    assert json.loads(row["value"]) == {"word": "fox", "cnt": 2}
+    # decode path over a frame shaped like the Kafka source output
+    kafka_shaped = spark.createDataFrame(
+        [(bytearray(b"fox"), bytearray(b'{"cnt": 2}'), "t", 0, 0, None)],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    decoded = ksrc.decode_kv(kafka_shaped).collect()[0]
+    assert decoded["key"] == "fox" and json.loads(decoded["value"]) == {"cnt": 2}
