@@ -1,0 +1,61 @@
+"""Skew-mitigation recipe: two-stage salted aggregation.
+
+Generalizes the reference's manual skew fix — compound key + explicit
+repartition topic for "highly skewed" purchase streams
+(``PurchasesTopology.java:39-47,59-60``) — into the standard Spark
+pattern: append a salt, partially aggregate on (key, salt) so a hot
+key's rows split across ``n_salts`` partitions, then aggregate the
+partials on the bare key. The second shuffle moves at most
+``n_salts`` rows per key, regardless of how hot the key is.
+
+The salt never appears in the result, so the oracle is simply the
+unsalted aggregate — correctness is salt-invariant by construction.
+Only decomposable aggregates (count/sum/min/max and their algebraic
+combinations) can be salted this way; AQE's skew handling covers
+joins, this covers aggregation fan-in.
+
+Note: for plain count/sum, Spark's own partial aggregation already
+absorbs skew (map-side combine). Explicit salting earns its keep when
+partial aggregation is defeated — e.g. ``collect_set``/distinct-style
+states with heavy per-key payloads — and is registered here on the
+purchases aggregate so the pattern is oracle-verified end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from .purchases import PURCHASES_AGG_ORACLE, select_compound_key
+
+N_SALTS = 16
+
+
+def salted_count_and_total(
+    keyed: DataFrame, quantity_col: str = "value", n_salts: int = N_SALTS
+) -> DataFrame:
+    salted = keyed.withColumn(
+        # Deterministic pseudo-salt (not random()): derived from the row's
+        # own high-cardinality column so retries/recomputes place each row
+        # in the same salt bucket.
+        "salt",
+        F.pmod(F.xxhash64(F.col("event_id")), F.lit(n_salts)),
+    )
+    partial = salted.groupBy("key", "salt").agg(
+        F.count(F.lit(1)).alias("p_cnt"),
+        F.sum(F.col(quantity_col).cast("decimal(18,2)")).alias("p_total"),
+    )
+    return partial.groupBy("key").agg(
+        F.sum("p_cnt").alias("cnt"),
+        F.sum("p_total").cast("double").alias("total"),
+    )
+
+
+def purchases_agg_salted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tables.table(spark, sf_dir, "events")
+    return salted_count_and_total(select_compound_key(events))
+
+
+# Salting is internal: the result equals the unsalted aggregate.
+PURCHASES_AGG_SALTED_ORACLE = PURCHASES_AGG_ORACLE

@@ -126,4 +126,20 @@ def _ensure_loaded() -> None:
     )
     # Approximate by construction (bucketed recall < 1): rows-only check.
     register("lsh_ann", similarity.lsh_ann_query, None)
+
+    from .operators import multimodal, skew
+
+    register(
+        "multimodal_features",
+        multimodal.multimodal_features_query,
+        multimodal.MULTIMODAL_FEATURES_ORACLE,
+    )
+    register(
+        "frame_sample", multimodal.frame_sample_query, multimodal.FRAME_SAMPLE_ORACLE
+    )
+    register(
+        "purchases_agg_salted",
+        skew.purchases_agg_salted_query,
+        skew.PURCHASES_AGG_SALTED_ORACLE,
+    )
     _LOADED = True
