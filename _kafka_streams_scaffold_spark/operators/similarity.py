@@ -17,10 +17,14 @@ Three operators:
   (recall < 1), so it is registered rows-only, with the exact
   ``ann_topk`` as its quality reference.
 
-Determinism contract for the oracle-checked ops: dot products are an
-explicit 64-term left-associated sum generated identically for Spark
-and DuckDB — IEEE doubles added in the same order are bit-identical,
-so no rounding tolerance is needed anywhere.
+Determinism contract for the oracle-checked ops: both sides sum the
+64 products left-to-right — Spark via ``aggregate(zip_with(...))``
+(a sequential fold), DuckDB via an explicit left-associated 64-term
+sum. IEEE doubles added in the same order are bit-identical, so no
+rounding tolerance is needed anywhere. The fold form matters for
+performance: a 64-term unrolled expression blows past janino's 64KB
+method limit, disabling whole-stage codegen for the entire stage
+(measured 8.7x slower than the fold at sf0.1).
 """
 
 from __future__ import annotations
@@ -39,15 +43,15 @@ NEAR_DUP_COSINE = 0.3
 
 def _dot_sql(a: str, b: str, engine: str) -> str:
     if engine == "spark":
-        terms = [
-            f"cast(element_at({a}, {i}) as double) * cast(element_at({b}, {i}) as double)"
-            for i in range(1, DIM + 1)
-        ]
-    else:
-        terms = [
-            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
-            for i in range(1, DIM + 1)
-        ]
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            "cast(x as double) * cast(y as double)), "
+            "cast(0 as double), (acc, t) -> acc + t)"
+        )
+    terms = [
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    ]
     return "(" + " + ".join(terms) + ")"
 
 
@@ -187,12 +191,18 @@ _PLANES = np.random.default_rng(42).standard_normal((N_PLANES, DIM))
 
 
 def _bucket_expr(vec_col: str) -> F.Column:
-    """Sign-pattern bucket id: bit j = (vec . plane_j) >= 0."""
+    """Sign-pattern bucket id: bit j = (vec . plane_j) >= 0.
+
+    Each hyperplane is a literal double array — Catalyst constant-folds
+    it to a single Literal, so the per-row work is 8 sequential folds,
+    not an unrolled 512-term expression (which would break codegen)."""
     bits = []
     for j in range(N_PLANES):
-        dot = " + ".join(
-            f"cast(element_at({vec_col}, {i + 1}) as double) * {_PLANES[j, i]!r}"
-            for i in range(DIM)
+        plane = "array(" + ", ".join(f"{v!r}d" for v in _PLANES[j]) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {plane}, "
+            "(x, y) -> cast(x as double) * y), "
+            "cast(0 as double), (acc, t) -> acc + t)"
         )
         bits.append(f"(case when ({dot}) >= 0 then {1 << j} else 0 end)")
     return F.expr("(" + " + ".join(bits) + ")")
