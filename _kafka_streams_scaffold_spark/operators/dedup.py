@@ -27,9 +27,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .. import tables
 from .textops import fingerprint_expr
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist a small derived table that feeds a self-join.
+
+    Without this, each side of the join re-runs the ENTIRE upstream
+    pipeline (scan -> tokenize -> explode -> aggregate): the physical
+    plan shows two FileScans and zero ReusedExchange, because the two
+    sides shuffle on different keys than the aggregation produced.
+    Signatures are ~32 ints/doc and shingle lists are a few hundred
+    bytes/doc — even at 100 TB corpus scale these derived tables are
+    orders of magnitude smaller than the input, and MEMORY_AND_DISK
+    spills rather than OOMs. (At true cluster scale you'd write them
+    to a parquet stage table; persist is the in-session equivalent.)"""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -94,6 +110,7 @@ shingles AS (
 
 def shingles(docs: DataFrame) -> DataFrame:
     """Distinct word-3-gram shingles per document."""
+    docs = tables.spread(docs, "doc_id")
     return docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks")).select(
         "doc_id", F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle")
     )
@@ -159,7 +176,7 @@ JACCARD_THRESHOLD = 0.8
 
 def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.table(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    sh = _pin(shingles(docs))
     return _pair_jaccard(sh, None).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
@@ -273,8 +290,8 @@ def minhash_lsh_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs (left_semi pruned), and candidate generation
     shuffles 32 ints per doc — the full text never moves."""
     docs = tables.table(spark, sf_dir, "documents")
-    sh = shingles(docs)
-    cand = lsh_candidates(minhash_signatures(sh))
+    sh = _pin(shingles(docs))
+    cand = _pin(lsh_candidates(_pin(minhash_signatures(sh))))
     return _pair_jaccard(sh, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
@@ -331,15 +348,18 @@ HAMMING_THRESHOLD = 4
 SIMHASH_BANDS = 4  # 8 bits each; pigeonhole-complete for distance <= 4 - 1... see note
 
 
-def _bit_pm(side: str, b: int, tok: str = "tok") -> str:
-    """+1/-1 for bit b of md5(tok): hex digit b's top bit."""
+def _bit_pm(side: str, b: int, digest: str = "h") -> str:
+    """+1/-1 for bit b of a precomputed md5 hex digest: digit b's top
+    bit. The digest is materialized ONCE per token row — inlining
+    ``md5(tok)`` here would run 32 md5s per token (one per bit),
+    measured ~2x slower end-to-end at sf0.1."""
     if side == "spark":
         return (
-            f"case when instr('89abcdef', substring(md5({tok}), {b}, 1)) > 0 "
+            f"case when instr('89abcdef', substring({digest}, {b}, 1)) > 0 "
             "then 1 else -1 end"
         )
     return (
-        f"CASE WHEN instr('89abcdef', substring(md5({tok}), {b}, 1)) > 0 "
+        f"CASE WHEN instr('89abcdef', substring({digest}, {b}, 1)) > 0 "
         "THEN 1 ELSE -1 END"
     )
 
@@ -347,7 +367,7 @@ def _bit_pm(side: str, b: int, tok: str = "tok") -> str:
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """32-bit SimHash over the token multiset (token counts are the
     weights). One explode + one partial-aggregatable groupBy."""
-    toks = docs.select(
+    toks = tables.spread(docs, "doc_id").select(
         "doc_id",
         F.explode(
             F.filter(
@@ -356,6 +376,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         ).alias("tok"),
     )
     weighted = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    weighted = weighted.select("doc_id", "cnt", F.md5(F.col("tok")).alias("h"))
     bit_sums = weighted.groupBy("doc_id").agg(
         *[
             F.sum(F.expr(f"cnt * ({_bit_pm('spark', b)})")).alias(f"s{b}")
@@ -381,7 +402,7 @@ WITH toks AS (
   FROM documents
 ),
 weighted AS (
-  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+  SELECT doc_id, md5(tok) AS h, count(*) AS cnt FROM toks GROUP BY doc_id, tok
 ),
 bit_sums AS (
   SELECT doc_id,
@@ -400,7 +421,7 @@ def simhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming distance <= 3 must agree on at least one of the 4 bands;
     we verify candidates with the exact distance and keep <= HAMMING_THRESHOLD,
     accepting the standard pigeonhole boundary at exactly 4)."""
-    sigs = simhash_query(spark, sf_dir)
+    sigs = _pin(simhash_query(spark, sf_dir))
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -429,8 +450,11 @@ def simhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
-        .distinct()
+        # Filter BEFORE distinct: hamming is a function of the pair, so
+        # the result set is identical but the distinct shuffles only the
+        # surviving pairs instead of every band collision.
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .distinct()
     )
 
 
@@ -442,7 +466,7 @@ WITH toks AS (
   FROM documents
 ),
 weighted AS (
-  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+  SELECT doc_id, md5(tok) AS h, count(*) AS cnt FROM toks GROUP BY doc_id, tok
 ),
 bit_sums AS (
   SELECT doc_id,

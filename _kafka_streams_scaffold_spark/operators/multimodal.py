@@ -88,7 +88,7 @@ def decode_features(df: DataFrame, decode: str = "fake") -> DataFrame:
 
 def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(
-        with_payload(tables.table(spark, sf_dir, "documents"))
+        with_payload(tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id"))
     )
 
 
@@ -129,7 +129,7 @@ def frame_sample(df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
 
 
 def frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return frame_sample(with_payload(tables.table(spark, sf_dir, "documents")))
+    return frame_sample(with_payload(tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")))
 
 
 FRAME_SAMPLE_ORACLE = f"""

@@ -63,34 +63,33 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("norm", F.expr(_norm_sql(vec_col, "spark")))
 
 
-def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Repartition the compute-heavy side of a broadcast join by a
-    high-cardinality key. A broadcast join needs no co-partitioning,
-    so its parallelism is whatever the probe side's scan produced —
-    for a small parquet file that is ONE task doing the entire O(n*m)
-    pair computation (measured 7s single-core at sf0.1). Spreading by
-    vec_id puts every core to work; at cluster scale the scan already
-    has many splits and this shuffle of (id, vector) rows is noise
-    next to the pair arithmetic it parallelizes."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, F.col(key))
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings spread across cores BEFORE the norm computation.
+
+    A broadcast join needs no co-partitioning, so its parallelism is
+    whatever the probe side's scan produced — for a single-row-group
+    parquet file that is ONE task doing the entire O(n*m) pair
+    computation (measured 7s single-core at sf0.1). Spreading by
+    vec_id first also parallelizes the per-row norm/bucket arithmetic;
+    at cluster scale the scan already has many splits and
+    ``tables.spread`` is a no-op."""
+    return with_norm(
+        tables.spread(tables.table(spark, sf_dir, "embeddings"), "vec_id")
+    )
 
 
 def ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors vec_id < 10."""
-    emb = with_norm(tables.table(spark, sf_dir, "embeddings"))
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
         F.col("norm").alias("q_norm"),
     )
-    corpus = _spread(
-        emb.select(
-            F.col("vec_id").alias("n_id"),
-            F.col("embedding").alias("n_vec"),
-            F.col("norm").alias("n_norm"),
-        ),
-        "n_id",
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
     )
     cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
         F.col("q_norm") * F.col("n_norm")
@@ -136,15 +135,12 @@ def ivf_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partition and the quadratic work is per-cell only. At real
     scale the cell id comes from a k-means/IVF assignment; skewed
     (oversized) cells are split by AQE or a finer quantizer."""
-    emb = with_norm(tables.table(spark, sf_dir, "embeddings"))
-    a = _spread(
-        emb.select(
-            F.col("label"),
-            F.col("vec_id").alias("vec_a"),
-            F.col("embedding").alias("va"),
-            F.col("norm").alias("na"),
-        ),
-        "vec_a",
+    emb = _emb(spark, sf_dir)
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
     )
     b = emb.select(
         F.col("label"),
@@ -212,9 +208,7 @@ def lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: rank only within the query's sign bucket.
     Registered without an oracle (approximate recall); compare against
     ann_topk to measure it."""
-    emb = with_norm(tables.table(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", _bucket_expr("embedding")
-    )
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr("embedding"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),

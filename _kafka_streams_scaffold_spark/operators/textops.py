@@ -48,7 +48,7 @@ def quality_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     them with fixed double arithmetic, so results are reproducible
     bit-for-bit across engines and partitionings.
     """
-    docs = tables.table(spark, sf_dir, "documents")
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens_expr()
     n_tokens = F.size(toks)
     token_chars = F.aggregate(
@@ -109,7 +109,7 @@ _BPE_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
 
 
 def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tables.table(spark, sf_dir, "documents")
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
     # Spark SQL string literals process backslash escapes ('\s' -> 's'),
     # so the regex needs doubled backslashes there; DuckDB keeps them.
     spark_pattern = _BPE_PATTERN.replace("\\", "\\\\")
@@ -141,7 +141,7 @@ def fingerprint_expr(text_col: str = "text") -> F.Column:
 
 
 def fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tables.table(spark, sf_dir, "documents")
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
     return docs.select("doc_id", fingerprint_expr().alias("fingerprint"))
 
 
@@ -160,7 +160,7 @@ def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predict language as the stopword list with the most token hits;
     ties and zero-hit documents resolve deterministically (declaration
     order, then 'und' for undetermined)."""
-    docs = tables.table(spark, sf_dir, "documents")
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens_expr()
 
     def _hits(words: tuple[str, ...]) -> F.Column:

@@ -42,7 +42,7 @@ def wordcount(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def wordcount_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return wordcount(tables.table(spark, sf_dir, "documents"))
+    return wordcount(tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id"))
 
 
 def point_lookup(df: DataFrame, word: str) -> DataFrame:

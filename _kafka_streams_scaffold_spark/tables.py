@@ -48,6 +48,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Fan a narrow scan out to every core before compute-heavy work.
+
+    The driver's testdata is one single-row-group parquet file per
+    table, so the scan yields ONE task no matter what
+    ``maxPartitionBytes`` says — and every downstream tokenize/hash/
+    explode pipeline would run single-core (measured 4x wall-clock on
+    tokenization at sf0.1). Conditional on the actual scan layout: on a
+    cluster-scale table the scan already has >= defaultParallelism
+    splits and this is a no-op, so the shuffle it introduces exists
+    precisely when the data is small enough for it to be cheap.
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(key)) if key else df.repartition(n)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 

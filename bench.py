@@ -34,6 +34,15 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not first-touch overheads.
     next(iter(qs.values()))(spark, sf_dir).count() if qs else None
+    # Warm the Python worker pool: the first pandas-UDF stage otherwise
+    # pays ~0.15s x n_cores of fork + pandas-import, concurrent enough
+    # to thrash (measured 5.3s cold vs 0.8s warm for one mapInPandas
+    # query at sf0.1). Workers are reused afterwards
+    # (spark.python.worker.reuse defaults true).
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(cores).repartition(cores).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_all = time.time()
