@@ -410,3 +410,144 @@ FROM (
 )
 WHERE event_type = 'click'
 """
+
+
+# --------------------------------------------------------------------------
+# Hopping (sliding) window aggregate
+# --------------------------------------------------------------------------
+
+HOP_WINDOW_MIN = 60
+HOP_SLIDE_MIN = 30
+
+
+def events_hopping_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate: 1-hour windows sliding every 30 min,
+    so every event lands in exactly two windows. Batch form of the
+    streaming ``window(ts, '1 hour', '30 minutes')`` — Spark's window()
+    explodes each row into its overlapping windows BEFORE the shuffle,
+    so the aggregate stays partial-aggregatable (map-side combined):
+    the overlap factor multiplies rows, never shuffle rounds."""
+    ev = tables.table(spark, sf_dir, "events")
+    win = F.window("ts", f"{HOP_WINDOW_MIN} minutes", f"{HOP_SLIDE_MIN} minutes")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+# Every event belongs to windows starting at g and g-slide, where g is
+# its floor on the slide grid (window=2*slide here, so exactly two).
+EVENTS_HOPPING_ORACLE = f"""
+WITH starts AS (
+  SELECT event_type, value,
+         unnest([
+           epoch_us(ts) // {HOP_SLIDE_MIN * 60 * 1_000_000} * {HOP_SLIDE_MIN * 60 * 1_000_000},
+           (epoch_us(ts) // {HOP_SLIDE_MIN * 60 * 1_000_000} - 1) * {HOP_SLIDE_MIN * 60 * 1_000_000}
+         ]) AS start_us
+  FROM events
+)
+SELECT make_timestamp(start_us) AS w_start,
+       make_timestamp(start_us + {HOP_WINDOW_MIN * 60 * 1_000_000}) AS w_end,
+       event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM starts
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE (multi-dimensional aggregate)
+# --------------------------------------------------------------------------
+
+def revenue_cube_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations
+    in ONE pass — Spark expands the grouping sets before the shuffle,
+    so partial aggregation still applies per set. grouping() flags
+    disambiguate 'NULL because subtotal' from 'NULL in the data'."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_returnflag"),
+            F.grouping("l_linestatus").cast("int").alias("g_linestatus"),
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "g_returnflag",
+            "g_linestatus",
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+REVENUE_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_returnflag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations (INTERSECT / EXCEPT)
+# --------------------------------------------------------------------------
+
+def _user_days(ev: DataFrame, event_type: str) -> DataFrame:
+    return (
+        ev.filter(F.col("event_type") == event_type)
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+
+
+def click_no_purchase_days_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: (user, day) pairs with clicks but no purchases. Spark
+    plans set ops as aggregates/joins on the full row — both sides
+    shuffle once on the row hash; no driver-side set logic."""
+    ev = tables.table(spark, sf_dir, "events")
+    return _user_days(ev, "click").exceptAll(_user_days(ev, "purchase"))
+
+
+CLICK_NO_PURCHASE_DAYS_ORACLE = """
+SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def error_and_signup_days_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: (user, day) pairs that saw both an error and a signup."""
+    ev = tables.table(spark, sf_dir, "events")
+    return _user_days(ev, "error").intersect(_user_days(ev, "signup"))
+
+
+ERROR_AND_SIGNUP_DAYS_ORACLE = """
+SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events WHERE event_type = 'error'
+INTERSECT
+SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events WHERE event_type = 'signup'
+"""

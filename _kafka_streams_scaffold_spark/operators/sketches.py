@@ -1,0 +1,115 @@
+"""Cardinality / quantile / top-k summaries.
+
+Beyond-reference capability set (SURVEY.md §2.8): the reference's only
+aggregate is count/sum (``streams/PurchasesTopology.java:62-66``); a
+real analytics engine needs distinct counts, sketched distinct counts
+for 100 TB inputs, quantiles, and top-k.
+
+Scale notes:
+- ``count(DISTINCT x)`` in Spark is two-phase (partial distinct per
+  partition, then exchange on the group key) — no single-point
+  bottleneck, but the distinct set itself shuffles.
+- ``approx_count_distinct`` is a HyperLogLog++ sketch: fixed ~1.5 KB
+  of state per group regardless of input size, partial-merged
+  map-side. At 100 TB this is the only viable distinct count per
+  high-cardinality group; it is registered rows-only (sketches are
+  engine-specific) and unit-tested against the exact count within its
+  rsd bound.
+- ``percentile`` here is the exact interpolated quantile. Spark
+  computes it with a per-group sorted buffer — fine for bounded
+  groups (here: 5 event types x <= p99 group sizes); for unbounded
+  groups the scale path is ``approx_percentile`` (KLL-style sketch,
+  also fixed-size state).
+- Top-k is ``TakeOrderedAndProject``: per-partition heap of k, then a
+  k-sized merge on the driver — never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+
+TOP_N_EVENTS = 20
+
+
+# --------------------------------------------------------------------------
+# Exact distinct users per (event_type, day)
+# --------------------------------------------------------------------------
+
+def distinct_users_daily_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type"), F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+DISTINCT_USERS_DAILY_ORACLE = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# HLL++ sketched distinct (rows-only: sketch estimates are engine-specific)
+# --------------------------------------------------------------------------
+
+APPROX_RSD = 0.02
+
+
+def approx_distinct_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=APPROX_RSD).alias("approx_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact interpolated quantiles of event value per type
+# --------------------------------------------------------------------------
+
+_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def value_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.table(spark, sf_dir, "events")
+    aggs = [
+        F.expr(f"percentile(value, {q})").alias(f"p{int(q * 100)}")
+        for q in _QS
+    ]
+    return ev.groupBy("event_type").agg(*aggs)
+
+
+VALUE_PERCENTILES_ORACLE = f"""
+SELECT event_type,
+       {", ".join(f"quantile_cont(value, {q}) AS p{int(q * 100)}" for q in _QS)}
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Global top-k by value (deterministic tiebreak on event_id)
+# --------------------------------------------------------------------------
+
+def top_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(TOP_N_EVENTS)
+    )
+
+
+TOP_EVENTS_ORACLE = f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+ORDER BY value DESC, event_id
+LIMIT {TOP_N_EVENTS}
+"""

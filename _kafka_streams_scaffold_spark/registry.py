@@ -100,6 +100,35 @@ def _ensure_loaded() -> None:
         an.asof_prev_purchase_query,
         an.ASOF_PREV_PURCHASE_ORACLE,
     )
+    register("events_hopping", an.events_hopping_query, an.EVENTS_HOPPING_ORACLE)
+    register("revenue_cube", an.revenue_cube_query, an.REVENUE_CUBE_ORACLE)
+    register(
+        "click_no_purchase_days",
+        an.click_no_purchase_days_query,
+        an.CLICK_NO_PURCHASE_DAYS_ORACLE,
+    )
+    register(
+        "error_and_signup_days",
+        an.error_and_signup_days_query,
+        an.ERROR_AND_SIGNUP_DAYS_ORACLE,
+    )
+
+    from .operators import sketches
+
+    register(
+        "distinct_users_daily",
+        sketches.distinct_users_daily_query,
+        sketches.DISTINCT_USERS_DAILY_ORACLE,
+    )
+    # HLL++ estimates are engine-specific: rows-only check here, the
+    # rsd-bound accuracy assertion lives in tests/test_sketches.py.
+    register("approx_distinct_users", sketches.approx_distinct_users_query, None)
+    register(
+        "value_percentiles",
+        sketches.value_percentiles_query,
+        sketches.VALUE_PERCENTILES_ORACLE,
+    )
+    register("top_events", sketches.top_events_query, sketches.TOP_EVENTS_ORACLE)
 
     from .operators import dedup, similarity, textops
 

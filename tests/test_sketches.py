@@ -1,0 +1,122 @@
+"""Sketch/quantile/top-k operator tests: golden semantics on crafted
+frames; the HLL++ estimate is bound-checked against the exact count
+(its only meaningful contract — estimates are engine-specific)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row, functions as F
+
+from _kafka_streams_scaffold_spark.operators import analytics, sketches
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows)
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in sketches.approx_distinct_users_query(spark, sf_dir).collect()
+    }
+    from _kafka_streams_scaffold_spark import tables
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in tables.table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        # HLL++ with rsd=0.02; allow 5 sigma.
+        assert abs(est - exact[k]) <= max(2.0, 5 * sketches.APPROX_RSD * exact[k])
+
+
+def test_percentile_golden(spark, sf_dir, monkeypatch):
+    rows = [
+        Row(event_id=i, ts=_ts("2024-01-01T00:00:00"), user_id=1,
+            event_type="click", value=float(v), props="{}")
+        for i, v in enumerate([1, 2, 3, 4])
+    ]
+    monkeypatch.setattr(sketches.tables, "table", lambda *a: _events(spark, rows))
+    got = sketches.value_percentiles_query(spark, "ignored").collect()[0]
+    # Interpolated quantiles of [1,2,3,4]
+    assert got["p25"] == 1.75
+    assert got["p50"] == 2.5
+    assert got["p75"] == 3.25
+
+
+def test_top_events_deterministic_ties(spark, sf_dir, monkeypatch):
+    rows = [
+        Row(event_id=i, ts=_ts("2024-01-01T00:00:00"), user_id=1,
+            event_type="click", value=v, props="{}")
+        for i, v in [(3, 9.0), (1, 9.0), (2, 5.0), (4, 1.0)]
+    ]
+    monkeypatch.setattr(sketches.tables, "table", lambda *a: _events(spark, rows))
+    got = [r["event_id"] for r in sketches.top_events_query(spark, "x").collect()]
+    # value desc, event_id asc tiebreak
+    assert got == [1, 3, 2, 4]
+
+
+def test_hopping_window_two_windows_per_event(spark, sf_dir, monkeypatch):
+    rows = [
+        Row(event_id=1, ts=_ts("2024-01-01T00:40:00"), user_id=1,
+            event_type="click", value=2.0, props="{}"),
+    ]
+    monkeypatch.setattr(analytics.tables, "table", lambda *a: _events(spark, rows))
+    got = sorted(
+        (r["w_start"], r["w_end"], r["cnt"])
+        for r in analytics.events_hopping_query(spark, "x").collect()
+    )
+    # 00:40 falls in [00:00,01:00) and [00:30,01:30)
+    assert got == [
+        (_ts("2024-01-01T00:00:00"), _ts("2024-01-01T01:00:00"), 1),
+        (_ts("2024-01-01T00:30:00"), _ts("2024-01-01T01:30:00"), 1),
+    ]
+
+
+def test_cube_grouping_flags(spark, sf_dir):
+    df = analytics.revenue_cube_query(spark, sf_dir)
+    rows = df.collect()
+    # 4 grouping combinations present, flags disambiguate subtotals
+    combos = {(r["g_returnflag"], r["g_linestatus"]) for r in rows}
+    assert combos == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    grand = [r for r in rows if r["g_returnflag"] == 1 and r["g_linestatus"] == 1]
+    assert len(grand) == 1 and grand[0]["l_returnflag"] is None
+    detail_sum = sum(
+        r["revenue"] for r in rows if (r["g_returnflag"], r["g_linestatus"]) == (0, 0)
+    )
+    assert abs(detail_sum - grand[0]["revenue"]) < 1e-6
+
+
+def test_set_ops_golden(spark, sf_dir, monkeypatch):
+    def ev(i, t, typ):
+        return Row(event_id=i, ts=_ts(t), user_id=1, event_type=typ,
+                   value=1.0, props="{}")
+
+    rows = [
+        ev(1, "2024-01-01T10:00:00", "click"),
+        ev(2, "2024-01-01T11:00:00", "purchase"),   # day1: click AND purchase
+        ev(3, "2024-01-02T10:00:00", "click"),       # day2: click only
+        ev(4, "2024-01-03T10:00:00", "error"),
+        ev(5, "2024-01-03T11:00:00", "signup"),      # day3: error AND signup
+        ev(6, "2024-01-04T10:00:00", "error"),       # day4: error only
+    ]
+    monkeypatch.setattr(analytics.tables, "table", lambda *a: _events(spark, rows))
+    no_purchase = {
+        (r["user_id"], r["day"])
+        for r in analytics.click_no_purchase_days_query(spark, "x").collect()
+    }
+    assert no_purchase == {(1, _ts("2024-01-02T00:00:00"))}
+    both = {
+        (r["user_id"], r["day"])
+        for r in analytics.error_and_signup_days_query(spark, "x").collect()
+    }
+    assert both == {(1, _ts("2024-01-03T00:00:00"))}
