@@ -121,3 +121,58 @@ def run_append_to_parquet(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins; duplicate
+    arrivals within the watermark horizon are dropped and per-key state
+    is evicted once the watermark passes it — bounded state at any
+    scale (the streaming counterpart of the batch ``exact_dedup``).
+
+    For content dedup pass a fingerprint column (e.g.
+    ``textops.fingerprint_expr()``) as the key — never the raw text:
+    the dedup state then stores 32 hex chars per doc."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_with_dimension(
+    stream_df: DataFrame, dim_df: DataFrame, on: list[str] | str
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (small)
+    dimension snapshot. Broadcast by construction — no stream-side
+    shuffle, no state; the dimension re-resolves per batch so slowly
+    changing dims pick up updates."""
+    return stream_df.join(F.broadcast(dim_df), on, "left")
+
+
+def clicks_with_recent_purchase(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    join_horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: click events matched to purchases by
+    the same user within the preceding ``join_horizon``. Both sides
+    buffer keyed state; the watermark + time-range condition bound how
+    long a row waits for its match, so state is evicted and the join
+    is append-mode emittable (SURVEY.md §2.8 gap: the reference has no
+    joins at all)."""
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        F.expr(
+            "c.user_id = p.user_id AND "
+            f"p.ts BETWEEN c.ts - INTERVAL {join_horizon} AND c.ts"
+        ),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("p.value").alias("purchase_value"),
+    )

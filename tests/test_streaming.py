@@ -211,3 +211,118 @@ def test_kafka_encode_decode_roundtrip(spark):
     )
     decoded = ksrc.decode_kv(kafka_shaped).collect()[0]
     assert decoded["key"] == "fox" and json.loads(decoded["value"]) == {"cnt": 2}
+
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_streaming_dedup_first_wins_across_batches(spark, tmp_path):
+    rows1 = [
+        {"ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        {"ts": "2024-01-01T00:01:00", "user_id": 1, "event_type": "a", "value": 2.0},
+    ]
+    rows2 = [  # duplicate key (user_id, event_type) in a later batch
+        {"ts": "2024-01-01T00:02:00", "user_id": 1, "event_type": "a", "value": 3.0},
+        {"ts": "2024-01-01T00:03:00", "user_id": 2, "event_type": "b", "value": 4.0},
+    ]
+    src = str(tmp_path / "src")
+    _write_json(src, "a.json", rows1)
+    _write_json(src, "b.json", rows2)
+    dd = pipeline.streaming_dedup(
+        _file_stream(spark, src, EV_SCHEMA), ["user_id", "event_type"]
+    )
+    sink = str(tmp_path / "out")
+    q = pipeline.run_append_to_parquet(dd, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["event_type"], r["value"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    # exactly one row per key, the first-seen one
+    assert got == [(1, "a", 1.0), (2, "b", 4.0)]
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    rows = [{"ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "click",
+             "value": 1.0}]
+    src = str(tmp_path / "src")
+    _write_json(src, "a.json", rows)
+    dim = spark.createDataFrame([Row(user_id=1, segment="gold")])
+    out = pipeline.enrich_with_dimension(
+        _file_stream(spark, src, EV_SCHEMA), dim, "user_id"
+    )
+    sink = str(tmp_path / "out")
+    q = pipeline.run_append_to_parquet(out, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    assert len(got) == 1 and got[0]["segment"] == "gold"
+
+
+def test_stream_stream_join_within_horizon(spark, tmp_path):
+    clicks = [
+        {"ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "click", "value": 0.0},
+        {"ts": "2024-01-01T05:00:00", "user_id": 2, "event_type": "click", "value": 0.0},
+    ]
+    purchases = [
+        {"ts": "2024-01-01T00:30:00", "user_id": 1, "event_type": "purchase", "value": 9.0},
+        # > 1h before the user-2 click -> must NOT join
+        {"ts": "2024-01-01T03:00:00", "user_id": 2, "event_type": "purchase", "value": 7.0},
+    ]
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    _write_json(csrc, "a.json", clicks)
+    _write_json(psrc, "a.json", purchases)
+    joined = pipeline.clicks_with_recent_purchase(
+        _file_stream(spark, csrc, EV_SCHEMA), _file_stream(spark, psrc, EV_SCHEMA)
+    )
+    sink = str(tmp_path / "out")
+    q = pipeline.run_append_to_parquet(joined, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = [(r["user_id"], r["purchase_value"]) for r in spark.read.parquet(sink).collect()]
+    assert got == [(1, 9.0)]
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    # Batch 0 sees 04:00, so the watermark advances to 02:00 — but with
+    # Spark's one-batch lag it takes effect from batch 1 onward. The
+    # late 00:10 event arrives in batch 2, lands in window
+    # [00:00, 01:00) (strictly older than the watermark) and is dropped.
+    rows1 = [{"ts": "2024-01-01T04:00:00", "event_type": "click", "value": 1.0}]
+    rows_mid = [{"ts": "2024-01-01T04:30:00", "event_type": "click", "value": 2.0}]
+    rows2 = [{"ts": "2024-01-01T00:10:00", "event_type": "click", "value": 99.0}]
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    _write_json(src, "a.json", rows1)
+    _write_json(src, "b.json", rows_mid)
+    _write_json(src, "c.json", rows2)
+    # The file source orders batches by modification time; make the
+    # ordering deterministic so the late file really is the last batch.
+    now = time.time()
+    os.utime(os.path.join(src, "a.json"), (now - 20, now - 20))
+    os.utime(os.path.join(src, "b.json"), (now - 10, now - 10))
+    os.utime(os.path.join(src, "c.json"), (now, now))
+    agg = pipeline.windowed_event_counts(_file_stream(spark, src, schema))
+    sink = str(tmp_path / "out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    windows = {str(r["window_start"]) for r in spark.read.parquet(sink).collect()}
+    assert "2024-01-01 00:00:00" not in windows  # late event's window absent
