@@ -551,3 +551,43 @@ INTERSECT
 SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
 FROM events WHERE event_type = 'signup'
 """
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (via the SQL surface)
+# --------------------------------------------------------------------------
+
+def revenue_grouping_sets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the two single-dimension subtotals
+    only (no detail rows, no grand total), which neither rollup nor
+    cube expresses alone. Uses spark.sql over a registered view: the
+    engine's SQL surface is first-class next to the DataFrame API."""
+    tables.table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gsets"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_returnflag,
+               CAST(grouping(l_linestatus) AS INT) AS g_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+REVENUE_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_returnflag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""

@@ -113,3 +113,26 @@ FROM events
 ORDER BY value DESC, event_id
 LIMIT {TOP_N_EVENTS}
 """
+
+
+# --------------------------------------------------------------------------
+# KLL-style sketched quantiles (rows-only; bound-tested vs exact)
+# --------------------------------------------------------------------------
+
+APPROX_PCT_ERR = 1000  # accuracy parameter: 1/err relative rank error
+
+
+def approx_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched quantiles: fixed-size state per group, partial-merged
+    map-side — the 100 TB path where the exact per-group sort buffer
+    of ``percentile`` would not fit. Registered rows-only (sketch
+    estimates are engine-specific); accuracy is asserted against the
+    exact quantiles in tests/test_sketches.py."""
+    ev = tables.table(spark, sf_dir, "events")
+    aggs = [
+        F.expr(f"approx_percentile(value, {q}, {APPROX_PCT_ERR})").alias(
+            f"ap{int(q * 100)}"
+        )
+        for q in _QS
+    ]
+    return ev.groupBy("event_type").agg(*aggs)

@@ -205,3 +205,79 @@ SELECT doc_id, {", ".join(f"score_{lang}" for lang in LANG_STOPWORDS)},
        END AS pred_lang
 FROM scored
 """
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by tf-idf.
+
+    Uses the *linear* idf variant ``idf = N / df`` rather than
+    ``ln(N/df)``: IEEE multiply/divide are correctly-rounded (so the
+    DuckDB oracle hash-matches bit-for-bit), while ``ln`` differs
+    between libm implementations in the last ulp (measured: Spark
+    ln(3.0) = ...96, DuckDB = ...98). The ranking pipeline — explode,
+    tf per (doc, term), df per term, broadcast-joined corpus size,
+    windowed top-k — is identical either way; swap the idf expression
+    to ``ln`` when cross-engine bit-equality is not a requirement.
+
+    Scale: tf and df are partial-aggregatable counts; df and N are
+    tiny (vocabulary-sized / scalar) so both join broadcast; the only
+    big shuffles are the tf groupBy and the per-doc window."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr()).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+             AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE)
+                    * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+                    tf.term
+         ) AS rank
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+WHERE rank <= {TFIDF_TOP_K}
+"""

@@ -103,6 +103,11 @@ def _ensure_loaded() -> None:
     register("events_hopping", an.events_hopping_query, an.EVENTS_HOPPING_ORACLE)
     register("revenue_cube", an.revenue_cube_query, an.REVENUE_CUBE_ORACLE)
     register(
+        "revenue_grouping_sets",
+        an.revenue_grouping_sets_query,
+        an.REVENUE_GROUPING_SETS_ORACLE,
+    )
+    register(
         "click_no_purchase_days",
         an.click_no_purchase_days_query,
         an.CLICK_NO_PURCHASE_DAYS_ORACLE,
@@ -123,6 +128,7 @@ def _ensure_loaded() -> None:
     # HLL++ estimates are engine-specific: rows-only check here, the
     # rsd-bound accuracy assertion lives in tests/test_sketches.py.
     register("approx_distinct_users", sketches.approx_distinct_users_query, None)
+    register("approx_percentiles", sketches.approx_percentiles_query, None)
     register(
         "value_percentiles",
         sketches.value_percentiles_query,
@@ -133,6 +139,11 @@ def _ensure_loaded() -> None:
     from .operators import dedup, similarity, textops
 
     register("quality_score", textops.quality_score_query, textops.QUALITY_SCORE_ORACLE)
+    register(
+        "tfidf_top_terms",
+        textops.tfidf_top_terms_query,
+        textops.TFIDF_TOP_TERMS_ORACLE,
+    )
     register("token_count", textops.token_count_query, textops.TOKEN_COUNT_ORACLE)
     register("doc_fingerprint", textops.fingerprint_query, textops.FINGERPRINT_ORACLE)
     register("lang_id", textops.lang_id_query, textops.LANG_ID_ORACLE)

@@ -120,3 +120,41 @@ def test_set_ops_golden(spark, sf_dir, monkeypatch):
         for r in analytics.error_and_signup_days_query(spark, "x").collect()
     }
     assert both == {(1, _ts("2024-01-03T00:00:00"))}
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    approx = {
+        r["event_type"]: [r[f"ap{int(q*100)}"] for q in sketches._QS]
+        for r in sketches.approx_percentiles_query(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: [r[f"p{int(q*100)}"] for q in sketches._QS]
+        for r in sketches.value_percentiles_query(spark, sf_dir).collect()
+    }
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            # approx_percentile returns an actual data point near the
+            # true quantile; tolerance scaled to the value range.
+            assert abs(a - e) <= max(0.5, 0.05 * abs(e))
+
+
+def test_tfidf_golden(spark, sf_dir, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import textops
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=1, text="apple banana apple", lang="en", source="s", n_chars=0),
+        Row(doc_id=2, text="banana cherry", lang="en", source="s", n_chars=0),
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["rank"])
+        for r in textops.tfidf_top_terms_query(spark, "x").collect()
+    }
+    # doc1: apple tf=2 df=1 idf=2 -> 4.0 rank1; banana tf=1 df=2 -> 1.0 rank2
+    assert got[(1, "apple")] == (2, 1, 1)
+    assert got[(1, "banana")] == (1, 2, 2)
+    # doc2: cherry tf=1 df=1 -> 2.0 rank1 beats banana 1.0 rank2
+    assert got[(2, "cherry")] == (1, 1, 1)
+    assert got[(2, "banana")] == (1, 2, 2)
