@@ -82,3 +82,38 @@ SELECT event_id,
            || ', "processed": true}' AS json_out
 FROM events
 """
+
+
+def json_props_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless-JSON aggregation (E2/P3 composed): extract a field
+    from the dynamic ``props`` payload and aggregate it per event
+    type — the pattern a JsonObjectSerde consumer ends up writing by
+    hand, here one declarative plan. ``get_json_object`` evaluates
+    inside codegen; no UDF, no full-payload parse (path extraction
+    short-circuits)."""
+    ev = tables.table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_PROPS_STATS_ORACLE = """
+SELECT event_type,
+       count(k) AS n_with_k,
+       sum(k) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""

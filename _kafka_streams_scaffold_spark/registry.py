@@ -60,6 +60,11 @@ def _ensure_loaded() -> None:
     )
     register("uppercase", mapvalues.uppercase_query, mapvalues.UPPERCASE_ORACLE)
     register("json_enrich", mapvalues.json_enrich_query, mapvalues.JSON_ENRICH_ORACLE)
+    register(
+        "json_props_stats",
+        mapvalues.json_props_stats_query,
+        mapvalues.JSON_PROPS_STATS_ORACLE,
+    )
 
     from .operators import analytics as an
 
