@@ -591,3 +591,129 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
+
+
+# --------------------------------------------------------------------------
+# Pivot (rows -> typed columns)
+# --------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counts pivoted to one column per event type.
+    The pivot values are declared explicitly — at scale, letting Spark
+    infer them adds a blocking distinct-scan job before planning."""
+    ev = tables.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_PIVOT_TYPES))
+    )
+
+
+EVENTS_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in _PIVOT_TYPES)}
+FROM events
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# ntile / percent_rank (distribution window functions)
+# --------------------------------------------------------------------------
+
+def customer_balance_quartiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile + percent_rank of customers by account balance within
+    their nation. Global-ish windows are partitioned by nation so no
+    single task sorts the whole table; the tiebreak on c_custkey makes
+    ranks total and cross-engine stable."""
+    cust = tables.table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+CUSTOMER_BALANCE_QUARTILES_ORACLE = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Rolling (moving) aggregate
+# --------------------------------------------------------------------------
+
+ROLLING_N = 7
+
+
+def rolling_user_value_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling sum/avg of the last 7 events (ROWS frame).
+    DECIMAL accumulation keeps the running sums bit-stable regardless
+    of partitioning; one shuffle on user_id."""
+    ev = tables.table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLING_N - 1), Window.currentRow)
+    )
+    roll_sum = F.sum(_dec("value", "decimal(18,2)")).over(w)
+    roll_n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        roll_sum.cast("double").alias("rolling_sum"),
+        (roll_sum.cast("double") / roll_n).alias("rolling_avg"),
+    )
+
+
+ROLLING_USER_VALUE_ORACLE = f"""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_sum,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS rolling_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLLING_N - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# Sorted string aggregation (deterministic collect)
+# --------------------------------------------------------------------------
+
+def user_event_type_sets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types per user as one sorted CSV string —
+    collect_set is partition-order-dependent, so the deterministic
+    form is sort_array before join (hash-stable across engines and
+    partitionings)."""
+    ev = tables.table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("event_type")), ","
+        ).alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+USER_EVENT_TYPE_SETS_ORACLE = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+       count(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+"""

@@ -122,6 +122,22 @@ def _ensure_loaded() -> None:
         an.error_and_signup_days_query,
         an.ERROR_AND_SIGNUP_DAYS_ORACLE,
     )
+    register("events_pivot", an.events_pivot_query, an.EVENTS_PIVOT_ORACLE)
+    register(
+        "customer_balance_quartiles",
+        an.customer_balance_quartiles_query,
+        an.CUSTOMER_BALANCE_QUARTILES_ORACLE,
+    )
+    register(
+        "rolling_user_value",
+        an.rolling_user_value_query,
+        an.ROLLING_USER_VALUE_ORACLE,
+    )
+    register(
+        "user_event_type_sets",
+        an.user_event_type_sets_query,
+        an.USER_EVENT_TYPE_SETS_ORACLE,
+    )
 
     from .operators import sketches
 

@@ -82,3 +82,42 @@ def test_top_orders_deterministic_tiebreak(spark, sf_dir, monkeypatch):
         .collect()
     ]
     assert got == [(1, 1), (3, 2), (5, 3)]  # equal prices -> lowest key wins
+
+
+def test_top_events_uses_takeordered(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import sketches
+
+    df = sketches.top_events_query(spark, sf_dir)
+    # Global top-k must be a per-partition heap + driver merge of k,
+    # never a full sort: at 100 TB a global sort would shuffle the
+    # whole table for 20 rows.
+    assert "TakeOrderedAndProject" in plans.explain_str(df)
+
+
+def test_tfidf_small_sides_broadcast(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import textops
+
+    df = textops.tfidf_top_terms_query(spark, sf_dir)
+    s = plans.explain_str(df)
+    # df (vocabulary-sized) joins broadcast; the scalar corpus size
+    # rides a broadcast nested-loop. Neither may shuffle the tf table
+    # a second time.
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_pivot_is_single_aggregation(spark, sf_dir):
+    df = analytics.events_pivot_query(spark, sf_dir)
+    # Declared pivot values -> one hash aggregate pair (partial+final),
+    # no per-value scans and no inference job in the plan.
+    assert len(plans.read_schema_columns(df)) == 1
+
+
+def test_rolling_window_single_shuffle(spark, sf_dir):
+    import re
+
+    df = analytics.rolling_user_value_query(spark, sf_dir)
+    s = plans.explain_str(df)
+    # One exchange: hash partition on user_id for the window sort.
+    # (formatted explain mentions each node twice: tree + details)
+    assert len(set(re.findall(r"\((\d+)\) Exchange", s))) == 1
