@@ -717,3 +717,42 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# Q6-style revenue forecast (pure scan -> filter -> global aggregate)
+# --------------------------------------------------------------------------
+
+def revenue_forecast_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate filter + single global
+    sum. The whole query is one codegen'd scan stage + a one-row
+    final aggregate; every predicate must reach the parquet reader
+    (PushedFilters), making this the canonical pushdown probe."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", _RATE))
+            .cast("double")
+            .alias("forecast_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+REVENUE_FORECAST_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS forecast_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""

@@ -1,0 +1,116 @@
+"""Duplicate-cluster resolution: connected components over the
+near-duplicate pair graph.
+
+Pair generators (simhash_pairs / minhash_lsh_pairs / ivf_near_dup)
+emit edges; a dedup pipeline then needs each document assigned to a
+canonical cluster (keep one representative per component, drop the
+rest). That is connected components — an inherently *iterative*
+algorithm, the one operator family a single declarative plan cannot
+express.
+
+Spark-first formulation: min-label propagation. Every node starts
+labeled with its own id; each round every node takes the min of its
+label and its neighbors' labels; converged when no label changes.
+Rounds needed = component diameter (near-dup components are dense,
+so typically 2-4). Each round is one shuffle-join + partial-
+aggregatable min — the same shape GraphX/GraphFrames use, without
+the dependency.
+
+The driver loop materializes one count() per round (the convergence
+check). That is a deliberate, bounded driver crossing: one scalar per
+round, never data. Each round's labels are ``localCheckpoint``-ed:
+iterative plans otherwise grow their lineage every round and
+re-analysis dominates (measured 187s -> 14s at sf0.01 for the same
+seven rounds). localCheckpoint truncates the plan but stores blocks
+without replication — on a real cluster swap in a reliable
+``checkpoint(dir)`` for fault tolerance at the cost of one HDFS/S3
+write per round.
+
+The DuckDB oracle expresses the same fixpoint as a recursive CTE
+(reachability + min over the reach set), so even this iterative
+operator is hash-checked, not just rows-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from .dedup import simhash_pairs_query
+
+MAX_ROUNDS = 50  # safety bound; real convergence is diameter-bounded
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """``nodes(doc_id)``, ``edges(src, dst)`` undirected (pass each
+    pair once; both directions are derived here). Returns
+    ``(doc_id, cluster_id)`` with cluster_id = min doc_id reachable."""
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(MAX_ROUNDS):
+        neighbor_min = (
+            both.join(labels, both.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        # Carry the convergence flag in the checkpointed frame itself:
+        # the changed-count is then a filter over materialized blocks,
+        # not another join against the previous round.
+        step = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias(
+                    "label"
+                ),
+                (F.coalesce("nmin", "label") < F.col("label")).alias("moved"),
+            )
+            .localCheckpoint()
+        )
+        labels = step.select("doc_id", "label")
+        if step.filter("moved").count() == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical duplicate clusters from the SimHash near-dup pairs:
+    every document labeled with the min doc_id of its component
+    (isolated docs label themselves)."""
+    docs = tables.table(spark, sf_dir, "documents").select("doc_id")
+    edges = simhash_pairs_query(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(docs, edges)
+
+
+# Same fixpoint as a recursive reachability CTE: cluster_id is the min
+# over each node's reach set. The SimHash edge derivation is inlined
+# (DuckDB has no cross-statement CTE reuse with recursion).
+def _simhash_edges_sql() -> str:
+    from .dedup import SIMHASH_PAIRS_ORACLE
+
+    return SIMHASH_PAIRS_ORACLE.strip().rstrip(";")
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {_simhash_edges_sql()}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(doc_id, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+)
+SELECT doc_id, min(reach) AS cluster_id
+FROM walk
+GROUP BY doc_id
+"""

@@ -124,6 +124,9 @@ def _ensure_loaded() -> None:
     )
     register("events_pivot", an.events_pivot_query, an.EVENTS_PIVOT_ORACLE)
     register(
+        "revenue_forecast", an.revenue_forecast_query, an.REVENUE_FORECAST_ORACLE
+    )
+    register(
         "customer_balance_quartiles",
         an.customer_balance_quartiles_query,
         an.CUSTOMER_BALANCE_QUARTILES_ORACLE,
@@ -180,6 +183,14 @@ def _ensure_loaded() -> None:
     )
     register("simhash", dedup.simhash_query, dedup.SIMHASH_ORACLE)
     register("simhash_pairs", dedup.simhash_pairs_query, dedup.SIMHASH_PAIRS_ORACLE)
+
+    from .operators import clustering
+
+    register(
+        "dedup_clusters",
+        clustering.dedup_clusters_query,
+        clustering.DEDUP_CLUSTERS_ORACLE,
+    )
 
     register("ann_topk", similarity.ann_topk_query, similarity.ANN_TOPK_ORACLE)
     register(

@@ -104,3 +104,20 @@ def test_lang_id_deterministic_tiebreak(spark, monkeypatch):
     # doc 0: en=1 ('the'), es=1 ('la'), fr=1 ('la') -> tie, declaration order wins
     assert got[0] == "en"
     assert got[1] == "und"
+
+
+def test_connected_components_chain_and_isolate(spark):
+    from pyspark.sql import Row
+    from _kafka_streams_scaffold_spark.operators import clustering
+
+    # Chain 1-2-3-4 (worst-case diameter: min must hop 3 rounds),
+    # pair 10-11, isolate 20.
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 4, 10, 11, 20]])
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=3, dst=4), Row(src=10, dst=11)]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in clustering.connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
