@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis): engine results must equal an
+independent Python-computed model on arbitrary inputs — a different
+kind of evidence than golden cases or cross-engine oracles."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from _kafka_streams_scaffold_spark.operators import wordcount
+
+_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_TEXT, min_size=1, max_size=8))
+def test_wordcount_matches_python_model(spark, lines):
+    df = spark.createDataFrame([Row(text=t) for t in lines])
+    got = {r["word"]: r["cnt"] for r in wordcount.wordcount(df).collect()}
+    model = Counter(
+        w for t in lines for w in re.split(r"\W+", t.lower()) if w != ""
+    )
+    assert got == dict(model)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        max_size=10,
+    )
+)
+def test_connected_components_matches_union_find(spark, pairs):
+    from _kafka_streams_scaffold_spark.operators import clustering
+
+    node_ids = sorted({n for p in pairs for n in p} | {0, 1})
+    nodes = spark.createDataFrame([Row(doc_id=n) for n in node_ids])
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs] or [Row(src=0, dst=0)]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in clustering.connected_components(nodes, edges).collect()
+    }
+
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    model = {n: find(n) for n in node_ids}
+    assert got == model

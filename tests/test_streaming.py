@@ -326,3 +326,26 @@ def test_watermark_drops_late_event(spark, tmp_path):
     q.awaitTermination(120)
     windows = {str(r["window_start"]) for r in spark.read.parquet(sink).collect()}
     assert "2024-01-01 00:00:00" not in windows  # late event's window absent
+
+
+def test_checkpoint_recovery_continues_counts(spark, tmp_path):
+    """Stop a streaming aggregation, add input, start a NEW query from
+    the same checkpoint: state must resume (counts span both runs,
+    first batch not reprocessed)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = serving.MemoryStore(["word"])
+
+    _write_json(src, "a.json", [{"text": "fox fox"}])
+    agg = pipeline.streaming_wordcount(_file_stream(spark, src, LINES))
+    q1 = pipeline.run_update_into_store(agg, store, ckpt)
+    q1.awaitTermination(120)
+    assert store.get("fox")["cnt"] == 2
+
+    _write_json(src, "b.json", [{"text": "fox dog"}])
+    agg2 = pipeline.streaming_wordcount(_file_stream(spark, src, LINES))
+    q2 = pipeline.run_update_into_store(agg2, store, ckpt)
+    q2.awaitTermination(120)
+    # 2 (run 1) + 1 (run 2) — state restored, a.json not re-read.
+    assert store.get("fox")["cnt"] == 3
+    assert store.get("dog")["cnt"] == 1
