@@ -117,3 +117,25 @@ FROM (
 )
 GROUP BY event_type
 """
+
+
+def peek(df: DataFrame, name: str = "peek") -> tuple[DataFrame, "Observation"]:
+    """P5 ``peek`` parity (``WordCountTopology.java:35``,
+    ``PurchasesTopology.java:69``): the reference logs every record as
+    a side effect. Per-record side effects don't exist in a vectorized
+    engine; the Spark-native equivalent is an ``Observation`` — named
+    metrics computed inline with the plan (no extra pass, no action),
+    readable after the first action completes. Streaming variant:
+    ``df.observe(name, ...)`` surfaces the same metrics in each
+    ``StreamingQueryProgress.observedMetrics`` (see streaming/audit)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        # DISTINCT aggregates are disallowed in observed metrics;
+        # the HLL sketch is the observable form.
+        F.approx_count_distinct(F.col(df.columns[0])).alias("n_distinct_first_col"),
+    )
+    return observed, obs

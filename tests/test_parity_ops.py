@@ -91,3 +91,17 @@ def test_permissive_parse_quarantine(spark):
     bad = json_schema.quarantined_records(parsed)
     assert sorted(r["k"] for r in good.collect()) == [1, 3]
     assert [r["id"] for r in bad.collect()] == [2]
+
+
+def test_peek_observation_metrics(spark):
+    """P5: observe() computes metrics inline with the plan — the
+    record-level peek side effect, minus the per-record crossing."""
+    from pyspark.sql import Row
+    from _kafka_streams_scaffold_spark.operators import mapvalues
+
+    df = spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="a", v=2), Row(k="b", v=3)]
+    )
+    observed, obs = mapvalues.peek(df, "probe")
+    assert observed.count() == 3  # action completes the observation
+    assert obs.get == {"n_rows": 3, "n_distinct_first_col": 2}
