@@ -234,3 +234,55 @@ def lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids (the quantizer-training step behind IVF)
+# --------------------------------------------------------------------------
+
+_FP_SCALE = 1_000_000
+
+
+def label_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean vector per label cell — one k-means update step, the
+    operator that *produces* the coarse quantizer ivf_near_dup blocks
+    on. Emitted as (label, pos, ...) rows rather than arrays so the
+    oracle hash works over scalars.
+
+    Determinism: float sums are partitioning-order-dependent, so each
+    component is fixed-pointed first — ``floor(x * 1e6)`` is exact
+    IEEE (multiply correctly rounded, floor exact) and the BIGINT sums
+    are associative; the final centroid is one correctly-rounded
+    double division. Scale: posexplode multiplies rows by dim (64),
+    but the groupBy(label, pos) aggregate is partial-aggregatable, so
+    the shuffle carries at most |labels| x dim partial sums per task.
+    """
+    emb = tables.spread(tables.table(spark, sf_dir, "embeddings"), "vec_id")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x").cast("double") * _FP_SCALE).alias("x_fp"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.sum("x_fp").alias("sum_fp"),
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("x_fp").cast("double")
+            / (F.count(F.lit(1)) * F.lit(_FP_SCALE)).cast("double")
+        ).alias("centroid"),
+    )
+
+
+LABEL_CENTROIDS_ORACLE = f"""
+SELECT label, i AS pos,
+       SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP_SCALE}) AS BIGINT))
+           AS sum_fp,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP_SCALE}) AS BIGINT))
+            AS DOUBLE)
+           / CAST(COUNT(*) * {_FP_SCALE} AS DOUBLE) AS centroid
+FROM embeddings, generate_series(1, {DIM}) AS t(i)
+GROUP BY label, i
+"""

@@ -198,6 +198,11 @@ def _ensure_loaded() -> None:
     )
     # Approximate by construction (bucketed recall < 1): rows-only check.
     register("lsh_ann", similarity.lsh_ann_query, None)
+    register(
+        "label_centroids",
+        similarity.label_centroids_query,
+        similarity.LABEL_CENTROIDS_ORACLE,
+    )
 
     from .operators import multimodal, skew
 

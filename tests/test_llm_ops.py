@@ -121,3 +121,26 @@ def test_connected_components_chain_and_isolate(spark):
         for r in clustering.connected_components(nodes, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_label_centroids_golden(spark, monkeypatch):
+    from pyspark.sql import Row
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 2.0], label=0),
+        Row(vec_id=2, embedding=[3.0, 6.0], label=0),
+        Row(vec_id=3, embedding=[10.0, 0.0], label=1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(similarity.tables, "table", lambda *a: df)
+    got = {
+        (r["label"], r["pos"]): (r["n"], r["centroid"])
+        for r in similarity.label_centroids_query(spark, "x").collect()
+    }
+    assert got == {
+        (0, 1): (2, 2.0),
+        (0, 2): (2, 4.0),
+        (1, 1): (1, 10.0),
+        (1, 2): (1, 0.0),
+    }
