@@ -286,3 +286,92 @@ SELECT label, i AS pos,
 FROM embeddings, generate_series(1, {DIM}) AS t(i)
 GROUP BY label, i
 """
+
+
+def ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector to its nearest label centroid (squared
+    euclidean), completing the IVF loop: label_centroids is the
+    quantizer-update step, this is the assignment step, ivf_near_dup
+    is the query step over the resulting cells.
+
+    The centroid table is tiny (|cells| x dim) and is broadcast as
+    packed arrays; distance uses the same fold dot products as the
+    rest of this module, so the argmin — including ties, broken by
+    label — is bit-identical to the oracle. dist^2 = |v|^2 - 2 v.c
+    + |c|^2 needs only dot products of things both engines hold."""
+    emb = tables.spread(tables.table(spark, sf_dir, "embeddings"), "vec_id")
+    cents = (
+        label_centroids_query(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "centroid"))
+            ).alias("pc")
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(pc, s -> s.centroid)").alias("cvec"),
+        )
+    )
+    dot_vc = (
+        "aggregate(zip_with(embedding, cvec, (x, y) -> "
+        "cast(x as double) * y), cast(0 as double), (acc, t) -> acc + t)"
+    )
+    dot_cc = (
+        "aggregate(zip_with(cvec, cvec, (x, y) -> x * y), "
+        "cast(0 as double), (acc, t) -> acc + t)"
+    )
+    dot_vv = _dot_sql("embedding", "embedding", "spark")
+    dist2 = F.expr(dot_vv) - 2 * F.expr(dot_vc) + F.expr(dot_cc)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("label").alias("orig_label"),
+        "c_label",
+        dist2.alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "orig_label", F.col("c_label").alias("assigned_label"), "dist2")
+    )
+
+
+def _duck_centroid_dots() -> tuple[str, str]:
+    """Unrolled v.c and c.c over the centroid-row representation."""
+    vc = " + ".join(
+        f"CAST(e.embedding[{i}] AS DOUBLE) * c.c{i}" for i in range(1, DIM + 1)
+    )
+    cc = " + ".join(f"c.c{i} * c.c{i}" for i in range(1, DIM + 1))
+    return f"({vc})", f"({cc})"
+
+
+_DUCK_VC, _DUCK_CC = _duck_centroid_dots()
+
+IVF_ASSIGN_ORACLE = f"""
+WITH cent_rows AS (
+  SELECT label, i AS pos,
+         CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP_SCALE}) AS BIGINT))
+              AS DOUBLE)
+             / CAST(COUNT(*) * {_FP_SCALE} AS DOUBLE) AS centroid
+  FROM embeddings, generate_series(1, {DIM}) AS t(i)
+  GROUP BY label, i
+),
+cents AS (
+  SELECT label AS c_label,
+         {", ".join(f"MAX(CASE WHEN pos = {i} THEN centroid END) AS c{i}" for i in range(1, DIM + 1))}
+  FROM cent_rows GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label AS orig_label, c.c_label,
+         {_norm_sql('e.embedding', 'duck').replace('sqrt', '')} - 2 * {_DUCK_VC} + {_DUCK_CC}
+             AS dist2
+  FROM embeddings e CROSS JOIN cents c
+)
+SELECT vec_id, orig_label, c_label AS assigned_label, dist2 FROM (
+  SELECT vec_id, orig_label, c_label, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+  FROM scored
+)
+WHERE rn = 1
+"""

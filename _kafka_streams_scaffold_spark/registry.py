@@ -172,6 +172,17 @@ def _ensure_loaded() -> None:
     register("doc_fingerprint", textops.fingerprint_query, textops.FINGERPRINT_ORACLE)
     register("lang_id", textops.lang_id_query, textops.LANG_ID_ORACLE)
 
+    from .operators import sampling
+
+    register(
+        "dataset_split", sampling.dataset_split_query, sampling.DATASET_SPLIT_ORACLE
+    )
+    register(
+        "stratified_sample",
+        sampling.stratified_sample_query,
+        sampling.STRATIFIED_SAMPLE_ORACLE,
+    )
+
     register("exact_dedup", dedup.exact_dedup_query, dedup.EXACT_DEDUP_ORACLE)
     register(
         "ngram_jaccard_pairs",
@@ -203,6 +214,7 @@ def _ensure_loaded() -> None:
         similarity.label_centroids_query,
         similarity.LABEL_CENTROIDS_ORACLE,
     )
+    register("ivf_assign", similarity.ivf_assign_query, similarity.IVF_ASSIGN_ORACLE)
 
     from .operators import multimodal, skew
 
