@@ -496,3 +496,46 @@ FROM bands a
 JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 """
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out set)
+# --------------------------------------------------------------------------
+
+BENCHMARK_DOC_MAX = 50  # doc_id < 50 stands in for the benchmark/eval set
+
+
+def contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: which corpus documents share
+    word-3-gram shingles with the benchmark set (here: doc_id <
+    BENCHMARK_DOC_MAX), and how many. The benchmark shingle set is
+    small by construction, so the overlap check is a broadcast
+    semi-ish join against it — the corpus shuffles nothing, and at
+    100 TB the scan-side cost is the shingling itself. Downstream, a
+    pipeline drops or flags any doc with n_hits above threshold."""
+    docs = tables.table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    bench = (
+        sh.filter(F.col("doc_id") < BENCHMARK_DOC_MAX)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= BENCHMARK_DOC_MAX)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH {_DUCK_SHINGLE_CTE},
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id < {BENCHMARK_DOC_MAX}
+)
+SELECT s.doc_id, count(*) AS n_contaminated_shingles
+FROM shingles s
+JOIN bench b ON s.shingle = b.shingle
+WHERE s.doc_id >= {BENCHMARK_DOC_MAX}
+GROUP BY s.doc_id
+"""

@@ -281,3 +281,71 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM (
 )
 WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Text cleaning (normalization pass)
+# --------------------------------------------------------------------------
+
+def clean_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pass every corpus gets before tokenization:
+    collapse whitespace runs, strip leading/trailing space, lowercase.
+    Emitted as (doc_id, cleaned-hash, before/after lengths) so the
+    oracle hashes scalars; the expression itself is the reusable
+    piece. Single-pass, shuffle-free, codegen'd."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    cleaned = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_raw"),
+        F.length(cleaned).alias("len_clean"),
+        F.md5(cleaned).alias("clean_md5"),
+    )
+
+
+CLEAN_TEXT_ORACLE = """
+SELECT doc_id,
+       length(text) AS len_raw,
+       length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS len_clean,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS clean_md5
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# PII scan (regex detectors)
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_LONGNUM_RE = r"[0-9]{6,}"
+
+
+def pii_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII indicator counts (emails, URLs, long digit
+    runs) — the redaction pre-pass of a training pipeline. Pure
+    regexp_extract_all counts: single-pass, no UDF. The patterns are
+    deliberately simple/portable (same semantics in Java regex and
+    DuckDB's RE2); a production pass swaps in a vetted detector
+    library behind the same (doc_id -> counts) contract."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+
+    def n(pattern: str) -> F.Column:
+        escaped = pattern.replace("\\", "\\\\")
+        return F.size(F.expr(f"regexp_extract_all(text, '{escaped}', 0)"))
+
+    return docs.select(
+        "doc_id",
+        n(_EMAIL_RE).alias("n_emails"),
+        n(_URL_RE).alias("n_urls"),
+        n(_LONGNUM_RE).alias("n_long_numbers"),
+    )
+
+
+PII_SCAN_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+       len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS n_long_numbers
+FROM documents
+"""

@@ -171,6 +171,8 @@ def _ensure_loaded() -> None:
     register("token_count", textops.token_count_query, textops.TOKEN_COUNT_ORACLE)
     register("doc_fingerprint", textops.fingerprint_query, textops.FINGERPRINT_ORACLE)
     register("lang_id", textops.lang_id_query, textops.LANG_ID_ORACLE)
+    register("clean_text", textops.clean_text_query, textops.CLEAN_TEXT_ORACLE)
+    register("pii_scan", textops.pii_scan_query, textops.PII_SCAN_ORACLE)
 
     from .operators import sampling
 
@@ -194,6 +196,9 @@ def _ensure_loaded() -> None:
     )
     register("simhash", dedup.simhash_query, dedup.SIMHASH_ORACLE)
     register("simhash_pairs", dedup.simhash_pairs_query, dedup.SIMHASH_PAIRS_ORACLE)
+    register(
+        "contamination", dedup.contamination_query, dedup.CONTAMINATION_ORACLE
+    )
 
     from .operators import clustering
 

@@ -144,3 +144,49 @@ def test_label_centroids_golden(spark, monkeypatch):
         (1, 1): (1, 10.0),
         (1, 2): (1, 0.0),
     }
+
+
+def test_pii_scan_golden(spark, monkeypatch):
+    from pyspark.sql import Row
+    from _kafka_streams_scaffold_spark.operators import textops
+
+    rows = [
+        Row(doc_id=1, text="mail me at a.b@example.com or see https://x.io/p",
+            lang="en", source="s", n_chars=0),
+        Row(doc_id=2, text="card 1234567890 and 999", lang="en", source="s",
+            n_chars=0),
+    ]
+    monkeypatch.setattr(
+        textops.tables, "table", lambda *a: spark.createDataFrame(rows)
+    )
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_urls"], r["n_long_numbers"])
+        for r in textops.pii_scan_query(spark, "x").collect()
+    }
+    assert got == {1: (1, 1, 0), 2: (0, 0, 1)}
+
+
+def test_contamination_golden(spark, monkeypatch):
+    from pyspark.sql import Row
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    rows = [
+        # "benchmark" doc (id < 50)
+        Row(doc_id=1, text="the quick brown fox jumps", lang="en", source="s",
+            n_chars=0),
+        # shares shingle "the quick brown" + "quick brown fox"
+        Row(doc_id=100, text="see the quick brown fox run", lang="en",
+            source="s", n_chars=0),
+        # no overlap
+        Row(doc_id=101, text="completely different words here", lang="en",
+            source="s", n_chars=0),
+    ]
+    monkeypatch.setattr(
+        dedup.tables, "table", lambda *a: spark.createDataFrame(rows)
+    )
+    got = {
+        r["doc_id"]: r["n_contaminated_shingles"]
+        for r in dedup.contamination_query(spark, "x").collect()
+    }
+    assert 100 in got and got[100] >= 2
+    assert 101 not in got
