@@ -56,17 +56,31 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )
-        # Carry the convergence flag in the checkpointed frame itself:
-        # the changed-count is then a filter over materialized blocks,
-        # not another join against the previous round.
+        hooked = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            (F.coalesce("nmin", "label") < F.col("label")).alias("moved"),
+        )
+        # Pointer jumping (shortcutting): replace each label with ITS
+        # label, collapsing two propagation hops into one round — the
+        # classic parallel-CC trick that turns diameter-many rounds
+        # into ~log(diameter). One extra join in the same job, paid
+        # back by halving the number of rounds (each of which costs
+        # fixed scheduling + checkpoint overhead).
+        parent = labels.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
         step = (
-            labels.join(neighbor_min, "doc_id", "left")
+            hooked.join(parent, hooked.label == parent.p_id, "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias(
-                    "label"
-                ),
-                (F.coalesce("nmin", "label") < F.col("label")).alias("moved"),
+                F.least(
+                    F.col("label"), F.coalesce("p_label", "label")
+                ).alias("label"),
+                (
+                    F.col("moved")
+                    | (F.coalesce("p_label", "label") < F.col("label"))
+                ).alias("moved"),
             )
             .localCheckpoint()
         )
