@@ -28,7 +28,12 @@ write per round.
 
 The DuckDB oracle expresses the same fixpoint as a recursive CTE
 (reachability + min over the reach set), so even this iterative
-operator is hash-checked, not just rows-counted.
+operator is hash-checked, not just rows-counted. Note the complexity
+asymmetry: the CTE materializes each node's full reach set
+(O(sum |component|^2) rows), fine at the sf0.01 gate but intractable
+on the 1M-edge sf0.1 graph — while the Spark side stays
+O(|E| * rounds). That gap is the point: label propagation IS the
+scalable formulation.
 """
 
 from __future__ import annotations
