@@ -200,6 +200,10 @@ def _ensure_loaded() -> None:
         "contamination", dedup.contamination_query, dedup.CONTAMINATION_ORACLE
     )
 
+    from .operators import curation
+
+    register("corpus_keep", curation.corpus_keep_query, curation.CORPUS_KEEP_ORACLE)
+
     from .operators import clustering
 
     register(
