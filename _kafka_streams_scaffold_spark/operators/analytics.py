@@ -756,3 +756,31 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
+
+
+def events_unpivot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): typed columns back to (user_id, event_type,
+    cnt) rows — the inverse of events_pivot, zero-filled cells
+    dropped. unpivot is a row-expansion projection (no shuffle beyond
+    the pivot's own aggregate)."""
+    wide = events_pivot_query(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "user_id", list(_PIVOT_TYPES), "event_type", "cnt"
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
+EVENTS_UNPIVOT_ORACLE = f"""
+WITH wide AS (
+  SELECT user_id,
+         {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in _PIVOT_TYPES)}
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, event_type, cnt
+FROM wide
+UNPIVOT (cnt FOR event_type IN ({", ".join(_PIVOT_TYPES)}))
+WHERE cnt > 0
+"""

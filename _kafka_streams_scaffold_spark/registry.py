@@ -123,6 +123,7 @@ def _ensure_loaded() -> None:
         an.ERROR_AND_SIGNUP_DAYS_ORACLE,
     )
     register("events_pivot", an.events_pivot_query, an.EVENTS_PIVOT_ORACLE)
+    register("events_unpivot", an.events_unpivot_query, an.EVENTS_UNPIVOT_ORACLE)
     register(
         "revenue_forecast", an.revenue_forecast_query, an.REVENUE_FORECAST_ORACLE
     )
