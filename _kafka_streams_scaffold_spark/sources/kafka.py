@@ -69,7 +69,11 @@ def read_batch(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
     (``FailProofInterceptor.java:88-110``)."""
     opts = cfg.options()
     opts.pop("failOnDataLoss", None)
-    opts.setdefault("startingOffsets", "earliest")
+    # "latest" (the streaming default) is meaningless for a bounded
+    # replay — latest..latest reads nothing — so batch maps it to a
+    # full-topic read; an explicit offset-range JSON passes through.
+    if opts.get("startingOffsets") == "latest":
+        opts["startingOffsets"] = "earliest"
     opts["endingOffsets"] = "latest"
     return spark.read.format("kafka").options(**opts).load()
 

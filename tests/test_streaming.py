@@ -417,3 +417,19 @@ def test_transform_with_state_matches_builtin(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_batch_replay_maps_latest_to_earliest():
+    """A bounded replay with the streaming default ("latest") would
+    read latest..latest = nothing; read_batch must widen it."""
+    cfg = ksrc.KafkaSourceConfig("b:9092", "t")  # default latest
+    opts = cfg.options()
+    opts.pop("failOnDataLoss", None)
+    if opts.get("startingOffsets") == "latest":
+        opts["startingOffsets"] = "earliest"
+    opts["endingOffsets"] = "latest"
+    assert opts["startingOffsets"] == "earliest"
+    explicit = ksrc.KafkaSourceConfig(
+        "b:9092", "t", starting_offsets='{"t":{"0":42}}'
+    ).options()
+    assert explicit["startingOffsets"] == '{"t":{"0":42}}'
