@@ -143,6 +143,27 @@ def _ensure_loaded() -> None:
         an.USER_EVENT_TYPE_SETS_ORACLE,
     )
 
+    from .operators import subqueries as sq
+
+    register(
+        "cust_order_counts", sq.cust_order_counts_query, sq.CUST_ORDER_COUNTS_ORACLE
+    )
+    register("promo_revenue", sq.promo_revenue_query, sq.PROMO_REVENUE_ORACLE)
+    register("top_value_parts", sq.top_value_parts_query, sq.TOP_VALUE_PARTS_ORACLE)
+    register(
+        "small_qty_revenue", sq.small_qty_revenue_query, sq.SMALL_QTY_REVENUE_ORACLE
+    )
+    register(
+        "brand_disjunction_revenue",
+        sq.brand_disjunction_revenue_query,
+        sq.BRAND_DISJUNCTION_REVENUE_ORACLE,
+    )
+    register(
+        "idle_rich_customers",
+        sq.idle_rich_customers_query,
+        sq.IDLE_RICH_CUSTOMERS_ORACLE,
+    )
+
     from .operators import sketches
 
     register(
