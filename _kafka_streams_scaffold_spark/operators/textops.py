@@ -349,3 +349,62 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS n_long_numbers
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# Document chunking (overlapping token windows for context-length prep)
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 50
+_CHUNK_STRIDE = 40
+
+
+def doc_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token windows (size 50,
+    stride 40 -> 10-token overlap) — the standard context-window prep
+    step before tokenizer/packing stages.
+
+    Entirely JVM-side: tokenize once, explode a `sequence` of window
+    starts, `slice` the shared token array per start. Rows fan out
+    ~n_tokens/stride per doc with no shuffle at all — the explode is
+    map-local, so the operation scales linearly and partitions stay
+    independent (a doc's chunks are computed where the doc lives)."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        docs.select("doc_id", tokens_expr().alias("toks"))
+        .filter(F.size("toks") > 0)
+        .withColumn(
+            "start",
+            F.explode(F.expr(f"sequence(0, size(toks) - 1, {_CHUNK_STRIDE})")),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"start div {_CHUNK_STRIDE}").alias("chunk_idx"),
+            F.size(F.expr(f"slice(toks, start + 1, {_CHUNK_SIZE})"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(
+                F.expr(f"slice(toks, start + 1, {_CHUNK_SIZE})"), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+DOC_CHUNKS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')
+               AS toks
+    FROM documents
+), s AS (
+    SELECT doc_id, toks,
+           unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS start
+    FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       start // {_CHUNK_STRIDE} AS chunk_idx,
+       len(list_slice(toks, start + 1, start + {_CHUNK_SIZE})) AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {_CHUNK_SIZE}), ' ')
+           AS chunk_text
+FROM s
+"""

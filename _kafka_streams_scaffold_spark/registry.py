@@ -195,6 +195,20 @@ def _ensure_loaded() -> None:
     register("lang_id", textops.lang_id_query, textops.LANG_ID_ORACLE)
     register("clean_text", textops.clean_text_query, textops.CLEAN_TEXT_ORACLE)
     register("pii_scan", textops.pii_scan_query, textops.PII_SCAN_ORACLE)
+    register("doc_chunks", textops.doc_chunks_query, textops.DOC_CHUNKS_ORACLE)
+
+    from .operators import rangejoin
+
+    register(
+        "prior_clicks_before_error",
+        rangejoin.prior_clicks_before_error_query,
+        rangejoin.PRIOR_CLICKS_BEFORE_ERROR_ORACLE,
+    )
+    register(
+        "error_window_counts",
+        rangejoin.error_window_counts_query,
+        rangejoin.ERROR_WINDOW_COUNTS_ORACLE,
+    )
 
     from .operators import sampling
 
