@@ -408,3 +408,94 @@ SELECT doc_id,
            AS chunk_text
 FROM s
 """
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (text-side similarity search)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "stream")
+
+# One formula string evaluated by BOTH engines (Spark's F.expr and the
+# DuckDB oracle share arithmetic syntax), so the float operation order
+# is literally identical and the scores hash-match bit-for-bit. Linear
+# idf (no log — transcendentals differ in the last ulp across engines,
+# same reason tf-idf above uses N/df); k1 = 1.2, b = 0.75.
+_BM25_TERM_EXPR = (
+    "(({n} - df_{t} + 0.5) / (df_{t} + 0.5))"
+    " * ((tf_{t} * 2.2) / (tf_{t} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))"
+)
+
+
+def _bm25_score_sql() -> str:
+    return " + ".join(
+        _BM25_TERM_EXPR.format(n="n_docs", t=t) for t in _BM25_TERMS
+    )
+
+
+def bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed conjunctive term query, scored with
+    BM25. The classic two-pass shape: pass 1 aggregates corpus stats
+    (N, avg doc length, per-term document frequencies) into ONE row;
+    pass 2 re-scans documents and scores each against the broadcast
+    stats row — so at 100 TB the only data movement is the top-k merge
+    (TakeOrderedAndProject: per-partition heap of 10, driver merge),
+    never a global sort. The fixed per-term sum keeps float addition
+    order identical across engines and partitionings."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    per_doc = docs.select("doc_id", tokens_expr().alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{t}'))").alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_bm25_score_sql()).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS
+    )
+    df_cols = ",\n           ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')
+               AS toks
+    FROM documents
+), d AS (
+    SELECT doc_id, len(toks) AS dl,
+           {tf_cols}
+    FROM t
+), s AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+           {df_cols}
+    FROM d
+)
+SELECT doc_id, {_bm25_score_sql()} AS bm25
+FROM d, s
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+BM25_SEARCH_ORACLE = _bm25_oracle()

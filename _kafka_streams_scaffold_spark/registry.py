@@ -196,6 +196,13 @@ def _ensure_loaded() -> None:
     register("clean_text", textops.clean_text_query, textops.CLEAN_TEXT_ORACLE)
     register("pii_scan", textops.pii_scan_query, textops.PII_SCAN_ORACLE)
     register("doc_chunks", textops.doc_chunks_query, textops.DOC_CHUNKS_ORACLE)
+    register("bm25_search", textops.bm25_search_query, textops.BM25_SEARCH_ORACLE)
+
+    from .operators import changelog
+
+    register(
+        "ktable_latest", changelog.ktable_latest_query, changelog.KTABLE_LATEST_ORACLE
+    )
 
     from .operators import rangejoin
 

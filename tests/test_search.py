@@ -1,0 +1,70 @@
+"""BM25 retrieval and changelog-compaction tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from _kafka_streams_scaffold_spark import plans
+from _kafka_streams_scaffold_spark.operators import changelog, textops
+
+
+def test_bm25_ranking_golden(spark, sf_dir, monkeypatch):
+    docs = spark.createDataFrame(
+        [
+            # doc 1: both query terms, short -> top
+            Row(doc_id=1, text="join vector join"),
+            # doc 2: one term, diluted by length
+            Row(doc_id=2, text="join " + "filler " * 30),
+            # doc 3: no query terms
+            Row(doc_id=3, text="nothing relevant here"),
+            # doc 4: rare term 'vector' only
+            Row(doc_id=4, text="vector things"),
+        ]
+    )
+    monkeypatch.setattr(textops.tables, "table", lambda *a: docs)
+    monkeypatch.setattr(textops.tables, "spread", lambda df, *a, **k: df)
+    rows = textops.bm25_search_query(spark, sf_dir).collect()
+    ranked = [r["doc_id"] for r in rows]
+    scores = {r["doc_id"]: r["bm25"] for r in rows}
+    assert ranked[0] == 1
+    # every scored doc present (k=10 > corpus), no-term doc scores 0
+    assert set(ranked) == {1, 2, 3, 4}
+    assert scores[3] == pytest.approx(0.0)
+    # doc with a matching term always outranks the no-term doc
+    assert scores[4] > scores[3]
+    assert scores[2] > scores[3]
+
+
+def test_bm25_plan_topk_no_global_sort(spark, sf_dir):
+    explained = plans.explain_str(textops.bm25_search_query(spark, sf_dir))
+    assert "TakeOrderedAndProject" in explained
+
+
+def _ev(eid, user, ts, typ, value):
+    return Row(
+        event_id=eid,
+        user_id=user,
+        ts=dt.datetime.fromisoformat(ts),
+        event_type=typ,
+        value=value,
+    )
+
+
+def test_ktable_latest_golden(spark, sf_dir, monkeypatch):
+    rows = [
+        _ev(1, 1, "2024-01-01T00:00:00", "signup", 1.0),
+        _ev(2, 1, "2024-01-02T00:00:00", "click", 2.0),
+        # same ts as event 4: higher event_id (Kafka-offset analog) wins
+        _ev(3, 2, "2024-01-01T00:00:00", "view", 3.0),
+        _ev(4, 2, "2024-01-01T00:00:00", "purchase", 4.0),
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(changelog.tables, "table", lambda *a: df)
+    got = {
+        r["user_id"]: (r["last_type"], r["last_value"])
+        for r in changelog.ktable_latest_query(spark, sf_dir).collect()
+    }
+    assert got == {1: ("click", 2.0), 2: ("purchase", 4.0)}
