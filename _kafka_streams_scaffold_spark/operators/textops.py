@@ -499,3 +499,69 @@ LIMIT 10
 
 
 BM25_SEARCH_ORACLE = _bm25_oracle()
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (chunks -> fixed token-budget training bins)
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+
+def chunk_packing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each chunk to a training-sequence bin under a 256-token
+    budget: contiguous fill in (doc_id, chunk_idx) order, new bin when
+    the running total would overflow the budget. bin = floor(exclusive
+    running token count / budget) — the deterministic, declarative
+    variant of greedy packing (bins can span a boundary chunk's worth
+    of slack, the usual trade for a single-pass rule).
+
+    Packing is per `source` shard: the running sum is a window over
+    (source), so each shard packs independently — at 100 TB the shard
+    key is whatever unit you want sequences not to cross (corpus,
+    date, tenant), and shards parallelize perfectly; there is no
+    global sequential state."""
+    from pyspark.sql import Window
+
+    chunks = doc_chunks_query(spark, sf_dir)
+    docs = tables.table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        chunks.join(docs, "doc_id")
+        .withColumn("running", F.sum("n_tokens").over(w))
+        .select(
+            "source",
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            F.expr(f"(running - n_tokens) div {_PACK_BUDGET}").alias("bin_id"),
+        )
+    )
+
+
+CHUNK_PACKING_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')
+               AS toks
+    FROM documents
+), s AS (
+    SELECT doc_id, toks,
+           unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS start
+    FROM t WHERE len(toks) > 0
+), c AS (
+    SELECT doc_id,
+           start // {_CHUNK_STRIDE} AS chunk_idx,
+           len(list_slice(toks, start + 1, start + {_CHUNK_SIZE})) AS n_tokens
+    FROM s
+)
+SELECT d.source, c.doc_id, c.chunk_idx, c.n_tokens,
+       (SUM(c.n_tokens) OVER (
+            PARTITION BY d.source ORDER BY c.doc_id, c.chunk_idx
+            ROWS UNBOUNDED PRECEDING) - c.n_tokens) // {_PACK_BUDGET} AS bin_id
+FROM c JOIN documents d ON c.doc_id = d.doc_id
+"""

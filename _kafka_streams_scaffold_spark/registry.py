@@ -197,6 +197,9 @@ def _ensure_loaded() -> None:
     register("pii_scan", textops.pii_scan_query, textops.PII_SCAN_ORACLE)
     register("doc_chunks", textops.doc_chunks_query, textops.DOC_CHUNKS_ORACLE)
     register("bm25_search", textops.bm25_search_query, textops.BM25_SEARCH_ORACLE)
+    register(
+        "chunk_packing", textops.chunk_packing_query, textops.CHUNK_PACKING_ORACLE
+    )
 
     from .operators import changelog
 

@@ -91,3 +91,28 @@ def test_doc_chunks_golden(spark, sf_dir, monkeypatch):
     # doc 2: a single short chunk; doc 3 absent
     assert by_doc[2][0]["n_tokens"] == 3
     assert 3 not in by_doc
+
+
+def test_chunk_packing_golden(spark, sf_dir, monkeypatch):
+    # 3 docs in one source shard; 95-token docs chunk to 50/45; budget
+    # 256 -> bins fill contiguously in (doc_id, chunk_idx) order
+    words = " ".join(f"w{i}" for i in range(95))
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=words, source="s0") for i in (1, 2, 3)]
+    )
+    monkeypatch.setattr(textops.tables, "table", lambda *a: docs)
+    monkeypatch.setattr(textops.tables, "spread", lambda df, *a, **k: df)
+    rows = textops.chunk_packing_query(spark, sf_dir).collect()
+    # chunks in order: sizes 50,50,15 per doc; exclusive cumsum div 256
+    sizes = [50, 50, 15] * 3
+    cum = 0
+    expect = []
+    for s in sizes:
+        expect.append(cum // 256)
+        cum += s
+    got = [
+        r["bin_id"]
+        for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    ]
+    assert got == expect
+    assert max(got) == 1  # 345 total tokens -> 2 bins
