@@ -136,3 +136,42 @@ def approx_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in _QS
     ]
     return ev.groupBy("event_type").agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# Histogram binning (width_bucket)
+# --------------------------------------------------------------------------
+
+
+# width_bucket(value, 0, 500, 20) spelled out; floor(double/25.0) is
+# correctly-rounded IEEE on both engines.
+_BUCKET_EXPR = (
+    "CASE WHEN value < 0.0 THEN 0 WHEN value >= 500.0 THEN 21 "
+    "ELSE CAST(floor(value / 25.0) AS BIGINT) + 1 END"
+)
+
+
+def value_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of event values per type: 20 equal bins
+    over [0, 500), out-of-range values landing in the SQL-standard
+    under/overflow bins (0 and 21). The bucket formula is ONE shared
+    SQL string evaluated by both engines (DuckDB has no width_bucket),
+    so boundary rounding is identical. One partial-aggregatable
+    groupBy — histogram construction at 100 TB is a single shuffle of
+    (type, bin) partial counts, nothing else."""
+    ev = tables.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.expr(_BUCKET_EXPR).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+VALUE_HISTOGRAM_ORACLE = f"""
+SELECT event_type,
+       {_BUCKET_EXPR} AS bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, {_BUCKET_EXPR}
+"""

@@ -181,6 +181,11 @@ def _ensure_loaded() -> None:
         sketches.VALUE_PERCENTILES_ORACLE,
     )
     register("top_events", sketches.top_events_query, sketches.TOP_EVENTS_ORACLE)
+    register(
+        "value_histogram",
+        sketches.value_histogram_query,
+        sketches.VALUE_HISTOGRAM_ORACLE,
+    )
 
     from .operators import dedup, similarity, textops
 

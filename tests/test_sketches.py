@@ -158,3 +158,23 @@ def test_tfidf_golden(spark, sf_dir, monkeypatch):
     # doc2: cherry tf=1 df=1 -> 2.0 rank1 beats banana 1.0 rank2
     assert got[(2, "cherry")] == (1, 1, 1)
     assert got[(2, "banana")] == (1, 2, 2)
+
+
+def test_value_histogram_boundaries(spark, sf_dir, monkeypatch):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(event_id=i, user_id=1, ts=dt.datetime(2024, 1, 1), event_type="x",
+            value=v, props="{}")
+        for i, v in enumerate([-1.0, 0.0, 24.99, 25.0, 499.99, 500.0, 750.0])
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(sketches.tables, "table", lambda *a: df)
+    got = {
+        r["bucket"]: r["n"]
+        for r in sketches.value_histogram_query(spark, sf_dir).collect()
+    }
+    # underflow 0; [0,25) -> 1; [25,50) -> 2; [475,500) -> 20; overflow 21
+    assert got == {0: 1, 1: 2, 2: 1, 20: 1, 21: 2}
