@@ -176,3 +176,24 @@ def clicks_with_recent_purchase(
         F.col("p.ts").alias("purchase_ts"),
         F.col("p.value").alias("purchase_value"),
     )
+
+
+def streaming_latest(events: DataFrame) -> DataFrame:
+    """Changelog/KTable view of a keyed stream: latest record per key
+    (the streaming twin of ``operators/changelog.ktable_latest_query``;
+    reference KTable semantics, `streams/PurchasesTopology.java:57`).
+
+    `max_by` over the total (ts, event_id) order is an algebraic
+    aggregate, so unlike a row_number window it partial-merges
+    map-side and runs in `update` output mode with per-key state of
+    exactly one record — the streaming state store literally IS the
+    KTable."""
+    order = F.struct("ts", "event_id")
+    return events.groupBy("user_id").agg(
+        F.max_by(F.struct("ts", "event_type", "value"), order).alias("latest")
+    ).select(
+        "user_id",
+        F.col("latest.ts").alias("last_ts"),
+        F.col("latest.event_type").alias("last_type"),
+        F.col("latest.value").alias("last_value"),
+    )

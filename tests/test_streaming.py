@@ -5,6 +5,7 @@ the custom stateful accumulator must match the built-in aggregate."""
 
 from __future__ import annotations
 
+import datetime as dt
 import json
 import os
 import time
@@ -433,3 +434,55 @@ def test_batch_replay_maps_latest_to_earliest():
         "b:9092", "t", starting_offsets='{"t":{"0":42}}'
     ).options()
     assert explicit["startingOffsets"] == '{"t":{"0":42}}'
+
+
+KEYED_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_streaming_ktable_latest_converges_to_batch(spark, tmp_path, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import changelog
+
+    rows1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "signup", "value": 1.0},
+        # same-ts pair: event_id (offset analog) must break the tie
+        {"event_id": 2, "ts": "2024-01-01T00:05:00", "user_id": 2,
+         "event_type": "view", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01T00:05:00", "user_id": 2,
+         "event_type": "purchase", "value": 3.0},
+    ]
+    rows2 = [  # later batch overwrites user 1
+        {"event_id": 4, "ts": "2024-01-02T00:00:00", "user_id": 1,
+         "event_type": "click", "value": 9.0},
+    ]
+    src = str(tmp_path / "src")
+    _write_json(src, "a.json", rows1)
+    _write_json(src, "b.json", rows2)
+
+    agg = pipeline.streaming_latest(_file_stream(spark, src, KEYED_SCHEMA))
+    store = serving.MemoryStore(["user_id"])
+    q = pipeline.run_update_into_store(agg, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    batch_in = spark.createDataFrame(
+        [Row(**{**r, "ts": dt.datetime.fromisoformat(r["ts"])})
+         for r in rows1 + rows2]
+    )
+    monkeypatch.setattr(changelog.tables, "table", lambda *a: batch_in)
+    batch = {
+        r["user_id"]: (r["last_type"], r["last_value"])
+        for r in changelog.ktable_latest_query(spark, "unused").collect()
+    }
+    converged = {
+        k[0]: (v["last_type"], v["last_value"])
+        for k, v in store.snapshot().items()
+    }
+    assert converged == batch == {1: ("click", 9.0), 2: ("purchase", 3.0)}
