@@ -31,22 +31,13 @@ from pyspark.sql import functions as F
 
 from .. import tables
 
-# Decimal shapes for TPC-H-ish money columns (all 2-decimal doubles in
-# the driver data): price fits decimal(12,2); discount/tax in [0,1).
-_PRICE = "decimal(12,2)"
-_RATE = "decimal(3,2)"
-
-
-def _dec(col: str, typ: str = _PRICE) -> F.Column:
-    return F.col(col).cast(typ)
-
-
-def _one_minus(col: str) -> F.Column:
-    return F.lit(1).cast(_RATE) - _dec(col, _RATE)
-
-
-def _one_plus(col: str) -> F.Column:
-    return F.lit(1).cast(_RATE) + _dec(col, _RATE)
+# Decimal-money helpers shared across relational modules (money.py);
+# aliased to the historical local names used throughout this file.
+from .money import PRICE as _PRICE  # noqa: E402
+from .money import RATE as _RATE  # noqa: E402
+from .money import dec as _dec  # noqa: E402
+from .money import one_minus as _one_minus  # noqa: E402
+from .money import one_plus as _one_plus  # noqa: E402
 
 
 # --------------------------------------------------------------------------

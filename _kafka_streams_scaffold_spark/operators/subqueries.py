@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import tables
-from .analytics import _dec, _one_minus
+from .money import dec as _dec
+from .money import one_minus as _one_minus
 
 # --------------------------------------------------------------------------
 # Q13 shape: customer order-count distribution (left outer join)
