@@ -360,7 +360,7 @@ per_session AS (
 )
 SELECT user_id, COUNT(*) AS n_sessions,
        MAX(session_events) AS max_session_events,
-       SUM(session_events) AS total_events
+       CAST(SUM(session_events) AS BIGINT) AS total_events
 FROM per_session GROUP BY user_id
 """
 

@@ -108,7 +108,7 @@ def json_props_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_PROPS_STATS_ORACLE = """
 SELECT event_type,
        count(k) AS n_with_k,
-       sum(k) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k,
        max(k) AS max_k
 FROM (

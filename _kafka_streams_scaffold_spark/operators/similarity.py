@@ -277,8 +277,8 @@ def label_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LABEL_CENTROIDS_ORACLE = f"""
 SELECT label, i AS pos,
-       SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP_SCALE}) AS BIGINT))
-           AS sum_fp,
+       CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP_SCALE}) AS BIGINT))
+           AS BIGINT) AS sum_fp,
        COUNT(*) AS n,
        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP_SCALE}) AS BIGINT))
             AS DOUBLE)

@@ -560,8 +560,9 @@ WITH t AS (
     FROM s
 )
 SELECT d.source, c.doc_id, c.chunk_idx, c.n_tokens,
-       (SUM(c.n_tokens) OVER (
+       CAST((SUM(c.n_tokens) OVER (
             PARTITION BY d.source ORDER BY c.doc_id, c.chunk_idx
-            ROWS UNBOUNDED PRECEDING) - c.n_tokens) // {_PACK_BUDGET} AS bin_id
+            ROWS UNBOUNDED PRECEDING) - c.n_tokens) // {_PACK_BUDGET}
+            AS BIGINT) AS bin_id
 FROM c JOIN documents d ON c.doc_id = d.doc_id
 """
