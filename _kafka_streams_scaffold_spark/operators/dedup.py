@@ -181,10 +181,41 @@ def _pair_jaccard(shingle_df: DataFrame, candidates: DataFrame | None) -> DataFr
 
 JACCARD_THRESHOLD = 0.8
 
+# Document-frequency cap on shingles entering the inverted-index
+# self-join. The join is sub-quadratic only while no shingle is hot:
+# a shingle appearing in df documents contributes df*(df-1)/2 pairs,
+# so one boilerplate 3-gram in a million docs is a 5e11-row fan-out.
+# Shingles that common carry no discriminative signal for near-dup
+# detection (every production pipeline drops them — e.g. the
+# "common substring" filters in Lee et al. '22 dedup); true dup
+# clusters are orders of magnitude smaller than the cap, so recall on
+# actual near-duplicates is unaffected. Per-key join fan-out is
+# bounded at CAP*(CAP-1)/2 regardless of corpus size. Docs whose
+# shingles are ALL hot drop out (pure-boilerplate docs — the exact
+# and minhash tiers still see them).
+SHINGLE_DF_CAP = 50
+
+
+def df_capped_shingles(shingle_df: DataFrame) -> DataFrame:
+    """Drop shingles whose document frequency exceeds SHINGLE_DF_CAP.
+
+    The hot-shingle set is tiny (heavy-hitters over a zipfian df
+    distribution), so the anti-join broadcasts; sizes and
+    intersections downstream are both computed on the capped set, so
+    the jaccard stays a true jaccard over the capped shingle
+    universe — identical on both engines."""
+    hot = (
+        shingle_df.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    return shingle_df.join(F.broadcast(hot), "shingle", "left_anti")
+
 
 def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.table(spark, sf_dir, "documents")
-    sh = _pin(shingles(docs))
+    sh = _pin(df_capped_shingles(shingles(docs)))
     return _pair_jaccard(sh, None).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
@@ -192,11 +223,18 @@ def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_ORACLE = f"""
 WITH {_DUCK_SHINGLE_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+capped AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s
+  JOIN (SELECT shingle FROM shingles
+        GROUP BY 1 HAVING count(*) <= {SHINGLE_DF_CAP}) keep
+    ON s.shingle = keep.shingle
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM shingles a
-  JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a
+  JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

@@ -37,6 +37,50 @@ def test_minhash_finds_planted_near_dup(spark, monkeypatch):
     assert all(p in {(0, 1)} for p in pairs)
 
 
+def test_shingle_df_cap_bounds_fanout_keeps_true_pairs(spark, monkeypatch):
+    """Hot boilerplate shingles (df > cap) are dropped before the
+    inverted-index self-join, bounding per-key fan-out at
+    CAP*(CAP-1)/2; true near-dup pairs (low-df shingles) survive."""
+    boiler = "subscribe to our newsletter for updates every single day"
+    n_boiler_docs = dedup.SHINGLE_DF_CAP + 10
+    texts = [f"{boiler} unique filler item number {i} goes right here"
+             for i in range(n_boiler_docs)]
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches quietly from the tall garden fence nearby")
+    texts.append(base)
+    texts.append(base.replace("nearby", "today"))
+    df = _docs(spark, texts)
+
+    sh = dedup.shingles(df)
+    max_df_raw = (
+        sh.groupBy("shingle").count().agg({"count": "max"}).collect()[0][0]
+    )
+    assert max_df_raw > dedup.SHINGLE_DF_CAP  # the hot shingle exists
+    capped = dedup.df_capped_shingles(sh)
+    max_df_capped = (
+        capped.groupBy("shingle").count().agg({"count": "max"}).collect()[0][0]
+    )
+    assert max_df_capped <= dedup.SHINGLE_DF_CAP
+
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: df)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs_query(spark, "_").collect()
+    }
+    assert (n_boiler_docs, n_boiler_docs + 1) in pairs
+    assert all(a >= n_boiler_docs for a, _ in pairs)  # no boilerplate pairs
+
+
+def test_shingle_df_cap_inert_on_testdata(spark, sf_dir):
+    """On the driver testdata no shingle is hot (max df 25 at sf0.1),
+    so capping changes nothing — pair results stay byte-identical to
+    the uncapped formulation the oracle history was built on."""
+    from _kafka_streams_scaffold_spark import tables
+
+    sh = dedup.shingles(tables.table(spark, sf_dir, "documents"))
+    assert dedup.df_capped_shingles(sh).count() == sh.count()
+
+
 def test_simhash_identical_texts_distance_zero(spark, monkeypatch):
     df = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta"])
     monkeypatch.setattr(dedup.tables, "table", lambda *a: df)
