@@ -27,33 +27,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from .. import tables
+from ..pinning import pin as _pin
 from .textops import fingerprint_expr
-
-
-def _pin(df: DataFrame) -> DataFrame:
-    """Persist a small derived table that feeds a self-join.
-
-    Without this, each side of the join re-runs the ENTIRE upstream
-    pipeline (scan -> tokenize -> explode -> aggregate): the physical
-    plan shows two FileScans and zero ReusedExchange, because the two
-    sides shuffle on different keys than the aggregation produced.
-    Signatures are ~32 ints/doc and shingle lists are a few hundred
-    bytes/doc — even at 100 TB corpus scale these derived tables are
-    orders of magnitude smaller than the input, and MEMORY_AND_DISK
-    spills rather than OOMs. (At true cluster scale you'd write them
-    to a parquet stage table; persist is the in-session equivalent.)
-
-    Materialized EAGERLY: when both consumers sit in one job, their
-    tasks race to fill the cache and each may recompute its partitions
-    (persist never blocks on an in-flight computation) — measured as
-    2-7s run-to-run variance on the LSH pipeline. One count() up front
-    makes every consumer a pure cache read."""
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    return df
 
 # --------------------------------------------------------------------------
 # Exact dedup

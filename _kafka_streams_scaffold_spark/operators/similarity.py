@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
+from ..functions.xhash import hash60_duck, hash60_spark
+from ..pinning import pin as _pin
 
 DIM = 64
 TOP_K = 5
@@ -128,52 +130,75 @@ WHERE rank <= {TOP_K}
 """
 
 
-def ivf_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vectors (cosine >= 0.3) within each label cell.
+IVF_TARGET_CELL = 100
+_SUB_SEED = 11
 
-    The self-join key is the cell id, so Spark shuffles each cell to
-    one partition and the quadratic work is per-cell only. At real
-    scale the cell id comes from a k-means/IVF assignment; skewed
-    (oversized) cells are split by AQE or a finer quantizer."""
+
+def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding rows tagged with their bounded IVF cell.
+
+    The blocking key is the *quantizer* assignment (``ivf_assign``),
+    not the raw ``label`` column: cell membership is nearest-centroid,
+    the thing that actually correlates with cosine proximity. Cells
+    that outgrow ``IVF_TARGET_CELL`` are split into
+    ``ceil(n / target)`` deterministic hash sub-cells (md5 of vec_id,
+    identical on both engines), so per-cell pair work is bounded at
+    ~target^2/2 regardless of corpus size — the standard recall/cost
+    trade every sharded ANN index makes. At real scale you'd *also*
+    grow k with the corpus (k ~ n / target); the hash split is the
+    backstop that keeps any one cell from going quadratic either way.
+    """
     emb = _emb(spark, sf_dir)
-    a = emb.select(
-        F.col("label"),
+    assign = ivf_assign_query(spark, sf_dir).select("vec_id", "assigned_label")
+    sizes = assign.groupBy("assigned_label").agg(
+        F.count(F.lit(1)).alias("cell_n")
+    )
+    sub_hash = hash60_spark("cast(vec_id as string)", _SUB_SEED)
+    return (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(sizes), "assigned_label")
+        .withColumn(
+            "n_sub",
+            F.expr(f"(cell_n + {IVF_TARGET_CELL - 1}) div {IVF_TARGET_CELL}"),
+        )
+        .withColumn("sub_id", F.expr(f"({sub_hash}) % n_sub"))
+    )
+
+
+def ivf_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors (cosine >= 0.3) within each quantizer
+    cell.
+
+    The self-join key is (assigned_label, sub_id), so Spark shuffles
+    each bounded cell to one partition and the quadratic work is
+    per-cell only. Join strategy is left to Catalyst: under the
+    broadcast threshold the b-side broadcasts; beyond it both sides
+    shuffle on the cell key and AQE splits any residual skew."""
+    # Pinned: the cells table (vec, norm, cell key) feeds both join
+    # sides; without it the centroid-train + assign subtree re-runs
+    # three times (sizes + each side).
+    cells = _pin(ivf_cells(spark, sf_dir))
+    a = cells.select(
+        F.col("assigned_label").alias("label"),
+        "sub_id",
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("va"),
         F.col("norm").alias("na"),
     )
-    b = emb.select(
-        F.col("label"),
+    b = cells.select(
+        F.col("assigned_label").alias("label"),
+        "sub_id",
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("vb"),
         F.col("norm").alias("nb"),
     )
     cosine = F.expr(_dot_sql("va", "vb", "spark")) / (F.col("na") * F.col("nb"))
-    # Join strategy is left to Catalyst: under the broadcast threshold the
-    # b-side broadcasts and the a-side's vec_id spread gives full-core
-    # parallelism; beyond it, both sides shuffle on the cell id and AQE
-    # splits oversized cells.
     return (
-        a.join(b, "label")
+        a.join(b, ["label", "sub_id"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("label", "vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
     )
-
-
-IVF_NEAR_DUP_ORACLE = f"""
-WITH normed AS (
-  SELECT vec_id, label, embedding, {_norm_sql('embedding', 'duck')} AS norm
-  FROM embeddings
-)
-SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.norm * b.norm)
-           AS cosine
-FROM normed a
-JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.norm * b.norm)
-      >= {NEAR_DUP_COSINE}
-"""
 
 
 # --------------------------------------------------------------------------
@@ -348,8 +373,11 @@ def _duck_centroid_dots() -> tuple[str, str]:
 
 _DUCK_VC, _DUCK_CC = _duck_centroid_dots()
 
-IVF_ASSIGN_ORACLE = f"""
-WITH cent_rows AS (
+# Shared CTE block: quantizer training + assignment, reused verbatim by
+# IVF_ASSIGN_ORACLE and IVF_NEAR_DUP_ORACLE so the cell definition the
+# near-dup oracle blocks on is exactly the assignment the driver
+# already hash-checks.
+_DUCK_ASSIGN_CTES = f"""cent_rows AS (
   SELECT label, i AS pos,
          CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP_SCALE}) AS BIGINT))
               AS DOUBLE)
@@ -367,11 +395,40 @@ scored AS (
          {_norm_sql('e.embedding', 'duck').replace('sqrt', '')} - 2 * {_DUCK_VC} + {_DUCK_CC}
              AS dist2
   FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, orig_label, c_label, dist2 FROM (
+    SELECT vec_id, orig_label, c_label, dist2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+    FROM scored
+  )
+  WHERE rn = 1
+)"""
+
+IVF_ASSIGN_ORACLE = f"""
+WITH {_DUCK_ASSIGN_CTES}
+SELECT vec_id, orig_label, c_label AS assigned_label, dist2 FROM assign
+"""
+
+IVF_NEAR_DUP_ORACLE = f"""
+WITH {_DUCK_ASSIGN_CTES},
+sizes AS (SELECT c_label, count(*) AS cell_n FROM assign GROUP BY 1),
+cells AS (
+  SELECT e.vec_id, e.embedding, a.c_label,
+         {hash60_duck('CAST(e.vec_id AS VARCHAR)', _SUB_SEED)}
+             % ((s.cell_n + {IVF_TARGET_CELL - 1}) // {IVF_TARGET_CELL})
+             AS sub_id,
+         {_norm_sql('e.embedding', 'duck')} AS norm
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN sizes s ON s.c_label = a.c_label
 )
-SELECT vec_id, orig_label, c_label AS assigned_label, dist2 FROM (
-  SELECT vec_id, orig_label, c_label, dist2,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
-  FROM scored
-)
-WHERE rn = 1
+SELECT a.c_label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.norm * b.norm)
+           AS cosine
+FROM cells a
+JOIN cells b ON a.c_label = b.c_label AND a.sub_id = b.sub_id
+            AND a.vec_id < b.vec_id
+WHERE {_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.norm * b.norm)
+      >= {NEAR_DUP_COSINE}
 """

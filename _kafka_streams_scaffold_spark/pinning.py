@@ -1,0 +1,48 @@
+"""Eager persist for derived tables that feed self-joins, with a
+session-lifetime leak guard.
+
+Without a persist, each side of a self-join re-runs the ENTIRE
+upstream pipeline (scan -> derive -> aggregate): the physical plan
+shows two FileScans and zero ReusedExchange, because the join sides
+shuffle on different keys than the derivation produced. Pinned tables
+(shingle lists, minhash signatures, IVF cells) are orders of magnitude
+smaller than their inputs, and MEMORY_AND_DISK spills rather than
+OOMs. (At true cluster scale you'd write them to a parquet stage
+table; persist is the in-session equivalent.)
+
+Materialized EAGERLY: when both consumers sit in one job, their tasks
+race to fill the cache and each may recompute its partitions (persist
+never blocks on an in-flight computation) — measured as 2-7s
+run-to-run variance on the LSH pipeline. One count() up front makes
+every consumer a pure cache read.
+
+Every pin is tracked; harnesses that loop over many queries in one
+session (bench.py, tools/check_oracle.py, the driver) call
+``unpersist_all()`` between queries so cached tables don't accumulate
+for the session lifetime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    _PINNED.append(df)
+    return df
+
+
+def unpersist_all() -> int:
+    """Release every pinned table; returns how many were released.
+    Safe to call at any time — consumers that already materialized
+    their results are unaffected, and an in-flight consumer would
+    simply recompute."""
+    n = len(_PINNED)
+    while _PINNED:
+        _PINNED.pop().unpersist()
+    return n

@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from _kafka_streams_scaffold_spark import session  # noqa: E402
+from _kafka_streams_scaffold_spark import pinning, session  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 
@@ -51,6 +51,9 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Pinned intermediates (LSH signatures, IVF cells) are scoped
+        # to one query; release so 72 queries don't accumulate caches.
+        pinning.unpersist_all()
     total = round(time.time() - t_all, 3)
 
     print(

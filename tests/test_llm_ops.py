@@ -120,6 +120,39 @@ def test_lsh_ann_is_subset_of_bucket_and_ranked(spark, sf_dir):
         assert ranks == list(range(1, len(rs) + 1))
 
 
+def test_ivf_cells_bounded_under_growth(spark, sf_dir, monkeypatch):
+    """Replicating the corpus 30x (distinct vec_ids, same 10 labels)
+    must NOT grow any one cell 30x: the quantizer assignment is hash
+    sub-split into ceil(n/target) cells, so the near-dup self-join's
+    per-key fan-out stays ~target^2/2 at any corpus size."""
+    from pyspark.sql import functions as F
+
+    from _kafka_streams_scaffold_spark import tables
+
+    base = tables.table(spark, sf_dir, "embeddings")
+    n_base = base.count()
+    big = base
+    for i in range(1, 30):
+        big = big.union(
+            base.select(
+                (F.col("vec_id") + i * n_base).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    monkeypatch.setattr(similarity.tables, "table", lambda *a: big)
+    cells = similarity.ivf_cells(spark, "_")
+    sizes = [
+        r["count"]
+        for r in cells.groupBy("assigned_label", "sub_id").count().collect()
+    ]
+    assert sum(sizes) == 30 * n_base
+    # Hash split targets IVF_TARGET_CELL per cell; 2x slack covers
+    # hash imbalance. Without the split the biggest label cell would
+    # hold ~30*n/10 = 3*n vectors.
+    assert max(sizes) <= 2 * similarity.IVF_TARGET_CELL
+
+
 def test_quality_score_golden(spark, monkeypatch):
     df = _docs(spark, ["the cat sat"])
     monkeypatch.setattr(textops.tables, "table", lambda *a: df)

@@ -37,7 +37,7 @@ def _rowset(cols, rows):
 def main() -> int:
     import duckdb
 
-    from _kafka_streams_scaffold_spark import session, tables
+    from _kafka_streams_scaffold_spark import pinning, session, tables
     import __spark_entry__ as e
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -64,6 +64,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {ex}")
             failures += 1
             continue
+        finally:
+            pinning.unpersist_all()
         if name not in oracles:
             print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
