@@ -1,0 +1,178 @@
+"""Interactive-query HTTP tier: the reference's only user-facing query
+surface, re-expressed over the Spark serving stores.
+
+Reference routes (Javalin):
+
+- ``GET /wordcount/{key}``  -> ``{"fox":1}``
+  (``WordCountService.java:40``, handler ``:88-108``; exact body
+  asserted at ``WordCountServiceTests.java:70-87``)
+- ``GET /purchases/{key}``  -> ``{"42-00007":{"count":2,"total":9}}``
+  (``PurchasesService.java:47``, range ``key+"-00000"``..``key+"-99999"``
+  at ``:113``, map-merge ``:117-120``)
+- ``GET /metadata`` and ``GET /metadata/{store}`` -> host -> stores map
+  (``MetadataService.java:31-34``, ``:48-60``)
+
+What does NOT carry over, by design (ARCHITECTURE.md): key->instance
+routing and scatter-gather (``WordCountService.java:110-112``,
+``PurchasesService.java:58-94``). Spark is one logical engine over all
+partitions, so every key is local and the metadata map has exactly one
+host entry; the reference's HTTP-redirect and provenance-header loop
+guard have nothing to route.
+
+Transport is stdlib ``http.server`` (threaded): the tier is a thin
+JSON shim over ``MemoryStore`` / ``ParquetChangelogStore``; anything
+heavier would imply the server does query work, which it must not —
+reads are dict lookups / pre-compacted parquet reads.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable
+
+PAD = 5  # zero-padding of the product half of the compound key
+
+
+class SparkStoreAdapter:
+    """Gives ``ParquetChangelogStore`` the session-free ``get`` /
+    ``range_scan`` surface the HTTP handlers expect (the store's own
+    methods take the SparkSession per call)."""
+
+    def __init__(self, store, spark):
+        self._store = store
+        self._spark = spark
+
+    def get(self, *key):
+        return self._store.get(self._spark, *key)
+
+    def range_scan(self, lo, hi, key_col=None):
+        return self._store.range_scan(self._spark, lo, hi, key_col)
+
+
+def _compact(obj) -> bytes:
+    # Javalin/Jackson emit compact JSON ({"fox":1}); match byte-for-byte.
+    return json.dumps(obj, separators=(",", ":")).encode()
+
+
+class InteractiveQueryServer:
+    """One instance serves every bound store (the reference binds all
+    services onto one Javalin server per app instance)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._host = host
+        self._port = port
+        self._point: dict[str, Callable[[str], dict]] = {}
+        self._range: dict[str, Callable[[str], dict]] = {}
+        self._stores: list[str] = []
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- bindings ----------------------------------------------------------
+
+    def bind_point(
+        self,
+        path: str,
+        store,
+        key_col: str,
+        value_col: str,
+        store_name: str | None = None,
+    ) -> None:
+        """``GET /{path}/{key}`` -> ``{key: value}`` (Q1). Missing key
+        serves ``{key: null}``, mirroring the reference's
+        ``Collections.singletonMap(key, value)`` with a null value
+        (``WordCountService.java:96-107``)."""
+
+        def handler(key: str) -> dict:
+            row = store.get(key)
+            return {key: None if row is None else row[value_col]}
+
+        self._point[path] = handler
+        self._stores.append(store_name or path)
+
+    def bind_range(
+        self,
+        path: str,
+        store,
+        key_col: str,
+        fields: dict[str, str],
+        store_name: str | None = None,
+    ) -> None:
+        """``GET /{path}/{key}`` -> map of compound key -> value object
+        (Q2): scans ``key-00000``..``key-99999`` like
+        ``PurchasesService.range`` and merges into one JSON object.
+        ``fields`` maps JSON field name -> store column, so the wire
+        shape can keep the reference's POJO names (``CountAndTotal``:
+        ``count``/``total``) over differently-named columns."""
+
+        def handler(key: str) -> dict:
+            rows = store.range_scan(
+                f"{key}-{'0' * PAD}", f"{key}-{'9' * PAD}", key_col
+            )
+            return {
+                str(r[key_col]): {j: r[c] for j, c in fields.items()}
+                for r in rows
+            }
+
+        self._range[path] = handler
+        self._stores.append(store_name or path)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> int:
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def do_GET(self):
+                parts = [p for p in self.path.split("/") if p]
+                try:
+                    body = outer._route(parts)
+                except KeyError:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                payload = _compact(body)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+        self._httpd = ThreadingHTTPServer((self._host, self._port), Handler)
+        self._port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self._port
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    @property
+    def address(self) -> str:
+        return f"{self._host}:{self._port}"
+
+    # -- routing -----------------------------------------------------------
+
+    def _route(self, parts: list[str]):
+        if parts and parts[0] == "metadata":
+            # Q5: one logical host owning every store (vs the
+            # reference's host -> stores map over N instances).
+            if len(parts) == 1:
+                return {self.address: sorted(self._stores)}
+            if parts[1] in self._stores:
+                return {self.address: [parts[1]]}
+            raise KeyError(parts[1])
+        if len(parts) == 2 and parts[0] in self._point:
+            return self._point[parts[0]](parts[1])
+        if len(parts) == 2 and parts[0] in self._range:
+            return self._range[parts[0]](parts[1])
+        raise KeyError("/".join(parts))

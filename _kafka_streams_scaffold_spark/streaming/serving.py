@@ -46,13 +46,30 @@ class MemoryStore:
 
     def get(self, *key) -> dict | None:
         """Point lookup — Q1 (``WordCountService.java:88-108``)."""
-        return self._data.get(tuple(key))
+        with self._lock:
+            return self._data.get(tuple(key))
 
     def range_prefix(self, prefix: str, key_col: str | None = None) -> list[dict]:
         """Prefix range scan — Q2 (``PurchasesService.java:100-123``)."""
         kc = key_col or self.key_cols[0]
+        with self._lock:
+            rows = list(self._data.values())
         return sorted(
-            (r for r in self._data.values() if str(r[kc]).startswith(prefix)),
+            (r for r in rows if str(r[kc]).startswith(prefix)),
+            key=lambda r: str(r[kc]),
+        )
+
+    def range_scan(
+        self, lo: str, hi: str, key_col: str | None = None
+    ) -> list[dict]:
+        """Inclusive key-range scan — the exact contract of
+        ``store.range(key + "-00000", key + "-99999")`` at
+        ``PurchasesService.java:113``."""
+        kc = key_col or self.key_cols[0]
+        with self._lock:
+            rows = list(self._data.values())
+        return sorted(
+            (r for r in rows if lo <= str(r[kc]) <= hi),
             key=lambda r: str(r[kc]),
         )
 
@@ -93,6 +110,17 @@ class ParquetChangelogStore:
             df = df.filter(F.col(col) == val)
         rows = df.collect()
         return rows[0].asDict() if rows else None
+
+    def range_scan(
+        self, spark: SparkSession, lo: str, hi: str, key_col: str | None = None
+    ) -> list[dict]:
+        """Inclusive key-range read (Q2) — the predicate pushes into
+        the parquet scan; only the matching key range is read."""
+        kc = key_col or self.key_cols[0]
+        df = self.read(spark).filter((F.col(kc) >= lo) & (F.col(kc) <= hi))
+        return sorted(
+            (r.asDict() for r in df.collect()), key=lambda r: str(r[kc])
+        )
 
 
 def foreach_batch_upsert(store) -> callable:

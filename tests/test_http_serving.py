@@ -1,0 +1,147 @@
+"""Interactive-query HTTP tier tests, mirroring the reference's
+service tests: exact wordcount JSON bodies
+(``WordCountServiceTests.java:70-87``), purchases range-scan merge
+(``PurchasesServiceTests.java:59-88``), and metadata routes
+(``MetadataServiceTests.java:59-105``)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import Row
+
+from _kafka_streams_scaffold_spark.operators import purchases, wordcount
+from _kafka_streams_scaffold_spark.streaming.http_serving import (
+    InteractiveQueryServer,
+    SparkStoreAdapter,
+)
+from _kafka_streams_scaffold_spark.streaming.serving import (
+    MemoryStore,
+    ParquetChangelogStore,
+)
+
+WORDCOUNT_STORE = "demo-wordcount-store"
+PURCHASES_STORE = "demo-purchases-aggregate-store"
+
+
+def _get(port: int, path: str) -> tuple[int, str]:
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, ""
+
+
+@pytest.fixture()
+def server():
+    srv = InteractiveQueryServer()
+    yield srv
+    srv.stop()
+
+
+def test_wordcount_point_exact_reference_bodies(spark, server):
+    """Byte-for-byte parity with WordCountServiceTests.recordByKeyOverAPI:
+    one sentence -> {"fox":1}; three sentences -> {"fox":3}."""
+    store = MemoryStore(["word"])
+    server.bind_point(
+        "wordcount", store, "word", "cnt", store_name=WORDCOUNT_STORE
+    )
+    port = server.start()
+
+    sentence = "the quick brown fox jumps over the lazy dog"
+
+    def produce(lines):
+        df = spark.createDataFrame([Row(text=t) for t in lines])
+        store.upsert_batch(wordcount.wordcount(df), batch_id=len(lines))
+
+    produce([sentence])
+    assert _get(port, "/wordcount/fox") == (200, '{"fox":1}')
+
+    produce([sentence] * 3)
+    assert _get(port, "/wordcount/fox") == (200, '{"fox":3}')
+
+    # Missing key: singletonMap(key, null), reference handler shape.
+    assert _get(port, "/wordcount/zebra") == (200, '{"zebra":null}')
+
+
+def test_purchases_range_scan_merge(spark, server):
+    """GET /purchases/{customer} returns every product row for that
+    customer merged into one JSON object keyed by compound key, with
+    the reference's CountAndTotal field names."""
+    ev = spark.createDataFrame(
+        [
+            Row(user_id="00042", event_type="00007", value=4.0),
+            Row(user_id="00042", event_type="00007", value=5.0),
+            Row(user_id="00042", event_type="00013", value=2.0),
+            Row(user_id="00099", event_type="00007", value=8.0),
+        ]
+    )
+    agg = purchases.aggregate_count_and_total(
+        purchases.select_compound_key(ev)
+    )
+    store = MemoryStore(["key"])
+    store.upsert_batch(agg, batch_id=0)
+    server.bind_range(
+        "purchases",
+        store,
+        "key",
+        {"count": "cnt", "total": "total"},
+        store_name=PURCHASES_STORE,
+    )
+    port = server.start()
+
+    status, body = _get(port, "/purchases/00042")
+    assert status == 200
+    assert json.loads(body) == {
+        "00042-00007": {"count": 2, "total": 9.0},
+        "00042-00013": {"count": 1, "total": 2.0},
+    }
+    # Other customer's rows never leak into the range.
+    status, body = _get(port, "/purchases/00099")
+    assert json.loads(body) == {"00099-00007": {"count": 1, "total": 8.0}}
+    assert json.loads(_get(port, "/purchases/00001")[1]) == {}
+
+
+def test_metadata_routes(spark, server):
+    store = MemoryStore(["word"])
+    server.bind_point(
+        "wordcount", store, "word", "cnt", store_name=WORDCOUNT_STORE
+    )
+    port = server.start()
+
+    status, body = _get(port, "/metadata")
+    assert status == 200
+    meta = json.loads(body)
+    # One logical host owning every store (Q3/Q4 are obsolete by design).
+    assert list(meta.keys()) == [f"127.0.0.1:{port}"]
+    assert meta[f"127.0.0.1:{port}"] == [WORDCOUNT_STORE]
+
+    status, body = _get(port, f"/metadata/{WORDCOUNT_STORE}")
+    assert status == 200
+    assert json.loads(body) == {f"127.0.0.1:{port}": [WORDCOUNT_STORE]}
+
+    assert _get(port, "/metadata/nope")[0] == 404
+    assert _get(port, "/unknown/route")[0] == 404
+
+
+def test_parquet_changelog_store_behind_http(spark, server, tmp_path):
+    """The scale-grade store serves through the same HTTP surface via
+    the adapter; latest batch wins per key."""
+    store = ParquetChangelogStore(str(tmp_path / "wc"), ["word"])
+    df1 = spark.createDataFrame([Row(word="fox", cnt=1)])
+    df2 = spark.createDataFrame([Row(word="fox", cnt=3)])
+    store.upsert_batch(df1, batch_id=0)
+    store.upsert_batch(df2, batch_id=1)
+
+    server.bind_point(
+        "wordcount",
+        SparkStoreAdapter(store, spark),
+        "word",
+        "cnt",
+        store_name=WORDCOUNT_STORE,
+    )
+    port = server.start()
+    assert _get(port, "/wordcount/fox") == (200, '{"fox":3}')
