@@ -134,6 +134,43 @@ def test_audit_listener_emits_offset_envelopes(spark, tmp_path):
     assert env["record"]["sources"][0]["endOffset"] is not None
 
 
+def test_audit_replay_reconstructs_last_offsets(spark, tmp_path):
+    """R3 replay-on-startup parity (FailProofInterceptor.java:88-110):
+    a fresh listener pointed at the audit trail rebuilds the exact
+    last-offsets map the terminated listener held."""
+    jsonl = str(tmp_path / "audit.jsonl")
+    listener = audit.AuditListener("replay-app", jsonl_path=jsonl)
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "src")
+        _write_json(src, "a.json", [{"text": "a b"}])
+        _write_json(src, "b.json", [{"text": "b c"}])
+        agg = pipeline.streaming_wordcount(_file_stream(spark, src, LINES))
+        store = serving.MemoryStore(["word"])
+        q = pipeline.run_update_into_store(agg, store, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        deadline = time.time() + 30
+        while len(listener.envelopes) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert len(listener.envelopes) >= 2  # maxFilesPerTrigger=1 -> >=2 batches
+    assert listener.last_offsets  # live-tracked map
+
+    # "Restart": a new listener replays the JSONL trail at init.
+    restarted = audit.AuditListener("replay-app-2", jsonl_path=jsonl)
+    assert restarted.last_offsets == listener.last_offsets
+    # The replayed end offset is the FINAL batch's, not an earlier one.
+    (final_env,) = listener.envelopes[-1:]
+    for s in final_env["record"]["sources"]:
+        key = ("replay-app", s["description"])
+        assert restarted.last_offsets[key]["endOffset"] == s["endOffset"]
+        assert (
+            restarted.last_offsets[key]["batchId"]
+            == final_env["record"]["batchId"]
+        )
+
+
 def test_stateful_count_and_total_matches_builtin(spark, tmp_path):
     evs = [
         {"key": "k1", "value": 2.0},
