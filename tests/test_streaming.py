@@ -134,6 +134,86 @@ def test_audit_listener_emits_offset_envelopes(spark, tmp_path):
     assert env["record"]["sources"][0]["endOffset"] is not None
 
 
+KAFKA_WIRE = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+    ]
+)
+
+
+def test_streaming_wordcount_through_kafka_codec_path(spark, tmp_path):
+    """Everything but the broker transport: a file stream carrying the
+    Kafka source's exact wire schema (binary key/value + metadata
+    columns) drives decode_kv -> streaming_wordcount -> foreachBatch
+    store upsert, and the converged store equals the batch wordcount
+    computed through the same codec. encode_kv round-trips the output
+    the way the sink would serialize it."""
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    lines = ["the quick brown fox", "the lazy dog", "the quick fox again"]
+    records = [
+        Row(
+            key=b"test",
+            value=line.encode(),
+            topic="demo-plaintext-input",
+            partition=i % 3,
+            offset=i,
+            timestamp=ts,
+        )
+        for i, line in enumerate(lines)
+    ]
+    src = str(tmp_path / "wire")
+    # Two files -> two micro-batches under maxFilesPerTrigger=1.
+    spark.createDataFrame(records[:2], KAFKA_WIRE).write.parquet(src)
+    spark.createDataFrame(records[2:], KAFKA_WIRE).write.mode("append").parquet(src)
+
+    wire_stream = (
+        spark.readStream.schema(KAFKA_WIRE)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    decoded = ksrc.decode_kv(wire_stream)
+    # Metadata survives decode as ordinary columns (P6/R2 posture).
+    assert set(ksrc.METADATA_COLS) <= set(decoded.columns)
+
+    agg = pipeline.streaming_wordcount(decoded, text_col="value")
+    store = serving.MemoryStore(["word"])
+    q = pipeline.run_update_into_store(agg, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    batch_decoded = ksrc.decode_kv(spark.read.parquet(src))
+    batch = {
+        r["word"]: r["cnt"]
+        for r in wordcount.wordcount(batch_decoded, text_col="value").collect()
+    }
+    converged = {k[0]: v["cnt"] for k, v in store.snapshot().items()}
+    assert converged == batch
+    assert converged["the"] == 3
+    # Batch side of the same codec keeps per-record provenance.
+    meta = {
+        (r["topic"], r["partition"], r["offset"])
+        for r in batch_decoded.collect()
+    }
+    assert meta == {("demo-plaintext-input", i % 3, i) for i in range(3)}
+
+    # Sink-side serde: word/cnt rows -> (key, JSON value), GsonSerde
+    # analog. {"fox": 2} on the wire as {"cnt":2} keyed by the word.
+    encoded = ksrc.encode_kv(
+        spark.createDataFrame(
+            [Row(word=w, cnt=c) for w, c in converged.items()]
+        ),
+        key_col="word",
+        value_cols=["cnt"],
+    ).collect()
+    wire = {r["key"]: json.loads(r["value"]) for r in encoded}
+    assert wire["the"] == {"cnt": 3}
+    assert set(wire) == set(batch)
+
+
 def test_audit_replay_reconstructs_last_offsets(spark, tmp_path):
     """R3 replay-on-startup parity (FailProofInterceptor.java:88-110):
     a fresh listener pointed at the audit trail rebuilds the exact
