@@ -70,6 +70,42 @@ def approx_distinct_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Documented driver-visible tolerance: 5x the configured rsd. HLL++ at
+# rsd=0.02 stays within 3 sigma in practice; 5x leaves headroom so the
+# oracle row is deterministic at every sf while still asserting the
+# sketch is sane. The tight per-sigma check lives in
+# tests/test_sketches.py.
+APPROX_DISTINCT_TOL = 5 * APPROX_RSD
+
+
+def approx_distinct_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL++ estimate with its error bound asserted IN the result:
+    emits the exact distinct count plus a within_bound boolean the
+    DuckDB oracle expects to be universally true. This makes the
+    sketch's accuracy contract part of the driver's hash-checked
+    surface instead of a pytest-only property (the raw estimates are
+    engine-specific and cannot be value-compared directly)."""
+    ev = tables.table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=APPROX_RSD)
+    return ev.groupBy("event_type").agg(
+        exact.alias("n_exact"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.lit(APPROX_DISTINCT_TOL) * exact.cast("double")
+        ).alias("within_bound"),
+    )
+
+
+APPROX_DISTINCT_CHECK_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Exact interpolated quantiles of event value per type
 # --------------------------------------------------------------------------
@@ -136,6 +172,47 @@ def approx_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in _QS
     ]
     return ev.groupBy("event_type").agg(*aggs)
+
+
+# Driver-visible rank tolerance: the sketch guarantees ~1/1000 rank
+# error; the check accepts the approx value anywhere between the exact
+# quantiles at q +/- 0.01 (10x headroom), so the boolean is
+# deterministically true at every sf.
+APPROX_PCT_RANK_SLACK = 0.01
+
+
+def approx_percentiles_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched quantiles with the rank-error bound asserted IN the
+    result: emits the exact quantiles (hash-comparable) plus one
+    ap{q}_ok boolean per quantile stating the sketch landed between
+    the exact quantiles at q +/- APPROX_PCT_RANK_SLACK."""
+    ev = tables.table(spark, sf_dir, "events")
+    aggs = []
+    for q in _QS:
+        ap = F.expr(f"approx_percentile(value, {q}, {APPROX_PCT_ERR})")
+        lo = F.expr(
+            f"percentile(value, {max(q - APPROX_PCT_RANK_SLACK, 0.0)})"
+        )
+        hi = F.expr(
+            f"percentile(value, {min(q + APPROX_PCT_RANK_SLACK, 1.0)})"
+        )
+        aggs.append(F.expr(f"percentile(value, {q})").alias(f"p{int(q * 100)}"))
+        aggs.append(
+            ((ap >= lo) & (ap <= hi)).alias(f"ap{int(q * 100)}_ok")
+        )
+    return ev.groupBy("event_type").agg(*aggs)
+
+
+APPROX_PCT_CHECK_ORACLE = f"""
+SELECT event_type,
+       {", ".join(
+           f"quantile_cont(value, {q}) AS p{int(q * 100)}, "
+           f"TRUE AS ap{int(q * 100)}_ok"
+           for q in _QS
+       )}
+FROM events
+GROUP BY event_type
+"""
 
 
 # --------------------------------------------------------------------------

@@ -171,10 +171,21 @@ def _ensure_loaded() -> None:
         sketches.distinct_users_daily_query,
         sketches.DISTINCT_USERS_DAILY_ORACLE,
     )
-    # HLL++ estimates are engine-specific: rows-only check here, the
-    # rsd-bound accuracy assertion lives in tests/test_sketches.py.
-    register("approx_distinct_users", sketches.approx_distinct_users_query, None)
-    register("approx_percentiles", sketches.approx_percentiles_query, None)
+    # Sketch estimates are engine-specific, so the registered form
+    # asserts the error bound IN the result (exact values + universally
+    # true within-bound booleans the oracle hash-checks); the tight
+    # per-sigma accuracy assertions live in tests/test_sketches.py
+    # against the raw-estimate variants.
+    register(
+        "approx_distinct_users",
+        sketches.approx_distinct_check_query,
+        sketches.APPROX_DISTINCT_CHECK_ORACLE,
+    )
+    register(
+        "approx_percentiles",
+        sketches.approx_percentiles_check_query,
+        sketches.APPROX_PCT_CHECK_ORACLE,
+    )
     register(
         "value_percentiles",
         sketches.value_percentiles_query,
