@@ -14,9 +14,9 @@ used in Manku et al. WWW'07 for web dedup):
            jaccard. Scales to corpora where the shingle join is too
            hot: signatures are 32 ints/doc regardless of doc size.
 - simhash: 32-bit weighted-token signature; near-dup pairs block on
-           8-bit bands (a pair within hamming distance d <= 4 shares
-           at least one of 4 bands by pigeonhole), verified by exact
-           hamming distance.
+           5 bands (pigeonhole-complete: a pair within hamming
+           distance d <= 4 shares at least one untouched band),
+           verified by exact hamming distance.
 
 Every hash is md5-derived (functions/xhash.py) so the DuckDB oracle
 reproduces signatures bit-for-bit — the whole LSH pipeline is
@@ -368,7 +368,27 @@ WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
 
 SIMHASH_BITS = 32
 HAMMING_THRESHOLD = 4
-SIMHASH_BANDS = 4  # 8 bits each; pigeonhole-complete for distance <= 4 - 1... see note
+# 5 bands (widths 7,7,6,6,6): a pair within hamming distance d shares
+# at least one untouched band whenever d < bands, so banding is
+# pigeonhole-COMPLETE for the d <= 4 contract (4 differing bits can
+# touch at most 4 of the 5 bands). 4x8 banding only guaranteed d <= 3
+# and silently missed distance-4 pairs with one bit per band.
+SIMHASH_BANDS = 5
+
+
+def _simhash_band_bounds() -> list[tuple[int, int]]:
+    """(bit offset, width) per band, splitting SIMHASH_BITS as evenly
+    as possible."""
+    base, extra = divmod(SIMHASH_BITS, SIMHASH_BANDS)
+    bounds, off = [], 0
+    for i in range(SIMHASH_BANDS):
+        w = base + (1 if i < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
+_SIMHASH_BOUNDS = _simhash_band_bounds()
 
 
 def _bit_pm(side: str, b: int, digest: str = "h") -> str:
@@ -440,10 +460,10 @@ FROM bit_sums
 
 
 def simhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 8-bit bands (any pair with
-    hamming distance <= 3 must agree on at least one of the 4 bands;
-    we verify candidates with the exact distance and keep <= HAMMING_THRESHOLD,
-    accepting the standard pigeonhole boundary at exactly 4)."""
+    """Near-dup pairs by SimHash: block on 5 bands (pigeonhole-complete
+    for the d <= HAMMING_THRESHOLD = 4 contract — see SIMHASH_BANDS),
+    then verify candidates with the exact hamming distance. Recall is
+    1.0 within the threshold; banding only bounds the candidate set."""
     sigs = _pin(simhash_query(spark, sf_dir))
     bands = sigs.select(
         "doc_id",
@@ -453,9 +473,11 @@ def simhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.expr(f"shiftright(simhash, {8 * i}) & 255").alias("bv"),
+                        F.expr(
+                            f"shiftright(simhash, {off}) & {(1 << w) - 1}"
+                        ).alias("bv"),
                     )
-                    for i in range(SIMHASH_BANDS)
+                    for i, (off, w) in enumerate(_SIMHASH_BOUNDS)
                 ]
             )
         ).alias("bs"),
@@ -503,7 +525,7 @@ sigs AS (
   FROM bit_sums
 ),
 bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, simhash, {i} AS band, (simhash >> {8 * i}) & 255 AS bv FROM sigs" for i in range(SIMHASH_BANDS))}
+  {" UNION ALL ".join(f"SELECT doc_id, simhash, {i} AS band, (simhash >> {off}) & {(1 << w) - 1} AS bv FROM sigs" for i, (off, w) in enumerate(_SIMHASH_BOUNDS))}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming

@@ -42,8 +42,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects; read it as raw nanos and rebuild a micro-precision
         # timestamp (integer `div` — the values are micro-grained, so the
         # truncation is lossless; float division would corrupt >2^53 nanos).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # The legacy flag is consulted at read() time (the relation captures
+        # the schema then), so it is saved/restored around the call instead
+        # of leaking into session state for every later parquet read.
+        flag = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(flag, "false")
+        spark.conf.set(flag, "true")
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        finally:
+            spark.conf.set(flag, prev)
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -57,12 +65,23 @@ def spread(df: DataFrame, key: str | None = None) -> DataFrame:
     explode pipeline would run single-core (measured 4x wall-clock on
     tokenization at sf0.1). Conditional on the actual scan layout: on a
     cluster-scale table the scan already has >= defaultParallelism
-    splits and this is a no-op, so the shuffle it introduces exists
-    precisely when the data is small enough for it to be cheap.
+    input files and this is a no-op, so the shuffle it introduces
+    exists precisely when the data is small enough for it to be cheap.
+
+    The layout probe is ``inputFiles()`` (file count ~ split floor for
+    single-row-group files), NOT ``df.rdd.getNumPartitions()``: the
+    RDD conversion materializes a second physical plan per call and
+    throws on streaming DataFrames. Streaming frames pass through
+    untouched — their parallelism comes from the source.
     """
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    if df.isStreaming:
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # derived frames with no file provenance
+        n_files = 0
+    if n_files >= n:
         return df
     return df.repartition(n, F.col(key)) if key else df.repartition(n)
 

@@ -120,6 +120,29 @@ def test_lsh_ann_is_subset_of_bucket_and_ranked(spark, sf_dir):
         assert ranks == list(range(1, len(rs) + 1))
 
 
+def test_simhash_banding_complete_at_threshold():
+    """Exhaustive pigeonhole proof: for EVERY choice of
+    HAMMING_THRESHOLD differing bit positions, the two signatures
+    still agree on at least one full band — so banded candidate
+    generation has recall 1.0 within the threshold (the old 4x8
+    banding missed distance-4 pairs with one bit per band)."""
+    from itertools import combinations
+
+    bounds = dedup._simhash_band_bounds()
+    assert sum(w for _, w in bounds) == dedup.SIMHASH_BITS
+    assert len(bounds) == dedup.SIMHASH_BANDS > dedup.HAMMING_THRESHOLD
+
+    def bands(x):
+        return [(x >> off) & ((1 << w) - 1) for off, w in bounds]
+
+    base = bands(0)
+    for flipped in combinations(range(dedup.SIMHASH_BITS), dedup.HAMMING_THRESHOLD):
+        other = 0
+        for bit in flipped:
+            other |= 1 << bit
+        assert any(u == v for u, v in zip(base, bands(other)))
+
+
 def test_ivf_cells_bounded_under_growth(spark, sf_dir, monkeypatch):
     """Replicating the corpus 30x (distinct vec_ids, same 10 labels)
     must NOT grow any one cell 30x: the quantizer assignment is hash
