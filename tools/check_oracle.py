@@ -64,8 +64,6 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {ex}")
             failures += 1
             continue
-        finally:
-            pinning.unpersist_all()
         if name not in oracles:
             print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
@@ -96,6 +94,7 @@ def main() -> int:
             failures += 1
         else:
             print(f"OK    {name}: {len(spark_rows)} rows [{time.time()-t0:.1f}s]")
+    pinning.unpersist_all()
     print(f"\n{failures} failure(s)")
     return 1 if failures else 0
 
