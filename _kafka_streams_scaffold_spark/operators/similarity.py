@@ -313,19 +313,10 @@ GROUP BY label, i
 """
 
 
-def ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign every vector to its nearest label centroid (squared
-    euclidean), completing the IVF loop: label_centroids is the
-    quantizer-update step, this is the assignment step, ivf_near_dup
-    is the query step over the resulting cells.
-
-    The centroid table is tiny (|cells| x dim) and is broadcast as
-    packed arrays; distance uses the same fold dot products as the
-    rest of this module, so the argmin — including ties, broken by
-    label — is bit-identical to the oracle. dist^2 = |v|^2 - 2 v.c
-    + |c|^2 needs only dot products of things both engines hold."""
-    emb = tables.spread(tables.table(spark, sf_dir, "embeddings"), "vec_id")
-    cents = (
+def _packed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroids re-packed from (label, pos, centroid) rows into
+    (c_label, cvec array) — the broadcastable quantizer table."""
+    return (
         label_centroids_query(spark, sf_dir)
         .groupBy("label")
         .agg(
@@ -338,6 +329,18 @@ def ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(pc, s -> s.centroid)").alias("cvec"),
         )
     )
+
+
+def _vec_cell_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, orig_label, c_label, dist2) for EVERY vector x cell —
+    the Spark twin of the oracle's ``scored`` CTE. The centroid table
+    is tiny (|cells| x dim) and broadcasts; distance uses the same
+    fold dot products as the rest of this module, so orderings —
+    including ties, broken by label — are bit-identical to the oracle.
+    dist^2 = |v|^2 - 2 v.c + |c|^2 needs only dot products of things
+    both engines hold."""
+    emb = tables.spread(tables.table(spark, sf_dir, "embeddings"), "vec_id")
+    cents = _packed_centroids(spark, sf_dir)
     dot_vc = (
         "aggregate(zip_with(embedding, cvec, (x, y) -> "
         "cast(x as double) * y), cast(0 as double), (acc, t) -> acc + t)"
@@ -348,15 +351,23 @@ def ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot_vv = _dot_sql("embedding", "embedding", "spark")
     dist2 = F.expr(dot_vv) - 2 * F.expr(dot_vc) + F.expr(dot_cc)
-    scored = emb.crossJoin(F.broadcast(cents)).select(
+    return emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         F.col("label").alias("orig_label"),
         "c_label",
         dist2.alias("dist2"),
     )
+
+
+def ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector to its nearest label centroid (squared
+    euclidean): label_centroids is the quantizer-update step, this is
+    the assignment step, ivf_near_dup and ivf_ann are the query steps
+    over the resulting cells."""
     w = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        _vec_cell_scores(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "orig_label", F.col("c_label").alias("assigned_label"), "dist2")
     )
@@ -431,4 +442,98 @@ JOIN cells b ON a.c_label = b.c_label AND a.sub_id = b.sub_id
             AND a.vec_id < b.vec_id
 WHERE {_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.norm * b.norm)
       >= {NEAR_DUP_COSINE}
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF ANN search (cell-probed top-k — the scale path for queries)
+# --------------------------------------------------------------------------
+
+N_PROBE = 3
+
+
+def ivf_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k search: rank the quantizer cells per query, probe the
+    N_PROBE nearest, and run exact cosine only against vectors
+    assigned to the probed cells — the standard IVF recall/cost dial
+    (nprobe/|cells| of the corpus scanned per query instead of all of
+    it). Unlike SRP-LSH this is fully deterministic — cell ranking and
+    tie-breaks reuse the assignment's bit-exact distance — so the
+    whole search is oracle-checked, not rows-only.
+
+    Scale: the probe table is |queries| x N_PROBE rows; the candidate
+    join keys on the cell id, so each query's work co-locates with the
+    (bounded) cells it probes. ann_topk stays the recall-1.0 reference;
+    recall here is measured against it in tests."""
+    emb = _emb(spark, sf_dir)
+    scores = _vec_cell_scores(spark, sf_dir)
+    w_cell = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    probes = (
+        scores.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("pr", F.row_number().over(w_cell))
+        .filter(F.col("pr") <= N_PROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("c_label").alias("cell"))
+    )
+    assign = ivf_assign_query(spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("cell")
+    )
+    corpus = emb.join(assign, "vec_id").select(
+        F.col("vec_id").alias("n_id"),
+        "cell",
+        F.col("embedding").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
+        F.col("q_norm") * F.col("n_norm")
+    )
+    cand = (
+        probes.join(corpus, "cell")
+        .join(F.broadcast(queries), "q_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+IVF_ANN_ORACLE = f"""
+WITH {_DUCK_ASSIGN_CTES},
+probes AS (
+  SELECT q_id, c_label FROM (
+    SELECT vec_id AS q_id, c_label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label)
+               AS pr
+    FROM scored WHERE vec_id < {N_QUERIES}
+  )
+  WHERE pr <= {N_PROBE}
+),
+normed AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+cand AS (
+  SELECT p.q_id, n.vec_id AS n_id,
+         {_dot_sql('q.embedding', 'n.embedding', 'duck')} / (q.norm * n.norm)
+             AS cosine
+  FROM probes p
+  JOIN assign a ON a.c_label = p.c_label
+  JOIN normed n ON n.vec_id = a.vec_id
+  JOIN normed q ON q.vec_id = p.q_id
+  WHERE n.vec_id <> p.q_id
+)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+             AS rank
+  FROM cand
+)
+WHERE rank <= {TOP_K}
 """

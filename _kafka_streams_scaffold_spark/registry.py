@@ -286,6 +286,9 @@ def _ensure_loaded() -> None:
         similarity.LABEL_CENTROIDS_ORACLE,
     )
     register("ivf_assign", similarity.ivf_assign_query, similarity.IVF_ASSIGN_ORACLE)
+    # Deterministic cell-probed top-k (nprobe dial): unlike lsh_ann the
+    # whole search is oracle-checked; ann_topk is its recall reference.
+    register("ivf_ann", similarity.ivf_ann_query, similarity.IVF_ANN_ORACLE)
 
     from .operators import multimodal, skew
 
