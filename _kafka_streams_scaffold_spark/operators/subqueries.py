@@ -331,3 +331,193 @@ WHERE c_acctbal > (
       )
 GROUP BY c_mktsegment
 """
+
+
+# --------------------------------------------------------------------------
+# Q21 shape: EXISTS + NOT EXISTS over the same fact (latest strict shipper)
+# --------------------------------------------------------------------------
+
+
+def latest_shipper_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier: in how many multi-supplier orders was it the
+    STRICT latest shipper (its last ship date later than every other
+    supplier's in that order)?
+
+    Q21's double correlation — EXISTS (another supplier in the order)
+    AND NOT EXISTS (another supplier shipping later) — decorrelates to
+    one per-(order, supplier) aggregate plus two window functions over
+    the order: supplier count, and the max of OTHER suppliers' last
+    ship dates via the max-vs-second-max trick (no self-join, no
+    correlated re-scan). One shuffle on the order key; ties on the
+    order-wide max produce no winner, keeping strictness exact on both
+    engines."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    supp = tables.table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    w = Window.partitionBy("l_orderkey")
+    ranked = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "last_ship",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.max("last_ship").over(w).alias("mx"),
+        # Second-highest last_ship in the order: drops exactly one copy
+        # of the max, so a supplier AT the max compares against the
+        # best of the others.
+        # try_: single-supplier orders have a 1-element array (ANSI
+        # element_at would throw); they're dropped by n_supp > 1.
+        F.try_element_at(
+            F.array_sort(F.collect_list("last_ship").over(w)), F.lit(-2)
+        ).alias("mx2"),
+    )
+    winners = ranked.filter(
+        (F.col("n_supp") > 1)
+        & (F.col("last_ship") == F.col("mx"))
+        & (F.col("last_ship") > F.col("mx2"))
+    )
+    return (
+        winners.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            winners.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+LATEST_SHIPPER_COUNTS_ORACLE = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM per_os a
+JOIN supplier s ON s.s_suppkey = a.l_suppkey
+WHERE EXISTS (
+        SELECT 1 FROM per_os b
+        WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM per_os c
+        WHERE c.l_orderkey = a.l_orderkey AND c.l_suppkey <> a.l_suppkey
+          AND c.last_ship >= a.last_ship
+      )
+GROUP BY s.s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15 shape: aggregate view + scalar max (top revenue supplier)
+# --------------------------------------------------------------------------
+
+
+def top_revenue_supplier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose 1997-H1 revenue equals the global maximum.
+
+    The Q15 view is the per-supplier revenue aggregate; the scalar
+    subquery is a one-row broadcast joined back over it. Revenue stays
+    DECIMAL through the equality comparison (exact on both engines —
+    no float-equality hazard) and becomes DOUBLE only in the output."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    supp = tables.table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * _one_minus("l_discount")).alias(
+                "rev"
+            )
+        )
+    )
+    mx = rev.agg(F.max("rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev") == F.col("mx"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_name",
+            F.col("rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+TOP_REVENUE_SUPPLIER_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_name, CAST(r.rev AS DOUBLE) AS total_revenue
+FROM revenue r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rev = (SELECT MAX(rev) FROM revenue)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: correlated quantity threshold (bulk part suppliers)
+# --------------------------------------------------------------------------
+
+
+def bulk_part_suppliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers who shipped MORE THAN A FIFTH of some part's
+    total shipped quantity.
+
+    Q20's correlated scalar (per-part total) decorrelates into a
+    per-(part, supplier) aggregate equi-joined to the per-part
+    aggregate — both partial-aggregatable, one shuffle each on the
+    part key, and the comparison stays in exact integer/decimal
+    arithmetic (5*qty(s,p) > qty(p)) so no division enters the plan."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    supp = tables.table(spark, sf_dir, "supplier")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("sq")
+    )
+    per_p = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("pq")
+    )
+    bulk = (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.col("sq") * 5 > F.col("pq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        bulk.join(
+            F.broadcast(supp.select("s_suppkey", "s_name", "s_nationkey")),
+            bulk.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_name", "s_nationkey")
+    )
+
+
+BULK_PART_SUPPLIERS_ORACLE = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+  FROM lineitem GROUP BY 1, 2
+),
+per_p AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS pq
+  FROM lineitem GROUP BY 1
+)
+SELECT DISTINCT s.s_name, s.s_nationkey
+FROM per_ps a
+JOIN per_p p ON p.l_partkey = a.l_partkey
+JOIN supplier s ON s.s_suppkey = a.l_suppkey
+WHERE a.sq * 5 > p.pq
+"""

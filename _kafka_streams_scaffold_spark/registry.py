@@ -163,6 +163,21 @@ def _ensure_loaded() -> None:
         sq.idle_rich_customers_query,
         sq.IDLE_RICH_CUSTOMERS_ORACLE,
     )
+    register(
+        "latest_shipper_counts",
+        sq.latest_shipper_counts_query,
+        sq.LATEST_SHIPPER_COUNTS_ORACLE,
+    )
+    register(
+        "top_revenue_supplier",
+        sq.top_revenue_supplier_query,
+        sq.TOP_REVENUE_SUPPLIER_ORACLE,
+    )
+    register(
+        "bulk_part_suppliers",
+        sq.bulk_part_suppliers_query,
+        sq.BULK_PART_SUPPLIERS_ORACLE,
+    )
 
     from .operators import sketches
 

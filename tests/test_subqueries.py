@@ -173,3 +173,57 @@ def test_small_qty_revenue_plan(spark, sf_dir):
     # the qualifying keys are broadcast into the lineitem pass
     assert any("p_brand" in f for f in plans.pushed_filters(df))
     assert plans.has_broadcast_join(df)
+
+
+def test_latest_shipper_strictness_golden(spark, monkeypatch):
+    """Q21-shape tie semantics: a supplier wins an order only when its
+    last ship date is STRICTLY later than every other supplier's;
+    order-wide ties produce no winner, single-supplier orders never
+    qualify."""
+    li = spark.createDataFrame(
+        [
+            # order 1: supplier 1 strictly latest -> wins
+            Row(l_orderkey=1, l_suppkey=1, l_shipdate=_ts("1997-03-02")),
+            Row(l_orderkey=1, l_suppkey=2, l_shipdate=_ts("1997-03-01")),
+            # order 2: tie at the max -> nobody wins
+            Row(l_orderkey=2, l_suppkey=1, l_shipdate=_ts("1997-05-05")),
+            Row(l_orderkey=2, l_suppkey=2, l_shipdate=_ts("1997-05-05")),
+            # order 3: single supplier -> no EXISTS, never qualifies
+            Row(l_orderkey=3, l_suppkey=3, l_shipdate=_ts("1997-07-07")),
+            # order 4: supplier 3 latest across two of its own lines
+            Row(l_orderkey=4, l_suppkey=3, l_shipdate=_ts("1997-01-01")),
+            Row(l_orderkey=4, l_suppkey=3, l_shipdate=_ts("1997-02-01")),
+            Row(l_orderkey=4, l_suppkey=1, l_shipdate=_ts("1997-01-15")),
+        ]
+    )
+    supp = spark.createDataFrame(
+        [Row(s_suppkey=i, s_name=f"s{i}") for i in (1, 2, 3)]
+    )
+    _patch_tables(monkeypatch, {"lineitem": li, "supplier": supp})
+    got = {
+        r["s_name"]: r["numwait"]
+        for r in subqueries.latest_shipper_counts_query(spark, "_").collect()
+    }
+    assert got == {"s1": 1, "s3": 1}
+
+
+def test_bulk_part_suppliers_threshold_golden(spark, monkeypatch):
+    li = spark.createDataFrame(
+        [
+            # part 1: supplier 1 ships 30/100 (> 1/5), supplier 2 ships 70
+            Row(l_partkey=1, l_suppkey=1, l_quantity=30.0),
+            Row(l_partkey=1, l_suppkey=2, l_quantity=70.0),
+            # part 2: supplier 3 ships exactly 1/5 -> NOT bulk (strict >)
+            Row(l_partkey=2, l_suppkey=3, l_quantity=20.0),
+            Row(l_partkey=2, l_suppkey=1, l_quantity=80.0),
+        ]
+    )
+    supp = spark.createDataFrame(
+        [Row(s_suppkey=i, s_name=f"s{i}", s_nationkey=i) for i in (1, 2, 3)]
+    )
+    _patch_tables(monkeypatch, {"lineitem": li, "supplier": supp})
+    got = {
+        r["s_name"]
+        for r in subqueries.bulk_part_suppliers_query(spark, "_").collect()
+    }
+    assert got == {"s1", "s2"}
