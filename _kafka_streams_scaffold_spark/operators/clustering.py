@@ -133,3 +133,49 @@ SELECT doc_id, min(reach) AS cluster_id
 FROM walk
 GROUP BY doc_id
 """
+
+
+def embedding_dup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-space twin of dedup_clusters: canonical clusters
+    over the IVF near-dup pair graph (cosine >= tau within bounded
+    quantizer cells). Same min-label propagation engine; only the edge
+    generator differs — which is the point of factoring
+    connected_components over (nodes, edges)."""
+    from .similarity import ivf_near_dup_query
+
+    vecs = tables.table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    edges = ivf_near_dup_query(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    return connected_components(vecs, edges).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+def _embedding_clusters_oracle() -> str:
+    from .similarity import DUCK_NEAR_DUP_CTES, DUCK_NEAR_DUP_SELECT
+
+    return f"""
+WITH RECURSIVE {DUCK_NEAR_DUP_CTES},
+pairs AS (
+  {DUCK_NEAR_DUP_SELECT}
+),
+uedges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+walk(vec_id, reach) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT w.vec_id, e.dst FROM walk w JOIN uedges e ON w.reach = e.src
+)
+SELECT vec_id, min(reach) AS cluster_id
+FROM walk
+GROUP BY vec_id
+"""
+
+
+EMBEDDING_DUP_CLUSTERS_ORACLE = _embedding_clusters_oracle()

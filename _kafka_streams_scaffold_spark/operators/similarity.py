@@ -421,8 +421,10 @@ WITH {_DUCK_ASSIGN_CTES}
 SELECT vec_id, orig_label, c_label AS assigned_label, dist2 FROM assign
 """
 
-IVF_NEAR_DUP_ORACLE = f"""
-WITH {_DUCK_ASSIGN_CTES},
+# Near-dup CTE chain and final select exposed separately so the
+# embedding-cluster oracle can inline the pair derivation inside a
+# recursive CTE (DuckDB has no cross-statement CTE reuse).
+DUCK_NEAR_DUP_CTES = f"""{_DUCK_ASSIGN_CTES},
 sizes AS (SELECT c_label, count(*) AS cell_n FROM assign GROUP BY 1),
 cells AS (
   SELECT e.vec_id, e.embedding, a.c_label,
@@ -433,15 +435,20 @@ cells AS (
   FROM embeddings e
   JOIN assign a ON a.vec_id = e.vec_id
   JOIN sizes s ON s.c_label = a.c_label
-)
-SELECT a.c_label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+)"""
+
+DUCK_NEAR_DUP_SELECT = f"""SELECT a.c_label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.norm * b.norm)
            AS cosine
 FROM cells a
 JOIN cells b ON a.c_label = b.c_label AND a.sub_id = b.sub_id
             AND a.vec_id < b.vec_id
 WHERE {_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.norm * b.norm)
-      >= {NEAR_DUP_COSINE}
+      >= {NEAR_DUP_COSINE}"""
+
+IVF_NEAR_DUP_ORACLE = f"""
+WITH {DUCK_NEAR_DUP_CTES}
+{DUCK_NEAR_DUP_SELECT}
 """
 
 

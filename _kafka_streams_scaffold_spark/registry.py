@@ -288,6 +288,11 @@ def _ensure_loaded() -> None:
         clustering.dedup_clusters_query,
         clustering.DEDUP_CLUSTERS_ORACLE,
     )
+    register(
+        "embedding_dup_clusters",
+        clustering.embedding_dup_clusters_query,
+        clustering.EMBEDDING_DUP_CLUSTERS_ORACLE,
+    )
 
     register("ann_topk", similarity.ann_topk_query, similarity.ANN_TOPK_ORACLE)
     register(

@@ -204,6 +204,28 @@ def test_ivf_ann_recall_and_probe_dial(spark, sf_dir, monkeypatch):
     assert all_cells == exact
 
 
+def test_embedding_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every IVF near-dup edge's endpoints land in the same cluster,
+    and each cluster is labeled by its minimum member id."""
+    from _kafka_streams_scaffold_spark.operators import clustering
+
+    pairs = similarity.ivf_near_dup_query(spark, sf_dir).collect()
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in clustering.embedding_dup_clusters_query(
+            spark, sf_dir
+        ).collect()
+    }
+    assert pairs  # non-vacuous
+    for p in pairs:
+        assert clusters[p["vec_a"]] == clusters[p["vec_b"]]
+    assert all(cid <= vid for vid, cid in clusters.items())
+    members: dict[int, list[int]] = {}
+    for vid, cid in clusters.items():
+        members.setdefault(cid, []).append(vid)
+    assert all(min(v) == cid for cid, v in members.items())
+
+
 def test_quality_score_golden(spark, monkeypatch):
     df = _docs(spark, ["the cat sat"])
     monkeypatch.setattr(textops.tables, "table", lambda *a: df)
