@@ -122,6 +122,40 @@ class ParquetChangelogStore:
             (r.asDict() for r in df.collect()), key=lambda r: str(r[kc])
         )
 
+    def compact(self, spark: SparkSession) -> int:
+        """Log compaction (the job Kafka runs on changelog topics):
+        rewrite the store to its latest-wins snapshot so reads stop
+        paying the full history. The snapshot is stamped with the max
+        batch id seen, so upserts appended AFTER a compaction still
+        win on read (their batch ids are larger) and the next
+        compaction folds them in. Returns the number of live keys.
+
+        Write is staged (write snapshot to a side directory, then
+        swap) so a concurrent reader never sees a half-written store;
+        at cluster scale the same job is a partition-wise rewrite or a
+        Delta/Iceberg MERGE."""
+        import os
+        import shutil
+        import tempfile
+
+        df = spark.read.parquet(self.path)
+        max_batch = df.agg(F.max("_batch_id")).collect()[0][0]
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.col("_batch_id").desc()
+        )
+        snapshot = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("_batch_id", F.lit(max_batch))
+        )
+        staged = tempfile.mkdtemp(prefix="changelog-compact-")
+        snapshot.write.mode("overwrite").parquet(staged)
+        n = spark.read.parquet(staged).count()
+        shutil.rmtree(self.path)
+        os.rename(staged, self.path)
+        return n
+
 
 def foreach_batch_upsert(store) -> callable:
     def _fn(batch_df: DataFrame, batch_id: int) -> None:

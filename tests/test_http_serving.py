@@ -127,6 +127,39 @@ def test_metadata_routes(spark, server):
     assert _get(port, "/unknown/route")[0] == 404
 
 
+def test_parquet_changelog_compaction(spark, tmp_path):
+    """Compaction folds history to the latest-wins snapshot, reads are
+    unchanged before/after, and later upserts still win."""
+    import glob
+
+    store = ParquetChangelogStore(str(tmp_path / "wc"), ["word"])
+    for b in range(5):
+        store.upsert_batch(
+            spark.createDataFrame(
+                [Row(word="fox", cnt=b + 1), Row(word="dog", cnt=10 + b)]
+            ),
+            batch_id=b,
+        )
+    before = {r["word"]: r["cnt"] for r in store.read(spark).collect()}
+    n_files_before = len(glob.glob(f"{store.path}/*.parquet"))
+
+    assert store.compact(spark) == 2
+    after = {r["word"]: r["cnt"] for r in store.read(spark).collect()}
+    assert after == before == {"fox": 5, "dog": 14}
+    # History physically gone: one snapshot write vs 5 appends.
+    assert len(glob.glob(f"{store.path}/*.parquet")) < n_files_before
+    # Raw rows: exactly one per key.
+    assert spark.read.parquet(store.path).count() == 2
+
+    # Upserts after compaction still win on read (larger batch ids).
+    store.upsert_batch(
+        spark.createDataFrame([Row(word="fox", cnt=99)]), batch_id=7
+    )
+    assert store.get(spark, "fox")["cnt"] == 99
+    assert store.compact(spark) == 2
+    assert store.get(spark, "fox")["cnt"] == 99
+
+
 def test_parquet_changelog_store_behind_http(spark, server, tmp_path):
     """The scale-grade store serves through the same HTTP surface via
     the adapter; latest batch wins per key."""
