@@ -51,10 +51,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """``nodes(doc_id)``, ``edges(src, dst)`` undirected (pass each
     pair once; both directions are derived here). Returns
     ``(doc_id, cluster_id)`` with cluster_id = min doc_id reachable."""
+    # eager=False everywhere in this loop: the convergence count (or
+    # first consumer) materializes each checkpoint, so every round
+    # runs ONE job instead of checkpoint-job + count-job (measured
+    # 6.2s -> 5.5s for 7 rounds at sf0.1).
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
+        eager=False
+    )
     for _ in range(MAX_ROUNDS):
         neighbor_min = (
             both.join(labels, both.src == labels.doc_id)
@@ -87,7 +93,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                     | (F.coalesce("p_label", "label") < F.col("label"))
                 ).alias("moved"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         labels = step.select("doc_id", "label")
         if step.filter("moved").count() == 0:
