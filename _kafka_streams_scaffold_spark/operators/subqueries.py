@@ -419,12 +419,17 @@ def top_revenue_supplier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers whose 1997-H1 revenue equals the global maximum.
 
     The Q15 view is the per-supplier revenue aggregate; the scalar
-    subquery is a one-row broadcast joined back over it. Revenue stays
-    DECIMAL through the equality comparison (exact on both engines —
-    no float-equality hazard) and becomes DOUBLE only in the output."""
+    subquery is a one-row broadcast joined back over it. The view is
+    pinned so lineitem is scanned ONCE (the max consumer and the
+    filter consumer otherwise each re-run the whole aggregate).
+    Revenue stays DECIMAL through the equality comparison (exact on
+    both engines — no float-equality hazard) and becomes DOUBLE only
+    in the output."""
+    from ..pinning import pin as _pin
+
     li = tables.table(spark, sf_dir, "lineitem")
     supp = tables.table(spark, sf_dir, "supplier")
-    rev = (
+    rev = _pin(
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
