@@ -73,3 +73,68 @@ def test_connected_components_matches_union_find(spark, pairs):
             parent[max(ra, rb)] = min(ra, rb)
     model = {n: find(n) for n in node_ids}
     assert got == model
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1_000_000), st.booleans()),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_failsafe_partitions_input_exactly(spark, rows):
+    """For ANY failure pattern, (good, quarantined) is an exact
+    partition of the input: nothing lost, nothing duplicated, errors
+    exactly on the rows whose function call raised."""
+    from pyspark.sql import types as T
+
+    from _kafka_streams_scaffold_spark.functions import resilience
+
+    @resilience.failsafe(T.LongType())
+    def maybe_boom(x, bad):
+        if bad:
+            raise ValueError(f"boom {x}")
+        return x * 2
+
+    df = spark.createDataFrame(
+        [Row(x=x, bad=b) for x, b in rows], "x long, bad boolean"
+    )
+    good, quarantined = resilience.apply_failsafe(
+        df, "y", maybe_boom, "x", "bad"
+    )
+    good_rows = {r["x"]: r["y"] for r in good.collect()}
+    bad_rows = {r["x"] for r in quarantined.collect()}
+    expect_bad = {x for x, b in rows if b}
+    assert bad_rows == expect_bad
+    assert good_rows == {x: 2 * x for x, b in rows if not b}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_TEXT, min_size=1, max_size=10))
+def test_df_capped_shingles_is_filtered_subset(spark, texts):
+    """Capping never invents rows and never keeps a hot shingle: the
+    capped set is exactly the original minus shingles whose document
+    frequency exceeds the cap (model computed in Python)."""
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    orig = [(r["doc_id"], r["shingle"]) for r in dedup.shingles(df).collect()]
+    capped = {
+        (r["doc_id"], r["shingle"])
+        for r in dedup.df_capped_shingles(dedup.shingles(df)).collect()
+    }
+    df_count = Counter(s for _, s in orig)
+    expect = {
+        (d, s) for d, s in orig if df_count[s] <= dedup.SHINGLE_DF_CAP
+    }
+    assert capped == expect
