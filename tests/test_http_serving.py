@@ -127,6 +127,76 @@ def test_metadata_routes(spark, server):
     assert _get(port, "/unknown/route")[0] == 404
 
 
+def test_wordcount_service_end_to_end(spark, server, tmp_path):
+    """The whole WordCount application, reference-shaped: Kafka wire
+    schema -> decode_kv -> streaming wordcount -> foreachBatch store
+    upsert -> HTTP point reads with the reference's exact bodies
+    (WordCountServiceTests.recordByKeyOverAPI, minus only the broker
+    transport)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from _kafka_streams_scaffold_spark.sources import kafka as ksrc
+    from _kafka_streams_scaffold_spark.streaming import pipeline
+
+    wire_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ]
+    )
+    sentence = "the quick brown fox jumps over the lazy dog"
+    src = str(tmp_path / "wire")
+
+    def produce(offset: int):
+        spark.createDataFrame(
+            [
+                Row(
+                    key=b"test",
+                    value=sentence.encode(),
+                    topic="demo-plaintext-input",
+                    partition=0,
+                    offset=offset,
+                    timestamp=dt.datetime(2024, 1, 1),
+                )
+            ],
+            wire_schema,
+        ).write.mode("append").parquet(src)
+
+    store = MemoryStore(["word"])
+    server.bind_point(
+        "wordcount", store, "word", "cnt", store_name=WORDCOUNT_STORE
+    )
+    port = server.start()
+
+    def run_stream():
+        wire = spark.readStream.schema(wire_schema).parquet(src)
+        agg = pipeline.streaming_wordcount(
+            ksrc.decode_kv(wire), text_col="value"
+        )
+        q = pipeline.run_update_into_store(
+            agg, store, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    produce(0)
+    run_stream()
+    assert _get(port, "/wordcount/fox") == (200, '{"fox":1}')
+
+    # Two more records; the availableNow restart picks up from the
+    # checkpoint (same store, same path) — counts accumulate to 3.
+    produce(1)
+    produce(2)
+    run_stream()
+    assert _get(port, "/wordcount/fox") == (200, '{"fox":3}')
+    assert _get(port, "/wordcount/the") == (200, '{"the":6}')
+
+
 def test_parquet_changelog_compaction(spark, tmp_path):
     """Compaction folds history to the latest-wins snapshot, reads are
     unchanged before/after, and later upserts still win."""
