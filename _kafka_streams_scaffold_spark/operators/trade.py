@@ -1,0 +1,493 @@
+"""Cross-nation trade analytics: the remaining classic multi-way-join
+query shapes (TPC-H Q4/Q7/Q8/Q9/Q10/Q16/Q18 analogs, adapted to the
+driver's star schema — no partsupp/commitdate/shipmode columns exist,
+so those inputs are substituted with documented proxies).
+
+The reference scaffold has no joins at all (SURVEY.md §2.8), so this
+module is pure capability extension. What each shape adds over the
+shapes already in ``analytics.py``/``subqueries.py``:
+
+- **volume_shipping (Q7)**: the same dimension (nation) joined twice
+  under different roles (supplier side and customer side) with a
+  disjunctive cross-nation predicate — dimension pruning happens
+  BEFORE the big fact-fact join.
+- **market_share (Q8)**: a 6-table join tree where the numerator is a
+  conditional slice of the denominator, computed in one pass with a
+  CASE aggregate instead of two scans.
+- **product_profit (Q9)**: LIKE-filtered dimension pruning a 5-way
+  join; profit arithmetic stays in DECIMAL end-to-end.
+- **late_order_priority (Q4)**: EXISTS with a non-equi residual
+  (shipped >90 days after order date) as a semi join — the equi
+  conjunct carries the shuffle, the residual filters in place.
+- **returned_items_top_customers (Q10)**: big-fact → dimension
+  enrichment → global top-k by an exact DECIMAL measure
+  (TakeOrderedAndProject, never a full sort).
+- **supplier_part_variety (Q16)**: multi-column DISTINCT aggregate
+  with an anti-join exclusion list.
+- **large_volume_customers (Q18)**: IN over a grouped-HAVING
+  subquery, decorrelated to aggregate → filter → join back.
+
+100 TB posture: only provably tiny sides are broadcast (nation,
+region, the filtered part/supplier dims, the 6-row exclusion list);
+customer and orders are never broadcast and join shuffle-side where
+AQE picks the strategy. Every aggregate is partial-aggregatable;
+money math follows the DECIMAL-until-the-end rule (money.py).
+
+Cross-engine notes: Spark ``year()`` yields INT32 while DuckDB
+``EXTRACT(year ...)`` yields BIGINT — the oracle casts to INTEGER.
+Top-k ordering ties are broken on the unique customer key so both
+engines select the identical row set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from .money import dec as _dec
+from .money import one_minus as _one_minus
+
+# The two trading partners for volume_shipping and the market-share
+# target nation / region / part segment. NATION_* names are the
+# driver data's nation spellings.
+_NATION_A = "NATION_1"
+_NATION_B = "NATION_2"
+_SHARE_NATION = "NATION_8"
+_SHARE_REGION = "EUROPE"
+_SHARE_TYPE = "ECONOMY"
+_PROFIT_NAME_PAT = "%widget%"
+
+
+def _disc_price() -> F.Column:
+    return _dec("l_extendedprice") * _one_minus("l_discount")
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: volume shipping between two nations
+# --------------------------------------------------------------------------
+
+
+def volume_shipping_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly trade volume between NATION_1 and NATION_2, both ways.
+
+    Both nation roles are resolved BEFORE the lineitem-orders join:
+    supplier and customer are each inner-joined to the 2-row filtered
+    nation dim (broadcast), so the fact-fact join only moves rows
+    whose supplier already belongs to one of the two nations — at
+    scale that is a ~2/25 cut of lineitem before the big shuffle.
+    The (A,B)|(B,A) disjunction runs after both roles are attached.
+    """
+    li = tables.table(spark, sf_dir, "lineitem")
+    orders = tables.table(spark, sf_dir, "orders")
+    cust = tables.table(spark, sf_dir, "customer")
+    supp = tables.table(spark, sf_dir, "supplier")
+    nation = tables.table(spark, sf_dir, "nation")
+
+    two = nation.filter(F.col("n_name").isin(_NATION_A, _NATION_B)).select(
+        "n_nationkey", "n_name"
+    )
+    supp2 = supp.join(
+        F.broadcast(two), supp.s_nationkey == two.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust2 = cust.join(
+        F.broadcast(two), cust.c_nationkey == two.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+
+    li2 = li.join(F.broadcast(supp2), li.l_suppkey == supp2.s_suppkey)
+    enriched = (
+        li2.join(orders.select("o_orderkey", "o_custkey"),
+                 li2.l_orderkey == F.col("o_orderkey"))
+        .join(cust2, F.col("o_custkey") == cust2.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == _NATION_A) & (F.col("cust_nation") == _NATION_B))
+            | ((F.col("supp_nation") == _NATION_B) & (F.col("cust_nation") == _NATION_A))
+        )
+    )
+    return (
+        enriched.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+VOLUME_SHIPPING_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = '{_NATION_A}' AND n2.n_name = '{_NATION_B}')
+   OR (n1.n_name = '{_NATION_B}' AND n2.n_name = '{_NATION_A}')
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: national market share within a region/segment
+# --------------------------------------------------------------------------
+
+
+def market_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_8's share of EUROPE's ECONOMY-part revenue by year.
+
+    Numerator and denominator come from ONE pass: the CASE aggregate
+    slices the target nation's revenue out of the same filtered join
+    tree. Part (type filter) and the EUROPE customer-nation set prune
+    the facts before the lineitem-orders shuffle; the supplier-side
+    nation lookup (for the CASE) is a broadcast of the full 25-row
+    nation dim. Share is a ratio of two exact decimal sums, divided
+    in double at the end.
+    """
+    li = tables.table(spark, sf_dir, "lineitem")
+    orders = tables.table(spark, sf_dir, "orders")
+    cust = tables.table(spark, sf_dir, "customer")
+    supp = tables.table(spark, sf_dir, "supplier")
+    nation = tables.table(spark, sf_dir, "nation")
+    region = tables.table(spark, sf_dir, "region")
+    part = tables.table(spark, sf_dir, "part")
+
+    epart = part.filter(F.col("p_type") == _SHARE_TYPE).select("p_partkey")
+    eur_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == _SHARE_REGION)),
+            nation.n_regionkey == F.col("r_regionkey"),
+        ).select("n_nationkey")
+    )
+    eur_cust = cust.join(
+        F.broadcast(eur_nations), cust.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp_nat = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+
+    joined = (
+        li.join(F.broadcast(epart), li.l_partkey == F.col("p_partkey"))
+        .join(window, li.l_orderkey == F.col("o_orderkey"))
+        .join(eur_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == _SHARE_NATION, _disc_price())
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum(_disc_price()).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+MARKET_SHARE_ORACLE = f"""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = '{_SHARE_NATION}'
+                THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+              AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+WHERE p.p_type = '{_SHARE_TYPE}'
+  AND r.r_name = '{_SHARE_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9 shape: product-line profit by nation and year
+# --------------------------------------------------------------------------
+
+
+def product_profit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier-nation, per year profit on widget parts.
+
+    The driver schema has no partsupp/ps_supplycost, so unit cost is
+    proxied as 50% of p_retailprice (documented, applied identically
+    in the oracle). Profit stays DECIMAL through the aggregate:
+    disc_revenue - qty * cost. The LIKE filter prunes part first and
+    the filtered dim is broadcast, so lineitem is cut before its only
+    shuffle (the group-by).
+    """
+    li = tables.table(spark, sf_dir, "lineitem")
+    supp = tables.table(spark, sf_dir, "supplier")
+    nation = tables.table(spark, sf_dir, "nation")
+    part = tables.table(spark, sf_dir, "part")
+
+    widgets = part.filter(F.col("p_name").like(_PROFIT_NAME_PAT)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nat = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+
+    cost = _dec("l_quantity") * (
+        _dec("p_retailprice") * F.lit(0.5).cast("decimal(3,2)")
+    )
+    profit = (_disc_price() - cost).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(widgets), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+PRODUCT_PROFIT_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(
+            CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+            - CAST(l.l_quantity AS DECIMAL(12,2))
+              * (CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(3,2)))
+            AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '{_PROFIT_NAME_PAT}'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q4 shape: late-shipping orders per priority (EXISTS semi join)
+# --------------------------------------------------------------------------
+
+
+def late_order_priority_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders per priority had SOME item ship >90 days after
+    the order date.
+
+    EXISTS becomes a left-semi join: the equi conjunct (order key)
+    carries the shuffle; the non-equi residual (shipdate vs order
+    date + 90) evaluates inside the join without a second pass.
+    Lineitem is projected to its two needed columns before shuffling.
+    """
+    li = tables.table(spark, sf_dir, "lineitem")
+    orders = tables.table(spark, sf_dir, "orders")
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (orders.o_orderkey == late.l_orderkey)
+            & (late.l_shipdate > F.date_add(orders.o_orderdate, 90)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+LATE_ORDER_PRIORITY_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10 shape: returned-item revenue, top customers
+# --------------------------------------------------------------------------
+
+
+def returned_items_top_customers_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top 20 customers by revenue lost to returns in 1996-H1.
+
+    The heavy side (return-flagged lineitems x order window) shrinks
+    to a per-customer aggregate BEFORE customer/nation enrichment, so
+    the dimension join input is |active customers|, not |lineitem|.
+    Ordering key is the exact DECIMAL revenue with the unique customer
+    key as tie-break — both engines pick the identical 20 rows;
+    TakeOrderedAndProject keeps it a streaming top-k, never a global
+    sort.
+    """
+    li = tables.table(spark, sf_dir, "lineitem")
+    orders = tables.table(spark, sf_dir, "orders")
+    cust = tables.table(spark, sf_dir, "customer")
+    nation = tables.table(spark, sf_dir, "nation")
+
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_cust = (
+        returned.join(window, returned.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_disc_price()).alias("rev"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .orderBy(F.col("rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+RETURNED_ITEMS_TOP_CUSTOMERS_ORACLE = """
+WITH per_cust AS (
+  SELECT o.o_custkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(p.rev AS DOUBLE) AS revenue
+FROM per_cust p
+JOIN customer c ON c.c_custkey = p.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY p.rev DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16 shape: supplier variety per part segment (distinct + anti join)
+# --------------------------------------------------------------------------
+
+
+def supplier_part_variety_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per (brand, type, size), excluding one
+    brand and suppliers under financial review (negative balance —
+    the Q16 complaints-list proxy).
+
+    The exclusion list is a tiny anti-join side (broadcast); the
+    distinct runs on the already-pruned (brand,type,size,supplier)
+    projection, so the only wide shuffle carries 4 small columns.
+    """
+    li = tables.table(spark, sf_dir, "lineitem")
+    part = tables.table(spark, sf_dir, "part")
+    supp = tables.table(spark, sf_dir, "supplier")
+
+    keep_parts = part.filter(F.col("p_brand") != "Brand#21").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    flagged = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.join(F.broadcast(keep_parts), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(flagged), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
+    )
+
+
+SUPPLIER_PART_VARIETY_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#21'
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: large-volume customers (IN over grouped HAVING)
+# --------------------------------------------------------------------------
+
+_BULK_QTY = 300
+
+
+def large_volume_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 300, with their customers.
+
+    The IN-over-HAVING subquery decorrelates to: aggregate lineitem
+    per order, filter, then join orders and customer to the (small)
+    surviving key set. Quantity totals stay DECIMAL (exact) through
+    filter and output. At scale the per-order aggregate is the only
+    lineitem shuffle; the surviving set (top fraction of orders) is
+    itself joinable without broadcast risk because Catalyst/AQE sees
+    its true (post-filter) size.
+    """
+    li = tables.table(spark, sf_dir, "lineitem")
+    orders = tables.table(spark, sf_dir, "orders")
+    cust = tables.table(spark, sf_dir, "customer")
+
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > _BULK_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(t.total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {_BULK_QTY}
+) t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""

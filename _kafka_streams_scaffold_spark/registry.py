@@ -179,6 +179,34 @@ def _ensure_loaded() -> None:
         sq.BULK_PART_SUPPLIERS_ORACLE,
     )
 
+    from .operators import trade
+
+    register(
+        "volume_shipping", trade.volume_shipping_query, trade.VOLUME_SHIPPING_ORACLE
+    )
+    register("market_share", trade.market_share_query, trade.MARKET_SHARE_ORACLE)
+    register("product_profit", trade.product_profit_query, trade.PRODUCT_PROFIT_ORACLE)
+    register(
+        "late_order_priority",
+        trade.late_order_priority_query,
+        trade.LATE_ORDER_PRIORITY_ORACLE,
+    )
+    register(
+        "returned_items_top_customers",
+        trade.returned_items_top_customers_query,
+        trade.RETURNED_ITEMS_TOP_CUSTOMERS_ORACLE,
+    )
+    register(
+        "supplier_part_variety",
+        trade.supplier_part_variety_query,
+        trade.SUPPLIER_PART_VARIETY_ORACLE,
+    )
+    register(
+        "large_volume_customers",
+        trade.large_volume_customers_query,
+        trade.LARGE_VOLUME_CUSTOMERS_ORACLE,
+    )
+
     from .operators import sketches
 
     register(
