@@ -83,3 +83,112 @@ FROM (SELECT doc_id, source, {_BUCKET_DUCK} AS bucket FROM documents)
 WHERE bucket < {SAMPLE_PCT}
 GROUP BY source
 """
+
+
+# --------------------------------------------------------------------------
+# Dataset-mixture weighted sampling (per-source rates)
+# --------------------------------------------------------------------------
+
+# Mixture spec: percentage of each source to keep (training-mix
+# weights a la "The Pile" / Dolma recipes). Sources not listed get
+# the default rate. ONE definition drives both engines.
+MIXTURE_PCT: dict[str, int] = {
+    "src0": 100,
+    "src1": 80,
+    "src2": 60,
+    "src3": 40,
+    "src4": 20,
+}
+MIXTURE_DEFAULT_PCT = 10
+
+
+def _rate_spark() -> F.Column:
+    col = F.lit(MIXTURE_DEFAULT_PCT)
+    expr = None
+    for src, pct in MIXTURE_PCT.items():
+        cond = F.col("source") == src
+        expr = F.when(cond, pct) if expr is None else expr.when(cond, pct)
+    return expr.otherwise(col)
+
+
+def _rate_duck() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in MIXTURE_PCT.items()
+    )
+    return f"CASE {whens} ELSE {MIXTURE_DEFAULT_PCT} END"
+
+
+def mixture_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling: keep `rate%` of each source, chosen
+    by the content-stable hash bucket.
+
+    The keep decision is `bucket < rate(source)` — a pure per-row
+    predicate with no shuffle and no RNG, so the same document is
+    kept in every rerun at every parallelism, and raising a source's
+    weight only ADDS documents (buckets are nested: the 20% sample is
+    a subset of the 60% sample). That subset-stability is what makes
+    mixture re-weighting between training runs reproducible.
+    """
+    docs = tables.table(spark, sf_dir, "documents")
+    return (
+        with_bucket(docs)
+        .withColumn("rate_pct", _rate_spark())
+        .filter(F.col("bucket") < F.col("rate_pct"))
+        .select("doc_id", "source", "bucket", "rate_pct")
+    )
+
+
+MIXTURE_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, bucket, rate_pct
+FROM (
+  SELECT doc_id, source, {_BUCKET_DUCK} AS bucket,
+         {_rate_duck()} AS rate_pct
+  FROM documents
+)
+WHERE bucket < rate_pct
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-source document cap (top-N by quality proxy)
+# --------------------------------------------------------------------------
+
+SOURCE_CAP = 15
+
+
+def source_cap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most 15 documents per source, preferring the longest
+    (n_chars as the quality proxy), doc_id as the deterministic
+    tie-break.
+
+    The rank-then-filter shape compiles to WindowGroupLimit (Spark
+    3.5+): each map task pre-prunes to its local top-15 per source
+    BEFORE the shuffle, so a hot source never materializes more than
+    15 x n_partitions rows — the per-key analog of
+    TakeOrderedAndProject, and the reason this survives skewed
+    sources at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    docs = tables.table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SOURCE_CAP)
+        .select("doc_id", "source", "n_chars", "rank")
+    )
+
+
+SOURCE_CAP_ORACLE = f"""
+SELECT doc_id, source, n_chars, rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM documents
+)
+WHERE rank <= {SOURCE_CAP}
+"""

@@ -544,3 +544,76 @@ SELECT q_id, n_id, cosine, rank FROM (
 )
 WHERE rank <= {TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Embedding outlier scoring (distance-to-centroid, cell-normalized)
+# --------------------------------------------------------------------------
+
+OUTLIER_RATIO = 2.0
+
+
+def embedding_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector outlier score: squared distance to the assigned IVF
+    centroid, ranked and thresholded against the cell's mean distance
+    (the standard embedding-space noise/diversity filter for training
+    corpora — far-from-centroid vectors are either valuable diversity
+    or junk, and either way you want them surfaced).
+
+    Reuses the quantizer chain (label_centroids -> ivf_assign), so
+    the cell definition is the one the driver already hash-checks.
+    Determinism: the cell mean would be a float sum (partitioning-
+    order dependent), so distances are fixed-pointed exactly
+    (floor(d * 1e6), same trick as label_centroids) and the mean is
+    one correctly-rounded division of two exact integers. Scale: one
+    window shuffle on the cell id; rows carry scalars only.
+    """
+    assign = ivf_assign_query(spark, sf_dir)
+    w = Window.partitionBy("assigned_label")
+    wr = Window.partitionBy("assigned_label").orderBy("dist2", "vec_id")
+    mean_d = F.col("sum_fp").cast("double") / (
+        F.col("cell_n") * F.lit(_FP_SCALE)
+    ).cast("double")
+    return (
+        assign.withColumn(
+            "fpv", F.floor(F.col("dist2") * _FP_SCALE)
+        )
+        .withColumn("sum_fp", F.sum("fpv").over(w))
+        .withColumn("cell_n", F.count(F.lit(1)).over(w))
+        .withColumn("dist_rank", F.row_number().over(wr))
+        .select(
+            "vec_id",
+            "assigned_label",
+            "dist2",
+            "cell_n",
+            "dist_rank",
+            mean_d.alias("mean_dist2"),
+            (F.col("dist2") > F.lit(OUTLIER_RATIO) * mean_d).alias("is_outlier"),
+        )
+    )
+
+
+EMBEDDING_OUTLIERS_ORACLE = f"""
+WITH {_DUCK_ASSIGN_CTES},
+fp AS (
+  SELECT vec_id, c_label, dist2,
+         CAST(floor(dist2 * {_FP_SCALE}) AS BIGINT) AS fpv
+  FROM assign
+),
+win AS (
+  SELECT vec_id, c_label, dist2,
+         SUM(fpv) OVER (PARTITION BY c_label) AS sum_fp,
+         COUNT(*) OVER (PARTITION BY c_label) AS cell_n,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY c_label ORDER BY dist2, vec_id
+         ) AS INTEGER) AS dist_rank
+  FROM fp
+)
+SELECT vec_id, c_label AS assigned_label, dist2, cell_n, dist_rank,
+       CAST(sum_fp AS DOUBLE) / CAST(cell_n * {_FP_SCALE} AS DOUBLE)
+           AS mean_dist2,
+       dist2 > {OUTLIER_RATIO}
+           * (CAST(sum_fp AS DOUBLE) / CAST(cell_n * {_FP_SCALE} AS DOUBLE))
+           AS is_outlier
+FROM win
+"""

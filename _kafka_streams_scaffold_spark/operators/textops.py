@@ -566,3 +566,177 @@ SELECT d.source, c.doc_id, c.chunk_idx, c.n_tokens,
             AS BIGINT) AS bin_id
 FROM c JOIN documents d ON c.doc_id = d.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality gate (repetition + shape signals, map-local)
+# --------------------------------------------------------------------------
+
+# Thresholds tuned so the keep rule actually discriminates on the
+# driver data (n_words spans 10-99, dup fraction 0-0.72): real Gopher
+# rules (Rae et al. 2021, Table A1) use the same signal family with
+# corpus-specific bounds.
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MWL = 3.0
+_GOPHER_MAX_MWL = 10.0
+_GOPHER_MAX_DUP_FRAC = 0.6
+
+
+def gopher_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality gate: word count, mean word
+    length, duplicate-word fraction, longest word — and the composite
+    keep/drop decision.
+
+    All signals are map-local column expressions over the token array
+    (no explode, no shuffle): at 100 TB this runs at parquet-scan
+    speed, which is exactly why production filters (Gopher, C4,
+    FineWeb) are expressed this way. The duplicate fraction is
+    1 - distinct/total over whole words — the word-level analog of
+    Gopher's duplicate-line fraction (this corpus has no line
+    structure).
+    """
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens_expr()
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    total_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mwl = total_chars.cast("double") / n_words
+    dup_frac = F.lit(1.0) - n_distinct.cast("double") / n_words
+    keep = (
+        (n_words >= _GOPHER_MIN_WORDS)
+        & (n_words <= _GOPHER_MAX_WORDS)
+        & (mwl >= _GOPHER_MIN_MWL)
+        & (mwl <= _GOPHER_MAX_MWL)
+        & (dup_frac < _GOPHER_MAX_DUP_FRAC)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        mwl.alias("mean_word_len"),
+        dup_frac.alias("dup_word_frac"),
+        F.array_max(F.transform(toks, F.length)).alias("longest_word"),
+        keep.alias("gopher_keep"),
+    )
+
+
+GOPHER_QUALITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')
+             AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         len(list_distinct(toks)) AS n_distinct_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks) AS mean_word_len,
+         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             AS dup_word_frac,
+         list_max(list_transform(toks, x -> length(x))) AS longest_word
+  FROM base
+)
+SELECT doc_id, n_words, n_distinct_words, mean_word_len, dup_word_frac,
+       longest_word,
+       (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS}
+        AND mean_word_len >= {_GOPHER_MIN_MWL}
+        AND mean_word_len <= {_GOPHER_MAX_MWL}
+        AND dup_word_frac < {_GOPHER_MAX_DUP_FRAC}) AS gopher_keep
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-document n-gram repetition (top-bigram fraction)
+# --------------------------------------------------------------------------
+
+
+_BIGRAMS_FROM_TOKS = (
+    "transform(sequence(1, size(toks) - 1),"
+    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+)
+
+
+def _bigrams_col() -> F.Column:
+    """Word bigrams as 'w1 w2' strings over a ``toks`` column; empty
+    array when < 2 tokens (guarded: sequence(1, 0) would count DOWN,
+    not produce empty)."""
+    return F.when(F.size("toks") >= 2, F.expr(_BIGRAMS_FROM_TOKS)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_repetition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: how much of it is one repeated bigram (the
+    top-n-gram fraction from Gopher's repetition filters).
+
+    Distributed shape: explode bigrams -> count per (doc, bigram) ->
+    per-doc max/total. Both aggregations partial-aggregate before
+    their shuffle, and the shuffled rows are (doc_id, bigram, cnt)
+    triples — linear in corpus size, never quadratic. Tie on the max
+    count resolves to the lexicographically smallest bigram on both
+    engines (deterministic, unlike max_by/arg_max on ties).
+    """
+    from pyspark.sql import Window
+
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    counts = (
+        docs.select("doc_id", tokens_expr().alias("toks"))
+        .select("doc_id", F.explode(_bigrams_col()).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id")
+    return (
+        counts.withColumn("mx", F.max("cnt").over(w))
+        .withColumn("n_bigrams", F.sum("cnt").over(w))
+        .filter(F.col("cnt") == F.col("mx"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("bigram").alias("top_bigram"),
+            F.max("mx").alias("top_count"),
+            F.max("n_bigrams").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "top_bigram",
+            "top_count",
+            "n_bigrams",
+            (F.col("top_count").cast("double") / F.col("n_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+DOC_REPETITION_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')
+             AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM base, UNNEST(range(1, len(toks))) AS t(i)
+), counts AS (
+  SELECT doc_id, bigram, COUNT(*) AS cnt
+  FROM bg GROUP BY 1, 2
+), win AS (
+  SELECT doc_id, bigram, cnt,
+         MAX(cnt) OVER (PARTITION BY doc_id) AS mx,
+         SUM(cnt) OVER (PARTITION BY doc_id) AS total
+  FROM counts
+)
+SELECT doc_id,
+       MIN(bigram) AS top_bigram,
+       CAST(MAX(mx) AS BIGINT) AS top_count,
+       CAST(MAX(total) AS BIGINT) AS n_bigrams,
+       CAST(MAX(mx) AS DOUBLE) / MAX(total) AS top_bigram_frac
+FROM win
+WHERE cnt = mx
+GROUP BY doc_id
+"""

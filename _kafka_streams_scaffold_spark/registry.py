@@ -259,6 +259,12 @@ def _ensure_loaded() -> None:
     register(
         "chunk_packing", textops.chunk_packing_query, textops.CHUNK_PACKING_ORACLE
     )
+    register(
+        "gopher_quality", textops.gopher_quality_query, textops.GOPHER_QUALITY_ORACLE
+    )
+    register(
+        "doc_repetition", textops.doc_repetition_query, textops.DOC_REPETITION_ORACLE
+    )
 
     from .operators import changelog
 
@@ -289,6 +295,10 @@ def _ensure_loaded() -> None:
         sampling.stratified_sample_query,
         sampling.STRATIFIED_SAMPLE_ORACLE,
     )
+    register(
+        "mixture_sample", sampling.mixture_sample_query, sampling.MIXTURE_SAMPLE_ORACLE
+    )
+    register("source_cap", sampling.source_cap_query, sampling.SOURCE_CAP_ORACLE)
 
     register("exact_dedup", dedup.exact_dedup_query, dedup.EXACT_DEDUP_ORACLE)
     register(
@@ -337,6 +347,11 @@ def _ensure_loaded() -> None:
     # Deterministic cell-probed top-k (nprobe dial): unlike lsh_ann the
     # whole search is oracle-checked; ann_topk is its recall reference.
     register("ivf_ann", similarity.ivf_ann_query, similarity.IVF_ANN_ORACLE)
+    register(
+        "embedding_outliers",
+        similarity.embedding_outliers_query,
+        similarity.EMBEDDING_OUTLIERS_ORACLE,
+    )
 
     from .operators import multimodal, skew
 

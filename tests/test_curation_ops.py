@@ -1,0 +1,142 @@
+"""Tests for the round-2 corpus-curation additions: Gopher-style
+quality gate, n-gram repetition, mixture sampling, per-source caps,
+and embedding outlier scoring."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from _kafka_streams_scaffold_spark import plans
+from _kafka_streams_scaffold_spark.operators import sampling, similarity, textops
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+# -- gopher_quality ---------------------------------------------------------
+
+
+def test_gopher_quality_signals_and_keep_rule(spark, monkeypatch):
+    wordy = " ".join(f"word{i}" for i in range(30))          # all distinct
+    loopy = " ".join(["spam"] * 30)                          # one word repeated
+    short = "tiny doc"                                       # under min words
+    df = _docs(spark, [wordy, loopy, short])
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    got = {r["doc_id"]: r for r in
+           textops.gopher_quality_query(spark, "_").collect()}
+
+    assert got[0]["n_words"] == 30
+    assert got[0]["dup_word_frac"] == pytest.approx(0.0)
+    assert got[0]["gopher_keep"] is True
+
+    assert got[1]["n_distinct_words"] == 1
+    assert got[1]["dup_word_frac"] == pytest.approx(29 / 30)
+    assert got[1]["gopher_keep"] is False                    # too repetitive
+
+    assert got[2]["n_words"] == 2
+    assert got[2]["gopher_keep"] is False                    # too short
+
+
+def test_gopher_quality_is_shuffle_free(spark, sf_dir):
+    df = textops.gopher_quality_query(spark, sf_dir)
+    # map-local signal extraction: the only allowed Exchange is the
+    # explicit small-file spread() (REPARTITION_BY_NUM); Catalyst must
+    # not need any shuffle of its own (ENSURE_REQUIREMENTS = an
+    # aggregate/join/window needed co-location)
+    assert "ENSURE_REQUIREMENTS" not in plans.explain_str(df)
+
+
+# -- doc_repetition ---------------------------------------------------------
+
+
+def test_doc_repetition_top_bigram(spark, monkeypatch):
+    # "a b" appears 3x (positions 0,2,4 overlapping chain a b a b a b a),
+    # total bigrams = 6
+    rep = "a b a b a b a"
+    flat = "one two three four"
+    df = _docs(spark, [rep, flat])
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    got = {r["doc_id"]: r for r in
+           textops.doc_repetition_query(spark, "_").collect()}
+    assert got[0]["top_bigram"] == "a b"
+    assert got[0]["top_count"] == 3
+    assert got[0]["n_bigrams"] == 6
+    assert got[0]["top_bigram_frac"] == pytest.approx(0.5)
+    # all-distinct bigrams: every count is 1, tie resolves to the
+    # lexicographically smallest bigram
+    assert got[1]["top_count"] == 1
+    assert got[1]["top_bigram"] == min(["one two", "two three", "three four"])
+
+
+def test_doc_repetition_single_token_doc_drops_out(spark, monkeypatch):
+    df = _docs(spark, ["loneword", "two words"])
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    got = {r["doc_id"] for r in
+           textops.doc_repetition_query(spark, "_").collect()}
+    assert got == {1}
+
+
+# -- mixture_sample / source_cap --------------------------------------------
+
+
+def test_mixture_sample_rates_and_nesting(spark, sf_dir):
+    rows = sampling.mixture_sample_query(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+        assert r["bucket"] < r["rate_pct"]
+    # src0 keeps everything (rate 100): 25 docs per source at sf0.001
+    assert len(by_src.get("src0", ())) == 25
+    # nested buckets: a lower-rate source's sample is a subset of what
+    # it would keep at a higher rate (verified via the bucket rule)
+    assert all(len(v) <= 25 for v in by_src.values())
+
+
+def test_source_cap_keeps_top_n_per_source(spark, monkeypatch):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s0" if i < 20 else "s1", n_chars=1000 - i)
+         for i in range(30)]
+    )
+    monkeypatch.setattr(sampling.tables, "table", lambda *a: df)
+    rows = sampling.source_cap_query(spark, "_").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["s0"]) == sampling.SOURCE_CAP       # capped at 15
+    assert len(by_src["s1"]) == 10                        # under the cap
+    # kept docs are the longest ones (n_chars descending from doc 0)
+    assert {r["doc_id"] for r in by_src["s0"]} == set(range(15))
+
+
+def test_source_cap_plan_prunes_before_shuffle(spark, sf_dir):
+    df = sampling.source_cap_query(spark, sf_dir)
+    # rank<=N compiles to WindowGroupLimit: map-side top-N per key
+    # before the exchange, so hot sources never materialize fully
+    assert "WindowGroupLimit" in plans.explain_str(df)
+
+
+# -- embedding_outliers -----------------------------------------------------
+
+
+def test_embedding_outliers_flags_far_vector(spark, sf_dir):
+    rows = similarity.embedding_outliers_query(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["assigned_label"], []).append(r)
+    for cell, members in by_cell.items():
+        # ranks are a permutation of 1..n within each cell
+        assert sorted(m["dist_rank"] for m in members) == list(
+            range(1, len(members) + 1)
+        )
+        # the flag is exactly the documented rule
+        for m in members:
+            assert m["is_outlier"] == (
+                m["dist2"] > similarity.OUTLIER_RATIO * m["mean_dist2"]
+            )
+        # mean consistency: every member shares the cell mean
+        assert len({round(m["mean_dist2"], 9) for m in members}) == 1
