@@ -1,0 +1,193 @@
+"""Deterministic statistical aggregates: variance, correlation,
+regression slope, and exact group medians.
+
+Native ``stddev``/``corr`` accumulate FLOATS in partition order, so
+two runs of the same query can disagree in the last bits — and Spark
+vs DuckDB certainly do (different accumulation algorithms). That is
+fine for exploration, useless for a hash-checked gate or a
+reproducible data audit. The fix is the classic power-sum
+decomposition over EXACT arithmetic:
+
+    n, Sx, Sy, Sxx, Syy, Sxy   as DECIMAL sums (associative, exact)
+    var  = (n*Sxx - Sx^2) / (n*(n-1))
+    corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+Every input has 2 decimals, so squares/products have 4 and DECIMAL
+sums of them are exact; each sum is cast to DOUBLE once (correctly
+rounded) and the closed-form arithmetic is written in the same order
+on both engines — IEEE doubles through identical expression trees,
+including sqrt (correctly rounded per IEEE-754), are bit-identical.
+
+Scale: power sums are plain partial-aggregatable SUMs — one shuffle
+of 6 scalars per group, the same cost as a COUNT. This is also the
+ONLY formulation that works as a streaming aggregate (each
+micro-batch adds to the sums); Welford-style single-pass variance
+does not distribute deterministically.
+
+Medians use the dual-row-number trick (rn ascending + rn descending;
+the median rows are those with |asc - desc| <= 1), which is exact,
+deterministic under the documented tie-break, and costs one window
+shuffle — no interpolation-formula mismatch between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import tables
+from .money import dec as _dec
+
+_P4 = "decimal(25,4)"
+
+
+def _spend_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, c_mktsegment, c_acctbal, spend): lifetime order
+    total per customer. Orders pre-aggregates to one row per custkey
+    before the customer join (Q13 discipline: join |customer| rows,
+    never |orders|)."""
+    cust = tables.table(spark, sf_dir, "customer")
+    orders = tables.table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("spend")
+    )
+    return cust.join(per_cust, cust.c_custkey == per_cust.o_custkey).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "spend"
+    )
+
+
+_SPEND_CTE = """
+spend AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, t.spend
+  FROM customer c
+  JOIN (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+    FROM orders GROUP BY o_custkey
+  ) t ON t.o_custkey = c.c_custkey
+)
+"""
+
+
+def segment_spend_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: spread of customer lifetime spend and its
+    relationship to account balance (stddev, correlation, regression
+    slope), all from exact power sums."""
+    base = _spend_per_customer(spark, sf_dir)
+    x = _dec("c_acctbal")  # balance
+    # Re-narrow the per-customer total before squaring: the SUM's
+    # inflated decimal precision would push x*y past the 38-digit cap
+    # (the values themselves fit (12,2) comfortably).
+    y = _dec("spend")
+    agg = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * x).cast(_P4)).alias("sxx"),
+        F.sum((y * y).cast(_P4)).alias("syy"),
+        F.sum((x * y).cast(_P4)).alias("sxy"),
+    )
+    n = F.col("n_cust").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_y = (n * syy - sy * sy) / (n * (n - F.lit(1.0)))
+    cov_n = n * sxy - sx * sy
+    return agg.select(
+        "c_mktsegment",
+        "n_cust",
+        (sy / n).alias("avg_spend"),
+        F.sqrt(var_y).alias("stddev_spend"),
+        (cov_n / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_bal_spend"
+        ),
+        (cov_n / (n * sxx - sx * sx)).alias("slope_spend_per_bal"),
+    )
+
+
+SEGMENT_SPEND_STATS_ORACLE = f"""
+WITH {_SPEND_CTE},
+agg AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n_cust,
+         SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sx,
+         SUM(CAST(spend AS DECIMAL(12,2))) AS sy,
+         SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2))
+             * CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(25,4))) AS sxx,
+         SUM(CAST(CAST(spend AS DECIMAL(12,2)) * CAST(spend AS DECIMAL(12,2))
+             AS DECIMAL(25,4))) AS syy,
+         SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(spend AS DECIMAL(12,2))
+             AS DECIMAL(25,4))) AS sxy
+  FROM spend GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_cust,
+       CAST(sy AS DOUBLE) / CAST(n_cust AS DOUBLE) AS avg_spend,
+       sqrt((CAST(n_cust AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n_cust AS DOUBLE) * (CAST(n_cust AS DOUBLE) - 1.0)))
+           AS stddev_spend,
+       (CAST(n_cust AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n_cust AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n_cust AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS corr_bal_spend,
+       (CAST(n_cust AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n_cust AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           AS slope_spend_per_bal
+FROM agg
+"""
+
+
+def segment_spend_median_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-segment median lifetime spend via dual row numbers.
+
+    Rows where the ascending and descending ranks differ by at most 1
+    are the middle one (odd n) or middle two (even n); averaging their
+    exact DECIMAL values gives the textbook median with no
+    interpolation-formula ambiguity. Tie-break on the unique customer
+    key makes both rank orders total, so the same physical rows are
+    chosen on every engine and partitioning.
+    """
+    base = _spend_per_customer(spark, sf_dir)
+    wa = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend"), F.col("c_custkey")
+    )
+    wd = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend").desc(), F.col("c_custkey").desc()
+    )
+    mid = (
+        base.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rd", F.row_number().over(wd))
+        .filter(F.abs(F.col("ra") - F.col("rd")) <= 1)
+    )
+    return mid.groupBy("c_mktsegment").agg(
+        (F.sum("spend").cast("double") / F.count(F.lit(1))).alias(
+            "median_spend"
+        ),
+        F.count(F.lit(1)).alias("n_median_rows"),
+    )
+
+
+SEGMENT_SPEND_MEDIAN_ORACLE = f"""
+WITH {_SPEND_CTE},
+ranked AS (
+  SELECT c_mktsegment, spend,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY spend, c_custkey) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY spend DESC, c_custkey DESC) AS rd
+  FROM spend
+)
+SELECT c_mktsegment,
+       CAST(SUM(spend) AS DOUBLE) / COUNT(*) AS median_spend,
+       COUNT(*) AS n_median_rows
+FROM ranked
+WHERE abs(ra - rd) <= 1
+GROUP BY c_mktsegment
+"""

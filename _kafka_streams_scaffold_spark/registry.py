@@ -207,6 +207,19 @@ def _ensure_loaded() -> None:
         trade.LARGE_VOLUME_CUSTOMERS_ORACLE,
     )
 
+    from .operators import stats
+
+    register(
+        "segment_spend_stats",
+        stats.segment_spend_stats_query,
+        stats.SEGMENT_SPEND_STATS_ORACLE,
+    )
+    register(
+        "segment_spend_median",
+        stats.segment_spend_median_query,
+        stats.SEGMENT_SPEND_MEDIAN_ORACLE,
+    )
+
     from .operators import sketches
 
     register(

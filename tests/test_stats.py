@@ -1,0 +1,96 @@
+"""Deterministic statistics tests: power-sum aggregates vs numpy on
+crafted data, exact-median semantics for odd/even groups."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from _kafka_streams_scaffold_spark.operators import stats
+
+
+def _frames(spark, balances, spends, segment="SEG"):
+    cust = spark.createDataFrame(
+        [
+            Row(c_custkey=i, c_mktsegment=segment, c_acctbal=float(b))
+            for i, b in enumerate(balances)
+        ]
+    )
+    orders = spark.createDataFrame(
+        [
+            Row(o_custkey=i, o_totalprice=float(s))
+            for i, s in enumerate(spends)
+        ]
+    )
+    return {"customer": cust, "orders": orders}
+
+
+def _patch(monkeypatch, frames):
+    monkeypatch.setattr(
+        stats.tables, "table", lambda spark_, sf, name: frames[name]
+    )
+
+
+def test_segment_stats_match_numpy(spark, monkeypatch):
+    bal = [10.0, 20.0, 30.0, 40.0, 55.5]
+    spend = [100.0, 210.0, 290.0, 410.0, 500.25]
+    _patch(monkeypatch, _frames(spark, bal, spend))
+    [r] = stats.segment_spend_stats_query(spark, "_").collect()
+    assert r["n_cust"] == 5
+    assert r["avg_spend"] == pytest.approx(np.mean(spend), rel=1e-12)
+    assert r["stddev_spend"] == pytest.approx(np.std(spend, ddof=1), rel=1e-12)
+    assert r["corr_bal_spend"] == pytest.approx(
+        np.corrcoef(bal, spend)[0, 1], rel=1e-12
+    )
+    slope = np.polyfit(bal, spend, 1)[0]
+    assert r["slope_spend_per_bal"] == pytest.approx(slope, rel=1e-12)
+
+
+def test_segment_stats_multi_order_customers(spark, monkeypatch):
+    # two orders for customer 0 must aggregate to one spend point
+    frames = _frames(spark, [10.0, 20.0, 30.0], [1.0, 2.0, 3.0])
+    extra = frames["orders"].sparkSession.createDataFrame(
+        [Row(o_custkey=0, o_totalprice=9.0)]
+    )
+    frames["orders"] = frames["orders"].union(extra)
+    _patch(monkeypatch, frames)
+    [r] = stats.segment_spend_stats_query(spark, "_").collect()
+    spends = [10.0, 2.0, 3.0]
+    assert r["avg_spend"] == pytest.approx(np.mean(spends), rel=1e-12)
+
+
+def test_median_odd_and_even_groups(spark, monkeypatch):
+    cust = spark.createDataFrame(
+        [Row(c_custkey=i, c_mktsegment="ODD" if i < 3 else "EVEN",
+             c_acctbal=0.0) for i in range(7)]
+    )
+    orders = spark.createDataFrame(
+        [
+            # ODD group spends: 10, 20, 90 -> median 20, one middle row
+            Row(o_custkey=0, o_totalprice=10.0),
+            Row(o_custkey=1, o_totalprice=20.0),
+            Row(o_custkey=2, o_totalprice=90.0),
+            # EVEN group spends: 1, 2, 3, 100 -> median 2.5, two rows
+            Row(o_custkey=3, o_totalprice=1.0),
+            Row(o_custkey=4, o_totalprice=2.0),
+            Row(o_custkey=5, o_totalprice=3.0),
+            Row(o_custkey=6, o_totalprice=100.0),
+        ]
+    )
+    _patch(monkeypatch, {"customer": cust, "orders": orders})
+    got = {
+        r["c_mktsegment"]: (r["median_spend"], r["n_median_rows"])
+        for r in stats.segment_spend_median_query(spark, "_").collect()
+    }
+    assert got["ODD"] == (pytest.approx(20.0), 1)
+    assert got["EVEN"] == (pytest.approx(2.5), 2)
+
+
+def test_median_ties_resolve_totally(spark, monkeypatch):
+    # all-equal spends: any middle rows give the same median; the dual
+    # row_number still selects exactly 1 (odd) rows
+    _patch(monkeypatch, _frames(spark, [0.0] * 5, [7.0] * 5))
+    [r] = stats.segment_spend_median_query(spark, "_").collect()
+    assert r["median_spend"] == pytest.approx(7.0)
+    assert r["n_median_rows"] == 1

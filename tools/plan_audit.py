@@ -103,6 +103,41 @@ AUDIT = [
         "InMemoryScan); the max is a one-row broadcast joined back over "
         "it; equality stays in DECIMAL.",
     ),
+    (
+        "volume_shipping",
+        "Q7: nation filtered to the 2 trading partners BEFORE anything "
+        "joins — supplier and customer each broadcast-join the 2-row "
+        "dim, so the lineitem-orders shuffle only carries the ~2/25 "
+        "nation cut; the (A,B)|(B,A) disjunction is a post-join filter "
+        "on already-attached columns.",
+    ),
+    (
+        "returned_items_top_customers",
+        "Q10: the fact side collapses to a per-customer aggregate "
+        "before customer/nation enrichment, and the final top-20 is "
+        "TakeOrderedAndProject (streaming top-k), never a global sort; "
+        "returnflag + date filters are pushed to the scans.",
+    ),
+    (
+        "source_cap",
+        "rank<=N over (source) compiles to WindowGroupLimit: map-side "
+        "top-N per key runs BEFORE the exchange, so a hot source "
+        "materializes at most N x n_partitions rows, not its full "
+        "cardinality.",
+    ),
+    (
+        "doc_repetition",
+        "Per-doc top-bigram via explode + two partial-aggregatable "
+        "aggregations — rows shuffled are (doc, bigram, cnt) triples, "
+        "linear in corpus size; ties resolve deterministically to the "
+        "lexicographically smallest bigram.",
+    ),
+    (
+        "embedding_outliers",
+        "Distance-to-centroid over the broadcast quantizer (no corpus "
+        "self-join); one window shuffle on the cell id carrying "
+        "scalars; cell means from exact fixed-point sums.",
+    ),
 ]
 
 
