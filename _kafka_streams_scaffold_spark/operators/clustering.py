@@ -185,3 +185,129 @@ GROUP BY vec_id
 
 
 EMBEDDING_DUP_CLUSTERS_ORACLE = _embedding_clusters_oracle()
+
+
+# --------------------------------------------------------------------------
+# PageRank over the dup graph (canonical-representative scoring)
+# --------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+PR_BASE = 0.15
+_PR_SCALE = 10**12
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Unnormalized PageRank, fixed iteration count, over an
+    undirected graph: rank_{t+1}(v) = 0.15 + 0.85 * sum over
+    neighbors u of rank_t(u)/deg(u). Within a dup cluster the
+    highest-rank node is the most-connected member — a principled
+    canonical-representative choice (vs min-id, which is arbitrary).
+
+    Determinism: the neighbor sum is a float reduction, so each
+    contribution is fixed-pointed exactly (floor(x * 1e12) -> BIGINT,
+    associative sum, one rounded division back) — the same contract
+    as label_centroids. Scale: each iteration is one equi-join on the
+    edge list plus a partial-aggregatable sum, O(|E|) per round with
+    a FIXED round count (no convergence scalar to the driver);
+    localCheckpoint truncates lineage exactly as in
+    connected_components.
+    """
+    # The edge list feeds every iteration and the iterations chain
+    # into ONE action (no per-round convergence count like CC has), so
+    # without eager materialization iteration i's plan would embed the
+    # pair-generation subtree i times over. pin() the edges once;
+    # eagerly checkpoint each round's ranks to truncate lineage NOW
+    # (5 tiny jobs), keeping the final plan one join deep.
+    from ..pinning import pin as _pin
+
+    both = _pin(
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("doc_id", F.lit(1.0).alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            both.join(ranks, both.src == ranks.doc_id)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.floor((F.col("rank") / F.col("deg")) * _PR_SCALE).alias(
+                    "fp"
+                ),
+            )
+        )
+        sums = contrib.groupBy("doc_id").agg(F.sum("fp").alias("sfp"))
+        ranks = (
+            nodes.join(sums, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(PR_BASE)
+                    + F.lit(PR_DAMP)
+                    * (
+                        F.coalesce(F.col("sfp"), F.lit(0)).cast("double")
+                        / F.lit(float(_PR_SCALE))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("doc_id", F.col("rank").alias("pagerank"))
+
+
+def dup_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the SimHash near-dup pair graph: isolated docs
+    settle at the 0.15 base; hub documents of dense dup clusters rank
+    highest and become the keep candidates."""
+    docs = tables.table(spark, sf_dir, "documents").select("doc_id")
+    edges = simhash_pairs_query(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return pagerank(docs, edges)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration twin: r0..r5 as chained CTEs (DuckDB
+    disallows aggregates in recursive terms, and the iteration count
+    is a constant anyway)."""
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""r{i} AS (
+  SELECT n.doc_id,
+         {PR_BASE} + {PR_DAMP} * (CAST(COALESCE(s.sfp, 0) AS DOUBLE)
+                                  / {float(_PR_SCALE)}) AS rank
+  FROM documents n LEFT JOIN (
+    SELECT e.dst AS doc_id,
+           SUM(CAST(floor((r.rank / d.deg) * {_PR_SCALE}) AS BIGINT)) AS sfp
+    FROM uedges e
+    JOIN {prev} r ON r.doc_id = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.doc_id = n.doc_id
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    # uedges is referenced by every unrolled iteration; DuckDB inlines
+    # CTEs by default, which would re-run the banded self-join 5x —
+    # MATERIALIZED pins it (the Spark twin's localCheckpoint).
+    return f"""
+WITH pairs AS MATERIALIZED (
+  {_simhash_edges_sql()}
+),
+uedges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM uedges GROUP BY src),
+r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS rank FROM documents),
+{chain}
+SELECT doc_id, rank AS pagerank FROM {prev}
+"""
+
+
+DUP_PAGERANK_ORACLE = _pagerank_oracle()

@@ -344,6 +344,9 @@ def _ensure_loaded() -> None:
         clustering.embedding_dup_clusters_query,
         clustering.EMBEDDING_DUP_CLUSTERS_ORACLE,
     )
+    register(
+        "dup_pagerank", clustering.dup_pagerank_query, clustering.DUP_PAGERANK_ORACLE
+    )
 
     register("ann_topk", similarity.ann_topk_query, similarity.ANN_TOPK_ORACLE)
     register(

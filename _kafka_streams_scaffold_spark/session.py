@@ -43,6 +43,13 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Runtime row-group pruning for selective fact-dim joins: the
+        # optimizer injects a bloom filter built from the (filtered)
+        # small side into the big side's scan, cutting shuffle input
+        # before it is read — free selectivity at 100 TB, no-op when
+        # the filter wouldn't help.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
         # Parquet scans: keep splits small enough that a partition fits
         # comfortably in executor memory even at 100 TB inputs.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
