@@ -48,8 +48,12 @@ def build_session(
         # small side into the big side's scan, cutting shuffle input
         # before it is read — free selectivity at 100 TB, no-op when
         # the filter wouldn't help.
+        # NOTE: runtimeFilter.semiJoinReduction stays OFF — on this
+        # pyspark build enabling it deadlocks the very first job
+        # (even a bare range().count() never completes; reproduced
+        # deterministically with that single conf). The bloom-filter
+        # variant below provides the same scan-side reduction safely.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
         # Parquet scans: keep splits small enough that a partition fits
         # comfortably in executor memory even at 100 TB inputs.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -37,14 +37,18 @@ ALWAYS_BROADCAST = ("region", "nation")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as raw nanos and rebuild a micro-precision
-        # timestamp (integer `div` — the values are micro-grained, so the
-        # truncation is lossless; float division would corrupt >2^53 nanos).
-        # The legacy flag is consulted at read() time (the relation captures
-        # the schema then), so it is saved/restored around the call instead
-        # of leaking into session state for every later parquet read.
+    if name == "events" and _ts_is_nanos(os.path.join(sf_dir, "events.parquet")):
+        # Some driver generations write events.ts as parquet
+        # TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
+        # read it as raw nanos and rebuild a micro-precision timestamp
+        # (integer `div` — the values are micro-grained, so the
+        # truncation is lossless; float division would corrupt >2^53
+        # nanos). Other generations (current testdata) write plain
+        # micros, which read natively — hence the footer probe above.
+        # The legacy flag is consulted at read() time (the relation
+        # captures the schema then), so it is saved/restored around the
+        # call instead of leaking into session state for every later
+        # parquet read.
         flag = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(flag, "false")
         spark.conf.set(flag, "true")
@@ -53,7 +57,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         finally:
             spark.conf.set(flag, prev)
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # Micros-generation files read as TIMESTAMP_NTZ; normalize to
+        # session-local TIMESTAMP (session tz is pinned UTC, so the
+        # cast is a lossless relabel) so every downstream operator —
+        # unix_micros(), window(), watermarks — sees one ts type
+        # regardless of which driver generation wrote the file.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _ts_is_nanos(path: str) -> bool:
+    """Probe the parquet footer (driver-side, no Spark job) for a
+    nanosecond ``ts`` column. Directory datasets probe one footer —
+    a dataset is written with one schema."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not inner:
+                return False
+            path = os.path.join(path, inner[0])
+        field = pq.read_schema(path).field("ts")
+        return getattr(field.type, "unit", None) == "ns"
+    except Exception:
+        return False
 
 
 def spread(df: DataFrame, key: str | None = None) -> DataFrame:
