@@ -491,3 +491,232 @@ FROM (
 JOIN orders o ON o.o_orderkey = t.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 """
+
+
+# --------------------------------------------------------------------------
+# Q2 shape: minimum-cost supplier (correlated MIN, decorrelated)
+# --------------------------------------------------------------------------
+
+_MINCOST_REGION = "EUROPE"
+_MINCOST_TYPE = "STANDARD"
+_MINCOST_MAX_SIZE = 15
+_MINCOST_TOPK = 100
+
+
+def min_cost_supplier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For STANDARD parts under size 15, the EUROPE supplier(s) whose
+    best observed sale price equals the part's regional minimum.
+
+    The classic Q2 correlated ``MIN`` subquery, decorrelated into two
+    aggregates over ONE eligible-offers table: per-(part, supplier)
+    best price, then per-part regional minimum, joined back on
+    (partkey, price). No partsupp table exists in the driver schema
+    (SURVEY.md §2.8), so "cost" is the minimum observed
+    ``l_extendedprice`` in DECIMAL — exact, so the join-back equality
+    is bit-stable across engines.
+
+    100 TB posture: region→nation→supplier and the filtered part dim
+    prune lineitem BEFORE its only shuffle (the pair aggregate); the
+    per-part min is a second partial-aggregatable pass over the much
+    smaller offers table; final output is TakeOrderedAndProject with
+    a total-order tie-break (acctbal DESC, partkey, suppkey) so both
+    engines pick an identical top-100.
+    """
+    li = tables.table(spark, sf_dir, "lineitem")
+    supp = tables.table(spark, sf_dir, "supplier")
+    nation = tables.table(spark, sf_dir, "nation")
+    region = tables.table(spark, sf_dir, "region")
+    part = tables.table(spark, sf_dir, "part")
+
+    eur_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == _MINCOST_REGION)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    eur_supp = supp.join(
+        F.broadcast(eur_nations), supp.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    epart = part.filter(
+        (F.col("p_type") == _MINCOST_TYPE) & (F.col("p_size") < _MINCOST_MAX_SIZE)
+    ).select("p_partkey")
+
+    offers = (
+        li.join(F.broadcast(epart), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eur_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("cost"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    winners = offers.join(
+        best,
+        (offers.l_partkey == best.bp) & (offers.cost == best.min_cost),
+    )
+    return (
+        winners.join(F.broadcast(eur_supp), winners.l_suppkey == eur_supp.s_suppkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(_MINCOST_TOPK)
+    )
+
+
+MIN_COST_SUPPLIER_ORACLE = f"""
+WITH eligible AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         MIN(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS cost
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = '{_MINCOST_REGION}'
+  JOIN part p ON p.p_partkey = l.l_partkey
+       AND p.p_type = '{_MINCOST_TYPE}' AND p.p_size < {_MINCOST_MAX_SIZE}
+  GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey, MIN(cost) AS min_cost FROM eligible GROUP BY 1
+)
+SELECT s.s_acctbal, s.s_name, n.n_name,
+       e.l_partkey AS p_partkey, e.l_suppkey AS s_suppkey,
+       CAST(e.cost AS DOUBLE) AS cost
+FROM eligible e
+JOIN best b ON b.l_partkey = e.l_partkey AND e.cost = b.min_cost
+JOIN supplier s ON s.s_suppkey = e.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY s.s_acctbal DESC, e.l_partkey, e.l_suppkey
+LIMIT {_MINCOST_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: important part values (scalar-subquery threshold)
+# --------------------------------------------------------------------------
+
+_IMPORTANT_NATION = "NATION_8"
+# v > total/500 == v*500 > total: integer DECIMAL multiply keeps the
+# threshold compare exact on both engines (no 0.002 float literal).
+_IMPORTANT_DENOM = 500
+
+
+def important_part_values_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose NATION_8-supplied sale value exceeds 1/500 of that
+    nation's total — the Q11 group-HAVING-over-global-scalar shape.
+
+    Decorrelated: one per-part DECIMAL aggregate, one 1-row global
+    total (a second aggregate over the same tiny table, broadcast via
+    crossJoin), filter by exact integer-multiplied compare. No
+    partsupp in the driver schema; value is summed sale price.
+
+    100 TB posture: the nation filter prunes lineitem ~1/25 before
+    its only shuffle; the global total is a scalar broadcast, never a
+    second lineitem scan (Spark reuses the per-part aggregate as the
+    common subplan input).
+    """
+    li = tables.table(spark, sf_dir, "lineitem")
+    supp = tables.table(spark, sf_dir, "supplier")
+    nation = tables.table(spark, sf_dir, "nation")
+
+    nsupp = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == _IMPORTANT_NATION)),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nsupp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("part_value"))
+    )
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * _IMPORTANT_DENOM > F.col("total_value"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+    )
+
+
+IMPORTANT_PART_VALUES_ORACLE = f"""
+WITH pv AS (
+  SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+       AND n.n_name = '{_IMPORTANT_NATION}'
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM pv
+WHERE part_value * {_IMPORTANT_DENOM} > (SELECT SUM(part_value) FROM pv)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: shipping-speed priority counts (CASE-count pivot)
+# --------------------------------------------------------------------------
+
+_SPEED_SLOW_DAYS = 60
+_SPEED_YEAR_LO = "1995-01-01"
+_SPEED_YEAR_HI = "1996-01-01"
+_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def shipping_speed_priority_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-vs-other order counts per shipping-speed bucket — the
+    Q12 shape. No shipmode column exists (SURVEY.md §2.8), so the
+    bucket is the ship delay: >= 60 days after order date is SLOW.
+
+    The non-equi residual (the datediff bucket) is computed AFTER the
+    equi join carries the shuffle; both engines bucket on whole-DATE
+    day differences so the boundary is identical. The CASE aggregate
+    pivots priority into two counts in a single pass.
+
+    100 TB posture: the shipdate year filter is pushed to the
+    lineitem scan; orders projects only (key, date, priority); the
+    2-row result comes off a partial-aggregatable CASE count.
+    """
+    li = tables.table(spark, sf_dir, "lineitem")
+    orders = tables.table(spark, sf_dir, "orders")
+
+    li_w = li.filter(
+        (F.col("l_shipdate") >= F.lit(_SPEED_YEAR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_SPEED_YEAR_HI).cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    joined = li_w.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li_w.l_orderkey == F.col("o_orderkey"),
+    )
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    is_high = F.col("o_orderpriority").isin(*_HIGH_PRIORITIES)
+    return (
+        joined.withColumn(
+            "ship_speed",
+            F.when(delay >= _SPEED_SLOW_DAYS, F.lit("SLOW")).otherwise(F.lit("FAST")),
+        )
+        .groupBy("ship_speed")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+SHIPPING_SPEED_PRIORITY_ORACLE = f"""
+SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) >= {_SPEED_SLOW_DAYS}
+            THEN 'SLOW' ELSE 'FAST' END AS ship_speed,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{_SPEED_YEAR_LO}'
+  AND l.l_shipdate < TIMESTAMP '{_SPEED_YEAR_HI}'
+GROUP BY 1
+"""

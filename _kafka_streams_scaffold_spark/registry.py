@@ -206,6 +206,21 @@ def _ensure_loaded() -> None:
         trade.large_volume_customers_query,
         trade.LARGE_VOLUME_CUSTOMERS_ORACLE,
     )
+    register(
+        "min_cost_supplier",
+        trade.min_cost_supplier_query,
+        trade.MIN_COST_SUPPLIER_ORACLE,
+    )
+    register(
+        "important_part_values",
+        trade.important_part_values_query,
+        trade.IMPORTANT_PART_VALUES_ORACLE,
+    )
+    register(
+        "shipping_speed_priority",
+        trade.shipping_speed_priority_query,
+        trade.SHIPPING_SPEED_PRIORITY_ORACLE,
+    )
 
     from .operators import stats
 
