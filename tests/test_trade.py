@@ -224,3 +224,127 @@ def test_volume_shipping_plan_prunes_dims_before_fact_join(spark, sf_dir):
     # the two-nation filter reaches the nation scan (pre-join pruning)
     assert any("n_name" in f for f in plans.pushed_filters(df))
     assert plans.has_broadcast_join(df)
+
+
+def test_min_cost_supplier_golden(spark, monkeypatch):
+    region = spark.createDataFrame([Row(r_regionkey=1, r_name="EUROPE")])
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=1, n_regionkey=1, n_name="NATION_1")]
+    )
+    supp = spark.createDataFrame(
+        [
+            Row(s_suppkey=1, s_nationkey=1, s_name="s1", s_acctbal=10.0),
+            Row(s_suppkey=2, s_nationkey=1, s_name="s2", s_acctbal=99.0),
+        ]
+    )
+    part = spark.createDataFrame(
+        [
+            Row(p_partkey=7, p_type="STANDARD", p_size=5),
+            Row(p_partkey=8, p_type="PROMO", p_size=5),  # wrong type: excluded
+        ]
+    )
+    li = spark.createDataFrame(
+        [
+            # part 7: supp 1 sells at 50, supp 2 at 60 -> supp 1 wins
+            Row(l_partkey=7, l_suppkey=1, l_extendedprice=50.0),
+            Row(l_partkey=7, l_suppkey=1, l_extendedprice=70.0),
+            Row(l_partkey=7, l_suppkey=2, l_extendedprice=60.0),
+            # excluded part: would have been cheaper
+            Row(l_partkey=8, l_suppkey=2, l_extendedprice=1.0),
+        ]
+    )
+    _patch_tables(
+        monkeypatch,
+        {"lineitem": li, "supplier": supp, "nation": nation,
+         "region": region, "part": part},
+    )
+    rows = trade.min_cost_supplier_query(spark, "_").collect()
+    assert [(r["p_partkey"], r["s_suppkey"], r["cost"]) for r in rows] == [
+        (7, 1, 50.0)
+    ]
+
+
+def test_min_cost_supplier_ties_keep_all_winners(spark, monkeypatch):
+    region = spark.createDataFrame([Row(r_regionkey=1, r_name="EUROPE")])
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=1, n_regionkey=1, n_name="NATION_1")]
+    )
+    supp = spark.createDataFrame(
+        [
+            Row(s_suppkey=1, s_nationkey=1, s_name="s1", s_acctbal=10.0),
+            Row(s_suppkey=2, s_nationkey=1, s_name="s2", s_acctbal=99.0),
+        ]
+    )
+    part = spark.createDataFrame([Row(p_partkey=7, p_type="STANDARD", p_size=5)])
+    li = spark.createDataFrame(
+        [
+            Row(l_partkey=7, l_suppkey=1, l_extendedprice=50.0),
+            Row(l_partkey=7, l_suppkey=2, l_extendedprice=50.0),
+        ]
+    )
+    _patch_tables(
+        monkeypatch,
+        {"lineitem": li, "supplier": supp, "nation": nation,
+         "region": region, "part": part},
+    )
+    rows = trade.min_cost_supplier_query(spark, "_").collect()
+    # both suppliers tie at the minimum; acctbal DESC puts supp 2 first
+    assert [(r["s_suppkey"], r["cost"]) for r in rows] == [(2, 50.0), (1, 50.0)]
+
+
+def test_important_part_values_threshold(spark, monkeypatch):
+    nation = spark.createDataFrame([Row(n_nationkey=8, n_name="NATION_8")])
+    supp = spark.createDataFrame([Row(s_suppkey=1, s_nationkey=8)])
+    # 501 parts at value 1 each: each is exactly 1/501 of the total,
+    # BELOW the 1/500 cutoff -> empty. Then one heavy part dominates.
+    li = spark.createDataFrame(
+        [Row(l_partkey=k, l_suppkey=1, l_extendedprice=1.0) for k in range(501)]
+    )
+    _patch_tables(monkeypatch, {"lineitem": li, "supplier": supp, "nation": nation})
+    assert trade.important_part_values_query(spark, "_").count() == 0
+
+    li2 = spark.createDataFrame(
+        [Row(l_partkey=k, l_suppkey=1, l_extendedprice=1.0) for k in range(100)]
+        + [Row(l_partkey=999, l_suppkey=1, l_extendedprice=900.0)]
+    )
+    _patch_tables(monkeypatch, {"lineitem": li2, "supplier": supp, "nation": nation})
+    rows = trade.important_part_values_query(spark, "_").collect()
+    assert [(r["p_partkey"], r["part_value"]) for r in rows] == [(999, 900.0)]
+
+
+def test_shipping_speed_priority_buckets(spark, monkeypatch):
+    orders = spark.createDataFrame(
+        [
+            Row(o_orderkey=1, o_orderdate=_ts("1995-01-01"),
+                o_orderpriority="1-URGENT"),
+            Row(o_orderkey=2, o_orderdate=_ts("1995-01-01"),
+                o_orderpriority="5-LOW"),
+        ]
+    )
+    li = spark.createDataFrame(
+        [
+            # 59 days: FAST; 60 days: SLOW (boundary is >= 60)
+            Row(l_orderkey=1, l_shipdate=_ts("1995-03-01")),  # 59 -> FAST, high
+            Row(l_orderkey=1, l_shipdate=_ts("1995-03-02")),  # 60 -> SLOW, high
+            Row(l_orderkey=2, l_shipdate=_ts("1995-03-02")),  # 60 -> SLOW, low
+        ]
+    )
+    _patch_tables(monkeypatch, {"lineitem": li, "orders": orders})
+    got = {
+        r["ship_speed"]: (r["high_line_count"], r["low_line_count"])
+        for r in trade.shipping_speed_priority_query(spark, "_").collect()
+    }
+    assert got == {"FAST": (1, 0), "SLOW": (1, 1)}
+
+
+def test_min_cost_supplier_plan(spark, sf_dir):
+    df = trade.min_cost_supplier_query(spark, sf_dir)
+    explained = plans.explain_str(df)
+    assert "TakeOrderedAndProject" in explained  # top-100, never a full sort
+    # type+size filters reach the part scan
+    assert any("p_type" in f for f in plans.pushed_filters(df))
+
+
+def test_shipping_speed_priority_plan_pushes_year(spark, sf_dir):
+    df = trade.shipping_speed_priority_query(spark, sf_dir)
+    assert any("l_shipdate" in f for f in plans.pushed_filters(df))
