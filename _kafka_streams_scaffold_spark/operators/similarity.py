@@ -617,3 +617,114 @@ SELECT vec_id, c_label AS assigned_label, dist2, cell_n, dist_rank,
            AS is_outlier
 FROM win
 """
+
+
+# --------------------------------------------------------------------------
+# k-NN graph (cell-blocked all-vectors neighbor graph + mutuality)
+# --------------------------------------------------------------------------
+
+KNN_K = 3
+
+
+def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-KNN_K cosine neighbor graph over EVERY vector, blocked by
+    the assigned IVF cell, with a mutual-edge flag — the construction
+    step behind semantic-dedup clustering and diversity sampling
+    (e.g. mutual-kNN pruning keeps only edges both endpoints agree
+    on). Unlike ``ivf_ann`` (a 10-query probe), this builds the full
+    graph: |V| * KNN_K edges.
+
+    Candidate generation is exact *within the cell*: each vector
+    ranks only co-cell vectors, turning O(n^2) scoring into
+    sum-over-cells O(|cell|^2) with every cell's work co-located in
+    one shuffle partition. Cross-cell true neighbors can be missed —
+    at the cell boundary this is the standard IVF recall trade — but
+    the result is fully deterministic (fold-form dot products, ties
+    broken on neighbor id), so the whole graph is oracle-checked, not
+    rows-only. The mutuality flag is one self-join of the edge list
+    on the reversed key.
+
+    100 TB posture: the quantizer chain (label_centroids ->
+    ivf_assign) sizes cells; the edge list carries 2 ids + 2 scalars
+    per row; the mutual join keys on (q,n) pairs — all shuffles are
+    id-width. k (number of centroids) grows with |V| to bound
+    |cell|^2, exactly as in ivf_near_dup.
+    """
+    emb = _emb(spark, sf_dir)
+    assign = ivf_assign_query(spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("cell")
+    )
+    nodes = emb.join(assign, "vec_id")
+    a = nodes.select(
+        F.col("vec_id").alias("q_id"),
+        "cell",
+        F.col("embedding").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    b = nodes.select(
+        F.col("vec_id").alias("n_id"),
+        "cell",
+        F.col("embedding").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+    )
+    cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
+        F.col("q_norm") * F.col("n_norm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+    )
+    rev = edges.select(
+        F.col("q_id").alias("r_q"), F.col("n_id").alias("r_n")
+    )
+    return (
+        edges.join(
+            rev,
+            (edges.q_id == rev.r_n) & (edges.n_id == rev.r_q),
+            "left",
+        )
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("n_id").alias("nbr_id"),
+            "cosine",
+            "rank",
+            F.col("r_q").isNotNull().alias("is_mutual"),
+        )
+    )
+
+
+KNN_GRAPH_ORACLE = f"""
+WITH {_DUCK_ASSIGN_CTES},
+normed AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+nodes AS (
+  SELECT n.vec_id, n.embedding, n.norm, a.c_label
+  FROM normed n JOIN assign a ON a.vec_id = n.vec_id
+),
+edges AS (
+  SELECT q_id, n_id, cosine, rank FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           {_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.norm * b.norm)
+               AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_dot_sql('a.embedding', 'b.embedding', 'duck')}
+                            / (a.norm * b.norm) DESC,
+                        b.vec_id
+           ) AS INTEGER) AS rank
+    FROM nodes a
+    JOIN nodes b ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+  )
+  WHERE rank <= {KNN_K}
+)
+SELECT e.q_id AS vec_id, e.n_id AS nbr_id, e.cosine, e.rank,
+       (r.q_id IS NOT NULL) AS is_mutual
+FROM edges e
+LEFT JOIN edges r ON r.q_id = e.n_id AND r.n_id = e.q_id
+"""

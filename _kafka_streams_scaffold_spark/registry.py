@@ -383,6 +383,11 @@ def _ensure_loaded() -> None:
         similarity.embedding_outliers_query,
         similarity.EMBEDDING_OUTLIERS_ORACLE,
     )
+    register(
+        "knn_graph",
+        similarity.knn_graph_query,
+        similarity.KNN_GRAPH_ORACLE,
+    )
 
     from .operators import multimodal, skew
 

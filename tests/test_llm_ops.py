@@ -340,3 +340,50 @@ def test_contamination_golden(spark, monkeypatch):
     }
     assert 100 in got and got[100] >= 2
     assert 101 not in got
+
+
+def test_knn_graph_structure_and_mutuality(spark, sf_dir):
+    rows = similarity.knn_graph_query(spark, sf_dir).collect()
+    edges = {(r["vec_id"], r["nbr_id"]): r for r in rows}
+    # every vector gets at most KNN_K neighbors, ranked 1..k densely
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["vec_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        assert len(ranks) <= similarity.KNN_K
+    # no self loops
+    assert all(q != n for q, n in edges)
+    # the mutual flag is exactly "reverse edge exists"
+    for (q, n), r in edges.items():
+        assert r["is_mutual"] == ((n, q) in edges), (q, n)
+    # mutuality is symmetric on the mutual subgraph
+    for (q, n), r in edges.items():
+        if r["is_mutual"]:
+            assert edges[(n, q)]["is_mutual"]
+
+
+def test_knn_graph_rank1_matches_exact_within_cell(spark, sf_dir):
+    """Within its assigned cell, every vector's rank-1 edge is the true
+    nearest co-cell neighbor (numpy cross-check, same recall contract
+    as the docstring states: exact within the cell)."""
+    assign = {
+        r["vec_id"]: r["assigned_label"]
+        for r in similarity.ivf_assign_query(spark, sf_dir).collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    got = {
+        r["vec_id"]: (r["nbr_id"], r["cosine"])
+        for r in similarity.knn_graph_query(spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    for q, (n, cos) in list(got.items())[:50]:
+        cell_mates = [v for v in emb if v != q and assign[v] == assign[q]]
+        nq = emb[q] / np.linalg.norm(emb[q])
+        sims = {v: float(nq @ (emb[v] / np.linalg.norm(emb[v]))) for v in cell_mates}
+        best = max(sims, key=lambda v: (sims[v], -v))
+        assert abs(cos - sims[n]) < 1e-9
+        assert sims[n] >= sims[best] - 1e-12
