@@ -740,3 +740,163 @@ FROM win
 WHERE cnt = mx
 GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage (tokenizer-design feedback: cumulative frequency)
+# --------------------------------------------------------------------------
+
+VOCAB_TOP = 100
+
+
+def vocab_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus tokens with the cumulative fraction of all token
+    occurrences they cover — the curve a tokenizer/vocab designer reads
+    to pick a vocabulary size ("how many types cover 95% of tokens?").
+
+    Determinism: the coverage fraction divides two exact BIGINT counts
+    (window cumsum over a total order: count DESC, token ASC), and one
+    correctly-rounded double division per row cross-engine-matches
+    bit-for-bit.
+
+    Scale: the corpus-wide explode feeds a partial-aggregatable count,
+    so the shuffle carries one row per distinct TOKEN (vocabulary-
+    sized, not corpus-sized). The global rank window runs single-
+    partition, but over that same vocabulary-sized table — the
+    standard top-k-over-aggregates shape. The cumsum then touches only
+    the surviving 100 rows.
+    """
+    from pyspark.sql import Window
+
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    counts = (
+        docs.select(F.explode(tokens_expr()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("total_tokens"))
+    w_rank = Window.orderBy(F.col("cnt").desc(), "token")
+    top = (
+        counts.withColumn("vocab_rank", F.row_number().over(w_rank))
+        .filter(F.col("vocab_rank") <= VOCAB_TOP)
+    )
+    w_cum = Window.orderBy("vocab_rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn("cum_cnt", F.sum("cnt").over(w_cum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            "vocab_rank",
+            (
+                F.col("cum_cnt").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("cum_coverage"),
+        )
+    )
+
+
+VOCAB_COVERAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+ranked AS (
+  SELECT token, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER)
+             AS vocab_rank
+  FROM counts
+)
+SELECT token, cnt, vocab_rank,
+       CAST(SUM(cnt) OVER (ORDER BY vocab_rank) AS DOUBLE)
+           / CAST((SELECT SUM(cnt) FROM counts) AS DOUBLE) AS cum_coverage
+FROM ranked
+WHERE vocab_rank <= {VOCAB_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-source corpus profile (the dataset-card table)
+# --------------------------------------------------------------------------
+
+
+def source_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per source: document count, token volume, language
+    spread, mean length, and exact-duplicate rate — the summary table
+    a dataset card (or a mixture-weight decision) starts from.
+
+    The duplicate rate reuses the ``doc_fingerprint`` normalization
+    (md5 of whitespace-collapsed lowercased text): a document counts
+    as duplicated when its fingerprint occurs more than once ANYWHERE
+    in the corpus, so a source that plagiarizes another source is
+    charged for it even if each source is internally unique.
+
+    Determinism: every emitted number is either an exact count or one
+    correctly-rounded division of exact counts. Scale: the fingerprint
+    multiplicity is a window keyed on the digest (digest-width
+    shuffle); the per-source rollup is partial-aggregatable; language
+    spread uses count(DISTINCT lang) over a handful of values.
+    """
+    from pyspark.sql import Window
+
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = docs.withColumn("fp", F.md5(normalized)).withColumn(
+        "n_tokens", F.size(tokens_expr()).cast("bigint")
+    )
+    w_fp = Window.partitionBy("fp")
+    flagged = fp.withColumn("fp_n", F.count(F.lit(1)).over(w_fp))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.when(F.col("fp_n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_langs",
+            (
+                F.col("total_chars").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("avg_chars"),
+            (
+                F.col("dup_docs").cast("double") / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
+SOURCE_PROFILE_ORACLE = """
+WITH fp AS (
+  SELECT source, lang, n_chars,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         len(list_filter(string_split_regex(lower(text), '\\W+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+flagged AS (
+  SELECT source, lang, n_chars, n_tokens,
+         COUNT(*) OVER (PARTITION BY fp) AS fp_n
+  FROM fp
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+       CAST(SUM(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM flagged
+GROUP BY source
+"""

@@ -293,6 +293,12 @@ def _ensure_loaded() -> None:
     register(
         "doc_repetition", textops.doc_repetition_query, textops.DOC_REPETITION_ORACLE
     )
+    register(
+        "vocab_coverage", textops.vocab_coverage_query, textops.VOCAB_COVERAGE_ORACLE
+    )
+    register(
+        "source_profile", textops.source_profile_query, textops.SOURCE_PROFILE_ORACLE
+    )
 
     from .operators import changelog
 

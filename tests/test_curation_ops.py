@@ -140,3 +140,56 @@ def test_embedding_outliers_flags_far_vector(spark, sf_dir):
             )
         # mean consistency: every member shares the cell mean
         assert len({round(m["mean_dist2"], 9) for m in members}) == 1
+
+
+# -- vocab_coverage ---------------------------------------------------------
+
+
+def test_vocab_coverage_curve(spark, monkeypatch):
+    # 4x "a", 2x "b", 1x "c" -> coverage 4/7, 6/7, 7/7
+    df = _docs(spark, ["a a a a", "b b c"])
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    rows = sorted(
+        textops.vocab_coverage_query(spark, "_").collect(),
+        key=lambda r: r["vocab_rank"],
+    )
+    assert [(r["token"], r["cnt"], r["vocab_rank"]) for r in rows] == [
+        ("a", 4, 1), ("b", 2, 2), ("c", 1, 3)
+    ]
+    assert [round(r["cum_coverage"], 9) for r in rows] == [
+        round(4 / 7, 9), round(6 / 7, 9), 1.0
+    ]
+
+
+def test_vocab_coverage_tie_order_is_alphabetical(spark, monkeypatch):
+    df = _docs(spark, ["z y z y"])
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    rows = sorted(
+        textops.vocab_coverage_query(spark, "_").collect(),
+        key=lambda r: r["vocab_rank"],
+    )
+    assert [r["token"] for r in rows] == ["y", "z"]  # equal counts: token ASC
+
+
+# -- source_profile ---------------------------------------------------------
+
+
+def test_source_profile_cross_source_dup_charging(spark, monkeypatch):
+    rows = [
+        # s1 doc 0 and s2 doc 2 are exact duplicates after normalization
+        Row(doc_id=0, text="Hello  World", lang="en", source="s1", n_chars=12),
+        Row(doc_id=1, text="unique one", lang="en", source="s1", n_chars=10),
+        Row(doc_id=2, text="hello world", lang="fr", source="s2", n_chars=11),
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    got = {r["source"]: r for r in
+           textops.source_profile_query(spark, "_").collect()}
+    assert got["s1"]["n_docs"] == 2
+    assert got["s1"]["total_tokens"] == 4
+    assert got["s1"]["n_langs"] == 1
+    assert got["s1"]["dup_rate"] == 0.5      # doc 0 duplicated in s2
+    assert got["s2"]["n_docs"] == 1
+    assert got["s2"]["n_langs"] == 1
+    assert got["s2"]["dup_rate"] == 1.0      # its only doc exists in s1
+    assert got["s1"]["avg_chars"] == 11.0
