@@ -775,3 +775,78 @@ FROM wide
 UNPIVOT (cnt FOR event_type IN ({", ".join(_PIVOT_TYPES)}))
 WHERE cnt > 0
 """
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion (ordered signup -> click -> purchase)
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def funnel_conversion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel counts: users who signed up, who then clicked
+    strictly after their first signup, who then purchased strictly
+    after that first qualifying click. The ORDER matters — a purchase
+    before the click does not convert — which is what separates this
+    from three independent filters.
+
+    Decorrelated into three per-user min aggregates, each feeding the
+    next as an equi-join + residual (ts > prev_ts): the shuffles key
+    on user_id and carry one timestamp per user, so each stage is a
+    partial-aggregatable min over an already user-pruned event slice.
+    One output row.
+    """
+    ev = tables.table(spark, sf_dir, "events")
+
+    sign = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    click = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(sign, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(click, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        sign.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+        .crossJoin(
+            click.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_after"))
+        )
+        .crossJoin(
+            purchase.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_purchase_after")
+            )
+        )
+    )
+
+
+FUNNEL_CONVERSION_ORACLE = f"""
+WITH sign AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+click AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+  JOIN sign s ON s.user_id = e.user_id AND e.ts > s.t1
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' GROUP BY e.user_id
+),
+purch AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+  JOIN click c ON c.user_id = e.user_id AND e.ts > c.t2
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' GROUP BY e.user_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM sign) AS n_signup,
+       (SELECT CAST(count(*) AS BIGINT) FROM click) AS n_click_after,
+       (SELECT CAST(count(*) AS BIGINT) FROM purch) AS n_purchase_after
+"""

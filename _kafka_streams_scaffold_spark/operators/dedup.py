@@ -576,3 +576,76 @@ JOIN bench b ON s.shingle = b.shingle
 WHERE s.doc_id >= {BENCHMARK_DOC_MAX}
 GROUP BY s.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Boilerplate n-gram detection (C4-style high-document-frequency lines)
+# --------------------------------------------------------------------------
+
+# A shingle is boilerplate when it appears in more than 1/BOILER_DENOM
+# of all documents. The compare is exact-integer (df * DENOM > n_docs)
+# so the cut is bit-identical on both engines.
+BOILER_DENOM = 10
+
+
+def boilerplate_ngrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate load: how many of its distinct
+    3-gram shingles occur in more than 10% of ALL documents, and the
+    fraction of the document that is such boilerplate — the C4-style
+    signal for template/navigation text that near-dup pairing misses
+    (boilerplate is shared by *many* docs, not near-duplicated between
+    two).
+
+    Scale: shingle document frequency is the same inverted index the
+    Jaccard path builds, and the boilerplate set is vocabulary-sized
+    (high-df shingles only), so the flag join keys on the shingle with
+    a small build side; the per-doc rollup is partial-aggregatable.
+    The corpus size joins in as a broadcast scalar.
+    """
+    docs = tables.table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    boiler = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * BOILER_DENOM > F.col("n_docs"))
+        .select("shingle", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        sh.join(boiler, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("bigint")
+            .alias("boiler_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "boiler_shingles",
+            (
+                F.col("boiler_shingles").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+BOILERPLATE_NGRAMS_ORACLE = f"""
+WITH {_DUCK_SHINGLE_CTE},
+dfreq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
+boiler AS (
+  SELECT shingle FROM dfreq
+  WHERE df * {BOILER_DENOM} > (SELECT count(*) FROM documents)
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS boiler_shingles,
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS boiler_frac
+FROM shingles s
+LEFT JOIN boiler b ON b.shingle = s.shingle
+GROUP BY s.doc_id
+"""

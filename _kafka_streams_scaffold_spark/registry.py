@@ -125,6 +125,11 @@ def _ensure_loaded() -> None:
     register("events_pivot", an.events_pivot_query, an.EVENTS_PIVOT_ORACLE)
     register("events_unpivot", an.events_unpivot_query, an.EVENTS_UNPIVOT_ORACLE)
     register(
+        "funnel_conversion",
+        an.funnel_conversion_query,
+        an.FUNNEL_CONVERSION_ORACLE,
+    )
+    register(
         "revenue_forecast", an.revenue_forecast_query, an.REVENUE_FORECAST_ORACLE
     )
     register(
@@ -347,6 +352,11 @@ def _ensure_loaded() -> None:
     register("simhash_pairs", dedup.simhash_pairs_query, dedup.SIMHASH_PAIRS_ORACLE)
     register(
         "contamination", dedup.contamination_query, dedup.CONTAMINATION_ORACLE
+    )
+    register(
+        "boilerplate_ngrams",
+        dedup.boilerplate_ngrams_query,
+        dedup.BOILERPLATE_NGRAMS_ORACLE,
     )
 
     from .operators import curation

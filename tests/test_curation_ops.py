@@ -193,3 +193,70 @@ def test_source_profile_cross_source_dup_charging(spark, monkeypatch):
     assert got["s2"]["n_langs"] == 1
     assert got["s2"]["dup_rate"] == 1.0      # its only doc exists in s1
     assert got["s1"]["avg_chars"] == 11.0
+
+
+# -- boilerplate_ngrams -----------------------------------------------------
+
+
+def test_boilerplate_ngrams_flags_high_df_shingles(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    # "the same header text" shingles appear in ALL 12 docs (df=12 >
+    # 12/10); each doc's tail is unique.
+    texts = [f"the same header text unique{i} tail{i}" for i in range(12)]
+    df = _docs(spark, texts)
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: df)
+    got = {r["doc_id"]: r for r in
+           dedup.boilerplate_ngrams_query(spark, "_").collect()}
+    assert len(got) == 12
+    r = got[0]
+    # 6 tokens -> 4 shingles: "the same header", "same header text",
+    # "header text uniqueN", "text uniqueN tailN"; the first two are
+    # shared by all 12 docs
+    assert r["n_shingles"] == 4
+    assert r["boiler_shingles"] == 2
+    assert r["boiler_frac"] == pytest.approx(0.5)
+
+
+def test_boilerplate_ngrams_all_unique_corpus_is_clean(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    texts = [f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(11)]
+    df = _docs(spark, texts)
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: df)
+    rows = dedup.boilerplate_ngrams_query(spark, "_").collect()
+    assert rows and all(r["boiler_shingles"] == 0 for r in rows)
+
+
+# -- funnel_conversion ------------------------------------------------------
+
+
+def test_funnel_order_matters(spark, monkeypatch):
+    import datetime as dt
+
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    def ev(user, ts, typ):
+        return Row(user_id=user, ts=dt.datetime.fromisoformat(ts),
+                   event_type=typ)
+
+    rows = [
+        # user 1 completes the funnel in order
+        ev(1, "2024-01-01T00:00:00", "signup"),
+        ev(1, "2024-01-02T00:00:00", "click"),
+        ev(1, "2024-01-03T00:00:00", "purchase"),
+        # user 2: purchase BEFORE the click -> no conversion
+        ev(2, "2024-01-01T00:00:00", "signup"),
+        ev(2, "2024-01-03T00:00:00", "click"),
+        ev(2, "2024-01-02T00:00:00", "purchase"),
+        # user 3: click before signup doesn't count; no click after
+        ev(3, "2024-01-02T00:00:00", "signup"),
+        ev(3, "2024-01-01T00:00:00", "click"),
+        # user 4: never signed up
+        ev(4, "2024-01-01T00:00:00", "click"),
+        ev(4, "2024-01-02T00:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(analytics.tables, "table", lambda *a: df)
+    r = analytics.funnel_conversion_query(spark, "_").collect()[0]
+    assert (r["n_signup"], r["n_click_after"], r["n_purchase_after"]) == (3, 2, 1)
