@@ -138,6 +138,34 @@ AUDIT = [
         "self-join); one window shuffle on the cell id carrying "
         "scalars; cell means from exact fixed-point sums.",
     ),
+    (
+        "min_cost_supplier",
+        "Region/nation/part dims prune lineitem BEFORE its only "
+        "shuffle (the pair aggregate); the per-part min is a second "
+        "pass over the small offers table; final top-100 is "
+        "TakeOrderedAndProject, never a global sort.",
+    ),
+    (
+        "knn_graph",
+        "Self-join keys on the assigned IVF cell so pair scoring is "
+        "sum-over-cells O(|cell|^2) co-located per partition; the "
+        "mutual-edge join keys on id pairs — every shuffle row is "
+        "id-width, the vectors themselves never re-shuffle after the "
+        "cell join.",
+    ),
+    (
+        "boilerplate_ngrams",
+        "Shingle document-frequency reuses the inverted index; the "
+        "boilerplate set is the high-df tail only (vocabulary-sized "
+        "build side) and the per-doc rollup is partial-aggregatable; "
+        "the corpus size joins as a broadcast scalar.",
+    ),
+    (
+        "funnel_conversion",
+        "Three chained per-user min aggregates, each stage an "
+        "equi-join on user_id carrying one timestamp per user; no "
+        "window over the raw event stream, no per-user sort.",
+    ),
 ]
 
 
