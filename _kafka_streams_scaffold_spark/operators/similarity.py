@@ -728,3 +728,99 @@ SELECT e.q_id AS vec_id, e.n_id AS nbr_id, e.cosine, e.rank,
 FROM edges e
 LEFT JOIN edges r ON r.q_id = e.n_id AND r.n_id = e.q_id
 """
+
+
+# --------------------------------------------------------------------------
+# Embedding diversity (per-cell mean pairwise distance, O(n) power sums)
+# --------------------------------------------------------------------------
+
+
+def embedding_diversity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise squared distance within each label cell — the
+    corpus-diversity dial (collapsed/duplicated clusters score near 0;
+    healthy diverse cells score high) — WITHOUT the pair join:
+
+        sum_{i<j} |x_i - x_j|^2  =  n * sum_i |x_i|^2 - |sum_i x_i|^2
+
+    turns an O(n^2) pair computation into two linear power sums. Both
+    sums run on fixed-point BIGINTs (floor(x * 1e6), the
+    label_centroids contract) so they are exact and associative; the
+    squares are widened to DECIMAL(38,0) (still exact), and the one
+    double division at the end is correctly rounded — bit-identical
+    cross-engine with no ordering anywhere.
+
+    Scale: one partial-aggregatable pass per (cell, pos) for the
+    component sums plus one per cell for the norms; shuffle rows are
+    |cells| x dim scalars. The pair semantics need no pair to exist.
+    """
+    emb = tables.spread(tables.table(spark, sf_dir, "embeddings"), "vec_id")
+    exploded = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        "vec_id",
+        "pos0",
+        F.floor(F.col("x").cast("double") * _FP_SCALE).alias("x_fp"),
+    )
+    # per (label, pos) component sums; per label the total squared norm
+    comp = exploded.groupBy("label", "pos0").agg(
+        F.sum("x_fp").alias("s_fp")
+    )
+    d38 = "decimal(38,0)"
+    sumsq = comp.groupBy("label").agg(
+        F.sum(F.col("s_fp").cast(d38) * F.col("s_fp").cast(d38)).alias(
+            "sumsq_of_sums"
+        )
+    )
+    norms = exploded.groupBy("label").agg(
+        F.sum(F.col("x_fp").cast(d38) * F.col("x_fp").cast(d38)).alias("q_fp2"),
+        (F.countDistinct("vec_id")).alias("n"),
+    )
+    pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+    num = F.col("n").cast(d38) * F.col("q_fp2") - F.col("sumsq_of_sums")
+    scale2 = float(_FP_SCALE) * float(_FP_SCALE)
+    return (
+        norms.join(sumsq, "label")
+        .filter(F.col("n") > 1)
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n"),
+            (
+                num.cast("double")
+                / (pairs.cast("double") * F.lit(scale2))
+            ).alias("mean_pair_dist2"),
+        )
+    )
+
+
+EMBEDDING_DIVERSITY_ORACLE = f"""
+WITH fp AS (
+  SELECT label, vec_id, i AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP_SCALE}) AS BIGINT)
+             AS x_fp
+  FROM embeddings, generate_series(1, {DIM}) AS t(i)
+),
+comp AS (
+  SELECT label, pos, SUM(x_fp) AS s_fp FROM fp GROUP BY 1, 2
+),
+sumsq AS (
+  SELECT label,
+         SUM(CAST(s_fp AS DECIMAL(38,0)) * CAST(s_fp AS DECIMAL(38,0)))
+             AS sumsq_of_sums
+  FROM comp GROUP BY 1
+),
+norms AS (
+  SELECT label,
+         SUM(CAST(x_fp AS DECIMAL(38,0)) * CAST(x_fp AS DECIMAL(38,0)))
+             AS q_fp2,
+         COUNT(DISTINCT vec_id) AS n
+  FROM fp GROUP BY 1
+)
+SELECT n.label, CAST(n.n AS BIGINT) AS n,
+       CAST(CAST(n.n AS DECIMAL(38,0)) * n.q_fp2 - s.sumsq_of_sums AS DOUBLE)
+           / (CAST(CAST(n.n * (n.n - 1) / 2 AS BIGINT) AS DOUBLE)
+              * {float(_FP_SCALE)} * {float(_FP_SCALE)})
+           AS mean_pair_dist2
+FROM norms n JOIN sumsq s ON s.label = n.label
+WHERE n.n > 1
+"""

@@ -404,6 +404,11 @@ def _ensure_loaded() -> None:
         similarity.knn_graph_query,
         similarity.KNN_GRAPH_ORACLE,
     )
+    register(
+        "embedding_diversity",
+        similarity.embedding_diversity_query,
+        similarity.EMBEDDING_DIVERSITY_ORACLE,
+    )
 
     from .operators import multimodal, skew
 

@@ -4,6 +4,7 @@ dedup (exact / n-gram / MinHash-LSH / SimHash), similarity search."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import Row
 
 from _kafka_streams_scaffold_spark.operators import dedup, similarity, textops
@@ -387,3 +388,32 @@ def test_knn_graph_rank1_matches_exact_within_cell(spark, sf_dir):
         best = max(sims, key=lambda v: (sims[v], -v))
         assert abs(cos - sims[n]) < 1e-9
         assert sims[n] >= sims[best] - 1e-12
+
+
+def test_embedding_diversity_matches_naive_pairwise(spark, sf_dir):
+    """The O(n) power-sum identity must equal the naive O(n^2) mean
+    pairwise squared distance (on the fixed-point grid the operator
+    computes on)."""
+    got = {
+        r["label"]: (r["n"], r["mean_pair_dist2"])
+        for r in similarity.embedding_diversity_query(spark, sf_dir).collect()
+    }
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_label = {}
+    for r in rows:
+        fp = np.floor(np.array(r["embedding"], dtype=np.float64) * 1e6)
+        by_label.setdefault(r["label"], []).append(fp)
+    for label, vecs in by_label.items():
+        if len(vecs) < 2:
+            assert label not in got
+            continue
+        n = len(vecs)
+        M = np.stack(vecs)
+        total = 0.0
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = M[i] - M[j]
+                total += float(d @ d)
+        expect = total / (n * (n - 1) / 2) / 1e12
+        assert got[label][0] == n
+        assert got[label][1] == pytest.approx(expect, rel=1e-9), label

@@ -116,7 +116,31 @@ def main() -> None:
             lineitem(m),
             lambda: trade.volume_shipping_query(spark, SF_DIR),
         ),
+        "vocab coverage (vocab-sized window)": lambda m: _with_docs(
+            m, lambda: textops.vocab_coverage_query(spark, SF_DIR)
+        ),
+        "source profile (fp window + rollup)": lambda m: _with_docs(
+            m, lambda: textops.source_profile_query(spark, SF_DIR)
+        ),
+        "boilerplate ngrams (df + flag join)": lambda m: _with_docs(
+            m, lambda: dedup.boilerplate_ngrams_query(spark, SF_DIR)
+        ),
+        "funnel (chained min-joins)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: an_funnel(spark),
+        ),
+        "min-cost supplier (2-pass min)": lambda m: _with_table(
+            "lineitem",
+            lineitem(m),
+            lambda: trade.min_cost_supplier_query(spark, SF_DIR),
+        ),
     }
+
+    def an_funnel(spark_):
+        from _kafka_streams_scaffold_spark.operators import analytics
+
+        return analytics.funnel_conversion_query(spark_, SF_DIR)
 
     lines = [
         "# SCALE — 10x scale probe (generated by tools/scale_probe.py)",
