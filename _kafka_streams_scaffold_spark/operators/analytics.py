@@ -850,3 +850,82 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM sign) AS n_signup,
        (SELECT CAST(count(*) AS BIGINT) FROM click) AS n_click_after,
        (SELECT CAST(count(*) AS BIGINT) FROM purch) AS n_purchase_after
 """
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts (week-over-week active-user matrix)
+# --------------------------------------------------------------------------
+
+
+def retention_cohorts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users cohorted by first-seen ISO week;
+    cell (cohort, k) counts distinct cohort members active k weeks
+    later, with the retention ratio — the standard growth-analytics
+    rollup.
+
+    Two distinct-aggregates plus one equi-join, all keyed on user_id
+    or (cohort, k): first-seen week per user (min over a pre-projected
+    scan), the distinct (user, week) activity grid, then a
+    partial-aggregatable distinct count per cell. Week arithmetic is
+    whole-DATE Monday truncation and day-difference // 7 — exact
+    integers on both engines.
+    """
+    ev = tables.table(spark, sf_dir, "events")
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    activity = ev.select("user_id", week.alias("w")).distinct()
+    first = activity.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    grid = (
+        activity.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_k"),
+        )
+        .distinct()
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        grid.groupBy("cohort_week", "week_k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("retained"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_k",
+            "retained",
+            "cohort_size",
+            (
+                F.col("retained").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+RETENTION_COHORTS_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(w) AS cohort_week FROM activity GROUP BY user_id
+),
+grid AS (
+  SELECT DISTINCT a.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.w) / 7 AS INTEGER) AS week_k
+  FROM activity a JOIN first f ON f.user_id = a.user_id
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY cohort_week
+)
+SELECT g.cohort_week, g.week_k,
+       CAST(count(*) AS BIGINT) AS retained,
+       s.cohort_size,
+       CAST(count(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+FROM grid g JOIN sizes s ON s.cohort_week = g.cohort_week
+GROUP BY g.cohort_week, g.week_k, s.cohort_size
+"""

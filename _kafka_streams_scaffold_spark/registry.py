@@ -130,6 +130,11 @@ def _ensure_loaded() -> None:
         an.FUNNEL_CONVERSION_ORACLE,
     )
     register(
+        "retention_cohorts",
+        an.retention_cohorts_query,
+        an.RETENTION_COHORTS_ORACLE,
+    )
+    register(
         "revenue_forecast", an.revenue_forecast_query, an.REVENUE_FORECAST_ORACLE
     )
     register(

@@ -121,3 +121,37 @@ def test_rolling_window_single_shuffle(spark, sf_dir):
     # One exchange: hash partition on user_id for the window sort.
     # (formatted explain mentions each node twice: tree + details)
     assert len(set(re.findall(r"\((\d+)\) Exchange", s))) == 1
+
+
+def test_retention_cohorts_golden(spark, monkeypatch):
+    import datetime as dt
+
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    def ev(user, ts):
+        return Row(user_id=user, ts=dt.datetime.fromisoformat(ts),
+                   event_type="click", event_id=0, value=0.0, props="{}")
+
+    rows = [
+        # cohort week of 2024-01-01 (Monday): users 1, 2
+        ev(1, "2024-01-01T10:00:00"),
+        ev(1, "2024-01-08T10:00:00"),   # retained week 1
+        ev(1, "2024-01-09T12:00:00"),   # same week, no double count
+        ev(2, "2024-01-03T10:00:00"),
+        # cohort week of 2024-01-08: user 3
+        ev(3, "2024-01-10T10:00:00"),
+        ev(3, "2024-01-22T10:00:00"),   # retained week 2
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(analytics.tables, "table", lambda *a: df)
+    got = {
+        (str(r["cohort_week"]), r["week_k"]): (r["retained"], r["cohort_size"],
+                                               r["retention"])
+        for r in analytics.retention_cohorts_query(spark, "_").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (1, 2, 0.5),
+        ("2024-01-08", 0): (1, 1, 1.0),
+        ("2024-01-08", 2): (1, 1, 1.0),
+    }
