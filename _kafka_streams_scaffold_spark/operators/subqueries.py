@@ -484,17 +484,19 @@ def bulk_part_suppliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Q20's correlated scalar (per-part total) decorrelates into a
     per-(part, supplier) aggregate equi-joined to the per-part
-    aggregate — both partial-aggregatable, one shuffle each on the
-    part key, and the comparison stays in exact integer/decimal
-    arithmetic (5*qty(s,p) > qty(p)) so no division enters the plan."""
+    aggregate, and the comparison stays in exact integer/decimal
+    arithmetic (5*qty(s,p) > qty(p)) so no division enters the plan.
+    The per-part total RE-AGGREGATES the pair aggregate rather than
+    scanning lineitem a second time (decimal sums are associative, so
+    the result is bit-identical): lineitem is read and pair-shuffled
+    once, and Catalyst reuses that exchange for both branches — at
+    100 TB the second fact scan is the cost that matters."""
     li = tables.table(spark, sf_dir, "lineitem")
     supp = tables.table(spark, sf_dir, "supplier")
     per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(_dec("l_quantity")).alias("sq")
     )
-    per_p = li.groupBy("l_partkey").agg(
-        F.sum(_dec("l_quantity")).alias("pq")
-    )
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("sq").alias("pq"))
     bulk = (
         per_ps.join(per_p, "l_partkey")
         .filter(F.col("sq") * 5 > F.col("pq"))
