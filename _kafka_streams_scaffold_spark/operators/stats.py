@@ -191,3 +191,90 @@ FROM ranked
 WHERE abs(ra - rd) <= 1
 GROUP BY c_mktsegment
 """
+
+
+# --------------------------------------------------------------------------
+# Winsorized statistics (exact-percentile clamping before aggregation)
+# --------------------------------------------------------------------------
+
+
+def winsorized_event_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean of values clamped to the exact [p1, p99]
+    range — the outlier-capping preprocessing step robust pipelines
+    run before feeding metrics (or reward signals) downstream.
+
+    The percentile is EXACT selection, not interpolation: rank rows
+    with a total order (value, event_id), pick rank ceil(n/100) and
+    ceil(99n/100) via pure integer arithmetic — both engines select
+    the identical physical row, so the thresholds are bit-equal and
+    the clamped DECIMAL mean hash-matches.
+
+    Scale: one rank window per type (the same shuffle the exact
+    median uses), thresholds are |types| rows broadcast back, clamp
+    and mean are map-local + partial-aggregatable.
+    """
+    ev = tables.table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value"), F.col("event_id")
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = ev.withColumn("ra", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    lo = (
+        ranked.filter(F.col("ra") == F.expr("(n + 99) div 100"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("p1"))
+    )
+    hi = (
+        ranked.filter(F.col("ra") == F.expr("(99 * n + 99) div 100"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("p99"))
+    )
+    clamped = (
+        ranked.join(F.broadcast(lo), "event_type")
+        .join(F.broadcast(hi), "event_type")
+        .withColumn(
+            "cv",
+            F.least(F.greatest(F.col("value"), F.col("p1")), F.col("p99")),
+        )
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("p1").alias("p1"),
+        F.min("p99").alias("p99"),
+        (
+            F.sum(_dec("cv")).cast("double") / F.count(F.lit(1))
+        ).alias("winsor_mean"),
+    )
+
+
+WINSORIZED_EVENT_STATS_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS ra,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+lo AS (
+  SELECT event_type, MIN(value) AS p1 FROM ranked
+  WHERE ra = (n + 99) // 100 GROUP BY event_type
+),
+hi AS (
+  SELECT event_type, MIN(value) AS p99 FROM ranked
+  WHERE ra = (99 * n + 99) // 100 GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(l.p1) AS p1,
+       MIN(h.p99) AS p99,
+       CAST(SUM(CAST(least(greatest(r.value, l.p1), h.p99)
+                AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS winsor_mean
+FROM ranked r
+JOIN lo l ON l.event_type = r.event_type
+JOIN hi h ON h.event_type = r.event_type
+GROUP BY r.event_type
+"""

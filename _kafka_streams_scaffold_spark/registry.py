@@ -244,6 +244,11 @@ def _ensure_loaded() -> None:
         stats.segment_spend_median_query,
         stats.SEGMENT_SPEND_MEDIAN_ORACLE,
     )
+    register(
+        "winsorized_event_stats",
+        stats.winsorized_event_stats_query,
+        stats.WINSORIZED_EVENT_STATS_ORACLE,
+    )
 
     from .operators import sketches
 

@@ -94,3 +94,34 @@ def test_median_ties_resolve_totally(spark, monkeypatch):
     [r] = stats.segment_spend_median_query(spark, "_").collect()
     assert r["median_spend"] == pytest.approx(7.0)
     assert r["n_median_rows"] == 1
+
+
+def test_winsorized_stats_clamps_outliers(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import stats as st
+
+    # 100 values 1..100 for one type: p1 row is rank 1 (value 1.0),
+    # p99 row is rank 99 (value 99.0); the 100.0 outlier clamps to 99.
+    rows = [
+        Row(event_type="click", event_id=i, value=float(i))
+        for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(st.tables, "table", lambda *a: df)
+    r = st.winsorized_event_stats_query(spark, "_").collect()[0]
+    assert (r["n"], r["p1"], r["p99"]) == (100, 1.0, 99.0)
+    # mean of 1..99 plus the clamped 99 = (4950 + 99) / 100
+    assert r["winsor_mean"] == pytest.approx(50.49)
+
+
+def test_winsorized_stats_small_group_degenerates_to_identity(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import stats as st
+
+    # n=3: p1 rank = ceil(3/100) = 1, p99 rank = ceil(297/100) = 3 —
+    # thresholds are min and max, clamping is the identity.
+    rows = [Row(event_type="view", event_id=i, value=v)
+            for i, v in enumerate([5.0, 7.0, 9.0])]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(st.tables, "table", lambda *a: df)
+    r = st.winsorized_event_stats_query(spark, "_").collect()[0]
+    assert (r["p1"], r["p99"]) == (5.0, 9.0)
+    assert r["winsor_mean"] == pytest.approx(7.0)
