@@ -250,6 +250,14 @@ def _ensure_loaded() -> None:
         stats.WINSORIZED_EVENT_STATS_ORACLE,
     )
 
+    from .operators import dq
+
+    register(
+        "data_quality_audit",
+        dq.data_quality_audit_query,
+        dq.DATA_QUALITY_AUDIT_ORACLE,
+    )
+
     from .operators import sketches
 
     register(

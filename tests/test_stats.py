@@ -125,3 +125,37 @@ def test_winsorized_stats_small_group_degenerates_to_identity(spark, monkeypatch
     r = st.winsorized_event_stats_query(spark, "_").collect()[0]
     assert (r["p1"], r["p99"]) == (5.0, 9.0)
     assert r["winsor_mean"] == pytest.approx(7.0)
+
+
+def test_data_quality_audit_counts_violations(spark, monkeypatch):
+    import datetime as dt
+
+    from _kafka_streams_scaffold_spark.operators import dq
+
+    li = spark.createDataFrame([
+        Row(l_orderkey=1, l_quantity=5.0, l_discount=0.1,
+            l_extendedprice=100.0, l_tax=0.05),
+        Row(l_orderkey=2, l_quantity=-1.0, l_discount=1.5,     # 2 rules hit
+            l_extendedprice=-5.0, l_tax=-0.1),                 # +2 more
+        Row(l_orderkey=99, l_quantity=1.0, l_discount=0.0,     # orphan
+            l_extendedprice=1.0, l_tax=0.0),
+    ])
+    orders = spark.createDataFrame([
+        Row(o_orderkey=1, o_custkey=1, o_totalprice=100.0),
+        Row(o_orderkey=2, o_custkey=2, o_totalprice=-3.0),     # 1 rule hit
+    ])
+    frames = {"lineitem": li, "orders": orders}
+    monkeypatch.setattr(dq.tables, "table",
+                        lambda s, sf, name: frames[name])
+    got = {r["rule"]: r["n_violations"]
+           for r in dq.data_quality_audit_query(spark, "_").collect()}
+    assert got == {
+        "li_null_orderkey": 0,
+        "li_nonpositive_qty": 1,
+        "li_discount_range": 1,
+        "li_negative_price": 1,
+        "li_negative_tax": 1,
+        "o_null_custkey": 0,
+        "o_nonpositive_total": 1,
+        "li_orphan_orderkey": 1,
+    }
