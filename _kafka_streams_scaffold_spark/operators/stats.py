@@ -278,3 +278,76 @@ JOIN lo l ON l.event_type = r.event_type
 JOIN hi h ON h.event_type = r.event_type
 GROUP BY r.event_type
 """
+
+
+# --------------------------------------------------------------------------
+# Event anomaly detection (z-score against exact power-sum moments)
+# --------------------------------------------------------------------------
+
+ANOMALY_Z = 3.0
+
+
+def event_anomalies_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits more than 3 sample standard deviations
+    from their type's mean — the outlier-surfacing twin of the
+    winsorized mean (cap vs inspect).
+
+    Mean and stddev come from the same exact DECIMAL power sums as
+    segment_spend_stats, so the per-type moments are bit-stable; the
+    z expression is structurally identical on both engines (each
+    IEEE step correctly rounded), making even the float comparison at
+    the 3-sigma boundary deterministic. Scale: one partial-
+    aggregatable moment pass, |types| rows broadcast back over the
+    scan, map-local flagging — the fact table shuffles zero times.
+    """
+    ev = tables.table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    v = _dec("value")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum(v).alias("sv"),
+        F.sum((v * v).cast(_P4)).alias("svv"),
+    )
+    n = F.col("n_ev").cast("double")
+    sv = F.col("sv").cast("double")
+    svv = F.col("svv").cast("double")
+    moments = agg.select(
+        "event_type",
+        (sv / n).alias("mean_v"),
+        F.sqrt((n * svv - sv * sv) / (n * (n - F.lit(1.0)))).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(F.broadcast(moments), "event_type")
+        .filter(F.col("std_v") > 0)
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > ANOMALY_Z)
+        .select("event_id", "event_type", "value", "zscore")
+    )
+
+
+EVENT_ANOMALIES_ORACLE = f"""
+WITH agg AS (
+  SELECT event_type,
+         COUNT(*) AS n_ev,
+         SUM(CAST(value AS DECIMAL(12,2))) AS sv,
+         SUM(CAST(CAST(value AS DECIMAL(12,2))
+             * CAST(value AS DECIMAL(12,2)) AS DECIMAL(25,4))) AS svv
+  FROM events GROUP BY event_type
+),
+moments AS (
+  SELECT event_type,
+         CAST(sv AS DOUBLE) / CAST(n_ev AS DOUBLE) AS mean_v,
+         sqrt((CAST(n_ev AS DOUBLE) * CAST(svv AS DOUBLE)
+               - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+              / (CAST(n_ev AS DOUBLE) * (CAST(n_ev AS DOUBLE) - 1.0)))
+             AS std_v
+  FROM agg
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - m.mean_v) / m.std_v AS zscore
+FROM events e JOIN moments m ON m.event_type = e.event_type
+WHERE m.std_v > 0
+  AND abs((e.value - m.mean_v) / m.std_v) > {ANOMALY_Z}
+"""

@@ -249,6 +249,11 @@ def _ensure_loaded() -> None:
         stats.winsorized_event_stats_query,
         stats.WINSORIZED_EVENT_STATS_ORACLE,
     )
+    register(
+        "event_anomalies",
+        stats.event_anomalies_query,
+        stats.EVENT_ANOMALIES_ORACLE,
+    )
 
     from .operators import dq
 

@@ -159,3 +159,22 @@ def test_data_quality_audit_counts_violations(spark, monkeypatch):
         "o_nonpositive_total": 1,
         "li_orphan_orderkey": 1,
     }
+
+
+def test_event_anomalies_flags_only_outliers(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import stats as st
+
+    # 50 values at 10.0 +- 1 and one at 100.0: only the spike crosses
+    # 3 sigma; a constant-valued type (std=0) emits nothing.
+    rows = (
+        [Row(event_type="click", event_id=i, value=10.0 + (i % 2))
+         for i in range(50)]
+        + [Row(event_type="click", event_id=999, value=100.0)]
+        + [Row(event_type="view", event_id=i, value=5.0)
+           for i in range(1000, 1010)]
+    )
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(st.tables, "table", lambda *a: df)
+    got = st.event_anomalies_query(spark, "_").collect()
+    assert [(r["event_id"], r["event_type"]) for r in got] == [(999, "click")]
+    assert got[0]["zscore"] > 3
