@@ -900,3 +900,49 @@ SELECT source,
 FROM flagged
 GROUP BY source
 """
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplicate overlap (who plagiarizes whom)
+# --------------------------------------------------------------------------
+
+
+def source_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: for each unordered source pair,
+    how many distinct normalized fingerprints appear in BOTH — the
+    drill-down behind source_profile's dup_rate (which source is
+    copying which decides who gets dropped from the mixture).
+
+    The self-join keys on the fingerprint digest after reducing to
+    distinct (fp, source) rows, so fan-out is bounded by per-digest
+    source multiplicity (<= |sources|, 20 here), never document
+    multiplicity; the pair count is partial-aggregatable.
+    """
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fps = (
+        docs.select(F.md5(normalized).alias("fp"), "source").distinct()
+    )
+    a = fps.select(F.col("fp"), F.col("source").alias("source_a"))
+    b = fps.select(F.col("fp"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+    )
+
+
+SOURCE_OVERLAP_ORACLE = """
+WITH fps AS (
+  SELECT DISTINCT
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM fps a
+JOIN fps b ON b.fp = a.fp AND a.source < b.source
+GROUP BY 1, 2
+"""

@@ -327,6 +327,9 @@ def _ensure_loaded() -> None:
     register(
         "source_profile", textops.source_profile_query, textops.SOURCE_PROFILE_ORACLE
     )
+    register(
+        "source_overlap", textops.source_overlap_query, textops.SOURCE_OVERLAP_ORACLE
+    )
 
     from .operators import changelog
 

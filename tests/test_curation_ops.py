@@ -260,3 +260,30 @@ def test_funnel_order_matters(spark, monkeypatch):
     monkeypatch.setattr(analytics.tables, "table", lambda *a: df)
     r = analytics.funnel_conversion_query(spark, "_").collect()[0]
     assert (r["n_signup"], r["n_click_after"], r["n_purchase_after"]) == (3, 2, 1)
+
+
+# -- source_overlap ---------------------------------------------------------
+
+
+def test_source_overlap_counts_shared_fingerprints(spark, monkeypatch):
+    rows = [
+        Row(doc_id=0, text="Alpha  Beta", lang="en", source="s1", n_chars=10),
+        Row(doc_id=1, text="alpha beta", lang="en", source="s2", n_chars=10),
+        Row(doc_id=2, text="alpha beta", lang="en", source="s3", n_chars=10),
+        Row(doc_id=3, text="gamma", lang="en", source="s1", n_chars=5),
+        Row(doc_id=4, text="gamma", lang="en", source="s2", n_chars=5),
+        # duplicate WITHIN s1 only: no pair row
+        Row(doc_id=5, text="delta", lang="en", source="s1", n_chars=5),
+        Row(doc_id=6, text="delta", lang="en", source="s1", n_chars=5),
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    got = {
+        (r["source_a"], r["source_b"]): r["shared_fps"]
+        for r in textops.source_overlap_query(spark, "_").collect()
+    }
+    assert got == {
+        ("s1", "s2"): 2,   # alpha-beta (normalized) + gamma
+        ("s1", "s3"): 1,
+        ("s2", "s3"): 1,
+    }
