@@ -138,3 +138,67 @@ def test_df_capped_shingles_is_filtered_subset(spark, texts):
         (d, s) for d, s in orig if df_count[s] <= dedup.SHINGLE_DF_CAP
     }
     assert capped == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_TEXT, min_size=1, max_size=8))
+def test_vocab_coverage_curve_properties(spark, monkeypatch, texts):
+    """Coverage is strictly positive, non-decreasing in rank, and hits
+    exactly 1.0 when the whole vocabulary fits in the top-N."""
+    from _kafka_streams_scaffold_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    rows = sorted(
+        textops.vocab_coverage_query(spark, "_").collect(),
+        key=lambda r: r["vocab_rank"],
+    )
+    if not rows:
+        return  # no tokens at all
+    cov = [r["cum_coverage"] for r in rows]
+    assert all(c > 0 for c in cov)
+    assert all(a <= b + 1e-12 for a, b in zip(cov, cov[1:] + [1.1]))
+    cnts = [r["cnt"] for r in rows]
+    assert all(a >= b for a, b in zip(cnts, cnts[1:]))  # ordered by count
+    if len(rows) < textops.VOCAB_TOP:
+        assert abs(cov[-1] - 1.0) < 1e-12
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.floats(0, 1000).map(lambda x: round(x, 2))),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_winsorized_mean_bounded_by_thresholds(spark, monkeypatch, vals):
+    """The winsorized mean always lies within [p1, p99], and the
+    thresholds are actual data values."""
+    from _kafka_streams_scaffold_spark.operators import stats as st_ops
+
+    rows = [
+        Row(event_type=f"t{t}", event_id=i, value=float(v))
+        for i, (t, v) in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(st_ops.tables, "table", lambda *a: df)
+    by_type = {}
+    for t, v in vals:
+        by_type.setdefault(f"t{t}", []).append(v)
+    for r in st_ops.winsorized_event_stats_query(spark, "_").collect():
+        vs = by_type[r["event_type"]]
+        assert r["p1"] in vs and r["p99"] in vs
+        assert r["p1"] <= r["p99"]
+        assert r["p1"] - 1e-9 <= r["winsor_mean"] <= r["p99"] + 1e-9
+        assert r["n"] == len(vs)
