@@ -436,6 +436,14 @@ def _ensure_loaded() -> None:
         similarity.EMBEDDING_DIVERSITY_ORACLE,
     )
 
+    from .operators import spectral
+
+    register(
+        "power_iteration",
+        spectral.power_iteration_query,
+        spectral.POWER_ITERATION_ORACLE,
+    )
+
     from .operators import multimodal, skew
 
     register(

@@ -417,3 +417,31 @@ def test_embedding_diversity_matches_naive_pairwise(spark, sf_dir):
         expect = total / (n * (n - 1) / 2) / 1e12
         assert got[label][0] == n
         assert got[label][1] == pytest.approx(expect, rel=1e-9), label
+
+
+def test_power_iteration_matches_numpy_model(spark, sf_dir):
+    """Engine result equals numpy simulating the IDENTICAL fixed-point
+    recurrence (Gram matvec, max-norm, floor to the 1e9 grid). numpy's
+    matvec uses float sums where the engine uses exact decimal sums,
+    so agreement is to ~1e-6 per component, not bit-exact — the
+    bit-exact check is the DuckDB oracle."""
+    from _kafka_streams_scaffold_spark.operators import spectral
+
+    rows = spectral.power_iteration_query(spark, sf_dir).collect()
+    assert len(rows) == spectral.DIM
+    v_engine = np.zeros(spectral.DIM)
+    for r in rows:
+        v_engine[r["pos"] - 1] = r["component"]
+    assert np.max(np.abs(v_engine)) == pytest.approx(1.0)
+
+    emb = np.stack([
+        np.floor(np.array(r["embedding"], dtype=np.float64) * 1e6)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ])
+    G = emb.T @ emb
+    v = np.full(spectral.DIM, 1e9)
+    for _ in range(spectral.ROUNDS):
+        s_vec = G @ v
+        v = np.floor(s_vec / np.max(np.abs(s_vec)) * 1e9)
+    model = v / 1e9
+    assert np.allclose(v_engine, model, atol=1e-6)
