@@ -946,3 +946,79 @@ FROM fps a
 JOIN fps b ON b.fp = a.fp AND a.source < b.source
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate counting (one tokenizer-training inner step)
+# --------------------------------------------------------------------------
+
+BPE_TOP_MERGES = 20
+
+
+def bpe_merge_candidates_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-character-pair merge candidates weighted by word
+    frequency — the inner loop of BPE tokenizer training (each
+    training step merges the heaviest pair; this computes one step's
+    candidate table over the corpus).
+
+    An adjacent symbol pair IS a 2-character substring, so the pair
+    explosion is substr(word, i, 2) over i = 1..len-1 — no array
+    construction at all. Weighting by the word-frequency table (not
+    raw occurrences) matches how BPE training compresses its corpus:
+    the explode runs over the VOCABULARY (distinct words), and the
+    corpus-sized work is just the wordcount shuffle.
+
+    Determinism: counts are exact BIGINTs; top-k ordering breaks ties
+    on the pair string, so both engines emit identical rows.
+    """
+    from pyspark.sql import Window
+
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    words = (
+        docs.select(F.explode(tokens_expr()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr("sequence(1, length(word) - 1)")
+        ).alias("i"),
+        F.col("word"),
+    ).select(F.expr("substring(word, i, 2)").alias("pair"), "freq")
+    counted = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("weight")
+    )
+    w = Window.orderBy(F.col("weight").desc(), "pair")
+    return (
+        counted.withColumn("merge_rank", F.row_number().over(w))
+        .filter(F.col("merge_rank") <= BPE_TOP_MERGES)
+    )
+
+
+BPE_MERGE_CANDIDATES_ORACLE = f"""
+WITH words AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  )
+  GROUP BY word
+  HAVING length(word) >= 2
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+  FROM (
+    SELECT word, freq, unnest(range(1, length(word))) AS i FROM words
+  )
+),
+counted AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS weight FROM pairs GROUP BY pair
+)
+SELECT pair, weight,
+       CAST(row_number() OVER (ORDER BY weight DESC, pair) AS INTEGER)
+           AS merge_rank
+FROM counted
+QUALIFY merge_rank <= {BPE_TOP_MERGES}
+"""

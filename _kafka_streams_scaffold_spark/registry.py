@@ -330,6 +330,11 @@ def _ensure_loaded() -> None:
     register(
         "source_overlap", textops.source_overlap_query, textops.SOURCE_OVERLAP_ORACLE
     )
+    register(
+        "bpe_merge_candidates",
+        textops.bpe_merge_candidates_query,
+        textops.BPE_MERGE_CANDIDATES_ORACLE,
+    )
 
     from .operators import changelog
 

@@ -445,3 +445,17 @@ def test_power_iteration_matches_numpy_model(spark, sf_dir):
         v = np.floor(s_vec / np.max(np.abs(s_vec)) * 1e9)
     model = v / 1e9
     assert np.allclose(v_engine, model, atol=1e-6)
+
+
+def test_bpe_merge_candidates_weighted_counts(spark, monkeypatch):
+    # "aab" x3, "ab" x2: pairs "aa" weight 3, "ab" weight 3+2=5;
+    # single-char word "a" contributes nothing.
+    df = _docs(spark, ["aab aab ab", "aab ab a"])
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    rows = sorted(
+        textops.bpe_merge_candidates_query(spark, "_").collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    assert [(r["pair"], r["weight"], r["merge_rank"]) for r in rows] == [
+        ("ab", 5, 1), ("aa", 3, 2)
+    ]
