@@ -166,6 +166,21 @@ AUDIT = [
         "equi-join on user_id carrying one timestamp per user; no "
         "window over the raw event stream, no per-user sort.",
     ),
+    (
+        "power_iteration",
+        "The Gram pair aggregate is partial-aggregatable with a FIXED "
+        "64x64 output regardless of corpus size; each iteration round "
+        "joins that pinned table against a broadcast 64-row vector — "
+        "the corpus is touched zero times after the Gram build, and "
+        "per-round lineage truncation keeps the plan one join deep.",
+    ),
+    (
+        "bpe_merge_candidates",
+        "The pair explode runs over the VOCABULARY (distinct words "
+        "post-wordcount), not the corpus; the only corpus-sized "
+        "shuffle is the partially-aggregated word count, and the "
+        "top-k window runs on the vocabulary-sized pair table.",
+    ),
 ]
 
 
