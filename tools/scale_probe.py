@@ -135,7 +135,30 @@ def main() -> None:
             lineitem(m),
             lambda: trade.min_cost_supplier_query(spark, SF_DIR),
         ),
+        "power iteration (fixed 64x64)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: spectral_power(spark),
+        ),
+        "bpe merges (vocab-sized explode)": lambda m: _with_docs(
+            m, lambda: textops.bpe_merge_candidates_query(spark, SF_DIR)
+        ),
     }
+
+    def embeddings(m):
+        # Re-key so the m-x union has distinct vec_ids: the Gram pair
+        # join keys on vec_id, and duplicated ids would cross copies.
+        base = unioned(spark, "embeddings", m)
+        return base.select(
+            F.monotonically_increasing_id().alias("vec_id"),
+            "embedding",
+            "label",
+        )
+
+    def spectral_power(spark_):
+        from _kafka_streams_scaffold_spark.operators import spectral
+
+        return spectral.power_iteration_query(spark_, SF_DIR)
 
     def an_funnel(spark_):
         from _kafka_streams_scaffold_spark.operators import analytics
