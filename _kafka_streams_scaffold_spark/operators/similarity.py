@@ -202,6 +202,115 @@ def ivf_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dynamic-k sub-quantizer (cells track corpus size, data-aware splits)
+# --------------------------------------------------------------------------
+
+_DYN_SEED = 23
+
+
+def dyn_ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical quantizer assignment with DYNAMIC cell count:
+    within each coarse cell, ``ceil(cell_n / IVF_TARGET_CELL)``
+    sub-centroids are selected (the cell's vectors with the smallest
+    deterministic hash — a uniform, engine-identical seeding) and every
+    vector is assigned to its nearest sub-centroid by squared
+    euclidean distance.
+
+    This is the data-aware upgrade of ``ivf_cells``'s hash sub-split:
+    the hash split bounds cell size but draws ARBITRARY boundaries
+    (near neighbors can land in different sub-cells regardless of
+    geometry); nearest-seed assignment keeps sub-cells geometrically
+    coherent while the seed count — and therefore the total cell
+    count — grows linearly with the corpus, k = sum over coarse cells
+    of ceil(cell_n / target) ~ n / target.
+
+    100 TB posture: per-vector work is |seeds in its coarse cell| ~
+    cell_n / target comparisons (the candidate join keys on the coarse
+    cell, never a global cross join); the seed-ranking window sorts
+    each coarse cell once — at extreme cell sizes you would rank a
+    deterministic hash-sample instead, which changes nothing below.
+    SCALE.md probes that cells ∝ n while max cell size stays flat.
+    Determinism: fold-form dot products, ties broken on (dist2, seed
+    id) — fully oracle-checked, no tolerance."""
+    emb = _emb(spark, sf_dir)
+    coarse = ivf_assign_query(spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("coarse_label")
+    )
+    h = hash60_spark("cast(vec_id as string)", _DYN_SEED)
+    nodes = _pin(
+        emb.join(coarse, "vec_id").withColumn("h", F.expr(h))
+    )
+    sizes = nodes.groupBy("coarse_label").agg(
+        F.count(F.lit(1)).alias("cell_n")
+    )
+    w_seed = Window.partitionBy("coarse_label").orderBy("h", "vec_id")
+    seeds = (
+        nodes.join(F.broadcast(sizes), "coarse_label")
+        .withColumn("sr", F.row_number().over(w_seed))
+        .filter(
+            F.col("sr")
+            <= F.expr(f"(cell_n + {IVF_TARGET_CELL - 1}) div {IVF_TARGET_CELL}")
+        )
+        .select(
+            "coarse_label",
+            F.col("vec_id").alias("s_id"),
+            F.col("embedding").alias("s_vec"),
+        )
+    )
+    dot_vv = F.expr(_dot_sql("embedding", "embedding", "spark"))
+    dot_ss = F.expr(_dot_sql("s_vec", "s_vec", "spark"))
+    dot_vs = F.expr(_dot_sql("embedding", "s_vec", "spark"))
+    w_near = Window.partitionBy("vec_id").orderBy("dist2", "s_id")
+    return (
+        nodes.join(seeds, "coarse_label")
+        .withColumn("dist2", dot_vv - 2 * dot_vs + dot_ss)
+        .withColumn("rn", F.row_number().over(w_near))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "coarse_label", F.col("s_id").alias("sub_seed"), "dist2")
+    )
+
+
+# DYN_IVF_ASSIGN_ORACLE is defined after _DUCK_ASSIGN_CTES below
+# (module-level f-strings evaluate at import, in file order).
+_DYN_ORACLE_TEMPLATE = f"""
+WITH {{assign_ctes}},
+nodes AS (
+  SELECT e.vec_id, e.embedding, a.c_label AS coarse_label,
+         {hash60_duck('CAST(e.vec_id AS VARCHAR)', _DYN_SEED)} AS h
+  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+),
+sizes AS (
+  SELECT coarse_label, count(*) AS cell_n FROM nodes GROUP BY 1
+),
+seeds AS (
+  SELECT coarse_label, vec_id AS s_id, embedding AS s_vec FROM (
+    SELECT n.coarse_label, n.vec_id, n.embedding, s.cell_n,
+           row_number() OVER (
+             PARTITION BY n.coarse_label ORDER BY n.h, n.vec_id
+           ) AS sr
+    FROM nodes n JOIN sizes s ON s.coarse_label = n.coarse_label
+  )
+  WHERE sr <= (cell_n + {IVF_TARGET_CELL - 1}) // {IVF_TARGET_CELL}
+),
+scored_sub AS (
+  SELECT n.vec_id, n.coarse_label, s.s_id,
+         {_dot_sql('n.embedding', 'n.embedding', 'duck')}
+           - 2 * {_dot_sql('n.embedding', 's.s_vec', 'duck')}
+           + {_dot_sql('s.s_vec', 's.s_vec', 'duck')} AS dist2
+  FROM nodes n JOIN seeds s ON s.coarse_label = n.coarse_label
+)
+SELECT vec_id, coarse_label, s_id AS sub_seed, dist2 FROM (
+  SELECT vec_id, coarse_label, s_id, dist2,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY dist2, s_id
+         ) AS rn
+  FROM scored_sub
+)
+WHERE rn = 1
+"""  # noqa: E501 — template; formatted into DYN_IVF_ASSIGN_ORACLE below
+
+
+# --------------------------------------------------------------------------
 # SRP-LSH bucketed ANN (approximate -> rows-only check)
 # --------------------------------------------------------------------------
 
@@ -259,6 +368,106 @@ def lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+def _duck_bucket_expr(vec_col: str) -> str:
+    """DuckDB twin of ``_bucket_expr``: same plane literals (Python
+    repr doubles), same left-associated 64-term dot sum, so the sign
+    pattern — and therefore every bucket id — is bit-identical to the
+    Spark fold."""
+    bits = []
+    for j in range(N_PLANES):
+        dot = " + ".join(
+            f"CAST({vec_col}[{i}] AS DOUBLE) * {_PLANES[j][i - 1]!r}"
+            for i in range(1, DIM + 1)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_ann_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SRP-LSH search against the exact baseline,
+    per query: |lsh_ann top-k ∩ ann_topk top-k| / |ann_topk top-k|.
+
+    ``lsh_ann`` itself is approximate (bucketed recall < 1) and so is
+    registered rows-only — but its RECALL against ``ann_topk`` is a
+    deterministic function of the data (both searches are
+    deterministic, the planes are fixed literals), so this companion
+    query puts the LSH tier's quality contract on the driver's
+    hash-checked surface. Scale: both operands are |queries| x k rows;
+    the join and aggregate are trivial next to the searches
+    themselves."""
+    exact = ann_topk_query(spark, sf_dir).select("q_id", "n_id")
+    approx = (
+        lsh_ann_query(spark, sf_dir)
+        .select("q_id", "n_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+        )
+    )
+
+
+LSH_ANN_RECALL_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, embedding, norm,
+         {_duck_bucket_expr('embedding')} AS bucket
+  FROM normed
+),
+exact AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dot_sql('q.embedding', 'n.embedding', 'duck')}
+                          / (q.norm * n.norm) DESC,
+                      n.vec_id
+           ) AS rank
+    FROM normed q CROSS JOIN normed n
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+  )
+  WHERE rank <= {TOP_K}
+),
+approx AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dot_sql('q.embedding', 'n.embedding', 'duck')}
+                          / (q.norm * n.norm) DESC,
+                      n.vec_id
+           ) AS rank
+    FROM bucketed q
+    JOIN bucketed n ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  )
+  WHERE rank <= {TOP_K}
+)
+SELECT e.q_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS recall
+FROM exact e
+LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+GROUP BY e.q_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -450,6 +659,13 @@ IVF_NEAR_DUP_ORACLE = f"""
 WITH {DUCK_NEAR_DUP_CTES}
 {DUCK_NEAR_DUP_SELECT}
 """
+
+# Deferred from the dyn-quantizer section above: needs _DUCK_ASSIGN_CTES.
+# .replace (not .format) — the SQL body contains no other placeholder
+# and format() would trip on any brace duckdb syntax might introduce.
+DYN_IVF_ASSIGN_ORACLE = _DYN_ORACLE_TEMPLATE.replace(
+    "{assign_ctes}", _DUCK_ASSIGN_CTES
+)
 
 
 # --------------------------------------------------------------------------
@@ -671,7 +887,12 @@ def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_norm") * F.col("n_norm")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    edges = (
+    # Pinned: `edges` feeds BOTH sides of the mutual-edge self-join
+    # below; without the pin the full O(|cell|^2) cell self-join + rank
+    # window re-runs in each branch (two FileScans, no ReusedExchange),
+    # doubling the dominant quadratic stage. Pinned, the join reads
+    # |V| * KNN_K id-width rows twice from cache.
+    edges = _pin(
         a.join(b, "cell")
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id", cosine.alias("cosine"))

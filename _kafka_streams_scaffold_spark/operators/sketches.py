@@ -114,12 +114,23 @@ _QS = (0.25, 0.5, 0.75, 0.95)
 
 
 def value_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All quantiles in ONE array-form ``percentile`` aggregate: each
+    scalar ``percentile(value, q)`` call carries its own full per-group
+    value buffer, so N separate calls buffer the group N times; the
+    array form sorts one buffer and reads all quantiles from it."""
     ev = tables.table(spark, sf_dir, "events")
-    aggs = [
-        F.expr(f"percentile(value, {q})").alias(f"p{int(q * 100)}")
-        for q in _QS
-    ]
-    return ev.groupBy("event_type").agg(*aggs)
+    arr = F.expr(f"percentile(value, array({', '.join(str(q) for q in _QS)}))")
+    return (
+        ev.groupBy("event_type")
+        .agg(arr.alias("ps"))
+        .select(
+            "event_type",
+            *[
+                F.col("ps").getItem(i).alias(f"p{int(q * 100)}")
+                for i, q in enumerate(_QS)
+            ],
+        )
+    )
 
 
 VALUE_PERCENTILES_ORACLE = f"""
@@ -165,13 +176,21 @@ def approx_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates are engine-specific); accuracy is asserted against the
     exact quantiles in tests/test_sketches.py."""
     ev = tables.table(spark, sf_dir, "events")
-    aggs = [
-        F.expr(f"approx_percentile(value, {q}, {APPROX_PCT_ERR})").alias(
-            f"ap{int(q * 100)}"
+    arr = F.expr(
+        "approx_percentile(value, "
+        f"array({', '.join(str(q) for q in _QS)}), {APPROX_PCT_ERR})"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(arr.alias("aps"))
+        .select(
+            "event_type",
+            *[
+                F.col("aps").getItem(i).alias(f"ap{int(q * 100)}")
+                for i, q in enumerate(_QS)
+            ],
         )
-        for q in _QS
-    ]
-    return ev.groupBy("event_type").agg(*aggs)
+    )
 
 
 # Driver-visible rank tolerance: the sketch guarantees ~1/1000 rank
@@ -185,22 +204,46 @@ def approx_percentiles_check_query(spark: SparkSession, sf_dir: str) -> DataFram
     """Sketched quantiles with the rank-error bound asserted IN the
     result: emits the exact quantiles (hash-comparable) plus one
     ap{q}_ok boolean per quantile stating the sketch landed between
-    the exact quantiles at q +/- APPROX_PCT_RANK_SLACK."""
+    the exact quantiles at q +/- APPROX_PCT_RANK_SLACK.
+
+    Perf shape: the round-2 form issued 12 scalar ``percentile`` calls
+    plus 4 scalar ``approx_percentile`` calls — Spark gives EACH
+    aggregate expression its own per-group buffer/sketch, so the group
+    was buffered 12x and sketched 4x (measured 0.6s -> ~2s at sf0.1).
+    The array forms below build ONE sorted buffer and ONE KLL sketch
+    per group and read every quantile from them."""
     ev = tables.table(spark, sf_dir, "events")
-    aggs = []
-    for q in _QS:
-        ap = F.expr(f"approx_percentile(value, {q}, {APPROX_PCT_ERR})")
-        lo = F.expr(
-            f"percentile(value, {max(q - APPROX_PCT_RANK_SLACK, 0.0)})"
-        )
-        hi = F.expr(
-            f"percentile(value, {min(q + APPROX_PCT_RANK_SLACK, 1.0)})"
-        )
-        aggs.append(F.expr(f"percentile(value, {q})").alias(f"p{int(q * 100)}"))
-        aggs.append(
-            ((ap >= lo) & (ap <= hi)).alias(f"ap{int(q * 100)}_ok")
-        )
-    return ev.groupBy("event_type").agg(*aggs)
+    # one exact buffer: lo/exact/hi for every q, deduplicated, sorted
+    exact_qs = sorted(
+        {
+            round(x, 6)
+            for q in _QS
+            for x in (
+                max(q - APPROX_PCT_RANK_SLACK, 0.0),
+                q,
+                min(q + APPROX_PCT_RANK_SLACK, 1.0),
+            )
+        }
+    )
+    idx = {q: i for i, q in enumerate(exact_qs)}
+    exact_arr = F.expr(
+        f"percentile(value, array({', '.join(str(q) for q in exact_qs)}))"
+    )
+    ap_arr = F.expr(
+        "approx_percentile(value, "
+        f"array({', '.join(str(q) for q in _QS)}), {APPROX_PCT_ERR})"
+    )
+    agged = ev.groupBy("event_type").agg(
+        exact_arr.alias("ex"), ap_arr.alias("ap")
+    )
+    cols = []
+    for i, q in enumerate(_QS):
+        lo = F.col("ex").getItem(idx[round(max(q - APPROX_PCT_RANK_SLACK, 0.0), 6)])
+        hi = F.col("ex").getItem(idx[round(min(q + APPROX_PCT_RANK_SLACK, 1.0), 6)])
+        ap = F.col("ap").getItem(i)
+        cols.append(F.col("ex").getItem(idx[round(q, 6)]).alias(f"p{int(q * 100)}"))
+        cols.append(((ap >= lo) & (ap <= hi)).alias(f"ap{int(q * 100)}_ok"))
+    return agged.select("event_type", *cols)
 
 
 APPROX_PCT_CHECK_ORACLE = f"""

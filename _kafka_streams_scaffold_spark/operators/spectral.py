@@ -62,10 +62,15 @@ def power_iteration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = fp.select("vec_id", F.col("pos").alias("p"), F.col("x_fp").alias("xa"))
     b = fp.select("vec_id", F.col("pos").alias("q"), F.col("x_fp").alias("xb"))
+    # Products are ~1e12 (x_fp up to ~1e6), so a BIGINT sum overflows
+    # int64 around ~10M vectors — under ANSI mode that aborts the job.
+    # Accumulate DECIMAL(38,0) (exact, associative), matching the
+    # matvec's treatment; DuckDB's SUM(BIGINT) already promotes to
+    # HUGEINT so the oracle needs no change.
     gram = _pin(
         a.join(b, "vec_id")
         .groupBy("p", "q")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("g"))
+        .agg(F.sum((F.col("xa") * F.col("xb")).cast(_D38)).alias("g"))
     )
     v = spark.range(1, DIM + 1).select(
         F.col("id").cast("int").alias("pos"),

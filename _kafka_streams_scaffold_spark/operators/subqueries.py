@@ -489,12 +489,19 @@ def bulk_part_suppliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-part total RE-AGGREGATES the pair aggregate rather than
     scanning lineitem a second time (decimal sums are associative, so
     the result is bit-identical): lineitem is read and pair-shuffled
-    once, and Catalyst reuses that exchange for both branches — at
+    once. The pair aggregate is PINNED rather than trusting exchange
+    reuse — it feeds both the per-part rollup and the join-back, and
+    ReusedExchange does not reliably fire (the consumers shuffle on
+    different keys), so without the pin lineitem is scanned twice — at
     100 TB the second fact scan is the cost that matters."""
+    from ..pinning import pin as _pin
+
     li = tables.table(spark, sf_dir, "lineitem")
     supp = tables.table(spark, sf_dir, "supplier")
-    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(_dec("l_quantity")).alias("sq")
+    per_ps = _pin(
+        li.groupBy("l_partkey", "l_suppkey").agg(
+            F.sum(_dec("l_quantity")).alias("sq")
+        )
     )
     per_p = per_ps.groupBy("l_partkey").agg(F.sum("sq").alias("pq"))
     bulk = (

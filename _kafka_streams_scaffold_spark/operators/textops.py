@@ -228,12 +228,21 @@ def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: tf and df are partial-aggregatable counts; df and N are
     tiny (vocabulary-sized / scalar) so both join broadcast; the only
-    big shuffles are the tf groupBy and the per-doc window."""
+    big shuffles are the tf groupBy and the per-doc window. ``tf`` is
+    PINNED: it feeds both the df rollup and the scored join, and
+    without the pin the tokenize+explode+count pipeline (the expensive
+    part — regex split over every document) runs once per consumer —
+    measured as the round-2 1.31s -> 2.06s regression when df became
+    a derived branch instead of sharing the scan."""
+    from ..pinning import pin as _pin
+
     docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", F.explode(tokens_expr()).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _pin(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.select(F.count(F.lit(1)).alias("n_docs"))
     from pyspark.sql import Window

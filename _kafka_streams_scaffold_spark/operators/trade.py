@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import tables
+from ..pinning import pin as _pin
 from .money import dec as _dec
 from .money import one_minus as _one_minus
 
@@ -539,7 +540,12 @@ def min_cost_supplier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == _MINCOST_TYPE) & (F.col("p_size") < _MINCOST_MAX_SIZE)
     ).select("p_partkey")
 
-    offers = (
+    # Pinned: `offers` feeds both the per-part min aggregate and the
+    # join-back; without the pin the whole offers subtree (lineitem
+    # scan + dim broadcasts + pair aggregate) is duplicated — two full
+    # fact scans with no ReusedExchange. Pinned, lineitem is scanned
+    # once and the second aggregate reads |eligible pairs| cached rows.
+    offers = _pin(
         li.join(F.broadcast(epart), li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(eur_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")

@@ -7,6 +7,15 @@
 
 Column names are aliased identically on both sides — the driver's
 compare sorts columns by name before hashing values.
+
+REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
+hash-checks the FIRST 50 registered queries each round. Slots 0-49
+therefore carry the families that have never had a driver CORRECTNESS
+row — the LLM-data-pipeline tier (dedup, clustering, similarity/ANN,
+spectral, stats, sketches, dq, curation, textops, multimodal) — while
+the classic analytics/subquery/trade families (all green in
+CORRECTNESS_r02) follow after and keep local tools/check_oracle.py +
+pytest coverage. Rotate again if the window moves.
 """
 
 from __future__ import annotations
@@ -44,6 +53,253 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
+
+    # ---------------------------------------------------------------
+    # Slots 0-49: driver correctness window (see module docstring)
+    # ---------------------------------------------------------------
+
+    from .operators import clustering, dedup, similarity, spectral
+
+    register("exact_dedup", dedup.exact_dedup_query, dedup.EXACT_DEDUP_ORACLE)
+    register(
+        "ngram_jaccard_pairs",
+        dedup.ngram_jaccard_pairs_query,
+        dedup.NGRAM_JACCARD_ORACLE,
+    )
+    register(
+        "minhash_lsh_pairs", dedup.minhash_lsh_pairs_query, dedup.MINHASH_LSH_ORACLE
+    )
+    register("simhash", dedup.simhash_query, dedup.SIMHASH_ORACLE)
+    register("simhash_pairs", dedup.simhash_pairs_query, dedup.SIMHASH_PAIRS_ORACLE)
+    register(
+        "contamination", dedup.contamination_query, dedup.CONTAMINATION_ORACLE
+    )
+    register(
+        "boilerplate_ngrams",
+        dedup.boilerplate_ngrams_query,
+        dedup.BOILERPLATE_NGRAMS_ORACLE,
+    )
+
+    register(
+        "dedup_clusters",
+        clustering.dedup_clusters_query,
+        clustering.DEDUP_CLUSTERS_ORACLE,
+    )
+    register(
+        "embedding_dup_clusters",
+        clustering.embedding_dup_clusters_query,
+        clustering.EMBEDDING_DUP_CLUSTERS_ORACLE,
+    )
+    register(
+        "dup_pagerank", clustering.dup_pagerank_query, clustering.DUP_PAGERANK_ORACLE
+    )
+
+    register("ann_topk", similarity.ann_topk_query, similarity.ANN_TOPK_ORACLE)
+    register(
+        "ivf_near_dup", similarity.ivf_near_dup_query, similarity.IVF_NEAR_DUP_ORACLE
+    )
+    register(
+        "label_centroids",
+        similarity.label_centroids_query,
+        similarity.LABEL_CENTROIDS_ORACLE,
+    )
+    register("ivf_assign", similarity.ivf_assign_query, similarity.IVF_ASSIGN_ORACLE)
+    # Deterministic cell-probed top-k (nprobe dial): unlike lsh_ann the
+    # whole search is oracle-checked; ann_topk is its recall reference.
+    register("ivf_ann", similarity.ivf_ann_query, similarity.IVF_ANN_ORACLE)
+    register(
+        "dyn_ivf_assign",
+        similarity.dyn_ivf_assign_query,
+        similarity.DYN_IVF_ASSIGN_ORACLE,
+    )
+    register(
+        "embedding_outliers",
+        similarity.embedding_outliers_query,
+        similarity.EMBEDDING_OUTLIERS_ORACLE,
+    )
+    register(
+        "knn_graph",
+        similarity.knn_graph_query,
+        similarity.KNN_GRAPH_ORACLE,
+    )
+    register(
+        "embedding_diversity",
+        similarity.embedding_diversity_query,
+        similarity.EMBEDDING_DIVERSITY_ORACLE,
+    )
+    # Recall@k of the rows-only lsh_ann vs the exact baseline —
+    # deterministic, so the LSH tier's quality contract is itself
+    # hash-checked even though the raw search cannot be.
+    register(
+        "lsh_ann_recall",
+        similarity.lsh_ann_recall_query,
+        similarity.LSH_ANN_RECALL_ORACLE,
+    )
+
+    register(
+        "power_iteration",
+        spectral.power_iteration_query,
+        spectral.POWER_ITERATION_ORACLE,
+    )
+
+    from .operators import dq, sketches, stats
+
+    register(
+        "segment_spend_stats",
+        stats.segment_spend_stats_query,
+        stats.SEGMENT_SPEND_STATS_ORACLE,
+    )
+    register(
+        "segment_spend_median",
+        stats.segment_spend_median_query,
+        stats.SEGMENT_SPEND_MEDIAN_ORACLE,
+    )
+    register(
+        "winsorized_event_stats",
+        stats.winsorized_event_stats_query,
+        stats.WINSORIZED_EVENT_STATS_ORACLE,
+    )
+    register(
+        "event_anomalies",
+        stats.event_anomalies_query,
+        stats.EVENT_ANOMALIES_ORACLE,
+    )
+
+    register(
+        "data_quality_audit",
+        dq.data_quality_audit_query,
+        dq.DATA_QUALITY_AUDIT_ORACLE,
+    )
+
+    register(
+        "distinct_users_daily",
+        sketches.distinct_users_daily_query,
+        sketches.DISTINCT_USERS_DAILY_ORACLE,
+    )
+    # Sketch estimates are engine-specific, so the registered form
+    # asserts the error bound IN the result (exact values + universally
+    # true within-bound booleans the oracle hash-checks); the tight
+    # per-sigma accuracy assertions live in tests/test_sketches.py
+    # against the raw-estimate variants.
+    register(
+        "approx_distinct_users",
+        sketches.approx_distinct_check_query,
+        sketches.APPROX_DISTINCT_CHECK_ORACLE,
+    )
+    register(
+        "approx_percentiles",
+        sketches.approx_percentiles_check_query,
+        sketches.APPROX_PCT_CHECK_ORACLE,
+    )
+    register(
+        "value_percentiles",
+        sketches.value_percentiles_query,
+        sketches.VALUE_PERCENTILES_ORACLE,
+    )
+    register("top_events", sketches.top_events_query, sketches.TOP_EVENTS_ORACLE)
+    register(
+        "value_histogram",
+        sketches.value_histogram_query,
+        sketches.VALUE_HISTOGRAM_ORACLE,
+    )
+
+    from .operators import curation, multimodal, textops
+
+    register("corpus_keep", curation.corpus_keep_query, curation.CORPUS_KEEP_ORACLE)
+
+    register("quality_score", textops.quality_score_query, textops.QUALITY_SCORE_ORACLE)
+    register(
+        "tfidf_top_terms",
+        textops.tfidf_top_terms_query,
+        textops.TFIDF_TOP_TERMS_ORACLE,
+    )
+    register("token_count", textops.token_count_query, textops.TOKEN_COUNT_ORACLE)
+    register("doc_fingerprint", textops.fingerprint_query, textops.FINGERPRINT_ORACLE)
+    register("lang_id", textops.lang_id_query, textops.LANG_ID_ORACLE)
+    register("clean_text", textops.clean_text_query, textops.CLEAN_TEXT_ORACLE)
+    register("pii_scan", textops.pii_scan_query, textops.PII_SCAN_ORACLE)
+    register("doc_chunks", textops.doc_chunks_query, textops.DOC_CHUNKS_ORACLE)
+    register("bm25_search", textops.bm25_search_query, textops.BM25_SEARCH_ORACLE)
+    register(
+        "chunk_packing", textops.chunk_packing_query, textops.CHUNK_PACKING_ORACLE
+    )
+    register(
+        "gopher_quality", textops.gopher_quality_query, textops.GOPHER_QUALITY_ORACLE
+    )
+    register(
+        "doc_repetition", textops.doc_repetition_query, textops.DOC_REPETITION_ORACLE
+    )
+    register(
+        "vocab_coverage", textops.vocab_coverage_query, textops.VOCAB_COVERAGE_ORACLE
+    )
+    register(
+        "source_profile", textops.source_profile_query, textops.SOURCE_PROFILE_ORACLE
+    )
+    register(
+        "source_overlap", textops.source_overlap_query, textops.SOURCE_OVERLAP_ORACLE
+    )
+    register(
+        "bpe_merge_candidates",
+        textops.bpe_merge_candidates_query,
+        textops.BPE_MERGE_CANDIDATES_ORACLE,
+    )
+
+    register(
+        "multimodal_features",
+        multimodal.multimodal_features_query,
+        multimodal.MULTIMODAL_FEATURES_ORACLE,
+    )
+
+    # ---------------------------------------------------------------
+    # Slots 50+: outside the driver window this round. Everything here
+    # is either green in CORRECTNESS_r02 (the classic families) or
+    # rows-only / judge+pytest-covered (lsh_ann, frame_sample,
+    # sampling, skew, changelog, rangejoin).
+    # ---------------------------------------------------------------
+
+    # Approximate by construction (bucketed recall < 1): rows-only
+    # check; lsh_ann_recall (slot above) hash-checks its quality.
+    register("lsh_ann", similarity.lsh_ann_query, None)
+    register(
+        "frame_sample", multimodal.frame_sample_query, multimodal.FRAME_SAMPLE_ORACLE
+    )
+
+    from .operators import sampling, skew
+
+    register(
+        "dataset_split", sampling.dataset_split_query, sampling.DATASET_SPLIT_ORACLE
+    )
+    register(
+        "stratified_sample",
+        sampling.stratified_sample_query,
+        sampling.STRATIFIED_SAMPLE_ORACLE,
+    )
+    register(
+        "mixture_sample", sampling.mixture_sample_query, sampling.MIXTURE_SAMPLE_ORACLE
+    )
+    register("source_cap", sampling.source_cap_query, sampling.SOURCE_CAP_ORACLE)
+    register(
+        "purchases_agg_salted",
+        skew.purchases_agg_salted_query,
+        skew.PURCHASES_AGG_SALTED_ORACLE,
+    )
+
+    from .operators import changelog, rangejoin
+
+    register(
+        "ktable_latest", changelog.ktable_latest_query, changelog.KTABLE_LATEST_ORACLE
+    )
+    register(
+        "prior_clicks_before_error",
+        rangejoin.prior_clicks_before_error_query,
+        rangejoin.PRIOR_CLICKS_BEFORE_ERROR_ORACLE,
+    )
+    register(
+        "error_window_counts",
+        rangejoin.error_window_counts_query,
+        rangejoin.ERROR_WINDOW_COUNTS_ORACLE,
+    )
+
     from .operators import mapvalues, purchases, wordcount
 
     register("wordcount", wordcount.wordcount_query, wordcount.WORDCOUNT_ORACLE)
@@ -232,236 +488,4 @@ def _ensure_loaded() -> None:
         trade.SHIPPING_SPEED_PRIORITY_ORACLE,
     )
 
-    from .operators import stats
-
-    register(
-        "segment_spend_stats",
-        stats.segment_spend_stats_query,
-        stats.SEGMENT_SPEND_STATS_ORACLE,
-    )
-    register(
-        "segment_spend_median",
-        stats.segment_spend_median_query,
-        stats.SEGMENT_SPEND_MEDIAN_ORACLE,
-    )
-    register(
-        "winsorized_event_stats",
-        stats.winsorized_event_stats_query,
-        stats.WINSORIZED_EVENT_STATS_ORACLE,
-    )
-    register(
-        "event_anomalies",
-        stats.event_anomalies_query,
-        stats.EVENT_ANOMALIES_ORACLE,
-    )
-
-    from .operators import dq
-
-    register(
-        "data_quality_audit",
-        dq.data_quality_audit_query,
-        dq.DATA_QUALITY_AUDIT_ORACLE,
-    )
-
-    from .operators import sketches
-
-    register(
-        "distinct_users_daily",
-        sketches.distinct_users_daily_query,
-        sketches.DISTINCT_USERS_DAILY_ORACLE,
-    )
-    # Sketch estimates are engine-specific, so the registered form
-    # asserts the error bound IN the result (exact values + universally
-    # true within-bound booleans the oracle hash-checks); the tight
-    # per-sigma accuracy assertions live in tests/test_sketches.py
-    # against the raw-estimate variants.
-    register(
-        "approx_distinct_users",
-        sketches.approx_distinct_check_query,
-        sketches.APPROX_DISTINCT_CHECK_ORACLE,
-    )
-    register(
-        "approx_percentiles",
-        sketches.approx_percentiles_check_query,
-        sketches.APPROX_PCT_CHECK_ORACLE,
-    )
-    register(
-        "value_percentiles",
-        sketches.value_percentiles_query,
-        sketches.VALUE_PERCENTILES_ORACLE,
-    )
-    register("top_events", sketches.top_events_query, sketches.TOP_EVENTS_ORACLE)
-    register(
-        "value_histogram",
-        sketches.value_histogram_query,
-        sketches.VALUE_HISTOGRAM_ORACLE,
-    )
-
-    from .operators import dedup, similarity, textops
-
-    register("quality_score", textops.quality_score_query, textops.QUALITY_SCORE_ORACLE)
-    register(
-        "tfidf_top_terms",
-        textops.tfidf_top_terms_query,
-        textops.TFIDF_TOP_TERMS_ORACLE,
-    )
-    register("token_count", textops.token_count_query, textops.TOKEN_COUNT_ORACLE)
-    register("doc_fingerprint", textops.fingerprint_query, textops.FINGERPRINT_ORACLE)
-    register("lang_id", textops.lang_id_query, textops.LANG_ID_ORACLE)
-    register("clean_text", textops.clean_text_query, textops.CLEAN_TEXT_ORACLE)
-    register("pii_scan", textops.pii_scan_query, textops.PII_SCAN_ORACLE)
-    register("doc_chunks", textops.doc_chunks_query, textops.DOC_CHUNKS_ORACLE)
-    register("bm25_search", textops.bm25_search_query, textops.BM25_SEARCH_ORACLE)
-    register(
-        "chunk_packing", textops.chunk_packing_query, textops.CHUNK_PACKING_ORACLE
-    )
-    register(
-        "gopher_quality", textops.gopher_quality_query, textops.GOPHER_QUALITY_ORACLE
-    )
-    register(
-        "doc_repetition", textops.doc_repetition_query, textops.DOC_REPETITION_ORACLE
-    )
-    register(
-        "vocab_coverage", textops.vocab_coverage_query, textops.VOCAB_COVERAGE_ORACLE
-    )
-    register(
-        "source_profile", textops.source_profile_query, textops.SOURCE_PROFILE_ORACLE
-    )
-    register(
-        "source_overlap", textops.source_overlap_query, textops.SOURCE_OVERLAP_ORACLE
-    )
-    register(
-        "bpe_merge_candidates",
-        textops.bpe_merge_candidates_query,
-        textops.BPE_MERGE_CANDIDATES_ORACLE,
-    )
-
-    from .operators import changelog
-
-    register(
-        "ktable_latest", changelog.ktable_latest_query, changelog.KTABLE_LATEST_ORACLE
-    )
-
-    from .operators import rangejoin
-
-    register(
-        "prior_clicks_before_error",
-        rangejoin.prior_clicks_before_error_query,
-        rangejoin.PRIOR_CLICKS_BEFORE_ERROR_ORACLE,
-    )
-    register(
-        "error_window_counts",
-        rangejoin.error_window_counts_query,
-        rangejoin.ERROR_WINDOW_COUNTS_ORACLE,
-    )
-
-    from .operators import sampling
-
-    register(
-        "dataset_split", sampling.dataset_split_query, sampling.DATASET_SPLIT_ORACLE
-    )
-    register(
-        "stratified_sample",
-        sampling.stratified_sample_query,
-        sampling.STRATIFIED_SAMPLE_ORACLE,
-    )
-    register(
-        "mixture_sample", sampling.mixture_sample_query, sampling.MIXTURE_SAMPLE_ORACLE
-    )
-    register("source_cap", sampling.source_cap_query, sampling.SOURCE_CAP_ORACLE)
-
-    register("exact_dedup", dedup.exact_dedup_query, dedup.EXACT_DEDUP_ORACLE)
-    register(
-        "ngram_jaccard_pairs",
-        dedup.ngram_jaccard_pairs_query,
-        dedup.NGRAM_JACCARD_ORACLE,
-    )
-    register(
-        "minhash_lsh_pairs", dedup.minhash_lsh_pairs_query, dedup.MINHASH_LSH_ORACLE
-    )
-    register("simhash", dedup.simhash_query, dedup.SIMHASH_ORACLE)
-    register("simhash_pairs", dedup.simhash_pairs_query, dedup.SIMHASH_PAIRS_ORACLE)
-    register(
-        "contamination", dedup.contamination_query, dedup.CONTAMINATION_ORACLE
-    )
-    register(
-        "boilerplate_ngrams",
-        dedup.boilerplate_ngrams_query,
-        dedup.BOILERPLATE_NGRAMS_ORACLE,
-    )
-
-    from .operators import curation
-
-    register("corpus_keep", curation.corpus_keep_query, curation.CORPUS_KEEP_ORACLE)
-
-    from .operators import clustering
-
-    register(
-        "dedup_clusters",
-        clustering.dedup_clusters_query,
-        clustering.DEDUP_CLUSTERS_ORACLE,
-    )
-    register(
-        "embedding_dup_clusters",
-        clustering.embedding_dup_clusters_query,
-        clustering.EMBEDDING_DUP_CLUSTERS_ORACLE,
-    )
-    register(
-        "dup_pagerank", clustering.dup_pagerank_query, clustering.DUP_PAGERANK_ORACLE
-    )
-
-    register("ann_topk", similarity.ann_topk_query, similarity.ANN_TOPK_ORACLE)
-    register(
-        "ivf_near_dup", similarity.ivf_near_dup_query, similarity.IVF_NEAR_DUP_ORACLE
-    )
-    # Approximate by construction (bucketed recall < 1): rows-only check.
-    register("lsh_ann", similarity.lsh_ann_query, None)
-    register(
-        "label_centroids",
-        similarity.label_centroids_query,
-        similarity.LABEL_CENTROIDS_ORACLE,
-    )
-    register("ivf_assign", similarity.ivf_assign_query, similarity.IVF_ASSIGN_ORACLE)
-    # Deterministic cell-probed top-k (nprobe dial): unlike lsh_ann the
-    # whole search is oracle-checked; ann_topk is its recall reference.
-    register("ivf_ann", similarity.ivf_ann_query, similarity.IVF_ANN_ORACLE)
-    register(
-        "embedding_outliers",
-        similarity.embedding_outliers_query,
-        similarity.EMBEDDING_OUTLIERS_ORACLE,
-    )
-    register(
-        "knn_graph",
-        similarity.knn_graph_query,
-        similarity.KNN_GRAPH_ORACLE,
-    )
-    register(
-        "embedding_diversity",
-        similarity.embedding_diversity_query,
-        similarity.EMBEDDING_DIVERSITY_ORACLE,
-    )
-
-    from .operators import spectral
-
-    register(
-        "power_iteration",
-        spectral.power_iteration_query,
-        spectral.POWER_ITERATION_ORACLE,
-    )
-
-    from .operators import multimodal, skew
-
-    register(
-        "multimodal_features",
-        multimodal.multimodal_features_query,
-        multimodal.MULTIMODAL_FEATURES_ORACLE,
-    )
-    register(
-        "frame_sample", multimodal.frame_sample_query, multimodal.FRAME_SAMPLE_ORACLE
-    )
-    register(
-        "purchases_agg_salted",
-        skew.purchases_agg_salted_query,
-        skew.PURCHASES_AGG_SALTED_ORACLE,
-    )
     _LOADED = True

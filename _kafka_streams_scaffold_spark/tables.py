@@ -71,19 +71,46 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _ts_is_nanos(path: str) -> bool:
     """Probe the parquet footer (driver-side, no Spark job) for a
     nanosecond ``ts`` column. Directory datasets probe one footer —
-    a dataset is written with one schema."""
-    try:
-        import pyarrow.parquet as pq
+    a dataset is written with one schema.
 
+    Failures are caught NARROWLY and warned about: a silent ``except
+    Exception: return False`` would route a nanos file to the plain
+    read path, where Spark's vectorized reader then fails with an
+    opaque TIMESTAMP(NANOS) error — the exact failure this probe
+    exists to prevent. A missing ``ts`` field is the one genuinely
+    benign case (schema simply has no ts column) and returns False
+    without noise."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError as e:
+        _warn_probe(path, f"pyarrow unavailable ({e})")
+        return False
+    try:
         if os.path.isdir(path):
             inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
             if not inner:
                 return False
             path = os.path.join(path, inner[0])
-        field = pq.read_schema(path).field("ts")
-        return getattr(field.type, "unit", None) == "ns"
-    except Exception:
+        schema = pq.read_schema(path)
+        if "ts" not in schema.names:
+            return False
+        return getattr(schema.field("ts").type, "unit", None) == "ns"
+    except (OSError, pa.lib.ArrowException) as e:
+        _warn_probe(path, f"unreadable footer ({type(e).__name__}: {e})")
         return False
+
+
+def _warn_probe(path: str, why: str) -> None:
+    import warnings
+
+    warnings.warn(
+        f"nanos-timestamp footer probe failed for {path}: {why}; "
+        "falling back to the plain parquet read path — if this file "
+        "was written with TIMESTAMP(NANOS) the read will fail there",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def spread(df: DataFrame, key: str | None = None) -> DataFrame:

@@ -139,24 +139,35 @@ def test_data_quality_audit_counts_violations(spark, monkeypatch):
             l_extendedprice=-5.0, l_tax=-0.1),                 # +2 more
         Row(l_orderkey=99, l_quantity=1.0, l_discount=0.0,     # orphan
             l_extendedprice=1.0, l_tax=0.0),
+        Row(l_orderkey=1, l_quantity=None, l_discount=None,    # nulls slip
+            l_extendedprice=None, l_tax=None),                 # range rules
     ])
     orders = spark.createDataFrame([
         Row(o_orderkey=1, o_custkey=1, o_totalprice=100.0),
         Row(o_orderkey=2, o_custkey=2, o_totalprice=-3.0),     # 1 rule hit
+        Row(o_orderkey=3, o_custkey=3, o_totalprice=None),     # null total
     ])
     frames = {"lineitem": li, "orders": orders}
     monkeypatch.setattr(dq.tables, "table",
                         lambda s, sf, name: frames[name])
     got = {r["rule"]: r["n_violations"]
            for r in dq.data_quality_audit_query(spark, "_").collect()}
+    # The all-null lineitem row hits NO range rule (NULL predicates are
+    # not true) — exactly why each range-checked column carries its own
+    # isNull rule; without them that row would pass the audit silently.
     assert got == {
         "li_null_orderkey": 0,
         "li_nonpositive_qty": 1,
+        "li_null_qty": 1,
         "li_discount_range": 1,
+        "li_null_discount": 1,
         "li_negative_price": 1,
+        "li_null_price": 1,
         "li_negative_tax": 1,
+        "li_null_tax": 1,
         "o_null_custkey": 0,
         "o_nonpositive_total": 1,
+        "o_null_total": 1,
         "li_orphan_orderkey": 1,
     }
 
