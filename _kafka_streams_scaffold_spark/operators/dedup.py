@@ -597,10 +597,17 @@ def boilerplate_ngrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     two).
 
     Scale: shingle document frequency is the same inverted index the
-    Jaccard path builds, and the boilerplate set is vocabulary-sized
-    (high-df shingles only), so the flag join keys on the shingle with
-    a small build side; the per-doc rollup is partial-aggregatable.
-    The corpus size joins in as a broadcast scalar.
+    Jaccard path builds; the per-doc rollup is partial-aggregatable.
+    The corpus size joins in as a broadcast scalar, and the boiler set
+    is EXPLICITLY broadcast: it is provably small (every boiler
+    shingle has df > n/10, and Σdf = |shingle stream|, so |boiler| <
+    10 x the average doc's distinct-shingle count), but
+    as a derived frame Catalyst has no stats for it — without the hint
+    the flag join planned as sort-merge and shuffled the ENTIRE
+    shingle stream on `shingle`, then again on `doc_id` for the
+    rollup (the 8.3x factor in the round-2 SCALE probe). Broadcast,
+    the stream is touched map-side only and the sole shuffle carries
+    per-doc aggregate rows.
     """
     docs = tables.table(spark, sf_dir, "documents")
     sh = shingles(docs)
@@ -612,7 +619,7 @@ def boilerplate_ngrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle", F.lit(1).alias("is_boiler"))
     )
     return (
-        sh.join(boiler, "shingle", "left")
+        sh.join(F.broadcast(boiler), "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),

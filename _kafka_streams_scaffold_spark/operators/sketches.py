@@ -295,3 +295,50 @@ SELECT event_type,
 FROM events
 GROUP BY event_type, {_BUCKET_EXPR}
 """
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters (freqItems sketch, guarantee asserted in-result)
+# --------------------------------------------------------------------------
+
+HH_DENOM = 10  # support = 1/HH_DENOM of all events
+
+
+def heavy_hitters_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection with the sketch's guarantee asserted IN
+    the result: ``freqItems`` (Spark's one-pass misra-gries-style
+    frequent-items sketch — fixed state, partial-merged map-side, the
+    100 TB path for "which keys are hot") may emit false positives but
+    NEVER misses an item with frequency > support. So the registered
+    form lists the exactly-counted event types above support with an
+    ``in_sketch`` boolean the oracle expects universally true —
+    sketch-specific extras and estimates stay out of the hash-checked
+    surface (same contract pattern as approx_distinct_users)."""
+    ev = tables.table(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * HH_DENOM > F.col("total"))
+    )
+    freq = ev.stat.freqItems(["event_type"], support=1.0 / HH_DENOM)
+    return (
+        exact.crossJoin(F.broadcast(freq))
+        .select(
+            "event_type",
+            "cnt",
+            F.array_contains(
+                F.col("event_type_freqItems"), F.col("event_type")
+            ).alias("in_sketch"),
+        )
+    )
+
+
+HEAVY_HITTERS_CHECK_ORACLE = f"""
+SELECT event_type, cnt, TRUE AS in_sketch
+FROM (
+  SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
+), (SELECT count(*) AS total FROM events)
+WHERE cnt * {HH_DENOM} > total
+"""

@@ -1031,3 +1031,94 @@ SELECT pair, weight,
 FROM counted
 QUALIFY merge_rank <= {BPE_TOP_MERGES}
 """
+
+
+# --------------------------------------------------------------------------
+# Unigram token-rarity scoring (the surprisal/perplexity-proxy filter)
+# --------------------------------------------------------------------------
+
+_RARITY_SCALE = 1_000_000
+
+
+def token_rarity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean and max unigram token rarity — the
+    perplexity-proxy quality filter pretraining pipelines run when no
+    model is in the loop: documents whose tokens are improbable under
+    the corpus unigram distribution are OCR noise, codes, or gibberish
+    (high rarity); boilerplate scores near the minimum.
+
+    Rarity(t) = N_total / count(t) — the LINEAR analog of unigram
+    surprisal -log p(t). Linear instead of log for the same reason
+    tf-idf here uses linear idf: IEEE divide is correctly rounded so
+    the DuckDB oracle matches bit-for-bit, while libm log differs in
+    the last ulp between engines; swap in log2 when cross-engine
+    equality is not required (the ranking is monotone-identical
+    either way). The per-doc mean is a float sum, so each rarity is
+    fixed-pointed first (floor(r * 1e6) -> BIGINT, the
+    label_centroids contract): the sums are exact and associative,
+    and the one double division at the end is correctly rounded.
+
+    Scale: the term-count table is vocabulary-sized and broadcasts
+    (the BM25 stats posture); the corpus total derives from it (no
+    extra pass). Two passes over the token stream — one to count,
+    one to score — and the only shuffles carry (term, count) and
+    per-doc aggregate rows.
+    """
+    from ..pinning import pin as _pin
+
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", F.explode(tokens_expr()).alias("term"))
+    tc = _pin(toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+    total = tc.agg(F.sum("cnt").cast("bigint").alias("total"))
+    r_fp = F.floor(
+        (F.col("total").cast("double") / F.col("cnt").cast("double"))
+        * F.lit(float(_RARITY_SCALE))
+    ).cast("long")
+    return (
+        toks.join(F.broadcast(tc), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", r_fp.alias("r_fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("r_fp").cast("bigint").alias("sum_fp"),
+            F.max("r_fp").alias("max_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("sum_fp").cast("double")
+                / (F.col("n_tokens").cast("double") * F.lit(float(_RARITY_SCALE)))
+            ).alias("mean_rarity"),
+            (F.col("max_fp").cast("double") / F.lit(float(_RARITY_SCALE))).alias(
+                "max_rarity"
+            ),
+        )
+    )
+
+
+TOKEN_RARITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tc),
+fp AS (
+  SELECT t.doc_id,
+         CAST(floor((CAST(n.total AS DOUBLE) / CAST(c.cnt AS DOUBLE))
+                    * {float(_RARITY_SCALE)}) AS BIGINT) AS r_fp
+  FROM toks t JOIN tc c USING (term) CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(r_fp) AS BIGINT) AS DOUBLE)
+           / (CAST(count(*) AS DOUBLE) * {float(_RARITY_SCALE)})
+           AS mean_rarity,
+       CAST(MAX(r_fp) AS DOUBLE) / {float(_RARITY_SCALE)} AS max_rarity
+FROM fp
+GROUP BY doc_id
+"""

@@ -261,6 +261,14 @@ def _ensure_loaded() -> None:
     # check; lsh_ann_recall (slot above) hash-checks its quality.
     register("lsh_ann", similarity.lsh_ann_query, None)
     register(
+        "token_rarity", textops.token_rarity_query, textops.TOKEN_RARITY_ORACLE
+    )
+    register(
+        "heavy_hitters",
+        sketches.heavy_hitters_check_query,
+        sketches.HEAVY_HITTERS_CHECK_ORACLE,
+    )
+    register(
         "frame_sample", multimodal.frame_sample_query, multimodal.FRAME_SAMPLE_ORACLE
     )
 

@@ -23,6 +23,13 @@ Transport is stdlib ``http.server`` (threaded): the tier is a thin
 JSON shim over ``MemoryStore`` / ``ParquetChangelogStore``; anything
 heavier would imply the server does query work, which it must not —
 reads are dict lookups / pre-compacted parquet reads.
+
+Store choice: ``ParquetChangelogStore`` (via ``SparkStoreAdapter``)
+is the DEFAULT for anything beyond demo keyspaces — it never holds
+the keyspace in driver memory and compacts on read/schedule.
+``MemoryStore`` is the interactive/demo tier only and enforces its
+own ``max_keys`` bound (it collect()s every micro-batch into the
+driver).
 """
 
 from __future__ import annotations

@@ -123,6 +123,44 @@ def run_append_to_parquet(
     )
 
 
+def run_append_with_record_audit(
+    df: DataFrame,
+    path: str,
+    audit_path: str,
+    checkpoint_dir: str,
+    application_id: str,
+    query_name: str = "append-audited",
+) -> StreamingQuery:
+    """Append sink PLUS the per-record audit trail (R4 strict parity):
+    each micro-batch writes the payload to ``path`` and one audit
+    envelope per record (``audit.audit_records``) to ``audit_path``.
+
+    Structured Streaming allows one sink per query, so the fan-out is
+    a ``foreachBatch`` writing both — the batch frame is pinned for
+    the two writes, exactly-once per sink guaranteed by the shared
+    checkpoint + deterministic batch id."""
+    from .audit import audit_records
+
+    def _write_both(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(path)
+            audit_records(batch_df, application_id).write.mode(
+                "append"
+            ).parquet(audit_path)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_write_both)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def streaming_dedup(
     df: DataFrame,
     keys: list[str],

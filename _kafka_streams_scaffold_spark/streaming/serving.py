@@ -31,10 +31,22 @@ from pyspark.sql import functions as F
 
 class MemoryStore:
     """Driver-side key -> row map. The moral equivalent of one
-    RocksDB store; used by tests and small interactive serving."""
+    RocksDB store; used by tests and small interactive serving.
 
-    def __init__(self, key_cols: list[str]):
+    BOUNDED BY DESIGN: every micro-batch is ``collect()``ed into the
+    driver, so this store is only safe for aggregated, small-keyspace
+    results (demo serving, tests). ``max_keys`` (default 1,000,000 —
+    ~hundreds of MB of rows) is a hard guard: exceeding it raises
+    rather than silently OOMing the driver. Anything larger belongs in
+    ``ParquetChangelogStore`` (append-only, compacting, never
+    driver-resident), which ``http_serving`` accepts interchangeably.
+    """
+
+    DEFAULT_MAX_KEYS = 1_000_000
+
+    def __init__(self, key_cols: list[str], max_keys: int | None = None):
         self.key_cols = key_cols
+        self.max_keys = self.DEFAULT_MAX_KEYS if max_keys is None else max_keys
         self._data: dict[tuple, dict] = {}
         self._lock = threading.Lock()
 
@@ -43,6 +55,12 @@ class MemoryStore:
         with self._lock:
             for r in rows:
                 self._data[tuple(r[k] for k in self.key_cols)] = r
+            if len(self._data) > self.max_keys:
+                raise RuntimeError(
+                    f"MemoryStore exceeded max_keys={self.max_keys} "
+                    f"({len(self._data)} keys after batch {batch_id}); "
+                    "use ParquetChangelogStore for keyspaces this large"
+                )
 
     def get(self, *key) -> dict | None:
         """Point lookup — Q1 (``WordCountService.java:88-108``)."""

@@ -459,3 +459,26 @@ def test_bpe_merge_candidates_weighted_counts(spark, monkeypatch):
     assert [(r["pair"], r["weight"], r["merge_rank"]) for r in rows] == [
         ("ab", 5, 1), ("aa", 3, 2)
     ]
+
+
+def test_token_rarity_orders_gibberish_above_boilerplate(spark, monkeypatch):
+    """The rarity filter's contract: a doc of corpus-unique tokens
+    scores strictly above a doc made of the corpus's most common
+    tokens, and the values are the exact fixed-point linear-rarity
+    means (N_total / count(t), floored at 1e-6)."""
+    docs = _docs(spark, [
+        "the cat sat on the mat",       # common words (repeated below)
+        "the cat sat on the mat",
+        "zxqv jkwpf mbrtz",             # corpus-unique gibberish
+    ])
+    monkeypatch.setattr(textops.tables, "table", lambda *a: docs)
+    rows = {r["doc_id"]: r for r in
+            textops.token_rarity_query(spark, "_").collect()}
+    assert rows[2]["mean_rarity"] > rows[0]["mean_rarity"]
+    # N_total = 15; gibberish tokens each have count 1 -> rarity 15.0
+    assert abs(rows[2]["mean_rarity"] - 15.0) < 1e-6
+    assert rows[2]["max_rarity"] == 15.0
+    # doc 0: tokens the(x2@4),cat(2),sat(2),on(2),mat(2) ->
+    # mean = (2*15/4 + 4*15/2)/6 = (7.5+7.5+30)/6 = 6.25
+    assert abs(rows[0]["mean_rarity"] - 6.25) < 1e-6
+    assert rows[0]["n_tokens"] == 6

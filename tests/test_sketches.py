@@ -178,3 +178,25 @@ def test_value_histogram_boundaries(spark, sf_dir, monkeypatch):
     }
     # underflow 0; [0,25) -> 1; [25,50) -> 2; [475,500) -> 20; overflow 21
     assert got == {0: 1, 1: 2, 2: 1, 20: 1, 21: 2}
+
+
+def test_heavy_hitters_guarantee_and_exact_counts(spark, sf_dir):
+    """freqItems never misses an item above support, so in_sketch is
+    universally true for the exactly-counted heavy hitters; counts
+    match a direct groupBy."""
+    out = {r["event_type"]: r for r in
+           sketches.heavy_hitters_check_query(spark, sf_dir).collect()}
+    assert out, "testdata must contain at least one >10% event type"
+    ev = analytics.tables.table(spark, sf_dir, "events")
+    total = ev.count()
+    exact = {r["event_type"]: r["cnt"]
+             for r in ev.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for et, row in out.items():
+        assert row["in_sketch"] is True
+        assert row["cnt"] == exact[et]
+        assert row["cnt"] * sketches.HH_DENOM > total
+    # completeness: every >support type is present
+    for et, cnt in exact.items():
+        if cnt * sketches.HH_DENOM > total:
+            assert et in out

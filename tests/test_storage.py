@@ -65,3 +65,24 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_memory_store_max_keys_guard(spark):
+    """The driver-resident MemoryStore raises (rather than silently
+    growing toward an OOM) once its keyspace exceeds max_keys; the
+    error points at ParquetChangelogStore as the scale path."""
+    import pytest
+    from pyspark.sql import Row
+
+    from _kafka_streams_scaffold_spark.streaming import serving
+
+    store = serving.MemoryStore(["k"], max_keys=2)
+    ok = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)])
+    store.upsert_batch(ok, 0)
+    # re-upserting existing keys stays within bounds
+    store.upsert_batch(ok, 1)
+    assert store.get("a") == {"k": "a", "v": 1}
+
+    third = spark.createDataFrame([Row(k="c", v=3)])
+    with pytest.raises(RuntimeError, match="ParquetChangelogStore"):
+        store.upsert_batch(third, 2)

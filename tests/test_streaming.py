@@ -251,6 +251,63 @@ def test_audit_replay_reconstructs_last_offsets(spark, tmp_path):
         )
 
 
+def test_per_record_audit_envelopes(spark, tmp_path):
+    """R4 strict parity (AuditConsumerInterceptor.java:27-58): ONE
+    envelope per record, carrying that record's transport metadata
+    (partition/topic/offset/timestamp) plus processing wall-clock and
+    client identity — emitted alongside the payload sink by
+    run_append_with_record_audit."""
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    records = [
+        Row(
+            key=b"k",
+            value=f"line {i}".encode(),
+            topic="demo-plaintext-input",
+            partition=i % 3,
+            offset=i,
+            timestamp=ts + dt.timedelta(seconds=i),
+        )
+        for i in range(5)
+    ]
+    src = str(tmp_path / "wire")
+    spark.createDataFrame(records, KAFKA_WIRE).write.parquet(src)
+
+    wire_stream = spark.readStream.schema(KAFKA_WIRE).parquet(src)
+    decoded = ksrc.decode_kv(wire_stream)
+    q = pipeline.run_append_with_record_audit(
+        decoded,
+        path=str(tmp_path / "out"),
+        audit_path=str(tmp_path / "audit"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        application_id="audited-app",
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    envs = spark.read.parquet(str(tmp_path / "audit"))
+    # one envelope PER RECORD (the batch listener emits per-batch)
+    assert out.count() == 5
+    assert envs.count() == 5
+    rows = envs.collect()
+    for r in rows:
+        assert r["client"]["applicationId"] == "audited-app"
+        assert r["client"]["type"] == audit.AUDIT_CLIENT_TYPE
+        assert r["record"]["topic"] == "demo-plaintext-input"
+        assert r["timestamp"] > 0  # wall-clock millis
+    # envelope metadata is the record's own, not batch-level
+    assert {(r["record"]["partition"], r["record"]["offset"]) for r in rows} \
+        == {(i % 3, i) for i in range(5)}
+    assert {r["record"]["timestamp"] for r in rows} \
+        == {ts + dt.timedelta(seconds=i) for i in range(5)}
+
+    # the JSON wire form a Kafka audit-topic producer would emit
+    batch_decoded = ksrc.decode_kv(spark.read.parquet(src))
+    wire = audit.audit_records_json(batch_decoded, "audited-app").collect()
+    env = json.loads(wire[0]["value"])
+    assert set(env) == {"timestamp", "client", "record"}
+    assert set(env["record"]) == {"partition", "topic", "offset", "timestamp"}
+
+
 def test_stateful_count_and_total_matches_builtin(spark, tmp_path):
     evs = [
         {"key": "k1", "value": 2.0},
