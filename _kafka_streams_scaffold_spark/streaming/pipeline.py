@@ -136,18 +136,28 @@ def run_append_with_record_audit(
     envelope per record (``audit.audit_records``) to ``audit_path``.
 
     Structured Streaming allows one sink per query, so the fan-out is
-    a ``foreachBatch`` writing both — the batch frame is pinned for
-    the two writes, exactly-once per sink guaranteed by the shared
-    checkpoint + deterministic batch id."""
+    a ``foreachBatch`` writing both. foreachBatch is at-least-once (a
+    crash between the two writes replays the batch), so each write is
+    made IDEMPOTENT: output is partitioned by the deterministic batch
+    id and written with dynamic partition overwrite — a replayed batch
+    overwrites exactly its own partition instead of appending
+    duplicates. Net effect: exactly-once per sink."""
     from .audit import audit_records
 
     def _write_both(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            batch_df.write.mode("append").parquet(path)
-            audit_records(batch_df, application_id).write.mode(
-                "append"
-            ).parquet(audit_path)
+            for frame, dest in (
+                (batch_df, path),
+                (audit_records(batch_df, application_id), audit_path),
+            ):
+                (
+                    frame.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(dest)
+                )
         finally:
             batch_df.unpersist()
 

@@ -288,6 +288,9 @@ def test_per_record_audit_envelopes(spark, tmp_path):
     # one envelope PER RECORD (the batch listener emits per-batch)
     assert out.count() == 5
     assert envs.count() == 5
+    # idempotence surface: output is partitioned by the deterministic
+    # batch id, so a replayed batch overwrites its own partition
+    assert "batch_id" in envs.columns
     rows = envs.collect()
     for r in rows:
         assert r["client"]["applicationId"] == "audited-app"

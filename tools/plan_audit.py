@@ -149,16 +149,43 @@ AUDIT = [
         "knn_graph",
         "Self-join keys on the assigned IVF cell so pair scoring is "
         "sum-over-cells O(|cell|^2) co-located per partition; the "
-        "mutual-edge join keys on id pairs — every shuffle row is "
-        "id-width, the vectors themselves never re-shuffle after the "
-        "cell join.",
+        "edge list is PINNED before the mutual-edge self-join (both "
+        "branches read |V|*k cached id-width rows instead of re-running "
+        "the quadratic cell join); the vectors never re-shuffle after "
+        "the cell join.",
     ),
     (
         "boilerplate_ngrams",
         "Shingle document-frequency reuses the inverted index; the "
-        "boilerplate set is the high-df tail only (vocabulary-sized "
-        "build side) and the per-doc rollup is partial-aggregatable; "
-        "the corpus size joins as a broadcast scalar.",
+        "boilerplate set (high-df tail, provably < 10x a doc's "
+        "shingle count) is EXPLICITLY broadcast so the flag join is "
+        "map-side — the shingle stream itself never shuffles; the "
+        "per-doc rollup is partial-aggregatable and the corpus size "
+        "joins as a broadcast scalar.",
+    ),
+    (
+        "tfidf_top_terms",
+        "The (doc, term) tf aggregate is PINNED: it feeds both the "
+        "document-frequency rollup and the scored join, so the "
+        "tokenize+explode pipeline — the expensive part — runs once; "
+        "df and the corpus count broadcast; the only big shuffles are "
+        "the tf groupBy and the per-doc top-k window.",
+    ),
+    (
+        "dyn_ivf_assign",
+        "Cell count tracks corpus size: per coarse cell, "
+        "ceil(cell_n/target) hash-seeded sub-centroids; the candidate "
+        "join keys on the coarse cell (per-vector work ~ cell_n/target "
+        "comparisons, never a global cross join); seed ranking windows "
+        "sort each coarse cell once.",
+    ),
+    (
+        "token_rarity",
+        "Vocabulary-sized term-count table broadcasts (BM25 stats "
+        "posture) and the corpus total derives from it — no extra "
+        "corpus pass; per-token rarity is fixed-pointed so the per-doc "
+        "mean is an exact associative BIGINT sum; shuffles carry "
+        "(term, count) and per-doc aggregate rows only.",
     ),
     (
         "funnel_conversion",
