@@ -311,3 +311,104 @@ SELECT doc_id, rank AS pagerank FROM {prev}
 
 
 DUP_PAGERANK_ORACLE = _pagerank_oracle()
+
+
+# --------------------------------------------------------------------------
+# Cluster keep-list (the dedup pipeline's actual output)
+# --------------------------------------------------------------------------
+
+
+def cluster_keep_list_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: one keep/drop decision per
+    document — keep the highest-PageRank member of each near-dup
+    cluster (most-connected = most canonical), everything else in the
+    cluster drops. Isolated documents are their own cluster and keep
+    trivially.
+
+    Composes the two iterative engines over ONE pinned edge table:
+    simhash pairs are computed once, then connected_components labels
+    clusters and pagerank scores members — without the shared pin the
+    banded self-join would run twice. The final argmax is one window
+    over (cluster, rank desc, doc_id), deterministic because pagerank
+    itself is bit-exact (fixed-point contributions) and ties break on
+    doc_id. Scale: adds one |V|-row join + window on top of the two
+    engines' documented O(E * rounds) behavior."""
+    from ..pinning import pin as _pin
+    from pyspark.sql import Window
+
+    docs = tables.table(spark, sf_dir, "documents").select("doc_id")
+    edges = _pin(
+        simhash_pairs_query(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+    )
+    cc = connected_components(docs, edges)
+    pr = pagerank(docs, edges)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("pagerank").desc(), F.col("doc_id")
+    )
+    return (
+        cc.join(pr, "doc_id")
+        .withColumn("keep_rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "pagerank",
+            (F.col("keep_rank") == 1).alias("keep"),
+        )
+    )
+
+
+def _keep_list_oracle() -> str:
+    """Recursive-CTE clusters + unrolled PageRank, joined, argmax per
+    cluster. Shares the MATERIALIZED pairs/uedges CTEs so the banded
+    self-join runs once on the oracle side too."""
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""r{i} AS (
+  SELECT n.doc_id,
+         {PR_BASE} + {PR_DAMP} * (CAST(COALESCE(s.sfp, 0) AS DOUBLE)
+                                  / {float(_PR_SCALE)}) AS rank
+  FROM documents n LEFT JOIN (
+    SELECT e.dst AS doc_id,
+           SUM(CAST(floor((r.rank / d.deg) * {_PR_SCALE}) AS BIGINT)) AS sfp
+    FROM uedges e
+    JOIN {prev} r ON r.doc_id = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.doc_id = n.doc_id
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  {_simhash_edges_sql()}
+),
+uedges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(doc_id, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.doc_id, e.dst FROM walk w JOIN uedges e ON w.reach = e.src
+),
+clusters AS (
+  SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM uedges GROUP BY src),
+r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS rank FROM documents),
+{chain}
+SELECT doc_id, cluster_id, pagerank, keep_rank = 1 AS keep FROM (
+  SELECT c.doc_id, c.cluster_id, r.rank AS pagerank,
+         CAST(row_number() OVER (
+           PARTITION BY c.cluster_id ORDER BY r.rank DESC, c.doc_id
+         ) AS INTEGER) AS keep_rank
+  FROM clusters c JOIN {prev} r ON r.doc_id = c.doc_id
+)
+"""
+
+
+CLUSTER_KEEP_LIST_ORACLE = _keep_list_oracle()

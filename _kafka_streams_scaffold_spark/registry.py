@@ -264,6 +264,11 @@ def _ensure_loaded() -> None:
         "token_rarity", textops.token_rarity_query, textops.TOKEN_RARITY_ORACLE
     )
     register(
+        "cluster_keep_list",
+        clustering.cluster_keep_list_query,
+        clustering.CLUSTER_KEEP_LIST_ORACLE,
+    )
+    register(
         "heavy_hitters",
         sketches.heavy_hitters_check_query,
         sketches.HEAVY_HITTERS_CHECK_ORACLE,

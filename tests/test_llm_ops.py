@@ -482,3 +482,35 @@ def test_token_rarity_orders_gibberish_above_boilerplate(spark, monkeypatch):
     # mean = (2*15/4 + 4*15/2)/6 = (7.5+7.5+30)/6 = 6.25
     assert abs(rows[0]["mean_rarity"] - 6.25) < 1e-6
     assert rows[0]["n_tokens"] == 6
+
+
+def test_cluster_keep_list_keeps_exactly_one_per_cluster(spark, monkeypatch):
+    """Every cluster keeps exactly its highest-pagerank member (ties
+    to min doc_id); isolated docs keep themselves."""
+    from _kafka_streams_scaffold_spark.operators import clustering
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(6)])
+    # triangle 0-1-2 plus pendant 3 hanging off 1 => node 1 has max
+    # degree/rank; symmetric 4-5 pair => equal ranks, tie to min id
+    edges = spark.createDataFrame([
+        Row(doc_a=0, doc_b=1), Row(doc_a=1, doc_b=2), Row(doc_a=0, doc_b=2),
+        Row(doc_a=1, doc_b=3),
+        Row(doc_a=4, doc_b=5),
+    ])
+    monkeypatch.setattr(clustering.tables, "table", lambda *a: docs)
+    monkeypatch.setattr(
+        clustering, "simhash_pairs_query", lambda s, sf: edges
+    )
+    rows = clustering.cluster_keep_list_query(spark, "_").collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    # one keep per cluster
+    from collections import Counter
+    keeps = Counter(r["cluster_id"] for r in rows if r["keep"])
+    sizes = Counter(r["cluster_id"] for r in rows)
+    assert keeps == Counter({cid: 1 for cid in sizes})
+    # hub of the triangle+pendant cluster wins
+    assert by_doc[1]["keep"] is True
+    assert not by_doc[0]["keep"] and not by_doc[3]["keep"]
+    # symmetric 4-5 pair: equal rank, tie to min doc_id
+    assert by_doc[4]["keep"] is True and by_doc[5]["keep"] is False
+    assert by_doc[4]["pagerank"] == by_doc[5]["pagerank"]
