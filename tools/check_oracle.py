@@ -55,6 +55,10 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Release the previous query's pins BEFORE running (covers the
+        # error/rows-only continue paths too): at 100+ queries the
+        # accumulated storage makes late queries 5-7x slower (bench.py).
+        pinning.unpersist_all()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
