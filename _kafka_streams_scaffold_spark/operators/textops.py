@@ -41,6 +41,45 @@ def tokens_expr(text_col: str = "text") -> F.Column:
 # Quality scoring
 # --------------------------------------------------------------------------
 
+def quality_score_expr(text_col: str = "text") -> F.Column:
+    """The composite quality score as ONE column expression — shared
+    by the batch query below and the streaming corpus filter
+    (``streaming/pipeline.streaming_corpus_filter``), so both
+    execution modes score documents with literally the same plan
+    fragment."""
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_EN_STOPWORDS)))
+    n_chars = F.length(text_col)
+    alpha_chars = F.length(
+        F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")
+    )
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(50.0))
+        + F.lit(0.3) * (alpha_chars.cast("double") / n_chars)
+        + F.lit(0.3) * (F.lit(1.0) - stop_hits.cast("double") / n_tokens)
+    )
+
+
+def pred_lang_expr(text_col: str = "text") -> F.Column:
+    """Predicted language as one column expression (stopword-hit
+    heuristic, deterministic declaration-order tie-break, 'und' for
+    zero hits) — shared by lang_id_query and the streaming filter."""
+    toks = tokens_expr(text_col)
+
+    def _hits(words: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    scores = {lang: _hits(words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_STOPWORDS)):
+        pred = F.when(
+            (best > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    return pred
+
+
 def quality_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + a composite score.
 
@@ -66,11 +105,7 @@ def quality_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (token_chars.cast("double") / n_tokens).alias("avg_token_len"),
         (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
         (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
-        (
-            F.lit(0.4) * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(50.0))
-            + F.lit(0.3) * (alpha_chars.cast("double") / n_chars)
-            + F.lit(0.3) * (F.lit(1.0) - stop_hits.cast("double") / n_tokens)
-        ).alias("quality_score"),
+        quality_score_expr().alias("quality_score"),
     )
 
 
@@ -169,15 +204,9 @@ def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.size(F.filter(toks, lambda x: x.isin(*words)))
 
     scores = {lang: _hits(words) for lang, words in LANG_STOPWORDS.items()}
-    best = F.greatest(*scores.values())
-    pred = F.lit("und")
-    for lang in reversed(list(LANG_STOPWORDS)):
-        pred = F.when(
-            (best > 0) & (scores[lang] == best), F.lit(lang)
-        ).otherwise(pred)
     sel = [F.col("doc_id")]
     sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_STOPWORDS]
-    sel.append(pred.alias("pred_lang"))
+    sel.append(pred_lang_expr().alias("pred_lang"))
     return docs.select(*sel)
 
 

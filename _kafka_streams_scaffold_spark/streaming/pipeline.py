@@ -188,6 +188,45 @@ def streaming_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_corpus_filter(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch ``corpus_keep`` curation gate: the
+    stateless tier (quality score, language ID, fingerprint) runs as
+    the SAME column expressions the batch queries use — one semantics,
+    two execution modes — and content dedup is first-arrival-wins on
+    the normalized fingerprint within the watermark horizon
+    (``dropDuplicatesWithinWatermark``; the streaming stand-in for the
+    batch min-doc-id canonical representative).
+
+    Scale: scoring is scan-local (zero state); the only streaming
+    state is the dedup store keyed by 32-hex digests, evicted as the
+    watermark passes — bounded regardless of corpus size. Benchmark
+    decontamination joins in as a stream-static broadcast upstream if
+    needed (``enrich_with_dimension``)."""
+    from ..operators.curation import KEEP_LANG, MIN_QUALITY
+    from ..operators.textops import (
+        fingerprint_expr,
+        pred_lang_expr,
+        quality_score_expr,
+    )
+
+    scored = (
+        docs.withColumn("quality_score", quality_score_expr())
+        .withColumn("pred_lang", pred_lang_expr())
+        .withColumn("fingerprint", fingerprint_expr())
+    )
+    kept = scored.filter(
+        (F.col("quality_score") >= MIN_QUALITY)
+        & (F.col("pred_lang") == KEEP_LANG)
+    )
+    return streaming_dedup(
+        kept, ["fingerprint"], ts_col=ts_col, watermark=watermark
+    )
+
+
 def enrich_with_dimension(
     stream_df: DataFrame, dim_df: DataFrame, on: list[str] | str
 ) -> DataFrame:

@@ -663,3 +663,63 @@ def test_streaming_ktable_latest_converges_to_batch(spark, tmp_path, monkeypatch
         for k, v in store.snapshot().items()
     }
     assert converged == batch == {1: ("click", 9.0), 2: ("purchase", 3.0)}
+
+
+def test_streaming_corpus_filter_matches_batch_gate(spark, tmp_path):
+    """The streaming curation gate applies the SAME quality/lang
+    expressions as the batch queries and dedups by fingerprint:
+    survivors are exactly the passing docs, one per distinct
+    fingerprint."""
+    from pyspark.sql import types as T
+
+    from _kafka_streams_scaffold_spark.operators import textops
+    from _kafka_streams_scaffold_spark.operators.curation import (
+        KEEP_LANG,
+        MIN_QUALITY,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "a cat sat on the mat of the house in the garden is nice "
+            "and the day is long and the sun is warm in the sky above")
+    rows = [
+        {"doc_id": 0, "text": good, "ts": "2024-01-01T10:00:00"},
+        {"doc_id": 1, "text": good, "ts": "2024-01-01T10:05:00"},   # dup
+        {"doc_id": 2, "text": "el la de los y que en " * 10,
+         "ts": "2024-01-01T10:06:00"},                               # es
+        {"doc_id": 3, "text": "#### ---- !!!! 1234 " * 10,
+         "ts": "2024-01-01T10:07:00"},                               # junk
+        {"doc_id": 4, "text": good + " extra tail words here",
+         "ts": "2024-01-01T10:08:00"},                               # distinct
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = str(tmp_path / "docs")
+    _write_json(src, "a.json", rows)
+    stream = spark.readStream.schema(schema).json(src)
+    out = pipeline.streaming_corpus_filter(stream)
+    q = pipeline.run_append_to_parquet(
+        out, str(tmp_path / "kept"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    kept = spark.read.parquet(str(tmp_path / "kept")).collect()
+
+    # batch twin: same expressions on the same frame
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        textops.quality_score_expr().alias("qs"),
+        textops.pred_lang_expr().alias("lang"),
+        textops.fingerprint_expr().alias("fp"),
+    ).collect()
+    passing = [r for r in batch
+               if r["qs"] >= MIN_QUALITY and r["lang"] == KEEP_LANG]
+    assert {r["doc_id"] for r in passing} == {0, 1, 4}
+    # survivors: one per distinct passing fingerprint
+    assert len(kept) == len({r["fp"] for r in passing}) == 2
+    assert {r["fingerprint"] for r in kept} == {r["fp"] for r in passing}
+    # the es and junk docs never pass
+    assert {r["doc_id"] for r in kept} <= {0, 1, 4}
