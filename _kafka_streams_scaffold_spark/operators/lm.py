@@ -1,0 +1,249 @@
+"""Corpus language-model scoring for training-data curation.
+
+The standard web-corpus pipeline scores every document against a cheap
+language model trained on the corpus itself (CCNet/KenLM-style): a
+document whose tokens are "surprising" under the corpus distribution
+is likelier to be noise; a *source* whose token distribution diverges
+from the corpus signals domain shift worth inspecting before mixing.
+These are the model-free tiers of that ladder:
+
+- ``unigram_lm_score`` — per-document average surprisal (nats/token)
+  under the corpus unigram LM.
+- ``source_kl_divergence`` — KL(p_source || p_corpus) per source, the
+  domain-shift audit.
+- ``quality_weighted_sample`` — content-stable sampling whose keep
+  probability scales with document length (the deterministic analog of
+  quality-weighted reservoir sampling).
+
+Cross-engine determinism: all counting is exact BIGINT; the single
+transcendental per distinct input (``ln``) is fixed-pointed to
+``floor(1e6 * ln(x))`` so per-row values are integers and the
+aggregation is an exact integer sum — float addition ORDER never
+matters, so results are identical across engines, partitionings and
+reruns. The only float ops left are the correctly-rounded divisions
+that build ln's argument and the one final division, both with a fixed
+operand order. (Same contract as ``textops.bm25_search``, which
+already hash-matches DuckDB on ``ln`` values; a 1-ulp ln discrepancy
+could only matter if ``1e6*ln(x)`` sat within ~1e-9 of an integer.)
+
+Extends the reference surface (the Kafka Streams scaffold has no text
+analytics; nearest analog is the wordcount topology's token split,
+``streams/WordCountTopology.java:31``, which ``textops.tokens_expr``
+reuses verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..pinning import pin as _pin
+from .textops import tokens_expr
+
+_D38 = "decimal(38,0)"
+
+# floor(1e6 * ln(a/b)) with exact-count inputs; the double division is
+# correctly rounded and the operand order is fixed, so both engines
+# evaluate ln on bit-identical arguments.
+_LN_FP_SPARK = "cast(floor(1e6 * ln(cast({a} as double) / cast({b} as double))) as bigint)"
+_LN_FP_DUCK = "CAST(floor(1e6 * ln(CAST({a} AS DOUBLE) / CAST({b} AS DOUBLE))) AS BIGINT)"
+
+_DUCK_TOKS = (
+    "SELECT doc_id, source, unnest(list_filter("
+    "string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS tok "
+    "FROM documents"
+)
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    return docs.select(
+        "doc_id", "source", F.explode(tokens_expr()).alias("tok")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-document unigram-LM surprisal
+# --------------------------------------------------------------------------
+
+def unigram_lm_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, avg_surprisal) — mean nats/token under the
+    corpus unigram LM (no smoothing needed: every scored token is in
+    the vocabulary by construction).
+
+    Shape: ONE tokenize pass builds the vocabulary (groupBy tok — the
+    shuffle payload is the vocabulary, not the corpus), the corpus
+    total joins on as a broadcast one-row aggregate, and the per-token
+    surprisal table (vocab-sized) broadcasts back onto the exploded
+    token stream — map-side, no shuffle of token occurrences except
+    the final per-doc sum, which partial-aggregates to ~1 row per doc
+    before the exchange. At 100 TB the vocab of a \\W+ tokenizer is
+    ~1e7 rows (Heaps' law) — still broadcastable; past that, the same
+    plan with a sort-merge join on ``tok`` shuffles only
+    (token, BIGINT) pairs.
+    """
+    tok = _pin(_doc_tokens(spark, sf_dir).select("doc_id", "tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    surprisal = (
+        vocab.crossJoin(F.broadcast(total))
+        .select("tok", F.expr(_LN_FP_SPARK.format(a="t", b="c")).alias("s_fp"))
+    )
+    return (
+        tok.join(F.broadcast(surprisal), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("s_fp").alias("sum_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("sum_fp").cast("double")
+                / (F.col("n_tokens") * F.lit(1000000)).cast("double")
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+UNIGRAM_LM_ORACLE = f"""
+WITH toks AS ({_DUCK_TOKS}),
+total AS (SELECT count(*) AS t FROM toks),
+surprisal AS (
+  SELECT tok, {_LN_FP_DUCK.format(a="t", b="count(*)")} AS s_fp
+  FROM toks, total GROUP BY tok, t
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(s_fp) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE)
+         AS avg_surprisal
+FROM toks JOIN surprisal USING (tok)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-source KL divergence vs the corpus distribution
+# --------------------------------------------------------------------------
+
+def source_kl_divergence_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, kl_nats) — KL(p_source || p_corpus) =
+    sum_t p_s(t) * ln(p_s(t)/p(t)), the domain-shift audit run before
+    mixing sources into a training blend.
+
+    Shape: one tokenize pass -> (source, tok) counts (the pinned ``st``
+    frame — vocab x sources rows); corpus counts, per-source totals and
+    the grand total are all re-aggregations of ``st``, so the corpus is
+    scanned ONCE. Per-(source,tok) KL terms are exact-BIGINT products
+    of counts with the fixed-pointed ln ratio; the per-source sum
+    accumulates DECIMAL(38,0) (terms reach c_st * 2e7 — a BIGINT sum
+    would overflow near ~1e11 tokens/source, mid-run at 100 TB).
+    """
+    st = _pin(
+        _doc_tokens(spark, sf_dir)
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    corpus = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    per_src = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    total = corpus.agg(F.sum("c_t").alias("t"))
+    ln_arg_a = "(cast(c_st as double) * cast(t as double))"
+    ln_arg_b = "(cast(c_t as double) * cast(t_s as double))"
+    term = (
+        st.join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "t_s",
+            (
+                F.col("c_st")
+                * F.expr(
+                    f"cast(floor(1e6 * ln({ln_arg_a} / {ln_arg_b})) as bigint)"
+                )
+            ).cast(_D38).alias("term_fp"),
+        )
+    )
+    return (
+        term.groupBy("source", "t_s")
+        .agg(F.sum("term_fp").alias("sum_fp"))
+        .select(
+            "source",
+            F.col("t_s").alias("n_tokens"),
+            (
+                F.col("sum_fp").cast("double")
+                / (F.col("t_s") * F.lit(1000000)).cast("double")
+            ).alias("kl_nats"),
+        )
+    )
+
+
+SOURCE_KL_ORACLE = f"""
+WITH toks AS ({_DUCK_TOKS}),
+st AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY source, tok),
+corpus AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY tok),
+per_src AS (SELECT source, sum(c_st) AS t_s FROM st GROUP BY source),
+total AS (SELECT sum(c_t) AS t FROM corpus),
+term AS (
+  SELECT st.source, t_s,
+         CAST(c_st AS DECIMAL(38,0)) * CAST(floor(1e6 * ln(
+           (CAST(c_st AS DOUBLE) * CAST(t AS DOUBLE))
+           / (CAST(c_t AS DOUBLE) * CAST(t_s AS DOUBLE)))) AS BIGINT)
+           AS term_fp
+  FROM st JOIN corpus USING (tok) JOIN per_src ON st.source = per_src.source,
+       total
+)
+SELECT source, t_s AS n_tokens,
+       CAST(sum(term_fp) AS DOUBLE) / CAST(t_s * 1000000 AS DOUBLE) AS kl_nats
+FROM term GROUP BY source, t_s
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted content-stable sampling
+# --------------------------------------------------------------------------
+
+MIN_KEEP_PCT = 20
+MAX_KEEP_PCT = 90
+CHARS_PER_PCT = 8  # +1 keep-% per 8 chars above the floor
+
+
+def quality_weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents kept with probability proportional to length: keep-%
+    = clamp(20 + n_chars/8, 20..90), decided by the same content-stable
+    md5 bucket as ``sampling.dataset_split`` — a doc's fate depends
+    only on its id and length, never on partitioning, seed, or what
+    else is in the corpus. Pure per-row integer arithmetic: no shuffle,
+    predicate pushes to the scan, reproducible at any scale.
+    """
+    from .sampling import with_bucket
+
+    docs = tables.table(spark, sf_dir, "documents")
+    weight = F.least(
+        F.lit(MAX_KEEP_PCT),
+        F.lit(MIN_KEEP_PCT) + (F.col("n_chars") / F.lit(CHARS_PER_PCT)).cast("bigint"),
+    )
+    return (
+        with_bucket(docs)
+        .withColumn("keep_pct", weight)
+        .filter(F.col("bucket") < F.col("keep_pct"))
+        .select("doc_id", "source", "n_chars", "bucket", "keep_pct")
+    )
+
+
+_BUCKET_DUCK = (
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+)
+
+QUALITY_WEIGHTED_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, n_chars, bucket, keep_pct
+FROM (
+  SELECT doc_id, source, n_chars, {_BUCKET_DUCK} AS bucket,
+         least({MAX_KEEP_PCT},
+               {MIN_KEEP_PCT} + CAST(n_chars // {CHARS_PER_PCT} AS BIGINT))
+           AS keep_pct
+  FROM documents
+)
+WHERE bucket < keep_pct
+"""

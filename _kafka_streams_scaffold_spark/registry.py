@@ -501,4 +501,19 @@ def _ensure_loaded() -> None:
         trade.SHIPPING_SPEED_PRIORITY_ORACLE,
     )
 
+    # Corpus language-model scoring (CCNet/KenLM-style curation tier)
+    from .operators import lm
+
+    register("unigram_lm_score", lm.unigram_lm_score_query, lm.UNIGRAM_LM_ORACLE)
+    register(
+        "source_kl_divergence",
+        lm.source_kl_divergence_query,
+        lm.SOURCE_KL_ORACLE,
+    )
+    register(
+        "quality_weighted_sample",
+        lm.quality_weighted_sample_query,
+        lm.QUALITY_WEIGHTED_SAMPLE_ORACLE,
+    )
+
     _LOADED = True
