@@ -55,9 +55,23 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     # first consumer) materializes each checkpoint, so every round
     # runs ONE job instead of checkpoint-job + count-job (measured
     # 6.2s -> 5.5s for 7 rounds at sf0.1).
-    both = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    #
+    # The edge table is hash-partitioned and sorted on the join key
+    # BEFORE the checkpoint (localCheckpoint preserves partitioning
+    # and ordering): every round's edges-x-labels join then exchanges
+    # only the |V|-sized label frame, never the O(|E|) edge rows —
+    # per-round shuffle volume drops from edge-width to id-width. At
+    # sf0.1 this is wall-clock parity (scheduling noise dominates a
+    # 2M-row graph on local[32]); the win is proportional to
+    # |E|/|V| x rounds on a real graph.
+    both = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=False)
+    )
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
         eager=False
     )
@@ -215,23 +229,32 @@ def pagerank(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """
     # The edge list feeds every iteration and the iterations chain
     # into ONE action (no per-round convergence count like CC has), so
-    # without eager materialization iteration i's plan would embed the
-    # pair-generation subtree i times over. pin() the edges once;
-    # eagerly checkpoint each round's ranks to truncate lineage NOW
-    # (5 tiny jobs), keeping the final plan one join deep.
-    from ..pinning import pin as _pin
-
-    both = _pin(
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+    # without materialization iteration i's plan would embed the
+    # pair-generation subtree i times over. The checkpoint below cuts
+    # that once; eagerly checkpointing each round's ranks truncates
+    # lineage NOW (5 tiny jobs), keeping the final plan one join deep.
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Degree is static across iterations, so it joins onto the edge
+    # table ONCE, outside the loop — one join per round instead of
+    # two. The combined table is hash-partitioned + sorted on src
+    # before the (lazy) checkpoint, so each round's join exchanges
+    # only the |V|-sized rank frame, never the O(|E|) edge rows
+    # (localCheckpoint preserves partitioning/ordering). sf0.1 is
+    # wall-clock parity (noise-dominated); the shuffle-volume drop is
+    # |E|/|V| per round on a real graph.
+    wedges = (
+        both.join(deg, "src")
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.select("doc_id", F.lit(1.0).alias("rank"))
     for _ in range(PR_ITERS):
         contrib = (
-            both.join(ranks, both.src == ranks.doc_id)
-            .join(deg, "src")
+            wedges.join(ranks, wedges.src == ranks.doc_id)
             .select(
                 F.col("dst").alias("doc_id"),
                 F.floor((F.col("rank") / F.col("deg")) * _PR_SCALE).alias(

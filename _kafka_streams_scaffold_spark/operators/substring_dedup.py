@@ -1,0 +1,133 @@
+"""Exact-substring duplicate detection (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better").
+
+MinHash/SimHash (operators/dedup.py) catch *whole-document* near
+duplicates; they miss the other dominant corpus pathology — a long
+VERBATIM span (boilerplate header, license block, quoted article)
+pasted into otherwise-different documents. The published remedy finds
+every repeated substring of length >= W across the corpus. The
+reference implementation builds one giant suffix array; that is a
+single-machine design. The Spark-first equivalent is the rolling-window
+form of the same predicate:
+
+    a length-W window repeats across documents
+      <=> the documents share an exact substring of length >= W
+
+so sliding every doc into its n_chars - W + 1 windows and grouping by
+window value finds exactly the repeated spans (a shared span of length
+L >= W produces L - W + 1 matching windows — the span is recoverable
+from the window offsets, and the *detector* needs only existence).
+
+Scale shape: window generation is a per-row ``transform(sequence(...))``
+— codegen'd, no Python, no shuffle. The ONE shuffle groups by window
+text: payload is (W-char string, doc_id), i.e. ~W x corpus-chars bytes.
+That is the same asymptotic cost as the suffix-array build, but
+embarrassingly parallel, partial-aggregated map-side (duplicated
+windows collapse per partition before the exchange), and AQE-splittable
+when one window (e.g. a whitespace run) is hot. The candidate emission
+is per-WINDOW counts, never per-pair, so a window shared by 10^5 docs
+costs one row, not 10^10 pairs — the fan-out trap the n-gram Jaccard
+tier caps with SHINGLE_DF_CAP does not exist here by construction.
+
+No reference analog (the Kafka Streams scaffold has no dedup surface);
+north-star addition per SURVEY.md §2.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+
+WINDOW_CHARS = 24  # min shared-span length the detector certifies
+MIN_DOCS = 2
+
+
+def _windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w): every length-WINDOW_CHARS character window of every
+    normalized document, deduplicated per doc (a window repeated
+    *inside* one doc counts once — the detector certifies cross-doc
+    sharing, and per-doc distinctness happens map-side in the partial
+    aggregate)."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    norm = F.lower(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(lower(text)) - {WINDOW_CHARS - 1}, 0)),"
+                    f" i -> substring(lower(text), i, {WINDOW_CHARS}))"
+                )
+            ).alias("w"),
+        )
+        .distinct()
+    )
+
+
+def shared_substrings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, n_docs, min_doc_id): every length-W window occurring in >=
+    MIN_DOCS distinct documents — the verbatim-span duplicate index.
+    min_doc_id anchors each span family to a canonical earliest doc."""
+    return (
+        _windows(spark, sf_dir)
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= MIN_DOCS)
+    )
+
+
+SHARED_SUBSTRINGS_ORACLE = f"""
+WITH wins AS (
+  SELECT DISTINCT doc_id, substring(lower(text), i, {WINDOW_CHARS}) AS w
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(
+           1, greatest(length(lower(text)) - {WINDOW_CHARS - 1}, 0))) AS i) t
+)
+SELECT w, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM wins GROUP BY w HAVING count(*) >= {MIN_DOCS}
+"""
+
+
+def substring_dup_docs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shared_windows, max_window_docs): documents carrying
+    at least one cross-doc verbatim span, with how many of their
+    windows are shared and the widest sharing fan-out — the per-doc
+    flag a curation pass keys its drop/trim decision on. Second
+    aggregation joins the (small) repeated-window index back onto the
+    window stream; both shuffles key on the window text."""
+    wins = _windows(spark, sf_dir)
+    shared = (
+        wins.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= MIN_DOCS)
+    )
+    return (
+        wins.join(shared, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_windows"),
+            F.max("n_docs").alias("max_window_docs"),
+        )
+    )
+
+
+SUBSTRING_DUP_DOCS_ORACLE = f"""
+WITH wins AS (
+  SELECT DISTINCT doc_id, substring(lower(text), i, {WINDOW_CHARS}) AS w
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(
+           1, greatest(length(lower(text)) - {WINDOW_CHARS - 1}, 0))) AS i) t
+),
+shared AS (
+  SELECT w, count(*) AS n_docs
+  FROM wins GROUP BY w HAVING count(*) >= {MIN_DOCS}
+)
+SELECT doc_id, count(*) AS n_shared_windows, max(n_docs) AS max_window_docs
+FROM wins JOIN shared USING (w)
+GROUP BY doc_id
+"""

@@ -516,4 +516,18 @@ def _ensure_loaded() -> None:
         lm.QUALITY_WEIGHTED_SAMPLE_ORACLE,
     )
 
+    # Exact-substring dedup (Lee et al. 2022 rolling-window form)
+    from .operators import substring_dedup
+
+    register(
+        "shared_substrings",
+        substring_dedup.shared_substrings_query,
+        substring_dedup.SHARED_SUBSTRINGS_ORACLE,
+    )
+    register(
+        "substring_dup_docs",
+        substring_dedup.substring_dup_docs_query,
+        substring_dedup.SUBSTRING_DUP_DOCS_ORACLE,
+    )
+
     _LOADED = True

@@ -1,0 +1,73 @@
+"""Tests for exact-substring duplicate detection."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from _kafka_streams_scaffold_spark.operators import substring_dedup as sd
+
+SPAN = "this exact span is pasted verbatim into both documents"  # 54 chars
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_planted_verbatim_span_is_detected(spark, monkeypatch):
+    df = _docs(
+        spark,
+        [
+            "intro words before " + SPAN + " and a unique tail here",
+            "different opening text " + SPAN + " with another ending",
+            "a completely unrelated document about spark shuffle plans",
+        ],
+    )
+    monkeypatch.setattr(sd.tables, "table", lambda *a: df)
+    flagged = {
+        r["doc_id"]: r["n_shared_windows"]
+        for r in sd.substring_dup_docs_query(spark, "_").collect()
+    }
+    assert set(flagged) == {0, 1}
+    # a shared span of length L yields L - W + 1 shared windows; the
+    # shared span here is " " + SPAN + " " (both docs flank it with
+    # spaces)
+    expected = (len(SPAN) + 2) - sd.WINDOW_CHARS + 1
+    assert flagged[0] == expected
+    assert flagged[1] == expected
+
+
+def test_short_overlap_below_window_is_ignored(spark, monkeypatch):
+    short = "shared bit"  # < WINDOW_CHARS, must not trigger
+    df = _docs(
+        spark,
+        [
+            "first document mentions the " + short + " only briefly okay",
+            "second one also has the " + short + " but nothing longer!!",
+        ],
+    )
+    monkeypatch.setattr(sd.tables, "table", lambda *a: df)
+    shared = sd.shared_substrings_query(spark, "_").collect()
+    # sanity: any flagged window must actually be a real cross-doc span
+    texts = [r["text"].lower() for r in df.collect()]
+    for r in shared:
+        assert all(r["w"] in t for t in texts[:2]) or r["n_docs"] < 2
+
+
+def test_within_doc_repeat_counts_once(spark, monkeypatch):
+    span = "x" * sd.WINDOW_CHARS
+    df = _docs(
+        spark,
+        [
+            span + " middle filler words " + span,  # repeated inside ONE doc
+            "totally different second document with no overlap at all",
+        ],
+    )
+    monkeypatch.setattr(sd.tables, "table", lambda *a: df)
+    shared = {
+        r["w"]: r["n_docs"]
+        for r in sd.shared_substrings_query(spark, "_").collect()
+    }
+    # the all-x window appears twice in doc 0 but in no other doc
+    assert span not in shared

@@ -208,6 +208,30 @@ AUDIT = [
         "shuffle is the partially-aggregated word count, and the "
         "top-k window runs on the vocabulary-sized pair table.",
     ),
+    (
+        "unigram_lm_score",
+        "ONE tokenize pass (pinned) feeds the vocabulary build, the "
+        "one-row total, and the scoring join; the per-token surprisal "
+        "table broadcasts back onto the token stream (BroadcastHashJoin"
+        " — no shuffle of occurrences), and the per-doc sum "
+        "partial-aggregates to ~1 row/doc before its exchange.",
+    ),
+    (
+        "source_kl_divergence",
+        "The (source, token) count table is pinned and re-aggregated "
+        "three ways — corpus counts, per-source totals, grand total — "
+        "so the corpus is tokenized ONCE; all KL-term joins broadcast "
+        "vocabulary-sized frames, and per-term products accumulate as "
+        "exact DECIMAL(38,0) (BIGINT would overflow ~1e11 tokens).",
+    ),
+    (
+        "shared_substrings",
+        "Window generation is a codegen'd per-row transform(sequence) "
+        "— no Python, no pre-shuffle blowup persisted; the ONE shuffle "
+        "groups by window text with map-side partial aggregation, and "
+        "emission is per-WINDOW counts (never per-pair), so a "
+        "10^5-doc hot window costs one row, not 10^10 pairs.",
+    ),
 ]
 
 

@@ -29,10 +29,12 @@ from _kafka_streams_scaffold_spark.operators import (  # noqa: E402
     sampling,
     similarity,
     sketches,
+    substring_dedup,
     textops,
     trade,
     wordcount,
 )
+from _kafka_streams_scaffold_spark.operators import lm as lm_mod  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 MULT = 10
@@ -142,6 +144,15 @@ def main() -> None:
         ),
         "bpe merges (vocab-sized explode)": lambda m: _with_docs(
             m, lambda: textops.bpe_merge_candidates_query(spark, SF_DIR)
+        ),
+        "unigram LM score (pin + bcast join)": lambda m: _with_docs(
+            m, lambda: lm_mod.unigram_lm_score_query(spark, SF_DIR)
+        ),
+        "source KL (pinned st, 3 aggs)": lambda m: _with_docs(
+            m, lambda: lm_mod.source_kl_divergence_query(spark, SF_DIR)
+        ),
+        "shared substrings (window group)": lambda m: _with_docs(
+            m, lambda: substring_dedup.shared_substrings_query(spark, SF_DIR)
         ),
     }
 
