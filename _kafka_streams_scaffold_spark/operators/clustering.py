@@ -47,7 +47,26 @@ from .dedup import simhash_pairs_query
 MAX_ROUNDS = 50  # safety bound; real convergence is diameter-bounded
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def undirected(edges: DataFrame) -> DataFrame:
+    """Both directions of a once-per-pair edge list, hash-partitioned
+    + sorted on ``src`` and (lazily) checkpointed: the shared input
+    shape of both iterative engines. Build it ONCE when composing
+    connected_components + pagerank over the same graph
+    (cluster_keep_list) — the 2|E|-row union/repartition then
+    materializes a single time instead of per engine."""
+    return (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=False)
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, both: DataFrame | None = None
+) -> DataFrame:
     """``nodes(doc_id)``, ``edges(src, dst)`` undirected (pass each
     pair once; both directions are derived here). Returns
     ``(doc_id, cluster_id)`` with cluster_id = min doc_id reachable."""
@@ -64,14 +83,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     # sf0.1 this is wall-clock parity (scheduling noise dominates a
     # 2M-row graph on local[32]); the win is proportional to
     # |E|/|V| x rounds on a real graph.
-    both = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .repartition(F.col("src"))
-        .sortWithinPartitions("src")
-        .localCheckpoint(eager=False)
-    )
+    if both is None:
+        both = undirected(edges)
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
         eager=False
     )
@@ -211,7 +224,9 @@ PR_BASE = 0.15
 _PR_SCALE = 10**12
 
 
-def pagerank(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def pagerank(
+    nodes: DataFrame, edges: DataFrame, both: DataFrame | None = None
+) -> DataFrame:
     """Unnormalized PageRank, fixed iteration count, over an
     undirected graph: rank_{t+1}(v) = 0.15 + 0.85 * sum over
     neighbors u of rank_t(u)/deg(u). Within a dup cluster the
@@ -233,24 +248,20 @@ def pagerank(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     # pair-generation subtree i times over. The checkpoint below cuts
     # that once; eagerly checkpointing each round's ranks truncates
     # lineage NOW (5 tiny jobs), keeping the final plan one join deep.
-    both = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    if both is None:
+        both = undirected(edges)
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Degree is static across iterations, so it joins onto the edge
     # table ONCE, outside the loop — one join per round instead of
-    # two. The combined table is hash-partitioned + sorted on src
-    # before the (lazy) checkpoint, so each round's join exchanges
-    # only the |V|-sized rank frame, never the O(|E|) edge rows
-    # (localCheckpoint preserves partitioning/ordering). sf0.1 is
-    # wall-clock parity (noise-dominated); the shuffle-volume drop is
-    # |E|/|V| per round on a real graph.
-    wedges = (
-        both.join(deg, "src")
-        .repartition(F.col("src"))
-        .sortWithinPartitions("src")
-        .localCheckpoint(eager=False)
-    )
+    # two. ``both`` arrives hash-partitioned + sorted on src (see
+    # undirected()), so this join exchanges only the |V|-sized deg
+    # frame (never broadcast — deg is node-cardinality, huge at real
+    # scale), and the checkpoint pins the resulting partitioning/
+    # ordering so each round's join exchanges only the |V|-sized rank
+    # frame, never the O(|E|) edge rows. sf0.1 is wall-clock parity
+    # (noise-dominated); the shuffle-volume drop is |E|/|V| per round
+    # on a real graph.
+    wedges = both.join(deg, "src").localCheckpoint(eager=False)
     ranks = nodes.select("doc_id", F.lit(1.0).alias("rank"))
     for _ in range(PR_ITERS):
         contrib = (
@@ -365,8 +376,11 @@ def cluster_keep_list_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
     )
-    cc = connected_components(docs, edges)
-    pr = pagerank(docs, edges)
+    # ONE undirected/co-partitioned edge table feeds both engines —
+    # without it each would union+repartition the 2|E| rows itself.
+    both = undirected(edges)
+    cc = connected_components(docs, edges, both=both)
+    pr = pagerank(docs, edges, both=both)
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("pagerank").desc(), F.col("doc_id")
     )
