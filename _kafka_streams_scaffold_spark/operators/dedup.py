@@ -656,3 +656,59 @@ FROM shingles s
 LEFT JOIN boiler b ON b.shingle = s.shingle
 GROUP BY s.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Per-document n-gram novelty (incremental-crawl dedup signal)
+# --------------------------------------------------------------------------
+
+
+def doc_ngram_novelty_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty): for every document, the
+    fraction of its distinct 3-gram shingles whose FIRST corpus
+    occurrence (min doc_id — ingestion order in an append-only crawl)
+    is this document. A doc with novelty ~0 contributes nothing the
+    corpus hasn't already seen — the incremental-crawl complement of
+    the pairwise dedup tiers, computed without any pair join at all.
+
+    Scale: one shuffle groups shingles to find each one's first doc
+    (partial-aggregated min), one shingle-keyed join back (never
+    broadcast — the shingle vocabulary is corpus-sized), one partial-
+    aggregated per-doc count. Every shuffled row is a shingle string +
+    one BIGINT; no step is super-linear in corpus size."""
+    sh = shingles(tables.table(spark, sf_dir, "documents"))
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+DOC_NGRAM_NOVELTY_ORACLE = f"""
+WITH {_DUCK_SHINGLE_CTE},
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM shingles GROUP BY 1)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS novelty
+FROM shingles s
+JOIN first f ON f.shingle = s.shingle
+GROUP BY s.doc_id
+"""

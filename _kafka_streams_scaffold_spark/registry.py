@@ -529,5 +529,24 @@ def _ensure_loaded() -> None:
         substring_dedup.substring_dup_docs_query,
         substring_dedup.SUBSTRING_DUP_DOCS_ORACLE,
     )
+    register(
+        "doc_ngram_novelty",
+        dedup.doc_ngram_novelty_query,
+        dedup.DOC_NGRAM_NOVELTY_ORACLE,
+    )
+
+    # Embedding int8 quantization (serving/ANN storage tier)
+    from .operators import quantize
+
+    register(
+        "embedding_quantize",
+        quantize.embedding_quantize_query,
+        quantize.EMBEDDING_QUANTIZE_ORACLE,
+    )
+    register(
+        "quantization_error",
+        quantize.quantization_error_query,
+        quantize.QUANTIZATION_ERROR_ORACLE,
+    )
 
     _LOADED = True

@@ -90,13 +90,19 @@ def run_update_into_store(
     store,
     checkpoint_dir: str,
     query_name: str = "serving",
+    output_mode: str = "update",
 ) -> StreamingQuery:
     """Materialize a streaming aggregate into a serving store:
     update-mode foreachBatch upsert, availableNow trigger (process all
     pending input, then stop — the batch-parity harness; in production
-    drop the trigger for continuous micro-batches)."""
+    drop the trigger for continuous micro-batches).
+
+    ``output_mode``: session-window aggregations reject update mode
+    (merging sessions would have to retract previously-emitted rows);
+    pass "complete" for those — the upsert sink is idempotent per key
+    so re-emitting the full state converges to the same store."""
     return (
-        agg.writeStream.outputMode("update")
+        agg.writeStream.outputMode(output_mode)
         .foreachBatch(foreach_batch_upsert(store))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -71,3 +71,27 @@ def test_within_doc_repeat_counts_once(spark, monkeypatch):
     }
     # the all-x window appears twice in doc 0 but in no other doc
     assert span not in shared
+
+
+def test_doc_ngram_novelty_first_doc_wins(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta"
+    df = _docs(
+        spark,
+        [
+            base,                       # doc 0: all shingles novel
+            base,                       # doc 1: exact copy -> novelty 0
+            base + " eta theta iota",   # doc 2: suffix shingles novel
+        ],
+    )
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: df)
+    rows = {
+        r["doc_id"]: r for r in dedup.doc_ngram_novelty_query(spark, "_").collect()
+    }
+    assert rows[0]["novelty"] == 1.0
+    assert rows[1]["novelty"] == 0.0
+    # doc 2 shares the 4 shingles of `base` and adds 3+2 new trailing
+    # shingles ("epsilon zeta eta", "zeta eta theta", "eta theta iota")
+    assert rows[2]["n_novel"] == 3
+    assert 0.0 < rows[2]["novelty"] < 1.0

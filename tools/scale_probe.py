@@ -213,6 +213,17 @@ def main() -> None:
         lines.append(f"| {name} | {t1:.2f} | {t10:.2f} | {factor:.1f}x |")
         print(lines[-1])
 
+    lines += [
+        "",
+        "Note on `shared substrings`: the 10x union duplicates every "
+        "document, so EVERY window becomes cross-doc-shared and the "
+        "grouped window mass grows by the full 10x (a real corpus "
+        "only shares a small fraction). Emission stays per-window "
+        "(never per-pair), so the factor tracks the window mass "
+        "(~data multiple plus shuffle constants), not group fan-out — "
+        "the probe is the worst case by construction.",
+    ]
+
     # IVF cell bound: does per-cell pair work stay bounded as the
     # corpus grows? Blocks on quantizer cells + hash sub-split
     # (similarity.ivf_cells); a bounded max cell size means the
