@@ -449,3 +449,70 @@ SELECT doc_id, cluster_id, pagerank, keep_rank = 1 AS keep FROM (
 
 
 CLUSTER_KEEP_LIST_ORACLE = _keep_list_oracle()
+
+
+# --------------------------------------------------------------------------
+# Dup-graph degree profile (pair-generation observability)
+# --------------------------------------------------------------------------
+
+
+def dup_graph_degrees_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(degree_bucket, n_docs, max_degree): log2-bucketed degree
+    distribution of the SimHash near-dup graph, including the
+    degree-0 mass (docs with no near-dup). The observability gate a
+    dedup pipeline runs BEFORE clustering: a fat high-degree tail
+    means boilerplate leaked through the banding and the pair join is
+    about to do quadratic work — cheaper to catch here, on one
+    aggregate of the edge list, than inside the CC/PageRank rounds.
+    Shape: edges -> per-doc degree (one partial-aggregated shuffle),
+    left join docs for the zero mass, log2 bucket, tiny groupBy."""
+    docs = tables.table(spark, sf_dir, "documents").select("doc_id")
+    edges = simhash_pairs_query(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    per_doc = docs.join(deg, docs.doc_id == deg.src, "left").select(
+        F.coalesce("degree", F.lit(0)).alias("degree")
+    )
+    bucket = F.when(
+        F.col("degree") == 0, F.lit(-1)
+    ).otherwise(F.floor(F.log2(F.col("degree").cast("double"))).cast("int"))
+    return (
+        per_doc.select(bucket.alias("degree_bucket"), "degree")
+        .groupBy("degree_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("degree").alias("max_degree"),
+        )
+    )
+
+
+DUP_GRAPH_DEGREES_ORACLE = f"""
+WITH pairs AS (
+  {{pairs_sql}}
+),
+uedges AS (
+  SELECT doc_a AS src FROM pairs
+  UNION ALL
+  SELECT doc_b AS src FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM uedges GROUP BY src),
+per_doc AS (
+  SELECT COALESCE(degree, 0) AS degree
+  FROM documents d LEFT JOIN deg ON deg.src = d.doc_id
+)
+SELECT CASE WHEN degree = 0 THEN -1
+            ELSE CAST(floor(log2(CAST(degree AS DOUBLE))) AS INT) END
+         AS degree_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(degree) AS BIGINT) AS max_degree
+FROM per_doc
+GROUP BY 1
+"""
+
+
+def _degrees_oracle() -> str:
+    return DUP_GRAPH_DEGREES_ORACLE.replace("{pairs_sql}", _simhash_edges_sql())

@@ -194,7 +194,7 @@ term AS (
   FROM st JOIN corpus USING (tok) JOIN per_src ON st.source = per_src.source,
        total
 )
-SELECT source, t_s AS n_tokens,
+SELECT source, CAST(t_s AS BIGINT) AS n_tokens,
        CAST(sum(term_fp) AS DOUBLE) / CAST(t_s * 1000000 AS DOUBLE) AS kl_nats
 FROM term GROUP BY source, t_s
 """
@@ -246,4 +246,63 @@ FROM (
   FROM documents
 )
 WHERE bucket < keep_pct
+"""
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture weights (per-source sampling budget)
+# --------------------------------------------------------------------------
+
+MIX_ALPHA_DENOM = 2  # alpha = 1/2: sqrt-temperature scaling
+
+
+def mixture_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, weight): per-source sampling weights
+    proportional to n_tokens^(1/2) — the temperature-scaled mixture
+    rule (alpha < 1 upweights small sources so a 100x bigger crawl
+    doesn't drown curated corpora; alpha=1 is proportional, alpha=0
+    uniform).
+
+    Cross-engine contract: sqrt is IEEE-correctly-rounded (unlike ln,
+    exact by spec), each source's sqrt is fixed-pointed to BIGINT, the
+    normalizing sum is an exact integer reduction, and the final
+    weight is one correctly-rounded division — order-independent and
+    bit-identical. Shape: one tokenize pass -> per-source counts
+    (sources are a tiny keyspace), one broadcast one-row total."""
+    t_s = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    sq = t_s.withColumn(
+        "w_fp",
+        F.expr(
+            "cast(floor(1e6 * sqrt(cast(n_tokens as double))) as bigint)"
+        ),
+    )
+    tot = sq.agg(F.sum("w_fp").alias("tot_fp"))
+    return sq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("w_fp").cast("double") / F.col("tot_fp").cast("double")).alias(
+            "weight"
+        ),
+    )
+
+
+MIXTURE_WEIGHTS_ORACLE = f"""
+WITH toks AS ({_DUCK_TOKS}),
+t_s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY source
+),
+sq AS (
+  SELECT source, n_tokens,
+         CAST(floor(1e6 * sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_fp
+  FROM t_s
+),
+tot AS (SELECT CAST(sum(w_fp) AS BIGINT) AS tot_fp FROM sq)
+SELECT source, n_tokens,
+       CAST(w_fp AS DOUBLE) / CAST(tot_fp AS DOUBLE) AS weight
+FROM sq, tot
 """

@@ -192,3 +192,46 @@ FROM (
 )
 WHERE rank <= {SOURCE_CAP}
 """
+
+
+def quality_tiers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document bucketed into length quartiles (tier 1 =
+    shortest .. 4 = longest) — the scalable form of NTILE(4): a global
+    ntile window would funnel the corpus through ONE task to assign
+    ranks, while here pass 1 reduces to a single broadcast row of
+    exact interpolated quartile cutoffs and pass 2 re-scans with a
+    per-row comparison (pushdown-friendly, no global sort, no window).
+    Ties sit deterministically in the lower tier (<=)."""
+    docs = tables.table(spark, sf_dir, "documents")
+    cuts = docs.agg(
+        F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))").alias("qs")
+    ).select(
+        F.col("qs").getItem(0).alias("q1"),
+        F.col("qs").getItem(1).alias("q2"),
+        F.col("qs").getItem(2).alias("q3"),
+    )
+    tier = (
+        F.when(F.col("n_chars") <= F.col("q1"), 1)
+        .when(F.col("n_chars") <= F.col("q2"), 2)
+        .when(F.col("n_chars") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return docs.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "source", "n_chars", tier.alias("tier")
+    )
+
+
+QUALITY_TIERS_ORACLE = """
+WITH cuts AS (
+  SELECT quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.5)  AS q2,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CASE WHEN n_chars <= q1 THEN 1
+            WHEN n_chars <= q2 THEN 2
+            WHEN n_chars <= q3 THEN 3
+            ELSE 4 END AS tier
+FROM documents, cuts
+"""

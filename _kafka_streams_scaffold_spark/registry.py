@@ -548,5 +548,16 @@ def _ensure_loaded() -> None:
         quantize.quantization_error_query,
         quantize.QUANTIZATION_ERROR_ORACLE,
     )
+    register(
+        "quality_tiers", sampling.quality_tiers_query, sampling.QUALITY_TIERS_ORACLE
+    )
+    register(
+        "mixture_weights", lm.mixture_weights_query, lm.MIXTURE_WEIGHTS_ORACLE
+    )
+    register(
+        "dup_graph_degrees",
+        clustering.dup_graph_degrees_query,
+        clustering._degrees_oracle(),
+    )
 
     _LOADED = True

@@ -248,13 +248,20 @@ def clicks_with_recent_purchase(
     purchases: DataFrame,
     join_horizon: str = "1 hour",
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: click events matched to purchases by
-    the same user within the preceding ``join_horizon``. Both sides
-    buffer keyed state; the watermark + time-range condition bound how
-    long a row waits for its match, so state is evicted and the join
-    is append-mode emittable (SURVEY.md §2.8 gap: the reference has no
-    joins at all)."""
+    """Stream-stream join: click events matched to purchases by the
+    same user within the preceding ``join_horizon``. Both sides buffer
+    keyed state; the watermark + time-range condition bound how long a
+    row waits for its match, so state is evicted and the join is
+    append-mode emittable (SURVEY.md §2.8 gap: the reference has no
+    joins at all).
+
+    ``join_type="leftOuter"`` additionally emits clicks that found NO
+    purchase — but only once the watermark passes their horizon (the
+    engine must prove no future match can arrive before it emits the
+    null row), so unmatched results trail the matched ones by the
+    watermark delay."""
     c = clicks.withWatermark("ts", watermark).alias("c")
     p = purchases.withWatermark("ts", watermark).alias("p")
     return c.join(
@@ -263,6 +270,7 @@ def clicks_with_recent_purchase(
             "c.user_id = p.user_id AND "
             f"p.ts BETWEEN c.ts - INTERVAL {join_horizon} AND c.ts"
         ),
+        join_type,
     ).select(
         F.col("c.user_id").alias("user_id"),
         F.col("c.ts").alias("click_ts"),

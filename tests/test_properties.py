@@ -202,3 +202,66 @@ def test_winsorized_mean_bounded_by_thresholds(spark, monkeypatch, vals):
         assert r["p1"] <= r["p99"]
         assert r["p1"] - 1e-9 <= r["winsor_mean"] <= r["p99"] + 1e-9
         assert r["n"] == len(vs)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10.0, max_value=10.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quantize_matches_python_model(spark, monkeypatch, vecs):
+    import math
+
+    from _kafka_streams_scaffold_spark.operators import quantize
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    monkeypatch.setattr(quantize.tables, "table", lambda *a: df)
+    got = {
+        r["vec_id"]: (r["scale"], r["q"])
+        for r in quantize.embedding_quantize_query(spark, "_").collect()
+    }
+    for i, v in enumerate(vecs):
+        maxabs = max(abs(x) for x in v)
+        scale, q = got[i]
+        assert scale == maxabs / 127
+        if maxabs == 0.0:
+            assert q == [0] * len(v)
+        else:
+            assert q == [
+                int(math.floor(x / maxabs * 127.0 + 0.5)) for x in v
+            ]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_TEXT, min_size=1, max_size=8))
+def test_novelty_totals_conserve_distinct_shingles(spark, monkeypatch, texts):
+    """Sum of n_novel over docs == number of distinct shingles in the
+    corpus (every shingle is novel exactly once, in its first doc)."""
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: df)
+    rows = dedup.doc_ngram_novelty_query(spark, "_").collect()
+    distinct_shingles = {
+        (r["shingle"]) for r in dedup.shingles(df).collect()
+    }
+    assert sum(r["n_novel"] for r in rows) == len(distinct_shingles)
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]

@@ -723,3 +723,39 @@ def test_streaming_corpus_filter_matches_batch_gate(spark, tmp_path):
     assert {r["fingerprint"] for r in kept} == {r["fp"] for r in passing}
     # the es and junk docs never pass
     assert {r["doc_id"] for r in kept} <= {0, 1, 4}
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    clicks = [
+        {"ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "click", "value": 0.0},
+        # user 3 has NO purchase at all -> must surface with nulls
+        {"ts": "2024-01-01T01:30:00", "user_id": 3, "event_type": "click", "value": 0.0},
+    ]
+    purchases = [
+        {"ts": "2024-01-01T00:30:00", "user_id": 1, "event_type": "purchase", "value": 9.0},
+    ]
+    # far-future flusher events on BOTH sides: push the watermark past
+    # every real row so the engine can prove no match is coming and
+    # release the unmatched click (emission trails by watermark delay)
+    flush_c = [{"ts": "2024-01-02T12:00:00", "user_id": 99, "event_type": "click", "value": 0.0}]
+    flush_p = [{"ts": "2024-01-02T12:00:00", "user_id": 98, "event_type": "purchase", "value": 1.0}]
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    _write_json(csrc, "a.json", clicks)
+    _write_json(csrc, "b.json", flush_c)
+    _write_json(psrc, "a.json", purchases)
+    _write_json(psrc, "b.json", flush_p)
+    joined = pipeline.clicks_with_recent_purchase(
+        _file_stream(spark, csrc, EV_SCHEMA),
+        _file_stream(spark, psrc, EV_SCHEMA),
+        join_type="leftOuter",
+    )
+    sink = str(tmp_path / "out")
+    q = pipeline.run_append_to_parquet(joined, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["purchase_value"])
+        for r in spark.read.parquet(sink).collect()
+        if r["user_id"] != 99  # the flusher click itself (also unmatched)
+    }
+    assert (1, 9.0) in got          # matched pair
+    assert (3, None) in got         # unmatched click emitted with nulls
