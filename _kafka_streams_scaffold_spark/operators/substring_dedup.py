@@ -46,23 +46,23 @@ MIN_DOCS = 2
 
 def _windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, w): every length-WINDOW_CHARS character window of every
-    normalized document, deduplicated per doc (a window repeated
-    *inside* one doc counts once — the detector certifies cross-doc
-    sharing, and per-doc distinctness happens map-side in the partial
-    aggregate)."""
+    normalized document, deduplicated per doc. The per-doc dedup is
+    ``array_distinct`` BEFORE the explode — entirely map-side, inside
+    the same codegen stage as window generation — rather than a
+    ``.distinct()`` on the exploded stream, which would shuffle the
+    full window mass a second time just to deduplicate rows that are
+    already co-located by construction."""
     docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
-    norm = F.lower(F.col("text"))
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, greatest(length(lower(text)) - {WINDOW_CHARS - 1}, 0)),"
                     f" i -> substring(lower(text), i, {WINDOW_CHARS}))"
                 )
-            ).alias("w"),
-        )
-        .distinct()
+            )
+        ).alias("w"),
     )
 
 

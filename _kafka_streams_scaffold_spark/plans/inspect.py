@@ -38,3 +38,10 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
 
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
+
+
+def tree(df: DataFrame) -> str:
+    """Just the numbered plan tree (formatted explain repeats every
+    node header in the details section — counting on the full string
+    double-counts)."""
+    return explain_str(df).split("\n\n", 1)[0]
