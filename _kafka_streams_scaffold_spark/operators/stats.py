@@ -351,3 +351,112 @@ FROM events e JOIN moments m ON m.event_type = e.event_type
 WHERE m.std_v > 0
   AND abs((e.value - m.mean_v) / m.std_v) > {ANOMALY_Z}
 """
+
+
+# --------------------------------------------------------------------------
+# Robust (MAD-based) outlier audit — the z-score's heavy-tail-safe twin
+# --------------------------------------------------------------------------
+
+MAD_K = 3.0          # flag |x - med| > K * 1.4826 * MAD
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant
+
+
+def _dual_rank_median(df: DataFrame, key: str, val: str, tiebreak: str) -> DataFrame:
+    """Exact per-key median of ``val`` via dual row numbers (same
+    contract as segment_spend_median: the middle row(s) are picked by
+    POSITION in a total order, so there is no interpolation-formula
+    ambiguity between engines)."""
+    wa = Window.partitionBy(key).orderBy(F.col(val), F.col(tiebreak))
+    wd = Window.partitionBy(key).orderBy(
+        F.col(val).desc(), F.col(tiebreak).desc()
+    )
+    return (
+        df.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rd", F.row_number().over(wd))
+        .filter(F.abs(F.col("ra") - F.col("rd")) <= 1)
+        .groupBy(key)
+        .agg(
+            (F.sum(val).cast("double") / F.count(F.lit(1))).alias("med")
+        )
+    )
+
+
+def robust_event_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, median, mad, n_outliers, n): outliers by median /
+    median-absolute-deviation — the robust twin of ``event_anomalies``.
+    A single fat-tailed burst inflates the mean AND the stddev enough
+    to hide itself from a z-score gate; the median/MAD pair is
+    breakdown-point-0.5 robust, the difference an audit over crawled
+    web data actually cares about.
+
+    Shape: two dual-rank exact medians (value, then |value - med|) —
+    each one per-key window sort, the same pattern and cost as
+    segment_spend_median — then a broadcast of the per-type (median,
+    mad) row back onto one counting scan. Event-type keyspace is tiny;
+    the window sorts shuffle each row once per pass."""
+    ev = tables.table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = _dual_rank_median(ev, "event_type", "value", "event_id")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "med",
+    )
+    mad = _dual_rank_median(dev, "event_type", "dev", "event_id").select(
+        "event_type", F.col("med").alias("mad")
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        dev.select("event_type", "dev")
+        .join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("median"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (
+                    F.col("dev")
+                    > F.lit(MAD_K) * (F.lit(MAD_CONSISTENCY) * F.col("mad"))
+                ).cast("long")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _duck_dual_median(src: str, key: str, val: str, tiebreak: str, out: str) -> str:
+    return f"""(
+  SELECT {key},
+         CAST(sum({val}) AS DOUBLE) / count(*) AS {out}
+  FROM (
+    SELECT {key}, {val},
+           row_number() OVER (PARTITION BY {key}
+                              ORDER BY {val}, {tiebreak}) AS ra,
+           row_number() OVER (PARTITION BY {key}
+                              ORDER BY {val} DESC, {tiebreak} DESC) AS rd
+    FROM {src}
+  )
+  WHERE abs(ra - rd) <= 1
+  GROUP BY {key}
+)"""
+
+
+ROBUST_EVENT_OUTLIERS_ORACLE = f"""
+WITH med AS {_duck_dual_median("events", "event_type", "value", "event_id", "med")},
+dev AS (
+  SELECT e.event_id, e.event_type, abs(e.value - m.med) AS dev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS {_duck_dual_median("dev", "event_type", "dev", "event_id", "mad")}
+SELECT d.event_type,
+       max(d.med) AS median,
+       max(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.dev > {MAD_K} * ({MAD_CONSISTENCY} * m.mad)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""

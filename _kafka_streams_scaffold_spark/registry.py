@@ -559,5 +559,10 @@ def _ensure_loaded() -> None:
         clustering.dup_graph_degrees_query,
         clustering._degrees_oracle(),
     )
+    register(
+        "robust_event_outliers",
+        stats.robust_event_outliers_query,
+        stats.ROBUST_EVENT_OUTLIERS_ORACLE,
+    )
 
     _LOADED = True

@@ -189,3 +189,26 @@ def test_event_anomalies_flags_only_outliers(spark, monkeypatch):
     got = st.event_anomalies_query(spark, "_").collect()
     assert [(r["event_id"], r["event_type"]) for r in got] == [(999, "click")]
     assert got[0]["zscore"] > 3
+
+
+def test_robust_outliers_mad_resists_burst(spark, monkeypatch):
+    """A single extreme burst must be flagged by the MAD gate even
+    though it inflates mean/std enough to shrink its own z-score."""
+    from pyspark.sql import Row
+
+    from _kafka_streams_scaffold_spark.operators import stats as st_mod
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 1000.0]
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, event_type="click", value=v)
+            for i, v in enumerate(vals)
+        ]
+    )
+    monkeypatch.setattr(st_mod.tables, "table", lambda *a: df)
+    row = st_mod.robust_event_outliers_query(spark, "_").collect()[0]
+    assert row["n"] == 8
+    # median sits in the bulk; the 1000.0 burst is the only outlier
+    assert 9.0 <= row["median"] <= 11.0
+    assert row["n_outliers"] == 1
+    assert row["mad"] > 0
