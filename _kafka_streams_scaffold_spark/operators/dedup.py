@@ -712,3 +712,102 @@ FROM shingles s
 JOIN first f ON f.shingle = s.shingle
 GROUP BY s.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new-batch-vs-corpus index probe (the production shape)
+# --------------------------------------------------------------------------
+
+# Content-stable split: ~90% standing corpus, ~10% incoming batch
+# (same md5 bucket as sampling.dataset_split — a doc's role never
+# depends on partitioning or arrival order).
+INCREMENTAL_BUCKET_SPLIT = 90
+
+_INC_BUCKET_SPARK = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 100"
+)
+_INC_BUCKET_DUCK = (
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+)
+
+
+def incremental_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_corpus_dups, best_match, min_hamming): for every
+    INCOMING document (content-stable ~10% split), its near-duplicates
+    in the STANDING corpus (the other ~90%) — found by probing the
+    corpus's SimHash band index, never by pairing the corpus with
+    itself.
+
+    This is the production dedup shape at 100 TB: the standing index
+    (doc_id, band, bv) is precomputed and bucketed by (band, bv); each
+    new crawl batch re-signs only its own documents and equi-joins the
+    index, so per-batch cost is |batch| x bands probes + the collision
+    verify — independent of corpus size except through collision
+    fan-out (bounded by the 5-band scheme exactly as in
+    simhash_pairs). Recall within hamming <= HAMMING_THRESHOLD is 1.0
+    by the same pigeonhole argument."""
+    sigs = _pin(simhash_query(spark, sf_dir))
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.expr(_INC_BUCKET_SPARK).alias("bucket"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {off}) & {(1 << w) - 1}"
+                        ).alias("bv"),
+                    )
+                    for i, (off, w) in enumerate(_SIMHASH_BOUNDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", "bucket", "bs.band", "bs.bv")
+    inc = bands.filter(F.col("bucket") >= INCREMENTAL_BUCKET_SPLIT).alias("i")
+    corp = bands.filter(F.col("bucket") < INCREMENTAL_BUCKET_SPLIT).alias("c")
+    matches = (
+        inc.join(
+            corp,
+            (F.col("i.band") == F.col("c.band"))
+            & (F.col("i.bv") == F.col("c.bv")),
+        )
+        .select(
+            F.col("i.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("corpus_doc"),
+            F.expr("bit_count(i.simhash ^ c.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .distinct()
+    )
+    return matches.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_corpus_dups"),
+        F.min("corpus_doc").alias("best_match"),
+        F.min("hamming").alias("min_hamming"),
+    )
+
+
+def _incremental_oracle() -> str:
+    bands_cte = SIMHASH_PAIRS_ORACLE.split("SELECT DISTINCT")[0]
+    return f"""{bands_cte}
+, banded AS (
+  SELECT doc_id, simhash, band, bv, {_INC_BUCKET_DUCK} AS bucket
+  FROM bands
+),
+matches AS (
+  SELECT DISTINCT i.doc_id, c.doc_id AS corpus_doc,
+         bit_count(xor(i.simhash, c.simhash)) AS hamming
+  FROM banded i
+  JOIN banded c ON i.band = c.band AND i.bv = c.bv
+  WHERE i.bucket >= {INCREMENTAL_BUCKET_SPLIT}
+    AND c.bucket < {INCREMENTAL_BUCKET_SPLIT}
+    AND bit_count(xor(i.simhash, c.simhash)) <= {HAMMING_THRESHOLD}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_corpus_dups,
+       CAST(min(corpus_doc) AS BIGINT) AS best_match,
+       CAST(min(hamming) AS BIGINT) AS min_hamming
+FROM matches
+GROUP BY doc_id
+"""

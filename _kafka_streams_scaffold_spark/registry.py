@@ -564,5 +564,10 @@ def _ensure_loaded() -> None:
         stats.robust_event_outliers_query,
         stats.ROBUST_EVENT_OUTLIERS_ORACLE,
     )
+    register(
+        "incremental_dedup",
+        dedup.incremental_dedup_query,
+        dedup._incremental_oracle(),
+    )
 
     _LOADED = True

@@ -95,3 +95,27 @@ def test_doc_ngram_novelty_first_doc_wins(spark, monkeypatch):
     # shingles ("epsilon zeta eta", "zeta eta theta", "eta theta iota")
     assert rows[2]["n_novel"] == 3
     assert 0.0 < rows[2]["novelty"] < 1.0
+
+
+def test_incremental_dedup_probes_corpus_index(spark, monkeypatch):
+    """doc 0 hashes into the incoming split (md5 bucket >= 90), docs
+    1-3 into the standing corpus; the incoming near-copy must flag its
+    corpus twin, and corpus-corpus duplicates must NOT appear."""
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base.replace("today", "tomorrow")),  # incoming near-dup of 1
+        (1, base),                               # corpus original
+        (2, base),                               # corpus exact dup of 1
+        (3, "completely different text about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows]
+    )
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: df)
+    got = {r["doc_id"]: r for r in dedup.incremental_dedup_query(spark, "_").collect()}
+    assert set(got) == {0}                 # only the incoming doc reports
+    assert got[0]["n_corpus_dups"] == 2    # matches both corpus copies
+    assert got[0]["best_match"] == 1
+    assert got[0]["min_hamming"] <= dedup.HAMMING_THRESHOLD
