@@ -107,3 +107,84 @@ LEFT JOIN contam ct ON ct.doc_id = q.doc_id
 
 
 CORPUS_KEEP_ORACLE = _build_oracle()
+
+
+# --------------------------------------------------------------------------
+# Full-pipeline capstone v2: + verbatim-span, novelty, and LM gates
+# --------------------------------------------------------------------------
+
+MAX_SHARED_WINDOWS = 100   # exact-substring tier: boilerplate-heavy docs
+MAX_SURPRISAL = 3.6        # unigram-LM tier: gibberish/noise ceiling (nats)
+MIN_NOVELTY = 0.01         # n-gram tier: must contribute SOMETHING new
+
+
+def corpus_keep_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_keep + the round-3 tiers in one plan: a document ships
+    to training only if it additionally (a) is not dominated by
+    cross-doc verbatim spans (exact-substring dedup), (b) contributes
+    at least MIN_NOVELTY first-seen 3-grams, and (c) scores under the
+    unigram-LM surprisal ceiling. Same composition contract as
+    corpus_keep: every gate is the registered operator's own
+    DataFrame, chained without materialization boundaries, and the
+    whole pipeline is hash-checked end to end against the composed
+    DuckDB CTEs. The added joins are all (doc_id, small-int) width."""
+    from .dedup import doc_ngram_novelty_query
+    from .lm import unigram_lm_score_query
+    from .substring_dedup import substring_dup_docs_query
+
+    base = corpus_keep_query(spark, sf_dir)
+    spans = substring_dup_docs_query(spark, sf_dir).select(
+        "doc_id", "n_shared_windows"
+    )
+    nov = doc_ngram_novelty_query(spark, sf_dir).select("doc_id", "novelty")
+    lm_score = unigram_lm_score_query(spark, sf_dir).select(
+        "doc_id", "avg_surprisal"
+    )
+    keep_full = (
+        F.col("keep")
+        & (F.col("n_shared_windows") <= MAX_SHARED_WINDOWS)
+        & (F.col("novelty") >= MIN_NOVELTY)
+        & (F.col("avg_surprisal") <= MAX_SURPRISAL)
+    )
+    return (
+        base.join(spans, "doc_id", "left")
+        .na.fill({"n_shared_windows": 0})
+        .join(nov, "doc_id", "left")
+        .na.fill({"novelty": 1.0})  # shingle-less tiny docs: trivially novel
+        .join(lm_score, "doc_id")
+        .select(
+            "doc_id",
+            "keep",
+            "n_shared_windows",
+            "novelty",
+            "avg_surprisal",
+            keep_full.alias("keep_full"),
+        )
+    )
+
+
+def _build_full_oracle() -> str:
+    from .dedup import DOC_NGRAM_NOVELTY_ORACLE
+    from .lm import UNIGRAM_LM_ORACLE
+    from .substring_dedup import SUBSTRING_DUP_DOCS_ORACLE
+
+    return f"""
+WITH base AS ({_cte(CORPUS_KEEP_ORACLE)}),
+spans AS ({_cte(SUBSTRING_DUP_DOCS_ORACLE)}),
+nov AS ({_cte(DOC_NGRAM_NOVELTY_ORACLE)}),
+lmq AS ({_cte(UNIGRAM_LM_ORACLE)})
+SELECT b.doc_id, b.keep,
+       CAST(COALESCE(s.n_shared_windows, 0) AS BIGINT) AS n_shared_windows,
+       COALESCE(n.novelty, 1.0) AS novelty,
+       l.avg_surprisal,
+       b.keep AND COALESCE(s.n_shared_windows, 0) <= {MAX_SHARED_WINDOWS}
+              AND COALESCE(n.novelty, 1.0) >= {MIN_NOVELTY}
+              AND l.avg_surprisal <= {MAX_SURPRISAL} AS keep_full
+FROM base b
+LEFT JOIN spans s ON s.doc_id = b.doc_id
+LEFT JOIN nov n ON n.doc_id = b.doc_id
+JOIN lmq l ON l.doc_id = b.doc_id
+"""
+
+
+CORPUS_KEEP_FULL_ORACLE = _build_full_oracle()

@@ -569,5 +569,10 @@ def _ensure_loaded() -> None:
         dedup.incremental_dedup_query,
         dedup._incremental_oracle(),
     )
+    register(
+        "corpus_keep_full",
+        curation.corpus_keep_full_query,
+        curation.CORPUS_KEEP_FULL_ORACLE,
+    )
 
     _LOADED = True

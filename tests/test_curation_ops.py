@@ -287,3 +287,16 @@ def test_source_overlap_counts_shared_fingerprints(spark, monkeypatch):
         ("s1", "s3"): 1,
         ("s2", "s3"): 1,
     }
+
+
+def test_corpus_keep_full_tightens_base_keep(spark, sf_dir):
+    """keep_full implies keep (the v2 gates only ever remove), and at
+    sf0.001 the added tiers actually fire on some base-kept docs."""
+    from _kafka_streams_scaffold_spark.operators import curation
+
+    rows = curation.corpus_keep_full_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["keep_full"]:
+            assert r["keep"]
+    assert any(r["keep"] for r in rows)
