@@ -1045,3 +1045,96 @@ SELECT n.label, CAST(n.n AS BIGINT) AS n,
 FROM norms n JOIN sumsq s ON s.label = n.label
 WHERE n.n > 1
 """
+
+
+# --------------------------------------------------------------------------
+# Mutual-kNN triangle census (manifold-quality triad closure)
+# --------------------------------------------------------------------------
+
+
+def knn_triangles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row triad census of the mutual-kNN graph: (n_edges,
+    n_triangles, closure) where closure = 3*triangles / open wedges.
+    High closure means the embedding manifold is locally consistent
+    (neighbors of neighbors are neighbors); a drop after re-embedding
+    is the canonical regression signal for an embedding model swap.
+
+    Scale: mutual-kNN degree is bounded by k, so the oriented
+    wedge join (src < mid < dst ordering on ids) touches at most
+    k^2/2 candidate wedges per node — O(n * k^2) total regardless of
+    corpus size, the textbook bounded-degree triangle count. All
+    shuffles are id-pair width."""
+    g = knn_graph_query(spark, sf_dir)
+    # undirected mutual edge set, one row per pair, id-oriented
+    e = (
+        g.filter(F.col("is_mutual") & (F.col("vec_id") < F.col("nbr_id")))
+        .select(F.col("vec_id").alias("a"), F.col("nbr_id").alias("b"))
+    )
+    e = _pin(e)
+    # wedges a<b<c sharing the middle vertex... count closed ones:
+    # triangle a<b<c needs edges (a,b), (a,c), (b,c)
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    w = (
+        ab.alias("e1")
+        .join(ab.alias("e2"), F.col("e1.x") == F.col("e2.x"))
+        .filter(F.col("e1.y") < F.col("e2.y"))
+        .select(F.col("e1.y").alias("p"), F.col("e2.y").alias("q"))
+    )
+    tri = w.join(
+        ab.alias("e3"),
+        (F.col("p") == F.col("e3.x")) & (F.col("q") == F.col("e3.y")),
+    )
+    n_edges = e.count()  # scalar; bounded driver crossing
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            F.lit(n_edges).alias("n_edges"),
+            "n_triangles",
+            "n_wedges",
+            (
+                F.lit(3.0) * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("closure"),
+        )
+    )
+
+
+KNN_TRIANGLES_ORACLE = f"""
+{KNN_GRAPH_ORACLE.split("SELECT e.q_id")[0].strip().rstrip(",")},
+mutual AS (
+  SELECT e.q_id AS a, e.n_id AS b
+  FROM edges e JOIN edges r ON r.q_id = e.n_id AND r.n_id = e.q_id
+  WHERE e.q_id < e.n_id
+),
+w AS (
+  SELECT e1.b AS p, e2.b AS q
+  FROM mutual e1 JOIN mutual e2 ON e1.a = e2.a
+  WHERE e1.b < e2.b
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM w JOIN mutual e3 ON w.p = e3.a AND w.q = e3.b
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM mutual UNION ALL SELECT b AS v FROM mutual
+  ) GROUP BY v
+),
+wedges AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT CAST((SELECT count(*) FROM mutual) AS BIGINT) AS n_edges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       wedges.n_wedges,
+       3.0 * CAST(tri.n_triangles AS DOUBLE) / CAST(wedges.n_wedges AS DOUBLE)
+         AS closure
+FROM tri, wedges
+"""

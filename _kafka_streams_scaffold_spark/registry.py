@@ -574,5 +574,10 @@ def _ensure_loaded() -> None:
         curation.corpus_keep_full_query,
         curation.CORPUS_KEEP_FULL_ORACLE,
     )
+    register(
+        "knn_triangles",
+        similarity.knn_triangles_query,
+        similarity.KNN_TRIANGLES_ORACLE,
+    )
 
     _LOADED = True

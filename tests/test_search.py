@@ -115,3 +115,26 @@ def test_dyn_ivf_assign_properties(spark, sf_dir):
         # and via the fold expression agree to ~1e-9 relative
         got = float(np.sum((v - emb[r["sub_seed"]]) ** 2))
         assert got <= best[0] + 1e-6
+
+
+def test_knn_triangles_counts_planted_triangle(spark, monkeypatch):
+    """Mutual edges {0-1, 0-2, 1-2, 2-3}: one triangle, wedge count
+    from degrees (2,2,3,1) = 1+1+3+0 = 5, closure = 3/5."""
+    from pyspark.sql import Row
+
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    rows = []
+    for a, b in pairs:
+        rows.append(Row(vec_id=a, nbr_id=b, cosine=0.9, rank=1, is_mutual=True))
+        rows.append(Row(vec_id=b, nbr_id=a, cosine=0.9, rank=1, is_mutual=True))
+    # plus a non-mutual edge that must be ignored
+    rows.append(Row(vec_id=3, nbr_id=0, cosine=0.5, rank=2, is_mutual=False))
+    g = spark.createDataFrame(rows)
+    monkeypatch.setattr(similarity, "knn_graph_query", lambda *a: g)
+    out = similarity.knn_triangles_query(spark, "_").collect()[0]
+    assert out["n_edges"] == 4
+    assert out["n_triangles"] == 1
+    assert out["n_wedges"] == 5
+    assert abs(out["closure"] - 0.6) < 1e-12

@@ -227,10 +227,34 @@ AUDIT = [
     (
         "shared_substrings",
         "Window generation is a codegen'd per-row transform(sequence) "
-        "— no Python, no pre-shuffle blowup persisted; the ONE shuffle "
+        "with array_distinct dedup BEFORE the explode (map-side — no "
+        "second shuffle of the window mass); the ONE data shuffle "
         "groups by window text with map-side partial aggregation, and "
         "emission is per-WINDOW counts (never per-pair), so a "
         "10^5-doc hot window costs one row, not 10^10 pairs.",
+    ),
+    (
+        "incremental_dedup",
+        "The standing corpus is NEVER self-paired: incoming-split "
+        "bands equi-join the corpus band index on (band, bv), so "
+        "per-batch cost is |batch| x bands probes + collision verify "
+        "— independent of corpus size except through the banded "
+        "collision fan-out.",
+    ),
+    (
+        "robust_event_outliers",
+        "Two dual-row-number exact medians (value, then deviation) — "
+        "per-key window sorts, no interpolation ambiguity — then the "
+        "per-type (median, mad) row broadcasts onto one counting "
+        "scan; the event stream shuffles once per median pass.",
+    ),
+    (
+        "corpus_keep_full",
+        "Seven gates in one tree: quality/lang/fingerprint scan-local, "
+        "dedup-rep join on 16-byte digests, contamination vs a "
+        "broadcast benchmark set, span/novelty joins on (doc_id, int), "
+        "LM scoring via broadcast surprisal table — nothing wider than "
+        "doc_id + small ints ever shuffles.",
     ),
 ]
 
