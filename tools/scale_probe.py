@@ -35,6 +35,7 @@ from _kafka_streams_scaffold_spark.operators import (  # noqa: E402
     wordcount,
 )
 from _kafka_streams_scaffold_spark.operators import lm as lm_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import curation as curation_mod  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 MULT = 10
@@ -153,6 +154,12 @@ def main() -> None:
         ),
         "shared substrings (window group)": lambda m: _with_docs(
             m, lambda: substring_dedup.shared_substrings_query(spark, SF_DIR)
+        ),
+        "incremental dedup (index probe)": lambda m: _with_docs(
+            m, lambda: dedup.incremental_dedup_query(spark, SF_DIR)
+        ),
+        "corpus keep full (7-gate capstone)": lambda m: _with_docs(
+            m, lambda: curation_mod.corpus_keep_full_query(spark, SF_DIR)
         ),
     }
 
