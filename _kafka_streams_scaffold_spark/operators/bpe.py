@@ -1,0 +1,177 @@
+"""BPE tokenizer training loop — the iterative merge procedure itself,
+entirely declarative.
+
+``textops.bpe_merge_candidates`` computes ONE training step's
+candidate table; this module runs the actual loop: K times, count all
+adjacent symbol pairs over the (frequency-weighted) vocabulary, merge
+the heaviest pair everywhere, repeat. The classic formulation is a
+single-machine dict-update loop (Sennrich et al. 2016); the Spark-first
+form keeps the working state as a vocabulary-sized DataFrame of
+space-joined symbol strings and expresses each round as
+
+    explode adjacent pairs -> weighted count -> top-1 -> broadcast
+    -> greedy merge applied across the vocabulary
+
+so per-round cost is O(vocabulary), never O(corpus): the only
+corpus-sized work is the initial wordcount. Merge application is the
+EXACT greedy-left scan of reference BPE (``a a a a -> aa aa``, the
+case a string replace gets wrong), expressed as a left fold over the
+symbol list — ``aggregate`` on Spark, ``list_reduce`` on DuckDB, the
+same accumulator logic on both — inside whole-stage codegen, no UDF.
+Every weight is an exact BIGINT with ties broken on the pair string:
+the whole training trace is hash-checked.
+
+K is fixed at BPE_ROUNDS (an unrolled chain of CTEs on the oracle
+side); real training runs ~30k rounds of the same shape with the
+vocabulary checkpointed every few rounds exactly like the CC/PageRank
+engines checkpoint their iteration state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..pinning import pin as _pin
+from .textops import tokens_expr
+
+BPE_ROUNDS = 3
+
+# ' c h a r s ' — leading/trailing spaces so symbols are uniformly
+# ' '-delimited.
+_SYMS0_SPARK = (
+    "concat(' ', concat_ws(' ', transform(sequence(1, length(word)),"
+    " i -> substring(word, i, 1))), ' ')"
+)
+_SYMS0_DUCK = (
+    "' ' || array_to_string(list_transform(generate_series(1, length(word)),"
+    " i -> substring(word, i, 1)), ' ') || ' '"
+)
+
+_SYMS_SPARK = "filter(split(s, ' '), x -> x != '')"
+
+# Greedy-left merge as a string-accumulator fold, seeded with a
+# sentinel so the first symbol needs no special case: if the
+# accumulator ends with ' <pa>' and the next symbol is <pb>, pop the
+# suffix and push the merged token; else append. Identical logic (and
+# therefore bit-identical output) on both engines.
+_FOLD_SPARK = (
+    f"concat(substring(aggregate({_SYMS_SPARK}, '§', (acc, x) -> "
+    "case when endswith(acc, concat(' ', pa)) and x = pb "
+    "then concat(substring(acc, 1, length(acc) - length(pa) - 1), ' ', mg) "
+    "else concat(acc, ' ', x) end), 2), ' ')"
+)
+
+
+def _pairs(vocab: DataFrame) -> DataFrame:
+    return vocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size({_SYMS_SPARK}) - 1, 1)),"
+                f" i -> case when i < size({_SYMS_SPARK})"
+                f" then concat(element_at({_SYMS_SPARK}, i), ' ',"
+                f" element_at({_SYMS_SPARK}, i + 1)) end)"
+            )
+        ).alias("pair"),
+    ).filter(F.col("pair").isNotNull())
+
+
+def _top1(pairs: DataFrame) -> DataFrame:
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("weight"))
+        .orderBy(F.col("weight").desc(), "pair")
+        .limit(1)
+    )
+
+
+def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(round, pair, merged, weight): the first BPE_ROUNDS merges the
+    corpus vocabulary learns, with each merge's frequency-weighted
+    count — the training trace a tokenizer build would persist."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    vocab = _pin(
+        docs.select(F.explode(tokens_expr()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", F.expr(_SYMS0_SPARK).alias("s"))
+    )
+    merges = []
+    for r in range(1, BPE_ROUNDS + 1):
+        top = _top1(_pairs(vocab)).select(
+            "pair",
+            "weight",
+            F.expr("element_at(split(pair, ' '), 1)").alias("pa"),
+            F.expr("element_at(split(pair, ' '), 2)").alias("pb"),
+            F.expr("replace(pair, ' ', '')").alias("mg"),
+        )
+        merges.append(
+            top.select(
+                F.lit(r).alias("round"),
+                "pair",
+                F.col("mg").alias("merged"),
+                "weight",
+            )
+        )
+        vocab = vocab.crossJoin(
+            F.broadcast(top.select("pa", "pb", "mg"))
+        ).select("freq", F.expr(_FOLD_SPARK).alias("s"))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _duck_round(prev_v: str, r: int) -> str:
+    syms = "list_filter(string_split(s, ' '), x -> x <> '')"
+    return f"""
+w{r} AS (SELECT freq, {syms} AS syms FROM {prev_v}),
+p{r} AS (
+  SELECT syms[i] || ' ' || syms[i + 1] AS pair, freq
+  FROM w{r}, LATERAL (SELECT unnest(generate_series(
+      1, greatest(len(syms) - 1, 0))) AS i) t
+),
+m{r} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS weight,
+         string_split(pair, ' ')[1] AS pa,
+         string_split(pair, ' ')[2] AS pb,
+         replace(pair, ' ', '') AS mg
+  FROM p{r} GROUP BY pair
+  ORDER BY weight DESC, pair LIMIT 1
+),
+v{r} AS (
+  SELECT freq,
+         substring(list_reduce(['§'] || syms, (acc, x) ->
+             CASE WHEN ends_with(acc, ' ' || pa) AND x = pb
+                  THEN substring(acc, 1, length(acc) - length(pa) - 1)
+                       || ' ' || mg
+                  ELSE acc || ' ' || x END), 2) || ' ' AS s
+  FROM w{r}, m{r}
+)"""
+
+
+def _build_oracle() -> str:
+    rounds = ",".join(
+        _duck_round(f"v{r - 1}", r) for r in range(1, BPE_ROUNDS + 1)
+    )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, pair, mg AS merged, weight FROM m{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+v0 AS (SELECT freq, {_SYMS0_DUCK} AS s FROM words),
+{rounds}
+{finals}
+"""
+
+
+BPE_TRAIN_ORACLE = _build_oracle()

@@ -580,4 +580,9 @@ def _ensure_loaded() -> None:
         similarity.KNN_TRIANGLES_ORACLE,
     )
 
+    # BPE tokenizer training loop (iterative merges, vocab-sized work)
+    from .operators import bpe
+
+    register("bpe_train", bpe.bpe_train_query, bpe.BPE_TRAIN_ORACLE)
+
     _LOADED = True
