@@ -124,6 +124,50 @@ def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, occurrences, n_words): the subword vocabulary AFTER the
+    BPE_ROUNDS learned merges are applied — the encode half of the
+    tokenizer loop (train learns merges; encode replays them over the
+    working vocabulary and re-counts symbols). ``occurrences`` is the
+    corpus-wide frequency-weighted count of each subword, ``n_words``
+    the number of distinct words containing it; top 100 by weight.
+
+    Scale shape: identical to training — the merge replay is
+    vocabulary-sized (never corpus-sized; the corpus is touched once
+    for the initial wordcount), and the final symbol explode is one
+    partial-aggregated shuffle over the vocabulary. Real encoders
+    apply ~30k merges with the same fold; K merges = K codegen'd
+    projections over the pinned vocab frame."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    vocab = _pin(
+        docs.select(F.explode(tokens_expr()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", F.expr(_SYMS0_SPARK).alias("s"))
+    )
+    for _ in range(BPE_ROUNDS):
+        top = _top1(_pairs(vocab)).select(
+            F.expr("element_at(split(pair, ' '), 1)").alias("pa"),
+            F.expr("element_at(split(pair, ' '), 2)").alias("pb"),
+            F.expr("replace(pair, ' ', '')").alias("mg"),
+        )
+        vocab = vocab.crossJoin(F.broadcast(top)).select(
+            "freq", F.expr(_FOLD_SPARK).alias("s")
+        )
+    return (
+        vocab.select(
+            "freq", F.explode(F.expr(_SYMS_SPARK)).alias("token")
+        )
+        .groupBy("token")
+        .agg(
+            F.sum("freq").cast("bigint").alias("occurrences"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .orderBy(F.col("occurrences").desc(), "token")
+        .limit(100)
+    )
+
+
 def _duck_round(prev_v: str, r: int) -> str:
     syms = "list_filter(string_split(s, ' '), x -> x <> '')"
     return f"""
@@ -175,3 +219,29 @@ v0 AS (SELECT freq, {_SYMS0_DUCK} AS s FROM words),
 
 
 BPE_TRAIN_ORACLE = _build_oracle()
+
+
+def _build_encode_oracle() -> str:
+    rounds = ",".join(
+        _duck_round(f"v{r - 1}", r) for r in range(1, BPE_ROUNDS + 1)
+    )
+    syms = "list_filter(string_split(s, ' '), x -> x <> '')"
+    return f"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+v0 AS (SELECT freq, {_SYMS0_DUCK} AS s FROM words),
+{rounds}
+SELECT token, CAST(sum(freq) AS BIGINT) AS occurrences,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM (SELECT freq, unnest({syms}) AS token FROM v{BPE_ROUNDS})
+GROUP BY token
+ORDER BY occurrences DESC, token LIMIT 100
+"""
+
+
+BPE_ENCODE_ORACLE = _build_encode_oracle()

@@ -584,5 +584,6 @@ def _ensure_loaded() -> None:
     from .operators import bpe
 
     register("bpe_train", bpe.bpe_train_query, bpe.BPE_TRAIN_ORACLE)
+    register("bpe_encode", bpe.bpe_encode_query, bpe.BPE_ENCODE_ORACLE)
 
     _LOADED = True
