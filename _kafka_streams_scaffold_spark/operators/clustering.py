@@ -516,3 +516,107 @@ GROUP BY 1
 
 def _degrees_oracle() -> str:
     return DUP_GRAPH_DEGREES_ORACLE.replace("{pairs_sql}", _simhash_edges_sql())
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (dense-duplicate nucleus extraction)
+# --------------------------------------------------------------------------
+
+KCORE_K = 2  # minimum induced degree to stay in the core
+KCORE_ROUNDS = 4  # fixed peel rounds; peeling is monotone, extras no-op
+
+
+def kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, core_degree): the K-core of the SimHash near-dup graph
+    — iteratively peel every node whose degree in the surviving
+    induced subgraph is < K, then report each survivor with its final
+    induced degree. The dense nucleus this isolates is the template/
+    boilerplate family a curation pipeline drops wholesale (a chain
+    of pairwise near-dups keeps its middle; only mutually-dense
+    regions survive the peel), complementing connected components
+    (which merge everything reachable) and PageRank (which scores but
+    never prunes).
+
+    Peeling is the standard parallel k-core formulation (Matula &
+    Beck's algorithm restated as fixpoint): each round is two id-width
+    LEFT SEMI joins restricting the pinned undirected edge table to
+    surviving endpoints, one partial-aggregated degree count, one
+    filter. Work per round is O(|E_surviving|) and rounds are bounded
+    by the peel depth (typically 2-4 on near-dup graphs); the edge
+    table is hash-partitioned + checkpointed once (``undirected``),
+    so rounds exchange only the shrinking |V|-sized survivor frame.
+    ROUNDS is fixed (not converged) so the DuckDB oracle — the same
+    peel unrolled as a CTE chain — is bit-identical; peeling is
+    monotone, so once the survivor set is stable further rounds are
+    identity. At real scale run to fixpoint with the same per-round
+    ``localCheckpoint`` regime as connected_components.
+
+    Reference scope note: the reference (Kafka Streams scaffold) has
+    no graph tier at all; this extends the dedup family per the
+    north-star brief.
+    """
+    docs = tables.table(spark, sf_dir, "documents").select("doc_id")
+    edges = simhash_pairs_query(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    both = undirected(edges)
+    surv = docs
+    for _ in range(KCORE_ROUNDS):
+        alive = (
+            both.join(
+                surv.select(F.col("doc_id").alias("src")), "src", "left_semi"
+            ).join(
+                surv.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+            )
+        )
+        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        surv = (
+            deg.filter(F.col("degree") >= KCORE_K)
+            .select(F.col("src").alias("doc_id"))
+            .localCheckpoint(eager=False)
+        )
+    final = (
+        both.join(surv.select(F.col("doc_id").alias("src")), "src", "left_semi")
+        .join(surv.select(F.col("doc_id").alias("dst")), "dst", "left_semi")
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return final
+
+
+def _kcore_round(prev_s: str, r: int) -> str:
+    return f"""
+e{r} AS (
+  SELECT e.src, e.dst FROM uedges e
+  WHERE e.src IN (SELECT doc_id FROM {prev_s})
+    AND e.dst IN (SELECT doc_id FROM {prev_s})
+),
+d{r} AS (SELECT src, count(*) AS degree FROM e{r} GROUP BY src),
+s{r} AS (SELECT src AS doc_id FROM d{r} WHERE degree >= {KCORE_K})"""
+
+
+def _kcore_oracle() -> str:
+    rounds = ",".join(
+        _kcore_round(f"s{r - 1}", r) for r in range(1, KCORE_ROUNDS + 1)
+    )
+    last = f"s{KCORE_ROUNDS}"
+    return f"""
+WITH pairs AS MATERIALIZED (
+  {_simhash_edges_sql()}
+),
+uedges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+s0 AS (SELECT doc_id FROM documents),
+{rounds}
+SELECT e.src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM uedges e
+WHERE e.src IN (SELECT doc_id FROM {last})
+  AND e.dst IN (SELECT doc_id FROM {last})
+GROUP BY e.src
+"""
+
+
+KCORE_ORACLE = _kcore_oracle()

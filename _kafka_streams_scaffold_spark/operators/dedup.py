@@ -811,3 +811,93 @@ SELECT doc_id,
 FROM matches
 GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Edit-distance verified near-dup (LSH candidates + Levenshtein)
+# --------------------------------------------------------------------------
+
+EDIT_PREFIX = 120  # chars of text entering the DP — bounds cost per pair
+EDIT_SIM_THRESHOLD = 0.8
+
+_DUCK_MINHASH_CAND = f"""
+hashed AS (
+  SELECT doc_id, {_BASE_DUCK} AS base FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(({a} * base + {b}) % {_MERSENNE_P}) AS h{j}" for j, (a, b) in enumerate(_AFFINE))}
+  FROM hashed GROUP BY doc_id
+),
+bands AS ({{band_rows}}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+
+
+def edit_distance_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, edit_dist, edit_sim): near-dup pairs whose
+    EDIT-DISTANCE similarity over a bounded text prefix clears
+    EDIT_SIM_THRESHOLD — the character-level verify tier (catches
+    reorder-free edits that shingle Jaccard underweights, e.g. minor
+    typo variants of the same template).
+
+    Levenshtein is O(len_a * len_b) per pair, so it is only ever run
+    on (a) LSH band candidates — the same MinHash candidate stage as
+    minhash_lsh_pairs, so candidate generation shuffles 32 ints/doc —
+    and (b) a fixed EDIT_PREFIX-char prefix, bounding each DP at
+    PREFIX^2 regardless of document length. Both bounds are exactly
+    how production fuzzy-dedup verify stages cap the quadratic step.
+    The pair join carries (doc_id, prefix) only; full text never
+    shuffles. Both engines implement classic unit-cost Levenshtein,
+    so the verify is bit-identical."""
+    docs = tables.table(spark, sf_dir, "documents")
+    sh = _pin(shingles(docs))
+    cand = lsh_candidates(_pin(minhash_signatures(sh)))
+    pref = docs.select(
+        "doc_id", F.expr(f"substring(text, 1, {EDIT_PREFIX})").alias("pref")
+    )
+    pa = pref.select(F.col("doc_id").alias("doc_a"), F.col("pref").alias("pa"))
+    pb = pref.select(F.col("doc_id").alias("doc_b"), F.col("pref").alias("pb"))
+    sim = (
+        F.lit(1.0)
+        - F.col("edit_dist")
+        / F.greatest(F.length("pa"), F.length("pb"), F.lit(1)).cast("double")
+    )
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("bigint").alias("edit_dist"),
+            "pa",
+            "pb",
+        )
+        .select("doc_a", "doc_b", "edit_dist", sim.alias("edit_sim"))
+        .filter(F.col("edit_sim") >= EDIT_SIM_THRESHOLD)
+    )
+
+
+EDIT_DISTANCE_PAIRS_ORACLE = f"""
+WITH {_DUCK_SHINGLE_CTE},
+{_DUCK_MINHASH_CAND.replace("{band_rows}", _duck_band_rows())},
+pref AS (
+  SELECT doc_id, substring(text, 1, {EDIT_PREFIX}) AS pref FROM documents
+)
+SELECT doc_a, doc_b, edit_dist,
+       1.0 - CAST(edit_dist AS DOUBLE)
+           / greatest(length(pa), length(pb), 1) AS edit_sim
+FROM (
+  SELECT c.doc_a, c.doc_b,
+         CAST(levenshtein(a.pref, b.pref) AS BIGINT) AS edit_dist,
+         a.pref AS pa, b.pref AS pb
+  FROM cand c
+  JOIN pref a ON a.doc_id = c.doc_a
+  JOIN pref b ON b.doc_id = c.doc_b
+)
+WHERE 1.0 - CAST(edit_dist AS DOUBLE)
+          / greatest(length(pa), length(pb), 1) >= {EDIT_SIM_THRESHOLD}
+"""

@@ -342,3 +342,68 @@ FROM (
 ), (SELECT count(*) AS total FROM events)
 WHERE cnt * {HH_DENOM} > total
 """
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (quantile-bucketed, exact)
+# --------------------------------------------------------------------------
+
+EQUI_DEPTH_BUCKETS = 10
+
+
+def equi_depth_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_orders, lo, hi, sum_cents): exact equi-DEPTH
+    histogram of order totals — ntile(10) over the deterministic
+    total order (o_totalprice, o_orderkey), then per-bucket count,
+    boundary values, and fixed-point sum. The complement of
+    value_histogram's equi-WIDTH bins: depth buckets are what an
+    optimizer's column statistics and a feature binner actually want
+    (each bucket carries the same row mass, boundaries adapt to the
+    distribution).
+
+    Exactness contract: ntile over a TOTAL order (price ties broken
+    by key) is bit-deterministic on both engines, and the per-bucket
+    sum is floor-to-cents BIGINT. Scale: a global ntile is a global
+    sort — the honest cost of an exact equi-depth cut. Spark executes
+    it as a range-partitioned sort (sampled boundaries, no single-
+    task bottleneck until the window itself, which at 100 TB you'd
+    replace with the two-pass form: percentile_approx boundaries +
+    one bucketing scan — ``approx_percentiles`` in this module is
+    exactly that first pass)."""
+    orders = tables.table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice",
+            F.ntile(EQUI_DEPTH_BUCKETS).over(w).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+    )
+
+
+EQUI_DEPTH_HISTOGRAM_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_totalprice,
+         ntile({EQUI_DEPTH_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey)
+           AS bucket
+  FROM orders
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM ranked
+GROUP BY bucket
+"""

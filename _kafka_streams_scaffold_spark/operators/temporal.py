@@ -1,0 +1,163 @@
+"""Temporal table maintenance: SCD Type-2 history builds and
+time-series gap repair.
+
+The reference's KTable is a *Type-1* view — latest value per key,
+history discarded (``operators/changelog.py`` is that operator;
+reference site `streams/PurchasesTopology.java:57`). Warehouse
+pipelines over the same changelog usually ALSO need the Type-2 form
+(every value with its validity interval) and a dense time spine
+(gap-filled, forward-filled series) for training-window extraction
+and feature engineering. Both are single-shuffle window constructions
+— no iteration, no UDFs.
+
+Scale notes per operator in the docstrings; the common shape is: one
+hash partition by entity key, one sort within partition, window
+functions inside whole-stage codegen, then partial-aggregatable
+groupBys. Nothing here widens rows beyond the input or crosses to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import tables
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 history (changelog -> validity intervals)
+# --------------------------------------------------------------------------
+
+def scd2_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_type, valid_from, valid_to, is_current): the
+    Type-2 dimension a changelog consumer materializes — each run of
+    identical consecutive ``event_type`` values per user collapses to
+    one row carrying the interval over which it was the user's
+    current state; the open interval (``valid_to IS NULL``) is the
+    live row.
+
+    Construction: one window (lag) marks change points, a filter
+    keeps them, a second window (lead) closes each interval with the
+    next change's start. Both windows partition by user_id and order
+    by (ts, event_id) — the deterministic total order the session
+    operator also uses — so the result is bit-stable under any input
+    order. One shuffle total; at 100 TB this is the standard
+    hash-partition-by-entity + sort-within-partition plan, and the
+    output is strictly smaller than the input (change points only).
+    """
+    ev = tables.table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        ev.withColumn("prev_type", F.lag("event_type").over(order))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    corder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changed.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(corder).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+SCD2_HISTORY_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Gap fill + forward fill (dense daily spine)
+# --------------------------------------------------------------------------
+
+def gap_fill_daily_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_purchases, revenue_cents, ff_revenue_cents): purchase
+    activity on a DENSE daily spine from the first to the last
+    observed day — missing days appear with zero counts and the last
+    observed day's revenue carried forward (the feature-engineering
+    form: "most recent known value as of day D").
+
+    Revenue is fixed-point cents (floor(value*100) per row, BIGINT
+    sum) so the fill is exact on both engines. The spine is built by
+    exploding ``sequence(min_day, max_day)`` off a one-row bounds
+    aggregate — a broadcast-join of one row against ~days rows, never
+    a cartesian risk. The forward fill is ``last(ignorenulls)`` over
+    the globally-ordered spine; the spine is DAYS-sized (tiny even at
+    100 TB of raw events — 30 years is ~11k rows), so the single-
+    partition window on it is deliberate and bounded: the heavy,
+    corpus-sized work (the daily aggregate) is partial-aggregated and
+    hash-partitioned before ever touching the spine.
+    """
+    ev = tables.table(spark, sf_dir, "events")
+    daily = ev.filter(F.col("event_type") == "purchase").groupBy(
+        F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    filled = spine.join(daily, "day", "left")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return filled.select(
+        "day",
+        F.coalesce("n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
+        F.coalesce("revenue_cents", F.lit(0))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.coalesce(F.last("revenue_cents", ignorenulls=True).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("ff_revenue_cents"),
+    )
+
+
+GAP_FILL_DAILY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(min_d, max_d, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM (SELECT min(day) AS min_d, max(day) AS max_d FROM daily)
+)
+SELECT s.day,
+       COALESCE(d.n_purchases, 0) AS n_purchases,
+       COALESCE(d.revenue_cents, 0) AS revenue_cents,
+       COALESCE(last_value(d.revenue_cents IGNORE NULLS) OVER (
+         ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 0) AS ff_revenue_cents
+FROM spine s LEFT JOIN daily d ON d.day = s.day
+"""

@@ -1151,3 +1151,70 @@ SELECT doc_id,
 FROM fp
 GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Inverted index build (search-serving artifact)
+# --------------------------------------------------------------------------
+
+POSTINGS_CAP = 20  # postings materialized per term in the sample column
+
+
+def inverted_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, df, total_tf, postings_head): the posting-list artifact
+    a batch index build writes for a search tier — document frequency,
+    corpus term frequency, and the first POSTINGS_CAP doc_ids of the
+    (sorted) posting list rendered as a comma-joined string.
+
+    Shape: one token explode, one (doc_id, term) partial-aggregated
+    count (the per-doc tf), then one term-keyed aggregate producing
+    df/total_tf and the capped posting head via sort_array+slice. At
+    100 TB the term aggregate is the classic inverted-index shuffle —
+    keyed by term, partial-aggregated map-side; the full posting list
+    would go to a positional store (per-term files / range-bucketed
+    parquet), which is why only a bounded head is materialized in the
+    result row: no per-term row is ever wider than
+    POSTINGS_CAP * id-width regardless of df. The head is rendered as
+    a string so the artifact is engine-portable (and hashable by the
+    driver's column-wise compare)."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    tf = (
+        docs.select("doc_id", F.explode(tokens_expr()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.sort_array(F.collect_list(F.col("doc_id"))),
+                1,
+                POSTINGS_CAP,
+            ).cast("array<string>"),
+        ).alias("postings_head"),
+    )
+
+
+INVERTED_INDEX_ORACLE = f"""
+WITH tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  )
+  GROUP BY term, doc_id
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       array_to_string(
+         list_transform(list_sort(list(doc_id))[1:{POSTINGS_CAP}],
+                        x -> CAST(x AS VARCHAR)),
+         ',') AS postings_head
+FROM tf
+GROUP BY term
+"""

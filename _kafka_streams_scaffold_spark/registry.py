@@ -586,4 +586,38 @@ def _ensure_loaded() -> None:
     register("bpe_train", bpe.bpe_train_query, bpe.BPE_TRAIN_ORACLE)
     register("bpe_encode", bpe.bpe_encode_query, bpe.BPE_ENCODE_ORACLE)
 
+    # k-core nucleus of the near-dup graph (iterative peel)
+    register("kcore", clustering.kcore_query, clustering.KCORE_ORACLE)
+
+    # character-level verify tier on LSH candidates
+    register(
+        "edit_distance_pairs",
+        dedup.edit_distance_pairs_query,
+        dedup.EDIT_DISTANCE_PAIRS_ORACLE,
+    )
+
+    # batch inverted-index artifact (search-serving build)
+    register(
+        "inverted_index",
+        textops.inverted_index_query,
+        textops.INVERTED_INDEX_ORACLE,
+    )
+
+    # temporal maintenance: SCD2 history + dense-spine gap fill
+    from .operators import temporal
+
+    register(
+        "scd2_history", temporal.scd2_history_query, temporal.SCD2_HISTORY_ORACLE
+    )
+    register(
+        "gap_fill_daily",
+        temporal.gap_fill_daily_query,
+        temporal.GAP_FILL_DAILY_ORACLE,
+    )
+    register(
+        "equi_depth_histogram",
+        sketches.equi_depth_histogram_query,
+        sketches.EQUI_DEPTH_HISTOGRAM_ORACLE,
+    )
+
     _LOADED = True

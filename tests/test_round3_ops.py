@@ -1,0 +1,152 @@
+"""Round-3 operator tier: bpe_encode, kcore, edit-distance verify,
+inverted index, SCD2 history, gap fill, equi-depth histogram."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+
+from _kafka_streams_scaffold_spark.operators import (
+    bpe,
+    clustering,
+    dedup,
+    sketches,
+    temporal,
+    textops,
+)
+
+
+def test_bpe_encode_hand_vocab(spark, monkeypatch):
+    """'abcd'x3 + 'abce'x2 learns ab, abc, abcd (see test_bpe_train);
+    encoding the same corpus then yields symbols abcd(3), abc(2),
+    e(2) — the d is fully merged away."""
+    texts = ["abcd abcd abce", "abcd abce"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    monkeypatch.setattr(bpe.tables, "table", lambda *a: df)
+    rows = {
+        r["token"]: (r["occurrences"], r["n_words"])
+        for r in bpe.bpe_encode_query(spark, "_").collect()
+    }
+    assert rows == {"abcd": (3, 1), "abc": (2, 1), "e": (2, 1)}
+
+
+def test_kcore_peels_chain_keeps_triangle(spark, monkeypatch):
+    """Graph = triangle {1,2,3} + chain 4-5-6: the 2-core peel removes
+    the chain entirely (ends have degree 1; after they drop the
+    middle does too) and keeps the triangle with induced degree 2."""
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(1, 7)])
+    pairs = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2),
+            Row(doc_a=2, doc_b=3),
+            Row(doc_a=1, doc_b=3),
+            Row(doc_a=4, doc_b=5),
+            Row(doc_a=5, doc_b=6),
+        ]
+    )
+    monkeypatch.setattr(clustering.tables, "table", lambda *a: docs)
+    monkeypatch.setattr(
+        clustering, "simhash_pairs_query", lambda *a: pairs
+    )
+    rows = {
+        r["doc_id"]: r["core_degree"]
+        for r in clustering.kcore_query(spark, "_").collect()
+    }
+    assert rows == {1: 2, 2: 2, 3: 2}
+
+
+def test_edit_distance_pairs_plan_has_no_cartesian(spark, sf_dir):
+    plan = dedup.edit_distance_pairs_query(spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_pairs_symmetric_bound(spark, sf_dir):
+    """Every emitted pair respects doc_a < doc_b and the similarity
+    threshold with edit_dist consistent against the prefix bound."""
+    rows = dedup.edit_distance_pairs_query(spark, sf_dir).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["edit_sim"] >= dedup.EDIT_SIM_THRESHOLD
+        assert 0 <= r["edit_dist"] <= dedup.EDIT_PREFIX
+
+
+def test_inverted_index_postings_sorted_and_capped(spark, sf_dir):
+    rows = textops.inverted_index_query(spark, sf_dir).collect()
+    assert rows, "index must be non-empty"
+    for r in rows:
+        ids = [int(x) for x in r["postings_head"].split(",") if x]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r["df"], textops.POSTINGS_CAP)
+        assert r["total_tf"] >= r["df"]
+
+
+def test_scd2_intervals_partition_timeline(spark, monkeypatch):
+    """Per user: intervals are contiguous (valid_to = next
+    valid_from), exactly one open interval, and consecutive rows
+    never repeat an event_type."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, u, et):
+        return Row(
+            event_id=i,
+            user_id=u,
+            event_type=et,
+            ts=t0 + datetime.timedelta(minutes=i),
+        )
+
+    df = spark.createDataFrame(
+        [
+            ev(1, 1, "signup"),
+            ev(2, 1, "click"),
+            ev(3, 1, "click"),
+            ev(4, 1, "purchase"),
+            ev(5, 2, "click"),
+        ]
+    )
+    monkeypatch.setattr(temporal.tables, "table", lambda *a: df)
+    rows = sorted(
+        temporal.scd2_history_query(spark, "_").collect(),
+        key=lambda r: (r["user_id"], r["valid_from"]),
+    )
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert [r["event_type"] for r in u1] == ["signup", "click", "purchase"]
+    for prev, nxt in zip(u1, u1[1:]):
+        assert prev["valid_to"] == nxt["valid_from"]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]
+
+
+def test_gap_fill_spine_is_dense_and_carries_forward(spark, sf_dir):
+    rows = sorted(
+        temporal.gap_fill_daily_query(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    days = [r["day"] for r in rows]
+    assert days == [
+        days[0] + datetime.timedelta(days=i) for i in range(len(days))
+    ], "spine must have no gaps"
+    carried = 0
+    for r in rows:
+        if r["n_purchases"] > 0:
+            carried = r["revenue_cents"]
+        assert r["ff_revenue_cents"] == carried
+
+
+def test_equi_depth_buckets_balanced(spark, sf_dir):
+    rows = sorted(
+        sketches.equi_depth_histogram_query(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(
+        range(1, sketches.EQUI_DEPTH_BUCKETS + 1)
+    )
+    counts = [r["n_orders"] for r in rows]
+    assert max(counts) - min(counts) <= 1, "depth buckets differ by <=1 row"
+    # boundaries are non-decreasing across buckets
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev["hi"] <= nxt["lo"]
