@@ -620,4 +620,14 @@ def _ensure_loaded() -> None:
         sketches.EQUI_DEPTH_HISTOGRAM_ORACLE,
     )
 
+    # product quantization: codes artifact + ADC compressed-domain ANN
+    from .operators import pq
+
+    register("pq_codes", pq.pq_codes_query, pq.PQ_CODES_ORACLE)
+    register("pq_ann", pq.pq_ann_query, pq.PQ_ANN_ORACLE)
+    register(
+        "pq_ann_rerank", pq.pq_ann_rerank_query, pq.PQ_ANN_RERANK_ORACLE
+    )
+    register("pq_recall", pq.pq_recall_query, pq.PQ_RECALL_ORACLE)
+
     _LOADED = True
