@@ -87,14 +87,21 @@ def _packed_min(a: str, m: int, s: str, engine: str) -> str:
 
 def pq_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cid, embedding): the PQ_K hash-sampled seed rows, cid by hash
-    rank — deterministic, tiny, always broadcast."""
+    rank — deterministic, tiny, always broadcast. The corpus-wide
+    selection is ``orderBy().limit(K)`` so it plans as
+    TakeOrderedAndProject (per-partition heap of K + driver merge),
+    NOT a global sort; the rank window then runs over the K surviving
+    rows only."""
     emb = tables.table(spark, sf_dir, "embeddings")
     h = hash60_spark("cast(vec_id as string)", PQ_SEED)
-    w = Window.orderBy(F.expr(h), "vec_id")
+    top = (
+        emb.select("vec_id", "embedding", F.expr(h).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(PQ_K)
+    )
+    w = Window.orderBy("h", "vec_id")
     return (
-        emb.select("vec_id", "embedding")
-        .withColumn("cid", F.row_number().over(w))
-        .filter(F.col("cid") <= PQ_K)
+        top.withColumn("cid", F.row_number().over(w))
         .select("cid", "embedding")
     )
 

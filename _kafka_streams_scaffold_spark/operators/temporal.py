@@ -161,3 +161,102 @@ SELECT s.day,
        ), 0) AS ff_revenue_cents
 FROM spine s LEFT JOIN daily d ON d.day = s.day
 """
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (batch CDC between two table states)
+# --------------------------------------------------------------------------
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """Generic batch CDC: (key, change) for every row that differs
+    between two snapshots — ``insert`` (key only in new), ``delete``
+    (key only in old), ``update`` (key in both, any compared column
+    differs). Unchanged rows are filtered out before anything leaves
+    the join, so output size is the churn, not the table.
+
+    One full-outer join on the key: each side shuffles once (or not
+    at all when both snapshots share a bucketed layout, the natural
+    state for day-over-day snapshots of the same table). Column
+    comparison is typed (null-safe equality), never stringified — no
+    cross-engine rendering hazards and no hash collisions."""
+    o = old.select(
+        F.col(key).alias("k_old"),
+        *[F.col(c).alias(f"o_{c}") for c in cols],
+    )
+    n = new.select(
+        F.col(key).alias("k_new"),
+        *[F.col(c).alias(f"n_{c}") for c in cols],
+    )
+    changed = [
+        ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}")) for c in cols
+    ]
+    any_changed = changed[0]
+    for c in changed[1:]:
+        any_changed = any_changed | c
+    change = (
+        F.when(F.col("k_old").isNull(), F.lit("insert"))
+        .when(F.col("k_new").isNull(), F.lit("delete"))
+        .when(any_changed, F.lit("update"))
+    )
+    return (
+        o.join(n, F.col("k_old") == F.col("k_new"), "full_outer")
+        .select(
+            F.coalesce("k_old", "k_new").alias(key),
+            change.alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )
+
+
+def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, change): CDC between two deterministic synthetic
+    snapshots of ``orders`` — old = keys not divisible by 10 with a
+    simulated stale total on keys divisible by 7; new = keys not
+    divisible by 13. Yields all three change kinds (inserts: %10
+    keys, deletes: %13 keys, updates: %7 keys present in both) so
+    the operator's full surface is hash-checked."""
+    orders = tables.table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return snapshot_diff(
+        old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+new AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 13 <> 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+              OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+            THEN 'update' END AS change
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+           WHEN n.o_orderkey IS NULL THEN 'delete'
+           WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+             OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+           THEN 'update' END IS NOT NULL
+"""

@@ -630,4 +630,11 @@ def _ensure_loaded() -> None:
     )
     register("pq_recall", pq.pq_recall_query, pq.PQ_RECALL_ORACLE)
 
+    # batch CDC between table snapshots
+    register(
+        "snapshot_diff",
+        temporal.snapshot_diff_query,
+        temporal.SNAPSHOT_DIFF_ORACLE,
+    )
+
     _LOADED = True

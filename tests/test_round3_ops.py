@@ -222,3 +222,29 @@ def test_pq_ann_plan_no_cartesian(spark, sf_dir):
     plan = pq.pq_ann_query(spark, sf_dir)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_three_change_kinds(spark):
+    """Hand-built snapshots: key 1 unchanged, key 2 updated, key 3
+    deleted, key 4 inserted, null-valued column handled null-safely."""
+    old = spark.createDataFrame(
+        [
+            Row(k=1, v=10.0, s="A"),
+            Row(k=2, v=20.0, s="B"),
+            Row(k=3, v=30.0, s="C"),
+            Row(k=5, v=None, s="E"),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, v=10.0, s="A"),
+            Row(k=2, v=21.0, s="B"),
+            Row(k=4, v=40.0, s="D"),
+            Row(k=5, v=None, s="E"),
+        ]
+    )
+    rows = {
+        r["k"]: r["change"]
+        for r in temporal.snapshot_diff(old, new, "k", ["v", "s"]).collect()
+    }
+    assert rows == {2: "update", 3: "delete", 4: "insert"}

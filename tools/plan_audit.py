@@ -256,6 +256,58 @@ AUDIT = [
         "LM scoring via broadcast surprisal table — nothing wider than "
         "doc_id + small ints ever shuffles.",
     ),
+    (
+        "edit_distance_pairs",
+        "Levenshtein (quadratic per pair) only ever runs on LSH band "
+        "candidates over a fixed 120-char prefix: candidate generation "
+        "shuffles 32 ints/doc, the verify join carries (doc_id, "
+        "prefix), and no CartesianProduct appears anywhere.",
+    ),
+    (
+        "inverted_index",
+        "One token explode -> (term, doc) tf partial aggregate -> one "
+        "term-keyed aggregate; the posting head is capped at "
+        "POSTINGS_CAP ids per term so no output row exceeds fixed "
+        "width regardless of document frequency.",
+    ),
+    (
+        "kcore",
+        "Each peel round is two LEFT SEMI joins (id-width survivor "
+        "probes) against the ONE hash-partitioned checkpointed edge "
+        "table + a partial-aggregated degree count; rounds exchange "
+        "the shrinking survivor frame, never edge-width rows.",
+    ),
+    (
+        "scd2_history",
+        "Both windows hash-partition by user_id — ONE exchange total "
+        "(Spark reuses the sort order for the second window); the "
+        "change-point filter runs between them so the interval window "
+        "sees only the collapsed rows.",
+    ),
+    (
+        "equi_depth_histogram",
+        "The honest cost of an exact equi-depth cut: a range-"
+        "partitioned global sort feeding ntile, then a partial-"
+        "aggregatable per-bucket rollup. The two-pass approximate form "
+        "(percentile_approx boundaries + bucketing scan) is the "
+        "documented 100 TB swap-in.",
+    ),
+    (
+        "snapshot_diff",
+        "One full-outer sort-merge join on the key; unchanged rows "
+        "are dropped by the typed column comparison before anything "
+        "else, so the output is churn-sized; with bucketed snapshots "
+        "the exchanges vanish entirely.",
+    ),
+    (
+        "pq_ann_rerank",
+        "Compressed-domain scan: code rows (3 small ints wide) hash-"
+        "join the BROADCAST Q x M x K lookup table and partial-"
+        "aggregate to one BIGINT per (query, vector); only the "
+        "R-row shortlist ever rejoins the raw vectors. The codebook "
+        "build's corpus-wide selection is TakeOrderedAndProject, not "
+        "a global sort.",
+    ),
 ]
 
 

@@ -36,6 +36,9 @@ from _kafka_streams_scaffold_spark.operators import (  # noqa: E402
 )
 from _kafka_streams_scaffold_spark.operators import lm as lm_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import curation as curation_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import bpe as bpe_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import pq as pq_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import temporal as temporal_mod  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 MULT = 10
@@ -160,6 +163,42 @@ def main() -> None:
         ),
         "corpus keep full (7-gate capstone)": lambda m: _with_docs(
             m, lambda: curation_mod.corpus_keep_full_query(spark, SF_DIR)
+        ),
+        "bpe encode (merge replay)": lambda m: _with_docs(
+            m, lambda: bpe_mod.bpe_encode_query(spark, SF_DIR)
+        ),
+        "inverted index (term agg)": lambda m: _with_docs(
+            m, lambda: textops.inverted_index_query(spark, SF_DIR)
+        ),
+        "pq encode (codes artifact)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: pq_mod.pq_codes_query(spark, SF_DIR),
+        ),
+        "pq ADC+rerank search": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: pq_mod.pq_ann_rerank_query(spark, SF_DIR),
+        ),
+        "scd2 history (entity window)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: temporal_mod.scd2_history_query(spark, SF_DIR),
+        ),
+        "gap fill (spine join)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: temporal_mod.gap_fill_daily_query(spark, SF_DIR),
+        ),
+        "snapshot diff (full outer)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: temporal_mod.snapshot_diff_query(spark, SF_DIR),
+        ),
+        "equi-depth histogram (global ntile)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: sketches.equi_depth_histogram_query(spark, SF_DIR),
         ),
     }
 
