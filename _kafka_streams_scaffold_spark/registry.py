@@ -637,4 +637,18 @@ def _ensure_loaded() -> None:
         temporal.SNAPSHOT_DIFF_ORACLE,
     )
 
+    # ML feature materialization
+    from .operators import features
+
+    register(
+        "target_encoding",
+        features.target_encoding_query,
+        features.TARGET_ENCODING_ORACLE,
+    )
+    register(
+        "feature_hashing",
+        features.feature_hashing_query,
+        features.FEATURE_HASHING_ORACLE,
+    )
+
     _LOADED = True

@@ -53,6 +53,12 @@ def main() -> None:
     _sim.ann_topk_query(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ...and the quantizer-assign shape (dist2 + argmin packing):
+    # ivf_near_dup / ivf_ann / dyn_ivf_assign all compile it, and the
+    # first of them otherwise pays ~1.5s of janino, not plan time.
+    _sim.ivf_assign_query(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     pinning.unpersist_all()
 
     timings: dict[str, float] = {}
