@@ -190,12 +190,20 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_vec"),
         )
     )
-    return sub0.join(means, ["m", "cid"], "left").select(
-        "m",
-        "cid",
-        F.coalesce("mean_vec", F.col("s_vec").cast("array<double>")).alias(
-            "s_vec"
-        ),
+    # Pinned: the codebook is consumed by BOTH the encode branch and
+    # the query LUT branch of every search plan; without the pin the
+    # whole training subtree (seed selection + assign pass + means)
+    # executes once per consumer. M*K rows — the pin is free.
+    from ..pinning import pin as _pin
+
+    return _pin(
+        sub0.join(means, ["m", "cid"], "left").select(
+            "m",
+            "cid",
+            F.coalesce("mean_vec", F.col("s_vec").cast("array<double>")).alias(
+                "s_vec"
+            ),
+        )
     )
 
 

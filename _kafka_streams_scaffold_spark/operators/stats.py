@@ -460,3 +460,160 @@ SELECT d.event_type,
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type
 """
+
+
+# --------------------------------------------------------------------------
+# Pairwise correlation matrix (one pass, exact power sums)
+# --------------------------------------------------------------------------
+
+_CM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def correlation_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(col_a, col_b, n_rows, corr): the full pairwise Pearson matrix
+    over lineitem's numeric measures — the feature-correlation audit a
+    training pipeline runs before model fitting — from ONE scan: all
+    per-column sums/squares and all pairwise cross-products accumulate
+    as exact DECIMAL power sums in a single partial-aggregatable
+    aggregate (15 scalars total), then the closed forms evaluate on
+    the one-row result. Adding columns grows the aggregate width
+    O(k^2), never the number of passes."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CM_COLS:
+        x = _dec(c)
+        aggs.append(F.sum(x).alias(f"s_{c}"))
+        aggs.append(F.sum((x * x).cast(_P4)).alias(f"ss_{c}"))
+    for i, a in enumerate(_CM_COLS):
+        for b in _CM_COLS[i + 1:]:
+            aggs.append(
+                F.sum((_dec(a) * _dec(b)).cast(_P4)).alias(f"sp_{a}_{b}")
+            )
+    one = li.agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def corr(a: str, b: str) -> F.Column:
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        saa = F.col(f"ss_{a}").cast("double")
+        sbb = F.col(f"ss_{b}").cast("double")
+        sab = F.col(f"sp_{a}_{b}").cast("double")
+        return (n * sab - sa * sb) / F.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+
+    pairs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            corr(a, b).alias("corr"),
+        )
+        for i, a in enumerate(_CM_COLS)
+        for b in _CM_COLS[i + 1:]
+    ]
+    return one.select(
+        F.col("n").alias("n_rows"), F.explode(F.array(*pairs)).alias("e")
+    ).select("n_rows", "e.col_a", "e.col_b", "e.corr")
+
+
+def _cm_oracle() -> str:
+    d = "DECIMAL(12,2)"
+    p4 = "DECIMAL(25,4)"
+    sums = ["COUNT(*) AS n"]
+    for c in _CM_COLS:
+        sums.append(f"SUM(CAST({c} AS {d})) AS s_{c}")
+        sums.append(
+            f"SUM(CAST(CAST({c} AS {d}) * CAST({c} AS {d}) AS {p4})) AS ss_{c}"
+        )
+    for i, a in enumerate(_CM_COLS):
+        for b in _CM_COLS[i + 1:]:
+            sums.append(
+                f"SUM(CAST(CAST({a} AS {d}) * CAST({b} AS {d}) AS {p4}))"
+                f" AS sp_{a}_{b}"
+            )
+    selects = []
+    for i, a in enumerate(_CM_COLS):
+        for b in _CM_COLS[i + 1:]:
+            corr = (
+                f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+            )
+            selects.append(
+                f"SELECT CAST(n AS BIGINT) AS n_rows, '{a}' AS col_a,"
+                f" '{b}' AS col_b, {corr} AS corr FROM agg"
+            )
+    u = " UNION ALL ".join(selects)
+    return f"WITH agg AS (SELECT {', '.join(sums)} FROM lineitem)\n{u}"
+
+
+CORRELATION_MATRIX_ORACLE = _cm_oracle()
+
+
+# --------------------------------------------------------------------------
+# Table profile (per-column null/distinct audit)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def table_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct): the per-column profile a
+    data catalog materializes for every ingested table — here over
+    ``orders``. One aggregate computes every column's null count and
+    exact distinct count (Spark plans multi-distinct via EXPAND: one
+    scan, k-way row replication). The exact form is the oracle-
+    checkable one; at 100 TB swap the distinct counts for
+    ``approx_count_distinct`` — the plan shape collapses back to one
+    unreplicated pass and the profile stays one row per column."""
+    orders = tables.table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"null_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"dist_{c}"))
+    one = orders.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"null_{c}").cast("bigint").alias("n_null"),
+            F.col(f"dist_{c}").cast("bigint").alias("n_distinct"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return one.select(
+        F.col("n").alias("n_rows"), F.explode(F.array(*rows)).alias("e")
+    ).select("e.column", "n_rows", "e.n_null", "e.n_distinct")
+
+
+def _profile_oracle() -> str:
+    sums = ["COUNT(*) AS n"]
+    for c in _PROFILE_COLS:
+        sums.append(
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_{c}"
+        )
+        sums.append(f"COUNT(DISTINCT {c}) AS dist_{c}")
+    selects = [
+        f"SELECT '{c}' AS \"column\", CAST(n AS BIGINT) AS n_rows,"
+        f" CAST(null_{c} AS BIGINT) AS n_null,"
+        f" CAST(dist_{c} AS BIGINT) AS n_distinct FROM agg"
+        for c in _PROFILE_COLS
+    ]
+    return (
+        f"WITH agg AS (SELECT {', '.join(sums)} FROM orders)\n"
+        + " UNION ALL ".join(selects)
+    )
+
+
+TABLE_PROFILE_ORACLE = _profile_oracle()

@@ -650,5 +650,15 @@ def _ensure_loaded() -> None:
         features.feature_hashing_query,
         features.FEATURE_HASHING_ORACLE,
     )
+    register(
+        "correlation_matrix",
+        stats.correlation_matrix_query,
+        stats.CORRELATION_MATRIX_ORACLE,
+    )
+    register(
+        "table_profile",
+        stats.table_profile_query,
+        stats.TABLE_PROFILE_ORACLE,
+    )
 
     _LOADED = True

@@ -320,3 +320,52 @@ def test_feature_hashing_bounded_width(spark, sf_dir):
         per_doc.setdefault(r["doc_id"], 0)
         per_doc[r["doc_id"]] += 1
     assert max(per_doc.values()) <= features.HASH_BUCKETS
+
+
+# --------------------------------------------------------------------------
+# Correlation matrix / table profile
+# --------------------------------------------------------------------------
+
+from _kafka_streams_scaffold_spark.operators import stats as stats_mod  # noqa: E402
+
+
+def test_correlation_matrix_bounds_and_symmetric_coverage(spark, sf_dir):
+    rows = stats_mod.correlation_matrix_query(spark, sf_dir).collect()
+    k = len(stats_mod._CM_COLS)
+    assert len(rows) == k * (k - 1) // 2
+    order = {c: i for i, c in enumerate(stats_mod._CM_COLS)}
+    for r in rows:
+        assert -1.0 - 1e-12 <= r["corr"] <= 1.0 + 1e-12
+        assert order[r["col_a"]] < order[r["col_b"]]
+
+
+def test_correlation_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import duckdb
+
+    rows = stats_mod.correlation_matrix_query(spark, sf_dir).collect()
+    df = duckdb.sql(
+        f"SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    ).df()
+    for r in rows:
+        a = np.round(df[r["col_a"]].to_numpy(), 2)
+        b = np.round(df[r["col_b"]].to_numpy(), 2)
+        expect = np.corrcoef(a, b)[0, 1]
+        assert abs(r["corr"] - expect) < 1e-6, (r["col_a"], r["col_b"])
+
+
+def test_table_profile_counts(spark, sf_dir):
+    import duckdb
+
+    rows = {
+        r["column"]: r
+        for r in stats_mod.table_profile_query(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(stats_mod._PROFILE_COLS)
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    for c, r in rows.items():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_null"] <= n
+        assert 1 <= r["n_distinct"] <= n
