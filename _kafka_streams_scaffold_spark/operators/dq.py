@@ -133,3 +133,107 @@ WHERE NOT EXISTS (
     SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
 )
 """
+
+
+# --------------------------------------------------------------------------
+# Distribution drift (chi-square between time halves)
+# --------------------------------------------------------------------------
+
+def distribution_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_baseline, n_current, p_baseline, p_current,
+    chi2_contrib): data-drift audit of the event-value distribution —
+    the corpus splits at its temporal midpoint into baseline/current
+    windows, values histogram into the shared width_bucket formula
+    (same bins as value_histogram), and each bucket contributes
+    ``(p_cur - p_base)^2 / p_base`` to the chi-square drift statistic
+    (sum the column for the scalar drift score). Chi-square rather
+    than PSI deliberately: PSI's log-ratio would put a transcendental
+    in a hash-checked output (libm last-ulp differences — the same
+    reason tf-idf here uses linear idf), while the chi-square form is
+    rational arithmetic on exact BIGINT counts. Buckets absent from
+    the baseline report NULL contribution (the novel-mass signal).
+
+    One scan: the midpoint comes from a one-row min/max aggregate
+    broadcast back over the stream; the histogram is one
+    partial-aggregated (window, bucket) groupBy; everything after is
+    arithmetic on ~bucket-count rows."""
+    ev = tables.table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).select(
+        F.expr(
+            "timestampadd(SECOND, cast(floor(timestampdiff(SECOND, lo, hi)"
+            " / 2) as bigint), lo)"
+        ).alias("mid")
+    )
+    from .sketches import _BUCKET_EXPR
+
+    counts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col("ts") < F.col("mid")).alias("is_base"),
+            F.expr(_BUCKET_EXPR).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("is_base").cast("bigint")).alias("n_baseline"),
+            F.sum((~F.col("is_base")).cast("bigint")).alias("n_current"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_baseline").alias("t_base"), F.sum("n_current").alias("t_cur")
+    )
+    p_base = F.col("n_baseline").cast("double") / F.col("t_base").cast("double")
+    p_cur = F.col("n_current").cast("double") / F.col("t_cur").cast("double")
+    contrib = F.when(
+        F.col("n_baseline") > 0,
+        (p_cur - p_base) * (p_cur - p_base) / p_base,
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.col("n_baseline").cast("bigint").alias("n_baseline"),
+        F.col("n_current").cast("bigint").alias("n_current"),
+        p_base.alias("p_baseline"),
+        p_cur.alias("p_current"),
+        contrib.alias("chi2_contrib"),
+    )
+
+
+def _drift_oracle() -> str:
+    from .sketches import _BUCKET_EXPR
+
+    return f"""
+WITH bounds AS (
+  SELECT min(ts) + to_seconds(CAST(floor(epoch(max(ts) - min(ts)) / 2)
+                              AS BIGINT)) AS mid
+  FROM events
+),
+counts AS (
+  SELECT {_BUCKET_EXPR} AS bucket,
+         CAST(sum(CASE WHEN ts < mid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_baseline,
+         CAST(sum(CASE WHEN ts < mid THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_current
+  FROM events CROSS JOIN bounds
+  GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(n_baseline) AS BIGINT) AS t_base,
+         CAST(sum(n_current) AS BIGINT) AS t_cur
+  FROM counts
+)
+SELECT bucket, n_baseline, n_current,
+       CAST(n_baseline AS DOUBLE) / CAST(t_base AS DOUBLE) AS p_baseline,
+       CAST(n_current AS DOUBLE) / CAST(t_cur AS DOUBLE) AS p_current,
+       CASE WHEN n_baseline > 0 THEN
+         (CAST(n_current AS DOUBLE) / CAST(t_cur AS DOUBLE)
+          - CAST(n_baseline AS DOUBLE) / CAST(t_base AS DOUBLE))
+         * (CAST(n_current AS DOUBLE) / CAST(t_cur AS DOUBLE)
+            - CAST(n_baseline AS DOUBLE) / CAST(t_base AS DOUBLE))
+         / (CAST(n_baseline AS DOUBLE) / CAST(t_base AS DOUBLE))
+       END AS chi2_contrib
+FROM counts CROSS JOIN totals
+"""
+
+
+DISTRIBUTION_DRIFT_ORACLE = _drift_oracle()

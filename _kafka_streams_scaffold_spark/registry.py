@@ -660,5 +660,10 @@ def _ensure_loaded() -> None:
         stats.table_profile_query,
         stats.TABLE_PROFILE_ORACLE,
     )
+    register(
+        "distribution_drift",
+        dq.distribution_drift_query,
+        dq.DISTRIBUTION_DRIFT_ORACLE,
+    )
 
     _LOADED = True

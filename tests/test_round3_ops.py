@@ -369,3 +369,93 @@ def test_table_profile_counts(spark, sf_dir):
         assert r["n_rows"] == n
         assert 0 <= r["n_null"] <= n
         assert 1 <= r["n_distinct"] <= n
+
+
+# --------------------------------------------------------------------------
+# Null / ANSI-mode robustness (Spark 4 aborts on bad casts; every
+# round-3 operator must survive null and empty text/values)
+# --------------------------------------------------------------------------
+
+
+def test_text_ops_survive_null_and_empty_docs(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hello world hello", lang="en",
+                source="a", n_chars=17),
+            Row(doc_id=2, text="", lang="en", source="a", n_chars=0),
+            Row(doc_id=3, text=None, lang="en", source="a", n_chars=0),
+        ]
+    )
+    for mod in (textops, bpe):
+        monkeypatch.setattr(mod.tables, "table", lambda *a: docs)
+    # tokenizer family: null text must not raise, just contribute 0
+    inv = {r["term"] for r in textops.inverted_index_query(spark, "_").collect()}
+    assert inv == {"hello", "world"}
+    enc = bpe.bpe_encode_query(spark, "_").collect()
+    assert enc  # trains and encodes on the non-null doc
+
+
+def test_edit_distance_survives_null_text(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h i j k l", lang="en",
+                source="a", n_chars=23),
+            Row(doc_id=2, text=None, lang="en", source="a", n_chars=0),
+            Row(doc_id=3, text="a b c d e f g h i j k l", lang="en",
+                source="a", n_chars=23),
+        ]
+    )
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: docs)
+    rows = dedup.edit_distance_pairs_query(spark, "_").collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 3)}
+    assert all(r["edit_dist"] == 0 for r in rows)
+
+
+def test_temporal_ops_survive_null_values(spark, monkeypatch):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, event_type="purchase",
+                value=10.0, ts=t0, props="{}"),
+            Row(event_id=2, user_id=1, event_type=None,
+                value=None, ts=t0 + datetime.timedelta(days=3), props="{}"),
+            Row(event_id=3, user_id=None, event_type="purchase",
+                value=5.0, ts=t0 + datetime.timedelta(days=5), props="{}"),
+        ]
+    )
+    monkeypatch.setattr(temporal.tables, "table", lambda *a: ev)
+    # SCD2: null event_type / null user_id rows flow through windows
+    rows = temporal.scd2_history_query(spark, "_").collect()
+    assert rows
+    # gap fill: null value in a purchase row must not abort the
+    # fixed-point cents sum (floor(null) is null -> sum skips it)
+    days = temporal.gap_fill_daily_query(spark, "_").collect()
+    assert len(days) == 6  # dense spine Jan 1..6
+
+
+def test_feature_hashing_survives_null_text(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x y", lang="en", source="a", n_chars=3),
+            Row(doc_id=2, text=None, lang="en", source="a", n_chars=0),
+        ]
+    )
+    monkeypatch.setattr(features.tables, "table", lambda *a: docs)
+    rows = features.feature_hashing_query(spark, "_").collect()
+    assert {r["doc_id"] for r in rows} == {1}
+
+
+def test_distribution_drift_proportions_sum_to_one(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import dq as dq_mod
+
+    rows = dq_mod.distribution_drift_query(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["p_baseline"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["p_current"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        if r["n_baseline"] > 0:
+            assert r["chi2_contrib"] is not None and r["chi2_contrib"] >= 0
+        else:
+            assert r["chi2_contrib"] is None
