@@ -929,3 +929,79 @@ SELECT g.cohort_week, g.week_k,
 FROM grid g JOIN sizes s ON s.cohort_week = g.cohort_week
 GROUP BY g.cohort_week, g.week_k, s.cohort_size
 """
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (2-D skyline)
+# --------------------------------------------------------------------------
+
+def pareto_orders_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, price_cents, o_orderdate): the Pareto-optimal
+    orders in the (low price, recent date) plane — rows no other
+    order strictly dominates (other.price <= mine AND other.date >=
+    mine, strict in at least one dimension). The skyline operator
+    relational engines lack natively; the naive form is an O(n^2)
+    NOT EXISTS self-join, but a 2-D skyline is exactly computable
+    with two window maxima after sorting one dimension:
+
+      - dominated by a strictly cheaper order: its date >= mine
+        (strict in price) -> running max(date) over the price-sorted
+        RANGE frame ending 1 cent before mine;
+      - dominated within my exact price: another order with a
+        strictly later date -> per-price-group max(date) > mine.
+
+    Both windows order/partition by fixed-point cents (RANGE frames
+    need exact arithmetic; doubles would make frame membership
+    rendering-dependent). One sort, O(n log n), partial nothing —
+    the global price sort is the honest cost, range-partitioned by
+    Spark just like equi-depth's ntile. Ties in both dimensions are
+    mutually non-dominating and all survive (deterministic set
+    semantics, no arbitrary keep-one)."""
+    orders = tables.table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        "o_orderkey", cents.alias("price_cents"), "o_orderdate"
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.partitionBy("price_cents")
+    flagged = base.select(
+        "o_orderkey",
+        "price_cents",
+        "o_orderdate",
+        F.max("o_orderdate").over(w_cheaper).alias("best_cheaper_date"),
+        F.max("o_orderdate").over(w_equal).alias("best_equal_date"),
+    )
+    return flagged.filter(
+        (
+            F.col("best_cheaper_date").isNull()
+            | (F.col("best_cheaper_date") < F.col("o_orderdate"))
+        )
+        & (F.col("best_equal_date") <= F.col("o_orderdate"))
+    ).select("o_orderkey", "price_cents", "o_orderdate")
+
+
+PARETO_ORDERS_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+         o_orderdate
+  FROM orders
+),
+flagged AS (
+  SELECT o_orderkey, price_cents, o_orderdate,
+         max(o_orderdate) OVER (
+           ORDER BY price_cents
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS best_cheaper_date,
+         max(o_orderdate) OVER (PARTITION BY price_cents)
+           AS best_equal_date
+  FROM base
+)
+SELECT o_orderkey, price_cents, o_orderdate
+FROM flagged
+WHERE (best_cheaper_date IS NULL OR best_cheaper_date < o_orderdate)
+  AND best_equal_date <= o_orderdate
+"""

@@ -245,3 +245,109 @@ ORDER BY occurrences DESC, token LIMIT 100
 
 
 BPE_ENCODE_ORACLE = _build_encode_oracle()
+
+
+def bpe_doc_tokens_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_tokens): each document's length under the
+    TRAINED tokenizer — the number a packing/budgeting pipeline
+    actually consumes (chunk_packing uses whitespace tokens; this is
+    the subword-accurate version). The trained vocabulary keeps its
+    word column through the merge replay, reduces to a (word ->
+    subword count) map — vocabulary-sized, broadcast — and the corpus
+    pays one explode + one broadcast join + one partial-aggregated
+    per-doc sum. Unseen-word handling is moot by construction (the
+    vocabulary IS the corpus wordcount; a production encoder would
+    fall back to character count, the same fold with zero merges)."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    vocab = _pin(
+        docs.select(F.explode(tokens_expr()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("word", "freq", F.expr(_SYMS0_SPARK).alias("s"))
+    )
+    for _ in range(BPE_ROUNDS):
+        top = _top1(_pairs(vocab)).select(
+            F.expr("element_at(split(pair, ' '), 1)").alias("pa"),
+            F.expr("element_at(split(pair, ' '), 2)").alias("pb"),
+            F.expr("replace(pair, ' ', '')").alias("mg"),
+        )
+        vocab = vocab.crossJoin(F.broadcast(top)).select(
+            "word", "freq", F.expr(_FOLD_SPARK).alias("s")
+        )
+    word_len = vocab.select(
+        "word", F.expr(f"size({_SYMS_SPARK})").alias("n_toks")
+    )
+    toks = docs.select("doc_id", F.explode(tokens_expr()).alias("word"))
+    return (
+        toks.join(F.broadcast(word_len), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def _duck_round_w(prev_v: str, r: int) -> str:
+    """Merge-replay round CTEs carrying the word column (the
+    doc-tokens oracle needs word -> final symbols)."""
+    syms = "list_filter(string_split(s, ' '), x -> x <> '')"
+    return f"""
+w{r} AS (SELECT word, freq, {syms} AS syms FROM {prev_v}),
+p{r} AS (
+  SELECT syms[i] || ' ' || syms[i + 1] AS pair, freq
+  FROM w{r}, LATERAL (SELECT unnest(generate_series(
+      1, greatest(len(syms) - 1, 0))) AS i) t
+),
+m{r} AS (
+  SELECT pair,
+         string_split(pair, ' ')[1] AS pa,
+         string_split(pair, ' ')[2] AS pb,
+         replace(pair, ' ', '') AS mg
+  FROM p{r} GROUP BY pair
+  ORDER BY CAST(sum(freq) AS BIGINT) DESC, pair LIMIT 1
+),
+v{r} AS (
+  SELECT word, freq,
+         substring(list_reduce(['§'] || syms, (acc, x) ->
+             CASE WHEN ends_with(acc, ' ' || pa) AND x = pb
+                  THEN substring(acc, 1, length(acc) - length(pa) - 1)
+                       || ' ' || mg
+                  ELSE acc || ' ' || x END), 2) || ' ' AS s
+  FROM w{r}, m{r}
+)"""
+
+
+def _build_doc_tokens_oracle() -> str:
+    rounds = ",".join(
+        _duck_round_w(f"v{r - 1}", r) for r in range(1, BPE_ROUNDS + 1)
+    )
+    syms = "list_filter(string_split(s, ' '), x -> x <> '')"
+    return f"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+v0 AS (SELECT word, freq, {_SYMS0_DUCK} AS s FROM words),
+{rounds},
+word_len AS (
+  SELECT word, len({syms}) AS n_toks FROM v{BPE_ROUNDS}
+),
+doc_words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wl.n_toks) AS BIGINT) AS n_tokens
+FROM doc_words d JOIN word_len wl ON wl.word = d.word
+GROUP BY d.doc_id
+"""
+
+
+BPE_DOC_TOKENS_ORACLE = _build_doc_tokens_oracle()

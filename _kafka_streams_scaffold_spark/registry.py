@@ -665,5 +665,11 @@ def _ensure_loaded() -> None:
         dq.distribution_drift_query,
         dq.DISTRIBUTION_DRIFT_ORACLE,
     )
+    register(
+        "pareto_orders", an.pareto_orders_query, an.PARETO_ORDERS_ORACLE
+    )
+    register(
+        "bpe_doc_tokens", bpe.bpe_doc_tokens_query, bpe.BPE_DOC_TOKENS_ORACLE
+    )
 
     _LOADED = True

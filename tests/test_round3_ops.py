@@ -459,3 +459,57 @@ def test_distribution_drift_proportions_sum_to_one(spark, sf_dir):
             assert r["chi2_contrib"] is not None and r["chi2_contrib"] >= 0
         else:
             assert r["chi2_contrib"] is None
+
+
+def test_pareto_orders_frontier_is_mutually_nondominating(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import analytics as an_mod
+
+    rows = an_mod.pareto_orders_query(spark, sf_dir).collect()
+    assert rows
+    pts = [(r["price_cents"], r["o_orderdate"]) for r in rows]
+    # sorted by price, dates must strictly increase (frontier shape),
+    # except equal-price groups which share the max date
+    pts.sort()
+    for (p1, d1), (p2, d2) in zip(pts, pts[1:]):
+        if p1 == p2:
+            assert d1 == d2
+        else:
+            assert d2 > d1
+
+
+def test_pareto_orders_hand_case(spark, monkeypatch):
+    import datetime
+
+    from _kafka_streams_scaffold_spark.operators import analytics as an_mod
+
+    d = lambda n: datetime.datetime(2024, 1, n)
+    orders = spark.createDataFrame(
+        [
+            Row(o_orderkey=1, o_totalprice=10.0, o_orderdate=d(5)),
+            Row(o_orderkey=2, o_totalprice=20.0, o_orderdate=d(3)),  # dominated by 1
+            Row(o_orderkey=3, o_totalprice=20.0, o_orderdate=d(9)),
+            Row(o_orderkey=4, o_totalprice=20.0, o_orderdate=d(9)),  # tie: both stay
+            Row(o_orderkey=5, o_totalprice=30.0, o_orderdate=d(9)),  # dominated by 3/4
+            Row(o_orderkey=6, o_totalprice=5.0, o_orderdate=d(1)),
+        ]
+    )
+    monkeypatch.setattr(an_mod.tables, "table", lambda *a: orders)
+    keys = sorted(
+        r["o_orderkey"]
+        for r in an_mod.pareto_orders_query(spark, "_").collect()
+    )
+    assert keys == [1, 3, 4, 6]
+
+
+def test_bpe_doc_tokens_hand_case(spark, monkeypatch):
+    texts = ["abcd abcd abce", "abcd abce"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    monkeypatch.setattr(bpe.tables, "table", lambda *a: df)
+    rows = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe.bpe_doc_tokens_query(spark, "_").collect()
+    }
+    # merges: ab, abc, abcd -> 'abcd' = 1 token, 'abce' = abc+e = 2
+    assert rows == {0: (3, 4), 1: (2, 3)}
