@@ -523,7 +523,11 @@ def _degrees_oracle() -> str:
 # --------------------------------------------------------------------------
 
 KCORE_K = 2  # minimum induced degree to stay in the core
-KCORE_ROUNDS = 4  # fixed peel rounds; peeling is monotone, extras no-op
+# Oracle unroll depth: the Spark side peels to FIXPOINT (true k-core);
+# the DuckDB twin unrolls this many rounds. Peeling is monotone, so
+# extra rounds are identity — the unroll only needs to COVER the
+# gate data's peel depth (sf0.01 converges in <= 4; 12 is slack).
+KCORE_ORACLE_ROUNDS = 12
 
 
 def kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,11 +549,12 @@ def kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the peel depth (typically 2-4 on near-dup graphs); the edge
     table is hash-partitioned + checkpointed once (``undirected``),
     so rounds exchange only the shrinking |V|-sized survivor frame.
-    ROUNDS is fixed (not converged) so the DuckDB oracle — the same
-    peel unrolled as a CTE chain — is bit-identical; peeling is
-    monotone, so once the survivor set is stable further rounds are
-    identity. At real scale run to fixpoint with the same per-round
-    ``localCheckpoint`` regime as connected_components.
+    The loop runs to FIXPOINT (true k-core) with the same
+    one-scalar-per-round convergence check and ``localCheckpoint``
+    regime as connected_components; the DuckDB oracle unrolls
+    KCORE_ORACLE_ROUNDS of the same peel, which covers the gate
+    data's peel depth (peeling is monotone — extra unrolled rounds
+    are identity once stable).
 
     Reference scope note: the reference (Kafka Streams scaffold) has
     no graph tier at all; this extends the dedup family per the
@@ -561,7 +566,8 @@ def kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = undirected(edges)
     surv = docs
-    for _ in range(KCORE_ROUNDS):
+    prev_n = None
+    for _ in range(MAX_ROUNDS):
         alive = (
             both.join(
                 surv.select(F.col("doc_id").alias("src")), "src", "left_semi"
@@ -575,6 +581,10 @@ def kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("src").alias("doc_id"))
             .localCheckpoint(eager=False)
         )
+        n = surv.count()  # one scalar/round, as connected_components
+        if n == prev_n:
+            break
+        prev_n = n
     final = (
         both.join(surv.select(F.col("doc_id").alias("src")), "src", "left_semi")
         .join(surv.select(F.col("doc_id").alias("dst")), "dst", "left_semi")
@@ -586,20 +596,22 @@ def kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcore_round(prev_s: str, r: int) -> str:
     return f"""
-e{r} AS (
+e{r} AS MATERIALIZED (
   SELECT e.src, e.dst FROM uedges e
   WHERE e.src IN (SELECT doc_id FROM {prev_s})
     AND e.dst IN (SELECT doc_id FROM {prev_s})
 ),
 d{r} AS (SELECT src, count(*) AS degree FROM e{r} GROUP BY src),
-s{r} AS (SELECT src AS doc_id FROM d{r} WHERE degree >= {KCORE_K})"""
+s{r} AS MATERIALIZED (
+  SELECT src AS doc_id FROM d{r} WHERE degree >= {KCORE_K})"""
 
 
 def _kcore_oracle() -> str:
     rounds = ",".join(
-        _kcore_round(f"s{r - 1}", r) for r in range(1, KCORE_ROUNDS + 1)
+        _kcore_round(f"s{r - 1}", r)
+        for r in range(1, KCORE_ORACLE_ROUNDS + 1)
     )
-    last = f"s{KCORE_ROUNDS}"
+    last = f"s{KCORE_ORACLE_ROUNDS}"
     return f"""
 WITH pairs AS MATERIALIZED (
   {_simhash_edges_sql()}

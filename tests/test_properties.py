@@ -265,3 +265,110 @@ def test_novelty_totals_conserve_distinct_shingles(spark, monkeypatch, texts):
     assert sum(r["n_novel"] for r in rows) == len(distinct_shingles)
     for r in rows:
         assert 0 <= r["n_novel"] <= r["n_shingles"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 40), st.integers(1, 20)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pareto_frontier_matches_brute_force(spark, pts):
+    """Skyline window form == brute-force domination check on
+    arbitrary (price, day) point sets, including ties."""
+    import datetime
+
+    from _kafka_streams_scaffold_spark.operators import analytics as an_mod
+
+    rows = [
+        Row(
+            o_orderkey=i,
+            o_totalprice=float(p),
+            o_orderdate=datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(days=d),
+        )
+        for i, (p, d) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows)
+    import unittest.mock as mock
+
+    with mock.patch.object(an_mod.tables, "table", lambda *a: df):
+        got = sorted(
+            r["o_orderkey"]
+            for r in an_mod.pareto_orders_query(spark, "_").collect()
+        )
+
+    def dominated(i):
+        pi, di = pts[i]
+        return any(
+            (pj <= pi and dj >= di and (pj < pi or dj > di))
+            for j, (pj, dj) in enumerate(pts)
+            if j != i
+        )
+
+    model = sorted(i for i in range(len(pts)) if not dominated(i))
+    assert got == model
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 10), st.integers(1, 10)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        max_size=14,
+    )
+)
+def test_kcore_matches_brute_force_peel(spark, raw_pairs):
+    """Convergent k-core peel == Python fixpoint peel on arbitrary
+    small graphs (including paths deeper than any fixed unroll)."""
+    from _kafka_streams_scaffold_spark.operators import clustering
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in raw_pairs})
+    nodes = list(range(1, 11))
+    docs = spark.createDataFrame([Row(doc_id=n) for n in nodes])
+    pdf = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in pairs]
+        or [Row(doc_a=1, doc_b=2)][:0],
+        schema="doc_a long, doc_b long",
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        clustering.tables, "table", lambda *a: docs
+    ), mock.patch.object(
+        clustering, "simhash_pairs_query", lambda *a: pdf
+    ):
+        got = {
+            r["doc_id"]: r["core_degree"]
+            for r in clustering.kcore_query(spark, "_").collect()
+        }
+
+    # Python fixpoint peel at k=2
+    surv = set(nodes)
+    while True:
+        deg = {n: 0 for n in surv}
+        for a, b in pairs:
+            if a in surv and b in surv:
+                deg[a] += 1
+                deg[b] += 1
+        nxt = {n for n in surv if deg[n] >= clustering.KCORE_K}
+        if nxt == surv:
+            break
+        surv = nxt
+    model = {}
+    for a, b in pairs:
+        if a in surv and b in surv:
+            model[a] = model.get(a, 0) + 1
+            model[b] = model.get(b, 0) + 1
+    assert got == model

@@ -308,6 +308,44 @@ AUDIT = [
         "build's corpus-wide selection is TakeOrderedAndProject, not "
         "a global sort.",
     ),
+    (
+        "correlation_matrix",
+        "ONE scan computes all 15 power sums (per-column sums/squares "
+        "+ all pairwise cross-products) in a single partial-"
+        "aggregatable aggregate; the closed forms evaluate on the "
+        "one-row result — adding columns widens the aggregate, never "
+        "adds passes.",
+    ),
+    (
+        "target_encoding",
+        "One corpus pass builds the (category, fold) partial sums; "
+        "category totals and the global prior re-aggregate the tiny "
+        "K x |categories| frame, and the one-row prior joins "
+        "broadcast — the output encoding table is itself broadcast-"
+        "joinable back onto any training scan.",
+    ),
+    (
+        "distribution_drift",
+        "The temporal midpoint is a one-row min/max aggregate "
+        "broadcast back over the scan; the histogram is one partial-"
+        "aggregated (bucket) groupBy counting both windows with "
+        "conditional sums — one shuffle of bucket-width rows total.",
+    ),
+    (
+        "pareto_orders",
+        "The O(n^2) NOT-EXISTS skyline rewritten as two window maxima "
+        "over one price-sorted pass (RANGE frame on exact cents); "
+        "the global sort is range-partitioned, the same honest cost "
+        "as equi-depth's ntile.",
+    ),
+    (
+        "bpe_doc_tokens",
+        "The merge replay runs on the pinned vocabulary (corpus "
+        "touched once for the wordcount); the word -> subword-count "
+        "map is vocabulary-sized and joins BROADCAST onto the token "
+        "explode, so the corpus-sized path is explode + broadcast-"
+        "join + partial-aggregated per-doc sum.",
+    ),
 ]
 
 

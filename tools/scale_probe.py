@@ -39,6 +39,10 @@ from _kafka_streams_scaffold_spark.operators import curation as curation_mod  # 
 from _kafka_streams_scaffold_spark.operators import bpe as bpe_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import pq as pq_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import temporal as temporal_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import stats as stats_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import features as features_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import dq as dq_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import analytics as an_mod2  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 MULT = 10
@@ -199,6 +203,32 @@ def main() -> None:
             "orders",
             unioned(spark, "orders", m),
             lambda: sketches.equi_depth_histogram_query(spark, SF_DIR),
+        ),
+        "correlation matrix (15 power sums)": lambda m: _with_table(
+            "lineitem",
+            lineitem(m),
+            lambda: stats_mod.correlation_matrix_query(spark, SF_DIR),
+        ),
+        "target encoding (fold sums)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: features_mod.target_encoding_query(spark, SF_DIR),
+        ),
+        "feature hashing (bounded width)": lambda m: _with_docs(
+            m, lambda: features_mod.feature_hashing_query(spark, SF_DIR)
+        ),
+        "distribution drift (bcast midpoint)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: dq_mod.distribution_drift_query(spark, SF_DIR),
+        ),
+        "pareto skyline (window form)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: an_mod2.pareto_orders_query(spark, SF_DIR),
+        ),
+        "bpe doc tokens (bcast word map)": lambda m: _with_docs(
+            m, lambda: bpe_mod.bpe_doc_tokens_query(spark, SF_DIR)
         ),
     }
 
