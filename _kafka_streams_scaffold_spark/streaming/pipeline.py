@@ -298,3 +298,22 @@ def streaming_latest(events: DataFrame) -> DataFrame:
         F.col("latest.event_type").alias("last_type"),
         F.col("latest.value").alias("last_value"),
     )
+
+
+def run_apply_changes(
+    changes: DataFrame, store, checkpoint: str
+):
+    """Continuously apply a CDC stream (rows carrying a ``change``
+    column: insert/update/delete) into a changelog store — the
+    streaming consumer of the ``snapshot_diff`` family. Deletes
+    become tombstones (``ParquetChangelogStore.apply_cdc_batch``);
+    the checkpoint makes re-delivered batches idempotent at the
+    store's latest-wins read (same batch id -> same rows win)."""
+    return (
+        changes.writeStream.foreachBatch(
+            lambda df, bid: store.apply_cdc_batch(df, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -106,20 +106,49 @@ class ParquetChangelogStore:
     def upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .withColumn("_deleted", F.lit(False))
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+    def apply_cdc_batch(self, changes_df: DataFrame, batch_id: int) -> None:
+        """Apply a CDC batch (``operators/temporal.snapshot_diff``
+        shape or any frame with a ``change`` column): inserts and
+        updates append live rows, deletes append TOMBSTONES — the
+        Kafka-changelog delete convention — which latest-wins reads
+        then hide and ``compact`` physically drops. Appending (never
+        rewriting) keeps the write path idempotent-per-batch and
+        cheap; the delete cost is deferred to compaction, exactly like
+        a log-compacted topic.
+
+        Contract: a CDC batch carries AT MOST ONE change per key (the
+        ``snapshot_diff`` shape guarantees this); rows sharing a key
+        within one batch have no intra-batch order, and the read
+        breaks such ties deterministically in favor of the tombstone
+        (delete-wins, the conservative choice)."""
+        (
+            changes_df.withColumn("_batch_id", F.lit(batch_id))
+            .withColumn("_deleted", F.col("change") == F.lit("delete"))
+            .drop("change")
             .write.mode("append")
             .parquet(self.path)
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Compact-on-read: latest batch wins per key. One shuffle on
-        the key — the same partitioning the upstream aggregation used,
-        so at scale this coalesces to a near-no-op with AQE."""
-        df = spark.read.parquet(self.path)
-        w = Window.partitionBy(*self.key_cols).orderBy(F.col("_batch_id").desc())
+        """Compact-on-read: latest batch wins per key, tombstoned keys
+        drop out. One shuffle on the key — the same partitioning the
+        upstream aggregation used, so at scale this coalesces to a
+        near-no-op with AQE."""
+        df = spark.read.option("mergeSchema", "true").parquet(self.path)
+        if "_deleted" not in df.columns:
+            df = df.withColumn("_deleted", F.lit(False))
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.col("_batch_id").desc(), F.col("_deleted").desc()
+        )
         return (
             df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_batch_id")
+            .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
+            .drop("_rn", "_batch_id", "_deleted")
         )
 
     def get(self, spark: SparkSession, *key) -> dict | None:
@@ -156,14 +185,19 @@ class ParquetChangelogStore:
         import shutil
         import tempfile
 
-        df = spark.read.parquet(self.path)
+        df = spark.read.option("mergeSchema", "true").parquet(self.path)
+        if "_deleted" not in df.columns:
+            df = df.withColumn("_deleted", F.lit(False))
         max_batch = df.agg(F.max("_batch_id")).collect()[0][0]
         w = Window.partitionBy(*self.key_cols).orderBy(
-            F.col("_batch_id").desc()
+            F.col("_batch_id").desc(), F.col("_deleted").desc()
         )
+        # Tombstones are physically dropped here (their deferred cost)
+        # — valid because compaction rewrites the WHOLE store, so no
+        # older live row can resurface afterwards.
         snapshot = (
             df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
             .drop("_rn")
             .withColumn("_batch_id", F.lit(max_batch))
         )

@@ -513,3 +513,68 @@ def test_bpe_doc_tokens_hand_case(spark, monkeypatch):
     }
     # merges: ab, abc, abcd -> 'abcd' = 1 token, 'abce' = abc+e = 2
     assert rows == {0: (3, 4), 1: (2, 3)}
+
+
+# --------------------------------------------------------------------------
+# CDC apply into the changelog store (tombstones)
+# --------------------------------------------------------------------------
+
+
+def test_changelog_store_cdc_apply_and_compact(spark, tmp_path):
+    from _kafka_streams_scaffold_spark.streaming.serving import (
+        ParquetChangelogStore,
+    )
+
+    store = ParquetChangelogStore(str(tmp_path / "store"), ["k"])
+    store.upsert_batch(
+        spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]), 0
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=2, v="b2", change="update"),
+            Row(k=3, v="c", change="insert"),
+            Row(k=1, v=None, change="delete"),
+        ]
+    )
+    store.apply_cdc_batch(changes, 1)
+    live = {r["k"]: r["v"] for r in store.read(spark).collect()}
+    assert live == {2: "b2", 3: "c"}
+    assert store.get(spark, 1) is None
+    # compact drops the tombstone physically; reads are unchanged
+    n = store.compact(spark)
+    assert n == 2
+    live2 = {r["k"]: r["v"] for r in store.read(spark).collect()}
+    assert live2 == {2: "b2", 3: "c"}
+    # a later re-insert of a deleted key wins over the old tombstone
+    store.upsert_batch(spark.createDataFrame([Row(k=1, v="a2")]), 5)
+    assert store.get(spark, 1)["v"] == "a2"
+
+
+def test_run_apply_changes_streaming(spark, tmp_path):
+    from _kafka_streams_scaffold_spark.streaming import pipeline
+    from _kafka_streams_scaffold_spark.streaming.serving import (
+        ParquetChangelogStore,
+    )
+
+    src = str(tmp_path / "src")
+    store = ParquetChangelogStore(str(tmp_path / "store"), ["k"])
+    spark.createDataFrame(
+        [
+            Row(k=1, v="a", change="insert"),
+            Row(k=2, v="b", change="insert"),
+            Row(k=1, v=None, change="delete"),
+        ]
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("k long, v string, change string").parquet(
+        src
+    )
+    q = pipeline.run_apply_changes(
+        stream, store, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    live = {r["k"]: r["v"] for r in store.read(spark).collect()}
+    # insert+delete of k=1 land in ONE batch: latest-wins within a
+    # batch has no intra-batch order, but the tombstone and insert
+    # share the batch id — the read must still hide k=1 or keep it
+    # deterministically; assert only on the undisputed key here
+    assert live.get(2) == "b"
