@@ -1005,3 +1005,103 @@ FROM flagged
 WHERE (best_cheaper_date IS NULL OR best_cheaper_date < o_orderdate)
   AND best_equal_date <= o_orderdate
 """
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve
+# --------------------------------------------------------------------------
+
+def ltv_cohorts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_week, week_offset, cohort_users, buyers, revenue_cents,
+    cum_revenue_cents): the lifetime-value curve per signup cohort —
+    users grouped by the week of their FIRST event, purchase revenue
+    bucketed by whole weeks since that cohort week, cumulated along
+    the curve. The growth-analytics twin of retention_cohorts (which
+    counts activity; this follows money).
+
+    Exactness: revenue is fixed-point cents; week arithmetic is
+    integer day differences floor-divided by 7 (non-negative, so
+    truncation == floor on both engines); the cumulative sum is a
+    BIGINT running total over the per-cohort curve (a cohort has at
+    most ~corpus-weeks points — the window input is tiny even at
+    100 TB of raw events; the heavy work is the two
+    partial-aggregated groupBys feeding it)."""
+    ev = tables.table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorts = first.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("first_ts"))).alias(
+            "cohort_week"
+        ),
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            F.expr(
+                "(datediff(to_date(ts), cohort_week) div 7)"
+            ).alias("week_offset"),
+            "user_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    curve = purch.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("buyers"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        curve.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            "buyers",
+            "revenue_cents",
+            F.sum("revenue_cents").over(w).cast("bigint").alias(
+                "cum_revenue_cents"
+            ),
+        )
+    )
+
+
+LTV_COHORTS_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM cohorts GROUP BY cohort_week
+),
+purch AS (
+  SELECT c.cohort_week,
+         (CAST(ts AS DATE) - c.cohort_week) // 7 AS week_offset,
+         e.user_id,
+         CAST(floor(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN cohorts c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+),
+curve AS (
+  SELECT cohort_week, week_offset,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS buyers,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM purch GROUP BY cohort_week, week_offset
+)
+SELECT cv.cohort_week, cv.week_offset, s.cohort_users, cv.buyers,
+       cv.revenue_cents,
+       CAST(sum(cv.revenue_cents) OVER (
+         PARTITION BY cv.cohort_week ORDER BY cv.week_offset
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_revenue_cents
+FROM curve cv JOIN sizes s ON s.cohort_week = cv.cohort_week
+"""

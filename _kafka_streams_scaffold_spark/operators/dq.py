@@ -237,3 +237,82 @@ FROM counts CROSS JOIN totals
 
 
 DISTRIBUTION_DRIFT_ORACLE = _drift_oracle()
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+import math as _math
+
+# log10(1 + 1/d) inlined as Python-repr literals: both engines consume
+# the same 17-sig-digit constants, so no runtime transcendental enters
+# the hash-checked output (the module ban on libm in checked results).
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(digit, n, p_observed, p_expected, chi2_contrib): first-
+    significant-digit distribution of order totals against Benford's
+    law — the classic fabricated-data / unit-mixup screen a finance
+    DQ suite runs. The first digit is extracted ARITHMETICALLY from
+    fixed-point cents (leading digit is scale-invariant, so cents
+    and dollars agree) via the integer's string form — BIGINT
+    rendering is identical on both engines, unlike doubles. Expected
+    proportions are compile-time literals; the chi-square contribution
+    is rational arithmetic on exact counts. One partial-aggregated
+    scan; nine output rows."""
+    orders = tables.table(spark, sf_dir, "orders")
+    digit = F.expr(
+        "cast(substring(cast(cast(floor(o_totalprice * 100) as bigint)"
+        " as string), 1, 1) as int)"
+    )
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    p_obs = F.col("n").cast("double") / F.col("t").cast("double")
+    p_exp = F.element_at(
+        F.array(*[F.lit(_BENFORD_P[d]) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        p_obs.alias("p_observed"),
+        p_exp.alias("p_expected"),
+        (
+            (p_obs - p_exp) * (p_obs - p_exp) / p_exp
+        ).alias("chi2_contrib"),
+    )
+
+
+def _benford_oracle() -> str:
+    exp_cases = " ".join(
+        f"WHEN {d} THEN CAST({_BENFORD_P[d]!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+              AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders
+  WHERE o_totalprice > 0
+  GROUP BY 1
+),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p_observed,
+       CASE digit {exp_cases} END AS p_expected,
+       (CAST(n AS DOUBLE) / CAST(t AS DOUBLE) - CASE digit {exp_cases} END)
+       * (CAST(n AS DOUBLE) / CAST(t AS DOUBLE) - CASE digit {exp_cases} END)
+       / (CASE digit {exp_cases} END) AS chi2_contrib
+FROM counts CROSS JOIN total
+"""
+
+
+BENFORD_AUDIT_ORACLE = _benford_oracle()

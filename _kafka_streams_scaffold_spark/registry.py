@@ -671,5 +671,9 @@ def _ensure_loaded() -> None:
     register(
         "bpe_doc_tokens", bpe.bpe_doc_tokens_query, bpe.BPE_DOC_TOKENS_ORACLE
     )
+    register(
+        "benford_audit", dq.benford_audit_query, dq.BENFORD_AUDIT_ORACLE
+    )
+    register("ltv_cohorts", an.ltv_cohorts_query, an.LTV_COHORTS_ORACLE)
 
     _LOADED = True

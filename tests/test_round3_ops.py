@@ -578,3 +578,33 @@ def test_run_apply_changes_streaming(spark, tmp_path):
     # share the batch id — the read must still hide k=1 or keep it
     # deterministically; assert only on the undisputed key here
     assert live.get(2) == "b"
+
+
+def test_benford_audit_shape(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import dq as dq_mod
+
+    rows = sorted(
+        dq_mod.benford_audit_query(spark, sf_dir).collect(),
+        key=lambda r: r["digit"],
+    )
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["p_observed"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["p_expected"] for r in rows) - 1.0) < 1e-9
+    assert all(r["chi2_contrib"] >= 0 for r in rows)
+
+
+def test_ltv_cohorts_curve_is_cumulative(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import analytics as an_mod
+
+    rows = an_mod.ltv_cohorts_query(spark, sf_dir).collect()
+    assert rows
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cohort_week"], []).append(r)
+    for c, rs in by_c.items():
+        rs.sort(key=lambda r: r["week_offset"])
+        run = 0
+        for r in rs:
+            run += r["revenue_cents"]
+            assert r["cum_revenue_cents"] == run
+            assert r["buyers"] <= r["cohort_users"]
