@@ -901,3 +901,84 @@ FROM (
 WHERE 1.0 - CAST(edit_dist AS DOUBLE)
           / greatest(length(pa), length(pb), 1) >= {EDIT_SIM_THRESHOLD}
 """
+
+
+# --------------------------------------------------------------------------
+# C4-style line-level dedup
+# --------------------------------------------------------------------------
+
+LINE_MIN_CHARS = 10  # ignore fragments shorter than this after trim
+
+# One shared split: sentences/lines on period boundaries, trimmed,
+# length-filtered. Both engines evaluate the same regex and trim.
+_LINE_SPLIT_SPARK = (
+    "filter(transform(split(text, '\\\\.'), x -> trim(x)),"
+    f" x -> length(x) >= {LINE_MIN_CHARS})"
+)
+_LINE_SPLIT_DUCK = (
+    "list_filter(list_transform(string_split(text, '.'), x -> trim(x)),"
+    f" x -> length(x) >= {LINE_MIN_CHARS})"
+)
+
+
+def line_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_lines, n_dup_lines, dup_fraction): per-document
+    fraction of lines that appear VERBATIM elsewhere in the corpus —
+    the C4 line-level dedup signal (Raffel et al. 2020 drop exact
+    duplicate lines corpus-wide; this emits the per-doc measurement a
+    curation gate thresholds on). Granularity sits between shingle
+    Jaccard (word n-grams) and shared_substrings (fixed char
+    windows): whole trimmed sentences.
+
+    Shape: explode lines once, md5 them (16-byte digests shuffle, the
+    text never does), one partial-aggregated digest df count, then a
+    broadcast-sized HOT set? No — the duplicated-line set is corpus-
+    scale, so the flag join keys on the digest itself: (doc, digest)
+    rows join the (digest, df) table on the digest hash — both sides
+    id-width, co-partitioned by the same key. Per-doc rollup is
+    partial-aggregatable. Distinct-per-doc first (array_distinct), so
+    a line repeated WITHIN one doc does not self-inflate its df."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    lines = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(_LINE_SPLIT_SPARK))
+        ).alias("line"),
+    ).select("doc_id", F.md5("line").alias("h"))
+    df_tbl = lines.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        lines.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("df") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_dup_lines"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("n_dup_lines").cast("double")
+            / F.col("n_lines").cast("double"),
+        )
+    )
+
+
+LINE_DEDUP_ORACLE = f"""
+WITH lines AS (
+  SELECT DISTINCT doc_id, md5(line) AS h FROM (
+    SELECT doc_id, unnest({_LINE_SPLIT_DUCK}) AS line
+    FROM documents
+  )
+),
+df_tbl AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS df FROM lines GROUP BY h
+)
+SELECT l.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_lines,
+       CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_fraction
+FROM lines l JOIN df_tbl d ON d.h = l.h
+GROUP BY l.doc_id
+"""

@@ -675,5 +675,6 @@ def _ensure_loaded() -> None:
         "benford_audit", dq.benford_audit_query, dq.BENFORD_AUDIT_ORACLE
     )
     register("ltv_cohorts", an.ltv_cohorts_query, an.LTV_COHORTS_ORACLE)
+    register("line_dedup", dedup.line_dedup_query, dedup.LINE_DEDUP_ORACLE)
 
     _LOADED = True

@@ -608,3 +608,24 @@ def test_ltv_cohorts_curve_is_cumulative(spark, sf_dir):
             run += r["revenue_cents"]
             assert r["cum_revenue_cents"] == run
             assert r["buyers"] <= r["cohort_users"]
+
+
+def test_line_dedup_hand_case(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox. totally unique line one",
+                lang="en", source="a", n_chars=40),
+            Row(doc_id=2, text="the quick brown fox. another unique sentence",
+                lang="en", source="a", n_chars=40),
+            Row(doc_id=3, text="the quick brown fox. the quick brown fox",
+                lang="en", source="a", n_chars=40),
+        ]
+    )
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: docs)
+    rows = {
+        r["doc_id"]: (r["n_lines"], r["n_dup_lines"])
+        for r in dedup.line_dedup_query(spark, "_").collect()
+    }
+    # 'the quick brown fox' appears in all three docs (doc 3 twice,
+    # counted once within-doc); each doc's other line is unique
+    assert rows == {1: (2, 1), 2: (2, 1), 3: (1, 1)}

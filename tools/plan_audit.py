@@ -339,6 +339,20 @@ AUDIT = [
         "as equi-depth's ntile.",
     ),
     (
+        "benford_audit",
+        "First digits extracted arithmetically from fixed-point cents "
+        "in one partial-aggregated scan; expected proportions are "
+        "compile-time literals, so no transcendental evaluates at "
+        "runtime; the one-row total joins broadcast.",
+    ),
+    (
+        "ltv_cohorts",
+        "Two partial-aggregated groupBys (first-event cohort, weekly "
+        "revenue curve) feed a window over the tiny cohort-x-week "
+        "grid; revenue is exact cents and week offsets are integer "
+        "division — no timestamp arithmetic ambiguity.",
+    ),
+    (
         "bpe_doc_tokens",
         "The merge replay runs on the pinned vocabulary (corpus "
         "touched once for the wordcount); the word -> subword-count "

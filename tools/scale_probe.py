@@ -230,6 +230,16 @@ def main() -> None:
         "bpe doc tokens (bcast word map)": lambda m: _with_docs(
             m, lambda: bpe_mod.bpe_doc_tokens_query(spark, SF_DIR)
         ),
+        "benford audit (digit agg)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: dq_mod.benford_audit_query(spark, SF_DIR),
+        ),
+        "ltv cohorts (2 aggs + grid window)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: an_mod2.ltv_cohorts_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
