@@ -45,6 +45,15 @@ def main() -> int:
 
     spark = session.build_session("check-oracle")
     con = duckdb.connect()
+    # Bound DuckDB and give it a spill path: the heavy graph oracles
+    # (knn_triangles' multi-way join) otherwise hit transient
+    # Out-of-Memory aborts when a Spark JVM shares the machine.
+    import tempfile
+
+    con.execute("SET memory_limit='32GB'")
+    con.execute(
+        f"SET temp_directory='{tempfile.mkdtemp(prefix='duck-spill-')}'"
+    )
     for name in tables.TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
