@@ -183,3 +183,67 @@ class InteractiveQueryServer:
         if len(parts) == 2 and parts[0] in self._range:
             return self._range[parts[0]](parts[1])
         raise KeyError("/".join(parts))
+
+
+class RegistryQueryService:
+    """``GET /query`` -> sorted query names; ``GET /query/{name}`` ->
+    ``{"rows": [...], "truncated": bool}`` — the whole analytics
+    registry exposed as an interactive HTTP surface (the natural
+    extension of the reference's per-store endpoints once the engine
+    has 150 queries instead of 2 stores).
+
+    The row cap is load-bearing: the HTTP tier must never become the
+    place query-sized data is materialized, so results collect at
+    most ``max_rows`` (LIMIT pushed into the plan — Spark executes a
+    CollectLimit, not a full materialize-then-truncate) and report
+    ``truncated`` so callers know to go to the batch path. Values are
+    JSON-stringified with the same canonicalization the oracle
+    harness uses for floats."""
+
+    def __init__(self, spark, sf_dir: str, max_rows: int = 100):
+        from .. import registry
+
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._max_rows = max_rows
+        self._queries = registry.queries()
+
+    def names(self) -> list[str]:
+        return sorted(self._queries)
+
+    def run(self, name: str) -> dict:
+        if name not in self._queries:
+            raise KeyError(name)
+        df = self._queries[name](self._spark, self._sf_dir)
+        rows = df.limit(self._max_rows + 1).collect()
+        truncated = len(rows) > self._max_rows
+
+        def jsonable(v):
+            if v is None or isinstance(v, (bool, int, float, str)):
+                return v
+            if isinstance(v, (list, tuple)):
+                return [jsonable(x) for x in v]
+            if isinstance(v, dict):
+                return {k: jsonable(x) for k, x in v.items()}
+            return str(v)  # timestamps, dates, Decimals
+
+        return {
+            "rows": [
+                {k: jsonable(v) for k, v in r.asDict(recursive=True).items()}
+                for r in rows[: self._max_rows]
+            ],
+            "truncated": truncated,
+        }
+
+    def bind(self, server: "InteractiveQueryServer") -> None:
+        server._point["query"] = self.run
+        server._stores.append("query")
+        # list endpoint: /query with no name
+        orig_route = server._route
+
+        def route(parts):
+            if parts == ["query"]:
+                return {"queries": self.names()}
+            return orig_route(parts)
+
+        server._route = route

@@ -248,3 +248,38 @@ def test_parquet_changelog_store_behind_http(spark, server, tmp_path):
     )
     port = server.start()
     assert _get(port, "/wordcount/fox") == (200, '{"fox":3}')
+
+
+def test_registry_query_endpoint(spark):
+    import json
+    import urllib.request
+
+    from _kafka_streams_scaffold_spark.streaming.http_serving import (
+        InteractiveQueryServer,
+        RegistryQueryService,
+    )
+
+    server = InteractiveQueryServer()
+    svc = RegistryQueryService(spark, "/root/testdata/sf0.001", max_rows=5)
+    svc.bind(server)
+    port = server.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        listing = json.load(urllib.request.urlopen(f"{base}/query"))
+        assert "wordcount" in listing["queries"]
+        assert len(listing["queries"]) >= 150
+        body = json.load(urllib.request.urlopen(f"{base}/query/wordcount"))
+        assert body["truncated"] is True  # 31 words > max_rows=5
+        assert len(body["rows"]) == 5
+        assert {"word", "cnt"} <= set(body["rows"][0])
+        # unknown query -> 404
+        try:
+            urllib.request.urlopen(f"{base}/query/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        # metadata advertises the query surface
+        meta = json.load(urllib.request.urlopen(f"{base}/metadata"))
+        assert "query" in next(iter(meta.values()))
+    finally:
+        server.stop()
