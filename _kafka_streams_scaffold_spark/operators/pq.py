@@ -132,21 +132,19 @@ def _encode(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     integer packing. One corpus scan x broadcast M*K centroid rows;
     the groupBy is partial-aggregatable (min of a BIGINT)."""
     pairs = emb.select("vec_id", "embedding").crossJoin(F.broadcast(centroids))
-    packed = F.array(
-        *[
-            F.when(
-                F.col("m") == m,
-                F.expr(_packed_min("embedding", m, "s_vec", "spark")),
-            )
-            for m in range(PQ_M)
-        ]
+    # Chained CASE, not element_at(array(...)): an array constructor
+    # evaluates EVERY branch per row (8x the arithmetic); CASE
+    # evaluates only the matching subspace's distance.
+    packed = F.when(
+        F.col("m") == 0, F.expr(_packed_min("embedding", 0, "s_vec", "spark"))
     )
-    return (
-        pairs.select(
-            "vec_id",
-            "m",
-            F.element_at(packed, F.col("m") + 1).alias("pk"),
+    for m in range(1, PQ_M):
+        packed = packed.when(
+            F.col("m") == m,
+            F.expr(_packed_min("embedding", m, "s_vec", "spark")),
         )
+    return (
+        pairs.select("vec_id", "m", packed.alias("pk"))
         .groupBy("vec_id", "m")
         .agg((F.min("pk") % _PACK).cast("int").alias("cid"))
     )
@@ -240,18 +238,14 @@ def _adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
-    dfp = F.array(
-        *[
-            F.when(
-                F.col("m") == m,
-                F.expr(_d2fp_sub("q_vec", m, "s_vec", "spark")),
-            )
-            for m in range(PQ_M)
-        ]
+    dfp = F.when(
+        F.col("m") == 0, F.expr(_d2fp_sub("q_vec", 0, "s_vec", "spark"))
     )
-    lut = queries.crossJoin(cb).select(
-        "q_id", "m", "cid", F.element_at(dfp, F.col("m") + 1).alias("dfp")
-    )
+    for m in range(1, PQ_M):
+        dfp = dfp.when(
+            F.col("m") == m, F.expr(_d2fp_sub("q_vec", m, "s_vec", "spark"))
+        )
+    lut = queries.crossJoin(cb).select("q_id", "m", "cid", dfp.alias("dfp"))
     adc = (
         codes.join(F.broadcast(lut), ["m", "cid"])
         .groupBy("q_id", "n_id")

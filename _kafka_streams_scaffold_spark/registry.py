@@ -16,6 +16,15 @@ spectral, stats, sketches, dq, curation, textops, multimodal) — while
 the classic analytics/subquery/trade families (all green in
 CORRECTNESS_r02) follow after and keep local tools/check_oracle.py +
 pytest coverage. Rotate again if the window moves.
+
+NEXT ROTATION (round 4): once CORRECTNESS_r03 lands green rows for
+the current window, move the round-3 additions — bpe_encode, kcore,
+edit_distance_pairs, inverted_index, scd2_history, gap_fill_daily,
+equi_depth_histogram, the pq_* family, snapshot_diff,
+target_encoding, feature_hashing, correlation_matrix, table_profile,
+distribution_drift, pareto_orders, bpe_doc_tokens, benford_audit,
+ltv_cohorts, line_dedup — into slots 0-49 so they gain driver rows
+too (update tests/test_registry_window.py in the same commit).
 """
 
 from __future__ import annotations
