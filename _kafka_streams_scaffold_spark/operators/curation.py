@@ -188,3 +188,86 @@ JOIN lmq l ON l.doc_id = b.doc_id
 
 
 CORPUS_KEEP_FULL_ORACLE = _build_full_oracle()
+
+
+# --------------------------------------------------------------------------
+# Training manifest (the pipeline's end product)
+# --------------------------------------------------------------------------
+
+N_SHARDS = 8
+_SHARD_SEED = 41
+
+
+def training_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, shard, n_docs, n_tokens, n_sources): the manifest a
+    training run consumes — every document that SURVIVES the full
+    curation gate (corpus_keep_full), assigned to its hash-stable
+    train/val/test split and one of N_SHARDS shards, with token
+    budgets counted under the TRAINED BPE tokenizer (bpe_doc_tokens).
+    This is the pipeline's end product: the downstream dataloader
+    reads exactly these (split, shard) groups and trusts exactly
+    these token counts.
+
+    Composition contract as the other capstones: each input is the
+    registered operator's own DataFrame, chained in one plan with no
+    materialization boundary, and the whole composition hash-checks
+    against the composed DuckDB CTEs. Shard assignment is
+    hash60(doc_id) mod N_SHARDS — reproducible across runs and
+    cluster sizes, like every split/sample in sampling.py. All joins
+    are (doc_id, small-int) width; the final rollup is one
+    partial-aggregatable groupBy over |kept docs| rows into
+    3 x N_SHARDS output rows."""
+    from .bpe import bpe_doc_tokens_query
+    from .sampling import dataset_split_query
+    from ..functions.xhash import hash60_spark
+
+    kept = corpus_keep_full_query(spark, sf_dir).filter(
+        F.col("keep_full")
+    ).select("doc_id")
+    split = dataset_split_query(spark, sf_dir).select(
+        "doc_id", "source", "split"
+    )
+    toks = bpe_doc_tokens_query(spark, sf_dir).select("doc_id", "n_tokens")
+    shard = F.expr(
+        f"pmod({hash60_spark('cast(doc_id as string)', _SHARD_SEED)},"
+        f" {N_SHARDS})"
+    ).cast("int")
+    return (
+        kept.join(split, "doc_id")
+        .join(toks, "doc_id")
+        .select("split", shard.alias("shard"), "source", "n_tokens")
+        .groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+def _build_manifest_oracle() -> str:
+    from .bpe import BPE_DOC_TOKENS_ORACLE
+    from .sampling import DATASET_SPLIT_ORACLE
+    from ..functions.xhash import hash60_duck
+
+    shard = (
+        f"CAST({hash60_duck('CAST(k.doc_id AS VARCHAR)', _SHARD_SEED)}"
+        f" % {N_SHARDS} AS INT)"
+    )
+    return f"""
+WITH full_gate AS ({_cte(CORPUS_KEEP_FULL_ORACLE)}),
+kept AS (SELECT doc_id FROM full_gate WHERE keep_full),
+splits AS ({_cte(DATASET_SPLIT_ORACLE)}),
+toks AS ({_cte(BPE_DOC_TOKENS_ORACLE)})
+SELECT s.split, {shard} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT s.source) AS BIGINT) AS n_sources
+FROM kept k
+JOIN splits s ON s.doc_id = k.doc_id
+JOIN toks t ON t.doc_id = k.doc_id
+GROUP BY 1, 2
+"""
+
+
+TRAINING_MANIFEST_ORACLE = _build_manifest_oracle()

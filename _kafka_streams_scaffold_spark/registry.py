@@ -685,5 +685,10 @@ def _ensure_loaded() -> None:
     )
     register("ltv_cohorts", an.ltv_cohorts_query, an.LTV_COHORTS_ORACLE)
     register("line_dedup", dedup.line_dedup_query, dedup.LINE_DEDUP_ORACLE)
+    register(
+        "training_manifest",
+        curation.training_manifest_query,
+        curation.TRAINING_MANIFEST_ORACLE,
+    )
 
     _LOADED = True

@@ -629,3 +629,22 @@ def test_line_dedup_hand_case(spark, monkeypatch):
     # 'the quick brown fox' appears in all three docs (doc 3 twice,
     # counted once within-doc); each doc's other line is unique
     assert rows == {1: (2, 1), 2: (2, 1), 3: (1, 1)}
+
+
+def test_training_manifest_conserves_kept_docs(spark, sf_dir):
+    """Sum of manifest n_docs == number of keep_full docs; shards and
+    splits partition that set; token totals positive."""
+    from _kafka_streams_scaffold_spark.operators import curation
+
+    manifest = curation.training_manifest_query(spark, sf_dir).collect()
+    kept = (
+        curation.corpus_keep_full_query(spark, sf_dir)
+        .filter("keep_full")
+        .count()
+    )
+    assert sum(r["n_docs"] for r in manifest) == kept
+    assert {r["split"] for r in manifest} <= {"train", "val", "test"}
+    for r in manifest:
+        assert 0 <= r["shard"] < curation.N_SHARDS
+        assert r["n_tokens"] > 0
+        assert 1 <= r["n_sources"]
