@@ -339,6 +339,20 @@ AUDIT = [
         "as equi-depth's ntile.",
     ),
     (
+        "line_dedup",
+        "Lines explode once and shuffle as 16-byte digests (text "
+        "never moves); the digest-df table joins on the digest key "
+        "co-partitioned with the line stream; per-doc rollup is "
+        "partial-aggregatable.",
+    ),
+    (
+        "training_manifest",
+        "The three capstone inputs (keep gate, hash split, BPE token "
+        "counts) chain in ONE plan; every join is (doc_id, small-int) "
+        "width and the final rollup collapses kept docs into "
+        "3 x N_SHARDS manifest rows.",
+    ),
+    (
         "benford_audit",
         "First digits extracted arithmetically from fixed-point cents "
         "in one partial-aggregated scan; expected proportions are "

@@ -240,6 +240,9 @@ def main() -> None:
             unioned(spark, "events", m),
             lambda: an_mod2.ltv_cohorts_query(spark, SF_DIR),
         ),
+        "line dedup (digest df join)": lambda m: _with_docs(
+            m, lambda: dedup.line_dedup_query(spark, SF_DIR)
+        ),
     }
 
     def embeddings(m):
