@@ -1138,3 +1138,169 @@ SELECT CAST((SELECT count(*) FROM mutual) AS BIGINT) AS n_edges,
          AS closure
 FROM tri, wedges
 """
+
+
+# --------------------------------------------------------------------------
+# Multi-probe SRP-LSH (deterministic probe set -> fully hash-checked)
+# --------------------------------------------------------------------------
+
+def lsh_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, n_id, cosine, rank): SRP-LSH search probing the query's
+    own sign bucket PLUS every bucket at Hamming distance 1 (flip one
+    of the N_PLANES bits) — the multi-probe dial (Lv et al., VLDB'07)
+    that trades N_PLANES+1 bucket reads for recall instead of
+    maintaining more hash tables. Unlike ``lsh_ann`` (single probe,
+    rows-only), the probe SET is a deterministic function of the
+    bucket id, so the whole search is hash-checkable.
+
+    Shape: queries explode to N_PLANES+1 (q, probe_bucket) rows — a
+    constant fan-out — and equi-join the bucketed corpus on the
+    bucket id; a corpus vector lives in exactly one bucket, so no
+    candidate dedup is needed. Candidate work per query is
+    sum(|probed buckets|) ~ (P+1)/2^P of the corpus; ranking is the
+    standard per-query top-k window over candidates."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr("embedding"))
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.expr(f"int(bucket) ^ {1 << j}").cast("int")
+            for j in range(N_PLANES)
+        ],
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("norm").alias("q_norm"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+        F.col("bucket").cast("int").alias("bucket"),
+    )
+    cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
+        F.col("q_norm") * F.col("n_norm")
+    )
+    scored = (
+        queries.join(corpus, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _duck_probe_list(bucket: str) -> str:
+    flips = ", ".join(f"xor({bucket}, {1 << j})" for j in range(N_PLANES))
+    return f"[{bucket}, {flips}]"
+
+
+LSH_MULTIPROBE_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, embedding, norm,
+         {_duck_bucket_expr('embedding')} AS bucket
+  FROM normed
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, norm AS q_norm,
+         unnest({_duck_probe_list('bucket')}) AS bucket
+  FROM bucketed
+  WHERE vec_id < {N_QUERIES}
+)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT p.q_id, n.vec_id AS n_id,
+         {_dot_sql('p.q_vec', 'n.embedding', 'duck')}
+             / (p.q_norm * n.norm) AS cosine,
+         row_number() OVER (
+           PARTITION BY p.q_id
+           ORDER BY {_dot_sql('p.q_vec', 'n.embedding', 'duck')}
+                        / (p.q_norm * n.norm) DESC,
+                    n.vec_id
+         ) AS rank
+  FROM probes p
+  JOIN bucketed n ON n.bucket = p.bucket AND n.vec_id <> p.q_id
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def lsh_multiprobe_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, n_exact, n_hits, recall): recall@k of the multi-probe
+    search vs the exact baseline — registered alongside
+    ``lsh_ann_recall`` so the driver's hash check pins BOTH ends of
+    the probe dial (recall must be >= the single-probe tier's on
+    every query: probing strictly more buckets can only add
+    candidates)."""
+    exact = ann_topk_query(spark, sf_dir).select("q_id", "n_id")
+    approx = (
+        lsh_multiprobe_query(spark, sf_dir)
+        .select("q_id", "n_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+        )
+    )
+
+
+LSH_MULTIPROBE_RECALL_ORACLE = LSH_ANN_RECALL_ORACLE.replace(
+    """approx AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {dot}
+                          / (q.norm * n.norm) DESC,
+                      n.vec_id
+           ) AS rank
+    FROM bucketed q
+    JOIN bucketed n ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
+    WHERE q.vec_id < {nq}
+  )
+  WHERE rank <= {k}
+)""".format(dot=_dot_sql('q.embedding', 'n.embedding', 'duck'),
+            nq=N_QUERIES, k=TOP_K),
+    """probes AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, norm AS q_norm,
+         unnest({plist}) AS bucket
+  FROM bucketed
+  WHERE vec_id < {nq}
+),
+approx AS (
+  SELECT q_id, n_id FROM (
+    SELECT p.q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY p.q_id
+             ORDER BY {dot}
+                          / (p.q_norm * n.norm) DESC,
+                      n.vec_id
+           ) AS rank
+    FROM probes p
+    JOIN bucketed n ON n.bucket = p.bucket AND n.vec_id <> p.q_id
+  )
+  WHERE rank <= {k}
+)""".format(plist=_duck_probe_list('bucket'),
+            dot=_dot_sql('p.q_vec', 'n.embedding', 'duck'),
+            nq=N_QUERIES, k=TOP_K),
+)

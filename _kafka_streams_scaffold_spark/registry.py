@@ -690,5 +690,15 @@ def _ensure_loaded() -> None:
         curation.training_manifest_query,
         curation.TRAINING_MANIFEST_ORACLE,
     )
+    register(
+        "lsh_multiprobe",
+        similarity.lsh_multiprobe_query,
+        similarity.LSH_MULTIPROBE_ORACLE,
+    )
+    register(
+        "lsh_multiprobe_recall",
+        similarity.lsh_multiprobe_recall_query,
+        similarity.LSH_MULTIPROBE_RECALL_ORACLE,
+    )
 
     _LOADED = True

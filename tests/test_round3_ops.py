@@ -648,3 +648,24 @@ def test_training_manifest_conserves_kept_docs(spark, sf_dir):
         assert 0 <= r["shard"] < curation.N_SHARDS
         assert r["n_tokens"] > 0
         assert 1 <= r["n_sources"]
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Probing strictly more buckets can only add candidates, so
+    multi-probe recall must be >= single-probe recall per query."""
+    from _kafka_streams_scaffold_spark.operators import similarity as sim
+
+    single = {
+        r["q_id"]: r["recall"]
+        for r in sim.lsh_ann_recall_query(spark, sf_dir).collect()
+    }
+    multi = {
+        r["q_id"]: r["recall"]
+        for r in sim.lsh_multiprobe_recall_query(spark, sf_dir).collect()
+    }
+    assert set(single) == set(multi)
+    for q in single:
+        assert multi[q] >= single[q] - 1e-12
+    assert sum(multi.values()) > sum(single.values()), (
+        "multi-probe should strictly improve aggregate recall here"
+    )
