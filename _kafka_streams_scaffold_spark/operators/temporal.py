@@ -260,3 +260,63 @@ WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
              OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
            THEN 'update' END IS NOT NULL
 """
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance from CDC (retraction-correct)
+# --------------------------------------------------------------------------
+
+def ivm_status_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderstatus, n_orders): per-status order counts of the NEW
+    snapshot, computed WITHOUT scanning it — the old snapshot's
+    counts plus retraction-correct deltas derived from the CDC diff
+    (insert -> +1 on the new row's status, delete -> -1 on the old
+    row's status, update -> -1 old status / +1 new status). The
+    DuckDB oracle deliberately computes the OTHER formulation — a
+    full recompute over the new snapshot — so the hash check proves
+    the maintenance identity itself: incremental state + deltas ==
+    recompute, the contract every streaming materialized view
+    (KTable, Flink retract stream, Materialize) rests on.
+
+    Scale: the delta path touches |churn| rows, not |table| — the
+    point of IVM; the merge is a union of (status, signed count)
+    partials into one partial-aggregatable groupBy. Snapshots reuse
+    snapshot_diff's synthetic old/new pair, so all three change kinds
+    exercise the retraction arithmetic."""
+    orders = tables.table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    counts_old = old.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    o = old.select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("os")
+    )
+    n = new.select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("ns")
+    )
+    joined = o.join(n, "k", "full_outer")
+    minus = joined.filter(F.col("os").isNotNull() & (
+        F.col("ns").isNull() | (F.col("ns") != F.col("os"))
+    )).select(F.col("os").alias("o_orderstatus"), F.lit(-1).alias("d"))
+    plus = joined.filter(F.col("ns").isNotNull() & (
+        F.col("os").isNull() | (F.col("os") != F.col("ns"))
+    )).select(F.col("ns").alias("o_orderstatus"), F.lit(1).alias("d"))
+    return (
+        counts_old.unionByName(minus).unionByName(plus)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("d").cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+IVM_STATUS_COUNTS_ORACLE = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderkey % 13 <> 0
+GROUP BY o_orderstatus
+"""

@@ -700,5 +700,10 @@ def _ensure_loaded() -> None:
         similarity.lsh_multiprobe_recall_query,
         similarity.LSH_MULTIPROBE_RECALL_ORACLE,
     )
+    register(
+        "ivm_status_counts",
+        temporal.ivm_status_counts_query,
+        temporal.IVM_STATUS_COUNTS_ORACLE,
+    )
 
     _LOADED = True

@@ -669,3 +669,24 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     assert sum(multi.values()) > sum(single.values()), (
         "multi-probe should strictly improve aggregate recall here"
     )
+
+
+def test_ivm_hand_case_with_retractions(spark, monkeypatch):
+    """Keys: 10 (insert-only in new), 13 (delete-only from old),
+    7 (update; same status -> net zero), status flip on key 21."""
+    rows = [
+        Row(o_orderkey=1, o_orderstatus="O"),   # unchanged
+        Row(o_orderkey=7, o_orderstatus="F"),   # in both
+        Row(o_orderkey=10, o_orderstatus="P"),  # only new (k%10==0)
+        Row(o_orderkey=13, o_orderstatus="O"),  # only old (k%13==0)
+    ]
+    orders = spark.createDataFrame(rows)
+    from _kafka_streams_scaffold_spark.operators import temporal as t_mod
+
+    monkeypatch.setattr(t_mod.tables, "table", lambda *a: orders)
+    got = {
+        r["o_orderstatus"]: r["n_orders"]
+        for r in t_mod.ivm_status_counts_query(spark, "_").collect()
+    }
+    # new snapshot = keys {1, 7, 10}: O=1, F=1, P=1
+    assert got == {"O": 1, "F": 1, "P": 1}
