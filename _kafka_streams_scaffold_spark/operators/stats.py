@@ -617,3 +617,74 @@ def _profile_oracle() -> str:
 
 
 TABLE_PROFILE_ORACLE = _profile_oracle()
+
+
+# --------------------------------------------------------------------------
+# Exact discrete quantiles per group (generalized dual-rank)
+# --------------------------------------------------------------------------
+
+_DISC_QS = [50, 90, 99]  # percentiles materialized per group
+
+
+def segment_spend_quantiles_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(c_mktsegment, n_cust, p50, p90, p99): exact DISCRETE
+    quantiles of customer lifetime spend per segment — the value at
+    rank ceil(p*n) in the (spend, custkey) total order, which is
+    SQL-standard ``percentile_disc`` semantics written out explicitly
+    so both engines execute the identical rank formula (native
+    percentile implementations differ on interpolation and tie
+    handling; a rank selection cannot). Generalizes the exact-median
+    operator to arbitrary p.
+
+    One per-segment window sort + one filter keeping the <=3 rank
+    hits per group, then a pivot-style conditional aggregate back to
+    one row per segment. Same single-shuffle cost as the median; at
+    100 TB the approximate twin (approx_percentiles) is the first
+    pass and this is the exact audit run on demand."""
+    base = _spend_per_customer(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("spend", "c_custkey")
+    ranked = base.select(
+        "c_mktsegment",
+        F.col("spend").cast("double").alias("spend"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("c_mktsegment"))
+        .alias("n"),
+    )
+    hits = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(q / 100.0)),
+                F.col("spend"),
+            )
+        ).alias(f"p{q}")
+        for q in _DISC_QS
+    ]
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n").cast("bigint").alias("n_cust"), *hits
+    )
+
+
+SEGMENT_SPEND_QUANTILES_ORACLE = f"""
+WITH {_SPEND_CTE},
+ranked AS (
+  SELECT c_mktsegment,
+         CAST(spend AS DOUBLE) AS spend,
+         row_number() OVER (
+           PARTITION BY c_mktsegment ORDER BY spend, c_custkey
+         ) AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM spend
+)
+SELECT c_mktsegment,
+       CAST(max(n) AS BIGINT) AS n_cust,
+       {", ".join(
+           f"max(CASE WHEN rn = CAST(ceil(n * {q / 100.0}) AS BIGINT)"
+           f" THEN spend END) AS p{q}"
+           for q in _DISC_QS
+       )}
+FROM ranked
+GROUP BY c_mktsegment
+"""

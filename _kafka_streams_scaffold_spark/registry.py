@@ -705,5 +705,10 @@ def _ensure_loaded() -> None:
         temporal.ivm_status_counts_query,
         temporal.IVM_STATUS_COUNTS_ORACLE,
     )
+    register(
+        "segment_spend_quantiles",
+        stats.segment_spend_quantiles_query,
+        stats.SEGMENT_SPEND_QUANTILES_ORACLE,
+    )
 
     _LOADED = True

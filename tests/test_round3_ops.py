@@ -690,3 +690,30 @@ def test_ivm_hand_case_with_retractions(spark, monkeypatch):
     }
     # new snapshot = keys {1, 7, 10}: O=1, F=1, P=1
     assert got == {"O": 1, "F": 1, "P": 1}
+
+
+def test_segment_quantiles_match_python(spark, sf_dir):
+    """Exact discrete quantiles == numpy-free Python rank selection
+    recomputed from the same per-customer spend."""
+    import duckdb
+
+    rows = stats_mod.segment_spend_quantiles_query(spark, sf_dir).collect()
+    spend = duckdb.sql(f"""
+        SELECT c.c_mktsegment, CAST(t.spend AS DOUBLE) AS spend, c.c_custkey
+        FROM '{sf_dir}/customer.parquet' c
+        JOIN (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                     AS spend
+              FROM '{sf_dir}/orders.parquet' GROUP BY o_custkey) t
+          ON t.o_custkey = c.c_custkey
+    """).fetchall()
+    import math
+    by_seg = {}
+    for seg, sp, ck in spend:
+        by_seg.setdefault(seg, []).append((sp, ck))
+    for r in rows:
+        vals = sorted(by_seg[r["c_mktsegment"]])
+        n = len(vals)
+        assert r["n_cust"] == n
+        for q in (50, 90, 99):
+            expect = vals[math.ceil(n * q / 100.0) - 1][0]
+            assert abs(r[f"p{q}"] - expect) < 1e-9
