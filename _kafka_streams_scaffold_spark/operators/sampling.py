@@ -13,7 +13,7 @@ docs are added).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
@@ -235,3 +235,75 @@ SELECT doc_id, source, n_chars,
             ELSE 4 END AS tier
 FROM documents, cuts
 """
+
+
+# --------------------------------------------------------------------------
+# Token-budget selection (greedy quality-ranked cut)
+# --------------------------------------------------------------------------
+
+TOKEN_BUDGET = 10_000
+
+
+def token_budget_selection_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, rank, n_tokens, cum_tokens): the greedy quality cut —
+    documents ranked by composite quality (ties on doc_id), admitted
+    in rank order while the running token total stays within
+    TOKEN_BUDGET. The standard "best N tokens" selection a
+    budget-constrained training run makes after curation.
+
+    The running sum needs a corpus total order, the same honest
+    global-sort cost as equi_depth_histogram and pareto_orders (range-
+    partitioned sort; the window itself is the bottleneck stage). At
+    100 TB the two-pass form replaces it: histogram the quality score
+    (one partial-aggregated pass), find the score cutoff whose
+    cumulative tokens bracket the budget, then filter + exact-rank
+    only the boundary bucket — this operator is the exact-audit /
+    small-corpus form, and the ordering (quality desc, doc_id) is the
+    same deterministic total order both forms share."""
+    from .textops import quality_score_expr, tokens_expr
+
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    feats = docs.select(
+        "doc_id",
+        F.size(tokens_expr()).alias("n_tokens"),
+        quality_score_expr().alias("q"),
+    )
+    w = Window.orderBy(F.col("q").desc(), "doc_id")
+    ranked = feats.select(
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_tokens"),
+    )
+    return ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "rank", "n_tokens", "cum_tokens"
+    )
+
+
+def _token_budget_oracle() -> str:
+    from .textops import QUALITY_SCORE_ORACLE
+
+    score = QUALITY_SCORE_ORACLE.strip().rstrip(";")
+    return f"""
+WITH scored AS ({score}),
+ranked AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         row_number() OVER w AS rank,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY quality_score DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM scored
+  WINDOW w AS (ORDER BY quality_score DESC, doc_id)
+)
+SELECT doc_id, rank, n_tokens, cum_tokens
+FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+TOKEN_BUDGET_SELECTION_ORACLE = _token_budget_oracle()

@@ -710,5 +710,10 @@ def _ensure_loaded() -> None:
         stats.segment_spend_quantiles_query,
         stats.SEGMENT_SPEND_QUANTILES_ORACLE,
     )
+    register(
+        "token_budget_selection",
+        sampling.token_budget_selection_query,
+        sampling.TOKEN_BUDGET_SELECTION_ORACLE,
+    )
 
     _LOADED = True

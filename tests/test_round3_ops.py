@@ -717,3 +717,19 @@ def test_segment_quantiles_match_python(spark, sf_dir):
         for q in (50, 90, 99):
             expect = vals[math.ceil(n * q / 100.0) - 1][0]
             assert abs(r[f"p{q}"] - expect) < 1e-9
+
+
+def test_token_budget_selection_contract(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import sampling
+
+    rows = sorted(
+        sampling.token_budget_selection_query(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    run = 0
+    for r in rows:
+        run += r["n_tokens"]
+        assert r["cum_tokens"] == run
+    assert run <= sampling.TOKEN_BUDGET
