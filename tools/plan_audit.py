@@ -339,6 +339,36 @@ AUDIT = [
         "as equi-depth's ntile.",
     ),
     (
+        "lsh_multiprobe",
+        "Queries explode to a CONSTANT N_PLANES+1 probe rows and "
+        "equi-join the bucketed corpus on the bucket id — no "
+        "candidate dedup needed (one bucket per corpus vector); "
+        "ranking is the standard per-query top-k window over the "
+        "probed candidates only.",
+    ),
+    (
+        "ivm_status_counts",
+        "The delta path is a full-outer key join over the two "
+        "snapshots producing signed (status, +/-1) rows; the merge "
+        "unions them with the old counts into ONE partial-"
+        "aggregatable groupBy — churn-sized work, never a rescan of "
+        "the maintained view's input.",
+    ),
+    (
+        "segment_spend_quantiles",
+        "One per-segment window sort (the same single shuffle as the "
+        "exact median) and a conditional aggregate collapse back to "
+        "one row per segment; rank selection, no interpolation — "
+        "identical semantics on both engines by construction.",
+    ),
+    (
+        "token_budget_selection",
+        "Quality scoring is scan-local; the running-sum cut is the "
+        "honest global-sort cost (range-partitioned), shared with "
+        "equi-depth/pareto; the documented 100 TB swap-in is the "
+        "two-pass histogram-cutoff form.",
+    ),
+    (
         "line_dedup",
         "Lines explode once and shuffle as 16-byte digests (text "
         "never moves); the digest-df table joins on the digest key "
