@@ -1105,3 +1105,110 @@ SELECT cv.cohort_week, cv.week_offset, s.cohort_users, cv.buyers,
        ) AS BIGINT) AS cum_revenue_cents
 FROM curve cv JOIN sizes s ON s.cohort_week = cv.cohort_week
 """
+
+
+# --------------------------------------------------------------------------
+# Time-bounded funnel (conversion windows)
+# --------------------------------------------------------------------------
+
+FUNNEL_WINDOW_HOURS = 72
+
+
+def funnel_within_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_signup, n_click_72h, n_purchase_72h,
+    click_rate, purchase_rate) — the ordered funnel with each step
+    REQUIRED to land within FUNNEL_WINDOW_HOURS of the previous one.
+    The unbounded funnel (funnel_conversion) measures eventual
+    conversion; product analytics almost always wants the bounded
+    form (conversion within N hours of the triggering step), and the
+    bound changes the answer — a purchase a month later no longer
+    counts.
+
+    Same decorrelated shape as the unbounded funnel: three per-user
+    min aggregates chained by equi-join, with the residual now a
+    half-open interval (prev < ts <= prev + W) instead of an open
+    ray. The interval arithmetic is integer microseconds on both
+    engines — no timestamp-plus-double ambiguity."""
+    ev = tables.table(spark, sf_dir, "events")
+    w_us = FUNNEL_WINDOW_HOURS * 3600 * 1_000_000
+
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(sign, "user_id")
+        .filter(
+            (F.unix_micros("ts") > F.unix_micros("t1"))
+            & (F.unix_micros("ts") <= F.unix_micros("t1") + w_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(
+            (F.unix_micros("ts") > F.unix_micros("t2"))
+            & (F.unix_micros("ts") <= F.unix_micros("t2") + w_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    out = (
+        sign.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+        .crossJoin(
+            click.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_72h"))
+        )
+        .crossJoin(
+            purchase.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_purchase_72h")
+            )
+        )
+    )
+    return out.select(
+        "n_signup",
+        "n_click_72h",
+        "n_purchase_72h",
+        (
+            F.col("n_click_72h").cast("double")
+            / F.col("n_signup").cast("double")
+        ).alias("click_rate"),
+        (
+            F.col("n_purchase_72h").cast("double")
+            / F.col("n_click_72h").cast("double")
+        ).alias("purchase_rate"),
+    )
+
+
+FUNNEL_WITHIN_WINDOW_ORACLE = f"""
+WITH sign AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+click AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN sign s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) > epoch_us(s.t1)
+    AND epoch_us(e.ts) <= epoch_us(s.t1) + {FUNNEL_WINDOW_HOURS * 3600 * 1_000_000}
+  GROUP BY e.user_id
+),
+purchase AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN click c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > epoch_us(c.t2)
+    AND epoch_us(e.ts) <= epoch_us(c.t2) + {FUNNEL_WINDOW_HOURS * 3600 * 1_000_000}
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM sign) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM click) AS BIGINT) AS n_click_72h,
+       CAST((SELECT count(*) FROM purchase) AS BIGINT) AS n_purchase_72h,
+       CAST((SELECT count(*) FROM click) AS DOUBLE)
+         / CAST((SELECT count(*) FROM sign) AS DOUBLE) AS click_rate,
+       CAST((SELECT count(*) FROM purchase) AS DOUBLE)
+         / CAST((SELECT count(*) FROM click) AS DOUBLE) AS purchase_rate
+"""

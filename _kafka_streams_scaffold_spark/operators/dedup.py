@@ -982,3 +982,93 @@ SELECT l.doc_id,
 FROM lines l JOIN df_tbl d ON d.h = l.h
 GROUP BY l.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Containment pairs (asymmetric near-dup: quote/inclusion detection)
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(inner_doc, outer_doc, containment, jaccard): pairs where the
+    SMALLER document's shingles are almost all present in the larger
+    one — Broder containment |A∩B|/|A|, the asymmetric companion to
+    Jaccard that catches a short document quoted inside a long one
+    (Jaccard divides by the union, so inclusion of a small doc in a
+    big one scores near zero and slips every symmetric tier).
+
+    Reuses the df-capped shingle inverted index: candidate pairs come
+    from the same sub-quadratic shingle equi-join as
+    ngram_jaccard_pairs, then containment is intersection over the
+    smaller side's shingle count. Emitted once per unordered pair,
+    oriented (inner=smaller set, ties by id)."""
+    docs = tables.table(spark, sf_dir, "documents")
+    sh = _pin(df_capped_shingles(_pin(shingles(docs))))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = inter.join(na, "doc_a").join(nb, "doc_b")
+    inner_first = F.col("na") < F.col("nb")
+    tie = (F.col("na") == F.col("nb"))
+    return (
+        scored.select(
+            F.when(inner_first | tie, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("inner_doc"),
+            F.when(inner_first | tie, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("outer_doc"),
+            (
+                F.col("i").cast("double")
+                / F.least("na", "nb").cast("double")
+            ).alias("containment"),
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+CONTAINMENT_PAIRS_ORACLE = f"""
+WITH {_DUCK_SHINGLE_CTE},
+df_tbl AS (
+  SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle
+),
+capped AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN df_tbl d ON d.shingle = s.shingle
+  WHERE d.df <= {SHINGLE_DF_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM capped a
+  JOIN capped b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CASE WHEN na.n <= nb.n THEN doc_a ELSE doc_b END AS inner_doc,
+       CASE WHEN na.n <= nb.n THEN doc_b ELSE doc_a END AS outer_doc,
+       CAST(i AS DOUBLE) / least(na.n, nb.n) AS containment,
+       CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / least(na.n, nb.n) >= {CONTAINMENT_THRESHOLD}
+"""

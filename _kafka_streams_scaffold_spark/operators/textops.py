@@ -1218,3 +1218,83 @@ SELECT term,
 FROM tf
 GROUP BY term
 """
+
+
+# --------------------------------------------------------------------------
+# Language confusion matrix (declared vs detected)
+# --------------------------------------------------------------------------
+
+def lang_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(declared_lang, pred_lang, n_docs, share_of_declared): the
+    confusion matrix between each document's DECLARED language tag
+    (ingest metadata — frequently wrong in crawled corpora) and the
+    stopword-detector's prediction. The mislabeling audit a corpus
+    intake runs before trusting upstream tags: off-diagonal mass is
+    either detector noise (short docs -> 'und') or genuinely
+    mislabeled ingest, and both need eyes before language-filtered
+    training cuts.
+
+    One scan (lang-id is scan-local), one partial-aggregated (tag,
+    pred) groupBy, and the per-declared-tag share joins the tiny
+    marginals back — matrix-sized output regardless of corpus."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    pairs = docs.select(
+        F.col("lang").alias("declared_lang"),
+        pred_lang_expr().alias("pred_lang"),
+    )
+    counts = pairs.groupBy("declared_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    marg = counts.groupBy("declared_lang").agg(
+        F.sum("n_docs").cast("bigint").alias("t")
+    )
+    return counts.join(marg, "declared_lang").select(
+        "declared_lang",
+        "pred_lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (F.col("n_docs").cast("double") / F.col("t").cast("double")).alias(
+            "share_of_declared"
+        ),
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    scores = ", ".join(
+        f"{_lang_score_duck(lang)} AS score_{lang}" for lang in LANG_STOPWORDS
+    )
+    all_scores = ", ".join(f"score_{lang}" for lang in LANG_STOPWORDS)
+    whens = " ".join(
+        f"WHEN score_{lang} = greatest({all_scores}) THEN '{lang}'"
+        for lang in LANG_STOPWORDS
+    )
+    return f"""
+WITH scored AS (
+  SELECT lang AS declared_lang, {scores}
+  FROM (
+    SELECT lang,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+                       x -> x <> '') AS toks
+    FROM documents
+  )
+),
+pred AS (
+  SELECT declared_lang,
+         CASE WHEN greatest({all_scores}) = 0 THEN 'und' {whens}
+         END AS pred_lang
+  FROM scored
+),
+counts AS (
+  SELECT declared_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+),
+marg AS (
+  SELECT declared_lang, CAST(sum(n_docs) AS BIGINT) AS t
+  FROM counts GROUP BY 1
+)
+SELECT c.declared_lang, c.pred_lang, c.n_docs,
+       CAST(c.n_docs AS DOUBLE) / CAST(m.t AS DOUBLE) AS share_of_declared
+FROM counts c JOIN marg m ON m.declared_lang = c.declared_lang
+"""
+
+
+LANG_CONFUSION_ORACLE = _lang_confusion_oracle()

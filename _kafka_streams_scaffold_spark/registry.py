@@ -715,5 +715,20 @@ def _ensure_loaded() -> None:
         sampling.token_budget_selection_query,
         sampling.TOKEN_BUDGET_SELECTION_ORACLE,
     )
+    register(
+        "containment_pairs",
+        dedup.containment_pairs_query,
+        dedup.CONTAINMENT_PAIRS_ORACLE,
+    )
+    register(
+        "lang_confusion",
+        textops.lang_confusion_query,
+        textops.LANG_CONFUSION_ORACLE,
+    )
+    register(
+        "funnel_within_window",
+        an.funnel_within_window_query,
+        an.FUNNEL_WITHIN_WINDOW_ORACLE,
+    )
 
     _LOADED = True

@@ -733,3 +733,45 @@ def test_token_budget_selection_contract(spark, sf_dir):
         run += r["n_tokens"]
         assert r["cum_tokens"] == run
     assert run <= sampling.TOKEN_BUDGET
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark, monkeypatch):
+    """A short doc quoted verbatim inside a much longer one:
+    containment ~1.0 while jaccard is small."""
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} next{i} more{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=quote, lang="en", source="a", n_chars=1),
+            Row(doc_id=2, text=f"{filler} {quote}", lang="en",
+                source="a", n_chars=1),
+        ]
+    )
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: docs)
+    rows = dedup.containment_pairs_query(spark, "_").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["inner_doc"], r["outer_doc"]) == (1, 2)
+    assert r["containment"] >= 0.9
+    assert r["jaccard"] < 0.2
+
+
+def test_lang_confusion_shares_sum_to_one(spark, sf_dir):
+    rows = textops.lang_confusion_query(spark, sf_dir).collect()
+    assert rows
+    per_decl = {}
+    for r in rows:
+        per_decl.setdefault(r["declared_lang"], 0.0)
+        per_decl[r["declared_lang"]] += r["share_of_declared"]
+    for decl, tot in per_decl.items():
+        assert abs(tot - 1.0) < 1e-9
+
+
+def test_bounded_funnel_never_exceeds_unbounded(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import analytics as an_mod
+
+    bounded = an_mod.funnel_within_window_query(spark, sf_dir).collect()[0]
+    unbounded = an_mod.funnel_conversion_query(spark, sf_dir).collect()[0]
+    assert bounded["n_signup"] == unbounded["n_signup"]
+    assert bounded["n_click_72h"] <= unbounded["n_click_after"]
+    assert bounded["n_purchase_72h"] <= unbounded["n_purchase_after"]
