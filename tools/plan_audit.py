@@ -339,6 +339,26 @@ AUDIT = [
         "as equi-depth's ntile.",
     ),
     (
+        "containment_pairs",
+        "Same df-capped inverted-index self-join as the jaccard tier "
+        "(per-key fan-out bounded at CAP^2/2); containment adds only "
+        "the least() denominator — no extra pass, no extra shuffle "
+        "over the jaccard plan.",
+    ),
+    (
+        "lang_confusion",
+        "Language scoring is entirely scan-local (stopword membership "
+        "counts fold in codegen); the only shuffle is the matrix-"
+        "sized (declared, predicted) partial aggregate and its tiny "
+        "marginal join.",
+    ),
+    (
+        "funnel_within_window",
+        "Three chained per-user min aggregates with interval "
+        "residuals in integer microseconds — same id-width shuffles "
+        "as the unbounded funnel, the bound changes only the filter.",
+    ),
+    (
         "lsh_multiprobe",
         "Queries explode to a CONSTANT N_PLANES+1 probe rows and "
         "equi-join the bucketed corpus on the bucket id — no "

@@ -243,6 +243,32 @@ def main() -> None:
         "line dedup (digest df join)": lambda m: _with_docs(
             m, lambda: dedup.line_dedup_query(spark, SF_DIR)
         ),
+        "lang confusion (scan-local id)": lambda m: _with_docs(
+            m, lambda: textops.lang_confusion_query(spark, SF_DIR)
+        ),
+        "bounded funnel (interval residual)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: an_mod2.funnel_within_window_query(spark, SF_DIR),
+        ),
+        "token budget (global cumsum)": lambda m: _with_docs(
+            m, lambda: sampling.token_budget_selection_query(spark, SF_DIR)
+        ),
+        "ivm from cdc (churn join)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: temporal_mod.ivm_status_counts_query(spark, SF_DIR),
+        ),
+        "exact group quantiles (1 window)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: stats_mod.segment_spend_quantiles_query(spark, SF_DIR),
+        ),
+        "multiprobe lsh (9-bucket probe)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: similarity.lsh_multiprobe_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
