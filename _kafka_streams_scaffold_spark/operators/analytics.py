@@ -1212,3 +1212,54 @@ SELECT CAST((SELECT count(*) FROM sign) AS BIGINT) AS n_signup,
        CAST((SELECT count(*) FROM purchase) AS DOUBLE)
          / CAST((SELECT count(*) FROM click) AS DOUBLE) AS purchase_rate
 """
+
+
+# --------------------------------------------------------------------------
+# Weekday x hour activity heatmap
+# --------------------------------------------------------------------------
+
+def activity_heatmap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dow, hour, n_events, purchase_cents): the weekday-by-hour
+    activity grid (the product-analytics heatmap) — event counts and
+    fixed-point purchase revenue per (ISO weekday, hour-of-day) cell.
+    Day-of-week via ISO 8601 numbering written the SAME way on both
+    engines (DuckDB isodow == Spark's dayofweek remapped; Spark's
+    native dayofweek is Sunday=1, so the ISO form is computed from
+    the date arithmetic both engines share). One partial-aggregated
+    groupBy into a fixed 7x24 grid — scan-bound at any scale."""
+    ev = tables.table(spark, sf_dir, "events")
+    # ISO dow: Monday=1..Sunday=7. date_part('DOW') conventions differ
+    # across engines; days-since-epoch modulo arithmetic does not
+    # (1970-01-01 was a Thursday = ISO 4).
+    iso_dow = F.expr(
+        "pmod(datediff(to_date(ts), DATE '1970-01-01') + 3, 7) + 1"
+    ).cast("int")
+    return (
+        ev.groupBy(
+            iso_dow.alias("dow"), F.hour("ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("purchase_cents"),
+        )
+    )
+
+
+ACTIVITY_HEATMAP_ORACLE = """
+SELECT CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) % 7
+            + 1 AS INT) AS dow,
+       CAST(extract(hour FROM ts) AS INT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS purchase_cents
+FROM events
+GROUP BY 1, 2
+"""

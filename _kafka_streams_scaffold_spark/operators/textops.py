@@ -1298,3 +1298,94 @@ FROM counts c JOIN marg m ON m.declared_lang = c.declared_lang
 
 
 LANG_CONFUSION_ORACLE = _lang_confusion_oracle()
+
+
+# --------------------------------------------------------------------------
+# Distinctive terms per source (lift-ranked)
+# --------------------------------------------------------------------------
+
+DISTINCTIVE_TOP_K = 5
+DISTINCTIVE_MIN_COUNT = 20
+
+
+def source_distinctive_terms_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(source, term, n_in_source, lift, rank): the terms that
+    CHARACTERIZE each source — per-source token share divided by
+    corpus-wide share (lift), top DISTINCTIVE_TOP_K per source among
+    terms with at least DISTINCTIVE_MIN_COUNT in-source occurrences
+    (the floor keeps one-off typos from dominating the ratio). The
+    "what is this source about" report a corpus intake produces next
+    to source_profile's volume numbers; pure rational arithmetic
+    (no log-lift — the module's transcendental ban), ties on term.
+
+    One tokenize pass -> (source, term) partial counts; the term
+    marginals and source totals re-aggregate that table; the lift
+    join is vocabulary-sized; top-k per source is a WindowGroupLimit
+    over the (sources x qualifying terms) frame."""
+    from ..pinning import pin as _pin
+
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    st = _pin(
+        docs.select("source", F.explode(tokens_expr()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    src_tot = st.groupBy("source").agg(F.sum("n").cast("bigint").alias("s_tot"))
+    term_tot = st.groupBy("term").agg(F.sum("n").cast("bigint").alias("t_tot"))
+    grand = st.agg(F.sum("n").cast("bigint").alias("g_tot"))
+    lift = (
+        F.col("n").cast("double") / F.col("s_tot").cast("double")
+    ) / (F.col("t_tot").cast("double") / F.col("g_tot").cast("double"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("lift").desc(), F.col("term")
+    )
+    return (
+        st.filter(F.col("n") >= DISTINCTIVE_MIN_COUNT)
+        .join(src_tot, "source")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "term",
+            F.col("n").cast("bigint").alias("n_in_source"),
+            lift.alias("lift"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DISTINCTIVE_TOP_K)
+    )
+
+
+SOURCE_DISTINCTIVE_TERMS_ORACLE = f"""
+WITH st AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  ) GROUP BY source, term
+),
+src_tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS s_tot FROM st GROUP BY 1),
+term_tot AS (SELECT term, CAST(sum(n) AS BIGINT) AS t_tot FROM st GROUP BY 1),
+grand AS (SELECT CAST(sum(n) AS BIGINT) AS g_tot FROM st)
+SELECT source, term, n_in_source, lift, rank FROM (
+  SELECT s.source, s.term, s.n AS n_in_source,
+         (CAST(s.n AS DOUBLE) / CAST(t1.s_tot AS DOUBLE))
+           / (CAST(t2.t_tot AS DOUBLE) / CAST(g.g_tot AS DOUBLE)) AS lift,
+         row_number() OVER (
+           PARTITION BY s.source
+           ORDER BY (CAST(s.n AS DOUBLE) / CAST(t1.s_tot AS DOUBLE))
+                      / (CAST(t2.t_tot AS DOUBLE) / CAST(g.g_tot AS DOUBLE))
+                    DESC, s.term
+         ) AS rank
+  FROM st s
+  JOIN src_tot t1 ON t1.source = s.source
+  JOIN term_tot t2 ON t2.term = s.term
+  CROSS JOIN grand g
+  WHERE s.n >= {DISTINCTIVE_MIN_COUNT}
+)
+WHERE rank <= {DISTINCTIVE_TOP_K}
+"""

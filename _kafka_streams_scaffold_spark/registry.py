@@ -730,5 +730,15 @@ def _ensure_loaded() -> None:
         an.funnel_within_window_query,
         an.FUNNEL_WITHIN_WINDOW_ORACLE,
     )
+    register(
+        "source_distinctive_terms",
+        textops.source_distinctive_terms_query,
+        textops.SOURCE_DISTINCTIVE_TERMS_ORACLE,
+    )
+    register(
+        "activity_heatmap",
+        an.activity_heatmap_query,
+        an.ACTIVITY_HEATMAP_ORACLE,
+    )
 
     _LOADED = True

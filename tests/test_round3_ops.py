@@ -775,3 +775,37 @@ def test_bounded_funnel_never_exceeds_unbounded(spark, sf_dir):
     assert bounded["n_signup"] == unbounded["n_signup"]
     assert bounded["n_click_72h"] <= unbounded["n_click_after"]
     assert bounded["n_purchase_72h"] <= unbounded["n_purchase_after"]
+
+
+def test_distinctive_terms_topk_per_source(spark, sf_dir):
+    rows = textops.source_distinctive_terms_query(spark, sf_dir).collect()
+    assert rows
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+        assert r["n_in_source"] >= textops.DISTINCTIVE_MIN_COUNT
+        assert r["lift"] > 0
+    for src, rs in per_src.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= textops.DISTINCTIVE_TOP_K
+        lifts = [r["lift"] for r in rs]
+        assert lifts == sorted(lifts, reverse=True)
+
+
+def test_activity_heatmap_grid(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import analytics as an_mod
+
+    rows = an_mod.activity_heatmap_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["dow"] <= 7
+        assert 0 <= r["hour"] <= 23
+        assert r["n_events"] > 0
+    total = sum(r["n_events"] for r in rows)
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert total == n
