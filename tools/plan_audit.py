@@ -339,6 +339,19 @@ AUDIT = [
         "as equi-depth's ntile.",
     ),
     (
+        "source_distinctive_terms",
+        "One tokenize pass pinned as (source, term) counts; marginals "
+        "re-aggregate that table (corpus tokenized once); the lift "
+        "join is vocabulary-sized and top-k per source compiles to "
+        "WindowGroupLimit.",
+    ),
+    (
+        "activity_heatmap",
+        "Single partial-aggregated groupBy into a fixed 7x24 grid; "
+        "ISO weekday from integer epoch-day arithmetic so both "
+        "engines bucket identically — scan-bound at any scale.",
+    ),
+    (
         "containment_pairs",
         "Same df-capped inverted-index self-join as the jaccard tier "
         "(per-key fan-out bounded at CAP^2/2); containment adds only "
