@@ -45,12 +45,17 @@ def main() -> int:
 
     spark = session.build_session("check-oracle")
     con = duckdb.connect()
-    # Bound DuckDB and give it a spill path: the heavy graph oracles
-    # (knn_triangles' multi-way join) otherwise hit transient
-    # Out-of-Memory aborts when a Spark JVM shares the machine.
+    # Give DuckDB a high (but bounded) memory ceiling and a spill
+    # path. The heavy graph/list oracles (knn_triangles' multi-way
+    # join, bpe_encode's list folds) include operators that cannot
+    # fully spill, so a LOW limit trades transient-OOM-under-Spark-
+    # pressure for deterministic-OOM-at-the-cap — 80GB leaves the
+    # 8GB driver JVM + Python comfortable headroom on a 125GB box
+    # while still preventing a runaway allocation from taking the
+    # machine down.
     import tempfile
 
-    con.execute("SET memory_limit='32GB'")
+    con.execute("SET memory_limit='80GB'")
     con.execute(
         f"SET temp_directory='{tempfile.mkdtemp(prefix='duck-spill-')}'"
     )
