@@ -1263,3 +1263,75 @@ SELECT CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) % 7
 FROM events
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Weekly stickiness (DAU/WAU)
+# --------------------------------------------------------------------------
+
+def stickiness_weekly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(week, wau, avg_dau, stickiness): weekly active users, the
+    week's average daily actives, and the DAU/WAU stickiness ratio —
+    the engagement KPI product teams track. avg_dau is an exact
+    rational (sum of the week's daily distinct counts over 7 — the
+    fixed calendar denominator, so weeks with inactive days compare
+    honestly), stickiness = avg_dau / wau.
+
+    Two partial-aggregated passes over (user, day) distinct pairs:
+    one rolled to days then weeks (DAU sums), one straight to weeks
+    (WAU distinct). At 100 TB both are the standard distinct-count
+    shuffles; the approximate swap-in is approx_count_distinct per
+    bucket with the same shape."""
+    ev = tables.table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("user_id"),
+        F.to_date("ts").alias("day"),
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+    ).distinct()
+    dau = ud.groupBy("week", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    weekly_dau = dau.groupBy("week").agg(
+        F.sum("dau").cast("bigint").alias("dau_sum")
+    )
+    wau = ud.groupBy("week").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        wau.join(weekly_dau, "week")
+        .select(
+            "week",
+            "wau",
+            (F.col("dau_sum").cast("double") / F.lit(7.0)).alias("avg_dau"),
+            (
+                F.col("dau_sum").cast("double")
+                / F.lit(7.0)
+                / F.col("wau").cast("double")
+            ).alias("stickiness"),
+        )
+    )
+
+
+STICKINESS_WEEKLY_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(ts AS DATE) AS day,
+         CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+dau AS (
+  SELECT week, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY week, day
+),
+weekly_dau AS (
+  SELECT week, CAST(sum(dau) AS BIGINT) AS dau_sum FROM dau GROUP BY week
+),
+wau AS (
+  SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM ud GROUP BY week
+)
+SELECT w.week, w.wau,
+       CAST(d.dau_sum AS DOUBLE) / 7.0 AS avg_dau,
+       CAST(d.dau_sum AS DOUBLE) / 7.0 / CAST(w.wau AS DOUBLE) AS stickiness
+FROM wau w JOIN weekly_dau d ON d.week = w.week
+"""

@@ -740,5 +740,10 @@ def _ensure_loaded() -> None:
         an.activity_heatmap_query,
         an.ACTIVITY_HEATMAP_ORACLE,
     )
+    register(
+        "stickiness_weekly",
+        an.stickiness_weekly_query,
+        an.STICKINESS_WEEKLY_ORACLE,
+    )
 
     _LOADED = True

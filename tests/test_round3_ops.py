@@ -809,3 +809,15 @@ def test_activity_heatmap_grid(spark, sf_dir):
         f"SELECT count(*) FROM '{sf_dir}/events.parquet'"
     ).fetchone()[0]
     assert total == n
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import analytics as an_mod
+
+    rows = an_mod.stickiness_weekly_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["wau"] > 0
+        # avg over the fixed 7-day denominator cannot exceed WAU
+        assert 0 < r["avg_dau"] <= r["wau"] + 1e-9
+        assert 0 < r["stickiness"] <= 1.0 + 1e-9

@@ -44,6 +44,21 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     spark = session.build_session("check-oracle")
+
+    def _fresh_connection(sf):
+        c = duckdb.connect()
+        import tempfile as _tf
+
+        c.execute("SET memory_limit='80GB'")
+        c.execute(
+            f"SET temp_directory='{_tf.mkdtemp(prefix='duck-spill-')}'"
+        )
+        for t in tables.TABLE_NAMES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+            )
+        return c
+
     con = duckdb.connect()
     # Give DuckDB a high (but bounded) memory ceiling and a spill
     # path. The heavy graph/list oracles (knn_triangles' multi-way
@@ -87,7 +102,16 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            rel = con.execute(oracles[name])
+            try:
+                rel = con.execute(oracles[name])
+            except Exception as ex:  # noqa: BLE001
+                if "Out of Memory" not in str(ex):
+                    raise
+                # Transient buffer-pool pressure (concurrent JVM /
+                # accumulated session state): retry once on a FRESH
+                # connection before declaring failure.
+                con = _fresh_connection(sf_dir)
+                rel = con.execute(oracles[name])
             duck_cols = [d[0] for d in rel.description]
             duck_rows = rel.fetchall()
         except Exception as ex:  # noqa: BLE001
