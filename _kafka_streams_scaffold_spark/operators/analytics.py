@@ -1335,3 +1335,65 @@ SELECT w.week, w.wau,
        CAST(d.dau_sum AS DOUBLE) / 7.0 / CAST(w.wau AS DOUBLE) AS stickiness
 FROM wau w JOIN weekly_dau d ON d.week = w.week
 """
+
+
+# --------------------------------------------------------------------------
+# Event transition matrix (first-order Markov)
+# --------------------------------------------------------------------------
+
+def event_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, n, p_transition): the first-order Markov
+    transition matrix over each user's time-ordered event stream —
+    the path-analysis primitive behind "what do users do after X"
+    and the behavioral anomaly baseline. Consecutive-pair extraction
+    is one lag window per user (deterministic (ts, event_id) order,
+    as every sessionization here); counts and row-normalized
+    transition probabilities are matrix-sized aggregates. One
+    user-partitioned shuffle carrying (user, type, ts) — the same
+    single-exchange shape as scd2_history."""
+    ev = tables.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    marg = counts.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("t")
+    )
+    return counts.join(marg, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias(
+            "p_transition"
+        ),
+    )
+
+
+EVENT_TRANSITIONS_ORACLE = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM counts GROUP BY 1
+)
+SELECT c.from_type, c.to_type, c.n,
+       CAST(c.n AS DOUBLE) / CAST(m.t AS DOUBLE) AS p_transition
+FROM counts c JOIN marg m ON m.from_type = c.from_type
+"""

@@ -745,5 +745,10 @@ def _ensure_loaded() -> None:
         an.stickiness_weekly_query,
         an.STICKINESS_WEEKLY_ORACLE,
     )
+    register(
+        "event_transitions",
+        an.event_transitions_query,
+        an.EVENT_TRANSITIONS_ORACLE,
+    )
 
     _LOADED = True

@@ -821,3 +821,17 @@ def test_stickiness_bounds(spark, sf_dir):
         # avg over the fixed 7-day denominator cannot exceed WAU
         assert 0 < r["avg_dau"] <= r["wau"] + 1e-9
         assert 0 < r["stickiness"] <= 1.0 + 1e-9
+
+
+def test_event_transitions_rows_normalize(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import analytics as an_mod
+
+    rows = an_mod.event_transitions_query(spark, sf_dir).collect()
+    assert rows
+    per_from = {}
+    for r in rows:
+        per_from.setdefault(r["from_type"], 0.0)
+        per_from[r["from_type"]] += r["p_transition"]
+        assert r["n"] > 0
+    for f, tot in per_from.items():
+        assert abs(tot - 1.0) < 1e-9
