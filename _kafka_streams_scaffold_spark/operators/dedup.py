@@ -1072,3 +1072,98 @@ JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE CAST(i AS DOUBLE) / least(na.n, nb.n) >= {CONTAINMENT_THRESHOLD}
 """
+
+
+# --------------------------------------------------------------------------
+# Dedup-tier agreement matrix (meta-audit of the near-dup family)
+# --------------------------------------------------------------------------
+
+_TIERS = ["simhash", "minhash", "ngram", "edit"]
+
+
+def _tier_pairs(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
+    if tier == "simhash":
+        return simhash_pairs_query(spark, sf_dir).select("doc_a", "doc_b")
+    if tier == "minhash":
+        return minhash_lsh_pairs_query(spark, sf_dir).select("doc_a", "doc_b")
+    if tier == "ngram":
+        return ngram_jaccard_pairs_query(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        )
+    return edit_distance_pairs_query(spark, sf_dir).select("doc_a", "doc_b")
+
+
+def dedup_tier_agreement_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tier_a, tier_b, n_a, n_b, n_both): pairwise overlap between
+    the four near-dup detectors' pair sets (SimHash bands, MinHash
+    LSH+verify, df-capped n-gram Jaccard, edit-distance verify) — the
+    meta-audit that tells a dedup pipeline whether its tiers agree
+    (high overlap = redundant cost), complement each other (each
+    catches different duplicate kinds), or one has silently broken
+    (overlap collapses round-over-round).
+
+    Each tier's pair set is computed ONCE and pinned; the 6 overlap
+    counts are joins of id-pair tables orders of magnitude smaller
+    than the corpus. The expensive part is running the four
+    detectors — which is precisely what this audit amortizes a
+    decision over."""
+    pairs = {
+        t: _pin(_tier_pairs(spark, sf_dir, t)) for t in _TIERS
+    }
+    counts = {
+        t: pairs[t].agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{t}")
+        )
+        for t in _TIERS
+    }
+    rows = None
+    for i, a in enumerate(_TIERS):
+        for b in _TIERS[i + 1:]:
+            both = (
+                pairs[a].join(pairs[b], ["doc_a", "doc_b"], "left_semi")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+            )
+            row = (
+                counts[a]
+                .crossJoin(counts[b])
+                .crossJoin(both)
+                .select(
+                    F.lit(a).alias("tier_a"),
+                    F.lit(b).alias("tier_b"),
+                    F.col(f"n_{a}").alias("n_a"),
+                    F.col(f"n_{b}").alias("n_b"),
+                    "n_both",
+                )
+            )
+            rows = row if rows is None else rows.unionAll(row)
+    return rows
+
+
+def _tier_agreement_oracle() -> str:
+    tier_sql = {
+        "simhash": SIMHASH_PAIRS_ORACLE,
+        "minhash": MINHASH_LSH_ORACLE,
+        "ngram": NGRAM_JACCARD_ORACLE,
+        "edit": EDIT_DISTANCE_PAIRS_ORACLE,
+    }
+    ctes = ",\n".join(
+        f"{t} AS MATERIALIZED (SELECT doc_a, doc_b FROM "
+        f"({tier_sql[t].strip().rstrip(';')}))"
+        for t in _TIERS
+    )
+    selects = []
+    for i, a in enumerate(_TIERS):
+        for b in _TIERS[i + 1:]:
+            selects.append(
+                f"SELECT '{a}' AS tier_a, '{b}' AS tier_b,"
+                f" (SELECT CAST(count(*) AS BIGINT) FROM {a}) AS n_a,"
+                f" (SELECT CAST(count(*) AS BIGINT) FROM {b}) AS n_b,"
+                f" (SELECT CAST(count(*) AS BIGINT) FROM {a} x"
+                f"  WHERE EXISTS (SELECT 1 FROM {b} y"
+                f"   WHERE y.doc_a = x.doc_a AND y.doc_b = x.doc_b))"
+                f" AS n_both"
+            )
+    return f"WITH {ctes}\n" + "\nUNION ALL\n".join(selects)
+
+
+DEDUP_TIER_AGREEMENT_ORACLE = _tier_agreement_oracle()

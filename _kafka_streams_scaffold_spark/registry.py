@@ -750,5 +750,10 @@ def _ensure_loaded() -> None:
         an.event_transitions_query,
         an.EVENT_TRANSITIONS_ORACLE,
     )
+    register(
+        "dedup_tier_agreement",
+        dedup.dedup_tier_agreement_query,
+        dedup.DEDUP_TIER_AGREEMENT_ORACLE,
+    )
 
     _LOADED = True

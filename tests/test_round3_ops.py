@@ -835,3 +835,19 @@ def test_event_transitions_rows_normalize(spark, sf_dir):
         assert r["n"] > 0
     for f, tot in per_from.items():
         assert abs(tot - 1.0) < 1e-9
+
+
+def test_dedup_tier_agreement_bounds(spark, sf_dir):
+    rows = dedup.dedup_tier_agreement_query(spark, sf_dir).collect()
+    assert len(rows) == 6  # C(4,2)
+    for r in rows:
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert r["n_a"] > 0 and r["n_b"] > 0
+    # minhash and ngram share the same jaccard threshold over the
+    # same shingles (different candidate generation): they must agree
+    # on the overwhelming majority of pairs
+    mh_ng = next(
+        r for r in rows
+        if {r["tier_a"], r["tier_b"]} == {"minhash", "ngram"}
+    )
+    assert mh_ng["n_both"] >= 0.8 * min(mh_ng["n_a"], mh_ng["n_b"])
