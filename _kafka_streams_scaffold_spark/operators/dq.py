@@ -261,14 +261,19 @@ def benford_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendering is identical on both engines, unlike doubles. Expected
     proportions are compile-time literals; the chi-square contribution
     is rational arithmetic on exact counts. One partial-aggregated
-    scan; nine output rows."""
+    scan; nine output rows.
+
+    Sub-cent totals (0 < price < 0.01) floor to digit 0, which is out
+    of Benford's domain AND out of ``element_at``'s 1-based index —
+    the filter is ``>= 0.01`` (identically in the oracle) so both
+    engines agree instead of one crashing."""
     orders = tables.table(spark, sf_dir, "orders")
     digit = F.expr(
         "cast(substring(cast(cast(floor(o_totalprice * 100) as bigint)"
         " as string), 1, 1) as int)"
     )
     counts = (
-        orders.filter(F.col("o_totalprice") > 0)
+        orders.filter(F.col("o_totalprice") >= 0.01)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -301,7 +306,7 @@ WITH counts AS (
               AS VARCHAR), 1, 1) AS INT) AS digit,
          CAST(count(*) AS BIGINT) AS n
   FROM orders
-  WHERE o_totalprice > 0
+  WHERE o_totalprice >= 0.01
   GROUP BY 1
 ),
 total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)

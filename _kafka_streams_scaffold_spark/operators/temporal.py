@@ -168,13 +168,24 @@ FROM spine s LEFT JOIN daily d ON d.day = s.day
 # --------------------------------------------------------------------------
 
 def snapshot_diff(
-    old: DataFrame, new: DataFrame, key: str, cols: list[str]
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    cols: list[str],
+    payload: bool = False,
 ) -> DataFrame:
     """Generic batch CDC: (key, change) for every row that differs
     between two snapshots — ``insert`` (key only in new), ``delete``
     (key only in old), ``update`` (key in both, any compared column
     differs). Unchanged rows are filtered out before anything leaves
     the join, so output size is the churn, not the table.
+
+    ``payload=True`` additionally carries the NEW-side value of every
+    compared column (NULL for deletes — a tombstone needs only its
+    key), making the output directly applicable by a CDC consumer
+    (``streaming.pipeline.run_apply_changes`` /
+    ``ParquetChangelogStore.apply_cdc_batch``); the keys-only form is
+    the audit/metrics shape.
 
     One full-outer join on the key: each side shuffles once (or not
     at all when both snapshots share a bucketed layout, the natural
@@ -200,12 +211,15 @@ def snapshot_diff(
         .when(F.col("k_new").isNull(), F.lit("delete"))
         .when(any_changed, F.lit("update"))
     )
+    out_cols = [
+        F.coalesce("k_old", "k_new").alias(key),
+        change.alias("change"),
+    ]
+    if payload:
+        out_cols += [F.col(f"n_{c}").alias(c) for c in cols]
     return (
         o.join(n, F.col("k_old") == F.col("k_new"), "full_outer")
-        .select(
-            F.coalesce("k_old", "k_new").alias(key),
-            change.alias("change"),
-        )
+        .select(*out_cols)
         .filter(F.col("change").isNotNull())
     )
 
@@ -233,6 +247,59 @@ def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"]
     )
+
+
+def snapshot_diff_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, change, o_totalprice, o_orderstatus): the
+    APPLY-ready CDC shape — same synthetic old/new pair as
+    ``snapshot_diff_query`` but carrying the new-side row payload, so
+    the output feeds ``run_apply_changes`` directly (inserts/updates
+    upsert full rows; deletes are key-only tombstones). The round-3
+    advisory noted the keys-only diff cannot be applied; this is the
+    applicable twin, hash-checked end to end."""
+    orders = tables.table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return snapshot_diff(
+        old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"],
+        payload=True,
+    )
+
+
+SNAPSHOT_DIFF_FULL_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+new AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+d AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+              THEN 'update' END AS change,
+         n.o_totalprice, n.o_orderstatus
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM d WHERE change IS NOT NULL
+"""
 
 
 SNAPSHOT_DIFF_ORACLE = """

@@ -639,11 +639,17 @@ def _ensure_loaded() -> None:
     )
     register("pq_recall", pq.pq_recall_query, pq.PQ_RECALL_ORACLE)
 
-    # batch CDC between table snapshots
+    # batch CDC between table snapshots (keys-only audit shape +
+    # apply-ready payload shape, see run_apply_changes contract)
     register(
         "snapshot_diff",
         temporal.snapshot_diff_query,
         temporal.SNAPSHOT_DIFF_ORACLE,
+    )
+    register(
+        "snapshot_diff_full",
+        temporal.snapshot_diff_full_query,
+        temporal.SNAPSHOT_DIFF_FULL_ORACLE,
     )
 
     # ML feature materialization

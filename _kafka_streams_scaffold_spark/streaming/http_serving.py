@@ -35,6 +35,7 @@ driver).
 from __future__ import annotations
 
 import json
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable
@@ -136,14 +137,20 @@ class InteractiveQueryServer:
 
             def do_GET(self):
                 parts = [p for p in self.path.split("/") if p]
+                status = 200
                 try:
                     body = outer._route(parts)
                 except KeyError:
                     self.send_response(404)
                     self.end_headers()
                     return
+                except Exception as e:  # noqa: BLE001 — surface, don't drop
+                    # Spark analysis/runtime failures must come back as a
+                    # JSON 500, not a dropped connection + server traceback.
+                    status = 500
+                    body = {"error": f"{type(e).__name__}: {e}"}
                 payload = _compact(body)
-                self.send_response(200)
+                self.send_response(status)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
@@ -219,7 +226,12 @@ class RegistryQueryService:
         truncated = len(rows) > self._max_rows
 
         def jsonable(v):
-            if v is None or isinstance(v, (bool, int, float, str)):
+            if isinstance(v, float):
+                # json.dumps would emit non-standard NaN/Infinity
+                # tokens (possible from e.g. zero-variance corr);
+                # canonicalize non-finite floats to null.
+                return v if math.isfinite(v) else None
+            if v is None or isinstance(v, (bool, int, str)):
                 return v
             if isinstance(v, (list, tuple)):
                 return [jsonable(x) for x in v]

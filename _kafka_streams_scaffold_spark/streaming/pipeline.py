@@ -308,7 +308,15 @@ def run_apply_changes(
     streaming consumer of the ``snapshot_diff`` family. Deletes
     become tombstones (``ParquetChangelogStore.apply_cdc_batch``);
     the checkpoint makes re-delivered batches idempotent at the
-    store's latest-wins read (same batch id -> same rows win)."""
+    store's latest-wins read (same batch id -> same rows win).
+
+    Input contract: inserts/updates must carry the FULL row payload
+    (the ``snapshot_diff(..., payload=True)`` /
+    ``snapshot_diff_full_query`` shape) — the keys-only diff is an
+    audit artifact and would upsert NULL-valued rows; tombstones need
+    only the key. Each batch must carry at most one change per key
+    (snapshot diffs guarantee this); within a batch the read breaks
+    same-key ties in favor of the tombstone."""
     return (
         changes.writeStream.foreachBatch(
             lambda df, bid: store.apply_cdc_batch(df, bid)

@@ -134,14 +134,28 @@ class ParquetChangelogStore:
             .parquet(self.path)
         )
 
+    @staticmethod
+    def _with_deleted(df: DataFrame) -> DataFrame:
+        """Normalize ``_deleted`` across store generations. A MIXED
+        store (files written before the tombstone column existed,
+        appended to after) reads back via mergeSchema with NULL
+        ``_deleted`` on the legacy rows; ``~NULL`` is NULL, which the
+        latest-wins filter would silently drop — data loss. Coalesce
+        to False so legacy rows behave as live upserts; the
+        column-absent case falls out of the same expression."""
+        if "_deleted" not in df.columns:
+            return df.withColumn("_deleted", F.lit(False))
+        return df.withColumn(
+            "_deleted", F.coalesce(F.col("_deleted"), F.lit(False))
+        )
+
     def read(self, spark: SparkSession) -> DataFrame:
         """Compact-on-read: latest batch wins per key, tombstoned keys
         drop out. One shuffle on the key — the same partitioning the
         upstream aggregation used, so at scale this coalesces to a
         near-no-op with AQE."""
         df = spark.read.option("mergeSchema", "true").parquet(self.path)
-        if "_deleted" not in df.columns:
-            df = df.withColumn("_deleted", F.lit(False))
+        df = self._with_deleted(df)
         w = Window.partitionBy(*self.key_cols).orderBy(
             F.col("_batch_id").desc(), F.col("_deleted").desc()
         )
@@ -186,8 +200,7 @@ class ParquetChangelogStore:
         import tempfile
 
         df = spark.read.option("mergeSchema", "true").parquet(self.path)
-        if "_deleted" not in df.columns:
-            df = df.withColumn("_deleted", F.lit(False))
+        df = self._with_deleted(df)
         max_batch = df.agg(F.max("_batch_id")).collect()[0][0]
         w = Window.partitionBy(*self.key_cols).orderBy(
             F.col("_batch_id").desc(), F.col("_deleted").desc()

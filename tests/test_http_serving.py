@@ -283,3 +283,49 @@ def test_registry_query_endpoint(spark):
         assert "query" in next(iter(meta.values()))
     finally:
         server.stop()
+
+
+def test_server_500_json_and_nonfinite_floats(spark):
+    """ADVICE r3: execution failures must surface as a JSON 500 (not a
+    dropped connection), and non-finite floats must canonicalize to
+    null (json.dumps would otherwise emit non-standard NaN/Infinity
+    tokens)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from _kafka_streams_scaffold_spark.streaming.http_serving import (
+        InteractiveQueryServer,
+        RegistryQueryService,
+    )
+
+    server = InteractiveQueryServer()
+    svc = RegistryQueryService(spark, "/root/testdata/sf0.001", max_rows=5)
+    # a registered "query" that blows up at execution time
+    def boom(sp, sf):
+        raise RuntimeError("deliberate failure")
+    svc._queries["boom"] = boom
+    # and one that returns non-finite floats
+    def nonfinite(sp, sf):
+        return sp.sql(
+            "SELECT double('NaN') AS a, double('Infinity') AS b,"
+            " double(1.5) AS c"
+        )
+    svc._queries["nonfinite"] = nonfinite
+    svc.bind(server)
+    port = server.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        try:
+            urllib.request.urlopen(f"{base}/query/boom")
+            raise AssertionError("expected 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            body = json.load(e)
+            assert "deliberate failure" in body["error"]
+        raw = urllib.request.urlopen(f"{base}/query/nonfinite").read()
+        body = json.loads(raw)  # must be strict-JSON parseable
+        assert b"NaN" not in raw and b"Infinity" not in raw
+        assert body["rows"][0] == {"a": None, "b": None, "c": 1.5}
+    finally:
+        server.stop()

@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from _kafka_streams_scaffold_spark.operators import (
     bpe,
@@ -851,3 +852,121 @@ def test_dedup_tier_agreement_bounds(spark, sf_dir):
         if {r["tier_a"], r["tier_b"]} == {"minhash", "ngram"}
     )
     assert mh_ng["n_both"] >= 0.8 * min(mh_ng["n_a"], mh_ng["n_b"])
+
+
+def test_kcore_oracle_unroll_covers_gate_depth():
+    """ADVICE r3 guard: KCORE_ORACLE_ROUNDS is a fixed unroll while
+    the Spark side peels to fixpoint. Prove, at the driver's gate
+    scale (sf0.01), that the unrolled DuckDB peel has CONVERGED with
+    a round to spare — survivors at round N-1 equal round N — so the
+    truncated oracle provably equals the true k-core on gate data
+    (peeling is monotone; extra rounds past the fixpoint are
+    identity)."""
+    import duckdb
+
+    n = clustering.KCORE_ORACLE_ROUNDS
+    rounds = ",".join(
+        clustering._kcore_round(f"s{r - 1}", r) for r in range(1, n + 1)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        "SELECT * FROM '/root/testdata/sf0.01/documents.parquet'"
+    )
+    prev, last = con.execute(
+        f"""
+WITH pairs AS MATERIALIZED (
+  {clustering._simhash_edges_sql()}
+),
+uedges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+s0 AS (SELECT doc_id FROM documents),
+{rounds}
+SELECT (SELECT count(*) FROM s{n - 1}) AS prev,
+       (SELECT count(*) FROM s{n}) AS last
+"""
+    ).fetchone()
+    con.close()
+    assert prev == last, (
+        f"k-core oracle unroll too shallow: round {n - 1} has {prev} "
+        f"survivors but round {n} has {last}; raise KCORE_ORACLE_ROUNDS"
+    )
+
+
+def test_ivm_cdc_apply_converges_to_new_snapshot(spark, sf_dir, tmp_path):
+    """The changelog-store IVM loop, end to end (round-3 verdict ask
+    #9): seed the store with the OLD snapshot, stream-apply the
+    payload-carrying CDC diff (snapshot_diff_full) through
+    run_apply_changes, and prove the store's converged latest-wins
+    read equals the NEW snapshot exactly — the same converged-state
+    == batch contract the wordcount streaming test pins."""
+    from _kafka_streams_scaffold_spark.streaming import pipeline
+    from _kafka_streams_scaffold_spark.streaming.serving import (
+        ParquetChangelogStore,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    store = ParquetChangelogStore(str(tmp_path / "store"), ["o_orderkey"])
+    # Batch ids must be monotone ACROSS writers: the streaming query's
+    # checkpoint numbers its batches from 0, so the seed snapshot takes
+    # an earlier id or updates would tie with seeded rows.
+    store.upsert_batch(old, -1)
+
+    src = str(tmp_path / "cdc")
+    temporal.snapshot_diff_full_query(spark, sf_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        "o_orderkey long, change string, o_totalprice double,"
+        " o_orderstatus string"
+    ).parquet(src)
+    q = pipeline.run_apply_changes(stream, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        r["o_orderkey"]: (r["o_totalprice"], r["o_orderstatus"])
+        for r in store.read(spark).collect()
+    }
+    want = {
+        r["o_orderkey"]: (r["o_totalprice"], r["o_orderstatus"])
+        for r in new.collect()
+    }
+    assert got == want
+
+
+def test_changelog_store_mixed_legacy_rows_survive(spark, tmp_path):
+    """ADVICE r3 (medium): a store written BEFORE the tombstone column
+    existed then appended to with the new format reads back with NULL
+    _deleted on the legacy rows; they must behave as live upserts,
+    not be silently dropped."""
+    from _kafka_streams_scaffold_spark.streaming.serving import (
+        ParquetChangelogStore,
+    )
+
+    path = str(tmp_path / "store")
+    store = ParquetChangelogStore(path, ["k"])
+    # legacy generation: no _deleted column at all
+    spark.createDataFrame([Row(k=1, v="a", _batch_id=0)]).withColumn(
+        "_batch_id", F.col("_batch_id").cast("int")
+    ).write.mode("append").parquet(path)
+    # new generation: tombstone-aware append for a DIFFERENT key
+    store.upsert_batch(spark.createDataFrame([Row(k=2, v="b")]), 1)
+    live = {r["k"]: r["v"] for r in store.read(spark).collect()}
+    assert live == {1: "a", 2: "b"}
+    # compact must keep the legacy row too
+    assert store.compact(spark) == 2
+    live2 = {r["k"]: r["v"] for r in store.read(spark).collect()}
+    assert live2 == {1: "a", 2: "b"}
