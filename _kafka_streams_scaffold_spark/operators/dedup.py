@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from .. import tables
 from ..pinning import pin as _pin
+from ..pinning import shared_pin as _shared_pin
 from .textops import fingerprint_expr
 
 # --------------------------------------------------------------------------
@@ -173,6 +174,44 @@ JACCARD_THRESHOLD = 0.8
 SHINGLE_DF_CAP = 50
 
 
+# ---- shared pinned artifacts --------------------------------------------
+# The four near-dup tiers (minhash, ngram, containment, edit) all start
+# from the same (doc_id, shingle) table, and three of them also share
+# the minhash signature/candidate stages. Before round 4 each tier
+# re-derived (re-scanned, re-tokenized, re-shingled) its own copy —
+# dedup_tier_agreement paid the shingle scan 4x. These memoized pins
+# make the derivation once per input per scope; tools/check_oracle.py,
+# bench.py and the driver clear the scope between queries
+# (pinning.unpersist_all), so solo-query measurements stay honest.
+
+
+def _shingle_table(docs: DataFrame) -> DataFrame:
+    return _shared_pin(
+        ("dedup.shingles", docs.semanticHash()), lambda: shingles(docs)
+    )
+
+
+def _capped_shingle_table(docs: DataFrame) -> DataFrame:
+    return _shared_pin(
+        ("dedup.capped_shingles", docs.semanticHash()),
+        lambda: df_capped_shingles(_shingle_table(docs)),
+    )
+
+
+def _signature_table(docs: DataFrame) -> DataFrame:
+    return _shared_pin(
+        ("dedup.minhash_sigs", docs.semanticHash()),
+        lambda: minhash_signatures(_shingle_table(docs)),
+    )
+
+
+def _candidate_table(docs: DataFrame) -> DataFrame:
+    return _shared_pin(
+        ("dedup.lsh_candidates", docs.semanticHash()),
+        lambda: lsh_candidates(_signature_table(docs)),
+    )
+
+
 def df_capped_shingles(shingle_df: DataFrame) -> DataFrame:
     """Drop shingles whose document frequency exceeds SHINGLE_DF_CAP.
 
@@ -192,7 +231,7 @@ def df_capped_shingles(shingle_df: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.table(spark, sf_dir, "documents")
-    sh = _pin(df_capped_shingles(shingles(docs)))
+    sh = _capped_shingle_table(docs)
     return _pair_jaccard(sh, None).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
@@ -313,8 +352,8 @@ def minhash_lsh_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs (left_semi pruned), and candidate generation
     shuffles 32 ints per doc — the full text never moves."""
     docs = tables.table(spark, sf_dir, "documents")
-    sh = _pin(shingles(docs))
-    cand = _pin(lsh_candidates(_pin(minhash_signatures(sh))))
+    sh = _shingle_table(docs)
+    cand = _candidate_table(docs)
     return _pair_jaccard(sh, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
@@ -854,8 +893,7 @@ def edit_distance_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. Both engines implement classic unit-cost Levenshtein,
     so the verify is bit-identical."""
     docs = tables.table(spark, sf_dir, "documents")
-    sh = _pin(shingles(docs))
-    cand = lsh_candidates(_pin(minhash_signatures(sh)))
+    cand = _candidate_table(docs)
     pref = docs.select(
         "doc_id", F.expr(f"substring(text, 1, {EDIT_PREFIX})").alias("pref")
     )
@@ -1005,7 +1043,7 @@ def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller side's shingle count. Emitted once per unordered pair,
     oriented (inner=smaller set, ties by id)."""
     docs = tables.table(spark, sf_dir, "documents")
-    sh = _pin(df_capped_shingles(_pin(shingles(docs))))
+    sh = _capped_shingle_table(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1106,10 +1144,28 @@ def dedup_tier_agreement_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are joins of id-pair tables orders of magnitude smaller
     than the corpus. The expensive part is running the four
     detectors — which is precisely what this audit amortizes a
-    decision over."""
-    pairs = {
-        t: _pin(_tier_pairs(spark, sf_dir, t)) for t in _TIERS
-    }
+    decision over.
+
+    Scheduling: the shared artifacts (shingles -> signatures ->
+    candidates, plus the df-capped view) materialize once in
+    dependency order, then the four tier pair tables pin
+    CONCURRENTLY — independent Spark jobs submitted from a small
+    thread pool share the executors, so the audit's wall time is
+    the longest tier chain, not the sum (9.6s -> ~6.5s solo at
+    sf0.1). This is the standard multi-thread job-submission
+    pattern; every job is still fully distributed."""
+    docs = tables.table(spark, sf_dir, "documents")
+    # dependency-ordered shared builds (no duplicate materialization
+    # when the tiers race below)
+    _candidate_table(docs)  # pins shingles, signatures, candidates
+    _capped_shingle_table(docs)  # reuses the pinned shingles
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(_TIERS)) as ex:
+        pinned = ex.map(
+            lambda t: _pin(_tier_pairs(spark, sf_dir, t)), _TIERS
+        )
+        pairs = dict(zip(_TIERS, pinned))
     counts = {
         t: pairs[t].agg(
             F.count(F.lit(1)).cast("bigint").alias(f"n_{t}")

@@ -127,24 +127,59 @@ def _sub_slices(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     ).select("e.m", "cid", "e.s_vec")
 
 
+def _sv_packed_min() -> str:
+    """``_packed_min`` over a PRE-SLICED subvector column ``sv``
+    (vs ``s_vec``): identical IEEE term order and fixed-pointing as
+    the full-vector form — ``element_at(sv, k)`` is the same value as
+    ``element_at(embedding, m*PQ_SUB+k)`` — so codes are bit-equal."""
+    terms = " + ".join(
+        _sq(
+            f"cast(element_at(sv, {k}) as double)",
+            f"cast(element_at(s_vec, {k}) as double)",
+        )
+        for k in range(1, PQ_SUB + 1)
+    )
+    return (
+        f"cast(floor(({terms}) * {_D2_SCALE}) as bigint) * {_PACK} + cid"
+    )
+
+
+def _vec_slices(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): each vector exploded into its M 8-dim
+    subvectors — done ONCE, map-side, so everything downstream of the
+    K-way centroid fan-out carries 8 doubles instead of the full
+    DIM-wide embedding."""
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.expr(
+                            f"slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB})"
+                        ).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.m", "e.sv")
+
+
 def _encode(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, m, cid): per-subspace nearest sub-centroid via exact
     integer packing. One corpus scan x broadcast M*K centroid rows;
-    the groupBy is partial-aggregatable (min of a BIGINT)."""
-    pairs = emb.select("vec_id", "embedding").crossJoin(F.broadcast(centroids))
-    # Chained CASE, not element_at(array(...)): an array constructor
-    # evaluates EVERY branch per row (8x the arithmetic); CASE
-    # evaluates only the matching subspace's distance.
-    packed = F.when(
-        F.col("m") == 0, F.expr(_packed_min("embedding", 0, "s_vec", "spark"))
-    )
-    for m in range(1, PQ_M):
-        packed = packed.when(
-            F.col("m") == m,
-            F.expr(_packed_min("embedding", m, "s_vec", "spark")),
-        )
+    the groupBy is partial-aggregatable (min of a BIGINT).
+
+    Round-4 shape (verdict probe on the 7.0x pq_codes factor): the
+    corpus is pre-sliced into (vec_id, m, 8-dim sv) rows before the
+    broadcast join on m, so the K-way fan-out duplicates 8 doubles
+    per row, not the DIM-wide embedding, and each distance evaluates
+    with no M-way CASE dispatch. Same arithmetic, same codes."""
+    pairs = _vec_slices(emb).join(F.broadcast(centroids), "m")
     return (
-        pairs.select("vec_id", "m", packed.alias("pk"))
+        pairs.select("vec_id", "m", F.expr(_sv_packed_min()).alias("pk"))
         .groupBy("vec_id", "m")
         .agg((F.min("pk") % _PACK).cast("int").alias("cid"))
     )
@@ -156,23 +191,52 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     subvector to its seed cell, recenter on the fixed-point mean;
     empty cells keep their seed). M*K rows total regardless of corpus
     size; the only corpus-sized work is one assign pass + one
-    partial-aggregatable per-cell sum."""
+    partial-aggregatable per-cell sum.
+
+    Round-4 shape (verdict probe on the 7.0x pq_codes scale factor):
+    the recenter previously JOINED the assignment table back to the
+    raw embeddings on vec_id — a corpus-sized shuffle join that moved
+    every DIM-wide vector M times. Now assignment and the Lloyd
+    sums come out of ONE pass: the pre-sliced (vec_id, m, sv) rows
+    carry their fixed-point component sums through the assign
+    groupBy (constants within the group), so the per-cell recenter
+    is a second partial-aggregatable groupBy over id-width+8 rows
+    and raw vectors are read exactly once, never shuffled."""
     emb = tables.spread(tables.table(spark, sf_dir, "embeddings"), "vec_id")
     sub0 = _sub_slices(pq_seeds(spark, sf_dir))
-    assign0 = _encode(emb, sub0)
-    sums = [
-        F.sum(
-            F.expr(
-                f"cast(floor(cast(element_at(embedding, "
-                f"m * {PQ_SUB} + {k}) as double) * {_MEAN_SCALE}) as bigint)"
-            )
-        ).alias(f"s{k}")
+    fp_cols = [
+        F.expr(
+            f"cast(floor(cast(element_at(sv, {k}) as double)"
+            f" * {_MEAN_SCALE}) as bigint)"
+        ).alias(f"c{k}")
         for k in range(1, PQ_SUB + 1)
     ]
+    sliced = _vec_slices(emb).select("vec_id", "m", "sv", *fp_cols)
+    pairs = sliced.join(F.broadcast(sub0), "m")
+    per_vm = (
+        pairs.select(
+            "vec_id",
+            "m",
+            F.expr(_sv_packed_min()).alias("pk"),
+            *[f"c{k}" for k in range(1, PQ_SUB + 1)],
+        )
+        .groupBy("vec_id", "m")
+        .agg(
+            (F.min("pk") % _PACK).cast("int").alias("cid"),
+            # the c{k} are constant within the (vec_id, m) group —
+            # min() just carries them through the assign aggregate
+            *[F.min(f"c{k}").alias(f"c{k}") for k in range(1, PQ_SUB + 1)],
+        )
+    )
     means = (
-        assign0.join(emb.select("vec_id", "embedding"), "vec_id")
-        .groupBy("m", "cid")
-        .agg(F.count(F.lit(1)).alias("n"), *sums)
+        per_vm.groupBy("m", "cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(f"c{k}").alias(f"s{k}")
+                for k in range(1, PQ_SUB + 1)
+            ],
+        )
         .select(
             "m",
             "cid",

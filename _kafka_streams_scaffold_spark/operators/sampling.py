@@ -285,6 +285,86 @@ def token_budget_selection_query(
     )
 
 
+TB_BUCKETS = 32  # score-histogram resolution for the two-pass form
+
+
+def token_budget_selection_2p_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-pass scale form of ``token_budget_selection`` — IDENTICAL
+    output (the oracle is the exact form's SQL, so the driver hash
+    check proves the equivalence), without the corpus-wide window the
+    exact form ships with (round-3 verdict ask #2):
+
+    Pass 1 (partial-aggregatable, no sort): bucket the quality score
+    at percentile_approx boundaries and histogram token mass per
+    bucket. The TB_BUCKETS-row histogram is cumulated best-first —
+    a broadcast-sized window — to find which buckets can still reach
+    the budget (cumulative tokens of all strictly-better buckets <
+    TOKEN_BUDGET).
+
+    Pass 2 (candidate-bounded): the exact rank/running-sum window
+    runs ONLY over docs in reachable buckets. Equal scores share a
+    bucket (bucket is a function of score), so the best-first total
+    order (q desc, doc_id) never straddles the cut. The candidate
+    set is budget-bounded — every fully-admitted bucket fits inside
+    the budget and at most one boundary bucket is partial — so the
+    window sorts O(budget/avg_tokens + one bucket) rows no matter
+    how large the corpus is: output-sized work, not corpus-sized.
+    Boundary quality only affects the candidate-set size, never the
+    result."""
+    from .textops import quality_score_expr, tokens_expr
+
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    feats = docs.select(
+        "doc_id",
+        F.size(tokens_expr()).alias("n_tokens"),
+        quality_score_expr().alias("q"),
+    )
+    probs = [i / TB_BUCKETS for i in range(1, TB_BUCKETS)]
+    bounds = feats.agg(
+        F.percentile_approx("q", probs, 10_000).alias("bs")
+    )
+    bucketed = feats.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_tokens",
+        "q",
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("q") > b, 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.sum("n_tokens").cast("bigint").alias("toks")
+    )
+    w_better = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    reachable = hist.select(
+        "bucket",
+        F.coalesce(F.sum("toks").over(w_better), F.lit(0)).alias(
+            "toks_before"
+        ),
+    ).filter(F.col("toks_before") < TOKEN_BUDGET)
+    cand = bucketed.join(
+        F.broadcast(reachable.select("bucket")), "bucket", "left_semi"
+    )
+    w = Window.orderBy(F.col("q").desc(), "doc_id")
+    ranked = cand.select(
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_tokens"),
+    )
+    return ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "rank", "n_tokens", "cum_tokens"
+    )
+
+
 def _token_budget_oracle() -> str:
     from .textops import QUALITY_SCORE_ORACLE
 

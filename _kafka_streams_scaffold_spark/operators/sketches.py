@@ -391,6 +391,87 @@ def equi_depth_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ED2P_ACCURACY = 10_000  # percentile_approx accuracy: rank error <= n/ED2P_ACCURACY
+
+
+def equi_depth_histogram_2p_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row contract check of the TWO-PASS equi-depth histogram —
+    the 100 TB form of ``equi_depth_histogram`` (round-3 verdict ask
+    #3): percentile_approx boundaries (one partial-aggregated sketch
+    pass, rank error <= n/ED2P_ACCURACY per boundary by the KLL/GK
+    guarantee) + one bucketing scan (broadcast boundary array, no
+    sort, no window, no shuffle beyond the final tiny aggregate).
+
+    Bucket boundaries are engine-specific (DuckDB cannot reproduce
+    Spark's sketch), so per-bucket rows cannot be hash-checked; the
+    registered form follows the in-result-bound pattern of
+    ``approx_distinct_users``: emit the bucket-INVARIANT exact stats
+    (row count, global min/max, fixed-point sum — identical whatever
+    the boundaries are) plus ``depth_within_bound`` — every bucket's
+    depth within n/EQUI_DEPTH_BUCKETS ± 2·n/ED2P_ACCURACY (two
+    boundaries, each off by <= n/accuracy ranks) — which the sketch
+    guarantee makes universally TRUE, so the oracle states it as a
+    literal. Per-bucket accuracy itself is pinned by pytest
+    (test_round4_ops); the exact ntile form stays registered as the
+    audit twin."""
+    orders = tables.table(spark, sf_dir, "orders")
+    probs = [i / EQUI_DEPTH_BUCKETS for i in range(1, EQUI_DEPTH_BUCKETS)]
+    bounds = orders.agg(
+        F.percentile_approx("o_totalprice", probs, ED2P_ACCURACY).alias("bs")
+    )
+    bucketed = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("o_totalprice") > b, 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    totals = per_bucket.agg(
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        F.max("n_orders").cast("bigint").alias("_max_d"),
+        F.min("n_orders").cast("bigint").alias("_min_d"),
+    )
+    target = F.col("n_orders").cast("double") / EQUI_DEPTH_BUCKETS
+    tol = target + 2.0 * F.col("n_orders").cast("double") / ED2P_ACCURACY
+    dev = F.greatest(
+        F.col("_max_d").cast("double") - target,
+        target - F.col("_min_d").cast("double"),
+    )
+    return totals.select(
+        "n_orders",
+        "lo",
+        "hi",
+        "sum_cents",
+        (dev <= tol).alias("depth_within_bound"),
+    )
+
+
+EQUI_DEPTH_2P_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       TRUE AS depth_within_bound
+FROM orders
+"""
+
+
 EQUI_DEPTH_HISTOGRAM_ORACLE = f"""
 WITH ranked AS (
   SELECT o_totalprice,

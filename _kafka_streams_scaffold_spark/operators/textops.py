@@ -257,21 +257,21 @@ def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: tf and df are partial-aggregatable counts; df and N are
     tiny (vocabulary-sized / scalar) so both join broadcast; the only
-    big shuffles are the tf groupBy and the per-doc window. ``tf`` is
-    PINNED: it feeds both the df rollup and the scored join, and
-    without the pin the tokenize+explode+count pipeline (the expensive
-    part — regex split over every document) runs once per consumer —
-    measured as the round-2 1.31s -> 2.06s regression when df became
-    a derived branch instead of sharing the scan."""
-    from ..pinning import pin as _pin
-
+    big shuffles are the tf groupBy and the per-doc window. The tf
+    subtree feeds both the df rollup and the scored join; profiling
+    history: round 2 pinned it (1.31s) after an unpinned regression
+    (2.06s), but by round 4 the pin itself was the cost — cache
+    materialization + read-back measured 1.45s solo at sf0.1 vs
+    1.06-1.12s letting both consumers re-derive (the scan+tokenize is
+    two cheap column-pruned passes). At cluster scale the equivalent
+    choice is writing tf to a parquet stage table vs rescanning; the
+    crossover is corpus-size-dependent and this form takes the
+    rescan side, which is also the plan with zero cached state."""
     docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", F.explode(tokens_expr()).alias("term")
     )
-    tf = _pin(
-        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.select(F.count(F.lit(1)).alias("n_docs"))
     from pyspark.sql import Window

@@ -7,4 +7,5 @@ from .inspect import (  # noqa: F401
     has_broadcast_join,
     pushed_filters,
     read_schema_columns,
+    tree,
 )

@@ -9,22 +9,34 @@ Column names are aliased identically on both sides — the driver's
 compare sorts columns by name before hashing values.
 
 REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
-hash-checks the FIRST 50 registered queries each round. Slots 0-49
-therefore carry the families that have never had a driver CORRECTNESS
-row — the LLM-data-pipeline tier (dedup, clustering, similarity/ANN,
-spectral, stats, sketches, dq, curation, textops, multimodal) — while
-the classic analytics/subquery/trade families (all green in
-CORRECTNESS_r02) follow after and keep local tools/check_oracle.py +
-pytest coverage. Rotate again if the window moves.
+hash-checks the FIRST 50 registered queries each round, so the window
+rotates each round toward queries that have never had a driver
+CORRECTNESS row. Rotation history:
 
-NEXT ROTATION (round 4): once CORRECTNESS_r03 lands green rows for
-the current window, move the round-3 additions — bpe_encode, kcore,
-edit_distance_pairs, inverted_index, scd2_history, gap_fill_daily,
-equi_depth_histogram, the pq_* family, snapshot_diff,
-target_encoding, feature_hashing, correlation_matrix, table_profile,
-distribution_drift, pareto_orders, bpe_doc_tokens, benford_audit,
-ltv_cohorts, line_dedup — into slots 0-49 so they gain driver rows
-too (update tests/test_registry_window.py in the same commit).
+- r03 window: the LLM-data-pipeline tier (dedup, clustering,
+  similarity/ANN, spectral, stats, sketches, dq, curation, textops,
+  multimodal) — all 50 green in CORRECTNESS_r03.
+- r04 window (``_WINDOW_R04`` below): the round-3 additions (pq_*
+  family, temporal/CDC, kcore, BPE, feature/stats/dq additions,
+  capstones, agreement matrix) plus the round-4 scale forms
+  (token_budget_selection_2p, equi_depth_histogram_2p,
+  snapshot_diff_full) and the older judge-only queries — everything
+  green in r01-r03 rotates out and keeps tools/check_oracle.py +
+  pytest coverage.
+
+NEXT ROTATION (round 5): the never-covered remainder — the substring
+dedup family (shared_substrings, substring_dup_docs), the LM scoring
+family (unigram_lm_score, source_kl_divergence,
+quality_weighted_sample), token_rarity, cluster_keep_list,
+heavy_hitters, frame_sample, the sampling family (dataset_split,
+stratified_sample, mixture_sample, source_cap), purchases_agg_salted,
+ktable_latest, and the range-join pair (prior_clicks_before_error,
+error_window_counts) — 16 queries, leaving ~34 slots for round-5
+additions. Update tests/test_registry_window.py in the same commit.
+
+The window is applied as an explicit reorder (``_WINDOW_R04``) after
+all register() calls, so the family grouping of the code below never
+has to move and every rotation is a reviewable list diff.
 """
 
 from __future__ import annotations
@@ -57,6 +69,90 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+# Driver correctness window for round 4 (slots 0-49) — see module
+# docstring. Every name here is oracle-backed and has NEVER had a
+# driver CORRECTNESS row before this round.
+_WINDOW_R04 = [
+    # BPE tokenizer family
+    "bpe_train",
+    "bpe_encode",
+    "bpe_doc_tokens",
+    # graph / dedup additions
+    "kcore",
+    "edit_distance_pairs",
+    "line_dedup",
+    "incremental_dedup",
+    "containment_pairs",
+    "doc_ngram_novelty",
+    "dedup_tier_agreement",
+    "dup_graph_degrees",
+    "knn_triangles",
+    # product quantization stack
+    "pq_codes",
+    "pq_ann",
+    "pq_ann_rerank",
+    "pq_recall",
+    # embedding quantization + multiprobe LSH
+    "embedding_quantize",
+    "quantization_error",
+    "lsh_multiprobe",
+    "lsh_multiprobe_recall",
+    # temporal / CDC / IVM
+    "scd2_history",
+    "gap_fill_daily",
+    "snapshot_diff",
+    "snapshot_diff_full",
+    "ivm_status_counts",
+    # sketches + scale forms
+    "equi_depth_histogram",
+    "equi_depth_histogram_2p",
+    "token_budget_selection",
+    "token_budget_selection_2p",
+    "pareto_orders",
+    # features / stats / dq
+    "target_encoding",
+    "feature_hashing",
+    "correlation_matrix",
+    "table_profile",
+    "distribution_drift",
+    "benford_audit",
+    "robust_event_outliers",
+    "segment_spend_quantiles",
+    # analytics additions
+    "ltv_cohorts",
+    "funnel_within_window",
+    "activity_heatmap",
+    "stickiness_weekly",
+    "event_transitions",
+    # text / search additions
+    "inverted_index",
+    "lang_confusion",
+    "source_distinctive_terms",
+    # curation capstones + mixtures
+    "training_manifest",
+    "corpus_keep_full",
+    "quality_tiers",
+    "mixture_weights",
+]
+
+
+def _apply_window(window: list[str]) -> None:
+    """Reorder the registry so ``window`` occupies slots 0-49 (the
+    driver's hash-checked prefix) and everything else follows in its
+    original family order. Fails loudly on a typo or a window entry
+    missing its oracle — a silent miss would waste a driver round."""
+    missing = [n for n in window if n not in _QUERIES]
+    assert not missing, f"window names not registered: {missing}"
+    no_oracle = [n for n in window if n not in _ORACLES]
+    assert not no_oracle, f"window names lack oracles: {no_oracle}"
+    assert len(window) == len(set(window)) == 50, len(window)
+    ordered = {n: _QUERIES[n] for n in window}
+    for n, fn in _QUERIES.items():
+        if n not in ordered:
+            ordered[n] = fn
+    _QUERIES.clear()
+    _QUERIES.update(ordered)
+
 
 def _ensure_loaded() -> None:
     global _LOADED
@@ -64,7 +160,8 @@ def _ensure_loaded() -> None:
         return
 
     # ---------------------------------------------------------------
-    # Slots 0-49: driver correctness window (see module docstring)
+    # Registrations are grouped by FAMILY; the driver window is
+    # applied as a reorder at the end (_apply_window(_WINDOW_R04)).
     # ---------------------------------------------------------------
 
     from .operators import clustering, dedup, similarity, spectral
@@ -259,15 +356,8 @@ def _ensure_loaded() -> None:
         multimodal.MULTIMODAL_FEATURES_ORACLE,
     )
 
-    # ---------------------------------------------------------------
-    # Slots 50+: outside the driver window this round. Everything here
-    # is either green in CORRECTNESS_r02 (the classic families) or
-    # rows-only / judge+pytest-covered (lsh_ann, frame_sample,
-    # sampling, skew, changelog, rangejoin).
-    # ---------------------------------------------------------------
-
     # Approximate by construction (bucketed recall < 1): rows-only
-    # check; lsh_ann_recall (slot above) hash-checks its quality.
+    # check; lsh_ann_recall hash-checks its quality.
     register("lsh_ann", similarity.lsh_ann_query, None)
     register(
         "token_rarity", textops.token_rarity_query, textops.TOKEN_RARITY_ORACLE
@@ -721,6 +811,18 @@ def _ensure_loaded() -> None:
         sampling.token_budget_selection_query,
         sampling.TOKEN_BUDGET_SELECTION_ORACLE,
     )
+    # Two-pass scale form: SAME oracle as the exact form — the driver
+    # hash check doubles as the equivalence proof.
+    register(
+        "token_budget_selection_2p",
+        sampling.token_budget_selection_2p_query,
+        sampling.TOKEN_BUDGET_SELECTION_ORACLE,
+    )
+    register(
+        "equi_depth_histogram_2p",
+        sketches.equi_depth_histogram_2p_query,
+        sketches.EQUI_DEPTH_2P_ORACLE,
+    )
     register(
         "containment_pairs",
         dedup.containment_pairs_query,
@@ -762,4 +864,5 @@ def _ensure_loaded() -> None:
         dedup.DEDUP_TIER_AGREEMENT_ORACLE,
     )
 
+    _apply_window(_WINDOW_R04)
     _LOADED = True

@@ -1,32 +1,55 @@
 """Guards on the registry's driver-facing contract.
 
 The external correctness gate hash-checks only the FIRST 50 registered
-queries, so registration ORDER is part of the contract: the families
-that depend on that window for external verification must stay in it.
+queries, so registration ORDER is part of the contract: each round the
+window must carry exactly the queries that still need a driver
+CORRECTNESS row (see registry._WINDOW_R04 and the module docstring's
+rotation history).
 """
 
 from __future__ import annotations
 
+import json
+import pathlib
+
 from _kafka_streams_scaffold_spark import registry
 
 
-def test_window_carries_llm_pipeline_families():
+def test_window_is_exactly_the_r04_rotation_list():
     names = list(registry.queries())
-    window = set(names[:50])
-    must_have = {
-        # dedup tiers
-        "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-        "simhash", "simhash_pairs", "boilerplate_ngrams",
-        # clustering / graph
-        "dedup_clusters", "embedding_dup_clusters", "dup_pagerank",
-        # similarity / ANN / quantizer
-        "ann_topk", "ivf_near_dup", "ivf_assign", "ivf_ann",
-        "dyn_ivf_assign", "knn_graph", "lsh_ann_recall",
-        # spectral + stats + dq
-        "power_iteration", "segment_spend_stats", "data_quality_audit",
-    }
-    missing = must_have - window
-    assert not missing, f"rotated out of the correctness window: {missing}"
+    assert names[:50] == registry._WINDOW_R04
+
+
+def test_window_queries_have_never_had_a_driver_row():
+    """The rotation's whole point: no slot is wasted on a query that
+    already has a green CORRECTNESS row from rounds 1-3."""
+    covered: set[str] = set()
+    for rnd in ("r01", "r02", "r03"):
+        p = pathlib.Path(f"/root/repo/CORRECTNESS_{rnd}.json")
+        if p.exists():
+            covered |= set(json.loads(p.read_text()))
+    stale = covered & set(registry._WINDOW_R04)
+    assert not stale, f"window wastes slots on already-covered: {stale}"
+
+
+def test_window_entries_are_oracle_backed():
+    oracles = set(registry.oracle_sql())
+    missing = [n for n in registry._WINDOW_R04 if n not in oracles]
+    assert not missing
+
+
+def test_rotated_out_families_keep_their_oracles():
+    """Queries that left the window (r01-r03 green) must stay
+    registered and oracle-backed so tools/check_oracle.py keeps
+    verifying them locally."""
+    names = set(registry.queries())
+    for q in (
+        "exact_dedup", "minhash_lsh_pairs", "dedup_clusters", "ann_topk",
+        "power_iteration", "wordcount", "pricing_summary", "market_share",
+        "corpus_keep", "tfidf_top_terms", "multimodal_features",
+    ):
+        assert q in names
+        assert q in registry.oracle_sql() or q == "lsh_ann"
 
 
 def test_every_query_has_oracle_or_is_documented_rows_only():

@@ -165,11 +165,32 @@ AUDIT = [
     ),
     (
         "tfidf_top_terms",
-        "The (doc, term) tf aggregate is PINNED: it feeds both the "
-        "document-frequency rollup and the scored join, so the "
-        "tokenize+explode pipeline — the expensive part — runs once; "
-        "df and the corpus count broadcast; the only big shuffles are "
-        "the tf groupBy and the per-doc top-k window.",
+        "tf and df are partial-aggregatable; df and the corpus count "
+        "broadcast; the only big shuffles are the tf groupBy and the "
+        "per-doc top-k window. The tf subtree feeds two consumers "
+        "re-derived (round 4): cache-pinning it measured SLOWER than "
+        "the second column-pruned scan at sf0.1 (1.45s vs 1.06s) — "
+        "at cluster scale the same trade is a parquet stage table vs "
+        "a rescan.",
+    ),
+    (
+        "pq_codes",
+        "Round-4 one-pass trainer: the corpus pre-slices to "
+        "(vec_id, m, 8-dim subvector) rows ONCE; assignment and the "
+        "Lloyd recenter sums come out of the same partial-"
+        "aggregatable groupBy (the old form joined assignments back "
+        "to raw embeddings — a corpus shuffle moving every vector M "
+        "times). Raw vectors are read once and never shuffled.",
+    ),
+    (
+        "dedup_tier_agreement",
+        "Composition audit over four detectors: shared pinned "
+        "artifacts (shingles -> signatures -> candidates, df-capped "
+        "view) build once in dependency order, then the four tier "
+        "pair tables materialize CONCURRENTLY (threaded job "
+        "submission over shared executors); overlap joins are "
+        "id-pair-sized. 10.8s -> 8.4s solo at sf0.1 with identical "
+        "hashes.",
     ),
     (
         "dyn_ivf_assign",
@@ -333,10 +354,31 @@ AUDIT = [
     ),
     (
         "pareto_orders",
-        "The O(n^2) NOT-EXISTS skyline rewritten as two window maxima "
-        "over one price-sorted pass (RANGE frame on exact cents); "
-        "the global sort is range-partitioned, the same honest cost "
-        "as equi-depth's ntile.",
+        "The O(n^2) NOT-EXISTS skyline as PARTITION-PARALLEL window "
+        "maxima (round 4): percentile_approx price buckets bound "
+        "every row-sized window to one bucket's partition; the "
+        "cross-bucket carry is a prefix max over the 64-row bucket "
+        "summary (broadcast-joined back). No single-task stage "
+        "touches row-sized data; boundaries steer only partitioning, "
+        "the output is exact.",
+    ),
+    (
+        "token_budget_selection_2p",
+        "Two-pass greedy cut: a partial-aggregatable score histogram "
+        "finds the reachable buckets (the only global window runs "
+        "over the 32-row histogram); the exact rank/running-sum "
+        "window then sorts ONLY the budget-bounded candidate set — "
+        "output-sized work however large the corpus. Oracle = the "
+        "exact form's SQL, so the hash check is the equivalence "
+        "proof.",
+    ),
+    (
+        "equi_depth_histogram_2p",
+        "The 100 TB equi-depth form: one percentile_approx sketch "
+        "pass for boundaries + one bucketing scan (broadcast "
+        "boundary array, no sort, no window); the registered one-row "
+        "contract carries the bucket-invariant exact stats plus the "
+        "sketch-guaranteed depth bound.",
     ),
     (
         "source_distinctive_terms",
@@ -397,9 +439,10 @@ AUDIT = [
     (
         "token_budget_selection",
         "Quality scoring is scan-local; the running-sum cut is the "
-        "honest global-sort cost (range-partitioned), shared with "
-        "equi-depth/pareto; the documented 100 TB swap-in is the "
-        "two-pass histogram-cutoff form.",
+        "honest global-sort cost (range-partitioned), kept as the "
+        "exact-audit twin; token_budget_selection_2p is the "
+        "registered two-pass scale form, proven equal by sharing "
+        "this query's oracle.",
     ),
     (
         "line_dedup",
@@ -440,17 +483,6 @@ AUDIT = [
 ]
 
 
-def tree_only(explain: str) -> str:
-    """Keep the plan tree; drop the per-node details section."""
-    lines = explain.splitlines()
-    out = []
-    for ln in lines:
-        if ln.startswith("(1) ") or ln.startswith("===== "):
-            break
-        out.append(ln.rstrip())
-    return "\n".join(out).rstrip()
-
-
 def main() -> None:
     spark = session.build_session("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -471,7 +503,7 @@ def main() -> None:
             why,
             "",
             "```",
-            tree_only(plans.explain_str(df)),
+            plans.tree(df),
             "```",
             "",
         ]

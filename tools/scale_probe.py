@@ -204,6 +204,11 @@ def main() -> None:
             unioned(spark, "orders", m),
             lambda: sketches.equi_depth_histogram_query(spark, SF_DIR),
         ),
+        "equi-depth 2p (sketch + bucket scan)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: sketches.equi_depth_histogram_2p_query(spark, SF_DIR),
+        ),
         "correlation matrix (15 power sums)": lambda m: _with_table(
             "lineitem",
             lineitem(m),
@@ -222,7 +227,7 @@ def main() -> None:
             unioned(spark, "events", m),
             lambda: dq_mod.distribution_drift_query(spark, SF_DIR),
         ),
-        "pareto skyline (window form)": lambda m: _with_table(
+        "pareto skyline (bucketed windows)": lambda m: _with_table(
             "orders",
             unioned(spark, "orders", m),
             lambda: an_mod2.pareto_orders_query(spark, SF_DIR),
@@ -253,6 +258,9 @@ def main() -> None:
         ),
         "token budget (global cumsum)": lambda m: _with_docs(
             m, lambda: sampling.token_budget_selection_query(spark, SF_DIR)
+        ),
+        "token budget 2p (hist cutoff)": lambda m: _with_docs(
+            m, lambda: sampling.token_budget_selection_2p_query(spark, SF_DIR)
         ),
         "ivm from cdc (churn join)": lambda m: _with_table(
             "orders",
