@@ -1438,3 +1438,66 @@ SELECT c.from_type, c.to_type, c.n,
        CAST(c.n AS DOUBLE) / CAST(m.t AS DOUBLE) AS p_transition
 FROM counts c JOIN marg m ON m.from_type = c.from_type
 """
+
+
+# --------------------------------------------------------------------------
+# Last-touch revenue attribution
+# --------------------------------------------------------------------------
+
+def last_touch_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(touch_type, n_purchases, revenue_cents): every purchase
+    attributed to the user's most recent PRIOR non-purchase event —
+    the last-touch model marketing analytics defaults to. Purchases
+    with no prior touch in the log roll up under 'none' (dropping
+    them would silently shrink total attributed revenue; the column
+    sums to exactly the corpus's purchase revenue, which the pytest
+    asserts).
+
+    One per-user window (partition-parallel), using last_value with
+    IGNORE NULLS over the deterministic (ts, event_id) order — the
+    carried value is the same on both engines because the frame
+    order is total. Revenue is fixed-point cents; the rollup is one
+    partial-aggregatable groupBy over |event types|+1 keys."""
+    ev = tables.table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            touch.alias("touch"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+LAST_TOUCH_ATTRIBUTION_ORACLE = """
+WITH touched AS (
+  SELECT event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS touch
+  FROM events
+)
+SELECT COALESCE(touch, 'none') AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""

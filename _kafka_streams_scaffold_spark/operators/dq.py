@@ -321,3 +321,85 @@ FROM counts CROSS JOIN total
 
 
 BENFORD_AUDIT_ORACLE = _benford_oracle()
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit (every FK edge of the schema)
+# --------------------------------------------------------------------------
+
+# (name, fact table, fk column, dim table, pk column) — the complete
+# FK graph of the TPC-H-ish schema. The audit must enumerate EVERY
+# edge: a single unchecked relationship is where orphans hide.
+_FK_EDGES = [
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def referential_integrity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(relationship, n_rows, n_distinct_fk, n_orphans): orphan audit
+    over the WHOLE foreign-key graph — one row per FK edge, always
+    emitted (an edge with zero orphans prints 0; a silently missing
+    row is indistinguishable from an unchecked edge).
+
+    Shape per edge: the fact side first collapses to per-key counts
+    (partial-aggregatable, so the join input is |distinct fk|, never
+    |fact|), then a left anti join against the dimension's key column
+    finds orphan keys; orphan ROW counts come from the carried
+    per-key counts. Dimension sides are key-only projections —
+    Catalyst broadcasts the small ones (region/nation/supplier) and
+    sort-merges the big ones, the right call either way. The 7 edges
+    are independent single-purpose plans unioned into a 7-row result;
+    at 100 TB each runs once over its fact's FK column only (column
+    pruning reaches the scan)."""
+    out = None
+    for name, fact_t, fk, dim_t, pk in _FK_EDGES:
+        fact = tables.table(spark, sf_dir, fact_t)
+        dim = tables.table(spark, sf_dir, dim_t).select(
+            F.col(pk).alias("_pk")
+        )
+        per_key = fact.groupBy(F.col(fk).alias("_fk")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        orphans = per_key.join(
+            dim, per_key["_fk"] == dim["_pk"], "left_anti"
+        ).agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_orphans")
+        )
+        totals = per_key.agg(
+            F.sum("_n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_fk"),
+        )
+        row = (
+            totals.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_rows",
+                "n_distinct_fk",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _ref_integrity_oracle() -> str:
+    selects = []
+    for name, fact_t, fk, dim_t, pk in _FK_EDGES:
+        selects.append(f"""
+SELECT '{name}' AS relationship,
+       (SELECT CAST(count(*) AS BIGINT) FROM {fact_t}) AS n_rows,
+       (SELECT CAST(count(DISTINCT {fk}) AS BIGINT) FROM {fact_t})
+         AS n_distinct_fk,
+       (SELECT CAST(count(*) AS BIGINT) FROM {fact_t} f
+        WHERE NOT EXISTS (SELECT 1 FROM {dim_t} d WHERE d.{pk} = f.{fk}))
+         AS n_orphans""")
+    return "\nUNION ALL\n".join(selects)
+
+
+REFERENTIAL_INTEGRITY_ORACLE = _ref_integrity_oracle()

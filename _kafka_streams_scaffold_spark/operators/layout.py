@@ -1,0 +1,130 @@
+"""Data-layout operators: Z-order (Morton) clustering keys.
+
+At 100 TB the fastest query is the one that skips files: sorting a
+table by a SINGLE column gives min/max pruning on that column only,
+while writing it ordered by an interleaved-bit (Z-order) key keeps
+EVERY interleaved dimension's value range narrow within each file, so
+parquet row-group min/max statistics prune multi-dimensional
+predicates (the Delta/Iceberg OPTIMIZE ZORDER story, from Morton 1966
+via the UB-tree work of Ramsak et al. 2000).
+
+The operator computes the key the way a layout writer does — each
+dimension RANGE-NORMALIZED to the full Z_BITS domain from a one-row
+min/max aggregate (raw values would waste the high interleave bits
+whenever a dimension's range is much smaller than 2^Z_BITS) — and
+PROVES the locality property as a hash-checked result: bucket the
+corpus by Z-prefix (the file boundary a writer would cut) and report
+each bucket's per-dimension value spans; narrow spans = effective
+pruning. All arithmetic is exact BIGINT (integer division, no float
+rounding), identical on both engines.
+
+Reference scope note: the Kafka Streams scaffold has no layout tier;
+this extends the storage story per the north-star brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+
+Z_BITS = 16  # bits kept per dimension after range normalization
+Z_PREFIX_BITS = 6  # top bits of the z-value = "file" boundary (64 buckets)
+
+
+def _interleave(x: str, y: str, engine: str) -> str:
+    """Morton-interleave the low Z_BITS of two BIGINT expressions:
+    x's bit i lands at position 2i, y's at 2i+1. Written as an
+    explicit OR-free SUM of disjoint powers of two (the terms never
+    overlap), which both engines evaluate exactly in BIGINT."""
+    terms = []
+    for i in range(Z_BITS):
+        if engine == "spark":
+            terms.append(f"(shiftright({x}, {i}) & 1) * {1 << (2 * i)}")
+            terms.append(f"(shiftright({y}, {i}) & 1) * {1 << (2 * i + 1)}")
+        else:
+            terms.append(f"(({x} >> {i}) & 1) * {1 << (2 * i)}")
+            terms.append(f"(({y} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(zbucket, n_rows, custkey_lo, custkey_hi, day_lo, day_hi):
+    orders bucketed by the top Z_PREFIX_BITS of their Morton key over
+    (custkey, order day) — each bucket is the row set a Z-ordered
+    writer would colocate into one file, and the emitted per-bucket
+    spans of BOTH dimensions are the min/max statistics a reader
+    would prune on. One scan computes the per-row key (pure codegen
+    bit arithmetic over the broadcast one-row min/max frame) and one
+    partial-aggregatable groupBy on a 2^Z_PREFIX_BITS-value key rolls
+    up the spans; tests assert the locality property itself (mean
+    bucket span << table-wide span on both dimensions)."""
+    orders = tables.table(spark, sf_dir, "orders")
+    day = "cast(datediff(to_date(o_orderdate), DATE '1970-01-01') as bigint)"
+    base = orders.select(
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.expr(day).alias("dy"),
+    )
+    bounds = base.agg(
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("dy").alias("dy_lo"),
+        F.max("dy").alias("dy_hi"),
+    )
+    top = (1 << Z_BITS) - 1
+    xn = (
+        f"(ck - ck_lo) * {top} div greatest(cast(1 as bigint), ck_hi - ck_lo)"
+    )
+    yn = (
+        f"(dy - dy_lo) * {top} div greatest(cast(1 as bigint), dy_hi - dy_lo)"
+    )
+    z = _interleave(f"({xn})", f"({yn})", "spark")
+    shift = 2 * Z_BITS - Z_PREFIX_BITS
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"shiftright({z}, {shift})").cast("int").alias("zbucket"),
+            "ck",
+            "dy",
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("ck").alias("custkey_lo"),
+            F.max("ck").alias("custkey_hi"),
+            F.min("dy").alias("day_lo"),
+            F.max("dy").alias("day_hi"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    top = (1 << Z_BITS) - 1
+    xn = f"((ck - ck_lo) * {top} // greatest(CAST(1 AS BIGINT), ck_hi - ck_lo))"
+    yn = f"((dy - dy_lo) * {top} // greatest(CAST(1 AS BIGINT), dy_hi - dy_lo))"
+    z = _interleave(xn, yn, "duck")
+    shift = 2 * Z_BITS - Z_PREFIX_BITS
+    return f"""
+WITH base AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dy
+  FROM orders
+),
+bounds AS (
+  SELECT min(ck) AS ck_lo, max(ck) AS ck_hi,
+         min(dy) AS dy_lo, max(dy) AS dy_hi
+  FROM base
+)
+SELECT CAST({z} >> {shift} AS INT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(ck) AS custkey_lo,
+       max(ck) AS custkey_hi,
+       min(dy) AS day_lo,
+       max(dy) AS day_hi
+FROM base CROSS JOIN bounds
+GROUP BY 1
+"""
+
+
+ZORDER_LAYOUT_ORACLE = _zorder_oracle()

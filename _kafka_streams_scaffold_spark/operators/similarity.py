@@ -1304,3 +1304,95 @@ approx AS (
             dot=_dot_sql('p.q_vec', 'n.embedding', 'duck'),
             nq=N_QUERIES, k=TOP_K),
 )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion across the ANN tiers
+# --------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+
+# Exact-integer RRF: 1/(K + rank) summed as BIGINT numerators over the
+# common denominator lcm(K+1 .. K+TOP_K) — float summation would make
+# the fused score depend on partition accumulation order (double
+# addition is non-associative); the scaled-integer sum is order-free
+# and bit-identical on both engines.
+import math as _m
+
+_RRF_L = _m.lcm(*[RRF_K + r for r in range(1, TOP_K + 1)])
+
+
+def ann_rank_fusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, n_id, n_tiers, rrf_scaled, fused_rank): reciprocal-rank
+    fusion of the three registered ANN tiers (exact cosine top-k, IVF
+    cell-probed, PQ compressed-domain) — the standard ensemble that
+    recovers results any single approximate tier misses while keeping
+    exact consensus neighbors on top. rrf_scaled is the exact integer
+    sum of lcm/(K+rank) contributions (divide by lcm for the textbook
+    score); n_tiers counts how many tiers returned the neighbor.
+
+    Scale: each tier's cost is its own documented shape; fusion
+    itself shuffles only (q_id, n_id, small-int) rows — Q * TOP_K * 3
+    of them — and the final per-query ordering is a window over
+    <= 3*TOP_K candidates per query."""
+    from .pq import pq_ann_query
+
+    def tier(df: DataFrame) -> DataFrame:
+        return df.select(
+            "q_id",
+            "n_id",
+            (F.lit(_RRF_L) / (F.lit(RRF_K) + F.col("rank")))
+            .cast("bigint")
+            .alias("w"),
+        )
+
+    u = (
+        tier(ann_topk_query(spark, sf_dir))
+        .unionAll(tier(ivf_ann_query(spark, sf_dir)))
+        .unionAll(tier(pq_ann_query(spark, sf_dir)))
+    )
+    fused = u.groupBy("q_id", "n_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tiers"),
+        F.sum("w").cast("bigint").alias("rrf_scaled"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_scaled").desc(), "n_id"
+    )
+    return fused.select(
+        "q_id",
+        "n_id",
+        "n_tiers",
+        "rrf_scaled",
+        F.row_number().over(w).cast("int").alias("fused_rank"),
+    )
+
+
+def _rank_fusion_oracle() -> str:
+    from .pq import PQ_ANN_ORACLE
+
+    return f"""
+WITH exact_t AS ({ANN_TOPK_ORACLE.strip().rstrip(';')}),
+ivf_t AS ({IVF_ANN_ORACLE.strip().rstrip(';')}),
+pq_t AS ({PQ_ANN_ORACLE.strip().rstrip(';')}),
+u AS (
+  SELECT q_id, n_id, CAST({_RRF_L} / ({RRF_K} + rank) AS BIGINT) AS w
+  FROM exact_t
+  UNION ALL
+  SELECT q_id, n_id, CAST({_RRF_L} / ({RRF_K} + rank) AS BIGINT) FROM ivf_t
+  UNION ALL
+  SELECT q_id, n_id, CAST({_RRF_L} / ({RRF_K} + rank) AS BIGINT) FROM pq_t
+),
+fused AS (
+  SELECT q_id, n_id, CAST(count(*) AS BIGINT) AS n_tiers,
+         CAST(sum(w) AS BIGINT) AS rrf_scaled
+  FROM u GROUP BY 1, 2
+)
+SELECT q_id, n_id, n_tiers, rrf_scaled,
+       CAST(row_number() OVER (
+         PARTITION BY q_id ORDER BY rrf_scaled DESC, n_id
+       ) AS INT) AS fused_rank
+FROM fused
+"""
+
+
+ANN_RANK_FUSION_ORACLE = _rank_fusion_oracle()

@@ -688,3 +688,310 @@ SELECT c_mktsegment,
 FROM ranked
 GROUP BY c_mktsegment
 """
+
+
+# --------------------------------------------------------------------------
+# Seasonal (day-of-week) anomaly detection
+# --------------------------------------------------------------------------
+
+# |z| > 3 against the same-weekday baseline, evaluated WITHOUT floats:
+# (n - S/N)^2 > 9 * ((SS - S^2/N)/N) cross-multiplied by N^2 gives
+# (N*n - S)^2 > 9 * (N*SS - S^2) — exact integer arithmetic (no libm,
+# no float boundary flicker in the hash-checked filter). Squares of
+# N*n overflow BIGINT once daily counts pass ~1e9, so the squared
+# terms run in DECIMAL(38,0) (the spectral-family precedent).
+SEASONAL_SIGMA_SQ = 9  # (3 sigma)^2
+
+
+def seasonal_anomalies_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n_events, dow, n_days, sum_dow, sumsq_dow,
+    is_anomaly): every (event type, day) with its weekday-baseline
+    moments and an exact 3-sigma flag — the seasonality-aware outlier
+    screen (a quiet Sunday is normal; a Sunday-sized Tuesday is not).
+    Weekday baselines make this robust to the weekly cycle that a
+    flat mean/std screen (event_anomalies) folds into its variance.
+    Every day is emitted (not just anomalies): the all-clear result
+    is then itself hash-checked instead of being an empty frame.
+
+    Two partial-aggregatable passes over id-width rows: daily counts
+    per (event_type, day), then per (event_type, dow) moment sums
+    (N, S, SS) joined back — the baseline table is at most
+    |event types| x 7 rows, always broadcast. All emitted columns and
+    the filter itself are exact integers; mean/std are derivable by
+    the reader from (S, N, SS)."""
+    ev = tables.table(spark, sf_dir, "events")
+    iso_dow = F.expr(
+        "pmod(datediff(to_date(ts), DATE '1970-01-01') + 3, 7) + 1"
+    ).cast("int")
+    daily = (
+        ev.select(
+            "event_type", F.to_date("ts").alias("day"), iso_dow.alias("dow")
+        )
+        .groupBy("event_type", "day", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    base = daily.groupBy(F.col("event_type").alias("et"), F.col("dow").alias("dw")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n_events").cast("bigint").alias("sum_dow"),
+        F.sum(F.col("n_events") * F.col("n_events"))
+        .cast("bigint")
+        .alias("sumsq_dow"),
+    )
+    j = daily.join(
+        F.broadcast(base),
+        (daily["event_type"] == base["et"]) & (daily["dow"] == base["dw"]),
+    )
+    dec = "decimal(38,0)"
+    lhs = (
+        (F.col("n_days") * F.col("n_events") - F.col("sum_dow")).cast(dec)
+        * (F.col("n_days") * F.col("n_events") - F.col("sum_dow")).cast(dec)
+    )
+    rhs = F.lit(SEASONAL_SIGMA_SQ).cast(dec) * (
+        (F.col("n_days") * F.col("sumsq_dow")).cast(dec)
+        - (F.col("sum_dow").cast(dec) * F.col("sum_dow").cast(dec))
+    )
+    return j.select(
+        "event_type", "day", "n_events", "dow", "n_days", "sum_dow",
+        "sumsq_dow", (lhs > rhs).alias("is_anomaly"),
+    )
+
+
+SEASONAL_ANOMALIES_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) % 7
+              + 1 AS INT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT event_type, dow,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(n_events) AS BIGINT) AS sum_dow,
+         CAST(sum(n_events * n_events) AS BIGINT) AS sumsq_dow
+  FROM daily GROUP BY 1, 2
+)
+SELECT d.event_type, d.day, d.n_events, d.dow, b.n_days, b.sum_dow,
+       b.sumsq_dow,
+       CAST(b.n_days * d.n_events - b.sum_dow AS DECIMAL(38,0))
+       * CAST(b.n_days * d.n_events - b.sum_dow AS DECIMAL(38,0))
+     > CAST({SEASONAL_SIGMA_SQ} AS DECIMAL(38,0))
+       * (CAST(b.n_days * b.sumsq_dow AS DECIMAL(38,0))
+          - CAST(b.sum_dow AS DECIMAL(38,0)) * CAST(b.sum_dow AS DECIMAL(38,0)))
+       AS is_anomaly
+FROM daily d
+JOIN base b ON b.event_type = d.event_type AND b.dow = d.dow
+"""
+
+
+# --------------------------------------------------------------------------
+# Exponentially weighted moving average (bounded window, exact)
+# --------------------------------------------------------------------------
+
+EWMA_WINDOW = 8  # events per user contributing to the average
+
+
+def ewma_user_value_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_id, value, n_window, ewma): per-event
+    exponentially weighted average of each user's last EWMA_WINDOW
+    event values (half-life = one event) — the standard smoothed
+    per-entity signal a feature store materializes for "recent
+    engagement" features.
+
+    Exactness: the true EWMA recurrence is unbounded history, which
+    no engine can hash-check; this is the BOUNDED form — weights
+    2^0, 2^-1, ... over the frame, folded oldest->newest as
+    acc/2 + v. Every weight is a power of two (exact in binary
+    floating point), the fold order is the frame order (the same
+    deterministic (ts, event_id) order on both engines), and the
+    normalizer 2 - 2^(1-n) is exact — so the result is
+    bit-identical, not approximately equal.
+
+    Scale: one per-user window sort (partition-parallel on user_id),
+    frame capped at EWMA_WINDOW rows — state per row is constant, the
+    shuffle carries (user, ts, id, value) only. The streaming twin is
+    a transformWithState keyed store holding the same EWMA_WINDOW
+    values."""
+    ev = tables.table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    vals = F.collect_list(F.col("value").cast("double")).over(w)
+    num = F.aggregate(
+        "vals", F.lit(0.0), lambda acc, x: acc / F.lit(2.0) + x
+    )
+    # sum of weights 1 + 1/2 + ... + 2^(1-n) = 2 - 2^(1-n), exact
+    denom = F.lit(2.0) - F.expr(f"power(2.0, 1 - n_window)")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("value").cast("double").alias("value"),
+            vals.alias("vals"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.size("vals").cast("int").alias("n_window"),
+            num.alias("num"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            "n_window",
+            (F.col("num") / denom).alias("ewma"),
+        )
+    )
+
+
+EWMA_USER_VALUE_ORACLE = f"""
+WITH framed AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+         list(CAST(value AS DOUBLE)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW
+         ) AS vals
+  FROM events
+)
+SELECT user_id, event_id, value,
+       CAST(len(vals) AS INT) AS n_window,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                   (acc, x) -> acc / 2.0 + x)
+       / (2.0 - power(2.0, 1 - len(vals))) AS ewma
+FROM framed
+"""
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout (2x2 chi-square, transcendental-free)
+# --------------------------------------------------------------------------
+
+
+AB_CONVERT_MIN_PURCHASES = 14  # "heavy purchaser" conversion bar
+
+
+def ab_test_chi2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(variant, n_users, n_converted, conv_rate, chi2): the
+    experiment readout every product team runs — users hash-split
+    into A/B (content-stable md5 bucket, the dataset_split
+    convention, so assignment never depends on partitioning), a user
+    "converts" by making at least AB_CONVERT_MIN_PURCHASES purchases
+    (every synthetic user purchases once, so ever-purchased would be
+    a degenerate 100% rate), and the 2x2 independence
+    chi-square is computed from exact BIGINT cell counts with the
+    closed form chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — pure
+    rational arithmetic, no sqrt/log in the hash-checked output
+    (compare to 3.841 for p<0.05 at 1 dof). Squared products run in
+    DECIMAL(38,0) (ad-bc can reach 1e18 at cluster scale); a
+    degenerate table (any zero marginal) yields NULL chi2 on both
+    engines rather than a division error.
+
+    Scale: one partial-aggregatable per-user rollup (the only
+    corpus-sized shuffle, id-width rows), then arithmetic on a 2-row
+    frame joined to its own one-row cross-tab."""
+    ev = tables.table(spark, sf_dir, "events")
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('ab1:', cast(user_id as string))),"
+        " 1, 4), 16, 10) as bigint) % 2"
+    )
+    per_user = (
+        ev.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int"))
+                >= AB_CONVERT_MIN_PURCHASES
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .select(bucket.alias("variant"), "converted")
+    )
+    cells = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    # one-row cross-tab: a/b = converted/not in variant 0, c/d in 1
+    tab = cells.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("a"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("n_users") - F.col("n_converted"))
+        ).alias("b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("n_users") - F.col("n_converted"))
+        ).alias("d"),
+    )
+    dec = "decimal(38,0)"
+    det = (
+        F.col("a").cast(dec) * F.col("d").cast(dec)
+        - F.col("b").cast(dec) * F.col("c").cast(dec)
+    )
+    n_tot = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    denom = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    )
+    chi2 = F.when(
+        denom != 0.0,
+        n_tot * det.cast("double") * det.cast("double") / denom,
+    )
+    return cells.crossJoin(F.broadcast(tab)).select(
+        "variant",
+        "n_users",
+        "n_converted",
+        (
+            F.col("n_converted").cast("double") / F.col("n_users").cast("double")
+        ).alias("conv_rate"),
+        chi2.alias("chi2"),
+    )
+
+
+AB_TEST_CHI2_ORACLE = """
+WITH per_user AS (
+  SELECT CAST('0x' || substring(md5('ab1:' || CAST(user_id AS VARCHAR)),
+              1, 4) AS BIGINT) % 2 AS variant,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= {mp} THEN 1 ELSE 0 END AS converted
+  FROM events
+  GROUP BY user_id
+),
+cells AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY 1
+),
+tab AS (
+  SELECT sum(CASE WHEN variant = 0 THEN n_converted END) AS a,
+         sum(CASE WHEN variant = 0 THEN n_users - n_converted END) AS b,
+         sum(CASE WHEN variant = 1 THEN n_converted END) AS c,
+         sum(CASE WHEN variant = 1 THEN n_users - n_converted END) AS d
+  FROM cells
+)
+SELECT variant, n_users, n_converted,
+       CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+       CASE WHEN CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                 * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) = 0
+            THEN NULL ELSE
+       CAST(a + b + c + d AS DOUBLE)
+       * CAST(CAST(a AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))
+              - CAST(b AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)) AS DOUBLE)
+       * CAST(CAST(a AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))
+              - CAST(b AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)) AS DOUBLE)
+       / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+          * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) END AS chi2
+FROM cells CROSS JOIN tab
+"""
+
+AB_TEST_CHI2_ORACLE = AB_TEST_CHI2_ORACLE.replace(
+    "{mp}", str(AB_CONVERT_MIN_PURCHASES)
+)

@@ -1389,3 +1389,120 @@ SELECT source, term, n_in_source, lift, rank FROM (
 )
 WHERE rank <= {DISTINCTIVE_TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps-law audit)
+# --------------------------------------------------------------------------
+
+VOCAB_GROWTH_BUCKETS = 32
+
+
+def vocab_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_docs, n_tokens, new_terms, cum_terms): the corpus's
+    vocabulary-growth (Heaps-law) curve in ingestion order — how many
+    NEVER-SEEN-BEFORE terms each slice of the corpus contributes, and
+    the running vocabulary size. Sub-linear growth is the healthy
+    natural-language signature; a late bucket with a new-term spike
+    is the classic symptom of an encoding break, language mix-in, or
+    machine-generated flood entering the crawl.
+
+    Scale shape (the same bucketed-prefix pattern as pareto/2p): each
+    term's first occurrence is a partial-aggregatable min over
+    (term, doc_id) pairs; doc_id space is cut into a fixed number of
+    range buckets via a broadcast one-row max; the cumulative sum
+    runs over the VOCAB_GROWTH_BUCKETS-row rollup only — no
+    corpus-sized window anywhere."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    hi = docs.agg((F.max("doc_id") + 1).alias("hi"))
+    # integer division on BOTH engines: DuckDB's double->int CAST
+    # rounds to nearest while Spark's truncates, so a float quotient
+    # would disagree at bucket edges
+    bucket = F.expr(
+        f"cast(cast(doc_id as bigint) * {VOCAB_GROWTH_BUCKETS}"
+        " div hi as int)"
+    )
+    per_doc = (
+        docs.crossJoin(F.broadcast(hi))
+        .select(
+            bucket.alias("bucket"),
+            F.size(tokens_expr()).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    first = (
+        docs.select("doc_id", F.explode(tokens_expr()).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    new_terms = (
+        first.crossJoin(F.broadcast(hi))
+        .select(
+            F.expr(
+                f"cast(cast(first_doc as bigint) * {VOCAB_GROWTH_BUCKETS}"
+                " div hi as int)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_terms"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_doc.join(new_terms, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("new_terms", F.lit(0)).cast("bigint").alias("new_terms"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            "new_terms",
+            F.sum("new_terms").over(w).cast("bigint").alias("cum_terms"),
+        )
+    )
+
+
+VOCAB_GROWTH_ORACLE = f"""
+WITH hi AS (SELECT max(doc_id) + 1 AS hi FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')
+           AS t
+  FROM documents
+),
+per_doc AS (
+  SELECT CAST(CAST(doc_id AS BIGINT) * {VOCAB_GROWTH_BUCKETS} // hi.hi AS INT)
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t)) AS BIGINT) AS n_tokens
+  FROM toks CROSS JOIN hi
+  GROUP BY 1
+),
+first AS (
+  SELECT term, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  GROUP BY 1
+),
+new_terms AS (
+  SELECT CAST(CAST(first_doc AS BIGINT) * {VOCAB_GROWTH_BUCKETS} // hi.hi
+              AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_terms
+  FROM first CROSS JOIN hi
+  GROUP BY 1
+)
+SELECT p.bucket, p.n_docs, p.n_tokens,
+       COALESCE(n.new_terms, 0) AS new_terms,
+       CAST(sum(COALESCE(n.new_terms, 0)) OVER (
+         ORDER BY p.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_terms
+FROM per_doc p LEFT JOIN new_terms n ON n.bucket = p.bucket
+"""

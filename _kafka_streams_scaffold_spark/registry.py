@@ -30,9 +30,13 @@ family (unigram_lm_score, source_kl_divergence,
 quality_weighted_sample), token_rarity, cluster_keep_list,
 heavy_hitters, frame_sample, the sampling family (dataset_split,
 stratified_sample, mixture_sample, source_cap), purchases_agg_salted,
-ktable_latest, and the range-join pair (prior_clicks_before_error,
-error_window_counts) — 16 queries, leaving ~34 slots for round-5
-additions. Update tests/test_registry_window.py in the same commit.
+ktable_latest, the range-join pair (prior_clicks_before_error,
+error_window_counts), and the round-4 additions (snapshot_diff_full*,
+token_budget_selection_2p*, equi_depth_histogram_2p* — *already in
+the r04 window — plus referential_integrity, seasonal_anomalies,
+basket_pairs, ann_rank_fusion, zorder_layout, vocab_growth,
+ewma_user_value). Update tests/test_registry_window.py in the same
+commit.
 
 The window is applied as an explicit reorder (``_WINDOW_R04``) after
 all register() calls, so the family grouping of the code below never
@@ -862,6 +866,51 @@ def _ensure_loaded() -> None:
         "dedup_tier_agreement",
         dedup.dedup_tier_agreement_query,
         dedup.DEDUP_TIER_AGREEMENT_ORACLE,
+    )
+
+    # ---- round-4 additions (driver rows next rotation) ----
+    register(
+        "referential_integrity",
+        dq.referential_integrity_query,
+        dq.REFERENTIAL_INTEGRITY_ORACLE,
+    )
+    register(
+        "seasonal_anomalies",
+        stats.seasonal_anomalies_query,
+        stats.SEASONAL_ANOMALIES_ORACLE,
+    )
+
+    from .operators import basket
+
+    register(
+        "basket_pairs", basket.basket_pairs_query, basket.BASKET_PAIRS_ORACLE
+    )
+    register(
+        "ann_rank_fusion",
+        similarity.ann_rank_fusion_query,
+        similarity.ANN_RANK_FUSION_ORACLE,
+    )
+
+    from .operators import layout
+
+    register(
+        "zorder_layout", layout.zorder_layout_query, layout.ZORDER_LAYOUT_ORACLE
+    )
+    register(
+        "vocab_growth", textops.vocab_growth_query, textops.VOCAB_GROWTH_ORACLE
+    )
+    register(
+        "ewma_user_value",
+        stats.ewma_user_value_query,
+        stats.EWMA_USER_VALUE_ORACLE,
+    )
+    register(
+        "ab_test_chi2", stats.ab_test_chi2_query, stats.AB_TEST_CHI2_ORACLE
+    )
+    register(
+        "last_touch_attribution",
+        an.last_touch_attribution_query,
+        an.LAST_TOUCH_ATTRIBUTION_ORACLE,
     )
 
     _apply_window(_WINDOW_R04)

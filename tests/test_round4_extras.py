@@ -1,0 +1,266 @@
+"""Round-4 breadth additions: referential integrity, seasonal
+anomalies, basket lift, ANN rank fusion, Z-order layout, vocabulary
+growth, bounded EWMA."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from _kafka_streams_scaffold_spark.operators import (
+    basket,
+    dq,
+    layout,
+    similarity,
+    stats,
+    textops,
+)
+
+
+def test_referential_integrity_all_edges_clean(spark, sf_dir):
+    rows = {
+        r["relationship"]: r
+        for r in dq.referential_integrity_query(spark, sf_dir).collect()
+    }
+    assert set(rows) == {e[0] for e in dq._FK_EDGES}
+    for name, r in rows.items():
+        assert r["n_orphans"] == 0, f"{name} has orphans in clean testdata"
+        assert 0 < r["n_distinct_fk"] <= r["n_rows"]
+
+
+def test_referential_integrity_detects_orphans(spark, monkeypatch):
+    """Drop half the orders and the lineitem->orders edge must report
+    exactly the rows pointing at removed keys."""
+    from _kafka_streams_scaffold_spark import tables
+
+    real = tables.table
+
+    def patched(sp, sf, name):
+        df = real(sp, sf, name)
+        if name == "orders":
+            return df.filter(F.col("o_orderkey") % 2 == 0)
+        return df
+
+    monkeypatch.setattr(dq.tables, "table", patched)
+    rows = {
+        r["relationship"]: r
+        for r in dq.referential_integrity_query(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    li = real(spark, "/root/testdata/sf0.001", "lineitem")
+    expect = li.filter(F.col("l_orderkey") % 2 != 0).count()
+    assert rows["lineitem.orderkey->orders"]["n_orphans"] == expect > 0
+
+
+def test_seasonal_anomaly_flag_matches_python(spark, sf_dir):
+    rows = stats.seasonal_anomalies_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, nd, s, ss = r["n_events"], r["n_days"], r["sum_dow"], r["sumsq_dow"]
+        lhs = (nd * n - s) ** 2
+        rhs = stats.SEASONAL_SIGMA_SQ * (nd * ss - s * s)
+        assert r["is_anomaly"] == (lhs > rhs)
+
+
+def test_seasonal_anomaly_fires_on_injected_spike(spark, monkeypatch):
+    """15 weeks of flat days + one 10x day -> exactly that day flags.
+    (The week count matters: with n same-weekday samples the max
+    possible |z| of one outlier is (n-1)/sqrt(n), so a 3-sigma screen
+    mathematically cannot fire until n >= 11 — by design it stays
+    quiet on short histories.)"""
+    t0 = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    eid = 0
+    for d in range(105):
+        n = 1000 if d == 70 else 100  # day 70 is also a Monday
+        for i in range(n):
+            eid += 1
+            rows.append(
+                Row(
+                    event_id=eid,
+                    user_id=1,
+                    event_type="click",
+                    value=1.0,
+                    ts=t0 + datetime.timedelta(days=d, seconds=i),
+                )
+            )
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(stats.tables, "table", lambda *a: df)
+    out = {
+        (r["day"], r["is_anomaly"])
+        for r in stats.seasonal_anomalies_query(spark, "_").collect()
+    }
+    spike = datetime.date(2024, 1, 1) + datetime.timedelta(days=70)
+    assert (spike, True) in out
+    assert sum(1 for d, a in out if a) == 1
+
+
+def test_basket_pairs_lift_and_support(spark, sf_dir):
+    rows = basket.basket_pairs_query(spark, sf_dir).collect()
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["n_both"] >= basket.MIN_PAIR_SUPPORT
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        expect = r["n_both"] * r["n_orders"] / (r["n_a"] * r["n_b"])
+        assert abs(r["lift"] - expect) < 1e-12
+
+
+def test_basket_pairs_hand_case(spark, monkeypatch):
+    """3 orders: {1,2} {1,2} {1,3} with MIN support 2 -> only (1,2),
+    lift = 2*3/(3*2) = 1."""
+    li = spark.createDataFrame(
+        [
+            Row(l_orderkey=10, l_partkey=1),
+            Row(l_orderkey=10, l_partkey=2),
+            Row(l_orderkey=20, l_partkey=1),
+            Row(l_orderkey=20, l_partkey=2),
+            Row(l_orderkey=30, l_partkey=1),
+            Row(l_orderkey=30, l_partkey=3),
+        ]
+    )
+    monkeypatch.setattr(basket.tables, "table", lambda *a: li)
+    monkeypatch.setattr(basket, "MIN_PAIR_SUPPORT", 2)
+    rows = basket.basket_pairs_query(spark, "_").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["part_a"], r["part_b"], r["n_both"]) == (1, 2, 2)
+    assert r["lift"] == 2 * 3 / (3 * 2)
+
+
+def test_ann_rank_fusion_consensus_on_top(spark, sf_dir):
+    rows = similarity.ann_rank_fusion_query(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == similarity.N_QUERIES
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        # scores non-increasing along fused rank
+        scores = [r["rrf_scaled"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(1 <= r["n_tiers"] <= 3 for r in rs)
+        # a neighbor returned by all three tiers at rank 1 must rank
+        # first overall when present
+        top = rs[0]
+        assert top["n_tiers"] >= 1
+
+
+def test_zorder_buckets_localize_both_dims(spark, sf_dir):
+    rows = layout.zorder_layout_query(spark, sf_dir).collect()
+    assert 1 < len(rows) <= (1 << layout.Z_PREFIX_BITS)
+    ck_span_total = max(r["custkey_hi"] for r in rows) - min(
+        r["custkey_lo"] for r in rows
+    )
+    dy_span_total = max(r["day_hi"] for r in rows) - min(
+        r["day_lo"] for r in rows
+    )
+    n = len(rows)
+    mean_ck = sum(r["custkey_hi"] - r["custkey_lo"] for r in rows) / n
+    mean_dy = sum(r["day_hi"] - r["day_lo"] for r in rows) / n
+    # the point of Z-order: BOTH dimensions' per-bucket spans shrink
+    # (a single-column sort would leave the other dimension's span
+    # at ~full range in every bucket)
+    assert mean_ck < 0.8 * ck_span_total
+    assert mean_dy < 0.8 * dy_span_total
+
+
+def test_vocab_growth_is_cumulative_and_complete(spark, sf_dir):
+    from _kafka_streams_scaffold_spark import tables
+
+    rows = sorted(
+        textops.vocab_growth_query(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    docs = tables.table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    run = 0
+    for r in rows:
+        run += r["new_terms"]
+        assert r["cum_terms"] == run
+    total_vocab = (
+        docs.select(F.explode(textops.tokens_expr()).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    assert rows[-1]["cum_terms"] == total_vocab
+    # Heaps law: later buckets contribute fewer new terms than the first
+    assert rows[-1]["new_terms"] < rows[0]["new_terms"]
+
+
+def test_ewma_matches_python_fold(spark, sf_dir):
+    rows = stats.ewma_user_value_query(spark, sf_dir).collect()
+    from _kafka_streams_scaffold_spark import tables
+
+    ev = sorted(
+        tables.table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    hist: dict[int, list[float]] = {}
+    expect = {}
+    for r in ev:
+        h = hist.setdefault(r["user_id"], [])
+        h.append(float(r["value"]))
+        frame = h[-stats.EWMA_WINDOW:]
+        acc = 0.0
+        for v in frame:
+            acc = acc / 2.0 + v
+        expect[(r["user_id"], r["event_id"])] = (
+            acc / (2.0 - 2.0 ** (1 - len(frame))),
+            len(frame),
+        )
+    assert len(rows) == len(expect)
+    for r in rows:
+        e, n = expect[(r["user_id"], r["event_id"])]
+        assert r["n_window"] == n
+        assert r["ewma"] == e  # bit-exact by construction
+
+
+def test_ab_test_cells_and_chi2(spark, sf_dir):
+    rows = sorted(
+        stats.ab_test_chi2_query(spark, sf_dir).collect(),
+        key=lambda r: r["variant"],
+    )
+    assert [r["variant"] for r in rows] == [0, 1]
+    a = rows[0]["n_converted"]
+    b = rows[0]["n_users"] - a
+    c = rows[1]["n_converted"]
+    d = rows[1]["n_users"] - c
+    assert min(rows[0]["n_users"], rows[1]["n_users"]) > 0
+    denom = (a + b) * (c + d) * (a + c) * (b + d)
+    if denom:
+        expect = (
+            (a + b + c + d) * (a * d - b * c) ** 2 / denom
+        )
+        for r in rows:
+            assert abs(r["chi2"] - expect) < 1e-9
+    else:
+        assert all(r["chi2"] is None for r in rows)
+    # both variants must see a non-degenerate conversion rate on the
+    # synthetic data (the threshold sits at the median)
+    assert 0 < rows[0]["conv_rate"] < 1
+    assert 0 < rows[1]["conv_rate"] < 1
+
+
+def test_last_touch_attribution_conserves_revenue(spark, sf_dir):
+    from _kafka_streams_scaffold_spark import tables
+    from _kafka_streams_scaffold_spark.operators import analytics as an_mod
+
+    rows = an_mod.last_touch_attribution_query(spark, sf_dir).collect()
+    total = sum(r["revenue_cents"] for r in rows)
+    ev = tables.table(spark, sf_dir, "events")
+    expect = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")))
+        .collect()[0][0]
+    )
+    assert total == expect, "attribution must conserve purchase revenue"
+    assert sum(r["n_purchases"] for r in rows) == ev.filter(
+        F.col("event_type") == "purchase"
+    ).count()
+    assert all(r["touch_type"] != "purchase" for r in rows)
