@@ -104,3 +104,69 @@ except ImportError:  # pragma: no cover - older Spark or missing protobuf
     # environments without it (like this container) fall back to the
     # applyInPandasWithState path above — same semantics, older API.
     stateful_count_and_total_tws = None
+
+
+# --------------------------------------------------------------------------
+# Streaming EWMA (bounded value window per key)
+# --------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = "user_id long, n_window int, ewma double"
+EWMA_STATE_SCHEMA = "vals string"
+
+
+def _fold_ewma(vals: list[float]) -> float:
+    acc = 0.0
+    for v in vals:
+        acc = acc / 2.0 + v
+    return acc / (2.0 - 2.0 ** (1 - len(vals)))
+
+
+def _update_ewma(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State = the last EWMA_WINDOW raw values per user (bounded,
+    constant size — the whole point of the bounded EWMA form; the
+    unbounded recurrence would still be O(1) state but could never be
+    replayed bit-exactly from a bounded store). Values are serialized
+    through repr() so the binary64 round-trip is exact."""
+    from ..operators.stats import EWMA_WINDOW
+
+    vals: list[float] = (
+        [float(x) for x in state.get[0].split(",") if x]
+        if state.exists
+        else []
+    )
+    for pdf in pdf_iter:
+        # deterministic within-batch order: the same (ts, event_id)
+        # total order the batch operator sorts by
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            vals.append(float(v))
+            if len(vals) > EWMA_WINDOW:
+                vals.pop(0)
+    state.update((",".join(repr(v) for v in vals),))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_window": [len(vals)],
+            "ewma": [_fold_ewma(vals)],
+        }
+    )
+
+
+def streaming_ewma(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/stats.ewma_user_value_query``:
+    per user, the EWMA over their last EWMA_WINDOW values, emitted
+    per micro-batch in update mode. The converged state after
+    draining a corpus equals the batch query's LAST row per user
+    bit-for-bit (asserted in tests/test_streaming.py) — same fold,
+    same order, same normalizer."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

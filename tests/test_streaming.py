@@ -759,3 +759,49 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     }
     assert (1, 9.0) in got          # matched pair
     assert (3, None) in got         # unmatched click emitted with nulls
+
+
+def test_streaming_ewma_converges_to_batch(spark, tmp_path):
+    """Drain the sf0.001 events through the stateful streaming EWMA
+    and assert the converged per-user state equals the batch
+    operator's LAST row per user BIT-FOR-BIT (same fold, same
+    deterministic order, same normalizer)."""
+    from _kafka_streams_scaffold_spark.operators import stats as stats_mod
+
+    sfd = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sfd}/events.parquet").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts timestamp, value double"
+    ).parquet(src)
+    agg = stateful.streaming_ewma(stream)
+    store = serving.MemoryStore(["user_id"])
+    q = pipeline.run_update_into_store(agg, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {
+        k[0]: (v["n_window"], v["ewma"]) for k, v in store.snapshot().items()
+    }
+
+    from pyspark.sql import Window as W
+
+    batch = stats_mod.ewma_user_value_query(spark, sfd)
+    last = (
+        batch.join(
+            ev.select("user_id", "event_id", "ts"), ["user_id", "event_id"]
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .collect()
+    )
+    want = {r["user_id"]: (r["n_window"], r["ewma"]) for r in last}
+    assert got == want and got

@@ -480,6 +480,79 @@ AUDIT = [
         "explode, so the corpus-sized path is explode + broadcast-"
         "join + partial-aggregated per-doc sum.",
     ),
+    (
+        "referential_integrity",
+        "Each FK edge collapses the fact side to per-key counts "
+        "BEFORE its anti-join (join input is |distinct fk|, never "
+        "|fact|); small dims broadcast, big ones sort-merge — "
+        "Catalyst's call; 7 independent single-purpose plans union "
+        "into a 7-row result.",
+    ),
+    (
+        "seasonal_anomalies",
+        "Two partial-aggregatable passes over id-width rows (daily "
+        "counts, then per-(type, weekday) moment sums); the baseline "
+        "table is |types| x 7 rows and joins BROADCAST; the 3-sigma "
+        "test is integer arithmetic cross-multiplied into "
+        "DECIMAL(38,0) — no float boundary in the hash-checked flag.",
+    ),
+    (
+        "basket_pairs",
+        "The pair self-join keys on l_orderkey, so fan-out per order "
+        "is C(basket,2) — schema-bounded, never corpus-quadratic; "
+        "item supports and the order count broadcast back onto the "
+        "support-filtered pair aggregate.",
+    ),
+    (
+        "ann_rank_fusion",
+        "Three tier plans union as (q_id, n_id, BIGINT weight) rows "
+        "— RRF weights are exact lcm-scaled integers so the fused "
+        "sum is partition-order-free; the final ordering is a window "
+        "over <= 3*TOP_K candidates per query.",
+    ),
+    (
+        "zorder_layout",
+        "One scan computes the Morton key in codegen (range-"
+        "normalized from a broadcast one-row min/max frame, exact "
+        "integer division) and one partial-aggregatable groupBy on "
+        "the 64-value prefix rolls up per-bucket spans — the "
+        "locality proof costs one shuffle of 64 rows.",
+    ),
+    (
+        "vocab_growth",
+        "Per-term first occurrence is a partial-aggregated min; "
+        "doc-id space buckets via a broadcast one-row max with "
+        "integer division; the cumulative window runs over the "
+        "32-row rollup only — the bucketed-prefix pattern shared "
+        "with pareto/2p, no corpus-sized window.",
+    ),
+    (
+        "ewma_user_value",
+        "One per-user window sort (partition-parallel) with a frame "
+        "capped at EWMA_WINDOW rows; weights are powers of two and "
+        "the fold order is the frame order, so the smoothed value is "
+        "bit-exact — constant state per row, id-width shuffle.",
+    ),
+    (
+        "ab_test_chi2",
+        "One corpus-sized per-user rollup (partial-aggregatable, "
+        "id-width) feeds a 2-row cells frame; the chi-square closed "
+        "form is rational arithmetic on the one-row cross-tab with "
+        "DECIMAL(38,0) products and a degenerate-table NULL guard.",
+    ),
+    (
+        "last_touch_attribution",
+        "One per-user window (partition-parallel IGNORE-NULLS carry "
+        "over the deterministic event order) and one partial-"
+        "aggregatable rollup over |event types|+1 keys; revenue "
+        "conservation is asserted in tests.",
+    ),
+    (
+        "snapshot_diff_full",
+        "Same one full-outer join as the keys-only diff, carrying "
+        "the new-side payload columns — output stays churn-sized and "
+        "feeds run_apply_changes directly (tombstones are key-only).",
+    ),
 ]
 
 

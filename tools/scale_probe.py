@@ -43,6 +43,8 @@ from _kafka_streams_scaffold_spark.operators import stats as stats_mod  # noqa: 
 from _kafka_streams_scaffold_spark.operators import features as features_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import dq as dq_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import analytics as an_mod2  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import basket as basket_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import layout as layout_mod  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 MULT = 10
@@ -276,6 +278,39 @@ def main() -> None:
             "embeddings",
             embeddings(m),
             lambda: similarity.lsh_multiprobe_query(spark, SF_DIR),
+        ),
+        "basket pairs (order-bounded join)": lambda m: _with_table(
+            "lineitem",
+            lineitem(m),
+            lambda: basket_mod.basket_pairs_query(spark, SF_DIR),
+        ),
+        "ewma (bounded per-user window)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: stats_mod.ewma_user_value_query(spark, SF_DIR),
+        ),
+        "zorder layout (codegen key + 64-agg)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: layout_mod.zorder_layout_query(spark, SF_DIR),
+        ),
+        "referential integrity (7 anti-joins)": lambda m: _with_table(
+            "lineitem",
+            lineitem(m),
+            lambda: dq_mod.referential_integrity_query(spark, SF_DIR),
+        ),
+        "vocab growth (bucketed prefix)": lambda m: _with_docs(
+            m, lambda: textops.vocab_growth_query(spark, SF_DIR)
+        ),
+        "seasonal anomalies (dow baseline)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: stats_mod.seasonal_anomalies_query(spark, SF_DIR),
+        ),
+        "last-touch attribution (carry window)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: an_mod2.last_touch_attribution_query(spark, SF_DIR),
         ),
     }
 
