@@ -1503,3 +1503,74 @@ FROM touched
 WHERE event_type = 'purchase'
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Native session_window sessionization
+# --------------------------------------------------------------------------
+
+def session_window_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_start, session_end, n_events, value_cents):
+    per-session rollup using Spark's NATIVE ``session_window``
+    operator (the same gap semantics ``user_sessions`` builds by hand
+    with gaps-and-islands windows): a session extends while events
+    arrive within SESSION_GAP_MINUTES, and its end is last_event +
+    gap. The DuckDB oracle derives identical sessions from the
+    islands formulation — so the hash check is a PROOF that Spark's
+    built-in session semantics equal the textbook lag/cumsum form,
+    and the one operator works identically in batch and Structured
+    Streaming (the streaming twin shares the expression).
+
+    Scale: session_window aggregation shuffles once on user_id and
+    merges sessions inside the aggregation — no window sort pass at
+    all, which is exactly why the native operator beats the manual
+    islands form at 100 TB (the islands cumsum needs the per-user
+    sort)."""
+    ev = tables.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+SESSION_WINDOW_STATS_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_MINUTES} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM ordered
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM ids
+GROUP BY user_id, sid
+"""

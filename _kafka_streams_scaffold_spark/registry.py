@@ -913,5 +913,23 @@ def _ensure_loaded() -> None:
         an.LAST_TOUCH_ATTRIBUTION_ORACLE,
     )
 
+    from .operators import chunking
+
+    register(
+        "payload_chunks_fixed",
+        chunking.payload_chunks_fixed_query,
+        chunking.PAYLOAD_CHUNKS_FIXED_ORACLE,
+    )
+    # Content-defined chunking: the Gear rolling hash is not
+    # SQL-expressible — rows-only; its contract (determinism,
+    # coverage, bounds, boundary re-synchronization under edits)
+    # is pinned in tests/test_chunking.py.
+    register("payload_chunks_cdc", chunking.payload_chunks_cdc_query, None)
+    register(
+        "session_window_stats",
+        an.session_window_stats_query,
+        an.SESSION_WINDOW_STATS_ORACLE,
+    )
+
     _apply_window(_WINDOW_R04)
     _LOADED = True

@@ -41,8 +41,11 @@ def test_no_oracle_emits_hugeint(duck):
     )
 
 
-def test_every_query_has_an_oracle_except_lsh_ann(duck):
+def test_every_query_has_an_oracle_except_documented_rows_only(duck):
     qs, oracles = entry.queries(), entry.oracle_sql()
     missing = set(qs) - set(oracles)
-    assert missing == {"lsh_ann"}  # approximate recall by design
+    # lsh_ann: approximate recall by design (recall gate IS checked);
+    # payload_chunks_cdc: rolling hash not SQL-expressible (contract
+    # in test_chunking.py; fixed-size sibling fully hash-checked)
+    assert missing == {"lsh_ann", "payload_chunks_cdc"}
     assert set(oracles) <= set(qs)  # no orphan oracles

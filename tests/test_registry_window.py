@@ -56,9 +56,11 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
     names = set(registry.queries())
     oracles = set(registry.oracle_sql())
     rows_only = names - oracles
-    # the ONLY rows-only query is the SRP-LSH search, whose quality is
-    # hash-checked through lsh_ann_recall
-    assert rows_only == {"lsh_ann"}
+    # the ONLY rows-only queries: the SRP-LSH search (quality
+    # hash-checked through lsh_ann_recall) and Gear-hash CDC chunking
+    # (rolling hash not SQL-expressible; contract in test_chunking.py,
+    # with the fixed-size chunker as its oracle-checked sibling)
+    assert rows_only == {"lsh_ann", "payload_chunks_cdc"}
 
 
 def test_oracle_keys_subset_of_queries():
