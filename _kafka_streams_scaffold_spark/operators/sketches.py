@@ -488,3 +488,267 @@ SELECT bucket,
 FROM ranked
 GROUP BY bucket
 """
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (fully deterministic, both engines build the SAME sketch)
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 512  # counters per row
+CMS_TOP = 20  # audited keys
+
+
+def _cms_cell(engine: str, d: int) -> str:
+    """Row-d hash cell for a user_id: md5-derived 60-bit value mod
+    width — the same universal-hash family the dedup/sampling tiers
+    use, so both engines place every key in the same cell."""
+    if engine == "spark":
+        return (
+            f"cast(conv(substring(md5(concat('cms{d}:',"
+            f" cast(user_id as string))), 1, 15), 16, 10) as bigint)"
+            f" % {CMS_WIDTH}"
+        )
+    return (
+        f"CAST('0x' || substring(md5('cms{d}:' || CAST(user_id AS VARCHAR)),"
+        f" 1, 15) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+def cms_user_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, true_n, cms_estimate, overcount, never_undercounts):
+    a 4x512 count-min sketch of per-user event counts, audited
+    against the exact counts for the top-CMS_TOP users. The sketch
+    itself is two partial-aggregatable passes (cell counts; then the
+    min-over-rows estimate via a broadcast join of the D cells each
+    audited key hashes to); the CMS guarantee estimate >= true is
+    DETERMINISTIC — emitted as a column the oracle states as literal
+    TRUE — while the overcount column shows the actual collision
+    inflation at this width.
+
+    This is the mergeable sketch a streaming pipeline keeps per
+    window: cells are counters, merge is elementwise +, and the same
+    md5 placement makes shards combinable — the groupBy here IS that
+    merge. Unlike approx_count_distinct (engine-opaque HLL), every
+    bit of this sketch is reproducible cross-engine, so the driver
+    hash-checks the sketch itself, not just a bound."""
+    ev = tables.table(spark, sf_dir, "events")
+    cells = None
+    for d in range(CMS_DEPTH):
+        c = ev.select(
+            F.lit(d).alias("row"),
+            F.expr(_cms_cell("spark", d)).alias("cell"),
+        )
+        cells = c if cells is None else cells.unionAll(c)
+    sketch = cells.groupBy("row", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    true_top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "user_id")
+        .limit(CMS_TOP)
+    )
+    probes = None
+    for d in range(CMS_DEPTH):
+        p = true_top.select(
+            "user_id",
+            "true_n",
+            F.lit(d).alias("row"),
+            F.expr(_cms_cell("spark", d)).alias("cell"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    est = (
+        probes.join(sketch, ["row", "cell"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "true_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_n"))
+        .cast("bigint")
+        .alias("overcount"),
+        (F.col("cms_estimate") >= F.col("true_n")).alias(
+            "never_undercounts"
+        ),
+    )
+
+
+def _cms_oracle() -> str:
+    cell_rows = "\nUNION ALL\n".join(
+        f"SELECT {d} AS row, {_cms_cell('duck', d)} AS cell FROM events"
+        for d in range(CMS_DEPTH)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT user_id, true_n, {d} AS row, {_cms_cell('duck', d)} AS cell"
+        " FROM true_top"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH cells AS ({cell_rows}),
+sketch AS (
+  SELECT row, cell, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2
+),
+true_top AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+  FROM events GROUP BY user_id
+  ORDER BY true_n DESC, user_id
+  LIMIT {CMS_TOP}
+),
+probes AS ({probe_rows})
+SELECT p.user_id, p.true_n,
+       CAST(min(s.cnt) AS BIGINT) AS cms_estimate,
+       CAST(min(s.cnt) - p.true_n AS BIGINT) AS overcount,
+       TRUE AS never_undercounts
+FROM probes p
+JOIN sketch s ON s.row = p.row AND s.cell = p.cell
+GROUP BY p.user_id, p.true_n
+"""
+
+
+CMS_USER_COUNTS_ORACLE = _cms_oracle()
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (hand-rolled, deterministic, oracle-checkable)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 8192
+BLOOM_K = 5
+
+
+def _bloom_bit(engine: str, k: int, key_expr: str) -> str:
+    if engine == "spark":
+        return (
+            f"cast(conv(substring(md5(concat('bf{k}:', {key_expr})), 1, 15),"
+            f" 16, 10) as bigint) % {BLOOM_BITS}"
+        )
+    return (
+        f"CAST('0x' || substring(md5('bf{k}:' || {key_expr}), 1, 15)"
+        f" AS BIGINT) % {BLOOM_BITS}"
+    )
+
+
+def bloom_filter_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_members, bits_set, n_probes, n_false_positives,
+    no_false_negatives): a deterministic Bloom filter over the set of
+    custkeys that placed at least one order, probed with EVERY
+    customer — members must all pass (the Bloom guarantee, emitted as
+    a column the oracle states as TRUE) and the false-positive count
+    over true non-members measures the filter's actual FPR at this
+    m/k. This is the semi-join pre-filter shape (ship the bit set,
+    drop rows before the shuffle); Spark's own runtime bloom filters
+    (session.py enables them) are engine-opaque — this one is
+    bit-reproducible cross-engine, so the whole filter state is
+    hash-checked via its observable behavior.
+
+    Scale: the bit set is built as distinct (bit) rows — at most
+    BLOOM_BITS of them regardless of member count — and broadcast
+    into the probe join; probes aggregate partial. Nothing wide
+    shuffles."""
+    orders = tables.table(spark, sf_dir, "orders")
+    customer = tables.table(spark, sf_dir, "customer")
+    members = orders.select(
+        F.col("o_custkey").cast("string").alias("k")
+    ).distinct()
+    bits = None
+    for k in range(BLOOM_K):
+        b = members.select(F.expr(_bloom_bit("spark", k, "k")).alias("bit"))
+        bits = b if bits is None else bits.unionAll(b)
+    bitset = bits.distinct()
+    probes = customer.select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    is_member = members.select("k", F.lit(1).alias("is_member"))
+    probe_bits = None
+    for k in range(BLOOM_K):
+        p = probes.select(
+            "k",
+            F.lit(k).alias("i"),
+            F.expr(_bloom_bit("spark", k, "k")).alias("bit"),
+        )
+        probe_bits = p if probe_bits is None else probe_bits.unionAll(p)
+    hits = (
+        probe_bits.join(
+            F.broadcast(bitset.select("bit", F.lit(1).alias("set"))),
+            "bit",
+            "left",
+        )
+        .groupBy("k")
+        .agg(
+            (F.sum(F.coalesce("set", F.lit(0))) == BLOOM_K).alias("passes")
+        )
+    )
+    audited = hits.join(F.broadcast(is_member), "k", "left")
+    return audited.agg(
+        F.sum(F.coalesce("is_member", F.lit(0)))
+        .cast("bigint")
+        .alias("n_members"),
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(
+            F.when(
+                F.col("passes") & F.col("is_member").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.min(
+            F.when(F.col("is_member").isNotNull(), F.col("passes"))
+        ).alias("no_false_negatives"),
+    ).crossJoin(
+        F.broadcast(
+            bitset.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+        )
+    ).select(
+        "n_members", "bits_set", "n_probes", "n_false_positives",
+        "no_false_negatives",
+    )
+
+
+def _bloom_oracle() -> str:
+    member_bits = "\nUNION ALL\n".join(
+        f"SELECT {_bloom_bit('duck', k, 'k')} AS bit FROM members"
+        for k in range(BLOOM_K)
+    )
+    probe_bits = "\nUNION ALL\n".join(
+        f"SELECT k, {kk} AS i, {_bloom_bit('duck', kk, 'k')} AS bit"
+        " FROM probes"
+        for kk in range(BLOOM_K)
+    )
+    return f"""
+WITH members AS (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+),
+bitset AS (
+  SELECT DISTINCT bit FROM ({member_bits})
+),
+probes AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer
+),
+pb AS ({probe_bits}),
+hits AS (
+  SELECT pb.k,
+         (sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+          = {BLOOM_K}) AS passes
+  FROM pb LEFT JOIN bitset b ON b.bit = pb.bit
+  GROUP BY pb.k
+),
+audited AS (
+  SELECT h.k, h.passes, m.k IS NOT NULL AS is_member
+  FROM hits h LEFT JOIN members m ON m.k = h.k
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+       (SELECT CAST(count(*) AS BIGINT) FROM bitset) AS bits_set,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN passes AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives,
+       CAST(min(CASE WHEN is_member THEN passes END) AS BOOLEAN)
+         AS no_false_negatives
+FROM audited
+"""
+
+
+BLOOM_FILTER_AUDIT_ORACLE = _bloom_oracle()

@@ -387,3 +387,110 @@ FROM orders
 WHERE o_orderkey % 13 <> 0
 GROUP BY o_orderstatus
 """
+
+
+# --------------------------------------------------------------------------
+# Point-in-time dimension join (leakage-free feature enrichment)
+# --------------------------------------------------------------------------
+
+def scd2_intervals(ev: DataFrame) -> DataFrame:
+    """The SCD2 interval construction over any (user_id, event_type,
+    ts, event_id) stream — factored out so PIT consumers can build
+    dimensions from FILTERED streams (e.g. non-purchase activity)."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        ev.withColumn("prev_type", F.lag("event_type").over(order))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    return changed.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(order).alias("valid_to"),
+    )
+
+
+def pit_dimension_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(state_at_purchase, n_purchases, revenue_cents): every purchase
+    joined to the user's ACTIVITY-state interval valid at its
+    timestamp (``valid_from <= ts < valid_to``; dimension built from
+    the NON-purchase event stream, so the answer is "what was the
+    user doing when they bought", not the purchase itself) — the
+    point-in-time-correct join a feature store runs to guarantee
+    training features contain no future information. Using TODAY'S
+    dimension value instead of the interval match is the classic
+    silent leakage this operator exists to prevent.
+
+    Intervals partition each user's timeline from their first
+    non-purchase event, so every purchase matches at most one
+    interval; purchases BEFORE any activity roll up under 'none'
+    (left join — total revenue is conserved, asserted in tests).
+    Scale: equi-join on user_id with the interval predicate as a
+    residual — both sides hash-partition by user, the dimension side
+    is change-points only, the rollup is partial-aggregatable over
+    |states|+1 rows."""
+    ev = tables.table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dim = scd2_intervals(
+        ev.filter(F.col("event_type") != "purchase").select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+    )
+    j = purchases.join(
+        dim,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("p_ts"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to"))),
+        "left",
+    )
+    return j.groupBy(
+        F.coalesce("event_type", F.lit("none")).alias("state_at_purchase")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+def _pit_oracle() -> str:
+    return """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+dim AS (
+  SELECT user_id, event_type,
+         ts AS valid_from,
+         lead(ts) OVER w AS valid_to
+  FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+purchases AS (
+  SELECT user_id AS p_user, ts AS p_ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT COALESCE(d.event_type, 'none') AS state_at_purchase,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+FROM purchases p
+LEFT JOIN dim d
+  ON d.user_id = p.p_user
+ AND d.valid_from <= p.p_ts
+ AND (d.valid_to IS NULL OR p.p_ts < d.valid_to)
+GROUP BY 1
+"""
+
+
+PIT_DIMENSION_JOIN_ORACLE = _pit_oracle()

@@ -930,6 +930,21 @@ def _ensure_loaded() -> None:
         an.session_window_stats_query,
         an.SESSION_WINDOW_STATS_ORACLE,
     )
+    register(
+        "pit_dimension_join",
+        temporal.pit_dimension_join_query,
+        temporal.PIT_DIMENSION_JOIN_ORACLE,
+    )
+    register(
+        "cms_user_counts",
+        sketches.cms_user_counts_query,
+        sketches.CMS_USER_COUNTS_ORACLE,
+    )
+    register(
+        "bloom_filter_audit",
+        sketches.bloom_filter_audit_query,
+        sketches.BLOOM_FILTER_AUDIT_ORACLE,
+    )
 
     _apply_window(_WINDOW_R04)
     _LOADED = True

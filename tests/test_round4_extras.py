@@ -264,3 +264,92 @@ def test_last_touch_attribution_conserves_revenue(spark, sf_dir):
         F.col("event_type") == "purchase"
     ).count()
     assert all(r["touch_type"] != "purchase" for r in rows)
+
+
+def test_pit_dimension_join_conserves_purchases(spark, sf_dir):
+    from _kafka_streams_scaffold_spark import tables
+    from _kafka_streams_scaffold_spark.operators import temporal
+
+    rows = temporal.pit_dimension_join_query(spark, sf_dir).collect()
+    ev = tables.table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    assert sum(r["n_purchases"] for r in rows) == purchases.count()
+    assert sum(r["revenue_cents"] for r in rows) == (
+        purchases.agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        ).collect()[0][0]
+    )
+    states = {r["state_at_purchase"] for r in rows}
+    assert "purchase" not in states, "dimension must exclude purchases"
+    assert len(states) > 1, "PIT join should spread over activity states"
+
+
+def test_pit_join_no_future_leakage(spark, monkeypatch):
+    """A purchase between two state changes must attribute to the
+    EARLIER state — attributing to the later one is exactly the
+    future-information leak the operator prevents."""
+    from _kafka_streams_scaffold_spark.operators import temporal
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, et, minutes):
+        return Row(
+            event_id=i,
+            user_id=1,
+            event_type=et,
+            value=10.0,
+            ts=t0 + datetime.timedelta(minutes=minutes),
+        )
+
+    df = spark.createDataFrame(
+        [
+            ev(1, "click", 0),
+            ev(2, "purchase", 5),  # during 'click' state
+            ev(3, "signup", 10),
+            ev(4, "purchase", 15),  # during 'signup' state
+        ]
+    )
+    monkeypatch.setattr(temporal.tables, "table", lambda *a: df)
+    rows = {
+        r["state_at_purchase"]: r["n_purchases"]
+        for r in temporal.pit_dimension_join_query(spark, "_").collect()
+    }
+    assert rows == {"click": 1, "signup": 1}
+
+
+def test_cms_never_undercounts_and_is_tight(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import sketches
+
+    from _kafka_streams_scaffold_spark import tables as _t
+
+    n_users = (
+        _t.table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    rows = sketches.cms_user_counts_query(spark, sf_dir).collect()
+    assert len(rows) == min(sketches.CMS_TOP, n_users)
+    for r in rows:
+        assert r["never_undercounts"] is True
+        assert r["cms_estimate"] >= r["true_n"]
+        assert r["overcount"] == r["cms_estimate"] - r["true_n"]
+    # sanity on the error bound: expected overcount ~ N/width per row;
+    # with min over 4 rows it should stay well under 10x that
+    from _kafka_streams_scaffold_spark import tables
+
+    n = tables.table(spark, sf_dir, "events").count()
+    bound = 10 * n / sketches.CMS_WIDTH
+    assert all(r["overcount"] <= bound for r in rows)
+
+
+def test_bloom_guarantees(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import sketches
+
+    r = sketches.bloom_filter_audit_query(spark, sf_dir).collect()[0]
+    assert r["no_false_negatives"] is True
+    assert 0 < r["bits_set"] <= sketches.BLOOM_BITS
+    assert 0 <= r["n_false_positives"] <= r["n_probes"] - r["n_members"]
+    # FPR sanity: (bits_set/m)^k bound with generous slack
+    p = (r["bits_set"] / sketches.BLOOM_BITS) ** sketches.BLOOM_K
+    non_members = r["n_probes"] - r["n_members"]
+    if non_members:
+        fpr = r["n_false_positives"] / non_members
+        assert fpr <= 5 * p + 0.01
