@@ -805,3 +805,71 @@ def test_streaming_ewma_converges_to_batch(spark, tmp_path):
     )
     want = {r["user_id"]: (r["n_window"], r["ewma"]) for r in last}
     assert got == want and got
+
+
+def test_watermark_drops_late_rows_in_windowed_agg(spark, tmp_path):
+    """Late-data semantics, observed end to end: with a 10-minute
+    watermark on append-mode windowed counts, a straggler arriving
+    AFTER its window was evicted is dropped and reported in
+    numRowsDroppedByWatermark. Two subtleties this test documents:
+    (1) the watermark advances at batch BOUNDARIES, so eviction needs
+    a spacer batch between the watermark-advancing event and the
+    straggler — a straggler arriving while its window is still
+    buffered legitimately merges; (2) the file source orders batches
+    by MODIFICATION TIME, so the files pin explicit mtimes (equal
+    mtimes make batch order — and thus this whole scenario —
+    nondeterministic)."""
+    import os as _os
+    import time as _time
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    base = _time.time() - 1000
+
+    def timed(name, rows, off):
+        _write_json(src, name, rows)
+        p = _os.path.join(src, name)
+        _os.utime(p, (base + off, base + off))
+
+    timed("a.json", [{"ts": "2024-01-01T00:05:00", "event_type": "click", "value": 1.0}], 0)
+    timed("b.json", [{"ts": "2024-01-01T02:00:00", "event_type": "click", "value": 1.0}], 10)
+    # spacer: lets the batch-2 eviction run with the advanced watermark
+    timed("c.json", [{"ts": "2024-01-01T03:00:00", "event_type": "click", "value": 1.0}], 20)
+    # straggler for the long-evicted 00:00 window
+    timed("d.json", [{"ts": "2024-01-01T00:06:00", "event_type": "click", "value": 9.0}], 30)
+
+    agg = (
+        _file_stream(spark, src, schema)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "event_type", "cnt")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    )
+    assert dropped == 1, "the straggler must be dropped by the watermark"
+    got = {
+        (str(r["ws"]), r["event_type"]): r["cnt"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 00:00 window closed with ONLY the on-time row
+    assert got.get(("2024-01-01 00:00:00", "click")) == 1
