@@ -799,10 +799,13 @@ def vocab_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus-wide explode feeds a partial-aggregatable count,
     so the shuffle carries one row per distinct TOKEN (vocabulary-
-    sized, not corpus-sized). The global rank window runs single-
-    partition, but over that same vocabulary-sized table — the
-    standard top-k-over-aggregates shape. The cumsum then touches only
-    the surviving 100 rows.
+    sized, not corpus-sized). Top-VOCAB_TOP selection is
+    orderBy().limit() — Spark plans TakeOrderedAndProject
+    (per-partition heaps of 100 + a driver merge of 100), NEVER a
+    vocabulary-wide single-partition sort (the round-4 fix: the old
+    row_number-then-filter form sorted the whole vocabulary in one
+    task to keep 100 rows). Rank and cumsum windows then run over the
+    100 survivors only.
     """
     from pyspark.sql import Window
 
@@ -815,8 +818,9 @@ def vocab_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.agg(F.sum("cnt").cast("bigint").alias("total_tokens"))
     w_rank = Window.orderBy(F.col("cnt").desc(), "token")
     top = (
-        counts.withColumn("vocab_rank", F.row_number().over(w_rank))
-        .filter(F.col("vocab_rank") <= VOCAB_TOP)
+        counts.orderBy(F.col("cnt").desc(), "token")
+        .limit(VOCAB_TOP)
+        .withColumn("vocab_rank", F.row_number().over(w_rank))
     )
     w_cum = Window.orderBy("vocab_rank").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -31,11 +31,13 @@ quality_weighted_sample), token_rarity, cluster_keep_list,
 heavy_hitters, frame_sample, the sampling family (dataset_split,
 stratified_sample, mixture_sample, source_cap), purchases_agg_salted,
 ktable_latest, the range-join pair (prior_clicks_before_error,
-error_window_counts), and the round-4 additions (snapshot_diff_full*,
-token_budget_selection_2p*, equi_depth_histogram_2p* — *already in
-the r04 window — plus referential_integrity, seasonal_anomalies,
-basket_pairs, ann_rank_fusion, zorder_layout, vocab_growth,
-ewma_user_value). Update tests/test_registry_window.py in the same
+error_window_counts) — 16 queries — plus the round-4 additions:
+referential_integrity, seasonal_anomalies, basket_pairs,
+ann_rank_fusion, zorder_layout, vocab_growth, ewma_user_value,
+ab_test_chi2, last_touch_attribution, payload_chunks_fixed,
+session_window_stats, pit_dimension_join, cms_user_counts,
+bloom_filter_audit — 14 more (30 total, leaving ~20 slots for
+round-5 additions). Update tests/test_registry_window.py in the same
 commit.
 
 The window is applied as an explicit reorder (``_WINDOW_R04``) after
