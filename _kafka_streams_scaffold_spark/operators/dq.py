@@ -403,3 +403,65 @@ SELECT '{name}' AS relationship,
 
 
 REFERENTIAL_INTEGRITY_ORACLE = _ref_integrity_oracle()
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (quasi-identifier re-identification risk)
+# --------------------------------------------------------------------------
+
+KANON_K = 5  # the usual "safe" equivalence-class floor
+# Quasi-identifier set: attributes an adversary can plausibly link
+# from outside data. Narrow here by design — the audit's shape, not a
+# policy statement.
+_QI_COLS = ("c_nationkey", "c_mktsegment")
+
+
+def k_anonymity_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(class_size_bucket, n_classes, n_rows, at_risk): the
+    k-anonymity readout over the customer table's quasi-identifier
+    columns — equivalence classes (distinct QI combinations) bucketed
+    by their size, with ``at_risk`` flagging buckets below KANON_K
+    (rows in those classes are re-identifiable by QI linkage; a
+    release gate either generalizes the QIs or suppresses those
+    rows). Buckets are exact powers of two (floor(log2(size))), the
+    same log2-bucket convention as dup_graph_degrees.
+
+    Scale: one partial-aggregatable groupBy on the QI tuple (classes
+    are the shuffle rows — bounded by the QI domain product, not the
+    table), then a bucket rollup over |classes| rows. Adding QI
+    columns widens the first key, never adds passes."""
+    cust = tables.table(spark, sf_dir, "customer")
+    classes = cust.groupBy(*_QI_COLS).agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    bucket = F.floor(F.log2(F.col("class_size").cast("double"))).cast("int")
+    return (
+        classes.groupBy(bucket.alias("class_size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_rows"),
+            F.min("class_size").cast("bigint").alias("min_class_size"),
+        )
+        .select(
+            "class_size_bucket",
+            "n_classes",
+            "n_rows",
+            (F.col("min_class_size") < KANON_K).alias("at_risk"),
+        )
+    )
+
+
+K_ANONYMITY_AUDIT_ORACLE = f"""
+WITH classes AS (
+  SELECT {", ".join(_QI_COLS)}, CAST(count(*) AS BIGINT) AS class_size
+  FROM customer
+  GROUP BY {", ".join(str(i + 1) for i in range(len(_QI_COLS)))}
+)
+SELECT CAST(floor(log2(CAST(class_size AS DOUBLE))) AS INT)
+         AS class_size_bucket,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       min(class_size) < {KANON_K} AS at_risk
+FROM classes
+GROUP BY 1
+"""

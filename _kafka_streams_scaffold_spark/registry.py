@@ -947,6 +947,11 @@ def _ensure_loaded() -> None:
         sketches.bloom_filter_audit_query,
         sketches.BLOOM_FILTER_AUDIT_ORACLE,
     )
+    register(
+        "k_anonymity_audit",
+        dq.k_anonymity_audit_query,
+        dq.K_ANONYMITY_AUDIT_ORACLE,
+    )
 
     _apply_window(_WINDOW_R04)
     _LOADED = True

@@ -353,3 +353,20 @@ def test_bloom_guarantees(spark, sf_dir):
     if non_members:
         fpr = r["n_false_positives"] / non_members
         assert fpr <= 5 * p + 0.01
+
+
+def test_k_anonymity_buckets(spark, sf_dir):
+    from _kafka_streams_scaffold_spark import tables
+
+    rows = dq.k_anonymity_audit_query(spark, sf_dir).collect()
+    cust = tables.table(spark, sf_dir, "customer")
+    assert sum(r["n_rows"] for r in rows) == cust.count()
+    n_classes = (
+        cust.select(*dq._QI_COLS).distinct().count()
+    )
+    assert sum(r["n_classes"] for r in rows) == n_classes
+    for r in rows:
+        # at_risk <=> bucket's smallest class below K; bucket floor
+        # 2^b can only be at risk when 2^b < K
+        if (1 << r["class_size_bucket"]) >= dq.KANON_K:
+            assert r["at_risk"] is False
