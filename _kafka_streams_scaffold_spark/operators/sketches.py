@@ -752,3 +752,153 @@ FROM audited
 
 
 BLOOM_FILTER_AUDIT_ORACLE = _bloom_oracle()
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog, hand-rolled and DETERMINISTIC (the sketch itself is
+# cross-engine hash-checked, unlike approx_count_distinct's opaque HLL++)
+# --------------------------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers; std err ~ 1.04/16 = 6.5%
+HLL_M = 1 << HLL_P
+_HLL_WBITS = 60 - HLL_P  # rank domain after register selection
+# alpha_256 literal (Flajolet et al. 2007): 0.7213/(1 + 1.079/m)
+HLL_ALPHA = 0.7182725932495458
+HLL_TOL = 3 * 1.04 / 16  # 3 sigma of the standard error (large range)
+HLL_SMALL_RANGE = 2.5  # raw estimator valid above ~2.5m distincts
+
+
+def _hll_registers(engine: str) -> tuple[str, str]:
+    """(register, rank) expressions over a 60-bit md5 hash ``h``:
+    register = low HLL_P bits, rank = leading zeros of the remaining
+    52-bit word + 1 (via the exact integer length of its binary
+    rendering — both engines' ``bin()`` of the SAME integer agree,
+    no log2 in sight)."""
+    if engine == "spark":
+        reg = f"cast(h % {HLL_M} as int)"
+        w = f"(h div {HLL_M})"
+        rank = (
+            f"cast(case when {w} = 0 then {_HLL_WBITS + 1} "
+            f"else {_HLL_WBITS} - length(bin({w})) + 1 end as int)"
+        )
+    else:
+        reg = f"CAST(h % {HLL_M} AS INT)"
+        w = f"(h // {HLL_M})"
+        rank = (
+            f"CAST(CASE WHEN {w} = 0 THEN {_HLL_WBITS + 1} "
+            f"ELSE {_HLL_WBITS} - length(bin({w})) + 1 END AS INT)"
+        )
+    return reg, rank
+
+
+def hll_user_sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_exact, hll_estimate, within_bound): a from-
+    scratch HyperLogLog over per-type distinct users whose EVERY BIT
+    is reproducible cross-engine: md5-derived 60-bit hashes, max-rank
+    registers, and the harmonic sum computed EXACTLY as
+    sum(2^(wbits+1-rank)) in DECIMAL(38,0) (each term is an exact
+    power of two, so no float-accumulation order can perturb it); the
+    one double division happens once per group on exact integers.
+    The raw Flajolet estimator only — the small-range linear-counting
+    branch needs ln, which is banned from hash-checked outputs (libm
+    last-ulp divergence), so the result instead carries m_used (the
+    occupied-register count LC derives from, an exact integer) and a
+    small_range flag (n_exact < 2.5m, exact arithmetic). Accuracy is
+    asserted in pytest: the 3-sigma bound directly in the large
+    range, and after a Python-side linear-counting correction from
+    m_used in the small range.
+
+    Scale: registers are a partial-aggregatable MAX per (type,
+    register) — HLL_M rows per group however large the corpus; merge
+    across shards is the same max. This is the auditable twin of
+    approx_count_distinct (kept for production use: HLL++ has the
+    bias corrections this form omits)."""
+    ev = tables.table(spark, sf_dir, "events")
+    reg, rank = _hll_registers("spark")
+    h60 = (
+        "cast(conv(substring(md5(concat('hll:', cast(user_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    regs = (
+        ev.select("event_type", F.expr(h60).alias("h"))
+        .select("event_type", F.expr(reg).alias("r"), F.expr(rank).alias("k"))
+        .groupBy("event_type", "r")
+        .agg(F.max("k").alias("mk"))
+    )
+    # exact harmonic sum: 2^-M_j scaled by 2^(wbits+1) -> integer terms
+    term = F.expr(f"cast(pow(cast(2 as decimal(38,0)), {_HLL_WBITS + 1} - mk)"
+                  f" as decimal(38,0))")
+    sums = regs.groupBy("event_type").agg(
+        F.sum(term).alias("s"),
+        F.count(F.lit(1)).alias("m_used"),
+    )
+    # registers never hit: contribute 2^0 scaled = full weight 1 each
+    # (rank 0 -> 2^-0 = 1 -> scaled 2^(wbits+1))
+    pad = (F.lit(HLL_M) - F.col("m_used")).cast("decimal(38,0)") * F.lit(
+        2 ** (_HLL_WBITS + 1)
+    ).cast("decimal(38,0)")
+    est = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M))
+        * F.lit(float(HLL_M))
+        * F.lit(float(2 ** (_HLL_WBITS + 1)))
+        / (F.col("s") + pad).cast("double")
+    )
+    exact = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    joined = sums.join(
+        F.broadcast(exact), sums["event_type"] == exact["et"]
+    )
+    return joined.select(
+        "event_type",
+        "n_exact",
+        est.alias("hll_estimate"),
+        F.col("m_used").cast("bigint").alias("m_used"),
+        (
+            F.col("n_exact").cast("double")
+            < F.lit(HLL_SMALL_RANGE) * F.lit(float(HLL_M))
+        ).alias("small_range"),
+    )
+
+
+def _hll_oracle() -> str:
+    reg, rank = _hll_registers("duck")
+    h60 = (
+        "CAST('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)),"
+        " 1, 15) AS BIGINT)"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT event_type, {h60} AS h FROM events
+),
+regs AS (
+  SELECT event_type, {reg} AS r, max({rank}) AS mk
+  FROM hashed GROUP BY 1, 2
+),
+sums AS (
+  SELECT event_type,
+         sum(CAST(pow(2, {_HLL_WBITS + 1} - mk) AS DECIMAL(38,0)))
+           AS s,
+         count(*) AS m_used
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT s.event_type, e.n_exact,
+       CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M)!r} AS DOUBLE)
+       * CAST({float(HLL_M)!r} AS DOUBLE)
+       * CAST({float(2 ** (_HLL_WBITS + 1))!r} AS DOUBLE)
+       / CAST(s.s + CAST(({HLL_M} - s.m_used) AS DECIMAL(38,0))
+              * CAST({2 ** (_HLL_WBITS + 1)} AS DECIMAL(38,0)) AS DOUBLE)
+         AS hll_estimate,
+       CAST(s.m_used AS BIGINT) AS m_used,
+       CAST(e.n_exact AS DOUBLE) < {HLL_SMALL_RANGE} * {float(HLL_M)!r}
+         AS small_range
+FROM sums s JOIN exact e ON e.event_type = s.event_type
+"""
+
+
+HLL_USER_SKETCH_ORACLE = _hll_oracle()

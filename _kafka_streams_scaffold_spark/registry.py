@@ -952,6 +952,11 @@ def _ensure_loaded() -> None:
         dq.k_anonymity_audit_query,
         dq.K_ANONYMITY_AUDIT_ORACLE,
     )
+    register(
+        "hll_user_sketch",
+        sketches.hll_user_sketch_query,
+        sketches.HLL_USER_SKETCH_ORACLE,
+    )
 
     _apply_window(_WINDOW_R04)
     _LOADED = True

@@ -370,3 +370,79 @@ def test_k_anonymity_buckets(spark, sf_dir):
         # 2^b can only be at risk when 2^b < K
         if (1 << r["class_size_bucket"]) >= dq.KANON_K:
             assert r["at_risk"] is False
+
+
+def test_hll_sketch_accuracy_with_lc_correction(spark, sf_dir):
+    """The hand-rolled HLL's accuracy contract: in the large range the
+    raw estimator sits within 3 sigma; in the small range (n < 2.5m)
+    apply the standard linear-counting correction from the occupied-
+    register count (Python-side ln — banned from hashed outputs, fine
+    here) and check THAT against the exact count."""
+    import math
+
+    from _kafka_streams_scaffold_spark.operators import sketches
+
+    rows = sketches.hll_user_sketch_query(spark, sf_dir).collect()
+    assert rows
+    m = sketches.HLL_M
+    for r in rows:
+        if r["small_range"]:
+            v_empty = m - r["m_used"]
+            assert v_empty > 0, "small range must leave empty registers"
+            lc = m * math.log(m / v_empty)
+            # LC std err ~ sqrt(m)/n scale; 15% covers every sf here
+            assert abs(lc - r["n_exact"]) <= max(
+                3.0, 0.15 * r["n_exact"]
+            ), (r["event_type"], lc, r["n_exact"])
+        else:
+            assert (
+                abs(r["hll_estimate"] - r["n_exact"])
+                <= sketches.HLL_TOL * r["n_exact"]
+            )
+
+
+def test_hll_sketch_large_range(spark):
+    """Drive the raw estimator in its valid regime (n >> m) with a
+    synthetic 10k-key frame and check the 3-sigma bound directly."""
+    from _kafka_streams_scaffold_spark.operators import sketches
+
+    df = spark.range(10_000).selectExpr(
+        "'x' as event_type", "id as user_id"
+    )
+    # build the sketch pipeline directly over the synthetic frame
+    from pyspark.sql import functions as FF
+
+    reg, rank = sketches._hll_registers("spark")
+    h60 = (
+        "cast(conv(substring(md5(concat('hll:', cast(user_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    regs = (
+        df.select("event_type", FF.expr(h60).alias("h"))
+        .select("event_type", FF.expr(reg).alias("r"), FF.expr(rank).alias("k"))
+        .groupBy("event_type", "r")
+        .agg(FF.max("k").alias("mk"))
+    )
+    import math
+
+    got = regs.groupBy("event_type").agg(
+        FF.sum(
+            FF.expr(
+                f"cast(pow(cast(2 as decimal(38,0)),"
+                f" {sketches._HLL_WBITS + 1} - mk) as decimal(38,0))"
+            )
+        ).alias("s"),
+        FF.count(FF.lit(1)).alias("m_used"),
+    ).collect()[0]
+    m = sketches.HLL_M
+    s_total = float(got["s"]) + (m - got["m_used"]) * float(
+        2 ** (sketches._HLL_WBITS + 1)
+    )
+    est = (
+        sketches.HLL_ALPHA
+        * m
+        * m
+        * float(2 ** (sketches._HLL_WBITS + 1))
+        / s_total
+    )
+    assert abs(est - 10_000) <= sketches.HLL_TOL * 10_000
