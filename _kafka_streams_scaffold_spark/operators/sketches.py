@@ -902,3 +902,189 @@ FROM sums s JOIN exact e ON e.event_type = s.event_type
 
 
 HLL_USER_SKETCH_ORACLE = _hll_oracle()
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: distinct counts AND set overlap
+# --------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_SPACE = float(1 << 60)  # md5-derived hash domain
+
+
+def kmv_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type_a, type_b, kmv_jaccard, exact_jaccard, n_a, n_b): the
+    KMV estimate of user-set Jaccard similarity between every
+    event-type pair, next to the exact value. KMV (Bar-Yossef et al.
+    2002 / Beyer et al. 2007) is the sketch that gives SET OPERATIONS,
+    which HLL/CMS cannot: keep each set's K smallest md5 hash values;
+    the K smallest of a union are computable from the parts, and the
+    fraction of them present in BOTH parts estimates the Jaccard.
+    Every step here is integer hashing + windows over K-sized
+    frames, so the estimate is bit-identical cross-engine and
+    hash-checked directly; the accuracy contract (|est - exact| <=
+    ~3/sqrt(K)) is asserted in pytest.
+
+    Scale: per-set sketches are a partition-parallel rank window over
+    DISTINCT (type, hash) rows (the only corpus-sized stage, partial-
+    deduped before the shuffle); everything pairwise runs on
+    K x |types| rows — broadcast-sized however large the corpus."""
+    ev = tables.table(spark, sf_dir, "events")
+    h60 = (
+        "cast(conv(substring(md5(concat('kmv:', cast(user_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    from pyspark.sql import Window
+
+    hashes = ev.select(
+        "event_type", F.expr(h60).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        hashes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= KMV_K)
+        .select("event_type", "h")
+    )
+    types = kept.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    ka = kept.select(F.col("event_type").alias("type_a"), F.col("h").alias("ha"))
+    kb = kept.select(F.col("event_type").alias("type_b"), F.col("h").alias("hb"))
+    # union of the two sketches per pair (distinct hash values)
+    u = (
+        pairs.join(ka, "type_a")
+        .select("type_a", "type_b", F.col("ha").alias("h"))
+        .unionAll(
+            pairs.join(kb, "type_b").select(
+                "type_a", "type_b", F.col("hb").alias("h")
+            )
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    union_k = u.withColumn("r", F.row_number().over(wu)).filter(
+        F.col("r") <= KMV_K
+    )
+    in_a = ka.select("type_a", F.col("ha").alias("h"), F.lit(1).alias("ia"))
+    in_b = kb.select("type_b", F.col("hb").alias("h"), F.lit(1).alias("ib"))
+    est = (
+        union_k.join(F.broadcast(in_a), ["type_a", "h"], "left")
+        .join(F.broadcast(in_b), ["type_b", "h"], "left")
+        .groupBy("type_a", "type_b")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("kmv_jaccard")
+        )
+    )
+    users = ev.select("event_type", "user_id").distinct()
+    ua = users.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = users.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sizes = users.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    sa = sizes.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    exact = (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("exact_jaccard"),
+        )
+    )
+    return est.join(exact, ["type_a", "type_b"]).select(
+        "type_a", "type_b", "kmv_jaccard", "exact_jaccard", "n_a", "n_b"
+    )
+
+
+def _kmv_oracle() -> str:
+    h60 = (
+        "CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)),"
+        " 1, 15) AS BIGINT)"
+    )
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type, {h60} AS h FROM events
+),
+kept AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+    FROM hashes
+  ) WHERE r <= {KMV_K}
+),
+types AS (SELECT DISTINCT event_type FROM kept),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+u AS (
+  SELECT DISTINCT type_a, type_b, h FROM (
+    SELECT p.type_a, p.type_b, k.h
+    FROM pairs p JOIN kept k ON k.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, k.h
+    FROM pairs p JOIN kept k ON k.event_type = p.type_b
+  )
+),
+union_k AS (
+  SELECT type_a, type_b, h FROM (
+    SELECT type_a, type_b, h,
+           row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS r
+    FROM u
+  ) WHERE r <= {KMV_K}
+),
+est AS (
+  SELECT uk.type_a, uk.type_b,
+         CAST(sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                  THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS kmv_jaccard
+  FROM union_k uk
+  LEFT JOIN kept ia ON ia.event_type = uk.type_a AND ia.h = uk.h
+  LEFT JOIN kept ib ON ib.event_type = uk.type_b AND ib.h = uk.h
+  GROUP BY 1, 2
+),
+users AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM users GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM users a JOIN users b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT e.type_a, e.type_b, e.kmv_jaccard,
+       CAST(i.n_inter AS DOUBLE)
+       / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS exact_jaccard,
+       sa.n AS n_a, sb.n AS n_b
+FROM est e
+JOIN inter i ON i.type_a = e.type_a AND i.type_b = e.type_b
+JOIN sizes sa ON sa.event_type = e.type_a
+JOIN sizes sb ON sb.event_type = e.type_b
+"""
+
+
+KMV_OVERLAP_ORACLE = _kmv_oracle()

@@ -957,6 +957,11 @@ def _ensure_loaded() -> None:
         sketches.hll_user_sketch_query,
         sketches.HLL_USER_SKETCH_ORACLE,
     )
+    register(
+        "kmv_overlap",
+        sketches.kmv_overlap_query,
+        sketches.KMV_OVERLAP_ORACLE,
+    )
 
     _apply_window(_WINDOW_R04)
     _LOADED = True

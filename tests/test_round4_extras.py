@@ -446,3 +446,18 @@ def test_hll_sketch_large_range(spark):
         / s_total
     )
     assert abs(est - 10_000) <= sketches.HLL_TOL * 10_000
+
+
+def test_kmv_overlap_accuracy(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import sketches
+
+    rows = sketches.kmv_overlap_query(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5 event types, 2)
+    tol = 3.0 / (sketches.KMV_K ** 0.5)  # ~3 sigma of a K-sample mean
+    for r in rows:
+        assert 0.0 <= r["kmv_jaccard"] <= 1.0
+        # when a set is smaller than K the sketch IS the set -> exact
+        if max(r["n_a"], r["n_b"]) <= sketches.KMV_K:
+            assert abs(r["kmv_jaccard"] - r["exact_jaccard"]) < 1e-12
+        else:
+            assert abs(r["kmv_jaccard"] - r["exact_jaccard"]) <= tol
