@@ -59,6 +59,15 @@ def main() -> None:
     _sim.ivf_assign_query(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ...and the SimHash band-join shape: the r04 window opens with the
+    # graph family (kcore at slot 4), whose first simhash derivation
+    # otherwise pays ~3s of janino that slot-5+ queries used to absorb
+    # (measured: kcore 6.1s in-bench vs 2.5s warm solo).
+    from _kafka_streams_scaffold_spark.operators import dedup as _dd
+
+    _dd.simhash_pairs_query(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     pinning.unpersist_all()
 
     timings: dict[str, float] = {}
