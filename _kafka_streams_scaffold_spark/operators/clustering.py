@@ -379,8 +379,16 @@ def cluster_keep_list_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE undirected/co-partitioned edge table feeds both engines —
     # without it each would union+repartition the 2|E| rows itself.
     both = undirected(edges)
-    cc = connected_components(docs, edges, both=both)
-    pr = pagerank(docs, edges, both=both)
+    # The two iterative engines are independent given the pinned edge
+    # table; submitting their round loops from two threads overlaps
+    # their jobs on the shared executors (the dedup_tier_agreement
+    # scheduling pattern), so wall time is max(CC, PR), not the sum.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_cc = ex.submit(connected_components, docs, edges, both=both)
+        f_pr = ex.submit(pagerank, docs, edges, both=both)
+        cc, pr = f_cc.result(), f_pr.result()
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("pagerank").desc(), F.col("doc_id")
     )
