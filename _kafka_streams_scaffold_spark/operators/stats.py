@@ -995,3 +995,113 @@ FROM cells CROSS JOIN tab
 AB_TEST_CHI2_ORACLE = AB_TEST_CHI2_ORACLE.replace(
     "{mp}", str(AB_CONVERT_MIN_PURCHASES)
 )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection (exact integer arithmetic)
+# --------------------------------------------------------------------------
+
+
+def cusum_changepoint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, changepoint_day, n_days, cusum_scaled, direction):
+    the classic CUSUM change-point locator per event type — the day
+    where the cumulative deviation of daily counts from the series
+    mean peaks in magnitude; a genuine level shift puts the peak at
+    the shift boundary, a stable series puts a small peak anywhere
+    (compare |cusum_scaled| across types to rank shift evidence).
+
+    Exactness: CUSUM_i = prefix_i - i*mean has a rational mean, so
+    everything is cross-multiplied by n: cusum_scaled = n*prefix_i -
+    i*S — pure BIGINT, no division anywhere, and the argmax
+    tie-breaks on the earlier day. Scale: daily counts are one
+    partial-aggregatable pass; the prefix window partitions by
+    event_type over the DAYS-sized series (a 30-year series is ~11k
+    rows per type — the gap_fill spine argument), and the argmax is
+    max_by over the same frame."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cur = daily.select(
+        "event_type",
+        "day",
+        F.sum("d").over(w).alias("prefix"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+        F.sum("d").over(wt).alias("s_total"),
+        F.count(F.lit(1)).over(wt).alias("n_days"),
+    ).select(
+        "event_type",
+        "day",
+        "n_days",
+        (
+            F.col("n_days") * F.col("prefix") - F.col("i") * F.col("s_total")
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    best = cur.groupBy("event_type").agg(
+        F.max_by(
+            F.struct(F.abs("c").alias("a"), F.col("day"), F.col("c")),
+            # max |c|, ties -> earlier day: order by (|c|, -epoch(day))
+            F.struct(
+                F.abs("c").alias("a"),
+                (-F.unix_date(F.col("day"))).alias("nd"),
+            ),
+        ).alias("b"),
+        F.max("n_days").cast("bigint").alias("n_days"),
+    )
+    return best.select(
+        "event_type",
+        F.col("b.day").alias("changepoint_day"),
+        "n_days",
+        F.col("b.c").alias("cusum_scaled"),
+        F.when(F.col("b.c") > 0, F.lit("up"))
+        .when(F.col("b.c") < 0, F.lit("down"))
+        .otherwise(F.lit("flat"))
+        .alias("direction"),
+    )
+
+
+CUSUM_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS d
+  FROM events GROUP BY 1, 2
+),
+cur AS (
+  SELECT event_type, day,
+         CAST(count(*) OVER wt AS BIGINT)
+           * CAST(sum(d) OVER wp AS BIGINT)
+         - CAST(row_number() OVER wo AS BIGINT)
+           * CAST(sum(d) OVER wt AS BIGINT) AS c,
+         CAST(count(*) OVER wt AS BIGINT) AS n_days
+  FROM daily
+  WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wo AS (PARTITION BY event_type ORDER BY day),
+         wt AS (PARTITION BY event_type)
+),
+ranked AS (
+  SELECT event_type, day, n_days, c,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY abs(c) DESC, day
+         ) AS r
+  FROM cur
+)
+SELECT event_type, day AS changepoint_day, n_days,
+       c AS cusum_scaled,
+       CASE WHEN c > 0 THEN 'up' WHEN c < 0 THEN 'down'
+            ELSE 'flat' END AS direction
+FROM ranked WHERE r = 1
+"""

@@ -962,6 +962,11 @@ def _ensure_loaded() -> None:
         sketches.kmv_overlap_query,
         sketches.KMV_OVERLAP_ORACLE,
     )
+    register(
+        "cusum_changepoint",
+        stats.cusum_changepoint_query,
+        stats.CUSUM_CHANGEPOINT_ORACLE,
+    )
 
     _apply_window(_WINDOW_R04)
     _LOADED = True

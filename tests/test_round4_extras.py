@@ -461,3 +461,34 @@ def test_kmv_overlap_accuracy(spark, sf_dir):
             assert abs(r["kmv_jaccard"] - r["exact_jaccard"]) < 1e-12
         else:
             assert abs(r["kmv_jaccard"] - r["exact_jaccard"]) <= tol
+
+
+def test_cusum_locates_injected_level_shift(spark, monkeypatch):
+    """30 days at 100/day then 30 days at 200/day: the |CUSUM| peak
+    must land exactly on the last low day (the shift boundary), with
+    direction 'down' (pre-shift counts below the overall mean)."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(60):
+        n = 100 if d < 30 else 200
+        for i in range(n):
+            eid += 1
+            rows.append(
+                Row(
+                    event_id=eid,
+                    user_id=1,
+                    event_type="click",
+                    value=1.0,
+                    ts=t0 + datetime.timedelta(days=d, seconds=i),
+                )
+            )
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(stats.tables, "table", lambda *a: df)
+    r = stats.cusum_changepoint_query(spark, "_").collect()[0]
+    assert r["changepoint_day"] == datetime.date(2024, 1, 30)
+    assert r["direction"] == "down"
+    # peak magnitude: at the boundary, n*prefix - i*S
+    # = 60*(30*100) - 30*(30*100+30*200) = 180000 - 270000 = -90000... *n scale
+    n, i, prefix, S = 60, 30, 30 * 100, 30 * 100 + 30 * 200
+    assert r["cusum_scaled"] == n * prefix - i * S
