@@ -553,6 +553,70 @@ AUDIT = [
         "the new-side payload columns — output stays churn-sized and "
         "feeds run_apply_changes directly (tombstones are key-only).",
     ),
+    (
+        "pit_dimension_join",
+        "Equi-join on user_id with the validity-interval predicate "
+        "as a residual; the dimension side is change-points of the "
+        "non-purchase stream (strictly smaller than events); rollup "
+        "partial-aggregates over |states|+1 keys. The left join "
+        "conserves total revenue.",
+    ),
+    (
+        "cms_user_counts",
+        "Two partial-aggregatable passes: depth x width cell counts "
+        "(the mergeable sketch — shards combine by elementwise +), "
+        "then the audited keys' D cells via an id-width join; md5 "
+        "placement makes every counter bit-equal cross-engine.",
+    ),
+    (
+        "bloom_filter_audit",
+        "The bit set is DISTINCT (bit) rows — at most m of them "
+        "whatever the member count — and broadcasts into the probe "
+        "join; probes partial-aggregate to one row of guarantees.",
+    ),
+    (
+        "hll_user_sketch",
+        "Registers are a partial-aggregatable MAX per (group, "
+        "register) — m rows per group at any corpus size; the "
+        "harmonic sum is exact power-of-two integers in "
+        "DECIMAL(38,0), so the one double division per group is "
+        "bit-stable under any partitioning.",
+    ),
+    (
+        "kmv_overlap",
+        "Per-set sketches are a rank window over DISTINCT (type, "
+        "hash) rows (partition-parallel, partial-deduped before the "
+        "shuffle); all pairwise work runs on K x |types| "
+        "broadcast-sized rows.",
+    ),
+    (
+        "cusum_changepoint",
+        "One partial-aggregated daily rollup, then prefix/argmax "
+        "windows partitioned per event type over the DAYS-sized "
+        "series — the gap-fill spine argument; all integer "
+        "arithmetic, no division.",
+    ),
+    (
+        "k_anonymity_audit",
+        "One partial-aggregatable groupBy on the QI tuple (shuffle "
+        "rows bounded by the QI domain product), then a bucket "
+        "rollup over |classes| rows; widening the QI set widens the "
+        "key, never adds passes.",
+    ),
+    (
+        "session_window_stats",
+        "Native session_window merges sessions INSIDE the "
+        "aggregation — one shuffle on user_id and no per-user sort "
+        "pass, which is why it beats the manual islands form at "
+        "scale; the islands-form oracle makes the hash check a proof "
+        "of the built-in semantics.",
+    ),
+    (
+        "payload_chunks_fixed",
+        "Chunking and hashing are per-row codegen over the payload "
+        "column; only (digest) / (doc_id, flag) id-width rows ever "
+        "shuffle, and the duplicate set broadcasts back.",
+    ),
 ]
 
 
