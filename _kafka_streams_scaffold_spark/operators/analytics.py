@@ -1574,3 +1574,59 @@ SELECT user_id,
 FROM ids
 GROUP BY user_id, sid
 """
+
+
+# --------------------------------------------------------------------------
+# Event debouncing (rate limiting per key per window)
+# --------------------------------------------------------------------------
+
+def debounce_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_kept, n_suppressed, suppression_rate): keep each
+    user's FIRST event per (type, clock hour), suppress the rest —
+    the debouncing/rate-limiting pass that keeps bot bursts and
+    double-clicks from dominating downstream counts. First-per-group
+    is min_by on the deterministic (ts, event_id) order — an
+    ALGEBRAIC aggregate that partial-merges map-side, so unlike a
+    row_number window there is no per-key sort; the rollup then
+    partial-aggregates per type. The streaming twin is
+    dropDuplicatesWithinWatermark on (user, type, hour) — the same
+    first-wins semantics with bounded state."""
+    ev = tables.table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    per_key = ev.groupBy(
+        "user_id", "event_type", hour.alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        per_key.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            (F.sum("n") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_suppressed"),
+        )
+        .select(
+            "event_type",
+            "n_kept",
+            "n_suppressed",
+            (
+                F.col("n_suppressed").cast("double")
+                / (F.col("n_kept") + F.col("n_suppressed")).cast("double")
+            ).alias("suppression_rate"),
+        )
+    )
+
+
+DEBOUNCE_EVENTS_ORACLE = """
+WITH per_key AS (
+  SELECT user_id, event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_suppressed,
+       CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+         AS suppression_rate
+FROM per_key
+GROUP BY 1
+"""

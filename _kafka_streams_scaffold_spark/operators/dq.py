@@ -465,3 +465,133 @@ SELECT CAST(floor(log2(CAST(class_size AS DOUBLE))) AS INT)
 FROM classes
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Freshness audit (event-time lag per stream)
+# --------------------------------------------------------------------------
+
+
+def freshness_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, last_seen, lag_minutes, n_last_day): per event
+    type, how stale its newest event is relative to the NEWEST event
+    anywhere (the deterministic reference point — wall-clock now
+    would make the result unreproducible), plus the type's volume in
+    the trailing day. A type whose lag jumps is an upstream producer
+    outage; the SLA gate thresholds lag_minutes. One pass: per-type
+    max/conditional-count partial aggregates, global max broadcast
+    back — scan-bound at any scale."""
+    ev = tables.table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_seen")
+    )
+    global_max = per_type.agg(F.max("last_seen").alias("gmax"))
+    per_type = per_type.crossJoin(F.broadcast(global_max))
+    counts = (
+        ev.crossJoin(F.broadcast(global_max))
+        .filter(
+            F.col("ts") >= F.expr("timestampadd(HOUR, -24, gmax)")
+        )
+        .groupBy(F.col("event_type").alias("et"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_last_day"))
+    )
+    return (
+        per_type.join(counts, per_type["event_type"] == counts["et"], "left")
+        .select(
+            "event_type",
+            "last_seen",
+            # whole-minute lag via integer microsecond division —
+            # timestampdiff/date_diff disagree cross-engine on
+            # boundary-crossing vs truncation semantics
+            F.expr(
+                "(unix_micros(gmax) - unix_micros(last_seen))"
+                " div 60000000"
+            )
+            .cast("bigint")
+            .alias("lag_minutes"),
+            F.coalesce("n_last_day", F.lit(0))
+            .cast("bigint")
+            .alias("n_last_day"),
+        )
+    )
+
+
+FRESHNESS_AUDIT_ORACLE = """
+WITH per_type AS (
+  SELECT event_type, max(ts) AS last_seen FROM events GROUP BY 1
+),
+g AS (SELECT max(last_seen) AS gmax FROM per_type),
+counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_last_day
+  FROM events, g
+  WHERE ts >= gmax - INTERVAL 24 HOUR
+  GROUP BY 1
+)
+SELECT p.event_type, p.last_seen,
+       CAST((epoch_us(g.gmax) - epoch_us(p.last_seen)) // 60000000
+            AS BIGINT) AS lag_minutes,
+       COALESCE(c.n_last_day, 0) AS n_last_day
+FROM per_type p
+CROSS JOIN g
+LEFT JOIN counts c ON c.event_type = p.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Enum-domain contract audit
+# --------------------------------------------------------------------------
+
+# (table, column, allowed values) — the data contract's categorical
+# domains. A value outside its enum is an upstream schema drift.
+_ENUM_DOMAINS = [
+    ("orders", "o_orderstatus", ("O", "F", "P")),
+    ("lineitem", "l_returnflag", ("A", "N", "R")),
+    ("lineitem", "l_linestatus", ("O", "F")),
+    ("events", "event_type", ("click", "view", "purchase", "signup", "error")),
+    ("documents", "lang", ("en", "es", "de", "fr", "zh")),
+]
+
+
+def enum_domain_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(contract, n_rows, n_violations, example_value): every
+    categorical column checked against its declared enum — one
+    conditional-sum pass per table plus min() of the offending value
+    as a deterministic example (min, not first — arbitrary-pick would
+    flicker across partitionings). Always emits every contract row,
+    zero-violation contracts included."""
+    out = None
+    for tbl, col, allowed in _ENUM_DOMAINS:
+        df = tables.table(spark, sf_dir, tbl)
+        viol = ~F.col(col).isin(*allowed) | F.col(col).isNull()
+        row = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(viol, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.min(F.when(viol, F.col(col))).alias("example_value"),
+        ).select(
+            F.lit(f"{tbl}.{col}").alias("contract"),
+            "n_rows",
+            "n_violations",
+            "example_value",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _enum_oracle() -> str:
+    selects = []
+    for tbl, col, allowed in _ENUM_DOMAINS:
+        vals = ", ".join(f"'{v}'" for v in allowed)
+        viol = f"({col} NOT IN ({vals}) OR {col} IS NULL)"
+        selects.append(f"""
+SELECT '{tbl}.{col}' AS contract,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {viol} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       min(CASE WHEN {viol} THEN {col} END) AS example_value
+FROM {tbl}""")
+    return "\nUNION ALL\n".join(selects)
+
+
+ENUM_DOMAIN_AUDIT_ORACLE = _enum_oracle()

@@ -967,6 +967,19 @@ def _ensure_loaded() -> None:
         stats.cusum_changepoint_query,
         stats.CUSUM_CHANGEPOINT_ORACLE,
     )
+    register(
+        "freshness_audit", dq.freshness_audit_query, dq.FRESHNESS_AUDIT_ORACLE
+    )
+    register(
+        "enum_domain_audit",
+        dq.enum_domain_audit_query,
+        dq.ENUM_DOMAIN_AUDIT_ORACLE,
+    )
+    register(
+        "debounce_events",
+        an.debounce_events_query,
+        an.DEBOUNCE_EVENTS_ORACLE,
+    )
 
     _apply_window(_WINDOW_R04)
     _LOADED = True

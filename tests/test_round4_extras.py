@@ -492,3 +492,52 @@ def test_cusum_locates_injected_level_shift(spark, monkeypatch):
     # = 60*(30*100) - 30*(30*100+30*200) = 180000 - 270000 = -90000... *n scale
     n, i, prefix, S = 60, 30, 30 * 100, 30 * 100 + 30 * 200
     assert r["cusum_scaled"] == n * prefix - i * S
+
+
+def test_freshness_audit_reference_point(spark, sf_dir):
+    rows = dq.freshness_audit_query(spark, sf_dir).collect()
+    assert rows
+    lags = [r["lag_minutes"] for r in rows]
+    assert min(lags) == 0, "the globally newest type has zero lag"
+    assert all(lag >= 0 for lag in lags)
+    assert all(r["n_last_day"] >= 0 for r in rows)
+
+
+def test_enum_domain_audit_clean_and_dirty(spark, sf_dir, monkeypatch):
+    rows = {r["contract"]: r for r in dq.enum_domain_audit_query(spark, sf_dir).collect()}
+    assert set(rows) == {f"{t}.{c}" for t, c, _ in dq._ENUM_DOMAINS}
+    for r in rows.values():
+        assert r["n_violations"] == 0 and r["example_value"] is None
+    # inject drift: a new event_type value must surface with an example
+    from _kafka_streams_scaffold_spark import tables as _t
+
+    real = _t.table
+
+    def patched(sp, sf, name):
+        df = real(sp, sf, name)
+        if name == "events":
+            return df.withColumn(
+                "event_type",
+                F.when(F.col("event_id") % 100 == 0, F.lit("zz_new"))
+                .otherwise(F.col("event_type")),
+            )
+        return df
+
+    monkeypatch.setattr(dq.tables, "table", patched)
+    rows2 = {r["contract"]: r for r in dq.enum_domain_audit_query(
+        spark, sf_dir
+    ).collect()}
+    r = rows2["events.event_type"]
+    assert r["n_violations"] > 0
+    assert r["example_value"] == "zz_new"
+
+
+def test_debounce_conserves_events(spark, sf_dir):
+    from _kafka_streams_scaffold_spark import tables as _t
+    from _kafka_streams_scaffold_spark.operators import analytics as an_mod
+
+    rows = an_mod.debounce_events_query(spark, sf_dir).collect()
+    total = sum(r["n_kept"] + r["n_suppressed"] for r in rows)
+    assert total == _t.table(spark, sf_dir, "events").count()
+    for r in rows:
+        assert 0.0 <= r["suppression_rate"] < 1.0
