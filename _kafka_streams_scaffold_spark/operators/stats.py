@@ -1105,3 +1105,92 @@ SELECT event_type, day AS changepoint_day, n_days,
             ELSE 'flat' END AS direction
 FROM ranked WHERE r = 1
 """
+
+
+# --------------------------------------------------------------------------
+# Weekly autocorrelation (seasonality strength, exact power sums)
+# --------------------------------------------------------------------------
+
+AUTOCORR_LAG = 7  # days
+
+
+def weekly_autocorr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_pairs, autocorr): lag-7 Pearson autocorrelation
+    of each type's daily counts — near +1 means a strong weekly
+    cycle (justifying the seasonal_anomalies weekday baseline), near
+    0 means none. Computed the correlation_matrix way: exact BIGINT
+    power sums over the lagged pairs (sums, squares, cross-products),
+    closed-form Pearson on the one row per type — the only floats are
+    final correctly-rounded divisions, so the value cross-engine
+    matches bit-for-bit; a type with < 2 pairs or zero variance
+    yields NULL, not an error.
+
+    Scale: daily rollup is partial-aggregatable; the lag join is an
+    equi-join on (type, day+7) over DAYS-sized frames."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    lagged = daily.select(
+        "event_type",
+        F.date_add("day", AUTOCORR_LAG).alias("day"),
+        F.col("d").alias("x"),
+    )
+    pairs = daily.join(lagged, ["event_type", "day"]).select(
+        "event_type", F.col("d").alias("y"), "x"
+    )
+    sums = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    r = F.when((F.col("n") >= 2) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return sums.select(
+        "event_type", F.col("n").alias("n_pairs"), r.alias("autocorr")
+    )
+
+
+WEEKLY_AUTOCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS d
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.d AS y, b.d AS x
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type
+              AND b.day + {AUTOCORR_LAG} = a.day
+),
+sums AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT event_type, n AS n_pairs,
+       CASE WHEN n >= 2
+             AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+             AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+       THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+       END AS autocorr
+FROM sums
+"""

@@ -1510,3 +1510,67 @@ SELECT p.bucket, p.n_docs, p.n_tokens,
        ) AS BIGINT) AS cum_terms
 FROM per_doc p LEFT JOIN new_terms n ON n.bucket = p.bucket
 """
+
+
+# --------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease, deterministic counts)
+# --------------------------------------------------------------------------
+
+
+def readability_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sentences, n_words, n_syllables, flesch): Flesch
+    reading ease per document — the curation signal that separates
+    prose from listings/code dumps (native prose clusters ~50-70;
+    keyword-stuffed pages crater). Syllables via the standard
+    vowel-group proxy (runs of aeiouy), sentences via the period
+    split shared with line_dedup, words via the shared tokenizer —
+    all exact regex counts, so the score is rational arithmetic on
+    integers with literal coefficients: bit-identical cross-engine.
+    Degenerate documents (no sentence or no word) emit NULL rather
+    than a division error. Scan-local, zero shuffles."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    words = F.size(tokens_expr())
+    sentences = F.size(
+        F.expr(
+            "filter(transform(split(text, '\\\\.'), x -> trim(x)),"
+            " x -> length(x) >= 1)"
+        )
+    )
+    syllables = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    flesch = F.when(
+        (sentences > 0) & (words > 0),
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double")),
+    )
+    return docs.select(
+        "doc_id",
+        sentences.cast("bigint").alias("n_sentences"),
+        words.cast("bigint").alias("n_words"),
+        syllables.cast("bigint").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
+READABILITY_ORACLE = """
+WITH feat AS (
+  SELECT doc_id,
+         CAST(len(list_filter(list_transform(string_split(text, '.'),
+                x -> trim(x)), x -> length(x) >= 1)) AS BIGINT)
+           AS n_sentences,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+         206.835
+         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       END AS flesch
+FROM feat
+"""

@@ -980,6 +980,14 @@ def _ensure_loaded() -> None:
         an.debounce_events_query,
         an.DEBOUNCE_EVENTS_ORACLE,
     )
+    register(
+        "readability", textops.readability_query, textops.READABILITY_ORACLE
+    )
+    register(
+        "weekly_autocorr",
+        stats.weekly_autocorr_query,
+        stats.WEEKLY_AUTOCORR_ORACLE,
+    )
 
     _apply_window(_WINDOW_R04)
     _LOADED = True

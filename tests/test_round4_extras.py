@@ -541,3 +541,55 @@ def test_debounce_conserves_events(spark, sf_dir):
     assert total == _t.table(spark, sf_dir, "events").count()
     for r in rows:
         assert 0.0 <= r["suppression_rate"] < 1.0
+
+
+def test_readability_prose_vs_junk(spark, monkeypatch):
+    prose = (
+        "The cat sat on the mat. It was warm. The sun was out. "
+        "They slept all day."
+    )
+    junk = "xzqj kkkkk zzzz qqqq jjjj wwww xxxx yyyy zzzz qqqq"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=prose), Row(doc_id=2, text=junk),
+         Row(doc_id=3, text="")]
+    )
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    rows = {r["doc_id"]: r for r in textops.readability_query(spark, "_").collect()}
+    assert rows[1]["flesch"] is not None
+    assert rows[1]["flesch"] > 60, "simple prose reads easy"
+    # consonant junk has ~no vowel groups -> few syllables but also no
+    # sentences beyond one fragment; empty doc must be NULL, not error
+    assert rows[3]["flesch"] is None
+
+
+def test_weekly_autocorr_detects_injected_cycle(spark, monkeypatch):
+    """70 days alternating weekly 100/200 by ISO week parity -> strong
+    positive lag-7 autocorrelation; a flat series yields NULL (zero
+    variance)."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(70):
+        week = d // 7
+        n = 200 if week % 2 == 0 else 100
+        n_flat = 50
+        for i in range(n):
+            eid += 1
+            rows.append(Row(event_id=eid, user_id=1, event_type="cyc",
+                            value=1.0,
+                            ts=t0 + datetime.timedelta(days=d, seconds=i)))
+        for i in range(n_flat):
+            eid += 1
+            rows.append(Row(event_id=eid, user_id=1, event_type="flat",
+                            value=1.0,
+                            ts=t0 + datetime.timedelta(days=d, seconds=i)))
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(stats.tables, "table", lambda *a: df)
+    out = {r["event_type"]: r for r in stats.weekly_autocorr_query(
+        spark, "_"
+    ).collect()}
+    # lag-7 pairs cross week boundaries: weeks alternate, so x and y
+    # are perfectly ANTI-correlated at lag 7 (100 vs 200) -> r = -1
+    assert out["cyc"]["autocorr"] is not None
+    assert out["cyc"]["autocorr"] < -0.99
+    assert out["flat"]["autocorr"] is None  # zero variance
