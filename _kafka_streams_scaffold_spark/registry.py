@@ -36,9 +36,13 @@ referential_integrity, seasonal_anomalies, basket_pairs,
 ann_rank_fusion, zorder_layout, vocab_growth, ewma_user_value,
 ab_test_chi2, last_touch_attribution, payload_chunks_fixed,
 session_window_stats, pit_dimension_join, cms_user_counts,
-bloom_filter_audit — 14 more (30 total, leaving ~20 slots for
-round-5 additions). Update tests/test_registry_window.py in the same
-commit.
+bloom_filter_audit, k_anonymity_audit, hll_user_sketch, kmv_overlap,
+cusum_changepoint, freshness_audit, enum_domain_audit,
+debounce_events, readability, weekly_autocorr — 23 more (39 total,
+leaving ~11 slots for round-5 additions; if round 5 adds more than
+that, prioritize its own additions and roll the sampling/range-join
+leftovers to round 6). Update tests/test_registry_window.py in the
+same commit.
 
 The window is applied as an explicit reorder (``_WINDOW_R04``) after
 all register() calls, so the family grouping of the code below never
