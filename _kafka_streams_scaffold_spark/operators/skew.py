@@ -59,3 +59,43 @@ def purchases_agg_salted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Salting is internal: the result equals the unsalted aggregate.
 PURCHASES_AGG_SALTED_ORACLE = PURCHASES_AGG_ORACLE
+
+
+# --------------------------------------------------------------------------
+# Salted JOIN (replicate-small-side recipe for a skewed join key)
+# --------------------------------------------------------------------------
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Equi-join where the BIG side's key distribution is skewed: each
+    big row takes a salt in [0, n_salts) and the SMALL side
+    replicates n_salts times, so every (key, salt) partition finds
+    its match and a hot key's rows spread over n_salts tasks instead
+    of one straggler. The salt only steers PARTITIONING — the join
+    output is the plain join's exact multiset for ANY salt
+    assignment (the replicated side covers every salt), so a cheap
+    nondeterministic spread (monotonic id hash) is safe here in a
+    way it never is in result-affecting columns.
+
+    This is the manual form of what AQE skew-join does at runtime
+    (session.py enables it); the explicit recipe exists for engines/
+    joins AQE cannot split (e.g. bucketed inputs, streaming joins)
+    and as the documented fallback. Output is EXACTLY the plain
+    join's multiset — asserted in tests."""
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.col(key), F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ).cast("int"),
+    )
+    salts = big.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    replicated = small.crossJoin(F.broadcast(salts))
+    return salted_big.join(replicated, [key, "_salt"]).drop("_salt")

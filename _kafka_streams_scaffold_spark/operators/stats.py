@@ -1194,3 +1194,105 @@ SELECT event_type, n AS n_pairs,
        END AS autocorr
 FROM sums
 """
+
+
+# --------------------------------------------------------------------------
+# Per-segment OLS trend (closed form, exact power sums)
+# --------------------------------------------------------------------------
+
+
+def segment_trend_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, slope_per_day, intercept): ordinary least
+    squares of daily event counts against the day index, per type —
+    "is this stream growing and how fast", the trend line every
+    metrics dashboard draws. Day index = days since the SERIES' own
+    first day (deterministic; no wall-clock). Closed form over exact
+    BIGINT power sums (n, Σx, Σy, Σxx, Σxy) exactly like
+    correlation_matrix — the only floats are two final divisions.
+    Types with < 2 days or zero x-variance emit NULL slope.
+
+    Scale: one partial-aggregatable daily rollup; the per-type first
+    day is a broadcast join; the regression itself is arithmetic on
+    one row per type."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    first = daily.groupBy(F.col("event_type").alias("et")).agg(
+        F.min("day").alias("d0")
+    )
+    xy = daily.join(
+        F.broadcast(first), daily["event_type"] == first["et"]
+    ).select(
+        "event_type",
+        F.datediff("day", "d0").cast("bigint").alias("x"),
+        "y",
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    det = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    slope = F.when(
+        (F.col("n") >= 2) & (det != 0.0),
+        (
+            n * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / det,
+    )
+    intercept = F.when(
+        slope.isNotNull(),
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / n,
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        slope.alias("slope_per_day"),
+        intercept.alias("intercept"),
+    )
+
+
+SEGMENT_TREND_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+first AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+xy AS (
+  SELECT d.event_type,
+         CAST(d.day - f.d0 AS BIGINT) AS x, d.y
+  FROM daily d JOIN first f ON f.event_type = d.event_type
+),
+sums AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM xy GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+       CASE WHEN n >= 2
+             AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
+       THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       END AS slope_per_day,
+       CASE WHEN n >= 2
+             AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
+       THEN (CAST(sy AS DOUBLE)
+             - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+               * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE)
+       END AS intercept
+FROM sums
+"""

@@ -992,6 +992,9 @@ def _ensure_loaded() -> None:
         stats.weekly_autocorr_query,
         stats.WEEKLY_AUTOCORR_ORACLE,
     )
+    register(
+        "segment_trend", stats.segment_trend_query, stats.SEGMENT_TREND_ORACLE
+    )
 
     _apply_window(_WINDOW_R04)
     _LOADED = True

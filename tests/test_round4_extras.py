@@ -593,3 +593,41 @@ def test_weekly_autocorr_detects_injected_cycle(spark, monkeypatch):
     assert out["cyc"]["autocorr"] is not None
     assert out["cyc"]["autocorr"] < -0.99
     assert out["flat"]["autocorr"] is None  # zero variance
+
+
+def test_segment_trend_recovers_injected_slope(spark, monkeypatch):
+    """Daily counts 100 + 5*day fit exactly: slope 5, intercept 100."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(20):
+        for i in range(100 + 5 * d):
+            eid += 1
+            rows.append(Row(event_id=eid, user_id=1, event_type="g",
+                            value=1.0,
+                            ts=t0 + datetime.timedelta(days=d, seconds=i)))
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(stats.tables, "table", lambda *a: df)
+    r = stats.segment_trend_query(spark, "_").collect()[0]
+    assert abs(r["slope_per_day"] - 5.0) < 1e-9
+    assert abs(r["intercept"] - 100.0) < 1e-9
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import skew
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
+    plain = sorted(
+        (r["k"], r["l_quantity"], r["o_totalprice"])
+        for r in li.join(orders, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["l_quantity"], r["o_totalprice"])
+        for r in skew.salted_join(li, orders, "k").collect()
+    )
+    assert salted == plain and plain
