@@ -1,0 +1,316 @@
+"""Corpus lexical statistics: the vocabulary-level reports a training-
+data pipeline runs after ingestion and before tokenizer/mixture
+decisions — hapax rates, tokenizer fertility, exact-integer term
+co-occurrence (PMI-style lift), log-bucketed length histograms, and a
+prefix-duplicate screen.
+
+All five stay fully JVM-side (built-in functions only) and reduce to
+partial-aggregatable shuffles keyed by small values (source, lang,
+term, bucket), so each scales as "one pass over the corpus plus a
+vocabulary-sized tail". Exactness discipline: every output is either
+an exact integer or a single final division of exact integers, so the
+driver's 9-sig-digit hash canonicalization is trivially stable.
+
+North-star additions (no reference analog; the Kafka Streams scaffold
+has no corpus surface — nearest relatives are the wordcount topology's
+token split, reference WordCountTopology.java:31, which this module
+reuses via textops.tokens_expr so every lexical operator agrees on
+what a token is).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import tables
+from .textops import tokens_expr
+
+# DuckDB twin of textops.tokens_expr — identical \W+ split, lowercase,
+# empties dropped (same literal form used across dedup/textops).
+_DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
+)
+
+
+# --------------------------------------------------------------------------
+# Hapax legomena rate per source
+# --------------------------------------------------------------------------
+
+def hapax_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_terms, n_hapax, hapax_ratio): per source, the number
+    of distinct terms, how many occur exactly once in that source's
+    corpus slice (hapax legomena), and their ratio. A high hapax rate
+    flags noisy/OCR-damaged sources before tokenizer training; a low
+    one flags templated/boilerplate sources.
+
+    Scale: two partial-aggregatable shuffles — (source, term) counts,
+    then per-source rollup. Token explosion never materializes
+    documents, only (source, token) pairs; the second shuffle carries
+    one row per distinct (source, term)."""
+    docs = tables.table(spark, sf_dir, "documents")
+    occ = docs.select("source", F.explode(tokens_expr()).alias("tok"))
+    term_counts = occ.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return term_counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("n_hapax"),
+        (
+            F.sum((F.col("c") == 1).cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("hapax_ratio"),
+    )
+
+
+HAPAX_RATE_ORACLE = f"""
+WITH occ AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+term_counts AS (
+  SELECT source, tok, count(*) AS c FROM occ GROUP BY source, tok
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS hapax_ratio
+FROM term_counts GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility per language
+# --------------------------------------------------------------------------
+
+def tokenizer_fertility_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, n_tokens, n_chars, chars_per_token): corpus-level
+    tokenizer fertility proxy per language — how many characters one
+    whitespace/punct token covers. Languages whose fertility diverges
+    from the corpus mean need tokenizer vocabulary attention (the
+    classic multilingual-BPE under-allocation signal).
+
+    One scan, one map-side-combinable groupBy on a tiny key; the only
+    float is the final division of two exact BIGINT sums."""
+    docs = tables.table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(tokens_expr()).cast("bigint").alias("toks"),
+        F.col("n_chars").cast("bigint").alias("chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.sum("chars").alias("n_chars"),
+        F.when(
+            F.sum("toks") > 0,
+            F.sum("chars").cast("double") / F.sum("toks").cast("double"),
+        ).alias("chars_per_token"),
+    )
+
+
+TOKENIZER_FERTILITY_ORACLE = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CASE WHEN sum(len({_DUCK_TOKS})) > 0
+            THEN CAST(sum(n_chars) AS DOUBLE)
+                 / CAST(sum(len({_DUCK_TOKS})) AS DOUBLE) END
+         AS chars_per_token
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact-integer term co-occurrence (PMI-style lift without the log)
+# --------------------------------------------------------------------------
+
+_COOC_TOP_V = 40  # candidate vocabulary: top-V terms by document frequency
+_COOC_MIN_C = 2  # emit pairs co-occurring in >= this many documents
+
+
+def term_cooccurrence_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term_a, term_b, c_ab, c_a, c_b, lift_num, lift_den): document
+    co-occurrence counts for unordered pairs of the top-V
+    document-frequency terms, with the PMI lift carried as the EXACT
+    integer fraction lift_num/lift_den = (c_ab·N)/(c_a·c_b) instead of
+    its logarithm — log/ln are not cross-engine bit-stable, an integer
+    fraction is, and any consumer can take the log client-side.
+
+    Scale: the pair generator is bounded by construction — only the
+    top-V vocabulary (a broadcast-sized frame; the ranking window runs
+    over |vocabulary| rows, the same posture as every vocab-sized
+    frame in this repo) joins back to the corpus, so a document
+    contributes at most V(V-1)/2 pairs regardless of its length, and
+    the shuffle carries (term, term) keys only. The corpus is touched
+    once."""
+    docs = tables.table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr()).alias("tok")
+    ).distinct()
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    top = (
+        df.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("df"), F.asc("tok"))),
+        )
+        .filter(F.col("rn") <= _COOC_TOP_V)
+        .select("tok", "df")
+    )
+    ft = toks.join(F.broadcast(top.select("tok")), "tok").select("doc_id", "tok")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    a, b = ft.alias("a"), ft.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("term_a"), F.col("b.tok").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= _COOC_MIN_C)
+    )
+    da = F.broadcast(top.select(F.col("tok").alias("ta"), F.col("df").alias("c_a")))
+    db = F.broadcast(top.select(F.col("tok").alias("tb"), F.col("df").alias("c_b")))
+    return (
+        pairs.join(da, pairs.term_a == da.ta)
+        .join(db, pairs.term_b == db.tb)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (F.col("c_ab") * F.col("n_docs")).cast("bigint").alias("lift_num"),
+            (F.col("c_a") * F.col("c_b")).cast("bigint").alias("lift_den"),
+        )
+    )
+
+
+TERM_COOCCURRENCE_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+  )
+),
+df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+top AS (
+  SELECT tok, df FROM (
+    SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS rn FROM df
+  ) WHERE rn <= {_COOC_TOP_V}
+),
+ft AS (SELECT t.doc_id, t.tok FROM toks t JOIN top USING (tok)),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.tok AS term_a, b.tok AS term_b, count(*) AS c_ab
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+  HAVING count(*) >= {_COOC_MIN_C}
+)
+SELECT term_a, term_b,
+       CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(da.df AS BIGINT) AS c_a,
+       CAST(db.df AS BIGINT) AS c_b,
+       CAST(c_ab * nd.n_docs AS BIGINT) AS lift_num,
+       CAST(da.df * db.df AS BIGINT) AS lift_den
+FROM pairs
+JOIN top da ON da.tok = pairs.term_a
+JOIN top db ON db.tok = pairs.term_b
+CROSS JOIN nd
+"""
+
+
+# --------------------------------------------------------------------------
+# Log2-bucketed document-length histogram per source
+# --------------------------------------------------------------------------
+
+def doclen_log_hist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, bucket, bucket_lo, n_docs): histogram of documents per
+    source over power-of-two length buckets — bucket = floor(log2
+    (n_chars)), the shape report that catches truncated/empty-doc
+    pathologies a mean hides. floor(log2) is computed as
+    length(bin(x)) - 1: both engines render bin(BIGINT) without
+    leading zeros, making the string length an EXACT integer log2
+    (IEEE log() would not be cross-engine hash-stable).
+
+    One scan, one combinable groupBy on a (source, small-int) key."""
+    docs = tables.table(spark, sf_dir, "documents")
+    bucket = F.when(F.col("n_chars") <= 0, F.lit(-1).cast("int")).otherwise(
+        (F.length(F.bin(F.col("n_chars"))) - 1).cast("int")
+    )
+    per_doc = docs.select("source", bucket.alias("bucket"))
+    return per_doc.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).select(
+        "source",
+        "bucket",
+        F.when(F.col("bucket") < 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("shiftleft(1L, bucket)"))
+        .alias("bucket_lo"),
+        "n_docs",
+    )
+
+
+DOCLEN_LOG_HIST_ORACLE = """
+WITH per_doc AS (
+  SELECT source,
+         CASE WHEN n_chars <= 0 THEN -1
+              ELSE CAST(length(bin(n_chars)) - 1 AS INT) END AS bucket
+  FROM documents
+)
+SELECT source, bucket,
+       CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) END AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY source, bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Prefix-duplicate screen
+# --------------------------------------------------------------------------
+
+_PREFIX_LEN = 64
+
+
+def prefix_dup_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prefix_md5, n_docs, min_doc_id, max_doc_id): groups of >= 2
+    documents sharing an identical first-64-character prefix — the
+    cheap screen that catches header/template duplication (same intro
+    paragraph, different tails) that whole-document exact dedup
+    misses and MinHash only catches at high shingle overlap. Grouping
+    on the 32-hex md5 instead of the raw prefix keeps the shuffle key
+    fixed-width (both engines' md5 renders identical lowercase hex).
+
+    Scale: exact_dedup's posture — one hash-partitioned groupBy on a
+    32-byte key; document bodies never shuffle (only the hashed
+    prefix and ids do)."""
+    docs = tables.table(spark, sf_dir, "documents")
+    pref = docs.filter(F.col("n_chars") >= _PREFIX_LEN).select(
+        F.md5(F.substring(F.col("text"), 1, _PREFIX_LEN)).alias("prefix_md5"),
+        "doc_id",
+    )
+    return (
+        pref.groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+PREFIX_DUP_GROUPS_ORACLE = f"""
+SELECT md5(substring(text, 1, {_PREFIX_LEN})) AS prefix_md5,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+WHERE n_chars >= {_PREFIX_LEN}
+GROUP BY 1 HAVING count(*) >= 2
+"""

@@ -41,12 +41,18 @@ def embedding_quantize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, scale, q): per-vector symmetric int8 codes plus the
     dequantization scale. all-zero vectors quantize to zero codes with
     scale 0 (guarded — ANSI mode would otherwise abort on the
-    divide)."""
+    divide). The codes ship as a comma-joined string (one scalar per
+    vector) rather than ``array<int>``: downstream tabular consumers —
+    including the driver's pandas canonicalizer — sort/hash scalar
+    columns, and int→string rendering is exact and engine-agnostic, so
+    nothing is lost by scalarizing at the boundary."""
     emb = tables.table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
         (F.expr(_MAXABS) / F.lit(float(_QMAX))).alias("scale"),
-        F.expr(_Q_CODES).alias("q"),
+        F.expr(
+            f"array_join(transform({_Q_CODES}, c -> cast(c as string)), ',')"
+        ).alias("q"),
     )
 
 
@@ -55,10 +61,12 @@ _DUCK_MAXABS = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
 EMBEDDING_QUANTIZE_ORACLE = f"""
 SELECT vec_id,
        {_DUCK_MAXABS} / {_QMAX}.0 AS scale,
-       CASE WHEN {_DUCK_MAXABS} = 0.0
-            THEN list_transform(embedding, x -> 0)
-            ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
-                 / {_DUCK_MAXABS} * {_QMAX}.0 + 0.5) AS INT)) END AS q
+       array_to_string(
+         CASE WHEN {_DUCK_MAXABS} = 0.0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+                   / {_DUCK_MAXABS} * {_QMAX}.0 + 0.5) AS INT)) END,
+         ',') AS q
 FROM embeddings
 """
 

@@ -24,27 +24,21 @@ CORRECTNESS row. Rotation history:
   green in r01-r03 rotates out and keeps tools/check_oracle.py +
   pytest coverage.
 
-NEXT ROTATION (round 5): the never-covered remainder — the substring
-dedup family (shared_substrings, substring_dup_docs), the LM scoring
-family (unigram_lm_score, source_kl_divergence,
-quality_weighted_sample), token_rarity, cluster_keep_list,
-heavy_hitters, frame_sample, the sampling family (dataset_split,
-stratified_sample, mixture_sample, source_cap), purchases_agg_salted,
-ktable_latest, the range-join pair (prior_clicks_before_error,
-error_window_counts) — 16 queries — plus the round-4 additions:
-referential_integrity, seasonal_anomalies, basket_pairs,
-ann_rank_fusion, zorder_layout, vocab_growth, ewma_user_value,
-ab_test_chi2, last_touch_attribution, payload_chunks_fixed,
-session_window_stats, pit_dimension_join, cms_user_counts,
-bloom_filter_audit, k_anonymity_audit, hll_user_sketch, kmv_overlap,
-cusum_changepoint, freshness_audit, enum_domain_audit,
-debounce_events, readability, weekly_autocorr — 23 more (39 total,
-leaving ~11 slots for round-5 additions; if round 5 adds more than
-that, prioritize its own additions and roll the sampling/range-join
-leftovers to round 6). Update tests/test_registry_window.py in the
-same commit.
+- r05 window (``_WINDOW_R05`` below): the COMPLETE 42-query
+  certification backlog (every round-4 addition, the older
+  judge-only tier, segment_trend, and embedding_quantize — reshaped
+  from ``array<int>`` to a csv string after its r04 canonicalizer
+  red) plus the eight round-5 additions (lexstats + segmentation
+  families). If all go green, every oracle-backed query in the repo
+  has a driver CORRECTNESS row.
 
-The window is applied as an explicit reorder (``_WINDOW_R04``) after
+NEXT ROTATION (round 6): the backlog is cleared, so the window only
+needs to carry round-6's own additions; fill the remaining slots with
+whichever certified queries changed implementation since their green
+row (re-certification beats re-running never-changed queries). Update
+tests/test_registry_window.py in the same commit.
+
+The window is applied as an explicit reorder (``_WINDOW_R05``) after
 all register() calls, so the family grouping of the code below never
 has to move and every rotation is a reviewable list diff.
 """
@@ -79,9 +73,74 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-# Driver correctness window for round 4 (slots 0-49) — see module
-# docstring. Every name here is oracle-backed and has NEVER had a
-# driver CORRECTNESS row before this round.
+# Driver correctness window for round 5 (slots 0-49) — see module
+# docstring. Every name here is oracle-backed and has never had a
+# GREEN driver CORRECTNESS row before this round: the 42-query
+# certification backlog (round-4 additions, the older judge-only
+# tier, segment_trend, and the reshaped embedding_quantize — red in
+# r04 only for its array column, now scalarized) plus the eight
+# round-5 additions. This clears the backlog completely.
+_WINDOW_R05 = [
+    # round-4 additions: stats / dq / sketches
+    "referential_integrity",
+    "seasonal_anomalies",
+    "ewma_user_value",
+    "ab_test_chi2",
+    "cusum_changepoint",
+    "weekly_autocorr",
+    "segment_trend",
+    "k_anonymity_audit",
+    "freshness_audit",
+    "enum_domain_audit",
+    "cms_user_counts",
+    "bloom_filter_audit",
+    "hll_user_sketch",
+    "kmv_overlap",
+    # round-4 additions: analytics / layout / similarity / chunking
+    "basket_pairs",
+    "ann_rank_fusion",
+    "zorder_layout",
+    "vocab_growth",
+    "readability",
+    "last_touch_attribution",
+    "session_window_stats",
+    "debounce_events",
+    "pit_dimension_join",
+    "payload_chunks_fixed",
+    # reshaped after the r04 canonicalizer red (array -> csv string)
+    "embedding_quantize",
+    # older judge-only tier: text / LM / dedup / clustering
+    "token_rarity",
+    "unigram_lm_score",
+    "source_kl_divergence",
+    "quality_weighted_sample",
+    "shared_substrings",
+    "substring_dup_docs",
+    "cluster_keep_list",
+    "heavy_hitters",
+    "frame_sample",
+    # older judge-only tier: sampling / skew / changelog / range joins
+    "dataset_split",
+    "stratified_sample",
+    "mixture_sample",
+    "source_cap",
+    "purchases_agg_salted",
+    "ktable_latest",
+    "prior_clicks_before_error",
+    "error_window_counts",
+    # round-5 additions: lexical statistics + customer segmentation
+    "hapax_rate",
+    "tokenizer_fertility",
+    "term_cooccurrence",
+    "doclen_log_hist",
+    "prefix_dup_groups",
+    "rfm_segments",
+    "spend_gini",
+    "order_gap_stats",
+]
+
+# r04 window kept for the rotation-history tests and so the docstring's
+# audit trail stays executable documentation.
 _WINDOW_R04 = [
     # BPE tokenizer family
     "bpe_train",
@@ -996,5 +1055,45 @@ def _ensure_loaded() -> None:
         "segment_trend", stats.segment_trend_query, stats.SEGMENT_TREND_ORACLE
     )
 
-    _apply_window(_WINDOW_R04)
+    # ---- round-5 additions ----
+    from .operators import lexstats, segmentation
+
+    register(
+        "hapax_rate", lexstats.hapax_rate_query, lexstats.HAPAX_RATE_ORACLE
+    )
+    register(
+        "tokenizer_fertility",
+        lexstats.tokenizer_fertility_query,
+        lexstats.TOKENIZER_FERTILITY_ORACLE,
+    )
+    register(
+        "term_cooccurrence",
+        lexstats.term_cooccurrence_query,
+        lexstats.TERM_COOCCURRENCE_ORACLE,
+    )
+    register(
+        "doclen_log_hist",
+        lexstats.doclen_log_hist_query,
+        lexstats.DOCLEN_LOG_HIST_ORACLE,
+    )
+    register(
+        "prefix_dup_groups",
+        lexstats.prefix_dup_groups_query,
+        lexstats.PREFIX_DUP_GROUPS_ORACLE,
+    )
+    register(
+        "rfm_segments",
+        segmentation.rfm_segments_query,
+        segmentation.RFM_SEGMENTS_ORACLE,
+    )
+    register(
+        "spend_gini", segmentation.spend_gini_query, segmentation.SPEND_GINI_ORACLE
+    )
+    register(
+        "order_gap_stats",
+        segmentation.order_gap_stats_query,
+        segmentation.ORDER_GAP_STATS_ORACLE,
+    )
+
+    _apply_window(_WINDOW_R05)
     _LOADED = True

@@ -18,7 +18,8 @@ def test_quantize_roundtrip_error_bounded(spark, monkeypatch):
     monkeypatch.setattr(quantize.tables, "table", lambda *a: _emb(spark, vecs))
     rows = {r["vec_id"]: r for r in quantize.embedding_quantize_query(spark, "_").collect()}
     for i, v in enumerate(vecs):
-        scale, q = rows[i]["scale"], rows[i]["q"]
+        scale = rows[i]["scale"]
+        q = [int(c) for c in rows[i]["q"].split(",")]
         assert max(abs(x) for x in v) / 127 == scale
         assert all(-127 <= c <= 127 for c in q)
         # half-up rounding => reconstruction within scale/2 per element
@@ -32,7 +33,7 @@ def test_quantize_zero_vector_guard(spark, monkeypatch):
     )
     r = quantize.embedding_quantize_query(spark, "_").collect()[0]
     assert r["scale"] == 0.0
-    assert r["q"] == [0, 0, 0]
+    assert r["q"] == "0,0,0"
     err = quantize.quantization_error_query(spark, "_").collect()[0]
     assert err["n_vecs"] == 1
     assert err["mean_abs_err"] == 0.0
