@@ -212,6 +212,40 @@ def _candidate_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def _capped_sizes_table(docs: DataFrame) -> DataFrame:
+    """Per-doc shingle counts over the df-capped universe — consumed
+    twice per scoring query (na and nb join sides) and by both the
+    Jaccard and containment detectors."""
+    return _shared_pin(
+        ("dedup.capped_sizes", docs.semanticHash()),
+        lambda: _capped_shingle_table(docs)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+
+
+def _capped_inter_table(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, i): the capped-shingle inverted-index self-join —
+    the single most expensive dedup artifact. ngram Jaccard and
+    Broder containment are different SCORES over this same pair
+    table, so it materializes once per input per scope instead of
+    each detector re-running the join."""
+    sh = _capped_shingle_table(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    return _shared_pin(
+        ("dedup.capped_inter", docs.semanticHash()),
+        lambda: a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i")),
+    )
+
+
 def df_capped_shingles(shingle_df: DataFrame) -> DataFrame:
     """Drop shingles whose document frequency exceeds SHINGLE_DF_CAP.
 
@@ -231,9 +265,22 @@ def df_capped_shingles(shingle_df: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.table(spark, sf_dir, "documents")
-    sh = _capped_shingle_table(docs)
-    return _pair_jaccard(sh, None).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    inter = _capped_inter_table(docs)
+    sizes = _capped_sizes_table(docs)
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
@@ -1039,25 +1086,14 @@ def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reuses the df-capped shingle inverted index: candidate pairs come
     from the same sub-quadratic shingle equi-join as
-    ngram_jaccard_pairs, then containment is intersection over the
-    smaller side's shingle count. Emitted once per unordered pair,
-    oriented (inner=smaller set, ties by id)."""
+    ngram_jaccard_pairs — literally the same memoized pin
+    (_capped_inter_table), so a scope that runs both detectors pays
+    the join once — then containment is intersection over the smaller
+    side's shingle count. Emitted once per unordered pair, oriented
+    (inner=smaller set, ties by id)."""
     docs = tables.table(spark, sf_dir, "documents")
-    sh = _capped_shingle_table(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    inter = _capped_inter_table(docs)
+    sizes = _capped_sizes_table(docs)
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     scored = inter.join(na, "doc_a").join(nb, "doc_b")
@@ -1146,53 +1182,84 @@ def dedup_tier_agreement_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     detectors — which is precisely what this audit amortizes a
     decision over.
 
-    Scheduling: the shared artifacts (shingles -> signatures ->
-    candidates, plus the df-capped view) materialize once in
-    dependency order, then the four tier pair tables pin
-    CONCURRENTLY — independent Spark jobs submitted from a small
-    thread pool share the executors, so the audit's wall time is
-    the longest tier chain, not the sum (9.6s -> ~6.5s solo at
-    sf0.1). This is the standard multi-thread job-submission
-    pattern; every job is still fully distributed."""
+    Scheduling (round-5 shape): after the shingle pin, each tier
+    builds its plan on its own thread — driver-side plan construction
+    (~1.6s of py4j expression building) overlaps with the shared-pin
+    materializations the threads trigger (signatures -> candidates,
+    df-capped inverted index, simhash signatures; shared_pin is
+    per-key locked so racing threads wait instead of double-
+    building). The reduction then exploits that each tier emits a
+    pair at most once: the union of bit-tagged pair sets rolls up to
+    a per-pair tier-membership BITMASK, whose histogram has at most
+    2^4 = 16 rows — every n_a/n_b/n_both the audit reports is a
+    conditional sum over that histogram against a literal 6-row
+    tier-pair domain (zero-overlap cells emit naturally). That
+    replaces round-4's four pinned pair tables + 4 count jobs + 6
+    overlap semi-joins (each shuffling the ~1M-row pair sets) with
+    ONE job that shuffles the pairs once. Measured 8.7s -> ~4.6s
+    solo at sf0.1; output rows (and the driver hash) are
+    identical."""
     docs = tables.table(spark, sf_dir, "documents")
-    # dependency-ordered shared builds (no duplicate materialization
-    # when the tiers race below)
-    _candidate_table(docs)  # pins shingles, signatures, candidates
-    _capped_shingle_table(docs)  # reuses the pinned shingles
+    # Shingles first (every chain needs them), then each tier builds
+    # its plan on its own thread: plan construction is driver-side
+    # py4j work (~1.6s for these expression trees) that overlaps with
+    # the shared-pin materializations the threads trigger as side
+    # effects (sigs -> candidates on the minhash/edit path, capped ->
+    # inter/sizes on the ngram path, simhash signatures) — shared_pin
+    # is per-key locked, so racing threads wait instead of
+    # double-building.
+    _shingle_table(docs)
     from concurrent.futures import ThreadPoolExecutor
 
+    def _tagged(i_t: tuple[int, str]) -> DataFrame:
+        i, t = i_t
+        return _tier_pairs(spark, sf_dir, t).select(
+            "doc_a", "doc_b", F.lit(1 << i).alias("bit")
+        )
+
     with ThreadPoolExecutor(len(_TIERS)) as ex:
-        pinned = ex.map(
-            lambda t: _pin(_tier_pairs(spark, sf_dir, t)), _TIERS
+        parts = list(ex.map(_tagged, enumerate(_TIERS)))
+    tagged = parts[0]
+    for part in parts[1:]:
+        tagged = tagged.unionAll(part)
+    # Each tier emits a pair at most once, so sum(bit) IS the tier
+    # membership bitmask; the mask histogram has at most 2^|tiers|=16
+    # rows, and every count the audit reports is a conditional sum
+    # over it. One job computes the whole reduction (the tier pair
+    # sets at sf0.1 are ~1M rows — a mask rollup shuffles them once,
+    # where per-tier-pair overlap joins shuffled them 2x per cell).
+    mask_counts = _pin(
+        tagged.groupBy("doc_a", "doc_b")
+        .agg(F.sum("bit").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    domain = spark.createDataFrame(
+        [
+            (a, b, 1 << i, 1 << (i + 1 + j))
+            for i, a in enumerate(_TIERS)
+            for j, b in enumerate(_TIERS[i + 1:])
+        ],
+        "tier_a string, tier_b string, bit_a int, bit_b int",
+    )
+    hit_a = F.expr("mask & bit_a") != 0
+    hit_b = F.expr("mask & bit_b") != 0
+    zero = F.lit(0).cast("bigint")
+    return (
+        domain.crossJoin(mask_counts)
+        .groupBy("tier_a", "tier_b")
+        .agg(
+            F.sum(F.when(hit_a, F.col("cnt")).otherwise(zero))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(hit_b, F.col("cnt")).otherwise(zero))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(hit_a & hit_b, F.col("cnt")).otherwise(zero))
+            .cast("bigint")
+            .alias("n_both"),
         )
-        pairs = dict(zip(_TIERS, pinned))
-    counts = {
-        t: pairs[t].agg(
-            F.count(F.lit(1)).cast("bigint").alias(f"n_{t}")
-        )
-        for t in _TIERS
-    }
-    rows = None
-    for i, a in enumerate(_TIERS):
-        for b in _TIERS[i + 1:]:
-            both = (
-                pairs[a].join(pairs[b], ["doc_a", "doc_b"], "left_semi")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
-            )
-            row = (
-                counts[a]
-                .crossJoin(counts[b])
-                .crossJoin(both)
-                .select(
-                    F.lit(a).alias("tier_a"),
-                    F.lit(b).alias("tier_b"),
-                    F.col(f"n_{a}").alias("n_a"),
-                    F.col(f"n_{b}").alias("n_b"),
-                    "n_both",
-                )
-            )
-            rows = row if rows is None else rows.unionAll(row)
-    return rows
+    )
 
 
 def _tier_agreement_oracle() -> str:

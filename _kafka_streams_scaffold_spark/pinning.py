@@ -24,11 +24,15 @@ for the session lifetime.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _PINNED: list[DataFrame] = []
 _SHARED: dict[object, DataFrame] = {}
+_KEY_LOCKS: dict[object, threading.Lock] = {}
+_KEY_LOCKS_GUARD = threading.Lock()
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -48,13 +52,25 @@ def shared_pin(key, build) -> DataFrame:
     ``unpersist_all`` (which harnesses call between queries), so
     sharing only ever spans one composite query or one deliberate
     multi-query scope. At cluster scale this is the stage-table each
-    tier would read instead of re-shingling the corpus."""
+    tier would read instead of re-shingling the corpus.
+
+    Thread-safe via double-checked per-key locking, so composite
+    queries may build plans that share pinned intermediates from
+    concurrent threads (multi-thread job submission): the first
+    caller builds, latecomers block on that key only — never a
+    duplicate materialization, never a global serialization."""
     df = _SHARED.get(key)
     if df is not None:
         return df
-    df = pin(build())
-    _SHARED[key] = df
-    return df
+    with _KEY_LOCKS_GUARD:
+        lock = _KEY_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        df = _SHARED.get(key)
+        if df is not None:
+            return df
+        df = pin(build())
+        _SHARED[key] = df
+        return df
 
 
 def unpersist_all() -> int:

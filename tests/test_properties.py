@@ -235,7 +235,8 @@ def test_quantize_matches_python_model(spark, monkeypatch, vecs):
     }
     for i, v in enumerate(vecs):
         maxabs = max(abs(x) for x in v)
-        scale, q = got[i]
+        scale, q_csv = got[i]
+        q = [int(c) for c in q_csv.split(",")]
         assert scale == maxabs / 127
         if maxabs == 0.0:
             assert q == [0] * len(v)
