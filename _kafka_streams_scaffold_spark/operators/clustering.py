@@ -85,9 +85,22 @@ def connected_components(
     # |E|/|V| x rounds on a real graph.
     if both is None:
         both = undirected(edges)
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
-        eager=False
+    # ACTIVE-SET restriction: isolated nodes (no incident edge) keep
+    # their own id as cluster_id forever, so the iteration only ever
+    # needs the nodes that appear as edge endpoints — |active| <=
+    # 2|E|, typically orders of magnitude below |V| on a near-dup
+    # graph (sf0.1: ~4k active vs 50k nodes). Isolated nodes rejoin
+    # as their own singleton clusters after convergence. The semi-join
+    # against ``nodes`` keeps the old contract that only ids present
+    # in ``nodes`` participate in label propagation.
+    active = (
+        both.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .join(nodes, "doc_id", "left_semi")
     )
+    labels = active.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=False)
     for _ in range(MAX_ROUNDS):
         neighbor_min = (
             both.join(labels, both.src == labels.doc_id)
@@ -104,7 +117,13 @@ def connected_components(
         # classic parallel-CC trick that turns diameter-many rounds
         # into ~log(diameter). One extra join in the same job, paid
         # back by halving the number of rounds (each of which costs
-        # fixed scheduling + checkpoint overhead).
+        # fixed scheduling + checkpoint overhead). The jump reads the
+        # PREVIOUS round's checkpointed labels only: jumping against
+        # the in-flight frame (a self-join of an un-checkpointed
+        # plan) de-duplicates into two distinct lineages, so the
+        # lazy checkpoint covers only one copy and the other
+        # re-derives the whole history each round — measured as
+        # exponential round times (0.3s -> 119s by round 6 at sf0.1).
         parent = labels.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )
@@ -125,7 +144,9 @@ def connected_components(
         labels = step.select("doc_id", "label")
         if step.filter("moved").count() == 0:
             break
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    return nodes.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
 
 
 def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
