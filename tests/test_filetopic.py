@@ -92,3 +92,97 @@ def test_offset_bounded_replay(spark, tmp_path):
     # both records share the key -> same partition; replay offset >= 1
     later = full.filter(F.col("offset") >= 1)
     assert later.count() == 1
+
+
+def test_ktable_changelog_over_topic_stream_emits_per_update(spark, tmp_path):
+    """The CHANGELOG (KTable) topology over the shimmed topic: two
+    produce calls drained by two availableNow runs sharing one
+    checkpoint — the store must reflect the first batch's state
+    between runs (A4 emit-per-update contract), then converge to
+    latest-per-key after the second, and the converged state must
+    equal the batch twin (operators/changelog.latest_per_key) over
+    the same topic — the broker integration tier's assertion
+    (reference AbstractServiceTests.java:29-36) minus only the
+    literal format("kafka") transport."""
+    from _kafka_streams_scaffold_spark.operators import changelog
+    from _kafka_streams_scaffold_spark.streaming import pipeline, serving
+
+    path = str(tmp_path / "topic")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _events(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts string, event_type string, value double"
+        )
+
+    def _produce(df):
+        filetopic.produce(
+            ksrc.encode_kv(
+                df.withColumn("k", F.col("user_id").cast("string")),
+                "k",
+                ["user_id", "event_id", "ts", "event_type", "value"],
+            ),
+            path,
+            "demo-events",
+        )
+
+    def _parsed_stream():
+        decoded = filetopic.consume_decoded(
+            filetopic.read_topic_stream(spark, path)
+        )
+        return decoded.select(
+            F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
+            F.get_json_object("value", "$.event_id").cast("long").alias("event_id"),
+            F.to_timestamp(F.get_json_object("value", "$.ts")).alias("ts"),
+            F.get_json_object("value", "$.event_type").alias("event_type"),
+            F.get_json_object("value", "$.value").cast("double").alias("value"),
+        )
+
+    store = serving.MemoryStore(["user_id"])
+
+    _produce(_events([
+        (1, 10, "2024-01-01 00:00:00", "click", 1.0),
+        (2, 11, "2024-01-01 00:01:00", "view", 2.0),
+    ]))
+    q = pipeline.run_update_into_store(
+        pipeline.streaming_latest(_parsed_stream()), store, ckpt
+    )
+    q.awaitTermination(120)
+    mid = {k[0]: v for k, v in store.snapshot().items()}
+    assert mid[1]["last_type"] == "click" and mid[2]["last_type"] == "view"
+
+    # second produce: user 1 moves on; user 2 gets an OLDER event that
+    # must NOT win (latest-by-(ts, event_id) semantics, not last-write)
+    _produce(_events([
+        (1, 12, "2024-01-02 00:00:00", "purchase", 9.0),
+        (2, 9, "2023-12-31 00:00:00", "stale", 0.0),
+    ]))
+    q2 = pipeline.run_update_into_store(
+        pipeline.streaming_latest(_parsed_stream()), store, ckpt
+    )
+    q2.awaitTermination(120)
+    got = {k[0]: v for k, v in store.snapshot().items()}
+    assert got[1]["last_type"] == "purchase" and got[1]["last_value"] == 9.0
+    assert got[2]["last_type"] == "view"  # stale event lost to the KTable
+
+    # converged streaming state == the batch changelog twin
+    batch = filetopic.consume_decoded(filetopic.read_topic_batch(spark, path))
+    parsed = batch.select(
+        F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object("value", "$.event_id").cast("long").alias("event_id"),
+        F.to_timestamp(F.get_json_object("value", "$.ts")).alias("ts"),
+        F.get_json_object("value", "$.event_type").alias("event_type"),
+        F.get_json_object("value", "$.value").cast("double").alias("value"),
+    )
+    twin = {
+        r["user_id"]: r
+        for r in changelog.latest_per_key(
+            parsed, "user_id", ["ts", "event_id"]
+        ).collect()
+    }
+    assert {u: v["last_type"] for u, v in got.items()} == {
+        u: r["event_type"] for u, r in twin.items()
+    }
+    assert {u: v["last_value"] for u, v in got.items()} == {
+        u: r["value"] for u, r in twin.items()
+    }

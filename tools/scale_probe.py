@@ -45,6 +45,8 @@ from _kafka_streams_scaffold_spark.operators import dq as dq_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import analytics as an_mod2  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import basket as basket_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import layout as layout_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import lexstats as lexstats_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import segmentation as segmentation_mod  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 MULT = 10
@@ -311,6 +313,35 @@ def main() -> None:
             "events",
             unioned(spark, "events", m),
             lambda: an_mod2.last_touch_attribution_query(spark, SF_DIR),
+        ),
+        "hll sketch (hand-rolled regs)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: sketches.hll_user_sketch_query(spark, SF_DIR),
+        ),
+        "kmv overlap (k-th minimum)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: sketches.kmv_overlap_query(spark, SF_DIR),
+        ),
+        "hapax rate (2-level term agg)": lambda m: _with_docs(
+            m, lambda: lexstats_mod.hapax_rate_query(spark, SF_DIR)
+        ),
+        "term cooccurrence (top-V bounded)": lambda m: _with_docs(
+            m, lambda: lexstats_mod.term_cooccurrence_query(spark, SF_DIR)
+        ),
+        "prefix dup (fixed-width key groups)": lambda m: _with_docs(
+            m, lambda: lexstats_mod.prefix_dup_groups_query(spark, SF_DIR)
+        ),
+        "rfm segments (per-segment dual-rank)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: segmentation_mod.rfm_segments_query(spark, SF_DIR),
+        ),
+        "spend gini (rank identity)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: segmentation_mod.spend_gini_query(spark, SF_DIR),
         ),
     }
 
