@@ -595,3 +595,119 @@ FROM {tbl}""")
 
 
 ENUM_DOMAIN_AUDIT_ORACLE = _enum_oracle()
+
+
+# --------------------------------------------------------------------------
+# Sequence integrity: gaps/duplicates in the event id space
+# --------------------------------------------------------------------------
+
+def sequence_gap_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the event_id sequence: (n_rows, min_id,
+    max_id, n_missing, n_dup). A dense producer sequence with
+    n_missing > 0 means dropped records upstream (the batch analog of
+    a consumer detecting offset gaps — reference offset audit tier,
+    services/AuditService.java path); n_dup > 0 means at-least-once
+    re-delivery leaked past dedup. All five values come from one
+    combinable scan (count, min, max, count distinct); the whole
+    audit is arithmetic on a single row.
+
+    Scale: count(distinct) is the only shuffle and partially
+    aggregates; at 100 TB swap in approx_count_distinct for a first
+    pass and keep this exact form for the on-demand audit (the
+    repo-wide sketch-then-exact discipline)."""
+    ev = tables.table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("event_id").cast("bigint").alias("min_id"),
+        F.max("event_id").cast("bigint").alias("max_id"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct"),
+    )
+    return agg.select(
+        "n_rows",
+        "min_id",
+        "max_id",
+        (F.col("max_id") - F.col("min_id") + 1 - F.col("n_distinct"))
+        .cast("bigint")
+        .alias("n_missing"),
+        (F.col("n_rows") - F.col("n_distinct")).cast("bigint").alias("n_dup"),
+    )
+
+
+SEQUENCE_GAP_AUDIT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id,
+       CAST(max(event_id) - min(event_id) + 1
+            - count(DISTINCT event_id) AS BIGINT) AS n_missing,
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dup
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Out-of-order depth: the watermark-tuning audit
+# --------------------------------------------------------------------------
+
+def watermark_lag_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, n_late, max_late_s, avg_late_s): how far
+    event timestamps run BEHIND the running maximum in arrival order
+    (event_id as the arrival proxy) — exactly the distribution a
+    streaming deployment needs before choosing
+    ``withWatermark(delay)``: max_late_s is the delay that loses
+    nothing, avg_late_s says how heavy the tail is. Lateness is exact
+    integer seconds via the unix_micros/div contract (both engines
+    truncate identically; timestamp-diff functions do not).
+
+    Scale: one window per event_type (running max, arrival-ordered) —
+    embarrassingly parallel across types; the rollup is combinable.
+    The same audit re-pointed at (partition, offset) order runs on any
+    Kafka-shaped table (sources/filetopic.py records)."""
+    ev = tables.table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    run_max = F.max("ts").over(
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    per = ev.select(
+        "event_type", run_max.alias("run_max"), "ts"
+    ).select(
+        "event_type",
+        F.expr("(unix_micros(run_max) - unix_micros(ts)) div 1000000")
+        .cast("bigint")
+        .alias("late_s"),
+    )
+    return per.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("late_s") > 0).cast("bigint")).alias("n_late"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+        F.when(
+            F.sum((F.col("late_s") > 0).cast("bigint")) > 0,
+            F.sum(F.when(F.col("late_s") > 0, F.col("late_s")).otherwise(0))
+            .cast("double")
+            / F.sum((F.col("late_s") > 0).cast("bigint")).cast("double"),
+        ).alias("avg_late_s"),
+    )
+
+
+WATERMARK_LAG_AUDIT_ORACLE = """
+WITH late AS (
+  SELECT event_type,
+         (epoch_us(max(ts) OVER (
+            PARTITION BY event_type ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          - epoch_us(ts)) // 1000000 AS late_s
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(max(late_s) AS BIGINT) AS max_late_s,
+       CASE WHEN sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) > 0 THEN
+         CAST(sum(CASE WHEN late_s > 0 THEN late_s ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       END AS avg_late_s
+FROM late GROUP BY event_type
+"""

@@ -128,3 +128,65 @@ GROUP BY 1
 
 
 ZORDER_LAYOUT_ORACLE = _zorder_oracle()
+
+
+# --------------------------------------------------------------------------
+# Small-files compaction plan
+# --------------------------------------------------------------------------
+
+COMPACTION_TARGET_CHARS = 2_000_000  # ~2 MB of text per output file
+
+
+def compaction_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, total_chars, target_files, docs_per_file): the
+    write-side layout plan a lakehouse maintenance job computes before
+    rewriting a corpus partition — how many output files each source
+    needs so files land near COMPACTION_TARGET_CHARS, and the
+    repartition count to get there. Small-file proliferation is the
+    classic 100 TB operational failure (NameNode/manifest pressure,
+    scan task explosion); this is the query that sizes
+    ``df.repartition(target_files)`` per source. Ceil divisions are
+    integer-exact on both engines ((a + b - 1) div b — no float
+    rounding), and the whole plan is one combinable rollup."""
+    docs = tables.table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+    )
+    target = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(
+            f"(total_chars + {COMPACTION_TARGET_CHARS} - 1)"
+            f" div {COMPACTION_TARGET_CHARS}"
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        target.alias("target_files"),
+        F.expr(
+            "(n_docs + target_files - 1) div target_files"
+        ).alias("docs_per_file"),
+    ).withColumn("docs_per_file", F.col("docs_per_file").cast("bigint"))
+
+
+COMPACTION_PLAN_ORACLE = f"""
+WITH agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+),
+planned AS (
+  SELECT source, n_docs, total_chars,
+         greatest(CAST(1 AS BIGINT),
+                  (total_chars + {COMPACTION_TARGET_CHARS} - 1)
+                    // {COMPACTION_TARGET_CHARS}) AS target_files
+  FROM agg
+)
+SELECT source, n_docs, total_chars, target_files,
+       CAST((n_docs + target_files - 1) // target_files AS BIGINT)
+         AS docs_per_file
+FROM planned
+"""

@@ -306,3 +306,94 @@ SELECT source, n_tokens,
        CAST(w_fp AS DOUBLE) / CAST(tot_fp AS DOUBLE) AS weight
 FROM sq, tot
 """
+
+
+# --------------------------------------------------------------------------
+# Bigram next-token model (conditional counts, exact)
+# --------------------------------------------------------------------------
+
+BIGRAM_MIN_COUNT = 5  # a context must be seen this often to predict
+
+
+def bigram_next_token_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, next_token, pair_n, token_n): the argmax next token for
+    every context token seen >= BIGRAM_MIN_COUNT times — the simplest
+    conditional LM, and the count table every smoothed n-gram model
+    starts from. The conditional probability ships as the exact
+    integer pair (pair_n, token_n) rather than a float ratio, and the
+    argmax ties break on the token string, so the result is
+    cross-engine bit-stable end to end.
+
+    Scale: adjacent-pair generation is map-local (zip_with over each
+    doc's token array — no shuffle, no index join); the count rollup
+    shuffles (token, next) pairs and partially aggregates; the argmax
+    window partitions by context token, so frames are
+    per-context-sized, never global."""
+    from pyspark.sql import Window as W
+
+    docs = tables.table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_expr().alias("t")).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (x, y) -> struct(x AS tok, y AS nxt))"
+            )
+        ).alias("p")
+    ).select("p.tok", "p.nxt")
+    counts = pairs.groupBy("tok", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_n")
+    )
+    totals = counts.groupBy("tok").agg(
+        F.sum("pair_n").cast("bigint").alias("token_n")
+    )
+    w = W.partitionBy("tok").orderBy(F.desc("pair_n"), F.asc("nxt"))
+    best = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(totals, "tok")
+        .filter(F.col("token_n") >= BIGRAM_MIN_COUNT)
+        .select(
+            F.col("tok").alias("token"),
+            F.col("nxt").alias("next_token"),
+            "pair_n",
+            "token_n",
+        )
+    )
+
+
+BIGRAM_NEXT_TOKEN_ORACLE = f"""
+WITH toklists AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')
+           AS t
+  FROM documents
+),
+pairs AS (
+  SELECT p[1] AS tok, p[2] AS nxt FROM (
+    SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
+    FROM toklists WHERE len(t) >= 2
+  )
+),
+counts AS (
+  SELECT tok, nxt, CAST(count(*) AS BIGINT) AS pair_n
+  FROM pairs GROUP BY tok, nxt
+),
+totals AS (
+  SELECT tok, CAST(sum(pair_n) AS BIGINT) AS token_n
+  FROM counts GROUP BY tok
+),
+best AS (
+  SELECT tok, nxt, pair_n FROM (
+    SELECT tok, nxt, pair_n,
+           row_number() OVER (PARTITION BY tok
+                              ORDER BY pair_n DESC, nxt) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT b.tok AS token, b.nxt AS next_token, b.pair_n, t.token_n
+FROM best b JOIN totals t ON b.tok = t.tok
+WHERE t.token_n >= {BIGRAM_MIN_COUNT}
+"""

@@ -99,3 +99,64 @@ def salted_join(
     )
     replicated = small.crossJoin(F.broadcast(salts))
     return salted_big.join(replicated, [key, "_salt"]).drop("_salt")
+
+
+# --------------------------------------------------------------------------
+# Join-key skew diagnostic
+# --------------------------------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+def join_key_skew_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_partkey, cnt, total_rows, n_keys, ratio_num, ratio_den): the
+    heaviest SKEW_TOP_K join keys of lineitem.l_partkey with each
+    key's skew ratio as the exact fraction cnt·n_keys / total_rows
+    (ratio vs the mean key load — the number AQE's skew-join threshold
+    reasons about). This is the diagnostic run BEFORE choosing a
+    mitigation from this module (salted aggregation / replicated
+    salted join): keys with ratio >> 1 get salted, the rest keep the
+    plain hash join.
+
+    Scale: one combinable key-count rollup, then TakeOrderedAndProject
+    for the top-K ((cnt desc, key) total order — per-partition heaps,
+    driver merges K rows, no global sort) and a broadcast of the
+    one-row corpus totals."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("l_partkey")).limit(SKEW_TOP_K)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "l_partkey",
+        "cnt",
+        "total_rows",
+        "n_keys",
+        (F.col("cnt") * F.col("n_keys")).cast("bigint").alias("ratio_num"),
+        F.col("total_rows").alias("ratio_den"),
+    )
+
+
+JOIN_KEY_SKEW_ORACLE = f"""
+WITH counts AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+),
+totals AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM counts
+),
+top AS (
+  SELECT l_partkey, cnt FROM counts
+  ORDER BY cnt DESC, l_partkey LIMIT {SKEW_TOP_K}
+)
+SELECT t.l_partkey, t.cnt, x.total_rows, x.n_keys,
+       CAST(t.cnt * x.n_keys AS BIGINT) AS ratio_num,
+       x.total_rows AS ratio_den
+FROM top t CROSS JOIN totals x
+"""

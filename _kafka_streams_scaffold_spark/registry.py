@@ -1095,5 +1095,30 @@ def _ensure_loaded() -> None:
         segmentation.ORDER_GAP_STATS_ORACLE,
     )
 
+    # ---- round-5 late additions (round-6 window material) ----
+    register(
+        "sequence_gap_audit",
+        dq.sequence_gap_audit_query,
+        dq.SEQUENCE_GAP_AUDIT_ORACLE,
+    )
+    register(
+        "watermark_lag_audit",
+        dq.watermark_lag_audit_query,
+        dq.WATERMARK_LAG_AUDIT_ORACLE,
+    )
+    register(
+        "bigram_next_token",
+        lm.bigram_next_token_query,
+        lm.BIGRAM_NEXT_TOKEN_ORACLE,
+    )
+    register(
+        "compaction_plan",
+        layout.compaction_plan_query,
+        layout.COMPACTION_PLAN_ORACLE,
+    )
+    register(
+        "join_key_skew", skew.join_key_skew_query, skew.JOIN_KEY_SKEW_ORACLE
+    )
+
     _apply_window(_WINDOW_R05)
     _LOADED = True
