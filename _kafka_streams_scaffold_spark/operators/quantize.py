@@ -14,6 +14,12 @@ error audit reduces per-element absolute errors through the module's
 standard fixed-point contract (floor(1e9 x) -> BIGINT, exact sum) so
 the corpus-level mean is order-independent and cross-engine exact.
 
+The tier is load-bearing, not just a storage codec: ``int8_ann`` runs
+the cosine search entirely in the quantized domain (exact BIGINT dot
+products; the per-vector scales cancel in the cosine), and
+``int8_ann_recall`` hash-checks its recall@k against the exact float
+search — the same layered contract as the PQ stack (pq.py).
+
 North-star addition (no reference analog; the scaffold has no
 vector surface).
 """
@@ -126,4 +132,194 @@ SELECT CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(sum(efp) AS DOUBLE) / CAST(sum(d) * {_ERR_SCALE} AS DOUBLE)
          AS mean_abs_err
 FROM per_row
+"""
+
+
+# --------------------------------------------------------------------------
+# int8 ANN: cosine search in the quantized domain (exact-integer dots)
+# --------------------------------------------------------------------------
+
+# Query/top-k dials shared with the rest of the ANN stack so the
+# recall gate below compares like for like.
+from .similarity import N_QUERIES, TOP_K, _dot_sql, _norm_sql  # noqa: E402
+
+_SSQ_SPARK = "aggregate(q, 0L, (acc, c) -> acc + cast(c as bigint) * c)"
+
+
+def int8_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, n_id, dot_int, qcos, rank): top-k cosine search run
+    entirely in the int8 domain — the serving-tier search a real
+    deployment executes against the quantized index (4x less memory
+    bandwidth than float32; SIMD int8 dot products). The per-vector
+    scales CANCEL in the cosine, so the score is
+    dot_int / (sqrt(ssq_q)·sqrt(ssq_n)) over exact BIGINT integer
+    sums: the only floats are two correctly-rounded sqrts and one
+    division of bit-identical inputs, making the whole ranking
+    cross-engine hash-stable (no fixed-point scaffolding needed —
+    quantization already made the data integral). All-zero vectors
+    have no direction and are excluded from both sides (ANSI division
+    guard + the only semantically defensible choice).
+
+    Scale: same posture as ann_topk (queries broadcast, corpus
+    scanned once, per-query top-k windows); at 100 TB the IVF/PQ
+    tiers shortlist and this integer kernel scores — see pq.py for
+    the layered design."""
+    emb = tables.table(spark, sf_dir, "embeddings")
+    qf = emb.select("vec_id", F.expr(_Q_CODES).alias("q")).select(
+        "vec_id", "q", F.expr(_SSQ_SPARK).alias("ssq")
+    ).filter(F.col("ssq") > 0)
+    queries = qf.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("q_q"),
+        F.col("ssq").alias("q_ssq"),
+    )
+    corpus = qf.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("q").alias("n_q"),
+        F.col("ssq").alias("n_ssq"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_q, n_q, (x, y) -> cast(x as bigint) * y),"
+        " 0L, (acc, t) -> acc + t)"
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            dot.alias("dot_int"),
+            (
+                dot.cast("double")
+                / (
+                    F.sqrt(F.col("q_ssq").cast("double"))
+                    * F.sqrt(F.col("n_ssq").cast("double"))
+                )
+            ).alias("qcos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("qcos").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+_DUCK_QF = f"""
+qf AS (
+  SELECT vec_id,
+         CASE WHEN {_DUCK_MAXABS} = 0.0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+                   / {_DUCK_MAXABS} * {_QMAX}.0 + 0.5) AS INT)) END AS q
+  FROM embeddings
+),
+qs AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, c -> CAST(c AS BIGINT) * c))
+              AS BIGINT) AS ssq
+  FROM qf
+)
+"""
+
+INT8_ANN_ORACLE = f"""
+WITH {_DUCK_QF},
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q),
+              p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS dot_int,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q),
+              p -> CAST(p[1] AS BIGINT) * p[2])) AS DOUBLE)
+           / (sqrt(CAST(a.ssq AS DOUBLE)) * sqrt(CAST(b.ssq AS DOUBLE)))
+           AS qcos
+  FROM qs a CROSS JOIN qs b
+  WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+    AND a.ssq > 0 AND b.ssq > 0
+)
+SELECT q_id, n_id, dot_int, qcos, rank FROM (
+  SELECT q_id, n_id, dot_int, qcos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY qcos DESC, n_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def int8_ann_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, n_exact, n_hits, recall): recall@k of the int8-domain
+    search against the exact float cosine top-k (ann_topk) — the
+    quantization tier's quality contract on the hash-checked surface
+    (both rankings are deterministic, so the overlap is too). This is
+    the number that justifies shipping int8 to serving: ~0.3% cosine
+    error should cost little-to-no recall at k=5."""
+    from .similarity import ann_topk_query
+
+    exact = ann_topk_query(spark, sf_dir).select("q_id", "n_id")
+    approx = int8_ann_query(spark, sf_dir).select(
+        "q_id", "n_id"
+    ).withColumn("hit", F.lit(1))
+    return (
+        exact.join(approx, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "q_id",
+            "n_exact",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+INT8_ANN_RECALL_ORACLE = f"""
+WITH {_DUCK_QF},
+approx AS (
+  SELECT q_id, n_id FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                        p -> CAST(p[1] AS BIGINT) * p[2])) AS DOUBLE)
+                      / (sqrt(CAST(a.ssq AS DOUBLE))
+                         * sqrt(CAST(b.ssq AS DOUBLE))) DESC,
+                      b.vec_id
+           ) AS rank
+    FROM qs a CROSS JOIN qs b
+    WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+      AND a.ssq > 0 AND b.ssq > 0
+  ) WHERE rank <= {TOP_K}
+),
+normed AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+exact AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dot_sql('q.embedding', 'n.embedding', 'duck')}
+                      / (q.norm * n.norm) DESC, n.vec_id
+           ) AS rank
+    FROM normed q CROSS JOIN normed n
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+  ) WHERE rank <= {TOP_K}
+)
+SELECT e.q_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS recall
+FROM exact e
+LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+GROUP BY e.q_id
 """

@@ -32,11 +32,19 @@ CORRECTNESS row. Rotation history:
   families). If all go green, every oracle-backed query in the repo
   has a driver CORRECTNESS row.
 
-NEXT ROTATION (round 6): the backlog is cleared, so the window only
-needs to carry round-6's own additions; fill the remaining slots with
+NEXT ROTATION (round 6): the seven round-5 late additions
+(sequence_gap_audit, watermark_lag_audit, bigram_next_token,
+compaction_plan, join_key_skew, int8_ann, int8_ann_recall —
+registered after the r05 window was frozen) plus round-6's own
+additions; fill the remaining slots with
 whichever certified queries changed implementation since their green
-row (re-certification beats re-running never-changed queries). Update
-tests/test_registry_window.py in the same commit.
+row (re-certification beats re-running never-changed queries — in
+round 5 that was ngram_jaccard_pairs, containment_pairs,
+dedup_clusters, embedding_dup_clusters, cluster_keep_list,
+dup_pagerank, all refactored onto shared pins / the active-set CC
+after their green rows; their oracle checks pass but a driver row
+re-certifies). Update tests/test_registry_window.py in the same
+commit.
 
 The window is applied as an explicit reorder (``_WINDOW_R05``) after
 all register() calls, so the family grouping of the code below never
@@ -1118,6 +1126,12 @@ def _ensure_loaded() -> None:
     )
     register(
         "join_key_skew", skew.join_key_skew_query, skew.JOIN_KEY_SKEW_ORACLE
+    )
+    register("int8_ann", quantize.int8_ann_query, quantize.INT8_ANN_ORACLE)
+    register(
+        "int8_ann_recall",
+        quantize.int8_ann_recall_query,
+        quantize.INT8_ANN_RECALL_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

@@ -56,6 +56,8 @@ def test_window_clears_the_entire_certification_backlog():
         "bigram_next_token",
         "compaction_plan",
         "join_key_skew",
+        "int8_ann",
+        "int8_ann_recall",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"
