@@ -617,6 +617,61 @@ AUDIT = [
         "column; only (digest) / (doc_id, flag) id-width rows ever "
         "shuffle, and the duplicate set broadcasts back.",
     ),
+    (
+        "term_cooccurrence",
+        "The pair generator is vocabulary-bounded BEFORE the "
+        "self-join: only the broadcast top-V df terms rejoin the "
+        "corpus, so a document contributes at most V(V-1)/2 pairs "
+        "regardless of length and the shuffle carries (term, term) "
+        "keys only; the PMI lift ships as an exact integer fraction "
+        "(no cross-engine log).",
+    ),
+    (
+        "rfm_segments",
+        "Three per-segment window sorts produce explicit "
+        "percentile_disc cutoffs (the segment_spend_quantiles "
+        "posture: exact form is the on-demand audit; the sketch twin "
+        "is the first pass at 100 TB); scoring is a broadcast join "
+        "of the segment-count-sized cutoff frame and the rollup key "
+        "is (segment, 3 small ints).",
+    ),
+    (
+        "spend_gini",
+        "The sorted-rank Gini identity: one per-segment window sort, "
+        "rank products accumulated in DECIMAL(38,0) (exact, "
+        "overflow-proof at n*cents scale), one final float division. "
+        "Nothing wider than (segment, two decimals) shuffles.",
+    ),
+    (
+        "int8_ann",
+        "Cosine search entirely in the quantized domain: exact "
+        "BIGINT dot products (scales cancel), queries broadcast, "
+        "corpus scanned once, per-query top-k windows; the recall "
+        "gate (int8_ann_recall) hash-checks the tier against the "
+        "exact float search.",
+    ),
+    (
+        "watermark_lag_audit",
+        "One running-max window per event type in arrival order — "
+        "embarrassingly parallel across types — then a combinable "
+        "rollup; lateness is exact integer seconds via the "
+        "unix_micros/div contract. This is the audit that sizes "
+        "withWatermark() before a streaming deployment.",
+    ),
+    (
+        "join_key_skew",
+        "Key counts partially aggregate, the top-K is "
+        "TakeOrderedAndProject (per-partition heaps, driver merges "
+        "K rows — no global sort), and corpus totals broadcast as "
+        "one row; skew ratios ship as exact integer fractions.",
+    ),
+    (
+        "bigram_next_token",
+        "Adjacent-pair generation is map-local zip_with over each "
+        "document's token array (no index join, no shuffle); the "
+        "count rollup shuffles (token, next) pairs with map-side "
+        "combine and the argmax window is per-context-sized.",
+    ),
 ]
 
 
