@@ -1290,3 +1290,167 @@ def _tier_agreement_oracle() -> str:
 
 
 DEDUP_TIER_AGREEMENT_ORACLE = _tier_agreement_oracle()
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style, lossless)
+# --------------------------------------------------------------------------
+
+# Jaccard threshold as an exact rational (4/5): every bound below is
+# integer arithmetic, so the prefix lengths and the final predicate
+# are bit-identical on both engines (0.8 * s in doubles is NOT —
+# 0.8*5 = 4.000000000000000222 ceils to 5).
+PF_TAU_NUM = 4
+PF_TAU_DEN = 5
+
+
+def prefix_filter_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jac_num, jac_den, jaccard): ALL document pairs
+    whose 3-gram-shingle-SET Jaccard clears tau = 4/5, computed with
+    the classic prefix-filter candidate join (Chaudhuri et al. '06 /
+    PPJoin): order elements by ascending document frequency, keep only
+    each document's first p = s - ceil(tau*s) + 1 shingles as its
+    "prefix", and join on prefix shingles only — the prefix-filter
+    lemma guarantees every qualifying pair shares a prefix element,
+    so the join is LOSSLESS while hot boilerplate shingles (which
+    sort last) never enter the candidate join at all. Candidates then
+    verify with the exact intersection, and the predicate is
+    cross-multiplied to integers (9*i >= 4*(sa+sb), equivalent to
+    i/(sa+sb-i) >= 4/5).
+
+    The DuckDB oracle is the NAIVE exact tau-join (full inverted
+    index, no filtering, no df cap) — so the driver's hash check is
+    literally a machine-checked completeness proof of the prefix
+    filter. That also makes this the module's only detector with NO
+    df cap: where ngram_jaccard_pairs trades boilerplate shingles
+    away (SHINGLE_DF_CAP) for join safety, the prefix filter keeps
+    them in the verified sets and keeps the join safe anyway —
+    complementary guarantees over the same shingle universe.
+
+    Elements are shingle SETS, not token sets: on corpora drawn from
+    a shared vocabulary, token-set Jaccard saturates (measured: 24%
+    of ALL doc pairs at sf0.1 cleared tau=0.8 on tokens — a 3M-pair
+    quadratic output — vs the true few-hundred near-dup pairs on
+    shingles).
+
+    Scale: df ranking is one element-vocabulary rollup; the per-doc
+    prefix rank is a doc-partitioned window (never global); prefixes
+    shrink as tau grows (tau=0.8 keeps ~1/5 of each set); rare
+    shingles dominate prefixes so per-element join fan-out is small
+    by construction — the standard production posture for exact
+    set-similarity joins."""
+    from pyspark.sql import Window as W
+
+    docs = tables.table(spark, sf_dir, "documents")
+    elems = _shingle_table(docs)
+    dfreq = elems.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = elems.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    # No global element rank needed: the prefix is "the p elements
+    # smallest in the (df, shingle) total order", so a doc-partitioned
+    # row_number over that tuple is equivalent to ranking the whole
+    # vocabulary first — and never funnels into one partition.
+    ranked = (
+        elems.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "shingle",
+            "s",
+            F.row_number()
+            .over(
+                W.partitionBy("doc_id").orderBy(
+                    F.asc("df"), F.asc("shingle")
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    # p = s - ceil(tau*s) + 1, with ceil(4s/5) = (4s + 4) div 5
+    p = (
+        F.col("s")
+        - F.expr(f"({PF_TAU_NUM} * s + {PF_TAU_DEN} - 1) div {PF_TAU_DEN}")
+        + 1
+    )
+    prefix = ranked.filter(F.col("rn") <= p).select("doc_id", "shingle", "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # Length filter (also lossless): jaccard >= 4/5 forces
+    # 9*i >= 4*(sa+sb) with i <= min(sa,sb), hence
+    # 5*min(sa,sb) >= 4*max(sa,sb) — pairs of very different set
+    # sizes can't qualify and never become candidates (measured:
+    # 118k -> ~3k candidates at sf0.1 for 256 qualifying pairs).
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (PF_TAU_DEN * F.col("a.s") >= PF_TAU_NUM * F.col("b.s"))
+            & (PF_TAU_DEN * F.col("b.s") >= PF_TAU_NUM * F.col("a.s")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # Verify through the candidate PAIR list, not a shingle self-join
+    # over candidate docs: expanding cand by doc_a's elements and
+    # equi-joining on (doc_b, shingle) keeps the verify cost at
+    # |cand| * |set| rows — a self-join would re-fan-out every hot
+    # shingle shared across the candidate neighborhood.
+    ea = elems.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("shingle")
+    )
+    eb = elems.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle")
+    )
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            (PF_TAU_DEN + PF_TAU_NUM) * F.col("i")
+            >= PF_TAU_NUM * (F.col("sa") + F.col("sb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").alias("jac_num"),
+            (F.col("sa") + F.col("sb") - F.col("i"))
+            .cast("bigint")
+            .alias("jac_den"),
+            (
+                F.col("i").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("i")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# The oracle is deliberately the UNFILTERED exact join (no prefix
+# filter, no df cap): hash equality proves the Spark side's prefix
+# filter drops nothing.
+PREFIX_FILTER_PAIRS_ORACLE = f"""
+WITH {_DUCK_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS s FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS i
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       i AS jac_num,
+       CAST(na.s + nb.s - i AS BIGINT) AS jac_den,
+       CAST(i AS DOUBLE) / CAST(na.s + nb.s - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE {PF_TAU_DEN + PF_TAU_NUM} * i >= {PF_TAU_NUM} * (na.s + nb.s)
+"""

@@ -387,3 +387,86 @@ FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
 
 
 TOKEN_BUDGET_SELECTION_ORACLE = _token_budget_oracle()
+
+
+# --------------------------------------------------------------------------
+# Largest-remainder budget allocation (exact proportional quotas)
+# --------------------------------------------------------------------------
+
+ALLOCATION_BUDGET = 1000  # units to split across sources
+
+
+def budget_allocation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, weight_chars, alloc): split a fixed sampling budget
+    across sources proportionally to their character mass using the
+    LARGEST-REMAINDER method (Hamilton apportionment) — the exact
+    integer answer to "each source gets floor(B·w/W), who gets the
+    leftover units?" that hash-stable mixture construction needs
+    (naive rounding over- or under-shoots the budget; this method
+    sums to B exactly, provably). Everything is integer arithmetic:
+    quotas via div/mod, the leftover ranked by (remainder desc,
+    source) over the |sources|-sized frame.
+
+    Scale: one combinable rollup to |sources| rows, a one-row total
+    broadcast, and a window over the source list — the corpus is
+    touched once."""
+    from pyspark.sql import Window as W
+
+    docs = tables.table(spark, sf_dir, "documents")
+    weights = docs.groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("bigint")).alias("w")
+    )
+    total = weights.agg(F.sum("w").cast("bigint").alias("tw"))
+    quotas = weights.crossJoin(F.broadcast(total)).select(
+        "source",
+        "w",
+        F.expr(f"({ALLOCATION_BUDGET}L * w) div tw").alias("fl"),
+        F.expr(f"({ALLOCATION_BUDGET}L * w) % tw").alias("rem"),
+    )
+    # leftover = B - sum(floors), distributed to the largest remainders
+    leftover = quotas.agg(
+        (F.lit(ALLOCATION_BUDGET) - F.sum("fl")).cast("bigint").alias("lo")
+    )
+    ranked = quotas.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "w",
+        "fl",
+        "lo",
+        F.row_number()
+        .over(W.orderBy(F.desc("rem"), F.asc("source")))
+        .alias("rn"),
+    )
+    return ranked.select(
+        "source",
+        F.col("w").alias("weight_chars"),
+        (F.col("fl") + (F.col("rn") <= F.col("lo")).cast("bigint"))
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+BUDGET_ALLOCATION_ORACLE = f"""
+WITH weights AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+total AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM weights),
+quotas AS (
+  SELECT source, w,
+         ({ALLOCATION_BUDGET} * w) // tw AS fl,
+         ({ALLOCATION_BUDGET} * w) % tw AS rem
+  FROM weights CROSS JOIN total
+),
+leftover AS (
+  SELECT CAST({ALLOCATION_BUDGET} - sum(fl) AS BIGINT) AS lo FROM quotas
+),
+ranked AS (
+  SELECT source, w, fl, lo,
+         row_number() OVER (ORDER BY rem DESC, source) AS rn
+  FROM quotas CROSS JOIN leftover
+)
+SELECT source,
+       w AS weight_chars,
+       CAST(fl + (CASE WHEN rn <= lo THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+FROM ranked
+"""

@@ -1396,3 +1396,252 @@ FROM fused
 
 
 ANN_RANK_FUSION_ORACLE = _rank_fusion_oracle()
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation recall (dimension-adaptive retrieval audit)
+# --------------------------------------------------------------------------
+
+MRL_DIM = DIM // 2  # truncated prefix dimensionality
+
+
+def _mrl_dot_duck(a: str, b: str) -> str:
+    terms = [
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, MRL_DIM + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def matryoshka_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, n_exact, n_hits, recall): recall@k of cosine search over
+    the FIRST MRL_DIM dimensions against the full-dimensional exact
+    search — the audit behind Matryoshka-style dimension-adaptive
+    retrieval (run the cheap prefix search first; only if the recall
+    gate holds can the deployment halve its vector bandwidth). Both
+    rankings are deterministic (exact scores, id tiebreaks), so the
+    overlap — and hence the recall — is hash-checkable.
+
+    Scale: two broadcast-query scans of the corpus; the truncated
+    side reads the same parquet but folds half the terms, which is
+    exactly the bandwidth saving being audited."""
+    emb = tables.spread(tables.table(spark, sf_dir, "embeddings"), "vec_id")
+    trunc = emb.select(
+        "vec_id", F.expr(f"slice(embedding, 1, {MRL_DIM})").alias("v")
+    ).select(
+        "vec_id", "v", F.expr(_norm_sql("v", "spark")).alias("norm")
+    ).filter(F.col("norm") > 0)
+    queries = trunc.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("norm").alias("q_norm"),
+    )
+    corpus = trunc.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("n_v"),
+        F.col("norm").alias("n_norm"),
+    )
+    cosine = F.expr(_dot_sql("q_v", "n_v", "spark")) / (
+        F.col("q_norm") * F.col("n_norm")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "n_id")
+        .withColumn("hit", F.lit(1))
+    )
+    exact = ann_topk_query(spark, sf_dir).select("q_id", "n_id")
+    return (
+        exact.join(approx, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "q_id",
+            "n_exact",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+MATRYOSHKA_RECALL_ORACLE = f"""
+WITH trunc AS (
+  SELECT vec_id, embedding,
+         sqrt({_mrl_dot_duck('embedding', 'embedding')}) AS tnorm
+  FROM embeddings
+),
+approx AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_mrl_dot_duck('q.embedding', 'n.embedding')}
+                      / (q.tnorm * n.tnorm) DESC, n.vec_id
+           ) AS rank
+    FROM trunc q CROSS JOIN trunc n
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+      AND q.tnorm > 0 AND n.tnorm > 0
+  ) WHERE rank <= {TOP_K}
+),
+normed AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+exact AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dot_sql('q.embedding', 'n.embedding', 'duck')}
+                      / (q.norm * n.norm) DESC, n.vec_id
+           ) AS rank
+    FROM normed q CROSS JOIN normed n
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+  ) WHERE rank <= {TOP_K}
+)
+SELECT e.q_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS recall
+FROM exact e
+LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+GROUP BY e.q_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Cluster cohesion (per-label mean cosine to the label centroid)
+# --------------------------------------------------------------------------
+
+_COH_SCALE = 10**9
+
+
+def cluster_cohesion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_members, avg_cos, min_cos): how tightly each label's
+    members hug their own centroid — the cohesion audit run after any
+    clustering/labeling step (a label whose cohesion collapses is two
+    clusters wearing one id; one whose min_cos is negative contains a
+    mislabeled point). Centroids are the exact fixed-point means of
+    label_centroids; per-member cosines fold (pos-aligned) products
+    in a fixed order, and the per-label mean fixed-points each cosine
+    before summing so the reduction is order-independent and
+    cross-engine exact.
+
+    Scale: one posexplode join on (label, pos) — partial-aggregatable
+    at every step, shuffle keys never wider than (vec_id) or
+    (label, pos); no |members| x |members| pair work (cohesion is
+    member-to-centroid, not member-to-member)."""
+    emb = tables.spread(tables.table(spark, sf_dir, "embeddings"), "vec_id")
+    cent = label_centroids_query(spark, sf_dir).select(
+        F.col("label").alias("c_label"),
+        F.col("pos").alias("c_pos"),
+        "centroid",
+    )
+    member = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("x").cast("double").alias("x"),
+    )
+    joined = member.join(
+        cent,
+        (member.label == cent.c_label) & (member.pos == cent.c_pos),
+    )
+    per_vec = joined.groupBy("vec_id", "label").agg(
+        F.sum(
+            F.floor(F.col("x") * F.col("centroid") * F.lit(_COH_SCALE)).cast(
+                "bigint"
+            )
+        ).alias("dot_fp"),
+        F.sum(
+            F.floor(F.col("x") * F.col("x") * F.lit(_COH_SCALE)).cast("bigint")
+        ).alias("m2_fp"),
+        F.sum(
+            F.floor(
+                F.col("centroid") * F.col("centroid") * F.lit(_COH_SCALE)
+            ).cast("bigint")
+        ).alias("c2_fp"),
+    )
+    cos = F.when(
+        (F.col("m2_fp") > 0) & (F.col("c2_fp") > 0),
+        F.col("dot_fp").cast("double")
+        / (
+            F.sqrt(F.col("m2_fp").cast("double"))
+            * F.sqrt(F.col("c2_fp").cast("double"))
+        ),
+    )
+    scored = per_vec.select(
+        "label", F.floor(cos * F.lit(_COH_SCALE)).cast("bigint").alias("cos_fp")
+    ).filter(F.col("cos_fp").isNotNull())
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        (
+            F.sum("cos_fp").cast("double")
+            / (F.count(F.lit(1)) * F.lit(_COH_SCALE)).cast("double")
+        ).alias("avg_cos"),
+        (
+            F.min("cos_fp").cast("double") / F.lit(float(_COH_SCALE))
+        ).alias("min_cos"),
+    )
+
+
+CLUSTER_COHESION_ORACLE = f"""
+WITH cent AS (
+  SELECT label, i AS pos,
+         CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP_SCALE})
+              AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) * {_FP_SCALE} AS DOUBLE) AS centroid
+  FROM embeddings, generate_series(1, {DIM}) AS t(i)
+  GROUP BY label, i
+),
+member AS (
+  SELECT vec_id, label, i AS pos,
+         CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, {DIM}) AS t(i)
+),
+per_vec AS (
+  SELECT m.vec_id, m.label,
+         CAST(sum(CAST(floor(m.x * c.centroid * {_COH_SCALE}) AS BIGINT))
+              AS BIGINT) AS dot_fp,
+         CAST(sum(CAST(floor(m.x * m.x * {_COH_SCALE}) AS BIGINT))
+              AS BIGINT) AS m2_fp,
+         CAST(sum(CAST(floor(c.centroid * c.centroid * {_COH_SCALE})
+              AS BIGINT)) AS BIGINT) AS c2_fp
+  FROM member m
+  JOIN cent c ON c.label = m.label AND c.pos = m.pos
+  GROUP BY m.vec_id, m.label
+),
+scored AS (
+  SELECT label,
+         CAST(floor(CASE WHEN m2_fp > 0 AND c2_fp > 0 THEN
+           CAST(dot_fp AS DOUBLE)
+             / (sqrt(CAST(m2_fp AS DOUBLE)) * sqrt(CAST(c2_fp AS DOUBLE)))
+         END * {_COH_SCALE}) AS BIGINT) AS cos_fp
+  FROM per_vec
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(cos_fp) AS DOUBLE)
+         / CAST(count(*) * {_COH_SCALE} AS DOUBLE) AS avg_cos,
+       CAST(min(cos_fp) AS DOUBLE) / {_COH_SCALE}.0 AS min_cos
+FROM scored
+WHERE cos_fp IS NOT NULL
+GROUP BY label
+"""

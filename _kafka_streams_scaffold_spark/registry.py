@@ -1133,6 +1133,29 @@ def _ensure_loaded() -> None:
         quantize.int8_ann_recall_query,
         quantize.INT8_ANN_RECALL_ORACLE,
     )
+    # Lossless prefix-filtered set-similarity join: the oracle is the
+    # NAIVE exact tau-join, so the hash check is a machine-checked
+    # completeness proof of the prefix filter.
+    register(
+        "prefix_filter_pairs",
+        dedup.prefix_filter_pairs_query,
+        dedup.PREFIX_FILTER_PAIRS_ORACLE,
+    )
+    register(
+        "matryoshka_recall",
+        similarity.matryoshka_recall_query,
+        similarity.MATRYOSHKA_RECALL_ORACLE,
+    )
+    register(
+        "cluster_cohesion",
+        similarity.cluster_cohesion_query,
+        similarity.CLUSTER_COHESION_ORACLE,
+    )
+    register(
+        "budget_allocation",
+        sampling.budget_allocation_query,
+        sampling.BUDGET_ALLOCATION_ORACLE,
+    )
 
     _apply_window(_WINDOW_R05)
     _LOADED = True

@@ -58,6 +58,10 @@ def test_window_clears_the_entire_certification_backlog():
         "join_key_skew",
         "int8_ann",
         "int8_ann_recall",
+        "prefix_filter_pairs",
+        "matryoshka_recall",
+        "cluster_cohesion",
+        "budget_allocation",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"
