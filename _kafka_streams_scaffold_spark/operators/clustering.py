@@ -571,40 +571,39 @@ def kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     never prunes).
 
     Peeling is the standard parallel k-core formulation (Matula &
-    Beck's algorithm restated as fixpoint): each round is two id-width
-    LEFT SEMI joins restricting the pinned undirected edge table to
-    surviving endpoints, one partial-aggregated degree count, one
-    filter. Work per round is O(|E_surviving|) and rounds are bounded
-    by the peel depth (typically 2-4 on near-dup graphs); the edge
-    table is hash-partitioned + checkpointed once (``undirected``),
-    so rounds exchange only the shrinking |V|-sized survivor frame.
+    Beck's algorithm restated as fixpoint): the first degrees come
+    straight off the pinned undirected edge table (no edge touches
+    every doc, so an initial all-docs restriction is the identity and
+    is skipped), then each round restricts the edge table to
+    surviving endpoints with two BROADCAST left-semi joins — the
+    survivor frame is id-width and peeling only shrinks it, so it
+    rides the broadcast path, the 2|E| edge rows never shuffle, and
+    the per-round degree count reuses the edge pin's src hash
+    partitioning (map-side, exchange-free). Work per round is
+    O(|E_surviving|) scan + |V|-width broadcast and rounds are
+    bounded by the peel depth (typically 2-4 on near-dup graphs).
     The loop runs to FIXPOINT (true k-core) with the same
     one-scalar-per-round convergence check and ``localCheckpoint``
-    regime as connected_components; the DuckDB oracle unrolls
-    KCORE_ORACLE_ROUNDS of the same peel, which covers the gate
-    data's peel depth (peeling is monotone — extra unrolled rounds
-    are identity once stable).
+    regime as connected_components — and at fixpoint the last degree
+    frame IS the answer (nothing fell below K), so the result
+    re-derives nothing. On a graph whose core outgrows a broadcast
+    (~10M+ survivors) the same loop holds with the semi-joins falling
+    back to the exchange plan — flip the hint, not the algorithm.
+    The DuckDB oracle unrolls KCORE_ORACLE_ROUNDS of the same peel,
+    which covers the gate data's peel depth (peeling is monotone —
+    extra unrolled rounds are identity once stable).
 
     Reference scope note: the reference (Kafka Streams scaffold) has
     no graph tier at all; this extends the dedup family per the
     north-star brief.
     """
-    docs = tables.table(spark, sf_dir, "documents").select("doc_id")
     edges = simhash_pairs_query(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     both = undirected(edges)
-    surv = docs
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     prev_n = None
     for _ in range(MAX_ROUNDS):
-        alive = (
-            both.join(
-                surv.select(F.col("doc_id").alias("src")), "src", "left_semi"
-            ).join(
-                surv.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
-            )
-        )
-        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
         surv = (
             deg.filter(F.col("degree") >= KCORE_K)
             .select(F.col("src").alias("doc_id"))
@@ -614,13 +613,25 @@ def kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n == prev_n:
             break
         prev_n = n
-    final = (
-        both.join(surv.select(F.col("doc_id").alias("src")), "src", "left_semi")
-        .join(surv.select(F.col("doc_id").alias("dst")), "dst", "left_semi")
-        .groupBy(F.col("src").alias("doc_id"))
-        .agg(F.count(F.lit(1)).alias("core_degree"))
+        alive = (
+            both.join(
+                F.broadcast(surv.select(F.col("doc_id").alias("src"))),
+                "src",
+                "left_semi",
+            ).join(
+                F.broadcast(surv.select(F.col("doc_id").alias("dst"))),
+                "dst",
+                "left_semi",
+            )
+        )
+        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    # At fixpoint every node in ``deg`` cleared the K filter (else the
+    # survivor count would have shrunk once more); the filter is kept
+    # only for the MAX_ROUNDS-exhaustion edge where the loop stops
+    # before convergence.
+    return deg.filter(F.col("degree") >= KCORE_K).select(
+        F.col("src").alias("doc_id"), F.col("degree").alias("core_degree")
     )
-    return final
 
 
 def _kcore_round(prev_s: str, r: int) -> str:

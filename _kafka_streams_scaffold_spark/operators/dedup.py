@@ -1454,3 +1454,124 @@ JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE {PF_TAU_DEN + PF_TAU_NUM} * i >= {PF_TAU_NUM} * (na.s + nb.s)
 """
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style positional document fingerprinting)
+# --------------------------------------------------------------------------
+
+WINNOW_W = 4  # window of consecutive k-gram hashes per fingerprint
+_WINNOW_SEED = 77
+
+
+def winnowing_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, n_fingerprints, min_fp, fp_checksum): the
+    winnowing fingerprint set of each document — slide a window of
+    WINNOW_W consecutive positional 3-gram hashes and keep each
+    window's minimum (Schleimer, Wilkerson & Aiken, SIGMOD'03; the
+    MOSS algorithm). Winnowing guarantees any shared substring of at
+    least W+K-1 tokens contributes a shared fingerprint, while
+    keeping ~2/(W+1) of the grams — the classic
+    density/detection-guarantee tradeoff that pure modular sampling
+    (doc_fingerprint's 0-mod-p) lacks. Fingerprints are summarized
+    per doc as count/min/sum-of-distinct — integer-exact, so the
+    whole selection is hash-checked, not sampled.
+
+    Unlike the set-based detectors above, grams here are POSITIONAL
+    (repeats retained, order preserved): winnowing fingerprints
+    locality — which window a gram wins — not just membership.
+
+    Scale: per-doc windows only (partitioned by doc_id, never
+    global); hashes are md5-affine JVM expressions; output is one
+    row per doc. The fingerprint-index join this feeds (find docs
+    sharing a fingerprint) is the same inverted-index shape as the
+    shingle join, with ~2/(W+1) the postings."""
+    from pyspark.sql import Window as W
+
+    from ..functions.xhash import hash60_spark
+
+    docs = tables.table(spark, sf_dir, "documents")
+    grams = (
+        tables.spread(docs, "doc_id")
+        .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(f"size({_SPARK_SHINGLES})").alias("n_grams"),
+            F.posexplode(F.expr(_SPARK_SHINGLES)).alias("pos0", "shingle"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("pos0") + 1).alias("pos"),
+            F.expr(hash60_spark("shingle", _WINNOW_SEED)).alias("h"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    fps = (
+        grams.select(
+            "doc_id",
+            "n_grams",
+            "pos",
+            F.min("h").over(win).alias("fp"),
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - WINNOW_W + 1)
+        .select("doc_id", "n_grams", "fp")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.max("n_grams").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.min("fp").cast("bigint").alias("min_fp"),
+        # fp values are 60-bit; summing them raw overflows int64 after
+        # ~8 fingerprints, so the checksum sums residues mod a prime.
+        F.sum(F.expr("fp % 1000000007")).cast("bigint").alias("fp_checksum"),
+    )
+
+
+def _winnow_oracle() -> str:
+    from ..functions.xhash import hash60_duck
+
+    gram_concat = " || ' ' || ".join(
+        f"toks[i + {k}]" for k in range(SHINGLE_N)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+  FROM documents
+),
+grams0 AS (
+  SELECT doc_id,
+         len(toks) - {SHINGLE_N - 1} AS n_grams,
+         unnest([{{'pos': i, 'sh': {gram_concat}}}
+                 for i in generate_series(1, len(toks) - {SHINGLE_N - 1})]) AS g
+  FROM tok
+  WHERE len(toks) >= {SHINGLE_N}
+),
+grams AS (
+  SELECT doc_id, n_grams, g.pos AS pos,
+         {hash60_duck("g.sh", _WINNOW_SEED)} AS h
+  FROM grams0
+),
+wins AS (
+  SELECT doc_id, n_grams, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, n_grams, fp
+  FROM wins WHERE pos <= n_grams - {WINNOW_W} + 1
+)
+SELECT doc_id,
+       CAST(max(n_grams) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(min(fp) AS BIGINT) AS min_fp,
+       CAST(sum(fp % 1000000007) AS BIGINT) AS fp_checksum
+FROM fps
+GROUP BY doc_id
+"""
+
+
+WINNOWING_FINGERPRINTS_ORACLE = _winnow_oracle()

@@ -711,3 +711,66 @@ SELECT event_type,
        END AS avg_late_s
 FROM late GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (sensitive-attribute diversity within QI classes)
+# --------------------------------------------------------------------------
+
+LDIV_L = 3  # minimum sensitive-value diversity per class
+_LDIV_SENSITIVE = "cast(floor(c_acctbal / 2000.0) as bigint)"
+_LDIV_SENSITIVE_DUCK = "CAST(floor(c_acctbal / 2000.0) AS BIGINT)"
+
+
+def l_diversity_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l, n_classes, n_rows, at_risk): the l-diversity companion to
+    k_anonymity_audit — k-anonymity alone doesn't stop attribute
+    disclosure (a class of 50 rows that all share one salary bucket
+    reveals the salary of anyone linked into it), so each
+    quasi-identifier class is scored by the number of DISTINCT
+    sensitive values it contains (distinct-l; Machanavajjhala et al.
+    '07), here the account-balance bucket. Classes roll up by their
+    l; ``at_risk`` marks l < LDIV_L, the rows a release gate must
+    generalize or suppress even though they may be k-anonymous.
+
+    Scale: one partial-aggregatable groupBy on (QI tuple, sensitive
+    bucket) — shuffle rows bounded by the QI x bucket domain — then
+    two rollups over |classes| rows. Same shape as k-anonymity with
+    one extra key column."""
+    cust = tables.table(spark, sf_dir, "customer")
+    per_value = cust.groupBy(
+        *_QI_COLS, F.expr(_LDIV_SENSITIVE).alias("sens")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    classes = per_value.groupBy(*_QI_COLS).agg(
+        F.count(F.lit(1)).alias("l"), F.sum("n").alias("class_size")
+    )
+    return (
+        classes.groupBy(F.col("l").cast("bigint").alias("l"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_rows"),
+        )
+        .select("l", "n_classes", "n_rows", (F.col("l") < LDIV_L).alias("at_risk"))
+    )
+
+
+L_DIVERSITY_AUDIT_ORACLE = f"""
+WITH per_value AS (
+  SELECT {", ".join(_QI_COLS)}, {_LDIV_SENSITIVE_DUCK} AS sens,
+         count(*) AS n
+  FROM customer
+  GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT {", ".join(_QI_COLS)}, CAST(count(*) AS BIGINT) AS l,
+         sum(n) AS class_size
+  FROM per_value
+  GROUP BY 1, 2
+)
+SELECT l,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       l < {LDIV_L} AS at_risk
+FROM classes
+GROUP BY 1
+"""

@@ -470,3 +470,202 @@ SELECT source,
        CAST(fl + (CASE WHEN rn <= lo THEN 1 ELSE 0 END) AS BIGINT) AS alloc
 FROM ranked
 """
+
+
+# --------------------------------------------------------------------------
+# Split leakage audit (near-dup pairs crossing train/val/test)
+# --------------------------------------------------------------------------
+
+
+def split_leakage_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split_a, split_b, n_pairs, max_jaccard): near-duplicate pairs
+    (exact capped-shingle Jaccard >= JACCARD_THRESHOLD, the
+    ngram_jaccard_pairs detector) bucketed by which dataset splits
+    the two documents landed in. Any row with split_a != split_b is
+    TRAIN/EVAL CONTAMINATION — the eval doc has a near-copy in
+    training, so its score is memorization, not generalization. The
+    audit every split pipeline must run BEFORE publishing: random
+    (here: hash-bucket) splitting guarantees such leaks exist at the
+    rate of near-dup incidence.
+
+    Composes two already-certified operators (ngram_jaccard_pairs x
+    dataset_split) into one plan: the pair table joins the per-row
+    split expression twice (id-width), then rolls up to at most 6
+    rows. The fix this audit motivates is cluster-aware splitting —
+    assign SPLITS to dedup clusters, not documents (cluster ids from
+    dedup_clusters/cluster_keep_list).
+
+    Scale: the pair table is the detector's (banded/capped) output —
+    id-pair-width; the split label is a per-row md5 expression (no
+    join against a split table); the rollup is 6 groups."""
+    from .dedup import ngram_jaccard_pairs_query
+
+    pairs = ngram_jaccard_pairs_query(spark, sf_dir)
+    b = F.col("bucket")
+    split = (
+        F.when(b < TRAIN_PCT, "train")
+        .when(b < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    sides = with_bucket(
+        tables.table(spark, sf_dir, "documents").select("doc_id")
+    ).select("doc_id", split.alias("split"))
+    sa = sides.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+    )
+    sb = sides.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "jaccard",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from .dedup import JACCARD_THRESHOLD, SHINGLE_DF_CAP, _DUCK_SHINGLE_CTE
+
+    return f"""
+WITH {_DUCK_SHINGLE_CTE},
+capped AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s
+  JOIN (SELECT shingle FROM shingles
+        GROUP BY 1 HAVING count(*) <= {SHINGLE_DF_CAP}) keep
+    ON s.shingle = keep.shingle
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM capped a
+  JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+              WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, {_BUCKET_DUCK} AS bucket FROM documents)
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(jaccard) AS max_jaccard
+FROM pairs
+JOIN splits sa ON sa.doc_id = pairs.doc_a
+JOIN splits sb ON sb.doc_id = pairs.doc_b
+GROUP BY 1, 2
+"""
+
+
+SPLIT_LEAKAGE_AUDIT_ORACLE = _split_leakage_oracle()
+
+
+# --------------------------------------------------------------------------
+# Epoch interleave (deterministic content-stable training order)
+# --------------------------------------------------------------------------
+
+_EPOCH_SEED = 13
+
+
+def epoch_interleave_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, shuffle_rank, global_pos): a deterministic
+    training-epoch ordering — documents are shuffled WITHIN each
+    source by md5 hash (content-stable: a doc's position never
+    changes across reruns, clusters, or engines) and the sources are
+    then interleaved round-robin, so a sequential reader sees the
+    mixture ratio continuously instead of source-by-source blocks
+    (the "shuffled + interleaved" layout training shards need; cf.
+    the mixture_weights/mixture_sample operators that set the
+    ratios). global_pos is the closed form
+    (shuffle_rank - 1) * n_sources + source_rank — pure arithmetic,
+    no global window, so the full ordering exists without any
+    single-partition sort.
+
+    Scale: one per-source window (partitioned, id-width) + a
+    |sources|-row broadcast; the order is materialized as a COLUMN,
+    so downstream writers can range-partition on global_pos to lay
+    out shards without ever totally ordering the corpus."""
+    from pyspark.sql import Window as W
+    from ..functions.xhash import hash60_spark
+
+    docs = tables.table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranks = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.row_number()
+            .over(W.orderBy("source"))
+            .alias("source_rank"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("n_sources"),
+        )
+    )
+    h = F.expr(hash60_spark("cast(doc_id as string)", _EPOCH_SEED))
+    shuffled = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(h.asc(), F.col("doc_id")))
+        .alias("shuffle_rank"),
+    )
+    return shuffled.join(F.broadcast(ranks), "source").select(
+        "doc_id",
+        "source",
+        F.col("shuffle_rank").cast("bigint").alias("shuffle_rank"),
+        (
+            (F.col("shuffle_rank") - 1) * F.col("n_sources")
+            + F.col("source_rank")
+        )
+        .cast("bigint")
+        .alias("global_pos"),
+    )
+
+
+def _epoch_interleave_oracle() -> str:
+    from ..functions.xhash import hash60_duck
+
+    return f"""
+WITH ranks AS (
+  SELECT source,
+         row_number() OVER (ORDER BY source) AS source_rank,
+         count(*) OVER () AS n_sources
+  FROM (SELECT DISTINCT source FROM documents)
+),
+shuffled AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {hash60_duck("CAST(doc_id AS VARCHAR)", _EPOCH_SEED)},
+                    doc_id
+         ) AS shuffle_rank
+  FROM documents
+)
+SELECT s.doc_id, s.source,
+       CAST(s.shuffle_rank AS BIGINT) AS shuffle_rank,
+       CAST((s.shuffle_rank - 1) * r.n_sources + r.source_rank AS BIGINT)
+         AS global_pos
+FROM shuffled s JOIN ranks r ON r.source = s.source
+"""
+
+
+EPOCH_INTERLEAVE_ORACLE = _epoch_interleave_oracle()

@@ -1574,3 +1574,83 @@ SELECT doc_id, n_sentences, n_words, n_syllables,
        END AS flesch
 FROM feat
 """
+
+
+# --------------------------------------------------------------------------
+# Character entropy (gibberish / encoding-noise screen)
+# --------------------------------------------------------------------------
+
+
+def char_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars_counted, n_distinct_chars, entropy_bits): the
+    Shannon entropy of each document's character distribution — the
+    classic cheap screen for gibberish, binary-in-text, and
+    encoding damage (natural language sits ~3.5-4.5 bits/char;
+    base64 blobs push toward 6, 'aaaa…' runs toward 0; both tails
+    get quarantined by quality pipelines). The per-character terms
+    are fixed-pointed BEFORE summation (count * floor(1e6 *
+    ln(count/n)) as integers, the unigram-LM recipe), so the
+    reduction is order-independent and the result cross-engine
+    exact; the bits conversion is one deterministic double op on the
+    final integer.
+
+    Scale: the char explode is map-local and the (doc_id, ch)
+    count partial-aggregates — shuffle rows are bounded by
+    |docs| x |alphabet|, not corpus characters. Single pass."""
+    docs = tables.table(spark, sf_dir, "documents")
+    chars = tables.spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.expr("split(lower(text), '')")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    term_fp = F.expr(
+        "c * cast(floor(1e6 * ln(cast(c as double) / cast(n as double)))"
+        " as bigint)"
+    )
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars_counted"),
+            F.max("n_distinct").cast("bigint").alias("n_distinct_chars"),
+            F.sum(term_fp).alias("h_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_counted",
+            "n_distinct_chars",
+            F.expr(
+                "-cast(h_fp as double)"
+                " / (cast(n_chars_counted as double) * 1e6 * ln(2))"
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+  FROM chars GROUP BY 1, 2
+),
+totals AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM counts GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(max(t.n) AS BIGINT) AS n_chars_counted,
+       CAST(max(t.n_distinct) AS BIGINT) AS n_distinct_chars,
+       -CAST(sum(c.c * CAST(floor(1e6 * ln(CAST(c.c AS DOUBLE)
+            / CAST(t.n AS DOUBLE))) AS BIGINT)) AS DOUBLE)
+         / (CAST(max(t.n) AS DOUBLE) * 1e6 * ln(2)) AS entropy_bits
+FROM counts c JOIN totals t ON t.doc_id = c.doc_id
+GROUP BY 1
+"""

@@ -1156,6 +1156,31 @@ def _ensure_loaded() -> None:
         sampling.budget_allocation_query,
         sampling.BUDGET_ALLOCATION_ORACLE,
     )
+    register(
+        "winnowing_fingerprints",
+        dedup.winnowing_fingerprints_query,
+        dedup.WINNOWING_FINGERPRINTS_ORACLE,
+    )
+    register(
+        "split_leakage_audit",
+        sampling.split_leakage_audit_query,
+        sampling.SPLIT_LEAKAGE_AUDIT_ORACLE,
+    )
+    register(
+        "epoch_interleave",
+        sampling.epoch_interleave_query,
+        sampling.EPOCH_INTERLEAVE_ORACLE,
+    )
+    register(
+        "char_entropy",
+        textops.char_entropy_query,
+        textops.CHAR_ENTROPY_ORACLE,
+    )
+    register(
+        "l_diversity_audit",
+        dq.l_diversity_audit_query,
+        dq.L_DIVERSITY_AUDIT_ORACLE,
+    )
 
     _apply_window(_WINDOW_R05)
     _LOADED = True

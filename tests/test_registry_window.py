@@ -62,6 +62,11 @@ def test_window_clears_the_entire_certification_backlog():
         "matryoshka_recall",
         "cluster_cohesion",
         "budget_allocation",
+        "winnowing_fingerprints",
+        "split_leakage_audit",
+        "epoch_interleave",
+        "char_entropy",
+        "l_diversity_audit",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

@@ -1,0 +1,238 @@
+"""Round-5 late additions: prefix-filter join, Matryoshka recall,
+cluster cohesion, budget allocation, winnowing fingerprints, split
+leakage audit, epoch interleave."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from _kafka_streams_scaffold_spark.operators import dedup, sampling, similarity
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=t,
+                lang="en",
+                source="s",
+                n_chars=len(t),
+            )
+            for i, t in enumerate(texts)
+        ]
+    )
+
+
+# ---- prefix_filter_pairs -------------------------------------------------
+
+
+def test_prefix_filter_finds_identical_pair(spark, monkeypatch):
+    t = "alpha beta gamma delta epsilon zeta"
+    other = "one two three four five six seven"
+    docs = _docs(spark, [t, t, other])
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: docs)
+    rows = dedup.prefix_filter_pairs_query(spark, "_").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    # identical shingle sets: i == sa == sb -> jaccard exactly 1
+    assert r["jac_num"] == r["jac_den"] and r["jaccard"] == 1.0
+
+
+def test_prefix_filter_threshold_is_exact_four_fifths(spark, monkeypatch):
+    # doc0 has 5 shingles (7 tokens), doc1 shares exactly 4 of them and
+    # adds none: i=4, sa=5, sb=4 -> jaccard 4/5 — must be INCLUDED
+    # (>=, and 9*4 = 36 >= 4*(5+4) = 36 holds with integer math).
+    a = "w1 w2 w3 w4 w5 w6 w7"
+    b = "w1 w2 w3 w4 w5 w6"
+    docs = _docs(spark, [a, b])
+    monkeypatch.setattr(dedup.tables, "table", lambda *a_: docs)
+    rows = dedup.prefix_filter_pairs_query(spark, "_").collect()
+    assert len(rows) == 1
+    assert rows[0]["jac_num"] == 4 and rows[0]["jac_den"] == 5
+
+
+# ---- matryoshka_recall ---------------------------------------------------
+
+
+def test_matryoshka_recall_bounds(spark, sf_dir):
+    rows = similarity.matryoshka_recall_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] == similarity.TOP_K
+        assert 0 <= r["n_hits"] <= r["n_exact"]
+        assert abs(r["recall"] - r["n_hits"] / r["n_exact"]) < 1e-12
+
+
+# ---- cluster_cohesion ----------------------------------------------------
+
+
+def test_cluster_cohesion_covers_all_vectors(spark, sf_dir):
+    from _kafka_streams_scaffold_spark import tables
+
+    rows = similarity.cluster_cohesion_query(spark, sf_dir).collect()
+    total = sum(r["n_members"] for r in rows)
+    n_vecs = tables.table(spark, sf_dir, "embeddings").count()
+    # every non-degenerate vector is scored against its own centroid
+    assert 0 < total <= n_vecs
+    for r in rows:
+        assert r["min_cos"] <= r["avg_cos"] <= 1.0 + 1e-9
+
+
+# ---- budget_allocation ---------------------------------------------------
+
+
+def test_budget_allocation_sums_exactly_to_budget(spark, sf_dir):
+    rows = sampling.budget_allocation_query(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == sampling.ALLOCATION_BUDGET
+    w_total = sum(r["weight_chars"] for r in rows)
+    for r in rows:
+        fl = sampling.ALLOCATION_BUDGET * r["weight_chars"] // w_total
+        assert fl <= r["alloc"] <= fl + 1  # largest-remainder property
+
+
+def test_budget_allocation_monotone_in_weight(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text="x", lang="en", source=s, n_chars=n)
+            for i, (s, n) in enumerate(
+                [("big", 700), ("mid", 250), ("tiny", 50)]
+            )
+        ]
+    )
+    monkeypatch.setattr(sampling.tables, "table", lambda *a: docs)
+    rows = {
+        r["source"]: r["alloc"]
+        for r in sampling.budget_allocation_query(spark, "_").collect()
+    }
+    assert rows["big"] == 700 and rows["mid"] == 250 and rows["tiny"] == 50
+
+
+# ---- winnowing_fingerprints ----------------------------------------------
+
+
+def test_winnowing_window_count(spark, monkeypatch):
+    # 8 tokens -> 6 positional 3-grams -> window starts 1..3 -> at most
+    # 3 distinct fingerprints, at least 1 (the guarantee).
+    docs = _docs(spark, ["t1 t2 t3 t4 t5 t6 t7 t8"])
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: docs)
+    r = dedup.winnowing_fingerprints_query(spark, "_").collect()[0]
+    assert r["n_grams"] == 6
+    assert 1 <= r["n_fingerprints"] <= 6 - dedup.WINNOW_W + 1
+
+
+def test_winnowing_identical_docs_share_fingerprints(spark, monkeypatch):
+    t = "the quick brown fox jumps over the lazy dog tonight"
+    docs = _docs(spark, [t, t])
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: docs)
+    rows = dedup.winnowing_fingerprints_query(spark, "_").collect()
+    assert len(rows) == 2
+    a, b = sorted(rows, key=lambda r: r["doc_id"])
+    for col in ("n_grams", "n_fingerprints", "min_fp", "fp_checksum"):
+        assert a[col] == b[col]
+
+
+def test_winnowing_short_doc_emits_nothing(spark, monkeypatch):
+    # 5 tokens -> 3 grams < WINNOW_W -> no full window -> no row
+    docs = _docs(spark, ["a b c d e"])
+    monkeypatch.setattr(dedup.tables, "table", lambda *a_: docs)
+    assert dedup.winnowing_fingerprints_query(spark, "_").count() == 0
+
+
+# ---- split_leakage_audit -------------------------------------------------
+
+
+def test_split_leakage_partitions_the_pair_table(spark, sf_dir):
+    audit = sampling.split_leakage_audit_query(spark, sf_dir).collect()
+    n_pairs = dedup.ngram_jaccard_pairs_query(spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in audit) == n_pairs
+    for r in audit:
+        assert r["split_a"] <= r["split_b"]
+        assert r["max_jaccard"] >= dedup.JACCARD_THRESHOLD
+
+
+# ---- epoch_interleave ----------------------------------------------------
+
+
+def test_epoch_interleave_is_a_permutation(spark, sf_dir):
+    df = sampling.epoch_interleave_query(spark, sf_dir)
+    n = df.count()
+    assert df.select("global_pos").distinct().count() == n
+    assert df.select("doc_id").distinct().count() == n
+
+
+def test_epoch_interleave_round_robin_structure(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text="x", lang="en", source=s, n_chars=1)
+            for i, s in enumerate(["a"] * 3 + ["b"] * 3)
+        ]
+    )
+    monkeypatch.setattr(sampling.tables, "table", lambda *a_: docs)
+    rows = sampling.epoch_interleave_query(spark, "_").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    # per-source ranks are 1..n, and global positions interleave the
+    # two sources with stride n_sources
+    for src, rs in by_src.items():
+        ranks = sorted(r["shuffle_rank"] for r in rs)
+        assert ranks == [1, 2, 3]
+        for r in rs:
+            expect = (r["shuffle_rank"] - 1) * 2 + (1 if src == "a" else 2)
+            assert r["global_pos"] == expect
+
+
+# ---- char_entropy --------------------------------------------------------
+
+
+def test_char_entropy_known_values(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import textops
+
+    # "aaaa": one symbol -> H = 0; "abab": two equal symbols -> H = 1 bit
+    docs = _docs(spark, ["aaaa", "abab"])
+    monkeypatch.setattr(textops.tables, "table", lambda *a: docs)
+    rows = {
+        r["doc_id"]: r for r in textops.char_entropy_query(spark, "_").collect()
+    }
+    assert rows[0]["n_distinct_chars"] == 1
+    assert abs(rows[0]["entropy_bits"]) < 1e-6
+    assert rows[1]["n_distinct_chars"] == 2
+    # fixed-point floor can undershoot by <= 1e-6 per unit count
+    assert abs(rows[1]["entropy_bits"] - 1.0) < 1e-4
+    assert rows[1]["n_chars_counted"] == 4
+
+
+def test_char_entropy_case_folded(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import textops
+
+    docs = _docs(spark, ["AbAb"])
+    monkeypatch.setattr(textops.tables, "table", lambda *a: docs)
+    r = textops.char_entropy_query(spark, "_").collect()[0]
+    assert r["n_distinct_chars"] == 2  # 'A' folds onto 'a'
+
+
+# ---- l_diversity_audit ---------------------------------------------------
+
+
+def test_l_diversity_low_diversity_class_flagged(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import dq
+
+    cust = spark.createDataFrame(
+        [
+            # class (1,'A'): balances in ONE bucket -> l=1, at risk
+            Row(c_custkey=1, c_name="x", c_nationkey=1, c_acctbal=100.0, c_mktsegment="A"),
+            Row(c_custkey=2, c_name="y", c_nationkey=1, c_acctbal=200.0, c_mktsegment="A"),
+            # class (2,'B'): three buckets -> l=3, safe
+            Row(c_custkey=3, c_name="z", c_nationkey=2, c_acctbal=100.0, c_mktsegment="B"),
+            Row(c_custkey=4, c_name="w", c_nationkey=2, c_acctbal=2100.0, c_mktsegment="B"),
+            Row(c_custkey=5, c_name="v", c_nationkey=2, c_acctbal=4100.0, c_mktsegment="B"),
+        ]
+    )
+    monkeypatch.setattr(dq.tables, "table", lambda *a: cust)
+    rows = {r["l"]: r for r in dq.l_diversity_audit_query(spark, "_").collect()}
+    assert rows[1]["n_classes"] == 1 and rows[1]["n_rows"] == 2
+    assert rows[1]["at_risk"] is True
+    assert rows[3]["n_classes"] == 1 and rows[3]["n_rows"] == 3
+    assert rows[3]["at_risk"] is False

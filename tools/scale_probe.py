@@ -343,6 +343,31 @@ def main() -> None:
             unioned(spark, "orders", m),
             lambda: segmentation_mod.spend_gini_query(spark, SF_DIR),
         ),
+        # NOTE: the 10x docs corpus gives every document 9 exact twins
+        # (same texts, re-keyed), so PAIR-emitting probes see their
+        # true output grow ~45x by construction (10 choose 2 per doc)
+        # on top of the 10x input — their factor measures that output,
+        # not a plan defect.
+        "prefix filter join (lossless ppjoin)": lambda m: _with_docs(
+            m, lambda: dedup.prefix_filter_pairs_query(spark, SF_DIR)
+        ),
+        "winnowing fps (per-doc windows)": lambda m: _with_docs(
+            m, lambda: dedup.winnowing_fingerprints_query(spark, SF_DIR)
+        ),
+        "split leakage (pairs x splits)": lambda m: _with_docs(
+            m, lambda: sampling.split_leakage_audit_query(spark, SF_DIR)
+        ),
+        "epoch interleave (per-source window)": lambda m: _with_docs(
+            m, lambda: sampling.epoch_interleave_query(spark, SF_DIR)
+        ),
+        "budget allocation (sources rollup)": lambda m: _with_docs(
+            m, lambda: sampling.budget_allocation_query(spark, SF_DIR)
+        ),
+        "cluster cohesion (posexplode join)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: similarity.cluster_cohesion_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
@@ -386,6 +411,16 @@ def main() -> None:
         "real growth (100 TB adds time-span/corpus breadth at roughly "
         "constant density, which these joins absorb linearly via their "
         "bucket/band equi-keys).",
+        "",
+        "The one pair-EMITTING probe kept in the table, the prefix "
+        "filter join, reads the same way: the 10x corpus gives every "
+        "document 9 exact twins, so its qualifying-pair OUTPUT grows "
+        "45x (10 choose 2 per doc) on top of the 10x input and its "
+        "factor measures that output, not the plan — candidate "
+        "generation stays prefix-bounded (the lossless filter holds "
+        "at any scale; the oracle equality is its proof at the gate "
+        "SF). On a real corpus the factor tracks near-dup incidence, "
+        "which 100 TB of breadth does not multiply.",
     ]
     # Warm JVM + python pool once.
     probes["pricing agg (filter+group)"](1).count()
