@@ -672,3 +672,224 @@ GROUP BY e.src
 
 
 KCORE_ORACLE = _kcore_oracle()
+
+
+# --------------------------------------------------------------------------
+# Source modularity (does near-duplication stay within sources?)
+# --------------------------------------------------------------------------
+
+
+def source_modularity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs_in_graph, e_intra, d_sum, q_num, q_contrib):
+    Newman modularity of the SimHash near-dup graph with respect to
+    the SOURCE partition — per source, the intra-source edge count
+    against the expectation under random wiring, Q_c = e_c/m -
+    (d_c/2m)^2. A strongly positive sum means duplication is
+    source-internal (dedup can shard by source); contributions near
+    or below zero mean templates cross sources and dedup MUST be
+    global — the measurement that justifies (or forbids) partitioning
+    the dedup job. Exact arithmetic: q_num = 4*m*e_c - d_c^2 over
+    integer edge/degree counts, one double division at the end
+    (q_contrib = q_num / (4*m^2)).
+
+    Unlike a connected-component partition (where every edge is
+    intra by construction and d_c = 2*e_c), the source partition can
+    cut edges, so both terms carry information.
+
+    Scale: the pair table is the banded detector output; degrees and
+    intra-counts are partial-aggregatable rollups to |sources| rows;
+    m is a one-row broadcast. Nothing here is heavier than the
+    detector that feeds it."""
+    docs = tables.table(spark, sf_dir, "documents").select("doc_id", "source")
+    edges = simhash_pairs_query(spark, sf_dir).select("doc_a", "doc_b")
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    labeled = edges.join(sa, "doc_a").join(sb, "doc_b")
+    m_frame = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    intra = (
+        labeled.filter(F.col("src_a") == F.col("src_b"))
+        .groupBy(F.col("src_a").alias("source"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_intra"))
+    )
+    deg = (
+        labeled.select(F.col("doc_a").alias("doc_id"), F.col("src_a").alias("source"))
+        .union(
+            labeled.select(
+                F.col("doc_b").alias("doc_id"), F.col("src_b").alias("source")
+            )
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    per_source = deg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_in_graph"),
+        F.sum("degree").cast("bigint").alias("d_sum"),
+    )
+    return (
+        per_source.join(intra, "source", "left")
+        .crossJoin(F.broadcast(m_frame))
+        .select(
+            "source",
+            "n_docs_in_graph",
+            F.coalesce("e_intra", F.lit(0)).cast("bigint").alias("e_intra"),
+            "d_sum",
+            (
+                4 * F.col("m") * F.coalesce("e_intra", F.lit(0))
+                - F.col("d_sum") * F.col("d_sum")
+            )
+            .cast("bigint")
+            .alias("q_num"),
+            (
+                (
+                    4 * F.col("m") * F.coalesce("e_intra", F.lit(0))
+                    - F.col("d_sum") * F.col("d_sum")
+                ).cast("double")
+                / (4 * F.col("m") * F.col("m")).cast("double")
+            ).alias("q_contrib"),
+        )
+    )
+
+
+SOURCE_MODULARITY_ORACLE = f"""
+WITH pairs AS (
+  {{pairs_sql}}
+),
+labeled AS (
+  SELECT p.doc_a, p.doc_b, da.source AS src_a, db.source AS src_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM labeled),
+intra AS (
+  SELECT src_a AS source, CAST(count(*) AS BIGINT) AS e_intra
+  FROM labeled WHERE src_a = src_b GROUP BY 1
+),
+deg AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS degree
+  FROM (
+    SELECT doc_a AS doc_id, src_a AS source FROM labeled
+    UNION ALL
+    SELECT doc_b AS doc_id, src_b AS source FROM labeled
+  )
+  GROUP BY 1, 2
+),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_in_graph,
+         CAST(sum(degree) AS BIGINT) AS d_sum
+  FROM deg GROUP BY 1
+)
+SELECT ps.source, ps.n_docs_in_graph,
+       CAST(coalesce(i.e_intra, 0) AS BIGINT) AS e_intra,
+       ps.d_sum,
+       CAST(4 * m.m * coalesce(i.e_intra, 0) - ps.d_sum * ps.d_sum
+            AS BIGINT) AS q_num,
+       CAST(4 * m.m * coalesce(i.e_intra, 0) - ps.d_sum * ps.d_sum
+            AS DOUBLE)
+         / CAST(4 * m.m * m.m AS DOUBLE) AS q_contrib
+FROM per_source ps
+LEFT JOIN intra i ON i.source = ps.source
+CROSS JOIN m
+"""
+
+
+def _source_modularity_oracle() -> str:
+    return SOURCE_MODULARITY_ORACLE.replace("{pairs_sql}", _simhash_edges_sql())
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (do hubs attach to hubs?)
+# --------------------------------------------------------------------------
+
+
+def degree_assortativity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_edges, sxy, sx, sx2, assortativity): Newman's degree
+    assortativity coefficient of the SimHash near-dup graph — the
+    Pearson correlation of endpoint degrees over the directed edge
+    list (both directions, so the statistic is symmetric and sy == sx
+    collapse into one set of sums). Near-dup graphs are typically
+    strongly assortative (template families form near-cliques whose
+    members all share high degree); a drop toward 0 after a dedup
+    pass is evidence the cliques were actually removed. Power sums
+    are exact integers (degrees are counts); only the final Pearson
+    assembly is floating point — one deterministic expression on
+    five integers.
+
+    Scale: degree rollup + one id-width join per endpoint + a single
+    global integer aggregate. No pair work beyond the existing edge
+    list."""
+    edges = simhash_pairs_query(spark, sf_dir).select("doc_a", "doc_b")
+    both = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = both.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    da = deg.select(F.col("doc_id").alias("doc_a"), F.col("degree").alias("dx"))
+    db = deg.select(F.col("doc_id").alias("doc_b"), F.col("degree").alias("dy"))
+    sums = (
+        both.join(da, "doc_a")
+        .join(db, "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+            F.sum("dx").cast("bigint").alias("sx"),
+            F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sx2"),
+        )
+    )
+    r = (
+        (F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        / (
+            (F.col("n_edges") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+    )
+    return sums.select(
+        "n_edges",
+        "sxy",
+        "sx",
+        "sx2",
+        F.when(
+            F.col("n_edges") * F.col("sx2") != F.col("sx") * F.col("sx"), r
+        ).alias("assortativity"),
+    )
+
+
+DEGREE_ASSORTATIVITY_ORACLE = f"""
+WITH pairs AS (
+  {{pairs_sql}}
+),
+both_dir AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+deg AS (
+  SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS degree
+  FROM both_dir GROUP BY 1
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(da.degree * db.degree) AS BIGINT) AS sxy,
+         CAST(sum(da.degree) AS BIGINT) AS sx,
+         CAST(sum(da.degree * da.degree) AS BIGINT) AS sx2
+  FROM both_dir b
+  JOIN deg da ON da.doc_id = b.doc_a
+  JOIN deg db ON db.doc_id = b.doc_b
+)
+SELECT n_edges, sxy, sx, sx2,
+       CASE WHEN n_edges * sx2 <> sx * sx THEN
+         CAST(n_edges * sxy - sx * sx AS DOUBLE)
+           / CAST(n_edges * sx2 - sx * sx AS DOUBLE)
+       END AS assortativity
+FROM sums
+"""
+
+
+def _degree_assortativity_oracle() -> str:
+    return DEGREE_ASSORTATIVITY_ORACLE.replace(
+        "{pairs_sql}", _simhash_edges_sql()
+    )

@@ -1575,3 +1575,149 @@ GROUP BY doc_id
 
 
 WINNOWING_FINGERPRINTS_ORACLE = _winnow_oracle()
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood candidate join (the fourth blocking strategy)
+# --------------------------------------------------------------------------
+
+SNM_W = 6  # rank-window width within a block
+SNM_KEY_LEN = 24  # normalized sort-key prefix length
+SNM_BLOCK_LEN = 4  # leading chars that define the block
+
+
+def sorted_neighborhood_pairs_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): near-dup pairs surfaced by the
+    SORTED-NEIGHBORHOOD method (Hernandez & Stolfo '95) and verified
+    with the exact capped-shingle Jaccard: sort documents by a
+    normalized text-prefix key, take as candidates only pairs within
+    SNM_W ranks of each other inside a key-prefix block, verify
+    exactly. The module's fourth candidate-generation strategy —
+    bands (MinHash), bit-blocks (SimHash), df-ordered prefixes
+    (PPJoin), and now sort-order locality — each with a different
+    recall/cost shape: SNM is the cheapest (one sort, n*W
+    candidates, no per-token join at all) and catches the
+    shared-prefix family of near-dups (template instantiations,
+    truncations) that hash-based blocking only finds at higher cost.
+
+    Blocked formulation: the window lives INSIDE a key-prefix block
+    (the standard production variant), so ranking is a per-block
+    window — never a global sort — and block boundaries are data
+    boundaries (docs in different blocks differ in their first
+    SNM_BLOCK_LEN normalized chars, so they are not
+    prefix-family near-dups by construction).
+
+    Scale: one per-block window over (block, key) + a rank-distance
+    band join bounded at |docs| * (SNM_W - 1) candidate rows +
+    pair-list verification (candidate x set-size rows, the
+    prefix_filter_pairs recipe). No shingle self-join anywhere."""
+    from pyspark.sql import Window as W
+
+    docs = tables.table(spark, sf_dir, "documents")
+    key = F.expr(
+        "substring(regexp_replace(lower(trim(text)), '\\\\s+', ' '),"
+        f" 1, {SNM_KEY_LEN})"
+    )
+    keyed = tables.spread(docs, "doc_id").select(
+        "doc_id",
+        key.alias("k"),
+        F.expr(
+            "substring(regexp_replace(lower(trim(text)), '\\\\s+', ' '),"
+            f" 1, {SNM_BLOCK_LEN})"
+        ).alias("blk"),
+    )
+    ranked = keyed.select(
+        "doc_id",
+        "blk",
+        F.row_number()
+        .over(W.partitionBy("blk").orderBy("k", "doc_id"))
+        .alias("rn"),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + (SNM_W - 1)),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    elems = _capped_shingle_table(docs)
+    ea = elems.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = elems.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = _capped_sizes_table(docs)
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+SORTED_NEIGHBORHOOD_PAIRS_ORACLE = f"""
+WITH {_DUCK_SHINGLE_CTE},
+keyed AS (
+  SELECT doc_id,
+         substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   1, {SNM_KEY_LEN}) AS k,
+         substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   1, {SNM_BLOCK_LEN}) AS blk
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, blk,
+         row_number() OVER (PARTITION BY blk ORDER BY k, doc_id) AS rn
+  FROM keyed
+),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM ranked a
+  JOIN ranked b
+    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {SNM_W - 1}
+),
+capped AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s
+  JOIN (SELECT shingle FROM shingles
+        GROUP BY 1 HAVING count(*) <= {SHINGLE_DF_CAP}) keep
+    ON s.shingle = keep.shingle
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN capped ea ON ea.doc_id = c.doc_a
+  WHERE EXISTS (SELECT 1 FROM capped eb
+                WHERE eb.doc_id = c.doc_b AND eb.shingle = ea.shingle)
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
+"""

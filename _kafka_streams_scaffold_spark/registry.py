@@ -1181,6 +1181,21 @@ def _ensure_loaded() -> None:
         dq.l_diversity_audit_query,
         dq.L_DIVERSITY_AUDIT_ORACLE,
     )
+    register(
+        "source_modularity",
+        clustering.source_modularity_query,
+        clustering._source_modularity_oracle(),
+    )
+    register(
+        "degree_assortativity",
+        clustering.degree_assortativity_query,
+        clustering._degree_assortativity_oracle(),
+    )
+    register(
+        "sorted_neighborhood_pairs",
+        dedup.sorted_neighborhood_pairs_query,
+        dedup.SORTED_NEIGHBORHOOD_PAIRS_ORACLE,
+    )
 
     _apply_window(_WINDOW_R05)
     _LOADED = True

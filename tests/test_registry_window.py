@@ -67,6 +67,9 @@ def test_window_clears_the_entire_certification_backlog():
         "epoch_interleave",
         "char_entropy",
         "l_diversity_audit",
+        "source_modularity",
+        "degree_assortativity",
+        "sorted_neighborhood_pairs",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

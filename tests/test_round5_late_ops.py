@@ -236,3 +236,84 @@ def test_l_diversity_low_diversity_class_flagged(spark, monkeypatch):
     assert rows[1]["at_risk"] is True
     assert rows[3]["n_classes"] == 1 and rows[3]["n_rows"] == 3
     assert rows[3]["at_risk"] is False
+
+
+# ---- source_modularity -----------------------------------------------------
+
+
+def test_source_modularity_identities(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import clustering
+
+    rows = clustering.source_modularity_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # d_sum counts both endpoints of intra edges plus cut edges
+        assert r["d_sum"] >= 2 * r["e_intra"]
+    # sum of degree masses equals twice the edge count, so summing
+    # d_sum over sources must be even, and intra edges can't exceed m
+    total_d = sum(r["d_sum"] for r in rows)
+    assert total_d % 2 == 0
+    assert sum(r["e_intra"] for r in rows) <= total_d // 2
+
+
+def test_source_modularity_single_source_is_zero(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import clustering
+
+    # all docs in one source: e_intra == m and d_sum == 2m, so
+    # q_num = 4m*m - 4m^2 = 0 exactly
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="only", n_chars=len(t))
+            for i in range(3)
+        ]
+    )
+    monkeypatch.setattr(clustering.tables, "table", lambda *a: docs)
+    monkeypatch.setattr(
+        __import__(
+            "_kafka_streams_scaffold_spark.operators.dedup", fromlist=["d"]
+        ).tables,
+        "table",
+        lambda *a: docs,
+    )
+    rows = clustering.source_modularity_query(spark, "_").collect()
+    assert len(rows) == 1
+    assert rows[0]["q_num"] == 0 and rows[0]["q_contrib"] == 0.0
+
+
+# ---- degree_assortativity --------------------------------------------------
+
+
+def test_degree_assortativity_bounds(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import clustering
+
+    r = clustering.degree_assortativity_query(spark, sf_dir).collect()[0]
+    if r["assortativity"] is not None:
+        assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9
+    # directed edge list: n_edges is even (both directions counted)
+    assert r["n_edges"] % 2 == 0
+
+
+# ---- sorted_neighborhood_pairs ---------------------------------------------
+
+
+def test_snm_pairs_are_a_subset_of_exact_pairs(spark, sf_dir):
+    snm = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.sorted_neighborhood_pairs_query(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs_query(spark, sf_dir).collect()
+    }
+    assert snm <= exact  # verification guarantees no false positives
+
+
+def test_snm_finds_adjacent_prefix_family(spark, monkeypatch):
+    base = "report section one two three four five six seven eight"
+    near = base + " nine"  # same prefix, jaccard above threshold
+    far = "completely different text body with other tokens entirely here"
+    docs = _docs(spark, [base, near, far])
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: docs)
+    rows = dedup.sorted_neighborhood_pairs_query(spark, "_").collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(0, 1)}
