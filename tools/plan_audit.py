@@ -672,6 +672,94 @@ AUDIT = [
         "count rollup shuffles (token, next) pairs with map-side "
         "combine and the argmax window is per-context-sized.",
     ),
+    (
+        "prefix_filter_pairs",
+        "Lossless PPJoin: per-doc prefix rank is a doc-partitioned "
+        "window (no global sort), the candidate join touches only "
+        "prefix shingles with the integer length filter inline, and "
+        "verification expands the candidate PAIR list (|cand| x "
+        "|set| rows) instead of self-joining shingles. The DuckDB "
+        "oracle is the naive unfiltered join — hash equality is the "
+        "completeness proof.",
+    ),
+    (
+        "winnowing_fingerprints",
+        "Positional grams explode map-locally; the window-min is "
+        "per-doc (partitioned, W-row frame); the summary is one "
+        "combinable rollup per doc. Hashes are md5-affine JVM "
+        "expressions; the checksum sums mod-prime residues so no "
+        "int64 overflow at any document length.",
+    ),
+    (
+        "sorted_neighborhood_pairs",
+        "The cheapest blocking tier: one per-block window sort, a "
+        "rank-distance band join bounded at |docs|*(W-1) candidate "
+        "rows, then pair-list verification. No per-token join "
+        "anywhere before verification.",
+    ),
+    (
+        "split_leakage_audit",
+        "Composes the certified pair detector with the per-row "
+        "md5-bucket split expression — two id-width joins onto the "
+        "pair table and a 6-group rollup. No split table is "
+        "materialized or shuffled.",
+    ),
+    (
+        "epoch_interleave",
+        "The training order exists as a COLUMN via the closed form "
+        "(rank-1)*n_sources + source_rank: one per-source window "
+        "plus a |sources|-row broadcast; the corpus is never "
+        "globally sorted.",
+    ),
+    (
+        "char_entropy",
+        "Char explode is map-local; (doc, char) counts partially "
+        "aggregate (bounded by |docs| x alphabet); entropy terms are "
+        "fixed-pointed BEFORE the sum so the reduction is "
+        "order-independent; one deterministic double op at the end.",
+    ),
+    (
+        "source_modularity",
+        "Edge labeling is two id-width joins; intra counts and "
+        "degree masses are combinable rollups to |sources| rows; m "
+        "broadcasts as one row. q_num = 4*m*e_c - d_c^2 stays in "
+        "exact integers until the final division.",
+    ),
+    (
+        "degree_assortativity",
+        "Degrees and the four power sums are all partial "
+        "aggregates over the edge list; the Pearson assembly is one "
+        "deterministic expression over five integers in a one-row "
+        "frame.",
+    ),
+    (
+        "cluster_cohesion",
+        "Member-to-centroid only (never member-to-member): one "
+        "posexplode join on (label, pos), per-vector fixed-point "
+        "sums, then a |labels|-row rollup. Shuffle keys never wider "
+        "than (vec_id) or (label, pos).",
+    ),
+    (
+        "matryoshka_recall",
+        "Both rankings are broadcast-query corpus scans; the "
+        "truncated side folds half the vector terms — exactly the "
+        "bandwidth saving the audit quantifies. Deterministic "
+        "tiebreaks make recall hash-checkable.",
+    ),
+    (
+        "budget_allocation",
+        "One combinable rollup to |sources| rows, two one-row "
+        "broadcasts, and a |sources|-row window; quotas and "
+        "remainders are pure integer div/mod so the allocation sums "
+        "to the budget exactly.",
+    ),
+    (
+        "l_diversity_audit",
+        "One partial-aggregatable groupBy on (QI, sensitive bucket) "
+        "— shuffle rows bounded by the domain product — then two "
+        "|classes|-row rollups. Same shape as k-anonymity with one "
+        "extra key column.",
+    ),
 ]
 
 
