@@ -1196,6 +1196,11 @@ def _ensure_loaded() -> None:
         dedup.sorted_neighborhood_pairs_query,
         dedup.SORTED_NEIGHBORHOOD_PAIRS_ORACLE,
     )
+    register(
+        "blocking_recall_audit",
+        dedup.blocking_recall_audit_query,
+        dedup.BLOCKING_RECALL_AUDIT_ORACLE,
+    )
 
     _apply_window(_WINDOW_R05)
     _LOADED = True

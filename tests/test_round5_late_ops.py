@@ -317,3 +317,21 @@ def test_snm_finds_adjacent_prefix_family(spark, monkeypatch):
     monkeypatch.setattr(dedup.tables, "table", lambda *a: docs)
     rows = dedup.sorted_neighborhood_pairs_query(spark, "_").collect()
     assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(0, 1)}
+
+
+# ---- blocking_recall_audit -------------------------------------------------
+
+
+def test_blocking_recall_audit_consistency(spark, sf_dir):
+    rows = dedup.blocking_recall_audit_query(spark, sf_dir).collect()
+    assert {r["strategy"] for r in rows} == {
+        "minhash",
+        "simhash",
+        "prefix_filter",
+        "sorted_neighborhood",
+    }
+    n_true = {r["n_true"] for r in rows}
+    assert len(n_true) == 1  # every row reports the same truth size
+    for r in rows:
+        assert 0 <= r["n_hit"] <= min(r["n_emitted"], r["n_true"])
+        assert abs(r["recall"] - r["n_hit"] / r["n_true"]) < 1e-12
