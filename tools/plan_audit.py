@@ -760,6 +760,15 @@ AUDIT = [
         "|classes|-row rollups. Same shape as k-anonymity with one "
         "extra key column.",
     ),
+    (
+        "blocking_recall_audit",
+        "Five pair sets (truth + four candidate generators) tagged "
+        "with power-of-two bits and rolled up to a <=32-row mask "
+        "histogram — the pair sets shuffle exactly once, and every "
+        "reported count is a conditional sum over the histogram. "
+        "Set plans build on threads so the eager shared pins "
+        "materialize as overlapping jobs.",
+    ),
 ]
 
 
