@@ -1088,3 +1088,89 @@ JOIN sizes sb ON sb.event_type = e.type_b
 
 
 KMV_OVERLAP_ORACLE = _kmv_oracle()
+
+
+# --------------------------------------------------------------------------
+# Join-size estimation (sketch-sampled key frequencies)
+# --------------------------------------------------------------------------
+
+_JS_RATE = 16  # keep keys with h % RATE == 0 (deterministic 1/16 sample)
+
+
+def join_size_estimate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_keys_sampled, est_size, exact_size, rel_err): the
+    cardinality of orders JOIN lineitem ON orderkey, estimated from a
+    deterministic hash-rate sample of the KEY domain — the statistic
+    a cost-based optimizer needs before picking a join strategy
+    (broadcast vs shuffle, and how many partitions). |A JOIN B| =
+    sum_k f_A(k) * f_B(k); sampling keys by md5 residue (h % 16 == 0)
+    and scaling by 16 is an unbiased estimator whose error
+    concentrates because each key's contribution is bounded by the
+    per-key frequency product, and which — unlike rand() sampling —
+    is REPRODUCIBLE: the same keys are sampled on every engine, so
+    the estimate itself is hash-checked, not just bounded. The exact
+    size comes from joining the two frequency ROLLUPS (never the
+    fact tables), which is how the estimate would be validated
+    offline.
+
+    Scale: two partial-aggregatable frequency rollups (shuffle rows
+    = |keys|, not |rows|), a key-width equi-join on the 1/16 sampled
+    domain, integer sums. The fact tables are scanned once each and
+    never joined row-to-row."""
+    orders = tables.table(spark, sf_dir, "orders")
+    li = tables.table(spark, sf_dir, "lineitem")
+    fo = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("fa")
+    )
+    fl = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("fb")
+    )
+    joined = fo.join(fl, "k").select(
+        "k", (F.col("fa") * F.col("fb")).alias("fp")
+    )
+    h = (
+        "cast(conv(substring(md5(concat('js:', cast(k as string))), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    sampled = joined.filter(F.expr(f"({h}) % {_JS_RATE} = 0"))
+    agg = sampled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_sampled"),
+        (F.sum("fp") * _JS_RATE).cast("bigint").alias("est_size"),
+    )
+    exact = joined.agg(F.sum("fp").cast("bigint").alias("exact_size"))
+    return agg.crossJoin(F.broadcast(exact)).select(
+        "n_keys_sampled",
+        "est_size",
+        "exact_size",
+        (
+            (F.col("est_size") - F.col("exact_size")).cast("double")
+            / F.col("exact_size").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+JOIN_SIZE_ESTIMATE_ORACLE = f"""
+WITH fo AS (
+  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS fa
+  FROM orders GROUP BY 1
+),
+fl AS (
+  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS fb
+  FROM lineitem GROUP BY 1
+),
+joined AS (
+  SELECT fo.k, fo.fa * fl.fb AS fp FROM fo JOIN fl ON fl.k = fo.k
+),
+est AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys_sampled,
+         CAST(sum(fp) * {_JS_RATE} AS BIGINT) AS est_size
+  FROM joined
+  WHERE CAST('0x' || substring(md5('js:' || CAST(k AS VARCHAR)), 1, 15)
+             AS BIGINT) % {_JS_RATE} = 0
+),
+exact AS (SELECT CAST(sum(fp) AS BIGINT) AS exact_size FROM joined)
+SELECT n_keys_sampled, est_size, exact_size,
+       CAST(est_size - exact_size AS DOUBLE)
+         / CAST(exact_size AS DOUBLE) AS rel_err
+FROM est CROSS JOIN exact
+"""

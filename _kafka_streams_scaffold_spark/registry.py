@@ -1201,6 +1201,11 @@ def _ensure_loaded() -> None:
         dedup.blocking_recall_audit_query,
         dedup.BLOCKING_RECALL_AUDIT_ORACLE,
     )
+    register(
+        "join_size_estimate",
+        sketches.join_size_estimate_query,
+        sketches.JOIN_SIZE_ESTIMATE_ORACLE,
+    )
 
     _apply_window(_WINDOW_R05)
     _LOADED = True

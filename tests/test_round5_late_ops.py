@@ -335,3 +335,18 @@ def test_blocking_recall_audit_consistency(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hit"] <= min(r["n_emitted"], r["n_true"])
         assert abs(r["recall"] - r["n_hit"] / r["n_true"]) < 1e-12
+
+
+# ---- join_size_estimate ----------------------------------------------------
+
+
+def test_join_size_estimate_accuracy_and_determinism(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import sketches
+
+    a = sketches.join_size_estimate_query(spark, sf_dir).collect()[0]
+    b = sketches.join_size_estimate_query(spark, sf_dir).collect()[0]
+    assert a == b  # hash sampling, not rand(): reruns are identical
+    assert a["exact_size"] > 0
+    # 1/16 hash sample over thousands of keys: generous 25% bound
+    assert abs(a["rel_err"]) < 0.25
+    assert a["est_size"] % sketches._JS_RATE == 0
