@@ -774,3 +774,143 @@ SELECT l,
 FROM classes
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit (EMD of each class's sensitive distribution)
+# --------------------------------------------------------------------------
+
+TCLOSE_T_NUM = 1  # threshold t = 1/5
+TCLOSE_T_DEN = 5
+
+
+def t_closeness_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_nationkey, c_mktsegment, n_rows, t_num, t_den, t_closeness,
+    at_risk): the t-closeness readout (Li, Li & Venkatasubramanian
+    '07) completing the k-anonymity / l-diversity privacy triad —
+    for each quasi-identifier class, the Earth Mover's Distance
+    between the class's sensitive-attribute distribution and the
+    global one. l-diversity counts distinct values; t-closeness
+    catches classes whose values are diverse but SKEWED (a class
+    that's 95% top-bracket discloses wealth even with l=4). For the
+    ORDERED balance buckets, EMD is the mean absolute cumulative
+    difference, exact as integers after cross-multiplying: d_i =
+    sum_{j<=i} (n_cj * n - n_j * n_c) in units of 1/(n_c * n), so
+    t = sum|d_i| / ((m-1) * n_c * n) and the threshold test
+    5 * t_num > t_den is pure integer arithmetic.
+
+    Scale: two partial-aggregatable rollups (global and per-class
+    bucket counts), a classes x buckets domain completion (bounded
+    by the QI-domain product times the bucket count — dimension-
+    sized), and a per-class cumsum window over <= m rows. Nothing
+    corpus-sized shuffles twice."""
+    from pyspark.sql import Window as W
+
+    cust = tables.table(spark, sf_dir, "customer")
+    sens = cust.select(
+        *_QI_COLS, F.expr(_LDIV_SENSITIVE).alias("b")
+    )
+    glob = sens.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("n_j"))
+    tot = sens.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cls_bucket = sens.groupBy(*_QI_COLS, "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cj")
+    )
+    cls = sens.groupBy(*_QI_COLS).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    m_frame = glob.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    # complete the classes x buckets grid so missing buckets carry 0
+    grid = cls.crossJoin(F.broadcast(glob)).join(
+        cls_bucket, [*_QI_COLS, "b"], "left"
+    )
+    w = (
+        W.partitionBy(*_QI_COLS)
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    stepped = grid.crossJoin(F.broadcast(tot)).select(
+        *_QI_COLS,
+        "n_c",
+        "n",
+        F.sum(
+            F.coalesce("n_cj", F.lit(0)) * F.col("n")
+            - F.col("n_j") * F.col("n_c")
+        )
+        .over(w)
+        .alias("d_i"),
+    )
+    per_class = stepped.groupBy(*_QI_COLS).agg(
+        F.max("n_c").alias("n_rows"),
+        F.max("n").alias("n"),
+        F.sum(F.abs(F.col("d_i"))).cast("bigint").alias("abs_sum"),
+    )
+    return per_class.crossJoin(F.broadcast(m_frame)).select(
+        *_QI_COLS,
+        "n_rows",
+        F.col("abs_sum").alias("t_num"),
+        ((F.col("m") - 1) * F.col("n_rows") * F.col("n"))
+        .cast("bigint")
+        .alias("t_den"),
+        (
+            F.col("abs_sum").cast("double")
+            / ((F.col("m") - 1) * F.col("n_rows") * F.col("n")).cast("double")
+        ).alias("t_closeness"),
+        (
+            TCLOSE_T_DEN * F.col("abs_sum")
+            > TCLOSE_T_NUM
+            * (F.col("m") - 1)
+            * F.col("n_rows")
+            * F.col("n")
+        ).alias("at_risk"),
+    )
+
+
+T_CLOSENESS_AUDIT_ORACLE = f"""
+WITH sens AS (
+  SELECT {", ".join(_QI_COLS)}, {_LDIV_SENSITIVE_DUCK} AS b
+  FROM customer
+),
+gdist AS (SELECT b, CAST(count(*) AS BIGINT) AS n_j FROM sens GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sens),
+cls_bucket AS (
+  SELECT {", ".join(_QI_COLS)}, b, CAST(count(*) AS BIGINT) AS n_cj
+  FROM sens GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT {", ".join(_QI_COLS)}, CAST(count(*) AS BIGINT) AS n_c
+  FROM sens GROUP BY 1, 2
+),
+m_frame AS (SELECT CAST(count(*) AS BIGINT) AS m FROM gdist),
+grid AS (
+  SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_c, g.b, g.n_j,
+         coalesce(cb.n_cj, 0) AS n_cj
+  FROM cls CROSS JOIN gdist g
+  LEFT JOIN cls_bucket cb
+    ON cb.c_nationkey = cls.c_nationkey
+   AND cb.c_mktsegment = cls.c_mktsegment
+   AND cb.b = g.b
+),
+stepped AS (
+  SELECT c_nationkey, c_mktsegment, n_c, n,
+         sum(n_cj * n - n_j * n_c) OVER (
+           PARTITION BY c_nationkey, c_mktsegment ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS d_i
+  FROM grid CROSS JOIN tot
+),
+per_class AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(max(n_c) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(abs(d_i)) AS BIGINT) AS abs_sum
+  FROM stepped GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, n_rows,
+       abs_sum AS t_num,
+       CAST((m - 1) * n_rows * n AS BIGINT) AS t_den,
+       CAST(abs_sum AS DOUBLE)
+         / CAST((m - 1) * n_rows * n AS DOUBLE) AS t_closeness,
+       {TCLOSE_T_DEN} * abs_sum > {TCLOSE_T_NUM} * (m - 1) * n_rows * n
+         AS at_risk
+FROM per_class CROSS JOIN m_frame
+"""

@@ -1206,6 +1206,11 @@ def _ensure_loaded() -> None:
         sketches.join_size_estimate_query,
         sketches.JOIN_SIZE_ESTIMATE_ORACLE,
     )
+    register(
+        "t_closeness_audit",
+        dq.t_closeness_audit_query,
+        dq.T_CLOSENESS_AUDIT_ORACLE,
+    )
 
     _apply_window(_WINDOW_R05)
     _LOADED = True

@@ -350,3 +350,60 @@ def test_join_size_estimate_accuracy_and_determinism(spark, sf_dir):
     # 1/16 hash sample over thousands of keys: generous 25% bound
     assert abs(a["rel_err"]) < 0.25
     assert a["est_size"] % sketches._JS_RATE == 0
+
+
+# ---- t_closeness_audit -----------------------------------------------------
+
+
+def test_t_closeness_zero_for_class_matching_global(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import dq
+
+    # two classes with IDENTICAL bucket distributions -> each class's
+    # distribution equals the global one -> EMD exactly 0
+    cust = spark.createDataFrame(
+        [
+            Row(c_custkey=i, c_name="x", c_nationkey=nk, c_acctbal=bal,
+                c_mktsegment="A")
+            for i, (nk, bal) in enumerate(
+                [(1, 100.0), (1, 2100.0), (2, 100.0), (2, 2100.0)]
+            )
+        ]
+    )
+    monkeypatch.setattr(dq.tables, "table", lambda *a: cust)
+    rows = dq.t_closeness_audit_query(spark, "_").collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["t_num"] == 0 and r["t_closeness"] == 0.0
+        assert r["at_risk"] is False
+
+
+def test_t_closeness_flags_skewed_class(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import dq
+
+    # class 1 all in bucket 0, class 2 all in bucket 1: each class's
+    # EMD to the 50/50 global is 1/2 > t = 1/5 -> both at risk
+    cust = spark.createDataFrame(
+        [
+            Row(c_custkey=i, c_name="x", c_nationkey=nk, c_acctbal=bal,
+                c_mktsegment="A")
+            for i, (nk, bal) in enumerate(
+                [(1, 100.0), (1, 150.0), (2, 2100.0), (2, 2200.0)]
+            )
+        ]
+    )
+    monkeypatch.setattr(dq.tables, "table", lambda *a: cust)
+    rows = dq.t_closeness_audit_query(spark, "_").collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert abs(r["t_closeness"] - 0.5) < 1e-12
+        assert r["at_risk"] is True
+
+
+def test_t_closeness_on_testdata(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import dq
+
+    rows = dq.t_closeness_audit_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["t_closeness"] <= 1.0 + 1e-12
+        assert abs(r["t_closeness"] - r["t_num"] / r["t_den"]) < 1e-12
