@@ -141,3 +141,70 @@ SELECT doc_id,
 FROM (SELECT doc_id, text, length(text) AS n FROM documents),
      unnest(generate_series(0, {N_FRAMES - 1})) AS t(i)
 """
+
+
+# --------------------------------------------------------------------------
+# Resize (nearest-neighbor downsample over the payload byte stream)
+# --------------------------------------------------------------------------
+
+RESIZE_TARGET = 32  # output "pixels" (bytes) per payload
+RESIZE_SCHEMA = (
+    "doc_id long, n_bytes_in long, n_bytes_out long, resized_checksum string"
+)
+
+
+def resize_payload(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Deterministic fake of image resize: nearest-neighbor sampling
+    of the 1-D byte stream to ``target`` bytes (out[i] =
+    in[floor(i*n/target)]) — the exact dataflow of a thumbnail stage
+    (read payload, emit fixed-size representation + checksum), with
+    the interpolation kernel as the single function a real codec
+    (PIL ``Image.resize``) would replace. Empty payloads resize to
+    empty."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                rb = (
+                    bytes(b[i * n // target] for i in range(target))
+                    if n
+                    else b""
+                )
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes_in": n,
+                        "n_bytes_out": len(rb),
+                        "resized_checksum": hashlib.md5(rb).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame.from_records(out)
+
+    return df.mapInPandas(_batches, schema=RESIZE_SCHEMA)
+
+
+def resize_payload_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_payload(
+        with_payload(
+            tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+        )
+    )
+
+
+# ASCII payloads: byte positions == character positions, so the
+# nearest-neighbor sample rebuilds with substring picks.
+RESIZE_PAYLOAD_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes_in,
+       CAST(CASE WHEN length(text) > 0 THEN {RESIZE_TARGET} ELSE 0 END
+            AS BIGINT) AS n_bytes_out,
+       CASE WHEN length(text) > 0 THEN
+         md5(array_to_string(
+           [substring(text, (i * length(text)) // {RESIZE_TARGET} + 1, 1)
+            for i in generate_series(0, {RESIZE_TARGET - 1})], ''))
+       ELSE md5('') END AS resized_checksum
+FROM documents
+"""

@@ -32,17 +32,24 @@ CORRECTNESS row. Rotation history:
   families). If all go green, every oracle-backed query in the repo
   has a driver CORRECTNESS row.
 
-NEXT ROTATION (round 6): the seven round-5 late additions
-(sequence_gap_audit, watermark_lag_audit, bigram_next_token,
-compaction_plan, join_key_skew, int8_ann, int8_ann_recall —
-registered after the r05 window was frozen) plus round-6's own
-additions; fill the remaining slots with
-whichever certified queries changed implementation since their green
-row (re-certification beats re-running never-changed queries — in
-round 5 that was ngram_jaccard_pairs, containment_pairs,
-dedup_clusters, embedding_dup_clusters, cluster_keep_list,
-dup_pagerank, all refactored onto shared pins / the active-set CC
-after their green rows; their oracle checks pass but a driver row
+NEXT ROTATION (round 6): the round-5 late additions
+registered after the r05 window was frozen (sequence_gap_audit,
+watermark_lag_audit, bigram_next_token, compaction_plan,
+join_key_skew, int8_ann, int8_ann_recall, prefix_filter_pairs,
+matryoshka_recall, cluster_cohesion, budget_allocation,
+winnowing_fingerprints, split_leakage_audit, epoch_interleave,
+char_entropy, l_diversity_audit, source_modularity,
+degree_assortativity, sorted_neighborhood_pairs,
+blocking_recall_audit, join_size_estimate, t_closeness_audit,
+resize_payload) plus
+round-6's own additions; fill the remaining slots with whichever
+certified queries changed implementation since their green row
+(re-certification beats re-running never-changed queries — in round
+5 that was ngram_jaccard_pairs, containment_pairs,
+dedup_tier_agreement, dedup_clusters, embedding_dup_clusters,
+cluster_keep_list, dup_pagerank (shared-pin / bitmask / active-set
+refactors) and kcore (broadcast-peel loop), all changed after their
+r04 green rows; their oracle checks pass but a driver row
 re-certifies). Update tests/test_registry_window.py in the same
 commit.
 
@@ -1210,6 +1217,11 @@ def _ensure_loaded() -> None:
         "t_closeness_audit",
         dq.t_closeness_audit_query,
         dq.T_CLOSENESS_AUDIT_ORACLE,
+    )
+    register(
+        "resize_payload",
+        multimodal.resize_payload_query,
+        multimodal.RESIZE_PAYLOAD_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

@@ -407,3 +407,39 @@ def test_t_closeness_on_testdata(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["t_closeness"] <= 1.0 + 1e-12
         assert abs(r["t_closeness"] - r["t_num"] / r["t_den"]) < 1e-12
+
+
+# ---- resize_payload --------------------------------------------------------
+
+
+def test_resize_known_bytes(spark, monkeypatch):
+    import hashlib
+
+    from _kafka_streams_scaffold_spark.operators import multimodal
+
+    text = "abcdefgh"  # n=8, target=32: out[i] = text[i*8//32] = text[i//4]
+    docs = _docs(spark, [text])
+    monkeypatch.setattr(multimodal.tables, "table", lambda *a: docs)
+    r = multimodal.resize_payload_query(spark, "_").collect()[0]
+    assert r["n_bytes_in"] == 8
+    assert r["n_bytes_out"] == multimodal.RESIZE_TARGET
+    expect = bytes(
+        text.encode()[i * 8 // multimodal.RESIZE_TARGET]
+        for i in range(multimodal.RESIZE_TARGET)
+    )
+    assert r["resized_checksum"] == hashlib.md5(expect).hexdigest()
+
+
+def test_resize_real_codec_seam_raises(spark, monkeypatch):
+    import pytest
+
+    from _kafka_streams_scaffold_spark.operators import multimodal
+
+    docs = _docs(spark, ["xyz"])
+    monkeypatch.setattr(multimodal.tables, "table", lambda *a: docs)
+    # the decode seam is in decode_features; resize shares the payload
+    # plumbing — assert the documented seam still raises loudly
+    with pytest.raises(Exception):
+        multimodal.decode_features(
+            multimodal.with_payload(docs), decode="real"
+        ).collect()

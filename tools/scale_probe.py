@@ -368,6 +368,20 @@ def main() -> None:
             embeddings(m),
             lambda: similarity.cluster_cohesion_query(spark, SF_DIR),
         ),
+        "join size estimate (freq rollups)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: _with_table(
+                "lineitem",
+                lineitem(m),
+                lambda: sketches.join_size_estimate_query(spark, SF_DIR),
+            ),
+        ),
+        "t-closeness (grid + class windows)": lambda m: _with_table(
+            "customer",
+            unioned(spark, "customer", m),
+            lambda: dq_mod.t_closeness_audit_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
