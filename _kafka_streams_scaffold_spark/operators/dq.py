@@ -851,10 +851,16 @@ def t_closeness_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("m") - 1) * F.col("n_rows") * F.col("n"))
         .cast("bigint")
         .alias("t_den"),
-        (
+        # m == 1 (one global bucket): every class distribution equals
+        # the global one, EMD is 0 by definition — and t_den is 0, so
+        # the division must be guarded (ANSI mode raises).
+        F.when(
+            F.col("m") > 1,
             F.col("abs_sum").cast("double")
-            / ((F.col("m") - 1) * F.col("n_rows") * F.col("n")).cast("double")
-        ).alias("t_closeness"),
+            / ((F.col("m") - 1) * F.col("n_rows") * F.col("n")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("t_closeness"),
         (
             TCLOSE_T_DEN * F.col("abs_sum")
             > TCLOSE_T_NUM
@@ -908,8 +914,9 @@ per_class AS (
 SELECT c_nationkey, c_mktsegment, n_rows,
        abs_sum AS t_num,
        CAST((m - 1) * n_rows * n AS BIGINT) AS t_den,
-       CAST(abs_sum AS DOUBLE)
-         / CAST((m - 1) * n_rows * n AS DOUBLE) AS t_closeness,
+       CASE WHEN m > 1 THEN CAST(abs_sum AS DOUBLE)
+         / CAST((m - 1) * n_rows * n AS DOUBLE) ELSE 0.0 END
+         AS t_closeness,
        {TCLOSE_T_DEN} * abs_sum > {TCLOSE_T_NUM} * (m - 1) * n_rows * n
          AS at_risk
 FROM per_class CROSS JOIN m_frame
