@@ -1142,9 +1142,11 @@ def join_size_estimate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys_sampled",
         "est_size",
         "exact_size",
-        (
+        # empty join -> exact_size 0: rel_err undefined (ANSI raises)
+        F.when(
+            F.col("exact_size") > 0,
             (F.col("est_size") - F.col("exact_size")).cast("double")
-            / F.col("exact_size").cast("double")
+            / F.col("exact_size").cast("double"),
         ).alias("rel_err"),
     )
 
@@ -1170,7 +1172,9 @@ est AS (
 ),
 exact AS (SELECT CAST(sum(fp) AS BIGINT) AS exact_size FROM joined)
 SELECT n_keys_sampled, est_size, exact_size,
-       CAST(est_size - exact_size AS DOUBLE)
-         / CAST(exact_size AS DOUBLE) AS rel_err
+       CASE WHEN exact_size > 0 THEN
+         CAST(est_size - exact_size AS DOUBLE)
+           / CAST(exact_size AS DOUBLE)
+       END AS rel_err
 FROM est CROSS JOIN exact
 """
