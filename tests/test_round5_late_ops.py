@@ -443,3 +443,52 @@ def test_resize_real_codec_seam_raises(spark, monkeypatch):
         multimodal.decode_features(
             multimodal.with_payload(docs), decode="real"
         ).collect()
+
+
+# ---- degenerate-input survival ---------------------------------------------
+
+
+def test_round5_text_ops_survive_null_and_empty_docs(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta",
+                lang="en", source="a", n_chars=45),
+            Row(doc_id=2, text="", lang="en", source="a", n_chars=0),
+            Row(doc_id=3, text=None, lang="en", source="b", n_chars=0),
+        ]
+    )
+    for mod in (dedup, sampling, textops):
+        monkeypatch.setattr(mod.tables, "table", lambda *a: docs)
+    # null/empty docs contribute nothing and nothing raises
+    assert dedup.prefix_filter_pairs_query(spark, "_").count() == 0
+    assert dedup.winnowing_fingerprints_query(spark, "_").count() == 1
+    assert dedup.sorted_neighborhood_pairs_query(spark, "_").count() == 0
+    ent = {r["doc_id"] for r in textops.char_entropy_query(spark, "_").collect()}
+    assert ent == {1}  # empty and null docs have no characters
+    alloc = sampling.budget_allocation_query(spark, "_").collect()
+    assert sum(r["alloc"] for r in alloc) == sampling.ALLOCATION_BUDGET
+    epoch = sampling.epoch_interleave_query(spark, "_").collect()
+    assert len(epoch) == 3  # ordering is defined for every doc
+
+
+def test_round5_graph_ops_survive_edgeless_graph(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import clustering
+
+    # two docs with nothing in common: SimHash pairs is empty
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aa bb cc dd ee ff gg hh", lang="en",
+                source="a", n_chars=23),
+            Row(doc_id=2, text="one two three four five six seven eight",
+                lang="en", source="b", n_chars=39),
+        ]
+    )
+    for mod in (dedup, clustering):
+        monkeypatch.setattr(mod.tables, "table", lambda *a: docs)
+    assert clustering.source_modularity_query(spark, "_").count() == 0
+    r = clustering.degree_assortativity_query(spark, "_").collect()
+    # either no edges at all (empty one-row agg with NULLs) or defined
+    assert len(r) == 1
+    assert r[0]["n_edges"] in (0, None) or r[0]["n_edges"] >= 0
