@@ -1598,8 +1598,14 @@ def char_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     count partial-aggregates — shuffle rows are bounded by
     |docs| x |alphabet|, not corpus characters. Single pass."""
     docs = tables.table(spark, sf_dir, "documents")
-    chars = tables.spread(docs, "doc_id").select(
-        "doc_id", F.explode(F.expr("split(lower(text), '')")).alias("ch")
+    # both engines split '' into [''] — drop that phantom element so
+    # empty docs have no characters (and no entropy row)
+    chars = (
+        tables.spread(docs, "doc_id")
+        .select(
+            "doc_id", F.explode(F.expr("split(lower(text), '')")).alias("ch")
+        )
+        .filter(F.col("ch") != "")
     )
     counts = chars.groupBy("doc_id", "ch").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
@@ -1633,8 +1639,10 @@ def char_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHAR_ENTROPY_ORACLE = """
 WITH chars AS (
-  SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
-  FROM documents
+  SELECT doc_id, ch FROM (
+    SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+    FROM documents
+  ) WHERE ch <> ''
 ),
 counts AS (
   SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
