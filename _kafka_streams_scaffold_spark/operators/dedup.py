@@ -1820,8 +1820,11 @@ def blocking_recall_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_emitted",
         "n_true",
         "n_hit",
-        (
-            F.col("n_hit").cast("double") / F.col("n_true").cast("double")
+        # a corpus with NO true pairs (but band/bit collisions) makes
+        # n_true 0 — recall is undefined, not a crash (ANSI raises)
+        F.when(
+            F.col("n_true") > 0,
+            F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
         ).alias("recall"),
     )
 
@@ -1844,7 +1847,9 @@ def _blocking_recall_oracle() -> str:
     for name, _bit in _BLOCKING_STRATEGIES:
         selects.append(f"""
 SELECT strategy, n_emitted, n_true, n_hit,
-       CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+       CASE WHEN n_true > 0 THEN
+         CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+       END AS recall
 FROM (
   SELECT '{name}' AS strategy,
          (SELECT CAST(count(*) AS BIGINT) FROM s_{name}) AS n_emitted,

@@ -492,3 +492,23 @@ def test_round5_graph_ops_survive_edgeless_graph(spark, monkeypatch):
     # either no edges at all (empty one-row agg with NULLs) or defined
     assert len(r) == 1
     assert r[0]["n_edges"] in (0, None) or r[0]["n_edges"] >= 0
+
+
+def test_blocking_recall_survives_truthless_corpus(spark, monkeypatch):
+    # simhash is order-insensitive (bag of words) so reversed docs
+    # collide at hamming 0, but 3-gram shingles disagree: candidate
+    # pairs exist while the truth set is EMPTY -> recall must be NULL,
+    # not a division error
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aa bb cc dd ee ff gg hh", lang="en",
+                source="a", n_chars=23),
+            Row(doc_id=2, text="hh gg ff ee dd cc bb aa", lang="en",
+                source="a", n_chars=23),
+        ]
+    )
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: docs)
+    rows = dedup.blocking_recall_audit_query(spark, "_").collect()
+    assert rows  # the emitting strategies still report
+    for r in rows:
+        assert r["n_true"] == 0 and r["recall"] is None
