@@ -417,7 +417,11 @@ def budget_allocation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_chars").cast("bigint")).alias("w")
     )
     total = weights.agg(F.sum("w").cast("bigint").alias("tw"))
-    quotas = weights.crossJoin(F.broadcast(total)).select(
+    # zero total mass: proportional allocation is undefined — emit no
+    # rows instead of an ANSI division error
+    quotas = weights.crossJoin(F.broadcast(total)).filter(
+        F.col("tw") > 0
+    ).select(
         "source",
         "w",
         F.expr(f"({ALLOCATION_BUDGET}L * w) div tw").alias("fl"),
@@ -456,6 +460,7 @@ quotas AS (
          ({ALLOCATION_BUDGET} * w) // tw AS fl,
          ({ALLOCATION_BUDGET} * w) % tw AS rem
   FROM weights CROSS JOIN total
+  WHERE tw > 0
 ),
 leftover AS (
   SELECT CAST({ALLOCATION_BUDGET} - sum(fl) AS BIGINT) AS lo FROM quotas
