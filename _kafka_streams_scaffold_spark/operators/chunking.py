@@ -124,6 +124,7 @@ WITH chunks AS (
                    CAST((length(text) - 1) // {CHUNK_BYTES} AS INT))])
            AS digest
   FROM documents
+  WHERE text IS NOT NULL
 ),
 dup AS (
   SELECT digest FROM chunks GROUP BY digest HAVING count(*) > 1

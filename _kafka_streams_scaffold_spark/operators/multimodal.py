@@ -44,8 +44,11 @@ FRAME_SCHEMA = "doc_id long, frame_id int, frame_bytes long, frame_checksum stri
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
-    """Attach the opaque binary column + typed metadata."""
-    return docs.select(
+    """Attach the opaque binary column + typed metadata. Null texts
+    have no payload at all (no row): every downstream pandas UDF does
+    ``bytes(payload)``, which raises on None — a null-payload record
+    must never reach the codec tier."""
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),
         F.lit("image").alias("modality"),
@@ -99,6 +102,7 @@ SELECT doc_id,
        CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte,
        md5(text) AS checksum
 FROM documents
+WHERE text IS NOT NULL
 """
 
 
@@ -138,7 +142,8 @@ SELECT doc_id,
        CAST((i + 1) * n // {N_FRAMES} - i * n // {N_FRAMES} AS BIGINT) AS frame_bytes,
        md5(substring(text, i * n // {N_FRAMES} + 1,
                      (i + 1) * n // {N_FRAMES} - i * n // {N_FRAMES})) AS frame_checksum
-FROM (SELECT doc_id, text, length(text) AS n FROM documents),
+FROM (SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE text IS NOT NULL),
      unnest(generate_series(0, {N_FRAMES - 1})) AS t(i)
 """
 
@@ -207,4 +212,5 @@ SELECT doc_id,
             for i in generate_series(0, {RESIZE_TARGET - 1})], ''))
        ELSE md5('') END AS resized_checksum
 FROM documents
+WHERE text IS NOT NULL
 """
