@@ -674,3 +674,112 @@ FROM shuffled s JOIN ranks r ON r.source = s.source
 
 
 EPOCH_INTERLEAVE_ORACLE = _epoch_interleave_oracle()
+
+
+# --------------------------------------------------------------------------
+# Systematic weighted sampling (low-discrepancy, exact integer pointers)
+# --------------------------------------------------------------------------
+
+SYS_SAMPLE_K = 100  # evenly spaced pointers over the weight mass
+_SYS_BUCKET = 500  # docs per cumsum bucket (pass-1 granularity)
+
+
+def systematic_weighted_sample_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, weight, multiplicity): weighted sampling by SYSTEMATIC
+    (stochastic-universal / low-discrepancy) selection — lay
+    SYS_SAMPLE_K evenly spaced pointers over the cumulative
+    character-mass axis and select each document once per pointer
+    landing in its interval. The workhorse of particle filters and
+    GA selection, and the deterministic alternative to A-ES
+    exponential-key sampling: no RNG and no transcendental keys, so
+    selection is pure integer arithmetic — multiplicity_i =
+    ceil(K*cum_i/W) - ceil(K*cum_(i-1)/W) — and the sample is
+    hash-checked exactly, while guaranteeing every doc with weight
+    >= W/K is selected (zero variance across the mass axis; rerun-
+    and engine-stable).
+
+    Scale (two-pass cumsum, the token_budget_2p pattern): pass 1
+    rolls per-bucket weight sums (doc_id div bucket-size) into a
+    |buckets|-row broadcast carry; pass 2 computes the within-bucket
+    running sum with a bucket-partitioned window. No corpus-wide
+    window anywhere; the multiplicity filter rides the same pass."""
+    from pyspark.sql import Window as W
+
+    docs = tables.table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("w")
+    )
+    bucketed = docs.withColumn(
+        "bucket", F.expr(f"doc_id div {_SYS_BUCKET}")
+    )
+    carry = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("w").alias("bw"))
+        .select(
+            "bucket",
+            (
+                F.sum("bw")
+                .over(
+                    W.orderBy("bucket").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                )
+            ).alias("carry"),
+        )
+        .select(
+            "bucket", F.coalesce("carry", F.lit(0)).cast("bigint").alias("carry")
+        )
+    )
+    total = docs.agg(F.sum("w").cast("bigint").alias("tw")).filter(
+        F.col("tw") > 0
+    )
+    win = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        bucketed.join(F.broadcast(carry), "bucket")
+        .select(
+            "doc_id",
+            "w",
+            (F.col("carry") + F.sum("w").over(win)).alias("cum"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    k = SYS_SAMPLE_K
+    mult = F.expr(
+        f"(({k}L * cum + tw - 1) div tw)"
+        f" - (({k}L * (cum - w) + tw - 1) div tw)"
+    )
+    return (
+        cum.select(
+            "doc_id",
+            F.col("w").alias("weight"),
+            mult.cast("bigint").alias("multiplicity"),
+        )
+        .filter(F.col("multiplicity") > 0)
+    )
+
+
+SYSTEMATIC_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH cum AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum
+  FROM documents
+),
+total AS (
+  SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents
+  HAVING sum(n_chars) > 0
+)
+SELECT doc_id, w AS weight,
+       CAST((({SYS_SAMPLE_K} * cum + tw - 1) // tw)
+            - (({SYS_SAMPLE_K} * (cum - w) + tw - 1) // tw)
+         AS BIGINT) AS multiplicity
+FROM cum CROSS JOIN total
+WHERE (({SYS_SAMPLE_K} * cum + tw - 1) // tw)
+      - (({SYS_SAMPLE_K} * (cum - w) + tw - 1) // tw) > 0
+"""

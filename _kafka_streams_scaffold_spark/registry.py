@@ -41,7 +41,7 @@ winnowing_fingerprints, split_leakage_audit, epoch_interleave,
 char_entropy, l_diversity_audit, source_modularity,
 degree_assortativity, sorted_neighborhood_pairs,
 blocking_recall_audit, join_size_estimate, t_closeness_audit,
-resize_payload) plus
+resize_payload, systematic_weighted_sample) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1222,6 +1222,11 @@ def _ensure_loaded() -> None:
         "resize_payload",
         multimodal.resize_payload_query,
         multimodal.RESIZE_PAYLOAD_ORACLE,
+    )
+    register(
+        "systematic_weighted_sample",
+        sampling.systematic_weighted_sample_query,
+        sampling.SYSTEMATIC_WEIGHTED_SAMPLE_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

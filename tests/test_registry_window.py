@@ -74,6 +74,7 @@ def test_window_clears_the_entire_certification_backlog():
         "join_size_estimate",
         "t_closeness_audit",
         "resize_payload",
+        "systematic_weighted_sample",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

@@ -512,3 +512,34 @@ def test_blocking_recall_survives_truthless_corpus(spark, monkeypatch):
     assert rows  # the emitting strategies still report
     for r in rows:
         assert r["n_true"] == 0 and r["recall"] is None
+
+
+# ---- systematic_weighted_sample --------------------------------------------
+
+
+def test_systematic_sample_multiplicities_sum_to_k(spark, sf_dir):
+    rows = sampling.systematic_weighted_sample_query(spark, sf_dir).collect()
+    assert sum(r["multiplicity"] for r in rows) == sampling.SYS_SAMPLE_K
+    for r in rows:
+        assert r["multiplicity"] >= 1
+
+
+def test_systematic_sample_heavy_doc_always_selected(spark, monkeypatch):
+    # one doc holds half the mass: with K=100 pointers it must be
+    # selected ~K/2 times; light docs at most once
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text="x", lang="en", source="s",
+                n_chars=(1000 if i == 7 else 10))
+            for i in range(101)
+        ]
+    )
+    monkeypatch.setattr(sampling.tables, "table", lambda *a: docs)
+    rows = {
+        r["doc_id"]: r["multiplicity"]
+        for r in sampling.systematic_weighted_sample_query(spark, "_").collect()
+    }
+    assert sum(rows.values()) == sampling.SYS_SAMPLE_K
+    # doc 7 carries 1000/2000 of the mass -> ~50 pointers
+    assert rows[7] >= 49
+    assert all(m == 1 for d, m in rows.items() if d != 7)
