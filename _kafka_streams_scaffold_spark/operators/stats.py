@@ -1296,3 +1296,103 @@ SELECT event_type, n AS n_days,
        END AS intercept
 FROM sums
 """
+
+
+# --------------------------------------------------------------------------
+# Trimmed mean via a GROUPED_AGG pandas UDF (custom-aggregator parity)
+# --------------------------------------------------------------------------
+
+_TRIM_FP = 10**6  # fixed-point scale applied BEFORE the UDF
+
+
+def trimmed_mean_by_type_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_values, n_kept, trimmed_mean): the 25%-trimmed
+    mean of event values per type — rank-based trimming (drop the
+    floor(n/4) smallest and largest VALUES, average the rest), the
+    robust location estimate quality dashboards prefer over the mean
+    (outlier-proof) and the median (uses half the data, not one row).
+
+    This is the repo's GROUPED_AGG pandas-UDF demonstration — the
+    custom-aggregator escape hatch (SURVEY §2.4 A2) for reductions
+    that genuinely need the whole group in memory (order-statistic
+    trimming), Arrow-batched per group rather than per row. Made
+    cross-engine exact the usual way: values are fixed-pointed in
+    JVM SQL BEFORE the UDF, the UDF returns an integer SUM of the
+    kept values (sorting ints and summing ints — no float
+    accumulation order anywhere), and the single mean division
+    happens once in SQL. The kept-count needs no UDF at all:
+    n - 2*floor(n/4) is arithmetic.
+
+    Scale: groups are event-type-sized — the natural unit a trimmed
+    mean needs anyway (order statistics don't partial-aggregate);
+    for groups too large for one Arrow batch the two-pass
+    quantile-cutoff form (winsorized_event_stats) is the scale
+    fallback, which is why both live in this module."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _trimmed_fp_sum_fn(v):
+        s = v.sort_values(ignore_index=True)
+        k = len(s) // 4
+        kept = s.iloc[k : len(s) - k] if len(s) - 2 * k > 0 else s
+        return int(kept.sum())
+
+    # the module's postponed annotations would stringify a signature
+    # written inline, and GROUPED_AGG inference needs real types
+    _trimmed_fp_sum_fn.__annotations__ = {"v": pd.Series, "return": int}
+    _trimmed_fp_sum = pandas_udf("long")(_trimmed_fp_sum_fn)
+
+    ev = tables.table(spark, sf_dir, "events")
+    fp = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr(f"cast(floor(value * {_TRIM_FP}) as bigint)").alias("v"),
+    )
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg(); the count rides a separate (tiny,
+    # event-type-keyed) rollup joined back.
+    counts = fp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values")
+    )
+    sums = fp.groupBy("event_type").agg(
+        _trimmed_fp_sum("v").alias("kept_sum")
+    )
+    return (
+        counts.join(sums, "event_type")
+        .select(
+            "event_type",
+            "n_values",
+            (F.col("n_values") - 2 * F.expr("n_values div 4"))
+            .cast("bigint")
+            .alias("n_kept"),
+            (
+                F.col("kept_sum").cast("double")
+                / (
+                    (F.col("n_values") - 2 * F.expr("n_values div 4"))
+                    * F.lit(_TRIM_FP)
+                ).cast("double")
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
+TRIMMED_MEAN_BY_TYPE_ORACLE = f"""
+WITH fp AS (
+  SELECT event_type, CAST(floor(value * {_TRIM_FP}) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM fp
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_values,
+       CAST(max(n) - 2 * (max(n) // 4) AS BIGINT) AS n_kept,
+       CAST(sum(v) AS DOUBLE)
+         / CAST((max(n) - 2 * (max(n) // 4)) * {_TRIM_FP} AS DOUBLE)
+         AS trimmed_mean
+FROM ranked
+WHERE rn > n // 4 AND rn <= n - n // 4
+GROUP BY event_type
+"""

@@ -41,7 +41,8 @@ winnowing_fingerprints, split_leakage_audit, epoch_interleave,
 char_entropy, l_diversity_audit, source_modularity,
 degree_assortativity, sorted_neighborhood_pairs,
 blocking_recall_audit, join_size_estimate, t_closeness_audit,
-resize_payload, systematic_weighted_sample) plus
+resize_payload, systematic_weighted_sample,
+trimmed_mean_by_type) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1227,6 +1228,11 @@ def _ensure_loaded() -> None:
         "systematic_weighted_sample",
         sampling.systematic_weighted_sample_query,
         sampling.SYSTEMATIC_WEIGHTED_SAMPLE_ORACLE,
+    )
+    register(
+        "trimmed_mean_by_type",
+        stats.trimmed_mean_by_type_query,
+        stats.TRIMMED_MEAN_BY_TYPE_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

@@ -75,6 +75,7 @@ def test_window_clears_the_entire_certification_backlog():
         "t_closeness_audit",
         "resize_payload",
         "systematic_weighted_sample",
+        "trimmed_mean_by_type",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

@@ -543,3 +543,47 @@ def test_systematic_sample_heavy_doc_always_selected(spark, monkeypatch):
     # doc 7 carries 1000/2000 of the mass -> ~50 pointers
     assert rows[7] >= 49
     assert all(m == 1 for d, m in rows.items() if d != 7)
+
+
+# ---- trimmed_mean_by_type --------------------------------------------------
+
+
+def test_trimmed_mean_drops_outliers(spark, monkeypatch):
+    import datetime
+
+    from _kafka_streams_scaffold_spark.operators import stats
+
+    base = datetime.datetime(2024, 1, 1)
+    # 8 values: two extremes (0.0, 1000.0) must be trimmed (k = 2 each
+    # side), mean of the middle four 10.0s is exactly 10.0
+    vals = [0.0, 5.0, 10.0, 10.0, 10.0, 10.0, 20.0, 1000.0]
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=i, ts=base, user_id=1, event_type="a",
+                value=v, props="{}")
+            for i, v in enumerate(vals)
+        ]
+    )
+    monkeypatch.setattr(stats.tables, "table", lambda *a: ev)
+    r = stats.trimmed_mean_by_type_query(spark, "_").collect()[0]
+    assert r["n_values"] == 8 and r["n_kept"] == 4
+    assert abs(r["trimmed_mean"] - 10.0) < 1e-9
+
+
+def test_trimmed_mean_small_group_keeps_everything(spark, monkeypatch):
+    import datetime
+
+    from _kafka_streams_scaffold_spark.operators import stats
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=i, ts=base, user_id=1, event_type="a",
+                value=float(v), props="{}")
+            for i, v in enumerate([2.0, 4.0, 6.0])
+        ]
+    )
+    monkeypatch.setattr(stats.tables, "table", lambda *a: ev)
+    r = stats.trimmed_mean_by_type_query(spark, "_").collect()[0]
+    # n=3 -> k=0 -> nothing trimmed
+    assert r["n_kept"] == 3 and abs(r["trimmed_mean"] - 4.0) < 1e-9
