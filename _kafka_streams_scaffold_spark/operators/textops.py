@@ -1662,3 +1662,105 @@ SELECT c.doc_id,
 FROM counts c JOIN totals t ON t.doc_id = c.doc_id
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Phrase search (positional postings; the capability tf/df indexes lack)
+# --------------------------------------------------------------------------
+
+
+def phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term_a, term_b, doc_id, n_occurrences): every document
+    containing the corpus's most frequent bigram as an EXACT adjacent
+    phrase, with its occurrence count — the positional-index query
+    that a tf/df inverted index (inverted_index) cannot answer:
+    phrase matching needs token POSITIONS, and resolves as an
+    equi-join of the two terms' postings on (doc_id, pos+1). The
+    query phrase is data-derived (top bigram by count, lexicographic
+    tiebreak) so the operator self-targets on any corpus.
+
+    Scale: bigram counting is map-local (each doc's adjacent pairs
+    come off its own token array — no index join); the phrase
+    resolution first prunes the positional postings to the two query
+    terms (term-selective, the access path a real positional index
+    serves from disk), so the join touches only those postings,
+    keyed (doc_id, pos). Nothing corpus-wide shuffles after the
+    count rollup."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", tokens_expr().alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                " i -> struct(element_at(toks, i) as a,"
+                " element_at(toks, i + 1) as b))"
+            )
+        ).alias("bg")
+    ).select("bg.a", "bg.b")
+    top = (
+        bigrams.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(1)
+        .select("a", "b")
+    )
+    postings = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    pa = postings.join(
+        F.broadcast(top), postings.term == F.col("a")
+    ).select("doc_id", "pos", "a", "b")
+    pb = postings.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("term").alias("term_b"),
+    )
+    return (
+        pa.join(
+            pb,
+            (F.col("doc_b") == F.col("doc_id"))
+            & (F.col("pos_b") == F.col("pos") + 1)
+            & (F.col("term_b") == F.col("b")),
+        )
+        .groupBy(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            "doc_id",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+
+
+PHRASE_SEARCH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')
+           AS toks
+  FROM documents
+),
+bigrams AS (
+  SELECT unnest([{'a': toks[i], 'b': toks[i + 1]}
+                 for i in generate_series(1, len(toks) - 1)]) AS bg
+  FROM tok WHERE len(toks) >= 2
+),
+top AS (
+  SELECT bg.a AS a, bg.b AS b
+  FROM bigrams GROUP BY 1, 2
+  ORDER BY count(*) DESC, 1, 2 LIMIT 1
+),
+postings AS (
+  SELECT doc_id, g.pos AS pos, g.t AS term
+  FROM (
+    SELECT doc_id, unnest([{'pos': i, 't': toks[i]}
+                           for i in generate_series(1, len(toks))]) AS g
+    FROM tok
+  )
+)
+SELECT t.a AS term_a, t.b AS term_b, pa.doc_id,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM top t
+JOIN postings pa ON pa.term = t.a
+JOIN postings pb ON pb.doc_id = pa.doc_id
+  AND pb.pos = pa.pos + 1 AND pb.term = t.b
+GROUP BY 1, 2, 3
+"""

@@ -587,3 +587,27 @@ def test_trimmed_mean_small_group_keeps_everything(spark, monkeypatch):
     r = stats.trimmed_mean_by_type_query(spark, "_").collect()[0]
     # n=3 -> k=0 -> nothing trimmed
     assert r["n_kept"] == 3 and abs(r["trimmed_mean"] - 4.0) < 1e-9
+
+
+# ---- phrase_search ---------------------------------------------------------
+
+
+def test_phrase_search_finds_exact_adjacency_only(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import textops
+
+    docs = _docs(
+        spark,
+        [
+            "red fox red fox jumps",      # "red fox" twice, adjacent
+            "fox red something",           # reversed -> no match
+            "red stone fox",               # not adjacent -> no match
+            "red fox",                     # once
+        ],
+    )
+    monkeypatch.setattr(textops.tables, "table", lambda *a: docs)
+    rows = textops.phrase_search_query(spark, "_").collect()
+    assert all(
+        (r["term_a"], r["term_b"]) == ("red", "fox") for r in rows
+    )
+    got = {r["doc_id"]: r["n_occurrences"] for r in rows}
+    assert got == {0: 2, 3: 1}
