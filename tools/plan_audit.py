@@ -769,6 +769,28 @@ AUDIT = [
         "Set plans build on threads so the eager shared pins "
         "materialize as overlapping jobs.",
     ),
+    (
+        "systematic_weighted_sample",
+        "Stochastic-universal selection as pure integer ceil "
+        "arithmetic over a bucketed two-pass cumsum: per-bucket "
+        "carry broadcasts, the running sum is a bucket-partitioned "
+        "window, and no corpus-wide window exists anywhere.",
+    ),
+    (
+        "trimmed_mean_by_type",
+        "The GROUPED_AGG pandas-UDF escape hatch: order-statistic "
+        "trimming needs the whole group, Arrow-batched per group; "
+        "values fixed-point BEFORE the UDF and the UDF returns an "
+        "integer sum, so no float accumulation order exists on "
+        "either engine.",
+    ),
+    (
+        "phrase_search",
+        "Bigram counting is map-local off each doc's token array; "
+        "positional postings prune to the two query terms before "
+        "the (doc_id, pos+1) equi-join — the term-selective access "
+        "path of a real positional index.",
+    ),
 ]
 
 
