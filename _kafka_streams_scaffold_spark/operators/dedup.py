@@ -1464,6 +1464,50 @@ WINNOW_W = 4  # window of consecutive k-gram hashes per fingerprint
 _WINNOW_SEED = 77
 
 
+def _winnow_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, fp): each document's DISTINCT winnowing
+    fingerprints — shared (and pinned) by the per-doc summary query
+    and the fingerprint-index pair join."""
+    from pyspark.sql import Window as W
+
+    from ..functions.xhash import hash60_spark
+
+    def build() -> DataFrame:
+        grams = (
+            tables.spread(docs, "doc_id")
+            .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+            .select(
+                "doc_id",
+                F.expr(f"size({_SPARK_SHINGLES})").alias("n_grams"),
+                F.posexplode(F.expr(_SPARK_SHINGLES)).alias(
+                    "pos0", "shingle"
+                ),
+            )
+            .select(
+                "doc_id",
+                "n_grams",
+                (F.col("pos0") + 1).alias("pos"),
+                F.expr(hash60_spark("shingle", _WINNOW_SEED)).alias("h"),
+            )
+        )
+        win = (
+            W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+        )
+        return (
+            grams.select(
+                "doc_id",
+                "n_grams",
+                "pos",
+                F.min("h").over(win).alias("fp"),
+            )
+            .filter(F.col("pos") <= F.col("n_grams") - WINNOW_W + 1)
+            .select("doc_id", "n_grams", "fp")
+            .distinct()
+        )
+
+    return _shared_pin(("dedup.winnow_fps", docs.semanticHash()), build)
+
+
 def winnowing_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_grams, n_fingerprints, min_fp, fp_checksum): the
     winnowing fingerprint set of each document — slide a window of
@@ -1486,38 +1530,7 @@ def winnowing_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per doc. The fingerprint-index join this feeds (find docs
     sharing a fingerprint) is the same inverted-index shape as the
     shingle join, with ~2/(W+1) the postings."""
-    from pyspark.sql import Window as W
-
-    from ..functions.xhash import hash60_spark
-
-    docs = tables.table(spark, sf_dir, "documents")
-    grams = (
-        tables.spread(docs, "doc_id")
-        .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-        .select(
-            "doc_id",
-            F.expr(f"size({_SPARK_SHINGLES})").alias("n_grams"),
-            F.posexplode(F.expr(_SPARK_SHINGLES)).alias("pos0", "shingle"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            (F.col("pos0") + 1).alias("pos"),
-            F.expr(hash60_spark("shingle", _WINNOW_SEED)).alias("h"),
-        )
-    )
-    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    fps = (
-        grams.select(
-            "doc_id",
-            "n_grams",
-            "pos",
-            F.min("h").over(win).alias("fp"),
-        )
-        .filter(F.col("pos") <= F.col("n_grams") - WINNOW_W + 1)
-        .select("doc_id", "n_grams", "fp")
-        .distinct()
-    )
+    fps = _winnow_fps(tables.table(spark, sf_dir, "documents"))
     return fps.groupBy("doc_id").agg(
         F.max("n_grams").cast("bigint").alias("n_grams"),
         F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
@@ -1528,14 +1541,15 @@ def winnowing_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_oracle() -> str:
+def _winnow_fps_ctes() -> str:
+    """The shared DuckDB CTE chain ending in ``fps(doc_id, n_grams,
+    fp)`` — mirrored by ``_winnow_fps``."""
     from ..functions.xhash import hash60_duck
 
     gram_concat = " || ' ' || ".join(
         f"toks[i + {k}]" for k in range(SHINGLE_N)
     )
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
   FROM documents
@@ -1563,7 +1577,12 @@ wins AS (
 fps AS (
   SELECT DISTINCT doc_id, n_grams, fp
   FROM wins WHERE pos <= n_grams - {WINNOW_W} + 1
-)
+)"""
+
+
+def _winnow_oracle() -> str:
+    return f"""
+WITH {_winnow_fps_ctes()}
 SELECT doc_id,
        CAST(max(n_grams) AS BIGINT) AS n_grams,
        CAST(count(*) AS BIGINT) AS n_fingerprints,
@@ -1575,6 +1594,125 @@ GROUP BY doc_id
 
 
 WINNOWING_FINGERPRINTS_ORACLE = _winnow_oracle()
+
+
+WINNOW_MIN_SHARED = 2  # shared fingerprints to become a candidate pair
+
+
+def winnowing_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared_fps, jaccard): near-dup pairs whose
+    WINNOWING fingerprint sets overlap in at least WINNOW_MIN_SHARED
+    fingerprints, verified with the exact capped-shingle Jaccard —
+    the fifth candidate-generation strategy, and the one tuned for
+    SHARED-SUBSTRING duplicates: winnowing guarantees any common run
+    of >= W+K-1 tokens contributes a common fingerprint (a locality
+    guarantee none of the set-based strategies make), at ~2/(W+1)
+    the posting density of the full shingle index.
+
+    Scale: the fingerprint index join is the shingle join's shape at
+    a fraction of the postings; hot fingerprints (boilerplate runs)
+    are df-capped exactly like hot shingles, and verification runs
+    through the candidate pair list (the prefix_filter recipe)."""
+    docs = tables.table(spark, sf_dir, "documents")
+    fps = _winnow_fps(docs).select("doc_id", "fp")
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("fp")
+    )
+    capped = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )
+    elems = _capped_shingle_table(docs)
+    ea = elems.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = elems.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = _capped_sizes_table(docs)
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .join(cand, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_fps",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _winnow_pairs_oracle() -> str:
+    return f"""
+WITH {_winnow_fps_ctes()},
+fdf AS (
+  SELECT fp FROM (SELECT fp, count(*) AS df FROM
+    (SELECT DISTINCT doc_id, fp FROM fps) GROUP BY fp)
+  WHERE df <= {SHINGLE_DF_CAP}
+),
+capped_fps AS (
+  SELECT DISTINCT f.doc_id, f.fp FROM fps f
+  JOIN fdf ON fdf.fp = f.fp
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared_fps
+  FROM capped_fps a
+  JOIN capped_fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {WINNOW_MIN_SHARED}
+),
+{_DUCK_SHINGLE_CTE[_DUCK_SHINGLE_CTE.index("shingles AS"):]},
+capped AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s
+  JOIN (SELECT shingle FROM shingles
+        GROUP BY 1 HAVING count(*) <= {SHINGLE_DF_CAP}) keep
+    ON s.shingle = keep.shingle
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN capped ea ON ea.doc_id = c.doc_a
+  WHERE EXISTS (SELECT 1 FROM capped eb
+                WHERE eb.doc_id = c.doc_b AND eb.shingle = ea.shingle)
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, c.n_shared_fps,
+       CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
+FROM inter i
+JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= {JACCARD_THRESHOLD}
+"""
+
+
+WINNOWING_PAIRS_ORACLE = _winnow_pairs_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -1732,6 +1870,7 @@ _BLOCKING_STRATEGIES = (
     ("simhash", 4),
     ("prefix_filter", 8),
     ("sorted_neighborhood", 16),
+    ("winnowing", 32),
 )
 
 
@@ -1746,7 +1885,7 @@ def blocking_recall_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_emitted what it costs downstream. Same bitmask reduction as
     dedup_tier_agreement: each set tags pairs with a power-of-two
     bit, one union rolls up to a per-pair membership mask, and every
-    reported count is a conditional sum over the <=32-row mask
+    reported count is a conditional sum over the <=64-row mask
     histogram — the five pair sets shuffle exactly once.
 
     The detectors differ in similarity space by design (simhash
@@ -1766,6 +1905,7 @@ def blocking_recall_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash": simhash_pairs_query,
         "prefix_filter": prefix_filter_pairs_query,
         "sorted_neighborhood": sorted_neighborhood_pairs_query,
+        "winnowing": winnowing_pairs_query,
     }
     # Same scheduling as dedup_tier_agreement: each set's plan builds
     # on its own thread so the eager shared-pin materializations
@@ -1835,6 +1975,7 @@ def _blocking_recall_oracle() -> str:
         "simhash": SIMHASH_PAIRS_ORACLE,
         "prefix_filter": PREFIX_FILTER_PAIRS_ORACLE,
         "sorted_neighborhood": SORTED_NEIGHBORHOOD_PAIRS_ORACLE,
+        "winnowing": WINNOWING_PAIRS_ORACLE,
     }
     ctes = ["truth AS MATERIALIZED (SELECT doc_a, doc_b FROM ("
             + NGRAM_JACCARD_ORACLE.strip().rstrip(";") + "))"]

@@ -42,7 +42,7 @@ char_entropy, l_diversity_audit, source_modularity,
 degree_assortativity, sorted_neighborhood_pairs,
 blocking_recall_audit, join_size_estimate, t_closeness_audit,
 resize_payload, systematic_weighted_sample,
-trimmed_mean_by_type, phrase_search) plus
+trimmed_mean_by_type, phrase_search, winnowing_pairs) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1238,6 +1238,11 @@ def _ensure_loaded() -> None:
         "phrase_search",
         textops.phrase_search_query,
         textops.PHRASE_SEARCH_ORACLE,
+    )
+    register(
+        "winnowing_pairs",
+        dedup.winnowing_pairs_query,
+        dedup.WINNOWING_PAIRS_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

@@ -77,6 +77,7 @@ def test_window_clears_the_entire_certification_backlog():
         "systematic_weighted_sample",
         "trimmed_mean_by_type",
         "phrase_search",
+        "winnowing_pairs",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

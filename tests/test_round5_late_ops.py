@@ -325,10 +325,7 @@ def test_snm_finds_adjacent_prefix_family(spark, monkeypatch):
 def test_blocking_recall_audit_consistency(spark, sf_dir):
     rows = dedup.blocking_recall_audit_query(spark, sf_dir).collect()
     assert {r["strategy"] for r in rows} == {
-        "minhash",
-        "simhash",
-        "prefix_filter",
-        "sorted_neighborhood",
+        name for name, _bit in dedup._BLOCKING_STRATEGIES
     }
     n_true = {r["n_true"] for r in rows}
     assert len(n_true) == 1  # every row reports the same truth size
@@ -611,3 +608,31 @@ def test_phrase_search_finds_exact_adjacency_only(spark, monkeypatch):
     )
     got = {r["doc_id"]: r["n_occurrences"] for r in rows}
     assert got == {0: 2, 3: 1}
+
+
+# ---- winnowing_pairs -------------------------------------------------------
+
+
+def test_winnowing_pairs_find_identical_docs(spark, monkeypatch):
+    t = "the quick brown fox jumps over the lazy dog again tonight ok"
+    other = "completely different words appear inside this other document body"
+    docs = _docs(spark, [t, t, other])
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: docs)
+    rows = dedup.winnowing_pairs_query(spark, "_").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["n_shared_fps"] >= dedup.WINNOW_MIN_SHARED
+    assert r["jaccard"] == 1.0
+
+
+def test_winnowing_pairs_subset_of_exact(spark, sf_dir):
+    wp = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.winnowing_pairs_query(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs_query(spark, sf_dir).collect()
+    }
+    assert wp <= exact  # verification guarantees no false positives
