@@ -1630,3 +1630,86 @@ SELECT event_type,
 FROM per_key
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Transition entropy (behavior predictability per context event type)
+# --------------------------------------------------------------------------
+
+
+def transition_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, n_transitions, n_distinct_next, entropy_bits): the
+    Shannon entropy of each event type's NEXT-event distribution over
+    the first-order transition matrix (event_transitions) — the
+    predictability readout: entropy near 0 means the type has one
+    dominant successor (a funnel edge), entropy near log2(|types|)
+    means what follows is anyone's guess (a hub). Same fixed-point
+    recipe as char_entropy: per-successor terms n*floor(1e6*ln(n/t))
+    are integers before summation, one bits conversion at the end.
+
+    Scale: the transition matrix is |types|^2 rows — everything here
+    after the one user-partitioned lag window is dimension-sized."""
+    ev = tables.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    marg = counts.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_next"),
+    )
+    term_fp = F.expr(
+        "n * cast(floor(1e6 * ln(cast(n as double) / cast(t as double)))"
+        " as bigint)"
+    )
+    return (
+        counts.join(marg, "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.max("t").alias("n_transitions"),
+            F.max("n_distinct_next").alias("n_distinct_next"),
+            F.sum(term_fp).alias("h_fp"),
+        )
+        .select(
+            "from_type",
+            "n_transitions",
+            "n_distinct_next",
+            F.expr(
+                "-cast(h_fp as double)"
+                " / (cast(n_transitions as double) * 1e6 * ln(2))"
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+TRANSITION_ENTROPY_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS n_distinct_next
+  FROM counts GROUP BY 1
+)
+SELECT c.from_type,
+       CAST(max(m.t) AS BIGINT) AS n_transitions,
+       CAST(max(m.n_distinct_next) AS BIGINT) AS n_distinct_next,
+       -CAST(sum(c.n * CAST(floor(1e6 * ln(CAST(c.n AS DOUBLE)
+            / CAST(m.t AS DOUBLE))) AS BIGINT)) AS DOUBLE)
+         / (CAST(max(m.t) AS DOUBLE) * 1e6 * ln(2)) AS entropy_bits
+FROM counts c JOIN marg m ON m.from_type = c.from_type
+GROUP BY 1
+"""

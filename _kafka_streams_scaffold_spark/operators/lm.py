@@ -397,3 +397,96 @@ SELECT b.tok AS token, b.nxt AS next_token, b.pair_n, t.token_n
 FROM best b JOIN totals t ON b.tok = t.tok
 WHERE t.token_n >= {BIGRAM_MIN_COUNT}
 """
+
+
+# --------------------------------------------------------------------------
+# Per-document bigram-LM surprisal (first-order upgrade of the unigram)
+# --------------------------------------------------------------------------
+
+
+def bigram_lm_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_surprisal): mean nats/token under the
+    corpus BIGRAM LM — p(w2|w1) = c(w1 w2)/c(w1 ·), the first-order
+    upgrade of unigram_lm_score that actually scores word ORDER: a
+    doc of common words in an uncommon arrangement (shuffled text,
+    the classic synthetic-spam signature) scores near the unigram LM
+    but far under this one, so the unigram/bigram surprisal GAP is
+    the repo's word-salad detector. No smoothing needed for the same
+    reason as the unigram: the model is trained on the corpus it
+    scores, so every scored bigram has count >= 1. Same fixed-point
+    contract: surprisal per bigram is floor(1e6*ln(ctx/c2)) on exact
+    integer counts, summed as integers.
+
+    Shape: bigram extraction is map-local off each doc's token array
+    (no index join); the model is one (w1,w2)-keyed rollup with its
+    (w1)-context marginal derived FROM it (model-sized, never
+    re-scanning the corpus); scoring joins the model back on the
+    bigram stream. The model is bigram-vocabulary-sized — broadcast
+    here; past broadcast reach the same plan sort-merge-joins on
+    (w1,w2), shuffling only key+BIGINT rows."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    pairs = _pin(
+        docs.select("doc_id", tokens_expr().alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                    " i -> struct(element_at(toks, i) as a,"
+                    " element_at(toks, i + 1) as b))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.a", "g.b")
+    )
+    c2 = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("a").agg(F.sum("c2").alias("c1"))
+    model = c2.join(ctx, "a").select(
+        "a", "b", F.expr(_LN_FP_SPARK.format(a="c1", b="c2")).alias("s_fp")
+    )
+    return (
+        pairs.join(F.broadcast(model), ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("s_fp").alias("sum_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("sum_fp").cast("double")
+                / (F.col("n_bigrams") * F.lit(1000000)).cast("double")
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+BIGRAM_LM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')
+           AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, g.a AS a, g.b AS b FROM (
+    SELECT doc_id, unnest([{{'a': toks[i], 'b': toks[i + 1]}}
+                           for i in generate_series(1, len(toks) - 1)]) AS g
+    FROM tok WHERE len(toks) >= 2
+  )
+),
+c2 AS (SELECT a, b, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+model AS (
+  SELECT c2.a, c2.b, {_LN_FP_DUCK.format(a="c1", b="c2")} AS s_fp
+  FROM c2 JOIN ctx ON ctx.a = c2.a
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(m.s_fp) AS DOUBLE)
+         / CAST(count(*) * 1000000 AS DOUBLE) AS avg_surprisal
+FROM pairs p
+JOIN model m ON m.a = p.a AND m.b = p.b
+GROUP BY p.doc_id
+"""

@@ -42,7 +42,8 @@ char_entropy, l_diversity_audit, source_modularity,
 degree_assortativity, sorted_neighborhood_pairs,
 blocking_recall_audit, join_size_estimate, t_closeness_audit,
 resize_payload, systematic_weighted_sample,
-trimmed_mean_by_type, phrase_search, winnowing_pairs) plus
+trimmed_mean_by_type, phrase_search, winnowing_pairs,
+bigram_lm_score, transition_entropy) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1243,6 +1244,16 @@ def _ensure_loaded() -> None:
         "winnowing_pairs",
         dedup.winnowing_pairs_query,
         dedup.WINNOWING_PAIRS_ORACLE,
+    )
+    register(
+        "bigram_lm_score",
+        lm.bigram_lm_score_query,
+        lm.BIGRAM_LM_ORACLE,
+    )
+    register(
+        "transition_entropy",
+        an.transition_entropy_query,
+        an.TRANSITION_ENTROPY_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

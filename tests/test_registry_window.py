@@ -78,6 +78,8 @@ def test_window_clears_the_entire_certification_backlog():
         "trimmed_mean_by_type",
         "phrase_search",
         "winnowing_pairs",
+        "bigram_lm_score",
+        "transition_entropy",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

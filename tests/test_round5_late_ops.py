@@ -636,3 +636,69 @@ def test_winnowing_pairs_subset_of_exact(spark, sf_dir):
         for r in dedup.ngram_jaccard_pairs_query(spark, sf_dir).collect()
     }
     assert wp <= exact  # verification guarantees no false positives
+
+
+# ---- bigram_lm_score -------------------------------------------------------
+
+
+def test_bigram_lm_scores_word_order(spark, monkeypatch):
+    import math
+
+    from _kafka_streams_scaffold_spark.operators import lm
+
+    # "a b" appears 3x, "a c" 1x: p(b|a)=3/4, p(c|a)=1/4
+    docs = _docs(spark, ["a b", "a b", "a b", "a c"])
+    monkeypatch.setattr(lm.tables, "table", lambda *a: docs)
+    rows = {
+        r["doc_id"]: r for r in lm.bigram_lm_score_query(spark, "_").collect()
+    }
+    assert rows[0]["n_bigrams"] == 1
+    # fixed-point floor undershoots by < 1e-6
+    assert abs(rows[0]["avg_surprisal"] - math.log(4 / 3)) < 1e-5
+    assert abs(rows[3]["avg_surprisal"] - math.log(4)) < 1e-5
+
+
+def test_bigram_gap_detects_shuffled_text(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import lm
+
+    uni = {
+        r["doc_id"]: r["avg_surprisal"]
+        for r in lm.unigram_lm_score_query(spark, sf_dir).collect()
+    }
+    bi = {
+        r["doc_id"]: r["avg_surprisal"]
+        for r in lm.bigram_lm_score_query(spark, sf_dir).collect()
+    }
+    common = set(uni) & set(bi)
+    assert common
+    # conditioning can only reduce average surprisal corpus-wide
+    assert sum(bi[d] for d in common) <= sum(uni[d] for d in common)
+
+
+# ---- transition_entropy ----------------------------------------------------
+
+
+def test_transition_entropy_known_values(spark, monkeypatch):
+    import datetime
+
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    base = datetime.datetime(2024, 1, 1)
+    # user 1: a->b, b->a, a->b ; user 2: a->b
+    # from 'a': 3x b (entropy 0); from 'b': 1x a (entropy 0)
+    seq = [(1, "a"), (1, "b"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=i, ts=base + datetime.timedelta(seconds=i),
+                user_id=u, event_type=t, value=1.0, props="{}")
+            for i, (u, t) in enumerate(seq)
+        ]
+    )
+    monkeypatch.setattr(analytics.tables, "table", lambda *a: ev)
+    rows = {
+        r["from_type"]: r
+        for r in analytics.transition_entropy_query(spark, "_").collect()
+    }
+    assert rows["a"]["n_distinct_next"] == 1
+    assert abs(rows["a"]["entropy_bits"]) < 1e-6
+    assert rows["b"]["n_transitions"] == 1
