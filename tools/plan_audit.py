@@ -791,6 +791,27 @@ AUDIT = [
         "the (doc_id, pos+1) equi-join — the term-selective access "
         "path of a real positional index.",
     ),
+    (
+        "winnowing_pairs",
+        "The fingerprint index join is the shingle join's shape at "
+        "~2/(W+1) the postings, with hot fingerprints df-capped; "
+        "verification expands the candidate pair list. The shared "
+        "fingerprint pin serves both this and the per-doc summary.",
+    ),
+    (
+        "bigram_lm_score",
+        "Bigram extraction is map-local; the model is one "
+        "(w1,w2)-keyed rollup whose context marginal derives FROM it "
+        "(model-sized, no second corpus scan); surprisal sums are "
+        "fixed-point integers joined back onto the pair stream.",
+    ),
+    (
+        "transition_entropy",
+        "One user-partitioned lag window, then everything is "
+        "|types|^2-sized: counts, marginals, and integer entropy "
+        "terms fold over the transition matrix, not the event "
+        "stream.",
+    ),
 ]
 
 

@@ -382,6 +382,28 @@ def main() -> None:
             unioned(spark, "customer", m),
             lambda: dq_mod.t_closeness_audit_query(spark, SF_DIR),
         ),
+        "bigram LM score (model join)": lambda m: _with_docs(
+            m, lambda: lm_mod.bigram_lm_score_query(spark, SF_DIR)
+        ),
+        "phrase search (positional prune)": lambda m: _with_docs(
+            m, lambda: textops.phrase_search_query(spark, SF_DIR)
+        ),
+        "winnowing fps pairs (fp index join)": lambda m: _with_docs(
+            m, lambda: dedup.winnowing_pairs_query(spark, SF_DIR)
+        ),
+        "transition entropy (matrix rollup)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: an_mod2.transition_entropy_query(spark, SF_DIR),
+        ),
+        "systematic sample (2p cumsum)": lambda m: _with_docs(
+            m, lambda: sampling.systematic_weighted_sample_query(spark, SF_DIR)
+        ),
+        "trimmed mean (grouped-agg pandas)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: stats_mod.trimmed_mean_by_type_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
