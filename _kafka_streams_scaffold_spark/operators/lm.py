@@ -490,3 +490,134 @@ FROM pairs p
 JOIN model m ON m.a = p.a AND m.b = p.b
 GROUP BY p.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram model (the production n-gram smoother)
+# --------------------------------------------------------------------------
+
+# Absolute discount d = 3/4, kept as an integer ratio so the smoothed
+# probability is a single division of two exact BIGINTs:
+#
+#   p_kn(b|a) = (c(a,b) - d)/c(a.)  +  (d * N1+(a,.)/c(a.)) * Pcont(b)
+#   Pcont(b)  = N1+(.,b) / T            (T = total bigram types)
+#
+# over common denominator KN_D_DEN * c(a.) * T:
+#
+#   p_kn = ((KN_D_DEN*c(a,b) - KN_D_NUM) * T
+#           + KN_D_NUM * N1+(a,.) * N1+(.,b))  /  (KN_D_DEN * c(a.) * T)
+#
+# Every bigram scored is observed (c >= 1), so the max(c - d, 0) clamp
+# of the textbook form never binds (4c - 3 >= 1).
+KN_D_NUM, KN_D_DEN = 3, 4
+
+
+def kneser_ney_bigram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, next_token, pair_n, ctx_n, n1_ctx, n1_next, p_kn): the
+    Kneser-Ney smoothed conditional bigram model over the corpus —
+    THE production n-gram smoother (interpolated absolute discounting
+    with continuation-count backoff), and the classic demonstration
+    of why raw MLE bigrams misrank: "francisco" has high raw count
+    but appears after almost nothing except "san", so its
+    continuation probability N1+(.,b)/T is tiny and KN correctly
+    refuses to predict it in fresh contexts. Contexts are kept at
+    ctx_n >= BIGRAM_MIN_COUNT (same dial as bigram_next_token) so the
+    emitted model is the servable table, not the long tail.
+
+    Exactness: the discount is the integer ratio 3/4, so p_kn reduces
+    to one division of two exact BIGINT products (numerator/common
+    denominator above) — bit-stable cross-engine with no fixed-point
+    scaffolding. At larger corpora the products approach BIGINT range
+    (c*T ~ 1e18 at ~1e9 bigram types); the documented widening path
+    is DECIMAL(38,0) for the two products, unchanged semantics.
+
+    Shape: pair extraction is map-local per doc; the model is one
+    (a,b) rollup; BOTH marginals (context totals + continuation
+    counts) and the type count T derive from that model table —
+    model-sized aggregations, the corpus is touched exactly once. T
+    joins in as a broadcast one-row aggregate."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    pairs = (
+        docs.select(tokens_expr().alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("g")
+        )
+        .select("g.a", "g.b")
+    )
+    c2 = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_n")
+    )
+    ctx = c2.groupBy("a").agg(
+        F.sum("pair_n").cast("bigint").alias("ctx_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n1_ctx"),
+    )
+    cont = c2.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1_next")
+    )
+    types = c2.agg(F.count(F.lit(1)).cast("bigint").alias("t_types"))
+    num = (
+        (F.lit(KN_D_DEN) * F.col("pair_n") - F.lit(KN_D_NUM))
+        * F.col("t_types")
+        + F.lit(KN_D_NUM) * F.col("n1_ctx") * F.col("n1_next")
+    )
+    den = F.lit(KN_D_DEN) * F.col("ctx_n") * F.col("t_types")
+    return (
+        c2.join(ctx, "a")
+        .join(F.broadcast(cont), "b")
+        .crossJoin(F.broadcast(types))
+        .filter(F.col("ctx_n") >= BIGRAM_MIN_COUNT)
+        .select(
+            F.col("a").alias("token"),
+            F.col("b").alias("next_token"),
+            "pair_n",
+            "ctx_n",
+            "n1_ctx",
+            "n1_next",
+            (num.cast("double") / den.cast("double")).alias("p_kn"),
+        )
+    )
+
+
+KNESER_NEY_BIGRAM_ORACLE = f"""
+WITH toklists AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')
+           AS t
+  FROM documents
+),
+pairs AS (
+  SELECT p[1] AS a, p[2] AS b FROM (
+    SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
+    FROM toklists WHERE len(t) >= 2
+  )
+),
+c2 AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS pair_n
+  FROM pairs GROUP BY a, b
+),
+ctx AS (
+  SELECT a, CAST(sum(pair_n) AS BIGINT) AS ctx_n,
+         CAST(count(*) AS BIGINT) AS n1_ctx
+  FROM c2 GROUP BY a
+),
+cont AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n1_next FROM c2 GROUP BY b
+),
+types AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM c2)
+SELECT c2.a AS token, c2.b AS next_token,
+       c2.pair_n, ctx.ctx_n, ctx.n1_ctx, cont.n1_next,
+       CAST(({KN_D_DEN} * c2.pair_n - {KN_D_NUM}) * t.t_types
+            + {KN_D_NUM} * ctx.n1_ctx * cont.n1_next AS DOUBLE)
+         / CAST({KN_D_DEN} * ctx.ctx_n * t.t_types AS DOUBLE) AS p_kn
+FROM c2
+JOIN ctx ON ctx.a = c2.a
+JOIN cont ON cont.b = c2.b
+CROSS JOIN types t
+WHERE ctx.ctx_n >= {BIGRAM_MIN_COUNT}
+"""

@@ -246,19 +246,16 @@ SELECT q_id, n_id, dot_int, qcos, rank FROM (
 """
 
 
-def int8_ann_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(q_id, n_exact, n_hits, recall): recall@k of the int8-domain
-    search against the exact float cosine top-k (ann_topk) — the
-    quantization tier's quality contract on the hash-checked surface
-    (both rankings are deterministic, so the overlap is too). This is
-    the number that justifies shipping int8 to serving: ~0.3% cosine
-    error should cost little-to-no recall at k=5."""
+def _int8_vs_exact_recall(
+    spark: SparkSession, sf_dir: str, approx: DataFrame
+) -> DataFrame:
+    """Shared recall@k reduction: left-join an approximate top-k edge
+    set onto the exact float cosine top-k (ann_topk) and report
+    per-query (n_exact, n_hits, recall)."""
     from .similarity import ann_topk_query
 
     exact = ann_topk_query(spark, sf_dir).select("q_id", "n_id")
-    approx = int8_ann_query(spark, sf_dir).select(
-        "q_id", "n_id"
-    ).withColumn("hit", F.lit(1))
+    approx = approx.select("q_id", "n_id").withColumn("hit", F.lit(1))
     return (
         exact.join(approx, ["q_id", "n_id"], "left")
         .groupBy("q_id")
@@ -279,6 +276,18 @@ def int8_ann_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def int8_ann_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, n_exact, n_hits, recall): recall@k of the int8-domain
+    search against the exact float cosine top-k (ann_topk) — the
+    quantization tier's quality contract on the hash-checked surface
+    (both rankings are deterministic, so the overlap is too). This is
+    the number that justifies shipping int8 to serving: ~0.3% cosine
+    error should cost little-to-no recall at k=5."""
+    return _int8_vs_exact_recall(
+        spark, sf_dir, int8_ann_query(spark, sf_dir)
+    )
+
+
 INT8_ANN_RECALL_ORACLE = f"""
 WITH {_DUCK_QF},
 approx AS (
@@ -295,6 +304,197 @@ approx AS (
     FROM qs a CROSS JOIN qs b
     WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
       AND a.ssq > 0 AND b.ssq > 0
+  ) WHERE rank <= {TOP_K}
+),
+normed AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+exact AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dot_sql('q.embedding', 'n.embedding', 'duck')}
+                      / (q.norm * n.norm) DESC, n.vec_id
+           ) AS rank
+    FROM normed q CROSS JOIN normed n
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+  ) WHERE rank <= {TOP_K}
+)
+SELECT e.q_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS recall
+FROM exact e
+LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+GROUP BY e.q_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Binary (sign-bit) quantization: 1 bit/dim, Hamming-distance ANN
+# --------------------------------------------------------------------------
+
+# One bit per dimension (b_i = 1 iff x_i > 0), packed 32 dims per
+# BIGINT word so no signature ever touches the sign bit — the 64-dim
+# corpus packs into exactly (lo, hi). The layered quantization menu
+# this completes: float32 (4 B/dim, exact) -> int8 (1 B/dim, int8_ann)
+# -> PQ (codebook bytes, pq.py) -> binary (1 BIT/dim, here; a 32x cut
+# vs float32) with a hash-checked recall gate per tier, so choosing a
+# serving tier is a table lookup, not a guess. Wider corpora pack
+# ceil(dim/32) words; the Hamming kernel stays a per-word
+# bit_count(xor) sum.
+
+_BITS_PER_WORD = 32
+
+# word k covers dims [k*32, (k+1)*32): slice is 1-based, transform's
+# lambda index i is 0-based, so each set bit is shiftleft(1, i) < 2^32
+_BIT_WORD = (
+    "aggregate(transform(slice(embedding, {start}, 32), (x, i) -> "
+    "case when cast(x as double) > 0.0d then shiftleft(1L, i) else 0L end), "
+    "0L, (acc, v) -> acc + v)"
+)
+_SIG_LO = _BIT_WORD.format(start=1)
+_SIG_HI = _BIT_WORD.format(start=33)
+
+
+def binary_signatures_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sig_lo, sig_hi, n_pos): the packed sign-bit signature
+    of every vector plus its population count (number of positive
+    dims — the balance dial; a healthy embedding model sits near
+    dim/2). Pure per-row expressions: column-pruned scan, no shuffle,
+    whole-stage codegen end to end — the cheapest possible pass over
+    a 100 TB embedding corpus, emitting 8 bytes + a small int per
+    vector."""
+    emb = tables.table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr(_SIG_LO).alias("sig_lo"),
+        F.expr(_SIG_HI).alias("sig_hi"),
+        F.expr(
+            f"cast(bit_count({_SIG_LO}) + bit_count({_SIG_HI}) as int)"
+        ).alias("n_pos"),
+    )
+
+
+# DuckDB twin: unnest with subscripts, roll up per vector. The 1-based
+# subscript i maps to bit (i-1) mod 32 of word (i-1) div 32.
+_DUCK_SIG = """sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN i <= 32 AND e > 0
+                       THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)
+              AS BIGINT) AS sig_lo,
+         CAST(sum(CASE WHEN i > 32 AND e > 0
+                       THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)
+              AS BIGINT) AS sig_hi
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY vec_id
+)"""
+
+BINARY_SIGNATURES_ORACLE = f"""
+WITH {_DUCK_SIG}
+SELECT vec_id, sig_lo, sig_hi,
+       CAST(bit_count(sig_lo) + bit_count(sig_hi) AS INT) AS n_pos
+FROM sig
+"""
+
+
+def binary_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, n_id, hamming, rank): top-k nearest neighbors in the
+    1-bit domain — Hamming distance over the packed signatures,
+    bit_count(xor) per word. The scoring kernel a binary index
+    serves: pure integer ops on 8-byte signatures (SIMD popcount on
+    real hardware), no floats anywhere, so the ranking is trivially
+    cross-engine bit-stable (ties break on n_id — Hamming over 64
+    bits collides often, unlike cosine).
+
+    Scale: same posture as ann_topk/int8_ann — queries broadcast,
+    corpus scanned once, per-query top-k windows. At 100 TB binary is
+    the FIRST tier of the cascade (32x less IO than float), its
+    shortlist re-ranked by int8/PQ/float — binary_ann_recall measures
+    exactly what that shortlist misses."""
+    emb = tables.table(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id",
+        F.expr(_SIG_LO).alias("lo"),
+        F.expr(_SIG_HI).alias("hi"),
+    )
+    queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    corpus = sigs.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("lo").alias("n_lo"),
+        F.col("hi").alias("n_hi"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.expr(
+                "cast(bit_count(q_lo ^ n_lo) + bit_count(q_hi ^ n_hi) as int)"
+            ).alias("hamming"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("hamming").asc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+BINARY_ANN_ORACLE = f"""
+WITH {_DUCK_SIG},
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+              + bit_count(xor(a.sig_hi, b.sig_hi)) AS INT) AS hamming
+  FROM sig a CROSS JOIN sig b
+  WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+)
+SELECT q_id, n_id, hamming, rank FROM (
+  SELECT q_id, n_id, hamming,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY hamming, n_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def binary_ann_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, n_exact, n_hits, recall): recall@k of the 1-bit Hamming
+    search against the exact float cosine top-k — the honest price
+    tag on the 32x compression. Expected well below int8's (sign-only
+    is coarse at 64 dims); the cascade design (binary shortlist ->
+    finer re-rank) exists precisely because this number is < 1, and
+    the audit makes the gap a measured quantity instead of folklore."""
+    return _int8_vs_exact_recall(
+        spark, sf_dir, binary_ann_query(spark, sf_dir)
+    )
+
+
+BINARY_ANN_RECALL_ORACLE = f"""
+WITH {_DUCK_SIG},
+approx AS (
+  SELECT q_id, n_id FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY bit_count(xor(a.sig_lo, b.sig_lo))
+                      + bit_count(xor(a.sig_hi, b.sig_hi)), b.vec_id
+           ) AS rank
+    FROM sig a CROSS JOIN sig b
+    WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
   ) WHERE rank <= {TOP_K}
 ),
 normed AS (

@@ -842,6 +842,41 @@ FROM win
 KNN_K = 3
 
 
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned (q_id, n_id, cosine, rank) top-KNN_K edge list, exact
+    within each IVF cell — the shared construction under knn_graph
+    (mutuality flag), knn_triangles, and knn_lof_outliers. Pinned
+    because every consumer reads it at least twice (self-joins)."""
+    emb = _emb(spark, sf_dir)
+    assign = ivf_assign_query(spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("cell")
+    )
+    nodes = emb.join(assign, "vec_id")
+    a = nodes.select(
+        F.col("vec_id").alias("q_id"),
+        "cell",
+        F.col("embedding").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    b = nodes.select(
+        F.col("vec_id").alias("n_id"),
+        "cell",
+        F.col("embedding").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+    )
+    cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
+        F.col("q_norm") * F.col("n_norm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return _pin(
+        a.join(b, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+    )
+
+
 def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-KNN_K cosine neighbor graph over EVERY vector, blocked by
     the assigned IVF cell, with a mutual-edge flag — the construction
@@ -866,39 +901,11 @@ def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-width. k (number of centroids) grows with |V| to bound
     |cell|^2, exactly as in ivf_near_dup.
     """
-    emb = _emb(spark, sf_dir)
-    assign = ivf_assign_query(spark, sf_dir).select(
-        "vec_id", F.col("assigned_label").alias("cell")
-    )
-    nodes = emb.join(assign, "vec_id")
-    a = nodes.select(
-        F.col("vec_id").alias("q_id"),
-        "cell",
-        F.col("embedding").alias("q_vec"),
-        F.col("norm").alias("q_norm"),
-    )
-    b = nodes.select(
-        F.col("vec_id").alias("n_id"),
-        "cell",
-        F.col("embedding").alias("n_vec"),
-        F.col("norm").alias("n_norm"),
-    )
-    cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
-        F.col("q_norm") * F.col("n_norm")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    # Pinned: `edges` feeds BOTH sides of the mutual-edge self-join
-    # below; without the pin the full O(|cell|^2) cell self-join + rank
-    # window re-runs in each branch (two FileScans, no ReusedExchange),
-    # doubling the dominant quadratic stage. Pinned, the join reads
-    # |V| * KNN_K id-width rows twice from cache.
-    edges = _pin(
-        a.join(b, "cell")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-    )
+    # Pinned shared edges: they feed BOTH sides of the mutual-edge
+    # self-join below; without the pin the full O(|cell|^2) cell
+    # self-join + rank window re-runs in each branch (two FileScans,
+    # no ReusedExchange), doubling the dominant quadratic stage.
+    edges = _knn_edges(spark, sf_dir)
     rev = edges.select(
         F.col("q_id").alias("r_q"), F.col("n_id").alias("r_n")
     )
@@ -948,6 +955,152 @@ SELECT e.q_id AS vec_id, e.n_id AS nbr_id, e.cosine, e.rank,
        (r.q_id IS NOT NULL) AS is_mutual
 FROM edges e
 LEFT JOIN edges r ON r.q_id = e.n_id AND r.n_id = e.q_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Local Outlier Factor over the kNN graph (density-ratio outliers)
+# --------------------------------------------------------------------------
+
+LOF_THRESHOLD = 1.1  # neighbors >=10% denser than self -> flagged
+
+# cosine distance fixed-pointed to BIGINT (1 - cos in [0, 2] -> <= 2e9)
+_LOF_D_SCALE = 10**9
+# lrd is emitted as floor(1e15 * n / sum_reach_fp): with n <= KNN_K and
+# sum_reach_fp <= n * 2e9, the quotient sits in [~1.6e5, 3e15] — exact
+# BIGINT integer division, never 0, never overflowing
+_LOF_LRD_SCALE = 10**15
+
+
+def knn_lof_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, n_nbrs, lof, is_outlier): Local Outlier Factor
+    (Breunig et al., SIGMOD 2000) over the cell-blocked kNN graph —
+    the density-RATIO upgrade of embedding_outliers' absolute
+    distance rule: a point is anomalous iff its local reachability
+    density is low *relative to its own neighbors'*, which catches
+    sparse-region points that a global threshold misses and spares
+    dense-cluster fringe points a global threshold would flag.
+
+    Exactness contract (the float-heavy textbook form made
+    hash-stable): distances fixed-point to BIGINT
+    (floor((1-cosine)*1e9)); k-distance and reach-distances are then
+    integer maxes; each node's lrd ships as the exact integer
+    division floor(1e15*n/sum_reach) — so the final
+    lof = sum(nbr_lrd) / (n * own_lrd) is ONE correctly-rounded
+    division of bit-identical BIGINTs. Nodes whose neighborhood
+    collapses to duplicates (sum_reach 0) take the documented
+    greatest(.,1) floor — lrd saturates instead of dividing by zero.
+
+    Scale: everything after the (pinned, shared) edge list is
+    id-width joins keyed on vec_id — 2 hash joins + 3 grouped
+    aggregations over |V|*k rows, partial-aggregatable throughout.
+    Singleton cells have no edges and are correctly absent: LOF is
+    undefined without neighbors (embedding_outliers covers them)."""
+    edges = _knn_edges(spark, sf_dir)
+    dfp = edges.select(
+        "q_id",
+        "n_id",
+        F.expr(
+            f"cast(floor((1.0d - cosine) * {_LOF_D_SCALE}L) as bigint)"
+        ).alias("d_fp"),
+    )
+    kd = dfp.groupBy("q_id").agg(F.max("d_fp").alias("kd_fp"))
+    nbr_kd = kd.select(
+        F.col("q_id").alias("n_id"), F.col("kd_fp").alias("n_kd_fp")
+    )
+    reach = dfp.join(nbr_kd, "n_id").select(
+        "q_id", "n_id", F.greatest("n_kd_fp", "d_fp").alias("rd_fp")
+    )
+    agg = reach.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rd_fp").cast("bigint").alias("sumr"),
+    )
+    lrd = agg.select(
+        "q_id",
+        "n",
+        F.expr(
+            f"({_LOF_LRD_SCALE}L * n) div greatest(sumr, 1L)"
+        ).alias("lrd_fp"),
+    )
+    nbr_lrd = lrd.select(
+        F.col("q_id").alias("n_id"), F.col("lrd_fp").alias("nbr_lrd_fp")
+    )
+    sums = (
+        dfp.join(nbr_lrd, "n_id")
+        .groupBy("q_id")
+        .agg(F.sum("nbr_lrd_fp").cast("bigint").alias("sum_nbr"))
+    )
+    lof = (
+        F.col("sum_nbr").cast("double")
+        / (F.col("n") * F.col("lrd_fp")).cast("double")
+    )
+    return (
+        sums.join(lrd, "q_id")
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("n").alias("n_nbrs"),
+            lof.alias("lof"),
+            (lof > F.lit(float(LOF_THRESHOLD))).alias("is_outlier"),
+        )
+    )
+
+
+KNN_LOF_ORACLE = f"""
+WITH {_DUCK_ASSIGN_CTES},
+normed AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+nodes AS (
+  SELECT n.vec_id, n.embedding, n.norm, a.c_label
+  FROM normed n JOIN assign a ON a.vec_id = n.vec_id
+),
+edges AS (
+  SELECT q_id, n_id, cosine FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           {_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.norm * b.norm)
+               AS cosine,
+           row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_dot_sql('a.embedding', 'b.embedding', 'duck')}
+                            / (a.norm * b.norm) DESC,
+                        b.vec_id
+           ) AS rank
+    FROM nodes a
+    JOIN nodes b ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+  )
+  WHERE rank <= {KNN_K}
+),
+dfp AS (
+  SELECT q_id, n_id,
+         CAST(floor((1.0 - cosine) * {_LOF_D_SCALE}) AS BIGINT) AS d_fp
+  FROM edges
+),
+kd AS (SELECT q_id, max(d_fp) AS kd_fp FROM dfp GROUP BY q_id),
+reach AS (
+  SELECT d.q_id, d.n_id, greatest(k.kd_fp, d.d_fp) AS rd_fp
+  FROM dfp d JOIN kd k ON k.q_id = d.n_id
+),
+agg AS (
+  SELECT q_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rd_fp) AS BIGINT) AS sumr
+  FROM reach GROUP BY q_id
+),
+lrd AS (
+  SELECT q_id, n,
+         ({_LOF_LRD_SCALE} * n) // greatest(sumr, 1) AS lrd_fp
+  FROM agg
+),
+sums AS (
+  SELECT d.q_id, CAST(sum(l.lrd_fp) AS BIGINT) AS sum_nbr
+  FROM dfp d JOIN lrd l ON l.q_id = d.n_id
+  GROUP BY d.q_id
+)
+SELECT s.q_id AS vec_id, l.n AS n_nbrs,
+       CAST(s.sum_nbr AS DOUBLE) / CAST(l.n * l.lrd_fp AS DOUBLE) AS lof,
+       CAST(s.sum_nbr AS DOUBLE) / CAST(l.n * l.lrd_fp AS DOUBLE)
+         > {LOF_THRESHOLD} AS is_outlier
+FROM sums s JOIN lrd l ON l.q_id = s.q_id
 """
 
 
@@ -1644,4 +1797,110 @@ SELECT label,
 FROM scored
 WHERE cos_fp IS NOT NULL
 GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# kNN label purity (embedding-quality eval: neighbor label agreement)
+# --------------------------------------------------------------------------
+
+
+def knn_label_purity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_nodes, n_edges, n_same, purity): per-class neighbor
+    label agreement over the kNN graph — the leave-one-out kNN
+    classifier signal, THE standard cheap embedding-quality eval: if
+    an embedding model is any good, a vector's nearest neighbors
+    carry its own label, and a per-class purity drop after a model
+    swap localizes exactly which classes the new space collapsed.
+    purity = n_same / n_edges on exact integer counts (one
+    correctly-rounded division; no floats anywhere else), so the
+    whole eval is oracle-hash-checked.
+
+    Scale: rides the shared pinned edge list (id-width rows); the
+    label join is a broadcast against the corpus's (vec_id, label)
+    projection, and the rollup is |labels|-sized —
+    partial-aggregatable, no new quadratic stage."""
+    edges = _knn_edges(spark, sf_dir)
+    labels = tables.table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    q_lab = labels.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    n_lab = labels.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("n_label")
+    )
+    per_node = (
+        edges.join(q_lab, "q_id")
+        .join(n_lab, "n_id")
+        .groupBy("q_id", "q_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg"),
+            F.sum(
+                F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("same"),
+        )
+    )
+    return (
+        per_node.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("n_edges"),
+            F.sum("same").cast("bigint").alias("n_same"),
+        )
+        .select(
+            "label",
+            "n_nodes",
+            "n_edges",
+            "n_same",
+            (
+                F.col("n_same").cast("double") / F.col("n_edges").cast("double")
+            ).alias("purity"),
+        )
+    )
+
+
+KNN_LABEL_PURITY_ORACLE = f"""
+WITH {_DUCK_ASSIGN_CTES},
+normed AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+nodes AS (
+  SELECT n.vec_id, n.embedding, n.norm, a.c_label
+  FROM normed n JOIN assign a ON a.vec_id = n.vec_id
+),
+edges AS (
+  SELECT q_id, n_id FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_dot_sql('a.embedding', 'b.embedding', 'duck')}
+                            / (a.norm * b.norm) DESC,
+                        b.vec_id
+           ) AS rank
+    FROM nodes a
+    JOIN nodes b ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+  )
+  WHERE rank <= {KNN_K}
+),
+per_node AS (
+  SELECT e.q_id, ql.label AS q_label,
+         CAST(count(*) AS BIGINT) AS deg,
+         CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END)
+              AS BIGINT) AS same
+  FROM edges e
+  JOIN embeddings ql ON ql.vec_id = e.q_id
+  JOIN embeddings nl ON nl.vec_id = e.n_id
+  GROUP BY e.q_id, ql.label
+)
+SELECT q_label AS label,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(deg) AS BIGINT) AS n_edges,
+       CAST(sum(same) AS BIGINT) AS n_same,
+       CAST(sum(same) AS DOUBLE) / CAST(sum(deg) AS DOUBLE) AS purity
+FROM per_node
+GROUP BY q_label
 """

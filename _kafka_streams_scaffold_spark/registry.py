@@ -43,7 +43,9 @@ degree_assortativity, sorted_neighborhood_pairs,
 blocking_recall_audit, join_size_estimate, t_closeness_audit,
 resize_payload, systematic_weighted_sample,
 trimmed_mean_by_type, phrase_search, winnowing_pairs,
-bigram_lm_score, transition_entropy) plus
+bigram_lm_score, transition_entropy, binary_signatures,
+binary_ann, binary_ann_recall, kneser_ney_bigram,
+knn_lof_outliers, knn_label_purity) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1254,6 +1256,37 @@ def _ensure_loaded() -> None:
         "transition_entropy",
         an.transition_entropy_query,
         an.TRANSITION_ENTROPY_ORACLE,
+    )
+    # Binary (1-bit) quantization tier: signatures, Hamming ANN, and
+    # its recall gate vs the exact float search — completes the
+    # float32 -> int8 -> PQ -> binary compression cascade.
+    register(
+        "binary_signatures",
+        quantize.binary_signatures_query,
+        quantize.BINARY_SIGNATURES_ORACLE,
+    )
+    register(
+        "binary_ann", quantize.binary_ann_query, quantize.BINARY_ANN_ORACLE
+    )
+    register(
+        "binary_ann_recall",
+        quantize.binary_ann_recall_query,
+        quantize.BINARY_ANN_RECALL_ORACLE,
+    )
+    register(
+        "kneser_ney_bigram",
+        lm.kneser_ney_bigram_query,
+        lm.KNESER_NEY_BIGRAM_ORACLE,
+    )
+    register(
+        "knn_lof_outliers",
+        similarity.knn_lof_outliers_query,
+        similarity.KNN_LOF_ORACLE,
+    )
+    register(
+        "knn_label_purity",
+        similarity.knn_label_purity_query,
+        similarity.KNN_LABEL_PURITY_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

@@ -80,6 +80,12 @@ def test_window_clears_the_entire_certification_backlog():
         "winnowing_pairs",
         "bigram_lm_score",
         "transition_entropy",
+        "binary_signatures",
+        "binary_ann",
+        "binary_ann_recall",
+        "kneser_ney_bigram",
+        "knn_lof_outliers",
+        "knn_label_purity",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

@@ -1,0 +1,215 @@
+"""Round-5 batch 6: binary (1-bit) quantization tier, Kneser-Ney
+bigram smoothing, and LOF density-ratio outliers."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Row
+
+from _kafka_streams_scaffold_spark.operators import lm, quantize, similarity
+
+
+def _emb_df(spark, vecs, labels=None):
+    labels = labels or [0] * len(vecs)
+    return spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[float(x) for x in v], label=int(l))
+            for i, (v, l) in enumerate(zip(vecs, labels))
+        ]
+    )
+
+
+# ---- binary_signatures ---------------------------------------------------
+
+
+def test_binary_signature_packs_known_bits(spark, monkeypatch):
+    # dims [+, -, 0, +] -> bits 0 and 3 set in the low word: 1 + 8 = 9
+    df = _emb_df(spark, [[1.0, -1.0, 0.0, 2.0]])
+    monkeypatch.setattr(quantize.tables, "table", lambda *a: df)
+    r = quantize.binary_signatures_query(spark, "_").collect()[0]
+    assert (r["sig_lo"], r["sig_hi"], r["n_pos"]) == (9, 0, 2)
+
+
+def test_binary_signature_high_word_and_top_bit(spark, monkeypatch):
+    # 64 dims: only dim 33 (1-based; word 2, bit 0) and dim 64 (word 2,
+    # bit 31) positive -> hi = 1 + 2^31, lo = 0. The top bit of the
+    # 32-bit word never touches the BIGINT sign bit.
+    v = [0.0] * 64
+    v[32] = 1.0  # 0-based index 32 == dim 33
+    v[63] = 1.0
+    df = _emb_df(spark, [v])
+    monkeypatch.setattr(quantize.tables, "table", lambda *a: df)
+    r = quantize.binary_signatures_query(spark, "_").collect()[0]
+    assert (r["sig_lo"], r["sig_hi"]) == (0, 1 + 2**31)
+    assert r["n_pos"] == 2
+
+
+# ---- binary_ann ----------------------------------------------------------
+
+
+def test_binary_ann_ranks_by_hamming_with_id_ties(spark, monkeypatch):
+    base = [1.0, 1.0, 1.0, 1.0]
+    one_flip = [1.0, 1.0, 1.0, -1.0]
+    two_flip = [1.0, 1.0, -1.0, -1.0]
+    df = _emb_df(spark, [base, one_flip, two_flip, one_flip])
+    monkeypatch.setattr(quantize.tables, "table", lambda *a: df)
+    rows = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["hamming"])
+        for r in quantize.binary_ann_query(spark, "_").collect()
+    }
+    # q 0: hamming 1 to vecs 1 and 3 (tie -> lower id first), then 2
+    assert rows[(0, 1)] == (1, 1)
+    assert rows[(0, 2)] == (3, 1)
+    assert rows[(0, 3)] == (2, 2)
+
+
+def test_binary_ann_recall_bounds_and_exact_k(spark, sf_dir):
+    rows = quantize.binary_ann_recall_query(spark, sf_dir).collect()
+    assert len(rows) == quantize.N_QUERIES
+    for r in rows:
+        assert r["n_exact"] == quantize.TOP_K
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_hits"] <= r["n_exact"]
+
+
+# ---- kneser_ney_bigram ---------------------------------------------------
+
+
+def _brute_kn(texts, min_count):
+    """Reference KN from raw python: mirrors the operator's tokenizer
+    and the integer-ratio discount d = 3/4."""
+    c2: dict[tuple[str, str], int] = {}
+    for t in texts:
+        toks = [w for w in re.split(r"\W+", t.lower()) if w]
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    ctx_n: dict[str, int] = {}
+    n1_ctx: dict[str, int] = {}
+    n1_next: dict[str, int] = {}
+    for (a, b), c in c2.items():
+        ctx_n[a] = ctx_n.get(a, 0) + c
+        n1_ctx[a] = n1_ctx.get(a, 0) + 1
+        n1_next[b] = n1_next.get(b, 0) + 1
+    t_types = len(c2)
+    out = {}
+    for (a, b), c in c2.items():
+        if ctx_n[a] < min_count:
+            continue
+        num = (4 * c - 3) * t_types + 3 * n1_ctx[a] * n1_next[b]
+        den = 4 * ctx_n[a] * t_types
+        out[(a, b)] = num / den
+    return out
+
+
+def test_kneser_ney_matches_brute_force(spark, monkeypatch):
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "the cat ate the fish",
+        "a cat and a dog and a fish",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    monkeypatch.setattr(lm.tables, "table", lambda *a: df)
+    got = {
+        (r["token"], r["next_token"]): r["p_kn"]
+        for r in lm.kneser_ney_bigram_query(spark, "_").collect()
+    }
+    want = _brute_kn(texts, lm.BIGRAM_MIN_COUNT)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-12), k
+
+
+def test_kneser_ney_mass_sums_below_one(spark, sf_dir):
+    rows = lm.kneser_ney_bigram_query(spark, sf_dir).collect()
+    mass: dict[str, float] = {}
+    for r in rows:
+        mass[r["token"]] = mass.get(r["token"], 0.0) + r["p_kn"]
+        assert 0.0 < r["p_kn"] <= 1.0
+    # emitted (observed-continuation) mass per context can reach at
+    # most 1; the deficit is the backoff mass reserved for unseen
+    # continuations, which must be nonnegative
+    assert mass and all(m <= 1.0 + 1e-9 for m in mass.values())
+
+
+def test_kneser_ney_discount_lowers_raw_mle(spark, sf_dir):
+    # for every emitted bigram with a below-average-continuation next
+    # token, p_kn < raw MLE; globally the discount must bite somewhere
+    rows = lm.kneser_ney_bigram_query(spark, sf_dir).collect()
+    below = sum(
+        1 for r in rows if r["p_kn"] < r["pair_n"] / r["ctx_n"]
+    )
+    assert below > 0
+
+
+# ---- knn_lof_outliers ----------------------------------------------------
+
+
+def test_lof_flags_directional_outlier(spark, monkeypatch):
+    # 7 vectors hugging direction e0 (tiny angular jitter) + one
+    # orthogonal outlier, all in one IVF cell (single label).
+    cluster = [[1.0, 0.01 * i, 0.0, 0.0] for i in range(7)]
+    outlier = [[0.0, 0.0, 1.0, 0.0]]
+    df = _emb_df(spark, cluster + outlier)
+    monkeypatch.setattr(similarity.tables, "table", lambda *a: df)
+    rows = {
+        r["vec_id"]: r
+        for r in similarity.knn_lof_outliers_query(spark, "_").collect()
+    }
+    assert len(rows) == 8
+    lofs = {i: rows[i]["lof"] for i in rows}
+    assert max(lofs, key=lofs.get) == 7  # the orthogonal point
+    assert rows[7]["is_outlier"]
+    # cluster members sit near density parity with their neighbors
+    assert all(lofs[i] < lofs[7] for i in range(7))
+
+
+def test_lof_uniform_cluster_scores_near_one(spark, sf_dir):
+    rows = similarity.knn_lof_outliers_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_nbrs"] <= similarity.KNN_K
+        assert r["lof"] > 0.0
+
+
+def test_lof_duplicate_points_saturate_not_crash(spark, monkeypatch):
+    # 4 identical vectors: all pair distances 0, sum_reach hits the
+    # greatest(.,1) floor -> lrd saturates, lof stays finite
+    df = _emb_df(spark, [[1.0, 0.0]] * 4)
+    monkeypatch.setattr(similarity.tables, "table", lambda *a: df)
+    rows = similarity.knn_lof_outliers_query(spark, "_").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert math.isfinite(r["lof"]) and r["lof"] > 0.0
+
+
+# ---- knn_label_purity ----------------------------------------------------
+
+
+def test_label_purity_pure_and_mixed_classes(spark, monkeypatch):
+    # two tight directional clusters; label 0 pure, label 1 pure ->
+    # every neighbor shares the node's label (purity 1 per class)
+    a = [[1.0, 0.001 * i, 0.0, 0.0] for i in range(4)]
+    b = [[0.0, 0.0, 1.0, 0.001 * i] for i in range(4)]
+    df = _emb_df(spark, a + b, labels=[0] * 4 + [1] * 4)
+    monkeypatch.setattr(similarity.tables, "table", lambda *a_: df)
+    rows = {r["label"]: r for r in
+            similarity.knn_label_purity_query(spark, "_").collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r["n_nodes"] == 4
+        assert r["n_same"] == r["n_edges"]
+        assert r["purity"] == 1.0
+
+
+def test_label_purity_exact_ratio_at_gate_sf(spark, sf_dir):
+    rows = similarity.knn_label_purity_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["purity"] <= 1.0
+        assert r["purity"] == r["n_same"] / r["n_edges"]

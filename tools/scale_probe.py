@@ -35,6 +35,7 @@ from _kafka_streams_scaffold_spark.operators import (  # noqa: E402
     wordcount,
 )
 from _kafka_streams_scaffold_spark.operators import lm as lm_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import quantize as quantize_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import curation as curation_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import bpe as bpe_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import pq as pq_mod  # noqa: E402
@@ -403,6 +404,24 @@ def main() -> None:
             "events",
             unioned(spark, "events", m),
             lambda: stats_mod.trimmed_mean_by_type_query(spark, SF_DIR),
+        ),
+        "binary signatures (scan-only)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: quantize_mod.binary_signatures_query(spark, SF_DIR),
+        ),
+        "binary hamming ann (bcast queries)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: quantize_mod.binary_ann_query(spark, SF_DIR),
+        ),
+        "kneser-ney bigram (model-sized aggs)": lambda m: _with_docs(
+            m, lambda: lm_mod.kneser_ney_bigram_query(spark, SF_DIR)
+        ),
+        "knn lof (edges + id joins)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: similarity.knn_lof_outliers_query(spark, SF_DIR),
         ),
     }
 
