@@ -921,3 +921,105 @@ SELECT c_nationkey, c_mktsegment, n_rows,
          AS at_risk
 FROM per_class CROSS JOIN m_frame
 """
+
+
+# --------------------------------------------------------------------------
+# Differentially-private release: seeded Laplace counts (the 4th privacy op)
+# --------------------------------------------------------------------------
+
+# epsilon = 1 with L1 sensitivity 1 (a count query) -> Laplace scale
+# b = 1. The noise draw is DERIVED, not sampled: the uniform comes
+# from md5 of a versioned seed + the group key, so the "random"
+# release is a pure function of the data — reproducible across runs,
+# engines, and partitionings, which is what makes a DP release
+# auditable (and lets the oracle hash-check it). p = 2h+1 over the
+# first 32 md5 bits gives u = p/2^33 in (0,1) strictly, and both
+# |u - 1/2| and 1 - 2|u - 1/2| are DYADIC rationals — bit-exact in
+# both engines — so the only inexact step is one ln(), which ships
+# through the module's floor(1e6 x) fixed-point contract.
+DP_EPS = 1  # integer so the SQL literal is exact in both engines
+_DP_SEED = "dp-v1|"
+
+# 2^32 and the exact-dyadic inverse-CDF pieces
+_DP_H_SPARK = (
+    "cast(conv(substring(md5(concat('" + _DP_SEED + "', {key})), 1, 8),"
+    " 16, 10) as bigint)"
+)
+# DuckDB has no base-conv builtin: fold the 8 hex digits positionally
+# (each digit is strpos-1 in the hex alphabet; shifts are exact).
+_DP_H_DUCK = (
+    "CAST(list_sum([(strpos('0123456789abcdef',"
+    " substring(md5('" + _DP_SEED + "' || {key}), i, 1)) - 1)"
+    " * (CAST(1 AS BIGINT) << (4 * (8 - i)))"
+    " for i in generate_series(1, 8)]) AS BIGINT)"
+)
+
+
+def dp_laplace_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, true_n, noise_fp, noisy_n): per-(type, day)
+    event counts released through the Laplace mechanism (eps = 1,
+    sensitivity 1) with a seeded, hash-derived noise draw — the
+    fourth privacy primitive next to k-anonymity / l-diversity /
+    t-closeness: those audit a quasi-identifier release, this one
+    PRODUCES a noisy release. The calibration-audit shape (true_n
+    alongside noisy_n) is deliberate: it is the view the privacy
+    engineer uses to validate the mechanism's error distribution
+    before the true column is dropped from the shipped artifact.
+
+    Determinism: u = (2h+1)/2^33 from md5(seed|key) is strictly
+    inside (0,1); the inverse CDF -b*sign(u-1/2)*ln(1-2|u-1/2|)
+    evaluates ln on an exactly-representable dyadic argument, and the
+    result is fixed-pointed (floor(1e6 x) -> BIGINT) before it
+    touches the count, so noisy_n is one correctly-rounded division
+    of exact integers. Scale: one partial-aggregatable rollup, one
+    per-row expression chain — group-count cost, nothing more."""
+    events = tables.table(spark, sf_dir, "events")
+    counts = (
+        events.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    )
+    key = "concat(event_type, '|', day)"
+    h = _DP_H_SPARK.format(key=key)
+    noise_fp = (
+        f"cast(floor(1000000.0d * (-(case when 2*({h}) + 1 > 4294967296L"
+        f" then 1 else -1 end) * ln(cast(4294967296L - abs(2*({h}) + 1"
+        f" - 4294967296L) as double) / 4294967296.0d)) / {DP_EPS}.0d)"
+        f" as bigint)"
+    )
+    return counts.select(
+        "event_type",
+        "day",
+        "true_n",
+        F.expr(noise_fp).alias("noise_fp"),
+        F.expr(
+            f"cast(true_n * 1000000L + ({noise_fp}) as double) / 1000000.0d"
+        ).alias("noisy_n"),
+    )
+
+
+def _dp_oracle() -> str:
+    key = "event_type || '|' || day"
+    h = _DP_H_DUCK.format(key=key)
+    noise_fp = (
+        f"CAST(floor(1000000.0 * (-(CASE WHEN 2*({h}) + 1 > 4294967296"
+        f" THEN 1 ELSE -1 END) * ln(CAST(4294967296 - abs(2*({h}) + 1"
+        f" - 4294967296) AS DOUBLE) / 4294967296.0)) / {DP_EPS}.0)"
+        f" AS BIGINT)"
+    )
+    return f"""
+WITH counts AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS true_n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, true_n,
+       {noise_fp} AS noise_fp,
+       CAST(true_n * 1000000 + ({noise_fp}) AS DOUBLE) / 1000000.0
+         AS noisy_n
+FROM counts
+"""
+
+
+DP_LAPLACE_COUNTS_ORACLE = _dp_oracle()

@@ -844,23 +844,34 @@ KNN_K = 3
 
 def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinned (q_id, n_id, cosine, rank) top-KNN_K edge list, exact
-    within each IVF cell — the shared construction under knn_graph
-    (mutuality flag), knn_triangles, and knn_lof_outliers. Pinned
-    because every consumer reads it at least twice (self-joins)."""
+    within each DYNAMIC sub-quantizer cell — the shared construction
+    under knn_graph (mutuality flag), knn_triangles,
+    knn_lof_outliers, and knn_label_purity. Pinned because every
+    consumer reads it at least twice (self-joins).
+
+    Blocking is (coarse_label, sub_seed) from ``dyn_ivf_assign``, NOT
+    the raw coarse assignment: coarse cells grow with the corpus (the
+    label count is fixed), so a coarse-blocked self-join is a hidden
+    quadratic — the 10x probe measured 145x before this was moved to
+    the sub-quantizer, whose cell sizes stay ~flat (~IVF_TARGET_CELL)
+    while the CELL COUNT grows with n. Per-cell work is then bounded
+    and total cost is O(n * target) at any corpus size."""
     emb = _emb(spark, sf_dir)
-    assign = ivf_assign_query(spark, sf_dir).select(
-        "vec_id", F.col("assigned_label").alias("cell")
+    assign = dyn_ivf_assign_query(spark, sf_dir).select(
+        "vec_id", "coarse_label", "sub_seed"
     )
     nodes = emb.join(assign, "vec_id")
     a = nodes.select(
         F.col("vec_id").alias("q_id"),
-        "cell",
+        "coarse_label",
+        "sub_seed",
         F.col("embedding").alias("q_vec"),
         F.col("norm").alias("q_norm"),
     )
     b = nodes.select(
         F.col("vec_id").alias("n_id"),
-        "cell",
+        "coarse_label",
+        "sub_seed",
         F.col("embedding").alias("n_vec"),
         F.col("norm").alias("n_norm"),
     )
@@ -869,7 +880,7 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return _pin(
-        a.join(b, "cell")
+        a.join(b, ["coarse_label", "sub_seed"])
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
@@ -885,21 +896,24 @@ def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     on). Unlike ``ivf_ann`` (a 10-query probe), this builds the full
     graph: |V| * KNN_K edges.
 
-    Candidate generation is exact *within the cell*: each vector
-    ranks only co-cell vectors, turning O(n^2) scoring into
-    sum-over-cells O(|cell|^2) with every cell's work co-located in
-    one shuffle partition. Cross-cell true neighbors can be missed —
-    at the cell boundary this is the standard IVF recall trade — but
-    the result is fully deterministic (fold-form dot products, ties
+    Candidate generation is exact *within the dynamic sub-cell*
+    ((coarse_label, sub_seed) from ``dyn_ivf_assign`` — see
+    _knn_edges): each vector ranks only co-cell vectors, turning
+    O(n^2) scoring into sum-over-cells O(|cell|^2) with every cell's
+    work co-located in one shuffle partition, and the sub-quantizer
+    keeps |cell| ~ IVF_TARGET_CELL at ANY corpus size (cell COUNT
+    grows instead). Cross-cell true neighbors can be missed — at the
+    cell boundary this is the standard IVF recall trade — but the
+    result is fully deterministic (fold-form dot products, ties
     broken on neighbor id), so the whole graph is oracle-checked, not
     rows-only. The mutuality flag is one self-join of the edge list
     on the reversed key.
 
-    100 TB posture: the quantizer chain (label_centroids ->
-    ivf_assign) sizes cells; the edge list carries 2 ids + 2 scalars
-    per row; the mutual join keys on (q,n) pairs — all shuffles are
-    id-width. k (number of centroids) grows with |V| to bound
-    |cell|^2, exactly as in ivf_near_dup.
+    100 TB posture: the edge list carries 2 ids + 2 scalars per row;
+    the mutual join keys on (q,n) pairs — all shuffles are id-width;
+    total scoring cost is O(n * IVF_TARGET_CELL) because the
+    sub-quantizer's k grows with |V| (SCALE.md's dyn tables measure
+    exactly that bound holding at 10x).
     """
     # Pinned shared edges: they feed BOTH sides of the mutual-edge
     # self-join below; without the pin the full O(|cell|^2) cell
@@ -925,17 +939,50 @@ def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KNN_GRAPH_ORACLE = f"""
-WITH {_DUCK_ASSIGN_CTES},
+# Shared CTE chain for every kNN-graph-derived oracle: the dynamic
+# sub-quantizer assignment (bounded cells — see _knn_edges) feeding
+# the within-sub-cell exact top-KNN_K edge list.
+_DUCK_KNN_EDGES_CTES = f"""{_DUCK_ASSIGN_CTES},
+dnodes AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, a.c_label AS coarse_label,
+         {hash60_duck('CAST(e.vec_id AS VARCHAR)', _DYN_SEED)} AS h
+  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+),
+dsizes AS (
+  SELECT coarse_label, count(*) AS cell_n FROM dnodes GROUP BY 1
+),
+dseeds AS (
+  SELECT coarse_label, vec_id AS s_id, embedding AS s_vec FROM (
+    SELECT n.coarse_label, n.vec_id, n.embedding, s.cell_n,
+           row_number() OVER (
+             PARTITION BY n.coarse_label ORDER BY n.h, n.vec_id
+           ) AS sr
+    FROM dnodes n JOIN dsizes s ON s.coarse_label = n.coarse_label
+  )
+  WHERE sr <= (cell_n + {IVF_TARGET_CELL - 1}) // {IVF_TARGET_CELL}
+),
+dassign AS MATERIALIZED (
+  SELECT vec_id, coarse_label, sub_seed FROM (
+    SELECT n.vec_id, n.coarse_label, s.s_id AS sub_seed,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {_dot_sql('n.embedding', 'n.embedding', 'duck')}
+                      - 2 * {_dot_sql('n.embedding', 's.s_vec', 'duck')}
+                      + {_dot_sql('s.s_vec', 's.s_vec', 'duck')},
+                      s.s_id
+           ) AS rn
+    FROM dnodes n JOIN dseeds s ON s.coarse_label = n.coarse_label
+  ) WHERE rn = 1
+),
 normed AS (
   SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
   FROM embeddings
 ),
-nodes AS (
-  SELECT n.vec_id, n.embedding, n.norm, a.c_label
-  FROM normed n JOIN assign a ON a.vec_id = n.vec_id
+knodes AS (
+  SELECT nm.vec_id, nm.embedding, nm.norm, da.coarse_label, da.sub_seed
+  FROM normed nm JOIN dassign da ON da.vec_id = nm.vec_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT q_id, n_id, cosine, rank FROM (
     SELECT a.vec_id AS q_id, b.vec_id AS n_id,
            {_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.norm * b.norm)
@@ -946,11 +993,16 @@ edges AS (
                             / (a.norm * b.norm) DESC,
                         b.vec_id
            ) AS INTEGER) AS rank
-    FROM nodes a
-    JOIN nodes b ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+    FROM knodes a
+    JOIN knodes b ON a.coarse_label = b.coarse_label
+                 AND a.sub_seed = b.sub_seed
+                 AND a.vec_id <> b.vec_id
   )
   WHERE rank <= {KNN_K}
-)
+)"""
+
+KNN_GRAPH_ORACLE = f"""
+WITH {_DUCK_KNN_EDGES_CTES}
 SELECT e.q_id AS vec_id, e.n_id AS nbr_id, e.cosine, e.rank,
        (r.q_id IS NOT NULL) AS is_mutual
 FROM edges e
@@ -1046,31 +1098,7 @@ def knn_lof_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_LOF_ORACLE = f"""
-WITH {_DUCK_ASSIGN_CTES},
-normed AS (
-  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
-  FROM embeddings
-),
-nodes AS (
-  SELECT n.vec_id, n.embedding, n.norm, a.c_label
-  FROM normed n JOIN assign a ON a.vec_id = n.vec_id
-),
-edges AS (
-  SELECT q_id, n_id, cosine FROM (
-    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-           {_dot_sql('a.embedding', 'b.embedding', 'duck')} / (a.norm * b.norm)
-               AS cosine,
-           row_number() OVER (
-               PARTITION BY a.vec_id
-               ORDER BY {_dot_sql('a.embedding', 'b.embedding', 'duck')}
-                            / (a.norm * b.norm) DESC,
-                        b.vec_id
-           ) AS rank
-    FROM nodes a
-    JOIN nodes b ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
-  )
-  WHERE rank <= {KNN_K}
-),
+WITH {_DUCK_KNN_EDGES_CTES},
 dfp AS (
   SELECT q_id, n_id,
          CAST(floor((1.0 - cosine) * {_LOF_D_SCALE}) AS BIGINT) AS d_fp
@@ -1264,7 +1292,7 @@ def knn_triangles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_TRIANGLES_ORACLE = f"""
 {KNN_GRAPH_ORACLE.split("SELECT e.q_id")[0].strip().rstrip(",")},
-mutual AS (
+mutual AS MATERIALIZED (
   SELECT e.q_id AS a, e.n_id AS b
   FROM edges e JOIN edges r ON r.q_id = e.n_id AND r.n_id = e.q_id
   WHERE e.q_id < e.n_id
@@ -1863,29 +1891,7 @@ def knn_label_purity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_LABEL_PURITY_ORACLE = f"""
-WITH {_DUCK_ASSIGN_CTES},
-normed AS (
-  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
-  FROM embeddings
-),
-nodes AS (
-  SELECT n.vec_id, n.embedding, n.norm, a.c_label
-  FROM normed n JOIN assign a ON a.vec_id = n.vec_id
-),
-edges AS (
-  SELECT q_id, n_id FROM (
-    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-           row_number() OVER (
-               PARTITION BY a.vec_id
-               ORDER BY {_dot_sql('a.embedding', 'b.embedding', 'duck')}
-                            / (a.norm * b.norm) DESC,
-                        b.vec_id
-           ) AS rank
-    FROM nodes a
-    JOIN nodes b ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
-  )
-  WHERE rank <= {KNN_K}
-),
+WITH {_DUCK_KNN_EDGES_CTES},
 per_node AS (
   SELECT e.q_id, ql.label AS q_label,
          CAST(count(*) AS BIGINT) AS deg,

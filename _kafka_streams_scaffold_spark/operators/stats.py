@@ -1396,3 +1396,134 @@ FROM ranked
 WHERE rn > n // 4 AND rn <= n - n // 4
 GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# Mutual information between two categorical columns (feature selection)
+# --------------------------------------------------------------------------
+
+_MI_FP = 10**6
+
+
+def mutual_information_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit: (n_docs, mi_nats, h_source_nats, h_lang_nats,
+    norm_mi) — the mutual information I(source; lang) over the
+    document corpus, with both marginal entropies and the normalized
+    MI / sqrt(H_x * H_y) coefficient. THE dependence measure feature
+    selection and leakage hunting run on categorical pairs: chi-square
+    (ab_test_chi2) answers "is there dependence?", MI answers "how
+    many nats does knowing one save about the other?" — a
+    near-1 norm_mi between source and language means the corpus's
+    language mix is really a source mix (dedup/mixture decisions
+    should then key on one, not both).
+
+    Exactness: every probability is a ratio of exact BIGINT counts;
+    each cell contributes n_xy * floor(1e6 * ln(n_xy*N/(n_x*n_y)))
+    — the module's fixed-point ln contract — summed as exact
+    integers, with single correctly-rounded divisions at the end
+    (the entropies use the same contract on the marginals). The sqrt
+    in norm_mi is IEEE-correctly-rounded on bit-identical inputs.
+
+    Scale: one grid-sized rollup (|X| x |Y| cells) + two
+    marginal rollups derived FROM the grid — partial-aggregatable;
+    the corpus is scanned once."""
+    docs = tables.table(spark, sf_dir, "documents")
+    grid = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    mx = grid.groupBy("source").agg(F.sum("n_xy").alias("n_x"))
+    my = grid.groupBy("lang").agg(F.sum("n_xy").alias("n_y"))
+    tot = grid.agg(F.sum("n_xy").alias("n"))
+    cells = (
+        grid.join(F.broadcast(mx), "source")
+        .join(F.broadcast(my), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_fp = cells.agg(
+        F.sum(
+            F.col("n_xy")
+            * F.expr(
+                f"cast(floor({_MI_FP} * ln(cast(n_xy as double) * cast(n as double)"
+                f" / (cast(n_x as double) * cast(n_y as double)))) as bigint)"
+            )
+        ).alias("mi_fp"),
+        F.max("n").alias("n_docs"),
+    )
+    hx_fp = mx.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("n_x")
+            * F.expr(
+                f"cast(floor({_MI_FP} * ln(cast(n as double)"
+                f" / cast(n_x as double))) as bigint)"
+            )
+        ).alias("hx_fp")
+    )
+    hy_fp = my.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("n_y")
+            * F.expr(
+                f"cast(floor({_MI_FP} * ln(cast(n as double)"
+                f" / cast(n_y as double))) as bigint)"
+            )
+        ).alias("hy_fp")
+    )
+    den = f"(cast(n_docs as double) * {_MI_FP}.0d)"
+    return (
+        mi_fp.crossJoin(F.broadcast(hx_fp))
+        .crossJoin(F.broadcast(hy_fp))
+        .selectExpr(
+            "n_docs",
+            f"cast(mi_fp as double) / {den} as mi_nats",
+            f"cast(hx_fp as double) / {den} as h_source_nats",
+            f"cast(hy_fp as double) / {den} as h_lang_nats",
+            f"case when hx_fp > 0 and hy_fp > 0 then cast(mi_fp as double)"
+            f" / sqrt(cast(hx_fp as double) * cast(hy_fp as double))"
+            f" else 0.0d end as norm_mi",
+        )
+    )
+
+
+MUTUAL_INFORMATION_ORACLE = f"""
+WITH grid AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_xy
+  FROM documents GROUP BY 1, 2
+),
+mx AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_x FROM grid GROUP BY 1),
+my AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_y FROM grid GROUP BY 1),
+tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM grid),
+mi AS (
+  SELECT CAST(sum(g.n_xy * CAST(floor({_MI_FP} * ln(
+           CAST(g.n_xy AS DOUBLE) * CAST(t.n AS DOUBLE)
+           / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE))))
+           AS BIGINT)) AS BIGINT) AS mi_fp,
+         max(t.n) AS n_docs
+  FROM grid g
+  JOIN mx ON mx.source = g.source
+  JOIN my ON my.lang = g.lang
+  CROSS JOIN tot t
+),
+hx AS (
+  SELECT CAST(sum(n_x * CAST(floor({_MI_FP} * ln(
+           CAST(t.n AS DOUBLE) / CAST(n_x AS DOUBLE))) AS BIGINT))
+           AS BIGINT) AS hx_fp
+  FROM mx CROSS JOIN tot t
+),
+hy AS (
+  SELECT CAST(sum(n_y * CAST(floor({_MI_FP} * ln(
+           CAST(t.n AS DOUBLE) / CAST(n_y AS DOUBLE))) AS BIGINT))
+           AS BIGINT) AS hy_fp
+  FROM my CROSS JOIN tot t
+)
+SELECT n_docs,
+       CAST(mi_fp AS DOUBLE) / (CAST(n_docs AS DOUBLE) * {_MI_FP}.0)
+         AS mi_nats,
+       CAST(hx_fp AS DOUBLE) / (CAST(n_docs AS DOUBLE) * {_MI_FP}.0)
+         AS h_source_nats,
+       CAST(hy_fp AS DOUBLE) / (CAST(n_docs AS DOUBLE) * {_MI_FP}.0)
+         AS h_lang_nats,
+       CASE WHEN hx_fp > 0 AND hy_fp > 0
+            THEN CAST(mi_fp AS DOUBLE)
+                 / sqrt(CAST(hx_fp AS DOUBLE) * CAST(hy_fp AS DOUBLE))
+            ELSE 0.0 END AS norm_mi
+FROM mi CROSS JOIN hx CROSS JOIN hy
+"""

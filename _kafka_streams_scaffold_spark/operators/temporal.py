@@ -494,3 +494,129 @@ GROUP BY 1
 
 
 PIT_DIMENSION_JOIN_ORACLE = _pit_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (the bilinear delta rule)
+# --------------------------------------------------------------------------
+
+
+def ivm_join_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_nationkey, n_pairs, revenue): the per-nation revenue view
+    over orders JOIN customer, maintained INCREMENTALLY through a
+    churn step via the bilinear delta rule every streaming join
+    maintainer (Materialize, Flink changelog joins, DBSP) rests on:
+
+        delta(A JOIN B) = dA JOIN B_old + A_old JOIN dB + dA JOIN dB
+
+    with signed multiplicities (+1 insert, -1 delete; updates are a
+    delete+insert pair — the attribute-update retraction arithmetic
+    is ivm_status_counts' subject). The Spark side computes
+    V_old + delta; the DuckDB oracle deliberately computes the OTHER
+    formulation — a full recompute over the new snapshots — so the
+    hash check machine-proves the maintenance identity itself, on an
+    exact-DECIMAL measure (no float drift to hide behind).
+
+    Scale: the three delta joins touch |dA| and |dB| rows against the
+    OTHER side's base (broadcast-able churn batches at real CDC
+    rates), never |A| x |B|; the final merge is one
+    partial-aggregatable rollup of (nation, signed decimal) partials.
+    Snapshot churn: orders keyed out by %10/%13 (as in
+    ivm_status_counts/snapshot_diff), customers by %7/%11 — both
+    sides churn, so all three delta terms are non-trivially
+    exercised."""
+    orders = tables.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = tables.table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o_old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    o_new = orders.filter(F.col("o_orderkey") % 13 != 0)
+    c_old = cust.filter(F.col("c_custkey") % 7 != 0)
+    c_new = cust.filter(F.col("c_custkey") % 11 != 0)
+
+    def _signed(new: DataFrame, old: DataFrame, key: str) -> DataFrame:
+        ins = new.join(old.select(key), key, "left_anti").withColumn(
+            "sgn", F.lit(1)
+        )
+        dels = old.join(new.select(key), key, "left_anti").withColumn(
+            "sgn", F.lit(-1)
+        )
+        return ins.unionAll(dels)
+
+    d_o = _signed(o_new, o_old, "o_orderkey")
+    d_c = _signed(c_new, c_old, "c_custkey")
+
+    # V_old: the maintained state before the churn step
+    v_old = (
+        o_old.join(c_old, o_old.o_custkey == c_old.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("p"),
+            F.sum("o_totalprice").alias("r"),
+        )
+    )
+    do_b = d_o.join(c_old, d_o.o_custkey == c_old.c_custkey).select(
+        "c_nationkey", F.col("sgn").alias("w"), "o_totalprice"
+    )
+    a_dc = o_old.join(d_c, o_old.o_custkey == d_c.c_custkey).select(
+        "c_nationkey", F.col("sgn").alias("w"), "o_totalprice"
+    )
+    do_dc = (
+        d_o.withColumnRenamed("sgn", "so")
+        .join(
+            d_c.withColumnRenamed("sgn", "sc"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_nationkey",
+            (F.col("so") * F.col("sc")).alias("w"),
+            "o_totalprice",
+        )
+    )
+    delta = (
+        do_b.unionAll(a_dc)
+        .unionAll(do_dc)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("w").cast("bigint").alias("dp"),
+            F.sum(F.col("w") * F.col("o_totalprice")).alias("dr"),
+        )
+    )
+    merged = (
+        v_old.join(delta, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            (
+                F.coalesce(F.col("p"), F.lit(0))
+                + F.coalesce(F.col("dp"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+            (
+                F.coalesce(F.col("r"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("dr"), F.lit(0).cast("decimal(18,2)"))
+            ).alias("rev"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+    return merged.select(
+        "c_nationkey",
+        "n_pairs",
+        F.col("rev").cast("decimal(18,2)").alias("revenue"),
+    )
+
+
+# Full recompute over the NEW snapshots: equality with the Spark
+# side's V_old + delta is the maintenance-identity proof.
+IVM_JOIN_REVENUE_ORACLE = """
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(o.o_totalprice) AS DECIMAL(18,2)) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey % 13 <> 0 AND c.c_custkey % 11 <> 0
+GROUP BY c.c_nationkey
+HAVING count(*) > 0
+"""

@@ -45,7 +45,8 @@ resize_payload, systematic_weighted_sample,
 trimmed_mean_by_type, phrase_search, winnowing_pairs,
 bigram_lm_score, transition_entropy, binary_signatures,
 binary_ann, binary_ann_recall, kneser_ney_bigram,
-knn_lof_outliers, knn_label_purity) plus
+knn_lof_outliers, knn_label_purity, dp_laplace_counts,
+mutual_information, ivm_join_revenue) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -53,7 +54,11 @@ certified queries changed implementation since their green row
 dedup_tier_agreement, dedup_clusters, embedding_dup_clusters,
 cluster_keep_list, dup_pagerank (shared-pin / bitmask / active-set
 refactors) and kcore (broadcast-peel loop), all changed after their
-r04 green rows; their oracle checks pass but a driver row
+r04 green rows; late in round 5 knn_graph and knn_triangles changed
+too — their edge blocking moved from coarse IVF cells to the dynamic
+sub-quantizer after the 10x probe exposed the coarse-cell join as a
+hidden quadratic (145x at 10x; now ~1.3x) — so both join the
+re-certification pool; all oracle checks pass but a driver row
 re-certifies). Update tests/test_registry_window.py in the same
 commit.
 
@@ -1287,6 +1292,21 @@ def _ensure_loaded() -> None:
         "knn_label_purity",
         similarity.knn_label_purity_query,
         similarity.KNN_LABEL_PURITY_ORACLE,
+    )
+    register(
+        "dp_laplace_counts",
+        dq.dp_laplace_counts_query,
+        dq.DP_LAPLACE_COUNTS_ORACLE,
+    )
+    register(
+        "mutual_information",
+        stats.mutual_information_query,
+        stats.MUTUAL_INFORMATION_ORACLE,
+    )
+    register(
+        "ivm_join_revenue",
+        temporal.ivm_join_revenue_query,
+        temporal.IVM_JOIN_REVENUE_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

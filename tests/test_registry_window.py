@@ -86,6 +86,9 @@ def test_window_clears_the_entire_certification_backlog():
         "kneser_ney_bigram",
         "knn_lof_outliers",
         "knn_label_purity",
+        "dp_laplace_counts",
+        "mutual_information",
+        "ivm_join_revenue",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

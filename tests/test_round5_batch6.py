@@ -213,3 +213,152 @@ def test_label_purity_exact_ratio_at_gate_sf(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["purity"] <= 1.0
         assert r["purity"] == r["n_same"] / r["n_edges"]
+
+
+# ---- dp_laplace_counts ---------------------------------------------------
+
+
+def test_dp_noise_is_deterministic_and_laplace_shaped(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import dq
+
+    a = {(r["event_type"], r["day"]): r["noise_fp"]
+         for r in dq.dp_laplace_counts_query(spark, sf_dir).collect()}
+    b = {(r["event_type"], r["day"]): r["noise_fp"]
+         for r in dq.dp_laplace_counts_query(spark, sf_dir).collect()}
+    assert a == b  # seeded: a re-run releases the SAME noise
+    noise = [v / 1e6 for v in a.values()]
+    n = len(noise)
+    assert n > 20
+    mean = sum(noise) / n
+    var = sum((x - mean) ** 2 for x in noise) / n
+    # Laplace(0, 1): mean 0, var 2 — loose gates for a finite sample
+    assert abs(mean) < 0.75
+    assert 0.5 < var < 8.0
+    # two-sided: both signs must occur
+    assert any(x > 0 for x in noise) and any(x < 0 for x in noise)
+
+
+def test_dp_noisy_n_reconstructs_from_parts(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import dq
+
+    for r in dq.dp_laplace_counts_query(spark, sf_dir).collect():
+        assert r["noisy_n"] == (r["true_n"] * 10**6 + r["noise_fp"]) / 1e6
+
+
+def test_dp_noise_keyed_not_positional(spark, monkeypatch):
+    # the draw is a function of (event_type, day) ONLY: permuting the
+    # input rows or changing unrelated groups must not move a group's
+    # noise — the property that makes the release auditable
+    from pyspark.sql import Row
+
+    from _kafka_streams_scaffold_spark.operators import dq
+
+    import datetime
+    def ev(i, et, day):
+        return Row(event_id=i, ts=datetime.datetime(2024, 1, day, 12, 0, 0),
+                   user_id=i, event_type=et, value=1.0, props="{}")
+    base = [ev(0, "click", 1), ev(1, "click", 1), ev(2, "buy", 2)]
+    extra = base + [ev(3, "scroll", 3)]
+    out = {}
+    for tag, rows in (("base", base), ("extra", list(reversed(extra)))):
+        df = spark.createDataFrame(rows)
+        monkeypatch.setattr(dq.tables, "table", lambda *a: df)
+        out[tag] = {(r["event_type"], r["day"]): r["noise_fp"]
+                    for r in dq.dp_laplace_counts_query(spark, "_").collect()}
+    for k, v in out["base"].items():
+        assert out["extra"][k] == v
+
+
+# ---- mutual_information --------------------------------------------------
+
+
+def test_mi_independent_and_dependent_extremes(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import stats
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text="t", lang=l, source=s, n_chars=1)
+             for i, (s, l) in enumerate(rows)]
+        )
+
+    # perfectly dependent: lang is a function of source (and vice
+    # versa, two balanced classes) -> MI == H(x) == H(y), norm_mi ~ 1
+    dep = docs([("a", "en")] * 8 + [("b", "de")] * 8)
+    monkeypatch.setattr(stats.tables, "table", lambda *a: dep)
+    r = stats.mutual_information_query(spark, "_").collect()[0]
+    assert math.isclose(r["mi_nats"], math.log(2), abs_tol=2e-6)
+    assert math.isclose(r["norm_mi"], 1.0, abs_tol=1e-6)
+
+    # independent: every (source, lang) cell equally likely -> MI ~ 0
+    ind = docs([(s, l) for s in ("a", "b") for l in ("en", "de")] * 4)
+    monkeypatch.setattr(stats.tables, "table", lambda *a: ind)
+    r = stats.mutual_information_query(spark, "_").collect()[0]
+    assert abs(r["mi_nats"]) < 2e-6
+    assert abs(r["norm_mi"]) < 1e-5
+
+
+def test_mi_bounded_by_marginal_entropies(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import stats
+
+    r = stats.mutual_information_query(spark, sf_dir).collect()[0]
+    # the fixed-point floor can undershoot by <= 1e-6 per cell, never
+    # push MI above the entropy bound by more than that
+    eps = 1e-5
+    assert -eps <= r["mi_nats"] <= min(r["h_source_nats"], r["h_lang_nats"]) + eps
+    assert 0.0 <= r["norm_mi"] <= 1.0 + eps
+
+
+# ---- ivm_join_revenue ----------------------------------------------------
+
+
+def test_ivm_join_identity_equals_recompute(spark, sf_dir):
+    """The operator computes V_old + bilinear delta; this recomputes
+    the view directly from the new snapshots in-DataFrame and checks
+    exact equality — the maintenance identity, engine-side."""
+    from pyspark.sql import functions as F
+
+    from _kafka_streams_scaffold_spark import tables
+    from _kafka_streams_scaffold_spark.operators import temporal
+
+    got = {
+        r["c_nationkey"]: (r["n_pairs"], r["revenue"])
+        for r in temporal.ivm_join_revenue_query(spark, sf_dir).collect()
+    }
+    orders = tables.table(spark, sf_dir, "orders")
+    cust = tables.table(spark, sf_dir, "customer")
+    want = {
+        r["c_nationkey"]: (r["n"], r["rev"])
+        for r in (
+            orders.filter(F.col("o_orderkey") % 13 != 0)
+            .join(
+                cust.filter(F.col("c_custkey") % 11 != 0),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("o_totalprice").cast("decimal(18,2)").alias("rev"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_ivm_join_all_three_delta_terms_fire(spark, sf_dir):
+    # the churn moduli guarantee: orders deleted (k%10!=0 & k%13==0),
+    # orders inserted (k%10==0 & k%13!=0), customers deleted and
+    # inserted likewise — so dA x B, A x dB and dA x dB are all
+    # non-empty at the gate SF (else the identity test proves less)
+    from pyspark.sql import functions as F
+
+    from _kafka_streams_scaffold_spark import tables
+
+    orders = tables.table(spark, sf_dir, "orders")
+    cust = tables.table(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    assert orders.filter((k % 10 != 0) & (k % 13 == 0)).count() > 0
+    assert orders.filter((k % 10 == 0) & (k % 13 != 0)).count() > 0
+    c = F.col("c_custkey")
+    assert cust.filter((c % 7 != 0) & (c % 11 == 0)).count() > 0
+    assert cust.filter((c % 7 == 0) & (c % 11 != 0)).count() > 0
