@@ -523,3 +523,170 @@ FROM exact e
 LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
 GROUP BY e.q_id
 """
+
+
+# --------------------------------------------------------------------------
+# nDCG of the quantized ANN tiers vs the exact ranking (graded eval)
+# --------------------------------------------------------------------------
+
+# Graded relevance from the exact top-k: the true rank-1 neighbor is
+# worth rel = k, rank-2 is k-1, ..., non-top-k is 0; gain = 2^rel - 1.
+# The discount weights 1/log2(pos+1) are computed ONCE here and
+# embedded as identical decimal literals in both engines — correctly
+# rounded literal parse on both sides means NO libm call anywhere in
+# the query, so each position term floor(1e6 * gain * w) is bit-exact
+# by construction (int times identical double, floored).
+import math as _math
+
+_NDCG_W = [1.0 / _math.log2(p + 1) for p in range(1, TOP_K + 1)]
+_NDCG_FP = 10**6
+
+_W_SPARK = "array(" + ", ".join(f"{w!r}d" for w in _NDCG_W) + ")"
+_W_DUCK = "[" + ", ".join(repr(w) for w in _NDCG_W) + "]"
+
+
+def quantized_ann_ndcg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tier, q_id, dcg_fp, idcg_fp, ndcg): nDCG@k of the int8 and
+    binary ANN tiers against the exact float cosine ranking — the
+    graded companion to the recall gates: recall@k only counts set
+    overlap, nDCG also charges a tier for putting the true rank-1
+    neighbor at position 5 instead of 1, which is exactly the quality
+    difference the compression cascade trades away. ndcg = 1 iff the
+    tier reproduces the exact order; the binary tier's gap below the
+    int8 tier is the measured cost of 1-bit signatures.
+
+    Scale: both tier rankings and the exact ranking are the already-
+    bounded Q x k edge sets; everything here is id-width joins and a
+    per-query k-row rollup — evaluation cost is independent of corpus
+    size once the searches have run."""
+    exact = ann_topk_rel(spark, sf_dir)
+    tiers = [
+        ("int8", int8_ann_query(spark, sf_dir)),
+        ("binary", binary_ann_query(spark, sf_dir)),
+    ]
+    w_at = f"element_at({_W_SPARK}, cast(rank as int))"
+    term = (
+        f"cast(floor({_NDCG_FP}.0d * cast(shiftleft(1, rel) - 1 as double)"
+        f" * {w_at}) as bigint)"
+    )
+    idcg = (
+        exact.selectExpr("q_id", "rel", "rank")
+        .selectExpr("q_id", f"{term} as t")
+        .groupBy("q_id")
+        .agg(F.sum("t").cast("bigint").alias("idcg_fp"))
+    )
+    outs = []
+    for name, approx in tiers:
+        scored = (
+            approx.select("q_id", "n_id", "rank")
+            .join(
+                exact.select("q_id", "n_id", "rel"),
+                ["q_id", "n_id"],
+                "left",
+            )
+            .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+            .selectExpr("q_id", f"{term} as t")
+            .groupBy("q_id")
+            .agg(F.sum("t").cast("bigint").alias("dcg_fp"))
+            .withColumn("tier", F.lit(name))
+        )
+        outs.append(scored)
+    dcg = outs[0].unionAll(outs[1])
+    return (
+        dcg.join(F.broadcast(idcg), "q_id")
+        .select(
+            "tier",
+            "q_id",
+            "dcg_fp",
+            "idcg_fp",
+            (
+                F.col("dcg_fp").cast("double") / F.col("idcg_fp").cast("double")
+            ).alias("ndcg"),
+        )
+    )
+
+
+def ann_topk_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k with graded relevance rel = k + 1 - rank."""
+    from .similarity import ann_topk_query
+
+    return ann_topk_query(spark, sf_dir).select(
+        "q_id",
+        "n_id",
+        "rank",
+        (F.lit(TOP_K + 1) - F.col("rank")).cast("int").alias("rel"),
+    )
+
+
+QUANTIZED_ANN_NDCG_ORACLE = f"""
+WITH {_DUCK_QF},
+{_DUCK_SIG.replace("sig AS (", "bsig AS (", 1)},
+normed AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+exact AS (
+  SELECT q_id, n_id, rank, {TOP_K} + 1 - rank AS rel FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dot_sql('q.embedding', 'n.embedding', 'duck')}
+                      / (q.norm * n.norm) DESC, n.vec_id
+           ) AS rank
+    FROM normed q CROSS JOIN normed n
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+  ) WHERE rank <= {TOP_K}
+),
+i8 AS (
+  SELECT q_id, n_id, rank FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                        p -> CAST(p[1] AS BIGINT) * p[2])) AS DOUBLE)
+                      / (sqrt(CAST(a.ssq AS DOUBLE))
+                         * sqrt(CAST(b.ssq AS DOUBLE))) DESC,
+                      b.vec_id
+           ) AS rank
+    FROM qs a CROSS JOIN qs b
+    WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+      AND a.ssq > 0 AND b.ssq > 0
+  ) WHERE rank <= {TOP_K}
+),
+bin AS (
+  SELECT q_id, n_id, rank FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY bit_count(xor(a.sig_lo, b.sig_lo))
+                      + bit_count(xor(a.sig_hi, b.sig_hi)), b.vec_id
+           ) AS rank
+    FROM bsig a CROSS JOIN bsig b
+    WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+  ) WHERE rank <= {TOP_K}
+),
+tagged AS (
+  SELECT 'int8' AS tier, q_id, n_id, rank FROM i8
+  UNION ALL
+  SELECT 'binary' AS tier, q_id, n_id, rank FROM bin
+),
+idcg AS (
+  SELECT q_id,
+         CAST(sum(CAST(floor({_NDCG_FP}.0
+           * CAST((1 << rel) - 1 AS DOUBLE)
+           * ({_W_DUCK})[rank]) AS BIGINT)) AS BIGINT) AS idcg_fp
+  FROM exact GROUP BY q_id
+),
+dcg AS (
+  SELECT t.tier, t.q_id,
+         CAST(sum(CAST(floor({_NDCG_FP}.0
+           * CAST((1 << coalesce(e.rel, 0)) - 1 AS DOUBLE)
+           * ({_W_DUCK})[t.rank]) AS BIGINT)) AS BIGINT) AS dcg_fp
+  FROM tagged t
+  LEFT JOIN exact e ON e.q_id = t.q_id AND e.n_id = t.n_id
+  GROUP BY t.tier, t.q_id
+)
+SELECT d.tier, d.q_id, d.dcg_fp, i.idcg_fp,
+       CAST(d.dcg_fp AS DOUBLE) / CAST(i.idcg_fp AS DOUBLE) AS ndcg
+FROM dcg d JOIN idcg i ON i.q_id = d.q_id
+"""

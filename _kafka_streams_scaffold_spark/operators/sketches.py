@@ -26,7 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
@@ -1178,3 +1178,174 @@ SELECT n_keys_sampled, est_size, exact_size,
        END AS rel_err
 FROM est CROSS JOIN exact
 """
+
+
+# --------------------------------------------------------------------------
+# Rolling-window HLL: trailing-7-day distinct users by register merge
+# --------------------------------------------------------------------------
+
+HLL_ROLL_DAYS = 7
+
+
+def hll_rolling_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_exact, hll_estimate, m_used, small_range): trailing-
+    7-day distinct users per active day, computed by MERGING daily
+    HLL sketches — the query that demonstrates why sketches earn
+    their keep at 100 TB: the daily (day, register, max-rank) table
+    is tiny (HLL_M rows/day) and a trailing window is a register-wise
+    MAX over it, so "7-day actives, every day, for a year" costs
+    |days| x HLL_M window rows instead of 365 re-scans of the event
+    log. The merge = max property is HLL's defining algebra; this
+    query exercises it cross-engine bit-exactly (same md5-derived
+    hashes, exact DECIMAL harmonic sums, and the raw Flajolet
+    estimator as in hll_user_sketch — ln stays banned).
+
+    The n_exact audit column recomputes the trailing distinct
+    exactly, fanned out as an equi-join (each (day, user) pair
+    explodes to the <= 7 window days it serves) — no range/nested-
+    loop join. A production pipeline drops that column; it exists so
+    the sketch's error is measured on the hash-checked surface.
+
+    Scale: per-day registers are partial-aggregatable maxes; the
+    dense (day x register) spine is |days| x HLL_M rows regardless of
+    corpus size; the RANGE window runs per register over day
+    indexes."""
+    ev = tables.table(spark, sf_dir, "events")
+    reg, rank = _hll_registers("spark")
+    h60 = (
+        "cast(conv(substring(md5(concat('hll:', cast(user_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    day_idx = "datediff(cast(ts as date), date'1970-01-01')"
+    dayreg = (
+        ev.select(F.expr(day_idx).alias("d"), F.expr(h60).alias("h"))
+        .select("d", F.expr(reg).alias("r"), F.expr(rank).alias("k"))
+        .groupBy("d", "r")
+        .agg(F.max("k").alias("mk"))
+    )
+    days = ev.select(F.expr(day_idx).alias("d")).distinct()
+    regs_dom = spark.range(HLL_M).select(F.col("id").cast("int").alias("r"))
+    dense = days.crossJoin(F.broadcast(regs_dom))
+    joined = dense.join(dayreg, ["d", "r"], "left")
+    w = (
+        Window.partitionBy("r")
+        .orderBy("d")
+        .rangeBetween(-(HLL_ROLL_DAYS - 1), 0)
+    )
+    rolled = joined.withColumn("mkw", F.max("mk").over(w))
+    term = F.expr(
+        f"case when mkw is null then cast({2 ** (_HLL_WBITS + 1)} as"
+        f" decimal(38,0)) else cast(pow(cast(2 as decimal(38,0)),"
+        f" {_HLL_WBITS + 1} - mkw) as decimal(38,0)) end"
+    )
+    sums = rolled.groupBy("d").agg(
+        F.sum(term).alias("s"),
+        F.sum(F.when(F.col("mkw").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("m_used"),
+    )
+    est = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M))
+        * F.lit(float(HLL_M))
+        * F.lit(float(2 ** (_HLL_WBITS + 1)))
+        / F.col("s").cast("double")
+    )
+    pairs = ev.select(
+        F.expr(day_idx).alias("pd"), "user_id"
+    ).distinct()
+    fan = pairs.select(
+        F.explode(
+            F.expr(f"sequence(pd, pd + {HLL_ROLL_DAYS - 1})")
+        ).alias("d"),
+        "user_id",
+    )
+    exact = (
+        fan.join(days, "d")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return (
+        sums.join(exact, "d")
+        .select(
+            F.expr("date_format(date_add(date'1970-01-01', cast(d as int)),"
+                   " 'yyyy-MM-dd')").alias("day"),
+            "n_exact",
+            est.alias("hll_estimate"),
+            "m_used",
+            (
+                F.col("n_exact").cast("double")
+                < F.lit(HLL_SMALL_RANGE) * F.lit(float(HLL_M))
+            ).alias("small_range"),
+        )
+    )
+
+
+def _hll_rolling_oracle() -> str:
+    reg, rank = _hll_registers("duck")
+    h60 = (
+        "CAST('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)),"
+        " 1, 15) AS BIGINT)"
+    )
+    return f"""
+WITH dayreg AS MATERIALIZED (
+  SELECT d, r, max(k) AS mk FROM (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           {reg.replace('h %', '(h) %').replace('h //', '(h) //')} AS r,
+           {rank} AS k
+    FROM (SELECT ts, {h60} AS h FROM events)
+  ) GROUP BY d, r
+),
+days AS (SELECT DISTINCT d FROM dayreg),
+dense AS (
+  SELECT days.d, g.r FROM days
+  CROSS JOIN (SELECT CAST(range AS INT) AS r FROM range({HLL_M})) g
+),
+rolled AS (
+  SELECT de.d, de.r,
+         max(dr.mk) OVER (
+           PARTITION BY de.r ORDER BY de.d
+           RANGE BETWEEN {HLL_ROLL_DAYS - 1} PRECEDING AND CURRENT ROW
+         ) AS mkw
+  FROM dense de LEFT JOIN dayreg dr ON dr.d = de.d AND dr.r = de.r
+),
+sums AS (
+  SELECT d,
+         sum(CASE WHEN mkw IS NULL
+                  THEN CAST({2 ** (_HLL_WBITS + 1)} AS DECIMAL(38,0))
+                  ELSE CAST(pow(2, {_HLL_WBITS + 1} - mkw)
+                            AS DECIMAL(38,0)) END) AS s,
+         CAST(sum(CASE WHEN mkw IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS m_used
+  FROM rolled GROUP BY d
+),
+pairs AS (
+  SELECT DISTINCT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS pd,
+         user_id
+  FROM events
+),
+fan AS (
+  SELECT pd + x.i AS d, user_id
+  FROM pairs CROSS JOIN
+       (SELECT CAST(range AS INT) AS i FROM range({HLL_ROLL_DAYS})) x
+),
+exact AS (
+  SELECT f.d, CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_exact
+  FROM fan f JOIN days ON days.d = f.d
+  GROUP BY f.d
+)
+SELECT strftime(DATE '1970-01-01' + to_days(CAST(s.d AS INT)), '%Y-%m-%d')
+         AS day,
+       e.n_exact,
+       CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M)!r} AS DOUBLE)
+       * CAST({float(HLL_M)!r} AS DOUBLE)
+       * CAST({float(2 ** (_HLL_WBITS + 1))!r} AS DOUBLE)
+       / CAST(s.s AS DOUBLE) AS hll_estimate,
+       s.m_used,
+       CAST(e.n_exact AS DOUBLE) < {HLL_SMALL_RANGE} * {float(HLL_M)!r}
+         AS small_range
+FROM sums s JOIN exact e ON e.d = s.d
+"""
+
+
+HLL_ROLLING_DISTINCT_ORACLE = _hll_rolling_oracle()

@@ -46,7 +46,8 @@ trimmed_mean_by_type, phrase_search, winnowing_pairs,
 bigram_lm_score, transition_entropy, binary_signatures,
 binary_ann, binary_ann_recall, kneser_ney_bigram,
 knn_lof_outliers, knn_label_purity, dp_laplace_counts,
-mutual_information, ivm_join_revenue) plus
+mutual_information, ivm_join_revenue, quantized_ann_ndcg,
+hll_rolling_distinct) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1307,6 +1308,16 @@ def _ensure_loaded() -> None:
         "ivm_join_revenue",
         temporal.ivm_join_revenue_query,
         temporal.IVM_JOIN_REVENUE_ORACLE,
+    )
+    register(
+        "quantized_ann_ndcg",
+        quantize.quantized_ann_ndcg_query,
+        quantize.QUANTIZED_ANN_NDCG_ORACLE,
+    )
+    register(
+        "hll_rolling_distinct",
+        sketches.hll_rolling_distinct_query,
+        sketches.HLL_ROLLING_DISTINCT_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

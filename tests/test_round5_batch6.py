@@ -362,3 +362,91 @@ def test_ivm_join_all_three_delta_terms_fire(spark, sf_dir):
     c = F.col("c_custkey")
     assert cust.filter((c % 7 != 0) & (c % 11 == 0)).count() > 0
     assert cust.filter((c % 7 == 0) & (c % 11 != 0)).count() > 0
+
+
+# ---- quantized_ann_ndcg --------------------------------------------------
+
+
+def test_ndcg_perfect_ranking_scores_one(spark, monkeypatch):
+    # corpus where int8 quantization preserves the exact order for
+    # every query: well-separated directions -> ndcg == 1 for int8
+    vecs = [[float(i == j) for j in range(8)] for i in range(8)]
+    # make neighbors unambiguous: add a shared component
+    vecs = [[v + 0.1 for v in row] for row in vecs]
+    df = _emb_df(spark, vecs)
+    monkeypatch.setattr(quantize.tables, "table", lambda *a: df)
+    rows = quantize.quantized_ann_ndcg_query(spark, "_").collect()
+    by_tier = {}
+    for r in rows:
+        by_tier.setdefault(r["tier"], []).append(r)
+    assert set(by_tier) == {"int8", "binary"}
+    for r in by_tier["int8"]:
+        assert r["ndcg"] == 1.0  # exact integer dcg_fp == idcg_fp
+        assert r["dcg_fp"] == r["idcg_fp"]
+
+
+def test_ndcg_bounds_and_tier_ordering(spark, sf_dir):
+    rows = quantize.quantized_ann_ndcg_query(spark, sf_dir).collect()
+    assert len(rows) == 2 * quantize.N_QUERIES
+    mean = {}
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+        mean.setdefault(r["tier"], []).append(r["ndcg"])
+    m = {t: sum(v) / len(v) for t, v in mean.items()}
+    # 8 bits/dim must not rank worse than 1 bit/dim on average
+    assert m["int8"] >= m["binary"]
+
+
+# ---- hll_rolling_distinct ------------------------------------------------
+
+
+def test_hll_rolling_merge_equals_window_recompute(spark, sf_dir):
+    """The merge = max algebra: the trailing-window estimate must
+    equal an HLL built from scratch over the window's raw events.
+    Verified per day by recomputing registers from the fanned-out
+    event set in python."""
+    import datetime
+    import hashlib
+
+    from _kafka_streams_scaffold_spark import tables
+    from _kafka_streams_scaffold_spark.operators import sketches
+
+    got = {r["day"]: r for r in
+           sketches.hll_rolling_distinct_query(spark, sf_dir).collect()}
+    ev = tables.table(spark, sf_dir, "events").select("ts", "user_id").collect()
+    by_day: dict[datetime.date, set] = {}
+    for r in ev:
+        by_day.setdefault(r["ts"].date(), set()).add(r["user_id"])
+    wbits = sketches._HLL_WBITS
+    for day, row in got.items():
+        d = datetime.date.fromisoformat(day)
+        users = set()
+        for back in range(sketches.HLL_ROLL_DAYS):
+            users |= by_day.get(d - datetime.timedelta(days=back), set())
+        assert row["n_exact"] == len(users)
+        regs: dict[int, int] = {}
+        for u in users:
+            h = int(hashlib.md5(f"hll:{u}".encode()).hexdigest()[:15], 16)
+            r_, w = h % sketches.HLL_M, h // sketches.HLL_M
+            k = wbits + 1 if w == 0 else wbits - w.bit_length() + 1
+            regs[r_] = max(regs.get(r_, 0), k)
+        assert row["m_used"] == len(regs)
+        s = sum(2 ** (wbits + 1 - k) for k in regs.values())
+        s += (sketches.HLL_M - len(regs)) * 2 ** (wbits + 1)
+        want = (sketches.HLL_ALPHA * sketches.HLL_M * sketches.HLL_M
+                * 2 ** (wbits + 1) / s)
+        assert math.isclose(row["hll_estimate"], want, rel_tol=1e-12)
+
+
+def test_hll_rolling_estimate_within_bound_after_lc(spark, sf_dir):
+    # same acceptance contract as hll_user_sketch: raw estimator in
+    # the large range, python-side linear counting in the small range
+    from _kafka_streams_scaffold_spark.operators import sketches
+
+    for r in sketches.hll_rolling_distinct_query(spark, sf_dir).collect():
+        est = r["hll_estimate"]
+        if r["small_range"]:
+            m = sketches.HLL_M
+            est = m * math.log(m / (m - r["m_used"]))
+        sigma = 1.04 / math.sqrt(sketches.HLL_M) * max(r["n_exact"], 1)
+        assert abs(est - r["n_exact"]) <= 3 * sigma + 1

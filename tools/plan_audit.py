@@ -812,6 +812,47 @@ AUDIT = [
         "terms fold over the transition matrix, not the event "
         "stream.",
     ),
+    (
+        "binary_ann",
+        "Signatures are per-row codegen (no shuffle to build); the "
+        "10-query set broadcasts over the corpus scan and the integer "
+        "Hamming kernel ranks inside per-query windows — the corpus "
+        "never shuffles.",
+    ),
+    (
+        "knn_lof_outliers",
+        "One pinned dyn-sub-cell edge list (InMemoryScan on every "
+        "reuse); all downstream stages are id-width hash joins and "
+        "partial-aggregatable rollups over |V|*k rows — the quadratic "
+        "lives only inside bounded sub-cells.",
+    ),
+    (
+        "kneser_ney_bigram",
+        "Corpus scanned once for pair extraction (map-local zip); "
+        "both marginals and the type count derive from the (a,b) "
+        "rollup — model-sized aggregations with the one-row type "
+        "count broadcast back.",
+    ),
+    (
+        "dp_laplace_counts",
+        "One partial-aggregatable (type, day) rollup; the seeded "
+        "noise chain (md5 -> dyadic uniform -> fixed-point ln) is "
+        "pure per-row codegen on the grouped output — no second "
+        "scan, no shuffle beyond the count.",
+    ),
+    (
+        "ivm_join_revenue",
+        "The three bilinear delta joins are sized by |churn| (anti-"
+        "joins against the keyed snapshots), never |A| x |B|; the "
+        "merge is one full-outer on the |nations|-sized view with "
+        "exact DECIMAL arithmetic.",
+    ),
+    (
+        "mutual_information",
+        "One corpus scan to the |X| x |Y| grid; marginals and total "
+        "derive from the grid (broadcast back); every entropy term "
+        "is an exact integer product summed partial-aggregatably.",
+    ),
 ]
 
 

@@ -423,6 +423,24 @@ def main() -> None:
             embeddings(m),
             lambda: similarity.knn_lof_outliers_query(spark, SF_DIR),
         ),
+        "dp laplace (group + hash noise)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: dq_mod.dp_laplace_counts_query(spark, SF_DIR),
+        ),
+        "mutual information (grid rollup)": lambda m: _with_docs(
+            m, lambda: stats_mod.mutual_information_query(spark, SF_DIR)
+        ),
+        "ivm join revenue (bilinear delta)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: temporal_mod.ivm_join_revenue_query(spark, SF_DIR),
+        ),
+        "rolling hll (register window)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: sketches.hll_rolling_distinct_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
