@@ -1764,3 +1764,96 @@ JOIN postings pb ON pb.doc_id = pa.doc_id
   AND pb.pos = pa.pos + 1 AND pb.term = t.b
 GROUP BY 1, 2, 3
 """
+
+
+# --------------------------------------------------------------------------
+# Charset / encoding-quality profile (the web-corpus mojibake audit)
+# --------------------------------------------------------------------------
+
+
+def charset_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_chars, ascii_printable_rate, control_rate,
+    replacement_rate, digit_rate, upper_rate): per-source character-
+    class composition of the corpus — the encoding-quality audit a
+    web-scale pipeline runs BEFORE language ID: mojibake (double-
+    decoded UTF-8), U+FFFD replacement characters, and stray control
+    bytes all surface here as nonzero control/replacement rates or a
+    collapsed ascii rate, and they localize to a source, which is the
+    actionable unit (fix the crawler/decoder, not the documents).
+
+    All counts are exact BIGINT sums of per-doc regexp class counts
+    (character classes are explicit code-point ranges, identically
+    interpreted by both engines' regex dialects); every rate is one
+    correctly-rounded division at the end. One scan, one
+    partial-aggregatable rollup — scan-bound at any corpus size."""
+    docs = tables.table(spark, sf_dir, "documents")
+
+    def cnt(cls: str) -> str:
+        # chars NOT in the class are deleted; the remainder's length
+        # is the class count. Avoids lookaheads; both engines agree.
+        return f"length(regexp_replace(text, '[^{cls}]', ''))"
+
+    per = docs.selectExpr(
+        "source",
+        "length(text) as n",
+        f"{cnt(' -~')} as a",  # printable ASCII incl space
+        # C0 controls minus NUL. Spark's SQL string parser resolves
+        # \\uXXXX escapes (it silently DROPS \\x ones), so the class
+        # reaches the regex engine as literal control characters.
+        f"{cnt(chr(92) + 'u0001-' + chr(92) + 'u001F')} as c",
+        # U+FFFD via the Java regex \\u escape (Spark's chr() is
+        # byte-range only, so no chr(65533) on this side)
+        f"length(text) - length(regexp_replace(text,"
+        f" '{chr(92)}{chr(92)}uFFFD', '')) as r",
+        f"{cnt('0-9')} as d",
+        f"{cnt('A-Z')} as u",
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_chars"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum("r").cast("bigint").alias("sr"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum("u").cast("bigint").alias("su"),
+    )
+    nch = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        (F.col("sa").cast("double") / nch).alias("ascii_printable_rate"),
+        (F.col("sc").cast("double") / nch).alias("control_rate"),
+        (F.col("sr").cast("double") / nch).alias("replacement_rate"),
+        (F.col("sd").cast("double") / nch).alias("digit_rate"),
+        (F.col("su").cast("double") / nch).alias("upper_rate"),
+    )
+
+
+CHARSET_PROFILE_ORACLE = r"""
+WITH per AS (
+  SELECT source,
+         length(text) AS n,
+         length(regexp_replace(text, '[^ -~]', '', 'g')) AS a,
+         length(regexp_replace(text, '[^\x01-\x1F]', '', 'g')) AS c,
+         length(text) - length(replace(text, chr(65533), '')) AS r,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS d,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS u
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_chars,
+       CAST(sum(a) AS DOUBLE) / greatest(CAST(sum(n) AS DOUBLE), 1.0)
+         AS ascii_printable_rate,
+       CAST(sum(c) AS DOUBLE) / greatest(CAST(sum(n) AS DOUBLE), 1.0)
+         AS control_rate,
+       CAST(sum(r) AS DOUBLE) / greatest(CAST(sum(n) AS DOUBLE), 1.0)
+         AS replacement_rate,
+       CAST(sum(d) AS DOUBLE) / greatest(CAST(sum(n) AS DOUBLE), 1.0)
+         AS digit_rate,
+       CAST(sum(u) AS DOUBLE) / greatest(CAST(sum(n) AS DOUBLE), 1.0)
+         AS upper_rate
+FROM per
+GROUP BY source
+"""

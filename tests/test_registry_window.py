@@ -91,6 +91,7 @@ def test_window_clears_the_entire_certification_backlog():
         "ivm_join_revenue",
         "quantized_ann_ndcg",
         "hll_rolling_distinct",
+        "charset_profile",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

@@ -450,3 +450,42 @@ def test_hll_rolling_estimate_within_bound_after_lc(spark, sf_dir):
             est = m * math.log(m / (m - r["m_used"]))
         sigma = 1.04 / math.sqrt(sketches.HLL_M) * max(r["n_exact"], 1)
         assert abs(est - r["n_exact"]) <= 3 * sigma + 1
+
+
+# ---- charset_profile -----------------------------------------------------
+
+
+def test_charset_profile_counts_known_classes(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import textops
+
+    texts = {
+        "clean": "Hello World 123",
+        "dirty": "x\x01\x02��Y9",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source=s, n_chars=len(t))
+         for i, (s, t) in enumerate(texts.items())]
+    )
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    rows = {r["source"]: r for r in
+            textops.charset_profile_query(spark, "_").collect()}
+    clean, dirty = rows["clean"], rows["dirty"]
+    assert clean["control_rate"] == 0.0
+    assert clean["replacement_rate"] == 0.0
+    assert clean["ascii_printable_rate"] == 1.0
+    n = len(texts["dirty"])
+    assert dirty["control_rate"] == 2 / n
+    assert dirty["replacement_rate"] == 2 / n
+    assert dirty["digit_rate"] == 1 / n
+    assert dirty["upper_rate"] == 1 / n
+
+
+def test_charset_profile_rates_bounded(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import textops
+
+    rows = textops.charset_profile_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for c in ("ascii_printable_rate", "control_rate",
+                  "replacement_rate", "digit_rate", "upper_rate"):
+            assert 0.0 <= r[c] <= 1.0
