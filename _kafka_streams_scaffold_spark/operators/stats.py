@@ -1527,3 +1527,168 @@ SELECT n_docs,
             ELSE 0.0 END AS norm_mi
 FROM mi CROSS JOIN hx CROSS JOIN hy
 """
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap standard errors (single-pass, seeded, deterministic)
+# --------------------------------------------------------------------------
+
+BOOT_B = 32  # bootstrap replicates
+
+# Poisson(1) inverse-CDF thresholds, computed once in Python and
+# embedded as identical double literals in both engines (the ndcg
+# trick): a dyadic uniform u maps to the weight w = #{thresholds < u}.
+# Truncated at w = 6 (P[X > 6] ~ 8e-5) — identically on both sides,
+# so the truncation is part of the (hash-checked) definition.
+import math as _m
+
+_POIS_CDF = []
+_acc, _term = 0.0, _m.exp(-1.0)
+for _k in range(6):
+    _acc += _term
+    _POIS_CDF.append(_acc)
+    _term /= _k + 1
+
+_BOOT_FP = 10**6
+
+
+def _boot_w(u_expr: str, engine: str) -> str:
+    """Piecewise weight from cumulative thresholds; CASE chains are
+    identical modulo dialect keywords."""
+    cases = " ".join(
+        f"WHEN {u_expr} < {c!r} THEN {i}" for i, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+def bootstrap_se_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, mean_value, boot_se): the per-type mean event
+    value with its POISSON-BOOTSTRAP standard error — the one-pass
+    bootstrap used at scale (each row draws an independent
+    Poisson(1) weight per replicate instead of resampling the
+    dataset, so B resamples cost B extra map-side columns, not B
+    shuffles of the corpus). The draw is seeded from
+    md5(event_id | replicate) exactly like dp_laplace_counts' noise:
+    a dyadic uniform hits embedded Poisson(1) CDF literals, so every
+    weight — and therefore the whole interval — is a pure function of
+    the data, reproducible across engines and partitionings.
+
+    Exactness: values fixed-point to BIGINT before weighting; each
+    replicate mean is ONE division of exact integers, re-floored to
+    1e-6 before the across-replicate variance, which then runs on
+    exact integer power sums (no float accumulation anywhere). The
+    final sqrt is correctly rounded on bit-identical input.
+
+    Scale: explode by B is map-local fan-out; both rollups are
+    partial-aggregatable; output is |types| rows. B is the accuracy
+    dial (SE of the SE ~ 1/sqrt(2(B-1)))."""
+    ev = tables.table(spark, sf_dir, "events")
+    u = (
+        "(2 * cast(conv(substring(md5(concat('boot|',"
+        " cast(event_id as string), '|', cast(b as string))), 1, 8),"
+        " 16, 10) as bigint) + 1) / 8589934592.0d"
+    )
+    w = _boot_w(u, "spark")
+    rep = (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.expr(f"cast(floor(value * {_BOOT_FP}) as bigint)").alias("vfp"),
+            F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+        )
+        .select(
+            "event_type",
+            "b",
+            F.expr(w).alias("w"),
+            "vfp",
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("w").cast("bigint").alias("sw"),
+            F.sum(F.col("w") * F.col("vfp")).cast("bigint").alias("swv"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            F.expr(
+                f"cast(floor(cast(swv as double) / cast(sw as double))"
+                f" as bigint)"
+            ).alias("m_fp"),
+        )
+    )
+    reps = rep.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("m_fp").cast("bigint").alias("s1"),
+        F.sum(F.col("m_fp") * F.col("m_fp")).cast("decimal(38,0)").alias("s2"),
+    )
+    base = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr(f"cast(floor(value * {_BOOT_FP}) as bigint)"))
+        .cast("bigint")
+        .alias("sv"),
+    )
+    var = (
+        "(cast(s2 as double) - cast(s1 as double) * cast(s1 as double)"
+        " / cast(nb as double)) / cast(nb - 1 as double)"
+    )
+    return (
+        reps.join(F.broadcast(base), reps.event_type == base.et)
+        .filter(F.col("nb") > 1)
+        .selectExpr(
+            "event_type",
+            "n",
+            f"cast(sv as double) / (cast(n as double) * {_BOOT_FP}.0d)"
+            " as mean_value",
+            f"sqrt(greatest({var}, 0.0d)) / {_BOOT_FP}.0d as boot_se",
+        )
+    )
+
+
+def _bootstrap_oracle() -> str:
+    u = (
+        "(2 * CAST('0x' || substring(md5('boot|' ||"
+        " CAST(event_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)), 1, 8)"
+        " AS BIGINT) + 1) / 8589934592.0"
+    )
+    w = _boot_w(u, "duck")
+    var = (
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)"
+    )
+    return f"""
+WITH fan AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * {_BOOT_FP}) AS BIGINT) AS vfp,
+         CAST(x.range AS INT) AS b
+  FROM events CROSS JOIN range({BOOT_B}) x
+),
+rep AS (
+  SELECT event_type,
+         CAST(floor(CAST(sum({w} * vfp) AS DOUBLE)
+              / CAST(sum({w}) AS DOUBLE)) AS BIGINT) AS m_fp
+  FROM fan
+  GROUP BY event_type, b
+  HAVING sum({w}) > 0
+),
+reps AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(m_fp) AS BIGINT) AS s1,
+         CAST(sum(CAST(m_fp AS DECIMAL(38,0)) * m_fp) AS DECIMAL(38,0)) AS s2
+  FROM rep GROUP BY event_type
+),
+base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * {_BOOT_FP}) AS BIGINT)) AS BIGINT) AS sv
+  FROM events GROUP BY event_type
+)
+SELECT r.event_type, b.n,
+       CAST(b.sv AS DOUBLE) / (CAST(b.n AS DOUBLE) * {_BOOT_FP}.0)
+         AS mean_value,
+       sqrt(greatest({var}, 0.0)) / {_BOOT_FP}.0 AS boot_se
+FROM reps r JOIN base b ON b.event_type = r.event_type
+WHERE r.nb > 1
+"""
+
+
+BOOTSTRAP_SE_ORACLE = _bootstrap_oracle()

@@ -47,7 +47,7 @@ bigram_lm_score, transition_entropy, binary_signatures,
 binary_ann, binary_ann_recall, kneser_ney_bigram,
 knn_lof_outliers, knn_label_purity, dp_laplace_counts,
 mutual_information, ivm_join_revenue, quantized_ann_ndcg,
-hll_rolling_distinct, charset_profile) plus
+hll_rolling_distinct, charset_profile, bootstrap_se) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1323,6 +1323,11 @@ def _ensure_loaded() -> None:
         "charset_profile",
         textops.charset_profile_query,
         textops.CHARSET_PROFILE_ORACLE,
+    )
+    register(
+        "bootstrap_se",
+        stats.bootstrap_se_query,
+        stats.BOOTSTRAP_SE_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

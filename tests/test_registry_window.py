@@ -92,6 +92,7 @@ def test_window_clears_the_entire_certification_backlog():
         "quantized_ann_ndcg",
         "hll_rolling_distinct",
         "charset_profile",
+        "bootstrap_se",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

@@ -489,3 +489,53 @@ def test_charset_profile_rates_bounded(spark, sf_dir):
         for c in ("ascii_printable_rate", "control_rate",
                   "replacement_rate", "digit_rate", "upper_rate"):
             assert 0.0 <= r[c] <= 1.0
+
+
+# ---- bootstrap_se --------------------------------------------------------
+
+
+def test_bootstrap_se_deterministic_and_calibrated(spark, sf_dir):
+    from _kafka_streams_scaffold_spark import tables
+    from _kafka_streams_scaffold_spark.operators import stats
+
+    a = {r["event_type"]: r for r in
+         stats.bootstrap_se_query(spark, sf_dir).collect()}
+    b = {r["event_type"]: r for r in
+         stats.bootstrap_se_query(spark, sf_dir).collect()}
+    assert {k: v["boot_se"] for k, v in a.items()} == {
+        k: v["boot_se"] for k, v in b.items()
+    }  # seeded: bit-identical across runs
+    ev = tables.table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect()
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        if r["value"] is not None:
+            by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, row in a.items():
+        vals = by_type[et]
+        n = len(vals)
+        mean = sum(vals) / n
+        sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (n - 1))
+        theo = sd / math.sqrt(n)
+        # B=32 replicates: the bootstrap SE should bracket the
+        # analytic SE well within a factor of ~2.5
+        assert 0.4 * theo < row["boot_se"] < 2.5 * theo
+        assert math.isclose(row["mean_value"], mean, rel_tol=1e-5)
+
+
+def test_bootstrap_zero_variance_gives_zero_se(spark, monkeypatch):
+    import datetime
+
+    from _kafka_streams_scaffold_spark.operators import stats
+
+    rows = [Row(event_id=i, ts=datetime.datetime(2024, 1, 1 + i % 3),
+                user_id=i, event_type="c", value=7.0, props="{}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(stats.tables, "table", lambda *a: df)
+    out = stats.bootstrap_se_query(spark, "_").collect()
+    assert len(out) == 1
+    # every replicate's weighted mean of a constant is the constant
+    assert out[0]["mean_value"] == 7.0
+    assert out[0]["boot_se"] == 0.0

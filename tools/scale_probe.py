@@ -441,6 +441,19 @@ def main() -> None:
             unioned(spark, "events", m),
             lambda: sketches.hll_rolling_distinct_query(spark, SF_DIR),
         ),
+        "bootstrap se (B-way fanout)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: stats_mod.bootstrap_se_query(spark, SF_DIR),
+        ),
+        "charset profile (regex classes)": lambda m: _with_docs(
+            m, lambda: textops.charset_profile_query(spark, SF_DIR)
+        ),
+        "quantized ann ndcg (3 searches)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: quantize_mod.quantized_ann_ndcg_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
