@@ -165,3 +165,136 @@ FROM (
 )
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Calibration audit: train-fold model scored on the held-out fold
+# --------------------------------------------------------------------------
+
+_CAL_SEED = 43
+TEST_PCT = 20  # held-out slice, percent of orders
+CAL_BUCKETS = 10
+_CAL_FP = 10**6
+
+
+def calibration_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_test, avg_pred, actual_rate, brier): the reliability
+    table + Brier score of a leakage-free categorical rate model — the
+    eval loop every target-encoded feature should close before
+    shipping. Model: P(order is 1-URGENT | mktsegment, nation),
+    estimated on the hash-split TRAIN fold with add-1 (Laplace)
+    smoothing; every TEST-fold order is scored by its group's trained
+    rate, bucketed into CAL_BUCKETS prediction deciles, and each
+    bucket reports its mean prediction vs realized urgent rate (the
+    reliability curve; |avg_pred - actual_rate| is the calibration
+    gap) plus its Brier contribution. Test-fold groups never seen in
+    train are excluded (the standard cold-group carve-out; identical
+    on both engines via the inner model join).
+
+    Fully EXACT cross-engine: the smoothed rate is the integer pair
+    (k+1, n+2); pred_fp = (1e6*(k+1)) div (n+2) and the decile
+    bucket = (10*(k+1)) div (n+2) are exact integer division; the
+    per-row squared error (pred_fp - label*1e6)^2 is an exact BIGINT
+    summed in DECIMAL(38,0). No ln, no float accumulation — the only
+    divisions are the three final per-bucket reports.
+
+    Scale: one orders-customer equi-join (sort-merge on custkey; the
+    attribute projection is 3 narrow columns), one partial-
+    aggregatable rollup to |segment x nation| model rows (tiny —
+    broadcast back), map-side scoring, and a CAL_BUCKETS-row final
+    rollup. The fact table shuffles once (the join); nothing is
+    driver-side."""
+    orders = tables.table(spark, sf_dir, "orders")
+    cust = tables.table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+        F.expr(
+            f"pmod({hash60_spark('cast(o_orderkey as string)', _CAL_SEED)},"
+            " 100)"
+        ).alias("h"),
+    ).join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    train = base.filter(F.col("h") >= TEST_PCT)
+    test = base.filter(F.col("h") < TEST_PCT)
+    model = (
+        train.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tr"),
+            F.sum("y").cast("bigint").alias("k_tr"),
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.expr(f"({_CAL_FP} * (k_tr + 1)) div (n_tr + 2)").alias(
+                "pred_fp"
+            ),
+            F.expr(f"({CAL_BUCKETS} * (k_tr + 1)) div (n_tr + 2)")
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    return (
+        test.join(F.broadcast(model), ["c_mktsegment", "c_nationkey"])
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum("pred_fp").cast("bigint").alias("sp"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(
+                F.expr(
+                    f"(pred_fp - y * {_CAL_FP}) * (pred_fp - y * {_CAL_FP})"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("sq"),
+        )
+        .select(
+            "bucket",
+            "n_test",
+            F.expr(
+                f"cast(sp as double) / (cast(n_test as double) * {_CAL_FP}.0d)"
+            ).alias("avg_pred"),
+            F.expr(
+                "cast(sy as double) / cast(n_test as double)"
+            ).alias("actual_rate"),
+            F.expr(
+                f"cast(sq as double)"
+                f" / (cast(n_test as double) * {_CAL_FP}.0d * {_CAL_FP}.0d)"
+            ).alias("brier"),
+        )
+    )
+
+
+CALIBRATION_AUDIT_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(o_orderpriority = '1-URGENT' AS INT) AS y,
+         {hash60_duck('CAST(o_orderkey AS VARCHAR)', _CAL_SEED)} % 100 AS h,
+         c_mktsegment, c_nationkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+model AS (
+  SELECT c_mktsegment, c_nationkey,
+         ({_CAL_FP} * (CAST(sum(y) AS BIGINT) + 1))
+           // (CAST(count(*) AS BIGINT) + 2) AS pred_fp,
+         CAST(({CAL_BUCKETS} * (CAST(sum(y) AS BIGINT) + 1))
+           // (CAST(count(*) AS BIGINT) + 2) AS INT) AS bucket
+  FROM base WHERE h >= {TEST_PCT}
+  GROUP BY 1, 2
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(pred_fp) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * {_CAL_FP}.0) AS avg_pred,
+       CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS actual_rate,
+       CAST(sum(CAST((pred_fp - y * {_CAL_FP})
+                * (pred_fp - y * {_CAL_FP}) AS DECIMAL(38,0)))
+            AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * {_CAL_FP}.0 * {_CAL_FP}.0) AS brier
+FROM base JOIN model USING (c_mktsegment, c_nationkey)
+WHERE h < {TEST_PCT}
+GROUP BY bucket
+"""

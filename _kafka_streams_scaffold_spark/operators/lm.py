@@ -427,13 +427,14 @@ def bigram_lm_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
     pairs = _pin(
         docs.select("doc_id", tokens_expr().alias("toks"))
+        .filter(F.size("toks") >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(toks) - 1, 0)),"
-                    " i -> struct(element_at(toks, i) as a,"
-                    " element_at(toks, i + 1) as b))"
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (x, y) -> struct(x as a, y as b))"
                 )
             ).alias("g"),
         )
@@ -620,4 +621,145 @@ JOIN ctx ON ctx.a = c2.a
 JOIN cont ON cont.b = c2.b
 CROSS JOIN types t
 WHERE ctx.ctx_n >= {BIGRAM_MIN_COUNT}
+"""
+
+
+# --------------------------------------------------------------------------
+# DSIR: hashed-n-gram importance weights for data selection
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+
+# floor(1e6 * ln((ct+1)*(R+B) / ((cr+1)*(T+B)))): the add-1-smoothed
+# log importance ratio per hash bucket, fixed-pointed on exact-integer
+# inputs. Both double products are correctly-rounded IEEE with a fixed
+# operand order, so ln sees bit-identical arguments on both engines.
+_LR_FP_SPARK = (
+    "cast(floor(1e6 * ln((cast(ct + 1 as double) * cast(rt as double))"
+    " / (cast(cr + 1 as double) * cast(tt as double)))) as bigint)"
+)
+_LR_FP_DUCK = (
+    "CAST(floor(1e6 * ln((CAST(ct + 1 AS DOUBLE) * CAST(rt AS DOUBLE))"
+    " / (CAST(cr + 1 AS DOUBLE) * CAST(tt AS DOUBLE)))) AS BIGINT)"
+)
+
+
+def dsir_importance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_feats, dsir_sum, dsir_avg): per-document DSIR
+    importance weight (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling") — the standard cheap stand-in
+    for "does this raw document look like my curated target domain?".
+    Every document's hashed BIGRAM features are scored by
+    ln(p_target / p_raw) under two add-1-smoothed multinomials over
+    DSIR_BUCKETS hash buckets: target = the ``lang = 'en'`` slice
+    (the curated-domain stand-in in this corpus), raw = the whole
+    corpus. ``dsir_sum`` is the document's log importance weight
+    (what importance resampling exponentiates); ``dsir_avg`` is the
+    length-normalized per-feature score used for rank-and-take-top-k
+    selection. Docs with < 2 tokens have no features and are
+    (identically on both engines) absent.
+
+    Cross-engine determinism: bucket counts are exact BIGINTs; the
+    per-bucket log ratio is fixed-pointed (see _LR_FP_*) so per-doc
+    aggregation is an exact integer sum — float order never matters.
+
+    Scale: feature hashing collapses the unbounded bigram vocabulary
+    to a CONSTANT DSIR_BUCKETS-row model — the whole point of DSIR at
+    100 TB: the two distributions partial-aggregate per partition
+    into <= B rows each, the scoring model broadcasts back onto the
+    feature stream (map-side), and the only corpus-sized shuffle is
+    the final per-doc sum, which partial-aggregates to ~1 row/doc
+    before the exchange. No vocabulary explosion, no skew (md5 is
+    uniform over buckets), and the model size is a dial, not a
+    function of the data."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    feats = _pin(
+        docs.select(
+            "doc_id",
+            (F.col("lang") == "en").cast("int").alias("is_t"),
+            tokens_expr().alias("toks"),
+        )
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "is_t",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (x, y) -> cast(conv(substring(md5(concat('dsir|',"
+                    " x, ' ', y)),"
+                    f" 1, 8), 16, 10) as bigint) % {DSIR_BUCKETS})"
+                )
+            ).alias("bucket"),
+        )
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.sum("is_t").cast("bigint").alias("ct"),
+        F.count(F.lit(1)).cast("bigint").alias("cr"),
+    )
+    totals = counts.agg(
+        (F.sum("ct") + F.lit(DSIR_BUCKETS)).cast("bigint").alias("tt"),
+        (F.sum("cr") + F.lit(DSIR_BUCKETS)).cast("bigint").alias("rt"),
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", F.expr(_LR_FP_SPARK).alias("lr_fp")
+    )
+    return (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("lr_fp").alias("sum_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            (F.col("sum_fp").cast("double") / F.lit(1000000.0)).alias(
+                "dsir_sum"
+            ),
+            (
+                F.col("sum_fp").cast("double")
+                / (F.col("n_feats") * F.lit(1000000)).cast("double")
+            ).alias("dsir_avg"),
+        )
+    )
+
+
+DSIR_IMPORTANCE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS is_t,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')
+           AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, is_t,
+         CAST('0x' || substring(md5('dsir|' || p[1] || ' ' || p[2]), 1, 8)
+              AS BIGINT) % {DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, is_t,
+           unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS p
+    FROM tok WHERE len(toks) >= 2
+  )
+),
+counts AS (
+  SELECT bucket, CAST(sum(is_t) AS BIGINT) AS ct,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM feats GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(sum(ct) + {DSIR_BUCKETS} AS BIGINT) AS tt,
+         CAST(sum(cr) + {DSIR_BUCKETS} AS BIGINT) AS rt
+  FROM counts
+),
+model AS (
+  SELECT bucket, {_LR_FP_DUCK} AS lr_fp FROM counts CROSS JOIN totals
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(lr_fp) AS DOUBLE) / 1000000.0 AS dsir_sum,
+       CAST(sum(lr_fp) AS DOUBLE)
+         / CAST(count(*) * 1000000 AS DOUBLE) AS dsir_avg
+FROM feats JOIN model USING (bucket)
+GROUP BY doc_id
 """

@@ -36,8 +36,7 @@ from pyspark.sql import functions as F
 from .. import tables
 from ..functions.xhash import hash60_duck, hash60_spark
 from ..pinning import pin as _pin
-
-DIM = 64
+from ..tables import EMBED_DIM as DIM  # load-time quarantine owns the dim
 TOP_K = 5
 N_QUERIES = 10
 NEAR_DUP_COSINE = 0.3

@@ -312,7 +312,10 @@ def event_anomalies_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_ev").cast("double")
     sv = F.col("sv").cast("double")
     svv = F.col("svv").cast("double")
-    moments = agg.select(
+    # n == 1 would divide by zero (ANSI throws even for doubles); such
+    # a group has no defined stddev and is dropped by the std_v > 0
+    # filter below, so the guard changes nothing on healthy data.
+    moments = agg.filter(F.col("n_ev") > 1).select(
         "event_type",
         (sv / n).alias("mean_v"),
         F.sqrt((n * svv - sv * sv) / (n * (n - F.lit(1.0)))).alias("std_v"),
@@ -498,9 +501,12 @@ def correlation_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         saa = F.col(f"ss_{a}").cast("double")
         sbb = F.col(f"ss_{b}").cast("double")
         sab = F.col(f"sp_{a}_{b}").cast("double")
-        return (n * sab - sa * sb) / F.sqrt(
-            (n * saa - sa * sa) * (n * sbb - sb * sb)
-        )
+        den = F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+        # A constant column (or n = 1) zeroes the denominator; ANSI
+        # throws even for double division, so gate on den > 0 and
+        # report the undefined correlation as NULL (healthy lineitem
+        # columns always vary, so this is a degenerate-input guard).
+        return F.when(den > 0, (n * sab - sa * sb) / den)
 
     pairs = [
         F.struct(

@@ -53,12 +53,18 @@ def _windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     full window mass a second time just to deduplicate rows that are
     already co-located by construction."""
     docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
-    return docs.select(
+    # Docs shorter than W have no windows. The explicit filter (not
+    # sequence(1, greatest(.., 0))) matters under Spark semantics:
+    # sequence(1, 0) is the DESCENDING [1, 0], not empty like DuckDB's
+    # generate_series(1, 0), and would emit a spurious short window.
+    return docs.filter(
+        F.length(F.lower("text")) >= WINDOW_CHARS
+    ).select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(1, greatest(length(lower(text)) - {WINDOW_CHARS - 1}, 0)),"
+                    f"transform(sequence(1, length(lower(text)) - {WINDOW_CHARS - 1}),"
                     f" i -> substring(lower(text), i, {WINDOW_CHARS}))"
                 )
             )

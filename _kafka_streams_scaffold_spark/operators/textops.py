@@ -1688,12 +1688,12 @@ def phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     count rollup."""
     docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", tokens_expr().alias("toks"))
-    bigrams = toks.select(
+    bigrams = toks.filter(F.size("toks") >= 2).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(toks) - 1, 0)),"
-                " i -> struct(element_at(toks, i) as a,"
-                " element_at(toks, i + 1) as b))"
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (x, y) -> struct(x as a, y as b))"
             )
         ).alias("bg")
     ).select("bg.a", "bg.b")

@@ -47,7 +47,8 @@ bigram_lm_score, transition_entropy, binary_signatures,
 binary_ann, binary_ann_recall, kneser_ney_bigram,
 knn_lof_outliers, knn_label_purity, dp_laplace_counts,
 mutual_information, ivm_join_revenue, quantized_ann_ndcg,
-hll_rolling_distinct, charset_profile, bootstrap_se) plus
+hll_rolling_distinct, charset_profile, bootstrap_se,
+dsir_importance, fs_linkage_scores, calibration_audit) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1328,6 +1329,23 @@ def _ensure_loaded() -> None:
         "bootstrap_se",
         stats.bootstrap_se_query,
         stats.BOOTSTRAP_SE_ORACLE,
+    )
+    register(
+        "dsir_importance",
+        lm.dsir_importance_query,
+        lm.DSIR_IMPORTANCE_ORACLE,
+    )
+    from .operators import linkage
+
+    register(
+        "fs_linkage_scores",
+        linkage.fs_linkage_scores_query,
+        linkage.FS_LINKAGE_ORACLE,
+    )
+    register(
+        "calibration_audit",
+        features.calibration_audit_query,
+        features.CALIBRATION_AUDIT_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

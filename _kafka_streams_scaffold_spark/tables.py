@@ -33,6 +33,16 @@ TABLE_NAMES = (
 # autoBroadcastJoinThreshold handles the rest at runtime via AQE.
 ALWAYS_BROADCAST = ("region", "nation")
 
+# The embeddings data contract: every vector is exactly this wide. The
+# ANN tier (dot products, PQ subspace split, int8/binary quantizers)
+# compiles this dimension into codegen'd expressions, so ONE malformed
+# vector in a 100 TB corpus would otherwise kill the whole job with an
+# ANSI element_at error. Enforced at load: wrong-length and NULL
+# vectors are quarantined (dropped) right at the scan — the
+# R1 poison-pill policy applied to the vector tier. The filter is
+# map-local and codegen'd; on healthy data it is a no-op.
+EMBED_DIM = 64
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
@@ -57,7 +67,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         finally:
             spark.conf.set(flag, prev)
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = quarantine(name, spark.read.parquet(
+        os.path.join(sf_dir, f"{name}.parquet")
+    ))
     if name == "events":
         # Micros-generation files read as TIMESTAMP_NTZ; normalize to
         # session-local TIMESTAMP (session tz is pinned UTC, so the
@@ -65,6 +77,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # unix_micros(), window(), watermarks — sees one ts type
         # regardless of which driver generation wrote the file.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def quarantine(name: str, df: DataFrame) -> DataFrame:
+    """Data-contract enforcement applied to every load of ``name``
+    (and by tools that substitute synthetic frames for it): rows that
+    would crash compiled expressions downstream are dropped, never
+    allowed to kill the job (the R1 poison-pill policy). Currently
+    one rule: embeddings vectors must be exactly EMBED_DIM wide
+    (NULL and wrong-length vectors are quarantined)."""
+    if name == "embeddings":
+        return df.filter(F.size("embedding") == EMBED_DIM)
     return df
 
 

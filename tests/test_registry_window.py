@@ -93,6 +93,9 @@ def test_window_clears_the_entire_certification_backlog():
         "hll_rolling_distinct",
         "charset_profile",
         "bootstrap_se",
+        "dsir_importance",
+        "fs_linkage_scores",
+        "calibration_audit",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

@@ -539,3 +539,154 @@ def test_bootstrap_zero_variance_gives_zero_se(spark, monkeypatch):
     # every replicate's weighted mean of a constant is the constant
     assert out[0]["mean_value"] == 7.0
     assert out[0]["boot_se"] == 0.0
+
+
+# ---- dsir_importance -----------------------------------------------------
+
+
+def test_dsir_target_slice_scores_higher(spark, sf_dir):
+    from _kafka_streams_scaffold_spark import tables
+    from _kafka_streams_scaffold_spark.operators import lm
+
+    scores = {r["doc_id"]: r for r in
+              lm.dsir_importance_query(spark, sf_dir).collect()}
+    langs = {r["doc_id"]: r["lang"] for r in
+             tables.table(spark, sf_dir, "documents")
+             .select("doc_id", "lang").collect()}
+    t = [r["dsir_avg"] for d, r in scores.items() if langs[d] == "en"]
+    o = [r["dsir_avg"] for d, r in scores.items() if langs[d] != "en"]
+    assert t and o
+    # the operator's raison d'etre: target-domain docs rank above raw
+    assert sum(t) / len(t) > sum(o) / len(o)
+    # log-weight identity: sum = avg * n (up to the two divisions)
+    for r in scores.values():
+        assert math.isclose(r["dsir_sum"], r["dsir_avg"] * r["n_feats"],
+                            rel_tol=1e-9)
+
+
+def test_dsir_short_docs_absent(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import lm
+
+    rows = [Row(doc_id=1, text="single", lang="en", source="s", n_chars=6),
+            Row(doc_id=2, text="two tokens here", lang="fr", source="s",
+                n_chars=15)]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(lm.tables, "table", lambda *a: df)
+    out = lm.dsir_importance_query(spark, "_").collect()
+    assert {r["doc_id"] for r in out} == {2}
+    assert out[0]["n_feats"] == 2
+
+
+# ---- fs_linkage_scores ---------------------------------------------------
+
+
+def test_fs_linkage_matches_python_recompute(spark, sf_dir):
+    from _kafka_streams_scaffold_spark import tables
+    from _kafka_streams_scaffold_spark.operators import dedup, linkage
+
+    out = linkage.fs_linkage_scores_query(spark, sf_dir).collect()
+    cand = {(r["doc_a"], r["doc_b"]) for r in
+            dedup.minhash_lsh_pairs_query(spark, sf_dir).collect()}
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == cand
+
+    docs = tables.table(spark, sf_dir, "documents").collect()
+    n = len(docs)
+    attrs = {
+        r["doc_id"]: {
+            "lang": r["lang"],
+            "source": r["source"],
+            "len_b": r["n_chars"] // linkage.LEN_BUCKET,
+            "pfx": r["text"].lower()[: linkage.PFX_CHARS],
+        }
+        for r in docs
+    }
+    for r in out:
+        a, b = attrs[r["doc_a"]], attrs[r["doc_b"]]
+        mask, fp = 0, 0
+        for name, bit, mn in linkage._FIELDS:
+            import collections
+
+            vals = [attrs[d][name] for d in attrs]
+            num = sum(
+                c * c for c in collections.Counter(vals).values()
+            )
+            agree = a[name] == b[name]
+            if agree:
+                mask |= bit
+                fp += math.floor(1e6 * math.log(
+                    (float(mn) * float(n * n))
+                    / (float(linkage.M_DEN) * float(num))))
+            else:
+                fp += math.floor(1e6 * math.log(
+                    (float(linkage.M_DEN - mn) * float(n * n))
+                    / (float(linkage.M_DEN) * float(n * n - num))))
+        assert r["agree_mask"] == mask
+        assert math.isclose(r["fs_score"], fp / 1e6, rel_tol=1e-12)
+
+
+def test_fs_high_cardinality_field_dominates(spark, sf_dir):
+    """A text-prefix agreement must outweigh a language agreement:
+    FS's discriminative-power weighting in one assertion."""
+    from _kafka_streams_scaffold_spark.operators import linkage
+
+    out = linkage.fs_linkage_scores_query(spark, sf_dir).collect()
+    assert out, "LSH tier produced no candidate pairs at this sf"
+    # every candidate pair that agrees on the prefix (bit 8) scores
+    # above every pair that agrees on nothing
+    with_pfx = [r["fs_score"] for r in out if r["agree_mask"] & 8]
+    without = [r["fs_score"] for r in out if r["agree_mask"] == 0]
+    if with_pfx and without:
+        assert min(with_pfx) > max(without)
+
+
+# ---- calibration_audit ---------------------------------------------------
+
+
+def test_calibration_audit_matches_python_recompute(spark, sf_dir):
+    import hashlib
+    from collections import defaultdict
+
+    from _kafka_streams_scaffold_spark import tables
+    from _kafka_streams_scaffold_spark.operators import features
+
+    out = {r["bucket"]: r for r in
+           features.calibration_audit_query(spark, sf_dir).collect()}
+
+    orders = tables.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority").collect()
+    cust = {r["c_custkey"]: (r["c_mktsegment"], r["c_nationkey"])
+            for r in tables.table(spark, sf_dir, "customer").collect()}
+
+    def h(okey):
+        return int(hashlib.md5(f"43:{okey}".encode()).hexdigest()[:15],
+                   16) % 100
+
+    tr_n, tr_k = defaultdict(int), defaultdict(int)
+    test_rows = []
+    for r in orders:
+        g = cust[r["o_custkey"]]
+        y = int(r["o_orderpriority"] == "1-URGENT")
+        if h(r["o_orderkey"]) >= features.TEST_PCT:
+            tr_n[g] += 1
+            tr_k[g] += y
+        else:
+            test_rows.append((g, y))
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, sum_pred_fp, sum_y, sq
+    for g, y in test_rows:
+        if g not in tr_n:
+            continue
+        pred_fp = (10**6 * (tr_k[g] + 1)) // (tr_n[g] + 2)
+        b = (10 * (tr_k[g] + 1)) // (tr_n[g] + 2)
+        a = agg[b]
+        a[0] += 1
+        a[1] += pred_fp
+        a[2] += y
+        a[3] += (pred_fp - y * 10**6) ** 2
+    assert set(out) == set(agg)
+    for b, (n, sp, sy, sq) in agg.items():
+        r = out[b]
+        assert r["n_test"] == n
+        assert math.isclose(r["avg_pred"], sp / (n * 1e6), rel_tol=1e-12)
+        assert math.isclose(r["actual_rate"], sy / n, rel_tol=1e-12)
+        assert math.isclose(r["brier"], sq / (n * 1e12), rel_tol=1e-12)
+        assert 0.0 <= r["avg_pred"] <= 1.0 and 0.0 <= r["brier"] <= 1.0

@@ -9,13 +9,17 @@ class with one bucket, a day with no events. This sweep is the cheap
 detector for that hazard class (it found the t-closeness,
 blocking-recall, and budget-allocation guards).
 
-    python tools/degenerate_sweep.py [--nulls] [query ...]
+    python tools/degenerate_sweep.py [--nulls | --tiny] [query ...]
 
 Default mode serves fully EMPTY tables; ``--nulls`` instead serves
 one row per table with every non-key column NULL (the
-worst-row-in-a-healthy-partition case). Exit code = number of
-crashing queries. "Empty output" and "defined aggregate over
-nothing" are both passes; only raised exceptions fail.
+worst-row-in-a-healthy-partition case); ``--tiny`` serves one row
+with every string truncated to ONE character and every array sliced
+to ONE element — the shorter-than-any-window / single-token /
+degenerate-vector case (it found the descending-sequence(1, 0)
+crash in the bigram extractors). Exit code = number of crashing
+queries. "Empty output" and "defined aggregate over nothing" are
+both passes; only raised exceptions fail.
 """
 
 from __future__ import annotations
@@ -41,6 +45,9 @@ def main() -> int:
     nulls_mode = "--nulls" in args
     if nulls_mode:
         args.remove("--nulls")
+    tiny_mode = "--tiny" in args
+    if tiny_mode:
+        args.remove("--tiny")
 
     # schema-correct degenerate twins of every table
     _KEYS = {  # keep join/id keys non-null so the row is reachable
@@ -58,18 +65,34 @@ def main() -> int:
 
     def degenerate(name: str):
         base = tables.table(spark, SF_DIR, name)
-        if not nulls_mode:
+        if not (nulls_mode or tiny_mode):
             return base.limit(0).cache()
         from pyspark.sql import functions as F
 
         keep = _KEYS[name]
+        if tiny_mode:
+            cols = []
+            for c, t in base.dtypes:
+                if c in keep:
+                    cols.append(F.col(c))
+                elif t == "string":
+                    cols.append(F.substring(F.col(c), 1, 1).alias(c))
+                elif t.startswith("array"):
+                    cols.append(F.slice(F.col(c), 1, 1).alias(c))
+                else:
+                    cols.append(F.col(c))
+            # the loader's data-contract quarantine applies to synthetic
+            # frames too (a truncated embedding is dropped, not served)
+            return tables.quarantine(
+                name, base.limit(1).select(*cols)
+            ).cache()
         one = base.limit(1).select(
             *[
                 F.col(c) if c in keep else F.lit(None).cast(t).alias(c)
                 for c, t in base.dtypes
             ]
         )
-        return one.cache()
+        return tables.quarantine(name, one).cache()
 
     empty = {
         name: degenerate(name)

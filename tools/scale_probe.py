@@ -35,6 +35,7 @@ from _kafka_streams_scaffold_spark.operators import (  # noqa: E402
     wordcount,
 )
 from _kafka_streams_scaffold_spark.operators import lm as lm_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import linkage as linkage_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import quantize as quantize_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import curation as curation_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import bpe as bpe_mod  # noqa: E402
@@ -448,6 +449,17 @@ def main() -> None:
         ),
         "charset profile (regex classes)": lambda m: _with_docs(
             m, lambda: textops.charset_profile_query(spark, SF_DIR)
+        ),
+        "dsir importance (hashed bigrams)": lambda m: _with_docs(
+            m, lambda: lm_mod.dsir_importance_query(spark, SF_DIR)
+        ),
+        "fs linkage (lsh cand + weights)": lambda m: _with_docs(
+            m, lambda: linkage_mod.fs_linkage_scores_query(spark, SF_DIR)
+        ),
+        "calibration audit (join + bcast model)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: features_mod.calibration_audit_query(spark, SF_DIR),
         ),
         "quantized ann ndcg (3 searches)": lambda m: _with_table(
             "embeddings",
