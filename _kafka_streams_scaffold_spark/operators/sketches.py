@@ -1349,3 +1349,138 @@ FROM sums s JOIN exact e ON e.d = s.d
 
 
 HLL_ROLLING_DISTINCT_ORACLE = _hll_rolling_oracle()
+
+
+# --------------------------------------------------------------------------
+# HLL register merge through GROUPING SETS (the sketch-cube pattern)
+# --------------------------------------------------------------------------
+
+
+def hll_distinct_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n_exact, hll_estimate, m_used, small_range):
+    distinct-user estimates at THREE grains at once — (type, day),
+    (type), and the grand total — from ONE register pass. This is the
+    operational argument for sketches at 100 TB: a register table is
+    a monoid, so every coarser cell is the MAX-merge of finer cells'
+    registers, and GROUPING SETS computes all grains in a single
+    partial-aggregatable rollup of the corpus (exact distincts would
+    re-scan per grain; here the fact table is hashed once). Rolled-up
+    dimensions surface as the sentinel 'ALL' (both grouping columns
+    are non-null in the data, so the coalesce is unambiguous).
+
+    Determinism contract is hll_user_sketch's, unchanged: md5 60-bit
+    hashes, exact-integer harmonic sums in DECIMAL(38,0), raw
+    Flajolet estimator only (ln is banned from hashed outputs), with
+    m_used + small_range carrying what linear counting would need.
+    The estimator's accuracy at every grain is asserted in pytest;
+    the MERGE property itself (coarse registers == max of fine) is
+    what this operator exists to exercise and is pinned by its own
+    test.
+
+    Scale: the finest grain is (type, day, 256 registers) — the
+    shuffle payload is registers, never users; coarser grains add
+    |types| + 1 more groups of the same 256-row width. Exact
+    countDistinct per grouping set is carried for the audit (it is
+    the expensive thing the sketch replaces; at production scale you
+    drop it and keep the registers)."""
+    reg, rank = _hll_registers("spark")
+    h60 = (
+        "cast(conv(substring(md5(concat('hll:', cast(user_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    ev = tables.table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_hllrollup")
+    return spark.sql(f"""
+WITH rows_h AS (
+  SELECT event_type, cast(to_date(ts) as string) AS day, {h60} AS h
+  FROM events_hllrollup
+),
+keyed AS (
+  SELECT event_type, day, {reg} AS r, {rank} AS k FROM rows_h
+),
+regs AS (
+  SELECT coalesce(event_type, 'ALL') AS event_type,
+         coalesce(day, 'ALL') AS day,
+         r, max(k) AS mk
+  FROM keyed
+  GROUP BY GROUPING SETS ((event_type, day, r), (event_type, r), (r))
+),
+sums AS (
+  SELECT event_type, day,
+         sum(cast(pow(cast(2 as decimal(38,0)), {_HLL_WBITS + 1} - mk)
+             as decimal(38,0))) AS s,
+         count(*) AS m_used
+  FROM regs GROUP BY event_type, day
+),
+exact AS (
+  SELECT coalesce(event_type, 'ALL') AS event_type,
+         coalesce(cast(to_date(ts) as string), 'ALL') AS day,
+         cast(count(DISTINCT user_id) as bigint) AS n_exact
+  FROM events_hllrollup
+  GROUP BY GROUPING SETS ((event_type, cast(to_date(ts) as string)),
+                          (event_type), ())
+)
+SELECT s.event_type, s.day, e.n_exact,
+       cast({HLL_ALPHA!r} as double) * cast({float(HLL_M)!r} as double)
+       * cast({float(HLL_M)!r} as double)
+       * cast({float(2 ** (_HLL_WBITS + 1))!r} as double)
+       / cast(s.s + cast(({HLL_M} - s.m_used) as decimal(38,0))
+              * cast({2 ** (_HLL_WBITS + 1)} as decimal(38,0)) as double)
+         AS hll_estimate,
+       cast(s.m_used as bigint) AS m_used,
+       cast(e.n_exact as double) < {HLL_SMALL_RANGE} * {float(HLL_M)!r}
+         AS small_range
+FROM sums s JOIN exact e ON e.event_type = s.event_type AND e.day = s.day
+""")
+
+
+def _hll_rollup_oracle() -> str:
+    reg, rank = _hll_registers("duck")
+    h60 = (
+        "CAST('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)),"
+        " 1, 15) AS BIGINT)"
+    )
+    return f"""
+WITH rows_h AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, {h60} AS h
+  FROM events
+),
+keyed AS (
+  SELECT event_type, day, {reg} AS r, {rank} AS k FROM rows_h
+),
+regs AS (
+  SELECT coalesce(event_type, 'ALL') AS event_type,
+         coalesce(day, 'ALL') AS day,
+         r, max(k) AS mk
+  FROM keyed
+  GROUP BY GROUPING SETS ((event_type, day, r), (event_type, r), (r))
+),
+sums AS (
+  SELECT event_type, day,
+         sum(CAST(pow(2, {_HLL_WBITS + 1} - mk) AS DECIMAL(38,0))) AS s,
+         count(*) AS m_used
+  FROM regs GROUP BY event_type, day
+),
+exact AS (
+  SELECT coalesce(event_type, 'ALL') AS event_type,
+         coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events
+  GROUP BY GROUPING SETS ((event_type, CAST(CAST(ts AS DATE) AS VARCHAR)),
+                          (event_type), ())
+)
+SELECT s.event_type, s.day, e.n_exact,
+       CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M)!r} AS DOUBLE)
+       * CAST({float(HLL_M)!r} AS DOUBLE)
+       * CAST({float(2 ** (_HLL_WBITS + 1))!r} AS DOUBLE)
+       / CAST(s.s + CAST(({HLL_M} - s.m_used) AS DECIMAL(38,0))
+              * CAST({2 ** (_HLL_WBITS + 1)} AS DECIMAL(38,0)) AS DOUBLE)
+         AS hll_estimate,
+       CAST(s.m_used AS BIGINT) AS m_used,
+       CAST(e.n_exact AS DOUBLE) < {HLL_SMALL_RANGE} * {float(HLL_M)!r}
+         AS small_range
+FROM sums s JOIN exact e ON e.event_type = s.event_type AND e.day = s.day
+"""
+
+
+HLL_DISTINCT_ROLLUP_ORACLE = _hll_rollup_oracle()

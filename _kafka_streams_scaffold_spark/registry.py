@@ -48,7 +48,8 @@ binary_ann, binary_ann_recall, kneser_ney_bigram,
 knn_lof_outliers, knn_label_purity, dp_laplace_counts,
 mutual_information, ivm_join_revenue, quantized_ann_ndcg,
 hll_rolling_distinct, charset_profile, bootstrap_se,
-dsir_importance, fs_linkage_scores, calibration_audit) plus
+dsir_importance, fs_linkage_scores, calibration_audit,
+hll_distinct_rollup, basket_triples) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1346,6 +1347,16 @@ def _ensure_loaded() -> None:
         "calibration_audit",
         features.calibration_audit_query,
         features.CALIBRATION_AUDIT_ORACLE,
+    )
+    register(
+        "hll_distinct_rollup",
+        sketches.hll_distinct_rollup_query,
+        sketches.HLL_DISTINCT_ROLLUP_ORACLE,
+    )
+    register(
+        "basket_triples",
+        basket.basket_triples_query,
+        basket.BASKET_TRIPLES_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

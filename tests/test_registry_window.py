@@ -96,6 +96,8 @@ def test_window_clears_the_entire_certification_backlog():
         "dsir_importance",
         "fs_linkage_scores",
         "calibration_audit",
+        "hll_distinct_rollup",
+        "basket_triples",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

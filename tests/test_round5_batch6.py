@@ -690,3 +690,114 @@ def test_calibration_audit_matches_python_recompute(spark, sf_dir):
         assert math.isclose(r["actual_rate"], sy / n, rel_tol=1e-12)
         assert math.isclose(r["brier"], sq / (n * 1e12), rel_tol=1e-12)
         assert 0.0 <= r["avg_pred"] <= 1.0 and 0.0 <= r["brier"] <= 1.0
+
+
+# ---- hll_distinct_rollup -------------------------------------------------
+
+
+def test_hll_rollup_merge_algebra_at_every_grain(spark, sf_dir):
+    """Coarse cells must equal an HLL built from scratch over their
+    raw user sets — the register-monoid merge property GROUPING SETS
+    relies on, verified cell by cell in python."""
+    import hashlib
+
+    from _kafka_streams_scaffold_spark import tables
+    from _kafka_streams_scaffold_spark.operators import sketches
+
+    got = {(r["event_type"], r["day"]): r for r in
+           sketches.hll_distinct_rollup_query(spark, sf_dir).collect()}
+    ev = tables.table(spark, sf_dir, "events").select(
+        "event_type", "ts", "user_id").collect()
+    cells: dict[tuple, set] = {}
+    for r in ev:
+        day = r["ts"].date().isoformat()
+        for key in ((r["event_type"], day), (r["event_type"], "ALL"),
+                    ("ALL", "ALL")):
+            cells.setdefault(key, set()).add(r["user_id"])
+    assert set(got) == set(cells)
+    wbits = sketches._HLL_WBITS
+    for key, users in cells.items():
+        row = got[key]
+        assert row["n_exact"] == len(users)
+        regs: dict[int, int] = {}
+        for u in users:
+            h = int(hashlib.md5(f"hll:{u}".encode()).hexdigest()[:15], 16)
+            r_, w = h % sketches.HLL_M, h // sketches.HLL_M
+            k = wbits + 1 if w == 0 else wbits - w.bit_length() + 1
+            regs[r_] = max(regs.get(r_, 0), k)
+        assert row["m_used"] == len(regs)
+        s = sum(2 ** (wbits + 1 - k) for k in regs.values())
+        s += (sketches.HLL_M - len(regs)) * 2 ** (wbits + 1)
+        want = (sketches.HLL_ALPHA * sketches.HLL_M * sketches.HLL_M
+                * 2 ** (wbits + 1) / s)
+        assert math.isclose(row["hll_estimate"], want, rel_tol=1e-12)
+
+
+def test_hll_rollup_estimate_within_bound_after_lc(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import sketches
+
+    rows = sketches.hll_distinct_rollup_query(spark, sf_dir).collect()
+    grains = {( "ALL", "ALL")} & {(r["event_type"], r["day"]) for r in rows}
+    assert grains, "grand-total grain missing"
+    for r in rows:
+        est = r["hll_estimate"]
+        if r["small_range"]:
+            m = sketches.HLL_M
+            est = m * math.log(m / (m - r["m_used"]))
+        sigma = 1.04 / math.sqrt(sketches.HLL_M) * max(r["n_exact"], 1)
+        assert abs(est - r["n_exact"]) <= 3 * sigma + 1
+
+
+# ---- basket_triples --------------------------------------------------------
+
+
+def test_basket_triples_known_composition(spark, monkeypatch):
+    import datetime
+
+    from _kafka_streams_scaffold_spark.operators import basket
+
+    rows = []
+    baskets = {1: [10, 20, 30], 2: [10, 20, 30], 3: [10, 20], 4: [40, 50]}
+    for ok, parts in baskets.items():
+        for i, p in enumerate(parts):
+            rows.append(Row(l_orderkey=ok, l_partkey=p, l_suppkey=1,
+                            l_linenumber=i, l_quantity=1.0,
+                            l_extendedprice=1.0, l_discount=0.0,
+                            l_tax=0.0, l_returnflag="N", l_linestatus="O",
+                            l_shipdate=datetime.datetime(2024, 1, 1)))
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(basket.tables, "table", lambda *a: df)
+    out = basket.basket_triples_query(spark, "_").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["part_a"], r["part_b"], r["part_c"]) == (10, 20, 30)
+    assert (r["n_all"], r["n_a"], r["n_b"], r["n_c"], r["n_orders"]) == (
+        2, 3, 3, 2, 4)
+    assert math.isclose(r["lift3"], 2 * 16 / (3 * 3 * 2), rel_tol=1e-12)
+
+
+def test_basket_triples_prune_blocks_infrequent_subpair(spark, monkeypatch):
+    """(a,b,c) appears twice but the (b,c) sub-pair only ever appears
+    inside those same two orders minus one — engineer (a,c) frequent,
+    (a,b) frequent, (b,c) support 1 -> the triple must NOT be emitted
+    even though the triple's own support would pass the floor with a
+    naive count. (Impossible by anti-monotonicity for real data — the
+    guard proves the prune is part of the SEMANTICS, not an
+    optimization shortcut.)"""
+    import datetime
+
+    from _kafka_streams_scaffold_spark.operators import basket
+
+    # triple support would be 2 only if (b,c) support >= 2; instead
+    # make each sub-pair's support: ab=2, ac=2, bc=1 -> no triple can
+    # have support 2, and the one order containing all three is below
+    # the floor. Emission must be empty.
+    baskets = {1: [1, 2, 3], 2: [1, 2], 3: [1, 3]}
+    rows = [Row(l_orderkey=ok, l_partkey=p, l_suppkey=1, l_linenumber=i,
+                l_quantity=1.0, l_extendedprice=1.0, l_discount=0.0,
+                l_tax=0.0, l_returnflag="N", l_linestatus="O",
+                l_shipdate=datetime.datetime(2024, 1, 1))
+            for ok, parts in baskets.items() for i, p in enumerate(parts)]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(basket.tables, "table", lambda *a: df)
+    assert basket.basket_triples_query(spark, "_").count() == 0

@@ -461,6 +461,16 @@ def main() -> None:
             unioned(spark, "orders", m),
             lambda: features_mod.calibration_audit_query(spark, SF_DIR),
         ),
+        "hll rollup (grouping-set regs)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: sketches.hll_distinct_rollup_query(spark, SF_DIR),
+        ),
+        "basket triples (apriori prune)": lambda m: _with_table(
+            "lineitem",
+            unioned(spark, "lineitem", m),
+            lambda: basket_mod.basket_triples_query(spark, SF_DIR),
+        ),
         "quantized ann ndcg (3 searches)": lambda m: _with_table(
             "embeddings",
             embeddings(m),
