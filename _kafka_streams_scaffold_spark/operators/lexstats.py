@@ -314,3 +314,141 @@ FROM documents
 WHERE n_chars >= {_PREFIX_LEN}
 GROUP BY 1 HAVING count(*) >= 2
 """
+
+
+# --------------------------------------------------------------------------
+# Zipf's-law fit over the frequency head
+# --------------------------------------------------------------------------
+
+ZIPF_TOP = 1000  # head size the power law is fit over
+
+
+def zipf_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_types, n_fit, slope, intercept, r2): the least-squares fit
+    of ln(freq) against ln(rank) over the top-ZIPF_TOP vocabulary —
+    the Zipf/power-law exponent report. A natural corpus fits slope
+    ~ -1 with high r2; a synthetic or template corpus shows up
+    immediately as a flat slope or a broken fit, making this the
+    one-row smell test a data pipeline runs on every new source.
+
+    Exactness: ranks come from a total order (freq DESC, token ASC —
+    unique, so the LIMIT boundary is identical cross-engine); both
+    regression coordinates are fixed-pointed (floor(1e6*ln(x)) on
+    exact integers) so all five power sums are exact DECIMAL(38,0)
+    integer sums; slope/intercept/r2 are final-step double ratios of
+    those exact sums.
+
+    Scale: vocabulary counting is the standard partial-aggregatable
+    rollup (shuffle payload = vocabulary, not corpus); the head is a
+    TakeOrdered top-k (per-partition partial top-k, constant-size
+    result), and the rank window runs over the CONSTANT ZIPF_TOP-row
+    frame — the one single-partition window here is over <= 1000 rows
+    by construction, not a data-sized frame."""
+    docs = tables.table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_expr()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n_types = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    head = vocab.orderBy(F.desc("c"), F.asc("tok")).limit(ZIPF_TOP)
+    ranked = head.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("tok")))
+        .alias("rank"),
+    )
+    pts = ranked.select(
+        F.expr("cast(floor(1e6 * ln(cast(rank as double))) as bigint)")
+        .alias("x"),
+        F.expr("cast(floor(1e6 * ln(cast(c as double))) as bigint)")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("cast(x as decimal(19,0)) * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(19,0)) * y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.expr("cast(x as decimal(19,0)) * y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return (
+        sums.crossJoin(F.broadcast(n_types))
+        .select(
+            "n_types",
+            F.col("n").alias("n_fit"),
+            F.when(vx > 0, cov / vx).alias("slope"),
+            F.when(
+                vx > 0, (sy - (cov / vx) * sx) / (n * F.lit(1000000.0))
+            ).alias("intercept"),
+            F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy)).alias("r2"),
+        )
+    )
+
+
+ZIPF_FIT_ORACLE = f"""
+WITH vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+  ) GROUP BY tok
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM vocab),
+head AS (
+  SELECT c FROM vocab ORDER BY c DESC, tok ASC LIMIT {ZIPF_TOP}
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC) AS rank FROM head
+),
+pts AS (
+  SELECT CAST(floor(1e6 * ln(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+         CAST(floor(1e6 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+  FROM ranked
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy
+  FROM pts
+)
+SELECT n_types, n AS n_fit,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+            THEN (CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * 1000000.0) END AS intercept,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r2
+FROM sums CROSS JOIN nt
+"""

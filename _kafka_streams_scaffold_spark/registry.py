@@ -49,7 +49,7 @@ knn_lof_outliers, knn_label_purity, dp_laplace_counts,
 mutual_information, ivm_join_revenue, quantized_ann_ndcg,
 hll_rolling_distinct, charset_profile, bootstrap_se,
 dsir_importance, fs_linkage_scores, calibration_audit,
-hll_distinct_rollup, basket_triples) plus
+hll_distinct_rollup, basket_triples, zipf_fit) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1357,6 +1357,9 @@ def _ensure_loaded() -> None:
         "basket_triples",
         basket.basket_triples_query,
         basket.BASKET_TRIPLES_ORACLE,
+    )
+    register(
+        "zipf_fit", lexstats.zipf_fit_query, lexstats.ZIPF_FIT_ORACLE
     )
 
     _apply_window(_WINDOW_R05)

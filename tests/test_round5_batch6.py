@@ -801,3 +801,53 @@ def test_basket_triples_prune_blocks_infrequent_subpair(spark, monkeypatch):
     df = spark.createDataFrame(rows)
     monkeypatch.setattr(basket.tables, "table", lambda *a: df)
     assert basket.basket_triples_query(spark, "_").count() == 0
+
+
+# ---- zipf_fit --------------------------------------------------------------
+
+
+def test_zipf_fit_matches_python_ols(spark, sf_dir):
+    from collections import Counter
+
+    from _kafka_streams_scaffold_spark import tables
+    from _kafka_streams_scaffold_spark.operators import lexstats
+
+    r = lexstats.zipf_fit_query(spark, sf_dir).collect()[0]
+    docs = tables.table(spark, sf_dir, "documents").select("text").collect()
+    counts = Counter(
+        w for row in docs for w in re.split(r"\W+", row["text"].lower()) if w
+    )
+    head = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    head = head[: lexstats.ZIPF_TOP]
+    pts = [
+        (math.floor(1e6 * math.log(i + 1)), math.floor(1e6 * math.log(c)))
+        for i, (_, c) in enumerate(head)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    cov, vx, vy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert r["n_types"] == len(counts) and r["n_fit"] == n
+    assert math.isclose(r["slope"], cov / vx, rel_tol=1e-9)
+    assert math.isclose(
+        r["intercept"], (sy - (cov / vx) * sx) / (n * 1e6), rel_tol=1e-9
+    )
+    assert math.isclose(r["r2"], cov * cov / (vx * vy), rel_tol=1e-9)
+    # a frequency-ranked head always slopes downward
+    assert r["slope"] < 0 and 0.0 <= r["r2"] <= 1.0
+
+
+def test_zipf_fit_single_type_undefined(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import lexstats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="word word word", lang="en", source="s",
+             n_chars=14)]
+    )
+    monkeypatch.setattr(lexstats.tables, "table", lambda *a: df)
+    r = lexstats.zipf_fit_query(spark, "_").collect()[0]
+    # one point: variance 0 -> slope/r2 undefined, reported as NULL
+    assert r["n_fit"] == 1 and r["slope"] is None and r["r2"] is None

@@ -471,6 +471,9 @@ def main() -> None:
             unioned(spark, "lineitem", m),
             lambda: basket_mod.basket_triples_query(spark, SF_DIR),
         ),
+        "zipf fit (vocab topk + ols)": lambda m: _with_docs(
+            m, lambda: lexstats_mod.zipf_fit_query(spark, SF_DIR)
+        ),
         "quantized ann ndcg (3 searches)": lambda m: _with_table(
             "embeddings",
             embeddings(m),
