@@ -853,6 +853,54 @@ AUDIT = [
         "derive from the grid (broadcast back); every entropy term "
         "is an exact integer product summed partial-aggregatably.",
     ),
+    (
+        "bootstrap_se",
+        "The B-way replicate fan-out is a map-local explode (no "
+        "shuffle multiplies the corpus); both rollups partial-"
+        "aggregate, and every replicate mean is exact-integer until "
+        "the final per-type division.",
+    ),
+    (
+        "dsir_importance",
+        "Feature hashing collapses the bigram vocabulary to a "
+        "CONSTANT bucket-count model (partial-aggregated, broadcast "
+        "back); the only corpus-sized shuffle is the per-doc sum, "
+        "pre-combined map-side.",
+    ),
+    (
+        "fs_linkage_scores",
+        "Per-field u-statistics are vocabulary-sized rollups; the "
+        "weight table is |fields| rows (broadcast); scoring touches "
+        "only LSH-bounded candidate pairs joined twice against the "
+        "narrow attribute projection.",
+    ),
+    (
+        "calibration_audit",
+        "One orders-customer equi-join, one rollup to the group-"
+        "cardinality model (broadcast back), map-side scoring, and a "
+        "CAL_BUCKETS-row final rollup — the fact table shuffles "
+        "once.",
+    ),
+    (
+        "hll_distinct_rollup",
+        "GROUPING SETS max-merges ONE register pass to all three "
+        "grains — shuffle payload is registers (256/group), never "
+        "users; the exact countDistinct audit column is the thing "
+        "the sketch replaces at scale.",
+    ),
+    (
+        "basket_triples",
+        "Apriori prune: candidate stubs semi-join broadcast L2 "
+        "BEFORE each fan-out, so the counting shuffle sees only "
+        "triples whose every sub-pair is frequent; all order-key "
+        "joins are co-partitioned.",
+    ),
+    (
+        "zipf_fit",
+        "Vocabulary rollup shuffles types, not tokens; the head is "
+        "TakeOrdered (per-partition partial top-k); the one single-"
+        "partition window is over the constant <=1000-row head.",
+    ),
 ]
 
 
