@@ -532,6 +532,15 @@ def main() -> None:
         "at any scale; the oracle equality is its proof at the gate "
         "SF). On a real corpus the factor tracks near-dup incidence, "
         "which 100 TB of breadth does not multiply.",
+        "",
+        "The same twin-explosion reading applies to the other "
+        "pair-emitting rows — winnowing fingerprints (every doc's "
+        "windows now collide with 9 twins) and FS linkage (its "
+        "MinHash candidate INPUT is 45x, each bucket holding 10 "
+        "copies of each doc): their factors measure the duplicated "
+        "corpus's pair mass, not a super-linear plan stage. The "
+        "linkage scoring itself is linear in candidate pairs; the "
+        "fingerprint windows are linear in corpus chars.",
     ]
     # Warm JVM + python pool once.
     probes["pricing agg (filter+group)"](1).count()
