@@ -279,6 +279,35 @@ def clicks_with_recent_purchase(
     )
 
 
+def streaming_hll_registers(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/sketches.hll_user_sketch``: the
+    HLL register table maintained as STREAMING STATE. Register update
+    is ``max`` — algebraic — so the per-(type, register) state is one
+    int that partial-merges map-side and runs in ``update`` output
+    mode; the state store literally IS the sketch (at most
+    |types| x HLL_M rows however many events stream through), and any
+    snapshot of it yields the same estimate the batch operator
+    computes over the events seen so far. The deterministic md5 hash
+    chain is byte-identical to the batch side, so convergence is
+    EXACT register equality, not approximate agreement — the A3/A4
+    emit-per-update contract extended to the sketch tier."""
+    from ..operators.sketches import _hll_registers
+
+    reg, rank = _hll_registers("spark")
+    h60 = (
+        "cast(conv(substring(md5(concat('hll:',"
+        " cast(user_id as string))), 1, 15), 16, 10) as bigint)"
+    )
+    return (
+        events.select("event_type", F.expr(h60).alias("h"))
+        .select(
+            "event_type", F.expr(reg).alias("r"), F.expr(rank).alias("k")
+        )
+        .groupBy("event_type", "r")
+        .agg(F.max("k").alias("mk"))
+    )
+
+
 def streaming_latest(events: DataFrame) -> DataFrame:
     """Changelog/KTable view of a keyed stream: latest record per key
     (the streaming twin of ``operators/changelog.ktable_latest_query``;
