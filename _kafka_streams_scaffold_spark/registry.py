@@ -49,7 +49,8 @@ knn_lof_outliers, knn_label_purity, dp_laplace_counts,
 mutual_information, ivm_join_revenue, quantized_ann_ndcg,
 hll_rolling_distinct, charset_profile, bootstrap_se,
 dsir_importance, fs_linkage_scores, calibration_audit,
-hll_distinct_rollup, basket_triples, zipf_fit) plus
+hll_distinct_rollup, basket_triples, zipf_fit,
+nb_lang_confusion) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1360,6 +1361,13 @@ def _ensure_loaded() -> None:
     )
     register(
         "zipf_fit", lexstats.zipf_fit_query, lexstats.ZIPF_FIT_ORACLE
+    )
+    from .operators import nb
+
+    register(
+        "nb_lang_confusion",
+        nb.nb_lang_confusion_query,
+        nb.NB_LANG_CONFUSION_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

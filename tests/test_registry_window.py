@@ -99,6 +99,7 @@ def test_window_clears_the_entire_certification_backlog():
         "hll_distinct_rollup",
         "basket_triples",
         "zipf_fit",
+        "nb_lang_confusion",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

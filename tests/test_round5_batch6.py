@@ -851,3 +851,52 @@ def test_zipf_fit_single_type_undefined(spark, monkeypatch):
     r = lexstats.zipf_fit_query(spark, "_").collect()[0]
     # one point: variance 0 -> slope/r2 undefined, reported as NULL
     assert r["n_fit"] == 1 and r["slope"] is None and r["r2"] is None
+
+
+# ---- nb_lang_confusion -----------------------------------------------------
+
+
+def test_nb_learns_separable_vocabularies(spark, monkeypatch):
+    """Engineered corpus with disjoint per-language vocabularies: the
+    classifier must put every held-out doc on the diagonal."""
+    from _kafka_streams_scaffold_spark.operators import nb
+
+    vocab = {"en": ["dog", "cat", "house"], "fr": ["chien", "chat",
+                                                   "maison"],
+             "de": ["hund", "katze", "haus"]}
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        for _ in range(40):  # enough docs that both splits see each lang
+            text = " ".join(words[i % 3] for _ in range(6))
+            rows.append(Row(doc_id=i, text=text, lang=lang, source="s",
+                            n_chars=len(text)))
+            i += 1
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(nb.tables, "table", lambda *a: df)
+    out = nb.nb_lang_confusion_query(spark, "_").collect()
+    assert out, "no test-split docs at this seed"
+    for r in out:
+        assert r["true_lang"] == r["pred_lang"], out
+    assert sum(r["n_docs"] for r in out) > 0
+
+
+def test_nb_uninformative_features_fall_back_to_prior(spark, monkeypatch):
+    """One shared vocabulary across languages with a skewed prior: the
+    argmax must go to the majority class for every held-out doc (the
+    likelihoods cancel; only the prior term differs)."""
+    from _kafka_streams_scaffold_spark.operators import nb
+
+    rows = []
+    for i in range(60):
+        lang = "en" if i % 3 else "fr"  # 2/3 en, 1/3 fr
+        rows.append(Row(doc_id=i, text="same words everywhere",
+                        lang=lang, source="s", n_chars=20))
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(nb.tables, "table", lambda *a: df)
+    out = nb.nb_lang_confusion_query(spark, "_").collect()
+    assert out
+    # not exactly prior-only (per-lang token totals shift the smoothed
+    # likelihoods slightly) but the MAJORITY class must win every doc
+    # here: en has both the larger prior and the larger token mass
+    assert {r["pred_lang"] for r in out} == {"en"}

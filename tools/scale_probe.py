@@ -36,6 +36,7 @@ from _kafka_streams_scaffold_spark.operators import (  # noqa: E402
 )
 from _kafka_streams_scaffold_spark.operators import lm as lm_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import linkage as linkage_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import nb as nb_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import quantize as quantize_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import curation as curation_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import bpe as bpe_mod  # noqa: E402
@@ -473,6 +474,9 @@ def main() -> None:
         ),
         "zipf fit (vocab topk + ols)": lambda m: _with_docs(
             m, lambda: lexstats_mod.zipf_fit_query(spark, SF_DIR)
+        ),
+        "nb classifier (2 rollups + argmax)": lambda m: _with_docs(
+            m, lambda: nb_mod.nb_lang_confusion_query(spark, SF_DIR)
         ),
         "quantized ann ndcg (3 searches)": lambda m: _with_table(
             "embeddings",
