@@ -1857,3 +1857,64 @@ SELECT source,
 FROM per
 GROUP BY source
 """
+
+
+# --------------------------------------------------------------------------
+# PII redaction (the transform pii_scan is the pre-pass for)
+# --------------------------------------------------------------------------
+
+
+def pii_redact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, redacted, n_redacted): the corpus with emails, URLs
+    and long digit runs replaced by typed placeholders — the
+    materialized output of the redaction pass, next to how many spans
+    were rewritten. The placeholder chain applies in a FIXED order
+    (emails -> URLs -> digit runs) on both engines, so a URL
+    containing digits redacts as one <URL>, never a <URL> with a
+    <NUM> inside; n_redacted counts matches on the ORIGINAL text
+    (the pii_scan numbers), making scan and redact mutually
+    auditable.
+
+    Scale: pure per-row regexp codegen — no shuffle, no UDF; the
+    transform runs where each document lives and writes back
+    column-for-column. Same portability contract as pii_scan (Java
+    regex == RE2 on these patterns)."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+
+    def n(pattern: str) -> F.Column:
+        escaped = pattern.replace("\\", "\\\\")
+        return F.size(F.expr(f"regexp_extract_all(text, '{escaped}', 0)"))
+
+    red = "text"
+    for pattern, tag in (
+        (_EMAIL_RE, "<EMAIL>"),
+        (_URL_RE, "<URL>"),
+        (_LONGNUM_RE, "<NUM>"),
+    ):
+        escaped = pattern.replace("\\", "\\\\")
+        red = f"regexp_replace({red}, '{escaped}', '{tag}')"
+    return docs.select(
+        "doc_id",
+        F.expr(red).alias("redacted"),
+        (n(_EMAIL_RE) + n(_URL_RE) + n(_LONGNUM_RE)).alias("n_redacted"),
+    )
+
+
+def _pii_redact_oracle() -> str:
+    red = "text"
+    for pattern, tag in (
+        (_EMAIL_RE, "<EMAIL>"),
+        (_URL_RE, "<URL>"),
+        (_LONGNUM_RE, "<NUM>"),
+    ):
+        red = f"regexp_replace({red}, '{pattern}', '{tag}', 'g')"
+    return f"""
+SELECT doc_id, {red} AS redacted,
+       len(regexp_extract_all(text, '{_EMAIL_RE}'))
+       + len(regexp_extract_all(text, '{_URL_RE}'))
+       + len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS n_redacted
+FROM documents
+"""
+
+
+PII_REDACT_ORACLE = _pii_redact_oracle()

@@ -50,7 +50,7 @@ mutual_information, ivm_join_revenue, quantized_ann_ndcg,
 hll_rolling_distinct, charset_profile, bootstrap_se,
 dsir_importance, fs_linkage_scores, calibration_audit,
 hll_distinct_rollup, basket_triples, zipf_fit,
-nb_lang_confusion) plus
+nb_lang_confusion, pii_redact) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1368,6 +1368,9 @@ def _ensure_loaded() -> None:
         "nb_lang_confusion",
         nb.nb_lang_confusion_query,
         nb.NB_LANG_CONFUSION_ORACLE,
+    )
+    register(
+        "pii_redact", textops.pii_redact_query, textops.PII_REDACT_ORACLE
     )
 
     _apply_window(_WINDOW_R05)

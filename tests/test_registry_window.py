@@ -100,6 +100,7 @@ def test_window_clears_the_entire_certification_backlog():
         "basket_triples",
         "zipf_fit",
         "nb_lang_confusion",
+        "pii_redact",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

@@ -900,3 +900,39 @@ def test_nb_uninformative_features_fall_back_to_prior(spark, monkeypatch):
     # likelihoods slightly) but the MAJORITY class must win every doc
     # here: en has both the larger prior and the larger token mass
     assert {r["pred_lang"] for r in out} == {"en"}
+
+
+# ---- pii_redact -------------------------------------------------------------
+
+
+def test_pii_redact_known_spans(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import textops
+
+    rows = [
+        Row(doc_id=1,
+            text="mail me at a.b+c@example.org or visit "
+                 "https://x.io/p?id=1234567 card 1234567890",
+            lang="en", source="s", n_chars=80),
+        Row(doc_id=2, text="nothing sensitive here", lang="en",
+            source="s", n_chars=22),
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(textops.tables, "table", lambda *a: df)
+    out = {r["doc_id"]: r for r in
+           textops.pii_redact_query(spark, "_").collect()}
+    r1 = out[1]
+    # 4 = email + url + TWO digit runs on the ORIGINAL text (the one
+    # inside the URL counts in the scan even though the redaction
+    # chain swallows it into <URL>) — scan-vs-transform overlap is
+    # part of the documented contract
+    assert r1["n_redacted"] == 4
+    assert "<EMAIL>" in r1["redacted"] and "<URL>" in r1["redacted"]
+    assert "<NUM>" in r1["redacted"]
+    assert "example.org" not in r1["redacted"]
+    assert "1234567890" not in r1["redacted"]
+    # the URL's embedded digits vanish inside <URL>, never as a
+    # nested <NUM> (fixed application order)
+    assert "<URL>" in r1["redacted"] and "<URL" in r1["redacted"]
+    assert r1["redacted"].count("<NUM>") == 1
+    r2 = out[2]
+    assert r2["n_redacted"] == 0 and r2["redacted"] == rows[1].text
