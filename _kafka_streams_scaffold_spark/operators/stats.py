@@ -1698,3 +1698,133 @@ WHERE r.nb > 1
 
 
 BOOTSTRAP_SE_ORACLE = _bootstrap_oracle()
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier user-lifetime survival (log-space exact)
+# --------------------------------------------------------------------------
+
+KM_CENSOR_DAYS = 7  # still-active horizon: last event this close to
+#                     corpus end = censored, not churned
+
+_US_PER_DAY = 86_400_000_000
+
+
+def km_user_survival_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t_days, n_risk, n_deaths, n_censored, log_survival): the
+    Kaplan-Meier estimate of user retention over observed lifetimes
+    (days between a user's first and last event), with users whose
+    last event falls within KM_CENSOR_DAYS of the corpus end treated
+    as CENSORED (still active) rather than churned — the survival-
+    analysis churn readout, the right-censoring-aware upgrade of a
+    naive lifetime histogram.
+
+    Emitted in LOG space: survival S(t) is a cumulative PRODUCT of
+    rationals, whose float evaluation would be order-sensitive and
+    whose exact rational evaluation overflows; instead each factor
+    fixes to floor(1e6 * ln((n_risk - d)/n_risk)) on exact integer
+    counts and the curve is the exact integer CUMSUM of those —
+    bit-stable cross-engine (S(t) = exp(log_survival) downstream if a
+    probability is wanted; exp is deliberately NOT taken inside the
+    hashed output).
+
+    Scale: one partial-aggregatable per-user rollup (first/last event
+    — the only corpus-sized stage), then everything lives on the
+    lifetime-day domain: a frame bounded by the time span in days,
+    never by users. The cumulative windows run on that constant-
+    bounded frame (document: single-partition by construction, ~span
+    rows). Integer day arithmetic via unix_micros div (the
+    engine-agnostic form; see cross-engine notes)."""
+    ev = tables.table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.expr("min(unix_micros(ts))").alias("f_us"),
+        F.expr("max(unix_micros(ts))").alias("l_us"),
+    )
+    horizon = ev.agg(F.expr("max(unix_micros(ts))").alias("max_us"))
+    lived = users.crossJoin(F.broadcast(horizon)).select(
+        F.expr(f"(l_us - f_us) div {_US_PER_DAY}").alias("t_days"),
+        F.expr(
+            f"(max_us - l_us) div {_US_PER_DAY} < {KM_CENSOR_DAYS}"
+        ).cast("int").alias("censored"),
+    )
+    per_t = lived.groupBy("t_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at_t"),
+        F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("n_deaths"),
+        F.sum("censored").cast("bigint").alias("n_censored"),
+    )
+    from pyspark.sql import Window as W
+
+    w_prior = (
+        W.orderBy("t_days").rowsBetween(W.unboundedPreceding, -1)
+    )
+    total = per_t.agg(F.sum("n_at_t").alias("n_total"))
+    risky = per_t.crossJoin(F.broadcast(total)).select(
+        "t_days",
+        "n_deaths",
+        "n_censored",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_at_t").over(w_prior), F.lit(0))
+        ).cast("bigint").alias("n_risk"),
+    )
+    factor = F.expr(
+        "case when n_deaths > 0 then cast(floor(1e6 * ln("
+        "cast(n_risk - n_deaths as double) / cast(n_risk as double)))"
+        " as bigint) else cast(0 as bigint) end"
+    )
+    w_cum = W.orderBy("t_days").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        risky.filter(F.col("n_risk") > F.col("n_deaths"))
+        .withColumn("f_fp", factor)
+        .select(
+            "t_days",
+            "n_risk",
+            "n_deaths",
+            "n_censored",
+            (
+                F.sum("f_fp").over(w_cum).cast("double") / F.lit(1000000.0)
+            ).alias("log_survival"),
+        )
+    )
+
+
+KM_USER_SURVIVAL_ORACLE = f"""
+WITH users AS (
+  SELECT user_id, min(epoch_us(ts)) AS f_us, max(epoch_us(ts)) AS l_us
+  FROM events GROUP BY 1
+),
+horizon AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+lived AS (
+  SELECT (l_us - f_us) // {_US_PER_DAY} AS t_days,
+         CAST((max_us - l_us) // {_US_PER_DAY} < {KM_CENSOR_DAYS} AS INT)
+           AS censored
+  FROM users CROSS JOIN horizon
+),
+per_t AS (
+  SELECT t_days, CAST(count(*) AS BIGINT) AS n_at_t,
+         CAST(sum(1 - censored) AS BIGINT) AS n_deaths,
+         CAST(sum(censored) AS BIGINT) AS n_censored
+  FROM lived GROUP BY 1
+),
+total AS (SELECT sum(n_at_t) AS n_total FROM per_t),
+risky AS (
+  SELECT t_days, n_deaths, n_censored,
+         CAST(n_total - coalesce(sum(n_at_t) OVER (
+           ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM per_t CROSS JOIN total
+),
+fp AS (
+  SELECT t_days, n_risk, n_deaths, n_censored,
+         CASE WHEN n_deaths > 0 THEN CAST(floor(1e6 * ln(
+           CAST(n_risk - n_deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+           AS BIGINT) ELSE CAST(0 AS BIGINT) END AS f_fp
+  FROM risky
+  WHERE n_risk > n_deaths
+)
+SELECT t_days, n_risk, n_deaths, n_censored,
+       CAST(sum(f_fp) OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED
+         PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0
+         AS log_survival
+FROM fp
+"""

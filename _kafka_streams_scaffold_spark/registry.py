@@ -50,7 +50,7 @@ mutual_information, ivm_join_revenue, quantized_ann_ndcg,
 hll_rolling_distinct, charset_profile, bootstrap_se,
 dsir_importance, fs_linkage_scores, calibration_audit,
 hll_distinct_rollup, basket_triples, zipf_fit,
-nb_lang_confusion, pii_redact) plus
+nb_lang_confusion, pii_redact, km_user_survival) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1371,6 +1371,11 @@ def _ensure_loaded() -> None:
     )
     register(
         "pii_redact", textops.pii_redact_query, textops.PII_REDACT_ORACLE
+    )
+    register(
+        "km_user_survival",
+        stats.km_user_survival_query,
+        stats.KM_USER_SURVIVAL_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

@@ -936,3 +936,66 @@ def test_pii_redact_known_spans(spark, monkeypatch):
     assert r1["redacted"].count("<NUM>") == 1
     r2 = out[2]
     assert r2["n_redacted"] == 0 and r2["redacted"] == rows[1].text
+
+
+# ---- km_user_survival -------------------------------------------------------
+
+
+def test_km_matches_textbook_estimator(spark, monkeypatch):
+    """Hand-built cohort with known deaths and censoring: the
+    log-survival curve must equal the textbook KM product computed in
+    python with the same fixed-point rule."""
+    import datetime
+
+    from _kafka_streams_scaffold_spark.operators import stats
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, day):
+        return Row(event_id=eid, ts=base + datetime.timedelta(days=day),
+                   user_id=uid, event_type="view", value=1.0, props="{}")
+
+    rows = []
+    eid = 0
+    # users 1-3: lifetime 2 days, last event day 2 (corpus ends day 30
+    # -> dead). user 4: lifetime 5 (dead). users 5-6: last event day
+    # 29 -> censored, lifetimes 29 and 10.
+    for uid, (f, l) in {1: (0, 2), 2: (0, 2), 3: (0, 2), 4: (0, 5),
+                        5: (0, 29), 6: (19, 29)}.items():
+        rows += [ev(eid, uid, f), ev(eid + 1, uid, l)]
+        eid += 2
+    rows.append(ev(eid, 7, 30))  # pins corpus end; lifetime 0, censored
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(stats.tables, "table", lambda *a: df)
+    got = {r["t_days"]: r for r in
+           stats.km_user_survival_query(spark, "_").collect()}
+
+    # python model: lifetimes {0:c, 2:d,d,d, 5:d, 10:c, 29:c}
+    lifetimes = [(0, 0), (2, 1), (2, 1), (2, 1), (5, 1), (10, 0),
+                 (29, 0)]
+    from collections import defaultdict
+    per_t = defaultdict(lambda: [0, 0])  # deaths, censored
+    for t, dead in lifetimes:
+        if dead:
+            per_t[t][0] += 1
+        else:
+            per_t[t][1] += 1
+    n = len(lifetimes)
+    seen = 0
+    cum = 0
+    want = {}
+    for t in sorted(per_t):
+        d, c = per_t[t]
+        n_risk = n - seen
+        seen += d + c
+        if n_risk > d:
+            if d > 0:
+                cum += math.floor(1e6 * math.log((n_risk - d) / n_risk))
+            want[t] = (n_risk, d, c, cum / 1e6)
+    assert set(got) == set(want)
+    for t, (n_risk, d, c, ls) in want.items():
+        r = got[t]
+        assert (r["n_risk"], r["n_deaths"], r["n_censored"]) == (n_risk,
+                                                                 d, c)
+        assert math.isclose(r["log_survival"], ls, rel_tol=0, abs_tol=0.0)
+        assert r["log_survival"] <= 0.0  # survival never exceeds 1

@@ -478,6 +478,14 @@ def main() -> None:
         "nb classifier (2 rollups + argmax)": lambda m: _with_docs(
             m, lambda: nb_mod.nb_lang_confusion_query(spark, SF_DIR)
         ),
+        "pii redact (per-row regexp)": lambda m: _with_docs(
+            m, lambda: textops.pii_redact_query(spark, SF_DIR)
+        ),
+        "km survival (user rollup + day frame)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: stats_mod.km_user_survival_query(spark, SF_DIR),
+        ),
         "quantized ann ndcg (3 searches)": lambda m: _with_table(
             "embeddings",
             embeddings(m),
