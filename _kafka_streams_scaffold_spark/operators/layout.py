@@ -190,3 +190,191 @@ SELECT source, n_docs, total_chars, target_files,
          AS docs_per_file
 FROM planned
 """
+
+
+# --------------------------------------------------------------------------
+# Zone-map skip audit: what each layout lets a reader NOT read
+# --------------------------------------------------------------------------
+
+SKIP_BUCKETS = 64  # files per simulated layout
+# the probe predicate: the middle decile box on both dimensions
+_BOX_LO_PCT, _BOX_HI_PCT = 45, 55
+
+
+def zone_map_skip_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(layout, n_buckets, buckets_scanned, rows_scanned, rows_matching):
+    the file-skipping effectiveness of three physical layouts of the
+    SAME orders table against one fixed two-dimensional range
+    predicate (the middle decile of custkey x the middle decile of
+    order day). Each layout cuts the table into SKIP_BUCKETS
+    "files"; a reader consults per-file min/max zone maps and scans
+    only files whose [min,max] box intersects the predicate box:
+
+    - ``natural``: insertion order (bucket by orderkey range) — zone
+      maps are useless for value predicates; expect ~all files read.
+    - ``custkey_sort``: single-column sort — prunes hard on custkey,
+      blind on day.
+    - ``zorder``: Morton interleave of both — prunes on BOTH, the
+      quantified version of zorder_layout's span argument.
+
+    rows_matching is identical across layouts (same predicate, same
+    data) — carrying it in the result makes the audit self-checking.
+    Everything is exact BIGINT bucket/bounds arithmetic; one scan
+    derives all three bucket ids per row and three SKIP_BUCKETS-sized
+    rollups + intersect flags produce the 3-row summary. At 100 TB
+    this is precisely the parquet row-group pruning story measured
+    instead of asserted."""
+    orders = tables.table(spark, sf_dir, "orders")
+    day = "cast(datediff(to_date(o_orderdate), DATE '1970-01-01') as bigint)"
+    base = orders.select(
+        F.col("o_orderkey").cast("bigint").alias("ok"),
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.expr(day).alias("dy"),
+    )
+    bounds = base.agg(
+        F.min("ok").alias("ok_lo"),
+        F.max("ok").alias("ok_hi"),
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("dy").alias("dy_lo"),
+        F.max("dy").alias("dy_hi"),
+    )
+    top = (1 << Z_BITS) - 1
+    xn = f"(ck - ck_lo) * {top} div greatest(cast(1 as bigint), ck_hi - ck_lo)"
+    yn = f"(dy - dy_lo) * {top} div greatest(cast(1 as bigint), dy_hi - dy_lo)"
+    z = _interleave(f"({xn})", f"({yn})", "spark")
+    zshift = 2 * Z_BITS - Z_PREFIX_BITS
+    nb = SKIP_BUCKETS
+
+    def rng(col: str, lo: str, hi: str) -> str:
+        return (
+            f"cast(least(cast({nb - 1} as bigint), ({col} - {lo}) * {nb}"
+            f" div greatest(cast(1 as bigint), {hi} - {lo} + 1)) as int)"
+        )
+
+    box = (
+        "ck >= ck_lo + (ck_hi - ck_lo) * {l} div 100 AND "
+        "ck <= ck_lo + (ck_hi - ck_lo) * {h} div 100 AND "
+        "dy >= dy_lo + (dy_hi - dy_lo) * {l} div 100 AND "
+        "dy <= dy_lo + (dy_hi - dy_lo) * {h} div 100"
+    ).format(l=_BOX_LO_PCT, h=_BOX_HI_PCT)
+    tagged = base.crossJoin(F.broadcast(bounds)).select(
+        "ck",
+        "dy",
+        F.expr(rng("ok", "ok_lo", "ok_hi")).alias("b_natural"),
+        F.expr(rng("ck", "ck_lo", "ck_hi")).alias("b_custkey_sort"),
+        F.expr(f"cast(shiftright({z}, {zshift}) as int)").alias("b_zorder"),
+        F.expr(f"cast(({box}) as int)").alias("hit"),
+        "ck_lo", "ck_hi", "dy_lo", "dy_hi",
+    )
+    intersects = (
+        "min_ck <= ck_lo + (ck_hi - ck_lo) * {h} div 100 AND "
+        "max_ck >= ck_lo + (ck_hi - ck_lo) * {l} div 100 AND "
+        "min_dy <= dy_lo + (dy_hi - dy_lo) * {h} div 100 AND "
+        "max_dy >= dy_lo + (dy_hi - dy_lo) * {l} div 100"
+    ).format(l=_BOX_LO_PCT, h=_BOX_HI_PCT)
+    parts = []
+    for layout in ("natural", "custkey_sort", "zorder"):
+        per_bucket = (
+            tagged.groupBy(F.col(f"b_{layout}").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("hit").cast("bigint").alias("n_hit"),
+                F.min("ck").alias("min_ck"),
+                F.max("ck").alias("max_ck"),
+                F.min("dy").alias("min_dy"),
+                F.max("dy").alias("max_dy"),
+            )
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                "n_rows",
+                "n_hit",
+                F.expr(f"cast(({intersects}) as int)").alias("scanned"),
+            )
+        )
+        parts.append(
+            per_bucket.agg(
+                F.lit(layout).alias("layout"),
+                F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+                F.sum("scanned").cast("bigint").alias("buckets_scanned"),
+                F.sum(F.col("scanned") * F.col("n_rows"))
+                .cast("bigint")
+                .alias("rows_scanned"),
+                F.sum("n_hit").cast("bigint").alias("rows_matching"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _skip_audit_oracle() -> str:
+    top = (1 << Z_BITS) - 1
+    xn = f"((ck - ck_lo) * {top} // greatest(CAST(1 AS BIGINT), ck_hi - ck_lo))"
+    yn = f"((dy - dy_lo) * {top} // greatest(CAST(1 AS BIGINT), dy_hi - dy_lo))"
+    z = _interleave(xn, yn, "duck")
+    zshift = 2 * Z_BITS - Z_PREFIX_BITS
+    nb = SKIP_BUCKETS
+
+    def rng(col: str, lo: str, hi: str) -> str:
+        return (
+            f"CAST(least(CAST({nb - 1} AS BIGINT), ({col} - {lo}) * {nb}"
+            f" // greatest(CAST(1 AS BIGINT), {hi} - {lo} + 1)) AS INT)"
+        )
+
+    box = (
+        "ck >= ck_lo + (ck_hi - ck_lo) * {l} // 100 AND "
+        "ck <= ck_lo + (ck_hi - ck_lo) * {h} // 100 AND "
+        "dy >= dy_lo + (dy_hi - dy_lo) * {l} // 100 AND "
+        "dy <= dy_lo + (dy_hi - dy_lo) * {h} // 100"
+    ).format(l=_BOX_LO_PCT, h=_BOX_HI_PCT)
+    intersects = (
+        "min_ck <= ck_lo + (ck_hi - ck_lo) * {h} // 100 AND "
+        "max_ck >= ck_lo + (ck_hi - ck_lo) * {l} // 100 AND "
+        "min_dy <= dy_lo + (dy_hi - dy_lo) * {h} // 100 AND "
+        "max_dy >= dy_lo + (dy_hi - dy_lo) * {l} // 100"
+    ).format(l=_BOX_LO_PCT, h=_BOX_HI_PCT)
+    selects = []
+    for layout, bexpr in (
+        ("natural", rng("ok", "ok_lo", "ok_hi")),
+        ("custkey_sort", rng("ck", "ck_lo", "ck_hi")),
+        ("zorder", f"CAST({z} >> {zshift} AS INT)"),
+    ):
+        selects.append(f"""
+SELECT '{layout}' AS layout,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(scanned) AS BIGINT) AS buckets_scanned,
+       CAST(sum(scanned * n_rows) AS BIGINT) AS rows_scanned,
+       CAST(sum(n_hit) AS BIGINT) AS rows_matching
+FROM (
+  SELECT n_rows, n_hit, CAST(({intersects}) AS INT) AS scanned
+  FROM (
+    SELECT {bexpr} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(({box}) AS INT)) AS BIGINT) AS n_hit,
+           min(ck) AS min_ck, max(ck) AS max_ck,
+           min(dy) AS min_dy, max(dy) AS max_dy
+    FROM base CROSS JOIN bounds
+    GROUP BY 1
+  ) CROSS JOIN bounds
+)""")
+    u = " UNION ALL ".join(selects)
+    return f"""
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS ok,
+         CAST(o_custkey AS BIGINT) AS ck,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dy
+  FROM orders
+),
+bounds AS (
+  SELECT min(ok) AS ok_lo, max(ok) AS ok_hi,
+         min(ck) AS ck_lo, max(ck) AS ck_hi,
+         min(dy) AS dy_lo, max(dy) AS dy_hi
+  FROM base
+)
+{u}
+"""
+
+
+ZONE_MAP_SKIP_AUDIT_ORACLE = _skip_audit_oracle()

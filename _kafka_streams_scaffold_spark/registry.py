@@ -50,7 +50,8 @@ mutual_information, ivm_join_revenue, quantized_ann_ndcg,
 hll_rolling_distinct, charset_profile, bootstrap_se,
 dsir_importance, fs_linkage_scores, calibration_audit,
 hll_distinct_rollup, basket_triples, zipf_fit,
-nb_lang_confusion, pii_redact, km_user_survival) plus
+nb_lang_confusion, pii_redact, km_user_survival,
+zone_map_skip_audit) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1376,6 +1377,13 @@ def _ensure_loaded() -> None:
         "km_user_survival",
         stats.km_user_survival_query,
         stats.KM_USER_SURVIVAL_ORACLE,
+    )
+    from .operators import layout as layout_mod
+
+    register(
+        "zone_map_skip_audit",
+        layout_mod.zone_map_skip_audit_query,
+        layout_mod.ZONE_MAP_SKIP_AUDIT_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

@@ -999,3 +999,27 @@ def test_km_matches_textbook_estimator(spark, monkeypatch):
                                                                  d, c)
         assert math.isclose(r["log_survival"], ls, rel_tol=0, abs_tol=0.0)
         assert r["log_survival"] <= 0.0  # survival never exceeds 1
+
+
+# ---- zone_map_skip_audit ----------------------------------------------------
+
+
+def test_zone_map_skip_ordering_and_self_check(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import layout
+
+    rows = {r["layout"]: r for r in
+            layout.zone_map_skip_audit_query(spark, sf_dir).collect()}
+    assert set(rows) == {"natural", "custkey_sort", "zorder"}
+    # same predicate, same data: identical matching mass everywhere
+    match = {r["rows_matching"] for r in rows.values()}
+    assert len(match) == 1
+    nat, ck, zo = (rows["natural"], rows["custkey_sort"], rows["zorder"])
+    # every scanned set must cover the matches
+    for r in rows.values():
+        assert r["rows_scanned"] >= r["rows_matching"]
+        assert r["buckets_scanned"] <= r["n_buckets"]
+    # the layout story: insertion order prunes nothing on a value
+    # predicate; a single-column sort prunes on one dimension; the
+    # interleave prunes on both
+    assert nat["rows_scanned"] > ck["rows_scanned"] > zo["rows_scanned"]
+    assert nat["buckets_scanned"] == nat["n_buckets"]

@@ -486,6 +486,11 @@ def main() -> None:
             unioned(spark, "events", m),
             lambda: stats_mod.km_user_survival_query(spark, SF_DIR),
         ),
+        "zone-map skip audit (3 layouts)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: layout_mod.zone_map_skip_audit_query(spark, SF_DIR),
+        ),
         "quantized ann ndcg (3 searches)": lambda m: _with_table(
             "embeddings",
             embeddings(m),
