@@ -763,3 +763,195 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
 FROM feats JOIN model USING (bucket)
 GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Leave-one-source-out ablation (complement-sum data valuation)
+# --------------------------------------------------------------------------
+
+
+def source_ablation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, token_share, kl_drop_vs_full, mean_chars_delta):
+    for every source, what REMOVING it does to the corpus — the
+    cheapest member of the data-valuation family (leave-one-out
+    without re-scanning per source): every leave-one-out statistic is
+    a COMPLEMENT of the full-corpus sums (total minus the source's own
+    partial sums), so one (source, token) rollup prices all |sources|
+    ablations at once.
+
+    - ``kl_drop_vs_full`` = KL(p_without_s || p_full) over the token
+      distribution: how far the corpus mixture shifts if s is cut.
+      High = the source carries distribution mass nothing else covers.
+    - ``mean_chars_delta`` = mean doc length of the REMAINDER minus
+      the full-corpus mean: the quality-proxy shift of the cut.
+    - ``token_share`` = the source's fraction of corpus tokens (its
+      removal cost in raw data terms).
+
+    Determinism: per-token KL terms are (c_w - c_sw) * floor(1e6 *
+    ln(((c_w - c_sw) * T) / (c_w * (T - T_s)))) — exact integer
+    weights times fixed-point logs, summed as exact integers; the two
+    divisions per source happen once on the aggregated sums. Tokens
+    exclusive to s contribute 0 (p_without = 0, the 0*ln0 limit, a
+    CASE on both engines); tokens s LACKS all share the constant
+    factor ln(T/(T-T_s)), so their whole contribution is the exact
+    closed form (T - cov_s) * floor(1e6*ln(T/(T-T_s))) — no per-token
+    pass over the complement vocabulary is ever needed.
+
+    Scale: ONE (source, token) rollup (the only corpus-sized shuffle,
+    partial-aggregated); per-token corpus counts derive from it;
+    per-source totals broadcast back; the KL reduction partial-
+    aggregates per source. |sources| never multiplies the scan."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    tok = docs.select(
+        "source", "n_chars", F.explode(tokens_expr()).alias("tok")
+    )
+    by_src_tok = _pin(
+        tok.groupBy("source", "tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_sw")
+        )
+    )
+    by_tok = by_src_tok.groupBy("tok").agg(
+        F.sum("c_sw").cast("bigint").alias("c_w")
+    )
+    by_src = by_src_tok.groupBy(F.col("source").alias("s2")).agg(
+        F.sum("c_sw").cast("bigint").alias("t_s")
+    )
+    total = by_tok.agg(F.sum("c_w").cast("bigint").alias("t_all"))
+    doc_stats = docs.groupBy(F.col("source").alias("s3")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_s"),
+    )
+    doc_total = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_all"),
+        F.sum("n_chars").cast("bigint").alias("chars_all"),
+    )
+    # Tokens the source HAS (c_sw > 0): per-token complement terms.
+    # Tokens it LACKS contribute c_w * ln(t_all / (t_all - t_s)) each
+    # — the SAME fixed-point factor — so their whole contribution is
+    # (t_all - cov_s) * that factor, where cov_s is the corpus mass of
+    # the source's own vocabulary. Both pieces are exact integers.
+    term = (
+        "case when c_w > c_sw then (c_w - c_sw) * cast(floor(1e6 * ln("
+        "(cast(c_w - c_sw as double) * cast(t_all as double))"
+        " / (cast(c_w as double) * cast(t_all - t_s as double))))"
+        " as bigint) else cast(0 as bigint) end"
+    )
+    missing_fp = (
+        "cast(floor(1e6 * ln(cast(t_all as double)"
+        " / cast(t_all - t_s as double))) as bigint)"
+    )
+    kl = (
+        by_src_tok.join(by_tok, "tok")
+        .join(F.broadcast(by_src), F.col("source") == F.col("s2"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("t_all") > F.col("t_s"))
+        .groupBy("source", "t_s", "t_all")
+        .agg(
+            F.sum(F.expr(term)).cast("decimal(38,0)").alias("kl_present"),
+            F.sum("c_w").cast("bigint").alias("cov_s"),
+        )
+        .select(
+            "source",
+            "t_s",
+            "t_all",
+            (
+                F.col("kl_present")
+                + (
+                    (F.col("t_all") - F.col("cov_s"))
+                    * F.expr(missing_fp)
+                ).cast("decimal(38,0)")
+            ).alias("kl_num"),
+        )
+    )
+    return (
+        kl.join(F.broadcast(doc_stats), F.col("source") == F.col("s3"))
+        .crossJoin(F.broadcast(doc_total))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("t_s").cast("double") / F.col("t_all").cast("double")
+            ).alias("token_share"),
+            (
+                F.col("kl_num").cast("double")
+                / (
+                    (F.col("t_all") - F.col("t_s")).cast("double")
+                    * F.lit(1000000.0)
+                )
+            ).alias("kl_drop_vs_full"),
+            (
+                (F.col("chars_all") - F.col("chars_s")).cast("double")
+                / (F.col("d_all") - F.col("n_docs")).cast("double")
+                - F.col("chars_all").cast("double")
+                / F.col("d_all").cast("double")
+            ).alias("mean_chars_delta"),
+        )
+    )
+
+
+BSLASH = chr(92)
+
+SOURCE_ABLATION_ORACLE = f"""
+WITH tokrows AS (
+  SELECT source, n_chars,
+         unnest(list_filter(string_split_regex(lower(text), '{BSLASH}W+'),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+by_src_tok AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c_sw
+  FROM tokrows GROUP BY 1, 2
+),
+by_tok AS (
+  SELECT tok, CAST(sum(c_sw) AS BIGINT) AS c_w FROM by_src_tok GROUP BY 1
+),
+by_src AS (
+  SELECT source AS s2, CAST(sum(c_sw) AS BIGINT) AS t_s
+  FROM by_src_tok GROUP BY 1
+),
+total AS (SELECT CAST(sum(c_w) AS BIGINT) AS t_all FROM by_tok),
+doc_stats AS (
+  SELECT source AS s3, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars_s
+  FROM documents GROUP BY 1
+),
+doc_total AS (
+  SELECT CAST(count(*) AS BIGINT) AS d_all,
+         CAST(sum(n_chars) AS BIGINT) AS chars_all
+  FROM documents
+),
+kl_parts AS (
+  SELECT source, t_s, t_all,
+         CAST(sum(CASE WHEN c_w > c_sw THEN
+           (c_w - c_sw) * CAST(floor(1e6 * ln(
+             (CAST(c_w - c_sw AS DOUBLE) * CAST(t_all AS DOUBLE))
+             / (CAST(c_w AS DOUBLE) * CAST(t_all - t_s AS DOUBLE))))
+             AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+           AS DECIMAL(38,0)) AS kl_present,
+         CAST(sum(c_w) AS BIGINT) AS cov_s
+  FROM by_src_tok
+  JOIN by_tok USING (tok)
+  JOIN by_src ON s2 = source
+  CROSS JOIN total
+  WHERE t_all > t_s
+  GROUP BY 1, 2, 3
+),
+kl AS (
+  SELECT source, t_s, t_all,
+         kl_present + CAST((t_all - cov_s) * CAST(floor(1e6 * ln(
+           CAST(t_all AS DOUBLE) / CAST(t_all - t_s AS DOUBLE)))
+           AS BIGINT) AS DECIMAL(38,0)) AS kl_num
+  FROM kl_parts
+)
+SELECT source, n_docs,
+       CAST(t_s AS DOUBLE) / CAST(t_all AS DOUBLE) AS token_share,
+       CAST(kl_num AS DOUBLE)
+         / (CAST(t_all - t_s AS DOUBLE) * 1000000.0) AS kl_drop_vs_full,
+       CAST(chars_all - chars_s AS DOUBLE)
+         / CAST(d_all - n_docs AS DOUBLE)
+       - CAST(chars_all AS DOUBLE) / CAST(d_all AS DOUBLE)
+         AS mean_chars_delta
+FROM kl
+JOIN doc_stats ON s3 = source
+CROSS JOIN doc_total
+"""

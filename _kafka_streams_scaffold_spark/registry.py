@@ -51,7 +51,7 @@ hll_rolling_distinct, charset_profile, bootstrap_se,
 dsir_importance, fs_linkage_scores, calibration_audit,
 hll_distinct_rollup, basket_triples, zipf_fit,
 nb_lang_confusion, pii_redact, km_user_survival,
-zone_map_skip_audit) plus
+zone_map_skip_audit, source_ablation) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1384,6 +1384,11 @@ def _ensure_loaded() -> None:
         "zone_map_skip_audit",
         layout_mod.zone_map_skip_audit_query,
         layout_mod.ZONE_MAP_SKIP_AUDIT_ORACLE,
+    )
+    register(
+        "source_ablation",
+        lm.source_ablation_query,
+        lm.SOURCE_ABLATION_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

@@ -1023,3 +1023,60 @@ def test_zone_map_skip_ordering_and_self_check(spark, sf_dir):
     # interleave prunes on both
     assert nat["rows_scanned"] > ck["rows_scanned"] > zo["rows_scanned"]
     assert nat["buckets_scanned"] == nat["n_buckets"]
+
+
+# ---- source_ablation --------------------------------------------------------
+
+
+def test_source_ablation_matches_python_complement_model(spark, monkeypatch):
+    from collections import Counter
+
+    from _kafka_streams_scaffold_spark.operators import lm
+
+    corp = {  # source -> docs
+        "a": ["x x y", "x z"],
+        "b": ["y y y z", "z z"],
+        "c": ["w w w w"],  # w is exclusive to c
+    }
+    rows, i = [], 0
+    for src, docs_ in corp.items():
+        for t in docs_:
+            rows.append(Row(doc_id=i, text=t, lang="en", source=src,
+                            n_chars=len(t)))
+            i += 1
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(lm.tables, "table", lambda *a: df)
+    got = {r["source"]: r for r in
+           lm.source_ablation_query(spark, "_").collect()}
+
+    toks_by_src = {
+        s: Counter(w for t in ds for w in t.split()) for s, ds in corp.items()
+    }
+    c_w = Counter()
+    for c in toks_by_src.values():
+        c_w.update(c)
+    t_all = sum(c_w.values())
+    for s, c_s in toks_by_src.items():
+        t_s = sum(c_s.values())
+        num = 0
+        cov = 0
+        for w, cw in c_w.items():
+            csw = c_s.get(w, 0)
+            if csw > 0:
+                cov += cw
+                if cw > csw:
+                    num += (cw - csw) * math.floor(1e6 * math.log(
+                        (float(cw - csw) * float(t_all))
+                        / (float(cw) * float(t_all - t_s))))
+        # tokens the source lacks: closed-form complement term
+        num += (t_all - cov) * math.floor(
+            1e6 * math.log(t_all / (t_all - t_s)))
+        want_kl = num / ((t_all - t_s) * 1e6)
+        r = got[s]
+        assert math.isclose(r["token_share"], t_s / t_all, rel_tol=1e-12)
+        assert math.isclose(r["kl_drop_vs_full"], want_kl, rel_tol=0,
+                            abs_tol=0.0)
+    # c owns all the 'w' mass: removing it shifts the corpus most
+    assert got["c"]["kl_drop_vs_full"] == max(
+        r["kl_drop_vs_full"] for r in got.values()
+    )

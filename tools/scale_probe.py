@@ -491,6 +491,9 @@ def main() -> None:
             unioned(spark, "orders", m),
             lambda: layout_mod.zone_map_skip_audit_query(spark, SF_DIR),
         ),
+        "source ablation (complement sums)": lambda m: _with_docs(
+            m, lambda: lm_mod.source_ablation_query(spark, SF_DIR)
+        ),
         "quantized ann ndcg (3 searches)": lambda m: _with_table(
             "embeddings",
             embeddings(m),
