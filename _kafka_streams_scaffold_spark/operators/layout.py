@@ -378,3 +378,110 @@ bounds AS (
 
 
 ZONE_MAP_SKIP_AUDIT_ORACLE = _skip_audit_oracle()
+
+
+# --------------------------------------------------------------------------
+# Rendezvous (HRW) resharding audit: minimal movement under growth
+# --------------------------------------------------------------------------
+
+HRW_SHARDS = 16  # fleet size before the resize
+HRW_GROWN = HRW_SHARDS + 1
+
+
+def _hrw_owner(n_shards: int, engine: str) -> str:
+    """Highest-random-weight owner of each doc among n_shards: the
+    argmax over shards of md5(doc_id | shard). Unrolled as a greatest
+    over per-shard scores with the shard id packed into the low bits
+    (score * n + shard), so the argmax needs ONE expression and ties
+    (md5 collisions, effectively impossible) break deterministically
+    toward the higher shard on both engines."""
+    terms = []
+    for s in range(n_shards):
+        if engine == "spark":
+            h = (
+                f"cast(conv(substring(md5(concat('hrw|', cast(doc_id as"
+                f" string), '|', '{s}')), 1, 13), 16, 10) as bigint)"
+            )
+        else:
+            h = (
+                f"CAST('0x' || substring(md5('hrw|' ||"
+                f" CAST(doc_id AS VARCHAR) || '|' || '{s}'), 1, 13)"
+                f" AS BIGINT)"
+            )
+        terms.append(f"{h} * {n_shards} + {s}")
+    g = "greatest(" + ", ".join(terms) + ")"
+    return f"({g} % {n_shards})"
+
+
+def rendezvous_reshard_audit_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_docs, n_moved, moved_share, max_shard_load, min_shard_load):
+    what growing a rendezvous-hashed (HRW, Thaler & Ravishankar '96)
+    fleet from HRW_SHARDS to HRW_SHARDS+1 moves. HRW's guarantee —
+    the reason consistent placement beats mod-N for elastic clusters —
+    is that a key moves ONLY if the new shard wins its rendezvous,
+    so the expected moved share is exactly 1/(N+1), versus mod-N
+    where virtually every key moves. The audit computes both owners
+    per doc in one codegen'd pass and reports the realized movement
+    plus the post-resize load spread (HRW is also load-balanced: the
+    max/min shard loads bracket the uniform share).
+
+    Everything is exact integer md5 arithmetic — the owner argmax is
+    a greatest() over per-shard scores with the shard id packed into
+    the low bits, one expression per row, no shuffle at all until the
+    final one-row aggregate. At 100 TB this is the audit you run
+    BEFORE a fleet resize to size the rebalance traffic."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    owners = docs.select(
+        F.expr(_hrw_owner(HRW_SHARDS, "spark")).alias("o_old"),
+        F.expr(_hrw_owner(HRW_GROWN, "spark")).alias("o_new"),
+    )
+    per_shard = owners.groupBy("o_new").agg(
+        F.count(F.lit(1)).cast("bigint").alias("load")
+    )
+    loads = per_shard.agg(
+        F.max("load").alias("max_shard_load"),
+        F.min("load").alias("min_shard_load"),
+    )
+    moved = owners.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("o_old") != F.col("o_new")).cast("int"))
+        .cast("bigint")
+        .alias("n_moved"),
+    )
+    return moved.crossJoin(F.broadcast(loads)).select(
+        "n_docs",
+        "n_moved",
+        (
+            F.col("n_moved").cast("double") / F.col("n_docs").cast("double")
+        ).alias("moved_share"),
+        "max_shard_load",
+        "min_shard_load",
+    )
+
+
+def _hrw_oracle() -> str:
+    return f"""
+WITH owners AS (
+  SELECT {_hrw_owner(HRW_SHARDS, "duck")} AS o_old,
+         {_hrw_owner(HRW_GROWN, "duck")} AS o_new
+  FROM documents
+),
+loads AS (
+  SELECT max(load) AS max_shard_load, min(load) AS min_shard_load
+  FROM (SELECT CAST(count(*) AS BIGINT) AS load FROM owners GROUP BY o_new)
+),
+moved AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(o_old <> o_new AS INT)) AS BIGINT) AS n_moved
+  FROM owners
+)
+SELECT n_docs, n_moved,
+       CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE) AS moved_share,
+       max_shard_load, min_shard_load
+FROM moved CROSS JOIN loads
+"""
+
+
+RENDEZVOUS_RESHARD_ORACLE = _hrw_oracle()

@@ -51,7 +51,8 @@ hll_rolling_distinct, charset_profile, bootstrap_se,
 dsir_importance, fs_linkage_scores, calibration_audit,
 hll_distinct_rollup, basket_triples, zipf_fit,
 nb_lang_confusion, pii_redact, km_user_survival,
-zone_map_skip_audit, source_ablation) plus
+zone_map_skip_audit, source_ablation,
+rendezvous_reshard_audit) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1389,6 +1390,11 @@ def _ensure_loaded() -> None:
         "source_ablation",
         lm.source_ablation_query,
         lm.SOURCE_ABLATION_ORACLE,
+    )
+    register(
+        "rendezvous_reshard_audit",
+        layout_mod.rendezvous_reshard_audit_query,
+        layout_mod.RENDEZVOUS_RESHARD_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

@@ -104,6 +104,7 @@ def test_window_clears_the_entire_certification_backlog():
         "km_user_survival",
         "zone_map_skip_audit",
         "source_ablation",
+        "rendezvous_reshard_audit",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

@@ -1080,3 +1080,43 @@ def test_source_ablation_matches_python_complement_model(spark, monkeypatch):
     assert got["c"]["kl_drop_vs_full"] == max(
         r["kl_drop_vs_full"] for r in got.values()
     )
+
+
+# ---- rendezvous_reshard_audit -----------------------------------------------
+
+
+def test_hrw_movement_is_exactly_the_new_shards_wins(spark, sf_dir):
+    """The HRW minimal-movement theorem, verified per doc in python:
+    a doc moves iff the ADDED shard wins its rendezvous; nothing ever
+    moves between surviving shards."""
+    import hashlib
+
+    from _kafka_streams_scaffold_spark import tables
+    from _kafka_streams_scaffold_spark.operators import layout
+
+    r = layout.rendezvous_reshard_audit_query(spark, sf_dir).collect()[0]
+    docs = [row["doc_id"] for row in
+            tables.table(spark, sf_dir, "documents")
+            .select("doc_id").collect()]
+
+    def score(doc_id, s):
+        h = int(hashlib.md5(f"hrw|{doc_id}|{s}".encode()).hexdigest()[:13],
+                16)
+        return h
+
+    moved = 0
+    for d in docs:
+        old_winner = max(range(layout.HRW_SHARDS),
+                         key=lambda s: (score(d, s), s))
+        new_winner = max(range(layout.HRW_GROWN),
+                         key=lambda s: (score(d, s), s))
+        if new_winner != old_winner:
+            # minimal-movement: the only possible new owner is the
+            # added shard
+            assert new_winner == layout.HRW_SHARDS
+            moved += 1
+    assert r["n_docs"] == len(docs)
+    assert r["n_moved"] == moved
+    # realized movement hovers near the theoretical 1/(N+1)
+    assert r["moved_share"] < 3.0 / layout.HRW_GROWN
+    assert r["max_shard_load"] >= r["min_shard_load"] >= 0

@@ -494,6 +494,10 @@ def main() -> None:
         "source ablation (complement sums)": lambda m: _with_docs(
             m, lambda: lm_mod.source_ablation_query(spark, SF_DIR)
         ),
+        "hrw reshard audit (codegen argmax)": lambda m: _with_docs(
+            m,
+            lambda: layout_mod.rendezvous_reshard_audit_query(spark, SF_DIR),
+        ),
         "quantized ann ndcg (3 searches)": lambda m: _with_table(
             "embeddings",
             embeddings(m),
