@@ -1713,3 +1713,110 @@ SELECT c.from_type,
 FROM counts c JOIN marg m ON m.from_type = c.from_type
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Top session paths (ordered behavioral sequences)
+# --------------------------------------------------------------------------
+
+PATH_LEN = 5  # leading events kept per session
+TOP_PATHS = 20
+
+
+def top_session_paths_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, n_sessions, n_users): the TOP_PATHS most common session
+    OPENINGS — each session's first PATH_LEN event types joined in
+    order — the path-analysis readout behind "how do journeys that
+    convert start?". Builds on the same gaps-and-islands
+    sessionization as user_sessions; the path is assembled from the
+    per-session leading events only (rank-filtered BEFORE any
+    collection, so the collected list is <= PATH_LEN items however
+    long the session).
+
+    Determinism: event order inside a session is the total (ts,
+    event_id) order; the final top-k orders by (n_sessions DESC,
+    path) — a total order, so the limit boundary is identical
+    cross-engine.
+
+    Scale: one shuffle to (user_id)-partitioned windows (session ids
+    + in-session ranks in the same sort), a per-session rollup that
+    partial-aggregates <= PATH_LEN-item lists, a path-keyed count
+    rollup (path strings are bounded at PATH_LEN type names), and a
+    TakeOrdered top-k. No self-joins, no unbounded collect."""
+    ev = tables.table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    new_session = (
+        F.unix_micros(F.col("ts"))
+        - F.lag(F.unix_micros(F.col("ts"))).over(order)
+        > gap_us
+    ).cast("int")
+    sess_id = F.sum(F.coalesce(new_session, F.lit(0))).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = ev.withColumn("session_id", sess_id).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy(
+                "ts", "event_id"
+            )
+        ),
+    )
+    paths = (
+        ranked.filter(F.col("rn") <= PATH_LEN)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(rn, "
+                       "event_type))), x -> x.event_type)"),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(TOP_PATHS)
+    )
+
+
+TOP_SESSION_PATHS_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_MINUTES * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT user_id, event_id, event_type,
+               CAST(ts AS TIMESTAMP) AS ts FROM events)
+),
+sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+),
+ranked AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn
+  FROM sessions
+),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string(list(event_type ORDER BY rn), '>') AS path
+  FROM ranked WHERE rn <= {PATH_LEN}
+  GROUP BY user_id, session_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {TOP_PATHS}
+"""

@@ -52,7 +52,7 @@ dsir_importance, fs_linkage_scores, calibration_audit,
 hll_distinct_rollup, basket_triples, zipf_fit,
 nb_lang_confusion, pii_redact, km_user_survival,
 zone_map_skip_audit, source_ablation,
-rendezvous_reshard_audit) plus
+rendezvous_reshard_audit, top_session_paths) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1395,6 +1395,11 @@ def _ensure_loaded() -> None:
         "rendezvous_reshard_audit",
         layout_mod.rendezvous_reshard_audit_query,
         layout_mod.RENDEZVOUS_RESHARD_ORACLE,
+    )
+    register(
+        "top_session_paths",
+        an.top_session_paths_query,
+        an.TOP_SESSION_PATHS_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

@@ -1120,3 +1120,38 @@ def test_hrw_movement_is_exactly_the_new_shards_wins(spark, sf_dir):
     # realized movement hovers near the theoretical 1/(N+1)
     assert r["moved_share"] < 3.0 / layout.HRW_GROWN
     assert r["max_shard_load"] >= r["min_shard_load"] >= 0
+
+
+# ---- top_session_paths ------------------------------------------------------
+
+
+def test_session_paths_known_journeys(spark, monkeypatch):
+    import datetime
+
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minute, et):
+        return Row(event_id=eid, ts=base + datetime.timedelta(minutes=minute),
+                   user_id=uid, event_type=et, value=1.0, props="{}")
+
+    rows = [
+        # user 1, session 1: view > click > purchase
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "click"), ev(3, 1, 10, "purchase"),
+        # user 1, session 2 (>30 min gap): view > click > purchase again
+        ev(4, 1, 60, "view"), ev(5, 1, 62, "click"), ev(6, 1, 64, "purchase"),
+        # user 2: same journey once
+        ev(7, 2, 0, "view"), ev(8, 2, 1, "click"), ev(9, 2, 2, "purchase"),
+        # user 3: a long session -> only the first PATH_LEN events count
+        *[ev(10 + i, 3, i, "view") for i in range(analytics.PATH_LEN + 3)],
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(analytics.tables, "table", lambda *a: df)
+    got = {r["path"]: r for r in
+           analytics.top_session_paths_query(spark, "_").collect()}
+    assert got["view>click>purchase"]["n_sessions"] == 3
+    assert got["view>click>purchase"]["n_users"] == 2
+    long_path = ">".join(["view"] * analytics.PATH_LEN)
+    assert got[long_path]["n_sessions"] == 1  # truncated at PATH_LEN
+    assert len(got) == 2
