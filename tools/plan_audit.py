@@ -901,6 +901,49 @@ AUDIT = [
         "TakeOrdered (per-partition partial top-k); the one single-"
         "partition window is over the constant <=1000-row head.",
     ),
+    (
+        "nb_lang_confusion",
+        "Training is two partial-aggregatable rollups to a constant "
+        "|labels| x buckets model (broadcast); scoring fans each test "
+        "token |labels| ways against it map-side; the argmax window "
+        "partitions per doc.",
+    ),
+    (
+        "pii_redact",
+        "Pure per-row regexp codegen — no shuffle, no UDF; the "
+        "transform runs where each document lives.",
+    ),
+    (
+        "km_user_survival",
+        "One partial-aggregatable per-user first/last rollup is the "
+        "only corpus-sized stage; the KM cumsum windows run on the "
+        "lifetime-day frame (bounded by the time span, not by "
+        "users).",
+    ),
+    (
+        "zone_map_skip_audit",
+        "One scan derives all three layouts' bucket ids (exact BIGINT "
+        "arithmetic over a broadcast one-row bounds frame); three "
+        "64-row rollups + intersect flags produce the summary.",
+    ),
+    (
+        "source_ablation",
+        "One (source, token) rollup prices all |sources| ablations: "
+        "complement sums + an exact closed form for the tokens a "
+        "source lacks — no per-source corpus re-scan.",
+    ),
+    (
+        "rendezvous_reshard_audit",
+        "Both HRW owners compute as one codegen'd greatest() per row; "
+        "the only shuffles are the shard-load rollup and the one-row "
+        "movement aggregate.",
+    ),
+    (
+        "top_session_paths",
+        "Session ids and in-session ranks share one user-partitioned "
+        "sort; leading events are rank-filtered BEFORE collection "
+        "(<= PATH_LEN items per list); top-k is TakeOrdered.",
+    ),
 ]
 
 
