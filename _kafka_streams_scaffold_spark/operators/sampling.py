@@ -783,3 +783,94 @@ FROM cum CROSS JOIN total
 WHERE (({SYS_SAMPLE_K} * cum + tw - 1) // tw)
       - (({SYS_SAMPLE_K} * (cum - w) + tw - 1) // tw) > 0
 """
+
+
+# --------------------------------------------------------------------------
+# Batch mixture audit over the interleaved epoch order
+# --------------------------------------------------------------------------
+
+BATCH_DOCS = 64  # training micro-batch size the audit simulates
+
+
+def batch_mix_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(batch, n_docs, n_sources, mix_entropy): cut the DETERMINISTIC
+    epoch order (epoch_interleave's global_pos) into consecutive
+    BATCH_DOCS-document training batches and report each batch's
+    source-mixture entropy — the "is every batch a faithful sample of
+    the blend?" audit a data-order pipeline runs before shipping
+    shards (a low-entropy batch means the reader sees source-blocked
+    data: correlated gradients, the failure interleaving exists to
+    prevent). Round-robin interleaving should hold every full batch's
+    entropy near the corpus blend's; ragged tail batches may dip.
+
+    Determinism: entropy is the exact-integer form
+    sum_s c_s * floor(1e6 * ln(n_b / c_s)) / (n_b * 1e6) on exact
+    counts — nats, fixed-point, cross-engine bit-stable.
+
+    Scale: global_pos is closed-form arithmetic (no global sort —
+    epoch_interleave's contract), so the batch id is a map-side div;
+    one (batch, source) rollup + a batch-keyed entropy fold. Batches
+    = corpus/BATCH_DOCS rows, never wider."""
+    order = epoch_interleave_query(spark, sf_dir).select(
+        F.expr(f"(global_pos - 1) div {BATCH_DOCS}").alias("batch"),
+        "source",
+    )
+    per = order.groupBy("batch", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = per.groupBy(F.col("batch").alias("b2")).agg(
+        F.sum("c").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    term = (
+        F.col("c")
+        * F.expr(
+            "cast(floor(1e6 * ln(cast(n_b as double)"
+            " / cast(c as double))) as bigint)"
+        )
+    ).alias("term")
+    return (
+        per.join(tot, F.col("batch") == F.col("b2"))
+        .select("batch", "n_b", "n_sources", term)
+        .groupBy("batch", "n_b", "n_sources")
+        .agg(F.sum("term").cast("bigint").alias("ent_num"))
+        .select(
+            "batch",
+            F.col("n_b").alias("n_docs"),
+            "n_sources",
+            (
+                F.col("ent_num").cast("double")
+                / (F.col("n_b") * F.lit(1000000)).cast("double")
+            ).alias("mix_entropy"),
+        )
+    )
+
+
+def _batch_mix_oracle() -> str:
+    epoch = _epoch_interleave_oracle()
+    return f"""
+WITH epoch AS (
+{epoch}
+),
+batched AS (
+  SELECT (global_pos - 1) // {BATCH_DOCS} AS batch, source FROM epoch
+),
+per AS (
+  SELECT batch, source, CAST(count(*) AS BIGINT) AS c
+  FROM batched GROUP BY 1, 2
+),
+tot AS (
+  SELECT batch, CAST(sum(c) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per GROUP BY 1
+)
+SELECT p.batch, t.n_b AS n_docs, t.n_sources,
+       CAST(sum(p.c * CAST(floor(1e6 * ln(CAST(t.n_b AS DOUBLE)
+            / CAST(p.c AS DOUBLE))) AS BIGINT)) AS DOUBLE)
+         / (CAST(t.n_b AS DOUBLE) * 1000000.0) AS mix_entropy
+FROM per p JOIN tot t ON t.batch = p.batch
+GROUP BY p.batch, t.n_b, t.n_sources
+"""
+
+
+BATCH_MIX_ORACLE = _batch_mix_oracle()

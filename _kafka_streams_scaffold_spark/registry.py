@@ -52,7 +52,7 @@ dsir_importance, fs_linkage_scores, calibration_audit,
 hll_distinct_rollup, basket_triples, zipf_fit,
 nb_lang_confusion, pii_redact, km_user_survival,
 zone_map_skip_audit, source_ablation,
-rendezvous_reshard_audit, top_session_paths) plus
+rendezvous_reshard_audit, top_session_paths, batch_mix_audit) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1400,6 +1400,11 @@ def _ensure_loaded() -> None:
         "top_session_paths",
         an.top_session_paths_query,
         an.TOP_SESSION_PATHS_ORACLE,
+    )
+    register(
+        "batch_mix_audit",
+        sampling.batch_mix_audit_query,
+        sampling.BATCH_MIX_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

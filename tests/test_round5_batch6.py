@@ -1155,3 +1155,34 @@ def test_session_paths_known_journeys(spark, monkeypatch):
     long_path = ">".join(["view"] * analytics.PATH_LEN)
     assert got[long_path]["n_sessions"] == 1  # truncated at PATH_LEN
     assert len(got) == 2
+
+
+# ---- batch_mix_audit --------------------------------------------------------
+
+
+def test_batch_mix_full_batches_hold_blend_entropy(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import sampling
+
+    rows = sampling.batch_mix_audit_query(spark, sf_dir).collect()
+    assert rows
+    full = [r for r in rows if r["n_docs"] == sampling.BATCH_DOCS]
+    assert full, "no full batch at this sf"
+    for r in full:
+        # round-robin interleave of a 20-source blend: every full
+        # batch must hold a well-mixed composition (entropy within
+        # ~10% of the uniform ceiling for its source count)
+        ceiling = math.log(r["n_sources"])
+        assert r["mix_entropy"] > 0.9 * ceiling
+        assert r["mix_entropy"] <= ceiling + 1e-9
+    # entropy is in nats of exact-integer fixed point: recompute one
+    # batch by hand from the interleave order
+    order = {r2["doc_id"]: (r2["global_pos"], r2["source"]) for r2 in
+             sampling.epoch_interleave_query(spark, sf_dir).collect()}
+    from collections import Counter
+    b0 = Counter(src for pos, src in order.values()
+                 if (pos - 1) // sampling.BATCH_DOCS == 0)
+    n_b = sum(b0.values())
+    want = sum(c * math.floor(1e6 * math.log(n_b / c))
+               for c in b0.values()) / (n_b * 1e6)
+    got0 = next(r for r in rows if r["batch"] == 0)
+    assert math.isclose(got0["mix_entropy"], want, rel_tol=0, abs_tol=0.0)
