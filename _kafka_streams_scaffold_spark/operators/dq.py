@@ -1023,3 +1023,103 @@ FROM counts
 
 
 DP_LAPLACE_COUNTS_ORACLE = _dp_oracle()
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency audit (profiling-grade FD discovery)
+# --------------------------------------------------------------------------
+
+# Candidate lhs -> rhs dependencies over the orders x customer join:
+# two that must HOLD (the join key determines the joined attribute;
+# a key determines everything) and two that must FAIL (segments span
+# nations; priorities span statuses) — the audit proves the mechanism
+# in both directions.
+_FD_CANDIDATES = (
+    ("o_custkey", "c_mktsegment"),
+    ("o_orderkey", "o_orderpriority"),
+    ("c_mktsegment", "c_nationkey"),
+    ("o_orderpriority", "o_orderstatus"),
+)
+
+
+def fd_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lhs, rhs, n_lhs_values, n_violating, holds): TANE-style
+    functional-dependency check for each candidate lhs -> rhs over
+    orders joined to customer — the schema-discovery profiling step
+    that tells a pipeline which columns are safe normalization /
+    partitioning keys. A dependency holds iff no lhs value maps to
+    more than one distinct rhs value; n_violating counts the lhs
+    values that break it (the repair worklist, not just a boolean).
+
+    Scale: each candidate is ONE (lhs, rhs) distinct-pair rollup
+    followed by a lhs-keyed count — both partial-aggregatable,
+    payload bounded by the attribute domain, never the fact table.
+    All candidates share the single join-projection scan; output is
+    |candidates| rows."""
+    orders = tables.table(spark, sf_dir, "orders")
+    cust = tables.table(spark, sf_dir, "customer")
+    base = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    parts = []
+    for lhs, rhs in _FD_CANDIDATES:
+        pairs = base.select(
+            F.col(lhs).cast("string").alias("l"),
+            F.col(rhs).cast("string").alias("r"),
+        ).distinct()
+        per_lhs = pairs.groupBy("l").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rhs")
+        )
+        parts.append(
+            per_lhs.agg(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs_values"),
+                F.sum((F.col("n_rhs") > 1).cast("int"))
+                .cast("bigint")
+                .alias("n_violating"),
+                (F.sum((F.col("n_rhs") > 1).cast("int")) == 0).alias(
+                    "holds"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _fd_oracle() -> str:
+    selects = []
+    for lhs, rhs in _FD_CANDIDATES:
+        selects.append(f"""
+SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_lhs_values,
+       CAST(sum(CAST(n_rhs > 1 AS INT)) AS BIGINT) AS n_violating,
+       sum(CAST(n_rhs > 1 AS INT)) = 0 AS holds
+FROM (
+  SELECT l, CAST(count(*) AS BIGINT) AS n_rhs FROM (
+    SELECT DISTINCT CAST({lhs} AS VARCHAR) AS l,
+                    CAST({rhs} AS VARCHAR) AS r
+    FROM base
+  ) GROUP BY l
+)""")
+    u = " UNION ALL ".join(selects)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus,
+         c_mktsegment, c_nationkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+{u}
+"""
+
+
+FD_AUDIT_ORACLE = _fd_oracle()

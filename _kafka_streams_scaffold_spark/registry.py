@@ -52,7 +52,8 @@ dsir_importance, fs_linkage_scores, calibration_audit,
 hll_distinct_rollup, basket_triples, zipf_fit,
 nb_lang_confusion, pii_redact, km_user_survival,
 zone_map_skip_audit, source_ablation,
-rendezvous_reshard_audit, top_session_paths, batch_mix_audit) plus
+rendezvous_reshard_audit, top_session_paths, batch_mix_audit,
+fd_audit) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1406,6 +1407,7 @@ def _ensure_loaded() -> None:
         sampling.batch_mix_audit_query,
         sampling.BATCH_MIX_ORACLE,
     )
+    register("fd_audit", dq.fd_audit_query, dq.FD_AUDIT_ORACLE)
 
     _apply_window(_WINDOW_R05)
     _LOADED = True

@@ -107,6 +107,7 @@ def test_window_clears_the_entire_certification_backlog():
         "rendezvous_reshard_audit",
         "top_session_paths",
         "batch_mix_audit",
+        "fd_audit",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

@@ -1186,3 +1186,43 @@ def test_batch_mix_full_batches_hold_blend_entropy(spark, sf_dir):
                for c in b0.values()) / (n_b * 1e6)
     got0 = next(r for r in rows if r["batch"] == 0)
     assert math.isclose(got0["mix_entropy"], want, rel_tol=0, abs_tol=0.0)
+
+
+# ---- fd_audit ---------------------------------------------------------------
+
+
+def test_fd_audit_engineered_violation(spark, monkeypatch):
+    """A hand-built frame where one dependency holds and its reverse
+    fails, with the violating lhs count pinned exactly."""
+    import datetime
+
+    from _kafka_streams_scaffold_spark.operators import dq
+
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=i, o_custkey=i % 3,
+             o_orderstatus="O" if i % 2 else "F",
+             o_totalprice=1.0, o_orderdate=datetime.datetime(2024, 1, 1),
+             o_orderpriority=f"p{i % 4}")
+         for i in range(12)]
+    )
+    cust = spark.createDataFrame(
+        [Row(c_custkey=c, c_name=f"c{c}", c_nationkey=c,  # key -> nation
+             c_acctbal=0.0, c_mktsegment="SEG")  # one segment, 3 nations
+         for c in range(3)]
+    )
+    real = dq.tables.table
+
+    def fake(spark_, sf, name):
+        return {"orders": orders, "customer": cust}[name]
+
+    monkeypatch.setattr(dq.tables, "table", fake)
+    rows = {(r["lhs"], r["rhs"]): r for r in
+            dq.fd_audit_query(spark, "_").collect()}
+    # custkey -> segment holds (every custkey maps to the one segment)
+    assert rows[("o_custkey", "c_mktsegment")]["holds"]
+    # segment -> nation fails: the single segment maps to 3 nations
+    seg = rows[("c_mktsegment", "c_nationkey")]
+    assert not seg["holds"] and seg["n_violating"] == 1
+    assert seg["n_lhs_values"] == 1
+    # orderkey is a key: determines priority trivially
+    assert rows[("o_orderkey", "o_orderpriority")]["holds"]
