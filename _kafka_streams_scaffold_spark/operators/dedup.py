@@ -2004,3 +2004,135 @@ FROM (
 
 
 BLOCKING_RECALL_AUDIT_ORACLE = _blocking_recall_oracle()
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa between detector tiers (chance-corrected agreement)
+# --------------------------------------------------------------------------
+
+
+def detector_kappa_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, flagged_minhash, flagged_simhash, flagged_both,
+    observed_agreement, expected_agreement, kappa): Cohen's kappa
+    between the MinHash-LSH and SimHash detectors on the PER-DOCUMENT
+    "is flagged as a near-duplicate" decision — the chance-corrected
+    completion of dedup_tier_agreement's raw overlap counts: when
+    duplicates are rare, two detectors agree on almost every document
+    by saying "clean" alone, so raw agreement is always high; kappa
+    discounts exactly that base-rate inflation and reports how much
+    the detectors agree BEYOND chance.
+
+    All counts are exact integers from the pinned pair sets (a doc is
+    flagged iff it appears on either side of any emitted pair); the
+    po/pe/kappa ratios are three final double divisions with a
+    guarded degenerate branch (pe = 1 when either detector is
+    constant — kappa undefined, reported NULL identically on both
+    engines).
+
+    Scale: flag derivation is two id-width pair-set projections +
+    semi-join-style distincts; the contingency table is one scan of
+    the doc ids with two broadcast membership joins — nothing
+    pair-quadratic beyond the detectors themselves (shared pins)."""
+    docs = tables.table(spark, sf_dir, "documents").select("doc_id")
+    _shingle_table(tables.table(spark, sf_dir, "documents"))
+
+    def flags(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+
+    mh = flags(minhash_lsh_pairs_query(spark, sf_dir)).withColumn(
+        "f_mh", F.lit(1)
+    )
+    sh = flags(simhash_pairs_query(spark, sf_dir)).withColumn(
+        "f_sh", F.lit(1)
+    )
+    tab = (
+        docs.join(F.broadcast(mh), "doc_id", "left")
+        .join(F.broadcast(sh), "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("f_mh", F.lit(0))).cast("bigint").alias("a"),
+            F.sum(F.coalesce("f_sh", F.lit(0))).cast("bigint").alias("b"),
+            F.sum(
+                F.coalesce("f_mh", F.lit(0)) * F.coalesce("f_sh", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("both"),
+        )
+    )
+    n = F.col("n_docs").cast("double")
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    both = F.col("both").cast("double")
+    po = (both + (n - a - b + both)) / n
+    pe = (a * b + (n - a) * (n - b)) / (n * n)
+    return tab.select(
+        "n_docs",
+        F.col("a").alias("flagged_minhash"),
+        F.col("b").alias("flagged_simhash"),
+        F.col("both").alias("flagged_both"),
+        po.alias("observed_agreement"),
+        pe.alias("expected_agreement"),
+        F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+DETECTOR_KAPPA_ORACLE = f"""
+WITH mh_pairs AS (
+{MINHASH_LSH_ORACLE}
+),
+sh_pairs AS (
+{SIMHASH_PAIRS_ORACLE}
+),
+mh AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM mh_pairs
+    UNION ALL SELECT doc_b FROM mh_pairs
+  )
+),
+sh AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM sh_pairs
+    UNION ALL SELECT doc_b FROM sh_pairs
+  )
+),
+tab AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(sum(CASE WHEN m.doc_id IS NOT NULL AND s.doc_id IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM documents d
+  LEFT JOIN mh m ON m.doc_id = d.doc_id
+  LEFT JOIN sh s ON s.doc_id = d.doc_id
+)
+SELECT n_docs, a AS flagged_minhash, b AS flagged_simhash,
+       n_both AS flagged_both,
+       (CAST(n_both AS DOUBLE) + (CAST(n_docs AS DOUBLE) - a - b + n_both))
+         / CAST(n_docs AS DOUBLE) AS observed_agreement,
+       (CAST(a AS DOUBLE) * b + (CAST(n_docs AS DOUBLE) - a)
+          * (CAST(n_docs AS DOUBLE) - b))
+         / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+         AS expected_agreement,
+       CASE WHEN (CAST(a AS DOUBLE) * b + (CAST(n_docs AS DOUBLE) - a)
+                    * (CAST(n_docs AS DOUBLE) - b))
+                 / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) < 1.0
+            THEN ((CAST(n_both AS DOUBLE)
+                   + (CAST(n_docs AS DOUBLE) - a - b + n_both))
+                    / CAST(n_docs AS DOUBLE)
+                  - (CAST(a AS DOUBLE) * b + (CAST(n_docs AS DOUBLE) - a)
+                       * (CAST(n_docs AS DOUBLE) - b))
+                    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                 / (1.0 - (CAST(a AS DOUBLE) * b
+                           + (CAST(n_docs AS DOUBLE) - a)
+                             * (CAST(n_docs AS DOUBLE) - b))
+                          / (CAST(n_docs AS DOUBLE)
+                             * CAST(n_docs AS DOUBLE)))
+            END AS kappa
+FROM tab
+"""

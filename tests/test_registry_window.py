@@ -108,6 +108,7 @@ def test_window_clears_the_entire_certification_backlog():
         "top_session_paths",
         "batch_mix_audit",
         "fd_audit",
+        "detector_kappa",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

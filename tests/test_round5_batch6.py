@@ -1226,3 +1226,40 @@ def test_fd_audit_engineered_violation(spark, monkeypatch):
     assert seg["n_lhs_values"] == 1
     # orderkey is a key: determines priority trivially
     assert rows[("o_orderkey", "o_orderpriority")]["holds"]
+
+
+# ---- detector_kappa ---------------------------------------------------------
+
+
+def test_kappa_perfect_agreement_on_exact_twins(spark, monkeypatch):
+    """Identical docs are caught by BOTH detectors; everything else is
+    clean for both -> po = 1, kappa = 1 exactly."""
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    twin = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet colors rainbow sky",
+    ]
+    rows = [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in enumerate([twin, twin] + uniq)]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(dedup.tables, "table", lambda *a: df)
+    r = dedup.detector_kappa_query(spark, "_").collect()[0]
+    assert r["flagged_minhash"] == r["flagged_simhash"] == 2
+    assert r["flagged_both"] == 2
+    assert r["observed_agreement"] == 1.0
+    assert math.isclose(r["kappa"], 1.0, rel_tol=1e-12)
+
+
+def test_kappa_bounds_on_corpus(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    r = dedup.detector_kappa_query(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["observed_agreement"] <= 1.0
+    assert 0.0 <= r["expected_agreement"] <= 1.0
+    if r["kappa"] is not None:
+        assert -1.0 <= r["kappa"] <= 1.0
+    assert r["flagged_both"] <= min(r["flagged_minhash"],
+                                    r["flagged_simhash"])
