@@ -944,6 +944,24 @@ AUDIT = [
         "sort; leading events are rank-filtered BEFORE collection "
         "(<= PATH_LEN items per list); top-k is TakeOrdered.",
     ),
+    (
+        "batch_mix_audit",
+        "Batch id is a map-side div of epoch_interleave's closed-form "
+        "position (no global sort anywhere); one (batch, source) "
+        "rollup + a batch-keyed exact-integer entropy fold.",
+    ),
+    (
+        "fd_audit",
+        "Each candidate FD is one distinct-pair rollup + an lhs-keyed "
+        "count, payload bounded by the attribute domain; all "
+        "candidates share the single join-projection scan.",
+    ),
+    (
+        "detector_kappa",
+        "Flag derivation is two id-width pair-set distincts off the "
+        "shared pins; the contingency table is one scan with two "
+        "broadcast membership joins.",
+    ),
 ]
 
 
