@@ -874,3 +874,134 @@ GROUP BY p.batch, t.n_b, t.n_sources
 
 
 BATCH_MIX_ORACLE = _batch_mix_oracle()
+
+
+# --------------------------------------------------------------------------
+# Horvitz-Thompson estimation audit over the systematic sample
+# --------------------------------------------------------------------------
+
+
+def ht_estimate_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k_points, n_sampled_docs, true_total_tokens, ht_estimate,
+    rel_err): estimate the corpus TOKEN total from the systematic
+    CHARACTER-weighted sample via the Horvitz-Thompson correction —
+    the loop-closing audit of the sampling tier: a sample is only
+    useful if statistics computed FROM it (with the right inverse-
+    propensity weights) reproduce corpus truth, and this operator
+    measures exactly that. Each selected doc contributes
+    multiplicity * (tokens/chars) * W/K — the HT estimator for a
+    size-biased systematic design — and rel_err puts the estimate
+    against the exact scan total it would replace at 100 TB (where
+    you keep the estimate and drop the scan).
+
+    Determinism: the per-doc token/char ratio fixes to
+    floor(1e6 * tokens/chars) (one correctly-rounded division, then
+    an exact integer), so the weighted sum is exact-integer in
+    DECIMAL(38,0); the estimate applies W/(K*1e6) once at the end.
+    The small fixed-point bias is part of the (hash-checked)
+    estimator definition.
+
+    Scale: rides the systematic sample's two-pass cumsum (no global
+    window); the estimation pass touches only selected docs and the
+    exact total is one partial-aggregatable sum. Output is one row."""
+    sample = systematic_weighted_sample_query(spark, sf_dir)
+    docs = tables.table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("chars"),
+        F.size(F.expr(_SPARK_TOKS_SAMPLING)).cast("bigint").alias("toks"),
+    )
+    total = docs.agg(
+        F.sum("toks").cast("bigint").alias("true_total_tokens"),
+        F.sum("chars").cast("bigint").alias("tw"),
+    )
+    est = (
+        sample.join(docs, "doc_id")
+        .select(
+            (
+                F.col("multiplicity")
+                * F.expr(
+                    "cast(floor(1e6 * cast(toks as double)"
+                    " / cast(chars as double)) as bigint)"
+                )
+            ).alias("term"),
+            F.lit(1).alias("one"),
+        )
+        .agg(
+            F.sum("term").cast("decimal(38,0)").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled_docs"),
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            F.lit(SYS_SAMPLE_K).cast("bigint").alias("k_points"),
+            "n_sampled_docs",
+            "true_total_tokens",
+            F.expr(
+                f"cast(s as double) * cast(tw as double)"
+                f" / ({SYS_SAMPLE_K}.0d * 1000000.0d)"
+            ).alias("ht_estimate"),
+            F.expr(
+                f"abs(cast(s as double) * cast(tw as double)"
+                f" / ({SYS_SAMPLE_K}.0d * 1000000.0d)"
+                f" - cast(true_total_tokens as double))"
+                f" / cast(true_total_tokens as double)"
+            ).alias("rel_err"),
+        )
+    )
+
+
+_SPARK_TOKS_SAMPLING = (
+    r"filter(split(lower(text), '\\W+'), x -> x != '')"
+)
+
+
+HT_ESTIMATE_AUDIT_ORACLE = f"""
+WITH cum AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum
+  FROM documents
+),
+totalw AS (
+  SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents
+  HAVING sum(n_chars) > 0
+),
+sample AS (
+  SELECT doc_id,
+         CAST((({SYS_SAMPLE_K} * cum + tw - 1) // tw)
+              - (({SYS_SAMPLE_K} * (cum - w) + tw - 1) // tw)
+           AS BIGINT) AS multiplicity
+  FROM cum CROSS JOIN totalw
+  WHERE (({SYS_SAMPLE_K} * cum + tw - 1) // tw)
+        - (({SYS_SAMPLE_K} * (cum - w) + tw - 1) // tw) > 0
+),
+stats AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS chars,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+              x -> x <> '')) AS BIGINT) AS toks
+  FROM documents
+),
+tot AS (
+  SELECT CAST(sum(toks) AS BIGINT) AS true_total_tokens,
+         CAST(sum(chars) AS BIGINT) AS tw
+  FROM stats
+),
+est AS (
+  SELECT CAST(sum(s.multiplicity * CAST(floor(1e6
+           * CAST(st.toks AS DOUBLE) / CAST(st.chars AS DOUBLE))
+           AS BIGINT)) AS DECIMAL(38,0)) AS s,
+         CAST(count(*) AS BIGINT) AS n_sampled_docs
+  FROM sample s JOIN stats st USING (doc_id)
+)
+SELECT CAST({SYS_SAMPLE_K} AS BIGINT) AS k_points,
+       n_sampled_docs, true_total_tokens,
+       CAST(s AS DOUBLE) * CAST(tw AS DOUBLE)
+         / ({SYS_SAMPLE_K}.0 * 1000000.0) AS ht_estimate,
+       abs(CAST(s AS DOUBLE) * CAST(tw AS DOUBLE)
+           / ({SYS_SAMPLE_K}.0 * 1000000.0)
+           - CAST(true_total_tokens AS DOUBLE))
+         / CAST(true_total_tokens AS DOUBLE) AS rel_err
+FROM est CROSS JOIN tot
+"""

@@ -53,7 +53,7 @@ hll_distinct_rollup, basket_triples, zipf_fit,
 nb_lang_confusion, pii_redact, km_user_survival,
 zone_map_skip_audit, source_ablation,
 rendezvous_reshard_audit, top_session_paths, batch_mix_audit,
-fd_audit, detector_kappa) plus
+fd_audit, detector_kappa, ht_estimate_audit) plus
 round-6's own additions; fill the remaining slots with whichever
 certified queries changed implementation since their green row
 (re-certification beats re-running never-changed queries — in round
@@ -1412,6 +1412,11 @@ def _ensure_loaded() -> None:
         "detector_kappa",
         dedup.detector_kappa_query,
         dedup.DETECTOR_KAPPA_ORACLE,
+    )
+    register(
+        "ht_estimate_audit",
+        sampling.ht_estimate_audit_query,
+        sampling.HT_ESTIMATE_AUDIT_ORACLE,
     )
 
     _apply_window(_WINDOW_R05)

@@ -109,6 +109,7 @@ def test_window_clears_the_entire_certification_backlog():
         "batch_mix_audit",
         "fd_audit",
         "detector_kappa",
+        "ht_estimate_audit",
     }
     missing = backlog - set(registry._WINDOW_R05) - r6_material
     assert not missing, f"never-certified queries left out of window: {missing}"

@@ -1263,3 +1263,30 @@ def test_kappa_bounds_on_corpus(spark, sf_dir):
         assert -1.0 <= r["kappa"] <= 1.0
     assert r["flagged_both"] <= min(r["flagged_minhash"],
                                     r["flagged_simhash"])
+
+
+# ---- ht_estimate_audit ------------------------------------------------------
+
+
+def test_ht_estimator_close_and_exactly_recomputable(spark, sf_dir):
+    from _kafka_streams_scaffold_spark import tables
+    from _kafka_streams_scaffold_spark.operators import sampling
+
+    r = sampling.ht_estimate_audit_query(spark, sf_dir).collect()[0]
+    # character-weighted sampling of a token total whose per-doc
+    # token/char ratio is ~constant: the HT estimate should land
+    # within a few percent of truth at K=100
+    assert r["rel_err"] < 0.05
+    # python recompute on the same sample (exact fixed-point rule)
+    sample = {row["doc_id"]: row["multiplicity"] for row in
+              sampling.systematic_weighted_sample_query(
+                  spark, sf_dir).collect()}
+    docs = {row["doc_id"]: (row["n_chars"], len(
+        [w for w in re.split(r"\W+", row["text"].lower()) if w]))
+        for row in tables.table(spark, sf_dir, "documents").collect()}
+    s = sum(m * math.floor(1e6 * docs[d][1] / docs[d][0])
+            for d, m in sample.items())
+    tw = sum(c for c, _ in docs.values())
+    want = s * tw / (sampling.SYS_SAMPLE_K * 1e6)
+    assert math.isclose(r["ht_estimate"], want, rel_tol=1e-12)
+    assert r["true_total_tokens"] == sum(t for _, t in docs.values())
