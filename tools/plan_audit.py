@@ -962,6 +962,12 @@ AUDIT = [
         "shared pins; the contingency table is one scan with two "
         "broadcast membership joins.",
     ),
+    (
+        "ht_estimate_audit",
+        "Rides the systematic sample's two-pass cumsum (no global "
+        "window); estimation touches only selected docs with an "
+        "exact-integer fixed-point ratio sum.",
+    ),
 ]
 
 

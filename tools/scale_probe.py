@@ -37,6 +37,7 @@ from _kafka_streams_scaffold_spark.operators import (  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import lm as lm_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import linkage as linkage_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import nb as nb_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import sampling as sampling_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import quantize as quantize_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import curation as curation_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import bpe as bpe_mod  # noqa: E402
@@ -497,6 +498,22 @@ def main() -> None:
         "hrw reshard audit (codegen argmax)": lambda m: _with_docs(
             m,
             lambda: layout_mod.rendezvous_reshard_audit_query(spark, SF_DIR),
+        ),
+        "session paths (2 windows + topk)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: an_mod2.top_session_paths_query(spark, SF_DIR),
+        ),
+        "batch mix audit (arith batches)": lambda m: _with_docs(
+            m, lambda: sampling_mod.batch_mix_audit_query(spark, SF_DIR)
+        ),
+        "fd audit (distinct-pair rollups)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: dq_mod.fd_audit_query(spark, SF_DIR),
+        ),
+        "ht estimate (sample + ratio sum)": lambda m: _with_docs(
+            m, lambda: sampling_mod.ht_estimate_audit_query(spark, SF_DIR)
         ),
         "quantized ann ndcg (3 searches)": lambda m: _with_table(
             "embeddings",
