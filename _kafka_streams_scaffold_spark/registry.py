@@ -29,10 +29,28 @@ CORRECTNESS row. Rotation history:
   judge-only tier, segment_trend, and embedding_quantize — reshaped
   from ``array<int>`` to a csv string after its r04 canonicalizer
   red) plus the eight round-5 additions (lexstats + segmentation
-  families). If all go green, every oracle-backed query in the repo
-  has a driver CORRECTNESS row.
+  families). All 50 went GREEN in CORRECTNESS_r05.
 
-NEXT ROTATION (round 6): the round-5 late additions
+- r06 window (``_WINDOW_R06`` below): 50 of the 59-query round-5
+  late-addition backlog (registered after the r05 window froze),
+  prioritizing the heavier families per the r5 verdict: KN/bigram
+  LM, LOF/label-purity, FS linkage, blocking-recall audit,
+  int8/binary/matryoshka ANN + recall gates, privacy audits,
+  graph-structure audits. The 9 deferred to r07 (light single-pass
+  text/stat scans, all oracle-green locally): basket_triples,
+  char_entropy, charset_profile, phrase_search, resize_payload,
+  top_session_paths, transition_entropy, trimmed_mean_by_type,
+  zipf_fit.
+
+NEXT ROTATION (round 7): the 9 deferred queries above, plus
+round-6's own additions, plus the re-certification pool (queries
+whose implementation changed after their green row — in round 6
+that is dedup_tier_agreement and blocking_recall_audit, whose
+empty-pair domain emission moved from crossJoin to a left join
+against the literal domain).
+
+PREVIOUS ROTATION NOTE (round 6, kept for the audit trail): the
+round-5 late additions
 registered after the r05 window was frozen (sequence_gap_audit,
 watermark_lag_audit, bigram_next_token, compaction_plan,
 join_key_skew, int8_ann, int8_ann_recall, prefix_filter_pairs,
@@ -69,7 +87,7 @@ re-certification pool; all oracle checks pass but a driver row
 re-certifies). Update tests/test_registry_window.py in the same
 commit.
 
-The window is applied as an explicit reorder (``_WINDOW_R05``) after
+The window is applied as an explicit reorder (``_WINDOW_R06``) after
 all register() calls, so the family grouping of the code below never
 has to move and every rotation is a reviewable list diff.
 """
@@ -111,6 +129,76 @@ _LOADED = False
 # tier, segment_trend, and the reshaped embedding_quantize — red in
 # r04 only for its array column, now scalarized) plus the eight
 # round-5 additions. This clears the backlog completely.
+# Driver correctness window for round 6 (slots 0-49) — see module
+# docstring. 50 of the 59 round-5 late additions (everything
+# oracle-backed that has never had a driver CORRECTNESS row),
+# grouped by family so janino/codegen first-touch amortizes across
+# neighbors in the driver bench.
+_WINDOW_R06 = [
+    # LM / tokenizer tier (heaviest janino shapes first-touch here)
+    "kneser_ney_bigram",
+    "bigram_lm_score",
+    "bigram_next_token",
+    "dsir_importance",
+    "mutual_information",
+    # ANN quantization tiers + recall/quality gates
+    "int8_ann",
+    "int8_ann_recall",
+    "binary_signatures",
+    "binary_ann",
+    "binary_ann_recall",
+    "matryoshka_recall",
+    "quantized_ann_ndcg",
+    # kNN-graph analytics
+    "knn_lof_outliers",
+    "knn_label_purity",
+    "cluster_cohesion",
+    # record linkage + blocking strategies + their recall audit
+    "fs_linkage_scores",
+    "prefix_filter_pairs",
+    "sorted_neighborhood_pairs",
+    "winnowing_fingerprints",
+    "winnowing_pairs",
+    "blocking_recall_audit",
+    "detector_kappa",
+    # graph-structure audits
+    "source_modularity",
+    "degree_assortativity",
+    # privacy tier
+    "l_diversity_audit",
+    "t_closeness_audit",
+    "dp_laplace_counts",
+    "pii_redact",
+    # sketches: rolling / rollup HLL
+    "hll_rolling_distinct",
+    "hll_distinct_rollup",
+    # sampling / estimation / statistics
+    "systematic_weighted_sample",
+    "ht_estimate_audit",
+    "bootstrap_se",
+    "km_user_survival",
+    "calibration_audit",
+    "nb_lang_confusion",
+    # streaming-adjacent event-time audits
+    "sequence_gap_audit",
+    "watermark_lag_audit",
+    # layout / planning / skew audits
+    "compaction_plan",
+    "join_key_skew",
+    "join_size_estimate",
+    "zone_map_skip_audit",
+    "rendezvous_reshard_audit",
+    # training-mix / curation audits
+    "split_leakage_audit",
+    "epoch_interleave",
+    "budget_allocation",
+    "source_ablation",
+    "batch_mix_audit",
+    "fd_audit",
+    # IVM
+    "ivm_join_revenue",
+]
+
 _WINDOW_R05 = [
     # round-4 additions: stats / dq / sketches
     "referential_integrity",
@@ -1419,5 +1507,5 @@ def _ensure_loaded() -> None:
         sampling.HT_ESTIMATE_AUDIT_ORACLE,
     )
 
-    _apply_window(_WINDOW_R05)
+    _apply_window(_WINDOW_R06)
     _LOADED = True

@@ -3,7 +3,7 @@
 The external correctness gate hash-checks only the FIRST 50 registered
 queries, so registration ORDER is part of the contract: each round the
 window must carry exactly the queries that still need a driver
-CORRECTNESS row (see registry._WINDOW_R05 and the module docstring's
+CORRECTNESS row (see registry._WINDOW_R06 and the module docstring's
 rotation history).
 """
 
@@ -14,115 +14,89 @@ import pathlib
 
 from _kafka_streams_scaffold_spark import registry
 
+# Green rounds available when the r06 window was frozen.
+_PRIOR_ROUNDS = ("r01", "r02", "r03", "r04", "r05")
 
-def test_window_is_exactly_the_r05_rotation_list():
+# Backlog queries deferred from the r06 window to r07 (9 light
+# single-pass text/stat scans; 59 backlog, 50 slots). All are
+# oracle-green locally via tools/check_oracle.py.
+R07_DEFERRED = {
+    "basket_triples",
+    "char_entropy",
+    "charset_profile",
+    "phrase_search",
+    "resize_payload",
+    "top_session_paths",
+    "transition_entropy",
+    "trimmed_mean_by_type",
+    "zipf_fit",
+}
+
+
+def _covered() -> set[str]:
+    covered: set[str] = set()
+    for rnd in _PRIOR_ROUNDS:
+        p = pathlib.Path(f"/root/repo/CORRECTNESS_{rnd}.json")
+        if p.exists():
+            for name, row in json.loads(p.read_text()).items():
+                if row.get("hash_match"):
+                    covered.add(name)
+    return covered
+
+
+def test_window_is_exactly_the_r06_rotation_list():
     names = list(registry.queries())
-    assert names[:50] == registry._WINDOW_R05
+    assert names[:50] == registry._WINDOW_R06
 
 
 def test_window_queries_have_never_had_a_green_driver_row():
     """The rotation's whole point: no slot is wasted on a query that
-    already has a GREEN CORRECTNESS row from rounds 1-4. (A red row —
-    embedding_quantize in r04 — earns the query another slot after
-    its reshape, so the guard keys on hash_match, not presence.)"""
-    covered: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04"):
-        p = pathlib.Path(f"/root/repo/CORRECTNESS_{rnd}.json")
-        if p.exists():
-            for name, row in json.loads(p.read_text()).items():
-                if row.get("hash_match"):
-                    covered.add(name)
-    stale = covered & set(registry._WINDOW_R05)
+    already has a GREEN CORRECTNESS row from rounds 1-5. (A red row
+    earns the query another slot after its reshape, so the guard keys
+    on hash_match, not presence.)"""
+    stale = _covered() & set(registry._WINDOW_R06)
     assert not stale, f"window wastes slots on already-covered: {stale}"
 
 
-def test_window_clears_the_entire_certification_backlog():
-    """Round 5 carries every oracle-backed query that has never gone
-    green — nothing oracle-backed may be left uncovered after this
-    round (the judge's round-4 'certification debt' demand)."""
-    covered: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04"):
-        p = pathlib.Path(f"/root/repo/CORRECTNESS_{rnd}.json")
-        if p.exists():
-            for name, row in json.loads(p.read_text()).items():
-                if row.get("hash_match"):
-                    covered.add(name)
-    backlog = set(registry.oracle_sql()) - covered
-    # Queries registered AFTER the r05 window was frozen (late round-5
-    # additions) are round-6 window material by construction.
-    r6_material = {
-        "sequence_gap_audit",
-        "watermark_lag_audit",
-        "bigram_next_token",
-        "compaction_plan",
-        "join_key_skew",
-        "int8_ann",
-        "int8_ann_recall",
-        "prefix_filter_pairs",
-        "matryoshka_recall",
-        "cluster_cohesion",
-        "budget_allocation",
-        "winnowing_fingerprints",
-        "split_leakage_audit",
-        "epoch_interleave",
-        "char_entropy",
-        "l_diversity_audit",
-        "source_modularity",
-        "degree_assortativity",
-        "sorted_neighborhood_pairs",
-        "blocking_recall_audit",
-        "join_size_estimate",
-        "t_closeness_audit",
-        "resize_payload",
-        "systematic_weighted_sample",
-        "trimmed_mean_by_type",
-        "phrase_search",
-        "winnowing_pairs",
-        "bigram_lm_score",
-        "transition_entropy",
-        "binary_signatures",
-        "binary_ann",
-        "binary_ann_recall",
-        "kneser_ney_bigram",
-        "knn_lof_outliers",
-        "knn_label_purity",
-        "dp_laplace_counts",
-        "mutual_information",
-        "ivm_join_revenue",
-        "quantized_ann_ndcg",
-        "hll_rolling_distinct",
-        "charset_profile",
-        "bootstrap_se",
-        "dsir_importance",
-        "fs_linkage_scores",
-        "calibration_audit",
-        "hll_distinct_rollup",
-        "basket_triples",
-        "zipf_fit",
-        "nb_lang_confusion",
-        "pii_redact",
-        "km_user_survival",
-        "zone_map_skip_audit",
-        "source_ablation",
-        "rendezvous_reshard_audit",
-        "top_session_paths",
-        "batch_mix_audit",
-        "fd_audit",
-        "detector_kappa",
-        "ht_estimate_audit",
-    }
-    missing = backlog - set(registry._WINDOW_R05) - r6_material
-    assert not missing, f"never-certified queries left out of window: {missing}"
+def test_window_plus_deferred_covers_the_entire_backlog():
+    """Every oracle-backed query that has never gone green must be
+    either in the r06 window or in the explicit 9-query r07 deferral
+    list — nothing silently dropped from certification."""
+    backlog = set(registry.oracle_sql()) - _covered()
+    missing = backlog - set(registry._WINDOW_R06) - R07_DEFERRED
+    # Round-6's own additions (registered after this window froze)
+    # are r07 material by construction: anything in `missing` must be
+    # tracked in the NEXT ROTATION docstring. Keep the guard tight by
+    # asserting that deferred+window covers all *round-5-or-earlier*
+    # material; new registrations self-document via R07_MATERIAL.
+    assert missing <= R07_MATERIAL, (
+        f"never-certified queries untracked for rotation: "
+        f"{missing - R07_MATERIAL}"
+    )
+
+
+# Round-6 additions registered after the r06 window froze — r07
+# window material by construction. Grows during round 6 as operators
+# land; mirrored in the registry module docstring's NEXT ROTATION note.
+R07_MATERIAL: set[str] = set()
+
+
+def test_deferral_list_is_exactly_the_window_complement():
+    """The 9 deferred queries are backlog members NOT in the window —
+    if one gains a green row or enters the window, this forces the
+    bookkeeping to move with it."""
+    backlog = set(registry.oracle_sql()) - _covered()
+    assert R07_DEFERRED == backlog - set(registry._WINDOW_R06) - R07_MATERIAL
 
 
 def test_window_entries_are_oracle_backed():
     oracles = set(registry.oracle_sql())
-    missing = [n for n in registry._WINDOW_R05 if n not in oracles]
+    missing = [n for n in registry._WINDOW_R06 if n not in oracles]
     assert not missing
 
 
 def test_rotated_out_families_keep_their_oracles():
-    """Queries that left the window (r01-r04 green) must stay
+    """Queries that left the window (r01-r05 green) must stay
     registered and oracle-backed so tools/check_oracle.py keeps
     verifying them locally."""
     names = set(registry.queries())
@@ -131,6 +105,8 @@ def test_rotated_out_families_keep_their_oracles():
         "power_iteration", "wordcount", "pricing_summary", "market_share",
         "corpus_keep", "tfidf_top_terms", "multimodal_features",
         "pq_codes", "scd2_history", "training_manifest", "bpe_train",
+        "rfm_segments", "hapax_rate", "embedding_quantize",
+        "cluster_keep_list", "ktable_latest",
     ):
         assert q in names
         assert q in registry.oracle_sql() or q == "lsh_ann"
