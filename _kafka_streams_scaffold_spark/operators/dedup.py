@@ -1245,8 +1245,16 @@ def dedup_tier_agreement_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit_a = F.expr("mask & bit_a") != 0
     hit_b = F.expr("mask & bit_b") != 0
     zero = F.lit(0).cast("bigint")
+    # LEFT join (not crossJoin) against the literal domain: a corpus
+    # with no near-dup pairs makes the mask histogram EMPTY, and a
+    # crossJoin would emit 0 rows where the oracle's scalar-subquery
+    # form always emits all 6 tier-pair rows with zero counts. With
+    # a left join each domain row survives with a NULL mask, every
+    # hit predicate evaluates NULL -> otherwise(0), and the sums
+    # report 0 — same physical BroadcastNestedLoopJoin either way
+    # (the histogram is <=16 rows).
     return (
-        domain.crossJoin(mask_counts)
+        domain.join(mask_counts, F.lit(True), "left")
         .groupBy("tier_a", "tier_b")
         .agg(
             F.sum(F.when(hit_a, F.col("cnt")).otherwise(zero))
@@ -1935,8 +1943,12 @@ def blocking_recall_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     dom = spark.createDataFrame(
         list(_BLOCKING_STRATEGIES), "strategy string, bit int"
     )
+    # LEFT join the literal strategy domain against the histogram
+    # (same empty-pair contract as dedup_tier_agreement above): with
+    # zero candidate pairs anywhere, the oracle still emits all 5
+    # strategy rows with zero counts, so the Spark side must too.
     agg = (
-        hist.crossJoin(F.broadcast(dom))
+        dom.join(hist, F.lit(True), "left")
         .groupBy("strategy")
         .agg(
             F.sum(F.expr("case when (mask & bit) != 0 then cnt else 0 end"))

@@ -45,9 +45,10 @@ CORRECTNESS row. Rotation history:
 NEXT ROTATION (round 7): the 9 deferred queries above, plus
 round-6's own additions, plus the re-certification pool (queries
 whose implementation changed after their green row — in round 6
-that is dedup_tier_agreement and blocking_recall_audit, whose
-empty-pair domain emission moved from crossJoin to a left join
-against the literal domain).
+that is dedup_tier_agreement, whose empty-pair domain emission
+moved from crossJoin to a left join against the literal domain;
+blocking_recall_audit got the same fix but certifies fresh inside
+the r06 window).
 
 PREVIOUS ROTATION NOTE (round 6, kept for the audit trail): the
 round-5 late additions
