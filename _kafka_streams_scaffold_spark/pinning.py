@@ -82,4 +82,11 @@ def unpersist_all() -> int:
     while _PINNED:
         _PINNED.pop().unpersist()
     _SHARED.clear()
+    # shared_pin keys embed input semantic hashes, so a long
+    # multi-query session (bench.py over the whole registry) would
+    # otherwise accumulate one never-freed lock per (name, input)
+    # key. Locks are only meaningful while their pin might be built,
+    # and we just cleared all pins.
+    with _KEY_LOCKS_GUARD:
+        _KEY_LOCKS.clear()
     return n

@@ -45,6 +45,19 @@ def main() -> int:
 
     spark = session.build_session("check-oracle")
 
+    def _make_view(c, sf, t):
+        # Mirror the Spark-side load-time quarantine (tables.quarantine)
+        # so a dataset containing a malformed vector diverges in NEITHER
+        # engine instead of in every embeddings-backed oracle check.
+        if t == "embeddings":
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet' "
+                f"WHERE embedding IS NOT NULL "
+                f"AND len(embedding) = {tables.EMBED_DIM}"
+            )
+        else:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
     def _fresh_connection(sf):
         c = duckdb.connect()
         import tempfile as _tf
@@ -54,9 +67,7 @@ def main() -> int:
             f"SET temp_directory='{_tf.mkdtemp(prefix='duck-spill-')}'"
         )
         for t in tables.TABLE_NAMES:
-            c.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
-            )
+            _make_view(c, sf, t)
         return c
 
     con = duckdb.connect()
@@ -75,9 +86,7 @@ def main() -> int:
         f"SET temp_directory='{tempfile.mkdtemp(prefix='duck-spill-')}'"
     )
     for name in tables.TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+        _make_view(con, sf_dir, name)
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
