@@ -1156,6 +1156,22 @@ _TIERS = ["simhash", "minhash", "ngram", "edit"]
 
 
 def _tier_pairs(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
+    """One detector's (doc_a, doc_b) pair set.
+
+    CONCURRENCY CONTRACT: dedup_tier_agreement and
+    blocking_recall_audit call this from a ThreadPoolExecutor so the
+    detectors' eager shared-pin materializations overlap as parallel
+    Spark jobs (measured 22.4s -> 9.9s for the recall audit). That
+    overlap is safe ONLY because every shared intermediate goes
+    through pinning.shared_pin, whose per-key double-checked lock
+    makes concurrent first-touch of the same key block-then-reuse
+    rather than double-build. If two threads nonetheless race a plain
+    ``pin``/``persist`` on the same frame the failure mode is benign
+    — Spark cache registration is idempotent; the loser logs an
+    "already cached" warning and reads the winner's cache — but it
+    DOUBLE-COMPUTES the materialization job. A refactor that swaps a
+    shared_pin for a plain pin here must either keep the builds
+    disjoint per thread or drop the executor."""
     if tier == "simhash":
         return simhash_pairs_query(spark, sf_dir).select("doc_a", "doc_b")
     if tier == "minhash":
@@ -1207,7 +1223,11 @@ def dedup_tier_agreement_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # effects (sigs -> candidates on the minhash/edit path, capped ->
     # inter/sizes on the ngram path, simhash signatures) — shared_pin
     # is per-key locked, so racing threads wait instead of
-    # double-building.
+    # double-building. (Measured: dropping this up-front warm and
+    # letting the threads race the root pin REGRESSES the cold run
+    # 14.8s -> 20.3s — the lock convoy + concurrent py4j plan
+    # construction costs more than the shingle-free chains' overlap
+    # buys. See _tier_pairs' concurrency contract.)
     _shingle_table(docs)
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1906,7 +1926,8 @@ def blocking_recall_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles once, signatures once); the reduction is id-pair-width
     with a constant-size histogram."""
     docs = tables.table(spark, sf_dir, "documents")
-    _shingle_table(docs)  # warm the shared root pin once
+    _shingle_table(docs)  # warm the shared root pin once (see
+    # dedup_tier_agreement_query: removing this measured SLOWER)
     gens = {
         "truth": ngram_jaccard_pairs_query,
         "minhash": minhash_lsh_pairs_query,

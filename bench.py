@@ -68,6 +68,17 @@ def main() -> None:
     _dd.simhash_pairs_query(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ...and the LM-model shapes (tokenize -> bigram explode ->
+    # continuation/marginal rollups): the r06 window OPENS with the
+    # KN/bigram family, and without this the slot-0 query absorbs
+    # ~6s of janino first-touch that is compile cost, not plan cost
+    # (kneser_ney_bigram measured 7.9s in the r5 driver bench vs
+    # 1.35s warm solo).
+    from _kafka_streams_scaffold_spark.operators import lm as _lm
+
+    _lm.kneser_ney_bigram_query(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     pinning.unpersist_all()
 
     timings: dict[str, float] = {}
