@@ -308,6 +308,50 @@ def streaming_hll_registers(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sequence_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/dq.sequence_gap_audit_query``'s
+    state: per-event_id copy counts maintained as streaming state.
+
+    The batch audit's one-row form needs ``count(DISTINCT event_id)``,
+    which streaming aggregation cannot maintain incrementally — but
+    the per-id count table CAN (algebraic ``count``, update output
+    mode, A4 emit-per-update: every micro-batch re-emits exactly the
+    ids it touched). The audit scalars are then pure arithmetic over
+    the converged state (``sequence_gap_summary``): n_distinct is the
+    key count, n_rows the copy sum, min/max the key range — identical
+    values to the batch query over the same records, which is what
+    the twin test pins. Per-key state is one bigint; at 100 TB the
+    store is RocksDB and this audit sits on the same changelog the
+    offset-audit tier replays (reference offset audit:
+    services/src/main/java/io/confluent/services/AuditService.java)."""
+    return events.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("copies")
+    )
+
+
+def sequence_gap_summary(store) -> dict:
+    """Fold a converged per-event_id store (from
+    ``streaming_sequence_counts``) into the sequence-gap audit row —
+    the SAME arithmetic as dq.sequence_gap_audit_query: n_missing is
+    the id-range holes, n_dup the at-least-once leakage."""
+    snap = store.snapshot()
+    if not snap:
+        return {
+            "n_rows": 0, "min_id": None, "max_id": None,
+            "n_missing": None, "n_dup": 0,
+        }
+    ids = [k[0] for k in snap]
+    n_rows = sum(v["copies"] for v in snap.values())
+    mn, mx, nd = min(ids), max(ids), len(ids)
+    return {
+        "n_rows": n_rows,
+        "min_id": mn,
+        "max_id": mx,
+        "n_missing": mx - mn + 1 - nd,
+        "n_dup": n_rows - nd,
+    }
+
+
 def streaming_latest(events: DataFrame) -> DataFrame:
     """Changelog/KTable view of a keyed stream: latest record per key
     (the streaming twin of ``operators/changelog.ktable_latest_query``;
