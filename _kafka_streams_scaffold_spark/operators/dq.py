@@ -1025,6 +1025,84 @@ FROM counts
 DP_LAPLACE_COUNTS_ORACLE = _dp_oracle()
 
 
+DP_TOPK_K = 3  # released list length
+
+
+def dp_topk_release_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, true_n, noise_fp, noisy_n): the DP_TOPK_K most
+    frequent event types released via REPORT-NOISY-MAX — per-type
+    totals perturbed with the SAME seeded Laplace recipe as
+    dp_laplace_counts, then the top K by NOISY count (ties broken on
+    type name). The selection itself is the private object: which
+    types appear, and in what noisy magnitude, never the exact
+    ordering of true counts (a type can buy its way in by noise —
+    that is the mechanism working, not a bug). Production accounting
+    note: iterated/peeled top-k spends eps per round (sequential
+    composition); this one-shot release spends DP_EPS once on the
+    count vector since each type's noise draw is independent and the
+    max is post-processing.
+
+    Determinism: the noise draw is the dp_laplace_counts chain —
+    dyadic u from md5, single ln on an exactly-representable
+    argument, fixed-pointed BEFORE it touches the count — so the
+    noisy ranking is integer comparison on both engines. Scale: one
+    combinable rollup to |types| rows + TakeOrderedAndProject; the
+    events table is scanned once."""
+    events = tables.table(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    h = _DP_H_SPARK.format(key="concat('topk|', event_type)")
+    noise_fp = (
+        f"cast(floor(1000000.0d * (-(case when 2*({h}) + 1 > 4294967296L"
+        f" then 1 else -1 end) * ln(cast(4294967296L - abs(2*({h}) + 1"
+        f" - 4294967296L) as double) / 4294967296.0d)) / {DP_EPS}.0d)"
+        f" as bigint)"
+    )
+    return (
+        counts.select(
+            "event_type",
+            "true_n",
+            F.expr(noise_fp).alias("noise_fp"),
+            F.expr(
+                f"cast(true_n * 1000000L + ({noise_fp}) as double)"
+                " / 1000000.0d"
+            ).alias("noisy_n"),
+        )
+        .orderBy(
+            F.desc(F.expr(f"true_n * 1000000L + ({noise_fp})")),
+            F.asc("event_type"),
+        )
+        .limit(DP_TOPK_K)
+    )
+
+
+def _dp_topk_oracle() -> str:
+    h = _DP_H_DUCK.format(key="'topk|' || event_type")
+    noise_fp = (
+        f"CAST(floor(1000000.0 * (-(CASE WHEN 2*({h}) + 1 > 4294967296"
+        f" THEN 1 ELSE -1 END) * ln(CAST(4294967296 - abs(2*({h}) + 1"
+        f" - 4294967296) AS DOUBLE) / 4294967296.0)) / {DP_EPS}.0)"
+        f" AS BIGINT)"
+    )
+    return f"""
+WITH counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+  FROM events GROUP BY 1
+)
+SELECT event_type, true_n,
+       {noise_fp} AS noise_fp,
+       CAST(true_n * 1000000 + ({noise_fp}) AS DOUBLE) / 1000000.0
+         AS noisy_n
+FROM counts
+ORDER BY true_n * 1000000 + ({noise_fp}) DESC, event_type
+LIMIT {DP_TOPK_K}
+"""
+
+
+DP_TOPK_RELEASE_ORACLE = _dp_topk_oracle()
+
+
 # --------------------------------------------------------------------------
 # Functional-dependency audit (profiling-grade FD discovery)
 # --------------------------------------------------------------------------

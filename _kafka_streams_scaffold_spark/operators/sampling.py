@@ -1005,3 +1005,138 @@ SELECT CAST({SYS_SAMPLE_K} AS BIGINT) AS k_points,
          / CAST(true_total_tokens AS DOUBLE) AS rel_err
 FROM est CROSS JOIN tot
 """
+
+
+# --------------------------------------------------------------------------
+# Priority sampling: deterministic uniform bottom-k without a global sort
+# --------------------------------------------------------------------------
+
+PRIORITY_K = 200  # sample size
+_PRIORITY_SEED = "ps-v1|"
+
+
+def priority_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, priority): a uniform random sample of exactly
+    PRIORITY_K documents drawn as the BOTTOM-K of a keyed md5
+    priority — the distributed-sampling workhorse when you need (a)
+    an exact sample size (Bernoulli rates only hit it in
+    expectation), (b) reproducibility (same ids on every engine and
+    every rerun — rand() gives neither), and (c) mergeability: the
+    bottom-k of a union is the bottom-k of each part's bottom-k, so
+    partial samples combine associatively (this is the KMV sketch's
+    selection rule applied to sampling).
+
+    Scale: Catalyst compiles orderBy+limit to TakeOrderedAndProject —
+    each task keeps a K-row heap and the driver merges |tasks| heaps;
+    the corpus is scanned once and NEVER globally sorted. At 100 TB
+    with K=200 the shuffle is |tasks| * K rows of (id, 32-char hash).
+
+    No reference analog (Kafka Streams has no sampling operator);
+    the bottom-k rule mirrors the KMV estimator at
+    operators/sketches.py."""
+    docs = tables.table(spark, sf_dir, "documents")
+    pr = F.expr(
+        f"md5(concat('{_PRIORITY_SEED}', cast(doc_id as string)))"
+    )
+    return (
+        docs.select("doc_id", "source", pr.alias("priority"))
+        .orderBy("priority")
+        .limit(PRIORITY_K)
+    )
+
+
+PRIORITY_SAMPLE_ORACLE = f"""
+SELECT doc_id, source,
+       md5('{_PRIORITY_SEED}' || CAST(doc_id AS VARCHAR)) AS priority
+FROM documents
+ORDER BY priority
+LIMIT {PRIORITY_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Neyman allocation: variance-optimal stratified sample design
+# --------------------------------------------------------------------------
+
+NEYMAN_TOTAL = 1000  # total sample units to allocate across strata
+
+
+def neyman_allocation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_h, sd_chars, alloc): the variance-OPTIMAL sample
+    allocation across source strata for estimating mean document
+    length — Neyman 1934: n_h proportional to N_h * sigma_h, so
+    high-variance strata get more of the budget than proportional
+    allocation would give them. This is the design step a sampling
+    pipeline runs BEFORE stratified_sample: proportional allocation
+    (budget_allocation) splits by mass; this splits by how much each
+    stratum's variance hurts the estimator.
+
+    Determinism: sigma_h = sqrt(n*s2 - s1^2)/n where s1/s2 are exact
+    integer sums (sqrt is correctly rounded everywhere — safe in
+    hashed output, unlike ln/pow); each stratum's N_h*sigma_h term is
+    fixed-pointed (floor 1e6) to a BIGINT before the cross-stratum
+    SUM so the total is exact integer arithmetic, never an
+    order-dependent float sum; the final allocation is one integer
+    division. Strata with zero variance get zero budget by the
+    formula itself.
+
+    Scale: one combinable rollup to |sources| rows + a one-row
+    broadcast total — corpus touched once."""
+    docs = tables.table(spark, sf_dir, "documents")
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars").cast("bigint") * F.col("n_chars").cast("bigint"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    sd = F.sqrt(
+        (F.col("n_h") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("double")
+    ) / F.col("n_h").cast("double")
+    terms = st.select(
+        "source",
+        "n_h",
+        sd.alias("sd_chars"),
+        F.expr(
+            "cast(floor(1000000.0d * cast(n_h as double) * "
+            "(sqrt(cast(n_h * s2 - s1 * s1 as double)) "
+            "/ cast(n_h as double))) as bigint)"
+        ).alias("term_fp"),
+    )
+    total = terms.agg(F.sum("term_fp").cast("bigint").alias("tot_fp"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .filter(F.col("tot_fp") > 0)  # all-constant corpus: undefined
+        .select(
+            "source",
+            "n_h",
+            "sd_chars",
+            F.expr(f"({NEYMAN_TOTAL}L * term_fp) div tot_fp").alias("alloc"),
+        )
+    )
+
+
+NEYMAN_ALLOCATION_ORACLE = f"""
+WITH st AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY source
+),
+terms AS (
+  SELECT source, n_h,
+         sqrt(CAST(n_h * s2 - s1 * s1 AS DOUBLE)) / CAST(n_h AS DOUBLE)
+           AS sd_chars,
+         CAST(floor(1000000.0 * CAST(n_h AS DOUBLE)
+              * (sqrt(CAST(n_h * s2 - s1 * s1 AS DOUBLE))
+                 / CAST(n_h AS DOUBLE))) AS BIGINT) AS term_fp
+  FROM st
+),
+tot AS (SELECT CAST(sum(term_fp) AS BIGINT) AS tot_fp FROM terms)
+SELECT source, n_h, sd_chars,
+       ({NEYMAN_TOTAL} * term_fp) // tot_fp AS alloc
+FROM terms CROSS JOIN tot
+WHERE tot_fp > 0
+"""

@@ -1508,5 +1508,23 @@ def _ensure_loaded() -> None:
         sampling.HT_ESTIMATE_AUDIT_ORACLE,
     )
 
+    # ---- round-6 additions (r07 window material; mirror the list in
+    # tests/test_registry_window.py R07_MATERIAL) ----
+    register(
+        "priority_sample",
+        sampling.priority_sample_query,
+        sampling.PRIORITY_SAMPLE_ORACLE,
+    )
+    register(
+        "neyman_allocation",
+        sampling.neyman_allocation_query,
+        sampling.NEYMAN_ALLOCATION_ORACLE,
+    )
+    register(
+        "dp_topk_release",
+        dq.dp_topk_release_query,
+        dq.DP_TOPK_RELEASE_ORACLE,
+    )
+
     _apply_window(_WINDOW_R06)
     _LOADED = True

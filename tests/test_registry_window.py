@@ -78,7 +78,11 @@ def test_window_plus_deferred_covers_the_entire_backlog():
 # Round-6 additions registered after the r06 window froze — r07
 # window material by construction. Grows during round 6 as operators
 # land; mirrored in the registry module docstring's NEXT ROTATION note.
-R07_MATERIAL: set[str] = set()
+R07_MATERIAL: set[str] = {
+    "priority_sample",
+    "neyman_allocation",
+    "dp_topk_release",
+}
 
 
 def test_deferral_list_is_exactly_the_window_complement():
