@@ -22,11 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import tables
 from .dedup import BENCHMARK_DOC_MAX, contamination_query, exact_dedup_query
 from .textops import (
     fingerprint_query,
     lang_id_query,
     quality_score_query,
+    tokens_expr,
 )
 
 MIN_QUALITY = 0.5
@@ -271,3 +273,114 @@ GROUP BY 1, 2
 
 
 TRAINING_MANIFEST_ORACLE = _build_manifest_oracle()
+
+
+# --------------------------------------------------------------------------
+# Curriculum pacing (length-staged training schedule)
+# --------------------------------------------------------------------------
+
+# n_chars stage boundaries: short -> long (the classic length-based
+# curriculum; integer thresholds so stage assignment is exact on both
+# engines — a float quality threshold could ulp-flip at the boundary).
+CURRICULUM_BOUNDS = (200, 400, 800)
+
+
+def curriculum_pacing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n_docs, n_tokens, mean_chars, cum_token_pml): the
+    length-based CURRICULUM schedule — documents banded short to long
+    by integer n_chars thresholds, with per-stage doc/token mass and
+    the cumulative token share (permille) a pacing scheduler consumes
+    ("after X% of tokens, unlock stage k+1"). Length is the standard
+    cheap difficulty proxy (curriculum learning, Bengio et al. '09);
+    swapping in any integer difficulty score keeps the plan
+    identical.
+
+    Determinism: stage assignment compares integers; token counts are
+    integer sums; mean_chars is ONE division of exact integers; the
+    cumulative share is an integer division after an integer
+    self-rollup over the 4-row stage frame (never an ordered float
+    cumsum). Scale: one scan -> one combinable rollup to 4 rows; the
+    cumulative join is 4x4."""
+    docs = tables.table(spark, sf_dir, "documents")
+    b1, b2, b3 = CURRICULUM_BOUNDS
+    stage_ord = (
+        F.when(F.col("n_chars") < b1, 1)
+        .when(F.col("n_chars") < b2, 2)
+        .when(F.col("n_chars") < b3, 3)
+        .otherwise(4)
+    )
+    per = (
+        docs.select(
+            stage_ord.alias("stage_ord"),
+            F.col("n_chars").cast("bigint").alias("nc"),
+            F.size(tokens_expr()).cast("bigint").alias("nt"),
+        )
+        .groupBy("stage_ord")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("chars"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    cum = (
+        per.alias("a")
+        .join(per.alias("b"), F.col("b.stage_ord") <= F.col("a.stage_ord"))
+        .groupBy(F.col("a.stage_ord").alias("stage_ord"))
+        .agg(F.sum(F.col("b.n_tokens")).cast("bigint").alias("cum_tokens"))
+    )
+    total = per.agg(F.sum("n_tokens").cast("bigint").alias("tot_tokens"))
+    stage_name = F.concat(F.lit("stage"), F.col("stage_ord").cast("string"))
+    return (
+        per.join(cum, "stage_ord")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("tot_tokens") > 0)
+        .select(
+            stage_name.alias("stage"),
+            "n_docs",
+            "n_tokens",
+            (F.col("chars").cast("double") / F.col("n_docs").cast("double"))
+            .alias("mean_chars"),
+            F.expr("(1000L * cum_tokens) div tot_tokens").alias(
+                "cum_token_pml"
+            ),
+        )
+    )
+
+
+def _curriculum_oracle() -> str:
+    b1, b2, b3 = CURRICULUM_BOUNDS
+    return f"""
+WITH banded AS (
+  SELECT CASE WHEN n_chars < {b1} THEN 1
+              WHEN n_chars < {b2} THEN 2
+              WHEN n_chars < {b3} THEN 3
+              ELSE 4 END AS stage_ord,
+         CAST(n_chars AS BIGINT) AS nc,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+  FROM documents
+),
+per AS (
+  SELECT stage_ord,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nc) AS BIGINT) AS chars,
+         CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM banded GROUP BY 1
+),
+cum AS (
+  SELECT a.stage_ord, CAST(sum(b.n_tokens) AS BIGINT) AS cum_tokens
+  FROM per a JOIN per b ON b.stage_ord <= a.stage_ord
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per)
+SELECT 'stage' || CAST(p.stage_ord AS VARCHAR) AS stage,
+       p.n_docs, p.n_tokens,
+       CAST(p.chars AS DOUBLE) / CAST(p.n_docs AS DOUBLE) AS mean_chars,
+       (1000 * c.cum_tokens) // tot_tokens AS cum_token_pml
+FROM per p JOIN cum c ON c.stage_ord = p.stage_ord
+CROSS JOIN tot
+WHERE tot_tokens > 0
+"""
+
+
+CURRICULUM_PACING_ORACLE = _curriculum_oracle()

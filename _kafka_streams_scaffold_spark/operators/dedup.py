@@ -2169,3 +2169,121 @@ SELECT n_docs, a AS flagged_minhash, b AS flagged_simhash,
             END AS kappa
 FROM tab
 """
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator-error audit (signature agreement vs exact Jaccard)
+# --------------------------------------------------------------------------
+
+
+def minhash_estimate_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, est_matches, est_jaccard, exact_jaccard,
+    abs_err): for every LSH candidate pair, the MinHash ESTIMATE of
+    Jaccard (fraction of the 32 signature components that agree — the
+    unbiased estimator the sketch exists for) next to the exact
+    shingle Jaccard, with the absolute error. The estimator-quality
+    audit a dedup pipeline runs when tuning N_HASHES/band shape:
+    E[err] ~ sqrt(j(1-j)/32) ~ 0.07, and a systematic deviation means
+    the hash family or banding is broken — cheaper and more direct
+    than re-measuring end-to-end recall.
+
+    Determinism: signature components are exact integers (affine
+    hashes mod a Mersenne prime); est_jaccard divides by 32 (a power
+    of two — exact dyadic); exact_jaccard is the usual
+    integer-ratio division. Scale: two id-width joins of the pinned
+    signature table against the pinned candidate list plus the
+    candidate-restricted shingle intersection — never a corpus-wide
+    pair scan."""
+    docs = tables.table(spark, sf_dir, "documents")
+    sigs = _signature_table(docs)
+    cand = _candidate_table(docs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_HASHES)],
+    )
+    est = F.expr(
+        " + ".join(
+            f"(case when a{j} = b{j} then 1 else 0 end)"
+            for j in range(N_HASHES)
+        )
+    ).cast("bigint")
+    est_tab = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_matches"))
+    )
+    # LEFT join: a candidate pair whose shingle sets are DISJOINT
+    # (pure band-collision false positive) is the estimator's
+    # worst case — keep it with exact_jaccard 0, don't drop it.
+    exact = _pair_jaccard(_shingle_table(docs), cand).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    ej = F.coalesce(F.col("exact_jaccard"), F.lit(0.0))
+    return est_tab.join(exact, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "est_matches",
+        (F.col("est_matches").cast("double") / F.lit(float(N_HASHES))).alias(
+            "est_jaccard"
+        ),
+        ej.alias("exact_jaccard"),
+        F.abs(
+            F.col("est_matches").cast("double") / F.lit(float(N_HASHES)) - ej
+        ).alias("abs_err"),
+    )
+
+
+def _minhash_estimate_oracle() -> str:
+    est = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)"
+        for j in range(N_HASHES)
+    )
+    return f"""
+WITH {_DUCK_SHINGLE_CTE},
+hashed AS (
+  SELECT doc_id, {_BASE_DUCK} AS base FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(({a} * base + {b}) % {_MERSENNE_P}) AS h{j}" for j, (a, b) in enumerate(_AFFINE))}
+  FROM hashed GROUP BY doc_id
+),
+bands AS ({_duck_band_rows()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b, CAST({est} AS BIGINT) AS est_matches
+  FROM cand c
+  JOIN sigs a ON a.doc_id = c.doc_a
+  JOIN sigs b ON b.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT e.doc_a, e.doc_b, e.est_matches,
+       CAST(e.est_matches AS DOUBLE) / {N_HASHES}.0 AS est_jaccard,
+       CAST(coalesce(i.i, 0) AS DOUBLE)
+         / (na.n + nb.n - coalesce(i.i, 0)) AS exact_jaccard,
+       abs(CAST(e.est_matches AS DOUBLE) / {N_HASHES}.0
+           - CAST(coalesce(i.i, 0) AS DOUBLE)
+             / (na.n + nb.n - coalesce(i.i, 0))) AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes na ON na.doc_id = e.doc_a
+JOIN sizes nb ON nb.doc_id = e.doc_b
+"""
+
+
+MINHASH_ESTIMATE_AUDIT_ORACLE = _minhash_estimate_oracle()

@@ -1828,3 +1828,147 @@ SELECT t_days, n_risk, n_deaths, n_censored,
          AS log_survival
 FROM fp
 """
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction-interval coverage audit
+# --------------------------------------------------------------------------
+
+CONF_ALPHA_NUM = 1  # alpha = 1/10 -> target coverage 90%
+CONF_ALPHA_DEN = 10
+
+_CONF_BUCKET_SPARK = (
+    "cast(conv(substring(md5(concat('conf-v1|', cast(event_id as string))),"
+    " 1, 4), 16, 10) as bigint) % 100"
+)
+_CONF_BUCKET_DUCK = (
+    "CAST('0x' || substring(md5('conf-v1|' || CAST(event_id AS VARCHAR)),"
+    " 1, 4) AS BIGINT) % 100"
+)
+
+
+def conformal_coverage_audit_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(event_type, n_cal, q_hat, n_test, n_covered, coverage): SPLIT
+    CONFORMAL prediction intervals, audited. Model = per-type mean of
+    ``value`` fit on a hash train split (80%); q_hat = the
+    ceil((n+1)(1-alpha))-th smallest absolute residual on a disjoint
+    calibration split (10%); coverage = the fraction of the held-out
+    test split (10%) falling inside mean +/- q_hat. The
+    distribution-free guarantee says coverage >= 1 - alpha in
+    expectation REGARDLESS of the model — the audit every
+    ML-adjacent pipeline should run on its uncertainty estimates,
+    and the finite-sample companion to calibration_audit (which
+    checks probabilities; this checks intervals).
+
+    The conformal quantile is the EXACT order statistic — selected
+    by rank, never interpolated — with deterministic (residual,
+    event_id) tie-breaks; k = ceil((1-alpha)(n+1)) in integer
+    arithmetic, clamped to n (tiny calibration sets).
+
+    Scale: three disjoint hash-split scans of one table; the model
+    is |types| rows broadcast back; the order statistic is one
+    per-type window (each type sorts its calibration residuals —
+    at extreme per-type volume swap in the two-pass
+    histogram-cutoff recipe of token_budget_selection_2p)."""
+    ev = tables.table(spark, sf_dir, "events")
+    b = F.expr(_CONF_BUCKET_SPARK)
+    evb = ev.select("event_id", "event_type", "value", b.alias("bkt"))
+    train = evb.filter(F.col("bkt") < 80)
+    calib = evb.filter((F.col("bkt") >= 80) & (F.col("bkt") < 90))
+    test = evb.filter(F.col("bkt") >= 90)
+    model = train.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    resid = calib.join(model, "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("mu")).alias("r"),
+    )
+    w = Window.partitionBy("event_type").orderBy("r", "event_id")
+    ranked = resid.select(
+        "event_type",
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("n_cal"),
+    )
+    keep = CONF_ALPHA_DEN - CONF_ALPHA_NUM  # (1-alpha) numerator
+    k = F.least(
+        F.expr(f"({keep}L * (n_cal + 1) + {CONF_ALPHA_DEN - 1}L)"
+               f" div {CONF_ALPHA_DEN}L"),
+        F.col("n_cal"),
+    )
+    qhat = ranked.filter(F.col("rn") == k).select(
+        "event_type", F.col("r").alias("q_hat"), "n_cal"
+    )
+    cov = (
+        test.join(model, "event_type")
+        .join(qhat, "event_type")
+        .groupBy("event_type", "n_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu")) <= F.col("q_hat"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return cov.select(
+        "event_type",
+        "n_cal",
+        "q_hat",
+        "n_test",
+        "n_covered",
+        (F.col("n_covered").cast("double") / F.col("n_test").cast("double"))
+        .alias("coverage"),
+    )
+
+
+def _conformal_oracle() -> str:
+    keep = CONF_ALPHA_DEN - CONF_ALPHA_NUM
+    return f"""
+WITH evb AS (
+  SELECT event_id, event_type, value, {_CONF_BUCKET_DUCK} AS bkt
+  FROM events
+),
+model AS (
+  SELECT event_type, avg(value) AS mu FROM evb WHERE bkt < 80 GROUP BY 1
+),
+resid AS (
+  SELECT e.event_type, e.event_id, abs(e.value - m.mu) AS r
+  FROM evb e JOIN model m USING (event_type)
+  WHERE e.bkt >= 80 AND e.bkt < 90
+),
+ranked AS (
+  SELECT event_type, r,
+         row_number() OVER (PARTITION BY event_type ORDER BY r, event_id)
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_cal
+  FROM resid
+),
+qhat AS (
+  SELECT event_type, r AS q_hat, n_cal
+  FROM ranked
+  WHERE rn = least(({keep} * (n_cal + 1) + {CONF_ALPHA_DEN - 1})
+                     // {CONF_ALPHA_DEN}, n_cal)
+)
+SELECT e.event_type, q.n_cal, q.q_hat,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN abs(e.value - m.mu) <= q.q_hat
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(sum(CASE WHEN abs(e.value - m.mu) <= q.q_hat
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
+FROM evb e
+JOIN model m USING (event_type)
+JOIN qhat q USING (event_type)
+WHERE e.bkt >= 90
+GROUP BY 1, 2, 3
+"""
+
+
+CONFORMAL_COVERAGE_AUDIT_ORACLE = _conformal_oracle()

@@ -1525,6 +1525,21 @@ def _ensure_loaded() -> None:
         dq.dp_topk_release_query,
         dq.DP_TOPK_RELEASE_ORACLE,
     )
+    register(
+        "minhash_estimate_audit",
+        dedup.minhash_estimate_audit_query,
+        dedup.MINHASH_ESTIMATE_AUDIT_ORACLE,
+    )
+    register(
+        "curriculum_pacing",
+        curation.curriculum_pacing_query,
+        curation.CURRICULUM_PACING_ORACLE,
+    )
+    register(
+        "conformal_coverage_audit",
+        stats.conformal_coverage_audit_query,
+        stats.CONFORMAL_COVERAGE_AUDIT_ORACLE,
+    )
 
     _apply_window(_WINDOW_R06)
     _LOADED = True

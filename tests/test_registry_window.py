@@ -82,6 +82,9 @@ R07_MATERIAL: set[str] = {
     "priority_sample",
     "neyman_allocation",
     "dp_topk_release",
+    "minhash_estimate_audit",
+    "curriculum_pacing",
+    "conformal_coverage_audit",
 }
 
 

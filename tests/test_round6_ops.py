@@ -109,3 +109,91 @@ def test_dp_topk_noise_is_keyed_and_deterministic(spark):
     ]
     # different types draw different noise (keyed hash, not one draw)
     assert len({r["noise_fp"] for r in a}) > 1
+
+
+def test_curriculum_pacing_golden(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import curation
+
+    rows = [
+        (1, "a b c", "s", 100),    # stage1 (<200), 3 tokens
+        (2, "d e", "s", 300),      # stage2, 2 tokens
+        (3, "f g h i", "s", 500),  # stage3, 4 tokens
+        (4, "j", "s", 900),        # stage4, 1 token
+    ]
+    df = _docs(spark, rows)
+    monkeypatch.setattr(curation.tables, "table", lambda *_a: df)
+    out = {r["stage"]: r for r in curation.curriculum_pacing_query(spark, SF).collect()}
+    assert set(out) == {"stage1", "stage2", "stage3", "stage4"}
+    assert out["stage1"]["n_tokens"] == 3
+    assert out["stage1"]["cum_token_pml"] == 300  # 3/10
+    assert out["stage3"]["cum_token_pml"] == 900  # (3+2+4)/10
+    assert out["stage4"]["cum_token_pml"] == 1000
+    assert out["stage2"]["mean_chars"] == 300.0
+
+
+def test_conformal_coverage_guarantee_on_real_data(spark):
+    """The distribution-free bound: per-type coverage should sit near
+    (usually above) 1 - alpha = 0.9; assert a loose finite-sample
+    floor so a broken quantile (e.g. off-by-one rank) fails loudly."""
+    from _kafka_streams_scaffold_spark.operators import stats
+
+    rows = stats.conformal_coverage_audit_query(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_cal"] > 0 and r["q_hat"] >= 0.0
+        if r["n_test"] >= 50:
+            assert r["coverage"] >= 0.8, r
+
+
+def test_conformal_k_is_exact_order_statistic(spark, monkeypatch):
+    """9 calibration residuals, alpha=0.1 -> k = ceil(0.9*10) = 9 =
+    the MAX residual; coverage on a test point just inside it is 1."""
+    from pyspark.sql import types as TT
+
+    from _kafka_streams_scaffold_spark.operators import stats
+
+    schema = TT.StructType(
+        [
+            TT.StructField("event_id", TT.LongType()),
+            TT.StructField("event_type", TT.StringType()),
+            TT.StructField("value", TT.DoubleType()),
+        ]
+    )
+    # find ids landing in each split for the fixed hash
+    import hashlib
+
+    def bkt(i):
+        return int(hashlib.md5(f"conf-v1|{i}".encode()).hexdigest()[:4], 16) % 100
+
+    train = [i for i in range(10000) if bkt(i) < 80][:20]
+    calib = [i for i in range(10000) if 80 <= bkt(i) < 90][:9]
+    test = [i for i in range(10000) if bkt(i) >= 90][:1]
+    rows = [(i, "t", 10.0) for i in train]
+    rows += [(i, "t", 10.0 + k + 1) for k, i in enumerate(calib)]  # r=1..9
+    rows += [(i, "t", 18.5) for i in test]  # |18.5-10| = 8.5 < q=9
+    df = spark.createDataFrame(rows, schema)
+    monkeypatch.setattr(stats.tables, "table", lambda *_a: df)
+    out = stats.conformal_coverage_audit_query(spark, SF).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_cal"] == 9
+    assert r["q_hat"] == 9.0  # k = min(ceil(0.9*10), 9) = 9 -> max resid
+    assert r["n_test"] == 1 and r["n_covered"] == 1 and r["coverage"] == 1.0
+
+
+def test_minhash_estimate_audit_error_bound(spark):
+    """Estimator sanity on real data: every candidate pair's estimate
+    is within the worst plausible deviation for 32 hashes, and at
+    least one pair estimates its exact jaccard closely."""
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    rows = dedup.minhash_estimate_audit_query(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["est_matches"] <= dedup.N_HASHES
+        assert abs(r["est_jaccard"] - r["exact_jaccard"]) == r["abs_err"]
+    assert min(r["abs_err"] for r in rows) <= 0.15
