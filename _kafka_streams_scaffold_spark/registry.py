@@ -1540,6 +1540,11 @@ def _ensure_loaded() -> None:
         stats.conformal_coverage_audit_query,
         stats.CONFORMAL_COVERAGE_AUDIT_ORACLE,
     )
+    register(
+        "mmr_rerank",
+        similarity.mmr_rerank_query,
+        similarity.MMR_RERANK_ORACLE,
+    )
 
     _apply_window(_WINDOW_R06)
     _LOADED = True

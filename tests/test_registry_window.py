@@ -85,6 +85,7 @@ R07_MATERIAL: set[str] = {
     "minhash_estimate_audit",
     "curriculum_pacing",
     "conformal_coverage_audit",
+    "mmr_rerank",
 }
 
 

@@ -197,3 +197,56 @@ def test_minhash_estimate_audit_error_bound(spark):
         assert 0 <= r["est_matches"] <= dedup.N_HASHES
         assert abs(r["est_jaccard"] - r["exact_jaccard"]) == r["abs_err"]
     assert min(r["abs_err"] for r in rows) <= 0.15
+
+
+def test_mmr_rerank_prefers_diversity_over_redundancy(spark, monkeypatch):
+    """Three near-identical top vectors + one diverse: plain top-2
+    would take two twins; MMR step 2 must pick the diverse one."""
+    import pyspark.sql.types as TT
+
+    from _kafka_streams_scaffold_spark import tables as tb
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    dim = tb.EMBED_DIM
+    q = [1.0] * dim
+    twin_a = [1.0] * (dim - 1) + [0.9]  # cosine ~1 to q AND to twin_b
+    twin_b = [1.0] * (dim - 1) + [0.0]
+    # moderately relevant (cos 0.75 to q) but clearly less redundant
+    # with twin_a than twin_b is
+    diverse = [-1.0] * 8 + [1.0] * (dim - 8)
+    schema = TT.StructType(
+        [
+            TT.StructField("vec_id", TT.LongType()),
+            TT.StructField("embedding", TT.ArrayType(TT.FloatType())),
+            TT.StructField("label", TT.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(0, q, 0), (100, twin_a, 0), (101, twin_b, 0), (102, diverse, 0)],
+        schema,
+    )
+    monkeypatch.setattr(similarity.tables, "table", lambda *_a: df)
+    out = similarity.mmr_rerank_query(spark, SF).collect()
+    by_step = {r["step"]: r for r in out if r["q_id"] == 0}
+    assert by_step[1]["vec_id"] == 100  # most relevant first
+    assert by_step[2]["vec_id"] == 102  # diversity beats the twin
+    assert by_step[3]["vec_id"] == 101
+    assert by_step[1]["mmr_score"] == 0.5 * by_step[1]["rel"]
+    # later scores penalized by similarity to the chosen set
+    assert by_step[3]["mmr_score"] < 0.5 * by_step[3]["rel"]
+
+
+def test_mmr_rerank_emits_k_steps_per_query(spark):
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    rows = similarity.mmr_rerank_query(spark, SF).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r["step"])
+    assert len(per_q) == similarity.N_QUERIES
+    for steps in per_q.values():
+        assert sorted(steps) == list(range(1, similarity.MMR_K + 1))
+    # no vec repeats within a query
+    for q in per_q:
+        picks = [r["vec_id"] for r in rows if r["q_id"] == q]
+        assert len(picks) == len(set(picks))
