@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import tables
+from ..pinning import pin as _pin
 
 FEATURE_SCHEMA = (
     "doc_id long, modality string, n_bytes long, first_byte int, checksum string"
@@ -213,4 +214,180 @@ SELECT doc_id,
        ELSE md5('') END AS resized_checksum
 FROM documents
 WHERE text IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# Perceptual hash (pHash-style) near-dup over binary payloads
+# --------------------------------------------------------------------------
+
+PHASH_GRID = 64       # 8x8 "pixel" grid = first 64 payload bytes
+PHASH_BLOCKS = 8      # 8-bit Hamming-blocking bands
+PHASH_BLOCK_BITS = PHASH_GRID // PHASH_BLOCKS
+# Lossless blocking bound: each differing bit dirties at most one
+# block, so a pair within PHASH_HAM_MAX shares a clean block only if
+# PHASH_HAM_MAX <= PHASH_BLOCKS - 1 (pigeonhole). 8 blocks -> up to 7
+# differing bits guaranteed found; the unit test brute-forces this.
+PHASH_HAM_MAX = PHASH_BLOCKS - 1
+
+
+def _phash_block_spark(b: int) -> str:
+    """16-bit block b of the mean-threshold fingerprint: bit i is set
+    when 64*byte_i > sum(bytes) — the cross-multiplied integer form
+    of byte_i > mean (no division, exact on both engines)."""
+    terms = [
+        f"(case when {PHASH_GRID} * ascii(substring(text, {b * PHASH_BLOCK_BITS + i + 1}, 1))"
+        f" > bsum then {1 << (PHASH_BLOCK_BITS - 1 - i)} else 0 end)"
+        for i in range(PHASH_BLOCK_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _phash_block_duck(b: int) -> str:
+    terms = [
+        f"(CASE WHEN {PHASH_GRID} * ascii(substring(text, {b * PHASH_BLOCK_BITS + i + 1}, 1))"
+        f" > bsum THEN {1 << (PHASH_BLOCK_BITS - 1 - i)} ELSE 0 END)"
+        for i in range(PHASH_BLOCK_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_BSUM_SPARK = (
+    "aggregate(transform(sequence(1, "
+    f"{PHASH_GRID}), i -> ascii(substring(text, i, 1))), 0, (a, x) -> a + x)"
+)
+_BSUM_DUCK = (
+    f"list_sum([ascii(substring(text, i, 1)) "
+    f"for i in generate_series(1, {PHASH_GRID})])"
+)
+
+
+def payload_phash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b0..b3): a 64-bit PERCEPTUAL fingerprint of each
+    payload's leading 8x8 byte grid — bit i set when byte_i exceeds
+    the grid mean (the mean-threshold aHash; production pHash runs a
+    DCT first, which slots into the same plan as a different bit
+    expression). Stored as eight 8-bit blocks because the blocks ARE
+    the Hamming-blocking keys downstream (phash_dup_pairs) and four
+    small ints canonicalize identically on every engine (one 64-bit
+    fingerprint would sign-overflow BIGINT at bit 63).
+
+    The payload is the module's synthesized cast(text as binary)
+    (ASCII, so ascii(char_i) IS byte_i — see module docstring); a
+    real image pipeline decodes pixels at the documented codec seam
+    and feeds the same grid expression. Docs shorter than the grid
+    have no fingerprint (filtered, like too-short docs in shingling).
+
+    Scale: scan-local integer arithmetic (no shuffle at all) — the
+    exact shape of simhash over token hashes, applied to the
+    multimodal tier."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    sized = docs.filter(F.length("text") >= PHASH_GRID).select(
+        "doc_id", "text", F.expr(_BSUM_SPARK).alias("bsum")
+    )
+    return sized.select(
+        "doc_id",
+        *[
+            F.expr(_phash_block_spark(b)).cast("int").alias(f"b{b}")
+            for b in range(PHASH_BLOCKS)
+        ],
+    )
+
+
+PAYLOAD_PHASH_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, text, {_BSUM_DUCK} AS bsum
+  FROM documents WHERE length(text) >= {PHASH_GRID}
+)
+SELECT doc_id,
+       {", ".join(f"CAST({_phash_block_duck(b)} AS INT) AS b{b}" for b in range(PHASH_BLOCKS))}
+FROM sized
+"""
+
+
+def phash_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming): payload pairs whose perceptual
+    fingerprints differ in at most PHASH_HAM_MAX of 64 bits,
+    candidate-generated by EXACT MATCH ON ANY 8-BIT BLOCK — the
+    pigeonhole guarantee: <= PHASH_BLOCKS-1 differing bits cannot
+    dirty all PHASH_BLOCKS blocks, so blocking is LOSSLESS for the
+    threshold (same argument as simhash's bit-block bands, applied
+    to the multimodal tier).
+
+    Scale: the block index join is the LSH-band shape (8 postings per
+    doc, equi-key); verification is bit_count over four ints per
+    candidate pair. Hot blocks (constant-ish payload grids) are the
+    skew risk — at production scale df-cap the block postings exactly
+    like hot shingles (dedup.df_capped_shingles)."""
+    fps = _pin(payload_phash_query(spark, sf_dir))
+    posting = fps.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.col(f"b{b}").alias("v"),
+                    )
+                    for b in range(PHASH_BLOCKS)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.blk", "p.v")
+    a, b = posting.alias("a"), posting.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    fa = fps.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(PHASH_BLOCKS)],
+    )
+    fb = fps.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"bb{i}") for i in range(PHASH_BLOCKS)],
+    )
+    ham = F.expr(
+        " + ".join(
+            f"bit_count(a{i} ^ bb{i})" for i in range(PHASH_BLOCKS)
+        )
+    ).cast("int")
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+    )
+
+
+PHASH_DUP_PAIRS_ORACLE = f"""
+WITH fps AS MATERIALIZED ({PAYLOAD_PHASH_ORACLE.strip()}),
+posting AS (
+  SELECT doc_id, blk,
+         CASE {" ".join(f"WHEN blk = {b} THEN b{b}" for b in range(PHASH_BLOCKS))} END AS v
+  FROM fps, generate_series(0, {PHASH_BLOCKS - 1}) AS t(blk)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM posting a
+  JOIN posting b
+    ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({" + ".join(f"bit_count(xor(fa.b{i}, fb.b{i}))" for i in range(PHASH_BLOCKS))} AS INT)
+         AS hamming
+FROM cand c
+JOIN fps fa ON fa.doc_id = c.doc_a
+JOIN fps fb ON fb.doc_id = c.doc_b
+WHERE {" + ".join(f"bit_count(xor(fa.b{i}, fb.b{i}))" for i in range(PHASH_BLOCKS))}
+      <= {PHASH_HAM_MAX}
 """

@@ -123,13 +123,6 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-# Driver correctness window for round 5 (slots 0-49) — see module
-# docstring. Every name here is oracle-backed and has never had a
-# GREEN driver CORRECTNESS row before this round: the 42-query
-# certification backlog (round-4 additions, the older judge-only
-# tier, segment_trend, and the reshaped embedding_quantize — red in
-# r04 only for its array column, now scalarized) plus the eight
-# round-5 additions. This clears the backlog completely.
 # Driver correctness window for round 6 (slots 0-49) — see module
 # docstring. 50 of the 59 round-5 late additions (everything
 # oracle-backed that has never had a driver CORRECTNESS row),
@@ -200,6 +193,8 @@ _WINDOW_R06 = [
     "ivm_join_revenue",
 ]
 
+# r05 window kept for the rotation-history tests (all 50 went green
+# in CORRECTNESS_r05; see the module docstring's audit trail).
 _WINDOW_R05 = [
     # round-4 additions: stats / dq / sketches
     "referential_integrity",
@@ -1544,6 +1539,16 @@ def _ensure_loaded() -> None:
         "mmr_rerank",
         similarity.mmr_rerank_query,
         similarity.MMR_RERANK_ORACLE,
+    )
+    register(
+        "payload_phash",
+        multimodal.payload_phash_query,
+        multimodal.PAYLOAD_PHASH_ORACLE,
+    )
+    register(
+        "phash_dup_pairs",
+        multimodal.phash_dup_pairs_query,
+        multimodal.PHASH_DUP_PAIRS_ORACLE,
     )
 
     _apply_window(_WINDOW_R06)

@@ -86,6 +86,8 @@ R07_MATERIAL: set[str] = {
     "curriculum_pacing",
     "conformal_coverage_audit",
     "mmr_rerank",
+    "payload_phash",
+    "phash_dup_pairs",
 }
 
 

@@ -250,3 +250,61 @@ def test_mmr_rerank_emits_k_steps_per_query(spark):
     for q in per_q:
         picks = [r["vec_id"] for r in rows if r["q_id"] == q]
         assert len(picks) == len(set(picks))
+
+
+def test_payload_phash_blocks_and_pigeonhole(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import multimodal
+
+    base = "A" * 32 + "z" * 32          # half low, half high bytes
+    near = "A" * 32 + "z" * 31 + "A"    # flips a few bits at the tail
+    far = ("Az" * 32)                   # alternating -> different grid
+    rows = [
+        (1, base, "s", 64),
+        (2, near, "s", 64),
+        (3, far, "s", 64),
+        (4, "short", "s", 5),           # < grid -> no fingerprint
+    ]
+    df = _docs(spark, rows)
+    monkeypatch.setattr(multimodal.tables, "table", lambda *_a: df)
+    fps = {r["doc_id"]: r for r in multimodal.payload_phash_query(spark, SF).collect()}
+    assert set(fps) == {1, 2, 3}
+    # mean-threshold: 'z' bytes above mean -> block bits set
+    assert fps[1]["b0"] == 0 and fps[1]["b4"] == 0xFF
+    # base vs near differ in few bits; base vs far in many
+    def ham(x, y):
+        return sum(
+            bin(fps[x][f"b{i}"] ^ fps[y][f"b{i}"]).count("1")
+            for i in range(8)
+        )
+
+    assert 0 < ham(1, 2) <= multimodal.PHASH_HAM_MAX
+    assert ham(1, 3) > multimodal.PHASH_HAM_MAX
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in multimodal.phash_dup_pairs_query(spark, SF).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == ham(1, 2)
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_blocking_is_lossless_under_threshold(spark):
+    """Pigeonhole check on real data: every pair within PHASH_HAM_MAX
+    must be found by block-equality candidates — verify by brute
+    force over the (small) fingerprint table."""
+    from _kafka_streams_scaffold_spark.operators import multimodal
+
+    fps = multimodal.payload_phash_query(spark, SF).collect()
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in multimodal.phash_dup_pairs_query(spark, SF).collect()
+    }
+    by_id = {r["doc_id"]: [r[f"b{i}"] for i in range(8)] for r in fps}
+    ids = sorted(by_id)
+    missed = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(bin(x ^ y).count("1") for x, y in zip(by_id[a], by_id[b]))
+            if h <= multimodal.PHASH_HAM_MAX and (a, b) not in found:
+                missed.append((a, b, h))
+    assert not missed
