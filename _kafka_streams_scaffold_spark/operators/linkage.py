@@ -241,3 +241,108 @@ GROUP BY doc_a, doc_b
 
 
 FS_LINKAGE_ORACLE = _fs_oracle()
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: components over FS matches + canonicalization
+# --------------------------------------------------------------------------
+
+FS_MATCH_MIN_FP = 0  # match decision: fs_score > 0 (likelier same entity)
+
+
+def linkage_entities_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(entity_id, n_members, n_sources, max_score): the LAST step of
+    the record-linkage pipeline — pairwise Fellegi-Sunter match
+    decisions (fs_score > 0) folded into ENTITIES by connected
+    components, each entity canonicalized (id = min member doc_id)
+    with its membership size, source spread, and strongest pairwise
+    evidence. fs_linkage_scores answers "are these two the same?";
+    this answers "what are the things?" — the deliverable an ER
+    pipeline actually ships. Only multi-member entities are emitted
+    (singletons are every unmatched doc, definitionally).
+
+    Scale: edges are the already-candidate-bounded FS match pairs;
+    components run the shared min-label/pointer-jumping engine
+    (O(E) per round, ~log diameter rounds, localCheckpoint — see
+    operators/clustering.connected_components); the canonicalization
+    is one id-width rollup joined back to documents for source."""
+    from .clustering import connected_components
+
+    docs = tables.table(spark, sf_dir, "documents")
+    scores = fs_linkage_scores_query(spark, sf_dir)
+    matches = scores.filter(
+        F.col("fs_score") > F.lit(FS_MATCH_MIN_FP).cast("double")
+    )
+    edges = matches.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = docs.select("doc_id")
+    comp = connected_components(nodes, edges)
+    # strongest evidence per entity: tag each matched pair with the
+    # component of its (always co-component) left endpoint
+    pair_comp = matches.join(
+        comp.select(F.col("doc_id").alias("doc_a"), "cluster_id"), "doc_a"
+    )
+    evidence = pair_comp.groupBy("cluster_id").agg(
+        F.max("fs_score").alias("max_score")
+    )
+    members = comp.join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    return (
+        members.filter(F.col("n_members") > 1)
+        .join(evidence, "cluster_id")
+        .select(
+            F.col("cluster_id").alias("entity_id"),
+            "n_members",
+            "n_sources",
+            "max_score",
+        )
+    )
+
+
+def _linkage_entities_oracle() -> str:
+    fs = FS_LINKAGE_ORACLE.strip().rstrip(";")
+    return f"""
+WITH RECURSIVE scores AS MATERIALIZED (
+  {fs}
+),
+matches AS MATERIALIZED (
+  SELECT doc_a, doc_b, fs_score FROM scores
+  WHERE fs_score > {FS_MATCH_MIN_FP}
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM matches
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM matches
+),
+walk(doc_id, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+),
+comp AS MATERIALIZED (
+  SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id
+),
+evidence AS (
+  SELECT c.cluster_id, max(m.fs_score) AS max_score
+  FROM matches m JOIN comp c ON c.doc_id = m.doc_a
+  GROUP BY 1
+),
+members AS (
+  SELECT c.cluster_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+  FROM comp c JOIN documents d USING (doc_id)
+  GROUP BY 1
+)
+SELECT m.cluster_id AS entity_id, m.n_members, m.n_sources, e.max_score
+FROM members m JOIN evidence e ON e.cluster_id = m.cluster_id
+WHERE m.n_members > 1
+"""
+
+
+LINKAGE_ENTITIES_ORACLE = _linkage_entities_oracle()

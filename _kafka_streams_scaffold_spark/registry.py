@@ -1550,6 +1550,11 @@ def _ensure_loaded() -> None:
         multimodal.phash_dup_pairs_query,
         multimodal.PHASH_DUP_PAIRS_ORACLE,
     )
+    register(
+        "linkage_entities",
+        linkage.linkage_entities_query,
+        linkage.LINKAGE_ENTITIES_ORACLE,
+    )
 
     _apply_window(_WINDOW_R06)
     _LOADED = True

@@ -88,6 +88,7 @@ R07_MATERIAL: set[str] = {
     "mmr_rerank",
     "payload_phash",
     "phash_dup_pairs",
+    "linkage_entities",
 }
 
 

@@ -308,3 +308,54 @@ def test_phash_blocking_is_lossless_under_threshold(spark):
             if h <= multimodal.PHASH_HAM_MAX and (a, b) not in found:
                 missed.append((a, b, h))
     assert not missed
+
+
+def test_linkage_entities_fold_matches_into_components(spark):
+    """Real-data invariants: every entity has >= 2 members, a positive
+    max score (the match decision), and entity ids are member minima
+    (canonical representative convention)."""
+    from _kafka_streams_scaffold_spark.operators import linkage
+
+    ents = linkage.linkage_entities_query(spark, SF).collect()
+    assert ents
+    for e in ents:
+        assert e["n_members"] >= 2
+        assert e["n_sources"] >= 1
+        assert e["max_score"] > 0.0
+    # entities are disjoint by construction (CC ids are min member ids)
+    assert len({e["entity_id"] for e in ents}) == len(ents)
+
+
+def test_linkage_entities_transitivity(spark):
+    """a~b and b~c matched => one entity of >= 3: check the component
+    fold against the raw pairwise matches."""
+    from _kafka_streams_scaffold_spark.operators import linkage
+
+    matches = [
+        (r["doc_a"], r["doc_b"])
+        for r in linkage.fs_linkage_scores_query(spark, SF).collect()
+        if r["fs_score"] > 0
+    ]
+    # union-find over the pairs
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in matches:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes: dict[int, int] = {}
+    for x in parent:
+        sizes[find(x)] = sizes.get(find(x), 0) + 1
+    expected = {root: n for root, n in sizes.items() if n > 1}
+    ents = {
+        e["entity_id"]: e["n_members"]
+        for e in linkage.linkage_entities_query(spark, SF).collect()
+    }
+    assert ents == expected
