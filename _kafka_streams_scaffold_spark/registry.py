@@ -1555,6 +1555,11 @@ def _ensure_loaded() -> None:
         linkage.linkage_entities_query,
         linkage.LINKAGE_ENTITIES_ORACLE,
     )
+    register(
+        "hilbert_layout",
+        layout.hilbert_layout_query,
+        layout.HILBERT_LAYOUT_ORACLE,
+    )
 
     _apply_window(_WINDOW_R06)
     _LOADED = True

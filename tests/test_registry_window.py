@@ -89,6 +89,7 @@ R07_MATERIAL: set[str] = {
     "payload_phash",
     "phash_dup_pairs",
     "linkage_entities",
+    "hilbert_layout",
 }
 
 

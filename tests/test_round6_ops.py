@@ -359,3 +359,87 @@ def test_linkage_entities_transitivity(spark):
         for e in linkage.linkage_entities_query(spark, SF).collect()
     }
     assert ents == expected
+
+
+def _hilbert_ref(x, y):
+    """Classic xy2d (Wikipedia iterative form) — the ground truth the
+    SQL level chain must reproduce."""
+    from _kafka_streams_scaffold_spark.operators.layout import HB_BITS, HB_N
+
+    d = 0
+    s = HB_N // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = HB_N - 1 - x
+                y = HB_N - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_transform_is_a_bijection():
+    from _kafka_streams_scaffold_spark.operators.layout import HB_N
+
+    seen = {
+        _hilbert_ref(x, y) for x in range(HB_N) for y in range(HB_N)
+    }
+    assert seen == set(range(HB_N * HB_N))
+
+
+def test_hilbert_sql_chain_matches_reference(spark, monkeypatch):
+    """Feed a grid whose normalization is the identity (corners pinned
+    at 0 and HB_N-1) and compare bucket histograms with the pure-
+    Python reference."""
+    import pyspark.sql.types as TT
+
+    from _kafka_streams_scaffold_spark.operators import layout
+
+    n = layout.HB_N
+    pts = [(x, y) for x in range(0, n, 15) for y in range(0, n, 15)]
+    pts += [(0, 0), (n - 1, n - 1), (0, n - 1), (n - 1, 0)]
+    import datetime as dt
+
+    epoch = dt.date(1970, 1, 1)
+    schema = TT.StructType(
+        [
+            TT.StructField("o_custkey", TT.LongType()),
+            TT.StructField("o_orderdate", TT.TimestampType()),
+        ]
+    )
+    rows = [
+        (x, dt.datetime.combine(epoch + dt.timedelta(days=y), dt.time()))
+        for x, y in pts
+    ]
+    df = spark.createDataFrame(rows, schema)
+    monkeypatch.setattr(layout.tables, "table", lambda *_a: df)
+    out = layout.hilbert_layout_query(spark, SF).collect()
+    shift = 2 * layout.HB_BITS - layout.HB_PREFIX_BITS
+    expected = {}
+    for x, y in pts:
+        b = _hilbert_ref(x, y) >> shift
+        expected[b] = expected.get(b, 0) + 1
+    got = {r["hbucket"]: r["n_rows"] for r in out}
+    assert got == expected
+
+
+def test_hilbert_locality_not_worse_than_zorder(spark):
+    """The reason to prefer Hilbert: bucket spans (what zone maps
+    prune on) should be no worse than Morton's on average."""
+    from _kafka_streams_scaffold_spark.operators import layout
+
+    def mean_span(rows, lo, hi):
+        spans = [r[hi] - r[lo] for r in rows]
+        return sum(spans) / len(spans)
+
+    h = layout.hilbert_layout_query(spark, "/root/testdata/sf0.01").collect()
+    z = layout.zorder_layout_query(spark, "/root/testdata/sf0.01").collect()
+    assert mean_span(h, "custkey_lo", "custkey_hi") <= 1.15 * mean_span(
+        z, "custkey_lo", "custkey_hi"
+    )
+    assert mean_span(h, "day_lo", "day_hi") <= 1.15 * mean_span(
+        z, "day_lo", "day_hi"
+    )

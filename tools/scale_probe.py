@@ -35,6 +35,7 @@ from _kafka_streams_scaffold_spark.operators import (  # noqa: E402
     wordcount,
 )
 from _kafka_streams_scaffold_spark.operators import lm as lm_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import multimodal as multimodal_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import linkage as linkage_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import nb as nb_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import sampling as sampling_mod  # noqa: E402
@@ -519,6 +520,43 @@ def main() -> None:
             "embeddings",
             embeddings(m),
             lambda: quantize_mod.quantized_ann_ndcg_query(spark, SF_DIR),
+        ),
+        # round-6 additions
+        "priority sample (TakeOrdered bottom-k)": lambda m: _with_docs(
+            m, lambda: sampling_mod.priority_sample_query(spark, SF_DIR)
+        ),
+        "neyman allocation (stratum moments)": lambda m: _with_docs(
+            m, lambda: sampling_mod.neyman_allocation_query(spark, SF_DIR)
+        ),
+        "dp topk (noisy-max release)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: dq_mod.dp_topk_release_query(spark, SF_DIR),
+        ),
+        "curriculum pacing (4-stage rollup)": lambda m: _with_docs(
+            m, lambda: curation_mod.curriculum_pacing_query(spark, SF_DIR)
+        ),
+        "conformal coverage (split + rank)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: stats_mod.conformal_coverage_audit_query(spark, SF_DIR),
+        ),
+        "minhash estimate audit (sig compare)": lambda m: _with_docs(
+            m, lambda: dedup.minhash_estimate_audit_query(spark, SF_DIR)
+        ),
+        "mmr rerank (cogrouped greedy)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: similarity.mmr_rerank_query(spark, SF_DIR),
+        ),
+        "payload phash (scan-local grid)": lambda m: _with_docs(
+            m, lambda: multimodal_mod.payload_phash_query(spark, SF_DIR)
+        ),
+        "phash dup pairs (8-block bands)": lambda m: _with_docs(
+            m, lambda: multimodal_mod.phash_dup_pairs_query(spark, SF_DIR)
+        ),
+        "linkage entities (matches + CC)": lambda m: _with_docs(
+            m, lambda: linkage_mod.linkage_entities_query(spark, SF_DIR)
         ),
     }
 
