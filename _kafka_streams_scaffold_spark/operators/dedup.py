@@ -2287,3 +2287,123 @@ JOIN sizes nb ON nb.doc_id = e.doc_b
 
 
 MINHASH_ESTIMATE_AUDIT_ORACLE = _minhash_estimate_oracle()
+
+
+# --------------------------------------------------------------------------
+# Per-tier token-savings audit (what each detector is WORTH in tokens)
+# --------------------------------------------------------------------------
+
+
+def dedup_token_savings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tier, n_docs_dropped, tokens_dropped, tokens_total,
+    savings_pml): the TRAINING-TOKEN value of each near-dup detector —
+    under the keep-min-id convention (every doc that appears as doc_b
+    in a tier's pair set is dropped), how many documents and
+    whitespace tokens each tier would remove, as permille of the
+    corpus. This is the number that decides whether a tier pays for
+    its compute at 100 TB: detector_kappa says the tiers agree;
+    blocking_recall_audit says what candidates cost; THIS says what
+    the dedup is worth in the currency the training run spends.
+
+    Same reduction shape as dedup_tier_agreement: each tier tags its
+    dropped docs with a power-of-two bit, one union rolls up a
+    per-doc membership mask (docs in any pair only — id-width), token
+    counts join once, and every reported sum is a conditional sum
+    with the literal tier domain LEFT-joined (a pair-free corpus
+    emits all 4 tiers with zero savings, matching the oracle's
+    scalar-subquery form)."""
+    from .textops import tokens_expr
+
+    docs = tables.table(spark, sf_dir, "documents")
+    _shingle_table(docs)  # warm the shared root pin once
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _dropped(i_t: tuple[int, str]) -> DataFrame:
+        i, t = i_t
+        return (
+            _tier_pairs(spark, sf_dir, t)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.lit(1 << i).alias("bit"))
+        )
+
+    with ThreadPoolExecutor(len(_TIERS)) as ex:
+        parts = list(ex.map(_dropped, enumerate(_TIERS)))
+    tagged = parts[0]
+    for part in parts[1:]:
+        tagged = tagged.unionAll(part)
+    toks = docs.select(
+        "doc_id", F.size(tokens_expr()).cast("bigint").alias("nt")
+    )
+    masked = (
+        tagged.groupBy("doc_id")
+        .agg(F.sum("bit").alias("mask"))
+        .join(toks, "doc_id")
+    )
+    total = toks.agg(F.sum("nt").cast("bigint").alias("tokens_total"))
+    domain = spark.createDataFrame(
+        [(t, 1 << i) for i, t in enumerate(_TIERS)], "tier string, bit int"
+    )
+    zero = F.lit(0).cast("bigint")
+    hit = F.expr("mask & bit") != 0
+    return (
+        domain.join(masked, F.lit(True), "left")
+        .groupBy("tier")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_dropped"),
+            F.sum(F.when(hit, F.col("nt")).otherwise(zero))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("tokens_total") > 0)
+        .select(
+            "tier",
+            "n_docs_dropped",
+            "tokens_dropped",
+            "tokens_total",
+            F.expr("(1000L * tokens_dropped) div tokens_total").alias(
+                "savings_pml"
+            ),
+        )
+    )
+
+
+def _token_savings_oracle() -> str:
+    tier_sql = {
+        "simhash": SIMHASH_PAIRS_ORACLE,
+        "minhash": MINHASH_LSH_ORACLE,
+        "ngram": NGRAM_JACCARD_ORACLE,
+        "edit": EDIT_DISTANCE_PAIRS_ORACLE,
+    }
+    # ts_toks, not "toks": the tier oracles define their own inner
+    # toks CTE, and DuckDB resolves the inner reference against an
+    # outer MATERIALIZED CTE of the same name (binder error).
+    ctes = ["ts_toks AS MATERIALIZED (SELECT doc_id, "
+            "CAST(len(list_filter(string_split_regex(lower(text), "
+            "'\\W+'), x -> x <> '')) AS BIGINT) AS nt FROM documents)",
+            "tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tokens_total "
+            "FROM ts_toks)"]
+    for t in _TIERS:
+        ctes.append(
+            f"d_{t} AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM "
+            f"({tier_sql[t].strip().rstrip(';')}))"
+        )
+    selects = []
+    for t in _TIERS:
+        selects.append(f"""
+SELECT '{t}' AS tier,
+       (SELECT CAST(count(*) AS BIGINT) FROM d_{t}) AS n_docs_dropped,
+       (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT)
+        FROM ts_toks JOIN d_{t} USING (doc_id)) AS tokens_dropped,
+       tokens_total,
+       (1000 * (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT)
+                FROM ts_toks JOIN d_{t} USING (doc_id))) // tokens_total
+         AS savings_pml
+FROM tot WHERE tokens_total > 0""")
+    return "WITH " + ",\n".join(ctes) + "\nUNION ALL\n".join(selects)
+
+
+DEDUP_TOKEN_SAVINGS_ORACLE = _token_savings_oracle()

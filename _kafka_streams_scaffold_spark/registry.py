@@ -1560,6 +1560,11 @@ def _ensure_loaded() -> None:
         layout.hilbert_layout_query,
         layout.HILBERT_LAYOUT_ORACLE,
     )
+    register(
+        "dedup_token_savings",
+        dedup.dedup_token_savings_query,
+        dedup.DEDUP_TOKEN_SAVINGS_ORACLE,
+    )
 
     _apply_window(_WINDOW_R06)
     _LOADED = True

@@ -90,6 +90,7 @@ R07_MATERIAL: set[str] = {
     "phash_dup_pairs",
     "linkage_entities",
     "hilbert_layout",
+    "dedup_token_savings",
 }
 
 

@@ -443,3 +443,28 @@ def test_hilbert_locality_not_worse_than_zorder(spark):
     assert mean_span(h, "day_lo", "day_hi") <= 1.15 * mean_span(
         z, "day_lo", "day_hi"
     )
+
+
+def test_dedup_token_savings_golden(spark, monkeypatch):
+    """Two exact twins (minhash/ngram/edit catch them) + one unique:
+    the dropped doc's tokens are the savings; tiers that fire agree."""
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    twin = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (1, twin, "s", len(twin)),
+        (2, twin, "s", len(twin)),
+        (3, "completely different words entirely here", "s", 40),
+    ]
+    df = _docs(spark, rows)
+    monkeypatch.setattr(dedup.tables, "table", lambda *_a: df)
+    out = {r["tier"]: r for r in dedup.dedup_token_savings_query(spark, SF).collect()}
+    assert set(out) == {"simhash", "minhash", "ngram", "edit"}
+    twin_tokens = len(twin.split())
+    total = twin_tokens * 2 + 5
+    for tier in ("minhash", "ngram"):
+        r = out[tier]
+        assert r["n_docs_dropped"] == 1
+        assert r["tokens_dropped"] == twin_tokens
+        assert r["tokens_total"] == total
+        assert r["savings_pml"] == 1000 * twin_tokens // total

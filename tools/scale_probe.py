@@ -558,6 +558,14 @@ def main() -> None:
         "linkage entities (matches + CC)": lambda m: _with_docs(
             m, lambda: linkage_mod.linkage_entities_query(spark, SF_DIR)
         ),
+        "hilbert layout (codegen level chain)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: layout_mod.hilbert_layout_query(spark, SF_DIR),
+        ),
+        "dedup token savings (4-tier mask)": lambda m: _with_docs(
+            m, lambda: dedup.dedup_token_savings_query(spark, SF_DIR)
+        ),
     }
 
     def embeddings(m):
