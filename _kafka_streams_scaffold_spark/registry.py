@@ -42,13 +42,20 @@ CORRECTNESS row. Rotation history:
   top_session_paths, transition_entropy, trimmed_mean_by_type,
   zipf_fit.
 
-NEXT ROTATION (round 7): the 9 deferred queries above, plus
-round-6's own additions, plus the re-certification pool (queries
-whose implementation changed after their green row — in round 6
-that is dedup_tier_agreement, whose empty-pair domain emission
-moved from crossJoin to a left join against the literal domain;
-blocking_recall_audit got the same fix but certifies fresh inside
-the r06 window).
+NEXT ROTATION (round 7): the 9 deferred queries above, plus the 12
+round-6 additions (priority_sample, neyman_allocation,
+dp_topk_release, minhash_estimate_audit, curriculum_pacing,
+conformal_coverage_audit, mmr_rerank, payload_phash,
+phash_dup_pairs, linkage_entities, hilbert_layout,
+dedup_token_savings — mirrored in
+tests/test_registry_window.py R07_MATERIAL), plus the
+re-certification pool (queries whose implementation changed after
+their green row — in round 6 that is dedup_tier_agreement, whose
+empty-pair domain emission moved from crossJoin to a left join
+against the literal domain; blocking_recall_audit got the same fix
+but certifies fresh inside the r06 window). That is 9 + 12 + 1 = 22
+mandatory slots; fill the remainder with round-7's own additions
+and older re-certifications.
 
 PREVIOUS ROTATION NOTE (round 6, kept for the audit trail): the
 round-5 late additions
