@@ -968,6 +968,80 @@ AUDIT = [
         "window); estimation touches only selected docs with an "
         "exact-integer fixed-point ratio sum.",
     ),
+    # round-6 additions
+    (
+        "priority_sample",
+        "orderBy+limit must compile to TakeOrderedAndProject (per-task "
+        "K-row heaps + driver merge) — never a global Sort/Exchange; "
+        "the scan reads only (doc_id, source).",
+    ),
+    (
+        "neyman_allocation",
+        "One combinable rollup to |sources| rows; the total is a "
+        "one-row broadcast; the allocation is integer division over "
+        "fixed-pointed terms (no cross-stratum float sum).",
+    ),
+    (
+        "dp_topk_release",
+        "One partial-aggregatable count rollup to |types| rows, then "
+        "TakeOrderedAndProject on the noisy integer key; the noise "
+        "chain is per-row codegen, no extra shuffle.",
+    ),
+    (
+        "curriculum_pacing",
+        "Stage assignment is scan-local integer CASE; one rollup to 4 "
+        "rows; the cumulative share is a 4x4 broadcast self-join, "
+        "never an ordered cumsum window over the corpus.",
+    ),
+    (
+        "conformal_coverage_audit",
+        "Three disjoint hash-split predicates over ONE scanned table; "
+        "the model is a |types|-row broadcast; the only per-type sort "
+        "is the calibration split's order-statistic window.",
+    ),
+    (
+        "minhash_estimate_audit",
+        "Two id-width joins of the pinned signature table against the "
+        "pinned candidate list; the exact-jaccard side reuses the "
+        "candidate-restricted shingle intersection (left-semi pruned).",
+    ),
+    (
+        "mmr_rerank",
+        "Candidate generation is the ann_topk broadcast shape; the "
+        "greedy is ONE cogrouped applyInPandas stage over MMR_C rows "
+        "+ MMR_C^2 sims per query — constant per-query state, no "
+        "iterative shuffle chain.",
+    ),
+    (
+        "payload_phash",
+        "Scan-local integer arithmetic only — the single Exchange is "
+        "tables.spread's small-file parallelism shuffle (a no-op on a "
+        "multi-split cluster scan); no aggregation or join shuffles.",
+    ),
+    (
+        "phash_dup_pairs",
+        "Posting-list equi-join on (block, value) — the LSH-band "
+        "shape; verification is bit_count over eight ints per "
+        "candidate; the fingerprint table is pinned once.",
+    ),
+    (
+        "linkage_entities",
+        "Edges are the candidate-bounded FS matches; components run "
+        "the shared min-label engine (id-width per round, "
+        "localCheckpoint); canonicalization is one id-width rollup.",
+    ),
+    (
+        "hilbert_layout",
+        "The xy2d chain is HB_BITS chained codegen projections (one "
+        "WholeStageCodegen span, no UDF); the only shuffle is the "
+        "64-key rollup after the broadcast bounds join.",
+    ),
+    (
+        "dedup_token_savings",
+        "Per-tier drop sets are id-width distincts off the shared "
+        "pins; one union -> per-doc mask rollup; the tier domain is "
+        "LEFT-joined so an empty corpus still emits all 4 rows.",
+    ),
 ]
 
 
