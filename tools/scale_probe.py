@@ -629,6 +629,22 @@ def main() -> None:
         "linkage scoring itself is linear in candidate pairs; the "
         "fingerprint windows are linear in corpus chars.",
         "",
+        "Round-6 pair-emitting rows read identically: `phash dup "
+        "pairs` is the extreme case — all 10 copies of a document "
+        "share an IDENTICAL fingerprint, so every block of every "
+        "twin group collides and the blocking (lossless under the "
+        "Hamming threshold by pigeonhole) must emit all 45 "
+        "within-group pairs x every real near-dup's twin cross — "
+        "pair OUTPUT grows ~45-80x while candidate generation stays "
+        "posting-list-shaped (on a real corpus the factor tracks "
+        "duplicate incidence; hot-block df-capping, the "
+        "dedup.df_capped_shingles recipe, is the documented "
+        "production mitigation). `minhash estimate audit` scores the "
+        "LSH candidate set, whose twin INPUT is 45x (the FS-linkage "
+        "reading). `linkage entities` rides that same 45x match "
+        "graph and then runs components over it — more edges AND "
+        "more rounds.",
+        "",
         "## Reading the remaining >5x rows",
         "",
         "`knn lof` (round-6 controlled re-measurement, warm solo JVM, "
@@ -666,12 +682,14 @@ def main() -> None:
         "twin (sketch + bucket scan, ~3x) directly below it in the "
         "table.",
         "",
-        "Other rows in the 5-10x band (incremental dedup, ivm from "
-        "cdc, dp laplace, pii redact, prefix dup) are per-row-bound "
-        "scans/rollups whose 1x runs finish in 0.1-0.8s: their "
-        "per-row work dominates the fixed per-job overhead sooner "
-        "than the typical 3-4x row, so the ratio lands closer to "
-        "the data multiple — at or below 10x is the rubric's pass.",
+        "Any remaining row in the 5-10x band (distinct users, dp "
+        "laplace, pii redact, binary signatures, priority sample, "
+        "conformal coverage, dedup token savings, ...) is a "
+        "per-row-bound scan/rollup whose 1x run finishes in "
+        "0.1-0.9s: per-row work dominates the fixed per-job "
+        "overhead sooner than the typical 3-4x row, so the ratio "
+        "lands closer to the data multiple — at or below 10x is "
+        "the rubric's pass by definition.",
     ]
     # Warm JVM + python pool once.
     probes["pricing agg (filter+group)"](1).count()
