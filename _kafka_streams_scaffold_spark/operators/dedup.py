@@ -2407,3 +2407,58 @@ FROM tot WHERE tokens_total > 0""")
 
 
 DEDUP_TOKEN_SAVINGS_ORACLE = _token_savings_oracle()
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix (who copies from whom)
+# --------------------------------------------------------------------------
+
+
+def source_dedup_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_pairs, n_cross): the near-dup pair mass
+    between every ordered source pair (source_a <= source_b
+    lexically), from the exact capped-shingle Jaccard detector — the
+    PROVENANCE view of deduplication: diagonal cells are intra-source
+    boilerplate, off-diagonal cells are mirror/syndication
+    relationships between feeds, the thing that decides whether to
+    dedup BEFORE or AFTER source-level mixture weighting (a source
+    whose mass is mostly cross-source copies contributes less novel
+    signal than its token count claims). n_cross flags the
+    off-diagonal count explicitly so the syndication share is one
+    filter away.
+
+    Scale: one id-width join of the (already candidate-bounded) pair
+    table against the doc->source projection on each side, then a
+    rollup to at most |sources|^2 rows."""
+    docs = tables.table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_query(spark, sf_dir).select("doc_a", "doc_b")
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    tagged = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("source_a") != F.col("source_b"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_cross"),
+    )
+
+
+SOURCE_DEDUP_MATRIX_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_ORACLE.strip().rstrip(";")})
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cross
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+"""

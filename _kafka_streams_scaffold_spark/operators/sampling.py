@@ -1140,3 +1140,84 @@ SELECT source, n_h, sd_chars,
 FROM terms CROSS JOIN tot
 WHERE tot_fp > 0
 """
+
+
+# --------------------------------------------------------------------------
+# Weighted priority sampling (Efraimidis-Spirakis exponential race)
+# --------------------------------------------------------------------------
+
+WPS_K = 200
+_WPS_SEED = "wps-v1|"
+# 2^32 and the fixed-point scale for the -ln(u) race key
+_WPS_H_SPARK = (
+    "cast(conv(substring(md5(concat('" + _WPS_SEED + "', "
+    "cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+)
+_WPS_H_DUCK = (
+    "CAST(list_sum([(strpos('0123456789abcdef', "
+    "substring(md5('" + _WPS_SEED + "' || CAST(doc_id AS VARCHAR)), i, 1))"
+    " - 1) * (CAST(1 AS BIGINT) << (4 * (8 - i)))"
+    " for i in generate_series(1, 8)]) AS BIGINT)"
+)
+
+
+def weighted_priority_sample_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, source, w, race): WEIGHTED sampling without
+    replacement, exactly WPS_K docs, P(inclusion) proportional to
+    n_chars — Efraimidis-Spirakis '06 via the exponential race:
+    E_i = -ln(u_i)/w_i is Exponential(rate w_i), and the bottom-k of
+    the E_i IS a weight-proportional sample without replacement. The
+    char-mass-fair cousin of priority_sample (uniform) and
+    systematic_weighted_sample (fixed-grid): the race form is the one
+    that MERGES (bottom-k of unions = bottom-k of partial bottom-ks),
+    so it partial-aggregates like a sketch.
+
+    Determinism (the dp_laplace_counts recipe): u = (2h+1)/2^32 from
+    a seeded md5 is exactly dyadic, ln evaluates on that exact
+    argument, and -ln(u) is fixed-pointed to a BIGINT (1e12 scale,
+    max ~2.3e13 << 2^53) BEFORE the race key divides by the integer
+    weight — one correctly-rounded division of exact inputs, so the
+    ordering is bit-identical on both engines (ties impossible short
+    of md5 collisions; doc_id breaks them anyway).
+
+    Scale: per-row codegen + TakeOrderedAndProject — same
+    heap-and-merge shape as priority_sample; zero-weight docs are
+    excluded (their E is +inf by definition)."""
+    docs = tables.table(spark, sf_dir, "documents")
+    h = _WPS_H_SPARK
+    # u in (0,1): (2h+1)/2^33 would halve the range; use (2h+1)/2^33
+    # only if h < 2^32 — h IS < 2^32 (8 hex digits), so (2h+1)/2^33
+    # lies in (0, 1). -ln(u) > 0.
+    neg_ln_fp = (
+        f"cast(floor(1000000000000.0d * (-ln((2.0d * ({h}) + 1.0d)"
+        f" / 8589934592.0d))) as bigint)"
+    )
+    race = (
+        f"cast(({neg_ln_fp}) as double)"
+        " / cast(n_chars as bigint)"
+    )
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("w"),
+            F.expr(race).alias("race"),
+        )
+        .orderBy("race", "doc_id")
+        .limit(WPS_K)
+    )
+
+
+WEIGHTED_PRIORITY_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+       CAST(CAST(floor(1000000000000.0 * (-ln((2.0 * ({_WPS_H_DUCK}) + 1.0)
+            / 8589934592.0))) AS BIGINT) AS DOUBLE)
+         / CAST(n_chars AS BIGINT) AS race
+FROM documents
+WHERE n_chars > 0
+ORDER BY race, doc_id
+LIMIT {WPS_K}
+"""

@@ -42,18 +42,19 @@ CORRECTNESS row. Rotation history:
   top_session_paths, transition_entropy, trimmed_mean_by_type,
   zipf_fit.
 
-NEXT ROTATION (round 7): the 9 deferred queries above, plus the 12
+NEXT ROTATION (round 7): the 9 deferred queries above, plus the 14
 round-6 additions (priority_sample, neyman_allocation,
 dp_topk_release, minhash_estimate_audit, curriculum_pacing,
 conformal_coverage_audit, mmr_rerank, payload_phash,
 phash_dup_pairs, linkage_entities, hilbert_layout,
-dedup_token_savings — mirrored in
+dedup_token_savings, weighted_priority_sample,
+source_dedup_matrix — mirrored in
 tests/test_registry_window.py R07_MATERIAL), plus the
 re-certification pool (queries whose implementation changed after
 their green row — in round 6 that is dedup_tier_agreement, whose
 empty-pair domain emission moved from crossJoin to a left join
 against the literal domain; blocking_recall_audit got the same fix
-but certifies fresh inside the r06 window). That is 9 + 12 + 1 = 22
+but certifies fresh inside the r06 window). That is 9 + 14 + 1 = 24
 mandatory slots; fill the remainder with round-7's own additions
 and older re-certifications.
 
@@ -1571,6 +1572,16 @@ def _ensure_loaded() -> None:
         "dedup_token_savings",
         dedup.dedup_token_savings_query,
         dedup.DEDUP_TOKEN_SAVINGS_ORACLE,
+    )
+    register(
+        "weighted_priority_sample",
+        sampling.weighted_priority_sample_query,
+        sampling.WEIGHTED_PRIORITY_SAMPLE_ORACLE,
+    )
+    register(
+        "source_dedup_matrix",
+        dedup.source_dedup_matrix_query,
+        dedup.SOURCE_DEDUP_MATRIX_ORACLE,
     )
 
     _apply_window(_WINDOW_R06)

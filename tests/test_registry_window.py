@@ -91,6 +91,8 @@ R07_MATERIAL: set[str] = {
     "linkage_entities",
     "hilbert_layout",
     "dedup_token_savings",
+    "weighted_priority_sample",
+    "source_dedup_matrix",
 }
 
 

@@ -468,3 +468,63 @@ def test_dedup_token_savings_golden(spark, monkeypatch):
         assert r["tokens_dropped"] == twin_tokens
         assert r["tokens_total"] == total
         assert r["savings_pml"] == 1000 * twin_tokens // total
+
+
+def test_weighted_priority_sample_reference_and_invariance(spark, monkeypatch):
+    """Exact golden vs a pure-Python Efraimidis-Spirakis reference
+    with the same md5 arithmetic, plus the scale-invariance property
+    (multiplying all weights by a constant preserves the selection)."""
+    import hashlib
+    import math as m
+
+    def race(i, w):
+        h = int(hashlib.md5(f"wps-v1|{i}".encode()).hexdigest()[:8], 16)
+        neg_ln_fp = m.floor(1e12 * (-m.log((2.0 * h + 1.0) / 8589934592.0)))
+        return neg_ln_fp / w
+
+    rows = [(i, "x", "s", 10 + (i % 7) * 50) for i in range(400)]
+    df = _docs(spark, rows)
+    monkeypatch.setattr(sampling.tables, "table", lambda *_a: df)
+    out = sampling.weighted_priority_sample_query(spark, SF).collect()
+    assert len(out) == sampling.WPS_K
+    ref = sorted(rows, key=lambda r: (race(r[0], r[3]), r[0]))[: sampling.WPS_K]
+    assert [r["doc_id"] for r in out] == [i for i, *_ in ref]
+    # scale invariance: E_i/c reorders identically
+    rows2 = [(i, t, s, w * 3) for i, t, s, w in rows]
+    df2 = _docs(spark, rows2)
+    monkeypatch.setattr(sampling.tables, "table", lambda *_a: df2)
+    out2 = sampling.weighted_priority_sample_query(spark, SF).collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in out2}
+
+
+def test_weighted_priority_sample_favors_heavy_docs(spark, monkeypatch):
+    """Statistical sanity at the population level: the selected set's
+    mean weight must exceed the corpus mean (inclusion prob ∝ w)."""
+    df = _docs(
+        spark, [(i, "x", "s", 10 + (i % 100) * 10) for i in range(2000)]
+    )
+    monkeypatch.setattr(sampling.tables, "table", lambda *_a: df)
+    out = sampling.weighted_priority_sample_query(spark, SF).collect()
+    sel_mean = sum(r["w"] for r in out) / len(out)
+    pop_mean = sum(10 + (i % 100) * 10 for i in range(2000)) / 2000
+    assert sel_mean > pop_mean
+
+
+def test_source_dedup_matrix_cross_flag(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    twin = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (1, twin, "A", len(twin)),
+        (2, twin, "B", len(twin)),   # cross-source copy
+        (3, twin, "A", len(twin)),   # intra-source copy of 1
+        (4, "other words entirely", "B", 20),
+    ]
+    df = _docs(spark, rows)
+    monkeypatch.setattr(dedup.tables, "table", lambda *_a: df)
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in dedup.source_dedup_matrix_query(spark, SF).collect()
+    }
+    assert out[("A", "A")]["n_pairs"] == 1 and out[("A", "A")]["n_cross"] == 0
+    assert out[("A", "B")]["n_pairs"] == 2 and out[("A", "B")]["n_cross"] == 2

@@ -566,6 +566,12 @@ def main() -> None:
         "dedup token savings (4-tier mask)": lambda m: _with_docs(
             m, lambda: dedup.dedup_token_savings_query(spark, SF_DIR)
         ),
+        "weighted priority sample (exp race)": lambda m: _with_docs(
+            m, lambda: sampling_mod.weighted_priority_sample_query(spark, SF_DIR)
+        ),
+        "source dedup matrix (pair rollup)": lambda m: _with_docs(
+            m, lambda: dedup.source_dedup_matrix_query(spark, SF_DIR)
+        ),
     }
 
     def embeddings(m):
