@@ -1820,3 +1820,60 @@ GROUP BY path
 ORDER BY n_sessions DESC, path ASC
 LIMIT {TOP_PATHS}
 """
+
+
+# --------------------------------------------------------------------------
+# Idle-customer balance (TPC-H Q22 shape on the available schema)
+# --------------------------------------------------------------------------
+
+IDLE_CUTOFF = "1998-01-01"  # "no order since" recency boundary
+
+
+def idle_customer_balance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_nationkey, n_custs, total_bal): TPC-H Q22's
+    global-avg-scalar-subquery + anti-join shape on this schema —
+    customers whose account balance exceeds the average POSITIVE
+    balance but who have placed no order since IDLE_CUTOFF (Q22's
+    "no order in 7 years" recency window), rolled up by nation (the
+    reference query's phone-prefix country code; this schema carries
+    the nation key directly). The decorrelation surface is the
+    point: one scalar aggregate broadcast into the filter, one
+    left_anti against the date-filtered orders (the filter pushes
+    into the scan; only matching keys shuffle), one rollup.
+
+    Scale: customer scanned twice (scalar avg + probe) — at 100 TB
+    the scalar pass is a column-pruned scan of one double; the
+    anti-join build side is the recent-orders o_custkey projection."""
+    cust = tables.table(spark, sf_dir, "customer")
+    orders = tables.table(spark, sf_dir, "orders")
+    avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(
+        recent, rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.sum("c_acctbal").alias("total_bal"),
+    )
+
+
+IDLE_CUSTOMER_BALANCE_ORACLE = f"""
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       sum(c_acctbal) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF} 00:00:00')
+GROUP BY 1
+"""

@@ -1918,3 +1918,116 @@ FROM documents
 
 
 PII_REDACT_ORACLE = _pii_redact_oracle()
+
+
+# --------------------------------------------------------------------------
+# Source distributional-similarity matrix (unigram cosine)
+# --------------------------------------------------------------------------
+
+SRC_SIM_V = 200  # corpus-wide top-V terms define the comparison space
+
+
+def source_similarity_matrix_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(source_a, source_b, cos_fp): pairwise cosine similarity
+    between per-source unigram frequency vectors over the corpus-wide
+    top-SRC_SIM_V vocabulary — the DISTRIBUTIONAL provenance
+    complement to dedup.source_dedup_matrix (that one counts literal
+    near-copies; this one says which sources write ALIKE even when no
+    document is shared; both feed mixture design). Restricting to the
+    global top-V makes the vector space identical for every source
+    and bounds the pair join at |S|^2 * V terms.
+
+    Determinism: counts are exact integers; cos_fp cross-multiplies
+    in integer space — floor(1e6 * dot / (sqrt(na2)*sqrt(nb2))) where
+    dot/na2/nb2 are exact BIGINT sums and the two sqrt/division ops
+    are single correctly-rounded IEEE steps. Scale: one token rollup
+    (corpus touched once), a broadcast top-V semi-join, and a V-keyed
+    pair join between |S|-sized vectors."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    tf = (
+        docs.select(
+            "source", F.explode(tokens_expr()).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = (
+        tf.groupBy("tok")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("tok"))
+        .limit(SRC_SIM_V)
+        .select("tok")
+    )
+    vec = tf.join(F.broadcast(top), "tok")
+    norms = vec.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2")
+    )
+    a = vec.select("tok", F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    b = vec.select("tok", F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    # DOMAIN-COMPLETE matrix (the empty-pair-domain lesson): sources
+    # with disjoint top-V vocabularies still get their row, cosine 0 —
+    # a left join of the full ordered-pair domain against the sparse
+    # dot table. A source with NO top-V terms at all has no vector
+    # and therefore no defined cosine; the norms inner join excludes
+    # it on both engines.
+    na = norms.select(F.col("source").alias("source_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("source").alias("source_b"), F.col("n2").alias("nb2"))
+    domain = na.join(nb, F.col("source_a") < F.col("source_b"))
+    return (
+        domain.join(dots, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                "cast(floor(1000000.0d * cast(coalesce(dot, 0L) as double)"
+                " / (sqrt(cast(na2 as double)) * sqrt(cast(nb2 as double))))"
+                " as bigint)"
+            ).alias("cos_fp"),
+        )
+    )
+
+
+SOURCE_SIMILARITY_MATRIX_ORACLE = f"""
+WITH tf AS MATERIALIZED (
+  SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS MATERIALIZED (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM tf GROUP BY 1, 2
+),
+top AS MATERIALIZED (
+  SELECT tok FROM (
+    SELECT tok, sum(c) AS tc FROM cnt GROUP BY 1
+    ORDER BY tc DESC, tok LIMIT {SRC_SIM_V}
+  )
+),
+vec AS MATERIALIZED (
+  SELECT c.source, c.tok, c.c FROM cnt c JOIN top USING (tok)
+),
+norms AS (
+  SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM vec GROUP BY 1
+),
+dots AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM vec a JOIN vec b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT na.source AS source_a, nb.source AS source_b,
+       CAST(floor(1000000.0 * CAST(coalesce(d.dot, 0) AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+         AS BIGINT) AS cos_fp
+FROM norms na
+JOIN norms nb ON na.source < nb.source
+LEFT JOIN dots d ON d.source_a = na.source AND d.source_b = nb.source
+"""

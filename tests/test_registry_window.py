@@ -93,6 +93,8 @@ R07_MATERIAL: set[str] = {
     "dedup_token_savings",
     "weighted_priority_sample",
     "source_dedup_matrix",
+    "idle_customer_balance",
+    "source_similarity_matrix",
 }
 
 

@@ -528,3 +528,79 @@ def test_source_dedup_matrix_cross_flag(spark, monkeypatch):
     }
     assert out[("A", "A")]["n_pairs"] == 1 and out[("A", "A")]["n_cross"] == 0
     assert out[("A", "B")]["n_pairs"] == 2 and out[("A", "B")]["n_cross"] == 2
+
+
+def test_idle_customer_balance_semantics(spark, monkeypatch):
+    import datetime as dt
+
+    import pyspark.sql.types as TT
+
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    cust_schema = TT.StructType(
+        [
+            TT.StructField("c_custkey", TT.LongType()),
+            TT.StructField("c_name", TT.StringType()),
+            TT.StructField("c_nationkey", TT.IntegerType()),
+            TT.StructField("c_acctbal", TT.DoubleType()),
+            TT.StructField("c_mktsegment", TT.StringType()),
+        ]
+    )
+    ord_schema = TT.StructType(
+        [
+            TT.StructField("o_orderkey", TT.LongType()),
+            TT.StructField("o_custkey", TT.LongType()),
+            TT.StructField("o_orderdate", TT.TimestampType()),
+        ]
+    )
+    # avg positive balance = (100+300+500)/3 = 300
+    custs = spark.createDataFrame(
+        [
+            (1, "a", 7, 500.0, "m"),   # rich, old order only -> idle
+            (2, "b", 7, 400.0, "m"),   # rich, recent order -> excluded
+            (3, "c", 8, 100.0, "m"),   # below avg -> excluded
+            (4, "d", 8, 300.0, "m"),   # == avg (not >) -> excluded
+        ],
+        cust_schema,
+    )
+    # use a 4th customer with negative bal to pin the positive-only avg
+    custs = custs.union(
+        spark.createDataFrame([(5, "e", 9, -50.0, "m")], cust_schema)
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, dt.datetime(1997, 5, 1)),   # old
+            (11, 2, dt.datetime(1999, 5, 1)),   # recent
+        ],
+        ord_schema,
+    )
+    real = analytics.tables.table
+    monkeypatch.setattr(
+        analytics.tables,
+        "table",
+        lambda s_, sf, name: custs if name == "customer" else orders,
+    )
+    out = analytics.idle_customer_balance_query(spark, SF).collect()
+    monkeypatch.setattr(analytics.tables, "table", real)
+    assert len(out) == 1
+    assert out[0]["c_nationkey"] == 7
+    assert out[0]["n_custs"] == 1 and out[0]["total_bal"] == 500.0
+
+
+def test_source_similarity_matrix_bounds_and_identity(spark, monkeypatch):
+    from _kafka_streams_scaffold_spark.operators import textops
+
+    rows = [
+        (1, "alpha beta gamma alpha", "A", 20),
+        (2, "alpha beta gamma", "B", 16),       # same distribution as A
+        (3, "delta epsilon zeta eta", "C", 22),  # disjoint vocab
+    ]
+    df = _docs(spark, rows)
+    monkeypatch.setattr(textops.tables, "table", lambda *_a: df)
+    out = {
+        (r["source_a"], r["source_b"]): r["cos_fp"]
+        for r in textops.source_similarity_matrix_query(spark, SF).collect()
+    }
+    assert 0 <= out[("A", "B")] <= 1_000_000
+    assert out[("A", "B")] > 900_000     # near-identical distributions
+    assert out[("A", "C")] == 0 and out[("B", "C")] == 0  # disjoint vocab

@@ -572,6 +572,14 @@ def main() -> None:
         "source dedup matrix (pair rollup)": lambda m: _with_docs(
             m, lambda: dedup.source_dedup_matrix_query(spark, SF_DIR)
         ),
+        "idle customers (scalar subq + anti)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: an_mod2.idle_customer_balance_query(spark, SF_DIR),
+        ),
+        "source similarity (top-V cosine)": lambda m: _with_docs(
+            m, lambda: textops.source_similarity_matrix_query(spark, SF_DIR)
+        ),
     }
 
     def embeddings(m):
