@@ -1042,6 +1042,31 @@ AUDIT = [
         "pins; one union -> per-doc mask rollup; the tier domain is "
         "LEFT-joined so an empty corpus still emits all 4 rows.",
     ),
+    (
+        "weighted_priority_sample",
+        "The exponential-race key is per-row codegen (seeded dyadic "
+        "ln, fixed-pointed before the weight division); selection is "
+        "TakeOrderedAndProject — same heap shape as priority_sample.",
+    ),
+    (
+        "source_dedup_matrix",
+        "The pair table is the candidate-bounded detector output; "
+        "two id-width source joins and a <=|S|^2 rollup — the corpus "
+        "text never moves.",
+    ),
+    (
+        "idle_customer_balance",
+        "Q22 decorrelation: one scalar aggregate broadcast into the "
+        "filter, one left_anti whose build side is the date-filtered "
+        "o_custkey projection (filter pushed to the scan).",
+    ),
+    (
+        "source_similarity_matrix",
+        "One token rollup (corpus touched once), broadcast top-V "
+        "semi-join, V-keyed pair join between |S|-sized vectors; the "
+        "full source-pair domain is LEFT-joined so disjoint sources "
+        "still emit cosine 0.",
+    ),
 ]
 
 
