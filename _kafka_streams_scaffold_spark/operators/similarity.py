@@ -2129,3 +2129,163 @@ chosen{step} AS MATERIALIZED (
 
 
 MMR_RERANK_ORACLE = _mmr_oracle()
+
+
+# --------------------------------------------------------------------------
+# IVF probe-count recall curve (the recall/cost dial, measured)
+# --------------------------------------------------------------------------
+
+PROBE_CURVE_LEVELS = (1, 2, 4)
+
+
+def ivf_probe_recall_curve_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(nprobe, n_expected, n_hits, recall): recall@TOP_K of IVF
+    search at nprobe = 1, 2, 4, all measured against the exact
+    cosine top-k in ONE plan — the capacity-planning curve for the
+    IVF dial (ivf_ann runs at a fixed N_PROBE; this query is how
+    that constant gets CHOSEN: the knee of this curve is the probe
+    budget where extra scanning stops buying recall).
+
+    One plan, not three runs: every (query, cell) probe pair carries
+    its probe rank pr; joining the literal level table on pr <= level
+    replicates candidates at most |levels| times (bounded), and one
+    window per (level, query) ranks them. The exact reference joins
+    once at the end.
+
+    Scale: the probed candidate join keys on the cell id exactly as
+    ivf_ann; the replication factor is len(PROBE_CURVE_LEVELS); the
+    reference is |queries| x TOP_K rows."""
+    emb = _emb(spark, sf_dir)
+    scores = _vec_cell_scores(spark, sf_dir)
+    w_cell = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    max_probe = max(PROBE_CURVE_LEVELS)
+    probes = (
+        scores.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("pr", F.row_number().over(w_cell))
+        .filter(F.col("pr") <= max_probe)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("c_label").alias("cell"),
+            "pr",
+        )
+    )
+    levels = spark.createDataFrame(
+        [(lv,) for lv in PROBE_CURVE_LEVELS], "nprobe int"
+    )
+    lev_probes = probes.join(
+        F.broadcast(levels), F.col("pr") <= F.col("nprobe")
+    ).select("nprobe", "q_id", "cell")
+    assign = ivf_assign_query(spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("cell")
+    )
+    corpus = emb.join(assign, "vec_id").select(
+        F.col("vec_id").alias("n_id"),
+        "cell",
+        F.col("embedding").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
+        F.col("q_norm") * F.col("n_norm")
+    )
+    cand = (
+        lev_probes.join(corpus, "cell")
+        .join(F.broadcast(queries), "q_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("nprobe", "q_id", "n_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id")
+    )
+    approx = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("nprobe", "q_id", "n_id")
+    )
+    exact = ann_topk_query(spark, sf_dir).select("q_id", "n_id")
+    hits = approx.join(exact, ["q_id", "n_id"], "left_semi")
+    per_level = hits.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    n_expected = exact.count()  # |queries| x TOP_K, a bounded scalar
+    return (
+        F.broadcast(levels)
+        .join(per_level, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.lit(n_expected).cast("bigint").alias("n_expected"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.lit(float(max(n_expected, 1)))
+            ).alias("recall"),
+        )
+    )
+
+
+IVF_PROBE_RECALL_CURVE_ORACLE = f"""
+WITH {_DUCK_ASSIGN_CTES},
+levels AS (SELECT unnest([{", ".join(str(x) for x in PROBE_CURVE_LEVELS)}]) AS nprobe),
+probes AS (
+  SELECT q_id, c_label, pr FROM (
+    SELECT vec_id AS q_id, c_label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label)
+               AS pr
+    FROM scored WHERE vec_id < {N_QUERIES}
+  )
+  WHERE pr <= {max(PROBE_CURVE_LEVELS)}
+),
+normed AS MATERIALIZED (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+approx AS MATERIALIZED (
+  SELECT nprobe, q_id, n_id FROM (
+    SELECT l.nprobe, p.q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY l.nprobe, p.q_id
+             ORDER BY {_dot_sql('q.embedding', 'n.embedding', 'duck')}
+                      / (q.norm * n.norm) DESC, n.vec_id
+           ) AS rank
+    FROM probes p
+    JOIN levels l ON p.pr <= l.nprobe
+    JOIN assign a ON a.c_label = p.c_label
+    JOIN normed n ON n.vec_id = a.vec_id
+    JOIN normed q ON q.vec_id = p.q_id
+    WHERE n.vec_id <> p.q_id
+  ) WHERE rank <= {TOP_K}
+),
+exact AS MATERIALIZED (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dot_sql('q.embedding', 'n.embedding', 'duck')}
+                      / (q.norm * n.norm) DESC, n.vec_id
+           ) AS rank
+    FROM normed q JOIN normed n ON n.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+),
+expected AS (SELECT CAST(count(*) AS BIGINT) AS n_expected FROM exact),
+hits AS (
+  SELECT a.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx a
+  WHERE EXISTS (SELECT 1 FROM exact e
+                WHERE e.q_id = a.q_id AND e.n_id = a.n_id)
+  GROUP BY 1
+)
+SELECT l.nprobe, x.n_expected,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+         / CAST(greatest(x.n_expected, 1) AS DOUBLE) AS recall
+FROM levels l
+CROSS JOIN expected x
+LEFT JOIN hits h ON h.nprobe = l.nprobe
+"""

@@ -42,20 +42,20 @@ CORRECTNESS row. Rotation history:
   top_session_paths, transition_entropy, trimmed_mean_by_type,
   zipf_fit.
 
-NEXT ROTATION (round 7): the 9 deferred queries above, plus the 16
+NEXT ROTATION (round 7): the 9 deferred queries above, plus the 17
 round-6 additions (priority_sample, neyman_allocation,
 dp_topk_release, minhash_estimate_audit, curriculum_pacing,
 conformal_coverage_audit, mmr_rerank, payload_phash,
 phash_dup_pairs, linkage_entities, hilbert_layout,
 dedup_token_savings, weighted_priority_sample,
 source_dedup_matrix, idle_customer_balance,
-source_similarity_matrix — mirrored in
+source_similarity_matrix, ivf_probe_recall_curve — mirrored in
 tests/test_registry_window.py R07_MATERIAL), plus the
 re-certification pool (queries whose implementation changed after
 their green row — in round 6 that is dedup_tier_agreement, whose
 empty-pair domain emission moved from crossJoin to a left join
 against the literal domain; blocking_recall_audit got the same fix
-but certifies fresh inside the r06 window). That is 9 + 16 + 1 = 26
+but certifies fresh inside the r06 window). That is 9 + 17 + 1 = 27
 mandatory slots; fill the remainder with round-7's own additions
 and older re-certifications.
 
@@ -1593,6 +1593,11 @@ def _ensure_loaded() -> None:
         "source_similarity_matrix",
         textops.source_similarity_matrix_query,
         textops.SOURCE_SIMILARITY_MATRIX_ORACLE,
+    )
+    register(
+        "ivf_probe_recall_curve",
+        similarity.ivf_probe_recall_curve_query,
+        similarity.IVF_PROBE_RECALL_CURVE_ORACLE,
     )
 
     _apply_window(_WINDOW_R06)

@@ -95,6 +95,7 @@ R07_MATERIAL: set[str] = {
     "source_dedup_matrix",
     "idle_customer_balance",
     "source_similarity_matrix",
+    "ivf_probe_recall_curve",
 }
 
 

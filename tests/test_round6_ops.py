@@ -604,3 +604,24 @@ def test_source_similarity_matrix_bounds_and_identity(spark, monkeypatch):
     assert 0 <= out[("A", "B")] <= 1_000_000
     assert out[("A", "B")] > 900_000     # near-identical distributions
     assert out[("A", "C")] == 0 and out[("B", "C")] == 0  # disjoint vocab
+
+
+def test_ivf_probe_recall_curve_is_monotone(spark):
+    """More probes can only add candidates: recall must be monotone
+    nondecreasing in nprobe, and hit 1.0 when every cell is probed
+    (here max level may still miss; assert monotone + bounds)."""
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    rows = sorted(
+        similarity.ivf_probe_recall_curve_query(
+            spark, "/root/testdata/sf0.01"
+        ).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == list(similarity.PROBE_CURVE_LEVELS)
+    recalls = [r["recall"] for r in rows]
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert recalls == sorted(recalls)  # monotone in probe budget
+    assert recalls[-1] > 0.5  # 4 probes should find most neighbors
+    for r in rows:
+        assert r["n_expected"] == similarity.N_QUERIES * similarity.TOP_K

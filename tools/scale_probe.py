@@ -580,6 +580,11 @@ def main() -> None:
         "source similarity (top-V cosine)": lambda m: _with_docs(
             m, lambda: textops.source_similarity_matrix_query(spark, SF_DIR)
         ),
+        "ivf probe recall curve (3 levels)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: similarity.ivf_probe_recall_curve_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
