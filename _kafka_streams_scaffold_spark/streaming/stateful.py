@@ -170,3 +170,78 @@ def streaming_ewma(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming watermark-lag audit (running-max lateness per event type)
+# --------------------------------------------------------------------------
+
+WLAG_OUTPUT_SCHEMA = (
+    "event_type string, n_events long, n_late long, max_late_s long, "
+    "avg_late_s double"
+)
+WLAG_STATE_SCHEMA = (
+    "run_max_us long, n long, n_late long, max_late long, sum_late long"
+)
+
+
+def _update_wlag(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State = (running max event-time in micros, counts and exact
+    integer lateness sums) per event_type — O(1), replayable. Rows
+    fold in event_id order (the batch audit's arrival proxy), so the
+    converged state equals dq.watermark_lag_audit_query bit-for-bit
+    when files respect that order (asserted in tests)."""
+    run_max, n, n_late, max_late, sum_late = (
+        tuple(state.get) if state.exists else (-1, 0, 0, 0, 0)
+    )
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("event_id")
+        for us in pdf["ts_us"]:
+            us = int(us)
+            late = (run_max - us) // 1_000_000 if run_max > us else 0
+            n += 1
+            if late > 0:
+                n_late += 1
+                sum_late += late
+            if late > max_late:
+                max_late = late
+            if us > run_max:
+                run_max = us
+    state.update((run_max, n, n_late, max_late, sum_late))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_events": [n],
+            "n_late": [n_late],
+            "max_late_s": [max_late],
+            "avg_late_s": [sum_late / n_late if n_late > 0 else None],
+        }
+    )
+
+
+def streaming_watermark_lag(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/dq.watermark_lag_audit_query``:
+    per event type, how far event time runs behind the running
+    arrival-order maximum — maintained as STREAMING STATE instead of
+    a batch window, which is exactly how the audit runs in production
+    (the number feeds ``withWatermark(delay)`` for THIS stream while
+    it flows). Emit-per-update (A4): every micro-batch re-emits the
+    types it touched with the updated distribution."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _update_wlag,
+        outputStructType=WLAG_OUTPUT_SCHEMA,
+        stateStructType=WLAG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
