@@ -515,7 +515,13 @@ def ivm_join_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     V_old + delta; the DuckDB oracle deliberately computes the OTHER
     formulation — a full recompute over the new snapshots — so the
     hash check machine-proves the maintenance identity itself, on an
-    exact-DECIMAL measure (no float drift to hide behind).
+    exact-integer money measure (``revenue_cents BIGINT`` via
+    per-row ``floor(100 * o_totalprice)``, the repo-wide cents
+    convention, cf. pit_dimension_join — no float drift to hide
+    behind, and no DECIMAL at the gate boundary: r06's driver red
+    was this query surfacing the registry's only DECIMAL output,
+    which the driver's 9-sig-digit canonicalizer cannot carry at
+    1e10 cents).
 
     Scale: the three delta joins touch |dA| and |dB| rows against the
     OTHER side's base (broadcast-able churn batches at real CDC
@@ -526,7 +532,9 @@ def ivm_join_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides churn, so all three delta terms are non-trivially
     exercised."""
     orders = tables.table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
     cust = tables.table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
@@ -554,14 +562,14 @@ def ivm_join_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("p"),
-            F.sum("o_totalprice").alias("r"),
+            F.sum("cents").cast("bigint").alias("r"),
         )
     )
     do_b = d_o.join(c_old, d_o.o_custkey == c_old.c_custkey).select(
-        "c_nationkey", F.col("sgn").alias("w"), "o_totalprice"
+        "c_nationkey", F.col("sgn").alias("w"), "cents"
     )
     a_dc = o_old.join(d_c, o_old.o_custkey == d_c.c_custkey).select(
-        "c_nationkey", F.col("sgn").alias("w"), "o_totalprice"
+        "c_nationkey", F.col("sgn").alias("w"), "cents"
     )
     do_dc = (
         d_o.withColumnRenamed("sgn", "so")
@@ -572,7 +580,7 @@ def ivm_join_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_nationkey",
             (F.col("so") * F.col("sc")).alias("w"),
-            "o_totalprice",
+            "cents",
         )
     )
     delta = (
@@ -581,7 +589,7 @@ def ivm_join_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.sum("w").cast("bigint").alias("dp"),
-            F.sum(F.col("w") * F.col("o_totalprice")).alias("dr"),
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("dr"),
         )
     )
     merged = (
@@ -595,17 +603,15 @@ def ivm_join_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_pairs"),
             (
-                F.coalesce(F.col("r"), F.lit(0).cast("decimal(18,2)"))
-                + F.coalesce(F.col("dr"), F.lit(0).cast("decimal(18,2)"))
-            ).alias("rev"),
+                F.coalesce(F.col("r"), F.lit(0))
+                + F.coalesce(F.col("dr"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
         )
         .filter(F.col("n_pairs") > 0)
     )
-    return merged.select(
-        "c_nationkey",
-        "n_pairs",
-        F.col("rev").cast("decimal(18,2)").alias("revenue"),
-    )
+    return merged.select("c_nationkey", "n_pairs", "revenue_cents")
 
 
 # Full recompute over the NEW snapshots: equality with the Spark
@@ -613,7 +619,8 @@ def ivm_join_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVM_JOIN_REVENUE_ORACLE = """
 SELECT c.c_nationkey,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(sum(o.o_totalprice) AS DECIMAL(18,2)) AS revenue
+       CAST(sum(CAST(floor(100 * o.o_totalprice) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 WHERE o.o_orderkey % 13 <> 0 AND c.c_custkey % 11 <> 0

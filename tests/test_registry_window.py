@@ -152,7 +152,14 @@ def test_no_registered_query_emits_complex_top_level_columns(spark, sf_dir):
     values — so an array/map/struct TOP-LEVEL column can NEVER go
     green regardless of values. Every registered query must emit only
     scalar columns; array-shaped results scalarize at the boundary
-    (posexplode rows or a deterministic join-to-string)."""
+    (posexplode rows or a deterministic join-to-string).
+
+    Round-6 extension: top-level DECIMAL is banned too. The driver
+    canonicalizes every numeric through a 9-significant-digit float
+    path, which cannot carry exact cents past ~1e9 — r06's only
+    driver red (`ivm_join_revenue`) was the registry's only
+    DECIMAL(18,2) output at ~1e8 magnitude. The repo convention is
+    exact-integer money (BIGINT cents via floor(100*x)) or DOUBLE."""
     from pyspark.sql import types as T
 
     bad: dict[str, list[str]] = {}
@@ -161,7 +168,10 @@ def test_no_registered_query_emits_complex_top_level_columns(spark, sf_dir):
         complex_cols = [
             f.name
             for f in schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            if isinstance(
+                f.dataType,
+                (T.ArrayType, T.MapType, T.StructType, T.DecimalType),
+            )
         ]
         if complex_cols:
             bad[name] = complex_cols

@@ -321,7 +321,7 @@ def test_ivm_join_identity_equals_recompute(spark, sf_dir):
     from _kafka_streams_scaffold_spark.operators import temporal
 
     got = {
-        r["c_nationkey"]: (r["n_pairs"], r["revenue"])
+        r["c_nationkey"]: (r["n_pairs"], r["revenue_cents"])
         for r in temporal.ivm_join_revenue_query(spark, sf_dir).collect()
     }
     orders = tables.table(spark, sf_dir, "orders")
@@ -337,7 +337,9 @@ def test_ivm_join_identity_equals_recompute(spark, sf_dir):
             .groupBy("c_nationkey")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
-                F.sum("o_totalprice").cast("decimal(18,2)").alias("rev"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("rev"),
             )
             .collect()
         )

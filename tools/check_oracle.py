@@ -10,6 +10,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import time
@@ -26,6 +27,16 @@ def _canon(v):
         return f"{v:.9g}"
     if isinstance(v, bool):
         return str(v).lower()
+    if isinstance(v, decimal.Decimal):
+        # Match the driver's canonicalizer, which renders Decimal
+        # through the same 9-significant-digit float path as DOUBLE
+        # (r06 lesson: str(Decimal) here let ivm_join_revenue pass
+        # locally while the driver red-flagged it — the stand-in must
+        # fail where the driver fails). Registered queries should not
+        # emit DECIMAL at all (schema guard in
+        # tests/test_registry_window.py); this keeps the comparator
+        # honest if one slips through.
+        return f"{float(v):.9g}"
     return str(v)
 
 
