@@ -1,0 +1,565 @@
+"""Retrieval-quality operators over the embedding corpus: hubness
+audit, k-center coreset selection, late-interaction (MaxSim) scoring,
+and pseudo-relevance-feedback (Rocchio) query expansion.
+
+The reference scaffold's query surface is point/range lookups over
+materialized KTables (`streams/WordCountTopology.java:36`,
+`services/PurchasesService.java:43`); an embedding-era pipeline asks
+the same "serve me the relevant records" question against a vector
+column. This module adds the evaluation/selection layer on top of the
+ANN tiers in ``similarity.py``:
+
+- **ann_hubness_audit** — the k-occurrence distribution of the kNN
+  graph. High-dimensional spaces concentrate: a few "hub" points
+  appear in a disproportionate share of neighbor lists (Radovanovic
+  et al., JMLR 2010), which silently skews semantic-dedup and
+  diversity sampling. The audit is the exact in-degree histogram of
+  the bounded kNN edge list.
+- **kcenter_coreset** — Gonzalez' greedy 2-approximate k-center
+  (max-min farthest-point traversal): the classic diverse-coreset
+  selector for "pick K maximally-spread exemplars" (training-data
+  subset selection, seed picking for clustering). Exactly
+  deterministic: squared-L2 scores with ties broken on vec_id.
+- **maxsim_late_interaction** — ColBERT-style late interaction: both
+  sides are treated as BAGS of sub-vectors (the 64-d vector split
+  into 4 contiguous 16-d pieces) and score(q, d) = sum over query
+  pieces of the max cosine against any document piece. The shape of
+  multi-vector retrieval without needing a token-level encoder.
+- **rocchio_expansion** — one PRF round: exact top-K for each query,
+  fold the neighbors' centroid back into the query (q' = q + 0.75 *
+  centroid), re-rank with q'. The centroid sum is FIXED-POINT
+  (floor(1e9 * x) per component, BIGINT-summed) so the expanded
+  query vector is bit-identical across engines regardless of
+  aggregation order — float sums over unordered groups are the one
+  non-determinism this repo bans from hashed outputs.
+
+Scale posture: hubness rides the sub-quantizer-bounded kNN edge list
+(O(n * IVF_TARGET_CELL) total work, see ``similarity._knn_edges``);
+k-center touches the corpus K times with one driver-side scalar per
+round (the same bounded-loop contract as the CC engine in
+``clustering.py``); MaxSim and Rocchio score broadcast-sized query
+panels against the corpus — O(|Q| * n) with |Q| fixed, the corpus
+never self-joined, all arithmetic inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..pinning import pin as _pin
+from ..tables import EMBED_DIM as DIM
+from .similarity import (
+    _DUCK_KNN_EDGES_CTES,
+    _dot_sql,
+    _emb,
+    _knn_edges,
+    _norm_sql,
+)
+
+# --------------------------------------------------------------------------
+# Hubness audit (k-occurrence distribution of the kNN graph)
+# --------------------------------------------------------------------------
+
+
+def ann_hubness_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(in_degree, n_vecs): exact histogram of how many neighbor
+    lists each vector appears in (its k-occurrence) over the
+    sub-cell-bounded kNN edge list — zero-degree vectors included
+    via a left join from the corpus, so the histogram masses sum to
+    |V| and anti-hubs are visible.
+
+    A symmetric-ish corpus concentrates mass near KNN_K; a heavy
+    right tail (hubs) means cosine neighborhoods are collapsing onto
+    a few points and any dedup/sampling built on the graph inherits
+    that bias. Scale: the edge list is id-width and
+    O(n * KNN_K) rows; both aggregations are partial-aggregatable."""
+    edges = _knn_edges(spark, sf_dir)
+    counts = edges.groupBy(F.col("n_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    corpus = tables.table(spark, sf_dir, "embeddings").select("vec_id")
+    deg = corpus.join(counts, "vec_id", "left").select(
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("in_degree")
+    )
+    return (
+        deg.groupBy("in_degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+
+
+ANN_HUBNESS_AUDIT_ORACLE = f"""
+WITH {_DUCK_KNN_EDGES_CTES},
+counts AS (
+  SELECT n_id AS vec_id, CAST(count(*) AS BIGINT) AS c
+  FROM edges GROUP BY 1
+),
+deg AS (
+  SELECT COALESCE(c.c, 0) AS in_degree
+  FROM embeddings e LEFT JOIN counts c ON c.vec_id = e.vec_id
+)
+SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vecs
+FROM deg GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Gonzalez greedy k-center coreset (farthest-point traversal)
+# --------------------------------------------------------------------------
+
+KCENTER_K = 6  # exemplars selected; bounded driver loop of K rounds
+
+
+def kcenter_coreset_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sel_round, vec_id, d2): the first KCENTER_K centers chosen by
+    Gonzalez' farthest-point greedy — seed with the smallest vec_id,
+    then repeatedly take the point whose squared-L2 distance to its
+    NEAREST already-chosen center is LARGEST (ties on vec_id). ``d2``
+    is that max-min score at selection time (0 for the seed); the
+    selected set 2-approximates the optimal k-center radius.
+
+    Exactness: squared distances expand to ||a||^2 + ||b||^2 - 2a.b
+    with the fold-form dot (fixed ascending element order), so every
+    score is bit-identical across engines and the argmax/tie-break is
+    deterministic.
+
+    Scale/driver contract: K bounded rounds; each round is one
+    corpus-parallel ``least(mind, d2_to_new_center)`` column update
+    (the new center enters as a 64-literal broadcast expression, no
+    join, no shuffle) plus ONE driver-side row collect (the argmax) —
+    the same O(rounds) driver-scalar budget as the CC/PageRank loops
+    in ``clustering.py``. Lineage grows K select steps with no
+    self-join, so no checkpoint is needed (cf. the iterative-loop
+    pitfalls note: only loop frames that re-enter joins need one)."""
+    emb = _pin(
+        _emb(spark, sf_dir).select(
+            "vec_id",
+            "embedding",
+            (F.col("norm") * F.col("norm")).alias("n2"),
+        )
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        return spark.createDataFrame(
+            [], "sel_round int, vec_id bigint, d2 double"
+        )
+    picked = [(0, int(seed[0]["vec_id"]), 0.0)]
+
+    def _d2_to(center_row) -> F.Column:
+        vec = [float(x) for x in center_row["embedding"]]
+        lits = ", ".join(f"cast({v!r} as double)" for v in vec)
+        dot = (
+            f"aggregate(zip_with(embedding, array({lits}), (x, y) -> "
+            "cast(x as double) * y), cast(0 as double), (acc, t) -> acc + t)"
+        )
+        return (
+            F.col("n2") + F.lit(float(center_row["n2"])) - 2.0 * F.expr(dot)
+        )
+
+    frame = emb.withColumn("mind", _d2_to(seed[0]))
+    for r in range(1, KCENTER_K):
+        top = (
+            frame.orderBy(F.col("mind").desc(), F.col("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        picked.append((r, int(top[0]["vec_id"]), float(top[0]["mind"])))
+        if r < KCENTER_K - 1:
+            frame = frame.withColumn(
+                "mind", F.least(F.col("mind"), _d2_to(top[0]))
+            )
+    return spark.createDataFrame(
+        picked, "sel_round int, vec_id bigint, d2 double"
+    )
+
+
+def _kcenter_oracle() -> str:
+    """Chained-CTE mirror: c0 = seed, d{r} carries the running
+    min-distance, c{r+1} = argmax of d{r}. MATERIALIZED throughout
+    (deep reused CTE chains inline exponentially in DuckDB
+    otherwise)."""
+    dot_pc = _dot_sql("p.embedding", "c.embedding", "duck")
+    parts = [
+        "WITH pts AS MATERIALIZED (",
+        "  SELECT vec_id, embedding,",
+        f"         {_dot_sql('embedding', 'embedding', 'duck')} AS n2",
+        "  FROM embeddings",
+        "),",
+        "c0 AS MATERIALIZED (",
+        "  SELECT vec_id, embedding, n2 FROM pts ORDER BY vec_id LIMIT 1",
+        "),",
+        "d0 AS MATERIALIZED (",
+        "  SELECT p.vec_id, p.embedding, p.n2,",
+        f"         p.n2 + c.n2 - 2 * ({dot_pc}) AS mind",
+        "  FROM pts p, c0 c",
+        "),",
+    ]
+    for r in range(1, KCENTER_K):
+        parts.append(
+            f"c{r} AS MATERIALIZED (\n"
+            f"  SELECT vec_id, embedding, n2, mind FROM d{r - 1}\n"
+            "  ORDER BY mind DESC, vec_id LIMIT 1\n"
+            "),"
+        )
+        if r < KCENTER_K - 1:
+            parts.append(
+                f"d{r} AS MATERIALIZED (\n"
+                "  SELECT p.vec_id, p.embedding, p.n2,\n"
+                f"         least(p.mind, p.n2 + c.n2 - 2 * ({dot_pc}))"
+                " AS mind\n"
+                f"  FROM d{r - 1} p, c{r} c\n"
+                "),"
+            )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        "SELECT 0 AS sel_round, vec_id, CAST(0.0 AS DOUBLE) AS d2 FROM c0"
+    ] + [
+        f"SELECT {r} AS sel_round, vec_id, mind AS d2 FROM c{r}"
+        for r in range(1, KCENTER_K)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+KCENTER_CORESET_ORACLE = _kcenter_oracle()
+
+
+# --------------------------------------------------------------------------
+# Late interaction (MaxSim over contiguous sub-vectors)
+# --------------------------------------------------------------------------
+
+MAXSIM_PIECES = 4  # 64-d vector -> 4 x 16-d sub-vectors
+MAXSIM_SUB = 16
+MAXSIM_QUERIES = 5
+MAXSIM_TOP = 3
+
+
+def _sub_dot(a: str, b: str, i: int, j: int, engine: str) -> str:
+    """Dot of a's i-th sub-vector with b's j-th (0-based pieces),
+    fixed ascending element order on both engines."""
+    if engine == "spark":
+        return (
+            f"aggregate(zip_with(slice({a}, {1 + MAXSIM_SUB * i}, "
+            f"{MAXSIM_SUB}), slice({b}, {1 + MAXSIM_SUB * j}, "
+            f"{MAXSIM_SUB}), (x, y) -> cast(x as double) * "
+            "cast(y as double)), cast(0 as double), (acc, t) -> acc + t)"
+        )
+    terms = [
+        f"CAST({a}[{MAXSIM_SUB * i + t}] AS DOUBLE) * "
+        f"CAST({b}[{MAXSIM_SUB * j + t}] AS DOUBLE)"
+        for t in range(1, MAXSIM_SUB + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sub_norm(a: str, i: int, engine: str) -> str:
+    return f"sqrt({_sub_dot(a, a, i, i, engine)})"
+
+
+def _maxsim_expr(q: str, d: str, engine: str) -> str:
+    """sum over query pieces i of max over doc pieces j of
+    cos(q_i, d_j); zero-norm pieces contribute a guarded -1 cosine
+    (identical CASE on both engines — Spark ANSI would otherwise
+    throw on the 0/0)."""
+    per_i = []
+    for i in range(MAXSIM_PIECES):
+        cands = []
+        for j in range(MAXSIM_PIECES):
+            den = f"(qn{i} * dn{j})"
+            cands.append(
+                f"(CASE WHEN {den} > 0 THEN "
+                f"{_sub_dot(q, d, i, j, engine)} / {den} "
+                "ELSE -1.0 END)"
+            )
+        per_i.append("greatest(" + ", ".join(cands) + ")")
+    return "(" + " + ".join(per_i) + ")"
+
+
+def maxsim_late_interaction_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(q_id, d_id, maxsim, rank): ColBERT-style late-interaction
+    retrieval — queries are vec_id < MAXSIM_QUERIES, each side's
+    vector is split into MAXSIM_PIECES contiguous sub-vectors, and
+    score(q, d) = sum over query pieces of the best cosine any doc
+    piece offers. Top-MAXSIM_TOP docs per query, self excluded, ties
+    on d_id.
+
+    MaxSim rewards documents that cover EACH facet of the query
+    rather than matching its average direction — the standard
+    multi-vector upgrade over single-vector cosine (Khattab &
+    Zaharia, SIGIR 2020), here with deterministic contiguous pieces
+    standing in for token embeddings (the plumbing — piece norms,
+    guarded cosines, greatest-of composition — is the real operator;
+    a model would only change where the pieces come from).
+
+    Scale: the query panel is broadcast (MAXSIM_QUERIES rows); one
+    pass over the corpus computes all PIECES^2 guarded sub-cosines
+    inside whole-stage codegen — no explode, no shuffle beyond the
+    final |Q| * MAXSIM_TOP rank window."""
+    emb = tables.spread(
+        tables.table(spark, sf_dir, "embeddings"), "vec_id"
+    )
+
+    def _with_norms(df: DataFrame, vec: str, pref: str) -> DataFrame:
+        for i in range(MAXSIM_PIECES):
+            df = df.withColumn(
+                f"{pref}{i}", F.expr(_sub_norm(vec, i, "spark"))
+            )
+        return df
+
+    queries = _with_norms(
+        emb.filter(F.col("vec_id") < MAXSIM_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        ),
+        "q_vec",
+        "qn",
+    )
+    docs = _with_norms(
+        emb.select(
+            F.col("vec_id").alias("d_id"),
+            F.col("embedding").alias("d_vec"),
+        ),
+        "d_vec",
+        "dn",
+    )
+    scored = (
+        docs.crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("d_id"))
+        .select(
+            "q_id",
+            "d_id",
+            F.expr(_maxsim_expr("q_vec", "d_vec", "spark")).alias("maxsim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("maxsim").desc(), F.col("d_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= MAXSIM_TOP)
+
+
+def _maxsim_oracle() -> str:
+    qn = ",\n         ".join(
+        f"{_sub_norm('embedding', i, 'duck')} AS qn{i}"
+        for i in range(MAXSIM_PIECES)
+    )
+    dn = ",\n         ".join(
+        f"{_sub_norm('embedding', i, 'duck')} AS dn{i}"
+        for i in range(MAXSIM_PIECES)
+    )
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS q_id, embedding AS q_vec,
+         {qn}
+  FROM embeddings WHERE vec_id < {MAXSIM_QUERIES}
+),
+d AS MATERIALIZED (
+  SELECT vec_id AS d_id, embedding AS d_vec,
+         {dn}
+  FROM embeddings
+),
+scored AS (
+  SELECT q.q_id, d.d_id,
+         {_maxsim_expr('q_vec', 'd_vec', 'duck')} AS maxsim
+  FROM q CROSS JOIN d
+  WHERE q.q_id <> d.d_id
+)
+SELECT q_id, d_id, maxsim, rank FROM (
+  SELECT q_id, d_id, maxsim,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY maxsim DESC, d_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {MAXSIM_TOP}
+"""
+
+
+MAXSIM_LATE_INTERACTION_ORACLE = _maxsim_oracle()
+
+
+# --------------------------------------------------------------------------
+# Rocchio pseudo-relevance-feedback expansion (one PRF round)
+# --------------------------------------------------------------------------
+
+ROCCHIO_QUERIES = 5
+ROCCHIO_FB = 5       # feedback depth: neighbors folded into the query
+ROCCHIO_BETA = 0.75  # feedback weight (alpha = 1.0)
+ROCCHIO_TOP = 5
+_ROCCHIO_FP = 1_000_000_000  # centroid fixed-point scale
+
+
+def rocchio_expansion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, n_id, cosine2, rank): one Rocchio PRF round — exact
+    cosine top-ROCCHIO_FB neighbors per query (vec_id <
+    ROCCHIO_QUERIES, self excluded), fold their centroid into the
+    query as q' = q + ROCCHIO_BETA * mean(neighbors), then re-rank
+    the corpus by cosine against q' and keep top-ROCCHIO_TOP.
+
+    Bit-stability across engines: the centroid is a float SUM over an
+    unordered 5-row group — the one aggregation shape this repo bans
+    from hashed outputs — so each neighbor component is fixed-pointed
+    to floor(1e9 * x) BIGINT first and the mean is taken on the exact
+    integer sum (the neyman_allocation pattern); q' components and
+    every downstream cosine are then identical IEEE expressions on
+    identical inputs.
+
+    Scale: queries are a fixed panel — the feedback join, the
+    per-(query, dim) centroid rollup (|Q| * 64 rows), and the q'
+    re-assembly are all broadcast-sized; the two corpus passes
+    (initial rank, re-rank) are each one broadcast-join scan, and
+    the re-ranked q' panel re-enters as a broadcast again. No
+    corpus self-join anywhere."""
+    emb = _pin(_emb(spark, sf_dir))
+    queries = emb.filter(F.col("vec_id") < ROCCHIO_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+    )
+    cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
+        F.col("q_norm") * F.col("n_norm")
+    )
+    w0 = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id")
+    )
+    fb = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "n_vec", cosine.alias("cosine"))
+        .withColumn("r0", F.row_number().over(w0))
+        .filter(F.col("r0") <= ROCCHIO_FB)
+    )
+    # fixed-point centroid: exact BIGINT sum per (query, dimension)
+    comp = fb.select(
+        "q_id",
+        F.posexplode("n_vec").alias("pos", "val"),
+    ).select(
+        "q_id",
+        "pos",
+        F.floor(F.col("val").cast("double") * _ROCCHIO_FP)
+        .cast("bigint")
+        .alias("vfp"),
+    )
+    cent = comp.groupBy("q_id", "pos").agg(
+        F.sum("vfp").cast("bigint").alias("sfp"),
+        F.count(F.lit(1)).cast("bigint").alias("nfb"),
+    )
+    q2_long = cent.join(
+        F.broadcast(queries.select("q_id", "q_vec")), "q_id"
+    ).select(
+        "q_id",
+        "pos",
+        (
+            F.element_at("q_vec", F.col("pos") + 1).cast("double")
+            + F.lit(ROCCHIO_BETA)
+            * (
+                F.col("sfp").cast("double")
+                / (F.col("nfb").cast("double") * F.lit(float(_ROCCHIO_FP)))
+            )
+        ).alias("q2v"),
+    )
+    q2 = q2_long.groupBy("q_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, q2v))),"
+            " s -> s.q2v)"
+        ).alias("q2_vec")
+    )
+    q2n = q2.withColumn("q2_norm", F.expr(_norm_sql("q2_vec", "spark")))
+    cosine2 = F.when(
+        (F.col("q2_norm") * F.col("n_norm")) > 0,
+        F.expr(_dot_sql("q2_vec", "n_vec", "spark"))
+        / (F.col("q2_norm") * F.col("n_norm")),
+    ).otherwise(F.lit(-1.0))
+    w1 = Window.partitionBy("q_id").orderBy(
+        F.col("cosine2").desc(), F.col("n_id")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(q2n))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine2.alias("cosine2"))
+        .withColumn("rank", F.row_number().over(w1).cast("int"))
+        .filter(F.col("rank") <= ROCCHIO_TOP)
+    )
+
+
+def _rocchio_oracle() -> str:
+    # q' as a DuckDB LIST built with an explicit ORDER BY pos, so the
+    # unrolled re-rank dot reads elements in the same ascending order
+    # as Spark's fold.
+    q2_dot = _dot_sql("q2_vec", "n_vec", "duck").replace(
+        "q2_vec[", "q.q2_vec["
+    ).replace("n_vec[", "d.embedding[")
+    return f"""
+WITH normed AS MATERIALIZED (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+fb AS MATERIALIZED (
+  SELECT q_id, n_id, n_vec FROM (
+    SELECT q.vec_id AS q_id, d.vec_id AS n_id, d.embedding AS n_vec,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dot_sql('q.embedding', 'd.embedding', 'duck')}
+                      / (q.norm * d.norm) DESC,
+                      d.vec_id
+           ) AS r0
+    FROM normed q CROSS JOIN normed d
+    WHERE q.vec_id < {ROCCHIO_QUERIES} AND q.vec_id <> d.vec_id
+  ) WHERE r0 <= {ROCCHIO_FB}
+),
+comp AS (
+  SELECT q_id, g.i - 1 AS pos,
+         CAST(floor(CAST(n_vec[g.i] AS DOUBLE) * {_ROCCHIO_FP}) AS BIGINT)
+           AS vfp
+  FROM fb, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) g
+),
+cent AS (
+  SELECT q_id, pos, CAST(sum(vfp) AS BIGINT) AS sfp,
+         CAST(count(*) AS BIGINT) AS nfb
+  FROM comp GROUP BY 1, 2
+),
+q2_long AS (
+  SELECT c.q_id, c.pos,
+         CAST(n.embedding[c.pos + 1] AS DOUBLE)
+           + {ROCCHIO_BETA} * (CAST(c.sfp AS DOUBLE)
+               / (CAST(c.nfb AS DOUBLE) * {float(_ROCCHIO_FP)}))
+           AS q2v
+  FROM cent c JOIN normed n ON n.vec_id = c.q_id
+),
+q2 AS MATERIALIZED (
+  SELECT q_id, list(q2v ORDER BY pos) AS q2_vec
+  FROM q2_long GROUP BY 1
+),
+q2n AS MATERIALIZED (
+  SELECT q_id, q2_vec, {_norm_sql('q2_vec', 'duck')} AS q2_norm FROM q2
+)
+SELECT q_id, n_id, cosine2, rank FROM (
+  SELECT q.q_id, d.vec_id AS n_id,
+         CASE WHEN (q.q2_norm * d.norm) > 0 THEN
+           {q2_dot} / (q.q2_norm * d.norm)
+         ELSE -1.0 END AS cosine2,
+         CAST(row_number() OVER (
+           PARTITION BY q.q_id
+           ORDER BY CASE WHEN (q.q2_norm * d.norm) > 0 THEN
+                      {q2_dot} / (q.q2_norm * d.norm)
+                    ELSE -1.0 END DESC,
+                    d.vec_id
+         ) AS INTEGER) AS rank
+  FROM q2n q CROSS JOIN normed d
+  WHERE q.q_id <> d.vec_id
+)
+WHERE rank <= {ROCCHIO_TOP}
+"""
+
+
+ROCCHIO_EXPANSION_ORACLE = _rocchio_oracle()

@@ -1600,5 +1600,29 @@ def _ensure_loaded() -> None:
         similarity.IVF_PROBE_RECALL_CURVE_ORACLE,
     )
 
+    # ---- round 7 additions ----
+    from .operators import retrieval
+
+    register(
+        "ann_hubness_audit",
+        retrieval.ann_hubness_audit_query,
+        retrieval.ANN_HUBNESS_AUDIT_ORACLE,
+    )
+    register(
+        "kcenter_coreset",
+        retrieval.kcenter_coreset_query,
+        retrieval.KCENTER_CORESET_ORACLE,
+    )
+    register(
+        "maxsim_late_interaction",
+        retrieval.maxsim_late_interaction_query,
+        retrieval.MAXSIM_LATE_INTERACTION_ORACLE,
+    )
+    register(
+        "rocchio_expansion",
+        retrieval.rocchio_expansion_query,
+        retrieval.ROCCHIO_EXPANSION_ORACLE,
+    )
+
     _apply_window(_WINDOW_R06)
     _LOADED = True
