@@ -1,0 +1,618 @@
+"""Distribution-comparison audits: exact two-sample KS, kernel MMD
+over embeddings, a two-proportion experiment readout, a Simpson's-
+paradox reversal scan, and a Johnson-Lindenstrauss projection
+fidelity audit.
+
+The reference pipeline's implicit contract is that the stream it
+aggregates is homogeneous (`streams/PurchasesTopology.java:43`
+aggregates all partitions identically); a 100 TB training-data
+pipeline has to TEST that assumption — per-source, per-label, and
+per-cohort distributions drift, and mixing decisions made on pooled
+statistics can invert at the stratum level. Everything here is exact
+(integer-count CDFs, fixed-point feature sums) so the audits are
+oracle-hashable, not approximate diagnostics.
+
+Scale posture: each audit reduces the corpus ONCE to a bounded
+domain-sized frame (distinct-value grids, label/source pairs, day
+spines) and does all pairwise work there — no corpus self-joins; the
+corpus-sized stages are all partial-aggregatable groupBys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import tables
+
+# --------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov over per-source doc lengths
+# --------------------------------------------------------------------------
+
+
+def ks_drift_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_a, src_b, n_a, n_b, ks_num, ks): the EXACT two-sample KS
+    statistic between every pair of sources on the ``n_chars``
+    distribution — D = max over x of |F_a(x) - F_b(x)|, carried as
+    the exact integer numerator ``ks_num = max |cum_a * n_b -
+    cum_b * n_a|`` (cross-multiplied, no float CDFs) with
+    ``ks = ks_num / (n_a * n_b)`` as the readable form. The standard
+    ingest gate for "did this source's length profile move".
+
+    Construction: one per-(source, value) count rollup, a
+    source x pooled-distinct-value grid (left join + cumulative
+    window per source — |sources| * |distinct values| rows, domain-
+    sized), then a pair join ON the grid value. Scale: the corpus is
+    touched once by the rollup; everything pairwise happens on the
+    grid, and |sources| is a catalog-sized constant."""
+    docs = tables.table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vals = counts.select("n_chars").distinct()
+    srcs = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tot")
+    )
+    grid = srcs.crossJoin(vals).join(counts, ["source", "n_chars"], "left")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "source",
+        "n_chars",
+        "n_tot",
+        F.sum(F.coalesce("c", F.lit(0))).over(w).cast("bigint").alias("cum"),
+    )
+    a = cum.select(
+        F.col("source").alias("src_a"),
+        F.col("n_chars").alias("v"),
+        F.col("n_tot").alias("n_a"),
+        F.col("cum").alias("cum_a"),
+    )
+    b = cum.select(
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("v"),
+        F.col("n_tot").alias("n_b"),
+        F.col("cum").alias("cum_b"),
+    )
+    diffs = a.join(b, "v").filter(F.col("src_a") < F.col("src_b")).select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("d_num"),
+    )
+    return diffs.groupBy("src_a", "src_b", "n_a", "n_b").agg(
+        F.max("d_num").cast("bigint").alias("ks_num")
+    ).select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "ks_num",
+        (
+            F.col("ks_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("ks"),
+    )
+
+
+KS_DRIFT_AUDIT_ORACLE = """
+WITH counts AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+vals AS (SELECT DISTINCT n_chars FROM counts),
+srcs AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tot FROM counts GROUP BY 1
+),
+cum AS (
+  SELECT s.source, v.n_chars, s.n_tot,
+         CAST(sum(COALESCE(c.c, 0)) OVER (
+           PARTITION BY s.source ORDER BY v.n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM srcs s CROSS JOIN vals v
+  LEFT JOIN counts c ON c.source = s.source AND c.n_chars = v.n_chars
+),
+diffs AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.n_tot AS n_a,
+         b.n_tot AS n_b,
+         abs(a.cum * b.n_tot - b.cum * a.n_tot) AS d_num
+  FROM cum a JOIN cum b ON a.n_chars = b.n_chars AND a.source < b.source
+)
+SELECT src_a, src_b, n_a, n_b,
+       CAST(max(d_num) AS BIGINT) AS ks_num,
+       CAST(max(d_num) AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+         AS ks
+FROM diffs GROUP BY 1, 2, 3, 4
+"""
+
+
+# --------------------------------------------------------------------------
+# Quadratic-kernel MMD between embedding labels (random features)
+# --------------------------------------------------------------------------
+
+MMD_FEATURES = 6
+_MMD_FP = 1_000_000
+# Baked random directions (public JL/random-features construction;
+# literals shared by both engines so the feature map is identical).
+_MMD_W = np.random.default_rng(19).standard_normal((MMD_FEATURES, 64))
+
+
+def _mmd_phi(vec: str, d: int, engine: str) -> str:
+    """phi_d(x) = (w_d . x)^2 — an exact random feature of the
+    degree-2 polynomial kernel (E[phi_d(x) phi_d(y)] recovers
+    (x.y)^2-type terms); only *,+ so it is IEEE-identical across
+    engines."""
+    w = _MMD_W[d]
+    if engine == "spark":
+        terms = " + ".join(
+            f"cast(element_at({vec}, {i + 1}) as double) * "
+            f"cast({w[i]!r} as double)"
+            for i in range(64)
+        )
+    else:
+        terms = " + ".join(
+            f"CAST({vec}[{i + 1}] AS DOUBLE) * CAST({w[i]!r} AS DOUBLE)"
+            for i in range(64)
+        )
+    return f"(({terms}) * ({terms}))"
+
+
+def mmd_label_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label_a, label_b, n_a, n_b, mmd2): squared Maximum Mean
+    Discrepancy between every pair of embedding labels under a
+    degree-2 polynomial kernel, computed through MMD_FEATURES exact
+    random features: mmd2 = sum_d (mean_a phi_d - mean_b phi_d)^2.
+    The distribution-level "are these two label populations the same
+    region of embedding space" test — the two-sample upgrade over
+    comparing centroids (which a linear kernel would reduce to).
+
+    Bit-stability: each phi value is fixed-pointed to
+    floor(1e6 * phi) BIGINT before the per-label SUM (unordered float
+    sums are banned from hashed outputs), so the means are ratios of
+    exact integers and mmd2 is a fixed arithmetic expression on them.
+
+    Scale: one corpus pass computes all MMD_FEATURES features inside
+    codegen; the rollup is |labels| x MMD_FEATURES partials; the pair
+    expansion runs on a |labels|^2-row frame."""
+    emb = tables.spread(
+        tables.table(spark, sf_dir, "embeddings"), "vec_id"
+    )
+    feats = emb.select(
+        "label",
+        *[
+            F.floor(F.expr(_mmd_phi("embedding", d, "spark")) * _MMD_FP)
+            .cast("bigint")
+            .alias(f"p{d}")
+            for d in range(MMD_FEATURES)
+        ],
+    )
+    per = feats.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(f"p{d}").cast("bigint").alias(f"s{d}")
+            for d in range(MMD_FEATURES)
+        ],
+    )
+    a = per.select(
+        [F.col("label").alias("label_a"), F.col("n").alias("n_a")]
+        + [F.col(f"s{d}").alias(f"sa{d}") for d in range(MMD_FEATURES)]
+    )
+    b = per.select(
+        [F.col("label").alias("label_b"), F.col("n").alias("n_b")]
+        + [F.col(f"s{d}").alias(f"sb{d}") for d in range(MMD_FEATURES)]
+    )
+    diff_terms = None
+    for d in range(MMD_FEATURES):
+        t = (
+            F.col(f"sa{d}").cast("double")
+            / (F.col("n_a").cast("double") * F.lit(float(_MMD_FP)))
+            - F.col(f"sb{d}").cast("double")
+            / (F.col("n_b").cast("double") * F.lit(float(_MMD_FP)))
+        )
+        term = t * t
+        diff_terms = term if diff_terms is None else diff_terms + term
+    return (
+        a.crossJoin(b)
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", "n_a", "n_b", diff_terms.alias("mmd2"))
+    )
+
+
+def _mmd_oracle() -> str:
+    feat_cols = ",\n         ".join(
+        f"CAST(floor({_mmd_phi('embedding', d, 'duck')} * {_MMD_FP}) "
+        f"AS BIGINT) AS p{d}"
+        for d in range(MMD_FEATURES)
+    )
+    sums = ", ".join(
+        f"CAST(sum(p{d}) AS BIGINT) AS s{d}" for d in range(MMD_FEATURES)
+    )
+    mmd = " + ".join(
+        f"((CAST(a.s{d} AS DOUBLE) / (CAST(a.n AS DOUBLE) * {float(_MMD_FP)})"
+        f" - CAST(b.s{d} AS DOUBLE) / (CAST(b.n AS DOUBLE) * "
+        f"{float(_MMD_FP)})) * "
+        f"(CAST(a.s{d} AS DOUBLE) / (CAST(a.n AS DOUBLE) * {float(_MMD_FP)})"
+        f" - CAST(b.s{d} AS DOUBLE) / (CAST(b.n AS DOUBLE) * "
+        f"{float(_MMD_FP)})))"
+        for d in range(MMD_FEATURES)
+    )
+    return f"""
+WITH feats AS (
+  SELECT label,
+         {feat_cols}
+  FROM embeddings
+),
+per AS MATERIALIZED (
+  SELECT label, CAST(count(*) AS BIGINT) AS n, {sums}
+  FROM feats GROUP BY 1
+)
+SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+       {mmd} AS mmd2
+FROM per a JOIN per b ON a.label < b.label
+"""
+
+
+MMD_LABEL_DRIFT_ORACLE = _mmd_oracle()
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test (A/B conversion readout)
+# --------------------------------------------------------------------------
+
+
+def ab_proportion_test_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_a, n_b, conv_a, conv_b, z): the two-proportion z-statistic
+    for "did arm B convert differently from arm A", with users
+    assigned to arms by user_id parity (the deterministic stand-in
+    for an experiment bucketing column) and conversion = the user has
+    at least one purchase event. The pooled-variance form:
+    z = (p_a - p_b) / sqrt(p(1-p)(1/n_a + 1/n_b)).
+
+    All counts are exact integers; the z arithmetic is one fixed
+    expression over them (sqrt is correctly rounded IEEE, safe in
+    hashed output). Degenerate guards: emits z = 0 when either arm is
+    empty or the pooled variance vanishes (all/none converted) —
+    Spark ANSI would otherwise throw on the division.
+
+    Scale: one per-user rollup (partial-aggregatable), then a 2-row
+    frame."""
+    ev = tables.table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    )
+    arms = users.groupBy(
+        (F.col("user_id") % 2 == 0).cast("int").alias("arm_a")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    wide = arms.groupBy().agg(
+        F.sum(F.when(F.col("arm_a") == 1, F.col("n"))).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm_a") == 0, F.col("n"))).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm_a") == 1, F.col("conv"))).cast("bigint").alias("conv_a"),
+        F.sum(F.when(F.col("arm_a") == 0, F.col("conv"))).cast("bigint").alias("conv_b"),
+    ).select(
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.coalesce("conv_a", F.lit(0)).alias("conv_a"),
+        F.coalesce("conv_b", F.lit(0)).alias("conv_b"),
+    )
+    p = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    var = (
+        p
+        * (1.0 - p)
+        * (
+            1.0 / F.col("n_a").cast("double")
+            + 1.0 / F.col("n_b").cast("double")
+        )
+    )
+    z = (
+        F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    ) / F.sqrt(var)
+    return wide.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.when(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") > 0)
+            & (
+                F.col("conv_a") + F.col("conv_b")
+                < F.col("n_a") + F.col("n_b")
+            ),
+            z,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    ).filter(F.col("n_a") + F.col("n_b") > 0)
+
+
+AB_PROPORTION_TEST_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1
+),
+wide AS (
+  SELECT
+    CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
+    CAST(count(*) FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS n_b,
+    CAST(COALESCE(sum(converted) FILTER (WHERE user_id % 2 = 0), 0)
+      AS BIGINT) AS conv_a,
+    CAST(COALESCE(sum(converted) FILTER (WHERE user_id % 2 <> 0), 0)
+      AS BIGINT) AS conv_b
+  FROM users
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+                 AND conv_a + conv_b < n_a + n_b THEN
+         (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / sqrt(
+             (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                      / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+           )
+       ELSE 0.0 END AS z
+FROM wide
+WHERE n_a + n_b > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Simpson's-paradox reversal scan (stratum slope vs pooled slope)
+# --------------------------------------------------------------------------
+
+_CENTS = "CAST(floor(value * 100) AS BIGINT)"
+
+
+def simpson_reversal_audit_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(scope, n_days, slope_num, slope_den, reversed): the OLS slope
+    of daily event value (cents) against day index, per event_type
+    AND pooled — flagging strata whose trend sign CONTRADICTS the
+    pooled trend (Simpson's reversal). A mixing decision made on the
+    pooled series ("values are trending up, keep sampling this
+    stream") can be wrong for every stratum simultaneously; this is
+    the audit that catches it.
+
+    Slopes are carried as the exact integer pair (slope_num,
+    slope_den) of the OLS closed form n*Sxy - Sx*Sy over
+    n*Sxx - Sx*Sx — day indices and daily cent totals are BIGINTs on
+    a day-spine-sized frame, so no float sum ever forms and the sign
+    comparison is exact. Scale: the only corpus-sized stage is the
+    per-(type, day) rollup; the regression runs on |types| * |days|
+    rows. (At a multi-decade 100 TB horizon the BIGINT products
+    approach 2^63 only if daily cents exceed ~1e13; the production
+    form would widen to 128-bit sums.)"""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr(_CENTS)).cast("bigint").alias("cents")
+    )
+    base = daily.groupBy().agg(F.min("day").alias("d0"))
+    daily_i = daily.crossJoin(F.broadcast(base)).select(
+        "event_type",
+        F.datediff(F.col("day"), F.col("d0")).cast("bigint").alias("x"),
+        "cents",
+    )
+    pooled = daily_i.groupBy("x").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    ).select(F.lit("pooled").alias("scope"), "x", "cents")
+    strata = daily_i.select(
+        F.col("event_type").alias("scope"), "x", "cents"
+    )
+    both = pooled.unionAll(strata)
+
+    def _slope(df: DataFrame) -> DataFrame:
+        return df.groupBy("scope").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("cents"))
+                - F.sum("x") * F.sum("cents")
+            ).cast("bigint").alias("slope_num"),
+            (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x")
+            ).cast("bigint").alias("slope_den"),
+        )
+    slopes = _slope(both)
+    psign = slopes.filter(F.col("scope") == "pooled").select(
+        F.signum(F.col("slope_num").cast("double")).alias("pooled_sign")
+    )
+    return slopes.crossJoin(F.broadcast(psign)).select(
+        "scope",
+        "n_days",
+        "slope_num",
+        "slope_den",
+        (
+            (F.col("scope") != "pooled")
+            & (
+                F.signum(F.col("slope_num").cast("double"))
+                * F.col("pooled_sign")
+                < 0
+            )
+        ).alias("reversed"),
+    )
+
+
+SIMPSON_REVERSAL_AUDIT_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+base AS (SELECT min(day) AS d0 FROM daily),
+daily_i AS (
+  SELECT event_type, CAST(date_diff('day', b.d0, day) AS BIGINT) AS x,
+         cents
+  FROM daily, base b
+),
+both_scopes AS (
+  SELECT 'pooled' AS scope, x, CAST(sum(cents) AS BIGINT) AS cents
+  FROM daily_i GROUP BY 2
+  UNION ALL
+  SELECT event_type AS scope, x, cents FROM daily_i
+),
+slopes AS MATERIALIZED (
+  SELECT scope,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(count(*) * sum(x * cents) - sum(x) * sum(cents) AS BIGINT)
+           AS slope_num,
+         CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+           AS slope_den
+  FROM both_scopes GROUP BY 1
+)
+SELECT s.scope, s.n_days, s.slope_num, s.slope_den,
+       (s.scope <> 'pooled'
+        AND sign(CAST(s.slope_num AS DOUBLE))
+            * sign(CAST(p.slope_num AS DOUBLE)) < 0) AS reversed
+FROM slopes s, (SELECT slope_num FROM slopes WHERE scope = 'pooled') p
+"""
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection fidelity audit
+# --------------------------------------------------------------------------
+
+JL_K = 16       # projected dimensionality
+JL_PANEL = 20   # audit panel: vec_id < JL_PANEL -> 190 pairs
+# Baked Rademacher sign matrix (64 x JL_K), shared by both engines.
+_JL_S = (
+    np.random.default_rng(7).integers(0, 2, (64, JL_K)) * 2 - 1
+).astype(int)
+
+
+def _jl_proj(vec: str, j: int, engine: str) -> str:
+    """y_j = sum_i s_ij * x_i, fixed ascending element order."""
+    parts = []
+    for i in range(64):
+        elem = (
+            f"cast(element_at({vec}, {i + 1}) as double)"
+            if engine == "spark"
+            else f"CAST({vec}[{i + 1}] AS DOUBLE)"
+        )
+        parts.append(f"({_JL_S[i][j]} * {elem})")
+    return "(" + " + ".join(parts) + ")"
+
+
+def jl_projection_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_pairs): the distortion histogram of a Rademacher
+    Johnson-Lindenstrauss projection 64 -> JL_K — for each pair in a
+    JL_PANEL-vector audit panel, ratio = (||y_a - y_b||^2 / JL_K) /
+    ||x_a - x_b||^2, bucketed at floor(10 * ratio). The JL lemma says
+    the mass concentrates around bucket 10 (ratio 1.0); a spread-out
+    histogram means JL_K is too small for the downstream ANN tier to
+    trust projected distances.
+
+    The sign matrix is baked into both engines as literals, every sum
+    runs in fixed ascending element order, and the bucket floor is
+    taken on identical IEEE doubles, so the histogram hashes exactly.
+    Zero-distance pairs (identical vectors) are excluded on both
+    sides before the ratio (ANSI division guard).
+
+    Scale: the projection itself is the scalable artifact (one
+    codegen pass, JL_K columns); the AUDIT runs on a fixed panel —
+    O(JL_PANEL^2) pairs regardless of corpus size."""
+    emb = tables.table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < JL_PANEL
+    )
+    panel = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.expr(_jl_proj("embedding", j, "spark")).alias(f"y{j}")
+            for j in range(JL_K)
+        ],
+    )
+    a = panel.select(
+        [F.col("vec_id").alias("id_a"), F.col("embedding").alias("x_a")]
+        + [F.col(f"y{j}").alias(f"ya{j}") for j in range(JL_K)]
+    )
+    b = panel.select(
+        [F.col("vec_id").alias("id_b"), F.col("embedding").alias("x_b")]
+        + [F.col(f"y{j}").alias(f"yb{j}") for j in range(JL_K)]
+    )
+    dx2 = F.expr(
+        "aggregate(zip_with(x_a, x_b, (x, y) -> "
+        "(cast(x as double) - cast(y as double)) * "
+        "(cast(x as double) - cast(y as double))), "
+        "cast(0 as double), (acc, t) -> acc + t)"
+    )
+    dy2 = None
+    for j in range(JL_K):
+        t = F.col(f"ya{j}") - F.col(f"yb{j}")
+        term = t * t
+        dy2 = term if dy2 is None else dy2 + term
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(dx2.alias("dx2"), dy2.alias("dy2"))
+        .filter(F.col("dx2") > 0)
+    )
+    return (
+        pairs.select(
+            F.floor(
+                10.0 * ((F.col("dy2") / F.lit(float(JL_K))) / F.col("dx2"))
+            )
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+def _jl_oracle() -> str:
+    ycols = ",\n         ".join(
+        f"{_jl_proj('embedding', j, 'duck')} AS y{j}" for j in range(JL_K)
+    )
+    dx2 = " + ".join(
+        f"((CAST(a.embedding[{i + 1}] AS DOUBLE) - "
+        f"CAST(b.embedding[{i + 1}] AS DOUBLE)) * "
+        f"(CAST(a.embedding[{i + 1}] AS DOUBLE) - "
+        f"CAST(b.embedding[{i + 1}] AS DOUBLE)))"
+        for i in range(64)
+    )
+    dy2 = " + ".join(
+        f"((a.y{j} - b.y{j}) * (a.y{j} - b.y{j}))" for j in range(JL_K)
+    )
+    return f"""
+WITH panel AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {ycols}
+  FROM embeddings WHERE vec_id < {JL_PANEL}
+),
+pairs AS (
+  SELECT ({dx2}) AS dx2, ({dy2}) AS dy2
+  FROM panel a JOIN panel b ON a.vec_id < b.vec_id
+)
+SELECT CAST(floor(10.0 * ((dy2 / {float(JL_K)}) / dx2)) AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+WHERE dx2 > 0
+GROUP BY 1
+"""
+
+
+JL_PROJECTION_AUDIT_ORACLE = _jl_oracle()

@@ -1623,6 +1623,33 @@ def _ensure_loaded() -> None:
         retrieval.rocchio_expansion_query,
         retrieval.ROCCHIO_EXPANSION_ORACLE,
     )
+    from .operators import drift
+
+    register(
+        "ks_drift_audit",
+        drift.ks_drift_audit_query,
+        drift.KS_DRIFT_AUDIT_ORACLE,
+    )
+    register(
+        "mmd_label_drift",
+        drift.mmd_label_drift_query,
+        drift.MMD_LABEL_DRIFT_ORACLE,
+    )
+    register(
+        "ab_proportion_test",
+        drift.ab_proportion_test_query,
+        drift.AB_PROPORTION_TEST_ORACLE,
+    )
+    register(
+        "simpson_reversal_audit",
+        drift.simpson_reversal_audit_query,
+        drift.SIMPSON_REVERSAL_AUDIT_ORACLE,
+    )
+    register(
+        "jl_projection_audit",
+        drift.jl_projection_audit_query,
+        drift.JL_PROJECTION_AUDIT_ORACLE,
+    )
 
     _apply_window(_WINDOW_R06)
     _LOADED = True
