@@ -1201,3 +1201,189 @@ WITH base AS (
 
 
 FD_AUDIT_ORACLE = _fd_oracle()
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (fraud/synthetic-data smell test)
+# --------------------------------------------------------------------------
+
+# log10(1 + 1/d) literals, shared by both engines so no log evaluates
+# inside a hashed expression.
+_BENFORD_P = {
+    1: 0.30102999566398120,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(digit, n_orders, expected_p, observed_p, chi2_term): the
+    first-significant-digit distribution of order totals against
+    Benford's law. Organic multiplicative quantities follow it;
+    fabricated or synthetically capped ones don't — the classic
+    forensic-accounting screen, useful on a data pipeline as a
+    cheap "did an upstream generator/cap change" tripwire (synthetic
+    TPC-H prices are exactly the kind of uniform-ish data it flags,
+    which is the demonstration).
+
+    Exactness: totals go to integer cents first and the leading
+    digit is taken from the BIGINT's decimal rendering (integer
+    -> string is canonical on both engines; double -> string is NOT).
+    Expected proportions are baked literals, so observed_p and the
+    chi-square term are fixed expressions over exact counts.
+
+    Scale: one partial-aggregatable 9-group rollup; the broadcast
+    one-row total closes it."""
+    orders = tables.table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    ).filter(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    total = counts.agg(F.sum("n_orders").cast("bigint").alias("n_total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_P.items() for x in kv]
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n_orders",
+        expected[F.col("digit")].alias("expected_p"),
+        (F.col("n_orders").cast("double") / F.col("n_total").cast("double"))
+        .alias("observed_p"),
+        (
+            (
+                F.col("n_orders").cast("double")
+                - expected[F.col("digit")] * F.col("n_total").cast("double")
+            )
+            * (
+                F.col("n_orders").cast("double")
+                - expected[F.col("digit")] * F.col("n_total").cast("double")
+            )
+            / (expected[F.col("digit")] * F.col("n_total").cast("double"))
+        ).alias("chi2_term"),
+    )
+
+
+def _benford_oracle() -> str:
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+    ) + " END"
+    return f"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM (
+    SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+  ) WHERE cents > 0
+),
+counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+  FROM digits GROUP BY 1
+),
+total AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM counts)
+SELECT digit, n_orders,
+       {exp_case} AS expected_p,
+       CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS observed_p,
+       ((CAST(n_orders AS DOUBLE)
+         - {exp_case} * CAST(n_total AS DOUBLE))
+        * (CAST(n_orders AS DOUBLE)
+           - {exp_case} * CAST(n_total AS DOUBLE))
+        / ({exp_case} * CAST(n_total AS DOUBLE))) AS chi2_term
+FROM counts, total
+"""
+
+
+BENFORD_AUDIT_ORACLE = _benford_oracle()
+
+
+# --------------------------------------------------------------------------
+# DP clipped mean (bounded-sensitivity Laplace release)
+# --------------------------------------------------------------------------
+
+DP_CLIP_CENTS = 10_000  # clip bound C: values clipped to [0, $100]
+
+
+def dp_clipped_mean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, clipped_sum_cents, noise_fp, noisy_mean_cents):
+    the differentially-private mean event value per type — each
+    value is CLIPPED to [0, DP_CLIP_CENTS] cents (bounding the
+    per-record sensitivity to C, the step dp_laplace_counts didn't
+    need because counts have sensitivity 1), the clipped sum gets
+    Laplace(C / eps) noise, and the mean divides by the true count
+    (the standard bounded-mean mechanism; a fully-private variant
+    would also noise n — composition left to the caller's budget).
+
+    Determinism: the same seeded md5 -> dyadic-u -> inverse-CDF chain
+    as dp_laplace_counts, scaled by C, fixed-pointed to BIGINT before
+    touching the exact integer sum; the released mean is one division
+    of exact integers."""
+    events = tables.table(spark, sf_dir, "events")
+    per = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value") * 100).cast("bigint"), F.lit(0)
+                ),
+                F.lit(DP_CLIP_CENTS),
+            )
+        ).cast("bigint").alias("clipped_sum_cents"),
+    )
+    key = "concat('clipmean|', event_type)"
+    h = _DP_H_SPARK.format(key=key)
+    noise_fp = (
+        f"cast(floor(1000000.0d * {DP_CLIP_CENTS}.0d * "
+        f"(-(case when 2*({h}) + 1 > 4294967296L"
+        f" then 1 else -1 end) * ln(cast(4294967296L - abs(2*({h}) + 1"
+        f" - 4294967296L) as double) / 4294967296.0d)) / {DP_EPS}.0d)"
+        f" as bigint)"
+    )
+    return per.filter(F.col("n") > 0).select(
+        "event_type",
+        "n",
+        "clipped_sum_cents",
+        F.expr(noise_fp).alias("noise_fp"),
+        F.expr(
+            f"cast(clipped_sum_cents * 1000000L + ({noise_fp}) as double)"
+            " / (cast(n as double) * 1000000.0d)"
+        ).alias("noisy_mean_cents"),
+    )
+
+
+def _dp_clipped_mean_oracle() -> str:
+    key = "'clipmean|' || event_type"
+    h = _DP_H_DUCK.format(key=key)
+    noise_fp = (
+        f"CAST(floor(1000000.0 * {DP_CLIP_CENTS}.0 * "
+        f"(-(CASE WHEN 2*({h}) + 1 > 4294967296"
+        f" THEN 1 ELSE -1 END) * ln(CAST(4294967296 - abs(2*({h}) + 1"
+        f" - 4294967296) AS DOUBLE) / 4294967296.0)) / {DP_EPS}.0)"
+        f" AS BIGINT)"
+    )
+    return f"""
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(least(greatest(CAST(floor(value * 100) AS BIGINT), 0),
+                        {DP_CLIP_CENTS})) AS BIGINT) AS clipped_sum_cents
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, clipped_sum_cents,
+       {noise_fp} AS noise_fp,
+       CAST(clipped_sum_cents * 1000000 + ({noise_fp}) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * 1000000.0) AS noisy_mean_cents
+FROM per
+WHERE n > 0
+"""
+
+
+DP_CLIPPED_MEAN_ORACLE = _dp_clipped_mean_oracle()

@@ -1484,3 +1484,104 @@ FROM sums s JOIN exact e ON e.event_type = s.event_type AND e.day = s.day
 
 
 HLL_DISTINCT_ROLLUP_ORACLE = _hll_rollup_oracle()
+
+
+# --------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) second-moment sketch with exactness audit
+# --------------------------------------------------------------------------
+
+AMS_R = 8
+# Baked odd multipliers/offsets for the per-estimator sign hashes
+# (classic 2-universal ax+b mod p family, p = 2^31 - 1).
+_AMS_P = 2147483647
+_AMS_AB = [
+    (1103515245, 12345),
+    (1664525, 1013904223),
+    (22695477, 1),
+    (134775813, 1),
+    (214013, 2531011),
+    (69069, 1234567),
+    (1099087573, 2654435761),
+    (747796405, 2891336453),
+]
+
+
+def _ams_sign(col: str, r: int) -> str:
+    """+1/-1 from the parity of (a*key + b) mod (2^31-1) — identical
+    BIGINT arithmetic on both engines (keys are non-negative ids, so
+    % has no sign divergence)."""
+    a, b = _AMS_AB[r]
+    return f"(1 - 2 * ((({a} * {col} + {b}) % {_AMS_P}) % 2))"
+
+
+def ams_f2_estimate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r, est_f2, exact_f2): AMS_R independent AMS estimators of the
+    second frequency moment F2 = sum_u c_u^2 of events.user_id (the
+    self-join size — what a join planner wants BEFORE shuffling two
+    skewed sides together), next to the exact value. Each estimator
+    is one streaming counter: Z_r = sum over ROWS of sign_r(user_id),
+    and E[Z_r^2] = F2 — the original sketch the whole
+    linear-sketching family descends from (Alon, Matias & Szegedy,
+    STOC 1996). The per-estimator spread around exact_f2 IS the
+    operator's point: it shows the variance a single sketch carries
+    and why production mediates means over independent rows.
+
+    Exactness: signs are integer parity, Z_r is an exact BIGINT sum
+    (|Z| <= rows, squares far below 2^63 at any realistic shard),
+    exact_f2 is the plain groupBy count-square rollup. Scale: the
+    sketch side is ONE partial-aggregatable pass computing AMS_R
+    counters (no per-key state at all — that is the sketch's virtue
+    vs the exact rollup's |keys|-sized shuffle)."""
+    ev = tables.table(spark, sf_dir, "events")
+    z = ev.agg(
+        *[
+            F.sum(F.expr(_ams_sign("user_id", r)))
+            .cast("bigint")
+            .alias(f"z{r}")
+            for r in range(AMS_R)
+        ],
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_f2"))
+    )
+    wide = z.crossJoin(F.broadcast(exact)).filter(F.col("n_rows") > 0)
+    ests = None
+    for r in range(AMS_R):
+        row = wide.select(
+            F.lit(r).cast("int").alias("r"),
+            (F.col(f"z{r}") * F.col(f"z{r}")).cast("bigint").alias("est_f2"),
+            "exact_f2",
+        )
+        ests = row if ests is None else ests.unionAll(row)
+    return ests
+
+
+def _ams_oracle() -> str:
+    zs = ", ".join(
+        f"CAST(sum({_ams_sign('user_id', r)}) AS BIGINT) AS z{r}"
+        for r in range(AMS_R)
+    )
+    arms = "\nUNION ALL ".join(
+        f"SELECT {r} AS r, CAST(z{r} * z{r} AS BIGINT) AS est_f2, exact_f2"
+        f" FROM wide"
+        for r in range(AMS_R)
+    )
+    return f"""
+WITH z AS (
+  SELECT {zs}, CAST(count(*) AS BIGINT) AS n_rows FROM events
+),
+exact AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2
+  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id)
+),
+wide AS MATERIALIZED (
+  SELECT * FROM z, exact WHERE z.n_rows > 0
+)
+{arms}
+"""
+
+
+AMS_F2_ESTIMATE_ORACLE = _ams_oracle()

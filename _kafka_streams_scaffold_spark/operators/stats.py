@@ -1972,3 +1972,356 @@ GROUP BY 1, 2, 3
 
 
 CONFORMAL_COVERAGE_AUDIT_ORACLE = _conformal_oracle()
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# --------------------------------------------------------------------------
+
+
+def theil_sen_trend_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_days, n_pairs, ts_slope): the Theil-Sen estimator of the
+    daily purchase-revenue trend — the MEDIAN over all day pairs
+    (i < j) of (cents_j - cents_i) / (x_j - x_i). The robust
+    counterpart of the OLS slope in ``simpson_reversal_audit`` /
+    ``segment_trend``: up to ~29% of the days can be arbitrarily
+    corrupted (an outage, a backfill spike) without moving it, which
+    is why it is the trend gate of choice on operational series.
+
+    Exactness: each slope is ONE IEEE division of exact integers
+    (cents BIGINT, day-index BIGINT) — identical on both engines —
+    and the median picks the middle element(s) by row_number (the
+    even-n case averages two values; a single two-operand float add
+    is commutative and deterministic, unlike multi-row float SUMs).
+
+    Scale: the corpus collapses to the day spine first (partial-
+    aggregatable rollup); the O(days^2) pair frame and its global
+    rank window live on that bounded spine (a decade is ~7 M pairs),
+    never on raw events. The single-partition window is deliberate
+    and bounded, as in ``gap_fill_daily``."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    base = daily.groupBy().agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(base)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("bigint").alias("x"),
+        "cents",
+    )
+    a = pts.select(F.col("x").alias("xi"), F.col("cents").alias("ci"))
+    b = pts.select(F.col("x").alias("xj"), F.col("cents").alias("cj"))
+    slopes = (
+        a.join(b, F.col("xi") < F.col("xj"))
+        .select(
+            (
+                (F.col("cj") - F.col("ci")).cast("double")
+                / (F.col("xj") - F.col("xi")).cast("double")
+            ).alias("slope"),
+            "xi",
+            "xj",
+        )
+    )
+    w = Window.orderBy("slope", "xi", "xj")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n_pairs"),
+    )
+    days_n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    med = ranked.filter(
+        (F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        | (F.col("rn") == F.expr("n_pairs div 2 + 1"))
+    ).groupBy("n_pairs").agg(
+        ((F.min("slope") + F.max("slope")) / 2.0).alias("ts_slope")
+    )
+    return days_n.crossJoin(F.broadcast(med)).select(
+        "n_days", "n_pairs", "ts_slope"
+    )
+
+
+THEIL_SEN_TREND_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+base AS (SELECT min(day) AS d0 FROM daily),
+pts AS (
+  SELECT CAST(date_diff('day', b.d0, day) AS BIGINT) AS x, cents
+  FROM daily, base b
+),
+slopes AS (
+  SELECT CAST(b.cents - a.cents AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+           AS slope,
+         a.x AS xi, b.x AS xj
+  FROM pts a JOIN pts b ON a.x < b.x
+),
+ranked AS (
+  SELECT slope,
+         row_number() OVER (ORDER BY slope, xi, xj) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n_pairs
+  FROM slopes
+),
+med AS (
+  SELECT n_pairs, (min(slope) + max(slope)) / 2.0 AS ts_slope
+  FROM ranked
+  WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+  GROUP BY n_pairs
+)
+SELECT d.n_days, m.n_pairs, m.ts_slope
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily) d, med m
+"""
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (integer-exact twin of Kaplan-Meier)
+# --------------------------------------------------------------------------
+
+_NA_FP = 1_000_000_000
+
+
+def nelson_aalen_hazard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t_days, n_risk, n_deaths, n_censored, cumhaz_fp): the
+    Nelson-Aalen cumulative-hazard estimate over the same censored
+    user-lifetime construction as ``km_user_survival`` — H(t) =
+    sum_{s <= t} d_s / n_s. Where KM's survival is a cumulative
+    PRODUCT (emitted in quantized log space), NA's hazard is a
+    cumulative SUM of rationals, so it admits a fully EXACT integer
+    form: each increment fixes to (1e9 * d) div n — exact integer
+    division, no transcendental anywhere — and the curve is the exact
+    BIGINT cumsum. The preferred estimator when hazards are later
+    smoothed or compared across cohorts.
+
+    Scale: identical to KM — one per-user corpus rollup, then
+    constant-bounded lifetime-day frames; the cumulative window runs
+    single-partition over ~span-in-days rows by construction."""
+    ev = tables.table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.expr("min(unix_micros(ts))").alias("f_us"),
+        F.expr("max(unix_micros(ts))").alias("l_us"),
+    )
+    horizon = ev.agg(F.expr("max(unix_micros(ts))").alias("max_us"))
+    lived = users.crossJoin(F.broadcast(horizon)).select(
+        F.expr(f"(l_us - f_us) div {_US_PER_DAY}").alias("t_days"),
+        F.expr(
+            f"(max_us - l_us) div {_US_PER_DAY} < {KM_CENSOR_DAYS}"
+        ).cast("int").alias("censored"),
+    )
+    per_t = lived.groupBy("t_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at_t"),
+        F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("n_deaths"),
+        F.sum("censored").cast("bigint").alias("n_censored"),
+    )
+    w_prior = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = per_t.agg(F.sum("n_at_t").alias("n_total"))
+    risky = per_t.crossJoin(F.broadcast(total)).select(
+        "t_days",
+        "n_deaths",
+        "n_censored",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_at_t").over(w_prior), F.lit(0))
+        ).cast("bigint").alias("n_risk"),
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        risky.filter(F.col("n_risk") > 0)
+        .withColumn(
+            "h_fp",
+            F.expr(f"({_NA_FP}L * n_deaths) div n_risk").cast("bigint"),
+        )
+        .select(
+            "t_days",
+            "n_risk",
+            "n_deaths",
+            "n_censored",
+            F.sum("h_fp").over(w_cum).cast("bigint").alias("cumhaz_fp"),
+        )
+    )
+
+
+NELSON_AALEN_HAZARD_ORACLE = f"""
+WITH users AS (
+  SELECT user_id, min(epoch_us(ts)) AS f_us, max(epoch_us(ts)) AS l_us
+  FROM events GROUP BY 1
+),
+horizon AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+lived AS (
+  SELECT (l_us - f_us) // {_US_PER_DAY} AS t_days,
+         CAST((max_us - l_us) // {_US_PER_DAY} < {KM_CENSOR_DAYS} AS INT)
+           AS censored
+  FROM users, horizon
+),
+per_t AS (
+  SELECT t_days,
+         CAST(count(*) AS BIGINT) AS n_at_t,
+         CAST(sum(1 - censored) AS BIGINT) AS n_deaths,
+         CAST(sum(censored) AS BIGINT) AS n_censored
+  FROM lived GROUP BY 1
+),
+risky AS (
+  SELECT t_days, n_deaths, n_censored,
+         CAST((SELECT sum(n_at_t) FROM per_t)
+              - COALESCE(sum(n_at_t) OVER (
+                  ORDER BY t_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS n_risk
+  FROM per_t
+)
+SELECT t_days, n_risk, n_deaths, n_censored,
+       CAST(sum(({_NA_FP} * n_deaths) // n_risk) OVER (
+         ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cumhaz_fp
+FROM risky
+WHERE n_risk > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (randomness of the daily-revenue sign series)
+# --------------------------------------------------------------------------
+
+
+def runs_test_randomness_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_pos, n_neg, n_runs, z): the Wald-Wolfowitz runs test on the
+    sign sequence of daily purchase revenue around its median — too
+    FEW runs means the series is trending/sticky (residual
+    autocorrelation), too MANY means oscillation; |z| > ~2 rejects
+    "the days are exchangeable". The cheap pre-flight before trusting
+    any i.i.d.-assuming estimator (bootstrap_se, conformal intervals)
+    on a time series.
+
+    Exactness: the median compare is integer-exact (2*cents vs the
+    sum of the two middle cents — no float midpoint), days equal to
+    the median are dropped (the standard convention), runs are
+    counted with a lag over the day order, and z is one fixed IEEE
+    expression over exact integer counts, guarded to 0 when the
+    variance degenerates (all one sign, or < 2 days).
+
+    Scale: corpus -> day spine rollup; everything else is spine-sized
+    with one bounded single-partition window (as gap_fill_daily)."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "day")
+    ranked = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    med2 = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("n div 2 + 1"))
+    ).agg((F.min("cents") + F.max("cents")).cast("bigint").alias("med2"))
+    signed = (
+        daily.crossJoin(F.broadcast(med2))
+        .filter(2 * F.col("cents") != F.col("med2"))
+        .select(
+            "day", (2 * F.col("cents") > F.col("med2")).cast("int").alias("s")
+        )
+    )
+    wd = Window.orderBy("day")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull()
+            | (F.lag("s").over(wd) != F.col("s")),
+            1,
+        ).otherwise(0).alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("s").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("s")).cast("bigint").alias("n_neg"),
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n2 = F.col("n_neg").cast("double")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return agg.filter(F.col("n_pos") + F.col("n_neg") > 0).select(
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.when(
+            (F.col("n_pos") > 0)
+            & (F.col("n_neg") > 0)
+            & (F.col("n_pos") + F.col("n_neg") > 1),
+            (F.col("n_runs").cast("double") - mu) / F.sqrt(var),
+        ).otherwise(F.lit(0.0)).alias("z"),
+    )
+
+
+RUNS_TEST_RANDOMNESS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+ranked AS (
+  SELECT day, cents,
+         row_number() OVER (ORDER BY cents, day) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily
+),
+med AS (
+  SELECT CAST(min(cents) + max(cents) AS BIGINT) AS med2
+  FROM ranked WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+),
+signed AS (
+  SELECT day, CAST(2 * cents > m.med2 AS INT) AS s
+  FROM daily, med m
+  WHERE 2 * cents <> m.med2
+),
+runs AS (
+  SELECT s,
+         CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                   OR lag(s) OVER (ORDER BY day) <> s
+              THEN 1 ELSE 0 END AS new_run
+  FROM signed
+),
+agg AS (
+  SELECT CAST(sum(s) AS BIGINT) AS n_pos,
+         CAST(sum(1 - s) AS BIGINT) AS n_neg,
+         CAST(sum(new_run) AS BIGINT) AS n_runs
+  FROM runs
+)
+SELECT n_pos, n_neg, n_runs,
+       CASE WHEN n_pos > 0 AND n_neg > 0 AND n_pos + n_neg > 1 THEN
+         (CAST(n_runs AS DOUBLE)
+          - (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1.0))
+         / sqrt(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg)
+                / ((n_pos + n_neg) * (n_pos + n_neg)
+                   * (n_pos + n_neg - 1.0)))
+       ELSE 0.0 END AS z
+FROM agg
+WHERE n_pos + n_neg > 0
+"""

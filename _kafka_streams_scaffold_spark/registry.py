@@ -1650,6 +1650,36 @@ def _ensure_loaded() -> None:
         drift.jl_projection_audit_query,
         drift.JL_PROJECTION_AUDIT_ORACLE,
     )
+    register(
+        "theil_sen_trend",
+        stats.theil_sen_trend_query,
+        stats.THEIL_SEN_TREND_ORACLE,
+    )
+    register(
+        "nelson_aalen_hazard",
+        stats.nelson_aalen_hazard_query,
+        stats.NELSON_AALEN_HAZARD_ORACLE,
+    )
+    register(
+        "runs_test_randomness",
+        stats.runs_test_randomness_query,
+        stats.RUNS_TEST_RANDOMNESS_ORACLE,
+    )
+    register(
+        "ams_f2_estimate",
+        sketches.ams_f2_estimate_query,
+        sketches.AMS_F2_ESTIMATE_ORACLE,
+    )
+    register(
+        "benford_audit",
+        dq.benford_audit_query,
+        dq.BENFORD_AUDIT_ORACLE,
+    )
+    register(
+        "dp_clipped_mean",
+        dq.dp_clipped_mean_query,
+        dq.DP_CLIPPED_MEAN_ORACLE,
+    )
 
     _apply_window(_WINDOW_R06)
     _LOADED = True
