@@ -452,3 +452,75 @@ SELECT n_types, n AS n_fit,
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r2
 FROM sums CROSS JOIN nt
 """
+
+
+# --------------------------------------------------------------------------
+# Chao1 vocabulary-richness estimate (how many types we HAVEN'T seen)
+# --------------------------------------------------------------------------
+
+
+def chao1_vocab_estimate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v_obs, s1, s2, n_tokens, chao1): the Chao1 lower-bound
+    estimate of the TRUE vocabulary size behind the corpus sample —
+    v_obs + s1*(s1-1) / (2*(s2+1)) (bias-corrected form), where s1/s2
+    are the singleton/doubleton type counts. The ecology
+    species-richness estimator, used on corpora to answer "how much
+    unseen vocabulary does another crawl buy" — the forward-looking
+    complement of the descriptive Zipf/Heaps fits (``zipf_fit``,
+    ``vocab_growth``): those describe the sample, Chao1 extrapolates
+    past it.
+
+    Exactness: all four inputs are exact integer counts from two
+    partial-aggregatable rollups (token -> freq, freq -> type count);
+    the estimate is one fixed IEEE expression over them (the +1 in
+    the corrected denominator also removes the s2 = 0 division
+    hazard). Scale: corpus touched once; everything after the
+    type-frequency rollup is vocabulary-sized, then 3 rows."""
+    docs = tables.table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens_expr("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    agg = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v_obs"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("s1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("bigint").alias("s2"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    return agg.filter(F.col("v_obs") > 0).select(
+        "v_obs",
+        "s1",
+        "s2",
+        "n_tokens",
+        (
+            F.col("v_obs").cast("double")
+            + (F.col("s1") * (F.col("s1") - 1)).cast("double")
+            / (2.0 * (F.col("s2") + 1).cast("double"))
+        ).alias("chao1"),
+    )
+
+
+CHAO1_VOCAB_ESTIMATE_ORACLE = """
+WITH freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  ) GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS v_obs,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM freq
+)
+SELECT v_obs, s1, s2, n_tokens,
+       CAST(v_obs AS DOUBLE)
+         + CAST(s1 * (s1 - 1) AS DOUBLE) / (2.0 * CAST(s2 + 1 AS DOUBLE))
+         AS chao1
+FROM agg
+WHERE v_obs > 0
+"""

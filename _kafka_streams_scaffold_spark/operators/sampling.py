@@ -1221,3 +1221,71 @@ WHERE n_chars > 0
 ORDER BY race, doc_id
 LIMIT {WPS_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Group-aware K-fold assignment (no entity crosses a fold boundary)
+# --------------------------------------------------------------------------
+
+KFOLD_K = 5
+_KFOLD_MULT = 2654435761  # Knuth multiplicative-hash constant
+_KFOLD_MOD = 4294967296
+
+
+def group_kfold_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(fold, n_users, n_events, n_purchases, purchase_rate): the
+    group-aware K-fold assignment over events — every USER (the
+    group) lands in exactly one fold via a multiplicative hash of
+    user_id, so no user's events ever straddle a train/validation
+    boundary (the leakage ``dataset_split``'s doc-level split cannot
+    rule out for entity-keyed data), plus the balance audit a split
+    must pass before use: fold sizes and per-fold conversion rates
+    should be statistically indistinguishable.
+
+    Fold = ((user_id * 2654435761) mod 2^32) mod K — pure BIGINT
+    arithmetic identical on both engines (no engine hash functions),
+    stable under reshuffles and across runs, which is what makes the
+    split REPRODUCIBLE: re-running on a grown corpus keeps every
+    existing user in their fold. Scale: one partial-aggregatable
+    rollup keyed by (fold) after a per-row fold expression; the
+    per-user distinctness rides a count_distinct partial."""
+    ev = tables.table(spark, sf_dir, "events")
+    folded = ev.select(
+        (
+            (F.col("user_id") * _KFOLD_MULT) % _KFOLD_MOD % KFOLD_K
+        ).cast("int").alias("fold"),
+        "user_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    return (
+        folded.groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("is_p").cast("bigint").alias("n_purchases"),
+        )
+        .select(
+            "fold",
+            "n_users",
+            "n_events",
+            "n_purchases",
+            (
+                F.col("n_purchases").cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+GROUP_KFOLD_SPLIT_ORACLE = f"""
+SELECT CAST(((user_id * {_KFOLD_MULT}) % {_KFOLD_MOD}) % {KFOLD_K} AS INT)
+         AS fold,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_purchases,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS purchase_rate
+FROM events
+GROUP BY 1
+"""

@@ -9,7 +9,7 @@ partial-aggregated before its one shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
@@ -2030,4 +2030,109 @@ SELECT na.source AS source_a, nb.source AS source_b,
 FROM norms na
 JOIN norms nb ON na.source < nb.source
 LEFT JOIN dots d ON d.source_a = na.source AND d.source_b = nb.source
+"""
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (lift-ranked adjacent bigrams)
+# --------------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP = 20
+
+
+def collocation_pmi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, c_ab, lift, rank): the corpus' strongest collocations
+    — adjacent token bigrams ranked by association lift
+    N * c(w1,w2) / (c(w1,·) * c(·,w2)), the exp of pointwise mutual
+    information computed against the bigram contingency margins.
+    Collocation mining is the classic first step of phrase-aware
+    tokenizers and stop-phrase lists; lift is emitted instead of
+    log-PMI so the hashed value is ONE division of exact integers
+    (the log is monotone — ranking is identical — and transcendentals
+    stay out of hashed output, per the repo's cross-engine rules).
+
+    Low-count bigrams (c_ab < COLLOC_MIN_COUNT) are dropped before
+    ranking — unit-count pairs otherwise own the lift tail (Zipf).
+    Scale: bigram extraction is the zip_with slice form behind a
+    size >= 2 guard (no sequence() on degenerate docs); the counts
+    are three partial-aggregatable rollups joined on word-sized
+    keys; the global top-COLLOC_TOP window runs on the >= MIN_COUNT
+    survivors only."""
+    docs = tables.table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_expr("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), "
+                "slice(t, 2, size(t) - 1), "
+                "(a, b) -> struct(a as w1, b as w2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pair = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    left = pair.groupBy("w1").agg(F.sum("c_ab").cast("bigint").alias("ca"))
+    right = pair.groupBy("w2").agg(F.sum("c_ab").cast("bigint").alias("cb"))
+    total = pair.agg(F.sum("c_ab").cast("bigint").alias("n_bg"))
+    scored = (
+        pair.filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            (
+                (F.col("n_bg") * F.col("c_ab")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), "w1", "w2")
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= COLLOC_TOP)
+
+
+COLLOCATION_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\W+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+bigrams AS (
+  SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+  WHERE len(t) >= 2
+),
+pair AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM bigrams GROUP BY 1, 2
+),
+lft AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS ca FROM pair GROUP BY 1),
+rgt AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS cb FROM pair GROUP BY 1),
+total AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bg FROM pair),
+scored AS (
+  SELECT p.w1, p.w2, p.c_ab,
+         CAST(t.n_bg * p.c_ab AS DOUBLE) / CAST(l.ca * r.cb AS DOUBLE)
+           AS lift
+  FROM pair p
+  JOIN lft l ON l.w1 = p.w1
+  JOIN rgt r ON r.w2 = p.w2
+  CROSS JOIN total t
+  WHERE p.c_ab >= {COLLOC_MIN_COUNT}
+)
+SELECT w1, w2, c_ab, lift, rank FROM (
+  SELECT w1, w2, c_ab, lift,
+         CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS INTEGER)
+           AS rank
+  FROM scored
+)
+WHERE rank <= {COLLOC_TOP}
 """

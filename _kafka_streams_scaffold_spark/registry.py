@@ -1680,6 +1680,21 @@ def _ensure_loaded() -> None:
         dq.dp_clipped_mean_query,
         dq.DP_CLIPPED_MEAN_ORACLE,
     )
+    register(
+        "collocation_pmi",
+        textops.collocation_pmi_query,
+        textops.COLLOCATION_PMI_ORACLE,
+    )
+    register(
+        "chao1_vocab_estimate",
+        lexstats.chao1_vocab_estimate_query,
+        lexstats.CHAO1_VOCAB_ESTIMATE_ORACLE,
+    )
+    register(
+        "group_kfold_split",
+        sampling.group_kfold_split_query,
+        sampling.GROUP_KFOLD_SPLIT_ORACLE,
+    )
 
     _apply_window(_WINDOW_R06)
     _LOADED = True
