@@ -24,7 +24,7 @@ this extends the storage story per the north-star brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
@@ -638,3 +638,278 @@ GROUP BY 1
 
 
 HILBERT_LAYOUT_ORACLE = _hilbert_oracle()
+
+
+# --------------------------------------------------------------------------
+# Curve-locality audit: Hilbert vs Morton neighbor distance
+# --------------------------------------------------------------------------
+
+
+def _morton8(x: str, y: str, engine: str) -> str:
+    """16-bit Morton code of an 8-bit (x, y) cell — bit interleave
+    written as integer-div/mod arithmetic (no engine shift/xor
+    builtins; only the integer-division spelling differs: Spark
+    ``div``, DuckDB ``//``)."""
+    d = "div" if engine == "spark" else "//"
+    terms = []
+    for i in range(HB_BITS):
+        terms.append(f"(({x} {d} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} {d} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def layout_locality_audit_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(curve, n_cells, n_pairs, total_l1, mean_l1): the measured
+    locality of the two space-filling layouts this repo offers
+    (``zorder_layout`` / ``hilbert_layout``) on the SAME occupied
+    (custkey, day) grid — walk the occupied cells in curve order and
+    sum the L1 grid distance between consecutive cells. Hilbert's
+    guarantee is that consecutive curve positions are grid neighbors
+    (distance 1), while Morton takes long diagonal jumps at quadrant
+    seams; on occupied-cell SUBSETS both degrade, and this audit
+    measures by how much — the number that justifies choosing
+    Hilbert clustering before paying for a rewrite.
+
+    Determinism: the walk is over DISTINCT occupied cells (so the
+    pair multiset is unique regardless of row order) ordered by the
+    exact integer curve key, and distances are exact integers.
+
+    Scale: rows collapse to occupied cells first — the audit frame is
+    bounded by the 2^(2*HB_BITS) grid (65k cells) no matter the
+    corpus size; the consecutive-pair window on it is single-
+    partition by construction and grid-bounded (the same deliberate
+    pattern as gap_fill_daily's day spine)."""
+    orders = tables.table(spark, sf_dir, "orders")
+    day = "cast(datediff(to_date(o_orderdate), DATE '1970-01-01') as bigint)"
+    base = orders.select(
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.expr(day).alias("dy"),
+    )
+    bounds = base.agg(
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("dy").alias("dy_lo"),
+        F.max("dy").alias("dy_hi"),
+    )
+    top = HB_N - 1
+    xn = (
+        f"(ck - ck_lo) * {top} div greatest(cast(1 as bigint), ck_hi - ck_lo)"
+    )
+    yn = (
+        f"(dy - dy_lo) * {top} div greatest(cast(1 as bigint), dy_hi - dy_lo)"
+    )
+    cells = (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(xn).cast("bigint").alias("x"),
+            F.expr(yn).cast("bigint").alias("y"),
+        )
+        .distinct()
+    )
+    hil = cells.select("x", "y", F.lit(0).cast("bigint").alias("d"))
+    # thread the xy2d levels over copies named x/y (the transform
+    # mutates them), keeping the ORIGINAL cell coordinates aside
+    hil = hil.select(
+        F.col("x").alias("cx"), F.col("y").alias("cy"), "x", "y", "d"
+    )
+    for nx, ny, nd in _hilbert_levels("x", "y"):
+        hil = hil.select(
+            "cx",
+            "cy",
+            F.expr(nx).cast("bigint").alias("x"),
+            F.expr(ny).cast("bigint").alias("y"),
+            F.expr(nd).cast("bigint").alias("d"),
+        )
+    keyed = hil.select(
+        "cx", "cy", F.col("d").alias("hkey")
+    ).withColumn(
+        "zkey", F.expr(_morton8("cx", "cy", "spark")).cast("bigint")
+    )
+
+    def _walk(df: DataFrame, key: str, label: str) -> DataFrame:
+        w = Window.orderBy(key, "cx", "cy")
+        stepped = df.select(
+            "cx",
+            "cy",
+            F.lag("cx").over(w).alias("px"),
+            F.lag("cy").over(w).alias("py"),
+        )
+        return stepped.agg(
+            F.lit(label).alias("curve"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum(F.col("px").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.abs(F.col("cx") - F.col("px"))
+                    + F.abs(F.col("cy") - F.col("py"))
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("total_l1"),
+        ).select(
+            "curve",
+            "n_cells",
+            "n_pairs",
+            "total_l1",
+            F.when(
+                F.col("n_pairs") > 0,
+                F.col("total_l1").cast("double")
+                / F.col("n_pairs").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("mean_l1"),
+        ).filter(F.col("n_cells") > 0)
+
+    return _walk(keyed, "hkey", "hilbert").unionAll(
+        _walk(keyed, "zkey", "morton")
+    )
+
+
+def _locality_oracle() -> str:
+    top = HB_N - 1
+    inner = f"""
+SELECT cx, cy, x, y, CAST(0 AS BIGINT) AS d
+FROM (
+  SELECT DISTINCT
+         CAST((ck - ck_lo) * {top}
+              // greatest(CAST(1 AS BIGINT), ck_hi - ck_lo) AS BIGINT) AS x,
+         CAST((dy - dy_lo) * {top}
+              // greatest(CAST(1 AS BIGINT), dy_hi - dy_lo) AS BIGINT) AS y,
+         CAST((ck - ck_lo) * {top}
+              // greatest(CAST(1 AS BIGINT), ck_hi - ck_lo) AS BIGINT) AS cx,
+         CAST((dy - dy_lo) * {top}
+              // greatest(CAST(1 AS BIGINT), dy_hi - dy_lo) AS BIGINT) AS cy
+  FROM (SELECT CAST(o_custkey AS BIGINT) AS ck,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS dy
+        FROM orders)
+  CROSS JOIN (SELECT min(CAST(o_custkey AS BIGINT)) AS ck_lo,
+                     max(CAST(o_custkey AS BIGINT)) AS ck_hi,
+                     min(date_diff('day', DATE '1970-01-01',
+                                   CAST(o_orderdate AS DATE))) AS dy_lo,
+                     max(date_diff('day', DATE '1970-01-01',
+                                   CAST(o_orderdate AS DATE))) AS dy_hi
+              FROM orders)
+)"""
+    for nx, ny, nd in _hilbert_levels("x", "y"):
+        inner = f"""
+SELECT cx, cy,
+       CAST({nx} AS BIGINT) AS x,
+       CAST({ny} AS BIGINT) AS y,
+       CAST({nd} AS BIGINT) AS d
+FROM ({inner})"""
+    walk = """
+SELECT '{label}' AS curve,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN px IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs,
+       CAST(COALESCE(sum(abs(cx - px) + abs(cy - py)), 0) AS BIGINT)
+         AS total_l1,
+       CASE WHEN sum(CASE WHEN px IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN
+         CAST(COALESCE(sum(abs(cx - px) + abs(cy - py)), 0) AS DOUBLE)
+         / CAST(sum(CASE WHEN px IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       ELSE 0.0 END AS mean_l1
+FROM (
+  SELECT cx, cy,
+         lag(cx) OVER (ORDER BY {key}, cx, cy) AS px,
+         lag(cy) OVER (ORDER BY {key}, cx, cy) AS py
+  FROM keyed
+)
+HAVING count(*) > 0"""
+    return f"""
+WITH keyed AS MATERIALIZED (
+  SELECT cx, cy, d AS hkey, {_morton8('cx', 'cy', 'duck')} AS zkey
+  FROM ({inner})
+)
+{walk.format(label='hilbert', key='hkey')}
+UNION ALL
+{walk.format(label='morton', key='zkey')}
+"""
+
+
+LAYOUT_LOCALITY_AUDIT_ORACLE = _locality_oracle()
+
+
+# --------------------------------------------------------------------------
+# Bucket-count planning (co-located join layout sizing)
+# --------------------------------------------------------------------------
+
+BUCKET_TARGET_ROWS = 1 << 16  # rows per bucket the plan aims for
+
+
+def bucket_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tbl, key, n_rows, ndv, rows_per_key_x1000, buckets): the
+    bucket-count plan for the three join keys this repo's heavy
+    relational queries shuffle on — pick the next power of two that
+    keeps ~BUCKET_TARGET_ROWS rows per bucket (powers of two so a
+    2-bucket table co-partitions with a 64-bucket one under
+    bucket-union semantics, the Hive/Iceberg convention). The NDV
+    column is the sanity gate: buckets beyond the key's NDV can never
+    fill and flag a key too coarse to bucket on.
+
+    The power-of-two is computed from the BIGINT binary rendering
+    (length(bin(x - 1)) = ceil(log2(x)) for x >= 2) — exact on both
+    engines, no float log. rows_per_key is emitted x1000 as an
+    integer (div) to keep the row free of engine division quirks.
+
+    Scale: three partial-aggregatable (count, count distinct)
+    rollups; output is catalog-sized. This is the PLANNING half of
+    ``sources/bucketed.py``'s bucketed-join executor."""
+    rows = []
+    for tbl, key in (
+        ("orders", "o_custkey"),
+        ("lineitem", "l_orderkey"),
+        ("customer", "c_custkey"),
+    ):
+        t = tables.table(spark, sf_dir, tbl)
+        rows.append(
+            t.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(key).cast("bigint").alias("ndv"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(key).alias("key"),
+                "n_rows",
+                "ndv",
+                F.expr("(n_rows * 1000) div greatest(ndv, cast(1 as bigint))")
+                .cast("bigint")
+                .alias("rows_per_key_x1000"),
+                F.expr(
+                    f"case when n_rows <= {BUCKET_TARGET_ROWS} then"
+                    " cast(1 as bigint) else shiftleft(cast(1 as bigint),"
+                    f" length(bin((n_rows - 1) div {BUCKET_TARGET_ROWS})))"
+                    " end"
+                ).alias("buckets"),
+            ).filter(F.col("n_rows") > 0)
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _bucket_plan_oracle() -> str:
+    arms = []
+    for tbl, key in (
+        ("orders", "o_custkey"),
+        ("lineitem", "l_orderkey"),
+        ("customer", "c_custkey"),
+    ):
+        arms.append(f"""
+SELECT '{tbl}' AS tbl, '{key}' AS key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {key}) AS BIGINT) AS ndv,
+       CAST((count(*) * 1000)
+            // greatest(count(DISTINCT {key}), 1) AS BIGINT)
+         AS rows_per_key_x1000,
+       CASE WHEN count(*) <= {BUCKET_TARGET_ROWS} THEN CAST(1 AS BIGINT)
+            ELSE CAST(1 AS BIGINT)
+                 << length(bin((count(*) - 1) // {BUCKET_TARGET_ROWS}))
+       END AS buckets
+FROM {tbl}
+HAVING count(*) > 0""")
+    return "\nUNION ALL ".join(arms)
+
+
+BUCKET_PLAN_ORACLE = _bucket_plan_oracle()

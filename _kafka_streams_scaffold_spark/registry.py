@@ -1695,6 +1695,16 @@ def _ensure_loaded() -> None:
         sampling.group_kfold_split_query,
         sampling.GROUP_KFOLD_SPLIT_ORACLE,
     )
+    register(
+        "layout_locality_audit",
+        layout_mod.layout_locality_audit_query,
+        layout_mod.LAYOUT_LOCALITY_AUDIT_ORACLE,
+    )
+    register(
+        "bucket_plan",
+        layout_mod.bucket_plan_query,
+        layout_mod.BUCKET_PLAN_ORACLE,
+    )
 
     _apply_window(_WINDOW_R06)
     _LOADED = True
