@@ -1877,3 +1877,157 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
                     AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF} 00:00:00')
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Session concurrency (sweep line over sessionized intervals)
+# --------------------------------------------------------------------------
+
+_US_DAY = 86_400_000_000
+
+
+def session_concurrency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_sessions, max_concurrent): the peak number of
+    simultaneously-open user sessions per day — the classic
+    interval sweep line (+1 at each session start, -1 after its end,
+    running sum, max), over the same 30-minute-gap sessions as
+    ``user_sessions``. This is the capacity question ("how many
+    concurrent sessions must serving hold state for") that neither
+    per-session nor per-hour rollups answer: overlap is a property
+    of the INSTANT, not the bucket.
+
+    Sessions are clipped at day boundaries (a midnight-spanning
+    session counts toward both days), which makes each day's sweep
+    independent — the construction that keeps the sweep PARALLEL at
+    scale: the running-sum window partitions by day, so no global
+    single-partition sort ever forms. Deltas landing on the same
+    microsecond are net-summed BEFORE the running sum, so the
+    running values (and their max) are order-independent and exact.
+    Closed-interval semantics: the -1 lands at end + 1 us, so two
+    sessions touching at one instant count as concurrent there.
+    (Integer day division: timestamps are post-epoch, where Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree.)
+
+    Scale: one user-partitioned sessionization shuffle (shared shape
+    with user_sessions), a bounded explode (sessions span few days),
+    then day-partitioned windows over delta points — O(sessions)
+    rows end to end."""
+    ev = tables.table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    new_session = (
+        F.unix_micros(F.col("ts"))
+        - F.lag(F.unix_micros(F.col("ts"))).over(order)
+        > gap_us
+    ).cast("int")
+    sess_id = F.sum(F.coalesce(new_session, F.lit(0))).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+        .withColumn("session_id", sess_id)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("us").cast("bigint").alias("s_us"),
+            F.max("us").cast("bigint").alias("e_us"),
+        )
+    )
+    seg = sess.select(
+        F.explode(
+            F.expr(f"sequence(s_us div {_US_DAY}, e_us div {_US_DAY})")
+        ).alias("d"),
+        "s_us",
+        "e_us",
+    ).select(
+        "d",
+        F.greatest(F.col("s_us"), F.col("d") * _US_DAY).alias("a"),
+        F.least(
+            F.col("e_us"), (F.col("d") + 1) * _US_DAY - 1
+        ).alias("b"),
+    )
+    points = seg.select(
+        "d", F.col("a").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        seg.select("d", (F.col("b") + 1).alias("t"), F.lit(-1).alias("delta"))
+    )
+    net = points.groupBy("d", "t").agg(
+        F.sum("delta").cast("bigint").alias("nd")
+    )
+    w = Window.partitionBy("d").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = net.select("d", F.sum("nd").over(w).alias("running"))
+    peaks = run.groupBy("d").agg(
+        F.max("running").cast("bigint").alias("max_concurrent")
+    )
+    days = seg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    return days.join(peaks, "d").select(
+        F.expr("date_add(DATE '1970-01-01', cast(d as int))").alias("day"),
+        "n_sessions",
+        "max_concurrent",
+    )
+
+
+SESSION_CONCURRENCY_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_MINUTES * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id,
+         us
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, session_id,
+         CAST(min(us) AS BIGINT) AS s_us, CAST(max(us) AS BIGINT) AS e_us
+  FROM sess GROUP BY 1, 2
+),
+seg AS (
+  SELECT g.d,
+         greatest(s_us, g.d * {_US_DAY}) AS a,
+         least(e_us, (g.d + 1) * {_US_DAY} - 1) AS b
+  FROM iv, LATERAL (
+    SELECT unnest(generate_series(s_us // {_US_DAY}, e_us // {_US_DAY}))
+      AS d
+  ) g
+),
+points AS (
+  SELECT d, a AS t, 1 AS delta FROM seg
+  UNION ALL
+  SELECT d, b + 1 AS t, -1 AS delta FROM seg
+),
+net AS (
+  SELECT d, t, CAST(sum(delta) AS BIGINT) AS nd
+  FROM points GROUP BY 1, 2
+),
+run AS (
+  SELECT d, SUM(nd) OVER (PARTITION BY d ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM net
+),
+peaks AS (
+  SELECT d, CAST(max(running) AS BIGINT) AS max_concurrent
+  FROM run GROUP BY 1
+),
+days AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_sessions FROM seg GROUP BY 1
+)
+SELECT DATE '1970-01-01' + CAST(days.d AS INT) AS day,
+       days.n_sessions, peaks.max_concurrent
+FROM days JOIN peaks ON peaks.d = days.d
+"""

@@ -893,3 +893,100 @@ def _degree_assortativity_oracle() -> str:
     return DEGREE_ASSORTATIVITY_ORACLE.replace(
         "{pairs_sql}", _simhash_edges_sql()
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup-aware corpus estimation (representative + cluster-size weights)
+# --------------------------------------------------------------------------
+
+
+def dedup_representative_stats_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_docs, n_clusters, exact_chars, est_chars, err_per_mille):
+    the dedup-aware sampling identity check — keep ONE representative
+    per duplicate cluster (min doc_id over the SimHash near-dup
+    components, singletons representing themselves) and estimate the
+    corpus character total as sum(cluster_size * rep_n_chars), the
+    Horvitz-Thompson-style weighting a pipeline uses when it
+    processes only representatives but must report corpus-level
+    stats. err_per_mille = |est - exact| * 1000 div exact is the
+    integer-exact bias readout: near-dups are NOT byte-identical, so
+    the estimate drifts exactly as much as members differ from their
+    representative — the number that says whether rep-only
+    processing is safe for a given metric.
+
+    Scale: rides the shared CC engine (bounded near-dup edge list,
+    O(E)/round min-label propagation); everything after the cluster
+    labels is id-width rollups. Reference mirror: the KTable
+    "one value stands for the key" contract
+    (streams/PurchasesTopology.java:57) lifted to duplicate classes."""
+    docs = tables.table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    clusters = dedup_clusters_query(spark, sf_dir)
+    sized = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.min("doc_id").alias("rep_id"),
+    )
+    est = sized.join(
+        docs.select(F.col("doc_id").alias("rep_id"), "n_chars"), "rep_id"
+    ).agg(
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum(F.col("sz") * F.col("n_chars")).cast("bigint").alias("est_chars"),
+    )
+    exact = docs.agg(F.sum("n_chars").cast("bigint").alias("exact_chars"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .filter(F.col("n_docs") > 0)
+        .select(
+            "n_docs",
+            "n_clusters",
+            "exact_chars",
+            "est_chars",
+            F.expr(
+                "(abs(est_chars - exact_chars) * 1000)"
+                " div greatest(exact_chars, cast(1 as bigint))"
+            ).cast("bigint").alias("err_per_mille"),
+        )
+    )
+
+
+DEDUP_REPRESENTATIVE_STATS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {_simhash_edges_sql()}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(doc_id, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+),
+clusters AS (
+  SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id
+),
+sized AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz,
+         min(doc_id) AS rep_id
+  FROM clusters GROUP BY 1
+),
+est AS (
+  SELECT CAST(sum(s.sz) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(s.sz * d.n_chars) AS BIGINT) AS est_chars
+  FROM sized s JOIN documents d ON d.doc_id = s.rep_id
+),
+exact AS (
+  SELECT CAST(sum(n_chars) AS BIGINT) AS exact_chars FROM documents
+)
+SELECT n_docs, n_clusters, exact_chars, est_chars,
+       CAST((abs(est_chars - exact_chars) * 1000)
+            // greatest(exact_chars, 1) AS BIGINT) AS err_per_mille
+FROM est, exact
+WHERE n_docs > 0
+"""

@@ -1705,6 +1705,16 @@ def _ensure_loaded() -> None:
         layout_mod.bucket_plan_query,
         layout_mod.BUCKET_PLAN_ORACLE,
     )
+    register(
+        "dedup_representative_stats",
+        clustering.dedup_representative_stats_query,
+        clustering.DEDUP_REPRESENTATIVE_STATS_ORACLE,
+    )
+    register(
+        "session_concurrency",
+        an.session_concurrency_query,
+        an.SESSION_CONCURRENCY_ORACLE,
+    )
 
     _apply_window(_WINDOW_R06)
     _LOADED = True
