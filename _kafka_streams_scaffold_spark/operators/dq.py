@@ -1204,109 +1204,6 @@ FD_AUDIT_ORACLE = _fd_oracle()
 
 
 # --------------------------------------------------------------------------
-# Benford first-digit audit (fraud/synthetic-data smell test)
-# --------------------------------------------------------------------------
-
-# log10(1 + 1/d) literals, shared by both engines so no log evaluates
-# inside a hashed expression.
-_BENFORD_P = {
-    1: 0.30102999566398120,
-    2: 0.17609125905568124,
-    3: 0.12493873660829993,
-    4: 0.09691001300805642,
-    5: 0.07918124604762482,
-    6: 0.06694678963061322,
-    7: 0.05799194697768673,
-    8: 0.05115252244738129,
-    9: 0.04575749056067514,
-}
-
-
-def benford_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(digit, n_orders, expected_p, observed_p, chi2_term): the
-    first-significant-digit distribution of order totals against
-    Benford's law. Organic multiplicative quantities follow it;
-    fabricated or synthetically capped ones don't — the classic
-    forensic-accounting screen, useful on a data pipeline as a
-    cheap "did an upstream generator/cap change" tripwire (synthetic
-    TPC-H prices are exactly the kind of uniform-ish data it flags,
-    which is the demonstration).
-
-    Exactness: totals go to integer cents first and the leading
-    digit is taken from the BIGINT's decimal rendering (integer
-    -> string is canonical on both engines; double -> string is NOT).
-    Expected proportions are baked literals, so observed_p and the
-    chi-square term are fixed expressions over exact counts.
-
-    Scale: one partial-aggregatable 9-group rollup; the broadcast
-    one-row total closes it."""
-    orders = tables.table(spark, sf_dir, "orders")
-    digits = orders.select(
-        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
-    ).filter(F.col("cents") > 0).select(
-        F.substring(F.col("cents").cast("string"), 1, 1)
-        .cast("int")
-        .alias("digit")
-    )
-    counts = digits.groupBy("digit").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders")
-    )
-    total = counts.agg(F.sum("n_orders").cast("bigint").alias("n_total"))
-    expected = F.create_map(
-        *[F.lit(x) for kv in _BENFORD_P.items() for x in kv]
-    )
-    return counts.crossJoin(F.broadcast(total)).select(
-        "digit",
-        "n_orders",
-        expected[F.col("digit")].alias("expected_p"),
-        (F.col("n_orders").cast("double") / F.col("n_total").cast("double"))
-        .alias("observed_p"),
-        (
-            (
-                F.col("n_orders").cast("double")
-                - expected[F.col("digit")] * F.col("n_total").cast("double")
-            )
-            * (
-                F.col("n_orders").cast("double")
-                - expected[F.col("digit")] * F.col("n_total").cast("double")
-            )
-            / (expected[F.col("digit")] * F.col("n_total").cast("double"))
-        ).alias("chi2_term"),
-    )
-
-
-def _benford_oracle() -> str:
-    exp_case = "CASE digit " + " ".join(
-        f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items()
-    ) + " END"
-    return f"""
-WITH digits AS (
-  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
-  FROM (
-    SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
-  ) WHERE cents > 0
-),
-counts AS (
-  SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
-  FROM digits GROUP BY 1
-),
-total AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM counts)
-SELECT digit, n_orders,
-       {exp_case} AS expected_p,
-       CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS observed_p,
-       ((CAST(n_orders AS DOUBLE)
-         - {exp_case} * CAST(n_total AS DOUBLE))
-        * (CAST(n_orders AS DOUBLE)
-           - {exp_case} * CAST(n_total AS DOUBLE))
-        / ({exp_case} * CAST(n_total AS DOUBLE))) AS chi2_term
-FROM counts, total
-"""
-
-
-BENFORD_AUDIT_ORACLE = _benford_oracle()
-
-
-# --------------------------------------------------------------------------
 # DP clipped mean (bounded-sensitivity Laplace release)
 # --------------------------------------------------------------------------
 

@@ -2325,3 +2325,73 @@ SELECT n_pos, n_neg, n_runs,
 FROM agg
 WHERE n_pos + n_neg > 0
 """
+
+
+# --------------------------------------------------------------------------
+# Poisson dispersion audit (burstiness of daily event arrivals)
+# --------------------------------------------------------------------------
+
+
+def poisson_dispersion_audit_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(event_type, n_days, sum_c, sum_c2, dispersion): the index of
+    dispersion (variance-to-mean ratio) of DAILY event counts per
+    type — 1 under a Poisson arrival process, > 1 when arrivals are
+    bursty (campaign spikes, retry storms), < 1 when they are
+    throttled/regularized. The standard pre-flight before using any
+    Poisson-assuming rate model or alerting threshold on the stream,
+    and a shape audit ``seasonal_anomalies`` (which looks for
+    specific outliers) does not cover.
+
+    dispersion = (n * sum_c2 - sum_c^2) / ((n - 1) * sum_c) — the
+    sample-variance-over-mean closed form as ONE division of exact
+    BIGINT aggregates (counts are integers, so sum_c2 is exact; no
+    float sums form). Degenerate guard: emitted only for types with
+    n_days > 1 and sum_c > 0 (ANSI-safe).
+
+    Scale: one partial-aggregatable per-(type, day) rollup, then a
+    |types| x |days| frame reduced to |types| rows."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    return agg.filter((F.col("n_days") > 1) & (F.col("sum_c") > 0)).select(
+        "event_type",
+        "n_days",
+        "sum_c",
+        "sum_c2",
+        (
+            (
+                F.col("n_days") * F.col("sum_c2")
+                - F.col("sum_c") * F.col("sum_c")
+            ).cast("double")
+            / ((F.col("n_days") - 1) * F.col("sum_c")).cast("double")
+        ).alias("dispersion"),
+    )
+
+
+POISSON_DISPERSION_AUDIT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS sum_c,
+         CAST(sum(c * c) AS BIGINT) AS sum_c2
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, sum_c, sum_c2,
+       CAST(n_days * sum_c2 - sum_c * sum_c AS DOUBLE)
+         / CAST((n_days - 1) * sum_c AS DOUBLE) AS dispersion
+FROM agg
+WHERE n_days > 1 AND sum_c > 0
+"""

@@ -42,22 +42,31 @@ CORRECTNESS row. Rotation history:
   top_session_paths, transition_entropy, trimmed_mean_by_type,
   zipf_fit.
 
-NEXT ROTATION (round 7): the 9 deferred queries above, plus the 17
-round-6 additions (priority_sample, neyman_allocation,
-dp_topk_release, minhash_estimate_audit, curriculum_pacing,
-conformal_coverage_audit, mmr_rerank, payload_phash,
-phash_dup_pairs, linkage_entities, hilbert_layout,
-dedup_token_savings, weighted_priority_sample,
-source_dedup_matrix, idle_customer_balance,
-source_similarity_matrix, ivf_probe_recall_curve — mirrored in
-tests/test_registry_window.py R07_MATERIAL), plus the
-re-certification pool (queries whose implementation changed after
-their green row — in round 6 that is dedup_tier_agreement, whose
-empty-pair domain emission moved from crossJoin to a left join
-against the literal domain; blocking_recall_audit got the same fix
-but certifies fresh inside the r06 window). That is 9 + 17 + 1 = 27
-mandatory slots; fill the remainder with round-7's own additions
-and older re-certifications.
+- r07 window (``_WINDOW_R07`` below): the full 28-slot mandate from
+  the r06 verdict — the 9 deferred light queries, the 17 round-6
+  additions, and 2 re-certifications (ivm_join_revenue after its
+  DECIMAL->BIGINT-cents output fix; dedup_tier_agreement after its
+  empty-pair left-join fix) — plus the 22 round-7 additions
+  (retrieval tier: ann_hubness_audit, kcenter_coreset,
+  maxsim_late_interaction, rocchio_expansion; drift tier:
+  ks_drift_audit, mmd_label_drift, ab_proportion_test,
+  simpson_reversal_audit, jl_projection_audit; stats/sketch:
+  theil_sen_trend, nelson_aalen_hazard, runs_test_randomness,
+  ams_f2_estimate, poisson_dispersion_audit, dp_clipped_mean;
+  text:
+  collocation_pmi, chao1_vocab_estimate; sampling:
+  group_kfold_split; layout: layout_locality_audit, bucket_plan;
+  dedup/sessions: dedup_representative_stats, session_concurrency).
+  Exactly 50 — no backlog deferred this round.
+
+NEXT ROTATION (round 8): no certification backlog exists at the r07
+freeze — every oracle-backed query is either green in r01-r06 or in
+the r07 window. Round-8 material is therefore (a) round-8's own
+additions (track them in tests/test_registry_window.py
+R08_MATERIAL as they land), (b) any r07 reds, and (c) the
+re-certification pool: queries whose implementation changes after
+their green row. Update tests/test_registry_window.py in the same
+commit as the window freeze.
 
 PREVIOUS ROTATION NOTE (round 6, kept for the audit trail): the
 round-5 late additions
@@ -97,7 +106,7 @@ re-certification pool; all oracle checks pass but a driver row
 re-certifies). Update tests/test_registry_window.py in the same
 commit.
 
-The window is applied as an explicit reorder (``_WINDOW_R06``) after
+The window is applied as an explicit reorder (``_WINDOW_R07``) after
 all register() calls, so the family grouping of the code below never
 has to move and every rotation is a reviewable list diff.
 """
@@ -132,11 +141,77 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-# Driver correctness window for round 6 (slots 0-49) — see module
-# docstring. 50 of the 59 round-5 late additions (everything
-# oracle-backed that has never had a driver CORRECTNESS row),
-# grouped by family so janino/codegen first-touch amortizes across
-# neighbors in the driver bench.
+# Driver correctness window for round 7 (slots 0-49) — see module
+# docstring. Exactly: the 9 queries deferred from the r06 window +
+# the 17 round-6 additions + 2 re-certifications (ivm_join_revenue,
+# red in r06 on the DECIMAL-output canonicalization divergence, now
+# emitting BIGINT cents; dedup_tier_agreement, whose empty-pair
+# domain emission changed after its green row) + the 22 round-7
+# additions. Grouped by family so janino/codegen first-touch
+# amortizes across neighbors in the driver bench.
+_WINDOW_R07 = [
+    # text / lexical tier (deferred lights + round-7 additions)
+    "collocation_pmi",
+    "chao1_vocab_estimate",
+    "char_entropy",
+    "transition_entropy",
+    "charset_profile",
+    "phrase_search",
+    "zipf_fit",
+    "top_session_paths",
+    "basket_triples",
+    "trimmed_mean_by_type",
+    "resize_payload",
+    # embedding / retrieval tier
+    "ann_hubness_audit",
+    "kcenter_coreset",
+    "maxsim_late_interaction",
+    "rocchio_expansion",
+    "mmr_rerank",
+    "ivf_probe_recall_curve",
+    "jl_projection_audit",
+    "mmd_label_drift",
+    # multimodal fingerprints
+    "payload_phash",
+    "phash_dup_pairs",
+    # dedup / linkage ROI tier
+    "dedup_tier_agreement",
+    "dedup_token_savings",
+    "source_dedup_matrix",
+    "source_similarity_matrix",
+    "minhash_estimate_audit",
+    "dedup_representative_stats",
+    "linkage_entities",
+    # sampling / privacy tier
+    "priority_sample",
+    "weighted_priority_sample",
+    "neyman_allocation",
+    "group_kfold_split",
+    "curriculum_pacing",
+    "conformal_coverage_audit",
+    "dp_topk_release",
+    "dp_clipped_mean",
+    # statistics / estimation tier
+    "theil_sen_trend",
+    "nelson_aalen_hazard",
+    "runs_test_randomness",
+    "ab_proportion_test",
+    "simpson_reversal_audit",
+    "ks_drift_audit",
+    "ams_f2_estimate",
+    "poisson_dispersion_audit",
+    # layout / sessions
+    "hilbert_layout",
+    "layout_locality_audit",
+    "bucket_plan",
+    "session_concurrency",
+    # relational / IVM
+    "idle_customer_balance",
+    "ivm_join_revenue",
+]
+
+# r06 window kept for the rotation-history tests (49 of 50 went green
+# in CORRECTNESS_r06; ivm_join_revenue re-certifies in r07).
 _WINDOW_R06 = [
     # LM / tokenizer tier (heaviest janino shapes first-touch here)
     "kneser_ney_bigram",
@@ -1671,11 +1746,6 @@ def _ensure_loaded() -> None:
         sketches.AMS_F2_ESTIMATE_ORACLE,
     )
     register(
-        "benford_audit",
-        dq.benford_audit_query,
-        dq.BENFORD_AUDIT_ORACLE,
-    )
-    register(
         "dp_clipped_mean",
         dq.dp_clipped_mean_query,
         dq.DP_CLIPPED_MEAN_ORACLE,
@@ -1715,6 +1785,11 @@ def _ensure_loaded() -> None:
         an.session_concurrency_query,
         an.SESSION_CONCURRENCY_ORACLE,
     )
+    register(
+        "poisson_dispersion_audit",
+        stats.poisson_dispersion_audit_query,
+        stats.POISSON_DISPERSION_AUDIT_ORACLE,
+    )
 
-    _apply_window(_WINDOW_R06)
+    _apply_window(_WINDOW_R07)
     _LOADED = True

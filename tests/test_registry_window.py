@@ -3,7 +3,7 @@
 The external correctness gate hash-checks only the FIRST 50 registered
 queries, so registration ORDER is part of the contract: each round the
 window must carry exactly the queries that still need a driver
-CORRECTNESS row (see registry._WINDOW_R06 and the module docstring's
+CORRECTNESS row (see registry._WINDOW_R07 and the module docstring's
 rotation history).
 """
 
@@ -14,23 +14,25 @@ import pathlib
 
 from _kafka_streams_scaffold_spark import registry
 
-# Green rounds available when the r06 window was frozen.
-_PRIOR_ROUNDS = ("r01", "r02", "r03", "r04", "r05")
+# Green rounds available when the r07 window was frozen.
+_PRIOR_ROUNDS = ("r01", "r02", "r03", "r04", "r05", "r06")
 
-# Backlog queries deferred from the r06 window to r07 (9 light
-# single-pass text/stat scans; 59 backlog, 50 slots). All are
-# oracle-green locally via tools/check_oracle.py.
-R07_DEFERRED = {
-    "basket_triples",
-    "char_entropy",
-    "charset_profile",
-    "phrase_search",
-    "resize_payload",
-    "top_session_paths",
-    "transition_entropy",
-    "trimmed_mean_by_type",
-    "zipf_fit",
-}
+# Queries with a GREEN prior-round row that nevertheless re-certify in
+# the r07 window because their implementation or output changed after
+# the green row (see the registry docstring's r07 note).
+R07_RECERT = {"dedup_tier_agreement"}
+
+# No backlog was deferred out of the r07 window: the 9 r06-deferred
+# lights, all 17 round-6 additions, both re-certs, and all 22 round-7
+# additions fit in exactly 50 slots.
+R08_DEFERRED: set[str] = set()
+
+# Round-7 additions registered after the r07 window froze — r08
+# window material by construction. Grows during round 7 as operators
+# land; mirrored in the registry module docstring's NEXT ROTATION
+# note. (The 22 round-7 additions made before the freeze are IN the
+# window, so this starts empty.)
+R08_MATERIAL: set[str] = set()
 
 
 def _covered() -> set[str]:
@@ -44,77 +46,52 @@ def _covered() -> set[str]:
     return covered
 
 
-def test_window_is_exactly_the_r06_rotation_list():
+def test_window_is_exactly_the_r07_rotation_list():
     names = list(registry.queries())
-    assert names[:50] == registry._WINDOW_R06
+    assert names[:50] == registry._WINDOW_R07
 
 
-def test_window_queries_have_never_had_a_green_driver_row():
+def test_window_queries_need_a_driver_row():
     """The rotation's whole point: no slot is wasted on a query that
-    already has a GREEN CORRECTNESS row from rounds 1-5. (A red row
-    earns the query another slot after its reshape, so the guard keys
-    on hash_match, not presence.)"""
-    stale = _covered() & set(registry._WINDOW_R06)
-    assert not stale, f"window wastes slots on already-covered: {stale}"
+    already has a GREEN CORRECTNESS row from rounds 1-6 — except the
+    explicit re-certification list (implementation changed after the
+    green row). A red row (ivm_join_revenue in r06) earns the query
+    another slot automatically, since the guard keys on hash_match."""
+    stale = _covered() & set(registry._WINDOW_R07)
+    assert stale <= R07_RECERT, (
+        f"window wastes slots on already-covered: {stale - R07_RECERT}"
+    )
 
 
 def test_window_plus_deferred_covers_the_entire_backlog():
     """Every oracle-backed query that has never gone green must be
-    either in the r06 window or in the explicit 9-query r07 deferral
+    either in the r07 window or in an explicit deferral/material
     list — nothing silently dropped from certification."""
     backlog = set(registry.oracle_sql()) - _covered()
-    missing = backlog - set(registry._WINDOW_R06) - R07_DEFERRED
-    # Round-6's own additions (registered after this window froze)
-    # are r07 material by construction: anything in `missing` must be
-    # tracked in the NEXT ROTATION docstring. Keep the guard tight by
-    # asserting that deferred+window covers all *round-5-or-earlier*
-    # material; new registrations self-document via R07_MATERIAL.
-    assert missing <= R07_MATERIAL, (
+    missing = backlog - set(registry._WINDOW_R07) - R08_DEFERRED
+    assert missing <= R08_MATERIAL, (
         f"never-certified queries untracked for rotation: "
-        f"{missing - R07_MATERIAL}"
+        f"{missing - R08_MATERIAL}"
     )
 
 
-# Round-6 additions registered after the r06 window froze — r07
-# window material by construction. Grows during round 6 as operators
-# land; mirrored in the registry module docstring's NEXT ROTATION note.
-R07_MATERIAL: set[str] = {
-    "priority_sample",
-    "neyman_allocation",
-    "dp_topk_release",
-    "minhash_estimate_audit",
-    "curriculum_pacing",
-    "conformal_coverage_audit",
-    "mmr_rerank",
-    "payload_phash",
-    "phash_dup_pairs",
-    "linkage_entities",
-    "hilbert_layout",
-    "dedup_token_savings",
-    "weighted_priority_sample",
-    "source_dedup_matrix",
-    "idle_customer_balance",
-    "source_similarity_matrix",
-    "ivf_probe_recall_curve",
-}
-
-
 def test_deferral_list_is_exactly_the_window_complement():
-    """The 9 deferred queries are backlog members NOT in the window —
-    if one gains a green row or enters the window, this forces the
-    bookkeeping to move with it."""
+    """Backlog members NOT in the window must be exactly the tracked
+    deferral + material sets — if one gains a green row or enters the
+    window, this forces the bookkeeping to move with it."""
     backlog = set(registry.oracle_sql()) - _covered()
-    assert R07_DEFERRED == backlog - set(registry._WINDOW_R06) - R07_MATERIAL
+    outside = backlog - set(registry._WINDOW_R07)
+    assert outside == R08_DEFERRED | (R08_MATERIAL & backlog)
 
 
 def test_window_entries_are_oracle_backed():
     oracles = set(registry.oracle_sql())
-    missing = [n for n in registry._WINDOW_R06 if n not in oracles]
+    missing = [n for n in registry._WINDOW_R07 if n not in oracles]
     assert not missing
 
 
 def test_rotated_out_families_keep_their_oracles():
-    """Queries that left the window (r01-r05 green) must stay
+    """Queries that left the window (r01-r06 green) must stay
     registered and oracle-backed so tools/check_oracle.py keeps
     verifying them locally."""
     names = set(registry.queries())
@@ -125,6 +102,9 @@ def test_rotated_out_families_keep_their_oracles():
         "pq_codes", "scd2_history", "training_manifest", "bpe_train",
         "rfm_segments", "hapax_rate", "embedding_quantize",
         "cluster_keep_list", "ktable_latest",
+        # r06-window members now rotated out
+        "kneser_ney_bigram", "knn_lof_outliers", "fs_linkage_scores",
+        "blocking_recall_audit", "sequence_gap_audit", "km_user_survival",
     ):
         assert q in names
         assert q in registry.oracle_sql() or q == "lsh_ann"
