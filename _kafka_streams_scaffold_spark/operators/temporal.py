@@ -539,6 +539,51 @@ def ivm_join_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = tables.table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
+    v_old, delta_rows = ivm_pieces(orders, cust)
+    delta = delta_rows.groupBy("c_nationkey").agg(
+        F.sum("w").cast("bigint").alias("dp"),
+        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("dr"),
+    )
+    merged = (
+        v_old.join(delta, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            (
+                F.coalesce(F.col("p"), F.lit(0))
+                + F.coalesce(F.col("dp"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+            (
+                F.coalesce(F.col("r"), F.lit(0))
+                + F.coalesce(F.col("dr"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+    return merged.select("c_nationkey", "n_pairs", "revenue_cents")
+
+
+def ivm_pieces(
+    orders: DataFrame, cust: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The (V_old, signed-delta-rows) decomposition behind
+    ``ivm_join_revenue_query``, exposed so the STREAMING twin
+    (tests/test_streaming_ivm.py, ``streaming/pipeline.py::
+    streaming_ivm_deltas``) can feed the identical delta rows through
+    a KTable-style update-mode aggregation and prove convergence to
+    the batch view — the reference's continuously-updated aggregate
+    contract (streams/PurchasesTopology.java:62-66) applied to a JOIN
+    view. ``orders`` must carry (o_orderkey, o_custkey, cents BIGINT);
+    ``cust`` (c_custkey, c_nationkey). Returns
+
+    - v_old: (c_nationkey, p, r) — the maintained state pre-churn
+    - delta_rows: (c_nationkey, w, cents) — one signed row per
+      affected join pair across the three bilinear terms
+      dA JOIN B_old, A_old JOIN dB, dA JOIN dB.
+    """
     o_old = orders.filter(F.col("o_orderkey") % 10 != 0)
     o_new = orders.filter(F.col("o_orderkey") % 13 != 0)
     c_old = cust.filter(F.col("c_custkey") % 7 != 0)
@@ -583,35 +628,8 @@ def ivm_join_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
-    delta = (
-        do_b.unionAll(a_dc)
-        .unionAll(do_dc)
-        .groupBy("c_nationkey")
-        .agg(
-            F.sum("w").cast("bigint").alias("dp"),
-            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("dr"),
-        )
-    )
-    merged = (
-        v_old.join(delta, "c_nationkey", "full_outer")
-        .select(
-            "c_nationkey",
-            (
-                F.coalesce(F.col("p"), F.lit(0))
-                + F.coalesce(F.col("dp"), F.lit(0))
-            )
-            .cast("bigint")
-            .alias("n_pairs"),
-            (
-                F.coalesce(F.col("r"), F.lit(0))
-                + F.coalesce(F.col("dr"), F.lit(0))
-            )
-            .cast("bigint")
-            .alias("revenue_cents"),
-        )
-        .filter(F.col("n_pairs") > 0)
-    )
-    return merged.select("c_nationkey", "n_pairs", "revenue_cents")
+    delta_rows = do_b.unionAll(a_dc).unionAll(do_dc)
+    return v_old, delta_rows
 
 
 # Full recompute over the NEW snapshots: equality with the Spark

@@ -398,3 +398,28 @@ def run_apply_changes(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_ivm_deltas(deltas: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/temporal.ivm_join_revenue_query``:
+    the KTable-style maintainer of the per-nation join view, fed the
+    SIGNED DELTA ROWS the bilinear rule produces
+    (``temporal.ivm_pieces`` — one (c_nationkey, w, cents) row per
+    affected join pair across dA JOIN B, A JOIN dB, dA JOIN dB).
+
+    The aggregation is algebraic (two signed sums), so streaming
+    update mode maintains it incrementally with one (bigint, bigint)
+    state per nation — the reference's continuously-updated KTable
+    aggregate (streams/PurchasesTopology.java:62-66) applied to a
+    JOIN view, which is exactly what Kafka Streams' foreign-key join
+    + aggregate composition materializes. The twin test proves
+    V_old + converged(delta stream) == the batch view == a full
+    recompute — the bilinear maintenance identity holding IN-ENGINE
+    across micro-batch boundaries and a checkpoint restart.
+
+    At 100 TB the delta stream is the CDC feed (churn-sized, not
+    corpus-sized); state is |nations| rows."""
+    return deltas.groupBy("c_nationkey").agg(
+        F.sum("w").cast("bigint").alias("dp"),
+        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("dr"),
+    )
