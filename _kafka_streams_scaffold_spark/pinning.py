@@ -73,20 +73,51 @@ def shared_pin(key, build) -> DataFrame:
         return df
 
 
-def unpersist_all() -> int:
+def unpersist_all(keep=None) -> int:
     """Release every pinned table; returns how many were released.
     Safe to call at any time — consumers that already materialized
     their results are unaffected, and an in-flight consumer would
-    simply recompute."""
-    n = len(_PINNED)
+    simply recompute.
+
+    ``keep``: optional predicate over SHARED-pin keys. Matching
+    shared pins (and their cached tables) survive the release — the
+    scope harnesses use to let a CONSECUTIVE family of composite
+    queries (the dedup audits, which all derive the same
+    shingle/signature/pair roots) share one materialization instead
+    of each rebuilding it, while still clearing everything else
+    between queries. Keeping a derived pin keeps only ITSELF alive,
+    not its upstream lineage — shared chains (capped_inter over
+    capped_shingles) stay correct because each level is its own
+    shared pin and the predicate keeps the whole prefix family."""
+    if keep is None:
+        n = len(_PINNED)
+        while _PINNED:
+            _PINNED.pop().unpersist()
+        _SHARED.clear()
+        # shared_pin keys embed input semantic hashes, so a long
+        # multi-query session (bench.py over the whole registry) would
+        # otherwise accumulate one never-freed lock per (name, input)
+        # key. Locks are only meaningful while their pin might be
+        # built, and we just cleared all pins.
+        with _KEY_LOCKS_GUARD:
+            _KEY_LOCKS.clear()
+        return n
+    kept = {k: df for k, df in _SHARED.items() if keep(k)}
+    kept_ids = {id(df) for df in kept.values()}
+    n = 0
+    survivors: list[DataFrame] = []
     while _PINNED:
-        _PINNED.pop().unpersist()
+        df = _PINNED.pop()
+        if id(df) in kept_ids:
+            survivors.append(df)
+        else:
+            df.unpersist()
+            n += 1
+    _PINNED.extend(survivors)
     _SHARED.clear()
-    # shared_pin keys embed input semantic hashes, so a long
-    # multi-query session (bench.py over the whole registry) would
-    # otherwise accumulate one never-freed lock per (name, input)
-    # key. Locks are only meaningful while their pin might be built,
-    # and we just cleared all pins.
+    _SHARED.update(kept)
     with _KEY_LOCKS_GUARD:
-        _KEY_LOCKS.clear()
+        for k in list(_KEY_LOCKS):
+            if k not in kept:
+                del _KEY_LOCKS[k]
     return n

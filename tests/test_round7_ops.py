@@ -412,3 +412,31 @@ def test_session_concurrency_bounds(spark):
         F.sum("n_sessions")
     ).collect()[0][0]
     assert sum(r["n_sessions"] for r in rows) >= us
+
+
+# ---- pinning keep-scope release --------------------------------------------
+
+
+def test_unpersist_all_keep_scope(spark):
+    from _kafka_streams_scaffold_spark import pinning
+
+    pinning.unpersist_all()
+    kept = pinning.shared_pin(
+        ("dedup.fake_root", 1), lambda: spark.range(5).toDF("id")
+    )
+    dropped = pinning.shared_pin(
+        ("other.thing", 2), lambda: spark.range(3).toDF("id")
+    )
+    assert kept.storageLevel.useMemory and dropped.storageLevel.useMemory
+    n = pinning.unpersist_all(
+        keep=lambda k: isinstance(k, tuple)
+        and str(k[0]).startswith("dedup.")
+    )
+    assert n == 1
+    # the kept pin is still cached AND still memoized under its key
+    assert kept.storageLevel.useMemory
+    again = pinning.shared_pin(("dedup.fake_root", 1), lambda: 1 / 0)
+    assert again is kept
+    # a full release then clears everything, including the kept one
+    assert pinning.unpersist_all() == 1
+    assert not pinning._SHARED and not pinning._PINNED
