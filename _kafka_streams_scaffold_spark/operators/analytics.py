@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
+from ..pinning import pin as _pin
 
 # Decimal-money helpers shared across relational modules (money.py);
 # aliased to the historical local names used throughout this file.
@@ -1937,18 +1938,24 @@ def session_concurrency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("us").cast("bigint").alias("e_us"),
         )
     )
-    seg = sess.select(
-        F.explode(
-            F.expr(f"sequence(s_us div {_US_DAY}, e_us div {_US_DAY})")
-        ).alias("d"),
-        "s_us",
-        "e_us",
-    ).select(
-        "d",
-        F.greatest(F.col("s_us"), F.col("d") * _US_DAY).alias("a"),
-        F.least(
-            F.col("e_us"), (F.col("d") + 1) * _US_DAY - 1
-        ).alias("b"),
+    # pinned: the clipped segments feed THREE consumers (both sweep
+    # point arms and the per-day session count) — without the pin the
+    # whole sessionization (scan + user-partitioned windows) re-runs
+    # per consumer (the plan showed three parquet scans)
+    seg = _pin(
+        sess.select(
+            F.explode(
+                F.expr(f"sequence(s_us div {_US_DAY}, e_us div {_US_DAY})")
+            ).alias("d"),
+            "s_us",
+            "e_us",
+        ).select(
+            "d",
+            F.greatest(F.col("s_us"), F.col("d") * _US_DAY).alias("a"),
+            F.least(
+                F.col("e_us"), (F.col("d") + 1) * _US_DAY - 1
+            ).alias("b"),
+        )
     )
     points = seg.select(
         "d", F.col("a").alias("t"), F.lit(1).alias("delta")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
+from ..pinning import pin as _pin
 
 # --------------------------------------------------------------------------
 # Exact two-sample Kolmogorov-Smirnov over per-source doc lengths
@@ -194,12 +195,17 @@ def mmd_label_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(MMD_FEATURES)
         ],
     )
-    per = feats.groupBy("label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        *[
-            F.sum(f"p{d}").cast("bigint").alias(f"s{d}")
-            for d in range(MMD_FEATURES)
-        ],
+    # pinned: both pair sides read this |labels|-row rollup — without
+    # the pin each side re-runs the corpus-sized feature scan (plan
+    # test asserts the single scan)
+    per = _pin(
+        feats.groupBy("label").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            *[
+                F.sum(f"p{d}").cast("bigint").alias(f"s{d}")
+                for d in range(MMD_FEATURES)
+            ],
+        )
     )
     a = per.select(
         [F.col("label").alias("label_a"), F.col("n").alias("n_a")]

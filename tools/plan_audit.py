@@ -1067,6 +1067,142 @@ AUDIT = [
         "full source-pair domain is LEFT-joined so disjoint sources "
         "still emit cosine 0.",
     ),
+    # ---- round 7 ----
+    (
+        "ann_hubness_audit",
+        "Rides the sub-cell-bounded kNN edge list (pinned once); both "
+        "aggregations are partial-aggregatable id-width rollups and "
+        "the zero-degree fill is a left join from the vec_id scan.",
+    ),
+    (
+        "kcenter_coreset",
+        "K bounded rounds; each is one corpus-parallel least() column "
+        "update against a 64-literal broadcast expression (no join, "
+        "no shuffle) plus one driver-side argmax row — the CC-loop "
+        "driver-scalar budget.",
+    ),
+    (
+        "maxsim_late_interaction",
+        "One broadcast of the fixed query panel; all 16 guarded "
+        "sub-cosines evaluate inside one whole-stage-codegen pass "
+        "over the corpus scan — no explode, single rank window of "
+        "|Q| partitions.",
+    ),
+    (
+        "rocchio_expansion",
+        "Two broadcast-join corpus passes (initial rank, re-rank); "
+        "the centroid rollup and q' re-assembly are |Q| x 64 rows; "
+        "no corpus self-join anywhere.",
+    ),
+    (
+        "ks_drift_audit",
+        "Corpus touched once by the (source, value) rollup; the "
+        "grid, cumulative windows (partitioned per source), and the "
+        "pair join all live on the domain-sized grid.",
+    ),
+    (
+        "mmd_label_drift",
+        "All feature columns computed in one codegen pass; the "
+        "rollup is |labels| x D partials; the pair frame is "
+        "|labels|^2 rows off a broadcast.",
+    ),
+    (
+        "ab_proportion_test",
+        "One partial-aggregatable per-user rollup, then a 2-row "
+        "frame; the z arithmetic is a single projected expression.",
+    ),
+    (
+        "simpson_reversal_audit",
+        "Corpus collapses to the (type, day) spine first; slopes are "
+        "integer num/den pairs on |types| x |days| rows; the pooled "
+        "sign joins back as a one-row broadcast.",
+    ),
+    (
+        "jl_projection_audit",
+        "The 16 projection columns are one codegen pass over a "
+        "fixed vec_id < 20 panel (PushedFilters); pairs are a "
+        "broadcast self-join of 20 rows.",
+    ),
+    (
+        "theil_sen_trend",
+        "Corpus -> day spine rollup first; the O(days^2) pair join "
+        "and single-partition rank window run on the bounded spine "
+        "only (deliberate, as gap_fill_daily).",
+    ),
+    (
+        "nelson_aalen_hazard",
+        "Same shape as km_user_survival: one per-user corpus rollup, "
+        "then lifetime-day frames with constant-bounded "
+        "single-partition cumulative windows; the hazard increment "
+        "is exact integer division.",
+    ),
+    (
+        "runs_test_randomness",
+        "Day-spine rollup, one bounded global sort for the median "
+        "ranks, one lag window over the spine; z is a single "
+        "projected expression over exact counts.",
+    ),
+    (
+        "ams_f2_estimate",
+        "The sketch side is ONE partial-aggregatable pass emitting "
+        "AMS_R sign-sum counters (no per-key state); the exact side "
+        "is the standard count-square rollup; both meet in a "
+        "broadcast of one row each.",
+    ),
+    (
+        "poisson_dispersion_audit",
+        "Per-(type, day) rollup (corpus touched once), then a "
+        "|types|-row frame; dispersion is one division of exact "
+        "BIGINT aggregates.",
+    ),
+    (
+        "dp_clipped_mean",
+        "One partial-aggregatable per-type rollup with the clip "
+        "inside the sum expression; the noise chain is per-row "
+        "arithmetic on the 5-row result.",
+    ),
+    (
+        "collocation_pmi",
+        "Bigram explode is the guarded zip_with slice form; three "
+        "partial-aggregatable rollups joined on word keys; the "
+        "global top-20 window only sees >= MIN_COUNT survivors.",
+    ),
+    (
+        "chao1_vocab_estimate",
+        "Token rollup touches the corpus once; everything after is "
+        "vocabulary-sized then 1 row.",
+    ),
+    (
+        "group_kfold_split",
+        "A per-row fold expression (pure BIGINT hash, no engine "
+        "builtins) feeding one partial-aggregatable rollup with a "
+        "count_distinct partial.",
+    ),
+    (
+        "layout_locality_audit",
+        "Rows collapse to DISTINCT occupied grid cells before any "
+        "curve walk — the audit frame is bounded by the 2^16 grid "
+        "regardless of corpus size; both walks are windows on that "
+        "bounded frame.",
+    ),
+    (
+        "bucket_plan",
+        "Three (count, count-distinct) rollups; output is "
+        "catalog-sized; the power-of-two is exact bin-length "
+        "arithmetic, no float log.",
+    ),
+    (
+        "dedup_representative_stats",
+        "Rides the shared CC engine over the bounded near-dup edge "
+        "list; after labels everything is id-width rollups meeting "
+        "in one-row broadcasts.",
+    ),
+    (
+        "session_concurrency",
+        "One user-partitioned sessionization shuffle, a bounded "
+        "day-clip explode, then DAY-partitioned delta windows — the "
+        "sweep is parallel across days, no global sort.",
+    ),
 ]
 
 
