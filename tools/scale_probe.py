@@ -35,6 +35,9 @@ from _kafka_streams_scaffold_spark.operators import (  # noqa: E402
     wordcount,
 )
 from _kafka_streams_scaffold_spark.operators import lm as lm_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import retrieval as retrieval_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import drift as drift_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import clustering as clustering_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import multimodal as multimodal_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import linkage as linkage_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import nb as nb_mod  # noqa: E402
@@ -584,6 +587,61 @@ def main() -> None:
             "embeddings",
             embeddings(m),
             lambda: similarity.ivf_probe_recall_curve_query(spark, SF_DIR),
+        ),
+        # ---- round 7 ----
+        "hubness audit (knn in-degree)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: retrieval_mod.ann_hubness_audit_query(spark, SF_DIR),
+        ),
+        "maxsim late interaction (16 subcos)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: retrieval_mod.maxsim_late_interaction_query(
+                spark, SF_DIR
+            ),
+        ),
+        "ks drift (grid cdf pairs)": lambda m: _with_docs(
+            m, lambda: drift_mod.ks_drift_audit_query(spark, SF_DIR)
+        ),
+        "mmd label drift (6 features)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: drift_mod.mmd_label_drift_query(spark, SF_DIR),
+        ),
+        "theil-sen (day-pair median)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: stats_mod.theil_sen_trend_query(spark, SF_DIR),
+        ),
+        "ams f2 (8 sign sums)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: sketches.ams_f2_estimate_query(spark, SF_DIR),
+        ),
+        "session concurrency (day sweep)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: an_mod2.session_concurrency_query(spark, SF_DIR),
+        ),
+        "collocation lift (bigram margins)": lambda m: _with_docs(
+            m, lambda: textops.collocation_pmi_query(spark, SF_DIR)
+        ),
+        "group kfold (hash rollup)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: sampling_mod.group_kfold_split_query(spark, SF_DIR),
+        ),
+        "locality audit (grid-bounded walk)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: layout_mod.layout_locality_audit_query(spark, SF_DIR),
+        ),
+        "dedup representative stats (CC + rollup)": lambda m: _with_docs(
+            m,
+            lambda: clustering_mod.dedup_representative_stats_query(
+                spark, SF_DIR
+            ),
         ),
     }
 
