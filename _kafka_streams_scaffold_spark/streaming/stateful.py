@@ -245,3 +245,99 @@ def streaming_watermark_lag(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming bottom-K priority sample (mergeable reservoir as state)
+# --------------------------------------------------------------------------
+
+PRIO_OUTPUT_SCHEMA = (
+    "rank integer, doc_id long, source string, priority string"
+)
+PRIO_STATE_SCHEMA = (
+    "ids array<long>, srcs array<string>, prios array<string>"
+)
+
+
+def _update_bottomk(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from _kafka_streams_scaffold_spark.operators.sampling import PRIORITY_K
+
+    if state.exists:
+        ids, srcs, prios = state.get
+        rows = list(zip(list(ids), list(srcs), list(prios)))
+    else:
+        rows = []
+    for pdf in pdf_iter:
+        rows.extend(
+            zip(
+                pdf["doc_id"].tolist(),
+                pdf["source"].tolist(),
+                pdf["priority"].tolist(),
+            )
+        )
+    # bottom-K by (priority, doc_id): the KMV selection rule — the
+    # bottom-k of a union is the bottom-k of the parts' bottom-ks, so
+    # K rows of state absorb any number of micro-batches
+    rows.sort(key=lambda t: (t[2], t[0]))
+    rows = rows[:PRIORITY_K]
+    state.update(
+        (
+            [int(r[0]) for r in rows],
+            [r[1] for r in rows],
+            [r[2] for r in rows],
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "rank": range(1, len(rows) + 1),
+            "doc_id": [r[0] for r in rows],
+            "source": [r[1] for r in rows],
+            "priority": [r[2] for r in rows],
+        }
+    )
+
+
+def streaming_priority_sample(docs: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/sampling.priority_sample_query``:
+    the exact-size uniform sample maintained AS STATE while the
+    corpus streams in — the bottom-PRIORITY_K of the same keyed md5
+    priority, kept as a K-row reservoir in the state store. Because
+    bottom-k is mergeable (the KMV rule the batch docstring cites),
+    K rows of state are sufficient no matter how many micro-batches
+    flow; every update re-emits the current sample keyed by RANK
+    (A4 emit-per-update), so an upsert store converges to exactly the
+    batch sample over the same records — the twin test's assertion.
+
+    The grouping key is a single global group: the state is K rows
+    and the Python crossing is Arrow-batched, but every row does
+    shuffle to one task. At 100 TB the production form pre-reduces
+    per partition (mergeability again: a per-partition bottom-K
+    TakeOrdered before the stateful stage) so the global group sees
+    |partitions| * K rows per batch, not the corpus; that
+    pre-reduction is a plain batch transform on the micro-batch and
+    changes nothing about this operator's contract."""
+    from pyspark.sql import functions as F
+
+    from _kafka_streams_scaffold_spark.operators.sampling import (
+        _PRIORITY_SEED,
+    )
+
+    keyed = docs.select(
+        F.lit(1).alias("g"),
+        "doc_id",
+        "source",
+        F.expr(
+            f"md5(concat('{_PRIORITY_SEED}', cast(doc_id as string)))"
+        ).alias("priority"),
+    )
+    return keyed.groupBy("g").applyInPandasWithState(
+        _update_bottomk,
+        outputStructType=PRIO_OUTPUT_SCHEMA,
+        stateStructType=PRIO_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
