@@ -175,11 +175,16 @@ _WINDOW_R07 = [
     "payload_phash",
     "phash_dup_pairs",
     # dedup / linkage ROI tier
+    # order inside this family is load-bearing for bench.py's
+    # keep-scope pin sharing: the dedup.* shared roots survive only
+    # across CONSECUTIVE family members, so the outsider
+    # (source_similarity_matrix, a textops query) runs after
+    # minhash_estimate_audit rather than splitting the chain
     "dedup_tier_agreement",
     "dedup_token_savings",
     "source_dedup_matrix",
-    "source_similarity_matrix",
     "minhash_estimate_audit",
+    "source_similarity_matrix",
     "dedup_representative_stats",
     "linkage_entities",
     # sampling / privacy tier
