@@ -2462,3 +2462,111 @@ JOIN documents da ON da.doc_id = p.doc_a
 JOIN documents db ON db.doc_id = p.doc_b
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# McNemar paired test between two near-dup detectors
+# --------------------------------------------------------------------------
+
+MCNEMAR_A = "minhash"
+MCNEMAR_B = "simhash"
+
+
+def detector_mcnemar_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_discordant_a, n_discordant_b, n_both, chi2): McNemar's
+    paired test on the two cheap near-dup detectors' decisions over
+    the pair universe either flags — b = pairs MinHash flags that
+    SimHash misses, c = the reverse, chi2 = (b - c)^2 / (b + c). The
+    inferential upgrade over ``detector_kappa``'s descriptive
+    agreement: kappa says HOW MUCH the detectors agree, McNemar says
+    whether their disagreement is SYMMETRIC (chi2 small — they miss
+    different duplicates at the same rate, so they're complementary)
+    or one-sided (chi2 large — one detector systematically
+    under-flags and needs retuning, the actionable signal).
+
+    Pairs a detector never scores are true negatives for it; the test
+    conditions on the union universe, which is McNemar's contract
+    (concordant negatives carry no information). All counts are exact
+    integers off one full-outer join of the two id-pair tables; chi2
+    is one division, guarded for b + c = 0.
+
+    Scale: the two pair sets ride the shared shingle/signature pins
+    (see _tier_pairs' contract); the outer join and counts are
+    id-pair-width. Reference mirror: the poison-pill/audit tier's
+    "two paths must agree" checks (AuditService.java) lifted to
+    detector pairs."""
+    a = _tier_pairs(spark, sf_dir, MCNEMAR_A).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_a")
+    )
+    b = _tier_pairs(spark, sf_dir, MCNEMAR_B).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_b")
+    )
+    both = a.join(b, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    agg = both.agg(
+        F.sum(
+            ((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("int")
+        ).cast("bigint").alias("n_discordant_a"),
+        F.sum(
+            ((F.col("in_a") == 0) & (F.col("in_b") == 1)).cast("int")
+        ).cast("bigint").alias("n_discordant_b"),
+        F.sum(
+            ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int")
+        ).cast("bigint").alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_univ"),
+    )
+    d = F.col("n_discordant_a") - F.col("n_discordant_b")
+    s = F.col("n_discordant_a") + F.col("n_discordant_b")
+    return agg.filter(F.col("n_univ") > 0).select(
+        "n_discordant_a",
+        "n_discordant_b",
+        "n_both",
+        F.when(
+            s > 0, (d * d).cast("double") / s.cast("double")
+        ).otherwise(F.lit(0.0)).alias("chi2"),
+    )
+
+
+def _mcnemar_oracle() -> str:
+    tier_sql = {
+        "minhash": MINHASH_LSH_ORACLE,
+        "simhash": SIMHASH_PAIRS_ORACLE,
+    }
+    return f"""
+WITH pa AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({tier_sql[MCNEMAR_A].strip().rstrip(';')})
+),
+pb AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({tier_sql[MCNEMAR_B].strip().rstrip(';')})
+),
+u AS (
+  SELECT COALESCE(a.in_a, 0) AS in_a, COALESCE(b.in_b, 0) AS in_b
+  FROM (SELECT doc_a, doc_b, 1 AS in_a FROM pa) a
+  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS in_b FROM pb) b
+  USING (doc_a, doc_b)
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_discordant_a,
+    CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_discordant_b,
+    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_both,
+    CAST(count(*) AS BIGINT) AS n_univ
+  FROM u
+)
+SELECT n_discordant_a, n_discordant_b, n_both,
+       CASE WHEN n_discordant_a + n_discordant_b > 0 THEN
+         CAST((n_discordant_a - n_discordant_b)
+              * (n_discordant_a - n_discordant_b) AS DOUBLE)
+         / CAST(n_discordant_a + n_discordant_b AS DOUBLE)
+       ELSE 0.0 END AS chi2
+FROM agg
+WHERE n_univ > 0
+"""
+
+
+DETECTOR_MCNEMAR_ORACLE = _mcnemar_oracle()

@@ -563,3 +563,160 @@ WHERE rank <= {ROCCHIO_TOP}
 
 
 ROCCHIO_EXPANSION_ORACLE = _rocchio_oracle()
+
+
+# --------------------------------------------------------------------------
+# Facility-location greedy coreset (submodular coverage selection)
+# --------------------------------------------------------------------------
+
+FACLOC_K = 4        # exemplars selected
+FACLOC_POOL = 32    # candidate pool: vec_id < FACLOC_POOL
+_FL_FP = 1_000_000  # similarity fixed-point scale
+
+
+def facility_location_coreset_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(sel_round, vec_id, coverage_fp): greedy maximization of the
+    facility-location objective sum_p max_{c in C} sim(p, c) — the
+    submodular "every point should have a similar exemplar" selector
+    (the coverage-style complement of ``kcenter_coreset``'s max-min
+    spread; greedy is (1 - 1/e)-optimal by Nemhauser et al. 1978).
+    Candidates come from a fixed FACLOC_POOL panel; ``coverage_fp``
+    is the objective AFTER each pick, in exact floor(1e6 * cosine)
+    units, so the marginal-gain trajectory is part of the hashed
+    contract.
+
+    Exactness: every similarity fixes to floor(1e6 * cos) BIGINT
+    BEFORE any aggregation (max and sum over BIGINTs are order-free),
+    so the greedy argmax (ties on vec_id) and the objective are
+    bit-stable — no float sum ever forms.
+
+    Scale/driver contract: FACLOC_K bounded rounds; each evaluates
+    all pool candidates' marginal gains in ONE pool-broadcast join
+    over the corpus (|pool| * n fixed-point cosines, partial-
+    aggregated per candidate) plus one driver-side argmax row; the
+    running per-point coverage column updates via a broadcast of the
+    chosen exemplar's similarities — id-width state, no corpus
+    self-join. The same O(rounds) driver-scalar budget as the
+    CC/k-center loops."""
+    emb = _pin(_emb(spark, sf_dir))
+    pool = emb.filter(F.col("vec_id") < FACLOC_POOL).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    pts = emb.select(
+        F.col("vec_id").alias("p_id"),
+        F.col("embedding").alias("p_vec"),
+        F.col("norm").alias("p_norm"),
+    )
+    sim_fp = F.floor(
+        F.lit(float(_FL_FP))
+        * F.when(
+            (F.col("p_norm") * F.col("c_norm")) > 0,
+            F.expr(_dot_sql("p_vec", "c_vec", "spark"))
+            / (F.col("p_norm") * F.col("c_norm")),
+        ).otherwise(F.lit(-1.0))
+    ).cast("bigint")
+    # (p_id, c_id, s): the full pool-similarity table, pinned — every
+    # round's gain evaluation and coverage update reads it
+    sims = _pin(
+        pts.crossJoin(F.broadcast(pool)).select(
+            "p_id", "c_id", sim_fp.alias("s")
+        )
+    )
+    cov = pts.select("p_id", F.lit(-_FL_FP).cast("bigint").alias("cov"))
+    picked: list[tuple[int, int, int]] = []
+    chosen: set[int] = set()
+    for r in range(FACLOC_K):
+        gains = (
+            sims.filter(~F.col("c_id").isin(*chosen) if chosen else F.lit(True))
+            .join(cov, "p_id")
+            .groupBy("c_id")
+            .agg(
+                F.sum(F.greatest(F.col("cov"), F.col("s")))
+                .cast("bigint")
+                .alias("total")
+            )
+            .orderBy(F.col("total").desc(), F.col("c_id"))
+            .limit(1)
+            .collect()
+        )
+        if not gains:
+            break
+        c = int(gains[0]["c_id"])
+        total = int(gains[0]["total"])
+        picked.append((r, c, total))
+        chosen.add(c)
+        upd = sims.filter(F.col("c_id") == c).select(
+            "p_id", F.col("s").alias("s_new")
+        )
+        cov = cov.join(upd, "p_id", "left").select(
+            "p_id",
+            F.greatest(
+                F.col("cov"), F.coalesce(F.col("s_new"), F.lit(-_FL_FP))
+            ).alias("cov"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        picked, "sel_round int, vec_id bigint, coverage_fp bigint"
+    )
+
+
+def _facloc_oracle() -> str:
+    sim = (
+        f"CAST(floor({_FL_FP}.0 * (CASE WHEN p.norm * c.norm > 0 THEN "
+        f"{_dot_sql('p.embedding', 'c.embedding', 'duck')} / (p.norm * c.norm)"
+        f" ELSE -1.0 END)) AS BIGINT)"
+    )
+    parts = [
+        "WITH normed AS MATERIALIZED (",
+        f"  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm",
+        "  FROM embeddings",
+        "),",
+        "sims AS MATERIALIZED (",
+        f"  SELECT p.vec_id AS p_id, c.vec_id AS c_id, {sim} AS s",
+        "  FROM normed p CROSS JOIN normed c",
+        f"  WHERE c.vec_id < {FACLOC_POOL}",
+        "),",
+        "cov0 AS MATERIALIZED (",
+        f"  SELECT DISTINCT p_id, CAST(-{_FL_FP} AS BIGINT) AS cov FROM sims",
+        "),",
+    ]
+    prev_cov = "cov0"
+    excl = ""
+    for r in range(FACLOC_K):
+        parts.append(
+            f"g{r} AS MATERIALIZED (\n"
+            "  SELECT c_id, CAST(sum(greatest(cov, s)) AS BIGINT) AS total\n"
+            f"  FROM sims JOIN {prev_cov} USING (p_id)\n"
+            f"  {excl}\n"
+            "  GROUP BY c_id ORDER BY total DESC, c_id LIMIT 1\n"
+            "),"
+        )
+        if r < FACLOC_K - 1:
+            parts.append(
+                f"cov{r + 1} AS MATERIALIZED (\n"
+                "  SELECT v.p_id,\n"
+                "         greatest(v.cov, COALESCE(u.s, "
+                f"CAST(-{_FL_FP} AS BIGINT))) AS cov\n"
+                f"  FROM {prev_cov} v\n"
+                "  LEFT JOIN (SELECT s.p_id, s.s FROM sims s, "
+                f"g{r} g WHERE s.c_id = g.c_id) u USING (p_id)\n"
+                "),"
+            )
+            prev_cov = f"cov{r + 1}"
+        excl_parts = [f"SELECT c_id FROM g{i}" for i in range(r + 1)]
+        excl = (
+            "WHERE c_id NOT IN (" + " UNION ALL ".join(excl_parts) + ")"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        f"SELECT {r} AS sel_round, CAST(c_id AS BIGINT) AS vec_id,"
+        f" total AS coverage_fp FROM g{r}"
+        for r in range(FACLOC_K)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+FACILITY_LOCATION_CORESET_ORACLE = _facloc_oracle()

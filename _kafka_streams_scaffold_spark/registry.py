@@ -1795,6 +1795,18 @@ def _ensure_loaded() -> None:
         stats.poisson_dispersion_audit_query,
         stats.POISSON_DISPERSION_AUDIT_ORACLE,
     )
+    # ---- round-7 late additions (post-window-freeze -> r08 material,
+    # tracked in tests/test_registry_window.py R08_MATERIAL) ----
+    register(
+        "facility_location_coreset",
+        retrieval.facility_location_coreset_query,
+        retrieval.FACILITY_LOCATION_CORESET_ORACLE,
+    )
+    register(
+        "detector_mcnemar",
+        dedup.detector_mcnemar_query,
+        dedup.DETECTOR_MCNEMAR_ORACLE,
+    )
 
     _apply_window(_WINDOW_R07)
     _LOADED = True

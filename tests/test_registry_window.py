@@ -31,8 +31,11 @@ R08_DEFERRED: set[str] = set()
 # window material by construction. Grows during round 7 as operators
 # land; mirrored in the registry module docstring's NEXT ROTATION
 # note. (The 22 round-7 additions made before the freeze are IN the
-# window, so this starts empty.)
-R08_MATERIAL: set[str] = set()
+# window.)
+R08_MATERIAL: set[str] = {
+    "facility_location_coreset",
+    "detector_mcnemar",
+}
 
 
 def _covered() -> set[str]:

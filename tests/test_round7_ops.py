@@ -440,3 +440,71 @@ def test_unpersist_all_keep_scope(spark):
     # a full release then clears everything, including the kept one
     assert pinning.unpersist_all() == 1
     assert not pinning._SHARED and not pinning._PINNED
+
+
+# ---- round-7 late additions (r08 window material) --------------------------
+
+
+def test_facility_location_is_greedy_and_monotone(spark):
+    from _kafka_streams_scaffold_spark.operators.retrieval import (
+        FACLOC_K,
+        FACLOC_POOL,
+        _FL_FP,
+        facility_location_coreset_query,
+    )
+
+    rows = sorted(
+        facility_location_coreset_query(spark, SF).collect(),
+        key=lambda r: r["sel_round"],
+    )
+    assert [r["sel_round"] for r in rows] == list(range(FACLOC_K))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    assert all(v < FACLOC_POOL for v in ids)
+    # the objective is monotone non-decreasing (submodular coverage)
+    covs = [r["coverage_fp"] for r in rows]
+    assert all(b >= a for a, b in zip(covs, covs[1:]))
+    # brute-force the FIRST pick: argmax_c sum_p fp_sim(p, c)
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in tables.table(spark, SF, "embeddings").collect()
+    }
+    norms = {k: float(np.linalg.norm(v)) for k, v in emb.items()}
+
+    def fp_sim(p, c):
+        den = norms[p] * norms[c]
+        cos = float(emb[p] @ emb[c]) / den if den > 0 else -1.0
+        return math.floor(1e6 * cos)
+
+    gains = {
+        c: sum(fp_sim(p, c) for p in emb)
+        for c in emb
+        if c < FACLOC_POOL
+    }
+    best = max(gains.items(), key=lambda t: (t[1], -t[0]))
+    assert ids[0] == best[0]
+    assert covs[0] == best[1]
+    assert _FL_FP == 10**6
+
+
+def test_mcnemar_counts_match_tier_tables(spark):
+    from _kafka_streams_scaffold_spark.operators import dedup as dd
+
+    row = dd.detector_mcnemar_query(spark, SF).collect()[0]
+    a = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd._tier_pairs(spark, SF, dd.MCNEMAR_A).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd._tier_pairs(spark, SF, dd.MCNEMAR_B).collect()
+    }
+    assert row["n_discordant_a"] == len(a - b)
+    assert row["n_discordant_b"] == len(b - a)
+    assert row["n_both"] == len(a & b)
+    s = row["n_discordant_a"] + row["n_discordant_b"]
+    if s:
+        d = row["n_discordant_a"] - row["n_discordant_b"]
+        assert row["chi2"] == pytest.approx(d * d / s)
+    else:
+        assert row["chi2"] == 0.0

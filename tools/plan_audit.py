@@ -1203,6 +1203,20 @@ AUDIT = [
         "day-clip explode, then DAY-partitioned delta windows — the "
         "sweep is parallel across days, no global sort.",
     ),
+    (
+        "facility_location_coreset",
+        "One pinned |pool| x n fixed-point similarity table; each "
+        "greedy round is a partial-aggregated gain rollup plus one "
+        "driver argmax row; the coverage column updates via an "
+        "id-width join, checkpointed per round (it re-enters a "
+        "join).",
+    ),
+    (
+        "detector_mcnemar",
+        "Two shared-pin pair tables, one id-pair-width full-outer "
+        "join, one global rollup; chi2 is a single projected "
+        "expression.",
+    ),
 ]
 
 
