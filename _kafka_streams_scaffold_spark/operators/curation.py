@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 from .. import tables
 from .dedup import BENCHMARK_DOC_MAX, contamination_query, exact_dedup_query
 from .textops import (
+    _GOPHER_MAX_DUP_FRAC,
+    _GOPHER_MAX_MWL,
+    _GOPHER_MAX_WORDS,
+    _GOPHER_MIN_MWL,
+    _GOPHER_MIN_WORDS,
     fingerprint_query,
     lang_id_query,
     quality_score_query,
@@ -384,3 +389,177 @@ WHERE tot_tokens > 0
 
 
 CURRICULUM_PACING_ORACLE = _curriculum_oracle()
+
+
+# --------------------------------------------------------------------------
+# Quality-gate ordering plan (cheapest-rejection-first cascade)
+# --------------------------------------------------------------------------
+
+
+def gate_ordering_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(position, gate, n_pass, n_total, surviving_num, surviving_den,
+    expected_rows): the cascade-ordering plan for the corpus quality
+    gates — measure each gate's pass count on the live corpus, order
+    most-selective-first (equal per-row cost, so rejecting early is
+    the whole game; ties on gate name), and emit the expected rows
+    still alive after each stage under the independence
+    approximation: surviving fraction = product of pass rates,
+    carried as the EXACT integer pair (prod of n_pass, n_total^pos)
+    with expected_rows as one double expression over them. The audit
+    a 100 TB ingest runs before wiring its filter DAG: gate order
+    doesn't change WHAT survives, only how many rows each gate must
+    touch — this table is the difference in scan cost.
+
+    Gates: the Gopher word-count / mean-word-length / dup-fraction
+    windows (textops constants) plus the language gate. Exactness:
+    the windowed products fold a window-ordered collect_list (Spark
+    ``aggregate``, DuckDB ``list_reduce``) over BIGINTs — fixed
+    order, exact, max n^4 ~ 6e14 well under 2^63. Scale: ONE corpus
+    scan computes all gate flags (map-local token expressions); the
+    plan itself is a 4-row frame."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens_expr()
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    total_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mwl = total_chars.cast("double") / n_words
+    dup_frac = F.lit(1.0) - n_distinct.cast("double") / n_words
+    flags = docs.select(
+        (
+            (n_words >= _GOPHER_MIN_WORDS) & (n_words <= _GOPHER_MAX_WORDS)
+        ).cast("int").alias("g_words"),
+        F.when(
+            n_words > 0, (mwl >= _GOPHER_MIN_MWL) & (mwl <= _GOPHER_MAX_MWL)
+        ).otherwise(F.lit(False)).cast("int").alias("g_mwl"),
+        F.when(n_words > 0, dup_frac < _GOPHER_MAX_DUP_FRAC)
+        .otherwise(F.lit(False))
+        .cast("int")
+        .alias("g_dup"),
+        (F.col("lang") == "en").cast("int").alias("g_lang"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("g_words").cast("bigint").alias("p_words"),
+        F.sum("g_mwl").cast("bigint").alias("p_mwl"),
+        F.sum("g_dup").cast("bigint").alias("p_dup"),
+        F.sum("g_lang").cast("bigint").alias("p_lang"),
+    ).filter(F.col("n_total") > 0)
+    rows = None
+    for gate, col in (
+        ("dup_word_frac", "p_dup"),
+        ("lang_en", "p_lang"),
+        ("mean_word_len", "p_mwl"),
+        ("word_count", "p_words"),
+    ):
+        r = agg.select(
+            F.lit(gate).alias("gate"),
+            F.col(col).alias("n_pass"),
+            "n_total",
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("n_pass", "gate").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fold = (
+        "aggregate({lst}, cast(1 as bigint), (a, x) -> a * x)"
+    )
+    planned = rows.select(
+        "gate",
+        "n_pass",
+        "n_total",
+        F.row_number()
+        .over(Window.orderBy("n_pass", "gate"))
+        .cast("int")
+        .alias("position"),
+        F.expr(
+            fold.format(lst="collect_list(n_pass) over ("
+                            "order by n_pass, gate rows between "
+                            "unbounded preceding and current row)")
+        ).cast("bigint").alias("surviving_num"),
+        F.expr(
+            fold.format(lst="collect_list(n_total) over ("
+                            "order by n_pass, gate rows between "
+                            "unbounded preceding and current row)")
+        ).cast("bigint").alias("surviving_den"),
+    )
+    return planned.select(
+        "position",
+        "gate",
+        "n_pass",
+        "n_total",
+        "surviving_num",
+        "surviving_den",
+        (
+            F.col("n_total").cast("double")
+            * (
+                F.col("surviving_num").cast("double")
+                / F.col("surviving_den").cast("double")
+            )
+        ).alias("expected_rows"),
+    )
+
+
+GATE_ORDERING_PLAN_ORACLE = f"""
+WITH base AS (
+  SELECT lang,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')
+             AS toks
+  FROM documents
+),
+flags AS (
+  SELECT
+    CASE WHEN len(toks) >= {_GOPHER_MIN_WORDS}
+              AND len(toks) <= {_GOPHER_MAX_WORDS} THEN 1 ELSE 0 END
+      AS g_words,
+    CASE WHEN len(toks) > 0
+              AND CAST(list_sum(list_transform(toks, x -> length(x)))
+                       AS DOUBLE) / len(toks) >= {_GOPHER_MIN_MWL}
+              AND CAST(list_sum(list_transform(toks, x -> length(x)))
+                       AS DOUBLE) / len(toks) <= {_GOPHER_MAX_MWL}
+         THEN 1 ELSE 0 END AS g_mwl,
+    CASE WHEN len(toks) > 0
+              AND 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / len(toks) < {_GOPHER_MAX_DUP_FRAC}
+         THEN 1 ELSE 0 END AS g_dup,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g_lang
+  FROM base
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(g_words) AS BIGINT) AS p_words,
+         CAST(sum(g_mwl) AS BIGINT) AS p_mwl,
+         CAST(sum(g_dup) AS BIGINT) AS p_dup,
+         CAST(sum(g_lang) AS BIGINT) AS p_lang
+  FROM flags
+  HAVING count(*) > 0
+),
+gates AS (
+  SELECT 'dup_word_frac' AS gate, p_dup AS n_pass, n_total FROM agg
+  UNION ALL SELECT 'lang_en', p_lang, n_total FROM agg
+  UNION ALL SELECT 'mean_word_len', p_mwl, n_total FROM agg
+  UNION ALL SELECT 'word_count', p_words, n_total FROM agg
+),
+planned AS (
+  SELECT gate, n_pass, n_total,
+         CAST(row_number() OVER (ORDER BY n_pass, gate) AS INT)
+           AS position,
+         CAST(list_reduce(list(n_pass) OVER (
+             ORDER BY n_pass, gate
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), (a, x) -> a * x) AS BIGINT) AS surviving_num,
+         CAST(list_reduce(list(n_total) OVER (
+             ORDER BY n_pass, gate
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), (a, x) -> a * x) AS BIGINT) AS surviving_den
+  FROM gates
+)
+SELECT position, gate, n_pass, n_total, surviving_num, surviving_den,
+       CAST(n_total AS DOUBLE)
+         * (CAST(surviving_num AS DOUBLE) / CAST(surviving_den AS DOUBLE))
+         AS expected_rows
+FROM planned
+"""

@@ -690,3 +690,113 @@ SELECT d.tier, d.q_id, d.dcg_fp, i.idcg_fp,
        CAST(d.dcg_fp AS DOUBLE) / CAST(i.idcg_fp AS DOUBLE) AS ndcg
 FROM dcg d JOIN idcg i ON i.q_id = d.q_id
 """
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap between the int8 and exact rankings
+# --------------------------------------------------------------------------
+
+RBO_P = 0.9  # top-weightedness (Webber et al., TOIS 2010 default)
+_RBO_FP = 10**12
+
+
+def _rbo_weights() -> dict[int, int]:
+    """W[m] = sum_{d=m..TOP_K} p^(d-1)/d, fixed-pointed: a pair first
+    co-present at depth m contributes to every deeper agreement A_d,
+    so per-item weights make RBO a single pass over the JOINED
+    rankings instead of K overlap counts. Baked as integer literals
+    so no float SUM ever forms engine-side."""
+    out = {}
+    for m in range(1, TOP_K + 1):
+        w = sum(RBO_P ** (d - 1) / d for d in range(m, TOP_K + 1))
+        out[m] = int(w * _RBO_FP)
+    return out
+
+
+_RBO_W = _rbo_weights()
+
+
+def rank_biased_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, n_common, rbo): truncated rank-biased overlap at depth
+    TOP_K (p = 0.9) between the int8-domain ranking and the exact
+    float ranking, per query — the top-weighted ranking-similarity
+    metric (Webber, Moffat & Zobel 2010) the recall@k gate can't
+    express: recall treats a swap of ranks 1 and 5 as free, RBO
+    charges it. This is the metric that decides whether int8 serving
+    preserves the ORDER users see, not just the member set.
+
+    Exactness: each co-ranked item contributes the baked integer
+    weight W[max(rank_int8, rank_exact)] (the depth where it first
+    counts toward agreement); the per-query BIGINT sum is order-free
+    and rbo = (1 - p) * sum / 1e12 is one fixed expression. Queries
+    the int8 index cannot answer (all-zero vectors) emit rbo 0 via
+    the left join from the exact side.
+
+    Scale: both rankings are |Q| * TOP_K rows; everything here is
+    id-width joins on a broadcast-sized panel."""
+    exact = similarity_topk(spark, sf_dir).select(
+        "q_id", "n_id", F.col("rank").alias("r_ex")
+    )
+    i8 = int8_ann_query(spark, sf_dir).select(
+        "q_id", "n_id", F.col("rank").alias("r_i8")
+    )
+    w_expr = F.create_map(
+        *[F.lit(x) for kv in _RBO_W.items() for x in kv]
+    )[F.greatest("r_ex", "r_i8")]
+    matched = (
+        exact.join(i8, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(w_expr).cast("bigint").alias("w_fp"),
+        )
+    )
+    base = exact.select("q_id").distinct()
+    return base.join(matched, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+        (
+            F.lit(1.0 - RBO_P)
+            * (
+                F.coalesce("w_fp", F.lit(0)).cast("double")
+                / F.lit(float(_RBO_FP))
+            )
+        ).alias("rbo"),
+    )
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import ann_topk_query
+
+    return ann_topk_query(spark, sf_dir)
+
+
+def _rbo_oracle() -> str:
+    from .similarity import ANN_TOPK_ORACLE
+
+    w_case = "CASE greatest(e.rank, i.rank) " + " ".join(
+        f"WHEN {m} THEN CAST({w} AS BIGINT)" for m, w in _RBO_W.items()
+    ) + " END"
+    return f"""
+WITH rbo_exact AS MATERIALIZED (
+  SELECT q_id, n_id, rank FROM ({ANN_TOPK_ORACLE.strip().rstrip(';')})
+),
+rbo_i8 AS MATERIALIZED (
+  SELECT q_id, n_id, rank FROM ({INT8_ANN_ORACLE.strip().rstrip(';')})
+),
+matched AS (
+  SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum({w_case}) AS BIGINT) AS w_fp
+  FROM rbo_exact e JOIN rbo_i8 i USING (q_id, n_id)
+  GROUP BY 1
+)
+SELECT b.q_id,
+       COALESCE(m.n_common, 0) AS n_common,
+       {1.0 - RBO_P} * (CAST(COALESCE(m.w_fp, 0) AS DOUBLE)
+                        / {float(_RBO_FP)}) AS rbo
+FROM (SELECT DISTINCT q_id FROM rbo_exact) b
+LEFT JOIN matched m USING (q_id)
+"""
+
+
+RANK_BIASED_OVERLAP_ORACLE = _rbo_oracle()

@@ -720,3 +720,85 @@ def _facloc_oracle() -> str:
 
 
 FACILITY_LOCATION_CORESET_ORACLE = _facloc_oracle()
+
+
+# --------------------------------------------------------------------------
+# kNN label-purity null baseline (permutation-style control)
+# --------------------------------------------------------------------------
+
+
+def label_purity_null_baseline_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_edges, n_same_true, n_same_null, lift): the significance
+    control for ``knn_label_purity`` — the same kNN edge list scored
+    against the TRUE labels and against a deterministic null
+    (each neighbor's label rotated +1 mod |labels|, a fixed-point-free
+    derangement, so null agreement is exactly the chance rate that a
+    random label assignment would produce for this degree structure).
+    ``lift`` = true agreements over null agreements: near 1 means the
+    embedding neighborhoods carry NO label signal and any
+    purity-gated pipeline decision is reading noise — the
+    permutation-test reading of the purity number.
+
+    Exactness: two integer edge counts off one labels join; the null
+    rotation is integer modular arithmetic. Scale: rides the
+    sub-cell-bounded kNN edge list; one id-width join against the
+    |V|-row label table."""
+    labels = tables.table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    n_labels = 10  # generator domain; rotation only needs a fixed modulus
+    edges = _knn_edges(spark, sf_dir).select("q_id", "n_id")
+    ql = labels.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_lab")
+    )
+    nl = labels.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("n_lab")
+    )
+    joined = edges.join(ql, "q_id").join(nl, "n_id")
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum((F.col("q_lab") == F.col("n_lab")).cast("int"))
+        .cast("bigint")
+        .alias("n_same_true"),
+        F.sum(
+            (
+                F.col("q_lab") == (F.col("n_lab") + 1) % n_labels
+            ).cast("int")
+        ).cast("bigint").alias("n_same_null"),
+    )
+    return agg.filter(F.col("n_edges") > 0).select(
+        "n_edges",
+        "n_same_true",
+        "n_same_null",
+        (
+            F.col("n_same_true").cast("double")
+            / F.greatest(F.col("n_same_null"), F.lit(1)).cast("double")
+        ).alias("lift"),
+    )
+
+
+LABEL_PURITY_NULL_BASELINE_ORACLE = f"""
+WITH {_DUCK_KNN_EDGES_CTES},
+lab AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+joined AS (
+  SELECT ql.label AS q_lab, nl.label AS n_lab
+  FROM edges e
+  JOIN lab ql ON ql.vec_id = e.q_id
+  JOIN lab nl ON nl.vec_id = e.n_id
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(CASE WHEN q_lab = n_lab THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same_true,
+         CAST(sum(CASE WHEN q_lab = (n_lab + 1) % 10 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_same_null
+  FROM joined
+)
+SELECT n_edges, n_same_true, n_same_null,
+       CAST(n_same_true AS DOUBLE)
+         / CAST(greatest(n_same_null, 1) AS DOUBLE) AS lift
+FROM agg
+WHERE n_edges > 0
+"""

@@ -1807,6 +1807,21 @@ def _ensure_loaded() -> None:
         dedup.detector_mcnemar_query,
         dedup.DETECTOR_MCNEMAR_ORACLE,
     )
+    register(
+        "rank_biased_overlap",
+        quantize.rank_biased_overlap_query,
+        quantize.RANK_BIASED_OVERLAP_ORACLE,
+    )
+    register(
+        "label_purity_null_baseline",
+        retrieval.label_purity_null_baseline_query,
+        retrieval.LABEL_PURITY_NULL_BASELINE_ORACLE,
+    )
+    register(
+        "gate_ordering_plan",
+        curation.gate_ordering_plan_query,
+        curation.GATE_ORDERING_PLAN_ORACLE,
+    )
 
     _apply_window(_WINDOW_R07)
     _LOADED = True

@@ -35,6 +35,9 @@ R08_DEFERRED: set[str] = set()
 R08_MATERIAL: set[str] = {
     "facility_location_coreset",
     "detector_mcnemar",
+    "rank_biased_overlap",
+    "label_purity_null_baseline",
+    "gate_ordering_plan",
 }
 
 

@@ -508,3 +508,62 @@ def test_mcnemar_counts_match_tier_tables(spark):
         assert row["chi2"] == pytest.approx(d * d / s)
     else:
         assert row["chi2"] == 0.0
+
+
+def test_rbo_bounds_and_perfect_agreement_identity(spark):
+    from _kafka_streams_scaffold_spark.operators import quantize as qz
+    from _kafka_streams_scaffold_spark.operators.similarity import TOP_K
+
+    rows = qz.rank_biased_overlap_query(spark, SF).collect()
+    assert rows
+    # maximum achievable truncated RBO: every item co-present from
+    # its own depth (identical rankings)
+    max_rbo = (1 - qz.RBO_P) * sum(qz._RBO_W[m] for m in range(1, TOP_K + 1)) / qz._RBO_FP
+    for r in rows:
+        assert 0 <= r["n_common"] <= TOP_K
+        assert -1e-12 <= r["rbo"] <= max_rbo + 1e-12
+        if r["n_common"] == 0:
+            assert r["rbo"] == 0.0
+    # weights are strictly decreasing in first-agreement depth
+    ws = [qz._RBO_W[m] for m in range(1, TOP_K + 1)]
+    assert all(a > b for a, b in zip(ws, ws[1:]))
+
+
+def test_purity_null_baseline_is_chance_like(spark):
+    from _kafka_streams_scaffold_spark.operators.retrieval import (
+        label_purity_null_baseline_query,
+    )
+
+    row = label_purity_null_baseline_query(spark, SF).collect()[0]
+    assert row["n_same_true"] <= row["n_edges"]
+    assert row["n_same_null"] <= row["n_edges"]
+    # labeled embeddings cluster by label, so the true agreement must
+    # beat the rotated-label null on this corpus
+    assert row["n_same_true"] > row["n_same_null"]
+    assert row["lift"] > 1.0
+
+
+def test_gate_ordering_is_by_selectivity_with_exact_products(spark):
+    from _kafka_streams_scaffold_spark.operators.curation import (
+        gate_ordering_plan_query,
+    )
+
+    rows = sorted(
+        gate_ordering_plan_query(spark, SF).collect(),
+        key=lambda r: r["position"],
+    )
+    assert [r["position"] for r in rows] == [1, 2, 3, 4]
+    passes = [r["n_pass"] for r in rows]
+    assert passes == sorted(passes)  # most selective first
+    num = den = 1
+    for r in rows:
+        num *= r["n_pass"]
+        den *= r["n_total"]
+        assert r["surviving_num"] == num
+        assert r["surviving_den"] == den
+        assert r["expected_rows"] == pytest.approx(
+            r["n_total"] * num / den
+        )
+    # expected survivors shrink monotonically
+    exp = [r["expected_rows"] for r in rows]
+    assert all(a >= b for a, b in zip(exp, exp[1:]))
