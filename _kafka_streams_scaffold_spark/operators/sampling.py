@@ -1289,3 +1289,127 @@ SELECT CAST(((user_id * {_KFOLD_MULT}) % {_KFOLD_MOD}) % {KFOLD_K} AS INT)
 FROM events
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Max-min fair budget allocation (water-filling, exact integers)
+# --------------------------------------------------------------------------
+
+WATERFILL_BUDGET_CHARS = 100_000
+
+
+def waterfill_allocation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, demand_chars, allocated_chars, saturated): the
+    max-min fair split of a WATERFILL_BUDGET_CHARS character budget
+    across sources — every source gets min(demand, water level t)
+    where t makes the total spend exactly the budget; small sources
+    are fully satisfied (saturated), the rest share what remains
+    equally. The progressive-filling allocator (Bertsekas & Gallager)
+    a mixture designer uses when ``budget_allocation``'s proportional
+    split would starve small-but-required sources.
+
+    Exact closed form, no iteration: sort sources by demand
+    ascending (ties on name); source i is saturated iff
+    d_i * (n - i + 1) <= B - prefix_{i-1} — an integer
+    CROSS-MULTIPLIED test (no division), monotone in i, so the
+    saturated set is a prefix of the sort order. The unsaturated
+    share is then one integer div with the remainder given to the
+    lexicographically-first remainder-many unsaturated sources, so
+    allocations are integers summing EXACTLY to min(B, total demand).
+
+    Scale: one per-source rollup, then a |sources|-row frame with two
+    bounded windows. The demand rollup is the only corpus-sized
+    stage."""
+    docs = tables.table(spark, sf_dir, "documents")
+    dem = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("demand")
+    )
+    w = Window.orderBy("demand", "source")
+    wcum = w.rowsBetween(Window.unboundedPreceding, -1)
+    wn = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    B = WATERFILL_BUDGET_CHARS
+    flagged = dem.select(
+        "source",
+        "demand",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.coalesce(F.sum("demand").over(wcum), F.lit(0))
+        .cast("bigint")
+        .alias("prefix"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    ).withColumn(
+        "saturated",
+        F.col("demand") * (F.col("n") - F.col("i") + 1)
+        <= F.lit(B) - F.col("prefix"),
+    )
+    sums = flagged.agg(
+        F.sum(F.when(F.col("saturated"), F.col("demand")).otherwise(0))
+        .cast("bigint")
+        .alias("s_sat"),
+        F.sum((~F.col("saturated")).cast("int")).cast("bigint").alias("m"),
+    )
+    wu = Window.orderBy("source")
+    unsat_ranked = flagged.filter(~F.col("saturated")).withColumn(
+        "u_rank", F.row_number().over(wu).cast("bigint")
+    )
+    out_sat = flagged.filter(F.col("saturated")).select(
+        "source",
+        F.col("demand").alias("demand_chars"),
+        F.col("demand").alias("allocated_chars"),
+        F.lit(True).alias("saturated"),
+    )
+    out_unsat = unsat_ranked.crossJoin(F.broadcast(sums)).select(
+        "source",
+        F.col("demand").alias("demand_chars"),
+        (
+            F.expr(f"({B}L - s_sat) div m")
+            + (
+                F.col("u_rank") <= F.expr(f"({B}L - s_sat) % m")
+            ).cast("bigint")
+        ).cast("bigint").alias("allocated_chars"),
+        F.lit(False).alias("saturated"),
+    )
+    return out_sat.unionAll(out_unsat)
+
+
+WATERFILL_ALLOCATION_ORACLE = f"""
+WITH dem AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS demand
+  FROM documents GROUP BY 1
+),
+flagged AS (
+  SELECT source, demand,
+         CAST(row_number() OVER (ORDER BY demand, source) AS BIGINT) AS i,
+         CAST(COALESCE(sum(demand) OVER (
+           ORDER BY demand, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS prefix,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM dem
+),
+sat AS (
+  SELECT *,
+         demand * (n - i + 1) <= {WATERFILL_BUDGET_CHARS} - prefix
+           AS saturated
+  FROM flagged
+),
+sums AS (
+  SELECT CAST(COALESCE(sum(CASE WHEN saturated THEN demand END), 0)
+           AS BIGINT) AS s_sat,
+         CAST(sum(CASE WHEN saturated THEN 0 ELSE 1 END) AS BIGINT) AS m
+  FROM sat
+)
+SELECT source, demand AS demand_chars, demand AS allocated_chars,
+       TRUE AS saturated
+FROM sat WHERE saturated
+UNION ALL
+SELECT s.source, s.demand AS demand_chars,
+       CAST(({WATERFILL_BUDGET_CHARS} - u.s_sat) // u.m
+            + CASE WHEN row_number() OVER (ORDER BY s.source)
+                        <= ({WATERFILL_BUDGET_CHARS} - u.s_sat) % u.m
+                   THEN 1 ELSE 0 END AS BIGINT) AS allocated_chars,
+       FALSE AS saturated
+FROM sat s, sums u
+WHERE NOT s.saturated
+"""

@@ -1822,6 +1822,11 @@ def _ensure_loaded() -> None:
         curation.gate_ordering_plan_query,
         curation.GATE_ORDERING_PLAN_ORACLE,
     )
+    register(
+        "waterfill_allocation",
+        sampling.waterfill_allocation_query,
+        sampling.WATERFILL_ALLOCATION_ORACLE,
+    )
 
     _apply_window(_WINDOW_R07)
     _LOADED = True

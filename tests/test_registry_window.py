@@ -38,6 +38,7 @@ R08_MATERIAL: set[str] = {
     "rank_biased_overlap",
     "label_purity_null_baseline",
     "gate_ordering_plan",
+    "waterfill_allocation",
 }
 
 

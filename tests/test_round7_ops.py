@@ -567,3 +567,29 @@ def test_gate_ordering_is_by_selectivity_with_exact_products(spark):
     # expected survivors shrink monotonically
     exp = [r["expected_rows"] for r in rows]
     assert all(a >= b for a, b in zip(exp, exp[1:]))
+
+
+def test_waterfill_spends_exactly_the_budget_and_is_max_min(spark):
+    from _kafka_streams_scaffold_spark.operators.sampling import (
+        WATERFILL_BUDGET_CHARS,
+        waterfill_allocation_query,
+    )
+
+    rows = waterfill_allocation_query(spark, SF).collect()
+    total_demand = sum(r["demand_chars"] for r in rows)
+    spent = sum(r["allocated_chars"] for r in rows)
+    assert spent == min(WATERFILL_BUDGET_CHARS, total_demand)
+    for r in rows:
+        assert 0 <= r["allocated_chars"] <= r["demand_chars"]
+        assert r["saturated"] == (
+            r["allocated_chars"] == r["demand_chars"]
+        ) or not r["saturated"]
+    # max-min fairness: every unsaturated source's allocation is
+    # >= every saturated source's demand (the water level dominates
+    # everything below it), and unsaturated allocations differ by <= 1
+    unsat = [r["allocated_chars"] for r in rows if not r["saturated"]]
+    sat_d = [r["demand_chars"] for r in rows if r["saturated"]]
+    if unsat:
+        assert max(unsat) - min(unsat) <= 1
+        if sat_d:
+            assert min(unsat) >= max(sat_d)
