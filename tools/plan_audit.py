@@ -1217,6 +1217,29 @@ AUDIT = [
         "join, one global rollup; chi2 is a single projected "
         "expression.",
     ),
+    (
+        "rank_biased_overlap",
+        "Both rankings are |Q| x k panels; one id-width join, baked "
+        "integer weights, one partial-aggregatable BIGINT sum per "
+        "query.",
+    ),
+    (
+        "label_purity_null_baseline",
+        "Rides the bounded kNN edge list; two id-width label joins "
+        "feeding one global integer rollup.",
+    ),
+    (
+        "gate_ordering_plan",
+        "ONE corpus scan computes all gate flags map-locally; the "
+        "cascade plan is a 4-row frame with window-ordered exact "
+        "BIGINT folds.",
+    ),
+    (
+        "waterfill_allocation",
+        "One per-source demand rollup (the only corpus-sized stage); "
+        "saturation is a monotone integer test on a |sources|-row "
+        "sorted frame, allocations one integer div — no iteration.",
+    ),
 ]
 
 
