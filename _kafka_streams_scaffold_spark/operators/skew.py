@@ -160,3 +160,67 @@ SELECT t.l_partkey, t.cnt, x.total_rows, x.n_keys,
        x.total_rows AS ratio_den
 FROM top t CROSS JOIN totals x
 """
+
+
+# --------------------------------------------------------------------------
+# Salting-factor plan (the actuation half of the skew audit)
+# --------------------------------------------------------------------------
+
+SALT_TARGET_ROWS = 8_192  # rows a single (key, salt) cell may carry
+SALT_PLAN_TOP = 10
+
+
+def salt_factor_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, freq, share_x1e6, salt_factor): for the
+    SALT_PLAN_TOP heaviest join keys of the events stream, the
+    per-key replication factor a salted join needs so no single
+    (key, salt) cell exceeds SALT_TARGET_ROWS rows —
+    ceil(freq / target), exact integer arithmetic. This is the
+    ACTUATION table for ``join_key_skew`` (which measures the skew)
+    and ``salted_join`` (which applies a uniform N_SALTS): per-key
+    factors replicate the small side only freq/target times for hot
+    keys and once for the cold tail, instead of N_SALTS-replicating
+    everything — at 100 TB the difference between a salting strategy
+    that costs |small| * N_SALTS and one that costs
+    |small| + hot_keys * factors.
+
+    share_x1e6 = (freq * 1e6) div total is the integer-exact share
+    readout (no float division in the hashed row). One partial-
+    aggregatable frequency rollup; the plan itself is TOP_K rows via
+    TakeOrdered."""
+    ev = tables.table(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    total = freq.agg(F.sum("freq").cast("bigint").alias("n_total"))
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .orderBy(F.col("freq").desc(), F.col("user_id"))
+        .limit(SALT_PLAN_TOP)
+        .select(
+            "user_id",
+            "freq",
+            F.expr("(freq * 1000000) div n_total")
+            .cast("bigint")
+            .alias("share_x1e6"),
+            F.expr(
+                f"(freq + {SALT_TARGET_ROWS - 1}) div {SALT_TARGET_ROWS}"
+            ).cast("bigint").alias("salt_factor"),
+        )
+    )
+
+
+SALT_FACTOR_PLAN_ORACLE = f"""
+WITH freq AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS freq
+  FROM events GROUP BY 1
+),
+total AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freq)
+SELECT user_id, freq,
+       CAST((freq * 1000000) // n_total AS BIGINT) AS share_x1e6,
+       CAST((freq + {SALT_TARGET_ROWS - 1}) // {SALT_TARGET_ROWS}
+         AS BIGINT) AS salt_factor
+FROM freq, total
+ORDER BY freq DESC, user_id
+LIMIT {SALT_PLAN_TOP}
+"""

@@ -1827,6 +1827,11 @@ def _ensure_loaded() -> None:
         sampling.waterfill_allocation_query,
         sampling.WATERFILL_ALLOCATION_ORACLE,
     )
+    register(
+        "salt_factor_plan",
+        skew.salt_factor_plan_query,
+        skew.SALT_FACTOR_PLAN_ORACLE,
+    )
 
     _apply_window(_WINDOW_R07)
     _LOADED = True

@@ -39,6 +39,7 @@ R08_MATERIAL: set[str] = {
     "label_purity_null_baseline",
     "gate_ordering_plan",
     "waterfill_allocation",
+    "salt_factor_plan",
 }
 
 

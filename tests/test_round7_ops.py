@@ -593,3 +593,23 @@ def test_waterfill_spends_exactly_the_budget_and_is_max_min(spark):
         assert max(unsat) - min(unsat) <= 1
         if sat_d:
             assert min(unsat) >= max(sat_d)
+
+
+def test_salt_factor_plan_bounds_cells(spark):
+    from _kafka_streams_scaffold_spark.operators.skew import (
+        SALT_PLAN_TOP,
+        SALT_TARGET_ROWS,
+        salt_factor_plan_query,
+    )
+
+    rows = salt_factor_plan_query(spark, SF).collect()
+    assert 0 < len(rows) <= SALT_PLAN_TOP
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    for r in rows:
+        f, k = r["freq"], r["salt_factor"]
+        assert k >= 1
+        # ceil semantics: k cells of <= target rows cover freq, k-1 don't
+        assert k * SALT_TARGET_ROWS >= f
+        assert (k - 1) * SALT_TARGET_ROWS < f
+        assert 0 <= r["share_x1e6"] <= 1_000_000
