@@ -59,14 +59,24 @@ CORRECTNESS row. Rotation history:
   dedup/sessions: dedup_representative_stats, session_concurrency).
   Exactly 50 — no backlog deferred this round.
 
-NEXT ROTATION (round 8): no certification backlog exists at the r07
-freeze — every oracle-backed query is either green in r01-r06 or in
-the r07 window. Round-8 material is therefore (a) round-8's own
-additions (track them in tests/test_registry_window.py
-R08_MATERIAL as they land), (b) any r07 reds, and (c) the
-re-certification pool: queries whose implementation changes after
-their green row. Update tests/test_registry_window.py in the same
-commit as the window freeze.
+- r08 window (``_WINDOW_R08`` below): no certification backlog existed
+  at the r07 freeze (CORRECTNESS_r07 went 50/50 green), so the window
+  is (a) the 7 post-freeze round-7 additions that were tracked as
+  R08_MATERIAL (facility_location_coreset, detector_mcnemar,
+  rank_biased_overlap, label_purity_null_baseline, gate_ordering_plan,
+  waterfill_allocation, salt_factor_plan), (b) re-certifications for
+  queries whose implementation changed after their green r07 row
+  (the round-8 ADVICE fixes), and (c) round-8's own additions, added
+  to the list as they land. The window may be SHORT of 50 while the
+  round is in progress — ``_apply_window`` allows <=50 and the
+  driver's extra prefix slots then re-check already-green families,
+  which is harmless.
+
+NEXT ROTATION (round 9): round-8 additions registered after the r08
+window froze go in tests/test_registry_window.py R09_MATERIAL, plus
+any r08 reds and the usual changed-impl re-certification pool.
+Update tests/test_registry_window.py in the same commit as the
+window freeze.
 
 PREVIOUS ROTATION NOTE (round 6, kept for the audit trail): the
 round-5 late additions
@@ -141,14 +151,29 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-# Driver correctness window for round 7 (slots 0-49) — see module
-# docstring. Exactly: the 9 queries deferred from the r06 window +
-# the 17 round-6 additions + 2 re-certifications (ivm_join_revenue,
-# red in r06 on the DECIMAL-output canonicalization divergence, now
-# emitting BIGINT cents; dedup_tier_agreement, whose empty-pair
-# domain emission changed after its green row) + the 22 round-7
-# additions. Grouped by family so janino/codegen first-touch
-# amortizes across neighbors in the driver bench.
+# Driver correctness window for round 8 (slots 0..len-1) — see module
+# docstring. Starts as the 7 R08_MATERIAL queries (round-7 additions
+# registered after the r07 freeze; all judge-sweep green, never
+# driver-certified) and grows with round-8 additions + changed-impl
+# re-certifications as they land. Grouped by family so janino/codegen
+# first-touch amortizes across neighbors in the driver bench.
+_WINDOW_R08 = [
+    # retrieval / ranking tier (r7 post-freeze material)
+    "facility_location_coreset",
+    "rank_biased_overlap",
+    # detector / label audits
+    "detector_mcnemar",
+    "label_purity_null_baseline",
+    # planning tier
+    "gate_ordering_plan",
+    "waterfill_allocation",
+    "salt_factor_plan",
+]
+
+# r07 window kept for the rotation-history tests (50/50 green in
+# CORRECTNESS_r07). Was exactly: the 9 queries deferred from the r06
+# window + the 17 round-6 additions + 2 re-certifications
+# (ivm_join_revenue, dedup_tier_agreement) + the 22 round-7 additions.
 _WINDOW_R07 = [
     # text / lexical tier (deferred lights + round-7 additions)
     "collocation_pmi",
@@ -418,7 +443,11 @@ def _apply_window(window: list[str]) -> None:
     assert not missing, f"window names not registered: {missing}"
     no_oracle = [n for n in window if n not in _ORACLES]
     assert not no_oracle, f"window names lack oracles: {no_oracle}"
-    assert len(window) == len(set(window)) == 50, len(window)
+    # The driver hash-checks the first 50 slots. The window may run
+    # SHORT of 50 mid-round (r08+): the extra prefix slots then fall
+    # to already-green families, which re-check harmlessly. It must
+    # never exceed 50 — a 51st entry would silently skip the gate.
+    assert len(window) == len(set(window)) <= 50, len(window)
     ordered = {n: _QUERIES[n] for n in window}
     for n, fn in _QUERIES.items():
         if n not in ordered:
@@ -1833,5 +1862,5 @@ def _ensure_loaded() -> None:
         skew.SALT_FACTOR_PLAN_ORACLE,
     )
 
-    _apply_window(_WINDOW_R07)
+    _apply_window(_WINDOW_R08)
     _LOADED = True

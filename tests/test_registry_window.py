@@ -3,7 +3,7 @@
 The external correctness gate hash-checks only the FIRST 50 registered
 queries, so registration ORDER is part of the contract: each round the
 window must carry exactly the queries that still need a driver
-CORRECTNESS row (see registry._WINDOW_R07 and the module docstring's
+CORRECTNESS row (see registry._WINDOW_R08 and the module docstring's
 rotation history).
 """
 
@@ -14,33 +14,23 @@ import pathlib
 
 from _kafka_streams_scaffold_spark import registry
 
-# Green rounds available when the r07 window was frozen.
-_PRIOR_ROUNDS = ("r01", "r02", "r03", "r04", "r05", "r06")
+# Green rounds available when the r08 window was frozen.
+_PRIOR_ROUNDS = ("r01", "r02", "r03", "r04", "r05", "r06", "r07")
 
 # Queries with a GREEN prior-round row that nevertheless re-certify in
-# the r07 window because their implementation or output changed after
-# the green row (see the registry docstring's r07 note).
-R07_RECERT = {"dedup_tier_agreement"}
+# the r08 window because their implementation or output changed after
+# the green row (the round-8 ADVICE fixes; see the registry docstring's
+# r08 note). Grows during round 8 as changed-impl queries are added.
+R08_RECERT: set[str] = set()
 
-# No backlog was deferred out of the r07 window: the 9 r06-deferred
-# lights, all 17 round-6 additions, both re-certs, and all 22 round-7
-# additions fit in exactly 50 slots.
-R08_DEFERRED: set[str] = set()
+# No backlog was deferred out of the r08 window.
+R09_DEFERRED: set[str] = set()
 
-# Round-7 additions registered after the r07 window froze — r08
-# window material by construction. Grows during round 7 as operators
-# land; mirrored in the registry module docstring's NEXT ROTATION
-# note. (The 22 round-7 additions made before the freeze are IN the
-# window.)
-R08_MATERIAL: set[str] = {
-    "facility_location_coreset",
-    "detector_mcnemar",
-    "rank_biased_overlap",
-    "label_purity_null_baseline",
-    "gate_ordering_plan",
-    "waterfill_allocation",
-    "salt_factor_plan",
-}
+# Round-8 additions registered after the r08 window froze — r09
+# window material by construction. Grows during round 8 as operators
+# land past the freeze; mirrored in the registry module docstring's
+# NEXT ROTATION note.
+R09_MATERIAL: set[str] = set()
 
 
 def _covered() -> set[str]:
@@ -54,32 +44,34 @@ def _covered() -> set[str]:
     return covered
 
 
-def test_window_is_exactly_the_r07_rotation_list():
+def test_window_is_exactly_the_r08_rotation_list():
     names = list(registry.queries())
-    assert names[:50] == registry._WINDOW_R07
+    w = registry._WINDOW_R08
+    assert len(w) <= 50
+    assert names[: len(w)] == w
 
 
 def test_window_queries_need_a_driver_row():
     """The rotation's whole point: no slot is wasted on a query that
-    already has a GREEN CORRECTNESS row from rounds 1-6 — except the
+    already has a GREEN CORRECTNESS row from rounds 1-7 — except the
     explicit re-certification list (implementation changed after the
-    green row). A red row (ivm_join_revenue in r06) earns the query
-    another slot automatically, since the guard keys on hash_match."""
-    stale = _covered() & set(registry._WINDOW_R07)
-    assert stale <= R07_RECERT, (
-        f"window wastes slots on already-covered: {stale - R07_RECERT}"
+    green row). A red row earns the query another slot automatically,
+    since the guard keys on hash_match."""
+    stale = _covered() & set(registry._WINDOW_R08)
+    assert stale <= R08_RECERT, (
+        f"window wastes slots on already-covered: {stale - R08_RECERT}"
     )
 
 
 def test_window_plus_deferred_covers_the_entire_backlog():
     """Every oracle-backed query that has never gone green must be
-    either in the r07 window or in an explicit deferral/material
+    either in the r08 window or in an explicit deferral/material
     list — nothing silently dropped from certification."""
     backlog = set(registry.oracle_sql()) - _covered()
-    missing = backlog - set(registry._WINDOW_R07) - R08_DEFERRED
-    assert missing <= R08_MATERIAL, (
+    missing = backlog - set(registry._WINDOW_R08) - R09_DEFERRED
+    assert missing <= R09_MATERIAL, (
         f"never-certified queries untracked for rotation: "
-        f"{missing - R08_MATERIAL}"
+        f"{missing - R09_MATERIAL}"
     )
 
 
@@ -88,18 +80,18 @@ def test_deferral_list_is_exactly_the_window_complement():
     deferral + material sets — if one gains a green row or enters the
     window, this forces the bookkeeping to move with it."""
     backlog = set(registry.oracle_sql()) - _covered()
-    outside = backlog - set(registry._WINDOW_R07)
-    assert outside == R08_DEFERRED | (R08_MATERIAL & backlog)
+    outside = backlog - set(registry._WINDOW_R08)
+    assert outside == R09_DEFERRED | (R09_MATERIAL & backlog)
 
 
 def test_window_entries_are_oracle_backed():
     oracles = set(registry.oracle_sql())
-    missing = [n for n in registry._WINDOW_R07 if n not in oracles]
+    missing = [n for n in registry._WINDOW_R08 if n not in oracles]
     assert not missing
 
 
 def test_rotated_out_families_keep_their_oracles():
-    """Queries that left the window (r01-r06 green) must stay
+    """Queries that left the window (r01-r07 green) must stay
     registered and oracle-backed so tools/check_oracle.py keeps
     verifying them locally."""
     names = set(registry.queries())
@@ -110,9 +102,13 @@ def test_rotated_out_families_keep_their_oracles():
         "pq_codes", "scd2_history", "training_manifest", "bpe_train",
         "rfm_segments", "hapax_rate", "embedding_quantize",
         "cluster_keep_list", "ktable_latest",
-        # r06-window members now rotated out
+        # r06-window members rotated out
         "kneser_ney_bigram", "knn_lof_outliers", "fs_linkage_scores",
         "blocking_recall_audit", "sequence_gap_audit", "km_user_survival",
+        # r07-window members now rotated out
+        "kcenter_coreset", "mmd_label_drift", "dedup_representative_stats",
+        "linkage_entities", "session_concurrency", "ivm_join_revenue",
+        "theil_sen_trend", "group_kfold_split", "layout_locality_audit",
     ):
         assert q in names
         assert q in registry.oracle_sql() or q == "lsh_ann"
