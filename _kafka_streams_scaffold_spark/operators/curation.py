@@ -397,26 +397,29 @@ CURRICULUM_PACING_ORACLE = _curriculum_oracle()
 
 
 def gate_ordering_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(position, gate, n_pass, n_total, surviving_num, surviving_den,
+    """(position, gate, n_pass, n_total, surviving_frac,
     expected_rows): the cascade-ordering plan for the corpus quality
     gates — measure each gate's pass count on the live corpus, order
     most-selective-first (equal per-row cost, so rejecting early is
     the whole game; ties on gate name), and emit the expected rows
     still alive after each stage under the independence
-    approximation: surviving fraction = product of pass rates,
-    carried as the EXACT integer pair (prod of n_pass, n_total^pos)
-    with expected_rows as one double expression over them. The audit
-    a 100 TB ingest runs before wiring its filter DAG: gate order
-    doesn't change WHAT survives, only how many rows each gate must
-    touch — this table is the difference in scan cost.
+    approximation: surviving fraction = running product of per-gate
+    pass rates. The audit a 100 TB ingest runs before wiring its
+    filter DAG: gate order doesn't change WHAT survives, only how
+    many rows each gate must touch — this table is the difference in
+    scan cost.
 
     Gates: the Gopher word-count / mean-word-length / dup-fraction
-    windows (textops constants) plus the language gate. Exactness:
-    the windowed products fold a window-ordered collect_list (Spark
-    ``aggregate``, DuckDB ``list_reduce``) over BIGINTs — fixed
-    order, exact, max n^4 ~ 6e14 well under 2^63. Scale: ONE corpus
-    scan computes all gate flags (map-local token expressions); the
-    plan itself is a 4-row frame."""
+    windows (textops constants) plus the language gate. Exactness /
+    scale of the fraction: the windowed product folds a
+    window-ordered collect_list (Spark ``aggregate``, DuckDB
+    ``list_reduce``) of DOUBLE pass rates in a fixed order — the same
+    IEEE multiply sequence on both engines, so bit-identical — and,
+    unlike the earlier exact-integer pair (prod n_pass, n_total^pos),
+    it cannot overflow: n_total^4 exceeds 2^63 past ~55k documents,
+    where Spark (non-ANSI) wraps silently while DuckDB raises.
+    Scale: ONE corpus scan computes all gate flags (map-local token
+    expressions); the plan itself is a 4-row frame."""
     docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens_expr()
     n_words = F.size(toks)
@@ -464,10 +467,10 @@ def gate_ordering_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("n_pass", "gate").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    fold = (
-        "aggregate({lst}, cast(1 as bigint), (a, x) -> a * x)"
+    rated = rows.withColumn(
+        "rate", F.col("n_pass").cast("double") / F.col("n_total")
     )
-    planned = rows.select(
+    planned = rated.select(
         "gate",
         "n_pass",
         "n_total",
@@ -476,29 +479,20 @@ def gate_ordering_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("position"),
         F.expr(
-            fold.format(lst="collect_list(n_pass) over ("
-                            "order by n_pass, gate rows between "
-                            "unbounded preceding and current row)")
-        ).cast("bigint").alias("surviving_num"),
-        F.expr(
-            fold.format(lst="collect_list(n_total) over ("
-                            "order by n_pass, gate rows between "
-                            "unbounded preceding and current row)")
-        ).cast("bigint").alias("surviving_den"),
+            "aggregate(collect_list(rate) over ("
+            "order by n_pass, gate rows between "
+            "unbounded preceding and current row), "
+            "cast(1.0 as double), (a, x) -> a * x)"
+        ).alias("surviving_frac"),
     )
     return planned.select(
         "position",
         "gate",
         "n_pass",
         "n_total",
-        "surviving_num",
-        "surviving_den",
+        "surviving_frac",
         (
-            F.col("n_total").cast("double")
-            * (
-                F.col("surviving_num").cast("double")
-                / F.col("surviving_den").cast("double")
-            )
+            F.col("n_total").cast("double") * F.col("surviving_frac")
         ).alias("expected_rows"),
     )
 
@@ -543,23 +537,22 @@ gates AS (
   UNION ALL SELECT 'mean_word_len', p_mwl, n_total FROM agg
   UNION ALL SELECT 'word_count', p_words, n_total FROM agg
 ),
+rated AS (
+  SELECT gate, n_pass, n_total,
+         CAST(n_pass AS DOUBLE) / n_total AS rate
+  FROM gates
+),
 planned AS (
   SELECT gate, n_pass, n_total,
          CAST(row_number() OVER (ORDER BY n_pass, gate) AS INT)
            AS position,
-         CAST(list_reduce(list(n_pass) OVER (
+         list_reduce(list(rate) OVER (
              ORDER BY n_pass, gate
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), (a, x) -> a * x) AS BIGINT) AS surviving_num,
-         CAST(list_reduce(list(n_total) OVER (
-             ORDER BY n_pass, gate
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), (a, x) -> a * x) AS BIGINT) AS surviving_den
-  FROM gates
+           ), (a, x) -> a * x) AS surviving_frac
+  FROM rated
 )
-SELECT position, gate, n_pass, n_total, surviving_num, surviving_den,
-       CAST(n_total AS DOUBLE)
-         * (CAST(surviving_num AS DOUBLE) / CAST(surviving_den AS DOUBLE))
-         AS expected_rows
+SELECT position, gate, n_pass, n_total, surviving_frac,
+       CAST(n_total AS DOUBLE) * surviving_frac AS expected_rows
 FROM planned
 """

@@ -151,7 +151,12 @@ def _mmd_phi(vec: str, d: int, engine: str) -> str:
     degree-2 polynomial kernel (E[phi_d(x) phi_d(y)] recovers
     (x.y)^2-type terms); only *,+ so it is IEEE-identical across
     engines."""
-    w = _MMD_W[d]
+    # float() before formatting: repr(np.float64(x)) renders as
+    # 'np.float64(x)' under numpy >= 2.0, which would turn every baked
+    # expression into a syntax error in both engines. repr(float(x))
+    # is byte-identical to the old repr on the pinned numpy 1.26
+    # (guarded by test_baked_literals_are_plain_floats).
+    w = [float(x) for x in _MMD_W[d]]
     if engine == "spark":
         terms = " + ".join(
             f"cast(element_at({vec}, {i + 1}) as double) * "

@@ -120,9 +120,13 @@ def kcenter_coreset_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected set 2-approximates the optimal k-center radius.
 
     Exactness: squared distances expand to ||a||^2 + ||b||^2 - 2a.b
-    with the fold-form dot (fixed ascending element order), so every
-    score is bit-identical across engines and the argmax/tie-break is
-    deterministic.
+    with the fold-form dot (fixed ascending element order) — including
+    the self-dot ``n2``, which is computed with the SAME fold form as
+    the oracle rather than squaring the sqrt'd ``norm`` column
+    ((sqrt(x))^2 differs from x by ~1 ulp, enough to flip the greedy
+    argmax on near-tied candidates and cascade through later rounds) —
+    so every score is bit-identical across engines and the
+    argmax/tie-break is deterministic.
 
     Scale/driver contract: K bounded rounds; each round is one
     corpus-parallel ``least(mind, d2_to_new_center)`` column update
@@ -136,7 +140,7 @@ def kcenter_coreset_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir).select(
             "vec_id",
             "embedding",
-            (F.col("norm") * F.col("norm")).alias("n2"),
+            F.expr(_dot_sql("embedding", "embedding", "spark")).alias("n2"),
         )
     )
     seed = emb.orderBy("vec_id").limit(1).collect()

@@ -1230,6 +1230,13 @@ LIMIT {WPS_K}
 KFOLD_K = 5
 _KFOLD_MULT = 2654435761  # Knuth multiplicative-hash constant
 _KFOLD_MOD = 4294967296
+# Pre-reduction modulus: user_id folds mod 2^31 BEFORE the multiply so
+# the product tops out at (2^31-1) * 2654435761 ~ 5.7e18 < 2^63 for ANY
+# id domain — without it, ids >= ~3.5e9 overflow BIGINT, where Spark
+# (non-ANSI) wraps silently while DuckDB raises, breaking both the
+# cross-engine contract and split reproducibility. Value-identical to
+# the unreduced form for ids < 2^31 (every current fixture).
+_KFOLD_PREMOD = 2147483648
 
 
 def group_kfold_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,17 +1249,21 @@ def group_kfold_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     must pass before use: fold sizes and per-fold conversion rates
     should be statistically indistinguishable.
 
-    Fold = ((user_id * 2654435761) mod 2^32) mod K — pure BIGINT
-    arithmetic identical on both engines (no engine hash functions),
-    stable under reshuffles and across runs, which is what makes the
-    split REPRODUCIBLE: re-running on a grown corpus keeps every
-    existing user in their fold. Scale: one partial-aggregatable
-    rollup keyed by (fold) after a per-row fold expression; the
-    per-user distinctness rides a count_distinct partial."""
+    Fold = (((user_id mod 2^31) * 2654435761) mod 2^32) mod K — pure
+    BIGINT arithmetic identical on both engines (no engine hash
+    functions; the mod-2^31 pre-reduction keeps the product under
+    2^63 for any id domain, see ``_KFOLD_PREMOD``), stable under
+    reshuffles and across runs, which is what makes the split
+    REPRODUCIBLE: re-running on a grown corpus keeps every existing
+    user in their fold. Scale: one partial-aggregatable rollup keyed
+    by (fold) after a per-row fold expression; the per-user
+    distinctness rides a count_distinct partial."""
     ev = tables.table(spark, sf_dir, "events")
     folded = ev.select(
         (
-            (F.col("user_id") * _KFOLD_MULT) % _KFOLD_MOD % KFOLD_K
+            (F.col("user_id") % _KFOLD_PREMOD * _KFOLD_MULT)
+            % _KFOLD_MOD
+            % KFOLD_K
         ).cast("int").alias("fold"),
         "user_id",
         (F.col("event_type") == "purchase").cast("int").alias("is_p"),
@@ -1278,7 +1289,8 @@ def group_kfold_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GROUP_KFOLD_SPLIT_ORACLE = f"""
-SELECT CAST(((user_id * {_KFOLD_MULT}) % {_KFOLD_MOD}) % {KFOLD_K} AS INT)
+SELECT CAST((((user_id % {_KFOLD_PREMOD}) * {_KFOLD_MULT})
+             % {_KFOLD_MOD}) % {KFOLD_K} AS INT)
          AS fold,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(count(*) AS BIGINT) AS n_events,

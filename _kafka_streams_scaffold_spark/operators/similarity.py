@@ -327,7 +327,14 @@ def _bucket_expr(vec_col: str) -> F.Column:
     not an unrolled 512-term expression (which would break codegen)."""
     bits = []
     for j in range(N_PLANES):
-        plane = "array(" + ", ".join(f"{v!r}d" for v in _PLANES[j]) + ")"
+        # float() before repr: numpy>=2 renders repr(np.float64) as
+        # 'np.float64(x)' (syntax error when baked); byte-identical on
+        # the pinned 1.26 (test_baked_literals_are_plain_floats).
+        plane = (
+            "array("
+            + ", ".join(f"{float(v)!r}d" for v in _PLANES[j])
+            + ")"
+        )
         dot = (
             f"aggregate(zip_with({vec_col}, {plane}, "
             "(x, y) -> cast(x as double) * y), "
@@ -377,7 +384,7 @@ def _duck_bucket_expr(vec_col: str) -> str:
     bits = []
     for j in range(N_PLANES):
         dot = " + ".join(
-            f"CAST({vec_col}[{i}] AS DOUBLE) * {_PLANES[j][i - 1]!r}"
+            f"CAST({vec_col}[{i}] AS DOUBLE) * {float(_PLANES[j][i - 1])!r}"
             for i in range(1, DIM + 1)
         )
         bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")

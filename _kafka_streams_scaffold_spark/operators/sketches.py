@@ -1507,11 +1507,18 @@ _AMS_AB = [
 
 
 def _ams_sign(col: str, r: int) -> str:
-    """+1/-1 from the parity of (a*key + b) mod (2^31-1) — identical
-    BIGINT arithmetic on both engines (keys are non-negative ids, so
-    % has no sign divergence)."""
+    """+1/-1 from the parity of (a*(key mod 2^31) + b) mod (2^31-1) —
+    identical BIGINT arithmetic on both engines (keys are non-negative
+    ids, so % has no sign divergence). The mod-2^31 pre-reduction
+    bounds the product at a*(2^31-1) ~ 2.4e18 < 2^63 for ANY id
+    domain — without it, keys >= ~8e9 overflow BIGINT, where Spark
+    (non-ANSI) wraps silently while DuckDB raises; value-identical to
+    the unreduced form for keys < 2^31 (every current fixture)."""
     a, b = _AMS_AB[r]
-    return f"(1 - 2 * ((({a} * {col} + {b}) % {_AMS_P}) % 2))"
+    return (
+        f"(1 - 2 * ((({a} * ({col} % 2147483648) + {b})"
+        f" % {_AMS_P}) % 2))"
+    )
 
 
 def ams_f2_estimate_query(spark: SparkSession, sf_dir: str) -> DataFrame:

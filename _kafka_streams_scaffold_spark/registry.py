@@ -168,6 +168,12 @@ _WINDOW_R08 = [
     "gate_ordering_plan",
     "waterfill_allocation",
     "salt_factor_plan",
+    # re-certifications: implementation changed after the green r07
+    # row (round-8 ADVICE fixes — kcenter's fold-form self-dot, the
+    # mod-2^31 pre-reduction in the kfold/AMS hash arithmetic)
+    "kcenter_coreset",
+    "group_kfold_split",
+    "ams_f2_estimate",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in

@@ -100,9 +100,19 @@ def main() -> None:
     }
     names = list(qs)
     timings: dict[str, float] = {}
+    # Queries whose timing was taken with the dedup.* shared pins
+    # still WARM from the preceding family member — their numbers
+    # measure warm shared-pin reads, not cold builds, so they are NOT
+    # comparable to solo/check_oracle timings or to pre-r07 rounds'
+    # cold measurements. Tagged in the payload so round-over-round
+    # comparisons don't misread the cheaper warm numbers as speedups.
+    warm_family: list[str] = []
     t_all = time.time()
     for i, name in enumerate(names):
         fn = qs[name]
+        prev = names[i - 1] if i > 0 else None
+        if name in dedup_family and prev in dedup_family:
+            warm_family.append(name)
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -129,6 +139,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "warm_family": warm_family,
         "sf": sf,
     }
     line = json.dumps(payload)

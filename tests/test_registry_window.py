@@ -21,7 +21,16 @@ _PRIOR_ROUNDS = ("r01", "r02", "r03", "r04", "r05", "r06", "r07")
 # the r08 window because their implementation or output changed after
 # the green row (the round-8 ADVICE fixes; see the registry docstring's
 # r08 note). Grows during round 8 as changed-impl queries are added.
-R08_RECERT: set[str] = set()
+R08_RECERT: set[str] = {
+    # round-8 ADVICE fixes: kcenter's n2 moved from norm^2 to the
+    # fold-form self-dot (ulp-level value change can flip the greedy
+    # argmax); group_kfold/AMS hash arithmetic gained the mod-2^31
+    # pre-reduction (value-identical for current ids, expression
+    # changed)
+    "kcenter_coreset",
+    "group_kfold_split",
+    "ams_f2_estimate",
+}
 
 # No backlog was deferred out of the r08 window.
 R09_DEFERRED: set[str] = set()

@@ -543,7 +543,7 @@ def test_purity_null_baseline_is_chance_like(spark):
     assert row["lift"] > 1.0
 
 
-def test_gate_ordering_is_by_selectivity_with_exact_products(spark):
+def test_gate_ordering_is_by_selectivity_with_running_product(spark):
     from _kafka_streams_scaffold_spark.operators.curation import (
         gate_ordering_plan_query,
     )
@@ -555,14 +555,14 @@ def test_gate_ordering_is_by_selectivity_with_exact_products(spark):
     assert [r["position"] for r in rows] == [1, 2, 3, 4]
     passes = [r["n_pass"] for r in rows]
     assert passes == sorted(passes)  # most selective first
-    num = den = 1
+    frac = 1.0
     for r in rows:
-        num *= r["n_pass"]
-        den *= r["n_total"]
-        assert r["surviving_num"] == num
-        assert r["surviving_den"] == den
+        frac *= r["n_pass"] / r["n_total"]
+        # the overflow-free DOUBLE running product (the old exact
+        # integer pair n_total^pos exceeded 2^63 past ~55k docs)
+        assert r["surviving_frac"] == pytest.approx(frac, rel=1e-12)
         assert r["expected_rows"] == pytest.approx(
-            r["n_total"] * num / den
+            r["n_total"] * frac, rel=1e-12
         )
     # expected survivors shrink monotonically
     exp = [r["expected_rows"] for r in rows]
