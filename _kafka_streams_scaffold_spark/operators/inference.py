@@ -605,3 +605,571 @@ WHERE t_index < n_days
 ORDER BY abs(u2_signed) DESC, day
 LIMIT 1
 """
+
+# --------------------------------------------------------------------------
+# Wilson score interval per source (lang='en' proportion)
+# --------------------------------------------------------------------------
+
+_WILSON_Z = 1.96  # 95% two-sided normal quantile, baked literal
+
+
+def wilson_ci_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_en, p_hat, ci_lo, ci_hi): each source's
+    English-document proportion with its Wilson score 95% interval —
+    the proportion CI that stays inside [0,1] and behaves at k=0 /
+    k=n, which is why ingest dashboards use it over the Wald interval
+    for per-shard acceptance rates (a 25-doc source with 0 English
+    docs gets a sane upper bound instead of [0,0]).
+
+    Exactness: k and n are exact BIGINTs from one rollup; the
+    interval is a fixed IEEE expression (one sqrt, the baked z
+    literal) over those integers — identical across engines, no
+    unordered float sums anywhere.
+
+    Scale: ONE partial-aggregatable groupBy(source); the interval
+    math is per-group scalar arithmetic."""
+    docs = tables.table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("lang") == "en").cast("int"))
+        .cast("bigint")
+        .alias("n_en"),
+    )
+    z = F.lit(float(_WILSON_Z))
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_en").cast("double") / n
+    z2n = z * z / n
+    center = (p + z2n / 2.0) / (1.0 + z2n)
+    half = (
+        z
+        / (1.0 + z2n)
+        * F.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_en",
+        p.alias("p_hat"),
+        (center - half).alias("ci_lo"),
+        (center + half).alias("ci_hi"),
+    )
+
+
+WILSON_CI_SEGMENTS_ORACLE = f"""
+WITH agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_en
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, n_en,
+       CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p_hat,
+       (CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          + CAST({_WILSON_Z} AS DOUBLE) * CAST({_WILSON_Z} AS DOUBLE)
+            / CAST(n_docs AS DOUBLE) / 2.0)
+         / (1.0 + CAST({_WILSON_Z} AS DOUBLE) * CAST({_WILSON_Z} AS DOUBLE)
+              / CAST(n_docs AS DOUBLE))
+       - CAST({_WILSON_Z} AS DOUBLE)
+         / (1.0 + CAST({_WILSON_Z} AS DOUBLE) * CAST({_WILSON_Z} AS DOUBLE)
+              / CAST(n_docs AS DOUBLE))
+         * sqrt(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                * (1.0 - CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                / CAST(n_docs AS DOUBLE)
+                + CAST({_WILSON_Z} AS DOUBLE) * CAST({_WILSON_Z} AS DOUBLE)
+                  / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+         AS ci_lo,
+       (CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          + CAST({_WILSON_Z} AS DOUBLE) * CAST({_WILSON_Z} AS DOUBLE)
+            / CAST(n_docs AS DOUBLE) / 2.0)
+         / (1.0 + CAST({_WILSON_Z} AS DOUBLE) * CAST({_WILSON_Z} AS DOUBLE)
+              / CAST(n_docs AS DOUBLE))
+       + CAST({_WILSON_Z} AS DOUBLE)
+         / (1.0 + CAST({_WILSON_Z} AS DOUBLE) * CAST({_WILSON_Z} AS DOUBLE)
+              / CAST(n_docs AS DOUBLE))
+         * sqrt(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                * (1.0 - CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                / CAST(n_docs AS DOUBLE)
+                + CAST({_WILSON_Z} AS DOUBLE) * CAST({_WILSON_Z} AS DOUBLE)
+                  / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+         AS ci_hi
+FROM agg
+"""
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-source rates (beta-binomial MoM)
+# --------------------------------------------------------------------------
+
+
+def eb_rate_shrinkage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_en, raw_rate, m_strength, shrunk_rate): each
+    source's English-doc rate shrunk toward the cross-source mean by
+    the beta-binomial method-of-moments — the standard fix for
+    "the 25-doc source shows 0% English" small-sample noise when
+    ranking shards by a quality rate. Strength M = m(1-m)/v - 1
+    (m, v = mean/variance of the raw per-source rates); shrunk =
+    (k + m*M) / (n + M), so small-n sources move most.
+
+    Determinism: the cross-source moments are sums over ~|sources|
+    DOUBLE rates — an unordered float SUM would be engine-dependent,
+    so both engines fold a SOURCE-SORTED list (Spark ``aggregate``
+    over ``array_sort(collect_list(struct))``, DuckDB ``list_reduce``
+    over ``list(... ORDER BY source)``) — identical IEEE add order.
+    Degenerate guard: v = 0 or M <= 0 emits M = 0 and shrunk = raw.
+
+    Scale: ONE corpus rollup to |sources| rows; the fold runs on a
+    catalog-sized list inside one scalar row; the final join
+    broadcasts that row back across the rate frame."""
+    docs = tables.table(spark, sf_dir, "documents")
+    rates = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("lang") == "en").cast("int"))
+        .cast("bigint")
+        .alias("n_en"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_en",
+        (F.col("n_en").cast("double") / F.col("n_docs").cast("double"))
+        .alias("raw_rate"),
+    )
+    packed = rates.agg(
+        F.array_sort(
+            F.collect_list(F.struct("source", "raw_rate"))
+        ).alias("lst"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    ).select(
+        "n_src",
+        F.expr(
+            "aggregate(transform(lst, x -> x.raw_rate), "
+            "cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("s1"),
+        F.col("lst"),
+    ).select(
+        "n_src",
+        (F.col("s1") / F.col("n_src").cast("double")).alias("m"),
+        F.col("lst"),
+    ).select(
+        "n_src",
+        "m",
+        F.expr(
+            "aggregate(transform(lst, x -> (x.raw_rate - m) "
+            "* (x.raw_rate - m)), cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("ss"),
+    ).select(
+        "m",
+        F.when(
+            F.col("n_src") > 1,
+            F.col("ss") / (F.col("n_src") - 1).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("v"),
+    ).select(
+        "m",
+        F.when(
+            (F.col("v") > 0)
+            & (F.col("m") * (1.0 - F.col("m")) / F.col("v") - 1.0 > 0),
+            F.col("m") * (1.0 - F.col("m")) / F.col("v") - 1.0,
+        ).otherwise(F.lit(0.0)).alias("m_strength"),
+    )
+    return rates.crossJoin(F.broadcast(packed)).select(
+        "source",
+        "n_docs",
+        "n_en",
+        "raw_rate",
+        "m_strength",
+        (
+            (F.col("n_en").cast("double") + F.col("m") * F.col("m_strength"))
+            / (F.col("n_docs").cast("double") + F.col("m_strength"))
+        ).alias("shrunk_rate"),
+    )
+
+
+EB_RATE_SHRINKAGE_ORACLE = """
+WITH rates AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_en,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS raw_rate
+  FROM documents GROUP BY 1
+),
+packed AS (
+  SELECT list(raw_rate ORDER BY source) AS lst,
+         CAST(count(*) AS BIGINT) AS n_src
+  FROM rates
+),
+mom1 AS (
+  SELECT n_src, lst,
+         list_reduce(lst, (a, x) -> a + x) / CAST(n_src AS DOUBLE) AS m
+  FROM packed
+),
+mom2 AS (
+  SELECT m,
+         CASE WHEN n_src > 1 THEN
+           list_reduce(list_transform(lst, x -> (x - m) * (x - m)),
+                       (a, x) -> a + x) / CAST(n_src - 1 AS DOUBLE)
+         ELSE 0.0 END AS v
+  FROM mom1
+),
+strength AS (
+  SELECT m,
+         CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0
+              THEN m * (1.0 - m) / v - 1.0 ELSE 0.0 END AS m_strength
+  FROM mom2
+)
+SELECT r.source, r.n_docs, r.n_en, r.raw_rate, s.m_strength,
+       (CAST(r.n_en AS DOUBLE) + s.m * s.m_strength)
+         / (CAST(r.n_docs AS DOUBLE) + s.m_strength) AS shrunk_rate
+FROM rates r, strength s
+"""
+
+
+# --------------------------------------------------------------------------
+# Cramér's V: event_type x weekday association strength
+# --------------------------------------------------------------------------
+
+
+def cramers_v_association_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_rows, n_types, n_dows, chi2, cramers_v): the chi-squared
+    association between event_type and weekday with Cramér's V
+    normalization — the [0,1] "does behavior depend on the day"
+    effect size a seasonality-aware sampler checks before stratifying
+    on weekday at all (V ~ 0 means the stratification buys nothing).
+    Weekday is computed as ``datediff(day, 1970-01-05) mod 7``
+    (0 = Monday) — the engine-neutral form, since Spark's dayofweek
+    (1 = Sunday) and DuckDB's (0 = Sunday) disagree.
+
+    Exactness: observed/margin counts are exact BIGINTs; each cell's
+    chi2 term is a fixed IEEE expression over them (the N*O and R*C
+    products are taken in DOUBLE — their BIGINT squares would
+    overflow first); the sum over the |types| x 7 grid folds a
+    CELL-SORTED list on both engines (no unordered float sum). V's
+    sqrt is correctly-rounded IEEE.
+
+    Scale: ONE partial-aggregatable rollup to the |types| x 7 cell
+    grid; margins and the fold live on that bounded frame."""
+    ev = tables.table(spark, sf_dir, "events")
+    cells = ev.select(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date"))
+            % 7
+        ).cast("int").alias("dow"),
+    ).groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wall = Window.partitionBy()
+    terms = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(wr).cast("bigint").alias("r_m"),
+        F.sum("o").over(wc).cast("bigint").alias("c_m"),
+        F.sum("o").over(wall).cast("bigint").alias("n"),
+    ).select(
+        "event_type",
+        "dow",
+        "n",
+        (
+            (
+                F.col("n").cast("double") * F.col("o").cast("double")
+                - F.col("r_m").cast("double") * F.col("c_m").cast("double")
+            )
+            * (
+                F.col("n").cast("double") * F.col("o").cast("double")
+                - F.col("r_m").cast("double") * F.col("c_m").cast("double")
+            )
+            / (
+                F.col("n").cast("double")
+                * F.col("r_m").cast("double")
+                * F.col("c_m").cast("double")
+            )
+        ).alias("term"),
+    )
+    agg = terms.groupBy("n").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(event_type, dow, term))), x -> x.term), "
+            "cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("chi2"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.countDistinct("dow").cast("bigint").alias("n_dows"),
+    )
+    return agg.select(
+        F.col("n").alias("n_rows"),
+        "n_types",
+        "n_dows",
+        "chi2",
+        F.when(
+            F.least(F.col("n_types") - 1, F.col("n_dows") - 1) > 0,
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("n_types") - 1, F.col("n_dows") - 1)
+                    .cast("double")
+                )
+            ),
+        ).otherwise(F.lit(0.0)).alias("cramers_v"),
+    )
+
+
+CRAMERS_V_ASSOCIATION_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7
+           AS INT) AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+terms AS (
+  SELECT event_type, dow,
+         CAST(sum(o) OVER () AS BIGINT) AS n,
+         (CAST(sum(o) OVER () AS DOUBLE) * CAST(o AS DOUBLE)
+            - CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE)
+              * CAST(sum(o) OVER (PARTITION BY dow) AS DOUBLE))
+         * (CAST(sum(o) OVER () AS DOUBLE) * CAST(o AS DOUBLE)
+            - CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE)
+              * CAST(sum(o) OVER (PARTITION BY dow) AS DOUBLE))
+         / (CAST(sum(o) OVER () AS DOUBLE)
+            * CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE)
+            * CAST(sum(o) OVER (PARTITION BY dow) AS DOUBLE)) AS term
+  FROM cells
+),
+agg AS (
+  SELECT n,
+         list_reduce(list(term ORDER BY event_type, dow),
+                     (a, x) -> a + x) AS chi2,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(count(DISTINCT dow) AS BIGINT) AS n_dows
+  FROM terms GROUP BY n
+)
+SELECT n AS n_rows, n_types, n_dows, chi2,
+       CASE WHEN least(n_types - 1, n_dows - 1) > 0 THEN
+         sqrt(chi2 / (CAST(n AS DOUBLE)
+                      * CAST(least(n_types - 1, n_dows - 1) AS DOUBLE)))
+       ELSE 0.0 END AS cramers_v
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Hodges-Lehmann shift: weekend vs weekday daily revenue
+# --------------------------------------------------------------------------
+
+
+def hodges_lehmann_shift_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_weekend, n_weekday, n_pairs, hl_shift_cents): the
+    Hodges-Lehmann estimator of the weekend-vs-weekday shift in daily
+    purchase revenue — the MEDIAN over all (weekend day, weekday day)
+    pairs of the cents difference. The location-shift companion to
+    ``mann_whitney_audit``: U says WHETHER the distributions differ,
+    HL says BY HOW MUCH, with the same ~29% breakdown robustness as
+    Theil-Sen (whose pair-median construction this mirrors).
+
+    Weekday parity via ``datediff(day, 1970-01-05) mod 7`` (see
+    ``cramers_v_association`` for why not dayofweek). Exactness:
+    differences are exact BIGINT cents; the median picks middle
+    element(s) by row_number with a deterministic (diff, days) order;
+    the even-pair average is a single two-operand float expression.
+
+    Scale: corpus -> day spine; the pair frame is |weekend| x
+    |weekday| rows of that bounded spine (a decade ~ 2.7M pairs)."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(
+            "day",
+            "cents",
+            (
+                (
+                    F.datediff(
+                        F.col("day"), F.lit("1970-01-05").cast("date")
+                    )
+                    % 7
+                )
+                >= 5
+            ).alias("is_weekend"),
+        )
+    )
+    we = daily.filter(F.col("is_weekend")).select(
+        F.col("day").alias("dw"), F.col("cents").alias("cw")
+    )
+    wd = daily.filter(~F.col("is_weekend")).select(
+        F.col("day").alias("dd"), F.col("cents").alias("cd")
+    )
+    diffs = we.crossJoin(wd).select(
+        (F.col("cw") - F.col("cd")).cast("bigint").alias("diff"),
+        "dw",
+        "dd",
+    )
+    w = Window.orderBy("diff", "dw", "dd")
+    ranked = diffs.select(
+        "diff",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n_pairs"),
+    )
+    med = ranked.filter(
+        (F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        | (F.col("rn") == F.expr("n_pairs div 2 + 1"))
+    ).groupBy("n_pairs").agg(
+        ((F.min("diff") + F.max("diff")) / 2.0).alias("hl_shift_cents")
+    )
+    counts = daily.agg(
+        F.sum(F.col("is_weekend").cast("int")).cast("bigint")
+        .alias("n_weekend"),
+        F.sum((~F.col("is_weekend")).cast("int")).cast("bigint")
+        .alias("n_weekday"),
+    )
+    return counts.crossJoin(F.broadcast(med)).select(
+        "n_weekend", "n_weekday", "n_pairs", "hl_shift_cents"
+    )
+
+
+HODGES_LEHMANN_SHIFT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7 >= 5
+           AS is_weekend
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 3
+),
+we AS (SELECT day AS dw, cents AS cw FROM daily WHERE is_weekend),
+wd AS (SELECT day AS dd, cents AS cd FROM daily WHERE NOT is_weekend),
+diffs AS (
+  SELECT CAST(cw - cd AS BIGINT) AS diff, dw, dd FROM we CROSS JOIN wd
+),
+ranked AS (
+  SELECT diff,
+         row_number() OVER (ORDER BY diff, dw, dd) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n_pairs
+  FROM diffs
+),
+med AS (
+  SELECT n_pairs, (min(diff) + max(diff)) / 2.0 AS hl_shift_cents
+  FROM ranked
+  WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+  GROUP BY n_pairs
+)
+SELECT c.n_weekend, c.n_weekday, m.n_pairs, m.hl_shift_cents
+FROM (
+  SELECT CAST(sum(CASE WHEN is_weekend THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_weekend,
+         CAST(sum(CASE WHEN is_weekend THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_weekday
+  FROM daily
+) c, med m
+"""
+
+
+# --------------------------------------------------------------------------
+# Source concentration audit (HHI / effective source count)
+# --------------------------------------------------------------------------
+
+
+def source_concentration_audit_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_sources, total_chars, top_source, top_share, hhi,
+    effective_sources): how concentrated the corpus' character mass
+    is across sources — the Herfindahl-Hirschman index over
+    char-mass shares, its inverse (the "effective number of sources"
+    a mixture sampler actually has), and the largest share. The
+    one-row governance gate before mixture-weight tuning: an HHI
+    near 1 means the "20-source corpus" is really one source with
+    passengers, and per-source quality stats are mostly noise.
+
+    Exactness: char masses are exact BIGINTs; shares are single IEEE
+    divisions; the HHI sum folds a SOURCE-SORTED share list on both
+    engines (the eb_rate_shrinkage pattern — never an unordered
+    float SUM). top picks by (share, source) order, deterministic.
+
+    Scale: ONE partial-aggregatable rollup to |sources| rows; fold
+    and argmax on that catalog-sized frame."""
+    docs = tables.table(spark, sf_dir, "documents")
+    mass = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("chars")
+    )
+    return mass.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        F.max(F.struct("chars", "source")).alias("top"),
+        F.array_sort(F.collect_list(F.struct("source", "chars")))
+        .alias("lst"),
+    ).select(
+        "n_sources",
+        "total_chars",
+        F.col("top.source").alias("top_source"),
+        (
+            F.col("top.chars").cast("double")
+            / F.col("total_chars").cast("double")
+        ).alias("top_share"),
+        F.expr(
+            "aggregate(transform(lst, x -> (cast(x.chars as double) "
+            "/ cast(total_chars as double)) * (cast(x.chars as double) "
+            "/ cast(total_chars as double))), cast(0.0 as double), "
+            "(a, x) -> a + x)"
+        ).alias("hhi"),
+    ).select(
+        "n_sources",
+        "total_chars",
+        "top_source",
+        "top_share",
+        "hhi",
+        F.when(F.col("hhi") > 0, F.lit(1.0) / F.col("hhi"))
+        .otherwise(F.lit(0.0))
+        .alias("effective_sources"),
+    )
+
+
+SOURCE_CONCENTRATION_AUDIT_ORACLE = """
+WITH mass AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1
+),
+top AS (
+  -- mirrors Spark's max(struct(chars, source)): max chars, then max
+  -- source as the tie-break
+  SELECT source AS top_source, CAST(chars AS BIGINT) AS top_chars
+  FROM mass ORDER BY chars DESC, source DESC LIMIT 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(chars) AS BIGINT) AS total_chars,
+         list(chars ORDER BY source) AS lst
+  FROM mass
+)
+SELECT n_sources, total_chars, top_source,
+       CAST(top_chars AS DOUBLE) / CAST(total_chars AS DOUBLE)
+         AS top_share,
+       list_reduce(list_transform(lst,
+           x -> (CAST(x AS DOUBLE) / CAST(total_chars AS DOUBLE))
+              * (CAST(x AS DOUBLE) / CAST(total_chars AS DOUBLE))),
+         (a, x) -> a + x) AS hhi,
+       CASE WHEN list_reduce(list_transform(lst,
+           x -> (CAST(x AS DOUBLE) / CAST(total_chars AS DOUBLE))
+              * (CAST(x AS DOUBLE) / CAST(total_chars AS DOUBLE))),
+         (a, x) -> a + x) > 0 THEN
+         1.0 / list_reduce(list_transform(lst,
+             x -> (CAST(x AS DOUBLE) / CAST(total_chars AS DOUBLE))
+                * (CAST(x AS DOUBLE) / CAST(total_chars AS DOUBLE))),
+           (a, x) -> a + x)
+       ELSE 0.0 END AS effective_sources
+FROM agg, top
+"""

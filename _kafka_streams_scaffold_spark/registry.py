@@ -180,6 +180,11 @@ _WINDOW_R08 = [
     "spearman_trend",
     "cvm_drift_audit",
     "pettitt_changepoint",
+    "wilson_ci_segments",
+    "eb_rate_shrinkage",
+    "cramers_v_association",
+    "hodges_lehmann_shift",
+    "source_concentration_audit",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -1901,6 +1906,31 @@ def _ensure_loaded() -> None:
         "pettitt_changepoint",
         inference.pettitt_changepoint_query,
         inference.PETTITT_CHANGEPOINT_ORACLE,
+    )
+    register(
+        "wilson_ci_segments",
+        inference.wilson_ci_segments_query,
+        inference.WILSON_CI_SEGMENTS_ORACLE,
+    )
+    register(
+        "eb_rate_shrinkage",
+        inference.eb_rate_shrinkage_query,
+        inference.EB_RATE_SHRINKAGE_ORACLE,
+    )
+    register(
+        "cramers_v_association",
+        inference.cramers_v_association_query,
+        inference.CRAMERS_V_ASSOCIATION_ORACLE,
+    )
+    register(
+        "hodges_lehmann_shift",
+        inference.hodges_lehmann_shift_query,
+        inference.HODGES_LEHMANN_SHIFT_ORACLE,
+    )
+    register(
+        "source_concentration_audit",
+        inference.source_concentration_audit_query,
+        inference.SOURCE_CONCENTRATION_AUDIT_ORACLE,
     )
 
     _apply_window(_WINDOW_R08)

@@ -189,3 +189,82 @@ def test_pettitt_matches_bruteforce_split_scan(spark):
     assert row["k2"] == best[1]
     assert row["t_index"] == best[0]
     assert row["u2_signed"] == best[2]
+
+
+# ---------------------------------------------------------------------------
+# Wilson / EB shrinkage
+# ---------------------------------------------------------------------------
+
+
+def test_wilson_interval_contains_p_hat_and_stays_in_unit(spark):
+    rows = inference.wilson_ci_segments_query(spark, SF).collect()
+    for r in rows:
+        assert 0.0 <= r["ci_lo"] <= r["p_hat"] <= r["ci_hi"] <= 1.0
+        # Wilson never collapses at the boundary: even k=0 / k=n get a
+        # strictly positive-width interval
+        assert r["ci_hi"] - r["ci_lo"] > 0.0
+
+
+def test_eb_shrinkage_moves_rates_toward_the_mean_never_past_it(spark):
+    rows = inference.eb_rate_shrinkage_query(spark, SF).collect()
+    m = sum(r["raw_rate"] for r in rows) / len(rows)
+    strength = rows[0]["m_strength"]
+    assert strength >= 0.0
+    if strength > 0:
+        for r in rows:
+            if r["raw_rate"] > m:
+                assert m <= r["shrunk_rate"] <= r["raw_rate"] + 1e-12
+            else:
+                assert r["raw_rate"] - 1e-12 <= r["shrunk_rate"] <= m + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V / Hodges-Lehmann / concentration
+# ---------------------------------------------------------------------------
+
+
+def test_cramers_v_bounded_and_chi2_nonnegative(spark):
+    r = inference.cramers_v_association_query(spark, SF).collect()[0]
+    assert r["chi2"] >= 0.0
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["n_dows"] <= 7
+
+
+def test_hodges_lehmann_matches_bruteforce_pair_median(spark):
+    daily = sorted(
+        (
+            tables.table(spark, SF, "events")
+            .filter(F.col("event_type") == "purchase")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                    "cents"
+                )
+            )
+        ).collect(),
+        key=lambda r: r["day"],
+    )
+    import datetime
+
+    epoch_mon = datetime.date(1970, 1, 5)
+    we = [r["cents"] for r in daily if (r["day"] - epoch_mon).days % 7 >= 5]
+    wd = [r["cents"] for r in daily if (r["day"] - epoch_mon).days % 7 < 5]
+    diffs = sorted(a - b for a in we for b in wd)
+    n = len(diffs)
+    expected = (
+        diffs[(n - 1) // 2] + diffs[n // 2]
+    ) / 2.0
+    row = inference.hodges_lehmann_shift_query(spark, SF).collect()[0]
+    assert row["n_weekend"] == len(we)
+    assert row["n_weekday"] == len(wd)
+    assert row["n_pairs"] == n
+    assert row["hl_shift_cents"] == pytest.approx(expected)
+
+
+def test_concentration_identities(spark):
+    r = inference.source_concentration_audit_query(spark, SF).collect()[0]
+    # HHI of k shares lies in [1/k, 1]; effective count in [1, k]
+    k = r["n_sources"]
+    assert 1.0 / k - 1e-12 <= r["hhi"] <= 1.0
+    assert 1.0 - 1e-9 <= r["effective_sources"] <= k + 1e-9
+    assert r["top_share"] >= 1.0 / k - 1e-12
