@@ -51,11 +51,17 @@ from .. import tables
 from ..pinning import pin as _pin
 from ..tables import EMBED_DIM as DIM
 from .similarity import (
+    _DUCK_ASSIGN_CTES,
     _DUCK_KNN_EDGES_CTES,
+    N_PROBE,
+    N_QUERIES,
+    TOP_K,
     _dot_sql,
     _emb,
     _knn_edges,
     _norm_sql,
+    ann_topk_query,
+    ivf_ann_query,
 )
 
 # --------------------------------------------------------------------------
@@ -805,4 +811,351 @@ SELECT n_edges, n_same_true, n_same_null,
          / CAST(greatest(n_same_null, 1) AS DOUBLE) AS lift
 FROM agg
 WHERE n_edges > 0
+"""
+
+# --------------------------------------------------------------------------
+# Global anisotropy audit (mean pairwise cosine via power sums)
+# --------------------------------------------------------------------------
+
+ANISO_FP = 10_000  # per-component fixed-point scale for normalized coords
+
+
+def embedding_anisotropy_audit_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_vecs, self_dot_fp, mean_pair_cos): the corpus-global
+    anisotropy of the embedding space — the mean cosine between all
+    ordered pairs of distinct vectors, the standard "cone effect"
+    diagnostic (isotropic spaces score ~0; a high mean cosine means
+    every similarity search fights a common dominant direction and
+    cosine thresholds tuned on one corpus won't transfer).
+
+    NO pair join: with normalized, component-quantized vectors q,
+    sum_{i != j} q_i . q_j = |sum_i q_i|^2 - sum_i |q_i|^2 — two
+    linear power sums (the ``embedding_diversity`` identity, lifted
+    from per-label cells to the global space). Determinism: each
+    normalized component is fixed-pointed to ANISO_FP BEFORE any
+    aggregation, so both power sums are exact BIGINT sums; the final
+    |S|^2 squares are taken in DOUBLE over the dim-sorted 64-row
+    fold (bounded, ordered). Quantization (1e-4/component) is part
+    of the operator's contract and identical on both engines.
+    Bounds: per-row self-dot <= 64 * ANISO_FP^2 ~ 6.4e9, exact to
+    ~1.4e9 rows; per-dim sums |S_i| <= n * ANISO_FP.
+
+    Scale: one corpus pass (transform + fold per row), one
+    64-group rollup, one scalar row. Nothing pairwise anywhere."""
+    emb = _emb(spark, sf_dir).filter(F.col("norm") > 0)
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor({ANISO_FP}.0 "
+            "* (cast(x as double) / norm)) as bigint))"
+        ).alias("q"),
+    )
+    rows = q.select(
+        "q",
+        F.expr(
+            "aggregate(transform(q, x -> x * x), cast(0 as bigint), "
+            "(a, x) -> a + x)"
+        ).alias("r2"),
+    )
+    per_dim = (
+        q.select(F.posexplode("q").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum("qi").cast("bigint").alias("s"))
+    )
+    ssq = per_dim.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(i, s))), "
+            "x -> cast(x.s as double) * cast(x.s as double)), "
+            "cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("ssq")
+    )
+    tot = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("r2").cast("bigint").alias("self_dot_fp"),
+    )
+    return tot.crossJoin(F.broadcast(ssq)).select(
+        "n_vecs",
+        "self_dot_fp",
+        F.when(
+            F.col("n_vecs") > 1,
+            (F.col("ssq") - F.col("self_dot_fp").cast("double"))
+            / (
+                F.col("n_vecs").cast("double")
+                * (F.col("n_vecs") - 1).cast("double")
+            )
+            / F.lit(float(ANISO_FP * ANISO_FP)),
+        ).otherwise(F.lit(0.0)).alias("mean_pair_cos"),
+    )
+
+
+EMBEDDING_ANISOTROPY_AUDIT_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor({ANISO_FP}.0 * (CAST(x AS DOUBLE) / norm))
+                AS BIGINT)) AS q
+  FROM normed WHERE norm > 0
+),
+rws AS (
+  SELECT list_reduce(list_transform(q, x -> x * x), (a, x) -> a + x)
+           AS r2
+  FROM q
+),
+per_dim AS (
+  SELECT g.i, CAST(sum(q.q[g.i]) AS BIGINT) AS s
+  FROM q, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) g
+  GROUP BY 1
+),
+ssq AS (
+  SELECT list_reduce(list_transform(list(s ORDER BY i),
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (a, x) -> a + x) AS ssq
+  FROM per_dim
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(r2) AS BIGINT) AS self_dot_fp
+  FROM rws
+)
+SELECT t.n_vecs, t.self_dot_fp,
+       CASE WHEN t.n_vecs > 1 THEN
+         (s.ssq - CAST(t.self_dot_fp AS DOUBLE))
+           / (CAST(t.n_vecs AS DOUBLE) * CAST(t.n_vecs - 1 AS DOUBLE))
+           / CAST({ANISO_FP * ANISO_FP} AS DOUBLE)
+       ELSE 0.0 END AS mean_pair_cos
+FROM tot t, ssq s
+"""
+
+
+# --------------------------------------------------------------------------
+# Two-NN intrinsic dimension estimate (Facco et al. ratio method)
+# --------------------------------------------------------------------------
+
+_TWONN_FP = 1_000_000_000
+
+
+def twonn_intrinsic_dim_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_vecs, n_used, n_degenerate, sum_lnmu_fp, id_twonn): the
+    Two-NN intrinsic-dimension estimate of the embedding manifold —
+    for each vector, mu = d2/d1 (distance ratio of its 2nd to 1st
+    nearest neighbor); the MLE is id = n / sum(ln mu). Embeddings
+    that claim 64 dimensions but measure id ~ 8 waste quantizer
+    budget, and a SHIFT in id between snapshots is an encoder-change
+    tripwire no mean/variance audit sees (Facco et al., Sci. Rep.
+    2017 — public method).
+
+    Distances ride the sub-cell kNN edge list (``_knn_edges``, ranks
+    1-2): in normalized space d^2 = 2(1 - cos), so ln mu =
+    0.5 * ln((1-cos2)/(1-cos1)). Determinism: each per-vector ln is
+    fixed-pointed independently (floor(1e9 * ...), the zipf_fit
+    precedent for transcendentals) and integer-summed; the MLE is
+    one final division. Degenerates (cos1 = 1 exact-dup neighbor, or
+    fewer than 2 in-cell neighbors) are counted out, not divided by.
+
+    Scale: O(n * KNN_K) edge rows -> one n-row rollup -> one scalar;
+    the kNN construction's cell-bounded cost dominates and is
+    already certified (knn-lof probe, SCALE.md)."""
+    edges = _knn_edges(spark, sf_dir)
+    nn = edges.filter(F.col("rank") <= 2).groupBy("q_id").agg(
+        F.min(F.when(F.col("rank") == 1, F.col("cosine"))).alias("cos1"),
+        F.min(F.when(F.col("rank") == 2, F.col("cosine"))).alias("cos2"),
+    )
+    scored = nn.select(
+        "q_id",
+        F.when(
+            F.col("cos1").isNotNull()
+            & F.col("cos2").isNotNull()
+            & (F.col("cos1") < 1.0),
+            F.floor(
+                F.lit(float(_TWONN_FP))
+                * 0.5
+                * F.log(
+                    (F.lit(1.0) - F.col("cos2"))
+                    / (F.lit(1.0) - F.col("cos1"))
+                )
+            ).cast("bigint"),
+        ).alias("lnmu_fp"),
+    )
+    n_all = tables.table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    agg = scored.agg(
+        F.sum(F.col("lnmu_fp").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_used"),
+        F.sum(F.col("lnmu_fp").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_degenerate"),
+        F.coalesce(F.sum("lnmu_fp"), F.lit(0)).cast("bigint")
+        .alias("sum_lnmu_fp"),
+    )
+    return n_all.crossJoin(F.broadcast(agg)).select(
+        "n_vecs",
+        "n_used",
+        "n_degenerate",
+        "sum_lnmu_fp",
+        F.when(
+            F.col("sum_lnmu_fp") > 0,
+            F.col("n_used").cast("double")
+            * F.lit(float(_TWONN_FP))
+            / F.col("sum_lnmu_fp").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("id_twonn"),
+    )
+
+
+TWONN_INTRINSIC_DIM_ORACLE = f"""
+WITH {_DUCK_KNN_EDGES_CTES},
+nn AS (
+  SELECT q_id,
+         min(CASE WHEN rank = 1 THEN cosine END) AS cos1,
+         min(CASE WHEN rank = 2 THEN cosine END) AS cos2
+  FROM edges WHERE rank <= 2 GROUP BY 1
+),
+tn_scored AS (
+  SELECT q_id,
+         CASE WHEN cos1 IS NOT NULL AND cos2 IS NOT NULL AND cos1 < 1.0
+           THEN CAST(floor(CAST({_TWONN_FP} AS DOUBLE) * 0.5
+                * ln((1.0 - cos2) / (1.0 - cos1))) AS BIGINT)
+         END AS lnmu_fp
+  FROM nn
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN lnmu_fp IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_used,
+         CAST(sum(CASE WHEN lnmu_fp IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_degenerate,
+         CAST(COALESCE(sum(lnmu_fp), 0) AS BIGINT) AS sum_lnmu_fp
+  FROM tn_scored
+)
+SELECT n.n_vecs, a.n_used, a.n_degenerate, a.sum_lnmu_fp,
+       CASE WHEN a.sum_lnmu_fp > 0 THEN
+         CAST(a.n_used AS DOUBLE) * CAST({_TWONN_FP} AS DOUBLE)
+           / CAST(a.sum_lnmu_fp AS DOUBLE)
+       ELSE 0.0 END AS id_twonn
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings) n, agg a
+"""
+
+
+# --------------------------------------------------------------------------
+# MRR audit: where the TRUE nearest neighbor lands in the IVF list
+# --------------------------------------------------------------------------
+
+
+def mrr_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_queries, n_hits, mrr): mean reciprocal rank of each query's
+    EXACT cosine nearest neighbor within the IVF search's top-K list
+    — the rank-position complement to the recall family
+    (``ivf_probe_recall_curve`` asks "did the truth make the list",
+    MRR asks "how high"; a recall-0.9 index whose MRR is 0.3 returns
+    truth buried under quantization noise, which re-rank budgets
+    must know). Truth not in the list contributes 0 (standard
+    MRR@K).
+
+    Exactness: ranks are integers, each reciprocal is one exact IEEE
+    division, and the mean folds a q_id-SORTED list (bounded:
+    N_QUERIES panel), never an unordered float sum.
+
+    Scale: reuses the ivf_ann candidate plan (probe-bounded) and the
+    exact reference on the fixed query panel; the audit itself is
+    |queries| rows."""
+    exact1 = (
+        ann_topk_query(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select("q_id", F.col("n_id").alias("true_nn"))
+    )
+    ivf = ivf_ann_query(spark, sf_dir).select(
+        F.col("q_id").alias("iq"), "n_id", F.col("rank").alias("ivf_rank")
+    )
+    rr = exact1.join(
+        ivf,
+        (F.col("q_id") == F.col("iq"))
+        & (F.col("n_id") == F.col("true_nn")),
+        "left",
+    ).select(
+        "q_id",
+        F.coalesce(
+            F.lit(1.0) / F.col("ivf_rank").cast("double"), F.lit(0.0)
+        ).alias("rr"),
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum((F.col("rr") > 0).cast("int")).cast("bigint").alias("n_hits"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(q_id, rr))), x -> x.rr), cast(0.0 as double), "
+            "(a, x) -> a + x)"
+        ).alias("rr_sum"),
+    ).select(
+        "n_queries",
+        "n_hits",
+        F.when(
+            F.col("n_queries") > 0,
+            F.col("rr_sum") / F.col("n_queries").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("mrr"),
+    )
+
+
+MRR_AUDIT_ORACLE = f"""
+WITH {_DUCK_ASSIGN_CTES},
+probes AS (
+  SELECT q_id, c_label FROM (
+    SELECT vec_id AS q_id, c_label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label)
+               AS pr
+    FROM scored WHERE vec_id < {N_QUERIES}
+  )
+  WHERE pr <= {N_PROBE}
+),
+normed AS MATERIALIZED (
+  SELECT vec_id, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+approx AS MATERIALIZED (
+  SELECT q_id, n_id, rank FROM (
+    SELECT p.q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY p.q_id
+             ORDER BY {_dot_sql('q.embedding', 'n.embedding', 'duck')}
+                      / (q.norm * n.norm) DESC, n.vec_id
+           ) AS rank
+    FROM probes p
+    JOIN assign a ON a.c_label = p.c_label
+    JOIN normed n ON n.vec_id = a.vec_id
+    JOIN normed q ON q.vec_id = p.q_id
+    WHERE n.vec_id <> p.q_id
+  ) WHERE rank <= {TOP_K}
+),
+exact1 AS MATERIALIZED (
+  SELECT q_id, n_id AS true_nn FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dot_sql('q.embedding', 'n.embedding', 'duck')}
+                      / (q.norm * n.norm) DESC, n.vec_id
+           ) AS rank
+    FROM normed q JOIN normed n ON n.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank = 1
+),
+rr AS (
+  SELECT e.q_id,
+         COALESCE(1.0 / CAST(a.rank AS DOUBLE), 0.0) AS rr
+  FROM exact1 e
+  LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.true_nn
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CASE WHEN count(*) > 0 THEN
+         list_reduce(list(rr ORDER BY q_id), (a, x) -> a + x)
+           / CAST(count(*) AS DOUBLE)
+       ELSE 0.0 END AS mrr
+FROM rr
 """

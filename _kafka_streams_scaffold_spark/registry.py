@@ -185,6 +185,10 @@ _WINDOW_R08 = [
     "cramers_v_association",
     "hodges_lehmann_shift",
     "source_concentration_audit",
+    # round-8 additions: embedding-geometry tier
+    "embedding_anisotropy_audit",
+    "twonn_intrinsic_dim",
+    "mrr_audit",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -1931,6 +1935,23 @@ def _ensure_loaded() -> None:
         "source_concentration_audit",
         inference.source_concentration_audit_query,
         inference.SOURCE_CONCENTRATION_AUDIT_ORACLE,
+    )
+
+    # ---- round 8: embedding-geometry tier ----
+    register(
+        "embedding_anisotropy_audit",
+        retrieval.embedding_anisotropy_audit_query,
+        retrieval.EMBEDDING_ANISOTROPY_AUDIT_ORACLE,
+    )
+    register(
+        "twonn_intrinsic_dim",
+        retrieval.twonn_intrinsic_dim_query,
+        retrieval.TWONN_INTRINSIC_DIM_ORACLE,
+    )
+    register(
+        "mrr_audit",
+        retrieval.mrr_audit_query,
+        retrieval.MRR_AUDIT_ORACLE,
     )
 
     _apply_window(_WINDOW_R08)

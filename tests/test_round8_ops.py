@@ -268,3 +268,58 @@ def test_concentration_identities(spark):
     assert 1.0 / k - 1e-12 <= r["hhi"] <= 1.0
     assert 1.0 - 1e-9 <= r["effective_sources"] <= k + 1e-9
     assert r["top_share"] >= 1.0 / k - 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Embedding geometry tier
+# ---------------------------------------------------------------------------
+
+
+def test_anisotropy_matches_bruteforce_mean_pair_cosine(spark):
+    """The power-sum identity must equal the O(n^2) brute force over
+    the same quantized normalized vectors."""
+    from _kafka_streams_scaffold_spark.operators import retrieval
+
+    emb = tables.table(spark, SF, "embeddings").collect()
+    vecs = []
+    for r in emb:
+        v = [float(x) for x in r["embedding"]]
+        nrm = math.sqrt(sum(x * x for x in v))
+        if nrm > 0:
+            vecs.append(
+                [math.floor(retrieval.ANISO_FP * (x / nrm)) for x in v]
+            )
+    n = len(vecs)
+    brute = sum(
+        sum(a * b for a, b in zip(vecs[i], vecs[j]))
+        for i in range(n)
+        for j in range(n)
+        if i != j
+    ) / (n * (n - 1)) / (retrieval.ANISO_FP**2)
+    row = retrieval.embedding_anisotropy_audit_query(spark, SF).collect()[0]
+    assert row["n_vecs"] == n
+    assert row["mean_pair_cos"] == pytest.approx(brute, rel=1e-9)
+
+
+def test_twonn_id_is_positive_and_counts_partition(spark):
+    from _kafka_streams_scaffold_spark.operators import retrieval
+
+    row = retrieval.twonn_intrinsic_dim_query(spark, SF).collect()[0]
+    assert row["n_used"] + row["n_degenerate"] <= row["n_vecs"]
+    if row["sum_lnmu_fp"] > 0:
+        assert row["id_twonn"] > 0
+        # a 64-d corpus cannot measure a (meaningful) id above 64 by
+        # orders of magnitude; sanity band only
+        assert row["id_twonn"] < 1000
+
+
+def test_mrr_bounded_by_recall_relationship(spark):
+    """MRR <= hit-rate (each hit contributes at most 1), and a hit at
+    rank 1 for every query would make them equal."""
+    from _kafka_streams_scaffold_spark.operators import retrieval
+
+    row = retrieval.mrr_audit_query(spark, SF).collect()[0]
+    hit_rate = row["n_hits"] / row["n_queries"]
+    assert 0.0 <= row["mrr"] <= hit_rate + 1e-12
+    # IVF at nprobe=3 on this corpus should find most true NNs
+    assert row["n_hits"] >= 1
