@@ -990,3 +990,111 @@ SELECT n_docs, n_clusters, exact_chars, est_chars,
 FROM est, exact
 WHERE n_docs > 0
 """
+
+# --------------------------------------------------------------------------
+# Semantic dedup keep-manifest (round 8): one keep per embedding cluster
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup_keep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, quality_score, keep): the
+    SEMANTIC dedup end product — embedding near-dup clusters
+    (``embedding_dup_clusters``: cosine >= tau inside bounded IVF
+    cells, components over that graph) crossed with the per-doc
+    composite quality score, keeping the HIGHEST-QUALITY member of
+    each cluster (ties on doc_id). The embedding-space twin of
+    ``cluster_keep_list`` (whose clusters are lexical MinHash and
+    whose canonicality is PageRank): lexical dedup drops re-typed
+    copies; semantic dedup drops re-PHRASED ones, and keep-best-
+    quality is the production rule for that tier (you keep the clean
+    rendition, not the most-connected one). Round-7 verdict
+    suggestion (c).
+
+    Exactness: clusters come from the certified CC engine;
+    quality_score is a fixed IEEE expression on exact counts; the
+    keep rank is a deterministic window (score DESC, doc_id). The
+    vec_id == doc_id identity is the fixtures' 1:1 contract
+    (embeddings ARE the documents' vectors).
+
+    Scale: composes two certified plans plus one |docs|-row join and
+    one window partitioned by cluster (cluster sizes are bounded by
+    the IVF cell cap). One new shuffle (the join), nothing pairwise."""
+    from pyspark.sql import Window
+    from .textops import quality_score_query
+
+    clusters = embedding_dup_clusters_query(spark, sf_dir)
+    quality = quality_score_query(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    joined = clusters.join(
+        quality, clusters["vec_id"] == quality["doc_id"]
+    ).select("doc_id", "cluster_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    sized = Window.partitionBy("cluster_id")
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(sized).cast("bigint").alias("cluster_size"),
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def _semantic_keep_oracle() -> str:
+    from .similarity import DUCK_NEAR_DUP_CTES, DUCK_NEAR_DUP_SELECT
+    from .textops import _EN_STOPWORDS, _sql_list
+
+    return f"""
+WITH RECURSIVE {DUCK_NEAR_DUP_CTES},
+pairs AS (
+  {DUCK_NEAR_DUP_SELECT}
+),
+uedges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+walk(vec_id, reach) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT w.vec_id, e.dst FROM walk w JOIN uedges e ON w.reach = e.src
+),
+clusters AS (
+  SELECT vec_id, min(reach) AS cluster_id
+  FROM walk GROUP BY vec_id
+),
+sq_base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\W+'),
+                     x -> x <> '') AS toks,
+         length(text) AS n_chars_actual,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+),
+sq AS (
+  SELECT doc_id,
+         0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+           + 0.3 * (CAST(alpha_chars AS DOUBLE) / n_chars_actual)
+           + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                 x -> x IN ({_sql_list(_EN_STOPWORDS)}))) AS DOUBLE)
+               / len(toks)) AS quality_score
+  FROM sq_base
+),
+joined AS (
+  SELECT q.doc_id, c.cluster_id, q.quality_score
+  FROM clusters c JOIN sq q ON q.doc_id = c.vec_id
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS cluster_size,
+       quality_score,
+       row_number() OVER (
+         PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id
+       ) = 1 AS keep
+FROM joined
+"""
+
+
+SEMANTIC_DEDUP_KEEP_ORACLE = _semantic_keep_oracle()

@@ -2570,3 +2570,99 @@ WHERE n_univ > 0
 
 
 DETECTOR_MCNEMAR_ORACLE = _mcnemar_oracle()
+
+# --------------------------------------------------------------------------
+# SimHash threshold sweep (round 8): candidate-set distance histogram
+# --------------------------------------------------------------------------
+
+
+def simhash_threshold_sweep_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(hamming, n_pairs): the exact Hamming-distance histogram of the
+    SimHash CANDIDATE pair set (every pair colliding on >= 1 of the 5
+    bands), unfiltered by HAMMING_THRESHOLD — the evidence table for
+    choosing that threshold. ``simhash_pairs`` answers "who is a
+    near-dup at d <= 4"; this answers "where does the candidate mass
+    actually sit": a valley between the near-dup lobe and the random
+    lobe says the cut is safe, mass piled right at the cut says the
+    detector is truncating a real duplicate family. Recall note
+    (honest contract): band collision is pigeonhole-complete only for
+    d <= HAMMING_THRESHOLD, so bins beyond it count only pairs that
+    still share a band — exactly the set a threshold RAISE would
+    admit, which is what the decision needs.
+
+    All counts exact (64-bit signatures, bit_count, distinct pairs);
+    scale rides the banded candidate join — nothing all-pairs, the
+    same posting-list shape as simhash_pairs, minus its filter."""
+    sigs = _pin(simhash_query(spark, sf_dir))
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {off}) & {(1 << w) - 1}"
+                        ).alias("bv"),
+                    )
+                    for i, (off, w) in enumerate(_SIMHASH_BOUNDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", "bs.band", "bs.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+SIMHASH_THRESHOLD_SWEEP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+weighted AS (
+  SELECT doc_id, md5(tok) AS h, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+),
+bit_sums AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(cnt * ({_bit_pm('duck', b)})) AS s{b}" for b in range(1, SIMHASH_BITS + 1))}
+  FROM weighted GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         {" + ".join(f"(CASE WHEN s{b} > 0 THEN CAST({1 << (b - 1)} AS BIGINT) ELSE 0 END)" for b in range(1, SIMHASH_BITS + 1))}
+             AS simhash
+  FROM bit_sums
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, simhash, {i} AS band, (simhash >> {off}) & {(1 << w) - 1} AS bv FROM sigs" for i, (off, w) in enumerate(_SIMHASH_BOUNDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand GROUP BY 1
+"""

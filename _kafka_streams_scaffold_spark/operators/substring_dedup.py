@@ -137,3 +137,109 @@ SELECT doc_id, count(*) AS n_shared_windows, max(n_docs) AS max_window_docs
 FROM wins JOIN shared USING (w)
 GROUP BY doc_id
 """
+
+# --------------------------------------------------------------------------
+# Multi-width span profile (round 8): how shared-span mass decays with W
+# --------------------------------------------------------------------------
+
+SPAN_WIDTHS = [24, 48, 96]
+
+
+def multiwidth_span_profile_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(width, n_rows, n_values, n_shared_values, n_shared_rows,
+    shared_row_frac): the repeated-span profile at widths 24/48/96 in
+    ONE plan — for each window width, how many distinct (doc, window)
+    rows exist, how many window VALUES repeat across documents, and
+    what fraction of the window mass those shared values cover. The
+    decay of shared_row_frac with width is the "how long are the
+    verbatim spans really" curve that picks the dedup W: a fraction
+    that holds up at 96 chars means long boilerplate blocks (trim
+    spans), one that collapses past 24 means short idiom overlap
+    (leave it alone). Extends ``shared_substrings``' single fixed
+    width to the width DIMENSION (round-7 verdict suggestion).
+
+    One corpus scan: the width axis enters as an exploded 3-literal
+    array BEFORE window generation, so all three widths share the
+    same scan/normalization and differ only in the codegen'd
+    transform. Window values are per-doc deduplicated map-side
+    (array_distinct before explode, the _windows contract). All
+    counts exact BIGINTs; the fraction is one final division.
+
+    Scale: total window mass is sum over widths of ~corpus chars —
+    3x the single-width detector, still linear; the one shuffle
+    groups by (width, window-text), partial-aggregated map-side,
+    AQE-splittable on hot windows."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    widths = F.explode(
+        F.array(*[F.lit(w) for w in SPAN_WIDTHS])
+    ).alias("width")
+    wins = (
+        docs.select("doc_id", F.lower("text").alias("txt"), widths)
+        .filter(F.length("txt") >= F.col("width"))
+        .select(
+            "doc_id",
+            "width",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, length(txt) - (width - 1)),"
+                        " i -> substring(txt, i, width))"
+                    )
+                )
+            ).alias("w"),
+        )
+    )
+    per_val = wins.groupBy("width", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return per_val.groupBy("width").agg(
+        F.sum("n_docs").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum((F.col("n_docs") >= MIN_DOCS).cast("int"))
+        .cast("bigint")
+        .alias("n_shared_values"),
+        F.sum(F.when(F.col("n_docs") >= MIN_DOCS, F.col("n_docs"))
+              .otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_shared_rows"),
+    ).select(
+        "width",
+        "n_rows",
+        "n_values",
+        "n_shared_values",
+        "n_shared_rows",
+        (
+            F.col("n_shared_rows").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("shared_row_frac"),
+    )
+
+
+MULTIWIDTH_SPAN_PROFILE_ORACLE = f"""
+WITH wins AS (
+  SELECT DISTINCT d.doc_id, ws.width,
+         substring(lower(d.text), t.i, ws.width) AS w
+  FROM documents d
+  CROSS JOIN (SELECT unnest([{", ".join(str(w) for w in SPAN_WIDTHS)}])
+              AS width) ws,
+       LATERAL (SELECT unnest(generate_series(
+           1, greatest(length(lower(d.text)) - (ws.width - 1), 0))) AS i) t
+),
+per_val AS (
+  SELECT width, w, CAST(count(*) AS BIGINT) AS n_docs
+  FROM wins GROUP BY 1, 2
+)
+SELECT width,
+       CAST(sum(n_docs) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(CASE WHEN n_docs >= {MIN_DOCS} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_shared_values,
+       CAST(sum(CASE WHEN n_docs >= {MIN_DOCS} THEN n_docs ELSE 0 END)
+         AS BIGINT) AS n_shared_rows,
+       CAST(sum(CASE WHEN n_docs >= {MIN_DOCS} THEN n_docs ELSE 0 END)
+           AS DOUBLE)
+         / CAST(sum(n_docs) AS DOUBLE) AS shared_row_frac
+FROM per_val GROUP BY 1
+"""

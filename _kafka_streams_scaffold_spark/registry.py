@@ -189,6 +189,10 @@ _WINDOW_R08 = [
     "embedding_anisotropy_audit",
     "twonn_intrinsic_dim",
     "mrr_audit",
+    # round-8 additions: dedup / span tier
+    "multiwidth_span_profile",
+    "simhash_threshold_sweep",
+    "semantic_dedup_keep",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -1952,6 +1956,23 @@ def _ensure_loaded() -> None:
         "mrr_audit",
         retrieval.mrr_audit_query,
         retrieval.MRR_AUDIT_ORACLE,
+    )
+
+    # ---- round 8: dedup / span tier ----
+    register(
+        "multiwidth_span_profile",
+        substring_dedup.multiwidth_span_profile_query,
+        substring_dedup.MULTIWIDTH_SPAN_PROFILE_ORACLE,
+    )
+    register(
+        "simhash_threshold_sweep",
+        dedup.simhash_threshold_sweep_query,
+        dedup.SIMHASH_THRESHOLD_SWEEP_ORACLE,
+    )
+    register(
+        "semantic_dedup_keep",
+        clustering.semantic_dedup_keep_query,
+        clustering.SEMANTIC_DEDUP_KEEP_ORACLE,
     )
 
     _apply_window(_WINDOW_R08)

@@ -323,3 +323,72 @@ def test_mrr_bounded_by_recall_relationship(spark):
     assert 0.0 <= row["mrr"] <= hit_rate + 1e-12
     # IVF at nprobe=3 on this corpus should find most true NNs
     assert row["n_hits"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# Dedup / span tier
+# ---------------------------------------------------------------------------
+
+
+def test_multiwidth_span_profile_structure(spark):
+    """Structural identities per width, plus the cross-width
+    implication that any shared wide window forces shared narrow
+    windows to exist (a shared 96-span contains shared 24-spans).
+    NOTE the per-width FRACTION is not monotone in width — both
+    numerator and denominator are distinct-value normalized — so the
+    test checks the implication, not a ratio ordering."""
+    from _kafka_streams_scaffold_spark.operators import substring_dedup
+
+    rows = {
+        r["width"]: r
+        for r in substring_dedup.multiwidth_span_profile_query(
+            spark, SF
+        ).collect()
+    }
+    assert set(rows) == set(substring_dedup.SPAN_WIDTHS)
+    for r in rows.values():
+        assert r["n_shared_values"] <= r["n_values"]
+        assert r["n_shared_rows"] <= r["n_rows"]
+        assert r["n_values"] <= r["n_rows"]
+        assert 0.0 <= r["shared_row_frac"] <= 1.0
+    widths = sorted(rows)
+    # window universe shrinks with width (fewer positions per doc)
+    n_rows_by_w = [rows[w]["n_rows"] for w in widths]
+    assert all(a >= b for a, b in zip(n_rows_by_w, n_rows_by_w[1:]))
+    if rows[widths[-1]]["n_shared_values"] > 0:
+        assert rows[widths[0]]["n_shared_values"] > 0
+
+
+def test_simhash_sweep_superset_of_pairs_and_partitions_candidates(spark):
+    """Histogram mass at hamming <= threshold must equal the certified
+    simhash_pairs row count (the sweep is the unfiltered candidate
+    set)."""
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    hist = {
+        r["hamming"]: r["n_pairs"]
+        for r in dedup.simhash_threshold_sweep_query(spark, SF).collect()
+    }
+    n_under = sum(
+        c for h, c in hist.items() if h <= dedup.HAMMING_THRESHOLD
+    )
+    n_pairs = dedup.simhash_pairs_query(spark, SF).count()
+    assert n_under == n_pairs
+    assert all(c > 0 for c in hist.values())
+
+
+def test_semantic_keep_keeps_exactly_one_best_per_cluster(spark):
+    from _kafka_streams_scaffold_spark.operators import clustering
+
+    rows = clustering.semantic_dedup_keep_query(spark, SF).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1
+        best = max(
+            members, key=lambda m: (m["quality_score"], -m["doc_id"])
+        )
+        assert keeps[0]["doc_id"] == best["doc_id"]
+        assert all(m["cluster_size"] == len(members) for m in members)
