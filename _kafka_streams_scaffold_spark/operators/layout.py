@@ -913,3 +913,175 @@ HAVING count(*) > 0""")
 
 
 BUCKET_PLAN_ORACLE = _bucket_plan_oracle()
+
+# --------------------------------------------------------------------------
+# Clustering-depth audit (zone-range overlap per candidate sort column)
+# --------------------------------------------------------------------------
+
+DEPTH_FILE_ROWS = 1000  # synthetic file = contiguous o_orderkey range
+
+
+def clustering_depth_audit_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(sort_col, n_files, sum_depth, avg_depth, max_depth): for each
+    candidate sort column, the zone-range OVERLAP DEPTH of the
+    current physical layout — files are synthesized as contiguous
+    o_orderkey blocks (the insertion layout), each file gets its
+    [min, max] zone for the candidate column, and a file's depth is
+    how many files' zones overlap its own (>= 1, itself). Average
+    depth IS the expected number of files a point lookup on that
+    column must open under zone-map pruning: the metric warehouses
+    call clustering depth, and the number that decides whether a
+    re-sort/Z-order on that column pays for itself (depth ~ 1 =
+    already clustered — o_orderkey reads ~1 by construction, the
+    audit's built-in control; depth ~ n_files = random layout).
+    Complements ``zone_map_skip_audit`` (skip rate for ONE predicate
+    set) by measuring the layout itself, predicate-free.
+
+    Exactness: zones and depths are exact integers; depth_f =
+    #{g: g.min <= f.max} - #{g: g.max < f.min}, each count read off
+    a cumulative window over the boundary-event stream (min-events
+    tie-sort BEFORE queries for the inclusive <=, queries BEFORE
+    max-events for the strict <) — the session_concurrency sweep-line
+    idiom. The oracle computes the same depths through the naive
+    overlap join (different construction, same answer — a stronger
+    cross-check than mirroring the sweep).
+
+    Scale: ONE partial-aggregatable rollup to the
+    |candidates| x |files| zone frame; the sweep windows sort
+    2*|files| events per candidate (|files| = rows/1000 — bounded
+    metadata scale, the same single-partition-window budget as the
+    day-spine audits; production would range-partition the sweep)."""
+    orders = tables.table(spark, sf_dir, "orders")
+    cands = orders.select(
+        F.expr(f"o_orderkey div {DEPTH_FILE_ROWS}").cast("bigint")
+        .alias("file_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderkey").alias("sort_col"),
+                    F.col("o_orderkey").cast("bigint").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_custkey").alias("sort_col"),
+                    F.col("o_custkey").cast("bigint").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderdate_day").alias("sort_col"),
+                    F.datediff(
+                        F.to_date("o_orderdate"),
+                        F.lit("1970-01-01").cast("date"),
+                    ).cast("bigint").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice_cents").alias("sort_col"),
+                    F.floor(F.col("o_totalprice") * 100).cast("bigint")
+                    .alias("val"),
+                ),
+            )
+        ).alias("c"),
+    ).select("file_id", "c.sort_col", "c.val")
+    zones = cands.groupBy("sort_col", "file_id").agg(
+        F.min("val").alias("vmin"), F.max("val").alias("vmax")
+    )
+    # started(f) = #{g: g.vmin <= f.vmax}: min-events sort before
+    # queries at equal v (tag 0 < 1)
+    ev_started = zones.select(
+        "sort_col", F.col("vmin").alias("v"), F.lit(0).alias("tag"),
+        F.lit(None).cast("bigint").alias("file_id"),
+    ).unionByName(
+        zones.select(
+            "sort_col", F.col("vmax").alias("v"), F.lit(1).alias("tag"),
+            "file_id",
+        )
+    )
+    w_st = (
+        Window.partitionBy("sort_col")
+        .orderBy("v", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    started = (
+        ev_started.withColumn(
+            "n_started",
+            F.sum((F.col("tag") == 0).cast("int")).over(w_st),
+        )
+        .filter(F.col("tag") == 1)
+        .select("sort_col", "file_id", "n_started")
+    )
+    # ended_before(f) = #{g: g.vmax < f.vmin}: queries sort before
+    # max-events at equal v (strict <)
+    ev_ended = zones.select(
+        "sort_col", F.col("vmax").alias("v"), F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("file_id"),
+    ).unionByName(
+        zones.select(
+            "sort_col", F.col("vmin").alias("v"), F.lit(0).alias("tag"),
+            "file_id",
+        )
+    )
+    w_en = (
+        Window.partitionBy("sort_col")
+        .orderBy("v", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ended = (
+        ev_ended.withColumn(
+            "n_ended",
+            F.sum((F.col("tag") == 1).cast("int")).over(w_en),
+        )
+        .filter(F.col("tag") == 0)
+        .select("sort_col", "file_id", "n_ended")
+    )
+    depths = started.join(ended, ["sort_col", "file_id"]).select(
+        "sort_col",
+        "file_id",
+        (F.col("n_started") - F.col("n_ended")).cast("bigint")
+        .alias("depth"),
+    )
+    return depths.groupBy("sort_col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("depth").cast("bigint").alias("sum_depth"),
+        (
+            F.sum("depth").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_depth"),
+        F.max("depth").cast("bigint").alias("max_depth"),
+    )
+
+
+CLUSTERING_DEPTH_AUDIT_ORACLE = f"""
+WITH cands AS (
+  SELECT o_orderkey // {DEPTH_FILE_ROWS} AS file_id, c.sort_col,
+         CAST(c.val AS BIGINT) AS val
+  FROM orders,
+  LATERAL (
+    SELECT unnest([
+      {{'sort_col': 'o_orderkey', 'val': o_orderkey}},
+      {{'sort_col': 'o_custkey', 'val': o_custkey}},
+      {{'sort_col': 'o_orderdate_day',
+        'val': date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE))}},
+      {{'sort_col': 'o_totalprice_cents',
+        'val': CAST(floor(o_totalprice * 100) AS BIGINT)}}
+    ], recursive := true)
+  ) c(sort_col, val)
+),
+zones AS (
+  SELECT sort_col, file_id, min(val) AS vmin, max(val) AS vmax
+  FROM cands GROUP BY 1, 2
+),
+depths AS (
+  SELECT f.sort_col, f.file_id, CAST(count(*) AS BIGINT) AS depth
+  FROM zones f JOIN zones g
+    ON g.sort_col = f.sort_col
+   AND g.vmin <= f.vmax AND g.vmax >= f.vmin
+  GROUP BY 1, 2
+)
+SELECT sort_col,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(depth) AS BIGINT) AS sum_depth,
+       CAST(sum(depth) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_depth,
+       CAST(max(depth) AS BIGINT) AS max_depth
+FROM depths GROUP BY 1
+"""

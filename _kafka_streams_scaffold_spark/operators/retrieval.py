@@ -1159,3 +1159,120 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
        ELSE 0.0 END AS mrr
 FROM rr
 """
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient on the mutual kNN graph
+# --------------------------------------------------------------------------
+
+
+def local_clustering_coeff_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(vec_id, degree, n_tri, lcc): each node's local clustering
+    coefficient on the mutual-kNN graph — triangles through the node
+    over its (degree choose 2) possible ones. The PER-NODE refinement
+    of ``knn_triangles``' one-row closure census: global closure can
+    look healthy while a subpopulation (one source, one label) has
+    lcc ~ 0, i.e. its neighborhoods are noise — the per-node table is
+    what joins back to labels/sources to find that. Only degree >= 2
+    nodes emit (lcc is undefined below).
+
+    Exactness: triangle enumeration is the oriented wedge join
+    (smallest vertex as pivot, each triangle found once) with all-
+    integer credits exploded to the 3 corners; lcc = 2*tri/(d(d-1))
+    is one exact division.
+
+    Scale: mutual-kNN degree is bounded by KNN_K, so wedges are
+    O(n * KNN_K^2) and the joins stay id-width — the certified
+    knn_triangles shape, plus one explode and one |V|-row join."""
+    from .similarity import knn_graph_query
+
+    g = knn_graph_query(spark, sf_dir)
+    e = _pin(
+        g.filter(F.col("is_mutual") & (F.col("vec_id") < F.col("nbr_id")))
+        .select(F.col("vec_id").alias("a"), F.col("nbr_id").alias("b"))
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    w = (
+        ab.alias("e1")
+        .join(ab.alias("e2"), F.col("e1.x") == F.col("e2.x"))
+        .filter(F.col("e1.y") < F.col("e2.y"))
+        .select(
+            F.col("e1.x").alias("tx"),
+            F.col("e1.y").alias("p"),
+            F.col("e2.y").alias("q"),
+        )
+    )
+    tri = w.join(
+        ab.alias("e3"),
+        (F.col("p") == F.col("e3.x")) & (F.col("q") == F.col("e3.y")),
+    ).select("tx", "p", "q")
+    credit = (
+        tri.select(
+            F.explode(F.array("tx", "p", "q")).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(credit, "v", "left")
+        .select(
+            F.col("v").alias("vec_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_tri"),
+            (
+                F.lit(2.0) * F.coalesce("t", F.lit(0)).cast("double")
+                / (F.col("d") * (F.col("d") - 1)).cast("double")
+            ).alias("lcc"),
+        )
+    )
+
+
+def _lcc_oracle() -> str:
+    from .similarity import KNN_GRAPH_ORACLE
+
+    prefix = KNN_GRAPH_ORACLE.split("SELECT e.q_id")[0].strip().rstrip(",")
+    return f"""
+{prefix},
+mutual AS MATERIALIZED (
+  SELECT e.q_id AS a, e.n_id AS b
+  FROM edges e JOIN edges r ON r.q_id = e.n_id AND r.n_id = e.q_id
+  WHERE e.q_id < e.n_id
+),
+w AS (
+  SELECT e1.a AS tx, e1.b AS p, e2.b AS q
+  FROM mutual e1 JOIN mutual e2 ON e1.a = e2.a
+  WHERE e1.b < e2.b
+),
+tri AS (
+  SELECT tx, p, q FROM w JOIN mutual e3 ON w.p = e3.a AND w.q = e3.b
+),
+credit AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT tx AS v FROM tri
+    UNION ALL SELECT p FROM tri
+    UNION ALL SELECT q FROM tri
+  ) GROUP BY v
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM mutual UNION ALL SELECT b AS v FROM mutual
+  ) GROUP BY v
+)
+SELECT d.v AS vec_id, d.d AS degree,
+       CAST(COALESCE(c.t, 0) AS BIGINT) AS n_tri,
+       2.0 * CAST(COALESCE(c.t, 0) AS DOUBLE)
+         / CAST(d.d * (d.d - 1) AS DOUBLE) AS lcc
+FROM deg d LEFT JOIN credit c ON c.v = d.v
+WHERE d.d >= 2
+"""
+
+
+LOCAL_CLUSTERING_COEFF_ORACLE = _lcc_oracle()

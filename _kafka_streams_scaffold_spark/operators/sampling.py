@@ -1425,3 +1425,84 @@ SELECT s.source, s.demand AS demand_chars,
 FROM sat s, sums u
 WHERE NOT s.saturated
 """
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture weights (alpha = 0.5 via exact sqrt)
+# --------------------------------------------------------------------------
+
+
+def sqrt_temperature_mix_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(source, chars, p_raw, w_temp, boost): temperature-scaled
+    mixture weights over sources — w_i proportional to p_i^alpha with
+    alpha = 0.5, the standard LM-pretraining reweighting that
+    up-samples small sources without letting any source's raw mass
+    dominate (multilingual/multi-corpus mixing uses exactly this
+    family; alpha = 0.5 is chosen because p^0.5 = sqrt(p) is the one
+    non-trivial temperature expressible with a CORRECTLY-ROUNDED IEEE
+    primitive — general pow is engine-divergent and banned from
+    hashed outputs here). ``boost = w/p`` reads directly as "source
+    is up-/down-sampled by this factor".
+
+    Exactness: char masses are exact BIGINTs; each sqrt is one IEEE
+    op on an exact ratio; the normalizer folds a SOURCE-SORTED list
+    (the eb_rate_shrinkage pattern) rather than an unordered float
+    SUM.
+
+    Scale: ONE partial-aggregatable rollup to |sources| rows; the
+    fold is catalog-sized; the weight join broadcasts one scalar."""
+    docs = tables.table(spark, sf_dir, "documents")
+    mass = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("chars")
+    )
+    tot = mass.agg(
+        F.sum("chars").cast("bigint").alias("total"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(source, chars))), x -> sqrt(cast(x.chars as double))), "
+            "cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("z_sqrt"),
+    )
+    return mass.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "chars",
+        (F.col("chars").cast("double") / F.col("total").cast("double"))
+        .alias("p_raw"),
+        F.when(
+            F.col("z_sqrt") > 0,
+            F.sqrt(F.col("chars").cast("double")) / F.col("z_sqrt"),
+        ).alias("w_temp"),
+        F.when(
+            (F.col("z_sqrt") > 0) & (F.col("chars") > 0),
+            (F.sqrt(F.col("chars").cast("double")) / F.col("z_sqrt"))
+            / (
+                F.col("chars").cast("double")
+                / F.col("total").cast("double")
+            ),
+        ).alias("boost"),
+    )
+
+
+SQRT_TEMPERATURE_MIX_ORACLE = """
+WITH mass AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(chars) AS BIGINT) AS total,
+         list_reduce(list_transform(list(chars ORDER BY source),
+             x -> sqrt(CAST(x AS DOUBLE))), (a, x) -> a + x) AS z_sqrt
+  FROM mass
+)
+SELECT m.source, m.chars,
+       CAST(m.chars AS DOUBLE) / CAST(t.total AS DOUBLE) AS p_raw,
+       CASE WHEN t.z_sqrt > 0 THEN
+         sqrt(CAST(m.chars AS DOUBLE)) / t.z_sqrt
+       END AS w_temp,
+       CASE WHEN t.z_sqrt > 0 AND m.chars > 0 THEN
+         (sqrt(CAST(m.chars AS DOUBLE)) / t.z_sqrt)
+           / (CAST(m.chars AS DOUBLE) / CAST(t.total AS DOUBLE))
+       END AS boost
+FROM mass m, tot t
+"""

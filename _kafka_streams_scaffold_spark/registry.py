@@ -193,6 +193,10 @@ _WINDOW_R08 = [
     "multiwidth_span_profile",
     "simhash_threshold_sweep",
     "semantic_dedup_keep",
+    # round-8 additions: layout / mixture / graph tier
+    "clustering_depth_audit",
+    "sqrt_temperature_mix",
+    "local_clustering_coeff",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -1973,6 +1977,23 @@ def _ensure_loaded() -> None:
         "semantic_dedup_keep",
         clustering.semantic_dedup_keep_query,
         clustering.SEMANTIC_DEDUP_KEEP_ORACLE,
+    )
+
+    # ---- round 8: layout / mixture / graph tier ----
+    register(
+        "clustering_depth_audit",
+        layout_mod.clustering_depth_audit_query,
+        layout_mod.CLUSTERING_DEPTH_AUDIT_ORACLE,
+    )
+    register(
+        "sqrt_temperature_mix",
+        sampling.sqrt_temperature_mix_query,
+        sampling.SQRT_TEMPERATURE_MIX_ORACLE,
+    )
+    register(
+        "local_clustering_coeff",
+        retrieval.local_clustering_coeff_query,
+        retrieval.LOCAL_CLUSTERING_COEFF_ORACLE,
     )
 
     _apply_window(_WINDOW_R08)

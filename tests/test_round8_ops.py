@@ -392,3 +392,80 @@ def test_semantic_keep_keeps_exactly_one_best_per_cluster(spark):
         )
         assert keeps[0]["doc_id"] == best["doc_id"]
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+# ---------------------------------------------------------------------------
+# Layout / mixture / graph tier
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_depth_orderkey_is_perfectly_clustered(spark):
+    """The built-in control: files are contiguous o_orderkey blocks,
+    so depth on o_orderkey itself must be exactly 1 per file, while a
+    column uncorrelated with insertion order must overlap heavily."""
+    from _kafka_streams_scaffold_spark.operators import layout
+
+    rows = {
+        r["sort_col"]: r
+        for r in layout.clustering_depth_audit_query(spark, SF).collect()
+    }
+    assert rows["o_orderkey"]["avg_depth"] == pytest.approx(1.0)
+    assert rows["o_orderkey"]["max_depth"] == 1
+    # custkey values spray across files: every file overlaps ~all
+    assert rows["o_custkey"]["avg_depth"] > rows["o_orderkey"]["avg_depth"]
+    for r in rows.values():
+        assert 1.0 <= r["avg_depth"] <= r["n_files"]
+        assert r["max_depth"] <= r["n_files"]
+
+
+def test_sqrt_temperature_mix_flattens_toward_uniform(spark):
+    """alpha=0.5 must up-boost small sources (boost > 1) and
+    down-boost large ones (boost < 1), with weights summing to 1."""
+    from _kafka_streams_scaffold_spark.operators import sampling
+
+    rows = sampling.sqrt_temperature_mix_query(spark, SF).collect()
+    assert sum(r["w_temp"] for r in rows) == pytest.approx(1.0)
+    mean_p = 1.0 / len(rows)
+    for r in rows:
+        if r["p_raw"] > mean_p * 1.05:
+            assert r["boost"] < 1.0
+        elif 0 < r["p_raw"] < mean_p * 0.95:
+            assert r["boost"] > 1.0
+
+
+def test_lcc_matches_bruteforce_on_mutual_graph(spark):
+    from _kafka_streams_scaffold_spark.operators import retrieval, similarity
+
+    g = similarity.knn_graph_query(spark, SF).collect()
+    edges = {
+        (min(r["vec_id"], r["nbr_id"]), max(r["vec_id"], r["nbr_id"]))
+        for r in g
+        if r["is_mutual"]
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {
+        r["vec_id"]: r
+        for r in retrieval.local_clustering_coeff_query(spark, SF).collect()
+    }
+    checked = 0
+    for v, nbrs in adj.items():
+        if len(nbrs) < 2:
+            assert v not in out
+            continue
+        tri = sum(
+            1
+            for x in nbrs
+            for y in nbrs
+            if x < y and (min(x, y), max(x, y)) in edges
+        )
+        r = out[v]
+        assert r["degree"] == len(nbrs)
+        assert r["n_tri"] == tri
+        assert r["lcc"] == pytest.approx(
+            2 * tri / (len(nbrs) * (len(nbrs) - 1))
+        )
+        checked += 1
+    assert checked == len(out)
