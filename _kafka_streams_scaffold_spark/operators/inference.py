@@ -1173,3 +1173,403 @@ SELECT n_sources, total_chars, top_source,
        ELSE 0.0 END AS effective_sources
 FROM agg, top
 """
+
+# --------------------------------------------------------------------------
+# Quantile normalization map: per-source deciles onto the pooled scale
+# --------------------------------------------------------------------------
+
+
+def quantile_normalize_map_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(source, decile, src_q, pooled_q, shift): the quantile-
+    normalization lookup table — for each source and decile d/10, the
+    source's exact type-1 decile of ``n_chars`` next to the POOLED
+    corpus decile at the same level, with the additive shift a
+    calibration pass would apply. Quantile normalization is the
+    standard cross-source score/feature calibration (identical rank
+    profiles after mapping); emitting the MAP rather than the mapped
+    corpus keeps the audit bounded and is what the downstream join
+    actually consumes.
+
+    Exactness: type-1 (lower) quantiles — the smallest value whose
+    cumulative count reaches ceil(d * n / 10) — all integer
+    arithmetic on the per-(source,value) count rollup; no
+    interpolation, no floats anywhere.
+
+    Scale: ONE corpus rollup; deciles come off cumulative windows on
+    the |sources| x |distinct values| grid and a 9-row literal decile
+    axis (broadcast)."""
+    docs = tables.table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    src_cum = counts.select(
+        "source",
+        "n_chars",
+        F.sum("c").over(wsrc).cast("bigint").alias("cum"),
+        F.sum("c").over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    pooled = counts.groupBy("n_chars").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    wp = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pool_cum = pooled.select(
+        "n_chars",
+        F.sum("c").over(wp).cast("bigint").alias("cum"),
+        F.sum("c").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    deciles = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    src_q = (
+        src_cum.crossJoin(F.broadcast(deciles))
+        .filter(
+            F.col("cum") >= F.expr("(decile * n + 9) div 10")
+        )
+        .groupBy("source", "decile")
+        .agg(F.min("n_chars").cast("bigint").alias("src_q"))
+    )
+    pool_q = (
+        pool_cum.crossJoin(F.broadcast(deciles))
+        .filter(F.col("cum") >= F.expr("(decile * n + 9) div 10"))
+        .groupBy("decile")
+        .agg(F.min("n_chars").cast("bigint").alias("pooled_q"))
+    )
+    return src_q.join(F.broadcast(pool_q), "decile").select(
+        "source",
+        "decile",
+        "src_q",
+        "pooled_q",
+        (F.col("pooled_q") - F.col("src_q")).cast("bigint").alias("shift"),
+    )
+
+
+QUANTILE_NORMALIZE_MAP_ORACLE = """
+WITH counts AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+src_cum AS (
+  SELECT source, n_chars,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM counts
+),
+pool_cum AS (
+  SELECT n_chars,
+         CAST(sum(c) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM (SELECT n_chars, CAST(sum(c) AS BIGINT) AS c
+        FROM counts GROUP BY 1)
+),
+deciles AS (SELECT unnest(generate_series(1, 9)) AS decile),
+src_q AS (
+  SELECT s.source, d.decile, CAST(min(s.n_chars) AS BIGINT) AS src_q
+  FROM src_cum s CROSS JOIN deciles d
+  WHERE s.cum >= (d.decile * s.n + 9) // 10
+  GROUP BY 1, 2
+),
+pool_q AS (
+  SELECT d.decile, CAST(min(p.n_chars) AS BIGINT) AS pooled_q
+  FROM pool_cum p CROSS JOIN deciles d
+  WHERE p.cum >= (d.decile * p.n + 9) // 10
+  GROUP BY 1
+)
+SELECT s.source, CAST(s.decile AS INT) AS decile, s.src_q, p.pooled_q,
+       CAST(p.pooled_q - s.src_q AS BIGINT) AS shift
+FROM src_q s JOIN pool_q p ON p.decile = s.decile
+"""
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the pairwise KS drift gates
+# --------------------------------------------------------------------------
+
+_BH_Q_INV = 20      # FDR level q = 1/20 = 0.05 as an exact integer
+_BH_FP = 10**12     # p-value fixed-point scale
+
+
+def bh_fdr_drift_gates_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_a, src_b, p_fp, p_value, p_rank, rejected): the
+    Benjamini-Hochberg step-up procedure at FDR q = 0.05 over the
+    190 pairwise KS drift tests — the multiple-testing control a
+    drift DASHBOARD must run before paging anyone: at 190
+    simultaneous gates, naive p < 0.05 fires ~10 false alarms per
+    healthy snapshot. p-values use the standard two-term-free
+    asymptotic tail p = min(1, 2 exp(-2 m D^2)) with m = n_a n_b /
+    (n_a + n_b) (Smirnov; exact enough above m ~ 35, which every
+    pair here clears).
+
+    Determinism: each p is fixed-pointed INDEPENDENTLY (floor(1e12 p)
+    — the zipf_fit transcendental precedent) before ranking, the
+    step-up comparison p_(i) <= i q / M is the pure-integer predicate
+    ``20 * p_fp * M <= i * 1e12``, and k* = max qualifying rank comes
+    off one window max — no float comparisons anywhere after the
+    floor.
+
+    Scale: rides the ks_drift_audit grid (corpus touched once); the
+    BH pass is |pairs| rows with one bounded sort window."""
+    ks = ks_drift_fn(spark, sf_dir)
+    scored = ks.select(
+        "src_a",
+        "src_b",
+        F.least(
+            F.lit(_BH_FP).cast("bigint"),
+            F.floor(
+                F.lit(float(_BH_FP))
+                * 2.0
+                * F.exp(
+                    F.lit(-2.0)
+                    * (
+                        F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double")
+                        / (F.col("n_a") + F.col("n_b")).cast("double")
+                    )
+                    * F.col("ks")
+                    * F.col("ks")
+                )
+            ).cast("bigint"),
+        ).alias("p_fp"),
+    )
+    w = Window.orderBy("p_fp", "src_a", "src_b")
+    m = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = scored.select(
+        "src_a",
+        "src_b",
+        "p_fp",
+        F.row_number().over(w).cast("bigint").alias("p_rank"),
+        F.count(F.lit(1)).over(m).cast("bigint").alias("n_tests"),
+    ).select(
+        "src_a",
+        "src_b",
+        "p_fp",
+        "p_rank",
+        "n_tests",
+        (
+            F.lit(_BH_Q_INV) * F.col("p_fp") * F.col("n_tests")
+            <= F.col("p_rank") * F.lit(_BH_FP)
+        ).alias("qual"),
+    )
+    kstar = ranked.select(
+        "src_a",
+        "src_b",
+        "p_fp",
+        "p_rank",
+        F.max(F.when(F.col("qual"), F.col("p_rank")).otherwise(F.lit(0)))
+        .over(m)
+        .cast("bigint")
+        .alias("k_star"),
+    )
+    return kstar.select(
+        "src_a",
+        "src_b",
+        "p_fp",
+        (F.col("p_fp").cast("double") / F.lit(float(_BH_FP)))
+        .alias("p_value"),
+        "p_rank",
+        (F.col("p_rank") <= F.col("k_star")).alias("rejected"),
+    )
+
+
+def _bh_oracle() -> str:
+    from .drift import KS_DRIFT_AUDIT_ORACLE
+
+    inner = KS_DRIFT_AUDIT_ORACLE.strip()
+    return f"""
+WITH ks AS (
+  {inner}
+),
+scored AS (
+  SELECT src_a, src_b,
+         least(CAST({_BH_FP} AS BIGINT),
+           CAST(floor(CAST({_BH_FP} AS DOUBLE) * 2.0
+             * exp(-2.0 * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE)) * ks * ks))
+           AS BIGINT)) AS p_fp
+  FROM ks
+),
+ranked AS (
+  SELECT src_a, src_b, p_fp,
+         CAST(row_number() OVER (ORDER BY p_fp, src_a, src_b) AS BIGINT)
+           AS p_rank,
+         CAST(count(*) OVER () AS BIGINT) AS n_tests
+  FROM scored
+),
+flagged AS (
+  SELECT src_a, src_b, p_fp, p_rank,
+         max(CASE WHEN {_BH_Q_INV} * p_fp * n_tests
+                       <= p_rank * {_BH_FP}
+                  THEN p_rank ELSE 0 END) OVER () AS k_star
+  FROM ranked
+)
+SELECT src_a, src_b, p_fp,
+       CAST(p_fp AS DOUBLE) / CAST({_BH_FP} AS DOUBLE) AS p_value,
+       p_rank,
+       p_rank <= k_star AS rejected
+FROM flagged
+"""
+
+
+# Resolved lazily to avoid a circular import at module load.
+def ks_drift_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .drift import ks_drift_audit_query
+
+    return ks_drift_audit_query(spark, sf_dir)
+
+
+BH_FDR_DRIFT_GATES_ORACLE = _bh_oracle()
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box portmanteau statistic on the daily revenue series
+# --------------------------------------------------------------------------
+
+LJUNG_LAGS = 7
+
+
+def ljung_box_stat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lag, n_days, r, q_cum): lag-1..7 autocorrelations of daily
+    purchase cents with the cumulative Ljung-Box Q — the portmanteau
+    "is there ANY autocorrelation structure up to a week" test that
+    generalizes ``weekly_autocorr``'s single lag-7 read. Q at lag 7
+    against a chi2(7) bar is the standard pre-whiteness check before
+    trusting an anomaly detector tuned on iid residuals.
+
+    Determinism: the day series is collected into ONE day-sorted
+    bounded list (the day-spine contract) and every sum — mean,
+    variance, each lag's covariance — is an ORDERED fold over that
+    list or an index sequence, so all float work is the identical
+    IEEE sequence on both engines. Q accumulates r_k^2/(n-k) in lag
+    order.
+
+    Scale: corpus -> day spine (partial-aggregatable); everything
+    after is scalar math over a list bounded by the calendar."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    packed = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cents))), "
+            "x -> cast(x.cents as double))"
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select(
+        "ys",
+        "n",
+        F.expr(
+            "aggregate(ys, cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("s1"),
+    ).select(
+        "ys",
+        "n",
+        (F.col("s1") / F.col("n").cast("double")).alias("m"),
+    ).select(
+        "ys",
+        "n",
+        "m",
+        F.expr(
+            "aggregate(ys, cast(0.0 as double), "
+            "(a, x) -> a + (x - m) * (x - m))"
+        ).alias("den"),
+    )
+    lags = spark.range(1, LJUNG_LAGS + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    per_lag = packed.crossJoin(F.broadcast(lags)).filter(
+        (F.col("n") > F.col("lag")) & (F.col("den") > 0)
+    ).select(
+        "lag",
+        F.col("n").alias("n_days"),
+        (
+            F.expr(
+                "aggregate(sequence(1, cast(n - lag as int)), "
+                "cast(0.0 as double), (a, i) -> a + "
+                "(element_at(ys, i) - m) "
+                "* (element_at(ys, i + lag) - m))"
+            )
+            / F.col("den")
+        ).alias("r"),
+    )
+    wq = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return per_lag.select(
+        "lag",
+        "n_days",
+        "r",
+        (
+            F.col("n_days").cast("double")
+            * (F.col("n_days") + 2).cast("double")
+            * F.sum(
+                F.col("r") * F.col("r")
+                / (F.col("n_days") - F.col("lag")).cast("double")
+            ).over(wq)
+        ).alias("q_cum"),
+    )
+
+
+LJUNG_BOX_STAT_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+packed AS (
+  SELECT list_transform(list(cents ORDER BY day),
+                        x -> CAST(x AS DOUBLE)) AS ys,
+         CAST(count(*) AS BIGINT) AS n
+  FROM daily
+),
+m1 AS (
+  SELECT ys, n,
+         list_reduce(ys, (a, x) -> a + x) / CAST(n AS DOUBLE) AS m
+  FROM packed
+),
+m2 AS (
+  SELECT ys, n, m,
+         list_reduce(list_transform(ys, x -> (x - m) * (x - m)),
+                     (a, x) -> a + x) AS den
+  FROM m1
+),
+lags AS (SELECT unnest(generate_series(1, {LJUNG_LAGS})) AS lag),
+per_lag AS (
+  SELECT CAST(l.lag AS INT) AS lag, p.n AS n_days,
+         list_reduce(list_transform(
+             generate_series(1, CAST(p.n - l.lag AS INT)),
+             i -> (p.ys[i] - p.m) * (p.ys[i + l.lag] - p.m)),
+           (a, x) -> a + x) / p.den AS r
+  FROM m2 p CROSS JOIN lags l
+  WHERE p.n > l.lag AND p.den > 0
+)
+SELECT lag, n_days, r,
+       CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE)
+         * sum(r * r / CAST(n_days - lag AS DOUBLE)) OVER (
+             ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS q_cum
+FROM per_lag
+"""

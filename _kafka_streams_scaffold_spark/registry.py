@@ -197,6 +197,10 @@ _WINDOW_R08 = [
     "clustering_depth_audit",
     "sqrt_temperature_mix",
     "local_clustering_coeff",
+    # round-8 additions: calibration / multiple-testing / time-series
+    "quantile_normalize_map",
+    "bh_fdr_drift_gates",
+    "ljung_box_stat",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -1994,6 +1998,23 @@ def _ensure_loaded() -> None:
         "local_clustering_coeff",
         retrieval.local_clustering_coeff_query,
         retrieval.LOCAL_CLUSTERING_COEFF_ORACLE,
+    )
+
+    # ---- round 8: calibration / multiple-testing / time-series ----
+    register(
+        "quantile_normalize_map",
+        inference.quantile_normalize_map_query,
+        inference.QUANTILE_NORMALIZE_MAP_ORACLE,
+    )
+    register(
+        "bh_fdr_drift_gates",
+        inference.bh_fdr_drift_gates_query,
+        inference.BH_FDR_DRIFT_GATES_ORACLE,
+    )
+    register(
+        "ljung_box_stat",
+        inference.ljung_box_stat_query,
+        inference.LJUNG_BOX_STAT_ORACLE,
     )
 
     _apply_window(_WINDOW_R08)

@@ -469,3 +469,90 @@ def test_lcc_matches_bruteforce_on_mutual_graph(spark):
         )
         checked += 1
     assert checked == len(out)
+
+
+# ---------------------------------------------------------------------------
+# Calibration / multiple testing / time series
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_map_deciles_are_monotone_and_type1_exact(spark):
+    rows = inference.quantile_normalize_map_query(spark, SF).collect()
+    docs = tables.table(spark, SF, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    pooled = sorted(r["n_chars"] for r in docs)
+    n = len(pooled)
+    by_src: dict[str, list] = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    for r in rows:
+        vals = sorted(by_src[r["source"]])
+        k = -(-r["decile"] * len(vals) // 10)  # ceil
+        assert r["src_q"] == vals[k - 1]
+        kp = -(-r["decile"] * n // 10)
+        assert r["pooled_q"] == pooled[kp - 1]
+        assert r["shift"] == r["pooled_q"] - r["src_q"]
+    # per-source decile sequence is monotone
+    for src in by_src:
+        qs = [r["src_q"] for r in sorted(
+            (x for x in rows if x["source"] == src),
+            key=lambda x: x["decile"],
+        )]
+        assert qs == sorted(qs)
+
+
+def test_bh_rejection_set_is_a_p_value_prefix(spark):
+    """BH rejects exactly ranks 1..k*: the rejected set must be a
+    prefix of the p-ordered list, and every rejected p must be <= the
+    naive 0.05 bar times its rank share."""
+    rows = sorted(
+        inference.bh_fdr_drift_gates_query(spark, SF).collect(),
+        key=lambda r: r["p_rank"],
+    )
+    flags = [r["rejected"] for r in rows]
+    if any(flags):
+        k = max(i for i, f in enumerate(flags) if f)
+        assert all(flags[: k + 1])
+        assert not any(flags[k + 1:])
+        m = len(rows)
+        kr = rows[k]
+        assert kr["p_value"] <= (kr["p_rank"] / m) * 0.05 + 1e-12
+
+
+def test_ljung_box_q_is_monotone_and_r_bounded(spark):
+    rows = sorted(
+        inference.ljung_box_stat_query(spark, SF).collect(),
+        key=lambda r: r["lag"],
+    )
+    assert [r["lag"] for r in rows] == list(range(1, len(rows) + 1))
+    qs = [r["q_cum"] for r in rows]
+    assert all(b >= a - 1e-12 for a, b in zip(qs, qs[1:]))
+    assert all(-1.0 - 1e-9 <= r["r"] <= 1.0 + 1e-9 for r in rows)
+
+
+def test_ljung_box_r_matches_bruteforce(spark):
+    daily = sorted(
+        (
+            tables.table(spark, SF, "events")
+            .filter(F.col("event_type") == "purchase")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                    "cents"
+                )
+            )
+        ).collect(),
+        key=lambda r: r["day"],
+    )
+    ys = [float(r["cents"]) for r in daily]
+    n = len(ys)
+    m = sum(ys) / n
+    den = sum((y - m) ** 2 for y in ys)
+    rows = {
+        r["lag"]: r
+        for r in inference.ljung_box_stat_query(spark, SF).collect()
+    }
+    for k, r in rows.items():
+        num = sum((ys[i] - m) * (ys[i + k] - m) for i in range(n - k))
+        assert r["r"] == pytest.approx(num / den, rel=1e-9)
