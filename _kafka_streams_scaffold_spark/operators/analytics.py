@@ -1887,6 +1887,59 @@ GROUP BY 1
 _US_DAY = 86_400_000_000
 
 
+def session_day_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, a, b): the 30-minute-gap sessions clipped at day boundaries
+    — the shared segment frame under ``session_concurrency_query``
+    (batch sweep) and its streaming twin (``streaming/stateful.
+    streaming_session_concurrency`` consumes exactly these rows, the
+    ivm_pieces pattern: the delta/segment producer is batch-shared so
+    both execution modes sweep identical inputs). Pinned because the
+    batch sweep reads it from THREE consumers (both point arms and
+    the per-day session count) — without the pin the whole
+    sessionization (scan + user-partitioned windows) re-runs per
+    consumer (the plan showed three parquet scans)."""
+    ev = tables.table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    new_session = (
+        F.unix_micros(F.col("ts"))
+        - F.lag(F.unix_micros(F.col("ts"))).over(order)
+        > gap_us
+    ).cast("int")
+    sess_id = F.sum(F.coalesce(new_session, F.lit(0))).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+        .withColumn("session_id", sess_id)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("us").cast("bigint").alias("s_us"),
+            F.max("us").cast("bigint").alias("e_us"),
+        )
+    )
+    return _pin(
+        sess.select(
+            F.explode(
+                F.expr(f"sequence(s_us div {_US_DAY}, e_us div {_US_DAY})")
+            ).alias("d"),
+            "s_us",
+            "e_us",
+        ).select(
+            "d",
+            F.greatest(F.col("s_us"), F.col("d") * _US_DAY).alias("a"),
+            F.least(
+                F.col("e_us"), (F.col("d") + 1) * _US_DAY - 1
+            ).alias("b"),
+        )
+    )
+
+
 def session_concurrency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(day, n_sessions, max_concurrent): the peak number of
     simultaneously-open user sessions per day — the classic
@@ -1913,50 +1966,7 @@ def session_concurrency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     with user_sessions), a bounded explode (sessions span few days),
     then day-partitioned windows over delta points — O(sessions)
     rows end to end."""
-    ev = tables.table(spark, sf_dir, "events")
-    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
-    new_session = (
-        F.unix_micros(F.col("ts"))
-        - F.lag(F.unix_micros(F.col("ts"))).over(order)
-        > gap_us
-    ).cast("int")
-    sess_id = F.sum(F.coalesce(new_session, F.lit(0))).over(
-        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sess = (
-        ev.select(
-            "user_id",
-            "event_id",
-            "ts",
-            F.unix_micros(F.col("ts")).alias("us"),
-        )
-        .withColumn("session_id", sess_id)
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.min("us").cast("bigint").alias("s_us"),
-            F.max("us").cast("bigint").alias("e_us"),
-        )
-    )
-    # pinned: the clipped segments feed THREE consumers (both sweep
-    # point arms and the per-day session count) — without the pin the
-    # whole sessionization (scan + user-partitioned windows) re-runs
-    # per consumer (the plan showed three parquet scans)
-    seg = _pin(
-        sess.select(
-            F.explode(
-                F.expr(f"sequence(s_us div {_US_DAY}, e_us div {_US_DAY})")
-            ).alias("d"),
-            "s_us",
-            "e_us",
-        ).select(
-            "d",
-            F.greatest(F.col("s_us"), F.col("d") * _US_DAY).alias("a"),
-            F.least(
-                F.col("e_us"), (F.col("d") + 1) * _US_DAY - 1
-            ).alias("b"),
-        )
-    )
+    seg = session_day_segments(spark, sf_dir)
     points = seg.select(
         "d", F.col("a").alias("t"), F.lit(1).alias("delta")
     ).unionAll(

@@ -201,6 +201,9 @@ _WINDOW_R08 = [
     "quantile_normalize_map",
     "bh_fdr_drift_gates",
     "ljung_box_stat",
+    # re-certification: segment builder factored out for the streaming
+    # twin (session_day_segments) — plan-identical, but touched
+    "session_concurrency",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in

@@ -341,3 +341,140 @@ def streaming_priority_sample(docs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+# --------------------------------------------------------------------------
+# Streaming session-concurrency sweep (per-day segment state)
+# --------------------------------------------------------------------------
+
+CONC_OUTPUT_SCHEMA = "d long, n_sessions long, max_concurrent long"
+CONC_STATE_SCHEMA = "starts array<long>, ends array<long>"
+
+
+def _update_concurrency(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        starts, ends = state.get
+        starts, ends = list(starts), list(ends)
+    else:
+        starts, ends = [], []
+    for pdf in pdf_iter:
+        starts.extend(int(x) for x in pdf["a"].tolist())
+        ends.extend(int(x) for x in pdf["b"].tolist())
+    state.update((starts, ends))
+    # event-boundary sweep over the day's accumulated segments: +1 at
+    # each start, -1 after each end; net-sum per instant BEFORE the
+    # running sum (the batch op's order-independence contract)
+    net: dict[int, int] = {}
+    for s in starts:
+        net[s] = net.get(s, 0) + 1
+    for e in ends:
+        net[e + 1] = net.get(e + 1, 0) - 1
+    run, peak = 0, 0
+    for t in sorted(net):
+        run += net[t]
+        peak = max(peak, run)
+    yield pd.DataFrame(
+        {
+            "d": [int(key[0])],
+            "n_sessions": [len(starts)],
+            "max_concurrent": [peak],
+        }
+    )
+
+
+def streaming_session_concurrency(segments: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/analytics.session_concurrency_
+    query``: the per-day interval sweep maintained AS STATE while
+    day-clipped session segments stream in. Consumes exactly the
+    rows ``analytics.session_day_segments`` produces (the
+    ivm_pieces/streaming_ivm_deltas pattern: the segment producer is
+    batch-shared, so both modes sweep identical inputs). State per
+    day is the segment endpoint lists — bounded by that day's session
+    volume, the same per-day independence that lets the batch sweep
+    partition by day — and each update re-emits the day's
+    (n_sessions, max_concurrent) keyed by day (A4 emit-per-update),
+    so an upsert store converges to the batch answer over the same
+    segments. The sweep re-runs over the day's state per update:
+    event-boundary +1/-1 with per-instant net-summing, identical
+    semantics to the batch window."""
+    return segments.groupBy("d").applyInPandasWithState(
+        _update_concurrency,
+        outputStructType=CONC_OUTPUT_SCHEMA,
+        stateStructType=CONC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming CUSUM changepoint (day-spine state per event type)
+# --------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, changepoint_day long, n_days long, "
+    "cusum_scaled long, direction string"
+)
+CUSUM_STATE_SCHEMA = "days array<long>, counts array<long>"
+
+
+def _update_cusum(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        days, counts = state.get
+        acc = dict(zip((int(d) for d in days), (int(c) for c in counts)))
+    else:
+        acc = {}
+    for pdf in pdf_iter:
+        for d in pdf["day"].tolist():
+            d = int(d)
+            acc[d] = acc.get(d, 0) + 1
+    items = sorted(acc.items())
+    state.update(([d for d, _ in items], [c for _, c in items]))
+    # the batch op's exact integer form: c_i = n*prefix_i - i*S,
+    # argmax |c| with ties to the EARLIER day
+    n = len(items)
+    s_total = sum(c for _, c in items)
+    best_day, best_c = items[0][0], 0
+    prefix = 0
+    for i, (d, c) in enumerate(items, start=1):
+        prefix += c
+        cu = n * prefix - i * s_total
+        if abs(cu) > abs(best_c):
+            best_day, best_c = d, cu
+    direction = "up" if best_c > 0 else ("down" if best_c < 0 else "flat")
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "changepoint_day": [best_day],
+            "n_days": [n],
+            "cusum_scaled": [best_c],
+            "direction": [direction],
+        }
+    )
+
+
+def streaming_cusum_changepoint(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/stats.cusum_changepoint_query``:
+    the CUSUM change-point locator maintained AS STATE while events
+    stream in. ``events`` must carry (event_type string, day long) —
+    one row per event, day as an epoch-day index. State per event
+    type is the (day -> count) spine — bounded by the calendar, the
+    same day-spine argument the batch op makes for its window — and
+    each update replays the exact integer CUSUM
+    (c_i = n * prefix_i - i * S, argmax |c|, ties to the earlier
+    day) over the accumulated spine, emitting the current changepoint
+    per update (A4). Converged state over the same events equals the
+    batch answer, which is the twin test's assertion."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_cusum,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -30,6 +30,8 @@ R08_RECERT: set[str] = {
     "kcenter_coreset",
     "group_kfold_split",
     "ams_f2_estimate",
+    # segment builder factored out for the round-8 streaming twin
+    "session_concurrency",
 }
 
 # No backlog was deferred out of the r08 window.
