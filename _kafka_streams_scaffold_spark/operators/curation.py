@@ -19,7 +19,7 @@ shuffles is (doc_id, digest) — never text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
@@ -556,3 +556,122 @@ SELECT position, gate, n_pass, n_total, surviving_frac,
        CAST(n_total AS DOUBLE) * surviving_frac AS expected_rows
 FROM planned
 """
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto front) over (length, quality)
+# --------------------------------------------------------------------------
+
+_SKY_FP = 1_000_000_000
+
+
+def skyline_quality_length_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, n_chars, q_fp, quality_score): the Pareto front of the
+    corpus on (length, quality) — documents no other document beats
+    on BOTH axes (with at least one strict win). The skyline operator
+    from the DB literature applied to corpus curation: when a token
+    budget forces choosing between long documents and clean ones, the
+    skyline is exactly the set of undominated trade-offs a curator
+    should pick from; everything else is strictly worse than some
+    front member.
+
+    Dominance test without a pair join: a doc is on the front iff
+    (a) its quality equals the MAX quality at its own length (else a
+    same-length doc strictly beats it) and (b) its quality strictly
+    exceeds the running max over all LONGER lengths (else a longer
+    doc weakly-dominates with a strict length win). Both reads come
+    off a |distinct lengths|-sized rollup with one ordered cumulative
+    max — the 2-D skyline sweep, shuffle cost = one domain rollup.
+
+    Exactness: quality is fixed-pointed (floor(1e9 q), documented
+    contract — ties at fp resolution are genuine ties and co-front);
+    all comparisons integer. Equal (length, q_fp) duplicates are
+    mutually non-dominating and all emit."""
+    from .textops import quality_score_query
+
+    q = quality_score_query(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    docs = tables.table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    scored = docs.join(q, "doc_id").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.floor(F.lit(float(_SKY_FP)) * F.col("quality_score"))
+        .cast("bigint")
+        .alias("q_fp"),
+        "quality_score",
+    )
+    per_len = scored.groupBy("n_chars").agg(
+        F.max("q_fp").cast("bigint").alias("maxq")
+    )
+    w = (
+        Window.orderBy(F.col("n_chars").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fronts = per_len.select(
+        "n_chars",
+        "maxq",
+        F.coalesce(
+            F.max("maxq").over(w), F.lit(-(1 << 62))
+        ).cast("bigint").alias("maxq_longer"),
+    )
+    return (
+        scored.join(fronts, "n_chars")
+        .filter(
+            (F.col("q_fp") == F.col("maxq"))
+            & (F.col("q_fp") > F.col("maxq_longer"))
+        )
+        .select("doc_id", "n_chars", "q_fp", "quality_score")
+    )
+
+
+def _skyline_oracle() -> str:
+    from .textops import _EN_STOPWORDS, _sql_list
+
+    return f"""
+WITH sq_base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         list_filter(string_split_regex(lower(text), '\\W+'),
+                     x -> x <> '') AS toks,
+         length(text) AS n_chars_actual,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_chars,
+         0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+           + 0.3 * (CAST(alpha_chars AS DOUBLE) / n_chars_actual)
+           + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                 x -> x IN ({_sql_list(_EN_STOPWORDS)}))) AS DOUBLE)
+               / len(toks)) AS quality_score
+  FROM sq_base
+),
+fp AS (
+  SELECT doc_id, n_chars,
+         CAST(floor(CAST({_SKY_FP} AS DOUBLE) * quality_score) AS BIGINT)
+           AS q_fp,
+         quality_score
+  FROM scored
+),
+per_len AS (
+  SELECT n_chars, CAST(max(q_fp) AS BIGINT) AS maxq
+  FROM fp GROUP BY 1
+),
+fronts AS (
+  SELECT n_chars, maxq,
+         CAST(COALESCE(max(maxq) OVER (
+             ORDER BY n_chars DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), {-(1 << 62)}) AS BIGINT) AS maxq_longer
+  FROM per_len
+)
+SELECT f.doc_id, f.n_chars, f.q_fp, f.quality_score
+FROM fp f JOIN fronts fr ON fr.n_chars = f.n_chars
+WHERE f.q_fp = fr.maxq AND f.q_fp > fr.maxq_longer
+"""
+
+
+SKYLINE_QUALITY_LENGTH_ORACLE = _skyline_oracle()

@@ -2666,3 +2666,102 @@ cand AS (
 SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
 FROM cand GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# Capture-recapture estimate of the TOTAL near-dup pair population
+# --------------------------------------------------------------------------
+
+
+def dup_capture_recapture_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_a, n_b, n_both, est_total, est_missed_by_both): the
+    Lincoln-Petersen/Chapman capture-recapture estimate of how many
+    near-dup pairs EXIST, from how the two independent detectors'
+    catches overlap — MinHash is capture 1, SimHash is capture 2,
+    and pairs flagged by both are the marked recaptures. The question
+    every dedup report dodges ("how many duplicates did we MISS?")
+    answered with the estimator ecology uses for exactly this
+    epistemic situation. Chapman's form (n_a+1)(n_b+1)/(n_both+1) - 1
+    is used (finite-sample unbiased-ish, never divides by zero).
+    Caveat in the contract: the detectors are positively correlated
+    (both key on lexical overlap), so the estimate is a LOWER bound
+    on the true pair population — still the defensible floor for
+    "what remains".
+
+    Exactness: the three counts are exact BIGINTs off one full-outer
+    join of the pair sets; the estimator is one fixed IEEE
+    expression. Scale: rides the shared shingle/signature pins (the
+    _tier_pairs contract); id-pair-width joins only."""
+    a = _tier_pairs(spark, sf_dir, MCNEMAR_A).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_a")
+    )
+    b = _tier_pairs(spark, sf_dir, MCNEMAR_B).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_b")
+    )
+    both = a.join(b, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    agg = both.agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum("in_b").cast("bigint").alias("n_b"),
+        F.sum(
+            ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int")
+        ).cast("bigint").alias("n_both"),
+    )
+    est = (
+        (F.col("n_a") + 1).cast("double")
+        * (F.col("n_b") + 1).cast("double")
+        / (F.col("n_both") + 1).cast("double")
+        - 1.0
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        est.alias("est_total"),
+        (
+            est
+            - (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            .cast("double")
+        ).alias("est_missed_by_both"),
+    )
+
+
+def _capture_recapture_oracle() -> str:
+    tier_sql = {
+        "minhash": MINHASH_LSH_ORACLE,
+        "simhash": SIMHASH_PAIRS_ORACLE,
+    }
+    return f"""
+WITH pa AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({tier_sql[MCNEMAR_A].strip().rstrip(';')})
+),
+pb AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({tier_sql[MCNEMAR_B].strip().rstrip(';')})
+),
+u AS (
+  SELECT COALESCE(a.in_a, 0) AS in_a, COALESCE(b.in_b, 0) AS in_b
+  FROM (SELECT doc_a, doc_b, 1 AS in_a FROM pa) a
+  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS in_b FROM pb) b
+  USING (doc_a, doc_b)
+),
+agg AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(sum(in_b) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_both
+  FROM u
+)
+SELECT n_a, n_b, n_both,
+       CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+         / CAST(n_both + 1 AS DOUBLE) - 1.0 AS est_total,
+       CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+         / CAST(n_both + 1 AS DOUBLE) - 1.0
+         - CAST(n_a + n_b - n_both AS DOUBLE) AS est_missed_by_both
+FROM agg
+"""
+
+
+DUP_CAPTURE_RECAPTURE_ORACLE = _capture_recapture_oracle()

@@ -1573,3 +1573,235 @@ SELECT lag, n_days, r,
            ) AS q_cum
 FROM per_lag
 """
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test (S statistic with exact tie-corrected variance)
+# --------------------------------------------------------------------------
+
+
+def mann_kendall_trend_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_days, s_stat, var18, z): the Mann-Kendall trend TEST on
+    daily purchase cents — S = #concordant - #discordant day pairs
+    (the un-normalized Kendall numerator), its exact tie-corrected
+    variance var = [n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)] / 18,
+    and the continuity-corrected z = (S -/+ 1)/sqrt(var). Where
+    ``kendall_tau_trend`` reports effect SIZE, this reports
+    SIGNIFICANCE — the standard pairing in hydrology/operations
+    trend monitoring (|z| > 1.96 is the page-worthy read).
+
+    Exactness: S and the un-divided ``var18`` (18x the variance) are
+    pure BIGINT on the day spine; z is one IEEE sqrt + division on
+    them. Day-spine bounds keep n(n-1)(2n+5) ~ 2n^3 exact to
+    millions of days.
+
+    Scale: the theil_sen/kendall posture — corpus to day spine, pair
+    frame and tie rollup on the bounded spine."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a = daily.select(F.col("day").alias("di"), F.col("cents").alias("ci"))
+    b = daily.select(F.col("day").alias("dj"), F.col("cents").alias("cj"))
+    s = a.join(b, F.col("di") < F.col("dj")).agg(
+        (
+            F.sum((F.col("cj") > F.col("ci")).cast("bigint"))
+            - F.sum((F.col("cj") < F.col("ci")).cast("bigint"))
+        ).cast("bigint").alias("s_stat")
+    )
+    ties = daily.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    corr = ties.agg(
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).cast("bigint").alias("tie_term"),
+        F.sum("t").cast("bigint").alias("n"),
+    )
+    return s.crossJoin(F.broadcast(corr)).select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term")
+        ).cast("bigint").alias("var18"),
+    ).select(
+        "n_days",
+        "s_stat",
+        "var18",
+        F.when(
+            F.col("var18") > 0,
+            F.when(
+                F.col("s_stat") > 0,
+                (F.col("s_stat") - 1).cast("double"),
+            )
+            .when(
+                F.col("s_stat") < 0,
+                (F.col("s_stat") + 1).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            / F.sqrt(F.col("var18").cast("double") / 18.0),
+        ).otherwise(F.lit(0.0)).alias("z"),
+    )
+
+
+MANN_KENDALL_TREND_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END)
+              - sum(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END)
+           AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+corr AS (
+  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(sum(t) AS BIGINT) AS n
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY cents)
+),
+v AS (
+  SELECT c.n AS n_days, s.s_stat,
+         CAST(c.n * (c.n - 1) * (2 * c.n + 5) - c.tie_term AS BIGINT)
+           AS var18
+  FROM s, corr c
+)
+SELECT n_days, s_stat, var18,
+       CASE WHEN var18 > 0 THEN
+         (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+               WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+               ELSE 0.0 END)
+           / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+       ELSE 0.0 END AS z
+FROM v
+"""
+
+
+# --------------------------------------------------------------------------
+# Leave-one-source-out sensitivity of the corpus quality mean
+# --------------------------------------------------------------------------
+
+_LOO_FP = 1_000_000_000
+
+
+def loo_source_sensitivity_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(source, n_docs, mean_q, loo_mean, delta): the jackknife
+    leave-one-source-out sensitivity of the corpus mean quality
+    score — for each source, what the corpus-wide mean becomes with
+    that source removed, and the shift it causes. The governance
+    read before trusting any corpus-level quality number: a single
+    source moving the pooled mean by more than the cross-source
+    spread means the "corpus quality" metric is really that source's
+    metric.
+
+    Determinism: per-doc quality is fixed-pointed independently
+    (floor(1e9 * q), the neyman pattern) so every sum is an exact
+    BIGINT — no unordered float sums; the means/delta are final IEEE
+    divisions. Scale: ONE corpus pass computes the fixed-point
+    score; one |sources|-rollup plus a broadcast scalar."""
+    from .textops import quality_score_query
+
+    q = quality_score_query(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    docs = tables.table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    scored = docs.join(q, "doc_id").select(
+        "source",
+        F.floor(F.lit(float(_LOO_FP)) * F.col("quality_score"))
+        .cast("bigint")
+        .alias("q_fp"),
+    )
+    per_src = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("q_fp").cast("bigint").alias("s_fp"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("n_all"),
+        F.sum("s_fp").cast("bigint").alias("s_all"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (
+            F.col("s_all").cast("double")
+            / F.col("n_all").cast("double")
+            / F.lit(float(_LOO_FP))
+        ).alias("mean_q"),
+        F.when(
+            F.col("n_all") > F.col("n_docs"),
+            (F.col("s_all") - F.col("s_fp")).cast("double")
+            / (F.col("n_all") - F.col("n_docs")).cast("double")
+            / F.lit(float(_LOO_FP)),
+        ).alias("loo_mean"),
+    ).select(
+        "source",
+        "n_docs",
+        "mean_q",
+        "loo_mean",
+        (F.col("loo_mean") - F.col("mean_q")).alias("delta"),
+    )
+
+
+def _loo_oracle() -> str:
+    from .textops import _EN_STOPWORDS, _sql_list
+
+    return f"""
+WITH sq_base AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\W+'),
+                     x -> x <> '') AS toks,
+         length(text) AS n_chars_actual,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         CAST(floor(CAST({_LOO_FP} AS DOUBLE) * (
+           0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+             + 0.3 * (CAST(alpha_chars AS DOUBLE) / n_chars_actual)
+             + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                   x -> x IN ({_sql_list(_EN_STOPWORDS)}))) AS DOUBLE)
+                 / len(toks)))) AS BIGINT) AS q_fp
+  FROM sq_base
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(q_fp) AS BIGINT) AS s_fp
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+         CAST(sum(s_fp) AS BIGINT) AS s_all
+  FROM per_src
+)
+SELECT p.source, p.n_docs,
+       CAST(t.s_all AS DOUBLE) / CAST(t.n_all AS DOUBLE)
+         / CAST({_LOO_FP} AS DOUBLE) AS mean_q,
+       CASE WHEN t.n_all > p.n_docs THEN
+         CAST(t.s_all - p.s_fp AS DOUBLE)
+           / CAST(t.n_all - p.n_docs AS DOUBLE)
+           / CAST({_LOO_FP} AS DOUBLE)
+       END AS loo_mean,
+       CASE WHEN t.n_all > p.n_docs THEN
+         CAST(t.s_all - p.s_fp AS DOUBLE)
+           / CAST(t.n_all - p.n_docs AS DOUBLE)
+           / CAST({_LOO_FP} AS DOUBLE)
+         - CAST(t.s_all AS DOUBLE) / CAST(t.n_all AS DOUBLE)
+           / CAST({_LOO_FP} AS DOUBLE)
+       END AS delta
+FROM per_src p, tot t
+"""
+
+
+LOO_SOURCE_SENSITIVITY_ORACLE = _loo_oracle()

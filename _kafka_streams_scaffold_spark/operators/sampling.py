@@ -1506,3 +1506,120 @@ SELECT m.source, m.chars,
        END AS boost
 FROM mass m, tot t
 """
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch check on the train/val/test split
+# --------------------------------------------------------------------------
+
+
+def split_srm_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_rows, n_train, n_val, n_test, chi2, srm_flag): the
+    sample-ratio-mismatch test on ``dataset_split``'s hash-bucket
+    assignment — observed split sizes against the designed 80/10/10,
+    chi-squared with 2 df, flagged at the 95% bar (5.991). SRM is the
+    first gate every experimentation platform runs before reading ANY
+    downstream metric: a split whose sizes are off means the
+    assignment mechanism is broken (hash bias, filtered pipeline leg)
+    and everything computed on it is invalid.
+
+    Exactness: counts are exact; each chi2 term is the
+    cross-multiplied form (100*O - pct*N)^2 / (100*pct*N) computed in
+    DOUBLE per cell, summed over exactly 3 terms in a FIXED literal
+    order (train + val + test — written out, not aggregated, so no
+    ordering question exists). The 5.991 bar is a baked literal.
+
+    Scale: rides the dataset_split scan (pure per-row expression);
+    one 3-way conditional count rollup."""
+    splits = dataset_split_query(spark, sf_dir)
+    agg = splits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum((F.col("split") == "train").cast("int"))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum((F.col("split") == "val").cast("int"))
+        .cast("bigint")
+        .alias("n_val"),
+        F.sum((F.col("split") == "test").cast("int"))
+        .cast("bigint")
+        .alias("n_test"),
+    ).filter(F.col("n_rows") > 0)
+
+    def term(obs: str, pct: int) -> F.Column:
+        d = (
+            F.lit(100.0) * F.col(obs).cast("double")
+            - F.lit(float(pct)) * F.col("n_rows").cast("double")
+        )
+        return d * d / (
+            F.lit(100.0)
+            * F.lit(float(pct))
+            * F.col("n_rows").cast("double")
+        )
+
+    chi2 = (
+        term("n_train", TRAIN_PCT)
+        + term("n_val", VAL_PCT)
+        + term("n_test", 100 - TRAIN_PCT - VAL_PCT)
+    )
+    return agg.select(
+        "n_rows",
+        "n_train",
+        "n_val",
+        "n_test",
+        chi2.alias("chi2"),
+        (chi2 > 5.991).alias("srm_flag"),
+    )
+
+
+SPLIT_SRM_CHECK_ORACLE = f"""
+WITH splits AS (
+  SELECT CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+              WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT {_BUCKET_DUCK} AS bucket FROM documents)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_val,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test
+  FROM splits
+  HAVING count(*) > 0
+)
+SELECT n_rows, n_train, n_val, n_test,
+       (100.0 * CAST(n_train AS DOUBLE) - {TRAIN_PCT}.0
+          * CAST(n_rows AS DOUBLE))
+         * (100.0 * CAST(n_train AS DOUBLE) - {TRAIN_PCT}.0
+            * CAST(n_rows AS DOUBLE))
+         / (100.0 * {TRAIN_PCT}.0 * CAST(n_rows AS DOUBLE))
+       + (100.0 * CAST(n_val AS DOUBLE) - {VAL_PCT}.0
+            * CAST(n_rows AS DOUBLE))
+         * (100.0 * CAST(n_val AS DOUBLE) - {VAL_PCT}.0
+            * CAST(n_rows AS DOUBLE))
+         / (100.0 * {VAL_PCT}.0 * CAST(n_rows AS DOUBLE))
+       + (100.0 * CAST(n_test AS DOUBLE) - {100 - TRAIN_PCT - VAL_PCT}.0
+            * CAST(n_rows AS DOUBLE))
+         * (100.0 * CAST(n_test AS DOUBLE) - {100 - TRAIN_PCT - VAL_PCT}.0
+            * CAST(n_rows AS DOUBLE))
+         / (100.0 * {100 - TRAIN_PCT - VAL_PCT}.0 * CAST(n_rows AS DOUBLE))
+         AS chi2,
+       (100.0 * CAST(n_train AS DOUBLE) - {TRAIN_PCT}.0
+          * CAST(n_rows AS DOUBLE))
+         * (100.0 * CAST(n_train AS DOUBLE) - {TRAIN_PCT}.0
+            * CAST(n_rows AS DOUBLE))
+         / (100.0 * {TRAIN_PCT}.0 * CAST(n_rows AS DOUBLE))
+       + (100.0 * CAST(n_val AS DOUBLE) - {VAL_PCT}.0
+            * CAST(n_rows AS DOUBLE))
+         * (100.0 * CAST(n_val AS DOUBLE) - {VAL_PCT}.0
+            * CAST(n_rows AS DOUBLE))
+         / (100.0 * {VAL_PCT}.0 * CAST(n_rows AS DOUBLE))
+       + (100.0 * CAST(n_test AS DOUBLE) - {100 - TRAIN_PCT - VAL_PCT}.0
+            * CAST(n_rows AS DOUBLE))
+         * (100.0 * CAST(n_test AS DOUBLE) - {100 - TRAIN_PCT - VAL_PCT}.0
+            * CAST(n_rows AS DOUBLE))
+         / (100.0 * {100 - TRAIN_PCT - VAL_PCT}.0 * CAST(n_rows AS DOUBLE))
+         > 5.991 AS srm_flag
+FROM agg
+"""

@@ -204,6 +204,12 @@ _WINDOW_R08 = [
     # re-certification: segment builder factored out for the streaming
     # twin (session_day_segments) — plan-identical, but touched
     "session_concurrency",
+    # round-8 additions: trend/governance/selection tier
+    "mann_kendall_trend",
+    "dup_capture_recapture",
+    "loo_source_sensitivity",
+    "skyline_quality_length",
+    "split_srm_check",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -2018,6 +2024,31 @@ def _ensure_loaded() -> None:
         "ljung_box_stat",
         inference.ljung_box_stat_query,
         inference.LJUNG_BOX_STAT_ORACLE,
+    )
+    register(
+        "mann_kendall_trend",
+        inference.mann_kendall_trend_query,
+        inference.MANN_KENDALL_TREND_ORACLE,
+    )
+    register(
+        "dup_capture_recapture",
+        dedup.dup_capture_recapture_query,
+        dedup.DUP_CAPTURE_RECAPTURE_ORACLE,
+    )
+    register(
+        "loo_source_sensitivity",
+        inference.loo_source_sensitivity_query,
+        inference.LOO_SOURCE_SENSITIVITY_ORACLE,
+    )
+    register(
+        "skyline_quality_length",
+        curation.skyline_quality_length_query,
+        curation.SKYLINE_QUALITY_LENGTH_ORACLE,
+    )
+    register(
+        "split_srm_check",
+        sampling.split_srm_check_query,
+        sampling.SPLIT_SRM_CHECK_ORACLE,
     )
 
     _apply_window(_WINDOW_R08)

@@ -556,3 +556,89 @@ def test_ljung_box_r_matches_bruteforce(spark):
     for k, r in rows.items():
         num = sum((ys[i] - m) * (ys[i + k] - m) for i in range(n - k))
         assert r["r"] == pytest.approx(num / den, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Trend / governance / selection tier
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_s_equals_kendall_numerator(spark):
+    mk = inference.mann_kendall_trend_query(spark, SF).collect()[0]
+    kt = inference.kendall_tau_trend_query(spark, SF).collect()[0]
+    assert mk["s_stat"] == kt["n_concordant"] - kt["n_discordant"]
+    assert mk["n_days"] == kt["n_days"]
+    # tie-corrected variance never exceeds the tie-free one
+    n = mk["n_days"]
+    assert 0 < mk["var18"] <= n * (n - 1) * (2 * n + 5)
+    if mk["s_stat"] != 0:
+        assert (mk["z"] > 0) == (mk["s_stat"] > 0)
+
+
+def test_capture_recapture_chapman_identity(spark):
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    r = dedup.dup_capture_recapture_query(spark, SF).collect()[0]
+    expected = (r["n_a"] + 1) * (r["n_b"] + 1) / (r["n_both"] + 1) - 1
+    assert r["est_total"] == pytest.approx(expected)
+    union = r["n_a"] + r["n_b"] - r["n_both"]
+    assert r["est_missed_by_both"] == pytest.approx(
+        r["est_total"] - union
+    )
+    # the estimate can never fall below what was actually observed
+    # (Chapman with n_both <= min(n_a, n_b))
+    assert r["est_total"] >= union - 1e-9
+
+
+def test_loo_sensitivity_weighted_identity(spark):
+    """Removing a source and re-adding it weighted must reproduce the
+    global mean: n_i*loo-complement identity."""
+    rows = inference.loo_source_sensitivity_query(spark, SF).collect()
+    n_all = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        # mean_q * n_all == loo_mean*(n_all-n_i) + (source mass)
+        src_mass = r["mean_q"] * n_all - r["loo_mean"] * (
+            n_all - r["n_docs"]
+        )
+        src_mean = src_mass / r["n_docs"]
+        # the implied per-source mean must be a plausible quality
+        assert -0.01 <= src_mean <= 1.01
+
+
+def test_skyline_is_exactly_the_undominated_set(spark):
+    from _kafka_streams_scaffold_spark.operators import curation
+    from _kafka_streams_scaffold_spark.operators.textops import (
+        quality_score_query,
+    )
+
+    q = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_score_query(spark, SF).collect()
+    }
+    docs = [
+        (r["doc_id"], r["n_chars"], math.floor(1e9 * q[r["doc_id"]]))
+        for r in tables.table(spark, SF, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    ]
+    def dominated(p):
+        return any(
+            (o[1] >= p[1] and o[2] >= p[2])
+            and (o[1] > p[1] or o[2] > p[2])
+            for o in docs
+        )
+    expected = {p[0] for p in docs if not dominated(p)}
+    got = {
+        r["doc_id"]
+        for r in curation.skyline_quality_length_query(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_srm_check_counts_and_flag(spark):
+    from _kafka_streams_scaffold_spark.operators import sampling
+
+    r = sampling.split_srm_check_query(spark, SF).collect()[0]
+    assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_rows"]
+    assert r["chi2"] >= 0.0
+    assert r["srm_flag"] == (r["chi2"] > 5.991)
