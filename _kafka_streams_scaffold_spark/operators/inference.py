@@ -1805,3 +1805,254 @@ FROM per_src p, tot t
 
 
 LOO_SOURCE_SENSITIVITY_ORACLE = _loo_oracle()
+
+# --------------------------------------------------------------------------
+# Welch's t audit: per-source parametric length shift vs the rest
+# --------------------------------------------------------------------------
+
+
+def welch_t_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_src, n_rest, mean_src, mean_rest, welch_t,
+    cohens_d): Welch's unequal-variance t statistic and Cohen's d for
+    each source's ``n_chars`` against the rest of the corpus — the
+    PARAMETRIC companion to ``mann_whitney_audit``: the rank test
+    answers "is there a shift", Welch answers "how many standard
+    errors is the mean shift" and d gives the unit-free effect size
+    reviewers actually compare across corpora. Running both is the
+    standard guard against each one's blind spot (ranks saturate,
+    means chase outliers).
+
+    Exactness: every moment (n, sum x, sum x^2) is an exact BIGINT
+    off ONE rollup (n_chars <= ~1e5 keeps sum x^2 exact past 1e8
+    docs); means/variances/t/d are fixed IEEE expressions over those
+    integers, with n >= 2 guards on both sides.
+
+    Scale: one partial-aggregatable per-source moment rollup; the
+    rest-side moments are the broadcast global minus the source's."""
+    docs = tables.table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("ss1"),
+    )
+    tot = per.agg(
+        F.sum("n1").cast("bigint").alias("nt"),
+        F.sum("s1").cast("bigint").alias("st"),
+        F.sum("ss1").cast("bigint").alias("sst"),
+    )
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n1",
+        (F.col("nt") - F.col("n1")).cast("bigint").alias("n2"),
+        "s1",
+        "ss1",
+        (F.col("st") - F.col("s1")).cast("bigint").alias("s2"),
+        (F.col("sst") - F.col("ss1")).cast("bigint").alias("ss2"),
+    ).filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    m1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    m2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+    v1 = (
+        F.col("ss1").cast("double")
+        - F.col("s1").cast("double") * m1
+    ) / (F.col("n1") - 1).cast("double")
+    v2 = (
+        F.col("ss2").cast("double")
+        - F.col("s2").cast("double") * m2
+    ) / (F.col("n2") - 1).cast("double")
+    se2 = v1 / F.col("n1").cast("double") + v2 / F.col("n2").cast("double")
+    pooled = (
+        (F.col("n1") - 1).cast("double") * v1
+        + (F.col("n2") - 1).cast("double") * v2
+    ) / (F.col("n1") + F.col("n2") - 2).cast("double")
+    return j.select(
+        "source",
+        F.col("n1").alias("n_src"),
+        F.col("n2").alias("n_rest"),
+        m1.alias("mean_src"),
+        m2.alias("mean_rest"),
+        F.when(se2 > 0, (m1 - m2) / F.sqrt(se2)).alias("welch_t"),
+        F.when(pooled > 0, (m1 - m2) / F.sqrt(pooled)).alias("cohens_d"),
+    )
+
+
+WELCH_T_AUDIT_ORACLE = """
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss1
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS nt,
+         CAST(sum(s1) AS BIGINT) AS st,
+         CAST(sum(ss1) AS BIGINT) AS sst
+  FROM per
+),
+j AS (
+  SELECT p.source, p.n1,
+         CAST(t.nt - p.n1 AS BIGINT) AS n2,
+         p.s1, p.ss1,
+         CAST(t.st - p.s1 AS BIGINT) AS s2,
+         CAST(t.sst - p.ss1 AS BIGINT) AS ss2
+  FROM per p, tot t
+  WHERE p.n1 >= 2 AND t.nt - p.n1 >= 2
+),
+m AS (
+  SELECT source, n1 AS n_src, n2 AS n_rest,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+         CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+            * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+           / CAST(n1 - 1 AS DOUBLE) AS v1,
+         (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+            * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+           / CAST(n2 - 1 AS DOUBLE) AS v2,
+         n1, n2
+  FROM j
+)
+SELECT source, n_src, n_rest, m1 AS mean_src, m2 AS mean_rest,
+       CASE WHEN v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) > 0
+         THEN (m1 - m2)
+              / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+       END AS welch_t,
+       CASE WHEN (CAST(n1 - 1 AS DOUBLE) * v1 + CAST(n2 - 1 AS DOUBLE)
+                  * v2) / CAST(n1 + n2 - 2 AS DOUBLE) > 0
+         THEN (m1 - m2)
+              / sqrt((CAST(n1 - 1 AS DOUBLE) * v1
+                      + CAST(n2 - 1 AS DOUBLE) * v2)
+                     / CAST(n1 + n2 - 2 AS DOUBLE))
+       END AS cohens_d
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Cochran-Armitage trend in proportions across length deciles
+# --------------------------------------------------------------------------
+
+
+def cochran_armitage_trend_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_rows, n_buckets, num, z): the Cochran-Armitage test for a
+    LINEAR TREND in the English-doc proportion across document-length
+    deciles — the ordered-category upgrade over a plain chi-squared
+    ("do longer documents skew more/less English"), the standard
+    dose-response readout lifted to corpus strata. A significant z
+    means language and length are confounded, and any length-gated
+    filter silently shifts the language mix.
+
+    Construction: decile w_i = the hash-free ordered bucket index
+    from exact rank cutoffs (type-1, the quantile_normalize_map
+    arithmetic); num = sum_i w_i (k_i n - n_i K) is pure BIGINT; the
+    variance denominator K(n-K)(n sum w^2 n_i - (sum w n_i)^2)/n is
+    assembled from exact integer sums with the single sqrt at the
+    end.
+
+    Scale: one count rollup, a decile assignment off the cumulative
+    grid, one |buckets|-row frame for the moments."""
+    docs = tables.table(spark, sf_dir, "documents")
+    counts = docs.groupBy("n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum((F.col("lang") == "en").cast("int"))
+        .cast("bigint")
+        .alias("k"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bucketed = counts.select(
+        "c",
+        "k",
+        F.sum("c").over(w).cast("bigint").alias("cum"),
+        F.sum("c").over(tot_w).cast("bigint").alias("n"),
+    ).select(
+        "c",
+        "k",
+        # decile index 0..9 of the LAST row of this value-group:
+        # ((cum - 1) * 10) div n
+        F.expr("((cum - 1) * 10) div n").cast("bigint").alias("wgt"),
+    )
+    per_b = bucketed.groupBy("wgt").agg(
+        F.sum("c").cast("bigint").alias("n_i"),
+        F.sum("k").cast("bigint").alias("k_i"),
+    )
+    m = per_b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("k_i").cast("bigint").alias("big_k"),
+        F.sum(F.col("wgt") * F.col("n_i")).cast("bigint").alias("swn"),
+        F.sum(F.col("wgt") * F.col("wgt") * F.col("n_i"))
+        .cast("bigint")
+        .alias("swwn"),
+        F.sum(F.col("wgt") * F.col("k_i")).cast("bigint").alias("swk"),
+    )
+    num = (
+        F.col("n") * F.col("swk") - F.col("big_k") * F.col("swn")
+    ).cast("bigint")
+    var_num = (
+        F.col("big_k").cast("double")
+        * (F.col("n") - F.col("big_k")).cast("double")
+        * (
+            F.col("n").cast("double") * F.col("swwn").cast("double")
+            - F.col("swn").cast("double") * F.col("swn").cast("double")
+        )
+    )
+    return m.select(
+        F.col("n").alias("n_rows"),
+        "n_buckets",
+        num.alias("num"),
+        F.when(
+            var_num > 0,
+            num.cast("double")
+            / F.sqrt(F.col("n").cast("double") * var_num),
+        ).otherwise(F.lit(0.0)).alias("z"),
+    )
+
+
+COCHRAN_ARMITAGE_TREND_ORACLE = """
+WITH counts AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM documents GROUP BY 1
+),
+bucketed AS (
+  SELECT c, k,
+         ((CAST(sum(c) OVER (ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) - 1) * 10)
+           // CAST(sum(c) OVER () AS BIGINT) AS wgt
+  FROM counts
+),
+per_b AS (
+  SELECT wgt, CAST(sum(c) AS BIGINT) AS n_i, CAST(sum(k) AS BIGINT) AS k_i
+  FROM bucketed GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(n_i) AS BIGINT) AS n,
+         CAST(sum(k_i) AS BIGINT) AS big_k,
+         CAST(sum(wgt * n_i) AS BIGINT) AS swn,
+         CAST(sum(wgt * wgt * n_i) AS BIGINT) AS swwn,
+         CAST(sum(wgt * k_i) AS BIGINT) AS swk
+  FROM per_b
+)
+SELECT n AS n_rows, n_buckets,
+       CAST(n * swk - big_k * swn AS BIGINT) AS num,
+       CASE WHEN CAST(big_k AS DOUBLE) * CAST(n - big_k AS DOUBLE)
+                 * (CAST(n AS DOUBLE) * CAST(swwn AS DOUBLE)
+                    - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)) > 0
+         THEN CAST(n * swk - big_k * swn AS DOUBLE)
+              / sqrt(CAST(n AS DOUBLE)
+                     * (CAST(big_k AS DOUBLE) * CAST(n - big_k AS DOUBLE)
+                        * (CAST(n AS DOUBLE) * CAST(swwn AS DOUBLE)
+                           - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE))))
+       ELSE 0.0 END AS z
+FROM m
+"""

@@ -391,3 +391,97 @@ JOIN fps fb ON fb.doc_id = c.doc_b
 WHERE {" + ".join(f"bit_count(xor(fa.b{i}, fb.b{i}))" for i in range(PHASH_BLOCKS))}
       <= {PHASH_HAM_MAX}
 """
+
+# --------------------------------------------------------------------------
+# Perceptual-hash threshold sweep (candidate distance histogram)
+# --------------------------------------------------------------------------
+
+
+def phash_threshold_sweep_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(hamming, n_pairs): the exact Hamming-distance histogram of the
+    perceptual-hash CANDIDATE pair set (every payload pair sharing at
+    least one 8-bit block), unfiltered by PHASH_HAM_MAX — the
+    multimodal twin of ``dedup.simhash_threshold_sweep`` and the
+    evidence table for choosing the phash cut: a valley between the
+    near-dup lobe and the block-collision noise lobe says the
+    threshold is safe; mass piled at the cut says a real duplicate
+    family is being truncated. Bins past PHASH_HAM_MAX count only
+    block-sharing pairs (pigeonhole completeness holds only below
+    the threshold) — exactly the set a threshold RAISE would admit.
+
+    Scale: identical posting-list shape to phash_dup_pairs, minus its
+    filter; the histogram is a |distances|-row rollup."""
+    fps = _pin(payload_phash_query(spark, sf_dir))
+    posting = fps.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.col(f"b{b}").alias("v"),
+                    )
+                    for b in range(PHASH_BLOCKS)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.blk", "p.v")
+    a, b = posting.alias("a"), posting.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    fa = fps.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(PHASH_BLOCKS)],
+    )
+    fb = fps.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"bb{i}") for i in range(PHASH_BLOCKS)],
+    )
+    ham = F.expr(
+        " + ".join(
+            f"bit_count(a{i} ^ bb{i})" for i in range(PHASH_BLOCKS)
+        )
+    ).cast("int")
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(ham.alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+PHASH_THRESHOLD_SWEEP_ORACLE = f"""
+WITH fps AS MATERIALIZED ({PAYLOAD_PHASH_ORACLE.strip()}),
+posting AS (
+  SELECT doc_id, blk,
+         CASE {" ".join(f"WHEN blk = {b} THEN b{b}" for b in range(PHASH_BLOCKS))} END AS v
+  FROM fps, generate_series(0, {PHASH_BLOCKS - 1}) AS t(blk)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM posting a
+  JOIN posting b
+    ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT CAST({" + ".join(f"bit_count(xor(fa.b{i}, fb.b{i}))" for i in range(PHASH_BLOCKS))} AS INT)
+         AS hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand c
+JOIN fps fa ON fa.doc_id = c.doc_a
+JOIN fps fb ON fb.doc_id = c.doc_b
+GROUP BY 1
+"""

@@ -210,6 +210,9 @@ _WINDOW_R08 = [
     "loo_source_sensitivity",
     "skyline_quality_length",
     "split_srm_check",
+    "welch_t_audit",
+    "cochran_armitage_trend",
+    "phash_threshold_sweep",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -2049,6 +2052,21 @@ def _ensure_loaded() -> None:
         "split_srm_check",
         sampling.split_srm_check_query,
         sampling.SPLIT_SRM_CHECK_ORACLE,
+    )
+    register(
+        "welch_t_audit",
+        inference.welch_t_audit_query,
+        inference.WELCH_T_AUDIT_ORACLE,
+    )
+    register(
+        "cochran_armitage_trend",
+        inference.cochran_armitage_trend_query,
+        inference.COCHRAN_ARMITAGE_TREND_ORACLE,
+    )
+    register(
+        "phash_threshold_sweep",
+        multimodal.phash_threshold_sweep_query,
+        multimodal.PHASH_THRESHOLD_SWEEP_ORACLE,
     )
 
     _apply_window(_WINDOW_R08)

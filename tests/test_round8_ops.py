@@ -642,3 +642,53 @@ def test_srm_check_counts_and_flag(spark):
     assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_rows"]
     assert r["chi2"] >= 0.0
     assert r["srm_flag"] == (r["chi2"] > 5.991)
+
+
+def test_welch_t_matches_bruteforce(spark):
+    docs = tables.table(spark, SF, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    out = {
+        r["source"]: r
+        for r in inference.welch_t_audit_query(spark, SF).collect()
+    }
+    src = sorted(out)[0]
+    xs = [r["n_chars"] for r in docs if r["source"] == src]
+    ys = [r["n_chars"] for r in docs if r["source"] != src]
+    m1, m2 = sum(xs) / len(xs), sum(ys) / len(ys)
+    v1 = sum((x - m1) ** 2 for x in xs) / (len(xs) - 1)
+    v2 = sum((y - m2) ** 2 for y in ys) / (len(ys) - 1)
+    t = (m1 - m2) / math.sqrt(v1 / len(xs) + v2 / len(ys))
+    r = out[src]
+    assert r["mean_src"] == pytest.approx(m1)
+    assert r["welch_t"] == pytest.approx(t, rel=1e-9)
+    # direction agreement with the rank test (AUC vs 0.5)
+    mw = {
+        x["source"]: x
+        for x in inference.mann_whitney_audit_query(spark, SF).collect()
+    }[src]
+    if abs(r["welch_t"]) > 2 and abs(mw["auc"] - 0.5) > 0.05:
+        assert (r["welch_t"] > 0) == (mw["auc"] > 0.5)
+
+
+def test_cochran_armitage_decile_weights_partition(spark):
+    r = inference.cochran_armitage_trend_query(spark, SF).collect()[0]
+    n_docs = tables.table(spark, SF, "documents").count()
+    assert r["n_rows"] == n_docs
+    assert 1 <= r["n_buckets"] <= 10
+    # z is a standardized statistic; sanity band
+    assert abs(r["z"]) < 50
+
+
+def test_phash_sweep_mass_matches_pairs_below_threshold(spark):
+    from _kafka_streams_scaffold_spark.operators import multimodal
+
+    hist = {
+        r["hamming"]: r["n_pairs"]
+        for r in multimodal.phash_threshold_sweep_query(spark, SF).collect()
+    }
+    n_under = sum(
+        c for h, c in hist.items() if h <= multimodal.PHASH_HAM_MAX
+    )
+    n_pairs = multimodal.phash_dup_pairs_query(spark, SF).count()
+    assert n_under == n_pairs
