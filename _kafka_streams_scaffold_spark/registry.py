@@ -213,6 +213,7 @@ _WINDOW_R08 = [
     "welch_t_audit",
     "cochran_armitage_trend",
     "phash_threshold_sweep",
+    "pca_top_component",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -2067,6 +2068,14 @@ def _ensure_loaded() -> None:
         "phash_threshold_sweep",
         multimodal.phash_threshold_sweep_query,
         multimodal.PHASH_THRESHOLD_SWEEP_ORACLE,
+    )
+
+    from .operators import pca
+
+    register(
+        "pca_top_component",
+        pca.pca_top_component_query,
+        pca.PCA_TOP_COMPONENT_ORACLE,
     )
 
     _apply_window(_WINDOW_R08)

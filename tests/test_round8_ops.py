@@ -692,3 +692,48 @@ def test_phash_sweep_mass_matches_pairs_below_threshold(spark):
     )
     n_pairs = multimodal.phash_dup_pairs_query(spark, SF).count()
     assert n_under == n_pairs
+
+
+def test_pca_dominant_direction_matches_numpy_replica(spark):
+    """The plan-side power iteration must match a numpy replica of the
+    SAME algorithm (same quantization, same start, same step count)
+    to float tolerance, and its Rayleigh quotient must sit in the top
+    of the true spectrum (the operator's honest convergence
+    contract on a flat-spectrum corpus)."""
+    import numpy as np
+
+    from _kafka_streams_scaffold_spark.operators import pca
+
+    emb = np.array(
+        [
+            [float(x) for x in r["embedding"]]
+            for r in tables.table(spark, SF, "embeddings").collect()
+        ]
+    )
+    q = np.floor(pca.PCA_FP * emb).astype(np.int64).astype(float)
+    n = q.shape[0]
+    cov = n * (q.T @ q) - np.outer(q.sum(axis=0), q.sum(axis=0))
+    v = np.ones(cov.shape[0]) / cov.shape[0]
+    for _ in range(pca.PCA_ITERS):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    rq = float(v @ cov @ v)
+    rows = sorted(
+        pca.pca_top_component_query(spark, SF).collect(),
+        key=lambda r: r["pos"],
+    )
+    got = np.array([r["loading"] for r in rows])
+    assert len(got) == emb.shape[1]
+    cos = abs(float(got @ v) / (np.linalg.norm(got) * np.linalg.norm(v)))
+    assert cos > 1 - 1e-9  # same algorithm, same answer
+    lam = rows[0]["eigenvalue"]
+    assert lam == pytest.approx(rq, rel=1e-9)
+    vals = np.linalg.eigvalsh(cov)
+    # Rayleigh quotient of any unit vector <= lambda_1; the iterate's
+    # must also clear the bulk of the spectrum
+    assert lam <= vals[-1] * (1 + 1e-9)
+    assert lam >= vals[-5]
+    assert 0.0 < rows[0]["explained_frac"] <= 1.0
+    assert rows[0]["explained_frac"] == pytest.approx(
+        rq / np.trace(cov), rel=1e-9
+    )
