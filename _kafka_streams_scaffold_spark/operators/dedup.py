@@ -2765,3 +2765,84 @@ FROM agg
 
 
 DUP_CAPTURE_RECAPTURE_ORACLE = _capture_recapture_oracle()
+
+# --------------------------------------------------------------------------
+# Novelty decay curve (first-seen shingle fraction by ingestion decile)
+# --------------------------------------------------------------------------
+
+_NOV_FP = 1_000_000_000
+
+
+def novelty_decay_curve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, n_docs, mean_novelty): how per-document 3-gram novelty
+    (the ``doc_ngram_novelty`` fraction of shingles this doc is the
+    FIRST to contribute) decays across ingestion-order deciles — the
+    "is new data still new" curve. A healthy growing corpus flattens
+    well above zero; a curve that crashes toward zero by decile 5
+    says further same-source ingestion buys tokens, not information —
+    the macro version of the per-doc novelty gate in
+    ``corpus_keep_full``.
+
+    Deciles are VALUE deciles of doc_id against the observed
+    [min, max] id range (ids are the ingestion order; quasi-dense ids
+    make this the rank decile without any corpus-wide ranking window
+    — the construction that keeps the curve computable at 100 TB).
+    Novelty is fixed-pointed per doc (floor(1e9 * x)) before the
+    per-decile sum, so the means are exact-integer ratios.
+
+    Scale: rides the shingle first-seen rollup (one shuffle on
+    shingle), then a 10-row rollup."""
+    nov = doc_ngram_novelty_query(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.lit(float(_NOV_FP)) * F.col("novelty"))
+        .cast("bigint")
+        .alias("nov_fp"),
+    )
+    bounds = nov.agg(
+        F.min("doc_id").cast("bigint").alias("lo"),
+        F.max("doc_id").cast("bigint").alias("hi"),
+    )
+    bucketed = nov.crossJoin(F.broadcast(bounds)).select(
+        F.expr("((doc_id - lo) * 10) div (hi - lo + 1)")
+        .cast("int")
+        .alias("decile"),
+        "nov_fp",
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum("nov_fp").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(float(_NOV_FP))
+        ).alias("mean_novelty"),
+    )
+
+
+def _novelty_decay_oracle() -> str:
+    return f"""
+WITH nov_base AS ({DOC_NGRAM_NOVELTY_ORACLE.strip().rstrip(';')}),
+nov AS (
+  SELECT doc_id,
+         CAST(floor(CAST({_NOV_FP} AS DOUBLE) * novelty) AS BIGINT)
+           AS nov_fp
+  FROM nov_base
+),
+bounds AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+         CAST(max(doc_id) AS BIGINT) AS hi
+  FROM nov
+),
+bucketed AS (
+  SELECT CAST(((n.doc_id - b.lo) * 10) // (b.hi - b.lo + 1) AS INT)
+           AS decile,
+         n.nov_fp
+  FROM nov n, bounds b
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nov_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         / CAST({_NOV_FP} AS DOUBLE) AS mean_novelty
+FROM bucketed GROUP BY 1
+"""
+
+
+NOVELTY_DECAY_CURVE_ORACLE = _novelty_decay_oracle()

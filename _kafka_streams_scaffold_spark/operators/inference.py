@@ -2056,3 +2056,113 @@ SELECT n AS n_rows, n_buckets,
        ELSE 0.0 END AS z
 FROM m
 """
+
+# --------------------------------------------------------------------------
+# One-way ANOVA: does source explain document length?
+# --------------------------------------------------------------------------
+
+
+def anova_source_lengths_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_rows, n_groups, ss_between, ss_total, f_stat, eta_squared):
+    one-way ANOVA of ``n_chars`` across sources — the multi-group
+    completion of the ``welch_t_audit`` pairwise reads: eta^2 =
+    SS_between / SS_total is the fraction of length variance the
+    source label explains (the stratification-payoff number: eta^2
+    near 0 means per-source length stats are one distribution worn
+    20 ways), and F carries the significance.
+
+    Exactness: all moments (per-group n, sum, sum of squares) are
+    exact BIGINTs off ONE rollup; SS_between folds the SOURCE-SORTED
+    per-group list (s_g^2 / n_g terms — the only unordered-sum risk,
+    removed by the fold), SS_total is a fixed expression on global
+    integers; F and eta^2 are final IEEE arithmetic with df guards.
+
+    Scale: one partial-aggregatable rollup to |sources| rows;
+    everything after is catalog-sized."""
+    docs = tables.table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("n_chars").cast("bigint").alias("s_g"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("ss_g"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("ss_g").cast("bigint").alias("ss"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(source, s_g, n_g))), x -> cast(x.s_g as double) "
+            "* cast(x.s_g as double) / cast(x.n_g as double)), "
+            "cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("sum_sq_over_n"),
+    ).filter((F.col("n") > 0) & (F.col("n_groups") > 1))
+    grand = F.col("s").cast("double") * F.col("s").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    ssb = F.col("sum_sq_over_n") - grand
+    sst = F.col("ss").cast("double") - grand
+    # ssw written as ss - sum_sq_over_n (NOT sst - ssb): the algebra is
+    # the same but the IEEE evaluation order must match the oracle's
+    ssw = F.col("ss").cast("double") - F.col("sum_sq_over_n")
+    f_stat = F.when(
+        (ssw > 0) & (F.col("n") > F.col("n_groups")),
+        (ssb / (F.col("n_groups") - 1).cast("double"))
+        / (ssw / (F.col("n") - F.col("n_groups")).cast("double")),
+    )
+    return agg.select(
+        F.col("n").alias("n_rows"),
+        "n_groups",
+        ssb.alias("ss_between"),
+        sst.alias("ss_total"),
+        f_stat.alias("f_stat"),
+        F.when(sst > 0, ssb / sst).alias("eta_squared"),
+    )
+
+
+ANOVA_SOURCE_LENGTHS_ORACLE = """
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(n_chars) AS BIGINT) AS s_g,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss_g
+  FROM documents GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(sum(ss_g) AS BIGINT) AS ss,
+         list_reduce(list_transform(
+             list({'s_g': s_g, 'n_g': n_g} ORDER BY source),
+             x -> CAST(x.s_g AS DOUBLE) * CAST(x.s_g AS DOUBLE)
+                  / CAST(x.n_g AS DOUBLE)), (a, b) -> a + b)
+           AS sum_sq_over_n
+  FROM per
+  HAVING count(*) > 1 AND sum(n_g) > 0
+)
+SELECT n AS n_rows, n_groups,
+       sum_sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         / CAST(n AS DOUBLE) AS ss_between,
+       CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         / CAST(n AS DOUBLE) AS ss_total,
+       CASE WHEN (CAST(ss AS DOUBLE) - sum_sq_over_n) > 0
+                 AND n > n_groups THEN
+         ((sum_sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             / CAST(n AS DOUBLE)) / CAST(n_groups - 1 AS DOUBLE))
+           / ((CAST(ss AS DOUBLE) - sum_sq_over_n)
+              / CAST(n - n_groups AS DOUBLE))
+       END AS f_stat,
+       CASE WHEN CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN
+         (sum_sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            / CAST(n AS DOUBLE))
+           / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n AS DOUBLE))
+       END AS eta_squared
+FROM agg
+"""

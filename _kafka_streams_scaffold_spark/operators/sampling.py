@@ -1623,3 +1623,96 @@ SELECT n_rows, n_train, n_val, n_test,
          > 5.991 AS srm_flag
 FROM agg
 """
+
+# --------------------------------------------------------------------------
+# Hash-bucket uniformity test (100-cell chi-squared on the split hash)
+# --------------------------------------------------------------------------
+
+_UNIF_CHI2_BAR = 123.225  # chi2 0.95 quantile at df = 99, baked literal
+
+
+def hash_bucket_uniformity_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_rows, n_buckets_hit, chi2, uniform_flag): the 100-cell
+    chi-squared uniformity test on the md5 split bucket every
+    sampling/split operator in this repo keys on — the fine-grained
+    upgrade over ``split_srm_check``'s 3-cell test: a biased PRINT of
+    the hash (truncation artifacts, id-structure leakage) shows up
+    here long before it moves 80/10/10. Empty buckets count (O = 0
+    cells contribute E), so the statistic is honest about gaps.
+
+    Exactness: per-bucket counts are exact; each chi2 term is the
+    cross-multiplied (100*O - N)^2 / (100*N) in DOUBLE per cell,
+    summed by an ordered fold over the bucket-sorted 100-cell list.
+    The 123.225 bar (df = 99, 95%) is a baked literal.
+
+    Scale: one per-bucket rollup off the pure per-row hash
+    expression; the 100-cell spine is a broadcast literal."""
+    docs = tables.table(spark, sf_dir, "documents")
+    counts = with_bucket(docs).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    spine = spark.range(0, 100).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    grid = spine.join(counts, "bucket", "left").select(
+        "bucket", F.coalesce("o", F.lit(0)).cast("bigint").alias("o")
+    )
+    agg = grid.agg(
+        F.sum("o").cast("bigint").alias("n_rows"),
+        F.sum((F.col("o") > 0).cast("int")).cast("bigint")
+        .alias("n_buckets_hit"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(bucket, o))), "
+            "x -> x.o)"
+        ).alias("olist"),
+    ).filter(F.col("n_rows") > 0)
+    return agg.select(
+        "n_rows",
+        "n_buckets_hit",
+        F.expr(
+            "aggregate(olist, cast(0.0 as double), (a, o) -> a + "
+            "(100.0 * cast(o as double) - cast(n_rows as double)) "
+            "* (100.0 * cast(o as double) - cast(n_rows as double)) "
+            "/ (100.0 * cast(n_rows as double)))"
+        ).alias("chi2"),
+    ).select(
+        "n_rows",
+        "n_buckets_hit",
+        "chi2",
+        (F.col("chi2") <= F.lit(_UNIF_CHI2_BAR)).alias("uniform_flag"),
+    )
+
+
+HASH_BUCKET_UNIFORMITY_ORACLE = f"""
+WITH counts AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS o
+  FROM (SELECT {_BUCKET_DUCK} AS bucket FROM documents)
+  GROUP BY 1
+),
+grid AS (
+  SELECT s.bucket, CAST(COALESCE(c.o, 0) AS BIGINT) AS o
+  FROM (SELECT unnest(generate_series(0, 99)) AS bucket) s
+  LEFT JOIN counts c ON c.bucket = s.bucket
+),
+agg AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_buckets_hit,
+         list(o ORDER BY bucket) AS olist
+  FROM grid
+  HAVING sum(o) > 0
+)
+SELECT n_rows, n_buckets_hit,
+       list_reduce(list_transform(olist, o ->
+           (100.0 * CAST(o AS DOUBLE) - CAST(n_rows AS DOUBLE))
+           * (100.0 * CAST(o AS DOUBLE) - CAST(n_rows AS DOUBLE))
+           / (100.0 * CAST(n_rows AS DOUBLE))), (a, b) -> a + b) AS chi2,
+       list_reduce(list_transform(olist, o ->
+           (100.0 * CAST(o AS DOUBLE) - CAST(n_rows AS DOUBLE))
+           * (100.0 * CAST(o AS DOUBLE) - CAST(n_rows AS DOUBLE))
+           / (100.0 * CAST(n_rows AS DOUBLE))), (a, b) -> a + b)
+         <= {_UNIF_CHI2_BAR} AS uniform_flag
+FROM agg
+"""

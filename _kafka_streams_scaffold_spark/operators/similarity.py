@@ -2296,3 +2296,73 @@ FROM levels l
 CROSS JOIN expected x
 LEFT JOIN hits h ON h.nprobe = l.nprobe
 """
+
+# --------------------------------------------------------------------------
+# IVF assignment-margin audit (quantizer boundary mass)
+# --------------------------------------------------------------------------
+
+
+def ivf_margin_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_vecs): histogram of each vector's RELATIVE
+    assignment margin — (d2nd - d1st) / d2nd over the IVF cell
+    distances, bucketed at floor(100 * margin) (PERCENT bins; in
+    64-d, distance concentration squeezes relative margins into a
+    few percent, so percent resolution is what actually separates
+    the population) — the quantizer-confidence audit: bucket-0 mass
+    is vectors sitting within 1% of a cell boundary, i.e. the
+    population whose assignment flips under any centroid drift and
+    whose recall depends on multi-probe. A boundary-heavy histogram
+    says nprobe must rise or cells must split; a right-shifted one
+    licenses nprobe = 1.
+
+    Exactness: distances are the bit-identical fold-form dist^2 the
+    assignment itself uses; ranks and buckets are integers off one
+    window; the single division is guarded (d2nd = 0 exact-dup-with-
+    centroid degenerates are excluded and counted in bucket -1).
+
+    Scale: rides the |vectors| x |cells| broadcast score frame the
+    assignment already computes; one window, one rollup."""
+    scores = _vec_cell_scores(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    top2 = (
+        scores.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.when(F.col("r") == 1, F.col("dist2"))).alias("d1"),
+            F.min(F.when(F.col("r") == 2, F.col("dist2"))).alias("d2"),
+        )
+        .filter(F.col("d2").isNotNull())
+    )
+    bucket = F.when(
+        F.col("d2") > 0,
+        F.floor(100.0 * (F.col("d2") - F.col("d1")) / F.col("d2"))
+        .cast("int"),
+    ).otherwise(F.lit(-1))
+    return top2.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+
+
+IVF_MARGIN_AUDIT_ORACLE = f"""
+WITH {_DUCK_ASSIGN_CTES},
+ranked AS (
+  SELECT vec_id, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label)
+           AS r
+  FROM scored
+),
+top2 AS (
+  SELECT vec_id,
+         min(CASE WHEN r = 1 THEN dist2 END) AS d1,
+         min(CASE WHEN r = 2 THEN dist2 END) AS d2
+  FROM ranked WHERE r <= 2 GROUP BY 1
+)
+SELECT CASE WHEN d2 > 0
+            THEN CAST(floor(100.0 * (d2 - d1) / d2) AS INT)
+            ELSE -1 END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM top2
+WHERE d2 IS NOT NULL
+GROUP BY 1
+"""

@@ -214,6 +214,10 @@ _WINDOW_R08 = [
     "cochran_armitage_trend",
     "phash_threshold_sweep",
     "pca_top_component",
+    "hash_bucket_uniformity",
+    "ivf_margin_audit",
+    "novelty_decay_curve",
+    "anova_source_lengths",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -2076,6 +2080,26 @@ def _ensure_loaded() -> None:
         "pca_top_component",
         pca.pca_top_component_query,
         pca.PCA_TOP_COMPONENT_ORACLE,
+    )
+    register(
+        "hash_bucket_uniformity",
+        sampling.hash_bucket_uniformity_query,
+        sampling.HASH_BUCKET_UNIFORMITY_ORACLE,
+    )
+    register(
+        "ivf_margin_audit",
+        similarity.ivf_margin_audit_query,
+        similarity.IVF_MARGIN_AUDIT_ORACLE,
+    )
+    register(
+        "novelty_decay_curve",
+        dedup.novelty_decay_curve_query,
+        dedup.NOVELTY_DECAY_CURVE_ORACLE,
+    )
+    register(
+        "anova_source_lengths",
+        inference.anova_source_lengths_query,
+        inference.ANOVA_SOURCE_LENGTHS_ORACLE,
     )
 
     _apply_window(_WINDOW_R08)

@@ -737,3 +737,61 @@ def test_pca_dominant_direction_matches_numpy_replica(spark):
     assert rows[0]["explained_frac"] == pytest.approx(
         rq / np.trace(cov), rel=1e-9
     )
+
+
+def test_hash_bucket_uniformity_counts_and_flag(spark):
+    from _kafka_streams_scaffold_spark.operators import sampling
+
+    r = sampling.hash_bucket_uniformity_query(spark, SF).collect()[0]
+    n_docs = tables.table(spark, SF, "documents").count()
+    assert r["n_rows"] == n_docs
+    assert 1 <= r["n_buckets_hit"] <= 100
+    assert r["chi2"] >= 0.0
+    assert r["uniform_flag"] == (r["chi2"] <= sampling._UNIF_CHI2_BAR)
+    # the md5 bucket on a healthy corpus must pass its own gate
+    assert r["uniform_flag"]
+
+
+def test_ivf_margin_buckets_partition_population(spark):
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    rows = similarity.ivf_margin_audit_query(spark, SF).collect()
+    n_vecs = tables.table(spark, SF, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_vecs
+    assert all(-1 <= r["bucket"] <= 100 for r in rows)
+
+
+def test_novelty_decay_first_decile_is_most_novel(spark):
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    rows = sorted(
+        dedup.novelty_decay_curve_query(spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert rows[0]["decile"] == 0
+    assert all(0.0 <= r["mean_novelty"] <= 1.0 for r in rows)
+    # first-seen attribution: the earliest ingestion decile must be
+    # at least as novel as the mean of the last half
+    tail = [r["mean_novelty"] for r in rows[len(rows) // 2:]]
+    assert rows[0]["mean_novelty"] >= sum(tail) / len(tail)
+
+
+def test_anova_matches_bruteforce(spark):
+    docs = tables.table(spark, SF, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    xs = [r["n_chars"] for r in docs]
+    m = sum(xs) / len(xs)
+    ssb = sum(
+        len(v) * (sum(v) / len(v) - m) ** 2 for v in by_src.values()
+    )
+    sst = sum((x - m) ** 2 for x in xs)
+    r = inference.anova_source_lengths_query(spark, SF).collect()[0]
+    assert r["n_groups"] == len(by_src)
+    assert r["ss_between"] == pytest.approx(ssb, rel=1e-9)
+    assert r["ss_total"] == pytest.approx(sst, rel=1e-9)
+    assert r["eta_squared"] == pytest.approx(ssb / sst, rel=1e-9)
+    assert 0.0 <= r["eta_squared"] <= 1.0
