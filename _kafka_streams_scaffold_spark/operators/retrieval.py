@@ -1276,3 +1276,118 @@ WHERE d.d >= 2
 
 
 LOCAL_CLUSTERING_COEFF_ORACLE = _lcc_oracle()
+
+# --------------------------------------------------------------------------
+# Per-label anisotropy (mean pairwise cosine inside each label cell)
+# --------------------------------------------------------------------------
+
+
+def label_anisotropy_audit_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(label, n_vecs, mean_pair_cos): the per-label refinement of
+    ``embedding_anisotropy_audit`` — mean pairwise cosine WITHIN each
+    label cell via the same power-sum identity (no pair join). Reads
+    against the global row: a label far above the global mean cosine
+    is a collapsed/duplicated cluster (cf. ``embedding_diversity``,
+    its L2 twin); one at or below it is indistinguishable from
+    background and its label carries no geometry.
+
+    Same quantized-normalized fixed-point contract as the global
+    audit (ANISO_FP per component, exact BIGINT power sums, per-dim
+    squares folded in sorted order); per-label cells with n < 2 are
+    excluded (no pairs).
+
+    Scale: one corpus pass + one |labels| x dim rollup; nothing
+    pairwise."""
+    emb = _emb(spark, sf_dir).filter(F.col("norm") > 0)
+    q = emb.select(
+        "label",
+        F.expr(
+            f"transform(embedding, x -> cast(floor({ANISO_FP}.0 "
+            "* (cast(x as double) / norm)) as bigint))"
+        ).alias("q"),
+    )
+    rows = q.select(
+        "label",
+        F.expr(
+            "aggregate(transform(q, x -> x * x), cast(0 as bigint), "
+            "(a, x) -> a + x)"
+        ).alias("r2"),
+    )
+    per_dim = (
+        q.select("label", F.posexplode("q").alias("i", "qi"))
+        .groupBy("label", "i")
+        .agg(F.sum("qi").cast("bigint").alias("s"))
+    )
+    ssq = per_dim.groupBy("label").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(i, s))), "
+            "x -> cast(x.s as double) * cast(x.s as double)), "
+            "cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("ssq")
+    )
+    tot = rows.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("r2").cast("bigint").alias("self_fp"),
+    )
+    return (
+        tot.join(ssq, "label")
+        .filter(F.col("n_vecs") > 1)
+        .select(
+            "label",
+            "n_vecs",
+            (
+                (F.col("ssq") - F.col("self_fp").cast("double"))
+                / (
+                    F.col("n_vecs").cast("double")
+                    * (F.col("n_vecs") - 1).cast("double")
+                )
+                / F.lit(float(ANISO_FP * ANISO_FP))
+            ).alias("mean_pair_cos"),
+        )
+    )
+
+
+LABEL_ANISOTROPY_AUDIT_ORACLE = f"""
+WITH normed AS (
+  SELECT label, embedding, {_norm_sql('embedding', 'duck')} AS norm
+  FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT label,
+         list_transform(embedding,
+           x -> CAST(floor({ANISO_FP}.0 * (CAST(x AS DOUBLE) / norm))
+                AS BIGINT)) AS q
+  FROM normed WHERE norm > 0
+),
+rws AS (
+  SELECT label,
+         list_reduce(list_transform(q, x -> x * x), (a, x) -> a + x)
+           AS r2
+  FROM q
+),
+per_dim AS (
+  SELECT label, g.i, CAST(sum(q.q[g.i]) AS BIGINT) AS s
+  FROM q, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) g
+  GROUP BY 1, 2
+),
+ssq AS (
+  SELECT label,
+         list_reduce(list_transform(list(s ORDER BY i),
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (a, x) -> a + x) AS ssq
+  FROM per_dim GROUP BY 1
+),
+tot AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(r2) AS BIGINT) AS self_fp
+  FROM rws GROUP BY 1
+)
+SELECT t.label, t.n_vecs,
+       (s.ssq - CAST(t.self_fp AS DOUBLE))
+         / (CAST(t.n_vecs AS DOUBLE) * CAST(t.n_vecs - 1 AS DOUBLE))
+         / CAST({ANISO_FP * ANISO_FP} AS DOUBLE) AS mean_pair_cos
+FROM tot t JOIN ssq s ON s.label = t.label
+WHERE t.n_vecs > 1
+"""

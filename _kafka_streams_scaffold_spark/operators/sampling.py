@@ -1716,3 +1716,65 @@ SELECT n_rows, n_buckets_hit,
          <= {_UNIF_CHI2_BAR} AS uniform_flag
 FROM agg
 """
+
+# --------------------------------------------------------------------------
+# Hoeffding sample-size planner per source
+# --------------------------------------------------------------------------
+
+# ln(2 / delta) at delta = 0.05, baked as a Python-computed literal so
+# both engines consume the identical double (no engine ln call)
+_HOEFF_C = 3.6888794541139363
+_HOEFF_TARGET_EPS = 0.01
+
+
+def sample_size_epsilon_plan_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(source, n_docs, eps95, n_needed_1pct, additional_needed): the
+    Hoeffding sample-size planner per source — with n docs, any
+    [0,1]-bounded per-doc metric's mean is known to within eps95 =
+    sqrt(ln(2/0.05) / (2n)) at 95% confidence, distribution-free.
+    The planner column inverts it: how many docs a source needs
+    before its quality-rate estimates are trustworthy to +/-1%, and
+    how many more it must ingest. This is the sample-size footing
+    under every per-source gate in this repo (Wilson/EB tell you the
+    uncertainty you HAVE; Hoeffding tells you the n you NEED).
+
+    Exactness: counts are exact; the only transcendental is the
+    BAKED Python literal ln(2/0.05) (no engine ln), so eps is one
+    IEEE sqrt/divide chain; the needed-n is exact integer ceiling
+    arithmetic on that literal.
+
+    Scale: one |sources| rollup off the scan."""
+    docs = tables.table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    n_needed = int(
+        -(-_HOEFF_C // (2 * _HOEFF_TARGET_EPS * _HOEFF_TARGET_EPS))
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        F.sqrt(
+            F.lit(_HOEFF_C) / (2.0 * F.col("n_docs").cast("double"))
+        ).alias("eps95"),
+        F.lit(n_needed).cast("bigint").alias("n_needed_1pct"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.lit(n_needed) - F.col("n_docs")).cast("bigint"),
+        ).alias("additional_needed"),
+    )
+
+
+SAMPLE_SIZE_EPSILON_PLAN_ORACLE = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       sqrt({_HOEFF_C!r} / (2.0 * CAST(count(*) AS DOUBLE))) AS eps95,
+       CAST({int(-(-_HOEFF_C // (2 * _HOEFF_TARGET_EPS * _HOEFF_TARGET_EPS)))}
+         AS BIGINT) AS n_needed_1pct,
+       CAST(greatest(0,
+         {int(-(-_HOEFF_C // (2 * _HOEFF_TARGET_EPS * _HOEFF_TARGET_EPS)))}
+           - count(*)) AS BIGINT) AS additional_needed
+FROM documents GROUP BY 1
+"""

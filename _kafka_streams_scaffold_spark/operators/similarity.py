@@ -2366,3 +2366,255 @@ FROM top2
 WHERE d2 IS NOT NULL
 GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# Simplified silhouette per label (centroid-based cluster quality)
+# --------------------------------------------------------------------------
+
+_SIL_FP = 1_000_000_000
+
+
+def simplified_silhouette_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(label, n_vecs, mean_silhouette): the simplified (centroid-
+    based) silhouette per label — s = (b - a) / max(a, b) with a =
+    distance to the OWN label centroid and b = the nearest OTHER
+    centroid distance, averaged per label. The standard clustering-
+    quality read at corpus scale (the exact silhouette is all-pairs;
+    the centroid form is the one production uses): labels near 0 are
+    boundary-blurred with a neighbor, negative means systematically
+    mislabeled — the upgrade over ``cluster_cohesion`` (own-centroid
+    only), which cannot see BETWEEN-cluster confusion.
+
+    Exactness: centroids are the fixed-point means (label_centroids'
+    arithmetic) packed into pos-sorted arrays; distances are ordered
+    zip_with folds; each silhouette is fixed-pointed independently
+    (floor(1e9 s)) before the per-label integer mean — no unordered
+    float sums anywhere.
+
+    Scale: |labels| x dim centroid table broadcasts; one corpus pass
+    scores |labels| distances per vector (bounded, in-codegen); one
+    partial-aggregatable rollup."""
+    emb = tables.spread(tables.table(spark, sf_dir, "embeddings"), "vec_id")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        F.col("pos0").alias("pos"),
+        F.floor(F.col("x").cast("double") * _FP_SCALE).alias("x_fp"),
+    )
+    cents = exploded.groupBy("label", "pos").agg(
+        (
+            F.sum("x_fp").cast("double")
+            / (F.count(F.lit(1)) * F.lit(_FP_SCALE)).cast("double")
+        ).alias("c")
+    )
+    packed = cents.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, c))), "
+            "x -> x.c)"
+        ).alias("carr")
+    ).select(F.col("label").alias("c_label"), "carr")
+    d2 = (
+        "aggregate(zip_with(embedding, carr, (x, y) -> "
+        "(cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0.0 as double), (acc, t) -> acc + t)"
+    )
+    scored = emb.crossJoin(F.broadcast(packed)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.expr(d2).alias("d2"),
+    )
+    ab = scored.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c_label") == F.col("label"), F.col("d2")))
+        .alias("a2"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("d2")))
+        .alias("b2"),
+    ).filter(F.col("a2").isNotNull() & F.col("b2").isNotNull())
+    sil = ab.select(
+        "label",
+        F.floor(
+            F.lit(float(_SIL_FP))
+            * F.when(
+                F.greatest(F.sqrt("a2"), F.sqrt("b2")) > 0,
+                (F.sqrt("b2") - F.sqrt("a2"))
+                / F.greatest(F.sqrt("a2"), F.sqrt("b2")),
+            ).otherwise(F.lit(0.0))
+        ).cast("bigint").alias("s_fp"),
+    )
+    return sil.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (
+            F.sum("s_fp").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(float(_SIL_FP))
+        ).alias("mean_silhouette"),
+    )
+
+
+SIMPLIFIED_SILHOUETTE_ORACLE = f"""
+WITH cents AS MATERIALIZED (
+  SELECT label, i - 1 AS pos,
+         CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP_SCALE})
+              AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) * {_FP_SCALE} AS DOUBLE) AS c
+  FROM embeddings, generate_series(1, {DIM}) AS t(i)
+  GROUP BY label, i
+),
+packed AS MATERIALIZED (
+  SELECT label AS c_label, list(c ORDER BY pos) AS carr
+  FROM cents GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label, p.c_label,
+         list_reduce(list_transform(generate_series(1, {DIM}),
+             t -> (CAST(e.embedding[t] AS DOUBLE) - p.carr[t])
+                  * (CAST(e.embedding[t] AS DOUBLE) - p.carr[t])),
+           (a, b) -> a + b) AS d2
+  FROM embeddings e CROSS JOIN packed p
+),
+ab AS (
+  SELECT vec_id, label,
+         min(CASE WHEN c_label = label THEN d2 END) AS a2,
+         min(CASE WHEN c_label <> label THEN d2 END) AS b2
+  FROM scored GROUP BY 1, 2
+),
+sil AS (
+  SELECT label,
+         CAST(floor(CAST({_SIL_FP} AS DOUBLE) *
+           CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+                THEN (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
+                ELSE 0.0 END) AS BIGINT) AS s_fp
+  FROM ab WHERE a2 IS NOT NULL AND b2 IS NOT NULL
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(s_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         / CAST({_SIL_FP} AS DOUBLE) AS mean_silhouette
+FROM sil GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Centroid-shift drift between ingestion halves
+# --------------------------------------------------------------------------
+
+
+def centroid_shift_drift_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(label, n_first, n_second, l2_shift): per label, the L2
+    distance between the centroid of the FIRST ingestion half and the
+    SECOND (halves by vec_id against the observed id range — the
+    novelty_decay_curve construction, no global ranking window). The
+    re-embedding / upstream-drift tripwire at the distribution level:
+    a label whose centroid moves between halves means the encoder or
+    the source mix changed mid-corpus, and every centroid-anchored
+    structure (IVF cells, silhouettes, semantic dedup) is straddling
+    two regimes.
+
+    Exactness: per-(label, half, pos) fixed-point means (the
+    label_centroids arithmetic), the shift is an ordered fold over
+    the pos-sorted squared differences, one final sqrt.
+
+    Scale: one posexplode rollup to |labels| x 2 x dim cells; the
+    join/fold run on that bounded frame."""
+    emb = tables.spread(tables.table(spark, sf_dir, "embeddings"), "vec_id")
+    bounds = emb.agg(
+        F.min("vec_id").cast("bigint").alias("lo"),
+        F.max("vec_id").cast("bigint").alias("hi"),
+    )
+    halved = emb.crossJoin(F.broadcast(bounds)).select(
+        "label",
+        "embedding",
+        F.expr("((vec_id - lo) * 2) div (hi - lo + 1)")
+        .cast("int")
+        .alias("half"),
+    )
+    exploded = halved.select(
+        "label",
+        "half",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "label",
+        "half",
+        "pos",
+        F.floor(F.col("x").cast("double") * _FP_SCALE).alias("x_fp"),
+    )
+    cents = exploded.groupBy("label", "half", "pos").agg(
+        (
+            F.sum("x_fp").cast("double")
+            / (F.count(F.lit(1)) * F.lit(_FP_SCALE)).cast("double")
+        ).alias("c")
+    )
+    counts = halved.groupBy("label", "half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    c0 = cents.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("c0")
+    )
+    c1 = cents.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("c").alias("c1")
+    )
+    diff = c0.join(c1, ["label", "pos"]).groupBy("label").agg(
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(pos, c0, c1))), x -> (x.c0 - x.c1) "
+                "* (x.c0 - x.c1)), cast(0.0 as double), (a, t) -> a + t)"
+            )
+        ).alias("l2_shift")
+    )
+    n0 = counts.filter(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_first")
+    )
+    n1 = counts.filter(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_second")
+    )
+    return (
+        diff.join(n0, "label")
+        .join(n1, "label")
+        .select("label", "n_first", "n_second", "l2_shift")
+    )
+
+
+CENTROID_SHIFT_DRIFT_ORACLE = f"""
+WITH bounds AS (
+  SELECT CAST(min(vec_id) AS BIGINT) AS lo,
+         CAST(max(vec_id) AS BIGINT) AS hi
+  FROM embeddings
+),
+halved AS MATERIALIZED (
+  SELECT e.label, e.embedding,
+         CAST(((e.vec_id - b.lo) * 2) // (b.hi - b.lo + 1) AS INT) AS half
+  FROM embeddings e, bounds b
+),
+cents AS MATERIALIZED (
+  SELECT label, half, i - 1 AS pos,
+         CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP_SCALE})
+              AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) * {_FP_SCALE} AS DOUBLE) AS c
+  FROM halved, generate_series(1, {DIM}) AS t(i)
+  GROUP BY label, half, i
+),
+counts AS (
+  SELECT label, half, CAST(count(*) AS BIGINT) AS n
+  FROM halved GROUP BY 1, 2
+),
+diff AS (
+  SELECT c0.label,
+         sqrt(list_reduce(list_transform(
+             list({{'c0': c0.c, 'c1': c1.c}} ORDER BY c0.pos),
+             x -> (x.c0 - x.c1) * (x.c0 - x.c1)), (a, b) -> a + b))
+           AS l2_shift
+  FROM (SELECT * FROM cents WHERE half = 0) c0
+  JOIN (SELECT * FROM cents WHERE half = 1) c1
+    ON c1.label = c0.label AND c1.pos = c0.pos
+  GROUP BY c0.label
+)
+SELECT d.label, n0.n AS n_first, n1.n AS n_second, d.l2_shift
+FROM diff d
+JOIN (SELECT label, n FROM counts WHERE half = 0) n0 ON n0.label = d.label
+JOIN (SELECT label, n FROM counts WHERE half = 1) n1 ON n1.label = d.label
+"""

@@ -218,6 +218,10 @@ _WINDOW_R08 = [
     "ivf_margin_audit",
     "novelty_decay_curve",
     "anova_source_lengths",
+    "simplified_silhouette",
+    "centroid_shift_drift",
+    "sample_size_epsilon_plan",
+    "label_anisotropy_audit",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -2100,6 +2104,26 @@ def _ensure_loaded() -> None:
         "anova_source_lengths",
         inference.anova_source_lengths_query,
         inference.ANOVA_SOURCE_LENGTHS_ORACLE,
+    )
+    register(
+        "simplified_silhouette",
+        similarity.simplified_silhouette_query,
+        similarity.SIMPLIFIED_SILHOUETTE_ORACLE,
+    )
+    register(
+        "centroid_shift_drift",
+        similarity.centroid_shift_drift_query,
+        similarity.CENTROID_SHIFT_DRIFT_ORACLE,
+    )
+    register(
+        "sample_size_epsilon_plan",
+        sampling.sample_size_epsilon_plan_query,
+        sampling.SAMPLE_SIZE_EPSILON_PLAN_ORACLE,
+    )
+    register(
+        "label_anisotropy_audit",
+        retrieval.label_anisotropy_audit_query,
+        retrieval.LABEL_ANISOTROPY_AUDIT_ORACLE,
     )
 
     _apply_window(_WINDOW_R08)
