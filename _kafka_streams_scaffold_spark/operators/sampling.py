@@ -1450,11 +1450,17 @@ def sqrt_temperature_mix_query(
     (the eb_rate_shrinkage pattern) rather than an unordered float
     SUM.
 
-    Scale: ONE partial-aggregatable rollup to |sources| rows; the
-    fold is catalog-sized; the weight join broadcasts one scalar."""
+    Scale: ONE partial-aggregatable rollup to |sources| rows (pinned —
+    it feeds both the normalizer fold and the output, and without the
+    pin the corpus scan runs twice); the fold is catalog-sized; the
+    weight join broadcasts one scalar."""
+    from ..pinning import pin as _pin
+
     docs = tables.table(spark, sf_dir, "documents")
-    mass = docs.groupBy("source").agg(
-        F.sum("n_chars").cast("bigint").alias("chars")
+    mass = _pin(
+        docs.groupBy("source").agg(
+            F.sum("n_chars").cast("bigint").alias("chars")
+        )
     )
     tot = mass.agg(
         F.sum("chars").cast("bigint").alias("total"),

@@ -1240,6 +1240,225 @@ AUDIT = [
         "saturation is a monotone integer test on a |sources|-row "
         "sorted frame, allocations one integer div — no iteration.",
     ),
+    # ---- round 8 ----
+    (
+        "mann_whitney_audit",
+        "ONE per-(source,value) count rollup touches the corpus; "
+        "midranks ride a window on the pooled value spine "
+        "(domain-sized); rank sums join on the value grid — nothing "
+        "per-row after the first aggregate.",
+    ),
+    (
+        "cvm_drift_audit",
+        "Same grid plan as ks_drift_audit: corpus touched once, all "
+        "pairwise work on the |sources| x |values| grid; per-term "
+        "fixed-point floors BEFORE the integer sum (no unordered "
+        "float SUM).",
+    ),
+    (
+        "kendall_tau_trend",
+        "Corpus collapses to the day spine before the O(days^2) pair "
+        "join; all counts integer; one broadcast of the scalar row.",
+    ),
+    (
+        "spearman_trend",
+        "Day-spine windows (row_number + midrank) then ONE scalar "
+        "moment aggregate — no pair frame at all.",
+    ),
+    (
+        "pettitt_changepoint",
+        "Two bounded day-spine windows + an ordered limit; the "
+        "single-partition windows are calendar-bounded (the "
+        "theil_sen contract).",
+    ),
+    (
+        "wilson_ci_segments",
+        "One partial-aggregatable groupBy(source); the interval is "
+        "per-group scalar IEEE arithmetic, no second pass.",
+    ),
+    (
+        "eb_rate_shrinkage",
+        "One |sources| rollup; cross-source moments fold a "
+        "source-sorted list inside ONE scalar row (deterministic "
+        "float order); the strength broadcasts back.",
+    ),
+    (
+        "cramers_v_association",
+        "One rollup to the |types| x 7 cell grid; margins via "
+        "windows on that bounded frame; chi2 folds a cell-sorted "
+        "list.",
+    ),
+    (
+        "hodges_lehmann_shift",
+        "Day-spine pair frame (|weekend| x |weekday|), exact integer "
+        "diffs, median by row_number — the theil_sen shape.",
+    ),
+    (
+        "source_concentration_audit",
+        "One |sources| rollup collapsing to ONE scalar row; HHI "
+        "folds a source-sorted share list.",
+    ),
+    (
+        "embedding_anisotropy_audit",
+        "NO pair join: two exact-integer power sums (per-row fold + "
+        "64-cell rollup) — one corpus pass, one scalar row.",
+    ),
+    (
+        "twonn_intrinsic_dim",
+        "Rides the sub-cell-bounded kNN edge list (certified shape); "
+        "per-vector ln is fixed-pointed BEFORE the integer sum.",
+    ),
+    (
+        "mrr_audit",
+        "Reuses the probe-bounded ivf_ann candidate plan + the exact "
+        "panel reference; the audit itself is |queries| rows with a "
+        "sorted-fold mean.",
+    ),
+    (
+        "multiwidth_span_profile",
+        "One scan fans out to 3 widths BEFORE window generation "
+        "(shared normalization); the one shuffle groups by (width, "
+        "window), map-side combined, per-window counts never "
+        "per-pair.",
+    ),
+    (
+        "simhash_threshold_sweep",
+        "The simhash_pairs banded candidate join minus its filter; "
+        "histogram is a |distances|-row rollup — nothing all-pairs.",
+    ),
+    (
+        "semantic_dedup_keep",
+        "Composes two certified plans (embedding clusters + quality "
+        "scan) with ONE |docs|-row join and one window partitioned "
+        "by cluster (cluster sizes bounded by the IVF cell cap).",
+    ),
+    (
+        "clustering_depth_audit",
+        "ONE rollup to the |candidates| x |files| zone frame; the "
+        "sweep windows sort 2|files| boundary events per candidate "
+        "(metadata scale).",
+    ),
+    (
+        "sqrt_temperature_mix",
+        "One |sources| rollup; the sqrt normalizer folds a "
+        "source-sorted list; one broadcast scalar.",
+    ),
+    (
+        "local_clustering_coeff",
+        "Mutual-kNN wedges are O(n * K^2) id-width rows (the "
+        "knn_triangles shape) plus one explode and one |V|-row "
+        "left join.",
+    ),
+    (
+        "quantile_normalize_map",
+        "One corpus rollup; deciles come off cumulative windows on "
+        "the source x values grid joined to a 9-row broadcast "
+        "decile axis.",
+    ),
+    (
+        "bh_fdr_drift_gates",
+        "Rides the ks_drift grid (corpus touched once); the BH pass "
+        "is |pairs| rows, one bounded sort window, pure-integer "
+        "step-up predicate after per-p fixed-point floors.",
+    ),
+    (
+        "ljung_box_stat",
+        "Corpus -> day spine; ALL float work is ordered folds over "
+        "one bounded day-sorted list; lag axis is a 7-row broadcast.",
+    ),
+    (
+        "mann_kendall_trend",
+        "Day-spine pair frame for S; tie rollup + variance are "
+        "|distinct-values|-sized; z is one sqrt at the end.",
+    ),
+    (
+        "dup_capture_recapture",
+        "Rides the shared shingle/signature pins; one full-outer "
+        "join of id-pair tables; the estimator is one scalar row.",
+    ),
+    (
+        "loo_source_sensitivity",
+        "One corpus pass fixed-points the quality score; one "
+        "|sources| rollup + broadcast scalar — the jackknife needs "
+        "no second pass.",
+    ),
+    (
+        "skyline_quality_length",
+        "NO pair join (the naive skyline is O(n^2)): one "
+        "|distinct-lengths| rollup + one ordered cumulative max, "
+        "then a filter on the re-joined corpus.",
+    ),
+    (
+        "split_srm_check",
+        "Pure per-row hash expression -> one 3-way conditional "
+        "count; chi2 terms written out in fixed literal order.",
+    ),
+    (
+        "welch_t_audit",
+        "ONE per-source moment rollup (n, sum, sum-of-squares all "
+        "exact BIGINT); rest-side moments are broadcast-global minus "
+        "the group's.",
+    ),
+    (
+        "cochran_armitage_trend",
+        "One count rollup; decile weights off the cumulative grid; "
+        "moments on the <=10-row bucket frame.",
+    ),
+    (
+        "phash_threshold_sweep",
+        "The phash block-posting candidate join minus its filter; "
+        "per-distance rollup — posting-list-shaped, never all-pairs.",
+    ),
+    (
+        "pca_top_component",
+        "The only corpus-sized stage is ONE pass emitting per-row "
+        "outer products into a d^2-cell partial-aggregatable rollup; "
+        "the 8 power-iteration steps chain d-sized aggregations IN "
+        "THE PLAN (no driver collect).",
+    ),
+    (
+        "hash_bucket_uniformity",
+        "Per-row hash expression -> 100-cell rollup joined to a "
+        "literal spine; chi2 folds the bucket-sorted 100-cell list.",
+    ),
+    (
+        "ivf_margin_audit",
+        "Rides the |vectors| x |cells| broadcast score frame the IVF "
+        "assignment already computes; one window + one rollup.",
+    ),
+    (
+        "novelty_decay_curve",
+        "Rides the shingle first-seen rollup (one shuffle on "
+        "shingle); deciles are value-based against broadcast id "
+        "bounds (no corpus-wide ranking window); final is a 10-row "
+        "rollup.",
+    ),
+    (
+        "anova_source_lengths",
+        "ONE per-source moment rollup; SS_between folds the "
+        "source-sorted group list inside one scalar row.",
+    ),
+    (
+        "simplified_silhouette",
+        "|labels| x dim centroid table broadcasts; one corpus pass "
+        "scores |labels| distances per vector in codegen; per-label "
+        "fixed-point mean rollup.",
+    ),
+    (
+        "centroid_shift_drift",
+        "One posexplode rollup to |labels| x 2 x dim cells; the "
+        "shift fold runs on that bounded frame.",
+    ),
+    (
+        "sample_size_epsilon_plan",
+        "One |sources| rollup; the only transcendental is a baked "
+        "Python literal (no engine ln).",
+    ),
+    (
+        "label_anisotropy_audit",
+        "The anisotropy power-sum identity per label: one corpus "
+        "pass + one |labels| x dim rollup, nothing pairwise.",
+    ),
 ]
 
 

@@ -55,6 +55,9 @@ from _kafka_streams_scaffold_spark.operators import basket as basket_mod  # noqa
 from _kafka_streams_scaffold_spark.operators import layout as layout_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import lexstats as lexstats_mod  # noqa: E402
 from _kafka_streams_scaffold_spark.operators import segmentation as segmentation_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import inference as inference_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import substring_dedup as substring_mod  # noqa: E402
+from _kafka_streams_scaffold_spark.operators import pca as pca_mod  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 MULT = 10
@@ -662,6 +665,49 @@ def main() -> None:
             "orders",
             unioned(spark, "orders", m),
             lambda: layout_mod.layout_locality_audit_query(spark, SF_DIR),
+        ),
+        # ---- round 8 ----
+        "mann-whitney (pooled midrank grid)": lambda m: _with_docs(
+            m, lambda: inference_mod.mann_whitney_audit_query(spark, SF_DIR)
+        ),
+        "cvm drift (weighted grid pairs)": lambda m: _with_docs(
+            m, lambda: inference_mod.cvm_drift_audit_query(spark, SF_DIR)
+        ),
+        "multiwidth spans (3-width windows)": lambda m: _with_docs(
+            m,
+            lambda: substring_mod.multiwidth_span_profile_query(
+                spark, SF_DIR
+            ),
+        ),
+        "pca (d^2 gram rollup + 8 iters)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: pca_mod.pca_top_component_query(spark, SF_DIR),
+        ),
+        "clustering depth (zone sweep)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: layout_mod.clustering_depth_audit_query(spark, SF_DIR),
+        ),
+        "anisotropy (power sums)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: retrieval_mod.embedding_anisotropy_audit_query(
+                spark, SF_DIR
+            ),
+        ),
+        "semantic dedup keep (CC x quality, RESEEDED)": lambda m: (
+            _with_table(
+                "documents",
+                docs_reseeded(m),
+                lambda: _with_table(
+                    "embeddings",
+                    embeddings(m),
+                    lambda: clustering_mod.semantic_dedup_keep_query(
+                        spark, SF_DIR
+                    ),
+                ),
+            )
         ),
         # RESEEDED corpus (the linkage_entities protocol): the twin
         # union gives this row a ~45x SimHash edge mass whose CC
