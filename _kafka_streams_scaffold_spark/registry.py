@@ -61,16 +61,23 @@ CORRECTNESS row. Rotation history:
 
 - r08 window (``_WINDOW_R08`` below): no certification backlog existed
   at the r07 freeze (CORRECTNESS_r07 went 50/50 green), so the window
-  is (a) the 7 post-freeze round-7 additions that were tracked as
+  is exactly 50 = (a) the 7 post-freeze round-7 additions tracked as
   R08_MATERIAL (facility_location_coreset, detector_mcnemar,
   rank_biased_overlap, label_purity_null_baseline, gate_ordering_plan,
-  waterfill_allocation, salt_factor_plan), (b) re-certifications for
-  queries whose implementation changed after their green r07 row
-  (the round-8 ADVICE fixes), and (c) round-8's own additions, added
-  to the list as they land. The window may be SHORT of 50 while the
-  round is in progress — ``_apply_window`` allows <=50 and the
-  driver's extra prefix slots then re-check already-green families,
-  which is harmless.
+  waterfill_allocation, salt_factor_plan), (b) 4 re-certifications for
+  queries whose implementation changed in round 8 (kcenter_coreset's
+  fold-form self-dot, group_kfold_split/ams_f2_estimate's mod-2^31
+  hash pre-reduction — all ADVICE fixes — and session_concurrency's
+  segment-builder factoring for its streaming twin), and (c) the 39
+  round-8 additions: the nonparametric-inference tier, BH-FDR,
+  quantile normalization, the embedding-geometry tier (anisotropy,
+  Two-NN id, MRR, silhouette, centroid drift, PCA), the dedup/span
+  tier (multi-width spans, threshold sweeps, semantic keep,
+  capture-recapture, novelty decay), and the governance/selection
+  tier (HHI, LOO sensitivity, skyline, SRM, uniformity, temperature
+  mix, Hoeffding planner, clustering depth, local clustering
+  coefficient). ``_apply_window`` allows <=50 mid-round; the final
+  freeze landed at exactly 50.
 
 NEXT ROTATION (round 9): round-8 additions registered after the r08
 window froze go in tests/test_registry_window.py R09_MATERIAL, plus
