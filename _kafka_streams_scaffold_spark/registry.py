@@ -231,6 +231,22 @@ _WINDOW_R08 = [
     "label_anisotropy_audit",
 ]
 
+# The dedup-audit family must stay CONSECUTIVE in registration order
+# for bench.py's keep-scope pin sharing (the r6 verdict's triple-pay
+# fix: consecutive members read the first member's dedup.* shared-pin
+# materializations; measured 29% family reduction). In r07 the window
+# itself provided the adjacency; with those queries rotated out of
+# _WINDOW_R08, _apply_window now places this chain immediately AFTER
+# the window (slots 50+, outside the driver's hash-checked prefix).
+_DEDUP_AUDIT_CHAIN = [
+    "dedup_tier_agreement",
+    "dedup_token_savings",
+    "source_dedup_matrix",
+    "minhash_estimate_audit",
+    "blocking_recall_audit",
+    "detector_kappa",
+]
+
 # r07 window kept for the rotation-history tests (50/50 green in
 # CORRECTNESS_r07). Was exactly: the 9 queries deferred from the r06
 # window + the 17 round-6 additions + 2 re-certifications
@@ -510,6 +526,11 @@ def _apply_window(window: list[str]) -> None:
     # never exceed 50 — a 51st entry would silently skip the gate.
     assert len(window) == len(set(window)) <= 50, len(window)
     ordered = {n: _QUERIES[n] for n in window}
+    # keep-scope adjacency: the dedup-audit family runs back-to-back
+    # right after the window (see _DEDUP_AUDIT_CHAIN)
+    for n in _DEDUP_AUDIT_CHAIN:
+        if n in _QUERIES and n not in ordered:
+            ordered[n] = _QUERIES[n]
     for n, fn in _QUERIES.items():
         if n not in ordered:
             ordered[n] = fn
