@@ -2166,3 +2166,109 @@ SELECT n AS n_rows, n_groups,
        END AS eta_squared
 FROM agg
 """
+
+# --------------------------------------------------------------------------
+# Inter-arrival burstiness per event type (post-freeze: r09 material)
+# --------------------------------------------------------------------------
+
+
+def interarrival_burstiness_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(event_type, n_gaps, mean_gap_us, std_gap_us, burstiness): the
+    Goh-Barabasi burstiness coefficient B = (sigma - mu)/(sigma + mu)
+    of inter-event gaps per event type — B ~ -1 is a metronome
+    (pipeline heartbeats), B ~ 0 is Poisson, B -> 1 is bursty (human
+    sessions, incident storms). The single dial that tells a capacity
+    planner whether mean event rate is a usable number at all, and a
+    drift tripwire for upstream batching changes (a producer that
+    starts batching flips B upward with the RATE unchanged —
+    invisible to every count-based audit).
+
+    Exactness: gaps are exact integer microseconds off one lag window
+    per type; mean/std come from exact BIGINT (n, sum, sum-of-squares)
+    moments — sum of squared gaps bounds: gaps <= ~3e13 us (a year),
+    squared 9e26 OVERFLOWS, so the gap is capped at 30 days
+    (documented; a 30-day silence is a regime boundary, not a gap)
+    keeping sq <= 6.7e24... still too big — so gaps are carried in
+    MILLISECONDS (cap 2.6e9, squared 6.7e18 edge-safe per term, exact
+    BIGINT sums to ~1e9 gaps per type per shard).
+
+    Scale: one user-ordered — no, TYPE-ordered — window per event
+    type over the time-sorted stream (the sessionization shuffle
+    shape), then a partial-aggregatable moment rollup."""
+    ev = tables.table(spark, sf_dir, "events")
+    cap_ms = 30 * 24 * 3600 * 1000
+    gaps = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) over ("
+            "partition by event_type order by ts, event_id)) div 1000"
+        ).cast("bigint").alias("gap_ms"),
+    ).filter(
+        F.col("gap_ms").isNotNull() & (F.col("gap_ms") <= cap_ms)
+    )
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap_ms").cast("bigint").alias("s"),
+        F.sum(F.col("gap_ms") * F.col("gap_ms")).cast("bigint").alias("ss"),
+    ).filter(F.col("n_gaps") >= 2)
+    mu = F.col("s").cast("double") / F.col("n_gaps").cast("double")
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * mu
+    ) / (F.col("n_gaps") - 1).cast("double")
+    sd = F.sqrt(F.when(var > 0, var).otherwise(F.lit(0.0)))
+    return m.select(
+        "event_type",
+        "n_gaps",
+        (mu * 1000.0).alias("mean_gap_us"),
+        (sd * 1000.0).alias("std_gap_us"),
+        F.when(sd + mu > 0, (sd - mu) / (sd + mu))
+        .otherwise(F.lit(0.0))
+        .alias("burstiness"),
+    )
+
+
+INTERARRIVAL_BURSTINESS_ORACLE = f"""
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(CAST(ts AS TIMESTAMP))
+          - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+              PARTITION BY event_type ORDER BY ts, event_id
+            )) // 1000 AS gap_ms
+  FROM events
+),
+filtered AS (
+  SELECT event_type, CAST(gap_ms AS BIGINT) AS gap_ms
+  FROM gaps
+  WHERE gap_ms IS NOT NULL AND gap_ms <= {30 * 24 * 3600 * 1000}
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_ms) AS BIGINT) AS s,
+         CAST(sum(gap_ms * gap_ms) AS BIGINT) AS ss
+  FROM filtered GROUP BY 1
+  HAVING count(*) >= 2
+),
+d AS (
+  SELECT event_type, n_gaps,
+         CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+         sqrt(CASE WHEN (CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE)
+                  / CAST(n_gaps AS DOUBLE)))
+                / CAST(n_gaps - 1 AS DOUBLE) > 0
+              THEN (CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE)
+                  / CAST(n_gaps AS DOUBLE)))
+                / CAST(n_gaps - 1 AS DOUBLE)
+              ELSE 0.0 END) AS sd
+  FROM m
+)
+SELECT event_type, n_gaps,
+       mu * 1000.0 AS mean_gap_us,
+       sd * 1000.0 AS std_gap_us,
+       CASE WHEN sd + mu > 0 THEN (sd - mu) / (sd + mu) ELSE 0.0 END
+         AS burstiness
+FROM d
+"""

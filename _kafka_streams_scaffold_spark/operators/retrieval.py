@@ -1391,3 +1391,110 @@ SELECT t.label, t.n_vecs,
 FROM tot t JOIN ssq s ON s.label = t.label
 WHERE t.n_vecs > 1
 """
+
+# --------------------------------------------------------------------------
+# Near-zero-variance dimension audit (post-freeze: r09 material)
+# --------------------------------------------------------------------------
+
+NZV_VAR_FRAC = 0.01  # flag dims under 1% of the mean per-dim variance
+
+
+def nzv_dimension_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pos, var_fp, var_frac_of_mean, is_nzv): per-dimension variance
+    of the embedding corpus with a near-zero-variance flag — the
+    feature-screening pass run before any distance-based structure:
+    dead dimensions waste quantizer budget (PQ sub-spaces, JL output
+    dims) and, worse, a dimension that DIED between snapshots is an
+    encoder-truncation bug no aggregate norm check sees.
+
+    Exactness: per-dim moments are exact BIGINT sums of fixed-point
+    components (the label_centroids arithmetic); the variance is
+    emitted at fixed point (1e12-scaled integer, exact) next to its
+    fraction of the mean per-dim variance (the flag's unit-free
+    form; the mean folds a pos-sorted 64-cell list).
+
+    Scale: ONE posexplode rollup to d cells; everything after is
+    d-sized."""
+    emb = tables.spread(tables.table(spark, sf_dir, "embeddings"), "vec_id")
+    fp = 1_000_000
+    cells = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "pos",
+        F.floor(F.col("x").cast("double") * fp).cast("bigint").alias("q"),
+    ).groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+    ).filter(F.col("n") >= 2)
+    var_fp = (
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double")
+            * (F.col("s").cast("double") / F.col("n").cast("double"))
+        )
+        / (F.col("n") - 1).cast("double")
+    )
+    scored = cells.select(
+        "pos",
+        F.floor(var_fp).cast("bigint").alias("var_fp"),
+    )
+    mean_var = scored.agg(
+        (
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(pos, var_fp))), x -> cast(x.var_fp as double)), "
+                "cast(0.0 as double), (a, x) -> a + x)"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mv")
+    )
+    return scored.crossJoin(F.broadcast(mean_var)).select(
+        "pos",
+        "var_fp",
+        F.when(
+            F.col("mv") > 0, F.col("var_fp").cast("double") / F.col("mv")
+        ).otherwise(F.lit(0.0)).alias("var_frac_of_mean"),
+        F.when(
+            F.col("mv") > 0,
+            F.col("var_fp").cast("double")
+            < F.lit(float(NZV_VAR_FRAC)) * F.col("mv"),
+        ).otherwise(F.lit(False)).alias("is_nzv"),
+    )
+
+
+NZV_DIMENSION_AUDIT_ORACLE = f"""
+WITH cells AS (
+  SELECT i - 1 AS pos,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+              AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                AS BIGINT)
+              * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                AS BIGINT)) AS BIGINT) AS ss
+  FROM embeddings, generate_series(1, {DIM}) AS t(i)
+  GROUP BY 1
+  HAVING count(*) >= 2
+),
+scored AS (
+  SELECT pos,
+         CAST(floor((CAST(ss AS DOUBLE)
+             - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / CAST(n - 1 AS DOUBLE)) AS BIGINT) AS var_fp
+  FROM cells
+),
+mv AS (
+  SELECT list_reduce(list_transform(list(var_fp ORDER BY pos),
+             x -> CAST(x AS DOUBLE)), (a, b) -> a + b)
+           / CAST(count(*) AS DOUBLE) AS mv
+  FROM scored
+)
+SELECT s.pos, s.var_fp,
+       CASE WHEN m.mv > 0 THEN CAST(s.var_fp AS DOUBLE) / m.mv
+            ELSE 0.0 END AS var_frac_of_mean,
+       CASE WHEN m.mv > 0
+            THEN CAST(s.var_fp AS DOUBLE) < {NZV_VAR_FRAC} * m.mv
+            ELSE FALSE END AS is_nzv
+FROM scored s, mv m
+"""

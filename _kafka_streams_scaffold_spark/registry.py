@@ -2154,5 +2154,19 @@ def _ensure_loaded() -> None:
         retrieval.LABEL_ANISOTROPY_AUDIT_ORACLE,
     )
 
+    # ---- round-8 additions registered AFTER the r08 window froze —
+    # r09 window material by construction (tracked in
+    # tests/test_registry_window.py R09_MATERIAL) ----
+    register(
+        "interarrival_burstiness",
+        inference.interarrival_burstiness_query,
+        inference.INTERARRIVAL_BURSTINESS_ORACLE,
+    )
+    register(
+        "nzv_dimension_audit",
+        retrieval.nzv_dimension_audit_query,
+        retrieval.NZV_DIMENSION_AUDIT_ORACLE,
+    )
+
     _apply_window(_WINDOW_R08)
     _LOADED = True

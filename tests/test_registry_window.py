@@ -41,7 +41,10 @@ R09_DEFERRED: set[str] = set()
 # window material by construction. Grows during round 8 as operators
 # land past the freeze; mirrored in the registry module docstring's
 # NEXT ROTATION note.
-R09_MATERIAL: set[str] = set()
+R09_MATERIAL: set[str] = {
+    "interarrival_burstiness",
+    "nzv_dimension_audit",
+}
 
 
 def _covered() -> set[str]:

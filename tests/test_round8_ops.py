@@ -902,3 +902,59 @@ def test_label_anisotropy_consistent_with_global(spark):
     got = {r["label"]: r for r in rows}[lab0]
     assert got["n_vecs"] == n
     assert got["mean_pair_cos"] == pytest.approx(brute, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Post-freeze r09 material
+# ---------------------------------------------------------------------------
+
+
+def test_burstiness_bounded_and_matches_bruteforce_one_type(spark):
+    rows = {
+        r["event_type"]: r
+        for r in inference.interarrival_burstiness_query(spark, SF).collect()
+    }
+    assert all(-1.0 <= r["burstiness"] <= 1.0 for r in rows.values())
+    ev = sorted(
+        tables.table(spark, SF, "events")
+        .select("event_type", "ts", "event_id")
+        .collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    et = sorted(rows)[0]
+    ts = [
+        int(r["ts"].timestamp() * 1_000_000)
+        for r in ev
+        if r["event_type"] == et
+    ]
+    gaps = [
+        (b - a) // 1000
+        for a, b in zip(ts, ts[1:])
+        if (b - a) // 1000 <= 30 * 24 * 3600 * 1000
+    ]
+    n = len(gaps)
+    mu = sum(gaps) / n
+    var = sum((g - mu) ** 2 for g in gaps) / (n - 1)
+    sd = math.sqrt(var)
+    r = rows[et]
+    assert r["n_gaps"] == n
+    assert r["mean_gap_us"] == pytest.approx(mu * 1000, rel=1e-9)
+    assert r["burstiness"] == pytest.approx(
+        (sd - mu) / (sd + mu), rel=1e-6
+    )
+
+
+def test_nzv_covers_every_dimension_and_flag_is_consistent(spark):
+    from _kafka_streams_scaffold_spark.operators import retrieval
+
+    rows = retrieval.nzv_dimension_audit_query(spark, SF).collect()
+    assert len(rows) == 64
+    mv = sum(r["var_fp"] for r in rows) / len(rows)
+    for r in rows:
+        assert r["var_fp"] >= 0
+        assert r["var_frac_of_mean"] == pytest.approx(
+            r["var_fp"] / mv, rel=1e-9
+        )
+        assert r["is_nzv"] == (
+            r["var_fp"] < retrieval.NZV_VAR_FRAC * mv
+        )
