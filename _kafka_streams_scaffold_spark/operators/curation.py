@@ -675,3 +675,220 @@ WHERE f.q_fp = fr.maxq AND f.q_fp > fr.maxq_longer
 
 
 SKYLINE_QUALITY_LENGTH_ORACLE = _skyline_oracle()
+
+# --------------------------------------------------------------------------
+# Cost-weighted gate ordering (post-freeze: r09 material)
+# --------------------------------------------------------------------------
+
+# Relative per-row evaluation cost of each gate (units of the cheapest
+# gate). Documented synthetic constants: the language gate is a column
+# equality, word-count needs the token array, mean-word-length adds a
+# fold over it, dup-fraction adds an array_distinct.
+GATE_COSTS: dict[str, int] = {
+    "lang_en": 1,
+    "word_count": 2,
+    "mean_word_len": 3,
+    "dup_word_frac": 4,
+}
+
+
+def gate_ordering_cost_plan_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(position, gate, n_pass, n_total, cost, drop_per_cost,
+    surviving_frac, expected_cost): the COST-AWARE cascade plan —
+    gates ordered by rejection-rate per unit cost ((1 - p_i) / c_i
+    descending, ties on gate name), the classic optimal rule for
+    ordering independent predicates (Hellerstein's predicate
+    migration in its simplest form); ``gate_ordering_plan`` is the
+    equal-cost special case. ``expected_cost`` accumulates
+    c_i * (surviving fraction BEFORE stage i) — the expected per-row
+    scan cost of the cascade prefix, the number the two orderings
+    actually compete on.
+
+    Exactness: pass counts are exact integers off ONE corpus scan
+    (the gate_ordering_plan flags); rates/ratios are single IEEE
+    expressions; the running product and cost accumulation fold
+    window-ordered lists (the overflow-free gate_ordering_plan
+    form). Scale: one corpus scan, then a 4-row plan frame."""
+    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens_expr()
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    total_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mwl = total_chars.cast("double") / n_words
+    dup_frac = F.lit(1.0) - n_distinct.cast("double") / n_words
+    flags = docs.select(
+        (
+            (n_words >= _GOPHER_MIN_WORDS) & (n_words <= _GOPHER_MAX_WORDS)
+        ).cast("int").alias("g_words"),
+        F.when(
+            n_words > 0, (mwl >= _GOPHER_MIN_MWL) & (mwl <= _GOPHER_MAX_MWL)
+        ).otherwise(F.lit(False)).cast("int").alias("g_mwl"),
+        F.when(n_words > 0, dup_frac < _GOPHER_MAX_DUP_FRAC)
+        .otherwise(F.lit(False))
+        .cast("int")
+        .alias("g_dup"),
+        (F.col("lang") == "en").cast("int").alias("g_lang"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("g_words").cast("bigint").alias("p_words"),
+        F.sum("g_mwl").cast("bigint").alias("p_mwl"),
+        F.sum("g_dup").cast("bigint").alias("p_dup"),
+        F.sum("g_lang").cast("bigint").alias("p_lang"),
+    ).filter(F.col("n_total") > 0)
+    rows = None
+    for gate, col in (
+        ("dup_word_frac", "p_dup"),
+        ("lang_en", "p_lang"),
+        ("mean_word_len", "p_mwl"),
+        ("word_count", "p_words"),
+    ):
+        r = agg.select(
+            F.lit(gate).alias("gate"),
+            F.col(col).alias("n_pass"),
+            "n_total",
+            F.lit(GATE_COSTS[gate]).cast("bigint").alias("cost"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    rated = rows.select(
+        "gate",
+        "n_pass",
+        "n_total",
+        "cost",
+        (F.col("n_pass").cast("double") / F.col("n_total")).alias("rate"),
+        (
+            (F.lit(1.0) - F.col("n_pass").cast("double") / F.col("n_total"))
+            / F.col("cost").cast("double")
+        ).alias("drop_per_cost"),
+    )
+    order = Window.orderBy(F.col("drop_per_cost").desc(), "gate")
+    planned = rated.select(
+        "gate",
+        "n_pass",
+        "n_total",
+        "cost",
+        "drop_per_cost",
+        F.row_number().over(order).cast("int").alias("position"),
+        F.expr(
+            "aggregate(collect_list(rate) over ("
+            "order by drop_per_cost desc, gate rows between "
+            "unbounded preceding and current row), "
+            "cast(1.0 as double), (a, x) -> a * x)"
+        ).alias("surviving_frac"),
+    )
+    # expected cost of the prefix: sum over stages j <= i of
+    # c_j * (surviving fraction BEFORE stage j) — lag the running
+    # product by one stage and take an ordered running sum (fixed
+    # order, so the float accumulation is engine-identical)
+    po = Window.orderBy("position")
+    cum = Window.orderBy("position").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    costed = planned.select(
+        "position",
+        "gate",
+        "n_pass",
+        "n_total",
+        "cost",
+        "drop_per_cost",
+        "surviving_frac",
+        (
+            F.col("cost").cast("double")
+            * F.coalesce(F.lag("surviving_frac").over(po), F.lit(1.0))
+        ).alias("stage_cost"),
+    )
+    return costed.select(
+        "position",
+        "gate",
+        "n_pass",
+        "n_total",
+        "cost",
+        "drop_per_cost",
+        "surviving_frac",
+        F.sum("stage_cost").over(cum).alias("expected_cost"),
+    )
+
+
+def _gate_cost_oracle() -> str:
+    cost_case = " ".join(
+        f"WHEN gate = '{g}' THEN {c}" for g, c in GATE_COSTS.items()
+    )
+    return f"""
+WITH base AS (
+  SELECT lang,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')
+             AS toks
+  FROM documents
+),
+flags AS (
+  SELECT
+    CASE WHEN len(toks) >= {_GOPHER_MIN_WORDS}
+              AND len(toks) <= {_GOPHER_MAX_WORDS} THEN 1 ELSE 0 END
+      AS g_words,
+    CASE WHEN len(toks) > 0
+              AND CAST(list_sum(list_transform(toks, x -> length(x)))
+                       AS DOUBLE) / len(toks) >= {_GOPHER_MIN_MWL}
+              AND CAST(list_sum(list_transform(toks, x -> length(x)))
+                       AS DOUBLE) / len(toks) <= {_GOPHER_MAX_MWL}
+         THEN 1 ELSE 0 END AS g_mwl,
+    CASE WHEN len(toks) > 0
+              AND 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / len(toks) < {_GOPHER_MAX_DUP_FRAC}
+         THEN 1 ELSE 0 END AS g_dup,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g_lang
+  FROM base
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(g_words) AS BIGINT) AS p_words,
+         CAST(sum(g_mwl) AS BIGINT) AS p_mwl,
+         CAST(sum(g_dup) AS BIGINT) AS p_dup,
+         CAST(sum(g_lang) AS BIGINT) AS p_lang
+  FROM flags
+  HAVING count(*) > 0
+),
+gates AS (
+  SELECT 'dup_word_frac' AS gate, p_dup AS n_pass, n_total FROM agg
+  UNION ALL SELECT 'lang_en', p_lang, n_total FROM agg
+  UNION ALL SELECT 'mean_word_len', p_mwl, n_total FROM agg
+  UNION ALL SELECT 'word_count', p_words, n_total FROM agg
+),
+rated AS (
+  SELECT gate, n_pass, n_total,
+         CAST(CASE {cost_case} END AS BIGINT) AS cost,
+         CAST(n_pass AS DOUBLE) / n_total AS rate,
+         (1.0 - CAST(n_pass AS DOUBLE) / n_total)
+           / CAST(CASE {cost_case} END AS DOUBLE) AS drop_per_cost
+  FROM gates
+),
+planned AS (
+  SELECT gate, n_pass, n_total, cost, drop_per_cost,
+         CAST(row_number() OVER w AS INT) AS position,
+         list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             list(rate) OVER w), (a, x) -> a * x) AS surviving_frac
+  FROM rated
+  WINDOW w AS (ORDER BY drop_per_cost DESC, gate
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+costed AS (
+  SELECT position, gate, n_pass, n_total, cost, drop_per_cost,
+         surviving_frac,
+         CAST(cost AS DOUBLE)
+           * COALESCE(lag(surviving_frac) OVER (ORDER BY position), 1.0)
+           AS stage_cost
+  FROM planned
+)
+SELECT position, gate, n_pass, n_total, cost, drop_per_cost,
+       surviving_frac,
+       sum(stage_cost) OVER (ORDER BY position
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS expected_cost
+FROM costed
+"""
+
+
+GATE_ORDERING_COST_PLAN_ORACLE = _gate_cost_oracle()

@@ -2272,3 +2272,173 @@ SELECT event_type, n_gaps,
          AS burstiness
 FROM d
 """
+
+# --------------------------------------------------------------------------
+# Theil-Sen slope confidence interval (post-freeze: r09 material)
+# --------------------------------------------------------------------------
+
+_TS_CI_Z = 1.96
+
+
+def theil_sen_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_days, n_pairs, ts_slope, ci_lo, ci_hi): the Theil-Sen daily
+    revenue slope with Sen's (1968) rank-based 95% confidence
+    interval — the bounds are ORDER STATISTICS of the same pairwise
+    slope set (ranks (M -/+ z*sqrt(var_S))/2, var_S from the
+    Mann-Kendall tie-corrected variance), so the CI inherits the
+    estimator's outlier robustness and needs no normality of the
+    data, only of S. The "is the trend distinguishable from flat"
+    companion ``theil_sen_trend`` alone cannot answer (ci_lo > 0 is
+    the actionable read).
+
+    Contract for the rank boundaries (conventions differ):
+    lo_rank = max(1, floor((M - c)/2) + 1), up_rank =
+    min(M, ceil((M + c)/2)) with c = 1.96 * sqrt(var18/18) — floor/
+    ceil of identical IEEE doubles, so both engines pick identical
+    order statistics. Scale: the theil_sen pair frame + one window,
+    the MK tie rollup, two rank lookups."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    base = daily.groupBy().agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(base)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("bigint").alias("x"),
+        "cents",
+    )
+    a = pts.select(F.col("x").alias("xi"), F.col("cents").alias("ci"))
+    b = pts.select(F.col("x").alias("xj"), F.col("cents").alias("cj"))
+    slopes = a.join(b, F.col("xi") < F.col("xj")).select(
+        (
+            (F.col("cj") - F.col("ci")).cast("double")
+            / (F.col("xj") - F.col("xi")).cast("double")
+        ).alias("slope"),
+        "xi",
+        "xj",
+    )
+    w = Window.orderBy("slope", "xi", "xj")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+    ties = daily.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    corr = ties.agg(
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).cast("bigint").alias("tie_term"),
+        F.sum("t").cast("bigint").alias("n"),
+    ).select(
+        "n",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term")
+        ).cast("bigint").alias("var18"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("m"),
+    ).select(
+        "n",
+        "m",
+        (
+            F.lit(_TS_CI_Z) * F.sqrt(F.col("var18").cast("double") / 18.0)
+        ).alias("c"),
+    ).select(
+        "n",
+        "m",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            (
+                F.floor((F.col("m").cast("double") - F.col("c")) / 2.0)
+                .cast("bigint")
+                + 1
+            ),
+        ).alias("lo_rank"),
+        F.least(
+            F.col("m"),
+            F.ceil((F.col("m").cast("double") + F.col("c")) / 2.0)
+            .cast("bigint"),
+        ).alias("up_rank"),
+    )
+    picked = ranked.crossJoin(F.broadcast(corr)).select(
+        "n",
+        "m",
+        F.when(F.col("rn") == F.col("lo_rank"), F.col("slope"))
+        .alias("lo_s"),
+        F.when(F.col("rn") == F.col("up_rank"), F.col("slope"))
+        .alias("up_s"),
+        F.when(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("m div 2 + 1")),
+            F.col("slope"),
+        ).alias("mid_s"),
+    ).groupBy("n", "m").agg(
+        F.min("lo_s").alias("ci_lo"),
+        F.min("up_s").alias("ci_hi"),
+        ((F.min("mid_s") + F.max("mid_s")) / 2.0).alias("ts_slope"),
+    )
+    return picked.select(
+        F.col("n").alias("n_days"),
+        F.col("m").alias("n_pairs"),
+        "ts_slope",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+THEIL_SEN_CI_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+base AS (SELECT min(day) AS d0 FROM daily),
+pts AS (
+  SELECT CAST(date_diff('day', b.d0, day) AS BIGINT) AS x, cents
+  FROM daily, base b
+),
+slopes AS (
+  SELECT CAST(b.cents - a.cents AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+           AS slope,
+         a.x AS xi, b.x AS xj
+  FROM pts a JOIN pts b ON a.x < b.x
+),
+ranked AS (
+  SELECT slope,
+         CAST(row_number() OVER (ORDER BY slope, xi, xj) AS BIGINT) AS rn
+  FROM slopes
+),
+corr AS (
+  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(sum(t) AS BIGINT) AS n
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY cents)
+),
+bounds AS (
+  SELECT n,
+         CAST(n * (n - 1) // 2 AS BIGINT) AS m,
+         greatest(1, CAST(floor((CAST(n * (n - 1) // 2 AS DOUBLE)
+             - {_TS_CI_Z} * sqrt(CAST(n * (n - 1) * (2 * n + 5)
+                 - tie_term AS DOUBLE) / 18.0)) / 2.0) AS BIGINT) + 1)
+           AS lo_rank,
+         least(CAST(n * (n - 1) // 2 AS BIGINT),
+           CAST(ceil((CAST(n * (n - 1) // 2 AS DOUBLE)
+             + {_TS_CI_Z} * sqrt(CAST(n * (n - 1) * (2 * n + 5)
+                 - tie_term AS DOUBLE) / 18.0)) / 2.0) AS BIGINT))
+           AS up_rank
+  FROM corr
+)
+SELECT b.n AS n_days, b.m AS n_pairs,
+       (min(CASE WHEN r.rn = (b.m + 1) // 2 OR r.rn = b.m // 2 + 1
+                 THEN r.slope END)
+        + max(CASE WHEN r.rn = (b.m + 1) // 2 OR r.rn = b.m // 2 + 1
+                   THEN r.slope END)) / 2.0 AS ts_slope,
+       min(CASE WHEN r.rn = b.lo_rank THEN r.slope END) AS ci_lo,
+       min(CASE WHEN r.rn = b.up_rank THEN r.slope END) AS ci_hi
+FROM ranked r, bounds b
+GROUP BY b.n, b.m
+"""

@@ -2167,6 +2167,16 @@ def _ensure_loaded() -> None:
         retrieval.nzv_dimension_audit_query,
         retrieval.NZV_DIMENSION_AUDIT_ORACLE,
     )
+    register(
+        "theil_sen_ci",
+        inference.theil_sen_ci_query,
+        inference.THEIL_SEN_CI_ORACLE,
+    )
+    register(
+        "gate_ordering_cost_plan",
+        curation.gate_ordering_cost_plan_query,
+        curation.GATE_ORDERING_COST_PLAN_ORACLE,
+    )
 
     _apply_window(_WINDOW_R08)
     _LOADED = True

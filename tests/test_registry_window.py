@@ -44,6 +44,8 @@ R09_DEFERRED: set[str] = set()
 R09_MATERIAL: set[str] = {
     "interarrival_burstiness",
     "nzv_dimension_audit",
+    "theil_sen_ci",
+    "gate_ordering_cost_plan",
 }
 
 

@@ -958,3 +958,42 @@ def test_nzv_covers_every_dimension_and_flag_is_consistent(spark):
         assert r["is_nzv"] == (
             r["var_fp"] < retrieval.NZV_VAR_FRAC * mv
         )
+
+
+def test_theil_sen_ci_brackets_the_point_estimate(spark):
+    from _kafka_streams_scaffold_spark.operators import stats
+
+    r = inference.theil_sen_ci_query(spark, SF).collect()[0]
+    ts = stats.theil_sen_trend_query(spark, SF).collect()[0]
+    assert r["n_days"] == ts["n_days"]
+    assert r["n_pairs"] == ts["n_pairs"]
+    assert r["ts_slope"] == pytest.approx(ts["ts_slope"])
+    assert r["ci_lo"] <= r["ts_slope"] <= r["ci_hi"]
+
+
+def test_cost_plan_beats_or_ties_selectivity_plan_on_expected_cost(spark):
+    """The (1-p)/c rule minimizes expected cost for independent
+    gates; evaluating BOTH orderings' cost under the cost model, the
+    cost-aware one can never be worse at the full cascade."""
+    from _kafka_streams_scaffold_spark.operators import curation
+
+    cost_rows = sorted(
+        curation.gate_ordering_cost_plan_query(spark, SF).collect(),
+        key=lambda r: r["position"],
+    )
+    # re-derive the selectivity-only ordering's expected cost under
+    # the same cost model
+    by_gate = {r["gate"]: r for r in cost_rows}
+    sel_order = sorted(cost_rows, key=lambda r: (r["n_pass"], r["gate"]))
+    frac, exp_sel = 1.0, 0.0
+    for r in sel_order:
+        exp_sel += curation.GATE_COSTS[r["gate"]] * frac
+        frac *= r["n_pass"] / r["n_total"]
+    assert cost_rows[-1]["expected_cost"] <= exp_sel + 1e-9
+    # running product / cost identities
+    frac, exp = 1.0, 0.0
+    for r in cost_rows:
+        exp += r["cost"] * frac
+        frac *= r["n_pass"] / r["n_total"]
+        assert r["surviving_frac"] == pytest.approx(frac, rel=1e-12)
+        assert r["expected_cost"] == pytest.approx(exp, rel=1e-12)
