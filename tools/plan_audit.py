@@ -1459,6 +1459,29 @@ AUDIT = [
         "The anisotropy power-sum identity per label: one corpus "
         "pass + one |labels| x dim rollup, nothing pairwise.",
     ),
+    (
+        "interarrival_burstiness",
+        "One type-partitioned lag window over the time-sorted stream, "
+        "then a partial-aggregatable BIGINT moment rollup (gaps in ms "
+        "so squares stay exact).",
+    ),
+    (
+        "nzv_dimension_audit",
+        "ONE posexplode rollup to d cells (fixed-point moments); the "
+        "mean-variance fold and flags live on the 64-row frame.",
+    ),
+    (
+        "theil_sen_ci",
+        "The theil_sen day-spine pair frame + ONE rank window; CI "
+        "bounds are two order-statistic lookups driven by the exact "
+        "MK variance (no resampling).",
+    ),
+    (
+        "gate_ordering_cost_plan",
+        "Same single corpus scan as gate_ordering_plan; the cost "
+        "model and running product/sum live on the 4-row plan frame "
+        "in fixed window order.",
+    ),
 ]
 
 
