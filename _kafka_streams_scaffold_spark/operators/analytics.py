@@ -2048,3 +2048,71 @@ SELECT DATE '1970-01-01' + CAST(days.d AS INT) AS day,
        days.n_sessions, peaks.max_concurrent
 FROM days JOIN peaks ON peaks.d = days.d
 """
+
+# --------------------------------------------------------------------------
+# New-vs-returning daily split (post-freeze: r09 material)
+# --------------------------------------------------------------------------
+
+
+def new_vs_returning_daily_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(day, n_users, n_new, n_returning, new_frac): daily active
+    users split by whether the day is the user's FIRST ever — the
+    growth-accounting decomposition (``distinct_users_daily`` counts
+    heads; this says whether they are acquisition or retention, the
+    difference between a growing product and a churning one with good
+    marketing). First-seen is the exact min event day per user.
+
+    Exactness: all counts exact; first-day attribution joins the
+    per-user min-day (id-width) back to the per-(user, day) activity
+    rollup. Scale: two partial-aggregatable rollups and one id-keyed
+    join — no windows, no corpus self-join."""
+    ev = tables.table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = user_days.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    flagged = user_days.join(first, "user_id").select(
+        "day",
+        (F.col("day") == F.col("first_day")).cast("int").alias("is_new"),
+    )
+    return flagged.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("is_new").cast("bigint").alias("n_new"),
+        (F.count(F.lit(1)) - F.sum("is_new")).cast("bigint")
+        .alias("n_returning"),
+        (
+            F.sum("is_new").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("new_frac"),
+    ).select(
+        F.col("day").cast("string").alias("day"),
+        "n_users",
+        "n_new",
+        "n_returning",
+        "new_frac",
+    )
+
+
+NEW_VS_RETURNING_DAILY_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first AS (
+  SELECT user_id, min(day) AS first_day FROM user_days GROUP BY 1
+),
+flagged AS (
+  SELECT u.day,
+         CASE WHEN u.day = f.first_day THEN 1 ELSE 0 END AS is_new
+  FROM user_days u JOIN first f ON f.user_id = u.user_id
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(is_new) AS BIGINT) AS n_new,
+       CAST(count(*) - sum(is_new) AS BIGINT) AS n_returning,
+       CAST(sum(is_new) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS new_frac
+FROM flagged GROUP BY day
+"""

@@ -344,3 +344,103 @@ SELECT c.c_mktsegment,
 FROM customer c JOIN per_cust p ON p.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """
+
+# --------------------------------------------------------------------------
+# Lorenz curve points (post-freeze: r09 material)
+# --------------------------------------------------------------------------
+
+
+def lorenz_curve_points_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, n_users, cum_users_frac, cum_cents, cum_share): the
+    Lorenz curve of per-user purchase spend at decile resolution —
+    for the poorest d/10 of users (by total cents, ties on user_id),
+    the fraction of total revenue they carry. The CURVE behind
+    ``spend_gini``'s scalar: the gini says HOW concentrated, the
+    Lorenz points say WHERE (a kinked curve at decile 9 is a whale
+    economy; a smooth one is broad-based), which is what a sampling
+    or monetization decision actually reads.
+
+    Exactness: user totals and cumulative sums are exact BIGINT
+    cents; decile membership is the exact rank cutoff
+    ``((rank - 1) * 10) div n`` (the cochran_armitage bucketing);
+    shares are final IEEE divisions.
+
+    Scale: one partial-aggregatable per-user rollup; the rank window
+    runs over |users| rows (id-width) — the same user-spine budget as
+    rfm_segments; the curve is a 10-row frame."""
+    ev = tables.table(spark, sf_dir, "events")
+    totals = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "user_id")
+    n_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = totals.select(
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(n_w).cast("bigint").alias("n"),
+    ).select(
+        "cents",
+        F.expr("((rn - 1) * 10) div n").cast("int").alias("decile"),
+    )
+    per_d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("d_cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_d.select(
+        "decile",
+        "n_users",
+        (
+            F.sum("n_users").over(wc).cast("double")
+            / F.sum("n_users").over(tot).cast("double")
+        ).alias("cum_users_frac"),
+        F.sum("d_cents").over(wc).cast("bigint").alias("cum_cents"),
+        (
+            F.sum("d_cents").over(wc).cast("double")
+            / F.sum("d_cents").over(tot).cast("double")
+        ).alias("cum_share"),
+    )
+
+
+LORENZ_CURVE_POINTS_ORACLE = """
+WITH totals AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         CAST(((row_number() OVER (ORDER BY cents, user_id) - 1) * 10)
+           // count(*) OVER () AS INT) AS decile
+  FROM totals
+),
+per_d AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(cents) AS BIGINT) AS d_cents
+  FROM ranked GROUP BY 1
+)
+SELECT decile, n_users,
+       CAST(sum(n_users) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(sum(n_users) OVER () AS DOUBLE) AS cum_users_frac,
+       CAST(sum(d_cents) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cents,
+       CAST(sum(d_cents) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(sum(d_cents) OVER () AS DOUBLE) AS cum_share
+FROM per_d
+"""

@@ -2177,6 +2177,16 @@ def _ensure_loaded() -> None:
         curation.gate_ordering_cost_plan_query,
         curation.GATE_ORDERING_COST_PLAN_ORACLE,
     )
+    register(
+        "lorenz_curve_points",
+        segmentation.lorenz_curve_points_query,
+        segmentation.LORENZ_CURVE_POINTS_ORACLE,
+    )
+    register(
+        "new_vs_returning_daily",
+        an.new_vs_returning_daily_query,
+        an.NEW_VS_RETURNING_DAILY_ORACLE,
+    )
 
     _apply_window(_WINDOW_R08)
     _LOADED = True

@@ -46,6 +46,8 @@ R09_MATERIAL: set[str] = {
     "nzv_dimension_audit",
     "theil_sen_ci",
     "gate_ordering_cost_plan",
+    "lorenz_curve_points",
+    "new_vs_returning_daily",
 }
 
 

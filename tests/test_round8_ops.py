@@ -997,3 +997,41 @@ def test_cost_plan_beats_or_ties_selectivity_plan_on_expected_cost(spark):
         frac *= r["n_pass"] / r["n_total"]
         assert r["surviving_frac"] == pytest.approx(frac, rel=1e-12)
         assert r["expected_cost"] == pytest.approx(exp, rel=1e-12)
+
+
+def test_lorenz_curve_is_convex_and_ends_at_one(spark):
+    from _kafka_streams_scaffold_spark.operators import segmentation
+
+    rows = sorted(
+        segmentation.lorenz_curve_points_query(spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert rows[-1]["cum_share"] == pytest.approx(1.0)
+    assert rows[-1]["cum_users_frac"] == pytest.approx(1.0)
+    shares = [r["cum_share"] for r in rows]
+    # monotone, and below the diagonal (poorest d% carry <= d% of
+    # revenue) — the Lorenz curve definition
+    assert all(b >= a - 1e-12 for a, b in zip(shares, shares[1:]))
+    for r in rows[:-1]:
+        assert r["cum_share"] <= r["cum_users_frac"] + 1e-9
+    # increments grow (sorted ascending by spend => convex curve)
+    incs = [b - a for a, b in zip([0.0] + shares, shares)]
+    assert all(b >= a - 1e-9 for a, b in zip(incs, incs[1:]))
+
+
+def test_new_vs_returning_partitions_dau_and_day_one_is_all_new(spark):
+    rows = sorted(
+        __import__(
+            "_kafka_streams_scaffold_spark.operators.analytics",
+            fromlist=["analytics"],
+        ).new_vs_returning_daily_query(spark, SF).collect(),
+        key=lambda r: r["day"],
+    )
+    for r in rows:
+        assert r["n_new"] + r["n_returning"] == r["n_users"]
+    assert rows[0]["n_returning"] == 0  # nobody predates day 1
+    total_new = sum(r["n_new"] for r in rows)
+    n_users = (
+        tables.table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert total_new == n_users  # every user is new exactly once
