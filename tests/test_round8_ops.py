@@ -1014,8 +1014,13 @@ def test_lorenz_curve_is_convex_and_ends_at_one(spark):
     assert all(b >= a - 1e-12 for a, b in zip(shares, shares[1:]))
     for r in rows[:-1]:
         assert r["cum_share"] <= r["cum_users_frac"] + 1e-9
-    # increments grow (sorted ascending by spend => convex curve)
-    incs = [b - a for a, b in zip([0.0] + shares, shares)]
+    # PER-USER increments grow (values sorted ascending by spend) —
+    # raw per-decile increments need not be monotone because deciles
+    # carry unequal user counts when n % 10 != 0
+    incs = [
+        (b - a) / r["n_users"]
+        for a, b, r in zip([0.0] + shares, shares, rows)
+    ]
     assert all(b >= a - 1e-9 for a, b in zip(incs, incs[1:]))
 
 
