@@ -627,3 +627,296 @@ GROUP BY 1
 
 
 JL_PROJECTION_AUDIT_ORACLE = _jl_oracle()
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence: each source's token distribution vs the rest
+# --------------------------------------------------------------------------
+
+# ln(2) baked as the same Python float literal into both engines so the
+# absent-token closed form (see below) is bit-identical cross-engine.
+_LN2 = 0.6931471805599453
+
+_JS_FP = 1_000_000_000_000  # 1e12 fixed-point scale for per-token terms
+
+
+def js_source_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_src, n_rest, rest_seen, core_fp, jsd): the
+    Jensen-Shannon divergence between each source's unigram token
+    distribution P and the distribution Q of the REST of the corpus —
+    the symmetric, bounded (<= ln 2 nats) drift gate used to decide
+    whether a source can share a tokenizer / mixture slot with the
+    pool. Unlike KL it is finite when a token appears on one side
+    only, which is the common case for per-source vocabularies.
+
+    Exactness: only tokens PRESENT in the source carry a log term;
+    for the (typically huge) set of rest-only tokens P(t)=0, so the
+    pointwise contribution reduces to q*ln(2)/2 and the whole tail
+    collapses to the closed form (ln2/2) * (1 - sum_{t in S} q_t),
+    where sum q_t = rest_seen/n_rest is a ratio of exact BIGINTs.
+    Each present-token term p*ln(2p/(p+q)) + q*ln(2q/(p+q)) is
+    fixed-pointed (floor(1e12 * term), a BIGINT) per token BEFORE the
+    unordered sum, the house rule for cross-engine hash stability
+    (sum bound: 1e12 * ln2 per source, far under 2^63).
+
+    Scale: ONE (source, token) count rollup touches the corpus
+    (partial-aggregatable); the log work happens on that grid joined
+    to the |vocab|-sized pooled counts (shuffle keyed by token) with
+    the |sources|-row totals and the 1-row grand total broadcast.
+    Nothing pairwise, nothing per-row beyond the token explode every
+    lexical operator already pays."""
+    from .textops import tokens_expr
+
+    docs = tables.table(spark, sf_dir, "documents")
+    occ = docs.select("source", F.explode(tokens_expr()).alias("tok"))
+    cnt = occ.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pooled = cnt.groupBy("tok").agg(F.sum("c").cast("bigint").alias("ct"))
+    totals = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_src")
+    )
+    grand = pooled.agg(F.sum("ct").cast("bigint").alias("n_all"))
+    grid = (
+        cnt.join(pooled, "tok")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("rest_c", F.col("ct") - F.col("c"))
+        .withColumn("n_rest", F.col("n_all") - F.col("n_src"))
+    )
+    p = F.col("c").cast("double") / F.col("n_src").cast("double")
+    q = F.col("rest_c").cast("double") / F.col("n_rest").cast("double")
+    term = p * F.log(F.lit(2.0) * p / (p + q)) + F.when(
+        F.col("rest_c") > 0, q * F.log(F.lit(2.0) * q / (p + q))
+    ).otherwise(F.lit(0.0))
+    per_src = grid.filter(F.col("n_rest") > 0).withColumn(
+        "term_fp",
+        F.floor(F.lit(float(_JS_FP)) * term).cast("bigint"),
+    ).groupBy("source").agg(
+        F.max("n_src").alias("n_src"),
+        F.max("n_rest").alias("n_rest"),
+        F.sum("rest_c").cast("bigint").alias("rest_seen"),
+        F.sum("term_fp").cast("bigint").alias("core_fp"),
+    )
+    return per_src.select(
+        "source",
+        "n_src",
+        "n_rest",
+        "rest_seen",
+        "core_fp",
+        (
+            F.col("core_fp").cast("double") / F.lit(2.0 * _JS_FP)
+            + F.lit(_LN2 / 2.0)
+            * (F.col("n_rest") - F.col("rest_seen")).cast("double")
+            / F.col("n_rest").cast("double")
+        ).alias("jsd"),
+    )
+
+
+JS_SOURCE_DRIFT_ORACLE = f"""
+WITH occ AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM occ GROUP BY 1, 2
+),
+pooled AS (
+  SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1
+),
+totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM cnt GROUP BY 1
+),
+grand AS (SELECT CAST(sum(ct) AS BIGINT) AS n_all FROM pooled),
+grid AS (
+  SELECT c.source, c.c, p.ct - c.c AS rest_c, t.n_src,
+         g.n_all - t.n_src AS n_rest
+  FROM cnt c
+  JOIN pooled p USING (tok)
+  JOIN totals t USING (source)
+  CROSS JOIN grand g
+),
+terms AS (
+  SELECT source, n_src, n_rest, rest_c,
+         CAST(floor({float(_JS_FP)!r} * (
+           (CAST(c AS DOUBLE) / CAST(n_src AS DOUBLE))
+             * ln(2.0 * (CAST(c AS DOUBLE) / CAST(n_src AS DOUBLE))
+                  / ((CAST(c AS DOUBLE) / CAST(n_src AS DOUBLE))
+                     + (CAST(rest_c AS DOUBLE) / CAST(n_rest AS DOUBLE))))
+           + CASE WHEN rest_c > 0 THEN
+               (CAST(rest_c AS DOUBLE) / CAST(n_rest AS DOUBLE))
+                 * ln(2.0 * (CAST(rest_c AS DOUBLE) / CAST(n_rest AS DOUBLE))
+                      / ((CAST(c AS DOUBLE) / CAST(n_src AS DOUBLE))
+                         + (CAST(rest_c AS DOUBLE)
+                            / CAST(n_rest AS DOUBLE))))
+             ELSE 0.0 END
+         )) AS BIGINT) AS term_fp
+  FROM grid
+  WHERE n_rest > 0
+),
+per_src AS (
+  SELECT source,
+         max(n_src) AS n_src,
+         max(n_rest) AS n_rest,
+         CAST(sum(rest_c) AS BIGINT) AS rest_seen,
+         CAST(sum(term_fp) AS BIGINT) AS core_fp
+  FROM terms GROUP BY 1
+)
+SELECT source, n_src, n_rest, rest_seen, core_fp,
+       CAST(core_fp AS DOUBLE) / {float(2 * _JS_FP)!r}
+         + {_LN2 / 2.0!r}
+           * CAST(n_rest - rest_seen AS DOUBLE) / CAST(n_rest AS DOUBLE)
+         AS jsd
+FROM per_src
+"""
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout over pre/post order spend
+# --------------------------------------------------------------------------
+
+# Pre-period/post-period boundary for the covariate split: orders
+# strictly before this date form each customer's pre-experiment
+# covariate X; orders on/after form the metric Y.
+_CUPED_SPLIT = "1998-01-01"
+
+
+def cuped_uplift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(variant, n_users, x_mean, y_mean, theta, y_cuped): the CUPED
+    (Controlled-experiment Using Pre-Existing Data) readout of an A/B
+    split on customer order spend — variant by o_custkey parity (the
+    deterministic bucketing stand-in the two-proportion test also
+    uses), Y = post-period spend cents, X = pre-period spend cents,
+    theta = cov(X,Y)/var(X) fitted on the POOLED population, and the
+    adjusted mean y_cuped = mean(Y_v) - theta * (mean(X_v) -
+    mean(X_pool)). CUPED is how large experiment platforms cut metric
+    variance 30-70% without touching assignment; the adjusted means
+    are the numbers a launch decision should read.
+
+    Exactness: per-customer X/Y are exact BIGINT cent sums; the five
+    pooled moments are exact DECIMAL(38,0) sums of BIGINT products
+    (the zipf_fit pattern — x*y <= ~1e18 per customer and 38 digits
+    absorb any plausible population); theta and the adjusted means
+    are a fixed sequence of IEEE ops on those exact sums, bit-stable
+    cross-engine. Guard: theta = 0 when var(X) = 0 (no pre-period
+    signal), which degrades CUPED to the plain difference of means
+    instead of dividing by zero under ANSI.
+
+    Scale: one partial-aggregatable per-customer rollup over orders;
+    moments are a 1-row frame broadcast onto the 2-row variant frame.
+    Nothing else touches the fact table."""
+    orders = tables.table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                F.col("o_orderdate") < F.lit(_CUPED_SPLIT).cast(
+                    "timestamp"
+                ),
+                F.floor(F.col("o_totalprice") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("x"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= F.lit(_CUPED_SPLIT).cast(
+                    "timestamp"
+                ),
+                F.floor(F.col("o_totalprice") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("y"),
+    ).select(
+        (F.col("o_custkey") % 2).cast("int").alias("variant"), "x", "y"
+    )
+    mom = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("cast(x as decimal(19,0)) * x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.expr("cast(x as decimal(19,0)) * y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx = n * sxx - sx * sx
+    theta = F.when(vx > 0, (n * sxy - sx * sy) / vx).otherwise(F.lit(0.0))
+    per_variant = per_cust.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("vx_sum"),
+        F.sum("y").cast("bigint").alias("vy_sum"),
+    )
+    return per_variant.crossJoin(F.broadcast(mom)).select(
+        "variant",
+        "n_users",
+        (F.col("vx_sum").cast("double") / F.col("n_users").cast("double"))
+        .alias("x_mean"),
+        (F.col("vy_sum").cast("double") / F.col("n_users").cast("double"))
+        .alias("y_mean"),
+        theta.alias("theta"),
+        (
+            F.col("vy_sum").cast("double") / F.col("n_users").cast("double")
+            - theta
+            * (
+                F.col("vx_sum").cast("double")
+                / F.col("n_users").cast("double")
+                - sx / n
+            )
+        ).alias("y_cuped"),
+    )
+
+
+CUPED_UPLIFT_ORACLE = f"""
+WITH per_cust AS (
+  SELECT CAST(o_custkey % 2 AS INTEGER) AS variant,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{_CUPED_SPLIT}'
+                       THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '{_CUPED_SPLIT}'
+                       THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy
+  FROM per_cust
+),
+pv AS (
+  SELECT variant,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS vx_sum,
+         CAST(sum(y) AS BIGINT) AS vy_sum
+  FROM per_cust GROUP BY variant
+)
+SELECT pv.variant, pv.n_users,
+       CAST(pv.vx_sum AS DOUBLE) / CAST(pv.n_users AS DOUBLE) AS x_mean,
+       CAST(pv.vy_sum AS DOUBLE) / CAST(pv.n_users AS DOUBLE) AS y_mean,
+       CASE WHEN (CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                  - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)) > 0
+            THEN (CAST(m.n AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+                  - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
+                 / (CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                    - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+            ELSE 0.0 END AS theta,
+       CAST(pv.vy_sum AS DOUBLE) / CAST(pv.n_users AS DOUBLE)
+         - (CASE WHEN (CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                       - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)) > 0
+                 THEN (CAST(m.n AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+                       - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
+                      / (CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                         - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+                 ELSE 0.0 END)
+           * (CAST(pv.vx_sum AS DOUBLE) / CAST(pv.n_users AS DOUBLE)
+              - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)) AS y_cuped
+FROM pv CROSS JOIN mom m
+"""

@@ -2442,3 +2442,289 @@ SELECT b.n AS n_days, b.m AS n_pairs,
 FROM ranked r, bounds b
 GROUP BY b.n, b.m
 """
+
+
+# --------------------------------------------------------------------------
+# Cross-correlation function: daily clicks leading daily purchases
+# --------------------------------------------------------------------------
+
+_CCF_MAX_LAG = 7
+
+
+def cross_correlation_lags_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(lag, n_overlap, num, ccf): the sample cross-correlation
+    between the daily CLICK count series x_t and the daily PURCHASE
+    count series y_{t+lag} for calendar lags 0..7 — the
+    lead/lag structure check behind attribution windows ("how many
+    days does click volume lead purchase volume?") and behind
+    choosing the funnel-join horizon. A peak at lag k says clicks
+    predict purchases k days out.
+
+    Exactness: with S_x, S_y the full-series sums and n the day
+    count, the lag-k covariance is carried n^2-scaled as
+    num_k = sum_t (n*x_t - S_x)(n*y_{t+k} - S_y) over the overlap —
+    EXACT BIGINT arithmetic on exact daily counts (|n*x| <= n*max_x,
+    so the sum is ~n^3*max^2, far under 2^63 at any plausible daily
+    grain). The denominator sqrt(A)*sqrt(B) uses the same n^2-scaled
+    full-series sums of squares; ccf = num / (sqrt(A)*sqrt(B)) is
+    three IEEE ops on exact integers, bit-stable cross-engine.
+
+    Scale: ONE pass over events builds the day spine (conditional
+    partial-aggregatable counts); all lag work is a range self-join
+    on the |days|-row spine with the 1-row moment frame broadcast —
+    the corpus is never touched again."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("bigint")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias(
+            "y"
+        ),
+    )
+    base = daily.select(
+        F.min("day").alias("day0"), F.count(F.lit(1)).alias("n")
+    )
+    idx = daily.crossJoin(F.broadcast(base)).select(
+        F.datediff("day", "day0").cast("bigint").alias("i"),
+        "x",
+        "y",
+        "n",
+    )
+    sums = idx.agg(
+        F.max("n").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    cx = idx.select("i", "x").alias("a")
+    cy = idx.select("i", "y").alias("b")
+    pairs = cx.join(
+        F.broadcast(cy),
+        (F.col("b.i") >= F.col("a.i"))
+        & (F.col("b.i") <= F.col("a.i") + F.lit(_CCF_MAX_LAG)),
+    ).select(
+        (F.col("b.i") - F.col("a.i")).alias("lag"),
+        F.col("a.x").alias("x"),
+        F.col("b.y").alias("y"),
+    )
+    stats = idx.drop("n").crossJoin(F.broadcast(sums)).agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.max("sy").alias("sy"),
+        F.sum(
+            (F.col("n") * F.col("x") - F.col("sx"))
+            * (F.col("n") * F.col("x") - F.col("sx"))
+        ).cast("bigint").alias("axx"),
+        F.sum(
+            (F.col("n") * F.col("y") - F.col("sy"))
+            * (F.col("n") * F.col("y") - F.col("sy"))
+        ).cast("bigint").alias("ayy"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+            F.sum(
+                (F.col("n") * F.col("x") - F.col("sx"))
+                * (F.col("n") * F.col("y") - F.col("sy"))
+            ).cast("bigint").alias("num"),
+            (
+                F.sum(
+                    (F.col("n") * F.col("x") - F.col("sx"))
+                    * (F.col("n") * F.col("y") - F.col("sy"))
+                ).cast("double")
+                / (
+                    F.sqrt(F.max("axx").cast("double"))
+                    * F.sqrt(F.max("ayy").cast("double"))
+                )
+            ).alias("ccf"),
+        )
+    )
+
+
+CROSS_CORRELATION_LAGS_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT min(day) AS day0, CAST(count(*) AS BIGINT) AS n FROM daily
+),
+idx AS (
+  SELECT CAST(datediff('day', b.day0, d.day) AS BIGINT) AS i,
+         d.x, d.y, b.n
+  FROM daily d CROSS JOIN base b
+),
+mom AS (
+  SELECT max(n) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum((n * x - (SELECT sum(x) FROM idx))
+                  * (n * x - (SELECT sum(x) FROM idx))) AS BIGINT) AS axx,
+         CAST(sum((n * y - (SELECT sum(y) FROM idx))
+                  * (n * y - (SELECT sum(y) FROM idx))) AS BIGINT) AS ayy
+  FROM idx
+)
+SELECT b.i - a.i AS lag,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(sum((m.n * a.x - m.sx) * (m.n * b.y - m.sy)) AS BIGINT)
+         AS num,
+       CAST(sum((m.n * a.x - m.sx) * (m.n * b.y - m.sy)) AS DOUBLE)
+         / (sqrt(CAST(m.axx AS DOUBLE)) * sqrt(CAST(m.ayy AS DOUBLE)))
+         AS ccf
+FROM idx a
+JOIN idx b ON b.i >= a.i AND b.i <= a.i + {_CCF_MAX_LAG}
+CROSS JOIN mom m
+GROUP BY 1, m.axx, m.ayy
+"""
+
+
+# --------------------------------------------------------------------------
+# SPRT: sequential probability ratio test on the daily purchase share
+# --------------------------------------------------------------------------
+
+import math as _math
+
+# H0/H1 Bernoulli rates for "share of events that are purchases", and
+# Wald's alpha = beta = 0.05 boundaries. The four log constants are
+# baked as Python float literals into BOTH engines so the per-day LLR
+# k*A + (m-k)*B is the same two IEEE multiplies + one add everywhere.
+_SPRT_P0 = 0.19
+_SPRT_P1 = 0.21
+_SPRT_A = _math.log(_SPRT_P1 / _SPRT_P0)
+_SPRT_B = _math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+_SPRT_UPPER = _math.log(0.95 / 0.05)
+_SPRT_LOWER = _math.log(0.05 / 0.95)
+
+
+def sprt_daily_decision_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(day, k_cum, m_cum, llr, state): Wald's sequential probability
+    ratio test run day by day over the stream's purchase share —
+    k_cum purchases out of m_cum events so far, the Bernoulli
+    log-likelihood ratio llr = k*ln(p1/p0) + (m-k)*ln((1-p1)/(1-p0)),
+    and the sequential state: 'accept_h1' once llr crosses the upper
+    Wald boundary ln((1-b)/a), 'accept_h0' below the lower, else
+    'continue'; once a boundary has been hit the state LATCHES (the
+    test stops sampling), matching the sequential-analysis contract
+    rather than a per-day re-read. This is the early-stopping monitor
+    a pipeline runs on an ingestion knob change: it answers "can we
+    already conclude the purchase mix moved?" with guaranteed
+    alpha/beta, days before a fixed-horizon test.
+
+    Exactness: k_cum/m_cum are exact BIGINT running sums on the day
+    spine; llr is two IEEE multiplies of exact-integer-valued doubles
+    by BAKED float literals plus one add — deterministic cross-engine;
+    the boundary comparisons and the latch (a running min over exact
+    flags) are then exact.
+
+    Scale: one partial-aggregatable per-day rollup touches events;
+    the cumulative window runs on the |days|-row spine (bounded
+    single-partition window, the house spine pattern)."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias(
+            "k"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("k").over(w).cast("bigint").alias("k_cum"),
+        F.sum("m").over(w).cast("bigint").alias("m_cum"),
+    )
+    llr = (
+        F.col("k_cum").cast("double") * F.lit(_SPRT_A)
+        + (F.col("m_cum") - F.col("k_cum")).cast("double")
+        * F.lit(_SPRT_B)
+    )
+    raw = cum.select(
+        "day",
+        "k_cum",
+        "m_cum",
+        llr.alias("llr"),
+        F.when(llr >= F.lit(_SPRT_UPPER), F.lit(1))
+        .when(llr <= F.lit(_SPRT_LOWER), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("sig"),
+    )
+    # latch on the FIRST nonzero sig: carry (first nonzero day, its
+    # sign) forward via min-by-day over flagged rows
+    wfirst = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = raw.select(
+        "*",
+        F.min(F.when(F.col("sig") != 0, F.col("day"))).over(wfirst).alias(
+            "first_day"
+        ),
+    )
+    latched_sig = F.when(
+        F.col("first_day").isNotNull(),
+        F.max(
+            F.when(F.col("day") == F.col("first_day"), F.col("sig"))
+        ).over(wfirst),
+    ).otherwise(F.lit(0))
+    return flagged.select(
+        "day",
+        "k_cum",
+        "m_cum",
+        "llr",
+        F.when(latched_sig == 1, F.lit("accept_h1"))
+        .when(latched_sig == -1, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("state"),
+    )
+
+
+SPRT_DAILY_DECISION_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k,
+         CAST(count(*) AS BIGINT) AS m
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day,
+         CAST(sum(k) OVER (ORDER BY day) AS BIGINT) AS k_cum,
+         CAST(sum(m) OVER (ORDER BY day) AS BIGINT) AS m_cum
+  FROM daily
+),
+raw AS (
+  SELECT day, k_cum, m_cum,
+         CAST(k_cum AS DOUBLE) * {_SPRT_A!r}
+           + CAST(m_cum - k_cum AS DOUBLE) * {_SPRT_B!r} AS llr
+  FROM cum
+),
+sig AS (
+  SELECT day, k_cum, m_cum, llr,
+         CASE WHEN llr >= {_SPRT_UPPER!r} THEN 1
+              WHEN llr <= {_SPRT_LOWER!r} THEN -1
+              ELSE 0 END AS sig
+  FROM raw
+),
+flagged AS (
+  SELECT *,
+         min(CASE WHEN sig <> 0 THEN day END)
+           OVER (ORDER BY day) AS first_day
+  FROM sig
+)
+SELECT day, k_cum, m_cum, llr,
+       CASE
+         WHEN first_day IS NULL THEN 'continue'
+         WHEN max(CASE WHEN day = first_day THEN sig END)
+              OVER (ORDER BY day) = 1 THEN 'accept_h1'
+         ELSE 'accept_h0'
+       END AS state
+FROM flagged
+"""

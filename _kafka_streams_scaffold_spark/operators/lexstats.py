@@ -524,3 +524,70 @@ SELECT v_obs, s1, s2, n_tokens,
 FROM agg
 WHERE v_obs > 0
 """
+
+
+# --------------------------------------------------------------------------
+# Good-Turing unseen-mass estimate per source
+# --------------------------------------------------------------------------
+
+def good_turing_unseen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, n_terms, n1, n2, p_unseen, r1_star): the
+    Turing estimator of the probability mass a source's NEXT token is
+    a never-seen term (p_unseen = N1/N, the frequency of hapaxes) and
+    the Good-Turing smoothed count for singletons (r1* = 2*N2/N1) —
+    the standard answer to "how much more of this source must we
+    crawl before its vocabulary saturates", the companion decision to
+    the Chao1 richness estimate (chao1_vocab_estimate) which bounds
+    the unseen TYPE count rather than the unseen mass.
+
+    Exactness: N, V, N1, N2 are exact BIGINT aggregates of the
+    (source, term) count rollup; the two estimates are single IEEE
+    divisions of exact integers, bit-identical cross-engine.
+
+    Scale: the same two partial-aggregatable shuffles as hapax_rate —
+    (source, term) counts then a per-source rollup; counts-of-counts
+    are conditional sums on that grid, no third shuffle."""
+    docs = tables.table(spark, sf_dir, "documents")
+    occ = docs.select("source", F.explode(tokens_expr()).alias("tok"))
+    term_counts = occ.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return term_counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("n1"),
+        F.sum((F.col("c") == 2).cast("bigint")).alias("n2"),
+        (
+            F.sum((F.col("c") == 1).cast("bigint")).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("p_unseen"),
+        F.when(
+            F.sum((F.col("c") == 1).cast("bigint")) > 0,
+            F.lit(2.0)
+            * F.sum((F.col("c") == 2).cast("bigint")).cast("double")
+            / F.sum((F.col("c") == 1).cast("bigint")).cast("double"),
+        ).alias("r1_star"),
+    )
+
+
+GOOD_TURING_UNSEEN_ORACLE = f"""
+WITH occ AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+term_counts AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM occ GROUP BY source, tok
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(sum(c) AS DOUBLE) AS p_unseen,
+       CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0 THEN
+         2.0 * CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       END AS r1_star
+FROM term_counts GROUP BY source
+"""

@@ -2187,6 +2187,31 @@ def _ensure_loaded() -> None:
         an.new_vs_returning_daily_query,
         an.NEW_VS_RETURNING_DAILY_ORACLE,
     )
+    register(
+        "js_source_drift",
+        drift.js_source_drift_query,
+        drift.JS_SOURCE_DRIFT_ORACLE,
+    )
+    register(
+        "good_turing_unseen",
+        lexstats.good_turing_unseen_query,
+        lexstats.GOOD_TURING_UNSEEN_ORACLE,
+    )
+    register(
+        "cross_correlation_lags",
+        inference.cross_correlation_lags_query,
+        inference.CROSS_CORRELATION_LAGS_ORACLE,
+    )
+    register(
+        "sprt_daily_decision",
+        inference.sprt_daily_decision_query,
+        inference.SPRT_DAILY_DECISION_ORACLE,
+    )
+    register(
+        "cuped_uplift",
+        drift.cuped_uplift_query,
+        drift.CUPED_UPLIFT_ORACLE,
+    )
 
     _apply_window(_WINDOW_R08)
     _LOADED = True

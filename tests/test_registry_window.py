@@ -48,6 +48,11 @@ R09_MATERIAL: set[str] = {
     "gate_ordering_cost_plan",
     "lorenz_curve_points",
     "new_vs_returning_daily",
+    "js_source_drift",
+    "good_turing_unseen",
+    "cross_correlation_lags",
+    "sprt_daily_decision",
+    "cuped_uplift",
 }
 
 

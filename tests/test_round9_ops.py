@@ -1,0 +1,266 @@
+"""Semantic assertions for the round-9-material operators — each test
+checks a property the DuckDB oracle equality can NOT express (the
+oracle proves cross-engine agreement; these prove the shared answer
+means what the docstring claims)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from _kafka_streams_scaffold_spark import tables
+from _kafka_streams_scaffold_spark.operators import (
+    drift,
+    inference,
+    lexstats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split(r"\W+", text.lower()) if t]
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon source drift
+# ---------------------------------------------------------------------------
+
+
+def test_js_matches_bruteforce_python(spark):
+    """The fixed-point + closed-form-tail construction must agree with
+    a plain Python JSD over the full union vocabulary (the textbook
+    definition) to the per-term floor precision."""
+    docs = tables.table(spark, SF, "documents").select(
+        "source", "text"
+    ).collect()
+    out = {r["source"]: r for r in
+           drift.js_source_drift_query(spark, SF).collect()}
+    src = sorted(out)[0]
+    mine = Counter()
+    rest = Counter()
+    for r in docs:
+        (mine if r["source"] == src else rest).update(_toks(r["text"]))
+    n_s, n_r = sum(mine.values()), sum(rest.values())
+    jsd = 0.0
+    for t in set(mine) | set(rest):
+        p = mine.get(t, 0) / n_s
+        q = rest.get(t, 0) / n_r
+        m = (p + q) / 2.0
+        if p > 0:
+            jsd += 0.5 * p * math.log(p / m)
+        if q > 0:
+            jsd += 0.5 * q * math.log(q / m)
+    row = out[src]
+    assert row["n_src"] == n_s
+    assert row["n_rest"] == n_r
+    # floor() at 1e12 per present-token term: error < #terms / 1e12
+    assert row["jsd"] == pytest.approx(jsd, abs=1e-6)
+
+
+def test_js_bounded_by_ln2(spark):
+    rows = drift.js_source_drift_query(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["jsd"] <= math.log(2.0) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing unseen mass
+# ---------------------------------------------------------------------------
+
+
+def test_good_turing_matches_bruteforce_counts(spark):
+    docs = tables.table(spark, SF, "documents").select(
+        "source", "text"
+    ).collect()
+    out = {r["source"]: r for r in
+           lexstats.good_turing_unseen_query(spark, SF).collect()}
+    src = sorted(out)[0]
+    c = Counter()
+    for r in docs:
+        if r["source"] == src:
+            c.update(_toks(r["text"]))
+    cc = Counter(c.values())
+    row = out[src]
+    assert row["n_tokens"] == sum(c.values())
+    assert row["n_terms"] == len(c)
+    assert row["n1"] == cc.get(1, 0)
+    assert row["n2"] == cc.get(2, 0)
+    assert row["p_unseen"] == pytest.approx(cc.get(1, 0) / sum(c.values()))
+
+
+def test_good_turing_agrees_with_hapax_rate(spark):
+    """n1 here IS the hapax count — the two operators must agree on
+    the shared statistic (they share the tokenizer by construction)."""
+    gt = {r["source"]: r for r in
+          lexstats.good_turing_unseen_query(spark, SF).collect()}
+    hx = {r["source"]: r for r in
+          lexstats.hapax_rate_query(spark, SF).collect()}
+    assert set(gt) == set(hx)
+    for s in gt:
+        assert gt[s]["n1"] == hx[s]["n_hapax"]
+        assert gt[s]["n_terms"] == hx[s]["n_terms"]
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation lag scan
+# ---------------------------------------------------------------------------
+
+
+def _daily_series(spark):
+    ev = tables.table(spark, SF, "events")
+    rows = sorted(
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("bigint")).alias(
+                "x"
+            ),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("bigint")
+            ).alias("y"),
+        )
+        .collect(),
+        key=lambda r: r["day"],
+    )
+    return [r["x"] for r in rows], [r["y"] for r in rows]
+
+
+def test_ccf_lag0_is_pearson(spark):
+    xs, ys = _daily_series(spark)
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = math.sqrt(
+        sum((x - mx) ** 2 for x in xs) * sum((y - my) ** 2 for y in ys)
+    )
+    out = {r["lag"]: r for r in
+           inference.cross_correlation_lags_query(spark, SF).collect()}
+    assert out[0]["n_overlap"] == n
+    assert out[0]["ccf"] == pytest.approx(num / den)
+
+
+def test_ccf_bounded_and_overlap_shrinks(spark):
+    out = sorted(
+        inference.cross_correlation_lags_query(spark, SF).collect(),
+        key=lambda r: r["lag"],
+    )
+    assert [r["lag"] for r in out] == list(range(8))
+    for r in out:
+        assert abs(r["ccf"]) <= 1.0 + 1e-12
+    # contiguous daily spine: overlap at lag k is exactly n - k
+    n = out[0]["n_overlap"]
+    for r in out:
+        assert r["n_overlap"] == n - r["lag"]
+
+
+def test_ccf_lagged_value_matches_python(spark):
+    """Lag-3 cross-check against the definitional formula with
+    full-series means and denominators."""
+    xs, ys = _daily_series(spark)
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    k = 3
+    num = sum(
+        (xs[t] - mx) * (ys[t + k] - my) for t in range(n - k)
+    )
+    den = math.sqrt(
+        sum((x - mx) ** 2 for x in xs) * sum((y - my) ** 2 for y in ys)
+    )
+    out = {r["lag"]: r for r in
+           inference.cross_correlation_lags_query(spark, SF).collect()}
+    assert out[k]["ccf"] == pytest.approx(num / den)
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential decision
+# ---------------------------------------------------------------------------
+
+
+def test_sprt_llr_matches_python_and_latches(spark):
+    rows = sorted(
+        inference.sprt_daily_decision_query(spark, SF).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    seen_decision = None
+    for r in rows:
+        want = (
+            r["k_cum"] * inference._SPRT_A
+            + (r["m_cum"] - r["k_cum"]) * inference._SPRT_B
+        )
+        assert r["llr"] == pytest.approx(want, rel=1e-12)
+        if seen_decision is None:
+            if r["llr"] >= inference._SPRT_UPPER:
+                seen_decision = "accept_h1"
+            elif r["llr"] <= inference._SPRT_LOWER:
+                seen_decision = "accept_h0"
+        # latch: once decided, every later day reports the decision
+        assert r["state"] == (seen_decision or "continue")
+
+
+def test_sprt_cumulative_counts_monotone(spark):
+    rows = sorted(
+        inference.sprt_daily_decision_query(spark, SF).collect(),
+        key=lambda r: r["day"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["k_cum"] >= a["k_cum"]
+        assert b["m_cum"] > a["m_cum"]
+        assert 0 <= a["k_cum"] <= a["m_cum"]
+
+
+# ---------------------------------------------------------------------------
+# CUPED uplift
+# ---------------------------------------------------------------------------
+
+
+def _per_cust_xy(spark):
+    orders = tables.table(spark, SF, "orders").collect()
+    split = __import__("datetime").datetime(1998, 1, 1)
+    agg = {}
+    for r in orders:
+        x, y = agg.setdefault(r["o_custkey"], [0, 0])
+        cents = math.floor(r["o_totalprice"] * 100)
+        if r["o_orderdate"] < split:
+            agg[r["o_custkey"]][0] += cents
+        else:
+            agg[r["o_custkey"]][1] += cents
+    return agg
+
+
+def test_cuped_theta_matches_python_cov_over_var(spark):
+    agg = _per_cust_xy(spark)
+    xs = [v[0] for v in agg.values()]
+    ys = [v[1] for v in agg.values()]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    var = sum((x - mx) ** 2 for x in xs)
+    theta = cov / var
+    rows = drift.cuped_uplift_query(spark, SF).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["theta"] == pytest.approx(theta, rel=1e-9)
+
+
+def test_cuped_weighted_mean_is_preserved(spark):
+    """CUPED is mean-preserving across the pooled population:
+    sum_v n_v * (xbar_v - xbar_pool) = 0, so the n-weighted mean of
+    the adjusted metric equals the raw pooled mean."""
+    rows = drift.cuped_uplift_query(spark, SF).collect()
+    n_tot = sum(r["n_users"] for r in rows)
+    adj = sum(r["n_users"] * r["y_cuped"] for r in rows) / n_tot
+    raw = sum(r["n_users"] * r["y_mean"] for r in rows) / n_tot
+    assert adj == pytest.approx(raw, rel=1e-12)
+
+
+def test_cuped_variants_partition_customers(spark):
+    agg = _per_cust_xy(spark)
+    rows = {r["variant"]: r for r in
+            drift.cuped_uplift_query(spark, SF).collect()}
+    assert rows[0]["n_users"] + rows[1]["n_users"] == len(agg)
