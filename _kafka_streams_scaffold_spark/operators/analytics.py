@@ -2116,3 +2116,148 @@ SELECT CAST(day AS VARCHAR) AS day,
        CAST(sum(is_new) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS new_frac
 FROM flagged GROUP BY day
 """
+
+
+# --------------------------------------------------------------------------
+# Stationary distribution of the event-type Markov chain
+# --------------------------------------------------------------------------
+
+# Fixed-point scale for the probability vector and number of in-plan
+# power-iteration steps. 12 steps more than converges a 5-state chain
+# (spectral gap of row-normalized behavioral matrices is large); the
+# iteration count is part of the OPERATOR DEFINITION so both engines
+# run literally the same arithmetic.
+_MARKOV_SCALE = 1_000_000_000
+_MARKOV_ITERS = 12
+
+
+def markov_stationary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, v_fp, pi): the stationary distribution of the
+    first-order event-type Markov chain (the long-run fraction of
+    time a user's behavior spends in each state), computed by
+    _MARKOV_ITERS exact-integer power-iteration steps from the
+    uniform vector: v'[d] = sum_s (v[s] * c(s,d)) div rowsum(s), all
+    BIGINT. The stationary vector is what transition probabilities
+    alone don't give you — it weights every path-analysis readout
+    (event_transitions) by how often the chain actually visits each
+    state, and at pipeline scale it is the state-occupancy prior for
+    behavioral drift baselines.
+
+    Exactness: every step is integer multiply + floor division +
+    integer sum (v*c <= 1e9 * corpus transitions, far under 2^63), so
+    the per-step floor drift (< |states| units of 1e-9 mass per step)
+    is IDENTICAL cross-engine — the vector is hash-exact, not merely
+    9-digit-close; pi is one final IEEE division. The DuckDB twin
+    unrolls the same _MARKOV_ITERS steps as chained CTEs.
+
+    Scale: the corpus is touched once by the event_transitions lag
+    window + rollup; all iteration happens on the |states|^2 count
+    matrix (a broadcast-sized frame), so plan depth is
+    O(_MARKOV_ITERS) joins over constant-size inputs — the in-plan
+    sibling of the pca power iteration, with integers instead of
+    folds."""
+    ev = tables.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+    trans = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    rowsum = trans.groupBy("src").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    tmat = trans.join(rowsum, "src")
+    states = ev.select(
+        F.col("event_type").alias("state")
+    ).distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("ns"))
+    v = states.crossJoin(F.broadcast(n_states)).select(
+        "state",
+        F.expr(f"cast({_MARKOV_SCALE} as bigint) div cast(ns as bigint)")
+        .cast("bigint")
+        .alias("v"),
+    )
+    for _ in range(_MARKOV_ITERS):
+        stepped = (
+            tmat.join(
+                F.broadcast(v), tmat["src"] == v["state"]
+            )
+            .select(
+                F.col("dst").alias("state"),
+                F.expr("(v * c) div t").cast("bigint").alias("contrib"),
+            )
+            .groupBy("state")
+            .agg(F.sum("contrib").cast("bigint").alias("v"))
+        )
+        # states with no inbound transitions drop out of the groupBy;
+        # restore them with zero mass so the frame keeps |states| rows
+        v = (
+            states.join(stepped, "state", "left")
+            .select(
+                "state", F.coalesce("v", F.lit(0)).cast("bigint").alias("v")
+            )
+        )
+    total = v.agg(F.sum("v").cast("bigint").alias("tot"))
+    return v.crossJoin(F.broadcast(total)).select(
+        F.col("state").alias("event_type"),
+        F.col("v").alias("v_fp"),
+        (F.col("v").cast("double") / F.col("tot").cast("double")).alias(
+            "pi"
+        ),
+    )
+
+
+def _markov_oracle() -> str:
+    steps = []
+    prev = "v0"
+    for i in range(_MARKOV_ITERS):
+        cur = f"v{i + 1}"
+        steps.append(f"""
+{cur} AS (
+  SELECT s.state,
+         COALESCE((
+           SELECT CAST(sum((p.v * t.c) // t.t) AS BIGINT)
+           FROM tmat t JOIN {prev} p ON p.state = t.src
+           WHERE t.dst = s.state
+         ), 0) AS v
+  FROM states s
+)""")
+        prev = cur
+    chain = ",".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS src,
+         event_type AS dst
+  FROM events
+),
+trans AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+  FROM pairs WHERE src IS NOT NULL GROUP BY 1, 2
+),
+rowsum AS (
+  SELECT src, CAST(sum(c) AS BIGINT) AS t FROM trans GROUP BY 1
+),
+tmat AS (
+  SELECT tr.src, tr.dst, tr.c, r.t FROM trans tr JOIN rowsum r USING (src)
+),
+states AS (SELECT DISTINCT event_type AS state FROM events),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM states),
+v0 AS (
+  SELECT state, CAST(CAST({_MARKOV_SCALE} AS BIGINT) // n AS BIGINT) AS v
+  FROM states CROSS JOIN ns
+),{chain},
+tot AS (SELECT CAST(sum(v) AS BIGINT) AS t FROM {prev})
+SELECT p.state AS event_type, p.v AS v_fp,
+       CAST(p.v AS DOUBLE) / CAST(tot.t AS DOUBLE) AS pi
+FROM {prev} p CROSS JOIN tot
+"""
+
+
+MARKOV_STATIONARY_ORACLE = _markov_oracle()

@@ -591,3 +591,136 @@ SELECT source,
        END AS r1_star
 FROM term_counts GROUP BY source
 """
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator on per-source document lengths
+# --------------------------------------------------------------------------
+
+_HILL_FP = 1_000_000_000  # 1e9 fixed-point scale for per-doc ln terms
+
+
+def hill_tail_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, k, x_k1, sum_fp, hill, alpha): the Hill
+    estimator of each source's document-length tail index — over the
+    top k = max(2, n_docs/5) order statistics, hill = (1/k) *
+    sum_{i<=k} ln(x_(i) / x_(k+1)) and alpha = 1/hill. A heavy tail
+    (small alpha) means a few enormous documents dominate token
+    budget and shuffle-partition sizing; alpha is THE number that
+    decides whether length-capping is needed before tokenizer
+    training, and how aggressive the doc-splitting stage
+    (chunking) must be.
+
+    Exactness: the top-(k+1) VALUE multiset is deterministic (ranked
+    by n_chars DESC; ties don't change the value multiset), k is an
+    exact integer derived from exact counts, each ln term is
+    fixed-pointed per row (floor(1e9 * ln(x)), BIGINT) before the
+    unordered sum, and x_(k+1) enters once via an exact MIN. hill
+    reassembles as sum_fp/1e9/k - ln(x_k1), a fixed final flop
+    sequence.
+
+    Scale: one per-source rank window over (source, n_chars) — the
+    partitioned-window shape every sessionization here uses — then a
+    per-source rollup on the top slice. k scales with the source, so
+    the slice is a fixed FRACTION of the rollup, never a collect."""
+    docs = tables.table(spark, sf_dir, "documents")
+    sized = docs.select("source", "doc_id", "n_chars").filter(
+        F.col("n_chars") > 0
+    )
+    counts = sized.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = sized.select(
+        "source",
+        "n_chars",
+        F.row_number().over(wr).alias("rnk"),
+    ).join(F.broadcast(counts), "source")
+    # integer division on BOTH engines (a DOUBLE-divide-then-cast would
+    # truncate on Spark but round on DuckDB)
+    k = F.greatest(
+        F.lit(2).cast("bigint"), F.expr("n_docs div 5").cast("bigint")
+    )
+    top = ranked.filter(F.col("rnk") <= k + F.lit(1)).select(
+        "source", "n_chars", "rnk", "n_docs", k.alias("k")
+    )
+    return top.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("k").alias("k"),
+        F.min(
+            F.when(F.col("rnk") == F.col("k") + 1, F.col("n_chars"))
+        ).cast("bigint").alias("x_k1"),
+        F.sum(
+            F.when(
+                F.col("rnk") <= F.col("k"),
+                F.floor(
+                    F.lit(float(_HILL_FP))
+                    * F.log(F.col("n_chars").cast("double"))
+                ).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("sum_fp"),
+    ).select(
+        "source",
+        "n_docs",
+        "k",
+        "x_k1",
+        "sum_fp",
+        (
+            F.col("sum_fp").cast("double")
+            / F.lit(float(_HILL_FP))
+            / F.col("k").cast("double")
+            - F.log(F.col("x_k1").cast("double"))
+        ).alias("hill"),
+    ).select(
+        "*",
+        F.when(
+            F.col("hill") > 0, F.lit(1.0) / F.col("hill")
+        ).alias("alpha"),
+    )
+
+
+HILL_TAIL_INDEX_ORACLE = f"""
+WITH sized AS (
+  SELECT source, doc_id, n_chars FROM documents WHERE n_chars > 0
+),
+counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM sized GROUP BY 1
+),
+ranked AS (
+  SELECT s.source, s.n_chars, c.n_docs,
+         row_number() OVER (
+           PARTITION BY s.source ORDER BY s.n_chars DESC, s.doc_id ASC
+         ) AS rnk,
+         greatest(CAST(2 AS BIGINT), CAST(c.n_docs // 5 AS BIGINT)) AS k
+  FROM sized s JOIN counts c USING (source)
+),
+top AS (
+  SELECT * FROM ranked WHERE rnk <= k + 1
+),
+agg AS (
+  SELECT source,
+         max(n_docs) AS n_docs,
+         max(k) AS k,
+         CAST(min(CASE WHEN rnk = k + 1 THEN n_chars END) AS BIGINT)
+           AS x_k1,
+         CAST(sum(CASE WHEN rnk <= k THEN
+           CAST(floor({float(_HILL_FP)!r}
+                      * ln(CAST(n_chars AS DOUBLE))) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS sum_fp
+  FROM top GROUP BY 1
+)
+SELECT source, n_docs, k, x_k1, sum_fp,
+       CAST(sum_fp AS DOUBLE) / {float(_HILL_FP)!r} / CAST(k AS DOUBLE)
+         - ln(CAST(x_k1 AS DOUBLE)) AS hill,
+       CASE WHEN CAST(sum_fp AS DOUBLE) / {float(_HILL_FP)!r}
+                   / CAST(k AS DOUBLE)
+                 - ln(CAST(x_k1 AS DOUBLE)) > 0
+            THEN 1.0 / (CAST(sum_fp AS DOUBLE) / {float(_HILL_FP)!r}
+                          / CAST(k AS DOUBLE)
+                        - ln(CAST(x_k1 AS DOUBLE)))
+       END AS alpha
+FROM agg
+"""

@@ -2212,6 +2212,16 @@ def _ensure_loaded() -> None:
         drift.cuped_uplift_query,
         drift.CUPED_UPLIFT_ORACLE,
     )
+    register(
+        "markov_stationary",
+        an.markov_stationary_query,
+        an.MARKOV_STATIONARY_ORACLE,
+    )
+    register(
+        "hill_tail_index",
+        lexstats.hill_tail_index_query,
+        lexstats.HILL_TAIL_INDEX_ORACLE,
+    )
 
     _apply_window(_WINDOW_R08)
     _LOADED = True

@@ -53,6 +53,8 @@ R09_MATERIAL: set[str] = {
     "cross_correlation_lags",
     "sprt_daily_decision",
     "cuped_uplift",
+    "markov_stationary",
+    "hill_tail_index",
 }
 
 

@@ -264,3 +264,75 @@ def test_cuped_variants_partition_customers(spark):
     rows = {r["variant"]: r for r in
             drift.cuped_uplift_query(spark, SF).collect()}
     assert rows[0]["n_users"] + rows[1]["n_users"] == len(agg)
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution
+# ---------------------------------------------------------------------------
+
+
+def test_markov_stationary_is_left_eigenvector(spark):
+    """pi must satisfy pi = pi @ P (up to integer-floor drift of the
+    12-step fixed-point iteration) for the row-normalized transition
+    matrix reported by event_transitions."""
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    trans = analytics.event_transitions_query(spark, SF).collect()
+    pis = {r["event_type"]: r["pi"] for r in
+           analytics.markov_stationary_query(spark, SF).collect()}
+    states = sorted(pis)
+    p = {(r["from_type"], r["to_type"]): r["p_transition"] for r in trans}
+    assert sum(pis.values()) == pytest.approx(1.0, abs=1e-9)
+    for d in states:
+        back = sum(pis[s] * p.get((s, d), 0.0) for s in states)
+        assert back == pytest.approx(pis[d], abs=1e-4)
+
+
+def test_markov_mass_conserved_up_to_floor_drift(spark):
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    rows = analytics.markov_stationary_query(spark, SF).collect()
+    total = sum(r["v_fp"] for r in rows)
+    scale = analytics._MARKOV_SCALE
+    # each step floors once per (src -> dst) pair: up to |states|^2
+    # unit losses per iteration, plus the initial uniform-split floor
+    max_drift = analytics._MARKOV_ITERS * len(rows) ** 2 + len(rows)
+    assert scale - max_drift <= total <= scale
+
+
+# ---------------------------------------------------------------------------
+# Hill tail index
+# ---------------------------------------------------------------------------
+
+
+def test_hill_matches_bruteforce_python(spark):
+    docs = tables.table(spark, SF, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    out = {r["source"]: r for r in
+           lexstats.hill_tail_index_query(spark, SF).collect()}
+    src = sorted(out)[0]
+    xs = sorted(
+        (r["n_chars"] for r in docs
+         if r["source"] == src and r["n_chars"] > 0),
+        reverse=True,
+    )
+    k = max(2, len(xs) // 5)
+    hill = sum(math.log(xs[i]) for i in range(k)) / k - math.log(xs[k])
+    row = out[src]
+    assert row["n_docs"] == len(xs)
+    assert row["k"] == k
+    assert row["x_k1"] == xs[k]
+    # per-term 1e9 fixed-point floor: error < k/1e9/k = 1e-9
+    assert row["hill"] == pytest.approx(hill, abs=1e-8)
+    if hill > 0:
+        assert row["alpha"] == pytest.approx(1.0 / hill, rel=1e-7)
+
+
+def test_hill_positive_on_all_sources(spark):
+    rows = lexstats.hill_tail_index_query(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["hill"] > 0
+        assert r["k"] >= 2
+        assert r["x_k1"] >= 1
