@@ -1284,3 +1284,127 @@ WHERE n > 0
 
 
 DP_CLIPPED_MEAN_ORACLE = _dp_clipped_mean_oracle()
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index (add-one smoothed, fixed-point log terms)
+# --------------------------------------------------------------------------
+
+_PSI_FP = 1_000_000_000_000  # 1e12 per-bucket fixed-point scale
+
+
+def psi_drift_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_baseline, n_current, term_fp, psi_contrib): the
+    Population Stability Index between the baseline and current
+    halves of the event-value stream (same temporal-midpoint split
+    and width_bucket bins as distribution_drift) — the industry-
+    standard model-monitoring score, with the usual reading: < 0.1
+    stable, 0.1-0.25 shifting, > 0.25 act. Sum psi_contrib for the
+    scalar. Complements the chi-square form: PSI is symmetric in the
+    two windows and weights by the LOG ratio, so a bucket that grows
+    5x from a small base registers loudly where chi-square barely
+    moves.
+
+    distribution_drift's docstring once ruled PSI out because a raw
+    libm log in a hashed output isn't cross-engine stable; the house
+    fixed-point rule that later landed (zipf_fit, js_source_drift)
+    resolves exactly that: both probabilities are add-one smoothed
+    ratios of exact BIGINTs — p = (c_base+1)/(t_base+B), q =
+    (c_cur+1)/(t_cur+B) with B the observed bucket count, so empty
+    buckets are finite — and each bucket's (q-p)*ln(q/p) is floored
+    to a 1e12 fixed-point BIGINT BEFORE any unordered sum.
+
+    Scale: identical to distribution_drift — one corpus scan into a
+    (bucket x window) count grid; everything after is arithmetic on
+    <= 22 rows."""
+    from .sketches import _BUCKET_EXPR
+
+    ev = tables.table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).select(
+        F.expr(
+            "timestampadd(SECOND, cast(floor(timestampdiff(SECOND, lo, hi)"
+            " / 2) as bigint), lo)"
+        ).alias("mid")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col("ts") < F.col("mid")).alias("is_base"),
+            F.expr(_BUCKET_EXPR).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("is_base").cast("bigint")).alias("n_baseline"),
+            F.sum((~F.col("is_base")).cast("bigint")).alias("n_current"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_baseline").cast("bigint").alias("t_base"),
+        F.sum("n_current").cast("bigint").alias("t_cur"),
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+    )
+    p = (F.col("n_baseline") + F.lit(1)).cast("double") / (
+        F.col("t_base") + F.col("b")
+    ).cast("double")
+    q = (F.col("n_current") + F.lit(1)).cast("double") / (
+        F.col("t_cur") + F.col("b")
+    ).cast("double")
+    term_fp = F.floor(F.lit(float(_PSI_FP)) * (q - p) * F.log(q / p)).cast(
+        "bigint"
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.col("n_baseline").cast("bigint").alias("n_baseline"),
+        F.col("n_current").cast("bigint").alias("n_current"),
+        term_fp.alias("term_fp"),
+        (term_fp.cast("double") / F.lit(float(_PSI_FP))).alias(
+            "psi_contrib"
+        ),
+    )
+
+
+def _psi_oracle() -> str:
+    from .sketches import _BUCKET_EXPR
+
+    return f"""
+WITH bounds AS (
+  SELECT min(ts) + to_seconds(CAST(floor(epoch(max(ts) - min(ts)) / 2)
+                              AS BIGINT)) AS mid
+  FROM events
+),
+counts AS (
+  SELECT {_BUCKET_EXPR} AS bucket,
+         CAST(sum(CASE WHEN ts < mid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_baseline,
+         CAST(sum(CASE WHEN ts < mid THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_current
+  FROM events CROSS JOIN bounds
+  GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(n_baseline) AS BIGINT) AS t_base,
+         CAST(sum(n_current) AS BIGINT) AS t_cur,
+         CAST(count(*) AS BIGINT) AS b
+  FROM counts
+)
+SELECT bucket, n_baseline, n_current,
+       CAST(floor({float(_PSI_FP)!r}
+         * ((CAST(n_current + 1 AS DOUBLE) / CAST(t_cur + b AS DOUBLE))
+            - (CAST(n_baseline + 1 AS DOUBLE) / CAST(t_base + b AS DOUBLE)))
+         * ln((CAST(n_current + 1 AS DOUBLE) / CAST(t_cur + b AS DOUBLE))
+              / (CAST(n_baseline + 1 AS DOUBLE)
+                 / CAST(t_base + b AS DOUBLE)))) AS BIGINT) AS term_fp,
+       CAST(floor({float(_PSI_FP)!r}
+         * ((CAST(n_current + 1 AS DOUBLE) / CAST(t_cur + b AS DOUBLE))
+            - (CAST(n_baseline + 1 AS DOUBLE) / CAST(t_base + b AS DOUBLE)))
+         * ln((CAST(n_current + 1 AS DOUBLE) / CAST(t_cur + b AS DOUBLE))
+              / (CAST(n_baseline + 1 AS DOUBLE)
+                 / CAST(t_base + b AS DOUBLE)))) AS BIGINT)
+         / {float(_PSI_FP)!r} AS psi_contrib
+FROM counts CROSS JOIN totals
+"""
+
+
+PSI_DRIFT_SCORE_ORACLE = _psi_oracle()

@@ -920,3 +920,111 @@ SELECT pv.variant, pv.n_users,
               - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)) AS y_cuped
 FROM pv CROSS JOIN mom m
 """
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences readout on the same pre/post spend panel
+# --------------------------------------------------------------------------
+
+
+def did_uplift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_a, n_b, pre_a, post_a, pre_b, post_b, uplift_naive, did):
+    the difference-in-differences estimate over the SAME per-customer
+    pre/post spend panel and parity bucketing as cuped_uplift —
+    did = (post_b - pre_b) - (post_a - pre_a) on per-variant mean
+    cents. DiD is the other classic pre-period correction: where
+    CUPED regresses the covariate out (optimal under a stable
+    linear relationship), DiD differences it out (robust when the
+    two arms started from different baselines). Reading both against
+    uplift_naive = post_b - post_a is the standard experiment
+    sanity-triangle; a large naive-vs-DiD gap flags arm imbalance.
+
+    Exactness: all six cell statistics are exact BIGINT cent sums /
+    counts; the three readouts are fixed flop sequences on their
+    double casts. Scale: one per-customer rollup over orders, then a
+    2-row frame pivoted to one row."""
+    orders = tables.table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                F.col("o_orderdate") < F.lit(_CUPED_SPLIT).cast(
+                    "timestamp"
+                ),
+                F.floor(F.col("o_totalprice") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("x"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= F.lit(_CUPED_SPLIT).cast(
+                    "timestamp"
+                ),
+                F.floor(F.col("o_totalprice") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("y"),
+    ).select(
+        (F.col("o_custkey") % 2).cast("int").alias("variant"), "x", "y"
+    )
+    cells = per_cust.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(0))
+        .cast("bigint").alias("sx_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(0))
+        .cast("bigint").alias("sx_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("y")).otherwise(0))
+        .cast("bigint").alias("sy_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("y")).otherwise(0))
+        .cast("bigint").alias("sy_b"),
+    )
+    pre_a = F.col("sx_a").cast("double") / F.col("n_a").cast("double")
+    pre_b = F.col("sx_b").cast("double") / F.col("n_b").cast("double")
+    post_a = F.col("sy_a").cast("double") / F.col("n_a").cast("double")
+    post_b = F.col("sy_b").cast("double") / F.col("n_b").cast("double")
+    return cells.select(
+        "n_a",
+        "n_b",
+        pre_a.alias("pre_a"),
+        post_a.alias("post_a"),
+        pre_b.alias("pre_b"),
+        post_b.alias("post_b"),
+        (post_b - post_a).alias("uplift_naive"),
+        ((post_b - pre_b) - (post_a - pre_a)).alias("did"),
+    )
+
+
+DID_UPLIFT_ORACLE = f"""
+WITH per_cust AS (
+  SELECT CAST(o_custkey % 2 AS INTEGER) AS variant,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{_CUPED_SPLIT}'
+                       THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '{_CUPED_SPLIT}'
+                       THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey
+),
+cells AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+  FROM per_cust
+)
+SELECT n_a, n_b,
+       CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pre_a,
+       CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS post_a,
+       CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pre_b,
+       CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS post_b,
+       CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS uplift_naive,
+       (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         - (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS did
+FROM cells
+"""

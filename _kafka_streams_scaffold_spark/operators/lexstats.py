@@ -724,3 +724,174 @@ SELECT source, n_docs, k, x_k1, sum_fp,
        END AS alpha
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between source pairs
+# --------------------------------------------------------------------------
+
+_DELTA_TOP = 150          # most-frequent-word panel size
+_DELTA_F_FP = 1_000_000_000_000   # 1e12 fixed point for relative freqs
+_DELTA_Z_FP = 1_000_000_000       # 1e9 fixed point for per-term |z1-z2|
+
+
+def burrows_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_a, src_b, n_terms, delta_fp, delta): Burrows' Delta — the
+    stylometry-standard distance between every pair of sources: over
+    the _DELTA_TOP most frequent words of the pooled corpus, z-score
+    each source's relative frequency per word (across the source
+    panel), then average |z_a - z_b|. Low Delta between two
+    "different" sources is the classic signature of a shared
+    generator/template or a re-crawled mirror — an authorship-level
+    dedup signal that survives paraphrase-level edits which break
+    shingle MinHash.
+
+    Exactness: the top-word panel has a deterministic boundary (freq
+    DESC, token ASC); relative frequencies are fixed-pointed
+    (floor(1e12*c/n), BIGINT) BEFORE the cross-source moments, which
+    are exact DECIMAL(38,0) sums (zipf_fit pattern); each z is
+    (ns*f_fp - Sf)/sqrt(ns*Sff - Sf^2) — exact integer numerator,
+    one sqrt+division — and each pair term |z_a - z_b| is re-fixed-
+    pointed per word before the unordered pair sum. Constant words
+    (zero panel variance) are excluded and n_terms reports the
+    surviving panel size.
+
+    Scale: one token-count rollup (corpus-sized shuffle, vocabulary
+    payload), a TakeOrdered top-150 head, and all pair work on the
+    150 x |sources|^2 grid — dimension-sized. The pair join
+    broadcasts the 150 x |sources| z-panel."""
+    docs = tables.table(spark, sf_dir, "documents")
+    occ = docs.select("source", F.explode(tokens_expr()).alias("tok"))
+    cnt = occ.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    top = (
+        cnt.groupBy("tok")
+        .agg(F.sum("c").cast("bigint").alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("tok"))
+        .limit(_DELTA_TOP)
+        .select("tok")
+    )
+    # full panel: every (top word) x (source), zero-filled
+    panel = (
+        top.crossJoin(totals)
+        .join(cnt, ["source", "tok"], "left")
+        .select(
+            "tok",
+            "source",
+            F.expr(
+                f"cast({_DELTA_F_FP} as bigint) * coalesce(c, 0) div n"
+            ).cast("bigint").alias("f_fp"),
+        )
+    )
+    mom = panel.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("f_fp").cast("decimal(38,0)").alias("sf"),
+        F.sum(F.expr("cast(f_fp as decimal(19,0)) * f_fp"))
+        .cast("decimal(38,0)")
+        .alias("sff"),
+    )
+    # den2 follows the zipf_fit pattern: exact DECIMAL sums cast to
+    # DOUBLE, then a fixed flop sequence (a decimal*decimal product
+    # would overflow DuckDB's 38-digit type algebra)
+    den2 = (
+        F.col("ns").cast("double") * F.col("sff").cast("double")
+        - F.col("sf").cast("double") * F.col("sf").cast("double")
+    )
+    zpanel = panel.join(F.broadcast(mom), "tok").select(
+        "tok",
+        "source",
+        (
+            (
+                F.col("ns") * F.col("f_fp") - F.col("sf").cast("bigint")
+            ).cast("double")
+            / F.sqrt(den2)
+        ).alias("z"),
+        den2.alias("den2"),
+    ).filter(F.col("den2") > 0)
+    a = zpanel.select(
+        F.col("tok").alias("tok"),
+        F.col("source").alias("src_a"),
+        F.col("z").alias("z_a"),
+    )
+    b = zpanel.select(
+        F.col("tok").alias("tok2"),
+        F.col("source").alias("src_b"),
+        F.col("z").alias("z_b"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("tok") == F.col("tok2")) & (F.col("src_a") < F.col("src_b")),
+    ).select(
+        "src_a",
+        "src_b",
+        F.floor(
+            F.lit(float(_DELTA_Z_FP)) * F.abs(F.col("z_a") - F.col("z_b"))
+        ).cast("bigint").alias("d_fp"),
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("d_fp").cast("bigint").alias("delta_fp"),
+        (
+            F.sum("d_fp").cast("double")
+            / F.lit(float(_DELTA_Z_FP))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("delta"),
+    )
+
+
+BURROWS_DELTA_ORACLE = f"""
+WITH occ AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM occ GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+),
+top AS (
+  SELECT tok FROM (
+    SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1
+  ) ORDER BY ct DESC, tok ASC LIMIT {_DELTA_TOP}
+),
+panel AS (
+  SELECT t.tok, s.source,
+         CAST(CAST({_DELTA_F_FP} AS BIGINT) * COALESCE(c.c, 0) // s.n
+              AS BIGINT) AS f_fp
+  FROM top t
+  CROSS JOIN totals s
+  LEFT JOIN cnt c ON c.source = s.source AND c.tok = t.tok
+),
+mom AS (
+  SELECT tok,
+         CAST(count(*) AS BIGINT) AS ns,
+         CAST(sum(f_fp) AS DECIMAL(38,0)) AS sf,
+         CAST(sum(CAST(f_fp AS DECIMAL(19,0)) * f_fp) AS DECIMAL(38,0))
+           AS sff
+  FROM panel GROUP BY 1
+),
+zpanel AS (
+  SELECT p.tok, p.source,
+         CAST(m.ns * p.f_fp - CAST(m.sf AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(m.ns AS DOUBLE) * CAST(m.sff AS DOUBLE)
+                  - CAST(m.sf AS DOUBLE) * CAST(m.sf AS DOUBLE)) AS z
+  FROM panel p JOIN mom m USING (tok)
+  WHERE CAST(m.ns AS DOUBLE) * CAST(m.sff AS DOUBLE)
+          - CAST(m.sf AS DOUBLE) * CAST(m.sf AS DOUBLE) > 0
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CAST(floor({float(_DELTA_Z_FP)!r} * abs(a.z - b.z))
+                     AS BIGINT)) AS BIGINT) AS delta_fp,
+       CAST(sum(CAST(floor({float(_DELTA_Z_FP)!r} * abs(a.z - b.z))
+                     AS BIGINT)) AS DOUBLE)
+         / {float(_DELTA_Z_FP)!r} / CAST(count(*) AS DOUBLE) AS delta
+FROM zpanel a
+JOIN zpanel b ON b.tok = a.tok AND a.source < b.source
+GROUP BY 1, 2
+"""

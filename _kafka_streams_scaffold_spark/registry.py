@@ -2222,6 +2222,21 @@ def _ensure_loaded() -> None:
         lexstats.hill_tail_index_query,
         lexstats.HILL_TAIL_INDEX_ORACLE,
     )
+    register(
+        "psi_drift_score",
+        dq.psi_drift_score_query,
+        dq.PSI_DRIFT_SCORE_ORACLE,
+    )
+    register(
+        "did_uplift",
+        drift.did_uplift_query,
+        drift.DID_UPLIFT_ORACLE,
+    )
+    register(
+        "burrows_delta",
+        lexstats.burrows_delta_query,
+        lexstats.BURROWS_DELTA_ORACLE,
+    )
 
     _apply_window(_WINDOW_R08)
     _LOADED = True

@@ -55,6 +55,9 @@ R09_MATERIAL: set[str] = {
     "cuped_uplift",
     "markov_stationary",
     "hill_tail_index",
+    "psi_drift_score",
+    "did_uplift",
+    "burrows_delta",
 }
 
 

@@ -336,3 +336,124 @@ def test_hill_positive_on_all_sources(spark):
         assert r["hill"] > 0
         assert r["k"] >= 2
         assert r["x_k1"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# PSI drift score
+# ---------------------------------------------------------------------------
+
+
+def test_psi_matches_python_recomputation(spark):
+    from _kafka_streams_scaffold_spark.operators import dq
+
+    rows = dq.psi_drift_score_query(spark, SF).collect()
+    t_base = sum(r["n_baseline"] for r in rows)
+    t_cur = sum(r["n_current"] for r in rows)
+    b = len(rows)
+    for r in rows:
+        p = (r["n_baseline"] + 1) / (t_base + b)
+        q = (r["n_current"] + 1) / (t_cur + b)
+        want = math.floor(1e12 * (q - p) * math.log(q / p))
+        assert r["term_fp"] == want
+        # pointwise PSI contribution is nonnegative up to the floor
+        assert r["term_fp"] >= -1
+
+
+def test_psi_agrees_with_chi2_bucketing(spark):
+    """Same split, same bins: the two drift audits must agree on the
+    per-bucket counts exactly."""
+    from _kafka_streams_scaffold_spark.operators import dq
+
+    psi = {r["bucket"]: r for r in
+           dq.psi_drift_score_query(spark, SF).collect()}
+    chi = {r["bucket"]: r for r in
+           dq.distribution_drift_query(spark, SF).collect()}
+    assert set(psi) == set(chi)
+    for k in psi:
+        assert psi[k]["n_baseline"] == chi[k]["n_baseline"]
+        assert psi[k]["n_current"] == chi[k]["n_current"]
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences
+# ---------------------------------------------------------------------------
+
+
+def test_did_identity_and_cuped_coherence(spark):
+    r = drift.did_uplift_query(spark, SF).collect()[0]
+    assert r["did"] == pytest.approx(
+        (r["post_b"] - r["pre_b"]) - (r["post_a"] - r["pre_a"]), rel=1e-12
+    )
+    assert r["uplift_naive"] == pytest.approx(
+        r["post_b"] - r["post_a"], rel=1e-12
+    )
+    cuped = {c["variant"]: c for c in
+             drift.cuped_uplift_query(spark, SF).collect()}
+    assert r["n_a"] == cuped[0]["n_users"]
+    assert r["n_b"] == cuped[1]["n_users"]
+    assert r["post_a"] == pytest.approx(cuped[0]["y_mean"], rel=1e-12)
+    assert r["post_b"] == pytest.approx(cuped[1]["y_mean"], rel=1e-12)
+    assert r["pre_a"] == pytest.approx(cuped[0]["x_mean"], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta
+# ---------------------------------------------------------------------------
+
+
+def test_burrows_delta_matches_bruteforce_pair(spark):
+    docs = tables.table(spark, SF, "documents").select(
+        "source", "text"
+    ).collect()
+    per_src = {}
+    pooled = Counter()
+    for r in docs:
+        c = per_src.setdefault(r["source"], Counter())
+        toks = _toks(r["text"])
+        c.update(toks)
+        pooled.update(toks)
+    top = [
+        t for t, _ in sorted(
+            pooled.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:150]
+    ]
+    srcs = sorted(per_src)
+    ns = len(srcs)
+    totals = {s: sum(per_src[s].values()) for s in srcs}
+    f_fp = {
+        (s, t): (10**12 * per_src[s].get(t, 0)) // totals[s]
+        for s in srcs for t in top
+    }
+    zs = {}
+    surviving = []
+    for t in top:
+        sf = sum(f_fp[(s, t)] for s in srcs)
+        sff = sum(f_fp[(s, t)] ** 2 for s in srcs)
+        den2 = float(ns) * float(sff) - float(sf) * float(sf)
+        if den2 <= 0:
+            continue
+        surviving.append(t)
+        for s in srcs:
+            zs[(s, t)] = (ns * f_fp[(s, t)] - sf) / math.sqrt(den2)
+    a, b = srcs[0], srcs[1]
+    want_fp = sum(
+        math.floor(1e9 * abs(zs[(a, t)] - zs[(b, t)])) for t in surviving
+    )
+    out = {(r["src_a"], r["src_b"]): r for r in
+           lexstats.burrows_delta_query(spark, SF).collect()}
+    row = out[(a, b)]
+    assert row["n_terms"] == len(surviving)
+    assert row["delta_fp"] == want_fp
+    assert row["delta"] == pytest.approx(
+        want_fp / 1e9 / len(surviving), rel=1e-12
+    )
+
+
+def test_burrows_delta_pair_universe(spark):
+    rows = lexstats.burrows_delta_query(spark, SF).collect()
+    # 20 sources -> C(20,2) unordered pairs
+    assert len(rows) == 190
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["delta"] >= 0.0
+        assert r["n_terms"] <= 150
