@@ -2197,7 +2197,7 @@ def markov_stationary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # states with no inbound transitions drop out of the groupBy;
         # restore them with zero mass so the frame keeps |states| rows
         v = (
-            states.join(stepped, "state", "left")
+            states.join(F.broadcast(stepped), "state", "left")
             .select(
                 "state", F.coalesce("v", F.lit(0)).cast("bigint").alias("v")
             )

@@ -669,8 +669,12 @@ def js_source_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.table(spark, sf_dir, "documents")
     occ = docs.select("source", F.explode(tokens_expr()).alias("tok"))
-    cnt = occ.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # vocabulary-sized rollup pinned: four consumers (grid, pooled,
+    # totals, grand) must NOT re-scan and re-explode the corpus each
+    cnt = _pin(
+        occ.groupBy("source", "tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
     )
     pooled = cnt.groupBy("tok").agg(F.sum("c").cast("bigint").alias("ct"))
     totals = cnt.groupBy("source").agg(

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
+from ..pinning import pin as _pin
 from .textops import tokens_expr
 
 # DuckDB twin of textops.tokens_expr — identical \W+ split, lowercase,
@@ -762,8 +763,13 @@ def burrows_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the 150 x |sources| z-panel."""
     docs = tables.table(spark, sf_dir, "documents")
     occ = docs.select("source", F.explode(tokens_expr()).alias("tok"))
-    cnt = occ.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # vocabulary-sized rollup pinned: totals/top/panel all consume it,
+    # and without the pin each consumer re-scans and re-explodes the
+    # corpus (measured 12 Generate nodes in the unpinned plan)
+    cnt = _pin(
+        occ.groupBy("source", "tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
     )
     totals = cnt.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("n")
@@ -801,17 +807,22 @@ def burrows_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ns").cast("double") * F.col("sff").cast("double")
         - F.col("sf").cast("double") * F.col("sf").cast("double")
     )
-    zpanel = panel.join(F.broadcast(mom), "tok").select(
-        "tok",
-        "source",
-        (
+    # the z-panel feeds BOTH sides of the pair join: pin the
+    # (top-V x sources)-row frame so the pair join reads a cached
+    # dimension table instead of re-deriving the panel twice
+    zpanel = _pin(
+        panel.join(F.broadcast(mom), "tok").select(
+            "tok",
+            "source",
             (
-                F.col("ns") * F.col("f_fp") - F.col("sf").cast("bigint")
-            ).cast("double")
-            / F.sqrt(den2)
-        ).alias("z"),
-        den2.alias("den2"),
-    ).filter(F.col("den2") > 0)
+                (
+                    F.col("ns") * F.col("f_fp") - F.col("sf").cast("bigint")
+                ).cast("double")
+                / F.sqrt(den2)
+            ).alias("z"),
+            den2.alias("den2"),
+        ).filter(F.col("den2") > 0)
+    )
     a = zpanel.select(
         F.col("tok").alias("tok"),
         F.col("source").alias("src_a"),

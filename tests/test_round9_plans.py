@@ -1,0 +1,110 @@
+"""Physical-plan assertions for the round-9-material operators: the
+properties each plan must keep at 100 TB (PLANS.md carries the
+human-readable trees; these enforce them)."""
+
+from __future__ import annotations
+
+import re
+
+from _kafka_streams_scaffold_spark.operators import (
+    analytics,
+    dq,
+    drift,
+    inference,
+    lexstats,
+)
+from _kafka_streams_scaffold_spark.plans import inspect as pi
+
+
+def _n(tree: str, node: str) -> int:
+    return len(set(re.findall(rf"(?<![A-Za-z]){node}[^\n(]*\((\d+)\)", tree)))
+
+
+def _no_python(t: str) -> None:
+    assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+
+
+def test_js_drift_single_explode_no_pairs(spark, sf_dir):
+    t = pi.tree(drift.js_source_drift_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    # the (source, token) rollup is pinned, so every consumer branch
+    # reads the cache (InMemoryTableScan) — the corpus is exploded
+    # exactly once, inside the single elided cache build
+    assert "InMemoryTableScan" in t
+    assert _n(t, "Generate") <= 1
+    # totals and the grand total enter as broadcasts, never shuffling
+    # the (source, token) grid on a small side
+    assert "BroadcastHashJoin" in t or "BroadcastNestedLoopJoin" in t
+
+
+def test_good_turing_two_rollups_no_join(spark, sf_dir):
+    t = pi.tree(lexstats.good_turing_unseen_query(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t
+    assert _n(t, "HashAggregate") >= 2
+
+
+def test_ccf_corpus_reduced_before_lag_join(spark, sf_dir):
+    t = pi.tree(inference.cross_correlation_lags_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    # the range self-join runs on the day spine (post-aggregate), with
+    # the other side broadcast
+    assert "BroadcastNestedLoopJoin" in t
+    assert _n(t, "HashAggregate") >= 2
+
+
+def test_sprt_one_rollup_then_spine_windows(spark, sf_dir):
+    t = pi.tree(inference.sprt_daily_decision_query(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t
+    assert _n(t, "HashAggregate") >= 1
+    assert "Window" in t
+
+
+def test_cuped_and_did_single_rollup_shapes(spark, sf_dir):
+    for q in (drift.cuped_uplift_query, drift.did_uplift_query):
+        t = pi.tree(q(spark, sf_dir))
+        _no_python(t)
+        assert "CartesianProduct" not in t
+        assert "SortMergeJoin" not in t
+        assert _n(t, "HashAggregate") >= 2
+
+
+def test_markov_iterations_stay_broadcast(spark, sf_dir):
+    t = pi.tree(analytics.markov_stationary_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    # the corpus pays exactly one lag window; all 12 fixed-point
+    # iterations join dimension-sized frames via broadcast — a single
+    # SortMergeJoin here would mean an iteration shuffles per step
+    assert "SortMergeJoin" not in t
+    assert "BroadcastHashJoin" in t
+
+
+def test_hill_window_is_source_partitioned(spark, sf_dir):
+    t = pi.tree(lexstats.hill_tail_index_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    assert "Window" in t
+    assert _n(t, "HashAggregate") >= 2
+
+
+def test_psi_same_single_scan_shape_as_chi2(spark, sf_dir):
+    t = pi.tree(dq.psi_drift_score_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    assert _n(t, "HashAggregate") >= 2
+
+
+def test_burrows_top_head_and_broadcast_pairs(spark, sf_dir):
+    t = pi.tree(lexstats.burrows_delta_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    # both pair-join sides read the PINNED z-panel cache (the corpus
+    # is tokenized exactly once, inside the elided cache build), and
+    # the join itself broadcasts one side
+    assert "InMemoryTableScan" in t
+    assert _n(t, "Generate") == 0
+    assert "BroadcastHashJoin" in t

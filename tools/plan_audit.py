@@ -1482,6 +1482,71 @@ AUDIT = [
         "model and running product/sum live on the 4-row plan frame "
         "in fixed window order.",
     ),
+    (
+        "js_source_drift",
+        "The (source, token) rollup is PINNED so its four consumers "
+        "(grid/pooled/totals/grand) read one cache instead of four "
+        "corpus explodes; per-token log terms fixed-point before the "
+        "unordered sum; totals + grand total broadcast onto the grid.",
+    ),
+    (
+        "good_turing_unseen",
+        "Two partial-aggregatable shuffles (source-term counts, then "
+        "the per-source counts-of-counts rollup); no joins at all.",
+    ),
+    (
+        "cross_correlation_lags",
+        "Corpus reduced to the day spine FIRST; the lag-range self-"
+        "join is a BroadcastNestedLoop on the |days|-row spine with "
+        "the 1-row moment frame broadcast; all covariance arithmetic "
+        "is exact BIGINT on n^2-scaled residuals.",
+    ),
+    (
+        "sprt_daily_decision",
+        "One per-day rollup, then cumulative + latch windows on the "
+        "|days|-row spine; LLR is two baked-literal multiplies of "
+        "exact counts — no joins, no transcendental at runtime.",
+    ),
+    (
+        "cuped_uplift",
+        "One per-customer rollup over orders; DECIMAL(38,0) pooled "
+        "moments are a 1-row frame broadcast onto the 2-row variant "
+        "frame (the zipf_fit exact-moment pattern).",
+    ),
+    (
+        "did_uplift",
+        "Same per-customer panel as cuped_uplift collapsed to one "
+        "6-cell aggregate row; the three readouts are final-step "
+        "flops on exact BIGINT sums.",
+    ),
+    (
+        "markov_stationary",
+        "The corpus pays ONE user-partitioned lag window; all 12 "
+        "exact-integer power-iteration steps join |states|-sized "
+        "frames via explicit broadcasts (plan asserts no "
+        "SortMergeJoin) — plan depth grows with iterations, data "
+        "touched does not.",
+    ),
+    (
+        "hill_tail_index",
+        "One source-PARTITIONED rank window (never a global sort); "
+        "the top-k slice is a fixed fraction per source, ln terms "
+        "fixed-point per row before the per-source rollup.",
+    ),
+    (
+        "psi_drift_score",
+        "Identical single-scan (bucket x window) grid as "
+        "distribution_drift; add-one smoothing keeps empty buckets "
+        "finite and the per-bucket log term fixed-points before any "
+        "sum.",
+    ),
+    (
+        "burrows_delta",
+        "Token rollup AND the z-panel both PINNED: the corpus is "
+        "tokenized once, the 150 x |sources| panel is cached, and "
+        "the source-pair join broadcasts one cached side "
+        "(dimension-sized throughout).",
+    ),
 ]
 
 
