@@ -2261,3 +2261,85 @@ FROM {prev} p CROSS JOIN tot
 
 
 MARKOV_STATIONARY_ORACLE = _markov_oracle()
+
+
+# --------------------------------------------------------------------------
+# First-touch vs last-touch revenue attribution
+# --------------------------------------------------------------------------
+
+
+def revenue_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(model, channel, n_purchases, cents): purchase revenue
+    attributed to the non-purchase event type ('channel') that
+    preceded it in the user's stream — under BOTH classic rules in
+    one result: 'first' credits the user's earliest preceding
+    touchpoint, 'last' the most recent one; purchases with no
+    preceding touchpoint land in channel 'none'. First-vs-last
+    disagreement per channel is the standard spread that bounds any
+    position-based attribution model between them.
+
+    Exactness: the preceding touchpoint is an IGNORE NULLS
+    first/last over the deterministic (ts, event_id) user order —
+    an exact row lookup, no floats; revenue is exact BIGINT cents.
+
+    Scale: ONE user-partitioned window pass (the sessionization
+    budget), then a |models| x |channels| rollup. The corpus is
+    never joined to itself."""
+    ev = tables.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_ch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_ch"),
+    ).filter(F.col("event_type") == "purchase")
+    first = attributed.groupBy(
+        F.lit("first").alias("model"),
+        F.coalesce("first_ch", F.lit("none")).alias("channel"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    last = attributed.groupBy(
+        F.lit("last").alias("model"),
+        F.coalesce("last_ch", F.lit("none")).alias("channel"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    return first.unionByName(last)
+
+
+REVENUE_ATTRIBUTION_ORACLE = """
+WITH attributed AS (
+  SELECT event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         first_value(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS first_ch,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_ch
+  FROM events
+)
+SELECT 'first' AS model,
+       COALESCE(first_ch, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM attributed WHERE event_type = 'purchase'
+GROUP BY 2
+UNION ALL
+SELECT 'last' AS model,
+       COALESCE(last_ch, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM attributed WHERE event_type = 'purchase'
+GROUP BY 2
+"""

@@ -1098,3 +1098,91 @@ FROM joined
 
 
 SEMANTIC_DEDUP_KEEP_ORACLE = _semantic_keep_oracle()
+
+
+# --------------------------------------------------------------------------
+# In-batch negative collision rate from the duplicate clusters
+# --------------------------------------------------------------------------
+
+_COLLISION_BATCH = 1024
+
+
+def contrastive_collision_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_docs, n_clusters, n_multi, same_pair_mass, p_collision,
+    exp_dups_per_batch): the probability that two documents drawn
+    uniformly (without replacement) into the same contrastive
+    training batch are near-duplicates of each other — computed
+    exactly from the SimHash duplicate clusters as
+    p = sum_c |c|(|c|-1) / (N(N-1)) — and the expected number of
+    duplicate pairs a batch of _COLLISION_BATCH carries
+    (C(B,2) * p). THE number that decides whether a corpus needs
+    dedup BEFORE contrastive/embedding training: in-batch negatives
+    that are secretly positives poison InfoNCE at exactly this rate.
+
+    Exactness: cluster sizes and the pair mass are exact BIGINTs off
+    the (driver-green) connected-components labels; both readouts
+    are fixed flop sequences on those integers.
+
+    Scale: rides the CC engine's certified path (cluster labels are
+    id-width); the rollup is |clusters|-sized, the readout one row."""
+    labels = dedup_clusters_query(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    b = _COLLISION_BATCH
+    return sizes.agg(
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum((F.col("sz") > 1).cast("bigint")).alias("n_multi"),
+        F.sum(F.col("sz") * (F.col("sz") - 1)).cast("bigint").alias(
+            "same_pair_mass"
+        ),
+    ).select(
+        "n_docs",
+        "n_clusters",
+        "n_multi",
+        "same_pair_mass",
+        F.when(
+            F.col("n_docs") > 1,
+            F.col("same_pair_mass").cast("double")
+            / (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("p_collision"),
+        F.when(
+            F.col("n_docs") > 1,
+            F.lit(float(b * (b - 1) // 2))
+            * F.col("same_pair_mass").cast("double")
+            / (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("exp_dups_per_batch"),
+    )
+
+
+CONTRASTIVE_COLLISION_ORACLE = f"""
+WITH labels AS (
+  {DEDUP_CLUSTERS_ORACLE.strip().rstrip(';')}
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+  FROM labels GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_multi,
+         CAST(sum(sz * (sz - 1)) AS BIGINT) AS same_pair_mass
+  FROM sizes
+)
+SELECT n_docs, n_clusters, n_multi, same_pair_mass,
+       CASE WHEN n_docs > 1 THEN
+         CAST(same_pair_mass AS DOUBLE)
+           / CAST(n_docs * (n_docs - 1) AS DOUBLE)
+       ELSE 0.0 END AS p_collision,
+       CASE WHEN n_docs > 1 THEN
+         {float(_COLLISION_BATCH * (_COLLISION_BATCH - 1) // 2)!r}
+           * CAST(same_pair_mass AS DOUBLE)
+           / CAST(n_docs * (n_docs - 1) AS DOUBLE)
+       ELSE 0.0 END AS exp_dups_per_batch
+FROM agg
+"""

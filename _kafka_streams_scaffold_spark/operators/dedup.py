@@ -2846,3 +2846,133 @@ FROM bucketed GROUP BY 1
 
 
 NOVELTY_DECAY_CURVE_ORACLE = _novelty_decay_oracle()
+
+
+# --------------------------------------------------------------------------
+# Cochran's Q over ALL four near-dup detectors
+# --------------------------------------------------------------------------
+
+
+def detector_cochran_q_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_univ, t_simhash, t_minhash, t_ngram, t_edit, sum_r, sum_r2,
+    q): Cochran's Q test across ALL FOUR near-dup detectors at once —
+    the k-sample generalization of detector_mcnemar (which compares
+    two): over the union pair universe, do the detectors flag at the
+    same marginal rate? Q = (k-1)*(k*sum_j T_j^2 - (sum T)^2) /
+    (k*sum_i R_i - sum_i R_i^2) with T_j the per-detector totals and
+    R_i each pair's flag count, chi-square with k-1 = 3 df under H0.
+    A significant Q localizes "one tier drifted" BEFORE burning a
+    pairwise McNemar sweep — the omnibus-first protocol every
+    multiple-testing doctrine prescribes (the BH-FDR gate downstream
+    consumes exactly one omnibus p, not six).
+
+    All inputs to Q are exact BIGINT counts off one 4-way flag
+    matrix; Q itself is one division of integer-valued doubles
+    (guarded: pairs ALL detectors flag contribute nothing to the
+    denominator, and a fully-concordant universe emits q = 0).
+
+    Scale: the four pair sets ride the SAME shared shingle/signature
+    pins as dedup_tier_agreement (built concurrently under
+    _tier_pairs' contract); the flag matrix and moments are
+    id-pair-width rollups."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _tagged(it):
+        i, t = it
+        return _tier_pairs(spark, sf_dir, t).select(
+            "doc_a", "doc_b", F.lit(t).alias("tier")
+        )
+
+    with ThreadPoolExecutor(len(_TIERS)) as ex:
+        parts = list(ex.map(_tagged, enumerate(_TIERS)))
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    flags = union.groupBy("doc_a", "doc_b").agg(
+        *[
+            F.max((F.col("tier") == t).cast("int")).alias(f"x_{t}")
+            for t in _TIERS
+        ]
+    )
+    r = sum(F.col(f"x_{t}") for t in _TIERS)
+    k = len(_TIERS)
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_univ"),
+        *[
+            F.sum(f"x_{t}").cast("bigint").alias(f"t_{t}")
+            for t in _TIERS
+        ],
+        F.sum(r).cast("bigint").alias("sum_r"),
+        F.sum(r * r).cast("bigint").alias("sum_r2"),
+    )
+    tsum = sum(F.col(f"t_{t}") for t in _TIERS)
+    tsq = sum(F.col(f"t_{t}") * F.col(f"t_{t}") for t in _TIERS)
+    den = F.lit(k) * F.col("sum_r") - F.col("sum_r2")
+    return agg.select(
+        "n_univ",
+        *[f"t_{t}" for t in _TIERS],
+        "sum_r",
+        "sum_r2",
+        F.when(
+            den > 0,
+            (
+                F.lit(k - 1)
+                * (F.lit(k) * tsq - tsum * tsum).cast("double")
+            )
+            / den.cast("double"),
+        ).otherwise(F.lit(0.0)).alias("q"),
+    )
+
+
+def _cochran_q_oracle() -> str:
+    tier_sql = {
+        "simhash": SIMHASH_PAIRS_ORACLE,
+        "minhash": MINHASH_LSH_ORACLE,
+        "ngram": NGRAM_JACCARD_ORACLE,
+        "edit": EDIT_DISTANCE_PAIRS_ORACLE,
+    }
+    k = len(_TIERS)
+    ctes = ",\n".join(
+        f"{t} AS MATERIALIZED (SELECT doc_a, doc_b FROM "
+        f"({tier_sql[t].strip().rstrip(';')}))"
+        for t in _TIERS
+    )
+    tagged = "\nUNION ALL\n".join(
+        f"SELECT doc_a, doc_b, '{t}' AS tier FROM {t}" for t in _TIERS
+    )
+    xcols = ",\n         ".join(
+        f"max(CASE WHEN tier = '{t}' THEN 1 ELSE 0 END) AS x_{t}"
+        for t in _TIERS
+    )
+    tcols = ",\n    ".join(
+        f"CAST(sum(x_{t}) AS BIGINT) AS t_{t}" for t in _TIERS
+    )
+    rsum = " + ".join(f"x_{t}" for t in _TIERS)
+    tsum = " + ".join(f"t_{t}" for t in _TIERS)
+    tsq = " + ".join(f"t_{t} * t_{t}" for t in _TIERS)
+    return f"""
+WITH {ctes},
+tagged AS ({tagged}),
+flags AS (
+  SELECT doc_a, doc_b,
+         {xcols}
+  FROM tagged GROUP BY doc_a, doc_b
+),
+agg AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_univ,
+    {tcols},
+    CAST(sum({rsum}) AS BIGINT) AS sum_r,
+    CAST(sum(({rsum}) * ({rsum})) AS BIGINT) AS sum_r2
+  FROM flags
+)
+SELECT n_univ, {", ".join(f"t_{t}" for t in _TIERS)}, sum_r, sum_r2,
+       CASE WHEN {k} * sum_r - sum_r2 > 0 THEN
+         CAST({k - 1} * ({k} * ({tsq}) - ({tsum}) * ({tsum})) AS DOUBLE)
+           / CAST({k} * sum_r - sum_r2 AS DOUBLE)
+       ELSE 0.0 END AS q
+FROM agg
+"""
+
+
+DETECTOR_COCHRAN_Q_ORACLE = _cochran_q_oracle()

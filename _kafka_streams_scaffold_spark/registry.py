@@ -2237,6 +2237,21 @@ def _ensure_loaded() -> None:
         lexstats.burrows_delta_query,
         lexstats.BURROWS_DELTA_ORACLE,
     )
+    register(
+        "detector_cochran_q",
+        dedup.detector_cochran_q_query,
+        dedup.DETECTOR_COCHRAN_Q_ORACLE,
+    )
+    register(
+        "contrastive_collision",
+        clustering.contrastive_collision_query,
+        clustering.CONTRASTIVE_COLLISION_ORACLE,
+    )
+    register(
+        "revenue_attribution",
+        an.revenue_attribution_query,
+        an.REVENUE_ATTRIBUTION_ORACLE,
+    )
 
     _apply_window(_WINDOW_R08)
     _LOADED = True

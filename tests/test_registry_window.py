@@ -58,6 +58,9 @@ R09_MATERIAL: set[str] = {
     "psi_drift_score",
     "did_uplift",
     "burrows_delta",
+    "detector_cochran_q",
+    "contrastive_collision",
+    "revenue_attribution",
 }
 
 

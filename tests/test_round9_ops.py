@@ -457,3 +457,117 @@ def test_burrows_delta_pair_universe(spark):
         assert r["src_a"] < r["src_b"]
         assert r["delta"] >= 0.0
         assert r["n_terms"] <= 150
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q across the four dedup detectors
+# ---------------------------------------------------------------------------
+
+
+def test_cochran_q_moment_identities(spark):
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    r = dedup.detector_cochran_q_query(spark, SF).collect()[0]
+    ts = [r["t_simhash"], r["t_minhash"], r["t_ngram"], r["t_edit"]]
+    # column totals and row totals count the same flag matrix
+    assert sum(ts) == r["sum_r"]
+    # every union-universe pair carries between 1 and 4 flags
+    assert r["n_univ"] <= r["sum_r"] <= 4 * r["n_univ"]
+    assert r["sum_r"] <= r["sum_r2"] <= 4 * r["sum_r"]
+    # recompute Q from the reported moments
+    k = 4
+    den = k * r["sum_r"] - r["sum_r2"]
+    if den > 0:
+        want = (
+            (k - 1)
+            * (k * sum(t * t for t in ts) - sum(ts) ** 2)
+            / den
+        )
+        assert r["q"] == pytest.approx(want, rel=1e-12)
+    assert r["q"] >= 0.0
+
+
+def test_cochran_q_reduces_to_mcnemar_shape(spark):
+    """With the 2-detector margins from the agreement audit, Q's
+    column totals must match the per-tier pair-set sizes."""
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    q = dedup.detector_cochran_q_query(spark, SF).collect()[0]
+    agree = dedup.dedup_tier_agreement_query(spark, SF).collect()
+    n_by_tier = {}
+    for row in agree:
+        n_by_tier[row["tier_a"]] = row["n_a"]
+        n_by_tier[row["tier_b"]] = row["n_b"]
+    for t in ("simhash", "minhash", "ngram", "edit"):
+        assert q[f"t_{t}"] == n_by_tier[t]
+
+
+# ---------------------------------------------------------------------------
+# Contrastive in-batch collision rate
+# ---------------------------------------------------------------------------
+
+
+def test_collision_rate_matches_cluster_sizes(spark):
+    from _kafka_streams_scaffold_spark.operators import clustering
+
+    labels = clustering.dedup_clusters_query(spark, SF).collect()
+    sizes = Counter(r["cluster_id"] for r in labels)
+    n = len(labels)
+    mass = sum(c * (c - 1) for c in sizes.values())
+    r = clustering.contrastive_collision_query(spark, SF).collect()[0]
+    assert r["n_docs"] == n
+    assert r["n_clusters"] == len(sizes)
+    assert r["n_multi"] == sum(1 for c in sizes.values() if c > 1)
+    assert r["same_pair_mass"] == mass
+    assert r["p_collision"] == pytest.approx(mass / (n * (n - 1)))
+    assert r["exp_dups_per_batch"] == pytest.approx(
+        (1024 * 1023 / 2) * mass / (n * (n - 1))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue attribution
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_models_conserve_revenue(spark):
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    rows = analytics.revenue_attribution_query(spark, SF).collect()
+    by_model = {}
+    for r in rows:
+        m = by_model.setdefault(r["model"], {"n": 0, "cents": 0})
+        m["n"] += r["n_purchases"]
+        m["cents"] += r["cents"]
+    # both models attribute every purchase exactly once
+    assert by_model["first"]["n"] == by_model["last"]["n"]
+    assert by_model["first"]["cents"] == by_model["last"]["cents"]
+
+
+def test_attribution_matches_bruteforce_python(spark):
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    ev = sorted(
+        tables.table(spark, SF, "events").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    first_tot = Counter()
+    last_tot = Counter()
+    hist = {}
+    for r in ev:
+        u = r["user_id"]
+        st = hist.setdefault(u, {"first": None, "last": None})
+        if r["event_type"] == "purchase":
+            cents = math.floor(r["value"] * 100)
+            first_tot[st["first"] or "none"] += cents
+            last_tot[st["last"] or "none"] += cents
+        else:
+            if st["first"] is None:
+                st["first"] = r["event_type"]
+            st["last"] = r["event_type"]
+    out = {(r["model"], r["channel"]): r["cents"] for r in
+           analytics.revenue_attribution_query(spark, SF).collect()}
+    for ch, cents in first_tot.items():
+        assert out[("first", ch)] == cents
+    for ch, cents in last_tot.items():
+        assert out[("last", ch)] == cents

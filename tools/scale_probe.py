@@ -722,6 +722,33 @@ def main() -> None:
                 spark, SF_DIR
             ),
         ),
+        # ---- round-9-material shapes ----
+        "js source drift (pinned vocab grid)": lambda m: _with_docs(
+            m, lambda: drift_mod.js_source_drift_query(spark, SF_DIR)
+        ),
+        "burrows delta (pinned z-panel pairs)": lambda m: _with_docs(
+            m, lambda: lexstats_mod.burrows_delta_query(spark, SF_DIR)
+        ),
+        "hill tail index (partitioned rank)": lambda m: _with_docs(
+            m, lambda: lexstats_mod.hill_tail_index_query(spark, SF_DIR)
+        ),
+        "markov stationary (lag + int iters)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: an_mod2.markov_stationary_query(spark, SF_DIR),
+        ),
+        "cross correlation (day-spine lags)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: inference_mod.cross_correlation_lags_query(
+                spark, SF_DIR
+            ),
+        ),
+        "cuped uplift (decimal moments)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: drift_mod.cuped_uplift_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
