@@ -478,3 +478,162 @@ def streaming_cusum_changepoint(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming SPRT (round-9 twin of operators/inference.sprt_daily_decision)
+# --------------------------------------------------------------------------
+
+SPRT_OUTPUT_SCHEMA = (
+    "metric string, n_days long, k_cum long, m_cum long, "
+    "llr double, state string"
+)
+SPRT_STATE_SCHEMA = "days array<long>, ks array<long>, ms array<long>"
+
+
+def _update_sprt(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from ..operators.inference import (
+        _SPRT_A,
+        _SPRT_B,
+        _SPRT_LOWER,
+        _SPRT_UPPER,
+    )
+
+    if state.exists:
+        days, ks, ms = state.get
+        acc = {
+            int(d): [int(k), int(m)]
+            for d, k, m in zip(days, ks, ms)
+        }
+    else:
+        acc = {}
+    for pdf in pdf_iter:
+        for d, k, m in zip(
+            pdf["day"].tolist(), pdf["k"].tolist(), pdf["m"].tolist()
+        ):
+            cell = acc.setdefault(int(d), [0, 0])
+            cell[0] += int(k)
+            cell[1] += int(m)
+    items = sorted(acc.items())
+    state.update(
+        (
+            [d for d, _ in items],
+            [c[0] for _, c in items],
+            [c[1] for _, c in items],
+        )
+    )
+    # replay the latched sequential test over the accumulated spine —
+    # literally the batch op's arithmetic (same baked constants)
+    k_cum = m_cum = 0
+    llr = 0.0
+    decision = None
+    for _, (k, m) in items:
+        k_cum += k
+        m_cum += m
+        llr = k_cum * _SPRT_A + (m_cum - k_cum) * _SPRT_B
+        if decision is None:
+            if llr >= _SPRT_UPPER:
+                decision = "accept_h1"
+            elif llr <= _SPRT_LOWER:
+                decision = "accept_h0"
+    yield pd.DataFrame(
+        {
+            "metric": [key[0]],
+            "n_days": [len(items)],
+            "k_cum": [k_cum],
+            "m_cum": [m_cum],
+            "llr": [llr],
+            "state": [decision or "continue"],
+        }
+    )
+
+
+def streaming_sprt(daily: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/inference.sprt_daily_decision``:
+    Wald's sequential test maintained AS STATE while per-day
+    (metric, day, k, m) count increments stream in. State is the
+    (day -> (k, m)) spine — calendar-bounded, the same argument the
+    batch op's window makes — and each update replays the latched
+    LLR walk with the SAME baked constants, emitting the current
+    terminal (k_cum, m_cum, llr, state) per update (A4). The twin
+    test asserts the converged emission equals the batch op's final
+    day row. This is the natural deployment of a sequential test —
+    it exists to be read WHILE data arrives, not after."""
+    return daily.groupBy("metric").applyInPandasWithState(
+        _update_sprt,
+        outputStructType=SPRT_OUTPUT_SCHEMA,
+        stateStructType=SPRT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming last/first-touch attribution (round-9 twin of
+# operators/analytics.revenue_attribution)
+# --------------------------------------------------------------------------
+
+ATTR_OUTPUT_SCHEMA = (
+    "event_id long, first_ch string, last_ch string, cents long"
+)
+ATTR_STATE_SCHEMA = "first_ch string, last_ch string"
+
+
+def _update_attribution(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        first_ch, last_ch = state.get
+    else:
+        first_ch, last_ch = None, None
+    out_ids: list[int] = []
+    out_first: list[str] = []
+    out_last: list[str] = []
+    out_cents: list[int] = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            if row["event_type"] == "purchase":
+                out_ids.append(int(row["event_id"]))
+                out_first.append(first_ch if first_ch else "none")
+                out_last.append(last_ch if last_ch else "none")
+                out_cents.append(int(row["cents"]))
+            else:
+                if first_ch is None:
+                    first_ch = str(row["event_type"])
+                last_ch = str(row["event_type"])
+    state.update((first_ch, last_ch))
+    yield pd.DataFrame(
+        {
+            "event_id": out_ids,
+            "first_ch": out_first,
+            "last_ch": out_last,
+            "cents": out_cents,
+        }
+    )
+
+
+def streaming_attribution(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/analytics.revenue_attribution``:
+    per-user first/last-touch state (TWO strings per user — O(1)
+    state, the production-shaped version) attributes each purchase AS
+    IT ARRIVES; emissions are keyed by the purchase event_id, so an
+    upsert store converges to one attributed row per purchase and a
+    plain rollup of the store equals the batch operator's
+    (model, channel) totals. ``events`` must carry (user_id, ts,
+    event_id, event_type, cents) in per-user event-time order across
+    micro-batches (the sessionization twins' delivery contract);
+    within a batch the update sorts by (ts, event_id) itself."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_attribution,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
