@@ -2618,3 +2618,147 @@ FROM diff d
 JOIN (SELECT label, n FROM counts WHERE half = 0) n0 ON n0.label = d.label
 JOIN (SELECT label, n FROM counts WHERE half = 1) n1 ON n1.label = d.label
 """
+
+
+# --------------------------------------------------------------------------
+# Nearest-centroid classifier confusion matrix
+# --------------------------------------------------------------------------
+
+
+def ncc_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(orig_label, assigned_label, n, row_frac, is_correct): the
+    confusion matrix of the nearest-class-centroid classifier over
+    the embedding space — each vector assigned to its closest label
+    centroid (exactly ivf_assign's quantizer step read as a
+    classifier). NCC accuracy is the standard cheap probe of
+    embedding linear separability (a Rocchio/prototype classifier):
+    the diagonal mass says whether labels form compact separated
+    clusters BEFORE anyone trains a probe model, and the off-diagonal
+    cells name which label pairs bleed into each other — the
+    label-noise / taxonomy-merge signal at curation time.
+
+    Exactness: rides ivf_assign's deterministic assignment (fold-form
+    dot products, ties to the lower label); counts are exact; the row
+    fraction is one division per |labels|^2 cell.
+
+    Scale: one assignment pass (centroid table broadcast), then a
+    |labels|^2 rollup — partial-aggregatable, nothing pairwise."""
+    assign = ivf_assign_query(spark, sf_dir).select(
+        "orig_label", "assigned_label"
+    )
+    counts = assign.groupBy("orig_label", "assigned_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    row_tot = counts.groupBy("orig_label").agg(
+        F.sum("n").cast("bigint").alias("t")
+    )
+    return counts.join(F.broadcast(row_tot), "orig_label").select(
+        "orig_label",
+        "assigned_label",
+        "n",
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias(
+            "row_frac"
+        ),
+        (F.col("orig_label") == F.col("assigned_label")).alias(
+            "is_correct"
+        ),
+    )
+
+
+NCC_CONFUSION_ORACLE = f"""
+WITH {_DUCK_ASSIGN_CTES},
+counts AS (
+  SELECT orig_label, c_label AS assigned_label,
+         CAST(count(*) AS BIGINT) AS n
+  FROM assign GROUP BY 1, 2
+),
+row_tot AS (
+  SELECT orig_label, CAST(sum(n) AS BIGINT) AS t FROM counts GROUP BY 1
+)
+SELECT c.orig_label, c.assigned_label, c.n,
+       CAST(c.n AS DOUBLE) / CAST(r.t AS DOUBLE) AS row_frac,
+       c.orig_label = c.assigned_label AS is_correct
+FROM counts c JOIN row_tot r USING (orig_label)
+"""
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction over the kNN graph
+# --------------------------------------------------------------------------
+
+_AA_FP = 1_000_000_000  # 1e9 fixed point for 1/ln(deg) terms
+
+
+def adamic_adar_links_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, cn, aa_fp, aa): Adamic-Adar link-prediction
+    scores over the cell-blocked kNN graph — for every pair of
+    vectors sharing at least one common out-neighbor,
+    aa = sum over common neighbors z of 1/ln(indeg(z)), the classic
+    "rare shared neighbors count more" score. In a corpus pipeline
+    this ranks MISSING edges of the semantic graph: pairs the kNN
+    construction didn't connect but whose neighborhoods overlap —
+    dedup candidates one hop beyond what ivf_near_dup emits, and the
+    candidate-generation step of graph-based retrieval indexes
+    (HNSW-style link repair reads exactly this signal).
+
+    Exactness: indeg is an exact BIGINT count over the pinned edge
+    list; each z's term floors 1e9/ln(indeg(z)) to BIGINT BEFORE the
+    per-pair sum (a common neighbor has indeg >= 2 by construction —
+    both endpoints point at it — so ln >= ln 2 and the division is
+    safe); aa is one final division.
+
+    Scale: the common-neighbor join keys edges on the shared
+    neighbor id: cost sum_z indeg(z)^2, the hubness-audit quantity —
+    bounded because sub-cell blocking caps cell sizes (worst-case
+    indeg ~ |cell|); every frame is id-width."""
+    edges = _knn_edges(spark, sf_dir).select("q_id", "n_id")
+    indeg = edges.groupBy("n_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    # a COMMON neighbor has indeg >= 2 by construction, so restricting
+    # the term table to deg >= 2 is lossless — and keeps ln(deg) > 0
+    # out of ANSI division-by-zero territory for deg-1 leaves
+    terms = indeg.filter(F.col("deg") >= 2).select(
+        "n_id",
+        F.expr(
+            f"cast(floor({float(_AA_FP)!r} / ln(cast(deg as double))) "
+            "as bigint)"
+        ).alias("term_fp"),
+    )
+    a = edges.select(F.col("q_id").alias("vec_a"), "n_id")
+    b = edges.select(F.col("q_id").alias("vec_b"), "n_id")
+    return (
+        a.join(b, "n_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .join(terms, "n_id")
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum("term_fp").cast("bigint").alias("aa_fp"),
+            (
+                F.sum("term_fp").cast("double") / F.lit(float(_AA_FP))
+            ).alias("aa"),
+        )
+    )
+
+
+ADAMIC_ADAR_LINKS_ORACLE = f"""
+WITH {_DUCK_KNN_EDGES_CTES},
+indeg AS (
+  SELECT n_id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+),
+terms AS (
+  SELECT n_id,
+         CAST(floor({float(_AA_FP)!r} / ln(CAST(deg AS DOUBLE)))
+              AS BIGINT) AS term_fp
+  FROM indeg WHERE deg >= 2
+)
+SELECT a.q_id AS vec_a, b.q_id AS vec_b,
+       CAST(count(*) AS BIGINT) AS cn,
+       CAST(sum(t.term_fp) AS BIGINT) AS aa_fp,
+       CAST(sum(t.term_fp) AS DOUBLE) / {float(_AA_FP)!r} AS aa
+FROM edges a
+JOIN edges b ON b.n_id = a.n_id AND a.q_id < b.q_id
+JOIN terms t ON t.n_id = a.n_id
+GROUP BY 1, 2
+"""

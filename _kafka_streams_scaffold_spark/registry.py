@@ -2252,6 +2252,16 @@ def _ensure_loaded() -> None:
         an.revenue_attribution_query,
         an.REVENUE_ATTRIBUTION_ORACLE,
     )
+    register(
+        "ncc_confusion",
+        similarity.ncc_confusion_query,
+        similarity.NCC_CONFUSION_ORACLE,
+    )
+    register(
+        "adamic_adar_links",
+        similarity.adamic_adar_links_query,
+        similarity.ADAMIC_ADAR_LINKS_ORACLE,
+    )
 
     _apply_window(_WINDOW_R08)
     _LOADED = True

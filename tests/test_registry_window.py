@@ -61,6 +61,8 @@ R09_MATERIAL: set[str] = {
     "detector_cochran_q",
     "contrastive_collision",
     "revenue_attribution",
+    "ncc_confusion",
+    "adamic_adar_links",
 }
 
 

@@ -571,3 +571,83 @@ def test_attribution_matches_bruteforce_python(spark):
         assert out[("first", ch)] == cents
     for ch, cents in last_tot.items():
         assert out[("last", ch)] == cents
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid confusion
+# ---------------------------------------------------------------------------
+
+
+def test_ncc_confusion_rows_partition_vectors(spark):
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    rows = similarity.ncc_confusion_query(spark, SF).collect()
+    n_emb = tables.table(spark, SF, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n_emb
+    by_row = {}
+    for r in rows:
+        by_row.setdefault(r["orig_label"], []).append(r)
+        assert r["is_correct"] == (r["orig_label"] == r["assigned_label"])
+    for _, cells in by_row.items():
+        assert sum(c["row_frac"] for c in cells) == pytest.approx(1.0)
+
+
+def test_ncc_agrees_with_ivf_assign(spark):
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    assign = similarity.ivf_assign_query(spark, SF).collect()
+    want = Counter(
+        (r["orig_label"], r["assigned_label"]) for r in assign
+    )
+    got = {
+        (r["orig_label"], r["assigned_label"]): r["n"]
+        for r in similarity.ncc_confusion_query(spark, SF).collect()
+    }
+    assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction
+# ---------------------------------------------------------------------------
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    edges = [
+        (r["vec_id"], r["nbr_id"])
+        for r in similarity.knn_graph_query(spark, SF).collect()
+    ]
+    out_nbrs = {}
+    indeg = Counter()
+    for q, n in edges:
+        out_nbrs.setdefault(q, set()).add(n)
+        indeg[n] += 1
+    want = {}
+    nodes = sorted(out_nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            common = out_nbrs[a] & out_nbrs[b]
+            if not common:
+                continue
+            aa_fp = sum(
+                math.floor(1e9 / math.log(indeg[z])) for z in common
+            )
+            want[(a, b)] = (len(common), aa_fp)
+    got = {
+        (r["vec_a"], r["vec_b"]): (r["cn"], r["aa_fp"])
+        for r in similarity.adamic_adar_links_query(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_adamic_adar_score_monotone_in_common_neighbors(spark):
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    rows = similarity.adamic_adar_links_query(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["cn"] >= 1
+        assert r["aa"] > 0
+        # each term is at most 1/ln(2), at least 1/ln(indeg_max)
+        assert r["aa"] <= r["cn"] / math.log(2.0) + 1e-9

@@ -108,3 +108,42 @@ def test_burrows_top_head_and_broadcast_pairs(spark, sf_dir):
     assert "InMemoryTableScan" in t
     assert _n(t, "Generate") == 0
     assert "BroadcastHashJoin" in t
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    t = pi.tree(analytics.revenue_attribution_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    assert "SortMergeJoin" not in t
+    assert "Window" in t
+
+
+def test_ncc_confusion_broadcast_rollup(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    t = pi.tree(similarity.ncc_confusion_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    # the row-total join on the |labels|^2 grid must broadcast
+    assert "BroadcastHashJoin" in t
+
+
+def test_adamic_adar_rides_pinned_edges(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    t = pi.tree(similarity.adamic_adar_links_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    # both join sides read the pinned kNN edge list cache
+    assert "InMemoryTableScan" in t
+
+
+def test_contrastive_collision_dimension_rollup(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import clustering
+
+    t = pi.tree(clustering.contrastive_collision_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    assert _n(t, "HashAggregate") >= 2

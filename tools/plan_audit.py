@@ -1547,6 +1547,39 @@ AUDIT = [
         "the source-pair join broadcasts one cached side "
         "(dimension-sized throughout).",
     ),
+    (
+        "detector_cochran_q",
+        "The four pair sets ride the SAME shared shingle/signature "
+        "pins as dedup_tier_agreement (concurrent builds); the flag "
+        "matrix and all Q moments are id-pair-width rollups to one "
+        "row.",
+    ),
+    (
+        "contrastive_collision",
+        "Rides the certified CC engine; cluster sizes are a "
+        "|clusters|-sized rollup and both readouts are one-row "
+        "arithmetic on exact BIGINTs.",
+    ),
+    (
+        "revenue_attribution",
+        "ONE user-partitioned IGNORE-NULLS first/last window pass "
+        "(the sessionization budget), then two |channels|-sized "
+        "rollups unioned — the corpus is never self-joined.",
+    ),
+    (
+        "ncc_confusion",
+        "One assignment pass with the centroid table broadcast "
+        "(ivf_assign's shape), then a |labels|^2 rollup with the "
+        "row totals broadcast back.",
+    ),
+    (
+        "adamic_adar_links",
+        "Both sides of the common-neighbor join read the PINNED kNN "
+        "edge cache; cost is sum_z indeg(z)^2 (the hubness-audit "
+        "quantity, bounded by sub-cell capping); term table "
+        "restricted to deg >= 2 (lossless) keeps ANSI division "
+        "safe.",
+    ),
 ]
 
 
