@@ -2343,3 +2343,95 @@ SELECT 'last' AS model,
 FROM attributed WHERE event_type = 'purchase'
 GROUP BY 2
 """
+
+
+# --------------------------------------------------------------------------
+# Audience-overlap Jaccard matrix between event types
+# --------------------------------------------------------------------------
+
+
+def audience_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type_a, type_b, n_a, n_b, n_both, jaccard): the user-audience
+    overlap between every pair of event types — |users doing both| /
+    |users doing either| — the audience-segmentation matrix behind
+    "does the error population overlap the purchase population" and
+    behind choosing which event streams can share a sampled user
+    panel. Jaccard near 1 means the types describe one population;
+    near 0, disjoint behaviors.
+
+    Exactness: audiences are exact distinct-user counts; the overlap
+    join is on user_id (each user carries at most |types| flags, so
+    the self-join multiplicity is bounded by |types|^2 per user);
+    jaccard is one division of exact BIGINTs.
+
+    Scale: one distinct rollup to (user, type) flags (id-width), a
+    bounded-multiplicity self-join on user_id, then a |types|^2
+    aggregate with the |types|-row audience counts broadcast back."""
+    ev = tables.table(spark, sf_dir, "events")
+    flags = ev.select("user_id", "event_type").distinct()
+    aud = flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_aud")
+    )
+    a = flags.select("user_id", F.col("event_type").alias("type_a"))
+    b = flags.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    aa = F.broadcast(
+        aud.select(
+            F.col("event_type").alias("type_a"),
+            F.col("n_aud").alias("n_a"),
+        )
+    )
+    bb = F.broadcast(
+        aud.select(
+            F.col("event_type").alias("type_b"),
+            F.col("n_aud").alias("n_b"),
+        )
+    )
+    return (
+        both.join(aa, "type_a")
+        .join(bb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_both")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+AUDIENCE_OVERLAP_ORACLE = """
+WITH flags AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+aud AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_aud
+  FROM flags GROUP BY 1
+),
+both_t AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM flags a
+  JOIN flags b ON b.user_id = a.user_id
+              AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT t.type_a, t.type_b,
+       xa.n_aud AS n_a, xb.n_aud AS n_b, t.n_both,
+       CAST(t.n_both AS DOUBLE)
+         / CAST(xa.n_aud + xb.n_aud - t.n_both AS DOUBLE) AS jaccard
+FROM both_t t
+JOIN aud xa ON xa.event_type = t.type_a
+JOIN aud xb ON xb.event_type = t.type_b
+"""

@@ -2728,3 +2728,136 @@ SELECT day, k_cum, m_cum, llr,
        END AS state
 FROM flagged
 """
+
+
+# --------------------------------------------------------------------------
+# Q-Q shift profile: per-source quantiles vs the pooled distribution
+# --------------------------------------------------------------------------
+
+_QQ_PS = (10, 25, 50, 75, 90)
+
+
+def qq_shift_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, p, n_src, src_q, pool_q, shift): each source's exact
+    doc-length quantiles at p in {10,25,50,75,90} against the pooled
+    corpus quantile at the same p — the MAGNITUDE companion to the
+    KS/CvM drift gates (those say WHETHER a source's distribution
+    differs; the Q-Q shifts say by HOW MANY characters and WHERE in
+    the distribution: a source long only in its p90 tail needs a
+    length cap, one shifted across all five needs its own chunking
+    profile).
+
+    Exactness: type-1 (lower order-statistic) quantiles — the value
+    at exact rank ceil(p*n/100), located on the value-count CDF grid
+    as the unique row whose cumulative count first reaches the
+    target; ranks are exact integer arithmetic ((p*n + 99) div 100)
+    and every output column is an exact BIGINT.
+
+    Scale: ONE (source, n_chars) count rollup touches the corpus;
+    per-source CDFs are windows over the |sources| x |values| grid
+    (partitioned by source), the pooled CDF a window over the
+    |values| spine; the 5-row p panel is a broadcast literal."""
+    docs = tables.table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_src")
+    )
+    ps = spark.createDataFrame([(p,) for p in _QQ_PS], "p int")
+    ws = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    src_cdf = counts.select(
+        "source", "n_chars", "c", F.sum("c").over(ws).alias("cum")
+    ).join(F.broadcast(totals), "source")
+    src_q = (
+        src_cdf.join(F.broadcast(ps))
+        .filter(
+            (F.col("cum") >= F.expr("(p * n_src + 99) div 100"))
+            & (
+                F.col("cum") - F.col("c")
+                < F.expr("(p * n_src + 99) div 100")
+            )
+        )
+        .select(
+            "source", "p", "n_src", F.col("n_chars").alias("src_q")
+        )
+    )
+    pooled = counts.groupBy("n_chars").agg(
+        F.sum("c").cast("bigint").alias("pc")
+    )
+    n_all = pooled.agg(F.sum("pc").cast("bigint").alias("n_all"))
+    wp = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pool_q = (
+        pooled.select(
+            "n_chars", "pc", F.sum("pc").over(wp).alias("cum")
+        )
+        .crossJoin(F.broadcast(n_all))
+        .join(F.broadcast(ps))
+        .filter(
+            (F.col("cum") >= F.expr("(p * n_all + 99) div 100"))
+            & (
+                F.col("cum") - F.col("pc")
+                < F.expr("(p * n_all + 99) div 100")
+            )
+        )
+        .select("p", F.col("n_chars").alias("pool_q"))
+    )
+    return src_q.join(F.broadcast(pool_q), "p").select(
+        "source",
+        "p",
+        "n_src",
+        "src_q",
+        "pool_q",
+        (F.col("src_q") - F.col("pool_q")).cast("bigint").alias("shift"),
+    )
+
+
+def _qq_oracle() -> str:
+    ps = ", ".join(f"({p})" for p in _QQ_PS)
+    return f"""
+WITH counts AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM counts GROUP BY 1
+),
+ps(p) AS (VALUES {ps}),
+src_cdf AS (
+  SELECT c.source, c.n_chars, c.c, t.n_src,
+         sum(c.c) OVER (
+           PARTITION BY c.source ORDER BY c.n_chars
+         ) AS cum
+  FROM counts c JOIN totals t USING (source)
+),
+src_q AS (
+  SELECT s.source, p.p, s.n_src, s.n_chars AS src_q
+  FROM src_cdf s CROSS JOIN ps p
+  WHERE s.cum >= (p.p * s.n_src + 99) // 100
+    AND s.cum - s.c < (p.p * s.n_src + 99) // 100
+),
+pooled AS (
+  SELECT n_chars, CAST(sum(c) AS BIGINT) AS pc FROM counts GROUP BY 1
+),
+n_all AS (SELECT CAST(sum(pc) AS BIGINT) AS n_all FROM pooled),
+pool_cdf AS (
+  SELECT n_chars, pc, sum(pc) OVER (ORDER BY n_chars) AS cum, a.n_all
+  FROM pooled CROSS JOIN n_all a
+),
+pool_q AS (
+  SELECT p.p, s.n_chars AS pool_q
+  FROM pool_cdf s CROSS JOIN ps p
+  WHERE s.cum >= (p.p * s.n_all + 99) // 100
+    AND s.cum - s.pc < (p.p * s.n_all + 99) // 100
+)
+SELECT s.source, s.p, s.n_src, s.src_q, q.pool_q,
+       CAST(s.src_q - q.pool_q AS BIGINT) AS shift
+FROM src_q s JOIN pool_q q USING (p)
+"""
+
+
+QQ_SHIFT_PROFILE_ORACLE = _qq_oracle()

@@ -906,3 +906,103 @@ FROM zpanel a
 JOIN zpanel b ON b.tok = a.tok AND a.source < b.source
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Per-source token entropy and Shannon evenness
+# --------------------------------------------------------------------------
+
+_ENT_FP = 1_000_000  # 1e6 fixed point for per-term ln(n/c), char_entropy's
+
+
+def token_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, n_terms, h_fp, entropy_nats, evenness): the
+    Shannon entropy of each source's unigram token distribution and
+    its evenness (Pielou's J = H / ln V) — entropy in nats says how
+    concentrated the vocabulary usage is; evenness normalizes out
+    vocabulary size so sources of different richness compare on one
+    [0, 1] axis. Low evenness = template/boilerplate-heavy source
+    (few tokens carry the mass); the pre-tokenizer screen that
+    complements hapax_rate (which sees the tail, not the
+    concentration).
+
+    Exactness: the char_entropy recipe on tokens — each term
+    contributes the exact BIGINT c * floor(1e6 * ln(n/c)) BEFORE the
+    unordered sum, so H = h_fp / (n * 1e6) reassembles from exact
+    integers; evenness adds ONE ln(V) on an exact count.
+
+    Scale: the same two shuffles as hapax_rate — (source, term)
+    counts then the per-source rollup."""
+    docs = tables.table(spark, sf_dir, "documents")
+    occ = docs.select("source", F.explode(tokens_expr()).alias("tok"))
+    cnt = occ.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    grid = cnt.join(F.broadcast(totals), "source")
+    per_src = grid.select(
+        "source",
+        "n",
+        (
+            F.col("c")
+            * F.expr(
+                f"cast(floor({_ENT_FP} * ln(cast(n as double) "
+                "/ cast(c as double))) as bigint)"
+            )
+        ).cast("bigint").alias("term_fp"),
+    ).groupBy("source").agg(
+        F.max("n").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("term_fp").cast("bigint").alias("h_fp"),
+    )
+    h = F.col("h_fp").cast("double") / (
+        F.col("n_tokens").cast("double") * F.lit(float(_ENT_FP))
+    )
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "n_terms",
+        "h_fp",
+        h.alias("entropy_nats"),
+        F.when(
+            F.col("n_terms") > 1,
+            h / F.log(F.col("n_terms").cast("double")),
+        ).otherwise(F.lit(0.0)).alias("evenness"),
+    )
+
+
+TOKEN_ENTROPY_ORACLE = f"""
+WITH occ AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM occ GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+),
+per_src AS (
+  SELECT g.source,
+         max(g.n) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(g.c * CAST(floor({_ENT_FP} * ln(CAST(g.n AS DOUBLE)
+                                    / CAST(g.c AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS h_fp
+  FROM (SELECT c.source, c.c, t.n
+        FROM cnt c JOIN totals t USING (source)) g
+  GROUP BY 1
+)
+SELECT source, n_tokens, n_terms, h_fp,
+       CAST(h_fp AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * {float(_ENT_FP)!r})
+         AS entropy_nats,
+       CASE WHEN n_terms > 1 THEN
+         (CAST(h_fp AS DOUBLE)
+            / (CAST(n_tokens AS DOUBLE) * {float(_ENT_FP)!r}))
+           / ln(CAST(n_terms AS DOUBLE))
+       ELSE 0.0 END AS evenness
+FROM per_src
+"""

@@ -2262,6 +2262,21 @@ def _ensure_loaded() -> None:
         similarity.adamic_adar_links_query,
         similarity.ADAMIC_ADAR_LINKS_ORACLE,
     )
+    register(
+        "audience_overlap",
+        an.audience_overlap_query,
+        an.AUDIENCE_OVERLAP_ORACLE,
+    )
+    register(
+        "token_entropy",
+        lexstats.token_entropy_query,
+        lexstats.TOKEN_ENTROPY_ORACLE,
+    )
+    register(
+        "qq_shift_profile",
+        inference.qq_shift_profile_query,
+        inference.QQ_SHIFT_PROFILE_ORACLE,
+    )
 
     _apply_window(_WINDOW_R08)
     _LOADED = True

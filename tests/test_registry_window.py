@@ -63,6 +63,9 @@ R09_MATERIAL: set[str] = {
     "revenue_attribution",
     "ncc_confusion",
     "adamic_adar_links",
+    "audience_overlap",
+    "token_entropy",
+    "qq_shift_profile",
 }
 
 

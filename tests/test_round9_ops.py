@@ -651,3 +651,102 @@ def test_adamic_adar_score_monotone_in_common_neighbors(spark):
         assert r["aa"] > 0
         # each term is at most 1/ln(2), at least 1/ln(indeg_max)
         assert r["aa"] <= r["cn"] / math.log(2.0) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap
+# ---------------------------------------------------------------------------
+
+
+def test_audience_overlap_matches_bruteforce(spark):
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    ev = tables.table(spark, SF, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    users = {}
+    for r in ev:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    types = sorted(users)
+    out = {(r["type_a"], r["type_b"]): r for r in
+           analytics.audience_overlap_query(spark, SF).collect()}
+    assert len(out) == len(types) * (len(types) - 1) // 2
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            both = len(users[a] & users[b])
+            row = out[(a, b)]
+            assert row["n_a"] == len(users[a])
+            assert row["n_b"] == len(users[b])
+            assert row["n_both"] == both
+            assert row["jaccard"] == pytest.approx(
+                both / len(users[a] | users[b])
+            )
+
+
+# ---------------------------------------------------------------------------
+# Token entropy / evenness
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_matches_bruteforce(spark):
+    docs = tables.table(spark, SF, "documents").select(
+        "source", "text"
+    ).collect()
+    out = {r["source"]: r for r in
+           lexstats.token_entropy_query(spark, SF).collect()}
+    src = sorted(out)[0]
+    c = Counter()
+    for r in docs:
+        if r["source"] == src:
+            c.update(_toks(r["text"]))
+    n = sum(c.values())
+    h = sum((ci / n) * math.log(n / ci) for ci in c.values())
+    row = out[src]
+    assert row["n_tokens"] == n
+    assert row["n_terms"] == len(c)
+    # per-term floor at 1e6: absolute error < n_terms * max(c)/n/1e6
+    assert row["entropy_nats"] == pytest.approx(h, abs=1e-4)
+    assert 0.0 <= row["evenness"] <= 1.0 + 1e-9
+    assert row["evenness"] == pytest.approx(
+        row["entropy_nats"] / math.log(len(c)), rel=1e-9
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q-Q shift profile
+# ---------------------------------------------------------------------------
+
+
+def test_qq_quantiles_match_bruteforce_type1(spark):
+    docs = tables.table(spark, SF, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    out = {(r["source"], r["p"]): r for r in
+           inference.qq_shift_profile_query(spark, SF).collect()}
+    pooled = sorted(r["n_chars"] for r in docs)
+
+    def q1(xs, p):
+        rank = (p * len(xs) + 99) // 100
+        return xs[rank - 1]
+
+    srcs = sorted({r["source"] for r in docs})
+    for src in srcs[:3]:
+        xs = sorted(r["n_chars"] for r in docs if r["source"] == src)
+        for p in (10, 25, 50, 75, 90):
+            row = out[(src, p)]
+            assert row["n_src"] == len(xs)
+            assert row["src_q"] == q1(xs, p)
+            assert row["pool_q"] == q1(pooled, p)
+            assert row["shift"] == q1(xs, p) - q1(pooled, p)
+
+
+def test_qq_profile_complete_and_monotone(spark):
+    rows = inference.qq_shift_profile_query(spark, SF).collect()
+    # 20 sources x 5 quantiles
+    assert len(rows) == 100
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["p"]] = r["src_q"]
+    for _, qs in by_src.items():
+        vals = [qs[p] for p in (10, 25, 50, 75, 90)]
+        assert vals == sorted(vals)

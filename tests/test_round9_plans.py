@@ -147,3 +147,29 @@ def test_contrastive_collision_dimension_rollup(spark, sf_dir):
     _no_python(t)
     assert "CartesianProduct" not in t
     assert _n(t, "HashAggregate") >= 2
+
+
+def test_audience_overlap_bounded_self_join(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    t = pi.tree(analytics.audience_overlap_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    # audience counts broadcast onto the |types|^2 grid
+    assert "BroadcastHashJoin" in t
+
+
+def test_token_entropy_two_shuffles(spark, sf_dir):
+    t = pi.tree(lexstats.token_entropy_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    assert _n(t, "HashAggregate") >= 2
+
+
+def test_qq_windows_partitioned_or_domain_sized(spark, sf_dir):
+    t = pi.tree(inference.qq_shift_profile_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    # corpus reduced to the value-count grid before ANY window
+    assert _n(t, "HashAggregate") >= 2
+    assert "Window" in t

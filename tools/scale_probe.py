@@ -894,10 +894,27 @@ def main() -> None:
         "lands closer to the data multiple — at or below 10x is "
         "the rubric's pass by definition.",
     ]
+    # SCALE_PROBE_ONLY=substr[,substr...] re-measures just the named
+    # rows and PATCHES them into the existing SCALE.md table in place
+    # (implementation changes between full regenerations would
+    # otherwise leave stale rows for the changed operators only).
+    only = os.environ.get("SCALE_PROBE_ONLY")
+    if only:
+        pats = [s.strip() for s in only.split(",") if s.strip()]
+        probes = {
+            k: v for k, v in probes.items()
+            if any(p in k for p in pats)
+        }
+
     # Warm JVM + python pool once.
-    probes["pricing agg (filter+group)"](1).count()
+    probes.get(
+        "pricing agg (filter+group)",
+        next(iter(probes.values())),
+    )(1).count()
 
     from _kafka_streams_scaffold_spark import pinning
+
+    patched_rows: dict[str, str] = {}
 
     for name, mk in probes.items():
         # One flaky 10x run must not lose the whole table: heavy
@@ -935,7 +952,29 @@ def main() -> None:
             )
         finally:
             pinning.unpersist_all()
+        patched_rows[name] = lines[-1]
         print(lines[-1])
+
+    if only:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALE.md",
+        )
+        with open(path) as f:
+            existing = f.read().splitlines()
+        out_lines = []
+        for ln in existing:
+            hit = None
+            for name, row in patched_rows.items():
+                if ln.startswith(f"| {name} |"):
+                    hit = row
+                    break
+            out_lines.append(hit if hit is not None else ln)
+        with open(path, "w") as f:
+            f.write("\n".join(out_lines) + "\n")
+        print(f"patched {len(patched_rows)} row(s) in SCALE.md")
+        spark.stop()
+        return
 
     lines += [
         "",
