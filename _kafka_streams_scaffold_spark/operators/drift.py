@@ -1032,3 +1032,182 @@ SELECT n_a, n_b,
             - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS did
 FROM cells
 """
+
+
+# --------------------------------------------------------------------------
+# Covariate balance audit (standardized mean differences) for the A/B split
+# --------------------------------------------------------------------------
+
+
+def smd_balance_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(covariate, n_a, n_b, mean_a, mean_b, smd): the standardized
+    mean difference of three pre-treatment covariates between the
+    parity arms — per-customer pre-period spend cents, order count,
+    and account balance cents — smd = (m_b - m_a) /
+    sqrt((s_a^2 + s_b^2)/2), the covariate-balance audit every
+    experiment readout should precede (|smd| < 0.1 is the standard
+    'balanced' bar). An imbalanced covariate here is exactly the
+    case where did_uplift and cuped_uplift diverge from the naive
+    readout — this query tells you WHICH covariate drove that.
+
+    Exactness: the covariate panel is exact BIGINTs; per-arm moments
+    are exact DECIMAL(38,0) sums (squares via the zipf_fit
+    cast-then-multiply pattern); smd is a fixed flop sequence with
+    sample variances s^2 = (n*sxx - sx^2)/(n*(n-1)). Guard: smd = 0
+    when both variances vanish.
+
+    Scale: one per-customer rollup over orders joined to the
+    customer dim (id-width), unpivoted in-plan to a 3x-row panel;
+    moments are a |covariates| x 2 aggregate."""
+    orders = tables.table(spark, sf_dir, "orders")
+    cust = tables.table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                F.col("o_orderdate") < F.lit(_CUPED_SPLIT).cast(
+                    "timestamp"
+                ),
+                F.floor(F.col("o_totalprice") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("pre_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    base = cust.select(
+        "c_custkey",
+        (F.col("c_custkey") % 2).cast("int").alias("variant"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias(
+            "bal_cents"
+        ),
+    ).join(
+        per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left"
+    ).select(
+        "variant",
+        F.coalesce("pre_cents", F.lit(0)).cast("bigint").alias(
+            "pre_cents"
+        ),
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias(
+            "n_orders"
+        ),
+        "bal_cents",
+    )
+    long = base.select(
+        "variant",
+        F.expr(
+            "stack(3, 'pre_spend_cents', pre_cents, "
+            "'n_orders', n_orders, 'acctbal_cents', bal_cents) "
+            "as (covariate, x)"
+        ),
+    )
+    mom = long.groupBy("covariate").agg(
+        F.sum((F.col("variant") == 0).cast("bigint")).alias("n_a"),
+        F.sum((F.col("variant") == 1).cast("bigint")).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(0))
+        .cast("decimal(38,0)").alias("sxa"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(0))
+        .cast("decimal(38,0)").alias("sxb"),
+        F.sum(
+            F.when(
+                F.col("variant") == 0,
+                F.expr("cast(x as decimal(19,0)) * x"),
+            ).otherwise(F.lit(0).cast("decimal(19,0)"))
+        ).cast("decimal(38,0)").alias("sxxa"),
+        F.sum(
+            F.when(
+                F.col("variant") == 1,
+                F.expr("cast(x as decimal(19,0)) * x"),
+            ).otherwise(F.lit(0).cast("decimal(19,0)"))
+        ).cast("decimal(38,0)").alias("sxxb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("sxa").cast("double") / na
+    mb = F.col("sxb").cast("double") / nb
+    va = (
+        na * F.col("sxxa").cast("double")
+        - F.col("sxa").cast("double") * F.col("sxa").cast("double")
+    ) / (na * (na - F.lit(1.0)))
+    vb = (
+        nb * F.col("sxxb").cast("double")
+        - F.col("sxb").cast("double") * F.col("sxb").cast("double")
+    ) / (nb * (nb - F.lit(1.0)))
+    pooled = F.sqrt((va + vb) / F.lit(2.0))
+    return mom.select(
+        "covariate",
+        "n_a",
+        "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        F.when(pooled > 0, (mb - ma) / pooled).otherwise(
+            F.lit(0.0)
+        ).alias("smd"),
+    )
+
+
+SMD_BALANCE_AUDIT_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{_CUPED_SPLIT}'
+                       THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS pre_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT CAST(c.c_custkey % 2 AS INTEGER) AS variant,
+         COALESCE(p.pre_cents, 0) AS pre_cents,
+         COALESCE(p.n_orders, 0) AS n_orders,
+         CAST(floor(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey
+),
+longp AS (
+  SELECT variant, 'pre_spend_cents' AS covariate, pre_cents AS x
+  FROM base
+  UNION ALL
+  SELECT variant, 'n_orders', n_orders FROM base
+  UNION ALL
+  SELECT variant, 'acctbal_cents', bal_cents FROM base
+),
+mom AS (
+  SELECT covariate,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END)
+              AS DECIMAL(38,0)) AS sxa,
+         CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END)
+              AS DECIMAL(38,0)) AS sxb,
+         CAST(sum(CASE WHEN variant = 0
+                       THEN CAST(x AS DECIMAL(19,0)) * x
+                       ELSE CAST(0 AS DECIMAL(19,0)) END)
+              AS DECIMAL(38,0)) AS sxxa,
+         CAST(sum(CASE WHEN variant = 1
+                       THEN CAST(x AS DECIMAL(19,0)) * x
+                       ELSE CAST(0 AS DECIMAL(19,0)) END)
+              AS DECIMAL(38,0)) AS sxxb
+  FROM longp GROUP BY 1
+)
+SELECT covariate, n_a, n_b,
+       CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+       CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+       CASE WHEN sqrt((
+           (CAST(n_a AS DOUBLE) * CAST(sxxa AS DOUBLE)
+            - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+           + (CAST(n_b AS DOUBLE) * CAST(sxxb AS DOUBLE)
+              - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE))
+             / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+         ) / 2.0) > 0
+       THEN (CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))
+            / sqrt((
+                (CAST(n_a AS DOUBLE) * CAST(sxxa AS DOUBLE)
+                 - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))
+                  / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                + (CAST(n_b AS DOUBLE) * CAST(sxxb AS DOUBLE)
+                   - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE))
+                  / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+              ) / 2.0)
+       ELSE 0.0 END AS smd
+FROM mom
+"""

@@ -2861,3 +2861,208 @@ FROM src_q s JOIN pool_q q USING (p)
 
 
 QQ_SHIFT_PROFILE_ORACLE = _qq_oracle()
+
+
+# --------------------------------------------------------------------------
+# Log-rank test: retention curves of the two experiment cohorts
+# --------------------------------------------------------------------------
+
+_LR_FP = 1_000_000_000  # 1e9 per-time fixed point for O-E and Var terms
+
+
+def logrank_cohorts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_times, n_a, n_b, d_total, ome_fp, var_fp, chi2): the
+    log-rank (Mantel-Cox) test between the two parity cohorts'
+    retention curves, under the SAME lifetime/censoring definitions
+    as km_user_survival (lifetime = days first->last event; censored
+    if the last event is within KM_CENSOR_DAYS of the corpus end).
+    km_user_survival DRAWS the curve; this answers "are the two
+    arms' churn curves the same?" — the standard inferential
+    companion, pooling information across every event time instead
+    of comparing one horizon.
+
+    Exactness: at each event time t, O-E = (d_a*N - d*N_a)/N and
+    Var = d*N_a*N_b*(N-d) / (N^2*(N-1)) are rationals of exact
+    BIGINT risk-set counts; each is fixed-pointed (floor(1e9 * .),
+    BIGINT) per time BEFORE the unordered sums (bound: |O-E| <= d
+    and Var <= d/4 per time, so the 1e9-scaled sums stay orders of
+    magnitude under 2^63 at any plausible population). chi2 is a
+    final three-flop expression.
+
+    Scale: one per-user rollup (the only corpus-sized stage), then
+    everything on the lifetime-day spine — conditional per-cohort
+    counts on ONE shared spine (never a cohort join), cumulative
+    windows over that bounded frame."""
+    from .stats import KM_CENSOR_DAYS, _US_PER_DAY
+
+    ev = tables.table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.expr("min(unix_micros(ts))").alias("f_us"),
+        F.expr("max(unix_micros(ts))").alias("l_us"),
+    )
+    horizon = ev.agg(F.expr("max(unix_micros(ts))").alias("max_us"))
+    lived = users.crossJoin(F.broadcast(horizon)).select(
+        (F.col("user_id") % 2).cast("int").alias("g"),
+        F.expr(f"(l_us - f_us) div {_US_PER_DAY}").alias("t_days"),
+        F.expr(
+            f"(max_us - l_us) div {_US_PER_DAY} < {KM_CENSOR_DAYS}"
+        ).cast("int").alias("censored"),
+    )
+    per_t = lived.groupBy("t_days").agg(
+        F.sum((F.col("g") == 0).cast("bigint")).alias("a0"),
+        F.sum((F.col("g") == 1).cast("bigint")).alias("a1"),
+        F.sum(
+            ((F.col("g") == 0) & (F.col("censored") == 0)).cast("bigint")
+        ).alias("d0"),
+        F.sum(
+            ((F.col("g") == 1) & (F.col("censored") == 0)).cast("bigint")
+        ).alias("d1"),
+    )
+    w_prior = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    totals = per_t.agg(
+        F.sum("a0").cast("bigint").alias("na"),
+        F.sum("a1").cast("bigint").alias("nb"),
+    )
+    risky = per_t.crossJoin(F.broadcast(totals)).select(
+        "t_days",
+        "d0",
+        "d1",
+        "na",
+        "nb",
+        (
+            F.col("na")
+            - F.coalesce(F.sum("a0").over(w_prior), F.lit(0))
+        ).cast("bigint").alias("r0"),
+        (
+            F.col("nb")
+            - F.coalesce(F.sum("a1").over(w_prior), F.lit(0))
+        ).cast("bigint").alias("r1"),
+    )
+    d = F.col("d0") + F.col("d1")
+    n = F.col("r0") + F.col("r1")
+    ome = (F.col("d0") * n - d * F.col("r0")).cast("double") / n.cast(
+        "double"
+    )
+    var = (
+        (d * F.col("r0")).cast("double")
+        * (F.col("r1") * (n - d)).cast("double")
+        / (n * n).cast("double")
+        / (n - 1).cast("double")
+    )
+    terms = risky.filter((d > 0) & (n > 1)).select(
+        d.alias("dt"),
+        F.floor(F.lit(float(_LR_FP)) * ome).cast("bigint").alias("u_fp"),
+        F.floor(F.lit(float(_LR_FP)) * var).cast("bigint").alias("v_fp"),
+    )
+    # arm sizes come from the cohort totals, NOT from the term rows —
+    # a fully-censored window has zero death times but real arms
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_times"),
+        F.coalesce(F.sum("dt"), F.lit(0)).cast("bigint").alias("d_total"),
+        F.coalesce(F.sum("u_fp"), F.lit(0)).cast("bigint").alias(
+            "ome_fp"
+        ),
+        F.coalesce(F.sum("v_fp"), F.lit(0)).cast("bigint").alias(
+            "var_fp"
+        ),
+    ).crossJoin(F.broadcast(totals)).select(
+        "n_times",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "d_total",
+        "ome_fp",
+        "var_fp",
+    )
+    u = F.col("ome_fp").cast("double") / F.lit(float(_LR_FP))
+    v = F.col("var_fp").cast("double") / F.lit(float(_LR_FP))
+    return agg.select(
+        "n_times",
+        "n_a",
+        "n_b",
+        "d_total",
+        "ome_fp",
+        "var_fp",
+        F.when(F.col("var_fp") > 0, u * u / v).otherwise(
+            F.lit(0.0)
+        ).alias("chi2"),
+    )
+
+
+def _logrank_oracle() -> str:
+    from .stats import KM_CENSOR_DAYS, _US_PER_DAY
+
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         min(epoch_us(ts)) AS f_us,
+         max(epoch_us(ts)) AS l_us
+  FROM events GROUP BY 1
+),
+horizon AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+lived AS (
+  SELECT CAST(u.user_id % 2 AS INTEGER) AS g,
+         (u.l_us - u.f_us) // {_US_PER_DAY} AS t_days,
+         CASE WHEN (h.max_us - u.l_us) // {_US_PER_DAY}
+                   < {KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS censored
+  FROM users u CROSS JOIN horizon h
+),
+per_t AS (
+  SELECT t_days,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         CAST(sum(CASE WHEN g = 0 AND censored = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d0,
+         CAST(sum(CASE WHEN g = 1 AND censored = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d1
+  FROM lived GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(a0) AS BIGINT) AS na, CAST(sum(a1) AS BIGINT) AS nb
+  FROM per_t
+),
+risky AS (
+  SELECT p.t_days, p.d0, p.d1, t.na, t.nb,
+         CAST(t.na - COALESCE(sum(p.a0) OVER (
+             ORDER BY p.t_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS r0,
+         CAST(t.nb - COALESCE(sum(p.a1) OVER (
+             ORDER BY p.t_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS r1
+  FROM per_t p CROSS JOIN totals t
+),
+terms AS (
+  SELECT d0 + d1 AS dt,
+         CAST(floor({float(_LR_FP)!r}
+           * CAST(d0 * (r0 + r1) - (d0 + d1) * r0 AS DOUBLE)
+           / CAST(r0 + r1 AS DOUBLE)) AS BIGINT) AS u_fp,
+         CAST(floor({float(_LR_FP)!r}
+           * CAST((d0 + d1) * r0 AS DOUBLE)
+           * CAST(r1 * ((r0 + r1) - (d0 + d1)) AS DOUBLE)
+           / CAST((r0 + r1) * (r0 + r1) AS DOUBLE)
+           / CAST(r0 + r1 - 1 AS DOUBLE)) AS BIGINT) AS v_fp
+  FROM risky
+  WHERE d0 + d1 > 0 AND r0 + r1 > 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_times,
+         CAST(COALESCE(sum(dt), 0) AS BIGINT) AS d_total,
+         CAST(COALESCE(sum(u_fp), 0) AS BIGINT) AS ome_fp,
+         CAST(COALESCE(sum(v_fp), 0) AS BIGINT) AS var_fp
+  FROM terms
+)
+SELECT a.n_times, t.na AS n_a, t.nb AS n_b,
+       a.d_total, a.ome_fp, a.var_fp,
+       CASE WHEN a.var_fp > 0 THEN
+         (CAST(a.ome_fp AS DOUBLE) / {float(_LR_FP)!r})
+           * (CAST(a.ome_fp AS DOUBLE) / {float(_LR_FP)!r})
+           / (CAST(a.var_fp AS DOUBLE) / {float(_LR_FP)!r})
+       ELSE 0.0 END AS chi2
+FROM agg a CROSS JOIN totals t
+"""
+
+
+LOGRANK_COHORTS_ORACLE = _logrank_oracle()

@@ -2277,6 +2277,16 @@ def _ensure_loaded() -> None:
         inference.qq_shift_profile_query,
         inference.QQ_SHIFT_PROFILE_ORACLE,
     )
+    register(
+        "logrank_cohorts",
+        inference.logrank_cohorts_query,
+        inference.LOGRANK_COHORTS_ORACLE,
+    )
+    register(
+        "smd_balance_audit",
+        drift.smd_balance_audit_query,
+        drift.SMD_BALANCE_AUDIT_ORACLE,
+    )
 
     _apply_window(_WINDOW_R08)
     _LOADED = True

@@ -66,6 +66,8 @@ R09_MATERIAL: set[str] = {
     "audience_overlap",
     "token_entropy",
     "qq_shift_profile",
+    "logrank_cohorts",
+    "smd_balance_audit",
 }
 
 

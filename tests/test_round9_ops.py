@@ -750,3 +750,102 @@ def test_qq_profile_complete_and_monotone(spark):
     for _, qs in by_src.items():
         vals = [qs[p] for p in (10, 25, 50, 75, 90)]
         assert vals == sorted(vals)
+
+
+# ---------------------------------------------------------------------------
+# Log-rank cohorts
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_matches_bruteforce_python(spark):
+    from _kafka_streams_scaffold_spark.operators import stats
+
+    ev = tables.table(spark, SF, "events").select(
+        "user_id", "ts"
+    ).collect()
+    us_per_day = stats._US_PER_DAY
+    first = {}
+    last = {}
+    for r in ev:
+        us = int(r["ts"].timestamp() * 1e6)
+        u = r["user_id"]
+        first[u] = min(first.get(u, us), us)
+        last[u] = max(last.get(u, us), us)
+    horizon = max(last.values())
+    lived = []
+    for u in first:
+        t = (last[u] - first[u]) // us_per_day
+        censored = (horizon - last[u]) // us_per_day < stats.KM_CENSOR_DAYS
+        lived.append((u % 2, t, censored))
+    times = sorted({t for _, t, _ in lived})
+    na = sum(1 for g, _, _ in lived if g == 0)
+    nb = len(lived) - na
+    r0, r1 = na, nb
+    u_fp = v_fp = 0
+    n_times = d_total = 0
+    for t in times:
+        d0 = sum(1 for g, tt, c in lived if g == 0 and tt == t and not c)
+        d1 = sum(1 for g, tt, c in lived if g == 1 and tt == t and not c)
+        a0 = sum(1 for g, tt, _ in lived if g == 0 and tt == t)
+        a1 = sum(1 for g, tt, _ in lived if g == 1 and tt == t)
+        d, n = d0 + d1, r0 + r1
+        if d > 0 and n > 1:
+            n_times += 1
+            d_total += d
+            ome = (d0 * n - d * r0) / n
+            var = (d * r0) * (r1 * (n - d)) / (n * n) / (n - 1)
+            u_fp += math.floor(1e9 * ome)
+            v_fp += math.floor(1e9 * var)
+        r0 -= a0
+        r1 -= a1
+    row = inference.logrank_cohorts_query(spark, SF).collect()[0]
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["n_times"] == n_times
+    assert row["d_total"] == d_total
+    assert row["ome_fp"] == u_fp
+    assert row["var_fp"] == v_fp
+    if v_fp > 0:
+        assert row["chi2"] == pytest.approx(
+            (u_fp / 1e9) ** 2 / (v_fp / 1e9), rel=1e-9
+        )
+
+
+# ---------------------------------------------------------------------------
+# SMD balance audit
+# ---------------------------------------------------------------------------
+
+
+def test_smd_matches_bruteforce_python(spark):
+    import statistics
+
+    orders = tables.table(spark, SF, "orders").collect()
+    cust = tables.table(spark, SF, "customer").collect()
+    split = __import__("datetime").datetime(1998, 1, 1)
+    pre = Counter()
+    cnt = Counter()
+    for r in orders:
+        if r["o_orderdate"] < split:
+            pre[r["o_custkey"]] += math.floor(r["o_totalprice"] * 100)
+        cnt[r["o_custkey"]] += 1
+    panel = {"pre_spend_cents": {}, "n_orders": {}, "acctbal_cents": {}}
+    for c in cust:
+        k = c["c_custkey"]
+        v = k % 2
+        panel["pre_spend_cents"].setdefault(v, []).append(pre.get(k, 0))
+        panel["n_orders"].setdefault(v, []).append(cnt.get(k, 0))
+        panel["acctbal_cents"].setdefault(v, []).append(
+            math.floor(c["c_acctbal"] * 100)
+        )
+    out = {r["covariate"]: r for r in
+           drift.smd_balance_audit_query(spark, SF).collect()}
+    assert set(out) == set(panel)
+    for cov, arms in panel.items():
+        row = out[cov]
+        a, b = arms[0], arms[1]
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        assert row["mean_a"] == pytest.approx(sum(a) / len(a), rel=1e-12)
+        assert row["mean_b"] == pytest.approx(sum(b) / len(b), rel=1e-12)
+        va, vb = statistics.variance(a), statistics.variance(b)
+        pooled = math.sqrt((va + vb) / 2)
+        want = (sum(b) / len(b) - sum(a) / len(a)) / pooled
+        assert row["smd"] == pytest.approx(want, rel=1e-6)

@@ -173,3 +173,21 @@ def test_qq_windows_partitioned_or_domain_sized(spark, sf_dir):
     # corpus reduced to the value-count grid before ANY window
     assert _n(t, "HashAggregate") >= 2
     assert "Window" in t
+
+
+def test_logrank_single_user_rollup_then_spine(spark, sf_dir):
+    t = pi.tree(inference.logrank_cohorts_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    assert "SortMergeJoin" not in t
+    # conditional per-cohort counts on ONE shared day spine — never a
+    # cohort self-join
+    assert _n(t, "HashAggregate") >= 2
+    assert "Window" in t
+
+
+def test_smd_one_rollup_unpivot_no_big_join(spark, sf_dir):
+    t = pi.tree(drift.smd_balance_audit_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    assert _n(t, "HashAggregate") >= 2

@@ -1580,6 +1580,38 @@ AUDIT = [
         "restricted to deg >= 2 (lossless) keeps ANSI division "
         "safe.",
     ),
+    (
+        "audience_overlap",
+        "One distinct (user, type) rollup; the overlap self-join has "
+        "multiplicity bounded by |types| per user; audience counts "
+        "broadcast onto the |types|^2 grid.",
+    ),
+    (
+        "token_entropy",
+        "The hapax_rate two-shuffle shape with the char_entropy "
+        "fixed-point recipe: c * floor(1e6*ln(n/c)) integer terms "
+        "before the per-source rollup.",
+    ),
+    (
+        "qq_shift_profile",
+        "ONE (source, value) count rollup; per-source CDFs are "
+        "source-partitioned windows on the grid, the pooled CDF a "
+        "|values|-spine window; the 5-row p panel joins as a "
+        "broadcast literal.",
+    ),
+    (
+        "logrank_cohorts",
+        "One per-user rollup (only corpus-sized stage); per-cohort "
+        "risk sets are conditional sums + cumulative windows on ONE "
+        "shared lifetime-day spine; O-E and Var fixed-point per time "
+        "before the sums.",
+    ),
+    (
+        "smd_balance_audit",
+        "Per-customer rollup joined id-width to the customer dim, "
+        "unpivoted in-plan (stack) to a 3x panel; DECIMAL(38,0) "
+        "moments collapse to a |covariates|-row frame.",
+    ),
 ]
 
 
