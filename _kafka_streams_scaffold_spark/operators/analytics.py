@@ -2435,3 +2435,126 @@ FROM both_t t
 JOIN aud xa ON xa.event_type = t.type_a
 JOIN aud xb ON xb.event_type = t.type_b
 """
+
+
+# --------------------------------------------------------------------------
+# Little's law self-audit over the session sweep
+# --------------------------------------------------------------------------
+
+
+def littles_law_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_sessions, busy_us_sweep, busy_us_durations,
+    littles_gap, mean_concurrency, lambda_per_hour, mean_duration_s):
+    Little's law (L = lambda * W) audited per day over the
+    30-minute-gap sessions — with BOTH sides derived independently:
+    busy_us_sweep integrates the concurrency step function from the
+    sweep-line points (sum of running_value * time-to-next-point),
+    busy_us_durations sums segment lengths directly. The two are
+    mathematically identical, so littles_gap MUST be exactly 0 — a
+    cross-derivation consistency audit of the whole sessionization +
+    sweep pipeline (the same role the IVM oracle plays for the join
+    view), plus the capacity numbers a serving tier reads: mean
+    concurrency L, arrival rate lambda, mean session duration W.
+
+    Exactness: everything is integer microseconds off the shared
+    pinned day-segment frame; the three readouts are final IEEE
+    divisions. Scale: sweep points are O(sessions) rows in
+    day-partitioned windows — the session_concurrency budget; no new
+    corpus pass (the segment frame is pinned and shared)."""
+    seg = session_day_segments(spark, sf_dir)
+    durations = seg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.col("b") - F.col("a") + 1).cast("bigint").alias(
+            "busy_us_durations"
+        ),
+    )
+    points = seg.select(
+        "d", F.col("a").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        seg.select("d", (F.col("b") + 1).alias("t"), F.lit(-1).alias("delta"))
+    )
+    net = points.groupBy("d", "t").agg(
+        F.sum("delta").cast("bigint").alias("nd")
+    )
+    w_run = Window.partitionBy("d").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.partitionBy("d").orderBy("t")
+    stepped = net.select(
+        "d",
+        "t",
+        F.sum("nd").over(w_run).alias("r"),
+        F.lead("t").over(w_next).alias("t_next"),
+    )
+    sweep = stepped.filter(F.col("t_next").isNotNull()).groupBy("d").agg(
+        F.sum(F.col("r") * (F.col("t_next") - F.col("t")))
+        .cast("bigint")
+        .alias("busy_us_sweep")
+    )
+    day_us = 86_400_000_000
+    return durations.join(sweep, "d").select(
+        F.col("d").alias("day"),
+        "n_sessions",
+        "busy_us_sweep",
+        "busy_us_durations",
+        (F.col("busy_us_sweep") - F.col("busy_us_durations"))
+        .cast("bigint")
+        .alias("littles_gap"),
+        (F.col("busy_us_sweep").cast("double") / F.lit(float(day_us)))
+        .alias("mean_concurrency"),
+        (F.col("n_sessions").cast("double") * F.lit(24.0)).alias(
+            "lambda_per_hour"
+        ),
+        (
+            F.col("busy_us_durations").cast("double")
+            / F.col("n_sessions").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("mean_duration_s"),
+    )
+
+
+def _littles_oracle() -> str:
+    # Reuse the concurrency oracle's segment-derivation prefix
+    # (flagged -> sess -> iv -> seg) verbatim, so both audits sweep
+    # IDENTICAL segments — the split point is the first downstream CTE.
+    seg_prefix = SESSION_CONCURRENCY_ORACLE.split("points AS")[0].rstrip()
+    return f"""
+{seg_prefix}
+durations AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(b - a + 1) AS BIGINT) AS busy_us_durations
+  FROM seg GROUP BY 1
+),
+points AS (
+  SELECT d, a AS t, 1 AS delta FROM seg
+  UNION ALL
+  SELECT d, b + 1 AS t, -1 AS delta FROM seg
+),
+net AS (
+  SELECT d, t, CAST(sum(delta) AS BIGINT) AS nd
+  FROM points GROUP BY 1, 2
+),
+stepped AS (
+  SELECT d, t,
+         sum(nd) OVER (PARTITION BY d ORDER BY t) AS r,
+         lead(t) OVER (PARTITION BY d ORDER BY t) AS t_next
+  FROM net
+),
+sweep AS (
+  SELECT d, CAST(sum(r * (t_next - t)) AS BIGINT) AS busy_us_sweep
+  FROM stepped WHERE t_next IS NOT NULL GROUP BY 1
+)
+SELECT du.d AS day, du.n_sessions, s.busy_us_sweep,
+       du.busy_us_durations,
+       CAST(s.busy_us_sweep - du.busy_us_durations AS BIGINT)
+         AS littles_gap,
+       CAST(s.busy_us_sweep AS DOUBLE) / 86400000000.0
+         AS mean_concurrency,
+       CAST(du.n_sessions AS DOUBLE) * 24.0 AS lambda_per_hour,
+       CAST(du.busy_us_durations AS DOUBLE)
+         / CAST(du.n_sessions AS DOUBLE) / 1000000.0 AS mean_duration_s
+FROM durations du JOIN sweep s USING (d)
+"""
+
+
+LITTLES_LAW_AUDIT_ORACLE = _littles_oracle()

@@ -2395,3 +2395,180 @@ SELECT event_type, n_days, sum_c, sum_c2,
 FROM agg
 WHERE n_days > 1 AND sum_c > 0
 """
+
+
+# --------------------------------------------------------------------------
+# Depth-2 binary segmentation of the daily purchase series
+# --------------------------------------------------------------------------
+
+
+def binseg_changepoints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(level, segment, changepoint_day, n_days, cusum_scaled,
+    direction): binary segmentation at depth 2 over the daily
+    purchase-count series — the root CUSUM changepoint (level 1,
+    cusum_changepoint's exact integer form on one series), then the
+    best changepoint WITHIN each resulting half (level 2, 'left' /
+    'right'). One changepoint describes a single level shift;
+    real pipelines see staged rollouts and partial regressions —
+    the two-level tree is the cheapest structure that separates "one
+    shift" (children's |cusum| collapses) from "multiple regimes"
+    (a child peak rivals the root), which is the decision between
+    re-baselining once and investigating a sequence.
+
+    Exactness: within every segment the statistic is the same
+    cross-multiplied pure-BIGINT form (n_s * prefix_i - i * S_s),
+    argmax ties to the earlier day via a deterministic rank window;
+    the root day enters the level-2 plan as a broadcast scalar.
+
+    Scale: daily counts are one partial-aggregatable pass; both
+    levels run windows over the |days| spine (segment-partitioned at
+    level 2) — the cusum_changepoint budget twice."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    from pyspark.sql import Window as W
+
+    def _best(frame, part_cols):
+        pw = (
+            W.partitionBy(*part_cols).orderBy("day")
+            if part_cols
+            else W.orderBy("day")
+        )
+        tot = (
+            W.partitionBy(*part_cols)
+            if part_cols
+            else W.partitionBy(F.lit(1))
+        )
+        cur = frame.select(
+            *part_cols,
+            "day",
+            F.sum("d").over(
+                pw.rowsBetween(W.unboundedPreceding, 0)
+            ).alias("prefix"),
+            F.row_number().over(pw).alias("i"),
+            F.sum("d").over(tot).alias("s_total"),
+            F.count(F.lit(1)).over(tot).alias("n_days"),
+        ).select(
+            *part_cols,
+            "day",
+            "n_days",
+            (
+                F.col("n_days") * F.col("prefix")
+                - F.col("i") * F.col("s_total")
+            ).cast("bigint").alias("c"),
+        )
+        rw = (
+            W.partitionBy(*part_cols)
+            if part_cols
+            else W.partitionBy(F.lit(1))
+        ).orderBy(F.abs("c").desc(), F.asc("day"))
+        return cur.withColumn("rn", F.row_number().over(rw)).filter(
+            F.col("rn") == 1
+        )
+
+    root = _best(daily, []).select(
+        F.lit(1).alias("level"),
+        F.lit("root").alias("segment"),
+        F.col("day").alias("changepoint_day"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("c").alias("cusum_scaled"),
+    )
+    cp = root.select(F.col("changepoint_day").alias("cp_day"))
+    halves = daily.crossJoin(F.broadcast(cp)).withColumn(
+        "segment",
+        F.when(F.col("day") <= F.col("cp_day"), F.lit("left")).otherwise(
+            F.lit("right")
+        ),
+    ).select("segment", "day", "d")
+    children = _best(halves, ["segment"]).select(
+        F.lit(2).alias("level"),
+        "segment",
+        F.col("day").alias("changepoint_day"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("c").alias("cusum_scaled"),
+    )
+    out = root.unionByName(children)
+    return out.select(
+        "level",
+        "segment",
+        "changepoint_day",
+        "n_days",
+        "cusum_scaled",
+        F.when(F.col("cusum_scaled") > 0, F.lit("up"))
+        .when(F.col("cusum_scaled") < 0, F.lit("down"))
+        .otherwise(F.lit("flat"))
+        .alias("direction"),
+    )
+
+
+BINSEG_CHANGEPOINTS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS d
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+root_cur AS (
+  SELECT day,
+         sum(d) OVER (ORDER BY day) AS prefix,
+         row_number() OVER (ORDER BY day) AS i,
+         sum(d) OVER () AS s_total,
+         count(*) OVER () AS n_days
+  FROM daily
+),
+root_c AS (
+  SELECT day, n_days,
+         CAST(n_days * prefix - i * s_total AS BIGINT) AS c
+  FROM root_cur
+),
+root_best AS (
+  SELECT day, n_days, c,
+         row_number() OVER (ORDER BY abs(c) DESC, day ASC) AS rn
+  FROM root_c
+),
+root AS (
+  SELECT 1 AS level, 'root' AS segment, day AS changepoint_day,
+         CAST(n_days AS BIGINT) AS n_days, c AS cusum_scaled
+  FROM root_best WHERE rn = 1
+),
+halves AS (
+  SELECT CASE WHEN d0.day <= r.changepoint_day THEN 'left'
+              ELSE 'right' END AS segment,
+         d0.day, d0.d
+  FROM daily d0 CROSS JOIN root r
+),
+child_cur AS (
+  SELECT segment, day,
+         sum(d) OVER (PARTITION BY segment ORDER BY day) AS prefix,
+         row_number() OVER (PARTITION BY segment ORDER BY day) AS i,
+         sum(d) OVER (PARTITION BY segment) AS s_total,
+         count(*) OVER (PARTITION BY segment) AS n_days
+  FROM halves
+),
+child_c AS (
+  SELECT segment, day, n_days,
+         CAST(n_days * prefix - i * s_total AS BIGINT) AS c
+  FROM child_cur
+),
+child_best AS (
+  SELECT segment, day, n_days, c,
+         row_number() OVER (
+           PARTITION BY segment ORDER BY abs(c) DESC, day ASC
+         ) AS rn
+  FROM child_c
+),
+children AS (
+  SELECT 2 AS level, segment, day AS changepoint_day,
+         CAST(n_days AS BIGINT) AS n_days, c AS cusum_scaled
+  FROM child_best WHERE rn = 1
+),
+unioned AS (
+  SELECT * FROM root UNION ALL SELECT * FROM children
+)
+SELECT level, segment, changepoint_day, n_days, cusum_scaled,
+       CASE WHEN cusum_scaled > 0 THEN 'up'
+            WHEN cusum_scaled < 0 THEN 'down'
+            ELSE 'flat' END AS direction
+FROM unioned
+"""

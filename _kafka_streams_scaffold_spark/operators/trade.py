@@ -726,3 +726,111 @@ WHERE l.l_shipdate >= TIMESTAMP '{_SPEED_YEAR_LO}'
   AND l.l_shipdate < TIMESTAMP '{_SPEED_YEAR_HI}'
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Discount elasticity: OLS of quantity on discount percentage
+# --------------------------------------------------------------------------
+
+
+def discount_elasticity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, n, mean_qty, slope, intercept, r2): per return
+    flag, the least-squares fit of line-item QUANTITY on the discount
+    PERCENTAGE (exact integer 0..10 from floor(l_discount * 100)) —
+    the demand-response readout behind TPC-H's own "what did
+    discounts cost us" question (pricing_summary/forecast report the
+    revenue side; this fits the quantity side). slope is units of
+    quantity per discount point; a flat slope with nonzero discount
+    spend is money burned.
+
+    Exactness: x = floor(100 * discount) and y = quantity cast to
+    exact BIGINTs; all five moments are exact BIGINT sums (x <= 10,
+    y <= ~55, so even 1e12 rows stay far under 2^63 for sxy and sxx;
+    syy uses DECIMAL(38,0) headroom anyway); slope/intercept/r2 are
+    the zipf_fit closed forms on double casts of exact sums.
+
+    Scale: ONE scan, one 3-key partial-aggregatable rollup; the
+    regression algebra runs on a 3-row frame."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("y"),
+    )
+    sums = pts.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(19,0)) * y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (sy / n).alias("mean_qty"),
+        F.when(vx > 0, cov / vx).alias("slope"),
+        F.when(vx > 0, (sy - (cov / vx) * sx) / n).alias("intercept"),
+        F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy)).alias("r2"),
+    )
+
+
+DISCOUNT_ELASTICITY_ORACLE = """
+WITH pts AS (
+  SELECT l_returnflag,
+         CAST(floor(l_discount * 100) AS BIGINT) AS x,
+         CAST(floor(l_quantity) AS BIGINT) AS y
+  FROM lineitem
+),
+sums AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY 1
+)
+SELECT l_returnflag, n,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN (CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) END AS intercept,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r2
+FROM sums
+"""

@@ -2287,6 +2287,21 @@ def _ensure_loaded() -> None:
         drift.smd_balance_audit_query,
         drift.SMD_BALANCE_AUDIT_ORACLE,
     )
+    register(
+        "littles_law_audit",
+        an.littles_law_audit_query,
+        an.LITTLES_LAW_AUDIT_ORACLE,
+    )
+    register(
+        "binseg_changepoints",
+        stats.binseg_changepoints_query,
+        stats.BINSEG_CHANGEPOINTS_ORACLE,
+    )
+    register(
+        "discount_elasticity",
+        trade.discount_elasticity_query,
+        trade.DISCOUNT_ELASTICITY_ORACLE,
+    )
 
     _apply_window(_WINDOW_R08)
     _LOADED = True

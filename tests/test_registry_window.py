@@ -68,6 +68,9 @@ R09_MATERIAL: set[str] = {
     "qq_shift_profile",
     "logrank_cohorts",
     "smd_balance_audit",
+    "littles_law_audit",
+    "binseg_changepoints",
+    "discount_elasticity",
 }
 
 

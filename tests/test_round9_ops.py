@@ -849,3 +849,121 @@ def test_smd_matches_bruteforce_python(spark):
         pooled = math.sqrt((va + vb) / 2)
         want = (sum(b) / len(b) - sum(a) / len(a)) / pooled
         assert row["smd"] == pytest.approx(want, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Little's law audit
+# ---------------------------------------------------------------------------
+
+
+def test_littles_gap_is_exactly_zero(spark):
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    rows = analytics.littles_law_audit_query(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # the sweep integral and the duration sum are independent
+        # derivations of the same integer quantity
+        assert r["littles_gap"] == 0
+        assert r["busy_us_sweep"] == r["busy_us_durations"]
+        assert r["mean_concurrency"] > 0
+        assert r["mean_duration_s"] == pytest.approx(
+            r["busy_us_durations"] / r["n_sessions"] / 1e6
+        )
+
+
+def test_littles_agrees_with_session_concurrency_counts(spark):
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    lit_rows = {r["day"]: r for r in
+                analytics.littles_law_audit_query(spark, SF).collect()}
+    conc = {
+        int(
+            r["day"].toordinal()
+            - __import__("datetime").date(1970, 1, 1).toordinal()
+        ): r
+        for r in analytics.session_concurrency_query(spark, SF).collect()
+    }
+    assert set(lit_rows) == set(conc)
+    for d, r in lit_rows.items():
+        assert r["n_sessions"] == conc[d]["n_sessions"]
+        # the time-average concurrency can never exceed the peak
+        assert r["mean_concurrency"] <= conc[d]["max_concurrent"] + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Binary segmentation
+# ---------------------------------------------------------------------------
+
+
+def test_binseg_root_matches_bruteforce_and_children_nest(spark):
+    from _kafka_streams_scaffold_spark.operators import stats as stats_mod
+
+    ev = tables.table(spark, SF, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(F.to_date("ts").alias("day")).collect()
+    daily = Counter(r["day"] for r in ev)
+    days = sorted(daily)
+    n, s = len(days), sum(daily.values())
+
+    def best(sub):
+        ns, ss = len(sub), sum(daily[d] for d in sub)
+        prefix, out = 0, None
+        for i, d in enumerate(sub, start=1):
+            prefix += daily[d]
+            c = ns * prefix - i * ss
+            if out is None or abs(c) > abs(out[1]):
+                out = (d, c, ns)
+        return out
+
+    rows = {(r["level"], r["segment"]): r for r in
+            stats_mod.binseg_changepoints_query(spark, SF).collect()}
+    root = rows[(1, "root")]
+    want_root = best(days)
+    assert root["changepoint_day"] == want_root[0]
+    assert root["cusum_scaled"] == want_root[1]
+    assert root["n_days"] == n
+    cp = root["changepoint_day"]
+    left = [d for d in days if d <= cp]
+    right = [d for d in days if d > cp]
+    for seg, sub in (("left", left), ("right", right)):
+        if not sub:
+            continue
+        row = rows[(2, seg)]
+        want = best(sub)
+        assert row["changepoint_day"] == want[0]
+        assert row["cusum_scaled"] == want[1]
+        assert row["n_days"] == len(sub)
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity
+# ---------------------------------------------------------------------------
+
+
+def test_elasticity_matches_bruteforce_ols(spark):
+    from _kafka_streams_scaffold_spark.operators import trade
+
+    li = tables.table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_discount", "l_quantity"
+    ).collect()
+    pts = {}
+    for r in li:
+        pts.setdefault(r["l_returnflag"], []).append(
+            (math.floor(r["l_discount"] * 100),
+             math.floor(r["l_quantity"]))
+        )
+    out = {r["l_returnflag"]: r for r in
+           trade.discount_elasticity_query(spark, SF).collect()}
+    for flag, xy in pts.items():
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        sxy = sum(x * y for x, y in xy)
+        cov, vx = n * sxy - sx * sy, n * sxx - sx * sx
+        row = out[flag]
+        assert row["n"] == n
+        assert row["mean_qty"] == pytest.approx(sy / n, rel=1e-12)
+        assert row["slope"] == pytest.approx(cov / vx, rel=1e-9)
+        assert -1e-9 <= row["r2"] <= 1 + 1e-9

@@ -191,3 +191,32 @@ def test_smd_one_rollup_unpivot_no_big_join(spark, sf_dir):
     _no_python(t)
     assert "CartesianProduct" not in t
     assert _n(t, "HashAggregate") >= 2
+
+
+def test_littles_rides_pinned_segments(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    t = pi.tree(analytics.littles_law_audit_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    # both derivations read the pinned day-segment cache
+    assert "InMemoryTableScan" in t
+
+
+def test_binseg_two_spine_passes_no_big_join(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import stats as stats_mod
+
+    t = pi.tree(stats_mod.binseg_changepoints_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    assert "SortMergeJoin" not in t
+    assert "Window" in t
+
+
+def test_elasticity_single_scan_rollup(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import trade
+
+    t = pi.tree(trade.discount_elasticity_query(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t
+    assert _n(t, "HashAggregate") >= 1

@@ -1612,6 +1612,25 @@ AUDIT = [
         "unpivoted in-plan (stack) to a 3x panel; DECIMAL(38,0) "
         "moments collapse to a |covariates|-row frame.",
     ),
+    (
+        "littles_law_audit",
+        "Both sides of the identity read the PINNED day-segment "
+        "frame (no new corpus pass); the sweep integral is "
+        "day-partitioned windows over O(sessions) points; the gap "
+        "column is exact-zero by construction.",
+    ),
+    (
+        "binseg_changepoints",
+        "Two passes of the cusum spine windows (root unpartitioned "
+        "over |days|, children partitioned by segment); the root "
+        "changepoint enters level 2 as a broadcast scalar.",
+    ),
+    (
+        "discount_elasticity",
+        "ONE lineitem scan into a 3-key partial-aggregatable moment "
+        "rollup; regression algebra on a 3-row frame; x,y bounded "
+        "integers keep every moment exact BIGINT.",
+    ),
 ]
 
 
