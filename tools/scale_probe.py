@@ -749,6 +749,21 @@ def main() -> None:
             unioned(spark, "orders", m),
             lambda: drift_mod.cuped_uplift_query(spark, SF_DIR),
         ),
+        "revenue attribution (ignore-nulls window)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: an_mod2.revenue_attribution_query(spark, SF_DIR),
+        ),
+        "adamic adar (common-neighbor join)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: similarity.adamic_adar_links_query(spark, SF_DIR),
+        ),
+        "audience overlap (bounded self-join)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: an_mod2.audience_overlap_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
@@ -962,17 +977,37 @@ def main() -> None:
         )
         with open(path) as f:
             existing = f.read().splitlines()
+        matched: set[str] = set()
         out_lines = []
         for ln in existing:
             hit = None
             for name, row in patched_rows.items():
                 if ln.startswith(f"| {name} |"):
                     hit = row
+                    matched.add(name)
                     break
             out_lines.append(hit if hit is not None else ln)
+        new_rows = [
+            row for name, row in patched_rows.items() if name not in matched
+        ]
+        if new_rows:
+            # append at the end of the MAIN probe table (the one whose
+            # header is "| probe |...") — later sections hold their
+            # own tables, so scan the contiguous block after the header
+            hdr = next(
+                i for i, ln in enumerate(out_lines)
+                if ln.startswith("| probe |")
+            )
+            end = hdr + 1
+            while end < len(out_lines) and out_lines[end].startswith("|"):
+                end += 1
+            out_lines[end:end] = new_rows
         with open(path, "w") as f:
             f.write("\n".join(out_lines) + "\n")
-        print(f"patched {len(patched_rows)} row(s) in SCALE.md")
+        print(
+            f"patched {len(matched)} + appended {len(new_rows)} "
+            "row(s) in SCALE.md"
+        )
         spark.stop()
         return
 
