@@ -245,6 +245,8 @@ _DEDUP_AUDIT_CHAIN = [
     "minhash_estimate_audit",
     "blocking_recall_audit",
     "detector_kappa",
+    # r09 material riding the same shared tier pins
+    "detector_cochran_q",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in

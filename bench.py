@@ -97,6 +97,7 @@ def main() -> None:
         "minhash_estimate_audit",
         "blocking_recall_audit",
         "detector_kappa",
+        "detector_cochran_q",
     }
     names = list(qs)
     timings: dict[str, float] = {}
