@@ -834,3 +834,260 @@ SELECT l_returnflag, n,
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r2
 FROM sums
 """
+
+
+# --------------------------------------------------------------------------
+# Q13 analog: customer order-count distribution
+# --------------------------------------------------------------------------
+
+
+def cust_order_dist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_count, custdist): how many customers placed exactly k
+    non-urgent orders — TPC-H Q13's shape (LEFT OUTER join so
+    zero-order customers appear at c_count = 0, then a histogram of
+    the per-customer counts). The filter plays Q13's comment-pattern
+    role with the columns this schema has (o_orderpriority <>
+    '1-URGENT'). The classic double-aggregation over an outer join —
+    the shape that catches engines whose outer joins drop
+    unmatched-side rows under aggregation pushdown.
+
+    Scale: the join keys on custkey (id-width, shuffle or broadcast
+    per stats); both aggregations are partial-aggregatable; output is
+    |distinct counts| rows."""
+    cust = tables.table(spark, sf_dir, "customer").select("c_custkey")
+    orders = tables.table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+CUST_ORDER_DIST_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q14 analog: promotion revenue share for one ship month
+# --------------------------------------------------------------------------
+
+_PROMO_LO = "1995-09-01"
+_PROMO_HI = "1995-10-01"
+
+
+def promo_revenue_share_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(promo_revenue, total_revenue, promo_share_pct): TPC-H Q14 —
+    the share of one ship-month's discounted revenue carried by
+    PROMO-type parts. The conditional-aggregation-over-a-join shape:
+    one equi-join to the part dim, numerator and denominator in a
+    single pass (no second scan, no self-join).
+
+    Exactness: both sums are exact DECIMAL(12,2)-lattice products
+    (the pricing_summary money rule) cast to double only at the
+    output boundary; the share is one final division.
+
+    Scale: the ship-month filter is pushed to the lineitem scan
+    (PushedFilters); the part side joins id-width (broadcast under
+    threshold)."""
+    li = tables.table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_PROMO_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_PROMO_HI).cast("timestamp"))
+    )
+    part = tables.table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type"
+    )
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )
+        ).alias("promo_dec"),
+        F.sum(rev).alias("total_dec"),
+    )
+    return agg.select(
+        F.col("promo_dec").cast("double").alias("promo_revenue"),
+        F.col("total_dec").cast("double").alias("total_revenue"),
+        (
+            F.lit(100.0)
+            * F.col("promo_dec").cast("double")
+            / F.col("total_dec").cast("double")
+        ).alias("promo_share_pct"),
+    )
+
+
+PROMO_REVENUE_SHARE_ORACLE = f"""
+WITH joined AS (
+  SELECT p.p_type,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+           AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{_PROMO_LO}'
+    AND l.l_shipdate < TIMESTAMP '{_PROMO_HI}'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         AS promo_revenue,
+       CAST(sum(rev) AS DOUBLE) AS total_revenue,
+       100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(sum(rev) AS DOUBLE) AS promo_share_pct
+FROM joined
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17 analog: small-quantity-order revenue for one brand
+# --------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#12"
+
+
+def small_qty_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_lineitems, total_extprice, avg_yearly): TPC-H Q17 — the
+    average yearly revenue lost if small-quantity orders (below 20%
+    of the part's own average order quantity) for one brand moved to
+    bulk. The correlated-aggregate-subquery shape, decorrelated the
+    Spark way: the per-part average is its OWN aggregate joined back
+    (broadcast — it is |parts-in-brand| rows), never a per-row
+    subquery.
+
+    Exactness: the 0.2 * avg threshold compares exact DECIMAL
+    quantities cross-multiplied (5 * qty * n_li < sum_qty, pure
+    integer-lattice decimal arithmetic — no division, so no rounding
+    at the predicate boundary); sums are DECIMAL cast to double at
+    the boundary; avg_yearly is one division by 7.0 (Q17's          
+    constant).
+
+    Scale: brand filter reaches both scans; the threshold join is
+    id-width on partkey with the aggregate side broadcast."""
+    part = tables.table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == _Q17_BRAND
+    ).select("p_partkey")
+    li = tables.table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n_li"),
+    ).select(
+        F.col("l_partkey").alias("t_partkey"), "sum_qty", "n_li"
+    )
+    small = li.join(
+        F.broadcast(per_part),
+        F.col("l_partkey") == F.col("t_partkey"),
+    ).filter(
+        # qty < 0.2 * (sum_qty / n_li)  <=>  5 * qty * n_li < sum_qty
+        F.lit(5) * _dec("l_quantity") * F.col("n_li") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias(
+            "total_extprice"
+        ),
+        (
+            F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)
+        ).alias("avg_yearly"),
+    )
+
+
+SMALL_QTY_REVENUE_ORACLE = f"""
+WITH brand_li AS (
+  SELECT l.l_partkey,
+         CAST(l.l_quantity AS DECIMAL(12,2)) AS qty,
+         CAST(l.l_extendedprice AS DECIMAL(12,2)) AS ext
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = '{_Q17_BRAND}'
+),
+per_part AS (
+  SELECT l_partkey, sum(qty) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS n_li
+  FROM brand_li GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(b.ext) AS DOUBLE) AS total_extprice,
+       CAST(sum(b.ext) AS DOUBLE) / 7.0 AS avg_yearly
+FROM brand_li b JOIN per_part t USING (l_partkey)
+WHERE 5 * b.qty * t.n_li < t.sum_qty
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19 analog: OR-of-ANDs predicate revenue
+# --------------------------------------------------------------------------
+
+
+def branded_basket_revenue_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_lineitems, revenue): TPC-H Q19 — discounted revenue over an
+    OR of three brand/size/quantity AND-branches. The disjunctive-
+    predicate shape: the engine must push the SHARED join key through
+    the OR (join first, filter once) instead of unioning three scans.
+
+    Exactness: the pricing_summary money rule. Scale: one lineitem
+    scan, part side id-width (broadcast under threshold), the OR is
+    one codegen'd predicate — plan-asserted single Join node."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    part = tables.table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
+    qty = _dec("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & qty.between(20, 30)
+        )
+    )
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    return joined.filter(cond).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+BRANDED_BASKET_REVENUE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2))
+                   - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND CAST(l.l_quantity AS DECIMAL(12,2)) BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND CAST(l.l_quantity AS DECIMAL(12,2)) BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND CAST(l.l_quantity AS DECIMAL(12,2)) BETWEEN 20 AND 30)
+"""

@@ -2304,6 +2304,26 @@ def _ensure_loaded() -> None:
         trade.discount_elasticity_query,
         trade.DISCOUNT_ELASTICITY_ORACLE,
     )
+    register(
+        "cust_order_dist",
+        trade.cust_order_dist_query,
+        trade.CUST_ORDER_DIST_ORACLE,
+    )
+    register(
+        "promo_revenue_share",
+        trade.promo_revenue_share_query,
+        trade.PROMO_REVENUE_SHARE_ORACLE,
+    )
+    register(
+        "small_qty_revenue",
+        trade.small_qty_revenue_query,
+        trade.SMALL_QTY_REVENUE_ORACLE,
+    )
+    register(
+        "branded_basket_revenue",
+        trade.branded_basket_revenue_query,
+        trade.BRANDED_BASKET_REVENUE_ORACLE,
+    )
 
     _apply_window(_WINDOW_R08)
     _LOADED = True

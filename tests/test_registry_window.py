@@ -71,6 +71,10 @@ R09_MATERIAL: set[str] = {
     "littles_law_audit",
     "binseg_changepoints",
     "discount_elasticity",
+    "cust_order_dist",
+    "promo_revenue_share",
+    "small_qty_revenue",
+    "branded_basket_revenue",
 }
 
 

@@ -967,3 +967,105 @@ def test_elasticity_matches_bruteforce_ols(spark):
         assert row["mean_qty"] == pytest.approx(sy / n, rel=1e-12)
         assert row["slope"] == pytest.approx(cov / vx, rel=1e-9)
         assert -1e-9 <= row["r2"] <= 1 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analog fill-ins: Q13 / Q14 / Q17 / Q19
+# ---------------------------------------------------------------------------
+
+
+def test_q13_distribution_counts_all_customers(spark):
+    from _kafka_streams_scaffold_spark.operators import trade
+
+    rows = trade.cust_order_dist_query(spark, SF).collect()
+    n_cust = tables.table(spark, SF, "customer").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+    # the left join preserves zero-order customers iff any exist
+    orders = tables.table(spark, SF, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey").distinct().count()
+    zero = {r["c_count"]: r["custdist"] for r in rows}.get(0, 0)
+    assert zero == n_cust - orders
+
+
+def test_q14_share_matches_bruteforce(spark):
+    from _kafka_streams_scaffold_spark.operators import trade
+
+    import datetime as dt
+    li = tables.table(spark, SF, "lineitem").collect()
+    part = {r["p_partkey"]: r["p_type"] for r in
+            tables.table(spark, SF, "part").collect()}
+    lo, hi = dt.datetime(1995, 9, 1), dt.datetime(1995, 10, 1)
+    promo = total = 0.0
+    for r in li:
+        if lo <= r["l_shipdate"] < hi:
+            rev = round(r["l_extendedprice"], 2) * (
+                1 - round(r["l_discount"], 2)
+            )
+            total += rev
+            if part[r["l_partkey"]] == "PROMO":
+                promo += rev
+    row = trade.promo_revenue_share_query(spark, SF).collect()[0]
+    assert row["total_revenue"] == pytest.approx(total, rel=1e-9)
+    assert row["promo_revenue"] == pytest.approx(promo, rel=1e-9)
+    assert row["promo_share_pct"] == pytest.approx(
+        100 * promo / total, rel=1e-9
+    )
+
+
+def test_q17_threshold_is_exact_cross_multiplied(spark):
+    from _kafka_streams_scaffold_spark.operators import trade
+
+    li = tables.table(spark, SF, "lineitem").collect()
+    brand_parts = {
+        r["p_partkey"] for r in tables.table(spark, SF, "part").collect()
+        if r["p_brand"] == "Brand#12"
+    }
+    per_part = {}
+    for r in li:
+        if r["l_partkey"] in brand_parts:
+            s = per_part.setdefault(r["l_partkey"], [0.0, 0])
+            s[0] += r["l_quantity"]
+            s[1] += 1
+    n = 0
+    ext = 0.0
+    for r in li:
+        if r["l_partkey"] in brand_parts:
+            sq, nl = per_part[r["l_partkey"]]
+            if 5 * r["l_quantity"] * nl < sq:
+                n += 1
+                ext += round(r["l_extendedprice"], 2)
+    row = trade.small_qty_revenue_query(spark, SF).collect()[0]
+    assert row["n_lineitems"] == n
+    if n:
+        assert row["total_extprice"] == pytest.approx(ext, rel=1e-9)
+        assert row["avg_yearly"] == pytest.approx(ext / 7.0, rel=1e-9)
+
+
+def test_q19_or_branches_match_bruteforce(spark):
+    from _kafka_streams_scaffold_spark.operators import trade
+
+    li = tables.table(spark, SF, "lineitem").collect()
+    part = {r["p_partkey"]: r for r in
+            tables.table(spark, SF, "part").collect()}
+    n = 0
+    rev = 0.0
+    for r in li:
+        p = part[r["l_partkey"]]
+        q = r["l_quantity"]
+        hit = (
+            (p["p_brand"] == "Brand#12" and 1 <= p["p_size"] <= 15
+             and 1 <= q <= 11)
+            or (p["p_brand"] == "Brand#23" and 1 <= p["p_size"] <= 25
+                and 10 <= q <= 20)
+            or (p["p_brand"] == "Brand#34" and 1 <= p["p_size"] <= 35
+                and 20 <= q <= 30)
+        )
+        if hit:
+            n += 1
+            rev += round(r["l_extendedprice"], 2) * (
+                1 - round(r["l_discount"], 2)
+            )
+    row = trade.branded_basket_revenue_query(spark, SF).collect()[0]
+    assert row["n_lineitems"] == n
+    assert (row["revenue"] or 0.0) == pytest.approx(rev, rel=1e-9)

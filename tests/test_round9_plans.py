@@ -220,3 +220,29 @@ def test_elasticity_single_scan_rollup(spark, sf_dir):
     _no_python(t)
     assert "Join" not in t
     assert _n(t, "HashAggregate") >= 1
+
+
+def test_q_analog_plans(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import trade
+
+    # Q13: outer join preserved under double aggregation, no cartesian
+    t = pi.tree(trade.cust_order_dist_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    assert _n(t, "HashAggregate") >= 2
+    # Q14: numerator+denominator in ONE pass — a single join node,
+    # never two scans of lineitem
+    t = pi.tree(trade.promo_revenue_share_query(spark, sf_dir))
+    _no_python(t)
+    assert t.count("Scan parquet") <= 2
+    # Q17: the per-part aggregate joins back broadcast
+    t = pi.tree(trade.small_qty_revenue_query(spark, sf_dir))
+    _no_python(t)
+    assert "BroadcastHashJoin" in t
+    assert "CartesianProduct" not in t
+    # Q19: the OR-of-ANDs stays one Join + one Filter (no union of
+    # three scans)
+    t = pi.tree(trade.branded_basket_revenue_query(spark, sf_dir))
+    _no_python(t)
+    assert "Union" not in t
+    assert t.count("Scan parquet") <= 2

@@ -1631,6 +1631,30 @@ AUDIT = [
         "rollup; regression algebra on a 3-row frame; x,y bounded "
         "integers keep every moment exact BIGINT.",
     ),
+    (
+        "cust_order_dist",
+        "Q13 shape: LEFT OUTER join preserved under the double "
+        "aggregation (zero-order customers survive); both rollups "
+        "partial-aggregatable on id-width keys.",
+    ),
+    (
+        "promo_revenue_share",
+        "Q14 shape: numerator and denominator as conditional "
+        "aggregates over ONE join pass; the ship-month filter reaches "
+        "the lineitem scan (PushedFilters).",
+    ),
+    (
+        "small_qty_revenue",
+        "Q17 decorrelated: the per-part average joins BACK broadcast "
+        "(never a per-row subquery); the 0.2*avg threshold is "
+        "cross-multiplied exact decimal (no division at the "
+        "predicate).",
+    ),
+    (
+        "branded_basket_revenue",
+        "Q19 shape: the OR-of-ANDs stays one Join + one Filter — "
+        "plan-asserted no Union, <= 2 scans.",
+    ),
 ]
 
 
