@@ -2558,3 +2558,79 @@ FROM durations du JOIN sweep s USING (d)
 
 
 LITTLES_LAW_AUDIT_ORACLE = _littles_oracle()
+
+
+# --------------------------------------------------------------------------
+# Longest consecutive-day activity streak distribution
+# --------------------------------------------------------------------------
+
+
+def activity_streaks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(max_streak, n_users, frac_users): how many users' LONGEST run
+    of consecutive active days is exactly k — the engagement-depth
+    distribution behind habit metrics (DAU says how many showed up
+    today; the streak distribution says who shows up every day). The
+    gaps-and-islands identity: within a user's sorted distinct active
+    days, day - row_number() is constant exactly on a consecutive
+    run.
+
+    Exactness: all integer day arithmetic and counts; frac is one
+    final division. Scale: one distinct (user, day) rollup (id-width)
+    , one user-partitioned rank window over active days (<= span
+    rows per user), then histogram rollups."""
+    ev = tables.table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        (F.col("d") - F.row_number().over(w)).alias("grp"),
+    )
+    runs = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    per_user = runs.groupBy("user_id").agg(
+        F.max("run_len").cast("bigint").alias("max_streak")
+    )
+    totals = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    return (
+        per_user.groupBy("max_streak")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "max_streak",
+            "n_users",
+            (
+                F.col("n_users").cast("double") / F.col("nu").cast("double")
+            ).alias("frac_users"),
+        )
+    )
+
+
+ACTIVITY_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+),
+runs AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS run_len
+  FROM islands GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, CAST(max(run_len) AS BIGINT) AS max_streak
+  FROM runs GROUP BY 1
+),
+totals AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM per_user)
+SELECT p.max_streak, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(*) AS DOUBLE) / CAST(t.nu AS DOUBLE) AS frac_users
+FROM per_user p CROSS JOIN totals t
+GROUP BY 1, t.nu
+"""

@@ -2762,3 +2762,186 @@ JOIN edges b ON b.n_id = a.n_id AND a.q_id < b.q_id
 JOIN terms t ON t.n_id = a.n_id
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Davies-Bouldin index per label
+# --------------------------------------------------------------------------
+
+_DB_FP = 1_000_000_000  # 1e9 per-vector own-centroid distance fixed point
+
+
+def davies_bouldin_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_vecs, s_mean, worst_label, db_ratio): the
+    Davies-Bouldin clustering-quality readout per label — dispersion
+    s_i = mean member distance to the OWN centroid, and db_ratio =
+    max over other labels of (s_i + s_j) / d(c_i, c_j), the
+    worst-case "how mergeable is this label with its most-confusable
+    neighbor" (higher = worse; the global DB index is the mean of the
+    column). Complements simplified_silhouette: silhouette scores
+    each VECTOR's boundary position, DB scores each LABEL pair's
+    separation-vs-spread — the readout taxonomy decisions read.
+
+    Exactness: centroids are the fixed-point means (label_centroids
+    arithmetic) packed into pos-sorted arrays; per-vector distances
+    are ordered zip_with folds fixed-pointed per vector
+    (floor(1e9*d)) before the per-label integer mean; the pairwise
+    centroid distances are identical-input ordered folds, so the
+    argmax over j (ties to the lower label) is deterministic
+    cross-engine.
+
+    Scale: the centroid table broadcasts; ONE corpus pass scores the
+    own-centroid distance per vector; all pairwise work runs on the
+    |labels|^2 frame."""
+    emb = tables.spread(tables.table(spark, sf_dir, "embeddings"), "vec_id")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        F.col("pos0").alias("pos"),
+        F.floor(F.col("x").cast("double") * _FP_SCALE).alias("x_fp"),
+    )
+    cents = exploded.groupBy("label", "pos").agg(
+        (
+            F.sum("x_fp").cast("double")
+            / (F.count(F.lit(1)) * F.lit(_FP_SCALE)).cast("double")
+        ).alias("c")
+    )
+    packed = cents.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, c))), "
+            "x -> x.c)"
+        ).alias("carr")
+    ).select(F.col("label").alias("c_label"), "carr")
+    d2_own = (
+        "aggregate(zip_with(embedding, carr, (x, y) -> "
+        "(cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0.0 as double), (acc, t) -> acc + t)"
+    )
+    disp = (
+        emb.join(
+            F.broadcast(packed), F.col("label") == F.col("c_label")
+        )
+        .select(
+            "label",
+            F.floor(
+                F.lit(float(_DB_FP)) * F.sqrt(F.expr(d2_own))
+            ).cast("bigint").alias("d_fp"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("d_fp").cast("bigint").alias("sum_fp"),
+        )
+    )
+    a = packed.select(
+        F.col("c_label").alias("la"), F.col("carr").alias("ca")
+    )
+    b = packed.select(
+        F.col("c_label").alias("lb"), F.col("carr").alias("cb")
+    )
+    dcent = (
+        "sqrt(aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, t) -> acc + t))"
+    )
+    da = disp.select(
+        F.col("label").alias("la"),
+        F.col("n_vecs").alias("n_a"),
+        F.col("sum_fp").alias("sfa"),
+    )
+    db_ = disp.select(
+        F.col("label").alias("lb"),
+        F.col("n_vecs").alias("n_b"),
+        F.col("sum_fp").alias("sfb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("la") != F.col("lb"))
+        .join(F.broadcast(da), "la")
+        .join(F.broadcast(db_), "lb")
+        .select(
+            "la",
+            "lb",
+            "n_a",
+            "sfa",
+            (
+                (
+                    F.col("sfa").cast("double")
+                    / F.col("n_a").cast("double")
+                    + F.col("sfb").cast("double")
+                    / F.col("n_b").cast("double")
+                )
+                / F.lit(float(_DB_FP))
+                / F.expr(dcent)
+            ).alias("ratio"),
+        )
+    )
+    w = Window.partitionBy("la").orderBy(
+        F.col("ratio").desc(), F.col("lb").asc()
+    )
+    best = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.select(
+        F.col("la").alias("label"),
+        F.col("n_a").alias("n_vecs"),
+        (
+            F.col("sfa").cast("double")
+            / F.col("n_a").cast("double")
+            / F.lit(float(_DB_FP))
+        ).alias("s_mean"),
+        F.col("lb").alias("worst_label"),
+        F.col("ratio").alias("db_ratio"),
+    )
+
+
+DAVIES_BOULDIN_ORACLE = f"""
+WITH cents AS MATERIALIZED (
+  SELECT label, i - 1 AS pos,
+         CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP_SCALE})
+              AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) * {_FP_SCALE} AS DOUBLE) AS c
+  FROM embeddings, generate_series(1, {DIM}) AS t(i)
+  GROUP BY label, i
+),
+packed AS MATERIALIZED (
+  SELECT label AS c_label, list(c ORDER BY pos) AS carr
+  FROM cents GROUP BY label
+),
+disp AS MATERIALIZED (
+  SELECT e.label,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(CAST(floor({float(_DB_FP)!r} * sqrt(
+           list_reduce(list_transform(generate_series(1, {DIM}),
+               t -> (CAST(e.embedding[t] AS DOUBLE) - p.carr[t])
+                    * (CAST(e.embedding[t] AS DOUBLE) - p.carr[t])),
+             (a, b) -> a + b))) AS BIGINT)) AS BIGINT) AS sum_fp
+  FROM embeddings e JOIN packed p ON p.c_label = e.label
+  GROUP BY 1
+),
+pairs AS (
+  SELECT a.c_label AS la, b.c_label AS lb,
+         da.n_vecs AS n_a, da.sum_fp AS sfa,
+         (CAST(da.sum_fp AS DOUBLE) / CAST(da.n_vecs AS DOUBLE)
+          + CAST(dbx.sum_fp AS DOUBLE) / CAST(dbx.n_vecs AS DOUBLE))
+           / {float(_DB_FP)!r}
+           / sqrt(list_reduce(list_transform(generate_series(1, {DIM}),
+                 t -> (a.carr[t] - b.carr[t]) * (a.carr[t] - b.carr[t])),
+               (x, y) -> x + y)) AS ratio
+  FROM packed a
+  JOIN packed b ON a.c_label <> b.c_label
+  JOIN disp da ON da.label = a.c_label
+  JOIN disp dbx ON dbx.label = b.c_label
+),
+best AS (
+  SELECT la, lb, n_a, sfa, ratio,
+         row_number() OVER (
+           PARTITION BY la ORDER BY ratio DESC, lb ASC
+         ) AS rn
+  FROM pairs
+)
+SELECT la AS label, n_a AS n_vecs,
+       CAST(sfa AS DOUBLE) / CAST(n_a AS DOUBLE) / {float(_DB_FP)!r}
+         AS s_mean,
+       lb AS worst_label, ratio AS db_ratio
+FROM best WHERE rn = 1
+"""

@@ -41,7 +41,7 @@ engines select the identical row set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
@@ -1091,3 +1091,102 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
        AND CAST(l.l_quantity AS DECIMAL(12,2)) BETWEEN 20 AND 30)
 """
+
+
+# --------------------------------------------------------------------------
+# Fulfillment-lag percentiles per order priority
+# --------------------------------------------------------------------------
+
+_LAG_PS = (25, 50, 75, 90, 99)
+
+
+def fulfillment_lag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, p, n_lineitems, lag_q): exact type-1
+    percentiles (25/50/75/90/99) of the order-to-ship lag in days,
+    per order priority — THE fulfillment-SLA readout: if 1-URGENT's
+    p90 matches 5-LOW's, the priority flag is decorative. Lag =
+    datediff(l_shipdate, o_orderdate) on the order join.
+
+    Exactness: the qq_shift_profile machinery — integer day lags,
+    per-priority count-CDFs, the quantile located as the unique
+    CDF-crossing row at exact rank ceil(p*n/100); every output
+    column except none is an exact BIGINT.
+
+    Scale: one id-width join (lineitem to orders), a (priority, lag)
+    count rollup, CDF windows on the |priorities| x |lags| grid, the
+    5-row p panel broadcast."""
+    li = tables.table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = tables.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    lags = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias(
+            "lag"
+        ),
+    )
+    counts = lags.groupBy("o_orderpriority", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = counts.groupBy("o_orderpriority").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    ps = spark.createDataFrame([(p,) for p in _LAG_PS], "p int")
+    wc = Window.partitionBy("o_orderpriority").orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = counts.select(
+        "o_orderpriority", "lag", "c", F.sum("c").over(wc).alias("cum")
+    ).join(F.broadcast(totals), "o_orderpriority")
+    return (
+        cdf.join(F.broadcast(ps))
+        .filter(
+            (F.col("cum") >= F.expr("(p * n + 99) div 100"))
+            & (F.col("cum") - F.col("c") < F.expr("(p * n + 99) div 100"))
+        )
+        .select(
+            "o_orderpriority",
+            "p",
+            F.col("n").alias("n_lineitems"),
+            F.col("lag").alias("lag_q"),
+        )
+    )
+
+
+def _lag_oracle() -> str:
+    ps = ", ".join(f"({p})" for p in _LAG_PS)
+    return f"""
+WITH lags AS (
+  SELECT o.o_orderpriority,
+         CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+           AS lag
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+counts AS (
+  SELECT o_orderpriority, lag, CAST(count(*) AS BIGINT) AS c
+  FROM lags GROUP BY 1, 2
+),
+totals AS (
+  SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS n
+  FROM counts GROUP BY 1
+),
+ps(p) AS (VALUES {ps}),
+cdf AS (
+  SELECT c.o_orderpriority, c.lag, c.c, t.n,
+         sum(c.c) OVER (
+           PARTITION BY c.o_orderpriority ORDER BY c.lag
+         ) AS cum
+  FROM counts c JOIN totals t USING (o_orderpriority)
+)
+SELECT s.o_orderpriority, p.p, s.n AS n_lineitems, s.lag AS lag_q
+FROM cdf s CROSS JOIN ps p
+WHERE s.cum >= (p.p * s.n + 99) // 100
+  AND s.cum - s.c < (p.p * s.n + 99) // 100
+"""
+
+
+FULFILLMENT_LAG_ORACLE = _lag_oracle()

@@ -2324,6 +2324,21 @@ def _ensure_loaded() -> None:
         trade.branded_basket_revenue_query,
         trade.BRANDED_BASKET_REVENUE_ORACLE,
     )
+    register(
+        "davies_bouldin",
+        similarity.davies_bouldin_query,
+        similarity.DAVIES_BOULDIN_ORACLE,
+    )
+    register(
+        "activity_streaks",
+        an.activity_streaks_query,
+        an.ACTIVITY_STREAKS_ORACLE,
+    )
+    register(
+        "fulfillment_lag",
+        trade.fulfillment_lag_query,
+        trade.FULFILLMENT_LAG_ORACLE,
+    )
 
     _apply_window(_WINDOW_R08)
     _LOADED = True

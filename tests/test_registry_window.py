@@ -75,6 +75,9 @@ R09_MATERIAL: set[str] = {
     "promo_revenue_share",
     "small_qty_revenue",
     "branded_basket_revenue",
+    "davies_bouldin",
+    "activity_streaks",
+    "fulfillment_lag",
 }
 
 

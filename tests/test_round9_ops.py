@@ -1069,3 +1069,113 @@ def test_q19_or_branches_match_bruteforce(spark):
     row = trade.branded_basket_revenue_query(spark, SF).collect()[0]
     assert row["n_lineitems"] == n
     assert (row["revenue"] or 0.0) == pytest.approx(rev, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Davies-Bouldin / streaks / fulfillment lag
+# ---------------------------------------------------------------------------
+
+
+def test_davies_bouldin_matches_bruteforce(spark):
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    emb = tables.table(spark, SF, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(
+            [float(x) for x in r["embedding"]]
+        )
+    dim = len(emb[0]["embedding"])
+    cents = {}
+    for lab, vecs in by_label.items():
+        fps = [
+            sum(math.floor(v[i] * 1_000_000) for v in vecs)
+            for i in range(dim)
+        ]
+        cents[lab] = [
+            fp / (len(vecs) * 1_000_000) for fp in fps
+        ]
+    s = {}
+    for lab, vecs in by_label.items():
+        tot = 0
+        for v in vecs:
+            d = math.sqrt(
+                sum((v[i] - cents[lab][i]) ** 2 for i in range(dim))
+            )
+            tot += math.floor(1e9 * d)
+        s[lab] = tot / len(vecs) / 1e9
+    out = {r["label"]: r for r in
+           similarity.davies_bouldin_query(spark, SF).collect()}
+    for lab in by_label:
+        best = None
+        for other in by_label:
+            if other == lab:
+                continue
+            dc = math.sqrt(
+                sum(
+                    (cents[lab][i] - cents[other][i]) ** 2
+                    for i in range(dim)
+                )
+            )
+            ratio = (s[lab] + s[other]) / dc
+            if best is None or ratio > best[1] + 1e-15:
+                best = (other, ratio)
+        row = out[lab]
+        assert row["n_vecs"] == len(by_label[lab])
+        assert row["s_mean"] == pytest.approx(s[lab], rel=1e-9)
+        assert row["worst_label"] == best[0]
+        assert row["db_ratio"] == pytest.approx(best[1], rel=1e-9)
+
+
+def test_streaks_partition_users_and_match_bruteforce(spark):
+    from _kafka_streams_scaffold_spark.operators import analytics
+
+    ev = tables.table(spark, SF, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("d")
+    ).collect()
+    days = {}
+    for r in ev:
+        days.setdefault(r["user_id"], set()).add(r["d"])
+    want = Counter()
+    for _, ds in days.items():
+        ds = sorted(ds)
+        best = cur = 1
+        for a, b in zip(ds, ds[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        want[best] += 1
+    rows = analytics.activity_streaks_query(spark, SF).collect()
+    got = {r["max_streak"]: r["n_users"] for r in rows}
+    assert got == dict(want)
+    assert sum(r["n_users"] for r in rows) == len(days)
+    assert sum(r["frac_users"] for r in rows) == pytest.approx(1.0)
+
+
+def test_fulfillment_lag_quantiles_match_bruteforce(spark):
+    from _kafka_streams_scaffold_spark.operators import trade
+
+    li = tables.table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect()
+    orders = {r["o_orderkey"]: r for r in
+              tables.table(spark, SF, "orders").collect()}
+    lags = {}
+    for r in li:
+        o = orders[r["l_orderkey"]]
+        lag = (r["l_shipdate"].date() - o["o_orderdate"].date()).days
+        lags.setdefault(o["o_orderpriority"], []).append(lag)
+    out = {(r["o_orderpriority"], r["p"]): r for r in
+           trade.fulfillment_lag_query(spark, SF).collect()}
+    for prio, xs in lags.items():
+        xs = sorted(xs)
+        for p in (25, 50, 75, 90, 99):
+            rank = (p * len(xs) + 99) // 100
+            row = out[(prio, p)]
+            assert row["n_lineitems"] == len(xs)
+            assert row["lag_q"] == xs[rank - 1]
+    # quantiles are monotone in p within each priority (the synthetic
+    # generator does NOT enforce shipdate >= orderdate, so negative
+    # lags are a data property, not an operator property)
+    for prio in lags:
+        qs = [out[(prio, p)]["lag_q"] for p in (25, 50, 75, 90, 99)]
+        assert qs == sorted(qs)

@@ -246,3 +246,28 @@ def test_q_analog_plans(spark, sf_dir):
     _no_python(t)
     assert "Union" not in t
     assert t.count("Scan parquet") <= 2
+
+
+def test_batch12_plans(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import (
+        analytics,
+        similarity,
+        trade,
+    )
+
+    # Davies-Bouldin: centroid table broadcast, pair work on the
+    # |labels|^2 frame, one corpus scoring pass
+    t = pi.tree(similarity.davies_bouldin_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    assert "BroadcastHashJoin" in t or "BroadcastNestedLoopJoin" in t
+    # streaks: distinct rollup -> user-partitioned window -> rollups
+    t = pi.tree(analytics.activity_streaks_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    assert "Window" in t
+    # fulfillment lag: id-width join, CDF windows on the grid only
+    t = pi.tree(trade.fulfillment_lag_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    assert _n(t, "HashAggregate") >= 2

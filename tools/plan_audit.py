@@ -1655,6 +1655,25 @@ AUDIT = [
         "Q19 shape: the OR-of-ANDs stays one Join + one Filter — "
         "plan-asserted no Union, <= 2 scans.",
     ),
+    (
+        "davies_bouldin",
+        "Centroid table broadcasts; ONE corpus pass scores the "
+        "own-centroid distance (fixed-point per vector before the "
+        "label mean); all pairwise ratios live on the |labels|^2 "
+        "frame with deterministic argmax.",
+    ),
+    (
+        "activity_streaks",
+        "One distinct (user, day) rollup, the gaps-and-islands rank "
+        "window per user, then histogram rollups — id-width "
+        "throughout.",
+    ),
+    (
+        "fulfillment_lag",
+        "One id-width lineitem-orders join into a (priority, lag) "
+        "count grid; exact type-1 quantiles located on "
+        "priority-partitioned CDF windows; 5-row p panel broadcast.",
+    ),
 ]
 
 
