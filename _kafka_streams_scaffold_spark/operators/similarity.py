@@ -2945,3 +2945,88 @@ SELECT la AS label, n_a AS n_vecs,
        lb AS worst_label, ratio AS db_ratio
 FROM best WHERE rn = 1
 """
+
+
+# --------------------------------------------------------------------------
+# Label Gini impurity per IVF cell
+# --------------------------------------------------------------------------
+
+
+def cell_label_gini_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, n_vecs, n_labels, majority_label, gini_num, gini): the
+    Gini impurity of the TRUE label distribution inside each IVF
+    quantizer cell — gini = 1 - sum_l (n_l/n)^2, carried as the exact
+    integer numerator gini_num = n^2 - sum n_l^2 over denominator
+    n^2. Zero means the quantizer's cells align with the labeling
+    (cell routing can stand in for classification); high impurity
+    cells are where ANN search pays its recall tax and where
+    knn_label_purity's noise flags will concentrate — this is the
+    CELL-level rollup of that per-vector story.
+
+    Exactness: pure integer counts; the majority label ties to the
+    LOWER label id via a deterministic rank; gini is one final
+    division. Scale: one assignment pass (centroids broadcast), a
+    |cells| x |labels| rollup, then |cells|-sized frames."""
+    assign = ivf_assign_query(spark, sf_dir).select(
+        F.col("assigned_label").alias("cell"), "orig_label"
+    )
+    counts = assign.groupBy("cell", "orig_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nl")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("nl").desc(), F.col("orig_label").asc()
+    )
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    agg = counts.groupBy("cell").agg(
+        F.sum("nl").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+        F.sum(F.col("nl") * F.col("nl")).cast("bigint").alias("sum_sq"),
+    )
+    maj = ranked.filter(F.col("rn") == 1).select(
+        "cell", F.col("orig_label").alias("majority_label")
+    )
+    return agg.join(F.broadcast(maj), "cell").select(
+        "cell",
+        "n_vecs",
+        "n_labels",
+        "majority_label",
+        (
+            F.col("n_vecs") * F.col("n_vecs") - F.col("sum_sq")
+        ).cast("bigint").alias("gini_num"),
+        (
+            (F.col("n_vecs") * F.col("n_vecs") - F.col("sum_sq"))
+            .cast("double")
+            / (F.col("n_vecs") * F.col("n_vecs")).cast("double")
+        ).alias("gini"),
+    )
+
+
+CELL_LABEL_GINI_ORACLE = f"""
+WITH {_DUCK_ASSIGN_CTES},
+counts AS (
+  SELECT c_label AS cell, orig_label, CAST(count(*) AS BIGINT) AS nl
+  FROM assign GROUP BY 1, 2
+),
+agg AS (
+  SELECT cell,
+         CAST(sum(nl) AS BIGINT) AS n_vecs,
+         CAST(count(*) AS BIGINT) AS n_labels,
+         CAST(sum(nl * nl) AS BIGINT) AS sum_sq
+  FROM counts GROUP BY 1
+),
+maj AS (
+  SELECT cell, orig_label AS majority_label
+  FROM (
+    SELECT cell, orig_label,
+           row_number() OVER (
+             PARTITION BY cell ORDER BY nl DESC, orig_label ASC
+           ) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT a.cell, a.n_vecs, a.n_labels, m.majority_label,
+       CAST(a.n_vecs * a.n_vecs - a.sum_sq AS BIGINT) AS gini_num,
+       CAST(a.n_vecs * a.n_vecs - a.sum_sq AS DOUBLE)
+         / CAST(a.n_vecs * a.n_vecs AS DOUBLE) AS gini
+FROM agg a JOIN maj m USING (cell)
+"""

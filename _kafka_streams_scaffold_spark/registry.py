@@ -2339,6 +2339,11 @@ def _ensure_loaded() -> None:
         trade.fulfillment_lag_query,
         trade.FULFILLMENT_LAG_ORACLE,
     )
+    register(
+        "cell_label_gini",
+        similarity.cell_label_gini_query,
+        similarity.CELL_LABEL_GINI_ORACLE,
+    )
 
     _apply_window(_WINDOW_R08)
     _LOADED = True

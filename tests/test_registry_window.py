@@ -78,6 +78,7 @@ R09_MATERIAL: set[str] = {
     "davies_bouldin",
     "activity_streaks",
     "fulfillment_lag",
+    "cell_label_gini",
 }
 
 

@@ -1179,3 +1179,38 @@ def test_fulfillment_lag_quantiles_match_bruteforce(spark):
     for prio in lags:
         qs = [out[(prio, p)]["lag_q"] for p in (25, 50, 75, 90, 99)]
         assert qs == sorted(qs)
+
+
+# ---------------------------------------------------------------------------
+# Cell label Gini
+# ---------------------------------------------------------------------------
+
+
+def test_cell_gini_matches_ncc_confusion_columns(spark):
+    """The cell x label counts here are the TRANSPOSE of the NCC
+    confusion matrix — the two operators must agree on every cell."""
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    conf = similarity.ncc_confusion_query(spark, SF).collect()
+    by_cell = {}
+    for r in conf:
+        by_cell.setdefault(r["assigned_label"], {})[r["orig_label"]] = r[
+            "n"
+        ]
+    out = {r["cell"]: r for r in
+           similarity.cell_label_gini_query(spark, SF).collect()}
+    assert set(out) == set(by_cell)
+    for cell, counts in by_cell.items():
+        row = out[cell]
+        n = sum(counts.values())
+        assert row["n_vecs"] == n
+        assert row["n_labels"] == len(counts)
+        assert row["gini_num"] == n * n - sum(
+            v * v for v in counts.values()
+        )
+        assert row["gini"] == pytest.approx(
+            1 - sum((v / n) ** 2 for v in counts.values())
+        )
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert row["majority_label"] == best[0]
+        assert 0.0 <= row["gini"] < 1.0

@@ -271,3 +271,12 @@ def test_batch12_plans(spark, sf_dir):
     _no_python(t)
     assert "CartesianProduct" not in t
     assert _n(t, "HashAggregate") >= 2
+
+
+def test_cell_gini_broadcast_rollup(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import similarity
+
+    t = pi.tree(similarity.cell_label_gini_query(spark, sf_dir))
+    _no_python(t)
+    assert "CartesianProduct" not in t
+    assert "BroadcastHashJoin" in t

@@ -1674,6 +1674,13 @@ AUDIT = [
         "count grid; exact type-1 quantiles located on "
         "priority-partitioned CDF windows; 5-row p panel broadcast.",
     ),
+    (
+        "cell_label_gini",
+        "One assignment pass (centroids broadcast) into a "
+        "|cells| x |labels| rollup; majority pick is a deterministic "
+        "rank on that grid; gini carried as exact integer "
+        "numerator/denominator.",
+    ),
 ]
 
 
