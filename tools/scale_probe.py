@@ -764,6 +764,26 @@ def main() -> None:
             unioned(spark, "events", m),
             lambda: an_mod2.audience_overlap_query(spark, SF_DIR),
         ),
+        "q13 outer-join double agg": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: trade.cust_order_dist_query(spark, SF_DIR),
+        ),
+        "q17 decorrelated broadcast-back": lambda m: _with_table(
+            "lineitem",
+            lineitem(m),
+            lambda: trade.small_qty_revenue_query(spark, SF_DIR),
+        ),
+        "davies-bouldin (centroid pass)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: similarity.davies_bouldin_query(spark, SF_DIR),
+        ),
+        "fulfillment lag (grid quantiles)": lambda m: _with_table(
+            "lineitem",
+            lineitem(m),
+            lambda: trade.fulfillment_lag_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
