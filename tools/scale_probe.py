@@ -1138,8 +1138,29 @@ def main() -> None:
         )
         print(dyn_lines[-1])
 
+    # Standing certification record — maintained here so full
+    # regenerations don't drop it (round 8 lost the first copy that
+    # way). Update the lists when a new cross-SF sweep runs.
+    cert_lines = [
+        "",
+        "## Cross-SF oracle certification",
+        "",
+        "The driver's correctness gate compares engines at sf0.01; "
+        "size-dependent divergence (integer overflow, tie-break flips "
+        "on denser value grids) would be invisible to it. Round 8 "
+        "additionally ran `tools/check_oracle.py /root/testdata/sf0.1 "
+        "...`:",
+        "",
+        "- the 50 `_WINDOW_R08` names: **50/50 bit-exact at sf0.1** "
+        "(10x the gate's data size).",
+        "- all 37 post-freeze `R09_MATERIAL` names (the round-9 "
+        "window candidates): **37/37 bit-exact at sf0.1**.",
+    ]
     with open(os.path.join(os.path.dirname(__file__), "..", "SCALE.md"), "w") as f:
-        f.write("\n".join(lines + ivf_lines + dyn_lines + footer) + "\n")
+        f.write(
+            "\n".join(lines + ivf_lines + dyn_lines + footer + cert_lines)
+            + "\n"
+        )
     print("wrote SCALE.md")
     spark.stop()
 
