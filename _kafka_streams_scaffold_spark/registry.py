@@ -83,7 +83,13 @@ NEXT ROTATION (round 9): round-8 additions registered after the r08
 window froze go in tests/test_registry_window.py R09_MATERIAL, plus
 any r08 reds and the usual changed-impl re-certification pool.
 Update tests/test_registry_window.py in the same commit as the
-window freeze.
+window freeze. As of the end of round 8, R09_MATERIAL holds 37
+never-certified queries (all bit-exact in the local sweep at BOTH
+sf0.01 and sf0.1 — see SCALE.md's cross-SF certification record),
+so the r09 window is 37 material slots + up to 13 for r08 reds /
+changed-impl re-certifications. detector_cochran_q sits in
+_DEDUP_AUDIT_CHAIN for bench pin sharing; when it rotates INTO the
+window, keep the remaining chain consecutive after the window.
 
 PREVIOUS ROTATION NOTE (round 6, kept for the audit trail): the
 round-5 late additions
