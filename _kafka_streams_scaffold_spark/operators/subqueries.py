@@ -177,54 +177,14 @@ WHERE CAST(v AS DOUBLE) >
 
 
 # --------------------------------------------------------------------------
-# Q17 shape: small-quantity revenue (correlated average, decorrelated)
+# Q17 shape: small-quantity revenue — MOVED. The correlated-average
+# (decorrelated) shape lives in operators/trade.py
+# ``small_qty_revenue_query`` (registered as ``small_qty_revenue``):
+# exact cross-multiplied threshold, 3-column output. The earlier
+# single-column Brand#23 variant that lived here was silently shadowed
+# by the trade.py registration in round 8 and is deleted (round-9
+# ADVICE: one owner per registered name).
 # --------------------------------------------------------------------------
-
-
-def small_qty_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly-averaged revenue from orders far below a part's usual size.
-
-    The correlated subquery `l_quantity < 0.2 * (SELECT AVG(qty) ...
-    WHERE same part)` is decorrelated: per-part averages come from one
-    aggregate over the (part-filtered) lineitems, equi-joined back on
-    the part key. The part filter itself is a broadcast semi-join and
-    is applied *before* the per-part aggregate so the heavy pass only
-    touches qualifying parts.
-    """
-    li = tables.table(spark, sf_dir, "lineitem")
-    part = tables.table(spark, sf_dir, "part")
-    keys = part.filter(
-        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
-    ).select("p_partkey")
-    filtered = li.join(F.broadcast(keys), li.l_partkey == F.col("p_partkey")).drop(
-        "p_partkey"
-    )
-    avgs = filtered.groupBy("l_partkey").agg(
-        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
-    )
-    small = filtered.join(avgs, "l_partkey").filter(
-        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
-    )
-    return small.agg(
-        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
-            "avg_yearly"
-        )
-    )
-
-
-SMALL_QTY_REVENUE_ORACLE = """
-WITH li2 AS (
-    SELECT l.* FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE p.p_brand = 'Brand#23' AND p.p_size < 15
-), a AS (
-    SELECT l_partkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
-    FROM li2 GROUP BY l_partkey
-)
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
-FROM li2 l JOIN a ON l.l_partkey = a.l_partkey
-WHERE l.l_quantity < 0.2 * a.avg_qty
-"""
 
 
 # --------------------------------------------------------------------------

@@ -79,17 +79,26 @@ CORRECTNESS row. Rotation history:
   coefficient). ``_apply_window`` allows <=50 mid-round; the final
   freeze landed at exactly 50.
 
-NEXT ROTATION (round 9): round-8 additions registered after the r08
-window froze go in tests/test_registry_window.py R09_MATERIAL, plus
-any r08 reds and the usual changed-impl re-certification pool.
-Update tests/test_registry_window.py in the same commit as the
-window freeze. As of the end of round 8, R09_MATERIAL holds 37
-never-certified queries (all bit-exact in the local sweep at BOTH
-sf0.01 and sf0.1 — see SCALE.md's cross-SF certification record),
-so the r09 window is 37 material slots + up to 13 for r08 reds /
-changed-impl re-certifications. detector_cochran_q sits in
-_DEDUP_AUDIT_CHAIN for bench pin sharing; when it rotates INTO the
-window, keep the remaining chain consecutive after the window.
+- r09 window (``_WINDOW_R09`` below): CORRECTNESS_r08 went 50/50
+  green, so the window is the 37-query R09_MATERIAL backlog (round-8
+  additions registered after the r08 freeze; all bit-exact in the
+  local sweep at BOTH sf0.01 and sf0.1 — SCALE.md cross-SF
+  certification record) + up to 13 slots for round-9 changed-impl
+  re-certifications, added as changes land. ``small_qty_revenue`` is
+  in the window as the mandated re-certification of the CHANGED
+  implementation (trade.py Q17 analog; the shadowed subqueries.py
+  variant was deleted this round and register() now raises on
+  duplicates). ``detector_cochran_q`` is placed LAST in the window
+  so the dedup-audit keep-scope chain stays consecutive:
+  _apply_window puts _DEDUP_AUDIT_CHAIN immediately after the
+  window, giving ... detector_cochran_q | dedup_tier_agreement ...
+
+NEXT ROTATION (round 10): round-9 additions registered after the r09
+window froze go in tests/test_registry_window.py R10_MATERIAL, plus
+any r09 reds and the usual changed-impl re-certification pool.
+Keep R10_MATERIAL <= 13 (the r08 verdict's pipeline-pressure cap:
+additions must fit the window's re-cert margin). Update
+tests/test_registry_window.py in the same commit as the freeze.
 
 PREVIOUS ROTATION NOTE (round 6, kept for the audit trail): the
 round-5 late additions
@@ -146,7 +155,22 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 
-def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+def register(
+    name: str, fn: QueryFn, oracle: str | None = None, *, replace: bool = False
+) -> None:
+    """Register a query (and optionally its DuckDB oracle) under ``name``.
+
+    Duplicate names RAISE: last-write-wins silently shadowed the
+    long-certified ``small_qty_revenue`` in round 8 (two different Q17
+    variants under one name — historical CORRECTNESS/bench rows then
+    referred to a different computation). Pass ``replace=True`` only
+    for a deliberate, documented re-registration.
+    """
+    if name in _QUERIES and not replace:
+        raise ValueError(
+            f"duplicate query registration {name!r}; pass replace=True "
+            "for a deliberate re-registration"
+        )
     _QUERIES[name] = fn
     if oracle is not None:
         _ORACLES[name] = oracle
@@ -164,12 +188,66 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-# Driver correctness window for round 8 (slots 0..len-1) — see module
-# docstring. Starts as the 7 R08_MATERIAL queries (round-7 additions
-# registered after the r07 freeze; all judge-sweep green, never
-# driver-certified) and grows with round-8 additions + changed-impl
-# re-certifications as they land. Grouped by family so janino/codegen
-# first-touch amortizes across neighbors in the driver bench.
+# Driver correctness window for round 9 (slots 0..len-1) — see module
+# docstring. The complete 37-query never-certified backlog
+# (R09_MATERIAL in tests/test_registry_window.py), grouped by family
+# so janino/codegen first-touch amortizes across neighbors; grows with
+# round-9 changed-impl re-certifications (<= 50 total).
+_WINDOW_R09 = [
+    # experimentation / drift tier
+    "js_source_drift",
+    "psi_drift_score",
+    "cuped_uplift",
+    "did_uplift",
+    "sprt_daily_decision",
+    "smd_balance_audit",
+    "qq_shift_profile",
+    # lexical / LM tier
+    "good_turing_unseen",
+    "burrows_delta",
+    "token_entropy",
+    "hill_tail_index",
+    # time-series / trend tier
+    "interarrival_burstiness",
+    "theil_sen_ci",
+    "cross_correlation_lags",
+    "binseg_changepoints",
+    "markov_stationary",
+    # survival / queueing tier
+    "logrank_cohorts",
+    "littles_law_audit",
+    # planning tier
+    "gate_ordering_cost_plan",
+    "nzv_dimension_audit",
+    # sales analytics / TPC-H analog completions (small_qty_revenue is
+    # the mandated changed-impl re-certification — trade.py Q17)
+    "cust_order_dist",
+    "promo_revenue_share",
+    "small_qty_revenue",
+    "branded_basket_revenue",
+    "discount_elasticity",
+    "revenue_attribution",
+    "lorenz_curve_points",
+    "new_vs_returning_daily",
+    "audience_overlap",
+    "activity_streaks",
+    "fulfillment_lag",
+    # embedding / cluster-quality tier
+    "davies_bouldin",
+    "cell_label_gini",
+    "contrastive_collision",
+    "ncc_confusion",
+    "adamic_adar_links",
+    # detector tier — LAST on purpose: _apply_window places
+    # _DEDUP_AUDIT_CHAIN immediately after the window, so the shared
+    # dedup-tier pins stay adjacent (r6 verdict's triple-pay fix)
+    "detector_cochran_q",
+]
+
+# r08 window kept for the rotation-history tests (50/50 green in
+# CORRECTNESS_r08). Was: the 7 R08_MATERIAL queries + 4 changed-impl
+# re-certifications + the 39 round-8 additions, grouped by family so
+# janino/codegen first-touch amortized across neighbors.
 _WINDOW_R08 = [
     # retrieval / ranking tier (r7 post-freeze material)
     "facility_location_coreset",
@@ -251,7 +329,10 @@ _DEDUP_AUDIT_CHAIN = [
     "minhash_estimate_audit",
     "blocking_recall_audit",
     "detector_kappa",
-    # r09 material riding the same shared tier pins
+    # In the r09 window (placed LAST there); listed here for family
+    # documentation — _apply_window skips names already in the window,
+    # so the remaining six land immediately after it: the window tail
+    # plus this chain form one consecutive shared-pin run.
     "detector_cochran_q",
 ]
 
@@ -920,9 +1001,9 @@ def _ensure_loaded() -> None:
     )
     register("promo_revenue", sq.promo_revenue_query, sq.PROMO_REVENUE_ORACLE)
     register("top_value_parts", sq.top_value_parts_query, sq.TOP_VALUE_PARTS_ORACLE)
-    register(
-        "small_qty_revenue", sq.small_qty_revenue_query, sq.SMALL_QTY_REVENUE_ORACLE
-    )
+    # small_qty_revenue (Q17) is registered from operators/trade.py
+    # below — the earlier subqueries.py variant was deleted in round 9
+    # after the round-8 shadowing incident (one owner per name).
     register(
         "brand_disjunction_revenue",
         sq.brand_disjunction_revenue_query,
@@ -2351,5 +2432,5 @@ def _ensure_loaded() -> None:
         similarity.CELL_LABEL_GINI_ORACLE,
     )
 
-    _apply_window(_WINDOW_R08)
+    _apply_window(_WINDOW_R09)
     _LOADED = True

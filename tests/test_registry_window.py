@@ -3,7 +3,7 @@
 The external correctness gate hash-checks only the FIRST 50 registered
 queries, so registration ORDER is part of the contract: each round the
 window must carry exactly the queries that still need a driver
-CORRECTNESS row (see registry._WINDOW_R08 and the module docstring's
+CORRECTNESS row (see registry._WINDOW_R09 and the module docstring's
 rotation history).
 """
 
@@ -14,72 +14,30 @@ import pathlib
 
 from _kafka_streams_scaffold_spark import registry
 
-# Green rounds available when the r08 window was frozen.
-_PRIOR_ROUNDS = ("r01", "r02", "r03", "r04", "r05", "r06", "r07")
+# Green rounds available when the r09 window was frozen.
+_PRIOR_ROUNDS = ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08")
 
 # Queries with a GREEN prior-round row that nevertheless re-certify in
-# the r08 window because their implementation or output changed after
-# the green row (the round-8 ADVICE fixes; see the registry docstring's
-# r08 note). Grows during round 8 as changed-impl queries are added.
-R08_RECERT: set[str] = {
-    # round-8 ADVICE fixes: kcenter's n2 moved from norm^2 to the
-    # fold-form self-dot (ulp-level value change can flip the greedy
-    # argmax); group_kfold/AMS hash arithmetic gained the mod-2^31
-    # pre-reduction (value-identical for current ids, expression
-    # changed)
-    "kcenter_coreset",
-    "group_kfold_split",
-    "ams_f2_estimate",
-    # segment builder factored out for the round-8 streaming twin
-    "session_concurrency",
-}
-
-# No backlog was deferred out of the r08 window.
-R09_DEFERRED: set[str] = set()
-
-# Round-8 additions registered after the r08 window froze — r09
-# window material by construction. Grows during round 8 as operators
-# land past the freeze; mirrored in the registry module docstring's
-# NEXT ROTATION note.
-R09_MATERIAL: set[str] = {
-    "interarrival_burstiness",
-    "nzv_dimension_audit",
-    "theil_sen_ci",
-    "gate_ordering_cost_plan",
-    "lorenz_curve_points",
-    "new_vs_returning_daily",
-    "js_source_drift",
-    "good_turing_unseen",
-    "cross_correlation_lags",
-    "sprt_daily_decision",
-    "cuped_uplift",
-    "markov_stationary",
-    "hill_tail_index",
-    "psi_drift_score",
-    "did_uplift",
-    "burrows_delta",
-    "detector_cochran_q",
-    "contrastive_collision",
-    "revenue_attribution",
-    "ncc_confusion",
-    "adamic_adar_links",
-    "audience_overlap",
-    "token_entropy",
-    "qq_shift_profile",
-    "logrank_cohorts",
-    "smd_balance_audit",
-    "littles_law_audit",
-    "binseg_changepoints",
-    "discount_elasticity",
-    "cust_order_dist",
-    "promo_revenue_share",
+# the r09 window because their implementation or output changed after
+# the green row. Grows during round 9 as changed-impl queries are
+# added (up to the window's 13-slot re-cert margin).
+R09_RECERT: set[str] = {
+    # The round-8 shadowing incident: the name's green r01-r07 rows
+    # belong to the deleted subqueries.py Brand#23 variant; the live
+    # implementation (trade.py Q17 analog, 3-column schema) has never
+    # been driver-certified, so the r08 verdict mandates this re-cert.
     "small_qty_revenue",
-    "branded_basket_revenue",
-    "davies_bouldin",
-    "activity_streaks",
-    "fulfillment_lag",
-    "cell_label_gini",
 }
+
+# No backlog was deferred out of the r09 window: all 37 never-
+# certified round-8 post-freeze additions are IN _WINDOW_R09.
+R10_DEFERRED: set[str] = set()
+
+# Round-9 additions registered after the r09 window froze — r10
+# window material by construction. The r08 verdict caps this at 13
+# (the re-cert margin) so the certification pipeline stops compounding
+# backlog; test_r10_material_fits_the_recert_margin enforces it.
+R10_MATERIAL: set[str] = set()
 
 
 def _covered() -> set[str]:
@@ -93,34 +51,46 @@ def _covered() -> set[str]:
     return covered
 
 
-def test_window_is_exactly_the_r08_rotation_list():
+def test_window_is_exactly_the_r09_rotation_list():
     names = list(registry.queries())
-    w = registry._WINDOW_R08
+    w = registry._WINDOW_R09
     assert len(w) <= 50
     assert names[: len(w)] == w
 
 
+def test_dedup_audit_chain_is_consecutive_after_the_window():
+    """Keep-scope pin sharing (bench.py dedup_family) requires the
+    dedup-audit queries to run back-to-back. detector_cochran_q sits
+    LAST in the r09 window; the remaining chain members must follow
+    it immediately so the whole family is one consecutive run."""
+    names = list(registry.queries())
+    w = registry._WINDOW_R09
+    assert w[-1] == "detector_cochran_q"
+    tail = [n for n in registry._DEDUP_AUDIT_CHAIN if n != "detector_cochran_q"]
+    assert names[len(w) : len(w) + len(tail)] == tail
+
+
 def test_window_queries_need_a_driver_row():
     """The rotation's whole point: no slot is wasted on a query that
-    already has a GREEN CORRECTNESS row from rounds 1-7 — except the
+    already has a GREEN CORRECTNESS row from rounds 1-8 — except the
     explicit re-certification list (implementation changed after the
     green row). A red row earns the query another slot automatically,
     since the guard keys on hash_match."""
-    stale = _covered() & set(registry._WINDOW_R08)
-    assert stale <= R08_RECERT, (
-        f"window wastes slots on already-covered: {stale - R08_RECERT}"
+    stale = _covered() & set(registry._WINDOW_R09)
+    assert stale <= R09_RECERT, (
+        f"window wastes slots on already-covered: {stale - R09_RECERT}"
     )
 
 
 def test_window_plus_deferred_covers_the_entire_backlog():
     """Every oracle-backed query that has never gone green must be
-    either in the r08 window or in an explicit deferral/material
+    either in the r09 window or in an explicit deferral/material
     list — nothing silently dropped from certification."""
     backlog = set(registry.oracle_sql()) - _covered()
-    missing = backlog - set(registry._WINDOW_R08) - R09_DEFERRED
-    assert missing <= R09_MATERIAL, (
+    missing = backlog - set(registry._WINDOW_R09) - R10_DEFERRED
+    assert missing <= R10_MATERIAL, (
         f"never-certified queries untracked for rotation: "
-        f"{missing - R09_MATERIAL}"
+        f"{missing - R10_MATERIAL}"
     )
 
 
@@ -129,13 +99,20 @@ def test_deferral_list_is_exactly_the_window_complement():
     deferral + material sets — if one gains a green row or enters the
     window, this forces the bookkeeping to move with it."""
     backlog = set(registry.oracle_sql()) - _covered()
-    outside = backlog - set(registry._WINDOW_R08)
-    assert outside == R09_DEFERRED | (R09_MATERIAL & backlog)
+    outside = backlog - set(registry._WINDOW_R09)
+    assert outside == R10_DEFERRED | (R10_MATERIAL & backlog)
+
+
+def test_r10_material_fits_the_recert_margin():
+    """The r08 verdict's pipeline-pressure cap: round-9 may add at
+    most 13 post-freeze queries (the window's re-cert margin), so the
+    r10 window can certify the whole backlog plus re-certs."""
+    assert len(R10_MATERIAL) <= 13
 
 
 def test_window_entries_are_oracle_backed():
     oracles = set(registry.oracle_sql())
-    missing = [n for n in registry._WINDOW_R08 if n not in oracles]
+    missing = [n for n in registry._WINDOW_R09 if n not in oracles]
     assert not missing
 
 
@@ -176,6 +153,23 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
 
 def test_oracle_keys_subset_of_queries():
     assert set(registry.oracle_sql()) <= set(registry.queries())
+
+
+def test_register_raises_on_duplicate_name():
+    """The round-8 shadowing lesson: register() must never silently
+    overwrite (small_qty_revenue was registered twice with different
+    semantics and nothing warned). A loaded registry is itself proof
+    of uniqueness — every register() call ran under the guard — but
+    assert the guard's behavior explicitly too."""
+    import pytest as _pytest
+
+    names = list(registry.queries())
+    assert len(names) == len(set(names))
+    first = names[0]
+    with _pytest.raises(ValueError, match="duplicate query registration"):
+        registry.register(first, registry.queries()[first])
+    # deliberate re-registration stays possible
+    registry.register(first, registry.queries()[first], replace=True)
 
 
 def test_no_registered_query_emits_complex_top_level_columns(spark, sf_dir):

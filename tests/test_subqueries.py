@@ -82,27 +82,6 @@ def test_top_value_parts_golden(spark, sf_dir, monkeypatch):
     assert [(r["l_partkey"], r["part_value"]) for r in got] == [(1, 10.0)]
 
 
-def test_small_qty_revenue_golden(spark, sf_dir, monkeypatch):
-    part = spark.createDataFrame(
-        [
-            Row(p_partkey=1, p_brand="Brand#23", p_size=10),
-            Row(p_partkey=2, p_brand="Brand#23", p_size=20),  # size >= 15
-        ]
-    )
-    li = spark.createDataFrame(
-        [
-            Row(l_partkey=1, l_quantity=1.0, l_extendedprice=70.0),
-            Row(l_partkey=1, l_quantity=10.0, l_extendedprice=100.0),
-            # part 2 fails the dimension filter even at qty 1
-            Row(l_partkey=2, l_quantity=1.0, l_extendedprice=500.0),
-        ]
-    )
-    _patch_tables(monkeypatch, {"lineitem": li, "part": part})
-    [row] = subqueries.small_qty_revenue_query(spark, sf_dir).collect()
-    # part 1 avg qty = 5.5, cutoff 1.1 -> only the qty-1 row; 70/7 = 10
-    assert row["avg_yearly"] == pytest.approx(10.0)
-
-
 def test_brand_disjunction_revenue_golden(spark, sf_dir, monkeypatch):
     part = spark.createDataFrame(
         [
@@ -165,14 +144,6 @@ def test_top_value_parts_plan_single_scan(spark, sf_dir):
     explained = plans.explain_str(df)
     assert "BroadcastNestedLoopJoin" in explained
     assert "SortMergeJoin" not in explained
-
-
-def test_small_qty_revenue_plan(spark, sf_dir):
-    df = subqueries.small_qty_revenue_query(spark, sf_dir)
-    # the brand/size dimension filter is pushed to the part scan and
-    # the qualifying keys are broadcast into the lineitem pass
-    assert any("p_brand" in f for f in plans.pushed_filters(df))
-    assert plans.has_broadcast_join(df)
 
 
 def test_latest_shipper_strictness_golden(spark, monkeypatch):
