@@ -1042,8 +1042,8 @@ FROM cells
 def smd_balance_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(covariate, n_a, n_b, mean_a, mean_b, smd): the standardized
     mean difference of three pre-treatment covariates between the
-    parity arms — per-customer pre-period spend cents, order count,
-    and account balance cents — smd = (m_b - m_a) /
+    parity arms — per-customer pre-period spend cents, pre-period
+    order count, and account balance cents — smd = (m_b - m_a) /
     sqrt((s_a^2 + s_b^2)/2), the covariate-balance audit every
     experiment readout should precede (|smd| < 0.1 is the standard
     'balanced' bar). An imbalanced covariate here is exactly the
@@ -1061,16 +1061,21 @@ def smd_balance_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments are a |covariates| x 2 aggregate."""
     orders = tables.table(spark, sf_dir, "orders")
     cust = tables.table(spark, sf_dir, "customer")
+    pre = F.col("o_orderdate") < F.lit(_CUPED_SPLIT).cast("timestamp")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(
             F.when(
-                F.col("o_orderdate") < F.lit(_CUPED_SPLIT).cast(
-                    "timestamp"
-                ),
+                pre,
                 F.floor(F.col("o_totalprice") * 100).cast("bigint"),
             ).otherwise(F.lit(0))
         ).cast("bigint").alias("pre_cents"),
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        # pre-period only, matching pre_cents: counting post-split
+        # orders here would make this a post-treatment covariate and
+        # the balance readout would no longer measure what the
+        # docstring claims (round-9 ADVICE fix)
+        F.sum(F.when(pre, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
     )
     base = cust.select(
         "c_custkey",
@@ -1149,7 +1154,8 @@ WITH per_cust AS (
          CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{_CUPED_SPLIT}'
                        THEN CAST(floor(o_totalprice * 100) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS pre_cents,
-         CAST(count(*) AS BIGINT) AS n_orders
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{_CUPED_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_orders
   FROM orders GROUP BY 1
 ),
 base AS (

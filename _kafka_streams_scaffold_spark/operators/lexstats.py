@@ -788,8 +788,14 @@ def burrows_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "tok",
             "source",
+            # the 1e12*c product runs through DECIMAL: as a BIGINT it
+            # overflows int64 for any token with c > ~9.2e6 in one
+            # source (plausible for top-150 corpus words at larger
+            # SFs); the div quotient is <= 1e12 so the BIGINT result
+            # is safe
             F.expr(
-                f"cast({_DELTA_F_FP} as bigint) * coalesce(c, 0) div n"
+                f"cast({_DELTA_F_FP} as decimal(19,0)) * coalesce(c, 0)"
+                " div n"
             ).cast("bigint").alias("f_fp"),
         )
     )
@@ -872,7 +878,7 @@ top AS (
 ),
 panel AS (
   SELECT t.tok, s.source,
-         CAST(CAST({_DELTA_F_FP} AS BIGINT) * COALESCE(c.c, 0) // s.n
+         CAST(CAST({_DELTA_F_FP} AS HUGEINT) * COALESCE(c.c, 0) // s.n
               AS BIGINT) AS f_fp
   FROM top t
   CROSS JOIN totals s

@@ -826,7 +826,8 @@ def test_smd_matches_bruteforce_python(spark):
     for r in orders:
         if r["o_orderdate"] < split:
             pre[r["o_custkey"]] += math.floor(r["o_totalprice"] * 100)
-        cnt[r["o_custkey"]] += 1
+            # pre-period only — the covariate must be pre-treatment
+            cnt[r["o_custkey"]] += 1
     panel = {"pre_spend_cents": {}, "n_orders": {}, "acctbal_cents": {}}
     for c in cust:
         k = c["c_custkey"]

@@ -940,6 +940,8 @@ def main() -> None:
             k: v for k, v in probes.items()
             if any(p in k for p in pats)
         }
+        if not probes:
+            sys.exit(f"no probes matched SCALE_PROBE_ONLY={only!r}")
 
     # Warm JVM + python pool once.
     probes.get(
