@@ -1012,3 +1012,205 @@ SELECT source, n_tokens, n_terms, h_fp,
        ELSE 0.0 END AS evenness
 FROM per_src
 """
+
+
+# --------------------------------------------------------------------------
+# Tail token share per source (head-vocabulary coverage complement)
+# --------------------------------------------------------------------------
+
+TAIL_HEAD_K = 10  # global head-vocabulary size the tail is measured against
+
+
+def tail_token_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, tail_tokens, tail_share): per source, the
+    fraction of token mass carried by terms OUTSIDE the corpus-global
+    top-TAIL_HEAD_K vocabulary. The complement of vocab_coverage at
+    the source grain: a source whose tail share spikes relative to
+    its peers is where tokenizer fertility degrades and where
+    Zipf-tail pruning decisions (vocab truncation, UNK rates) bite
+    first — the per-source readout hill_tail_index's corpus-level
+    exponent doesn't give.
+
+    Exactness: pure integer token counts; one final division.
+    Scale: one (source, term) rollup (shuffle payload = per-source
+    vocabulary, never the corpus), with the global head derived from
+    the same frame by a constant-size TakeOrdered and broadcast back
+    as a left-anti probe. No corpus-wide window, no second scan."""
+    docs = tables.table(spark, sf_dir, "documents")
+    cnt = _pin(
+        docs.select("source", F.explode(tokens_expr()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    head = (
+        cnt.groupBy("tok")
+        .agg(F.sum("c").cast("bigint").alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("tok"))
+        .limit(TAIL_HEAD_K)
+        .select("tok")
+    )
+    tail = cnt.join(F.broadcast(head), "tok", "left_anti")
+    totals = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens")
+    )
+    tails = tail.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("tail_tokens")
+    )
+    return (
+        totals.join(tails, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce("tail_tokens", F.lit(0)).cast("bigint").alias(
+                "tail_tokens"
+            ),
+            (
+                F.coalesce("tail_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("tail_share"),
+        )
+    )
+
+
+TAIL_TOKEN_SHARE_ORACLE = f"""
+WITH cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+  ) GROUP BY 1, 2
+),
+head AS (
+  SELECT tok FROM (
+    SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1
+  ) ORDER BY ct DESC, tok ASC LIMIT {TAIL_HEAD_K}
+),
+totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens FROM cnt GROUP BY 1
+),
+tails AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS tail_tokens
+  FROM cnt WHERE tok NOT IN (SELECT tok FROM head) GROUP BY 1
+)
+SELECT t.source, t.n_tokens,
+       COALESCE(l.tail_tokens, 0) AS tail_tokens,
+       CAST(COALESCE(l.tail_tokens, 0) AS DOUBLE)
+         / CAST(t.n_tokens AS DOUBLE) AS tail_share
+FROM totals t LEFT JOIN tails l ON l.source = t.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Log-odds distinctive terms (informative-Dirichlet-prior z-scores)
+# --------------------------------------------------------------------------
+
+_LO_ALPHA0 = 500  # Dirichlet prior mass, split over the vocabulary
+
+
+def log_odds_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, tok, c_src, c_rest, z): the Monroe/Colaresi/Quinn
+    "fightin' words" statistic — for every (source, term) cell, the
+    z-scored log-odds of the term in that source versus the REST of
+    the corpus, under an informative Dirichlet prior proportional to
+    corpus-wide term frequencies (alpha_w = ALPHA0 * c_w / N). The
+    standard distinctive-vocabulary report for corpus mixtures: |z|
+    > ~2 terms characterize a source; a source with no high-|z|
+    terms is stylistically indistinct. The full grid ships (no
+    top-k-by-double cut, so the row set is engine-stable and the
+    driver hash-checks every cell).
+
+    Exactness: all counts exact integers; the prior, log-odds and
+    variance are a fixed flop sequence on those integers (ln/sqrt at
+    the boundary only, the zipf_fit discipline).
+
+    Scale: one (source, term) rollup; the z grid is |vocabulary| x
+    |sources| — dimension-sized, built by broadcasting the
+    vocabulary-level totals onto the per-source panel."""
+    docs = tables.table(spark, sf_dir, "documents")
+    cnt = _pin(
+        docs.select("source", F.explode(tokens_expr()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    vocab = cnt.groupBy("tok").agg(
+        F.sum("c").cast("bigint").alias("cw")
+    )
+    grand = vocab.agg(F.sum("cw").cast("bigint").alias("n"))
+    totals = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("ns")
+    )
+    # zero-filled full grid: sources x vocabulary
+    grid = (
+        vocab.crossJoin(F.broadcast(totals))
+        .join(cnt, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            "cw",
+            "ns",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+        .crossJoin(F.broadcast(grand))
+    )
+    aw = F.lit(float(_LO_ALPHA0)) * F.col("cw").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    ys = F.col("c").cast("double") + aw
+    ns_tot = F.col("ns").cast("double") + F.lit(float(_LO_ALPHA0))
+    yr = (F.col("cw") - F.col("c")).cast("double") + aw
+    nr_tot = (F.col("n") - F.col("ns")).cast("double") + F.lit(
+        float(_LO_ALPHA0)
+    )
+    delta = (
+        F.log(ys / (ns_tot - ys)) - F.log(yr / (nr_tot - yr))
+    )
+    var = F.lit(1.0) / ys + F.lit(1.0) / yr
+    return grid.select(
+        "source",
+        "tok",
+        F.col("c").alias("c_src"),
+        (F.col("cw") - F.col("c")).cast("bigint").alias("c_rest"),
+        (delta / F.sqrt(var)).alias("z"),
+    )
+
+
+LOG_ODDS_TERMS_ORACLE = f"""
+WITH cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+  ) GROUP BY 1, 2
+),
+vocab AS (
+  SELECT tok, CAST(sum(c) AS BIGINT) AS cw FROM cnt GROUP BY 1
+),
+grand AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM vocab),
+totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cnt GROUP BY 1
+),
+grid AS (
+  SELECT t.source, v.tok, v.cw, t.ns,
+         COALESCE(c.c, 0) AS c, g.n
+  FROM vocab v
+  CROSS JOIN totals t
+  LEFT JOIN cnt c ON c.source = t.source AND c.tok = v.tok
+  CROSS JOIN grand g
+)
+SELECT source, tok, c AS c_src, cw - c AS c_rest,
+       (ln((CAST(c AS DOUBLE)
+            + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(ns AS DOUBLE) + {float(_LO_ALPHA0)!r}
+              - (CAST(c AS DOUBLE)
+                 + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE)
+                   / CAST(n AS DOUBLE))))
+        - ln((CAST(cw - c AS DOUBLE)
+              + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n - ns AS DOUBLE) + {float(_LO_ALPHA0)!r}
+                - (CAST(cw - c AS DOUBLE)
+                   + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE)
+                     / CAST(n AS DOUBLE)))))
+       / sqrt(1.0 / (CAST(c AS DOUBLE)
+                     + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+              + 1.0 / (CAST(cw - c AS DOUBLE)
+                       + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE)
+                         / CAST(n AS DOUBLE))) AS z
+FROM grid
+"""

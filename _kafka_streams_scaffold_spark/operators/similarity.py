@@ -3030,3 +3030,254 @@ SELECT a.cell, a.n_vecs, a.n_labels, m.majority_label,
          / CAST(a.n_vecs * a.n_vecs AS DOUBLE) AS gini
 FROM agg a JOIN maj m USING (cell)
 """
+
+
+# --------------------------------------------------------------------------
+# V-measure of the quantizer cells against the true labels
+# --------------------------------------------------------------------------
+
+_VM_FP = 1_000_000  # 1e6 fixed point for per-cell ln terms (token_entropy's)
+
+
+def v_measure_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n, n_cells, n_labels, hlc_fp, hcl_fp, hl_fp, hc_fp,
+    homogeneity, completeness, v_measure): the information-theoretic
+    cluster-quality triple over the IVF quantizer's cells vs the true
+    labels — homogeneity = 1 - H(label|cell)/H(label), completeness =
+    1 - H(cell|label)/H(cell), V = their harmonic mean. The
+    entropy-based complement of cell_label_gini: Gini says how mixed
+    each cell is; V-measure says whether the PARTITION as a whole
+    both isolates labels (h) and keeps each label together (c) — the
+    quantizer-quality readout ANN recall ultimately traces back to.
+
+    Exactness (token_entropy's discipline): every conditional/marginal
+    entropy is carried as an exact BIGINT fixed-point sum
+    sum(n_xy * floor(1e6 * ln(n_x / n_xy))) — counts are exact
+    integers, ln() of an integer ratio is floored once per distinct
+    cell — so the four *_fp columns hash bit-exactly and the three
+    scores are final-step divisions.
+
+    Scale: one assignment pass (centroids broadcast), then a
+    |cells| x |labels| rollup; everything after is dimension-sized.
+    Cites reference WordCountTopology.java:33 count() as the nearest
+    scaffold analog (grouped counting); the information-theoretic
+    rollup is a north-star addition."""
+    assign = ivf_assign_query(spark, sf_dir).select(
+        F.col("assigned_label").alias("cell"), F.col("orig_label").alias("lbl")
+    )
+    joint = _pin(
+        assign.groupBy("cell", "lbl").agg(
+            F.count(F.lit(1)).cast("bigint").alias("ncl")
+        )
+    )
+    cells = joint.groupBy("cell").agg(
+        F.sum("ncl").cast("bigint").alias("nc")
+    )
+    labels = joint.groupBy("lbl").agg(
+        F.sum("ncl").cast("bigint").alias("nl")
+    )
+    n = joint.agg(F.sum("ncl").cast("bigint").alias("n"))
+
+    def _fp(num: F.Column, den: F.Column) -> F.Column:
+        # n_xy * floor(FP * ln(n_x / n_xy)) — exact BIGINT
+        return F.sum(
+            den
+            * F.floor(
+                F.lit(_VM_FP)
+                * F.log(num.cast("double") / den.cast("double"))
+            ).cast("bigint")
+        ).cast("bigint")
+
+    cond = (
+        joint.join(F.broadcast(cells), "cell")
+        .join(F.broadcast(labels), "lbl")
+        .agg(
+            _fp(F.col("nc"), F.col("ncl")).alias("hlc_fp"),
+            _fp(F.col("nl"), F.col("ncl")).alias("hcl_fp"),
+        )
+    )
+    hl = labels.crossJoin(F.broadcast(n)).agg(
+        _fp(F.col("n"), F.col("nl")).alias("hl_fp")
+    )
+    hc = cells.crossJoin(F.broadcast(n)).agg(
+        _fp(F.col("n"), F.col("nc")).alias("hc_fp")
+    )
+    dims = joint.agg(
+        F.countDistinct("cell").cast("bigint").alias("n_cells"),
+        F.countDistinct("lbl").cast("bigint").alias("n_labels"),
+    )
+    h = F.when(
+        F.col("hl_fp") > 0,
+        F.lit(1.0) - F.col("hlc_fp").cast("double") / F.col("hl_fp").cast("double"),
+    ).otherwise(F.lit(1.0))
+    c = F.when(
+        F.col("hc_fp") > 0,
+        F.lit(1.0) - F.col("hcl_fp").cast("double") / F.col("hc_fp").cast("double"),
+    ).otherwise(F.lit(1.0))
+    return (
+        n.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(cond))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hc))
+        .select(
+            "n",
+            "n_cells",
+            "n_labels",
+            "hlc_fp",
+            "hcl_fp",
+            "hl_fp",
+            "hc_fp",
+            h.alias("homogeneity"),
+            c.alias("completeness"),
+            F.when(
+                (h + c) > 0, F.lit(2.0) * h * c / (h + c)
+            ).otherwise(F.lit(0.0)).alias("v_measure"),
+        )
+    )
+
+
+V_MEASURE_CELLS_ORACLE = f"""
+WITH {_DUCK_ASSIGN_CTES},
+joint AS (
+  SELECT c_label AS cell, orig_label AS lbl,
+         CAST(count(*) AS BIGINT) AS ncl
+  FROM assign GROUP BY 1, 2
+),
+cells AS (SELECT cell, CAST(sum(ncl) AS BIGINT) AS nc FROM joint GROUP BY 1),
+labels AS (SELECT lbl, CAST(sum(ncl) AS BIGINT) AS nl FROM joint GROUP BY 1),
+tot AS (SELECT CAST(sum(ncl) AS BIGINT) AS n FROM joint),
+cond AS (
+  SELECT CAST(sum(j.ncl * CAST(floor({_VM_FP} * ln(
+             CAST(c.nc AS DOUBLE) / CAST(j.ncl AS DOUBLE))) AS BIGINT))
+           AS BIGINT) AS hlc_fp,
+         CAST(sum(j.ncl * CAST(floor({_VM_FP} * ln(
+             CAST(l.nl AS DOUBLE) / CAST(j.ncl AS DOUBLE))) AS BIGINT))
+           AS BIGINT) AS hcl_fp
+  FROM joint j JOIN cells c USING (cell) JOIN labels l USING (lbl)
+),
+hl AS (
+  SELECT CAST(sum(nl * CAST(floor({_VM_FP} * ln(
+             CAST(t.n AS DOUBLE) / CAST(nl AS DOUBLE))) AS BIGINT))
+           AS BIGINT) AS hl_fp
+  FROM labels CROSS JOIN tot t
+),
+hc AS (
+  SELECT CAST(sum(nc * CAST(floor({_VM_FP} * ln(
+             CAST(t.n AS DOUBLE) / CAST(nc AS DOUBLE))) AS BIGINT))
+           AS BIGINT) AS hc_fp
+  FROM cells CROSS JOIN tot t
+),
+dims AS (
+  SELECT CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+         CAST(count(DISTINCT lbl) AS BIGINT) AS n_labels
+  FROM joint
+)
+SELECT t.n, d.n_cells, d.n_labels,
+       co.hlc_fp, co.hcl_fp, h1.hl_fp, h2.hc_fp,
+       CASE WHEN h1.hl_fp > 0
+            THEN 1.0 - CAST(co.hlc_fp AS DOUBLE) / CAST(h1.hl_fp AS DOUBLE)
+            ELSE 1.0 END AS homogeneity,
+       CASE WHEN h2.hc_fp > 0
+            THEN 1.0 - CAST(co.hcl_fp AS DOUBLE) / CAST(h2.hc_fp AS DOUBLE)
+            ELSE 1.0 END AS completeness,
+       CASE WHEN (CASE WHEN h1.hl_fp > 0
+                       THEN 1.0 - CAST(co.hlc_fp AS DOUBLE)
+                            / CAST(h1.hl_fp AS DOUBLE) ELSE 1.0 END
+                  + CASE WHEN h2.hc_fp > 0
+                         THEN 1.0 - CAST(co.hcl_fp AS DOUBLE)
+                              / CAST(h2.hc_fp AS DOUBLE) ELSE 1.0 END) > 0
+            THEN 2.0
+                 * (CASE WHEN h1.hl_fp > 0
+                         THEN 1.0 - CAST(co.hlc_fp AS DOUBLE)
+                              / CAST(h1.hl_fp AS DOUBLE) ELSE 1.0 END)
+                 * (CASE WHEN h2.hc_fp > 0
+                         THEN 1.0 - CAST(co.hcl_fp AS DOUBLE)
+                              / CAST(h2.hc_fp AS DOUBLE) ELSE 1.0 END)
+                 / ((CASE WHEN h1.hl_fp > 0
+                          THEN 1.0 - CAST(co.hlc_fp AS DOUBLE)
+                               / CAST(h1.hl_fp AS DOUBLE) ELSE 1.0 END)
+                    + (CASE WHEN h2.hc_fp > 0
+                            THEN 1.0 - CAST(co.hcl_fp AS DOUBLE)
+                                 / CAST(h2.hc_fp AS DOUBLE) ELSE 1.0 END))
+            ELSE 0.0 END AS v_measure
+FROM tot t
+CROSS JOIN dims d CROSS JOIN cond co CROSS JOIN hl h1 CROSS JOIN hc h2
+"""
+
+
+# --------------------------------------------------------------------------
+# Recall@k curve: IVF-probed search vs the exact reference, per cutoff
+# --------------------------------------------------------------------------
+
+
+def recall_at_k_curve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, n_exact, n_hits, recall): the IVF search's recall measured
+    against the exact top-k reference at EVERY cutoff k in {1, 3,
+    TOP_K}, from one pass over the two (already bounded) rankings.
+    The single-k recall gates (ivf_margin_audit & friends) answer
+    "is nprobe enough at k"; the curve answers WHERE the recall
+    budget erodes as k grows — the dial a 100 TB corpus tunes before
+    raising nprobe (paying cells) versus raising k (paying re-rank).
+
+    Exactness: both rankings are themselves hash-checked queries
+    (ann_topk, ivf_ann) with deterministic total orders; hits and
+    denominators are exact integer counts; recall is one division.
+
+    Scale: both inputs are |queries| x TOP_K rows by construction —
+    this is a composition over bounded frames, the corpus never
+    re-scans (the rankings derive from the shared assignment/probe
+    chain Catalyst already prunes)."""
+    exact = ann_topk_query(spark, sf_dir).select(
+        "q_id", "n_id", F.col("rank").alias("e_rank")
+    )
+    probed = ivf_ann_query(spark, sf_dir).select(
+        "q_id", "n_id", F.col("rank").alias("p_rank")
+    )
+    both = exact.join(probed, ["q_id", "n_id"], "left")
+    ks = F.explode(
+        F.array(F.lit(1), F.lit(3), F.lit(TOP_K))
+    ).alias("k")
+    return (
+        both.select(ks, "e_rank", "p_rank")
+        .filter(F.col("e_rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(
+                (
+                    F.col("p_rank").isNotNull()
+                    & (F.col("p_rank") <= F.col("k"))
+                ).cast("bigint")
+            ).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_exact",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+RECALL_AT_K_CURVE_ORACLE = f"""
+WITH exact_r AS ({ANN_TOPK_ORACLE.strip()}),
+probed_r AS ({IVF_ANN_ORACLE.strip()}),
+both_r AS (
+  SELECT e.q_id, e.n_id, e.rank AS e_rank, p.rank AS p_rank
+  FROM exact_r e
+  LEFT JOIN probed_r p ON p.q_id = e.q_id AND p.n_id = e.n_id
+),
+ks AS (SELECT unnest([1, 3, {TOP_K}]) AS k)
+SELECT CAST(k.k AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN b.p_rank IS NOT NULL AND b.p_rank <= k.k
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN b.p_rank IS NOT NULL AND b.p_rank <= k.k
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS recall
+FROM ks k JOIN both_r b ON b.e_rank <= k.k
+GROUP BY k.k
+"""

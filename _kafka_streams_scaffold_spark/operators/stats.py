@@ -2572,3 +2572,90 @@ SELECT level, segment, changepoint_day, n_days, cusum_scaled,
             ELSE 'flat' END AS direction
 FROM unioned
 """
+
+
+# --------------------------------------------------------------------------
+# Exact weighted median (quantity-weighted price per return flag)
+# --------------------------------------------------------------------------
+
+def weighted_median_price_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, w_total, median_price_cents, median_price): the
+    exact QUANTITY-WEIGHTED median extended price per return flag —
+    the smallest price whose cumulative quantity mass reaches half
+    the flag's total (the lower weighted median). The unweighted
+    median (segment_spend_median) answers "the typical row"; this
+    answers "the typical UNIT", the version pricing/mix analyses
+    actually want when line items carry different volumes.
+
+    Exactness: prices as floor-cents BIGINT, weights as exact BIGINT
+    quantities; the crossing row satisfies the pure integer predicate
+    2*(cum - w) < W <= 2*cum, so selection never touches a float and
+    exactly one row survives per flag.
+
+    Scale: the corpus pays ONE partial-aggregatable (flag, cents)
+    rollup — the running-sum window then runs over DISTINCT price
+    points per flag (bounded by the price domain, ~1e6 cents values,
+    not by |lineitem|), which is the same frame-compression trick the
+    equi-depth histogram uses. No corpus-sized window or sort."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    pts = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+            F.floor(F.col("l_quantity")).cast("bigint").alias("w"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.withColumn("cum", F.sum("w").over(win).cast("bigint"))
+    tot = pts.groupBy("l_returnflag").agg(
+        F.sum("w").cast("bigint").alias("w_total")
+    )
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .filter(
+            (F.lit(2) * F.col("cum") >= F.col("w_total"))
+            & (F.lit(2) * (F.col("cum") - F.col("w")) < F.col("w_total"))
+        )
+        .select(
+            "l_returnflag",
+            "w_total",
+            F.col("cents").alias("median_price_cents"),
+            (F.col("cents").cast("double") / F.lit(100.0)).alias(
+                "median_price"
+            ),
+        )
+    )
+
+
+WEIGHTED_MEDIAN_PRICE_ORACLE = """
+WITH pts AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, cents, w,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum
+  FROM pts
+),
+tot AS (
+  SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS w_total
+  FROM pts GROUP BY 1
+)
+SELECT c.l_returnflag, t.w_total,
+       c.cents AS median_price_cents,
+       CAST(c.cents AS DOUBLE) / 100.0 AS median_price
+FROM cum c JOIN tot t USING (l_returnflag)
+WHERE 2 * c.cum >= t.w_total AND 2 * (c.cum - c.w) < t.w_total
+"""

@@ -2136,3 +2136,70 @@ SELECT w1, w2, c_ab, lift, rank FROM (
 )
 WHERE rank <= {COLLOC_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# Lexicon gate audit (blocklist filtering, the curation-side word gate)
+# --------------------------------------------------------------------------
+
+# Demo blocklist over the synthetic vocabulary; in production this is
+# the policy/safety lexicon. Matching is token-exact (the tokens_expr
+# split), never substring — 'slow' must not flag 'slowly'-style
+# neighbors, the classic blocklist false-positive.
+GATE_LEXICON = ("slow", "stale", "legacy")
+
+
+def lexicon_gate_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_flagged, n_hits, flag_rate): per source, how
+    many documents contain at least one blocklisted token, and the
+    total blocklisted-token count — the standard lexicon-gate audit a
+    curation pipeline runs before enabling a wordlist filter (flag
+    rates tell you the gate's cost per source BEFORE you pay it; a
+    source with an outlier rate is either genuinely off-policy or the
+    lexicon is mis-tokenized for it).
+
+    Exactness: integer counts, one final division. Scale: one corpus
+    scan; the per-doc hit count is a map-side array_intersect-free
+    aggregate over the token array (no explode shuffle — the filter
+    runs inside the doc row), then a |sources|-key rollup."""
+    docs = tables.table(spark, sf_dir, "documents")
+    lex = F.array(*[F.lit(w) for w in GATE_LEXICON])
+    hits = F.size(
+        F.filter(tokens_expr(), lambda t: F.array_contains(lex, t))
+    ).cast("bigint")
+    per_doc = docs.select("source", hits.alias("hits"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("hits") > 0).cast("bigint")).cast("bigint").alias(
+            "n_flagged"
+        ),
+        F.sum("hits").cast("bigint").alias("n_hits"),
+        (
+            F.sum((F.col("hits") > 0).cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("flag_rate"),
+    )
+
+
+_GATE_SQL_LIST = ", ".join(f"'{w}'" for w in GATE_LEXICON)
+_GATE_DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
+)
+
+LEXICON_GATE_AUDIT_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(list_filter({_GATE_DUCK_TOKS},
+                  x -> list_contains([{_GATE_SQL_LIST}], x)))
+            AS BIGINT) AS hits
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(hits) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS flag_rate
+FROM per_doc GROUP BY source
+"""

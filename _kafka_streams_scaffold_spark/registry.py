@@ -2432,5 +2432,39 @@ def _ensure_loaded() -> None:
         similarity.CELL_LABEL_GINI_ORACLE,
     )
 
+    # ---- round-9 additions (post-freeze: R10_MATERIAL in
+    # tests/test_registry_window.py; capped at 13 per the r08
+    # verdict's certification-pipeline pressure rule) ----
+    register(
+        "tail_token_share",
+        lexstats.tail_token_share_query,
+        lexstats.TAIL_TOKEN_SHARE_ORACLE,
+    )
+    register(
+        "log_odds_terms",
+        lexstats.log_odds_terms_query,
+        lexstats.LOG_ODDS_TERMS_ORACLE,
+    )
+    register(
+        "lexicon_gate_audit",
+        textops.lexicon_gate_audit_query,
+        textops.LEXICON_GATE_AUDIT_ORACLE,
+    )
+    register(
+        "v_measure_cells",
+        similarity.v_measure_cells_query,
+        similarity.V_MEASURE_CELLS_ORACLE,
+    )
+    register(
+        "recall_at_k_curve",
+        similarity.recall_at_k_curve_query,
+        similarity.RECALL_AT_K_CURVE_ORACLE,
+    )
+    register(
+        "weighted_median_price",
+        stats.weighted_median_price_query,
+        stats.WEIGHTED_MEDIAN_PRICE_ORACLE,
+    )
+
     _apply_window(_WINDOW_R09)
     _LOADED = True
