@@ -1,0 +1,108 @@
+"""Physical-plan assertions for the round-9 post-freeze additions
+(R10_MATERIAL): the properties each plan must keep at 100 TB.
+
+These use ``elide_cached=False`` trees: the pinned rollups sit in a
+LEFT branch here, and the property that matters is that every
+InMemoryRelation reference shares ONE cached build — visible as a
+single distinct `Scan parquet` node id across the whole tree."""
+
+from __future__ import annotations
+
+import re
+
+from _kafka_streams_scaffold_spark.operators import (
+    lexstats,
+    similarity,
+    stats,
+    textops,
+)
+from _kafka_streams_scaffold_spark.plans import inspect as pi
+
+
+def _n(tree: str, node: str) -> int:
+    return len(set(re.findall(rf"(?<![A-Za-z]){node}[^\n(]*\((\d+)\)", tree)))
+
+
+def _no_python(t: str) -> None:
+    assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+
+
+def test_tail_share_one_scan_broadcast_anti_head(spark, sf_dir):
+    t = pi.tree(
+        lexstats.tail_token_share_query(spark, sf_dir), elide_cached=False
+    )
+    _no_python(t)
+    # the (source, term) rollup is pinned: totals, the head and the
+    # anti-probe all read ONE cached build — exactly one parquet scan
+    # node id in the whole tree, and the explode lives inside it
+    # (<= 2 distinct Generate ids: the cached build's final+initial
+    # AQE variants)
+    assert "InMemoryTableScan" in t
+    assert _n(t, "Scan parquet") == 1
+    assert _n(t, "Generate") <= 2
+    # the constant-size head enters the tail filter as a broadcast
+    # LEFT ANTI — never a shuffle keyed on the vocabulary
+    assert "LeftAnti" in t and "BroadcastExchange" in t
+    assert "TakeOrderedAndProject" in t
+    assert "SortMergeJoin" not in t
+
+
+def test_log_odds_grid_one_scan_broadcast_built(spark, sf_dir):
+    t = pi.tree(
+        lexstats.log_odds_terms_query(spark, sf_dir), elide_cached=False
+    )
+    _no_python(t)
+    assert "InMemoryTableScan" in t
+    assert _n(t, "Scan parquet") == 1
+    assert _n(t, "Generate") <= 2
+    # the sources x vocabulary grid comes from broadcasting the
+    # |sources| totals onto the vocab frame; the grand total is a
+    # broadcast scalar — no shuffle grows with the grid
+    assert "BroadcastNestedLoopJoin" in t
+    assert "SortMergeJoin" not in t
+
+
+def test_lexicon_gate_is_one_scan_no_explode_shuffle(spark, sf_dir):
+    t = pi.tree(textops.lexicon_gate_audit_query(spark, sf_dir))
+    _no_python(t)
+    # hit counting happens inside the document row (size/filter on the
+    # token array) — no Generate, no join, one map-side-combinable agg
+    assert "Generate" not in t
+    assert "Join" not in t
+    assert _n(t, "HashAggregate") >= 1
+
+
+def test_v_measure_single_assignment_dimension_rollups(spark, sf_dir):
+    t = pi.tree(
+        similarity.v_measure_cells_query(spark, sf_dir), elide_cached=False
+    )
+    _no_python(t)
+    # the (cell, label) joint rollup is pinned; cells/labels/grand
+    # totals broadcast back onto it
+    assert "InMemoryTableScan" in t
+    assert "SortMergeJoin" not in t
+    assert "BroadcastNestedLoopJoin" in t or "BroadcastHashJoin" in t
+
+
+def test_recall_curve_no_corpus_rescan_pairs(spark, sf_dir):
+    t = pi.tree(similarity.recall_at_k_curve_query(spark, sf_dir))
+    _no_python(t)
+    # both rankings are bounded |queries| x TOP_K frames; the k-axis
+    # explode runs on that bounded frame, never on the corpus, and no
+    # unbounded cartesian appears
+    assert "CartesianProduct" not in t
+
+
+def test_weighted_median_window_runs_on_compressed_points(spark, sf_dir):
+    df = stats.weighted_median_price_query(spark, sf_dir)
+    t = pi.tree(df)
+    _no_python(t)
+    # the running-sum window consumes the (flag, cents) AGGREGATE, not
+    # raw lineitem: in the tree the Window's child chain must contain
+    # a HashAggregate before any parquet scan of lineitem
+    win_pos = t.find("Window")
+    agg_pos = t.find("HashAggregate", win_pos)
+    assert win_pos != -1 and agg_pos != -1
+    # totals broadcast back onto the crossing filter
+    assert "BroadcastHashJoin" in t
+    assert "SortMergeJoin" not in t

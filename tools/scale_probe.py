@@ -110,6 +110,23 @@ def main() -> None:
     def lineitem(m):
         return unioned(spark, "lineitem", m)
 
+    def orders_rekeyed(m):
+        # Distinct keys per copy (offset divisible by 10 keeps the
+        # %10/%7/%13 synthetic-churn fractions representative): the
+        # key-join probes need the unique-key invariant real
+        # snapshots have, not the twin union's m-x duplicate keys.
+        parts = []
+        for i in range(m):
+            parts.append(
+                tables.table(spark, SF_DIR, "orders").withColumn(
+                    "o_orderkey",
+                    (F.col("o_orderkey") + F.lit(i * 100_000_000)).cast(
+                        "bigint"
+                    ),
+                )
+            )
+        return reduce(lambda a, b: a.union(b), parts)
+
     def _with_table(tbl: str, frame, build):
         # Build a registry query's plan against a swapped-in m-x frame
         # by patching the table loader during plan construction only.
@@ -206,8 +223,17 @@ def main() -> None:
         "incremental dedup (index probe)": lambda m: _with_docs(
             m, lambda: dedup.incremental_dedup_query(spark, SF_DIR)
         ),
-        "corpus keep full (7-gate capstone)": lambda m: _with_docs(
-            m, lambda: curation_mod.corpus_keep_full_query(spark, SF_DIR)
+        # RESEEDED corpus (r09): the twin union gives the capstone's
+        # pair-emitting gates (shared substring windows, exact-dup
+        # twin groups, contamination shingles) ~45x edge mass at a
+        # 10x data multiple by construction — the old 10.4x factor
+        # measured that artifact, not the operator. Reseeded copies
+        # produce genuinely new shingle/window universes, so the
+        # factor certifies the linearity a real 10x corpus exercises.
+        "corpus keep full (7-gate capstone, RESEEDED)": lambda m: _with_table(
+            "documents",
+            docs_reseeded(m),
+            lambda: curation_mod.corpus_keep_full_query(spark, SF_DIR),
         ),
         "bpe encode (merge replay)": lambda m: _with_docs(
             m, lambda: bpe_mod.bpe_encode_query(spark, SF_DIR)
@@ -235,9 +261,16 @@ def main() -> None:
             unioned(spark, "events", m),
             lambda: temporal_mod.gap_fill_daily_query(spark, SF_DIR),
         ),
-        "snapshot diff (full outer)": lambda m: _with_table(
+        # RE-KEYED union (r09): a twin union duplicates every
+        # o_orderkey m times, so the CDC full-outer key join becomes
+        # an m x m many-to-many explosion (100x matched pairs at
+        # m=10) — the old 11.5x factor measured that artifact. Real
+        # day-over-day snapshots have unique keys; shifting each
+        # copy's keys by a disjoint offset restores that invariant
+        # and measures the join's true 10x behavior.
+        "snapshot diff (full outer, re-keyed union)": lambda m: _with_table(
             "orders",
-            unioned(spark, "orders", m),
+            orders_rekeyed(m),
             lambda: temporal_mod.snapshot_diff_query(spark, SF_DIR),
         ),
         "equi-depth histogram (global ntile)": lambda m: _with_table(
@@ -783,6 +816,31 @@ def main() -> None:
             "lineitem",
             lineitem(m),
             lambda: trade.fulfillment_lag_query(spark, SF_DIR),
+        ),
+        # ---- round-9 post-freeze additions (R10 material) ----
+        "tail token share (anti-probe)": lambda m: _with_docs(
+            m, lambda: lexstats_mod.tail_token_share_query(spark, SF_DIR)
+        ),
+        "log-odds term grid": lambda m: _with_docs(
+            m, lambda: lexstats_mod.log_odds_terms_query(spark, SF_DIR)
+        ),
+        "lexicon gate (map-local)": lambda m: _with_docs(
+            m, lambda: textops.lexicon_gate_audit_query(spark, SF_DIR)
+        ),
+        "v-measure cells (fp entropies)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: similarity.v_measure_cells_query(spark, SF_DIR),
+        ),
+        "recall@k curve (bounded frames)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: similarity.recall_at_k_curve_query(spark, SF_DIR),
+        ),
+        "weighted median (point cumsum)": lambda m: _with_table(
+            "lineitem",
+            lineitem(m),
+            lambda: stats_mod.weighted_median_price_query(spark, SF_DIR),
         ),
     }
 
