@@ -1681,6 +1681,47 @@ AUDIT = [
         "rank on that grid; gini carried as exact integer "
         "numerator/denominator.",
     ),
+    # ---- round-9 post-freeze additions (R10 material) ----
+    (
+        "tail_token_share",
+        "One pinned (source, term) rollup feeds totals, the "
+        "constant-size head (TakeOrdered) and the broadcast LEFT-ANTI "
+        "tail probe — single corpus scan, no vocabulary-keyed "
+        "shuffle for the head.",
+    ),
+    (
+        "log_odds_terms",
+        "The sources x vocabulary grid is built by broadcasting the "
+        "|sources| totals and the grand-total scalar onto the vocab "
+        "frame (BroadcastNestedLoopJoin on dimension-sized inputs); "
+        "one corpus explode, inside the pinned rollup.",
+    ),
+    (
+        "lexicon_gate_audit",
+        "Hit counting runs INSIDE the document row (size/filter over "
+        "the token array): no Generate, no join, one "
+        "map-side-combinable aggregate on the source key.",
+    ),
+    (
+        "v_measure_cells",
+        "One assignment pass into a pinned |cells| x |labels| joint "
+        "rollup; marginals and the grand total broadcast back; all "
+        "four entropies are exact fixed-point BIGINT sums on "
+        "dimension-sized frames.",
+    ),
+    (
+        "recall_at_k_curve",
+        "Composes two bounded |queries| x TOP_K rankings; the k-axis "
+        "explode runs on that bounded frame — the corpus never "
+        "re-scans for the curve, no cartesian.",
+    ),
+    (
+        "weighted_median_price",
+        "The running-sum window consumes the (flag, cents) AGGREGATE "
+        "(distinct price points, bounded by the cents domain), never "
+        "raw lineitem; totals broadcast onto the pure-integer "
+        "crossing predicate.",
+    ),
 ]
 
 

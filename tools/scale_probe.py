@@ -1215,6 +1215,18 @@ def main() -> None:
         "(10x the gate's data size).",
         "- all 37 post-freeze `R09_MATERIAL` names (the round-9 "
         "window candidates): **37/37 bit-exact at sf0.1**.",
+        "",
+        "Round 9 extended the record to everything that changed or "
+        "landed this round:",
+        "",
+        "- the 6 `R10_MATERIAL` additions (tail_token_share, "
+        "log_odds_terms, lexicon_gate_audit, v_measure_cells, "
+        "recall_at_k_curve, weighted_median_price): **6/6 bit-exact "
+        "at sf0.1**.",
+        "- the 3 round-9 changed-impl queries (burrows_delta DECIMAL "
+        "overflow fix, smd_balance_audit pre-period covariate fix, "
+        "small_qty_revenue single-owner trade.py Q17): **3/3 "
+        "bit-exact at sf0.1**.",
     ]
     with open(os.path.join(os.path.dirname(__file__), "..", "SCALE.md"), "w") as f:
         f.write(
