@@ -55,27 +55,48 @@ def tree(df: DataFrame, elide_cached: bool = True) -> str:
     if not elide_cached:
         return text
     out: list[str] = []
-    skip_deeper_than: int | None = None
+    # While skipping a cached block, `open_cols` holds the ':'
+    # continuation columns of the relation line's OWN prefix — the
+    # outer tree's open left branches. The outer tree resumes exactly
+    # at the next sibling of the deepest open branch: tree art at
+    # that column, ':' at every shallower open column, nothing else
+    # in the prefix. Cached-block bodies (printed in simple format at
+    # a column anchored to the relation, sometimes SHALLOWER than the
+    # relation's art) can never reproduce that ':' pattern, and pure
+    # indent rules fail in both directions: requiring a ':' in the
+    # prefix swallows last-child siblings (truncating the tree and
+    # making "X not in tree" assertions vacuous), while indent-only
+    # leaks fragment bodies of deeply nested relations. If the
+    # relation line has NO open branches, its subtree is the tail of
+    # the whole tree and the rest is all cached block.
+    open_cols: list[int] | None = None
+    art_re = re.compile(r"^((?: {3}|:  )*)([+:]-)")
     for line in text.split("\n"):
-        stripped = line.lstrip(" :+-*")
-        indent = len(line) - len(stripped)
-        if skip_deeper_than is not None:
-            # Cached AQE sub-blocks (== Final Plan == fragments) reset
-            # to all-space prefixes at arbitrary depth; a line only
-            # returns to the OUTER tree if it is shallower than the
-            # relation AND still carries the outer ':' continuation
-            # art in its prefix (or sits at the un-arted root).
-            outer = indent <= skip_deeper_than and (
-                ":" in line[:skip_deeper_than] or indent <= 3
-            )
-            if not outer:
+        if open_cols is not None:
+            if not open_cols:
                 continue
-            skip_deeper_than = None
+            m = art_re.match(line)
+            resumed = (
+                m is not None
+                and len(m.group(1)) == open_cols[-1]
+                and all(line[c] == ":" for c in open_cols[:-1])
+                # outer formatted-tree lines never carry the simple-
+                # format codegen star the cached blocks use
+                and not line[len(m.group(1)) + 3 :].startswith("* ")
+            )
+            if not resumed:
+                continue
+            open_cols = None
         out.append(line)
         if "InMemoryRelation" in line:
-            skip_deeper_than = indent
+            m = art_re.match(line)
+            prefix = line[: m.end(1)] if m else ""
+            open_cols = [i for i, ch in enumerate(prefix) if ch == ":"]
+            # a ':-' relation has a pending sibling at its own column
+            if m and m.group(2) == ":-":
+                open_cols.append(len(prefix))
             out.append(
-                " " * (indent + 6)
+                " " * (len(prefix) + 6)
                 + "+- ... (cached build plan elided; see the "
                 "artifact's own entry)"
             )
