@@ -179,6 +179,29 @@ def test_register_raises_on_duplicate_name():
     registry.register(first, registry.queries()[first], replace=True)
 
 
+def test_no_registered_query_plans_cartesian_or_row_python(spark, sf_dir):
+    """Registry-wide anti-pattern guard over COMPLETE plan trees
+    (elide_cached=False — the round-9 tree() fix showed elision bugs
+    can hide whole branches): no unbounded CartesianProduct and no
+    row-at-a-time / arrow-eval Python in any registered query's plan.
+    Every crossJoin in the tree must broadcast (BroadcastNestedLoop),
+    and all Python execution goes through mapInPandas/applyInPandas
+    nodes, never per-expression eval."""
+    from _kafka_streams_scaffold_spark.plans import inspect as pi
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in registry.queries().items():
+        t = pi.tree(fn(spark, sf_dir), elide_cached=False)
+        hits = [
+            node
+            for node in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
+            if node in t
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"anti-pattern nodes in registered plans: {bad}"
+
+
 def test_no_registered_query_emits_complex_top_level_columns(spark, sf_dir):
     """Driver-canon compatibility guard (the embedding_quantize r04
     lesson): the external gate canonicalizes results with pandas
