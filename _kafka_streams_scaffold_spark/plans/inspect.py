@@ -76,13 +76,20 @@ def tree(df: DataFrame, elide_cached: bool = True) -> str:
             if not open_cols:
                 continue
             m = art_re.match(line)
+            body = line[m.end() :].lstrip() if m else ""
             resumed = (
                 m is not None
                 and len(m.group(1)) == open_cols[-1]
                 and all(line[c] == ":" for c in open_cols[:-1])
                 # outer formatted-tree lines never carry the simple-
                 # format codegen star the cached blocks use
-                and not line[len(m.group(1)) + 3 :].startswith("* ")
+                and not body.startswith("* ")
+                # ...nor fragment headers / AQE query-stage roots —
+                # the only node kinds a cached block can place at a
+                # shallow column (belt for the single-open-branch
+                # case, where the ':' pattern check above is vacuous)
+                and not body.startswith("== ")
+                and not body.split(" ", 1)[0].endswith("QueryStage")
             )
             if not resumed:
                 continue

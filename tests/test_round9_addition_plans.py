@@ -97,12 +97,33 @@ def test_weighted_median_window_runs_on_compressed_points(spark, sf_dir):
     df = stats.weighted_median_price_query(spark, sf_dir)
     t = pi.tree(df)
     _no_python(t)
-    # the running-sum window consumes the (flag, cents) AGGREGATE, not
-    # raw lineitem: in the tree the Window's child chain must contain
-    # a HashAggregate before any parquet scan of lineitem
-    win_pos = t.find("Window")
-    agg_pos = t.find("HashAggregate", win_pos)
-    assert win_pos != -1 and agg_pos != -1
+    # The running-sum window must consume the (flag, cents) AGGREGATE,
+    # never raw lineitem — walk the Window node's OWN child chain (the
+    # indented lines under it, until indentation returns to its level)
+    # and require a HashAggregate in that subtree before any parquet
+    # scan. A flat substring search would pass on the totals branch's
+    # aggregate even if the window regressed to corpus-sized input.
+    lines = t.split("\n")
+    win_i = next(
+        i for i, ln in enumerate(lines) if ln.lstrip(" :+-*").startswith("Window")
+    )
+    win_indent = len(lines[win_i]) - len(lines[win_i].lstrip(" :+-*"))
+    subtree = []
+    for ln in lines[win_i + 1 :]:
+        ind = len(ln) - len(ln.lstrip(" :+-*"))
+        if ln.strip() and ind <= win_indent:
+            break
+        subtree.append(ln)
+    agg_i = next(
+        (i for i, ln in enumerate(subtree) if "HashAggregate" in ln), None
+    )
+    scan_i = next(
+        (i for i, ln in enumerate(subtree) if "Scan parquet" in ln), None
+    )
+    assert agg_i is not None, "window input is not pre-aggregated"
+    assert scan_i is None or agg_i < scan_i, (
+        "window reads the corpus before aggregating"
+    )
     # totals broadcast back onto the crossing filter
     assert "BroadcastHashJoin" in t
     assert "SortMergeJoin" not in t

@@ -71,6 +71,10 @@ def unioned(spark, name: str, mult: int):
 def main() -> None:
     spark = session.build_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # memoized scalars shared across probe invocations (e.g. the
+    # orders max-key offset) so frame builders stay collect-free in
+    # the timed path
+    _probe_cache: dict[str, int] = {}
 
     def docs(m):
         # Re-key so the 10x corpus has distinct doc ids (dedup/shingle
@@ -111,16 +115,26 @@ def main() -> None:
         return unioned(spark, "lineitem", m)
 
     def orders_rekeyed(m):
-        # Distinct keys per copy (offset divisible by 10 keeps the
-        # %10/%7/%13 synthetic-churn fractions representative): the
-        # key-join probes need the unique-key invariant real
-        # snapshots have, not the twin union's m-x duplicate keys.
+        # Distinct keys per copy: the key-join probes need the
+        # unique-key invariant real snapshots have, not the twin
+        # union's m-x duplicate keys. The per-copy offset derives
+        # from the snapshot's ACTUAL max key (a fixed constant would
+        # silently reintroduce duplicate keys — and the m x m join
+        # explosion this exists to avoid — at SFs where keys outgrow
+        # it), rounded up to a multiple of 10 so the %10 churn class
+        # stays exact per copy; the %7/%13 classes shift per copy but
+        # keep their ~1/7, ~1/13 mass, which is what the probe needs.
+        if "orders_offset" not in _probe_cache:
+            base = tables.table(spark, SF_DIR, "orders")
+            max_key = base.agg(F.max("o_orderkey")).collect()[0][0]
+            _probe_cache["orders_offset"] = ((int(max_key) // 10) + 1) * 10
+        offset = _probe_cache["orders_offset"]
         parts = []
         for i in range(m):
             parts.append(
                 tables.table(spark, SF_DIR, "orders").withColumn(
                     "o_orderkey",
-                    (F.col("o_orderkey") + F.lit(i * 100_000_000)).cast(
+                    (F.col("o_orderkey") + F.lit(i * offset)).cast(
                         "bigint"
                     ),
                 )
