@@ -2976,3 +2976,215 @@ FROM agg
 
 
 DETECTOR_COCHRAN_Q_ORACLE = _cochran_q_oracle()
+
+
+# --------------------------------------------------------------------------
+# Kendall's W: ordinal concordance of the detectors' dup-degree rankings
+# --------------------------------------------------------------------------
+
+
+def kendall_w_detectors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, n_tiers, s4, tie_sum, w): Kendall's coefficient of
+    concordance W across ALL FOUR detectors' per-document dup-DEGREE
+    rankings (degree = number of emitted pairs touching the doc; rank
+    with midranks over the whole corpus, massive zero-ties included).
+    Completes the detector-agreement ladder ordinally: kappa compares
+    two detectors' binary verdicts, Cochran's Q tests k marginal
+    rates, W asks whether the detectors ORDER documents by dupness
+    the same way — the readout that matters when downstream keeps the
+    top-p% most-duplicated docs rather than thresholding.
+
+    W = 12*S / (m^2(n^3-n) - m*sum_j T_j) with S = sum_i (R_i -
+    m(n+1)/2)^2 and T_j = sum over judge j's tie groups of (t^3-t).
+    Exactness (the inference.py midrank discipline): ranks are
+    2x-scaled BIGINT midranks on per-tier (score -> count) rollups,
+    so R2_i = 2*R_i and the deviation sum s4 = 4*S is an exact
+    DECIMAL(38,0) integer (W = 3*s4/denominator, one final double
+    division; exact while n <= ~1e12, far past any real corpus). A
+    fully-tied universe (denominator 0) yields NULL identically on
+    both engines.
+
+    Scale: the four pair sets ride the SAME shared shingle/signature
+    pins as dedup_tier_agreement (concurrent under _tier_pairs'
+    contract); degrees are id-width rollups; midranks live on
+    per-tier (distinct degree)-sized spines — bounded by the max dup
+    degree, not the corpus."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Window as W
+
+    docs_t = tables.table(spark, sf_dir, "documents")
+    docs = docs_t.select("doc_id")
+
+    def _tagged(t):
+        return _tier_pairs(spark, sf_dir, t).select(
+            "doc_a", "doc_b", F.lit(t).alias("tier")
+        )
+
+    with ThreadPoolExecutor(len(_TIERS)) as ex:
+        parts = list(ex.map(_tagged, _TIERS))
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    deg = (
+        union.select("tier", F.col("doc_a").alias("doc_id"))
+        .unionByName(union.select("tier", F.col("doc_b").alias("doc_id")))
+        .groupBy("tier", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("score"))
+    )
+    tiers_df = spark.createDataFrame([(t,) for t in _TIERS], "tier string")
+    grid = (
+        docs.crossJoin(F.broadcast(tiers_df))
+        .join(deg, ["tier", "doc_id"], "left")
+        .select(
+            "tier",
+            "doc_id",
+            F.coalesce("score", F.lit(0)).cast("bigint").alias("score"),
+        )
+    )
+    levels = _pin(
+        grid.groupBy("tier", "score").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+    )
+    wv = W.partitionBy("tier").orderBy("score").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    mid = levels.select(
+        "tier",
+        "score",
+        (
+            F.lit(2) * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+            + F.col("cnt")
+            + F.lit(1)
+        ).cast("bigint").alias("midrank2"),
+    )
+    r2 = (
+        grid.join(mid, ["tier", "score"])
+        .groupBy("doc_id")
+        .agg(F.sum("midrank2").cast("bigint").alias("r2"))
+    )
+    nrow = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    m = len(_TIERS)
+    s4 = (
+        r2.crossJoin(F.broadcast(nrow))
+        .select(
+            (F.col("r2") - F.lit(m) * (F.col("n") + F.lit(1)))
+            .cast("bigint")
+            .alias("dev")
+        )
+        .agg(
+            F.sum(F.expr("cast(dev as decimal(19,0)) * dev"))
+            .cast("decimal(38,0)")
+            .alias("s4")
+        )
+    )
+    tie = levels.agg(
+        F.sum(F.expr("cast(cnt as decimal(19,0)) * cnt * cnt - cnt"))
+        .cast("decimal(38,0)")
+        .alias("tsum")
+    )
+    nd = F.col("n").cast("double")
+    denom = (
+        F.lit(float(m * m)) * (nd * nd * nd - nd)
+        - F.lit(float(m)) * F.col("tsum").cast("double")
+    )
+    return (
+        nrow.crossJoin(F.broadcast(s4))
+        .crossJoin(F.broadcast(tie))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.lit(m).cast("int").alias("n_tiers"),
+            F.col("s4").cast("double").alias("s4"),
+            F.col("tsum").cast("double").alias("tie_sum"),
+            F.when(
+                denom > 0,
+                F.lit(3.0) * F.col("s4").cast("double") / denom,
+            ).alias("w"),
+        )
+    )
+
+
+def _kendall_w_oracle() -> str:
+    tier_sql = {
+        "simhash": SIMHASH_PAIRS_ORACLE,
+        "minhash": MINHASH_LSH_ORACLE,
+        "ngram": NGRAM_JACCARD_ORACLE,
+        "edit": EDIT_DISTANCE_PAIRS_ORACLE,
+    }
+    m = len(_TIERS)
+    ctes = ",\n".join(
+        f"{t} AS MATERIALIZED (SELECT doc_a, doc_b FROM "
+        f"({tier_sql[t].strip().rstrip(';')}))"
+        for t in _TIERS
+    )
+    tagged = "\nUNION ALL\n".join(
+        f"SELECT doc_a, doc_b, '{t}' AS tier FROM {t}" for t in _TIERS
+    )
+    tiers_list = ", ".join(f"'{t}'" for t in _TIERS)
+    return f"""
+WITH {ctes},
+tagged AS ({tagged}),
+deg AS (
+  SELECT tier, doc_id, CAST(count(*) AS BIGINT) AS score FROM (
+    SELECT tier, doc_a AS doc_id FROM tagged
+    UNION ALL
+    SELECT tier, doc_b AS doc_id FROM tagged
+  ) GROUP BY 1, 2
+),
+tiers AS (SELECT unnest([{tiers_list}]) AS tier),
+grid AS (
+  SELECT t.tier, d.doc_id, COALESCE(g.score, 0) AS score
+  FROM documents d
+  CROSS JOIN tiers t
+  LEFT JOIN deg g ON g.tier = t.tier AND g.doc_id = d.doc_id
+),
+levels AS (
+  SELECT tier, score, CAST(count(*) AS BIGINT) AS cnt
+  FROM grid GROUP BY 1, 2
+),
+mid AS (
+  SELECT tier, score,
+         CAST(2 * COALESCE(sum(cnt) OVER (
+                PARTITION BY tier ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0) + cnt + 1 AS BIGINT) AS midrank2
+  FROM levels
+),
+r2 AS (
+  SELECT g.doc_id, CAST(sum(m.midrank2) AS BIGINT) AS r2
+  FROM grid g JOIN mid m ON m.tier = g.tier AND m.score = g.score
+  GROUP BY 1
+),
+nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+s4 AS (
+  SELECT CAST(sum(CAST(dev AS DECIMAL(19,0)) * dev) AS DECIMAL(38,0))
+           AS s4
+  FROM (
+    SELECT r2.r2 - {m} * (nrow.n + 1) AS dev FROM r2 CROSS JOIN nrow
+  )
+),
+tie AS (
+  SELECT CAST(sum(CAST(cnt AS DECIMAL(19,0)) * cnt * cnt - cnt)
+              AS DECIMAL(38,0)) AS tsum
+  FROM levels
+)
+SELECT nrow.n AS n_docs,
+       CAST({m} AS INTEGER) AS n_tiers,
+       CAST(s4.s4 AS DOUBLE) AS s4,
+       CAST(tie.tsum AS DOUBLE) AS tie_sum,
+       CASE WHEN ({m}.0 * {m}.0
+                  * (CAST(nrow.n AS DOUBLE) * CAST(nrow.n AS DOUBLE)
+                     * CAST(nrow.n AS DOUBLE) - CAST(nrow.n AS DOUBLE))
+                  - {m}.0 * CAST(tie.tsum AS DOUBLE)) > 0
+            THEN 3.0 * CAST(s4.s4 AS DOUBLE)
+                 / ({m}.0 * {m}.0
+                    * (CAST(nrow.n AS DOUBLE) * CAST(nrow.n AS DOUBLE)
+                       * CAST(nrow.n AS DOUBLE) - CAST(nrow.n AS DOUBLE))
+                    - {m}.0 * CAST(tie.tsum AS DOUBLE))
+       END AS w
+FROM nrow CROSS JOIN s4 CROSS JOIN tie
+"""
+
+
+KENDALL_W_DETECTORS_ORACLE = _kendall_w_oracle()

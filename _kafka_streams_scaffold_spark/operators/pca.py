@@ -37,30 +37,12 @@ PCA_FP = 10_000     # per-component fixed-point scale
 PCA_ITERS = 8       # power-iteration steps (converges fast at gap > ~2x)
 
 
-def pca_top_component_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(pos, loading, eigenvalue, explained_frac): the PCA_ITERS-step
-    power-iteration estimate of the embedding covariance's dominant
-    direction — one row per dimension with its loading, plus the
-    Rayleigh-quotient "eigenvalue" of the reported axis and its share
-    of the covariance trace. ``explained_frac`` IS the variance
-    fraction along the reported direction regardless of convergence
-    (the Rayleigh quotient of the iterate), which is the number the
-    rogue-dimension / cone diagnostics consume; > ~0.3 on a 64-d
-    space is the signature worth acting on.
-
-    Convergence contract (honest): alignment with the true top
-    eigenvector improves as (lambda2/lambda1)^PCA_ITERS — on a
-    SPIKED spectrum 8 steps lock on; on a near-flat spectrum (the
-    synthetic fixtures measure lambda2/lambda1 ~ 0.93) the iterate is
-    a top-SUBSPACE blend, and the Rayleigh quotient still
-    lower-bounds lambda_1 while upper-bounding the variance along
-    any reported axis. Raising PCA_ITERS buys alignment linearly in
-    plan depth; the default keeps the chained-aggregation plan
-    shallow.
-
-    See the module docstring for the scale/exactness contract. The
-    eigenvalue is reported in quantized-covariance units and
-    ``explained_frac`` is the unit-free number to read."""
+def _cov_frames(spark: SparkSession, sf_dir: str):
+    """(cov, n_row): the d^2-cell scaled covariance C'_ij =
+    n*M_ij - S_i*S_j as one exact-integer corpus pass — the shared
+    front half of pca_top_component and participation_ratio. Cell
+    values are assembled with single IEEE ops on exact BIGINT moments,
+    so every consumer sees bit-identical cells cross-engine."""
     emb = tables.spread(
         tables.table(spark, sf_dir, "embeddings"), "vec_id"
     )
@@ -108,6 +90,34 @@ def pca_top_component_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c"),
         )
     )
+    return cov, n_row
+
+
+def pca_top_component_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pos, loading, eigenvalue, explained_frac): the PCA_ITERS-step
+    power-iteration estimate of the embedding covariance's dominant
+    direction — one row per dimension with its loading, plus the
+    Rayleigh-quotient "eigenvalue" of the reported axis and its share
+    of the covariance trace. ``explained_frac`` IS the variance
+    fraction along the reported direction regardless of convergence
+    (the Rayleigh quotient of the iterate), which is the number the
+    rogue-dimension / cone diagnostics consume; > ~0.3 on a 64-d
+    space is the signature worth acting on.
+
+    Convergence contract (honest): alignment with the true top
+    eigenvector improves as (lambda2/lambda1)^PCA_ITERS — on a
+    SPIKED spectrum 8 steps lock on; on a near-flat spectrum (the
+    synthetic fixtures measure lambda2/lambda1 ~ 0.93) the iterate is
+    a top-SUBSPACE blend, and the Rayleigh quotient still
+    lower-bounds lambda_1 while upper-bounding the variance along
+    any reported axis. Raising PCA_ITERS buys alignment linearly in
+    plan depth; the default keeps the chained-aggregation plan
+    shallow.
+
+    See the module docstring for the scale/exactness contract. The
+    eigenvalue is reported in quantized-covariance units and
+    ``explained_frac`` is the unit-free number to read."""
+    cov, _ = _cov_frames(spark, sf_dir)
     rows = _pin(
         cov.groupBy("i").agg(
             F.expr(
@@ -269,3 +279,114 @@ FROM it{PCA_ITERS} v,
 
 
 PCA_TOP_COMPONENT_ORACLE = _pca_oracle()
+
+
+# --------------------------------------------------------------------------
+# Participation ratio: effective dimensionality without eigendecomposition
+# --------------------------------------------------------------------------
+
+
+def participation_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n, dim, trace_c, trace_c2, participation_ratio, effective_frac):
+    the embedding spectrum's participation ratio PR = trace(C)^2 /
+    trace(C^2) = (sum lambda)^2 / sum lambda^2 — the standard
+    "effective number of dimensions" readout, computed WITHOUT any
+    eigendecomposition: trace(C) is the diagonal sum and trace(C^2) =
+    ||C||_F^2 is the sum of squared cells, both available directly
+    from the d^2 covariance rollup. PR = d for an isotropic cloud, ~1
+    for a rank-1 cone; with anisotropy (cone direction strength),
+    Two-NN (local intrinsic dim) and pca_top_component (the axis),
+    this completes the embedding-geometry tier with the global
+    spectral-flatness number. Scale invariant: the n^2 factor in the
+    C' = n*M - S S^T cells cancels in the ratio.
+
+    Exactness: the moments are exact integers (shared _cov_frames
+    pass); trace and Frobenius sums are ORDERED folds over the d-
+    (resp. d^2-) cell grid (collect_list sorted by index, the
+    pca_top_component discipline), so both engines add the same
+    doubles in the same sequence and the outputs hash bit-exactly.
+
+    Scale: ONE corpus pass into the 4096-cell rollup; everything
+    after is d^2-sized."""
+    cov, n_row = _cov_frames(spark, sf_dir)
+    tr = cov.filter(F.col("i") == F.col("j")).agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(i, c))), "
+            "x -> x.c), cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("trace_c")
+    )
+    fro = cov.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(i, j, c))), "
+            "x -> x.c * x.c), cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("trace_c2")
+    )
+    pr = F.when(
+        F.col("trace_c2") > 0,
+        F.col("trace_c") * F.col("trace_c") / F.col("trace_c2"),
+    ).otherwise(F.lit(0.0))
+    return (
+        n_row.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(fro))
+        .select(
+            "n",
+            F.lit(DIM).cast("int").alias("dim"),
+            "trace_c",
+            "trace_c2",
+            pr.alias("participation_ratio"),
+            (pr / F.lit(float(DIM))).alias("effective_frac"),
+        )
+    )
+
+
+PARTICIPATION_RATIO_ORACLE = f"""
+WITH q AS MATERIALIZED (
+  SELECT list_transform(embedding,
+           x -> CAST(floor({PCA_FP}.0 * CAST(x AS DOUBLE)) AS BIGINT))
+         AS q
+  FROM embeddings
+),
+m_cells AS MATERIALIZED (
+  SELECT gi.i AS i, gj.j AS j,
+         CAST(sum(q.q[gi.i] * q.q[gj.j]) AS BIGINT) AS m
+  FROM q,
+       LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) gi,
+       LATERAL (SELECT unnest(generate_series(1, {DIM})) AS j) gj
+  GROUP BY 1, 2
+),
+s_cells AS (
+  SELECT gi.i AS i, CAST(sum(q.q[gi.i]) AS BIGINT) AS s
+  FROM q, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) gi
+  GROUP BY 1
+),
+nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+cov AS MATERIALIZED (
+  SELECT m.i, m.j,
+         CAST(nrow.n AS DOUBLE) * CAST(m.m AS DOUBLE)
+           - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) AS c
+  FROM m_cells m
+  JOIN s_cells si ON si.i = m.i
+  JOIN s_cells sj ON sj.i = m.j
+  CROSS JOIN nrow
+),
+tr AS (
+  SELECT list_reduce(list_transform(list(c ORDER BY i), x -> x),
+                     (a, b) -> a + b) AS trace_c
+  FROM cov WHERE i = j
+),
+fro AS (
+  SELECT list_reduce(list_transform(list(c ORDER BY i, j), x -> x * x),
+                     (a, b) -> a + b) AS trace_c2
+  FROM cov
+)
+SELECT nrow.n, CAST({DIM} AS INTEGER) AS dim,
+       tr.trace_c, fro.trace_c2,
+       CASE WHEN fro.trace_c2 > 0
+            THEN tr.trace_c * tr.trace_c / fro.trace_c2
+            ELSE 0.0 END AS participation_ratio,
+       CASE WHEN fro.trace_c2 > 0
+            THEN tr.trace_c * tr.trace_c / fro.trace_c2
+                 / CAST({DIM} AS DOUBLE)
+            ELSE 0.0 END AS effective_frac
+FROM nrow, tr, fro
+"""

@@ -331,9 +331,13 @@ _DEDUP_AUDIT_CHAIN = [
     "detector_kappa",
     # In the r09 window (placed LAST there); listed here for family
     # documentation — _apply_window skips names already in the window,
-    # so the remaining six land immediately after it: the window tail
-    # plus this chain form one consecutive shared-pin run.
+    # so the remaining members land immediately after it: the window
+    # tail plus this chain form one consecutive shared-pin run.
     "detector_cochran_q",
+    # round-9 addition (R10 material) riding the same shared tier
+    # pins; placed in the chain so its four detector derivations read
+    # the family's warm materializations in bench order
+    "kendall_w_detectors",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -2464,6 +2468,16 @@ def _ensure_loaded() -> None:
         "weighted_median_price",
         stats.weighted_median_price_query,
         stats.WEIGHTED_MEDIAN_PRICE_ORACLE,
+    )
+    register(
+        "participation_ratio",
+        pca.participation_ratio_query,
+        pca.PARTICIPATION_RATIO_ORACLE,
+    )
+    register(
+        "kendall_w_detectors",
+        dedup.kendall_w_detectors_query,
+        dedup.KENDALL_W_DETECTORS_ORACLE,
     )
 
     _apply_window(_WINDOW_R09)

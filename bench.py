@@ -98,6 +98,7 @@ def main() -> None:
         "blocking_recall_audit",
         "detector_kappa",
         "detector_cochran_q",
+        "kendall_w_detectors",
     }
     names = list(qs)
     timings: dict[str, float] = {}

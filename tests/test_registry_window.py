@@ -44,6 +44,11 @@ R10_MATERIAL: set[str] = {
     "v_measure_cells",
     "recall_at_k_curve",
     "weighted_median_price",
+    "participation_ratio",
+    # rides the dedup-audit shared pins (slot inside the driver's
+    # 50-query prefix via _DEDUP_AUDIT_CHAIN, so it may earn a green
+    # CORRECTNESS row already in round 9)
+    "kendall_w_detectors",
 }
 
 

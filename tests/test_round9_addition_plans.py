@@ -127,3 +127,27 @@ def test_weighted_median_window_runs_on_compressed_points(spark, sf_dir):
     # totals broadcast back onto the crossing filter
     assert "BroadcastHashJoin" in t
     assert "SortMergeJoin" not in t
+
+
+def test_participation_ratio_one_pass_no_smj(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import pca
+
+    t = pi.tree(
+        pca.participation_ratio_query(spark, sf_dir), elide_cached=False
+    )
+    _no_python(t)
+    # one corpus scan into the pinned d^2 moment rollup; trace and
+    # Frobenius folds read the cache; marginals broadcast
+    assert _n(t, "Scan parquet") == 1
+    assert "SortMergeJoin" not in t
+    assert "InMemoryTableScan" in t
+
+
+def test_kendall_w_no_cartesian_no_python(spark, sf_dir):
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    t = pi.tree(dedup.kendall_w_detectors_query(spark, sf_dir))
+    _no_python(t)
+    # the tiers axis enters as a 4-row broadcast; the only wide work
+    # is the detectors' own banded pair generation (shared pins)
+    assert "CartesianProduct" not in t

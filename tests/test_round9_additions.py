@@ -287,3 +287,106 @@ def test_weighted_median_matches_bruteforce(spark):
                 break
         assert got[flag]["median_price_cents"] == cents
         assert got[flag]["w_total"] == w_total
+
+
+# ---------------------------------------------------------------------------
+# participation_ratio
+# ---------------------------------------------------------------------------
+
+
+def test_participation_ratio_matches_numpy(spark):
+    import numpy as np
+
+    from _kafka_streams_scaffold_spark.operators import pca
+
+    emb = tables.table(spark, SF, "embeddings").collect()
+    q = np.array(
+        [
+            [math.floor(pca.PCA_FP * float(x)) for x in r["embedding"]]
+            for r in emb
+        ],
+        dtype=np.float64,
+    )
+    n = q.shape[0]
+    m = q.T @ q
+    s = q.sum(axis=0)
+    c = n * m - np.outer(s, s)
+    tr = float(np.trace(c))
+    fro = float((c * c).sum())
+    [row] = pca.participation_ratio_query(spark, SF).collect()
+    assert row["n"] == n
+    assert row["trace_c"] == pytest.approx(tr, rel=1e-12)
+    assert row["trace_c2"] == pytest.approx(fro, rel=1e-9)
+    assert row["participation_ratio"] == pytest.approx(
+        tr * tr / fro, rel=1e-9
+    )
+    # PR is bounded by [1, d] for any non-degenerate spectrum
+    assert 1.0 - 1e-9 <= row["participation_ratio"] <= row["dim"] + 1e-9
+
+
+def test_participation_ratio_scale_invariance_identity(spark):
+    """PR must equal (sum lambda)^2 / sum lambda^2 of the TRUE
+    covariance regardless of the n^2 scale factor carried by the
+    C' = n*M - S S^T cells (the ratio cancels it)."""
+    import numpy as np
+
+    from _kafka_streams_scaffold_spark.operators import pca
+
+    emb = tables.table(spark, SF, "embeddings").collect()
+    q = np.array(
+        [
+            [math.floor(pca.PCA_FP * float(x)) for x in r["embedding"]]
+            for r in emb
+        ],
+        dtype=np.float64,
+    )
+    cov = np.cov(q.T, bias=True)
+    lam = np.linalg.eigvalsh(cov)
+    want = lam.sum() ** 2 / (lam * lam).sum()
+    [row] = pca.participation_ratio_query(spark, SF).collect()
+    assert row["participation_ratio"] == pytest.approx(want, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# kendall_w_detectors
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_w_matches_bruteforce(spark):
+    from _kafka_streams_scaffold_spark.operators import dedup
+
+    docs = [r["doc_id"] for r in
+            tables.table(spark, SF, "documents").select("doc_id").collect()]
+    n = len(docs)
+    m = len(dedup._TIERS)
+    scores = {t: Counter() for t in dedup._TIERS}
+    for t in dedup._TIERS:
+        for r in dedup._tier_pairs(spark, SF, t).collect():
+            scores[t][r["doc_a"]] += 1
+            scores[t][r["doc_b"]] += 1
+    # 2x midranks per tier
+    r2 = Counter()
+    tie_sum = 0
+    for t in dedup._TIERS:
+        vals = sorted(scores[t].get(d, 0) for d in docs)
+        groups = Counter(vals)
+        tie_sum += sum(c ** 3 - c for c in groups.values())
+        cum = 0
+        mid2 = {}
+        for v in sorted(groups):
+            c = groups[v]
+            mid2[v] = 2 * cum + c + 1
+            cum += c
+        for d in docs:
+            r2[d] += mid2[scores[t].get(d, 0)]
+    s4 = sum((r2[d] - m * (n + 1)) ** 2 for d in docs)
+    denom = m * m * (n ** 3 - n) - m * tie_sum
+    [row] = dedup.kendall_w_detectors_query(spark, SF).collect()
+    assert row["n_docs"] == n and row["n_tiers"] == m
+    assert row["s4"] == pytest.approx(float(s4), rel=1e-12)
+    assert row["tie_sum"] == pytest.approx(float(tie_sum), rel=1e-12)
+    if denom > 0:
+        assert row["w"] == pytest.approx(3.0 * s4 / denom, rel=1e-9)
+        assert -1e-9 <= row["w"] <= 1.0 + 1e-9
+    else:
+        assert row["w"] is None

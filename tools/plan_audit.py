@@ -1722,6 +1722,20 @@ AUDIT = [
         "raw lineitem; totals broadcast onto the pure-integer "
         "crossing predicate.",
     ),
+    (
+        "participation_ratio",
+        "ONE corpus pass into the d^2-cell exact moment rollup "
+        "(shared with pca_top_component); trace and Frobenius sums "
+        "are ordered folds over the 4096-cell grid — no "
+        "eigendecomposition, no second scan.",
+    ),
+    (
+        "kendall_w_detectors",
+        "The four pair sets ride the shared shingle/signature pins; "
+        "degrees are id-width rollups, midranks live on per-tier "
+        "(distinct degree)-sized spines, and the deviation sum is an "
+        "exact DECIMAL(38,0) integer.",
+    ),
 ]
 
 

@@ -856,6 +856,19 @@ def main() -> None:
             lineitem(m),
             lambda: stats_mod.weighted_median_price_query(spark, SF_DIR),
         ),
+        "participation ratio (d^2 rollup)": lambda m: _with_table(
+            "embeddings",
+            embeddings(m),
+            lambda: pca_mod.participation_ratio_query(spark, SF_DIR),
+        ),
+        # RESEEDED corpus: the four detectors are pair-emitting — the
+        # twin union would inflate their edge mass ~45x (the
+        # linkage_entities protocol note above)
+        "kendall W detectors (midranks, RESEEDED)": lambda m: _with_table(
+            "documents",
+            docs_reseeded(m),
+            lambda: dedup.kendall_w_detectors_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
@@ -1233,10 +1246,10 @@ def main() -> None:
         "Round 9 extended the record to everything that changed or "
         "landed this round:",
         "",
-        "- the 6 `R10_MATERIAL` additions (tail_token_share, "
+        "- the 8 `R10_MATERIAL` additions (tail_token_share, "
         "log_odds_terms, lexicon_gate_audit, v_measure_cells, "
-        "recall_at_k_curve, weighted_median_price): **6/6 bit-exact "
-        "at sf0.1**.",
+        "recall_at_k_curve, weighted_median_price, participation_ratio, "
+        "kendall_w_detectors): **8/8 bit-exact at sf0.1**.",
         "- the 3 round-9 changed-impl queries (burrows_delta DECIMAL "
         "overflow fix, smd_balance_audit pre-period covariate fix, "
         "small_qty_revenue single-owner trade.py Q17): **3/3 "
