@@ -1163,12 +1163,19 @@ def log_odds_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(ys / (ns_tot - ys)) - F.log(yr / (nr_tot - yr))
     )
     var = F.lit(1.0) / ys + F.lit(1.0) / yr
+    # Domain guard (r09 ADVICE): ns_tot - ys = (ns - c) + (A - aw) hits
+    # 0 only in the degenerate cell where a source consists solely of
+    # one term that is also the entire vocabulary (ns == c, cw == n);
+    # symmetrically nr_tot - yr for the rest-corpus. ln(0) is -Inf in
+    # Spark but an error/NULL path in DuckDB, so the guarded cell emits
+    # NULL in BOTH engines and the hash stays engine-stable.
+    z = F.when((ns_tot > ys) & (nr_tot > yr), delta / F.sqrt(var))
     return grid.select(
         "source",
         "tok",
         F.col("c").alias("c_src"),
         (F.col("cw") - F.col("c")).cast("bigint").alias("c_rest"),
-        (delta / F.sqrt(var)).alias("z"),
+        z.alias("z"),
     )
 
 
@@ -1193,24 +1200,21 @@ grid AS (
   LEFT JOIN cnt c ON c.source = t.source AND c.tok = v.tok
   CROSS JOIN grand g
 )
-SELECT source, tok, c AS c_src, cw - c AS c_rest,
-       (ln((CAST(c AS DOUBLE)
-            + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))
-           / (CAST(ns AS DOUBLE) + {float(_LO_ALPHA0)!r}
-              - (CAST(c AS DOUBLE)
-                 + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE)
-                   / CAST(n AS DOUBLE))))
-        - ln((CAST(cw - c AS DOUBLE)
-              + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))
-             / (CAST(n - ns AS DOUBLE) + {float(_LO_ALPHA0)!r}
-                - (CAST(cw - c AS DOUBLE)
-                   + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE)
-                     / CAST(n AS DOUBLE)))))
-       / sqrt(1.0 / (CAST(c AS DOUBLE)
-                     + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE)
-                       / CAST(n AS DOUBLE))
-              + 1.0 / (CAST(cw - c AS DOUBLE)
-                       + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE)
-                         / CAST(n AS DOUBLE))) AS z
-FROM grid
+SELECT source, tok, c_src, c_rest,
+       CASE WHEN ns_tot > ys AND nr_tot > yr
+            THEN (ln(ys / (ns_tot - ys)) - ln(yr / (nr_tot - yr)))
+                 / sqrt(1.0 / ys + 1.0 / yr)
+            ELSE NULL END AS z
+FROM (
+  SELECT source, tok, c AS c_src, cw - c AS c_rest,
+         CAST(c AS DOUBLE)
+           + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE)
+             / CAST(n AS DOUBLE) AS ys,
+         CAST(ns AS DOUBLE) + {float(_LO_ALPHA0)!r} AS ns_tot,
+         CAST(cw - c AS DOUBLE)
+           + {float(_LO_ALPHA0)!r} * CAST(cw AS DOUBLE)
+             / CAST(n AS DOUBLE) AS yr,
+         CAST(n - ns AS DOUBLE) + {float(_LO_ALPHA0)!r} AS nr_tot
+  FROM grid
+)
 """

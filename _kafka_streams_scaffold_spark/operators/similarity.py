@@ -3079,14 +3079,20 @@ def v_measure_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = joint.agg(F.sum("ncl").cast("bigint").alias("n"))
 
     def _fp(num: F.Column, den: F.Column) -> F.Column:
-        # n_xy * floor(FP * ln(n_x / n_xy)) — exact BIGINT
+        # n_xy * floor(FP * ln(n_x / n_xy)) — the product runs through
+        # DECIMAL (burrows_delta's r09 fix pattern): as a raw BIGINT it
+        # overflows int64 once counts approach ~3e11 with ln factors of
+        # ~3e7 (plausible at extreme corpus scale). The final total is
+        # cast back to BIGINT at the output boundary (driver canon bans
+        # top-level DECIMAL); ANSI mode makes any residual total
+        # overflow loud, never silent.
         return F.sum(
-            den
+            den.cast("decimal(19,0)")
             * F.floor(
                 F.lit(_VM_FP)
                 * F.log(num.cast("double") / den.cast("double"))
             ).cast("bigint")
-        ).cast("bigint")
+        ).cast("decimal(38,0)").cast("bigint")
 
     cond = (
         joint.join(F.broadcast(cells), "cell")
@@ -3147,22 +3153,22 @@ cells AS (SELECT cell, CAST(sum(ncl) AS BIGINT) AS nc FROM joint GROUP BY 1),
 labels AS (SELECT lbl, CAST(sum(ncl) AS BIGINT) AS nl FROM joint GROUP BY 1),
 tot AS (SELECT CAST(sum(ncl) AS BIGINT) AS n FROM joint),
 cond AS (
-  SELECT CAST(sum(j.ncl * CAST(floor({_VM_FP} * ln(
+  SELECT CAST(sum(CAST(j.ncl AS DECIMAL(19,0)) * CAST(floor({_VM_FP} * ln(
              CAST(c.nc AS DOUBLE) / CAST(j.ncl AS DOUBLE))) AS BIGINT))
            AS BIGINT) AS hlc_fp,
-         CAST(sum(j.ncl * CAST(floor({_VM_FP} * ln(
+         CAST(sum(CAST(j.ncl AS DECIMAL(19,0)) * CAST(floor({_VM_FP} * ln(
              CAST(l.nl AS DOUBLE) / CAST(j.ncl AS DOUBLE))) AS BIGINT))
            AS BIGINT) AS hcl_fp
   FROM joint j JOIN cells c USING (cell) JOIN labels l USING (lbl)
 ),
 hl AS (
-  SELECT CAST(sum(nl * CAST(floor({_VM_FP} * ln(
+  SELECT CAST(sum(CAST(nl AS DECIMAL(19,0)) * CAST(floor({_VM_FP} * ln(
              CAST(t.n AS DOUBLE) / CAST(nl AS DOUBLE))) AS BIGINT))
            AS BIGINT) AS hl_fp
   FROM labels CROSS JOIN tot t
 ),
 hc AS (
-  SELECT CAST(sum(nc * CAST(floor({_VM_FP} * ln(
+  SELECT CAST(sum(CAST(nc AS DECIMAL(19,0)) * CAST(floor({_VM_FP} * ln(
              CAST(t.n AS DOUBLE) / CAST(nc AS DOUBLE))) AS BIGINT))
            AS BIGINT) AS hc_fp
   FROM cells CROSS JOIN tot t
@@ -3234,8 +3240,12 @@ def recall_at_k_curve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "n_id", F.col("rank").alias("p_rank")
     )
     both = exact.join(probed, ["q_id", "n_id"], "left")
+    # array_distinct (r09 ADVICE): if TOP_K were ever lowered to 3 or
+    # 1 a raw [1, 3, TOP_K] would double-count that cutoff (grouped
+    # rows merge but n_exact/n_hits double, silently skewing the
+    # curve); the oracle's unnest carries DISTINCT for the same reason.
     ks = F.explode(
-        F.array(F.lit(1), F.lit(3), F.lit(TOP_K))
+        F.array_distinct(F.array(F.lit(1), F.lit(3), F.lit(TOP_K)))
     ).alias("k")
     return (
         both.select(ks, "e_rank", "p_rank")
@@ -3270,7 +3280,7 @@ both_r AS (
   FROM exact_r e
   LEFT JOIN probed_r p ON p.q_id = e.q_id AND p.n_id = e.n_id
 ),
-ks AS (SELECT unnest([1, 3, {TOP_K}]) AS k)
+ks AS (SELECT DISTINCT unnest([1, 3, {TOP_K}]) AS k)
 SELECT CAST(k.k AS INTEGER) AS k,
        CAST(count(*) AS BIGINT) AS n_exact,
        CAST(sum(CASE WHEN b.p_rank IS NOT NULL AND b.p_rank <= k.k

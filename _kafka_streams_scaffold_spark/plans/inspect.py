@@ -82,8 +82,10 @@ def tree(df: DataFrame, elide_cached: bool = True) -> str:
                 and len(m.group(1)) == open_cols[-1]
                 and all(line[c] == ":" for c in open_cols[:-1])
                 # outer formatted-tree lines never carry the simple-
-                # format codegen star the cached blocks use
-                and not body.startswith("* ")
+                # format codegen star the cached blocks use — rendered
+                # as '*(n) Node' (NO space after the star), so match
+                # the bare star prefix (r09 ADVICE: '* ' never fired)
+                and not body.startswith("*")
                 # ...nor fragment headers / AQE query-stage roots —
                 # the only node kinds a cached block can place at a
                 # shallow column (belt for the single-open-branch
