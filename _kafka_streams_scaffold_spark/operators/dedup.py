@@ -1156,7 +1156,18 @@ _TIERS = ["simhash", "minhash", "ngram", "edit"]
 
 
 def _tier_pairs(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
-    """One detector's (doc_a, doc_b) pair set.
+    """One detector's (doc_a, doc_b) pair set, SHARED-PINNED.
+
+    The pair set itself is a shared pin (round-10: the r09 verdict's
+    detector-chain observation — kendall_w_detectors, detector_kappa,
+    detector_cochran_q and dedup_tier_agreement each re-ran the four
+    detectors' VERIFY stages from the pinned shingle/signature roots,
+    so the audit chain paid the banded joins and Hamming/Jaccard
+    filters once per query instead of once per scope). Pair sets are
+    id-pair-width — orders of magnitude smaller than any upstream
+    artifact — so the pin is cheap and the whole chain now derives
+    from four materialized id-pair tables. At cluster scale this is
+    the per-detector pair stage-table every audit would read.
 
     CONCURRENCY CONTRACT: dedup_tier_agreement and
     blocking_recall_audit call this from a ThreadPoolExecutor so the
@@ -1172,15 +1183,28 @@ def _tier_pairs(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
     DOUBLE-COMPUTES the materialization job. A refactor that swaps a
     shared_pin for a plain pin here must either keep the builds
     disjoint per thread or drop the executor."""
-    if tier == "simhash":
-        return simhash_pairs_query(spark, sf_dir).select("doc_a", "doc_b")
-    if tier == "minhash":
-        return minhash_lsh_pairs_query(spark, sf_dir).select("doc_a", "doc_b")
-    if tier == "ngram":
-        return ngram_jaccard_pairs_query(spark, sf_dir).select(
+    docs = tables.table(spark, sf_dir, "documents")
+
+    def build() -> DataFrame:
+        if tier == "simhash":
+            return simhash_pairs_query(spark, sf_dir).select(
+                "doc_a", "doc_b"
+            )
+        if tier == "minhash":
+            return minhash_lsh_pairs_query(spark, sf_dir).select(
+                "doc_a", "doc_b"
+            )
+        if tier == "ngram":
+            return ngram_jaccard_pairs_query(spark, sf_dir).select(
+                "doc_a", "doc_b"
+            )
+        return edit_distance_pairs_query(spark, sf_dir).select(
             "doc_a", "doc_b"
         )
-    return edit_distance_pairs_query(spark, sf_dir).select("doc_a", "doc_b")
+
+    return _shared_pin(
+        (f"dedup.tier_pairs.{tier}", docs.semanticHash()), build
+    )
 
 
 def dedup_tier_agreement_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1944,9 +1968,18 @@ def blocking_recall_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     bits = dict(_BLOCKING_STRATEGIES, truth=1)
+    # three of the six strategies ARE detector tiers — read the shared
+    # tier-pair pins so the audit chain builds each pair set once
+    tier_of = {"truth": "ngram", "minhash": "minhash", "simhash": "simhash"}
 
     def _tagged(name: str) -> DataFrame:
-        return gens[name](spark, sf_dir).select(
+        tier = tier_of.get(name)
+        base = (
+            _tier_pairs(spark, sf_dir, tier)
+            if tier
+            else gens[name](spark, sf_dir)
+        )
+        return base.select(
             "doc_a", "doc_b", F.lit(bits[name]).alias("bit")
         )
 
@@ -2076,10 +2109,10 @@ def detector_kappa_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    mh = flags(minhash_lsh_pairs_query(spark, sf_dir)).withColumn(
+    mh = flags(_tier_pairs(spark, sf_dir, "minhash")).withColumn(
         "f_mh", F.lit(1)
     )
-    sh = flags(simhash_pairs_query(spark, sf_dir)).withColumn(
+    sh = flags(_tier_pairs(spark, sf_dir, "simhash")).withColumn(
         "f_sh", F.lit(1)
     )
     tab = (
@@ -2431,7 +2464,7 @@ def source_dedup_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     table against the doc->source projection on each side, then a
     rollup to at most |sources|^2 rows."""
     docs = tables.table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs_query(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _tier_pairs(spark, sf_dir, "ngram")
     sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
     tagged = pairs.join(sa, "doc_a").join(sb, "doc_b").select(

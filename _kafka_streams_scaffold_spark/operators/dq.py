@@ -347,36 +347,45 @@ def referential_integrity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted (an edge with zero orphans prints 0; a silently missing
     row is indistinguishable from an unchecked edge).
 
-    Shape per edge: the fact side first collapses to per-key counts
-    (partial-aggregatable, so the join input is |distinct fk|, never
-    |fact|), then a left anti join against the dimension's key column
-    finds orphan keys; orphan ROW counts come from the carried
-    per-key counts. Dimension sides are key-only projections —
-    Catalyst broadcasts the small ones (region/nation/supplier) and
-    sort-merges the big ones, the right call either way. The 7 edges
-    are independent single-purpose plans unioned into a 7-row result;
-    at 100 TB each runs once over its fact's FK column only (column
-    pruning reaches the scan)."""
+    Shape per edge (round-10, single-pass): the fact side first
+    collapses to per-key counts (partial-aggregatable, so the join
+    input is |distinct fk|, never |fact|), then ONE left join against
+    the dimension's de-duplicated key column carries totals and
+    orphan counts through the same aggregation — n_orphans is the
+    conditional sum over unmatched keys. The previous shape ran the
+    totals and the anti-join as two separate jobs, each re-scanning
+    and re-collapsing the fact (the r09 10x probe's 11.7x: lineitem's
+    three edges paid six 10x fact scans); one pass halves that.
+    Dimension sides are key-only DISTINCT projections (PK duplicates
+    must not multiply the left join) — Catalyst broadcasts the small
+    ones (region/nation/supplier) and sort-merges the big ones, the
+    right call either way. The 7 edges are independent
+    single-purpose plans unioned into a 7-row result; at 100 TB each
+    runs once over its fact's FK column only (column pruning reaches
+    the scan)."""
     out = None
     for name, fact_t, fk, dim_t, pk in _FK_EDGES:
         fact = tables.table(spark, sf_dir, fact_t)
-        dim = tables.table(spark, sf_dir, dim_t).select(
-            F.col(pk).alias("_pk")
+        dim = (
+            tables.table(spark, sf_dir, dim_t)
+            .select(F.col(pk).alias("_pk"))
+            .distinct()
         )
         per_key = fact.groupBy(F.col(fk).alias("_fk")).agg(
             F.count(F.lit(1)).alias("_n")
         )
-        orphans = per_key.join(
-            dim, per_key["_fk"] == dim["_pk"], "left_anti"
-        ).agg(
-            F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_orphans")
-        )
-        totals = per_key.agg(
-            F.sum("_n").cast("bigint").alias("n_rows"),
-            F.count(F.lit(1)).cast("bigint").alias("n_distinct_fk"),
-        )
         row = (
-            totals.crossJoin(F.broadcast(orphans))
+            per_key.join(dim, per_key["_fk"] == dim["_pk"], "left")
+            .agg(
+                F.sum("_n").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct_fk"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_pk").isNull(), F.col("_n"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
             .select(
                 F.lit(name).alias("relationship"),
                 "n_rows",

@@ -22,6 +22,30 @@ from _kafka_streams_scaffold_spark import pinning, session  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 
+def _calibration(spark) -> float:
+    """Host-state probe (r09 verdict ask #6): one FIXED synthetic
+    range -> shuffle -> aggregate job, data-independent and
+    plan-cached-nothing, run first and last so every BENCH_r{N}.json
+    carries two ambient-state readings alongside the query timings.
+    The sandbox host has hour-scale slow states (BASELINE.md: up to
+    +45% across hours, single queries up to 10x); recording the
+    calibration lets any future round NORMALIZE canonical aggregates
+    for ambient state instead of re-litigating the swing. Quiet-state
+    reference value: see BASELINE.md's variance-envelope section."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.range(0, 64_000_000, 1, 32)
+        .groupBy((F.col("id") % 4096).alias("k"))
+        .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("c"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -81,6 +105,12 @@ def main() -> None:
     ).save()
     pinning.unpersist_all()
 
+    # Warm the calibration plan shape once (its janino first-touch is
+    # ~9s and would read as ambient state); the timed runs then
+    # measure the host, which is the probe's whole purpose.
+    _calibration(spark)
+    cal_first = _calibration(spark)
+
     # The dedup-audit family: consecutive composite queries that all
     # derive the same shared shingle/signature/pair roots
     # (dedup.* shared_pin keys). Within a consecutive run of these,
@@ -136,12 +166,16 @@ def main() -> None:
             pinning.unpersist_all()
     total = round(time.time() - t_all, 3)
 
+    cal_last = _calibration(spark)
+
     payload = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "warm_family": warm_family,
+        "calibration_first_sec": cal_first,
+        "calibration_last_sec": cal_last,
         "sf": sf,
     }
     line = json.dumps(payload)
