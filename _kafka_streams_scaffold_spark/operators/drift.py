@@ -1217,3 +1217,132 @@ SELECT covariate, n_a, n_b,
        ELSE 0.0 END AS smd
 FROM mom
 """
+
+
+# --------------------------------------------------------------------------
+# Page-Hinkley sequential drift detector (post-freeze: r11 material)
+# --------------------------------------------------------------------------
+
+# Baseline window (days) fixing the reference mean, tolerance delta
+# (events/day) and alarm threshold lambda — integer by design so the
+# whole detector stays in exact BIGINT space (see below).
+_PH_BASELINE_DAYS = 7
+_PH_DELTA = 25
+_PH_LAMBDA = 500
+
+
+def page_hinkley_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_events, v_stat, ph_stat, alarm): the Page-Hinkley
+    sequential change detector over the daily event-count series —
+    the mean-shift twin of sprt_daily_decision (which reads a RATE):
+    cumulative deviation from a baseline mean, minus its running
+    minimum, alarming when the gap exceeds lambda. The monitor a
+    pipeline runs on ingestion volume: CUSUM-family detectors flag a
+    sustained level shift days before any fixed-window comparison,
+    with one number of state per stream — the same O(1)-state
+    property that makes the streaming twin trivial.
+
+    Exactness (the whole detector is INTEGER arithmetic): with
+    baseline mean m = S_b / b over the first b days, the textbook
+    U_t = sum_{i<=t} (x_i - m - delta) is scaled by b into
+    V_t = b*S_t - t*S_b - t*b*delta — exact BIGINT per row off the
+    exact cumulative sum S_t (no accumulated float error, and immune
+    to DuckDB's segment-tree vs Spark's running-fold summation order,
+    which WOULD diverge on a float cumsum). PH_t = V_t - min_{i<=t}
+    V_i and the alarm PH_t > b*lambda are exact comparisons. When the
+    series is shorter than b days the baseline is the whole series
+    (b_eff = min(b, n_days)).
+
+    Scale: one partial-aggregatable per-day rollup touches events;
+    everything after runs on the |days|-row spine (the house bounded
+    single-partition window pattern)."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.col("x"),
+        F.sum("x").over(w).cast("bigint").alias("s_t"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias(
+            "t"
+        ),
+    )
+    base = cum.agg(
+        F.least(
+            F.lit(_PH_BASELINE_DAYS).cast("bigint"), F.max("t")
+        ).alias("b_eff"),
+    )
+    s_b = (
+        cum.crossJoin(F.broadcast(base))
+        .filter(F.col("t") <= F.col("b_eff"))
+        .agg(
+            F.sum("x").cast("bigint").alias("s_b"),
+            F.max("t").cast("bigint").alias("b"),
+        )
+    )
+    v = (
+        cum.crossJoin(F.broadcast(s_b))
+        .select(
+            "day",
+            F.col("x").alias("n_events"),
+            (
+                F.col("b") * F.col("s_t")
+                - F.col("t") * F.col("s_b")
+                - F.col("t") * F.col("b") * F.lit(_PH_DELTA)
+            ).cast("bigint").alias("v_stat"),
+            F.col("b"),
+        )
+    )
+    wmin = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return v.select(
+        "day",
+        "n_events",
+        "v_stat",
+        (F.col("v_stat") - F.min("v_stat").over(wmin))
+        .cast("bigint")
+        .alias("ph_stat"),
+        (
+            (F.col("v_stat") - F.min("v_stat").over(wmin))
+            > F.col("b") * F.lit(_PH_LAMBDA)
+        ).cast("int").alias("alarm"),
+    )
+
+
+PAGE_HINKLEY_DRIFT_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day, x,
+         CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS s_t,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM daily
+),
+base AS (
+  SELECT least({_PH_BASELINE_DAYS}, max(t)) AS b_eff FROM cum
+),
+sb AS (
+  SELECT CAST(sum(x) AS BIGINT) AS s_b, CAST(max(t) AS BIGINT) AS b
+  FROM cum, base WHERE t <= b_eff
+),
+v AS (
+  SELECT c.day, c.x AS n_events,
+         CAST(s.b * c.s_t - c.t * s.s_b
+              - c.t * s.b * {_PH_DELTA} AS BIGINT) AS v_stat,
+         s.b
+  FROM cum c CROSS JOIN sb s
+)
+SELECT day, n_events, v_stat,
+       CAST(v_stat - min(v_stat) OVER (ORDER BY day) AS BIGINT)
+         AS ph_stat,
+       CAST(v_stat - min(v_stat) OVER (ORDER BY day)
+            > b * {_PH_LAMBDA} AS INT) AS alarm
+FROM v
+"""

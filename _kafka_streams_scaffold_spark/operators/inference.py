@@ -3066,3 +3066,311 @@ FROM agg a CROSS JOIN totals t
 
 
 LOGRANK_COHORTS_ORACLE = _logrank_oracle()
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H across sources (post-freeze: r11 material)
+# --------------------------------------------------------------------------
+
+
+def kruskal_wallis_sources_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_rows, n_groups, r2sq_over_n, tie_sum, h, h_corrected): the
+    Kruskal-Wallis rank test of ``n_chars`` across ALL sources at
+    once — the k-sample generalization of ``mann_whitney_audit``
+    exactly as ``detector_cochran_q`` generalizes
+    ``detector_mcnemar``: one omnibus H (chi-square, k-1 df under H0)
+    answers "do the sources differ in length distribution AT ALL?"
+    before any pairwise U sweep, which is the multiple-testing
+    protocol the BH-FDR gate downstream expects (one omnibus p, not
+    |sources| choose 2).
+
+    Exactness (mann_whitney_audit's midrank discipline): pooled
+    midranks are 2x-scaled BIGINTs on the (value -> pooled count)
+    rollup, per-group rank sums R2_g = 2*R_g are exact BIGINT, and
+    the tie term sum(t^3 - t) runs through DECIMAL(38,0) (t can reach
+    corpus scale; the burrows_delta overflow class). The only
+    unordered-sum risk — sum over groups of R_g^2/n_g in doubles —
+    folds the SOURCE-SORTED group list (the anova_source_lengths
+    fix); H and the tie-corrected H are final IEEE arithmetic with
+    degenerate guards (all-tied corpus: correction factor 0 -> NULL).
+
+    Scale: ONE per-(source, value) count rollup touches the corpus;
+    midranks live on the |distinct values| pooled spine; the fold is
+    |sources|-sized. Nothing pairwise, nothing per-row."""
+    docs = tables.table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pooled = counts.groupBy("n_chars").agg(
+        F.sum("c").cast("bigint").alias("p")
+    )
+    wv = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mid = pooled.select(
+        "n_chars",
+        (
+            F.lit(2) * F.coalesce(F.sum("p").over(wv), F.lit(0))
+            + F.col("p")
+            + F.lit(1)
+        ).cast("bigint").alias("midrank2"),
+    )
+    per = (
+        counts.join(mid, "n_chars")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.col("c") * F.col("midrank2"))
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+    ties = pooled.agg(
+        F.sum("p").cast("bigint").alias("n"),
+        F.sum(F.expr("cast(p as decimal(19,0)) * p * p - p"))
+        .cast("decimal(38,0)")
+        .alias("tie_sum_d"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(source, r2, n_g))), x -> cast(x.r2 as double) "
+            "* cast(x.r2 as double) / (4.0 * cast(x.n_g as double))), "
+            "cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("r2sq_over_n"),
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) * F.col("r2sq_over_n") / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tie_sum_d").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return (
+        agg.crossJoin(F.broadcast(ties))
+        .filter((F.col("n") > 1) & (F.col("n_groups") > 1))
+        .select(
+            F.col("n").alias("n_rows"),
+            "n_groups",
+            "r2sq_over_n",
+            F.col("tie_sum_d").cast("double").alias("tie_sum"),
+            h.alias("h"),
+            F.when(corr > 0, h / corr).alias("h_corrected"),
+        )
+    )
+
+
+KRUSKAL_WALLIS_SOURCES_ORACLE = """
+WITH counts AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+pooled AS (
+  SELECT n_chars, CAST(sum(c) AS BIGINT) AS p FROM counts GROUP BY 1
+),
+mid AS (
+  SELECT n_chars,
+         CAST(2 * COALESCE(sum(p) OVER (
+             ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) + p + 1 AS BIGINT) AS midrank2
+  FROM pooled
+),
+per AS (
+  SELECT c.source,
+         CAST(sum(c.c) AS BIGINT) AS n_g,
+         CAST(sum(c.c * m.midrank2) AS BIGINT) AS r2
+  FROM counts c JOIN mid m ON m.n_chars = c.n_chars
+  GROUP BY 1
+),
+ties AS (
+  SELECT CAST(sum(p) AS BIGINT) AS n,
+         CAST(sum(CAST(p AS DECIMAL(19,0)) * p * p - p)
+              AS DECIMAL(38,0)) AS tie_sum_d
+  FROM pooled
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         list_reduce(list_transform(
+             list({'r2': r2, 'n_g': n_g} ORDER BY source),
+             x -> CAST(x.r2 AS DOUBLE) * CAST(x.r2 AS DOUBLE)
+                  / (4.0 * CAST(x.n_g AS DOUBLE))), (a, b) -> a + b)
+           AS r2sq_over_n
+  FROM per
+)
+SELECT t.n AS n_rows, a.n_groups, a.r2sq_over_n,
+       CAST(t.tie_sum_d AS DOUBLE) AS tie_sum,
+       12.0 * a.r2sq_over_n
+         / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1.0))
+         - 3.0 * (CAST(t.n AS DOUBLE) + 1.0) AS h,
+       CASE WHEN 1.0 - CAST(t.tie_sum_d AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                    * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE)) > 0
+            THEN (12.0 * a.r2sq_over_n
+                    / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1.0))
+                    - 3.0 * (CAST(t.n AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(t.tie_sum_d AS DOUBLE)
+                    / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                       * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE)))
+       END AS h_corrected
+FROM agg a CROSS JOIN ties t
+WHERE t.n > 1 AND a.n_groups > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe variance-homogeneity test (post-freeze: r11 material)
+# --------------------------------------------------------------------------
+
+
+def brown_forsythe_lengths_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_rows, n_groups, ss_between_z, ss_within_z, f_stat): the
+    Brown-Forsythe (median-centered Levene) test of length-VARIANCE
+    homogeneity across sources — one-way ANOVA on z = |n_chars -
+    median_source|. The spread sibling of anova_source_lengths (which
+    reads location): equal means with one source twice as dispersed
+    is exactly the mixture pathology a location test waves through,
+    and variance homogeneity is the assumption every pooled-variance
+    readout upstream silently makes. Median-centering (not
+    mean-centering) is what makes the test robust for the skewed
+    length distributions documents actually have.
+
+    Exactness: the per-source median is the LOWER median — the
+    smallest value whose inclusive cumulative count reaches
+    ceil(n_g/2) — computed on the exact (source, value, count)
+    rollup, so z is an exact BIGINT per distinct value; all ANOVA
+    moments are exact BIGINT sums; SS_between folds the SOURCE-SORTED
+    group list (the anova_source_lengths unordered-sum fix); F is
+    final IEEE arithmetic with df guards.
+
+    Scale: one per-(source, value) rollup touches the corpus; the
+    median is a window over the per-source value spine (|distinct
+    values| rows); the z-moments reuse the SAME rollup joined to the
+    |sources|-row median table. Nothing per-row after the rollup."""
+    docs = tables.table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wsrc = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy("source")
+    med = (
+        counts.select(
+            "source",
+            "n_chars",
+            F.sum("c").over(wsrc).cast("bigint").alias("cum"),
+            F.sum("c").over(wtot).cast("bigint").alias("n_g"),
+        )
+        .filter(F.col("cum") * 2 >= F.col("n_g") + (F.col("n_g") % 2))
+        .groupBy("source")
+        .agg(F.min("n_chars").cast("bigint").alias("med"))
+    )
+    per = (
+        counts.join(med, "source")
+        .select(
+            "source",
+            "c",
+            F.abs(F.col("n_chars") - F.col("med")).cast("bigint").alias(
+                "z"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.col("c") * F.col("z")).cast("bigint").alias("s_g"),
+            F.sum(F.col("c") * F.col("z") * F.col("z"))
+            .cast("bigint")
+            .alias("ss_g"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("ss_g").cast("bigint").alias("ss"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(source, s_g, n_g))), x -> cast(x.s_g as double) "
+            "* cast(x.s_g as double) / cast(x.n_g as double)), "
+            "cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("sum_sq_over_n"),
+    ).filter((F.col("n") > 0) & (F.col("n_groups") > 1))
+    grand = F.col("s").cast("double") * F.col("s").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    ssb = F.col("sum_sq_over_n") - grand
+    ssw = F.col("ss").cast("double") - F.col("sum_sq_over_n")
+    f_stat = F.when(
+        (ssw > 0) & (F.col("n") > F.col("n_groups")),
+        (ssb / (F.col("n_groups") - 1).cast("double"))
+        / (ssw / (F.col("n") - F.col("n_groups")).cast("double")),
+    )
+    return agg.select(
+        F.col("n").alias("n_rows"),
+        "n_groups",
+        ssb.alias("ss_between_z"),
+        ssw.alias("ss_within_z"),
+        f_stat.alias("f_stat"),
+    )
+
+
+BROWN_FORSYTHE_LENGTHS_ORACLE = """
+WITH counts AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+med AS (
+  SELECT source, CAST(min(n_chars) AS BIGINT) AS med
+  FROM (
+    SELECT source, n_chars,
+           CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum,
+           CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_g
+    FROM counts
+  )
+  WHERE cum * 2 >= n_g + (n_g % 2)
+  GROUP BY 1
+),
+per AS (
+  SELECT c.source,
+         CAST(sum(c.c) AS BIGINT) AS n_g,
+         CAST(sum(c.c * abs(c.n_chars - m.med)) AS BIGINT) AS s_g,
+         CAST(sum(c.c * abs(c.n_chars - m.med)
+                  * abs(c.n_chars - m.med)) AS BIGINT) AS ss_g
+  FROM counts c JOIN med m USING (source)
+  GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(sum(ss_g) AS BIGINT) AS ss,
+         list_reduce(list_transform(
+             list({'s_g': s_g, 'n_g': n_g} ORDER BY source),
+             x -> CAST(x.s_g AS DOUBLE) * CAST(x.s_g AS DOUBLE)
+                  / CAST(x.n_g AS DOUBLE)), (a, b) -> a + b)
+           AS sum_sq_over_n
+  FROM per
+  HAVING count(*) > 1 AND sum(n_g) > 0
+)
+SELECT n AS n_rows, n_groups,
+       sum_sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         / CAST(n AS DOUBLE) AS ss_between_z,
+       CAST(ss AS DOUBLE) - sum_sq_over_n AS ss_within_z,
+       CASE WHEN (CAST(ss AS DOUBLE) - sum_sq_over_n) > 0
+                 AND n > n_groups THEN
+         ((sum_sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             / CAST(n AS DOUBLE)) / CAST(n_groups - 1 AS DOUBLE))
+           / ((CAST(ss AS DOUBLE) - sum_sq_over_n)
+              / CAST(n - n_groups AS DOUBLE))
+       END AS f_stat
+FROM agg
+"""

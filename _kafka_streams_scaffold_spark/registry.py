@@ -93,11 +93,33 @@ CORRECTNESS row. Rotation history:
   _apply_window puts _DEDUP_AUDIT_CHAIN immediately after the
   window, giving ... detector_cochran_q | dedup_tier_agreement ...
 
-NEXT ROTATION (round 10): round-9 additions registered after the r09
-window froze go in tests/test_registry_window.py R10_MATERIAL, plus
-any r09 reds and the usual changed-impl re-certification pool.
-Keep R10_MATERIAL <= 13 (the r08 verdict's pipeline-pressure cap:
-additions must fit the window's re-cert margin). Update
+- r10 window (``_WINDOW_R10`` below): CORRECTNESS_r09 went 50/50
+  green, clearing the backlog, so the window is exactly 50 = (a) the
+  7 R10_MATERIAL round-9 post-freeze additions, (b) the 17 stale
+  certifications flagged by ``tools/stale_cert_audit.py`` (the
+  round-10 automation of the r08 small_qty_revenue lesson: a green
+  row whose implementing function or oracle changed in a LATER
+  commit is no longer a certification — the audit diffs the exact
+  source segments through git history; knn_graph/knn_triangles/
+  containment_pairs were named in round 5's re-cert pool note below
+  but no window ever carried them), (c) the 6 queries whose physical
+  plan changed through the round-10 ``_tier_pairs`` shared-pin hoist
+  without their own function changing (the audit's documented
+  helper-change blind spot, covered manually: dedup_tier_agreement,
+  dedup_token_savings, detector_mcnemar, dup_capture_recapture,
+  detector_cochran_q, kendall_w_detectors), and (d) 20 age-based
+  re-validations — the oldest still-standing green rows (all r02),
+  oldest first per the r09 verdict. The dedup-audit chain members
+  sit LAST and in chain order so the family block (window tail +
+  the one appended non-window member) stays consecutive for the
+  shared tier-pair pins.
+
+NEXT ROTATION (round 11): round-10 additions registered after the
+r10 window froze go in tests/test_registry_window.py R11_MATERIAL
+(cap <= 13, the r08 pipeline-pressure rule), plus any r10 reds, the
+stale set from a fresh ``tools/stale_cert_audit.py`` run, manual
+re-certs for helper-level changes the audit cannot see, and
+age-based fills (oldest green rows first) up to 50. Update
 tests/test_registry_window.py in the same commit as the freeze.
 
 PREVIOUS ROTATION NOTE (round 6, kept for the audit trail): the
@@ -188,11 +210,79 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-# Driver correctness window for round 9 (slots 0..len-1) — see module
-# docstring. The complete 37-query never-certified backlog
-# (R09_MATERIAL in tests/test_registry_window.py), grouped by family
-# so janino/codegen first-touch amortizes across neighbors; grows with
-# round-9 changed-impl re-certifications (<= 50 total).
+# Driver correctness window for round 10 (slots 0..49) — see module
+# docstring: 7 R10_MATERIAL + 17 stale-cert-audit flags + 6 manual
+# helper-change re-certs + 20 age-based re-validations, grouped by
+# family so janino/codegen first-touch amortizes across neighbors.
+_WINDOW_R10 = [
+    # lexical / text tier (material + stale textops)
+    "tail_token_share",
+    "log_odds_terms",
+    "lexicon_gate_audit",
+    "tfidf_top_terms",
+    "vocab_coverage",
+    # stats / data-quality tier
+    "weighted_median_price",
+    "correlation_matrix",
+    "event_anomalies",
+    "benford_audit",
+    "referential_integrity",
+    # sales / events analytics re-validation (oldest green rows, r02)
+    "active_rich_customers",
+    "asof_prev_purchase",
+    "click_no_purchase_days",
+    "customer_balance_quartiles",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "error_and_signup_days",
+    "events_hopping",
+    "events_hourly",
+    "events_pivot",
+    "events_unpivot",
+    "funnel_conversion",
+    "json_enrich",
+    "json_props_stats",
+    # TPC-H analog tier (stale + oldest green rows)
+    "bulk_part_suppliers",
+    "brand_disjunction_revenue",
+    "cust_order_counts",
+    "idle_rich_customers",
+    "min_cost_supplier",
+    "important_part_values",
+    "large_volume_customers",
+    "late_order_priority",
+    # multimodal
+    "multimodal_features",
+    # embedding / graph tier
+    "v_measure_cells",
+    "recall_at_k_curve",
+    "participation_ratio",
+    "pca_top_component",
+    "knn_graph",
+    "knn_triangles",
+    "kcore",
+    # dedup tier
+    "containment_pairs",
+    # dedup-audit chain members — LAST and in chain order on purpose:
+    # _apply_window appends the remaining chain member
+    # (minhash_estimate_audit) immediately after the window, so the
+    # whole family is one consecutive shared-pin block
+    "dedup_tier_agreement",
+    "dedup_token_savings",
+    "source_dedup_matrix",
+    "blocking_recall_audit",
+    "detector_kappa",
+    "detector_mcnemar",
+    "dup_capture_recapture",
+    "detector_cochran_q",
+    "kendall_w_detectors",
+]
+
+# r09 window kept for the rotation-history tests (50/50 green in
+# CORRECTNESS_r09). Was: the complete 37-query never-certified backlog
+# (R09_MATERIAL), grouped by family so janino/codegen first-touch
+# amortized across neighbors, + the mandated small_qty_revenue
+# re-certification.
 _WINDOW_R09 = [
     # experimentation / drift tier
     "js_source_drift",
@@ -338,6 +428,11 @@ _DEDUP_AUDIT_CHAIN = [
     # pins; placed in the chain so its four detector derivations read
     # the family's warm materializations in bench order
     "kendall_w_detectors",
+    # round-10 additions to the family: both consume the shared
+    # per-tier pair pins (_tier_pairs is itself a shared pin as of
+    # round 10), so they belong in the consecutive keep-scope block
+    "detector_mcnemar",
+    "dup_capture_recapture",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -2226,6 +2321,24 @@ def _ensure_loaded() -> None:
         inference.anova_source_lengths_query,
         inference.ANOVA_SOURCE_LENGTHS_ORACLE,
     )
+    # round-10 post-freeze additions (R11_MATERIAL): the k-sample
+    # completions of the nonparametric ladder and the CUSUM-family
+    # sequential drift detector
+    register(
+        "kruskal_wallis_sources",
+        inference.kruskal_wallis_sources_query,
+        inference.KRUSKAL_WALLIS_SOURCES_ORACLE,
+    )
+    register(
+        "brown_forsythe_lengths",
+        inference.brown_forsythe_lengths_query,
+        inference.BROWN_FORSYTHE_LENGTHS_ORACLE,
+    )
+    register(
+        "page_hinkley_drift",
+        drift.page_hinkley_drift_query,
+        drift.PAGE_HINKLEY_DRIFT_ORACLE,
+    )
     register(
         "simplified_silhouette",
         similarity.simplified_silhouette_query,
@@ -2480,5 +2593,5 @@ def _ensure_loaded() -> None:
         dedup.KENDALL_W_DETECTORS_ORACLE,
     )
 
-    _apply_window(_WINDOW_R09)
+    _apply_window(_WINDOW_R10)
     _LOADED = True

@@ -127,6 +127,8 @@ def main() -> None:
         "minhash_estimate_audit",
         "blocking_recall_audit",
         "detector_kappa",
+        "detector_mcnemar",
+        "dup_capture_recapture",
         "detector_cochran_q",
         "kendall_w_detectors",
     }

@@ -3,7 +3,7 @@
 The external correctness gate hash-checks only the FIRST 50 registered
 queries, so registration ORDER is part of the contract: each round the
 window must carry exactly the queries that still need a driver
-CORRECTNESS row (see registry._WINDOW_R09 and the module docstring's
+CORRECTNESS row (see registry._WINDOW_R10 and the module docstring's
 rotation history).
 """
 
@@ -14,41 +14,87 @@ import pathlib
 
 from _kafka_streams_scaffold_spark import registry
 
-# Green rounds available when the r09 window was frozen.
-_PRIOR_ROUNDS = ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08")
+# Green rounds available when the r10 window was frozen.
+_PRIOR_ROUNDS = (
+    "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09",
+)
 
 # Queries with a GREEN prior-round row that nevertheless re-certify in
-# the r09 window because their implementation or output changed after
-# the green row. Grows during round 9 as changed-impl queries are
-# added (up to the window's 13-slot re-cert margin).
-R09_RECERT: set[str] = {
-    # The round-8 shadowing incident: the name's green r01-r07 rows
-    # belong to the deleted subqueries.py Brand#23 variant; the live
-    # implementation (trade.py Q17 analog, 3-column schema) has never
-    # been driver-certified, so the r08 verdict mandates this re-cert.
-    "small_qty_revenue",
+# the r10 window. Three sub-populations (see registry's r10 rotation
+# note): the tools/stale_cert_audit.py flags (implementation or oracle
+# segment changed after the green row — including the round-10
+# referential_integrity single-pass refactor and the _tier_pairs-hoist
+# call-site edits), the manual helper-change re-certs (_tier_pairs
+# became a shared pin, changing consumers' physical plans without
+# touching their own function segments — the audit's documented blind
+# spot), and the age-based re-validations (oldest standing green rows,
+# all r02, filling the window to 50 per the r09 verdict).
+R10_RECERT: set[str] = {
+    # --- stale_cert_audit flags (17) ---
+    "bulk_part_suppliers",
+    "min_cost_supplier",
+    "event_anomalies",
+    "knn_graph",
+    "multimodal_features",
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "benford_audit",
+    "containment_pairs",
+    "correlation_matrix",
+    "kcore",
+    "knn_triangles",
+    "referential_integrity",
+    "pca_top_component",
+    "blocking_recall_audit",
+    "detector_kappa",
+    "source_dedup_matrix",
+    # --- manual helper-change re-certs (6) ---
+    "dedup_tier_agreement",
+    "dedup_token_savings",
+    "detector_mcnemar",
+    "dup_capture_recapture",
+    "detector_cochran_q",
+    "kendall_w_detectors",
+    # --- age-based re-validations (20, oldest green rows first) ---
+    "active_rich_customers",
+    "asof_prev_purchase",
+    "brand_disjunction_revenue",
+    "click_no_purchase_days",
+    "cust_order_counts",
+    "customer_balance_quartiles",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "error_and_signup_days",
+    "events_hopping",
+    "events_hourly",
+    "events_pivot",
+    "events_unpivot",
+    "funnel_conversion",
+    "idle_rich_customers",
+    "important_part_values",
+    "json_enrich",
+    "json_props_stats",
+    "large_volume_customers",
+    "late_order_priority",
 }
 
-# No backlog was deferred out of the r09 window: all 37 never-
-# certified round-8 post-freeze additions are IN _WINDOW_R09.
-R10_DEFERRED: set[str] = set()
+# No never-certified backlog was deferred out of the r10 window: all
+# 7 R10_MATERIAL queries are IN _WINDOW_R10.
+R11_DEFERRED: set[str] = set()
 
-# Round-9 additions registered after the r09 window froze — r10
+# Round-10 additions registered after the r10 window froze — r11
 # window material by construction. The r08 verdict caps this at 13
-# (the re-cert margin) so the certification pipeline stops compounding
-# backlog; test_r10_material_fits_the_recert_margin enforces it.
-R10_MATERIAL: set[str] = {
-    "tail_token_share",
-    "log_odds_terms",
-    "lexicon_gate_audit",
-    "v_measure_cells",
-    "recall_at_k_curve",
-    "weighted_median_price",
-    "participation_ratio",
-    # rides the dedup-audit shared pins (slot inside the driver's
-    # 50-query prefix via _DEDUP_AUDIT_CHAIN, so it may earn a green
-    # CORRECTNESS row already in round 9)
-    "kendall_w_detectors",
+# (the window's re-cert margin) so the certification pipeline stops
+# compounding backlog; test_r11_material_fits_the_recert_margin
+# enforces it.
+R11_MATERIAL: set[str] = {
+    # k-sample nonparametric completions (mann_whitney -> KW is the
+    # mcnemar -> cochran_q move; anova -> Brown-Forsythe reads spread)
+    "kruskal_wallis_sources",
+    "brown_forsythe_lengths",
+    # CUSUM-family sequential mean-shift detector (integer-exact,
+    # baseline-mean Page-Hinkley)
+    "page_hinkley_drift",
 }
 
 
@@ -63,46 +109,52 @@ def _covered() -> set[str]:
     return covered
 
 
-def test_window_is_exactly_the_r09_rotation_list():
+def test_window_is_exactly_the_r10_rotation_list():
     names = list(registry.queries())
-    w = registry._WINDOW_R09
+    w = registry._WINDOW_R10
     assert len(w) <= 50
     assert names[: len(w)] == w
 
 
-def test_dedup_audit_chain_is_consecutive_after_the_window():
+def test_dedup_audit_chain_is_one_consecutive_block():
     """Keep-scope pin sharing (bench.py dedup_family) requires the
-    dedup-audit queries to run back-to-back. detector_cochran_q sits
-    LAST in the r09 window; the remaining chain members must follow
-    it immediately so the whole family is one consecutive run."""
+    dedup-audit family to run back-to-back so the shared tier-pair /
+    shingle / signature pins stay warm across the whole family. The
+    r10 window carries 9 of the 10 members at its TAIL;
+    _apply_window appends the remaining member immediately after, so
+    all chain positions in final registry order must be consecutive
+    — and dedup_tier_agreement runs first (its thread pool warms all
+    four tier-pair pins concurrently for the rest of the block)."""
     names = list(registry.queries())
-    w = registry._WINDOW_R09
-    assert w[-1] == "detector_cochran_q"
-    tail = [n for n in registry._DEDUP_AUDIT_CHAIN if n != "detector_cochran_q"]
-    assert names[len(w) : len(w) + len(tail)] == tail
+    pos = sorted(names.index(n) for n in registry._DEDUP_AUDIT_CHAIN)
+    assert pos == list(range(pos[0], pos[0] + len(pos))), (
+        "dedup-audit chain not consecutive in registry order"
+    )
+    assert names[pos[0]] == "dedup_tier_agreement"
 
 
 def test_window_queries_need_a_driver_row():
     """The rotation's whole point: no slot is wasted on a query that
-    already has a GREEN CORRECTNESS row from rounds 1-8 — except the
-    explicit re-certification list (implementation changed after the
-    green row). A red row earns the query another slot automatically,
-    since the guard keys on hash_match."""
-    stale = _covered() & set(registry._WINDOW_R09)
-    assert stale <= R09_RECERT, (
-        f"window wastes slots on already-covered: {stale - R09_RECERT}"
+    already has a GREEN CORRECTNESS row from rounds 1-9 — except the
+    explicit re-certification list (implementation, helper, or
+    oracle changed after the green row, or the row is old enough for
+    age-based re-validation). A red row earns the query another slot
+    automatically, since the guard keys on hash_match."""
+    stale = _covered() & set(registry._WINDOW_R10)
+    assert stale <= R10_RECERT, (
+        f"window wastes slots on already-covered: {stale - R10_RECERT}"
     )
 
 
 def test_window_plus_deferred_covers_the_entire_backlog():
     """Every oracle-backed query that has never gone green must be
-    either in the r09 window or in an explicit deferral/material
+    either in the r10 window or in an explicit deferral/material
     list — nothing silently dropped from certification."""
     backlog = set(registry.oracle_sql()) - _covered()
-    missing = backlog - set(registry._WINDOW_R09) - R10_DEFERRED
-    assert missing <= R10_MATERIAL, (
+    missing = backlog - set(registry._WINDOW_R10) - R11_DEFERRED
+    assert missing <= R11_MATERIAL, (
         f"never-certified queries untracked for rotation: "
-        f"{missing - R10_MATERIAL}"
+        f"{missing - R11_MATERIAL}"
     )
 
 
@@ -111,25 +163,33 @@ def test_deferral_list_is_exactly_the_window_complement():
     deferral + material sets — if one gains a green row or enters the
     window, this forces the bookkeeping to move with it."""
     backlog = set(registry.oracle_sql()) - _covered()
-    outside = backlog - set(registry._WINDOW_R09)
-    assert outside == R10_DEFERRED | (R10_MATERIAL & backlog)
+    outside = backlog - set(registry._WINDOW_R10)
+    assert outside == R11_DEFERRED | (R11_MATERIAL & backlog)
 
 
-def test_r10_material_fits_the_recert_margin():
-    """The r08 verdict's pipeline-pressure cap: round-9 may add at
+def test_r11_material_fits_the_recert_margin():
+    """The r08 verdict's pipeline-pressure cap: round-10 may add at
     most 13 post-freeze queries (the window's re-cert margin), so the
-    r10 window can certify the whole backlog plus re-certs."""
-    assert len(R10_MATERIAL) <= 13
+    r11 window can certify the whole backlog plus re-certs."""
+    assert len(R11_MATERIAL) <= 13
+
+
+def test_recert_list_members_all_have_green_rows():
+    """R10_RECERT entries must actually BE re-certifications — a
+    never-certified query in the list would mask a bookkeeping hole
+    (it belongs in the window via the backlog path instead)."""
+    missing = R10_RECERT - _covered()
+    assert not missing, f"R10_RECERT without green rows: {missing}"
 
 
 def test_window_entries_are_oracle_backed():
     oracles = set(registry.oracle_sql())
-    missing = [n for n in registry._WINDOW_R09 if n not in oracles]
+    missing = [n for n in registry._WINDOW_R10 if n not in oracles]
     assert not missing
 
 
 def test_rotated_out_families_keep_their_oracles():
-    """Queries that left the window (r01-r07 green) must stay
+    """Queries that left the window (r01-r09 green) must stay
     registered and oracle-backed so tools/check_oracle.py keeps
     verifying them locally."""
     names = set(registry.queries())
@@ -147,6 +207,10 @@ def test_rotated_out_families_keep_their_oracles():
         "kcenter_coreset", "mmd_label_drift", "dedup_representative_stats",
         "linkage_entities", "session_concurrency", "ivm_join_revenue",
         "theil_sen_trend", "group_kfold_split", "layout_locality_audit",
+        # r09-window members now rotated out
+        "js_source_drift", "cuped_uplift", "sprt_daily_decision",
+        "burrows_delta", "markov_stationary", "logrank_cohorts",
+        "small_qty_revenue", "davies_bouldin", "adamic_adar_links",
     ):
         assert q in names
         assert q in registry.oracle_sql() or q == "lsh_ann"
