@@ -19,6 +19,8 @@ CHAIN = [
     "minhash_estimate_audit",
     "blocking_recall_audit",
     "detector_kappa",
+    "detector_mcnemar",
+    "dup_capture_recapture",
     "detector_cochran_q",
     "kendall_w_detectors",
 ]

@@ -1736,6 +1736,29 @@ AUDIT = [
         "(distinct degree)-sized spines, and the deviation sum is an "
         "exact DECIMAL(38,0) integer.",
     ),
+    (
+        "kruskal_wallis_sources",
+        "ONE per-(source, value) count rollup touches the corpus; "
+        "2x midranks on the pooled |distinct values| spine "
+        "(single-partition bounded window), rank sums on the "
+        "|sources| x |values| grid, the tie term through "
+        "DECIMAL(38,0), and a source-sorted fold for the only "
+        "unordered double sum.",
+    ),
+    (
+        "brown_forsythe_lengths",
+        "The same (source, value, count) rollup feeds both the "
+        "per-source lower-median window (per-source value spine) and "
+        "the z-moment aggregation — exact BIGINT moments, one "
+        "corpus-touching pass, |sources|-sized everything after.",
+    ),
+    (
+        "page_hinkley_drift",
+        "One partial-aggregatable per-day rollup touches events; the "
+        "detector is pure BIGINT arithmetic on the |days|-row spine "
+        "(b*S_t - t*S_b - t*b*delta, running min), immune to float "
+        "summation-order differences between engines.",
+    ),
 ]
 
 

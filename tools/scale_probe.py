@@ -869,6 +869,24 @@ def main() -> None:
             docs_reseeded(m),
             lambda: dedup.kendall_w_detectors_query(spark, SF_DIR),
         ),
+        # ---- round-10 post-freeze additions (R11 material) ----
+        "kruskal-wallis (pooled midranks)": lambda m: _with_docs(
+            m,
+            lambda: inference_mod.kruskal_wallis_sources_query(
+                spark, SF_DIR
+            ),
+        ),
+        "brown-forsythe (median-z anova)": lambda m: _with_docs(
+            m,
+            lambda: inference_mod.brown_forsythe_lengths_query(
+                spark, SF_DIR
+            ),
+        ),
+        "page-hinkley (day-spine cumsum)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: drift_mod.page_hinkley_drift_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
