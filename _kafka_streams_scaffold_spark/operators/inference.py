@@ -3374,3 +3374,165 @@ SELECT n AS n_rows, n_groups,
        END AS f_stat
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Friedman blocked-rank test (post-freeze: r11 material)
+# --------------------------------------------------------------------------
+
+
+def friedman_event_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_blocks, k_treatments, s4, denom4, chi2): the Friedman
+    blocked-rank test over the day x event-type volume matrix — within
+    each day (block), rank the event types by their daily counts; do
+    the types keep the SAME ordering across days? The blocked
+    completion of the rank-test ladder (mann_whitney: 2 independent
+    samples; kruskal_wallis: k independent samples; Friedman: k
+    treatments under n matched blocks), and the volume-mix twin of
+    kendall_w_detectors (W = chi2 / (n*(k-1)) over the same ranks). A
+    significant chi2 says the event mix has a stable daily ordering;
+    its collapse round-over-round is the mix-shift alarm.
+
+    Exactness: the day x type grid is zero-filled (a type absent on a
+    day is a 0-count observation, not a missing cell), within-block
+    midranks are 2x-scaled BIGINTs on per-day (count -> n_types)
+    rollups, and the tie-corrected statistic chi2 = (k-1) * S4 /
+    (A2 - n*k*(k+1)^2) keeps both the deviation sum S4 =
+    sum_j (R2_j - n*(k+1))^2 and the denominator exact BIGINT until
+    the one final division (A2 = sum of squared 2x midranks; the
+    identity 4*(A - C) = A2 - n*k*(k+1)^2 folds the tie correction
+    in). A fully tied matrix (denominator 0) reports NULL identically
+    on both engines.
+
+    Scale: one partial-aggregatable per-(day, type) rollup touches
+    events; the grid, midranks and moments live on the |days| x
+    |types| spine (day-partitioned bounded windows)."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type").alias("typ")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    days = daily.select("day").distinct()
+    typs = daily.select("typ").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(typs))
+        .join(daily, ["day", "typ"], "left")
+        .select(
+            "day", "typ", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    lv = grid.groupBy("day", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wd = Window.partitionBy("day").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mid = lv.select(
+        "day",
+        "x",
+        (
+            F.lit(2) * F.coalesce(F.sum("cnt").over(wd), F.lit(0))
+            + F.col("cnt")
+            + F.lit(1)
+        ).cast("bigint").alias("midrank2"),
+    )
+    ranked = grid.join(mid, ["day", "x"])
+    dims = ranked.agg(
+        F.countDistinct("day").cast("bigint").alias("n"),
+        F.countDistinct("typ").cast("bigint").alias("k"),
+        F.sum(F.col("midrank2") * F.col("midrank2"))
+        .cast("bigint")
+        .alias("a2"),
+    )
+    per_typ = ranked.groupBy("typ").agg(
+        F.sum("midrank2").cast("bigint").alias("r2")
+    )
+    s4 = (
+        per_typ.crossJoin(F.broadcast(dims))
+        .select(
+            (F.col("r2") - F.col("n") * (F.col("k") + F.lit(1)))
+            .cast("bigint")
+            .alias("dev")
+        )
+        .agg(
+            F.sum(F.expr("cast(dev as decimal(19,0)) * dev"))
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("s4")
+        )
+    )
+    denom4 = (
+        F.col("a2")
+        - F.col("n") * F.col("k") * (F.col("k") + F.lit(1))
+        * (F.col("k") + F.lit(1))
+    )
+    return (
+        dims.crossJoin(F.broadcast(s4))
+        .filter((F.col("n") > 0) & (F.col("k") > 1))
+        .select(
+            F.col("n").alias("n_blocks"),
+            F.col("k").alias("k_treatments"),
+            "s4",
+            denom4.cast("bigint").alias("denom4"),
+            F.when(
+                denom4 > 0,
+                (F.col("k") - F.lit(1)).cast("double")
+                * F.col("s4").cast("double")
+                / denom4.cast("double"),
+            ).alias("chi2"),
+        )
+    )
+
+
+FRIEDMAN_EVENT_MIX_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type AS typ,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM daily),
+typs AS (SELECT DISTINCT typ FROM daily),
+grid AS (
+  SELECT d.day, t.typ, CAST(COALESCE(x.x, 0) AS BIGINT) AS x
+  FROM days d CROSS JOIN typs t
+  LEFT JOIN daily x ON x.day = d.day AND x.typ = t.typ
+),
+lv AS (
+  SELECT day, x, CAST(count(*) AS BIGINT) AS cnt FROM grid GROUP BY 1, 2
+),
+mid AS (
+  SELECT day, x,
+         CAST(2 * COALESCE(sum(cnt) OVER (
+             PARTITION BY day ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) + cnt + 1 AS BIGINT) AS midrank2
+  FROM lv
+),
+ranked AS (
+  SELECT g.day, g.typ, m.midrank2
+  FROM grid g JOIN mid m ON m.day = g.day AND m.x = g.x
+),
+dims AS (
+  SELECT CAST(count(DISTINCT day) AS BIGINT) AS n,
+         CAST(count(DISTINCT typ) AS BIGINT) AS k,
+         CAST(sum(midrank2 * midrank2) AS BIGINT) AS a2
+  FROM ranked
+),
+per_typ AS (
+  SELECT typ, CAST(sum(midrank2) AS BIGINT) AS r2 FROM ranked GROUP BY 1
+),
+s4 AS (
+  SELECT CAST(CAST(sum(CAST(r2 - d.n * (d.k + 1) AS DECIMAL(19,0))
+                       * (r2 - d.n * (d.k + 1))) AS DECIMAL(38,0))
+           AS BIGINT) AS s4
+  FROM per_typ CROSS JOIN dims d
+)
+SELECT d.n AS n_blocks, d.k AS k_treatments, s.s4,
+       CAST(d.a2 - d.n * d.k * (d.k + 1) * (d.k + 1) AS BIGINT)
+         AS denom4,
+       CASE WHEN d.a2 - d.n * d.k * (d.k + 1) * (d.k + 1) > 0 THEN
+         CAST(d.k - 1 AS DOUBLE) * CAST(s.s4 AS DOUBLE)
+           / CAST(d.a2 - d.n * d.k * (d.k + 1) * (d.k + 1) AS DOUBLE)
+       END AS chi2
+FROM dims d CROSS JOIN s4 s
+WHERE d.n > 0 AND d.k > 1
+"""

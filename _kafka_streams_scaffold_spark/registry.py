@@ -2340,6 +2340,11 @@ def _ensure_loaded() -> None:
         drift.PAGE_HINKLEY_DRIFT_ORACLE,
     )
     register(
+        "friedman_event_mix",
+        inference.friedman_event_mix_query,
+        inference.FRIEDMAN_EVENT_MIX_ORACLE,
+    )
+    register(
         "simplified_silhouette",
         similarity.simplified_silhouette_query,
         similarity.SIMPLIFIED_SILHOUETTE_ORACLE,

@@ -95,6 +95,9 @@ R11_MATERIAL: set[str] = {
     # CUSUM-family sequential mean-shift detector (integer-exact,
     # baseline-mean Page-Hinkley)
     "page_hinkley_drift",
+    # blocked-rank completion of the ladder (day-blocked event-mix
+    # ordering stability, tie-corrected)
+    "friedman_event_mix",
 }
 
 

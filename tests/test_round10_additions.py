@@ -206,3 +206,66 @@ def test_page_hinkley_alarms_on_level_shift(spark, monkeypatch):
     first_alarm = next(i for i, r in enumerate(got) if r["alarm"] == 1)
     assert first_alarm >= 10
     assert all(r["alarm"] == 1 for r in got[first_alarm:])
+
+
+# ---------------------------------------------------------------------------
+# friedman_event_mix
+# ---------------------------------------------------------------------------
+
+
+def test_friedman_matches_bruteforce(spark):
+    daily = defaultdict(Counter)
+    for r in (
+        tables.table(spark, SF, "events")
+        .selectExpr("cast(ts as date) as day", "event_type")
+        .collect()
+    ):
+        daily[r["day"]][r["event_type"]] += 1
+    typs = sorted({t for c in daily.values() for t in c})
+    n, k = len(daily), len(typs)
+    r2 = Counter()
+    a2 = 0
+    for day, c in daily.items():
+        vals = sorted(c.get(t, 0) for t in typs)
+        groups = Counter(vals)
+        mid2 = {}
+        cum = 0
+        for v in sorted(groups):
+            g = groups[v]
+            mid2[v] = 2 * cum + g + 1
+            cum += g
+        for t in typs:
+            m2 = mid2[c.get(t, 0)]
+            r2[t] += m2
+            a2 += m2 * m2
+    s4 = sum((r2[t] - n * (k + 1)) ** 2 for t in typs)
+    denom4 = a2 - n * k * (k + 1) ** 2
+
+    [row] = inference.friedman_event_mix_query(spark, SF).collect()
+    assert row["n_blocks"] == n and row["k_treatments"] == k
+    assert row["s4"] == s4
+    assert row["denom4"] == denom4
+    if denom4 > 0:
+        assert row["chi2"] == pytest.approx((k - 1) * s4 / denom4, rel=1e-12)
+
+
+def test_friedman_identical_ordering_maxes_chi2(spark, monkeypatch):
+    """Blocks that rank the treatments identically every day push
+    chi2 to its tie-free maximum n*(k-1); a shuffled-rank matrix sits
+    near 0."""
+    base = datetime.datetime(2025, 3, 1)
+    rows = []
+    eid = 0
+    for d in range(10):
+        for i, t in enumerate(("view", "click", "purchase")):
+            for _ in range(10 * (i + 1)):  # stable ordering every day
+                rows.append(
+                    Row(event_id=eid, ts=base + datetime.timedelta(days=d),
+                        event_type=t, user_id=eid % 7)
+                )
+                eid += 1
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(inference.tables, "table", lambda *a: df)
+    [row] = inference.friedman_event_mix_query(spark, "_").collect()
+    n, k = 10, 3
+    assert row["chi2"] == pytest.approx(float(n * (k - 1)), rel=1e-12)

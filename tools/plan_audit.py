@@ -1759,6 +1759,13 @@ AUDIT = [
         "(b*S_t - t*S_b - t*b*delta, running min), immune to float "
         "summation-order differences between engines.",
     ),
+    (
+        "friedman_event_mix",
+        "One per-(day, type) rollup touches events; the zero-filled "
+        "grid, day-partitioned midrank windows, and moments live on "
+        "the |days| x |types| spine; S4 runs through DECIMAL, the "
+        "tie-corrected denominator stays BIGINT.",
+    ),
 ]
 
 

@@ -887,6 +887,11 @@ def main() -> None:
             unioned(spark, "events", m),
             lambda: drift_mod.page_hinkley_drift_query(spark, SF_DIR),
         ),
+        "friedman (day-blocked midranks)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: inference_mod.friedman_event_mix_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
