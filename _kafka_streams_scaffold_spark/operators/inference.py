@@ -3536,3 +3536,173 @@ SELECT d.n AS n_blocks, d.k AS k_treatments, s.s4,
 FROM dims d CROSS JOIN s4 s
 WHERE d.n > 0 AND d.k > 1
 """
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank test (post-freeze: r11 material)
+# --------------------------------------------------------------------------
+
+
+def wilcoxon_signed_rank_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_pairs, n_nonzero, w2_plus, w2_minus, var12, z): the Wilcoxon
+    signed-rank test of per-user activity change between the event
+    window's first and second half — the PAIRED completion of the
+    rank ladder (mann_whitney: independent samples; Friedman: blocked
+    ranks; signed-rank: matched pairs). Each user is their own
+    control, so a population-mix shift can't fake a change signal the
+    way it can for the independent tests; the question answered is
+    "did the SAME users move?".
+
+    Construction: the pair is (user, events in days [0, H) vs days
+    [H, end)) with H the exact midpoint of the observed day span
+    (computed from data, deterministic); zero differences drop per
+    the standard treatment, |d| ranks are 2x-scaled midranks on the
+    (|d| -> count) rollup, and W+ / W- are exact BIGINT rank sums
+    carried 2x. The normal-approximation z uses the tie-corrected
+    variance carried as the exact integer var12 = 12*Var[W2+] =
+    2n(n+1)(2n+1) - sum(t^3 - t) (the /24 and /48 denominators fold
+    into the 2x scale and the final sqrt), so z = (w2_plus -
+    n(n+1)/2) / sqrt(var12/12.0) is one fixed flop sequence per
+    engine. A fully-tied or empty nonzero set reports NULL z
+    identically on both engines.
+
+    Scale: one per-(user, half) rollup touches events; differences
+    are |users|-sized; midranks live on the |distinct |d||-sized
+    spine (bounded single-partition window, the house pattern)."""
+    ev = tables.table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"),
+        F.to_date(F.max("ts")).alias("d1"),
+    )
+    per = (
+        ev.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            (
+                F.datediff(F.to_date("ts"), F.col("d0"))
+                * F.lit(2)
+                >= F.datediff(F.col("d1"), F.col("d0")) + F.lit(1)
+            ).cast("int").alias("half"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.lit(1) - F.col("half")).cast("bigint").alias("x"),
+            F.sum("half").cast("bigint").alias("y"),
+        )
+    )
+    diffs = per.select(
+        "user_id",
+        (F.col("y") - F.col("x")).cast("bigint").alias("d"),
+    )
+    nz = diffs.filter(F.col("d") != 0).select(
+        "d", F.abs("d").cast("bigint").alias("ad")
+    )
+    lv = nz.groupBy("ad").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wv = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    mid = lv.select(
+        "ad",
+        "cnt",
+        (
+            F.lit(2) * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+            + F.col("cnt")
+            + F.lit(1)
+        ).cast("bigint").alias("midrank2"),
+    )
+    sums = (
+        nz.join(mid.select("ad", "midrank2"), "ad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("d") > 0, F.col("midrank2")).otherwise(0))
+            .cast("bigint")
+            .alias("w2_plus"),
+            F.sum(F.when(F.col("d") < 0, F.col("midrank2")).otherwise(0))
+            .cast("bigint")
+            .alias("w2_minus"),
+        )
+    )
+    ties = lv.agg(
+        F.sum(F.expr("cast(cnt as decimal(19,0)) * cnt * cnt - cnt"))
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("tie_sum")
+    )
+    total = diffs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    n = F.col("n")
+    var12 = (
+        F.lit(2) * n * (n + F.lit(1)) * (F.lit(2) * n + F.lit(1))
+        - F.col("tie_sum")
+    )
+    z = F.when(
+        var12 > 0,
+        (
+            F.col("w2_plus") - n * (n + F.lit(1)) / F.lit(2)
+        ).cast("double")
+        / F.sqrt(var12.cast("double") / F.lit(12.0)),
+    )
+    return (
+        sums.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_pairs",
+            F.col("n").alias("n_nonzero"),
+            "w2_plus",
+            "w2_minus",
+            var12.cast("bigint").alias("var12"),
+            z.alias("z"),
+        )
+    )
+
+
+WILCOXON_SIGNED_RANK_ORACLE = """
+WITH span AS (
+  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+  FROM events
+),
+per AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN datediff('day', s.d0, CAST(ts AS DATE)) * 2
+                            >= datediff('day', s.d0, s.d1) + 1
+                       THEN 0 ELSE 1 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN datediff('day', s.d0, CAST(ts AS DATE)) * 2
+                            >= datediff('day', s.d0, s.d1) + 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events CROSS JOIN span s
+  GROUP BY 1
+),
+diffs AS (SELECT user_id, CAST(y - x AS BIGINT) AS d FROM per),
+nz AS (SELECT d, CAST(abs(d) AS BIGINT) AS ad FROM diffs WHERE d <> 0),
+lv AS (SELECT ad, CAST(count(*) AS BIGINT) AS cnt FROM nz GROUP BY 1),
+mid AS (
+  SELECT ad,
+         CAST(2 * COALESCE(sum(cnt) OVER (
+             ORDER BY ad
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) + cnt + 1 AS BIGINT) AS midrank2
+  FROM lv
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN d > 0 THEN midrank2 ELSE 0 END) AS BIGINT)
+           AS w2_plus,
+         CAST(sum(CASE WHEN d < 0 THEN midrank2 ELSE 0 END) AS BIGINT)
+           AS w2_minus
+  FROM nz JOIN mid USING (ad)
+),
+ties AS (
+  SELECT CAST(CAST(sum(CAST(cnt AS DECIMAL(19,0)) * cnt * cnt - cnt)
+                AS DECIMAL(38,0)) AS BIGINT) AS tie_sum
+  FROM lv
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM diffs)
+SELECT t.n_pairs, s.n AS n_nonzero, s.w2_plus, s.w2_minus,
+       CAST(2 * s.n * (s.n + 1) * (2 * s.n + 1) - ti.tie_sum AS BIGINT)
+         AS var12,
+       CASE WHEN 2 * s.n * (s.n + 1) * (2 * s.n + 1) - ti.tie_sum > 0
+            THEN CAST(s.w2_plus - s.n * (s.n + 1) / 2 AS DOUBLE)
+                 / sqrt(CAST(2 * s.n * (s.n + 1) * (2 * s.n + 1)
+                             - ti.tie_sum AS DOUBLE) / 12.0)
+       END AS z
+FROM sums s CROSS JOIN ties ti CROSS JOIN total t
+"""

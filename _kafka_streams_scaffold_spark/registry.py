@@ -2345,6 +2345,11 @@ def _ensure_loaded() -> None:
         inference.FRIEDMAN_EVENT_MIX_ORACLE,
     )
     register(
+        "wilcoxon_signed_rank",
+        inference.wilcoxon_signed_rank_query,
+        inference.WILCOXON_SIGNED_RANK_ORACLE,
+    )
+    register(
         "simplified_silhouette",
         similarity.simplified_silhouette_query,
         similarity.SIMPLIFIED_SILHOUETTE_ORACLE,

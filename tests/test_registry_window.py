@@ -98,6 +98,9 @@ R11_MATERIAL: set[str] = {
     # blocked-rank completion of the ladder (day-blocked event-mix
     # ordering stability, tie-corrected)
     "friedman_event_mix",
+    # matched-pairs completion (per-user first-half vs second-half
+    # activity, tie-corrected integer variance)
+    "wilcoxon_signed_rank",
 }
 
 

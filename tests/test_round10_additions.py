@@ -269,3 +269,72 @@ def test_friedman_identical_ordering_maxes_chi2(spark, monkeypatch):
     [row] = inference.friedman_event_mix_query(spark, "_").collect()
     n, k = 10, 3
     assert row["chi2"] == pytest.approx(float(n * (k - 1)), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# wilcoxon_signed_rank
+# ---------------------------------------------------------------------------
+
+
+def test_wilcoxon_matches_bruteforce(spark):
+    rows = (
+        tables.table(spark, SF, "events")
+        .selectExpr("user_id", "cast(ts as date) as day")
+        .collect()
+    )
+    days = [r["day"] for r in rows]
+    d0, d1 = min(days), max(days)
+    span = (d1 - d0).days
+    per = defaultdict(lambda: [0, 0])
+    for r in rows:
+        half = int((r["day"] - d0).days * 2 >= span + 1)
+        per[r["user_id"]][half] += 1
+    diffs = [y - x for x, y in per.values()]
+    nz = [d for d in diffs if d != 0]
+    groups = Counter(abs(d) for d in nz)
+    mid2 = {}
+    cum = 0
+    for v in sorted(groups):
+        mid2[v] = 2 * cum + groups[v] + 1
+        cum += groups[v]
+    w2p = sum(mid2[abs(d)] for d in nz if d > 0)
+    w2m = sum(mid2[abs(d)] for d in nz if d < 0)
+    n = len(nz)
+    tie = sum(c**3 - c for c in groups.values())
+    var12 = 2 * n * (n + 1) * (2 * n + 1) - tie
+
+    [row] = inference.wilcoxon_signed_rank_query(spark, SF).collect()
+    assert row["n_pairs"] == len(diffs)
+    assert row["n_nonzero"] == n
+    assert row["w2_plus"] == w2p
+    assert row["w2_minus"] == w2m
+    assert row["var12"] == var12
+    if var12 > 0:
+        z = (w2p - n * (n + 1) / 2) / ((var12 / 12.0) ** 0.5)
+        assert row["z"] == pytest.approx(z, rel=1e-12)
+    # rank-sum identity: W+ + W- covers every nonzero pair's rank
+    assert w2p + w2m == sum(mid2[abs(d)] for d in nz)
+
+
+def test_wilcoxon_detects_paired_shift(spark, monkeypatch):
+    """Every user doubles activity in the second half -> all
+    differences positive -> W- = 0 and z large positive; the paired
+    design sees it even though each user's magnitude differs."""
+    base = datetime.datetime(2025, 5, 1)
+    rows = []
+    eid = 0
+    for u in range(40):
+        for d in range(10):  # first half: 1 event/day
+            rows.append(Row(event_id=eid, ts=base + datetime.timedelta(days=d),
+                            event_type="view", user_id=u)); eid += 1
+        for d in range(10, 20):  # second half: 2+u%3 events/day
+            for _ in range(2 + u % 3):
+                rows.append(Row(event_id=eid,
+                                ts=base + datetime.timedelta(days=d),
+                                event_type="view", user_id=u)); eid += 1
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(inference.tables, "table", lambda *a: df)
+    [row] = inference.wilcoxon_signed_rank_query(spark, "_").collect()
+    assert row["w2_minus"] == 0
+    assert row["n_nonzero"] == 40
+    assert row["z"] > 5.0

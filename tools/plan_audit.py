@@ -1766,6 +1766,13 @@ AUDIT = [
         "the |days| x |types| spine; S4 runs through DECIMAL, the "
         "tie-corrected denominator stays BIGINT.",
     ),
+    (
+        "wilcoxon_signed_rank",
+        "One per-(user, half) rollup touches events; differences are "
+        "|users|-sized, midranks live on the |distinct |d||-sized "
+        "spine, and the tie-corrected variance is the exact integer "
+        "var12 = 2n(n+1)(2n+1) - sum(t^3 - t).",
+    ),
 ]
 
 

@@ -892,6 +892,11 @@ def main() -> None:
             unioned(spark, "events", m),
             lambda: inference_mod.friedman_event_mix_query(spark, SF_DIR),
         ),
+        "wilcoxon signed-rank (paired halves)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: inference_mod.wilcoxon_signed_rank_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
