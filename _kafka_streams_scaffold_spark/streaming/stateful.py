@@ -637,3 +637,83 @@ def streaming_attribution(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming Page-Hinkley (round-10 twin of operators/drift.page_hinkley_drift)
+# --------------------------------------------------------------------------
+
+PH_OUTPUT_SCHEMA = (
+    "metric string, n_days long, v_stat long, ph_stat long, alarm int"
+)
+PH_STATE_SCHEMA = "days array<long>, xs array<long>"
+
+
+def _update_page_hinkley(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from ..operators.drift import (
+        _PH_BASELINE_DAYS,
+        _PH_DELTA,
+        _PH_LAMBDA,
+    )
+
+    if state.exists:
+        days, xs = state.get
+        acc = {int(d): int(x) for d, x in zip(days, xs)}
+    else:
+        acc = {}
+    for pdf in pdf_iter:
+        for d, x in zip(pdf["day"].tolist(), pdf["x"].tolist()):
+            acc[int(d)] = acc.get(int(d), 0) + int(x)
+    items = sorted(acc.items())
+    state.update(
+        ([d for d, _ in items], [x for _, x in items])
+    )
+    # replay the batch op's EXACT integer arithmetic over the
+    # accumulated day spine (same baked constants): baseline sum over
+    # the first b_eff days, V_t = b*S_t - t*S_b - t*b*delta, running
+    # min, alarm when the gap exceeds b*lambda
+    b = min(_PH_BASELINE_DAYS, len(items))
+    s_b = sum(x for _, x in items[:b])
+    s_t = 0
+    v = 0
+    run_min = None
+    for t, (_, x) in enumerate(items, start=1):
+        s_t += x
+        v = b * s_t - t * s_b - t * b * _PH_DELTA
+        run_min = v if run_min is None else min(run_min, v)
+    ph = 0 if run_min is None else v - run_min
+    yield pd.DataFrame(
+        {
+            "metric": [key[0]],
+            "n_days": [len(items)],
+            "v_stat": [v],
+            "ph_stat": [ph],
+            "alarm": [int(ph > b * _PH_LAMBDA)],
+        }
+    )
+
+
+def streaming_page_hinkley(daily: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/drift.page_hinkley_drift``: the
+    Page-Hinkley mean-shift detector maintained AS STATE while
+    per-day (metric, day, x) count increments stream in. State is the
+    (day -> x) spine — calendar-bounded, the same argument the batch
+    op's window makes, and necessary because late increments to ANY
+    day (including the baseline week) legally reshape the whole walk
+    — and each update replays the batch op's exact BIGINT arithmetic
+    with the SAME baked constants, emitting the current terminal
+    (v_stat, ph_stat, alarm) per update (A4). The twin test asserts
+    the converged emission equals the batch op's final day row. Like
+    streaming_sprt, this is the detector's natural deployment: it
+    exists to alarm WHILE volume shifts, not in a nightly batch."""
+    return daily.groupBy("metric").applyInPandasWithState(
+        _update_page_hinkley,
+        outputStructType=PH_OUTPUT_SCHEMA,
+        stateStructType=PH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
