@@ -50,7 +50,15 @@ def tree(df: DataFrame, elide_cached: bool = True) -> str:
     dedup_tier_agreement) — the artifact's own plan is audited where
     it is built. Pass ``elide_cached=False`` to keep the expansions
     (plan tests that count scans THROUGH a pinned artifact need
-    them)."""
+    them).
+
+    Elision is reliable only on UN-EXECUTED plans (what every plan
+    test here audits). An executed AQE plan renders '* ' codegen
+    stars and QueryStage roots on legitimate OUTER-tree lines too, so
+    the resume guards can swallow a real sibling (e.g. a
+    BroadcastQueryStage) and leak '== Initial Plan ==' fragments —
+    call tree() before any action triggers execution, or pass
+    ``elide_cached=False``."""
     text = explain_str(df).split("\n\n", 1)[0]
     if not elide_cached:
         return text
@@ -81,10 +89,18 @@ def tree(df: DataFrame, elide_cached: bool = True) -> str:
                 m is not None
                 and len(m.group(1)) == open_cols[-1]
                 and all(line[c] == ":" for c in open_cols[:-1])
-                # outer formatted-tree lines never carry the simple-
-                # format codegen star the cached blocks use — rendered
-                # as '*(n) Node' (NO space after the star), so match
-                # the bare star prefix (r09 ADVICE: '* ' never fired)
+                # codegen stars appear in TWO renderings (r10 ADVICE):
+                # simple-format cached blocks as '*(n) Node' (no
+                # space) and, on executed/cached plans inlined in
+                # formatted style, as '* Node (id)' (star+space) — and
+                # an EXECUTED outer tree carries '* ' stars on its own
+                # lines too. The bare-star prefix match covers both
+                # renderings, which keeps elision correct for the
+                # PRE-EXECUTION plans this module's tests audit; on an
+                # executed AQE plan tree() may still mis-resume (a
+                # legitimate starred sibling is indistinguishable from
+                # a cached-block line), so elision is only reliable on
+                # un-executed plans — see tree()'s docstring.
                 and not body.startswith("*")
                 # ...nor fragment headers / AQE query-stage roots —
                 # the only node kinds a cached block can place at a

@@ -110,9 +110,26 @@ CORRECTNESS row. Rotation history:
   detector_cochran_q, kendall_w_detectors), and (d) 20 age-based
   re-validations — the oldest still-standing green rows (all r02),
   oldest first per the r09 verdict. The dedup-audit chain members
-  sit LAST and in chain order so the family block (window tail +
-  the one appended non-window member) stays consecutive for the
-  shared tier-pair pins.
+  sit LAST (consecutive, ``dedup_tier_agreement`` first; the exact
+  tail order need not match the ``_DEDUP_AUDIT_CHAIN`` constant) so
+  the family block (window tail + the one appended non-window
+  member) stays consecutive for the shared tier-pair pins.
+
+- r11 window (``_WINDOW_R11`` below): CORRECTNESS_r10 went 50/50
+  green and the round-11 ``stale_cert_audit`` run (after its ROUNDS
+  glob fix — the r10 verdict's #1 ask) flagged ZERO stale
+  certifications, so the window is exactly 50 = (a) the 5
+  R11_MATERIAL round-10 post-freeze additions
+  (kruskal_wallis_sources, brown_forsythe_lengths,
+  page_hinkley_drift, friedman_event_mix, wilcoxon_signed_rank),
+  (b) the 2 round-11 codec additions (codec_moments, codec_audit —
+  the real synthetic TIMG/TAUD decoder replacing the multimodal
+  ``decode="real"`` stub, r10 verdict ask #5), and (c) 43 age-based
+  re-validations: ALL 27 remaining r02-green rows plus the 16
+  alphabetically-first r03-green rows (text/dedup/ANN tier),
+  oldest round first. No chain member is in the window, so
+  ``_apply_window`` appends the whole dedup-audit family
+  immediately after slot 50 in constant order.
 
 NEXT ROTATION (round 11): round-10 additions registered after the
 r10 window froze go in tests/test_registry_window.py R11_MATERIAL
@@ -263,7 +280,10 @@ _WINDOW_R10 = [
     "kcore",
     # dedup tier
     "containment_pairs",
-    # dedup-audit chain members — LAST and in chain order on purpose:
+    # dedup-audit chain members — LAST, consecutive, and with
+    # dedup_tier_agreement first on purpose (the exact tail order
+    # need not match _DEDUP_AUDIT_CHAIN's constant order; the tests
+    # require only consecutiveness and the first member):
     # _apply_window appends the remaining chain member
     # (minhash_estimate_audit) immediately after the window, so the
     # whole family is one consecutive shared-pin block
@@ -276,6 +296,70 @@ _WINDOW_R10 = [
     "dup_capture_recapture",
     "detector_cochran_q",
     "kendall_w_detectors",
+]
+
+# Driver correctness window for round 11 (slots 0..49) — see module
+# docstring: 5 R11_MATERIAL + 2 codec additions + 43 age-based
+# re-validations (all 27 remaining r02 rows + 16 oldest r03 rows),
+# grouped by family so janino/codegen first-touch amortizes across
+# neighbors. Zero stale-audit flags this round (the audit now globs
+# CORRECTNESS_r*.json, so the r10 rows count).
+_WINDOW_R11 = [
+    # inference / drift tier (R11_MATERIAL)
+    "kruskal_wallis_sources",
+    "brown_forsythe_lengths",
+    "friedman_event_mix",
+    "wilcoxon_signed_rank",
+    "page_hinkley_drift",
+    # codec tier (round-11 additions)
+    "codec_moments",
+    "codec_audit",
+    # parity / events re-validation (r02 rows)
+    "uppercase",
+    "wordcount",
+    "wordcount_point_lookup",
+    "purchases_agg",
+    "purchases_range_scan",
+    "user_event_type_sets",
+    "user_sessions",
+    "retention_cohorts",
+    "rolling_user_value",
+    "revenue_forecast",
+    # TPC-H analog / sales re-validation (r02 rows)
+    "latest_shipper_counts",
+    "local_supplier_revenue",
+    "market_share",
+    "pricing_summary",
+    "product_profit",
+    "promo_revenue",
+    "returned_items_top_customers",
+    "revenue_cube",
+    "revenue_grouping_sets",
+    "revenue_rollup",
+    "shipping_priority",
+    "shipping_speed_priority",
+    "supplier_part_variety",
+    "top_orders_per_customer",
+    "top_revenue_supplier",
+    "top_value_parts",
+    "volume_shipping",
+    # text / dedup / ANN tier re-validation (oldest r03 rows)
+    "ann_topk",
+    "approx_distinct_users",
+    "approx_percentiles",
+    "bm25_search",
+    "boilerplate_ngrams",
+    "bpe_merge_candidates",
+    "chunk_packing",
+    "clean_text",
+    "corpus_keep",
+    "data_quality_audit",
+    "dedup_clusters",
+    "distinct_users_daily",
+    "doc_chunks",
+    "doc_fingerprint",
+    "doc_repetition",
+    "dup_pagerank",
 ]
 
 # r09 window kept for the rotation-history tests (50/50 green in
@@ -881,7 +965,7 @@ def _ensure_loaded() -> None:
         sketches.VALUE_HISTOGRAM_ORACLE,
     )
 
-    from .operators import curation, multimodal, textops
+    from .operators import codec, curation, multimodal, textops
 
     register("corpus_keep", curation.corpus_keep_query, curation.CORPUS_KEEP_ORACLE)
 
@@ -2603,5 +2687,20 @@ def _ensure_loaded() -> None:
         dedup.KENDALL_W_DETECTORS_ORACLE,
     )
 
-    _apply_window(_WINDOW_R10)
+    # ---- round-11 additions (pre-freeze: in _WINDOW_R11): the real
+    # synthetic codec replacing the multimodal NotImplementedError
+    # stub (r10 verdict ask #5) — decoded-content math value-checked,
+    # plus the poison-pill audit at the codec boundary ----
+    register(
+        "codec_moments",
+        codec.codec_moments_query,
+        codec.CODEC_MOMENTS_ORACLE,
+    )
+    register(
+        "codec_audit",
+        codec.codec_audit_query,
+        codec.CODEC_AUDIT_ORACLE,
+    )
+
+    _apply_window(_WINDOW_R11)
     _LOADED = True

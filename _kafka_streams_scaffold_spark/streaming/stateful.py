@@ -717,3 +717,59 @@ def streaming_page_hinkley(daily: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming codec quarantine (round-11 twin of operators/codec.codec_audit)
+# --------------------------------------------------------------------------
+
+CODEC_Q_OUTPUT_SCHEMA = (
+    "modality string, n_ok long, n_quarantined long, units_total long"
+)
+CODEC_Q_STATE_SCHEMA = "n_ok long, n_quarantined long, units_total long"
+
+
+def _update_codec_quarantine(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n_ok, n_bad, units = state.get if state.exists else (0, 0, 0)
+    for pdf in pdf_iter:
+        ok = pdf["decode_ok"].astype(bool)
+        n_ok += int(ok.sum())
+        n_bad += int((~ok).sum())
+        units += int(pdf.loc[ok, "n_units"].sum())
+    state.update((n_ok, n_bad, units))
+    yield pd.DataFrame(
+        {
+            "modality": [key[0]],
+            "n_ok": [n_ok],
+            "n_quarantined": [n_bad],
+            "units_total": [units],
+        }
+    )
+
+
+def streaming_codec_quarantine(audited: DataFrame) -> DataFrame:
+    """Streaming twin of the ``codec_audit`` aggregate: per-modality
+    quarantine counters maintained AS STATE while decode-audited rows
+    (``operators/codec.decode_audit`` — mapInPandas runs unchanged on
+    a streaming frame) arrive. This is the R1 poison-pill policy in
+    its natural streaming deployment: a media-ingest pipeline that
+    must keep a live count of quarantined blobs per modality rather
+    than discover them in a nightly batch. Quarantined rows carry
+    modality='' (the decoder could not trust the header), so they
+    accumulate under the empty-string key — provenance preserved, the
+    job never dies. State is three BIGINTs per modality (bounded by
+    the modality vocabulary, not the stream), and each update emits
+    the converged-so-far row per A4; the twin test asserts the final
+    emission equals the batch ``codec_audit`` aggregate over the same
+    corrupted corpus."""
+    return audited.groupBy("modality").applyInPandasWithState(
+        _update_codec_quarantine,
+        outputStructType=CODEC_Q_OUTPUT_SCHEMA,
+        stateStructType=CODEC_Q_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -26,11 +26,16 @@ def test_decode_features_fake(spark):
     assert rows[1]["n_bytes"] == 0 and rows[1]["first_byte"] == -1
 
 
-def test_decode_real_is_stubbed(spark):
+def test_decode_real_rejects_unframed_payloads(spark):
+    """Round 11: decode="real" routes to the TIMG/TAUD codec
+    (operators/codec.py) instead of raising NotImplementedError.
+    This module's payloads are UNFRAMED text bytes, so the real path
+    must still fail loudly on them (unknown-magic ValueError) —
+    containerized data goes through codec.with_coded_payload."""
     out = multimodal.decode_features(
         multimodal.with_payload(_docs(spark)), decode="real"
     )
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="unknown codec magic"):
         out.collect()
 
 

@@ -67,3 +67,30 @@ def test_elide_cached_false_keeps_everything(monkeypatch):
     monkeypatch.setattr(pi, "explain_str", lambda _df: plan)
     t = pi.tree(object(), elide_cached=False)
     assert "*(1) Project" in t
+
+
+def test_star_space_rendering_keeps_skip_alive(monkeypatch):
+    """r10 ADVICE: on this Spark build, executed/cached plans inline
+    in formatted style as '* Node (id)' (star+SPACE), not only the
+    simple-format '*(n) Node'. The bare-star prefix guard must treat
+    both renderings as cached-block lines so the skip stays alive
+    until the real plain sibling."""
+    plan = "\n".join(
+        [
+            "== Physical Plan ==",
+            "SortMergeJoin (10)",
+            ":- InMemoryTableScan (1)",
+            ":     +- InMemoryRelation (2)",
+            "+- * Project (3)",
+            "   +- * ColumnarToRow (4)",
+            "      +- Scan parquet (0)",
+            "+- Sort (9)",
+            "   +- Exchange (8)",
+        ]
+    )
+    t = _with_plan(monkeypatch, plan)
+    assert "* Project (3)" not in t
+    assert "ColumnarToRow (4)" not in t
+    assert "Scan parquet (0)" not in t
+    assert "Sort (9)" in t
+    assert "Exchange (8)" in t

@@ -3,7 +3,7 @@
 The external correctness gate hash-checks only the FIRST 50 registered
 queries, so registration ORDER is part of the contract: each round the
 window must carry exactly the queries that still need a driver
-CORRECTNESS row (see registry._WINDOW_R10 and the module docstring's
+CORRECTNESS row (see registry._WINDOW_R11 and the module docstring's
 rotation history).
 """
 
@@ -14,94 +14,77 @@ import pathlib
 
 from _kafka_streams_scaffold_spark import registry
 
-# Green rounds available when the r10 window was frozen.
+# Green rounds available when the r11 window was frozen.
 _PRIOR_ROUNDS = (
-    "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09",
+    "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10",
 )
 
 # Queries with a GREEN prior-round row that nevertheless re-certify in
-# the r10 window. Three sub-populations (see registry's r10 rotation
-# note): the tools/stale_cert_audit.py flags (implementation or oracle
-# segment changed after the green row — including the round-10
-# referential_integrity single-pass refactor and the _tier_pairs-hoist
-# call-site edits), the manual helper-change re-certs (_tier_pairs
-# became a shared pin, changing consumers' physical plans without
-# touching their own function segments — the audit's documented blind
-# spot), and the age-based re-validations (oldest standing green rows,
-# all r02, filling the window to 50 per the r09 verdict).
-R10_RECERT: set[str] = {
-    # --- stale_cert_audit flags (17) ---
-    "bulk_part_suppliers",
-    "min_cost_supplier",
-    "event_anomalies",
-    "knn_graph",
-    "multimodal_features",
-    "tfidf_top_terms",
-    "vocab_coverage",
-    "benford_audit",
-    "containment_pairs",
-    "correlation_matrix",
-    "kcore",
-    "knn_triangles",
-    "referential_integrity",
-    "pca_top_component",
-    "blocking_recall_audit",
-    "detector_kappa",
-    "source_dedup_matrix",
-    # --- manual helper-change re-certs (6) ---
-    "dedup_tier_agreement",
-    "dedup_token_savings",
-    "detector_mcnemar",
-    "dup_capture_recapture",
-    "detector_cochran_q",
-    "kendall_w_detectors",
-    # --- age-based re-validations (20, oldest green rows first) ---
-    "active_rich_customers",
-    "asof_prev_purchase",
-    "brand_disjunction_revenue",
-    "click_no_purchase_days",
-    "cust_order_counts",
-    "customer_balance_quartiles",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "error_and_signup_days",
-    "events_hopping",
-    "events_hourly",
-    "events_pivot",
-    "events_unpivot",
-    "funnel_conversion",
-    "idle_rich_customers",
-    "important_part_values",
-    "json_enrich",
-    "json_props_stats",
-    "large_volume_customers",
-    "late_order_priority",
+# the r11 window. ONE sub-population this round: the round-11
+# stale_cert_audit run (after its ROUNDS glob fix, the r10 verdict's
+# #1 ask) flagged ZERO stale certifications and no helper-level
+# physical-plan change touched a certified query, so the whole
+# re-cert budget went to age-based re-validations — all 27 remaining
+# r02-green rows plus the 16 alphabetically-first r03-green rows.
+R11_RECERT: set[str] = {
+    # --- age-based re-validations: the 27 remaining r02 rows ---
+    "uppercase",
+    "wordcount",
+    "wordcount_point_lookup",
+    "purchases_agg",
+    "purchases_range_scan",
+    "user_event_type_sets",
+    "user_sessions",
+    "retention_cohorts",
+    "rolling_user_value",
+    "revenue_forecast",
+    "latest_shipper_counts",
+    "local_supplier_revenue",
+    "market_share",
+    "pricing_summary",
+    "product_profit",
+    "promo_revenue",
+    "returned_items_top_customers",
+    "revenue_cube",
+    "revenue_grouping_sets",
+    "revenue_rollup",
+    "shipping_priority",
+    "shipping_speed_priority",
+    "supplier_part_variety",
+    "top_orders_per_customer",
+    "top_revenue_supplier",
+    "top_value_parts",
+    "volume_shipping",
+    # --- age-based re-validations: the 16 oldest r03 rows ---
+    "ann_topk",
+    "approx_distinct_users",
+    "approx_percentiles",
+    "bm25_search",
+    "boilerplate_ngrams",
+    "bpe_merge_candidates",
+    "chunk_packing",
+    "clean_text",
+    "corpus_keep",
+    "data_quality_audit",
+    "dedup_clusters",
+    "distinct_users_daily",
+    "doc_chunks",
+    "doc_fingerprint",
+    "doc_repetition",
+    "dup_pagerank",
 }
 
-# No never-certified backlog was deferred out of the r10 window: all
-# 7 R10_MATERIAL queries are IN _WINDOW_R10.
-R11_DEFERRED: set[str] = set()
+# No never-certified backlog was deferred out of the r11 window: the
+# 5 R11_MATERIAL round-10 post-freeze additions and both round-11
+# codec additions are IN _WINDOW_R11.
+R12_DEFERRED: set[str] = set()
 
-# Round-10 additions registered after the r10 window froze — r11
+# Round-11 additions registered after the r11 window froze — r12
 # window material by construction. The r08 verdict caps this at 13
 # (the window's re-cert margin) so the certification pipeline stops
-# compounding backlog; test_r11_material_fits_the_recert_margin
+# compounding backlog; test_r12_material_fits_the_recert_margin
 # enforces it.
-R11_MATERIAL: set[str] = {
-    # k-sample nonparametric completions (mann_whitney -> KW is the
-    # mcnemar -> cochran_q move; anova -> Brown-Forsythe reads spread)
-    "kruskal_wallis_sources",
-    "brown_forsythe_lengths",
-    # CUSUM-family sequential mean-shift detector (integer-exact,
-    # baseline-mean Page-Hinkley)
-    "page_hinkley_drift",
-    # blocked-rank completion of the ladder (day-blocked event-mix
-    # ordering stability, tie-corrected)
-    "friedman_event_mix",
-    # matched-pairs completion (per-user first-half vs second-half
-    # activity, tie-corrected integer variance)
-    "wilcoxon_signed_rank",
-}
+R12_MATERIAL: set[str] = set()
 
 
 def _covered() -> set[str]:
@@ -115,9 +98,9 @@ def _covered() -> set[str]:
     return covered
 
 
-def test_window_is_exactly_the_r10_rotation_list():
+def test_window_is_exactly_the_r11_rotation_list():
     names = list(registry.queries())
-    w = registry._WINDOW_R10
+    w = registry._WINDOW_R11
     assert len(w) <= 50
     assert names[: len(w)] == w
 
@@ -126,8 +109,8 @@ def test_dedup_audit_chain_is_one_consecutive_block():
     """Keep-scope pin sharing (bench.py dedup_family) requires the
     dedup-audit family to run back-to-back so the shared tier-pair /
     shingle / signature pins stay warm across the whole family. The
-    r10 window carries 9 of the 10 members at its TAIL;
-    _apply_window appends the remaining member immediately after, so
+    r11 window carries NO chain member, so _apply_window appends
+    the whole family immediately after the window in constant order;
     all chain positions in final registry order must be consecutive
     — and dedup_tier_agreement runs first (its thread pool warms all
     four tier-pair pins concurrently for the rest of the block)."""
@@ -141,26 +124,26 @@ def test_dedup_audit_chain_is_one_consecutive_block():
 
 def test_window_queries_need_a_driver_row():
     """The rotation's whole point: no slot is wasted on a query that
-    already has a GREEN CORRECTNESS row from rounds 1-9 — except the
+    already has a GREEN CORRECTNESS row from rounds 1-10 — except the
     explicit re-certification list (implementation, helper, or
     oracle changed after the green row, or the row is old enough for
     age-based re-validation). A red row earns the query another slot
     automatically, since the guard keys on hash_match."""
-    stale = _covered() & set(registry._WINDOW_R10)
-    assert stale <= R10_RECERT, (
-        f"window wastes slots on already-covered: {stale - R10_RECERT}"
+    stale = _covered() & set(registry._WINDOW_R11)
+    assert stale <= R11_RECERT, (
+        f"window wastes slots on already-covered: {stale - R11_RECERT}"
     )
 
 
 def test_window_plus_deferred_covers_the_entire_backlog():
     """Every oracle-backed query that has never gone green must be
-    either in the r10 window or in an explicit deferral/material
+    either in the r11 window or in an explicit deferral/material
     list — nothing silently dropped from certification."""
     backlog = set(registry.oracle_sql()) - _covered()
-    missing = backlog - set(registry._WINDOW_R10) - R11_DEFERRED
-    assert missing <= R11_MATERIAL, (
+    missing = backlog - set(registry._WINDOW_R11) - R12_DEFERRED
+    assert missing <= R12_MATERIAL, (
         f"never-certified queries untracked for rotation: "
-        f"{missing - R11_MATERIAL}"
+        f"{missing - R12_MATERIAL}"
     )
 
 
@@ -169,28 +152,28 @@ def test_deferral_list_is_exactly_the_window_complement():
     deferral + material sets — if one gains a green row or enters the
     window, this forces the bookkeeping to move with it."""
     backlog = set(registry.oracle_sql()) - _covered()
-    outside = backlog - set(registry._WINDOW_R10)
-    assert outside == R11_DEFERRED | (R11_MATERIAL & backlog)
+    outside = backlog - set(registry._WINDOW_R11)
+    assert outside == R12_DEFERRED | (R12_MATERIAL & backlog)
 
 
-def test_r11_material_fits_the_recert_margin():
-    """The r08 verdict's pipeline-pressure cap: round-10 may add at
+def test_r12_material_fits_the_recert_margin():
+    """The r08 verdict's pipeline-pressure cap: round-11 may add at
     most 13 post-freeze queries (the window's re-cert margin), so the
-    r11 window can certify the whole backlog plus re-certs."""
-    assert len(R11_MATERIAL) <= 13
+    r12 window can certify the whole backlog plus re-certs."""
+    assert len(R12_MATERIAL) <= 13
 
 
 def test_recert_list_members_all_have_green_rows():
-    """R10_RECERT entries must actually BE re-certifications — a
+    """R11_RECERT entries must actually BE re-certifications — a
     never-certified query in the list would mask a bookkeeping hole
     (it belongs in the window via the backlog path instead)."""
-    missing = R10_RECERT - _covered()
-    assert not missing, f"R10_RECERT without green rows: {missing}"
+    missing = R11_RECERT - _covered()
+    assert not missing, f"R11_RECERT without green rows: {missing}"
 
 
 def test_window_entries_are_oracle_backed():
     oracles = set(registry.oracle_sql())
-    missing = [n for n in registry._WINDOW_R10 if n not in oracles]
+    missing = [n for n in registry._WINDOW_R11 if n not in oracles]
     assert not missing
 
 

@@ -435,8 +435,9 @@ def test_resize_real_codec_seam_raises(spark, monkeypatch):
     docs = _docs(spark, ["xyz"])
     monkeypatch.setattr(multimodal.tables, "table", lambda *a: docs)
     # the decode seam is in decode_features; resize shares the payload
-    # plumbing — assert the documented seam still raises loudly
-    with pytest.raises(Exception):
+    # plumbing — since round 11 the seam routes to the real TIMG/TAUD
+    # codec, which must still raise loudly on UNFRAMED payloads
+    with pytest.raises(Exception, match="unknown codec magic"):
         multimodal.decode_features(
             multimodal.with_payload(docs), decode="real"
         ).collect()

@@ -1,0 +1,97 @@
+"""Round-11 streaming twin: per-modality codec quarantine counters
+maintained as state over a file stream of TIMG/TAUD containers (every
+7th corrupted, the ``codec_audit`` recipe), asserted to CONVERGE to
+the batch audit's aggregate over the same corpus (the A4
+emit-per-update contract, streaming_sprt's harness)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from _kafka_streams_scaffold_spark import tables
+from _kafka_streams_scaffold_spark.operators import codec
+from _kafka_streams_scaffold_spark.streaming import (
+    pipeline,
+    serving,
+    stateful,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_jsonl(dirpath, name, rows, mtime):
+    os.makedirs(dirpath, exist_ok=True)
+    p = os.path.join(dirpath, name)
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(p, (mtime, mtime))
+
+
+def test_streaming_codec_quarantine_converges_to_batch_audit(
+    spark, tmp_path
+):
+    docs = [
+        {"doc_id": int(r["doc_id"]), "text": r["text"]}
+        for r in tables.table(spark, SF, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    ]
+    docs.sort(key=lambda r: r["doc_id"])
+    mid = len(docs) // 2
+    src = str(tmp_path / "src")
+    _write_jsonl(src, "a.json", docs[:mid], 1_700_000_000)
+    _write_jsonl(src, "b.json", docs[mid:], 1_700_000_001)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    # the exact codec_audit pipeline, minus the final column prune:
+    # frame -> corrupt every 7th -> decode with quarantine
+    coded = codec.with_coded_payload(stream)
+    corrupted = coded.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.expr("substring(payload, 1, length(payload) - 1)"),
+        ).otherwise(F.col("payload")).alias("payload"),
+    )
+    audited = codec.decode_audit(corrupted)
+
+    store = serving.MemoryStore(["modality"])
+    q = pipeline.run_update_into_store(
+        stateful.streaming_codec_quarantine(audited),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    batch = codec.codec_audit_query(spark, SF).collect()
+    want = {}
+    for r in batch:
+        m = r["modality"]
+        w = want.setdefault(m, {"n_ok": 0, "n_quarantined": 0, "units": 0})
+        if r["decode_ok"]:
+            w["n_ok"] += 1
+            w["units"] += r["n_units"]
+        else:
+            w["n_quarantined"] += 1
+    got = {k[0]: v for k, v in store.snapshot().items()}
+    assert set(got) == set(want)
+    for m, w in want.items():
+        assert got[m]["n_ok"] == w["n_ok"], m
+        assert got[m]["n_quarantined"] == w["n_quarantined"], m
+        assert got[m]["units_total"] == w["units"], m

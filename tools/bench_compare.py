@@ -79,6 +79,39 @@ def main() -> int:
         f"total: {prev.get('value')}s -> {cur.get('value')}s over "
         f"{len(pq)} -> {len(cq)} visible queries ({len(common)} comparable)"
     )
+    # Ambient-normalized aggregate (r10 verdict ask #7): bench.py runs
+    # a fixed calibration job before and after the sweep; the mean
+    # calibration ratio between the two files estimates how much of a
+    # raw aggregate delta is HOST STATE rather than code. Normalizing
+    # by it turns the round-vs-round table into one command instead of
+    # the hand-written BASELINE.md protocol. Single-query verdicts
+    # still require the solo re-run discipline — calibration measures
+    # the host, not a particular plan's sensitivity to it.
+    def _cal(d: dict) -> float | None:
+        vals = [
+            d.get("calibration_first_sec"), d.get("calibration_last_sec")
+        ]
+        vals = [v for v in vals if isinstance(v, (int, float))]
+        return sum(vals) / len(vals) if vals else None
+
+    pc, cc = _cal(prev), _cal(cur)
+    p_common = sum(pq[n] for n in common)
+    c_common = sum(cq[n] for n in common)
+    if common and p_common > 0:
+        raw = c_common / p_common
+        line = (
+            f"common-query aggregate: {p_common:.1f}s -> {c_common:.1f}s "
+            f"(raw {raw:.2f}x"
+        )
+        if pc and cc:
+            ambient = cc / pc
+            line += (
+                f", calibration {pc:.2f}s -> {cc:.2f}s = {ambient:.2f}x "
+                f"ambient, ambient-normalized {raw / ambient:.2f}x"
+            )
+        else:
+            line += ", no calibration fields in one input — raw only"
+        print(line + ")")
     regressions, improvements = [], []
     for name in common:
         a, b = pq[name], cq[name]

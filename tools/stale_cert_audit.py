@@ -45,7 +45,13 @@ import sys
 
 REPO = pathlib.Path("/root/repo")
 PKG = "_kafka_streams_scaffold_spark"
-ROUNDS = [f"r{i:02d}" for i in range(1, 10)]
+# Derived by glob, not a literal range: the r10 verdict found the
+# hardcoded r01..r09 list would hide CORRECTNESS_r10.json's 50 green
+# rows from _green_rows() and over-flag the whole r10 window as stale.
+ROUNDS = sorted(
+    p.stem.removeprefix("CORRECTNESS_")
+    for p in REPO.glob("CORRECTNESS_r*.json")
+)
 
 
 def _git(*args: str) -> str:
