@@ -17,6 +17,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "key string, cnt long, total double"
@@ -770,6 +771,85 @@ def streaming_codec_quarantine(audited: DataFrame) -> DataFrame:
         _update_codec_quarantine,
         outputStructType=CODEC_Q_OUTPUT_SCHEMA,
         stateStructType=CODEC_Q_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming Benford audit (round-11 twin of operators/dq.benford_audit)
+# --------------------------------------------------------------------------
+
+BENFORD_OUTPUT_SCHEMA = (
+    "digit int, n long, p_observed double, p_expected double, "
+    "chi2_contrib double"
+)
+BENFORD_STATE_SCHEMA = "counts array<long>"
+
+
+def _update_benford(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from ..operators.dq import _BENFORD_P
+
+    counts = list(state.get[0]) if state.exists else [0] * 9
+    for pdf in pdf_iter:
+        for d in pdf["digit"].tolist():
+            counts[int(d) - 1] += 1
+    state.update((counts,))
+    t = sum(counts)
+    rows = []
+    for d in range(1, 10):
+        n = counts[d - 1]
+        if n == 0:
+            continue  # the batch groupBy emits only digits present
+        # the batch op's EXACT double arithmetic: int/int division,
+        # then (p_obs - p_exp) * (p_obs - p_exp) / p_exp left-to-
+        # right, against the same compile-time _BENFORD_P literals —
+        # IEEE-identical to the Spark expression, so the twin test
+        # can assert bit-equality on the floats too
+        p_obs = n / t
+        p_exp = _BENFORD_P[d]
+        rows.append(
+            {
+                "digit": d,
+                "n": n,
+                "p_observed": p_obs,
+                "p_expected": p_exp,
+                "chi2_contrib": (p_obs - p_exp) * (p_obs - p_exp) / p_exp,
+            }
+        )
+    yield pd.DataFrame.from_records(
+        rows,
+        columns=["digit", "n", "p_observed", "p_expected", "chi2_contrib"],
+    )
+
+
+def streaming_benford(digits: DataFrame) -> DataFrame:
+    """Streaming twin of ``dq.benford_audit``: the first-digit
+    distribution of a live amount stream held as nine BIGINT counters,
+    re-emitting every digit's (n, p_observed, p_expected,
+    chi2_contrib) row per update (A4) with the batch op's exact
+    arithmetic — Benford screening deployed the way a finance DQ
+    monitor actually wants it: alarming WHILE fabricated or unit-mixed
+    amounts stream in, not in a nightly batch. Input must already
+    carry the batch op's arithmetic ``digit`` column (the same
+    stateless expression runs on the stream).
+
+    Scale: the statistic is GLOBAL, so all rows converge on one state
+    key holding nine BIGINTs. The shuffled record is a single int per
+    qualifying order; at ingest rates where one reducer's row
+    throughput binds, pre-bucket per source partition in foreachBatch
+    and feed (digit, partial_count) increments instead — the state
+    fold is associative so the twin's arithmetic is unchanged."""
+    return digits.withColumn("k", F.lit("all")).groupBy(
+        "k"
+    ).applyInPandasWithState(
+        _update_benford,
+        outputStructType=BENFORD_OUTPUT_SCHEMA,
+        stateStructType=BENFORD_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

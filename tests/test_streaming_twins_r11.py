@@ -95,3 +95,53 @@ def test_streaming_codec_quarantine_converges_to_batch_audit(
         assert got[m]["n_ok"] == w["n_ok"], m
         assert got[m]["n_quarantined"] == w["n_quarantined"], m
         assert got[m]["units_total"] == w["units"], m
+
+
+def test_streaming_benford_converges_to_batch_audit(spark, tmp_path):
+    from _kafka_streams_scaffold_spark.operators import dq
+
+    amounts = [
+        {"o_totalprice": float(r["o_totalprice"])}
+        for r in tables.table(spark, SF, "orders")
+        .select("o_totalprice")
+        .collect()
+    ]
+    mid = len(amounts) // 2
+    src = str(tmp_path / "src")
+    _write_jsonl(src, "a.json", amounts[:mid], 1_700_000_000)
+    _write_jsonl(src, "b.json", amounts[mid:], 1_700_000_001)
+
+    schema = T.StructType(
+        [T.StructField("o_totalprice", T.DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    # the batch op's exact stateless digit extraction on the stream
+    digits = stream.filter(F.col("o_totalprice") >= 0.01).select(
+        F.expr(
+            "cast(substring(cast(cast(floor(o_totalprice * 100) as"
+            " bigint) as string), 1, 1) as int)"
+        ).alias("digit")
+    )
+    store = serving.MemoryStore(["digit"])
+    q = pipeline.run_update_into_store(
+        stateful.streaming_benford(digits),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {k[0]: v for k, v in store.snapshot().items()}
+    batch = {r["digit"]: r for r in dq.benford_audit_query(spark, SF).collect()}
+    assert set(got) == set(batch)
+    for d, b in batch.items():
+        g = got[d]
+        assert g["n"] == b["n"], d
+        # bit-equality: both sides run the identical IEEE double ops
+        # over the same integer counts and literal expectations
+        assert g["p_observed"] == b["p_observed"], d
+        assert g["p_expected"] == b["p_expected"], d
+        assert g["chi2_contrib"] == b["chi2_contrib"], d
