@@ -120,3 +120,19 @@ def test_multimodal_real_decode_now_routes_to_codec(spark):
     )
     with pytest.raises(Exception, match="unknown codec magic"):
         out.collect()
+
+
+def test_codec_query_plans_are_map_only(spark):
+    """The PLANS.md property: the codec tier is pure data parallelism
+    — no join, no aggregate shuffle. The only allowed Exchange is
+    tables.spread's small-input round-robin fan-out (a no-op on a
+    cluster-scale scan)."""
+    from _kafka_streams_scaffold_spark.operators import codec as c
+    from _kafka_streams_scaffold_spark.plans import inspect as pi
+
+    for q in (c.codec_moments_query, c.codec_audit_query):
+        t = pi.tree(q(spark, "/root/testdata/sf0.001"))
+        assert "Join" not in t and "Aggregate" not in t, t
+        exchanges = [ln for ln in t.splitlines() if "Exchange" in ln]
+        assert len(exchanges) <= 1, t
+        assert all("RoundRobin" in ln or "Exchange (" in ln for ln in exchanges)

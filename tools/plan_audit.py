@@ -1773,6 +1773,24 @@ AUDIT = [
         "spine, and the tie-corrected variance is the exact integer "
         "var12 = 2n(n+1)(2n+1) - sum(t^3 - t).",
     ),
+    (
+        "codec_moments",
+        "Two chained map-only Arrow stages (encode frame, decode + "
+        "in-UDF moments) over one documents scan — no join, no "
+        "aggregate exchange: payload bytes are born and consumed "
+        "executor-side and only a 9-column numeric row per document "
+        "leaves the codec tier. The single round-robin exchange is "
+        "tables.spread's small-input fan-out, a no-op on a "
+        "cluster-scale scan. 100 TB = pure data parallelism.",
+    ),
+    (
+        "codec_audit",
+        "Same map-only shape (plus spread's fan-out exchange) with "
+        "the corruption projection between encode and decode; "
+        "quarantine is a per-row flag, never an exception, so one "
+        "bad blob cannot kill a 100 TB job (R1 poison-pill policy "
+        "at the codec boundary).",
+    ),
 ]
 
 
