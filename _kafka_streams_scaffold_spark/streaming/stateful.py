@@ -853,3 +853,102 @@ def streaming_benford(digits: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming PSI (round-11 twin of operators/dq.psi_drift_score)
+# --------------------------------------------------------------------------
+
+PSI_OUTPUT_SCHEMA = (
+    "bucket long, n_baseline long, n_current long, term_fp long, "
+    "psi_contrib double"
+)
+PSI_STATE_SCHEMA = (
+    "buckets array<long>, n_base array<long>, n_cur array<long>"
+)
+
+
+def _update_psi(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    from ..operators.dq import _PSI_FP
+
+    acc: dict[int, list[int]] = {}
+    if state.exists:
+        bks, nb, nc = state.get
+        acc = {int(k): [int(x), int(y)] for k, x, y in zip(bks, nb, nc)}
+    for pdf in pdf_iter:
+        for bkt, isb in zip(pdf["bucket"].tolist(), pdf["is_base"].tolist()):
+            e = acc.setdefault(int(bkt), [0, 0])
+            e[0 if isb else 1] += 1
+    items = sorted(acc.items())
+    state.update(
+        (
+            [k for k, _ in items],
+            [v[0] for _, v in items],
+            [v[1] for _, v in items],
+        )
+    )
+    # the batch op's EXACT arithmetic: add-one smoothing over exact
+    # BIGINT counts with B = observed bucket count, each term floored
+    # to the 1e12 fixed point BEFORE any consumer sums — int/int
+    # division and left-to-right double products match the Spark
+    # expression op-for-op (the only cross-impl surface is ln, whose
+    # <=1-ulp spread sits far inside the fixed-point floor on these
+    # magnitudes — same argument the DuckDB oracle already rides)
+    t_base = sum(v[0] for _, v in items)
+    t_cur = sum(v[1] for _, v in items)
+    b = len(items)
+    rows = []
+    for bkt, (cb, cc) in items:
+        p = (cb + 1) / (t_base + b)
+        q = (cc + 1) / (t_cur + b)
+        term_fp = math.floor(float(_PSI_FP) * (q - p) * math.log(q / p))
+        rows.append(
+            {
+                "bucket": bkt,
+                "n_baseline": cb,
+                "n_current": cc,
+                "term_fp": term_fp,
+                "psi_contrib": term_fp / float(_PSI_FP),
+            }
+        )
+    yield pd.DataFrame.from_records(
+        rows,
+        columns=[
+            "bucket", "n_baseline", "n_current", "term_fp", "psi_contrib"
+        ],
+    )
+
+
+def streaming_psi(assigned: DataFrame) -> DataFrame:
+    """Streaming twin of ``dq.psi_drift_score``: the Population
+    Stability Index maintained AS STATE while (bucket, is_base)
+    assignments stream in — model monitoring deployed the way it
+    actually runs: the baseline window is PINNED (a training-snapshot
+    boundary the caller stamps into ``is_base``; the batch op derives
+    the same boundary from the data's temporal midpoint) and the
+    score must move WHILE the serving distribution drifts, not in a
+    nightly batch. Every update replays the batch op's exact
+    fixed-point arithmetic over the full bucket spine and re-emits
+    all bucket rows (A4; PSI is global — one new event reshapes every
+    bucket's smoothed p/q through the totals).
+
+    Scale: state is the (bucket -> two BIGINTs) spine on one global
+    key — bounded by the bin design (22 here), not the stream; the
+    shuffled record is two small ints. The single-reducer ingest
+    bound has the same foreachBatch pre-bucketing recipe as
+    streaming_benford (the fold is associative)."""
+    return assigned.withColumn("k", F.lit("all")).groupBy(
+        "k"
+    ).applyInPandasWithState(
+        _update_psi,
+        outputStructType=PSI_OUTPUT_SCHEMA,
+        stateStructType=PSI_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -145,3 +145,66 @@ def test_streaming_benford_converges_to_batch_audit(spark, tmp_path):
         assert g["p_observed"] == b["p_observed"], d
         assert g["p_expected"] == b["p_expected"], d
         assert g["chi2_contrib"] == b["chi2_contrib"], d
+
+
+def test_streaming_psi_converges_to_batch_score(spark, tmp_path):
+    from _kafka_streams_scaffold_spark.operators import dq
+    from _kafka_streams_scaffold_spark.operators.sketches import _BUCKET_EXPR
+
+    ev = tables.table(spark, SF, "events")
+    # the batch op derives the baseline boundary from the temporal
+    # midpoint; the stream PINS the same boundary (the production
+    # deployment stamps it from a training snapshot)
+    mid = ev.selectExpr(
+        "timestampadd(SECOND, cast(floor(timestampdiff(SECOND, min(ts),"
+        " max(ts)) / 2) as bigint), min(ts)) as mid"
+    ).collect()[0]["mid"]
+    rows = [
+        {"ts_us": int(r["ts"].timestamp() * 1_000_000), "value": float(r["value"])}
+        for r in ev.select("ts", "value").collect()
+    ]
+    half = len(rows) // 2
+    src = str(tmp_path / "src")
+    _write_jsonl(src, "a.json", rows[:half], 1_700_000_000)
+    _write_jsonl(src, "b.json", rows[half:], 1_700_000_001)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    assigned = stream.select(
+        (
+            F.timestamp_micros(F.col("ts_us"))
+            < F.lit(mid).cast("timestamp")
+        ).alias("is_base"),
+        F.expr(_BUCKET_EXPR).alias("bucket"),
+    )
+    store = serving.MemoryStore(["bucket"])
+    q = pipeline.run_update_into_store(
+        stateful.streaming_psi(assigned),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {k[0]: v for k, v in store.snapshot().items()}
+    batch = {
+        r["bucket"]: r
+        for r in dq.psi_drift_score_query(spark, SF).collect()
+    }
+    assert set(got) == set(batch)
+    for bkt, b in batch.items():
+        g = got[bkt]
+        assert g["n_baseline"] == b["n_baseline"], bkt
+        assert g["n_current"] == b["n_current"], bkt
+        # fixed-point BEFORE any sum: bit-equal across the Python/JVM
+        # ln implementations on these magnitudes
+        assert g["term_fp"] == b["term_fp"], bkt
+        assert g["psi_contrib"] == b["psi_contrib"], bkt
