@@ -136,3 +136,71 @@ def test_codec_query_plans_are_map_only(spark):
         exchanges = [ln for ln in t.splitlines() if "Exchange" in ln]
         assert len(exchanges) <= 1, t
         assert all("RoundRobin" in ln or "Exchange (" in ln for ln in exchanges)
+
+
+# ---- property-based invariants (pure Python/NumPy, no Spark) ----------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_BYTES = st.binary(max_size=200)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_BYTES)
+def test_prop_timg_roundtrip_recovers_whole_row_prefix(data):
+    m, w, h, units = codec.decode_units(codec.encode_timg(data))
+    assert (m, w) == ("image", codec.IMG_WIDTH)
+    assert h == len(data) // codec.IMG_WIDTH
+    assert bytes(units.astype(np.uint8).tobytes()) == data[: w * h]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_BYTES)
+def test_prop_taud_roundtrip_recovers_samples(data):
+    m, _w, _h, units = codec.decode_units(codec.encode_taud(data))
+    n = len(data) // 2
+    assert m == "audio" and units.size == n
+    assert units.tobytes() == np.frombuffer(
+        data[: 2 * n], dtype="<i2"
+    ).astype(np.int64).tobytes()
+
+
+@settings(max_examples=200, deadline=None)
+@given(_BYTES, st.booleans())
+def test_prop_one_byte_truncation_quarantines_iff_body_nonempty(data, img):
+    payload = codec.encode_timg(data) if img else codec.encode_taud(data)
+    n_units = (
+        len(data) // codec.IMG_WIDTH * codec.IMG_WIDTH if img
+        else len(data) // 2
+    )
+    if n_units == 0:
+        # header-only: the dropped byte is the zero high byte of the
+        # unit-count field — still parses as an empty container (the
+        # codec_audit oracle's subtle branch)
+        _m, _w, _h, units = codec.decode_units(payload[:-1])
+        assert units.size == 0
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            codec.decode_units(payload[:-1])
+
+
+@settings(max_examples=100, deadline=None)
+@given(_BYTES)
+def test_prop_moments_row_matches_numpy(data):
+    row = codec._moments_row(7, codec.encode_timg(data))
+    px = np.frombuffer(data[: len(data) // 8 * 8], dtype=np.uint8).astype(
+        np.int64
+    )
+    assert row["n_units"] == px.size
+    if px.size:
+        assert row["unit_sum"] == int(px.sum())
+        assert row["unit_sq_sum"] == int((px * px).sum())
+        assert (row["unit_min"], row["unit_max"]) == (
+            int(px.min()), int(px.max()),
+        )
+    else:
+        assert (row["unit_min"], row["unit_max"]) == (-1, -1)
