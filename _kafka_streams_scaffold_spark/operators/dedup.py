@@ -3012,6 +3012,162 @@ DETECTOR_COCHRAN_Q_ORACLE = _cochran_q_oracle()
 
 
 # --------------------------------------------------------------------------
+# Fleiss' kappa: chance-corrected agreement of all four detectors
+# --------------------------------------------------------------------------
+
+
+def fleiss_kappa_detectors_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_univ, k_raters, sum_r, sum_r2, p_bar, p_exp, kappa):
+    Fleiss' kappa across the four near-dup detectors — the
+    chance-corrected AGREEMENT level that detector_cochran_q's
+    marginal-rate test deliberately does not report. Q answers "do
+    the detectors flag at the same rate?"; kappa answers "do they
+    flag the same PAIRS beyond what identical rates would already
+    produce by chance?" — the Landis-Koch ladder (<0.2 slight,
+    0.41-0.6 moderate, >0.8 near-perfect) is the go/no-go dial for
+    collapsing the four tiers into one gate. Same conditional-
+    universe caveat as the whole detector family: items are the
+    UNION candidate universe, so ratings are conditional on at
+    least one tier flagging.
+
+    Exactness: with binary categories, every Fleiss ingredient is a
+    linear function of the SAME three exact BIGINT aggregates the Q
+    test uses (N, sum R_i, sum R_i^2 over the flag matrix): P_bar =
+    (2*sum_r2 - 2k*sum_r + N*k^2 - N*k) / (N*k*(k-1)) and p =
+    sum_r/(N*k), P_exp = p^2 + (1-p)^2; kappa = (P_bar - P_exp)/(1
+    - P_exp) is final IEEE on those. Degenerate guard: a universe
+    every detector fully flags (p = 1 -> P_exp = 1) emits NULL.
+
+    Scale: rides the SAME shared per-tier pair pins as the rest of
+    the dedup-audit chain (_tier_pairs contract); everything after
+    the flag matrix is a single-row reduction."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _tagged(it):
+        i, t = it
+        return _tier_pairs(spark, sf_dir, t).select(
+            "doc_a", "doc_b", F.lit(t).alias("tier")
+        )
+
+    with ThreadPoolExecutor(len(_TIERS)) as ex:
+        parts = list(ex.map(_tagged, enumerate(_TIERS)))
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    flags = union.groupBy("doc_a", "doc_b").agg(
+        *[
+            F.max((F.col("tier") == t).cast("int")).alias(f"x_{t}")
+            for t in _TIERS
+        ]
+    )
+    r = sum(F.col(f"x_{t}") for t in _TIERS)
+    k = len(_TIERS)
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_univ"),
+        F.sum(r).cast("bigint").alias("sum_r"),
+        F.sum(r * r).cast("bigint").alias("sum_r2"),
+    )
+    n = F.col("n_univ")
+    p_bar = (
+        F.lit(2) * F.col("sum_r2")
+        - F.lit(2 * k) * F.col("sum_r")
+        + n * F.lit(k * k)
+        - n * F.lit(k)
+    ).cast("double") / (n * F.lit(k * (k - 1))).cast("double")
+    p = F.col("sum_r").cast("double") / (n * F.lit(k)).cast("double")
+    p_exp = p * p + (F.lit(1.0) - p) * (F.lit(1.0) - p)
+    return agg.select(
+        "n_univ",
+        F.lit(k).cast("bigint").alias("k_raters"),
+        "sum_r",
+        "sum_r2",
+        p_bar.alias("p_bar"),
+        p_exp.alias("p_exp"),
+        F.when(
+            p_exp < 1.0, (p_bar - p_exp) / (F.lit(1.0) - p_exp)
+        ).alias("kappa"),
+    )
+
+
+def _fleiss_kappa_oracle() -> str:
+    tier_sql = {
+        "simhash": SIMHASH_PAIRS_ORACLE,
+        "minhash": MINHASH_LSH_ORACLE,
+        "ngram": NGRAM_JACCARD_ORACLE,
+        "edit": EDIT_DISTANCE_PAIRS_ORACLE,
+    }
+    k = len(_TIERS)
+    ctes = ",\n".join(
+        f"{t} AS MATERIALIZED (SELECT doc_a, doc_b FROM "
+        f"({tier_sql[t].strip().rstrip(';')}))"
+        for t in _TIERS
+    )
+    tagged = "\nUNION ALL\n".join(
+        f"SELECT doc_a, doc_b, '{t}' AS tier FROM {t}" for t in _TIERS
+    )
+    xcols = ",\n         ".join(
+        f"max(CASE WHEN tier = '{t}' THEN 1 ELSE 0 END) AS x_{t}"
+        for t in _TIERS
+    )
+    rsum = " + ".join(f"x_{t}" for t in _TIERS)
+    return f"""
+WITH {ctes},
+tagged AS ({tagged}),
+flags AS (
+  SELECT doc_a, doc_b,
+         {xcols}
+  FROM tagged GROUP BY doc_a, doc_b
+),
+agg AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_univ,
+    CAST(sum({rsum}) AS BIGINT) AS sum_r,
+    CAST(sum(({rsum}) * ({rsum})) AS BIGINT) AS sum_r2
+  FROM flags
+)
+SELECT n_univ, CAST({k} AS BIGINT) AS k_raters, sum_r, sum_r2,
+       CAST(2 * sum_r2 - {2 * k} * sum_r + n_univ * {k * k}
+            - n_univ * {k} AS DOUBLE)
+         / CAST(n_univ * {k * (k - 1)} AS DOUBLE) AS p_bar,
+       (CAST(sum_r AS DOUBLE) / CAST(n_univ * {k} AS DOUBLE))
+         * (CAST(sum_r AS DOUBLE) / CAST(n_univ * {k} AS DOUBLE))
+         + (1.0 - CAST(sum_r AS DOUBLE) / CAST(n_univ * {k} AS DOUBLE))
+           * (1.0 - CAST(sum_r AS DOUBLE)
+                    / CAST(n_univ * {k} AS DOUBLE)) AS p_exp,
+       CASE WHEN (CAST(sum_r AS DOUBLE) / CAST(n_univ * {k} AS DOUBLE))
+                 * (CAST(sum_r AS DOUBLE) / CAST(n_univ * {k} AS DOUBLE))
+                 + (1.0 - CAST(sum_r AS DOUBLE)
+                          / CAST(n_univ * {k} AS DOUBLE))
+                   * (1.0 - CAST(sum_r AS DOUBLE)
+                            / CAST(n_univ * {k} AS DOUBLE)) < 1.0
+       THEN (CAST(2 * sum_r2 - {2 * k} * sum_r + n_univ * {k * k}
+                  - n_univ * {k} AS DOUBLE)
+               / CAST(n_univ * {k * (k - 1)} AS DOUBLE)
+             - ((CAST(sum_r AS DOUBLE) / CAST(n_univ * {k} AS DOUBLE))
+                * (CAST(sum_r AS DOUBLE) / CAST(n_univ * {k} AS DOUBLE))
+                + (1.0 - CAST(sum_r AS DOUBLE)
+                         / CAST(n_univ * {k} AS DOUBLE))
+                  * (1.0 - CAST(sum_r AS DOUBLE)
+                           / CAST(n_univ * {k} AS DOUBLE))))
+            / (1.0
+               - ((CAST(sum_r AS DOUBLE) / CAST(n_univ * {k} AS DOUBLE))
+                  * (CAST(sum_r AS DOUBLE)
+                     / CAST(n_univ * {k} AS DOUBLE))
+                  + (1.0 - CAST(sum_r AS DOUBLE)
+                           / CAST(n_univ * {k} AS DOUBLE))
+                    * (1.0 - CAST(sum_r AS DOUBLE)
+                             / CAST(n_univ * {k} AS DOUBLE))))
+       END AS kappa
+FROM agg
+"""
+
+
+FLEISS_KAPPA_DETECTORS_ORACLE = _fleiss_kappa_oracle()
+
+
+# --------------------------------------------------------------------------
 # Kendall's W: ordinal concordance of the detectors' dup-degree rankings
 # --------------------------------------------------------------------------
 

@@ -1346,3 +1346,224 @@ SELECT day, n_events, v_stat,
             > b * {_PH_LAMBDA} AS INT) AS alarm
 FROM v
 """
+
+
+# --------------------------------------------------------------------------
+# k-sample Anderson-Darling: omnibus source-distribution drift (r11)
+# --------------------------------------------------------------------------
+
+
+def ad_ksample_sources_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_total, n_groups, n_values, a2akn, mean_h0): the k-sample
+    Anderson-Darling statistic (Scholz & Stephens 1987, the
+    discrete/midrank form A^2_akN) of ``n_chars`` across ALL sources
+    — the omnibus DISTRIBUTION-equality gate that completes the
+    k-sample ladder: kruskal_wallis_sources tests location,
+    brown_forsythe_lengths tests scale, A-D weights the CDF
+    discrepancy by 1/(F(1-F)) and so catches the tail-only drift
+    both miss (a source that only changed its length EXTREMES moves
+    A-D first). Under H0 its mean is k-1 (emitted as mean_h0);
+    curation gates threshold the ratio a2akn/(k-1).
+
+    Exactness: with 2x-scaled half-corrected cumulative counts (B2_j
+    = 2*cum_j - l_j pooled, M2_ij = 2*cum_ij - c_ij per source) each
+    inner term is l_j * (N*M2_ij - n_i*B2_j)^2 / (B2_j*(2N - B2_j) -
+    N*l_j) where the squared numerator routes through DECIMAL(38,0)
+    (|X| <= 2N^2: the burrows_delta overflow class — ~1e9 rows is
+    the shard boundary, same note as mann_whitney_audit) and every
+    other factor is exact BIGINT; the per-term division is IEEE.
+    Per-source inner sums fold the VALUE-SORTED term list and the
+    outer sum folds the SOURCE-SORTED per-source list (the
+    anova_source_lengths unordered-double-sum fix). Degenerate
+    terms with zero denominator (a value holding the whole pooled
+    tail) contribute 0 by the standard convention. The
+    normalization sigma_N of the standardized T_kN needs O(N)
+    harmonic sums on a row-sized spine, so this emits the RAW
+    A^2_akN against its H0 mean instead (bounded-spine rule).
+
+    Scale: one per-(source, value) rollup; the grid is |sources| x
+    |distinct lengths| (domain-bounded); folds are <= |values| and
+    |sources| long."""
+    docs = tables.table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pooled = counts.groupBy("n_chars").agg(
+        F.sum("c").cast("bigint").alias("l")
+    )
+    wcum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pooled = pooled.select(
+        "n_chars",
+        "l",
+        (F.lit(2) * F.sum("l").over(wcum) - F.col("l"))
+        .cast("bigint")
+        .alias("b2"),
+    )
+    tot = pooled.agg(
+        F.sum("l").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+    )
+    spine = pooled.select("n_chars")
+    srcs = counts.select("source").distinct()
+    grid = (
+        spine.crossJoin(F.broadcast(srcs))
+        .join(counts, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "n_chars",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grid = grid.select(
+        "source",
+        "n_chars",
+        "c",
+        (F.lit(2) * F.sum("c").over(wsrc) - F.col("c"))
+        .cast("bigint")
+        .alias("m2"),
+    )
+    gsz = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_g")
+    )
+    terms = (
+        grid.join(F.broadcast(pooled), "n_chars")
+        .join(F.broadcast(gsz), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_chars",
+            "n_g",
+            "l",
+            (F.col("n") * F.col("m2") - F.col("n_g") * F.col("b2"))
+            .cast("bigint")
+            .alias("x"),
+            (
+                F.col("b2") * (F.lit(2) * F.col("n") - F.col("b2"))
+                - F.col("n") * F.col("l")
+            )
+            .cast("bigint")
+            .alias("den"),
+        )
+    )
+    per_src = (
+        terms.groupBy("source")
+        .agg(
+            F.max("n_g").cast("bigint").alias("n_g"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct("
+                "n_chars, l, x, den))), cast(0.0 as double),"
+                " (acc, t) -> acc + (case when t.den > 0 then"
+                " cast(t.l as double)"
+                " * cast(cast(cast(t.x as decimal(19,0)) * t.x"
+                "        as decimal(38,0)) as double)"
+                " / cast(t.den as double) else 0.0 end))"
+            ).alias("inner_sum"),
+        )
+        .select(
+            "source",
+            (
+                F.col("inner_sum") / F.col("n_g").cast("double")
+            ).alias("src_term"),
+        )
+    )
+    agg = per_src.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(source,"
+            " src_term))), cast(0.0 as double),"
+            " (acc, t) -> acc + t.src_term)"
+        ).alias("outer_sum"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_total"),
+        "n_groups",
+        "n_values",
+        (
+            (nd - F.lit(1.0))
+            / nd
+            * F.col("outer_sum")
+            / nd
+        ).alias("a2akn"),
+        (F.col("n_groups") - F.lit(1)).cast("bigint").alias("mean_h0"),
+    )
+
+
+AD_KSAMPLE_SOURCES_ORACLE = """
+WITH counts AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+pooled AS (
+  SELECT n_chars, CAST(sum(c) AS BIGINT) AS l,
+         CAST(2 * sum(sum(c)) OVER (ORDER BY n_chars) - sum(c)
+              AS BIGINT) AS b2
+  FROM counts GROUP BY n_chars
+),
+tot AS (
+  SELECT CAST(sum(l) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_values
+  FROM pooled
+),
+srcs AS (SELECT DISTINCT source FROM counts),
+grid AS (
+  SELECT s.source, p.n_chars,
+         CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM pooled p CROSS JOIN srcs s
+  LEFT JOIN counts c
+    ON c.source = s.source AND c.n_chars = p.n_chars
+),
+cumgrid AS (
+  SELECT source, n_chars, c,
+         CAST(2 * sum(c) OVER (
+             PARTITION BY source ORDER BY n_chars
+           ) - c AS BIGINT) AS m2
+  FROM grid
+),
+gsz AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_g FROM counts GROUP BY 1
+),
+terms AS (
+  SELECT g.source, g.n_chars, z.n_g, p.l,
+         CAST(t.n * g.m2 - z.n_g * p.b2 AS BIGINT) AS x,
+         CAST(p.b2 * (2 * t.n - p.b2) - t.n * p.l AS BIGINT) AS den
+  FROM cumgrid g
+  JOIN pooled p ON p.n_chars = g.n_chars
+  JOIN gsz z ON z.source = g.source
+  CROSS JOIN tot t
+),
+per_src AS (
+  SELECT source,
+         list_reduce(list_prepend(0.0, list_transform(
+           list({'n_chars': n_chars, 'l': l, 'x': x, 'den': den}
+                ORDER BY n_chars),
+           t -> CASE WHEN t.den > 0 THEN
+                  CAST(t.l AS DOUBLE)
+                  * CAST(CAST(CAST(t.x AS DECIMAL(19,0)) * t.x
+                              AS DECIMAL(38,0)) AS DOUBLE)
+                  / CAST(t.den AS DOUBLE)
+                ELSE 0.0 END)), (a, b) -> a + b)
+           / CAST(max(n_g) AS DOUBLE) AS src_term
+  FROM terms GROUP BY source
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         list_reduce(list_prepend(0.0, list_transform(
+           list({'source': source, 'src_term': src_term}
+                ORDER BY source),
+           t -> t.src_term)), (a, b) -> a + b) AS outer_sum
+  FROM per_src
+)
+SELECT t.n AS n_total, a.n_groups, t.n_values,
+       (CAST(t.n AS DOUBLE) - 1.0) / CAST(t.n AS DOUBLE)
+         * a.outer_sum / CAST(t.n AS DOUBLE) AS a2akn,
+       CAST(a.n_groups - 1 AS BIGINT) AS mean_h0
+FROM agg a CROSS JOIN tot t
+"""

@@ -3706,3 +3706,538 @@ SELECT t.n_pairs, s.n AS n_nonzero, s.w2_plus, s.w2_minus,
        END AS z
 FROM sums s CROSS JOIN ties ti CROSS JOIN total t
 """
+
+
+# --------------------------------------------------------------------------
+# Mood's median test: daily order volume across priorities (r11 add)
+# --------------------------------------------------------------------------
+
+
+def mood_median_test_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_cells, n_groups, grand_median, n_above, chi2): Mood's
+    median test of per-day order counts across the five order
+    priorities — does ANY priority class run systematically above or
+    below the pooled daily-volume median? The trimmed-to-the-bone
+    robust k-sample location gate: where ``kruskal_wallis_sources``
+    uses every rank, Mood's test uses ONE bit per observation
+    (above the grand median or not), which makes it insensitive to
+    anything but the middle of the distribution — the gate of choice
+    when the tails are known-contaminated (backfill spikes, outage
+    zero-days). Complements the reference's plain windowed counts
+    (streams/PurchasesTopology.java:43) with a significance verdict.
+
+    Exactness: observations are BIGINT per-(priority, day) counts;
+    the grand median is defined CONSTRUCTIVELY as the smallest value
+    whose pooled cumulative count reaches ceil(n/2) (lower median —
+    no engine median() builtin, whose even-n interpolation differs
+    across engines, ever runs). The k x 2 contingency table is exact
+    BIGINT; chi2 = sum (O-E)^2/E folds the PRIORITY-SORTED group
+    list (the anova_source_lengths unordered-double-sum fix), with
+    expected counts the only float arithmetic. Degenerate guard: a
+    corpus where no observation exceeds the median (or all do)
+    yields chi2 NULL.
+
+    Scale: one per-(priority, day) rollup touches orders; the value
+    spine is |distinct daily counts|-sized (bounded by max daily
+    volume, not rows); the fold is |priorities|-sized."""
+    orders = tables.table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    vc = daily.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("p")
+    )
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select(
+        "x", F.sum("p").over(wv).cast("bigint").alias("cum")
+    )
+    tot = vc.agg(F.sum("p").cast("bigint").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.lit(2) * F.col("cum") >= F.col("n"))
+        .agg(F.min("x").cast("bigint").alias("med"))
+    )
+    per = (
+        daily.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum((F.col("x") > F.col("med")).cast("bigint"))
+            .cast("bigint")
+            .alias("a_g"),
+        )
+    )
+    agg = per.agg(
+        F.sum("n_g").cast("bigint").alias("n_obs"),
+        F.sum("a_g").cast("bigint").alias("n_above"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.expr(
+            "array_sort(collect_list(struct(grp, n_g, a_g)))"
+        ).alias("cells"),
+    )
+    chi2 = F.expr(
+        "aggregate(cells, cast(0.0 as double), (acc, c) -> acc"
+        " + pow(cast(c.a_g as double)"
+        "       - cast(c.n_g as double) * n_above / n_obs, 2)"
+        "   / (cast(c.n_g as double) * n_above / n_obs)"
+        " + pow(cast(c.n_g - c.a_g as double)"
+        "       - cast(c.n_g as double) * (n_obs - n_above) / n_obs, 2)"
+        "   / (cast(c.n_g as double) * (n_obs - n_above) / n_obs))"
+    )
+    return agg.crossJoin(F.broadcast(med)).select(
+        F.col("n_obs").alias("n_cells"),
+        "n_groups",
+        F.col("med").alias("grand_median"),
+        "n_above",
+        F.when(
+            (F.col("n_above") > 0) & (F.col("n_above") < F.col("n_obs")),
+            chi2,
+        ).alias("chi2"),
+    )
+
+
+MOOD_MEDIAN_TEST_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+),
+vc AS (SELECT x, CAST(count(*) AS BIGINT) AS p FROM daily GROUP BY 1),
+cum AS (
+  SELECT x, CAST(sum(p) OVER (ORDER BY x) AS BIGINT) AS cum FROM vc
+),
+tot AS (SELECT CAST(sum(p) AS BIGINT) AS n FROM vc),
+med AS (
+  SELECT CAST(min(x) AS BIGINT) AS med
+  FROM cum CROSS JOIN tot WHERE 2 * cum >= n
+),
+per AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(CASE WHEN x > med THEN 1 ELSE 0 END) AS BIGINT) AS a_g
+  FROM daily CROSS JOIN med GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n_obs,
+         CAST(sum(a_g) AS BIGINT) AS n_above,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         list({'grp': grp, 'n_g': n_g, 'a_g': a_g} ORDER BY grp)
+           AS cells
+  FROM per
+)
+SELECT a.n_obs AS n_cells, a.n_groups, m.med AS grand_median,
+       a.n_above,
+       CASE WHEN a.n_above > 0 AND a.n_above < a.n_obs THEN
+         list_reduce(list_transform(a.cells, c ->
+           pow(CAST(c.a_g AS DOUBLE)
+               - CAST(c.n_g AS DOUBLE) * a.n_above / a.n_obs, 2)
+             / (CAST(c.n_g AS DOUBLE) * a.n_above / a.n_obs)
+           + pow(CAST(c.n_g - c.a_g AS DOUBLE)
+               - CAST(c.n_g AS DOUBLE) * (a.n_obs - a.n_above)
+                 / a.n_obs, 2)
+             / (CAST(c.n_g AS DOUBLE) * (a.n_obs - a.n_above)
+                / a.n_obs)), (x, y) -> x + y)
+       END AS chi2
+FROM agg a CROSS JOIN med m
+"""
+
+
+# --------------------------------------------------------------------------
+# Cliff's delta: pairwise source-length effect-size matrix (r11 add)
+# --------------------------------------------------------------------------
+
+
+def cliffs_delta_sources_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(source_a, source_b, n_a, n_b, gt, lt, delta): Cliff's delta
+    for every ordered source pair on ``n_chars`` — the distribution-
+    free effect SIZE that the significance ladder (mann_whitney_audit
+    -> kruskal_wallis_sources) deliberately does not report. delta =
+    (#(x_a > x_b) - #(x_a < x_b)) / (n_a * n_b) in [-1, 1]: at 100 TB
+    every negligible shift is "significant", so curation gates act on
+    |delta| thresholds (0.147/0.33/0.474 negligible/small/medium by
+    Romano's convention), not p-values. mann_whitney_audit's AUC is
+    source-vs-REST; this is the full pairwise matrix that localizes
+    WHICH pair drifted.
+
+    Exactness: gt = sum_v c_a(v) * cumlt_b(v) and lt symmetric are
+    exact BIGINT off the per-(source, value) count grid (cum counts
+    via a per-source window on the pooled value spine); delta is one
+    final IEEE division. Bound: gt <= n_a*n_b, so ~3e9-doc sources
+    fit 2^63 — beyond that the per-source rollup is the shard
+    boundary (the mann_whitney_audit note).
+
+    Scale: the grid is |sources| x |distinct lengths| (domain-sized,
+    not row-sized); the pair frame is |sources|^2 x |values| — all
+    bounded. Nothing touches raw rows twice."""
+    docs = tables.table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    spine = counts.select("n_chars").distinct()
+    srcs = counts.select("source").distinct()
+    grid = (
+        spine.crossJoin(F.broadcast(srcs))
+        .join(counts, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "n_chars",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    wlt = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.select(
+        "source",
+        "n_chars",
+        "c",
+        F.coalesce(F.sum("c").over(wlt), F.lit(0))
+        .cast("bigint")
+        .alias("cumlt"),
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"),
+        "n_chars",
+        F.col("c").alias("c_a"),
+        F.col("cumlt").alias("cumlt_a"),
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"),
+        "n_chars",
+        F.col("c").alias("c_b"),
+        F.col("cumlt").alias("cumlt_b"),
+    )
+    pairs = (
+        a.join(b, "n_chars")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("c_a").cast("bigint").alias("n_a"),
+            F.sum("c_b").cast("bigint").alias("n_b"),
+            F.sum(F.col("c_a") * F.col("cumlt_b"))
+            .cast("bigint")
+            .alias("gt"),
+            F.sum(F.col("c_b") * F.col("cumlt_a"))
+            .cast("bigint")
+            .alias("lt"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "gt",
+        "lt",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            (F.col("gt") - F.col("lt")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+        ).alias("delta"),
+    )
+
+
+CLIFFS_DELTA_SOURCES_ORACLE = """
+WITH counts AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+spine AS (SELECT DISTINCT n_chars FROM counts),
+srcs AS (SELECT DISTINCT source FROM counts),
+grid AS (
+  SELECT s.source, v.n_chars,
+         CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM spine v CROSS JOIN srcs s
+  LEFT JOIN counts c
+    ON c.source = s.source AND c.n_chars = v.n_chars
+),
+cumgrid AS (
+  SELECT source, n_chars, c,
+         CAST(COALESCE(sum(c) OVER (
+             PARTITION BY source ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cumlt
+  FROM grid
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(a.c) AS BIGINT) AS n_a,
+         CAST(sum(b.c) AS BIGINT) AS n_b,
+         CAST(sum(a.c * b.cumlt) AS BIGINT) AS gt,
+         CAST(sum(b.c * a.cumlt) AS BIGINT) AS lt
+  FROM cumgrid a JOIN cumgrid b ON a.n_chars = b.n_chars
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_a, n_b, gt, lt,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CAST(gt - lt AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+       END AS delta
+FROM pairs
+"""
+
+
+# --------------------------------------------------------------------------
+# Jonckheere-Terpstra: ordered trend across order priorities (r11 add)
+# --------------------------------------------------------------------------
+
+
+def jonckheere_trend_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_total, n_groups, j2, e2, var_j, z): the Jonckheere-Terpstra
+    test of an ORDERED alternative — do orders' line-item counts
+    trend monotonically across the priority ladder 1-URGENT ->
+    5-LOW? Kruskal-Wallis asks "any difference"; J-T spends its power
+    on the one alternative a capacity planner cares about (monotone
+    in the known priority order) and so detects trends K-W dilutes
+    away. J = sum over ordered group pairs i<j of the Mann-Whitney
+    count #(x_i < x_j), ties counted half.
+
+    Exactness: carried as j2 = 2*J (BIGINT; the half-tie steps stay
+    integral), computed off the per-(priority, items) count grid with
+    per-group cumulative counts on the pooled value spine — j2 =
+    sum_{i<j} sum_v c_j(v) * (2*cumlt_i(v) + c_i(v)). The null
+    moments use the tie-corrected variance (Hollander & Wolfe 1999,
+    Thm 6.2.1 tie adaptation): e2 = (N^2 - sum n_i^2)/2 and var_j =
+    t1/72 + t2/(36 N(N-1)(N-2)) + t3/(8 N(N-1)) with t1, t2, t3 the
+    standard group-size/tie-count polynomials — every polynomial is
+    exact through DECIMAL(38,0) (t2 multiplies two ~N^3 sums: the
+    burrows_delta overflow class), and z is final IEEE on the exact
+    parts. Degenerate guard: var_j <= 0 (single value or group)
+    emits NULL z.
+
+    Scale: ONE lineitem rollup to per-order item counts, one join to
+    orders for the priority label, then a |priorities| x |item
+    counts| grid (5 x ~13 cells); the pair frame is grid^2 on the
+    value spine. Nothing pairwise on rows."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    orders = tables.table(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    obs = per_order.join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_orderpriority").alias("grp"),
+        ),
+        "l_orderkey",
+    )
+    counts = obs.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    spine = counts.select("v").distinct()
+    grps = counts.select("grp").distinct()
+    grid = (
+        spine.crossJoin(F.broadcast(grps))
+        .join(counts, ["grp", "v"], "left")
+        .select(
+            "grp",
+            "v",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    wlt = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.select(
+        "grp",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(wlt), F.lit(0))
+        .cast("bigint")
+        .alias("cumlt"),
+    )
+    a = grid.select(
+        F.col("grp").alias("g_i"),
+        "v",
+        F.col("c").alias("c_i"),
+        F.col("cumlt").alias("cumlt_i"),
+    )
+    b = grid.select(
+        F.col("grp").alias("g_j"), "v", F.col("c").alias("c_j")
+    )
+    j2 = (
+        a.join(b, "v")
+        .filter(F.col("g_i") < F.col("g_j"))
+        .agg(
+            F.sum(
+                F.col("c_j")
+                * (F.lit(2) * F.col("cumlt_i") + F.col("c_i"))
+            )
+            .cast("bigint")
+            .alias("j2")
+        )
+    )
+    gsz = counts.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n_g")
+    )
+    gm = gsz.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(F.col("n_g") * F.col("n_g")).cast("bigint").alias("sn2"),
+        F.sum(
+            F.expr(
+                "cast(n_g as decimal(19,0)) * (n_g - 1) * (2 * n_g + 5)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("g25"),
+        F.sum(F.expr("cast(n_g as decimal(19,0)) * (n_g - 1)"))
+        .cast("decimal(38,0)")
+        .alias("g11"),
+        F.sum(
+            F.expr("cast(n_g as decimal(19,0)) * (n_g - 1) * (n_g - 2)")
+        )
+        .cast("decimal(38,0)")
+        .alias("g12"),
+    )
+    tv = counts.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
+    tm = tv.agg(
+        F.sum(
+            F.expr("cast(t as decimal(19,0)) * (t - 1) * (2 * t + 5)")
+        )
+        .cast("decimal(38,0)")
+        .alias("t25"),
+        F.sum(F.expr("cast(t as decimal(19,0)) * (t - 1)"))
+        .cast("decimal(38,0)")
+        .alias("t11"),
+        F.sum(F.expr("cast(t as decimal(19,0)) * (t - 1) * (t - 2)"))
+        .cast("decimal(38,0)")
+        .alias("t12"),
+    )
+    nd = F.col("n").cast("double")
+    t1 = (
+        F.expr(
+            "cast(cast(n as decimal(19,0)) * (n - 1) * (2 * n + 5)"
+            " as decimal(38,0))"
+        )
+        - F.col("g25")
+        - F.col("t25")
+    ).cast("double")
+    t2 = (F.col("g12") * F.col("t12")).cast("decimal(38,0)").cast(
+        "double"
+    )
+    t3 = (F.col("g11") * F.col("t11")).cast("decimal(38,0)").cast(
+        "double"
+    )
+    var_j = (
+        t1 / F.lit(72.0)
+        + t2
+        / (F.lit(36.0) * nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0)))
+        + t3 / (F.lit(8.0) * nd * (nd - F.lit(1.0)))
+    )
+    e2 = (F.col("n") * F.col("n") - F.col("sn2")).cast("bigint")
+    return (
+        gm.crossJoin(F.broadcast(tm))
+        .crossJoin(F.broadcast(j2))
+        .select(
+            F.col("n").alias("n_total"),
+            "n_groups",
+            "j2",
+            F.expr("div(n * n - sn2, 2)").cast("bigint").alias("e2"),
+            var_j.alias("var_j"),
+            F.when(
+                var_j > 0,
+                (F.col("j2") - F.expr("div(n * n - sn2, 2)"))
+                .cast("double")
+                / (F.lit(2.0) * F.sqrt(var_j)),
+            ).alias("z"),
+        )
+    )
+
+
+JONCKHEERE_TREND_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS v
+  FROM lineitem GROUP BY 1
+),
+obs AS (
+  SELECT o.o_orderpriority AS grp, p.v
+  FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+),
+counts AS (
+  SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM obs GROUP BY 1, 2
+),
+spine AS (SELECT DISTINCT v FROM counts),
+grps AS (SELECT DISTINCT grp FROM counts),
+grid AS (
+  SELECT g.grp, s.v, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM spine s CROSS JOIN grps g
+  LEFT JOIN counts c ON c.grp = g.grp AND c.v = s.v
+),
+cumgrid AS (
+  SELECT grp, v, c,
+         CAST(COALESCE(sum(c) OVER (
+             PARTITION BY grp ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cumlt
+  FROM grid
+),
+jstat AS (
+  SELECT CAST(sum(b.c * (2 * a.cumlt + a.c)) AS BIGINT) AS j2
+  FROM cumgrid a JOIN cumgrid b ON a.v = b.v
+  WHERE a.grp < b.grp
+),
+gsz AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS n_g FROM counts GROUP BY 1
+),
+gm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(n_g * n_g) AS BIGINT) AS sn2,
+         CAST(sum(CAST(n_g AS DECIMAL(19,0)) * (n_g - 1)
+                  * (2 * n_g + 5)) AS DECIMAL(38,0)) AS g25,
+         CAST(sum(CAST(n_g AS DECIMAL(19,0)) * (n_g - 1))
+              AS DECIMAL(38,0)) AS g11,
+         CAST(sum(CAST(n_g AS DECIMAL(19,0)) * (n_g - 1) * (n_g - 2))
+              AS DECIMAL(38,0)) AS g12
+  FROM gsz
+),
+tv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM counts GROUP BY 1),
+tm AS (
+  SELECT CAST(sum(CAST(t AS DECIMAL(19,0)) * (t - 1) * (2 * t + 5))
+              AS DECIMAL(38,0)) AS t25,
+         CAST(sum(CAST(t AS DECIMAL(19,0)) * (t - 1))
+              AS DECIMAL(38,0)) AS t11,
+         CAST(sum(CAST(t AS DECIMAL(19,0)) * (t - 1) * (t - 2))
+              AS DECIMAL(38,0)) AS t12
+  FROM tv
+)
+SELECT g.n AS n_total, g.n_groups, j.j2,
+       CAST((g.n * g.n - g.sn2) // 2 AS BIGINT) AS e2,
+       CAST(CAST(CAST(g.n AS DECIMAL(19,0)) * (g.n - 1) * (2 * g.n + 5)
+                 AS DECIMAL(38,0)) - g.g25 - t.t25 AS DOUBLE) / 72.0
+         + CAST(CAST(g.g12 * t.t12 AS DECIMAL(38,0)) AS DOUBLE)
+           / (36.0 * CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1.0)
+              * (CAST(g.n AS DOUBLE) - 2.0))
+         + CAST(CAST(g.g11 * t.t11 AS DECIMAL(38,0)) AS DOUBLE)
+           / (8.0 * CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1.0))
+         AS var_j,
+       CASE WHEN
+         CAST(CAST(CAST(g.n AS DECIMAL(19,0)) * (g.n - 1)
+                   * (2 * g.n + 5) AS DECIMAL(38,0)) - g.g25 - t.t25
+              AS DOUBLE) / 72.0
+         + CAST(CAST(g.g12 * t.t12 AS DECIMAL(38,0)) AS DOUBLE)
+           / (36.0 * CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1.0)
+              * (CAST(g.n AS DOUBLE) - 2.0))
+         + CAST(CAST(g.g11 * t.t11 AS DECIMAL(38,0)) AS DOUBLE)
+           / (8.0 * CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1.0))
+         > 0
+       THEN CAST(j.j2 - (g.n * g.n - g.sn2) // 2 AS DOUBLE)
+            / (2.0 * sqrt(
+         CAST(CAST(CAST(g.n AS DECIMAL(19,0)) * (g.n - 1)
+                   * (2 * g.n + 5) AS DECIMAL(38,0)) - g.g25 - t.t25
+              AS DOUBLE) / 72.0
+         + CAST(CAST(g.g12 * t.t12 AS DECIMAL(38,0)) AS DOUBLE)
+           / (36.0 * CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1.0)
+              * (CAST(g.n AS DOUBLE) - 2.0))
+         + CAST(CAST(g.g11 * t.t11 AS DECIMAL(38,0)) AS DOUBLE)
+           / (8.0 * CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1.0))))
+       END AS z
+FROM gm g CROSS JOIN tm t CROSS JOIN jstat j
+"""

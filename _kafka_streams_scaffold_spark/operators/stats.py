@@ -2659,3 +2659,107 @@ SELECT c.l_returnflag, t.w_total,
 FROM cum c JOIN tot t USING (l_returnflag)
 WHERE 2 * c.cum >= t.w_total AND 2 * (c.cum - c.w) < t.w_total
 """
+
+
+# --------------------------------------------------------------------------
+# Durbin-Watson: serial correlation of daily order volume (r11 add)
+# --------------------------------------------------------------------------
+
+
+def durbin_watson_daily_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_days, total_orders, dw_num, dw_den, dw): the Durbin-Watson
+    statistic of mean-centered daily order counts — the classic
+    lag-1 serial-correlation gate (dw ~ 2 means no autocorrelation,
+    -> 0 positive, -> 4 negative). weekly_autocorr reports the
+    correlogram; DW is the single-number audit a freshness monitor
+    thresholds: ingestion that batches multi-day backfills into
+    bursts drives dw far below 2 long before any mean shifts.
+
+    Exactness: residuals from the mean never touch floats — with D
+    observed days and S total orders, the D-scaled residual s_t =
+    D*x_t - S is exact BIGINT (the n-scaling trick), and DW =
+    sum(s_t - s_{t-1})^2 / sum(s_t^2) is invariant to the common D
+    factor. Numerator skips the spine's first day (no lag); both
+    sums are BIGINT; dw is one final IEEE division. Degenerate
+    guard: constant daily volume (all s_t = 0) emits NULL.
+
+    Scale: one per-day rollup touches orders; the lag window runs on
+    the bounded day spine (|days|, not |rows|)."""
+    orders = tables.table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    scaled = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "d",
+        "s",
+        (F.col("d") * F.col("x") - F.col("s"))
+        .cast("bigint")
+        .alias("sv"),
+    )
+    w = Window.orderBy("day")
+    lagged = scaled.select(
+        "d", "s", "sv", F.lag("sv").over(w).alias("pv")
+    )
+    agg = lagged.agg(
+        F.max("d").cast("bigint").alias("n_days"),
+        F.max("s").cast("bigint").alias("total_orders"),
+        F.sum(
+            F.when(
+                F.col("pv").isNotNull(),
+                (F.col("sv") - F.col("pv")) * (F.col("sv") - F.col("pv")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("dw_num"),
+        F.sum(F.col("sv") * F.col("sv")).cast("bigint").alias("dw_den"),
+    )
+    return agg.select(
+        "n_days",
+        "total_orders",
+        "dw_num",
+        "dw_den",
+        F.when(
+            F.col("dw_den") > 0,
+            F.col("dw_num").cast("double")
+            / F.col("dw_den").cast("double"),
+        ).alias("dw"),
+    )
+
+
+DURBIN_WATSON_DAILY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS d, CAST(sum(x) AS BIGINT) AS s
+  FROM daily
+),
+scaled AS (
+  SELECT day, t.d, t.s, CAST(t.d * x - t.s AS BIGINT) AS sv
+  FROM daily CROSS JOIN tot t
+),
+lagged AS (
+  SELECT d, s, sv, lag(sv) OVER (ORDER BY day) AS pv FROM scaled
+),
+agg AS (
+  SELECT CAST(max(d) AS BIGINT) AS n_days,
+         CAST(max(s) AS BIGINT) AS total_orders,
+         CAST(sum(CASE WHEN pv IS NOT NULL
+                       THEN (sv - pv) * (sv - pv) ELSE 0 END)
+              AS BIGINT) AS dw_num,
+         CAST(sum(sv * sv) AS BIGINT) AS dw_den
+  FROM lagged
+)
+SELECT n_days, total_orders, dw_num, dw_den,
+       CASE WHEN dw_den > 0
+            THEN CAST(dw_num AS DOUBLE) / CAST(dw_den AS DOUBLE)
+       END AS dw
+FROM agg
+"""

@@ -131,12 +131,17 @@ CORRECTNESS row. Rotation history:
   ``_apply_window`` appends the whole dedup-audit family
   immediately after slot 50 in constant order.
 
-NEXT ROTATION (round 11): round-10 additions registered after the
-r10 window froze go in tests/test_registry_window.py R11_MATERIAL
-(cap <= 13, the r08 pipeline-pressure rule), plus any r10 reds, the
-stale set from a fresh ``tools/stale_cert_audit.py`` run, manual
-re-certs for helper-level changes the audit cannot see, and
-age-based fills (oldest green rows first) up to 50. Update
+NEXT ROTATION (round 12): the 6 round-11 post-freeze additions in
+tests/test_registry_window.py R12_MATERIAL (mood_median_test,
+cliffs_delta_sources, jonckheere_trend, durbin_watson_daily,
+ad_ksample_sources, fleiss_kappa_detectors — cap <= 13, the r08
+pipeline-pressure rule), plus any r11 reds, the stale set from a
+fresh ``tools/stale_cert_audit.py`` run, manual re-certs for
+helper-level changes the audit cannot see, and age-based fills
+(oldest green rows first: the remaining r03 rows, label_centroids
+onward alphabetically) up to 50. fleiss_kappa_detectors joined
+``_DEDUP_AUDIT_CHAIN`` (last), so if it enters the window the whole
+family block must stay consecutive. Update
 tests/test_registry_window.py in the same commit as the freeze.
 
 PREVIOUS ROTATION NOTE (round 6, kept for the audit trail): the
@@ -517,6 +522,10 @@ _DEDUP_AUDIT_CHAIN = [
     # round 10), so they belong in the consecutive keep-scope block
     "detector_mcnemar",
     "dup_capture_recapture",
+    # round-11 post-freeze addition: Fleiss' kappa reads the same
+    # four tier-pair pins, so it joins the consecutive keep-scope
+    # block (last — every earlier member's pins stay warm for it)
+    "fleiss_kappa_detectors",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -2700,6 +2709,39 @@ def _ensure_loaded() -> None:
         "codec_audit",
         codec.codec_audit_query,
         codec.CODEC_AUDIT_ORACLE,
+    )
+
+    # ---- round-11 post-freeze additions (R12_MATERIAL): the ordered/
+    # median/effect-size completions of the nonparametric ladder ----
+    register(
+        "mood_median_test",
+        inference.mood_median_test_query,
+        inference.MOOD_MEDIAN_TEST_ORACLE,
+    )
+    register(
+        "cliffs_delta_sources",
+        inference.cliffs_delta_sources_query,
+        inference.CLIFFS_DELTA_SOURCES_ORACLE,
+    )
+    register(
+        "jonckheere_trend",
+        inference.jonckheere_trend_query,
+        inference.JONCKHEERE_TREND_ORACLE,
+    )
+    register(
+        "durbin_watson_daily",
+        stats.durbin_watson_daily_query,
+        stats.DURBIN_WATSON_DAILY_ORACLE,
+    )
+    register(
+        "ad_ksample_sources",
+        drift.ad_ksample_sources_query,
+        drift.AD_KSAMPLE_SOURCES_ORACLE,
+    )
+    register(
+        "fleiss_kappa_detectors",
+        dedup.fleiss_kappa_detectors_query,
+        dedup.FLEISS_KAPPA_DETECTORS_ORACLE,
     )
 
     _apply_window(_WINDOW_R11)

@@ -131,6 +131,7 @@ def main() -> None:
         "dup_capture_recapture",
         "detector_cochran_q",
         "kendall_w_detectors",
+        "fleiss_kappa_detectors",
     }
     names = list(qs)
     timings: dict[str, float] = {}

@@ -83,8 +83,19 @@ R12_DEFERRED: set[str] = set()
 # window material by construction. The r08 verdict caps this at 13
 # (the window's re-cert margin) so the certification pipeline stops
 # compounding backlog; test_r12_material_fits_the_recert_margin
-# enforces it.
-R12_MATERIAL: set[str] = set()
+# enforces it. The 6 entries: the ordered/median/effect-size/
+# omnibus-distribution completions of the nonparametric ladder
+# (Mood, Jonckheere-Terpstra, Cliff's delta, k-sample Anderson-
+# Darling), the Durbin-Watson serial-correlation audit, and Fleiss'
+# kappa over the dup-detector tier.
+R12_MATERIAL: set[str] = {
+    "mood_median_test",
+    "cliffs_delta_sources",
+    "jonckheere_trend",
+    "durbin_watson_daily",
+    "ad_ksample_sources",
+    "fleiss_kappa_detectors",
+}
 
 
 def _covered() -> set[str]:

@@ -1,0 +1,265 @@
+"""Semantic assertions for the round-11 post-freeze additions (the
+R12_MATERIAL batch) — each test checks the statistic against a plain
+brute-force Python computation of the textbook definition, which the
+DuckDB oracle equality can NOT express (the oracle proves cross-engine
+agreement; these prove the shared answer is the right statistic)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from _kafka_streams_scaffold_spark import tables
+from _kafka_streams_scaffold_spark.operators import (
+    dedup,
+    drift,
+    inference,
+    stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _daily_order_counts(spark):
+    rows = (
+        tables.table(spark, SF, "orders")
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .collect()
+    )
+    c = Counter((r["grp"], r["day"]) for r in rows)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test
+# ---------------------------------------------------------------------------
+
+
+def test_mood_median_matches_bruteforce(spark):
+    """Constructive lower median + k x 2 chi-square, recomputed from
+    raw per-(priority, day) counts in Python."""
+    c = _daily_order_counts(spark)
+    values = sorted(c.values())
+    n = len(values)
+    med = values[(n + 1) // 2 - 1]  # smallest v with cum >= ceil(n/2)
+    groups = defaultdict(lambda: [0, 0])  # grp -> [n_g, a_g]
+    for (grp, _), x in c.items():
+        groups[grp][0] += 1
+        groups[grp][1] += int(x > med)
+    n_obs = sum(g[0] for g in groups.values())
+    n_above = sum(g[1] for g in groups.values())
+    chi2 = 0.0
+    for grp in sorted(groups):
+        n_g, a_g = groups[grp]
+        e_a = n_g * n_above / n_obs
+        e_b = n_g * (n_obs - n_above) / n_obs
+        chi2 += (a_g - e_a) ** 2 / e_a + ((n_g - a_g) - e_b) ** 2 / e_b
+    row = inference.mood_median_test_query(spark, SF).collect()[0]
+    assert row["n_cells"] == n_obs
+    assert row["grand_median"] == med
+    assert row["n_above"] == n_above
+    assert row["chi2"] == pytest.approx(chi2, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta matrix
+# ---------------------------------------------------------------------------
+
+
+def test_cliffs_delta_matches_bruteforce_pair(spark):
+    """delta for the lexicographically first source pair equals the
+    O(n_a * n_b) textbook double loop."""
+    docs = (
+        tables.table(spark, SF, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r["source"]].append(r["n_chars"])
+    srcs = sorted(by_src)
+    a, b = srcs[0], srcs[1]
+    gt = sum(1 for x in by_src[a] for y in by_src[b] if x > y)
+    lt = sum(1 for x in by_src[a] for y in by_src[b] if x < y)
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in inference.cliffs_delta_sources_query(spark, SF).collect()
+    }
+    row = out[(a, b)]
+    assert row["gt"] == gt
+    assert row["lt"] == lt
+    assert row["n_a"] == len(by_src[a])
+    assert row["n_b"] == len(by_src[b])
+    assert row["delta"] == pytest.approx(
+        (gt - lt) / (len(by_src[a]) * len(by_src[b])), rel=1e-12
+    )
+    # full matrix shape: one row per unordered pair, delta in [-1, 1]
+    k = len(srcs)
+    assert len(out) == k * (k - 1) // 2
+    assert all(-1.0 <= r["delta"] <= 1.0 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered trend
+# ---------------------------------------------------------------------------
+
+
+def test_jonckheere_matches_bruteforce(spark):
+    """j2 = 2*J with J the half-tie-counted Mann-Whitney sum over
+    ordered group pairs; null mean e2 = 2*E[J]."""
+    li = (
+        tables.table(spark, SF, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    orders = tables.table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    rows = li.join(orders, "l_orderkey").collect()
+    by_grp = defaultdict(list)
+    for r in rows:
+        by_grp[r["grp"]].append(r["v"])
+    grps = sorted(by_grp)
+    j2 = 0
+    for i, gi in enumerate(grps):
+        ci = Counter(by_grp[gi])
+        for gj in grps[i + 1 :]:
+            for y in by_grp[gj]:
+                j2 += 2 * sum(c for x, c in ci.items() if x < y)
+                j2 += ci.get(y, 0)
+    n = sum(len(v) for v in by_grp.values())
+    sn2 = sum(len(v) ** 2 for v in by_grp.values())
+    row = inference.jonckheere_trend_query(spark, SF).collect()[0]
+    assert row["j2"] == j2
+    assert row["n_total"] == n
+    assert row["e2"] == (n * n - sn2) // 2
+    # tie-corrected variance stays positive and z is finite
+    assert row["var_j"] > 0
+    assert math.isfinite(row["z"])
+    # z sign agrees with the raw deviation from the null mean
+    assert (row["z"] > 0) == (j2 > (n * n - sn2) // 2) or row["z"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson daily serial correlation
+# ---------------------------------------------------------------------------
+
+
+def test_durbin_watson_matches_bruteforce(spark):
+    """The D-scaled integer DW equals the float textbook DW on
+    mean-centered daily counts (scaling cancels exactly)."""
+    rows = (
+        tables.table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    series = [r["x"] for r in sorted(rows, key=lambda r: r["day"])]
+    d = len(series)
+    mean = sum(series) / d
+    resid = [x - mean for x in series]
+    num = sum(
+        (resid[t] - resid[t - 1]) ** 2 for t in range(1, d)
+    )
+    den = sum(e * e for e in resid)
+    row = stats.durbin_watson_daily_query(spark, SF).collect()[0]
+    assert row["n_days"] == d
+    assert row["total_orders"] == sum(series)
+    assert row["dw"] == pytest.approx(num / den, rel=1e-12)
+    # scaled integer moments reduce to the same ratio
+    assert row["dw_num"] / row["dw_den"] == pytest.approx(
+        num / den, rel=1e-12
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-sample Anderson-Darling
+# ---------------------------------------------------------------------------
+
+
+def _ad_bruteforce(by_grp):
+    """Scholz & Stephens (1987) eq. 7 — the discrete/midrank A2_akN,
+    plain Python floats over the pooled distinct-value spine."""
+    pooled = Counter()
+    for vs in by_grp.values():
+        pooled.update(vs)
+    values = sorted(pooled)
+    n = sum(pooled.values())
+    a2 = 0.0
+    for g, vs in by_grp.items():
+        ci = Counter(vs)
+        n_g = len(vs)
+        inner = 0.0
+        cum_i = 0
+        cum_p = 0
+        for v in values:
+            l_j = pooled[v]
+            c_ij = ci.get(v, 0)
+            m_a = cum_i + c_ij / 2.0  # M through j, half-corrected
+            b_a = cum_p + l_j / 2.0
+            den = b_a * (n - b_a) - n * l_j / 4.0
+            if den > 0:
+                inner += (
+                    l_j / n * (n * m_a - n_g * b_a) ** 2 / den
+                )
+            cum_i += c_ij
+            cum_p += l_j
+        a2 += inner / n_g
+    return (n - 1) / n * a2
+
+
+def test_ad_ksample_matches_bruteforce(spark):
+    docs = (
+        tables.table(spark, SF, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_grp = defaultdict(list)
+    for r in docs:
+        by_grp[r["source"]].append(r["n_chars"])
+    expect = _ad_bruteforce(by_grp)
+    row = drift.ad_ksample_sources_query(spark, SF).collect()[0]
+    assert row["n_total"] == sum(len(v) for v in by_grp.values())
+    assert row["n_groups"] == len(by_grp)
+    assert row["mean_h0"] == len(by_grp) - 1
+    assert row["a2akn"] == pytest.approx(expect, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa over the detector tier
+# ---------------------------------------------------------------------------
+
+
+def test_fleiss_kappa_matches_moment_identities(spark):
+    """kappa recomputed from the emitted exact BIGINT moments via the
+    textbook per-item P_i path; the flag-matrix moments must also
+    match detector_cochran_q's (same universe, same matrix)."""
+    row = dedup.fleiss_kappa_detectors_query(spark, SF).collect()[0]
+    q = dedup.detector_cochran_q_query(spark, SF).collect()[0]
+    assert row["n_univ"] == q["n_univ"]
+    assert row["sum_r"] == q["sum_r"]
+    assert row["sum_r2"] == q["sum_r2"]
+    n, k = row["n_univ"], row["k_raters"]
+    assert k == 4
+    # P_bar from the moments (binary categories)
+    p_bar = (
+        2 * row["sum_r2"] - 2 * k * row["sum_r"] + n * k * k - n * k
+    ) / (n * k * (k - 1))
+    p = row["sum_r"] / (n * k)
+    p_exp = p * p + (1 - p) * (1 - p)
+    assert row["p_bar"] == pytest.approx(p_bar, rel=1e-12)
+    assert row["p_exp"] == pytest.approx(p_exp, rel=1e-12)
+    assert row["kappa"] == pytest.approx(
+        (p_bar - p_exp) / (1 - p_exp), rel=1e-12
+    )
+    # agreement coefficient is bounded above by 1; the union-universe
+    # conditioning guarantees every item has at least one flag
+    assert row["kappa"] <= 1.0
+    assert row["sum_r"] >= n

@@ -1791,6 +1791,51 @@ AUDIT = [
         "bad blob cannot kill a 100 TB job (R1 poison-pill policy "
         "at the codec boundary).",
     ),
+    (
+        "mood_median_test",
+        "One per-(priority, day) rollup touches orders; the grand "
+        "median is a constructive cumulative scan of the bounded "
+        "|distinct daily counts| spine (no engine median builtin), "
+        "the k x 2 table is exact BIGINT, and chi-square folds the "
+        "priority-sorted cell list.",
+    ),
+    (
+        "cliffs_delta_sources",
+        "One per-(source, value) count rollup; cumulative counts on "
+        "the |sources| x |distinct lengths| grid (domain-sized), "
+        "pair frame |sources|^2 x |values| — gt/lt exact BIGINT, "
+        "one final IEEE division per pair. No row-level pair "
+        "comparisons anywhere.",
+    ),
+    (
+        "jonckheere_trend",
+        "One lineitem rollup to per-order counts, one key join for "
+        "the priority label, then a |priorities| x |item counts| "
+        "grid; j2 exact BIGINT off cumulative grid counts, the "
+        "tie-corrected null variance through DECIMAL(38,0).",
+    ),
+    (
+        "durbin_watson_daily",
+        "One per-day rollup touches orders; D-scaled integer "
+        "residuals (n-scaling, no float mean) and the lag-1 window "
+        "run on the bounded |days| spine; both DW sums exact "
+        "BIGINT, one final IEEE division.",
+    ),
+    (
+        "ad_ksample_sources",
+        "One per-(source, value) rollup; 2x half-corrected "
+        "cumulative counts on the pooled spine and per-source grid, "
+        "squared numerators through DECIMAL(38,0), per-source "
+        "value-sorted folds then a source-sorted outer fold — the "
+        "whole CDF-weighted sum lives on domain-sized frames.",
+    ),
+    (
+        "fleiss_kappa_detectors",
+        "Rides the four shared tier-pair pins (one build per "
+        "session, concurrent); after the flag matrix everything is "
+        "a single-row BIGINT moment reduction — kappa is final "
+        "IEEE on exact integers.",
+    ),
 ]
 
 

@@ -897,6 +897,41 @@ def main() -> None:
             unioned(spark, "events", m),
             lambda: inference_mod.wilcoxon_signed_rank_query(spark, SF_DIR),
         ),
+        # ---- round-11 post-freeze additions (R12 material) ----
+        "mood median (daily k x 2)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: inference_mod.mood_median_test_query(spark, SF_DIR),
+        ),
+        "cliffs delta (source-pair grid)": lambda m: _with_docs(
+            m,
+            lambda: inference_mod.cliffs_delta_sources_query(
+                spark, SF_DIR
+            ),
+        ),
+        # lineitem-only union: per-order item counts grow m-x, which
+        # keeps the corpus-sized rollup honest while the bounded
+        # value spine widens only slightly
+        "jonckheere (ordered-pair grid)": lambda m: _with_table(
+            "lineitem",
+            unioned(spark, "lineitem", m),
+            lambda: inference_mod.jonckheere_trend_query(spark, SF_DIR),
+        ),
+        "durbin-watson (day-spine lag)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: stats_mod.durbin_watson_daily_query(spark, SF_DIR),
+        ),
+        "anderson-darling k-sample (CDF grid)": lambda m: _with_docs(
+            m,
+            lambda: drift_mod.ad_ksample_sources_query(spark, SF_DIR),
+        ),
+        # RESEEDED corpus (pair-emitting detectors; see kendall W)
+        "fleiss kappa detectors (RESEEDED)": lambda m: _with_table(
+            "documents",
+            docs_reseeded(m),
+            lambda: dedup.fleiss_kappa_detectors_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
