@@ -4241,3 +4241,671 @@ SELECT g.n AS n_total, g.n_groups, j.j2,
        END AS z
 FROM gm g CROSS JOIN tm t CROSS JOIN jstat j
 """
+
+
+# --------------------------------------------------------------------------
+# Dunn's post-hoc: pairwise localization after Kruskal-Wallis (r11)
+# --------------------------------------------------------------------------
+
+
+def dunn_posthoc_sources_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(source_a, source_b, n_a, n_b, mean_rank_a, mean_rank_b, z):
+    Dunn's post-hoc test on ``n_chars`` for every source pair — the
+    pairwise localization step the multiple-testing protocol runs
+    AFTER kruskal_wallis_sources' omnibus H fires: which pairs
+    actually differ? Dunn reuses the POOLED midranks (not per-pair
+    re-ranking, which is Conover's test), so its z values are the
+    ones the BH-FDR gate downstream expects to adjust. z_ij =
+    (mr_i - mr_j) / sqrt((N(N+1)/12 - T/(12(N-1))) * (1/n_i +
+    1/n_j)) with T = sum(t^3 - t) the pooled tie term.
+
+    Exactness: rank sums r2_g = 2*R_g are the exact BIGINTs of the
+    mann_whitney_audit midrank discipline; mean ranks mr = r2/(2n)
+    are one IEEE division each; the tie term runs through
+    DECIMAL(38,0); the variance factor and z are final IEEE with a
+    degenerate guard (all-tied corpus -> zero variance -> NULL z).
+
+    Scale: the per-source rank sums ride ONE per-(source, value)
+    rollup and the pooled |distinct values| spine; the pair frame is
+    |sources|^2 broadcast rows."""
+    docs = tables.table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pooled = counts.groupBy("n_chars").agg(
+        F.sum("c").cast("bigint").alias("p")
+    )
+    wv = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mid = pooled.select(
+        "n_chars",
+        (
+            F.lit(2) * F.coalesce(F.sum("p").over(wv), F.lit(0))
+            + F.col("p")
+            + F.lit(1)
+        ).cast("bigint").alias("midrank2"),
+    )
+    per = (
+        counts.join(mid, "n_chars")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.col("c") * F.col("midrank2"))
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+    moments = pooled.agg(
+        F.sum("p").cast("bigint").alias("n"),
+        F.sum(F.expr("cast(p as decimal(19,0)) * p * p - p"))
+        .cast("decimal(38,0)")
+        .alias("tie_sum_d"),
+    )
+    a = per.select(
+        F.col("source").alias("source_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("r2").alias("r2_a"),
+    )
+    b = per.select(
+        F.col("source").alias("source_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("r2").alias("r2_b"),
+    )
+    nd = F.col("n").cast("double")
+    sigma2 = nd * (nd + F.lit(1.0)) / F.lit(12.0) - F.col(
+        "tie_sum_d"
+    ).cast("double") / (F.lit(12.0) * (nd - F.lit(1.0)))
+    mra = F.col("r2_a").cast("double") / (
+        F.lit(2.0) * F.col("n_a").cast("double")
+    )
+    mrb = F.col("r2_b").cast("double") / (
+        F.lit(2.0) * F.col("n_b").cast("double")
+    )
+    se = F.sqrt(
+        sigma2
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .crossJoin(F.broadcast(moments))
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            mra.alias("mean_rank_a"),
+            mrb.alias("mean_rank_b"),
+            F.when(sigma2 > 0, (mra - mrb) / se).alias("z"),
+        )
+    )
+
+
+DUNN_POSTHOC_SOURCES_ORACLE = """
+WITH counts AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+pooled AS (
+  SELECT n_chars, CAST(sum(c) AS BIGINT) AS p FROM counts GROUP BY 1
+),
+mid AS (
+  SELECT n_chars,
+         CAST(2 * COALESCE(sum(p) OVER (
+             ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) + p + 1 AS BIGINT) AS midrank2
+  FROM pooled
+),
+per AS (
+  SELECT c.source,
+         CAST(sum(c.c) AS BIGINT) AS n_g,
+         CAST(sum(c.c * m.midrank2) AS BIGINT) AS r2
+  FROM counts c JOIN mid m ON m.n_chars = c.n_chars
+  GROUP BY 1
+),
+moments AS (
+  SELECT CAST(sum(p) AS BIGINT) AS n,
+         CAST(sum(CAST(p AS DECIMAL(19,0)) * p * p - p)
+              AS DECIMAL(38,0)) AS tie_sum_d
+  FROM pooled
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       a.n_g AS n_a, b.n_g AS n_b,
+       CAST(a.r2 AS DOUBLE) / (2.0 * CAST(a.n_g AS DOUBLE))
+         AS mean_rank_a,
+       CAST(b.r2 AS DOUBLE) / (2.0 * CAST(b.n_g AS DOUBLE))
+         AS mean_rank_b,
+       CASE WHEN CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) + 1.0)
+                 / 12.0
+                 - CAST(m.tie_sum_d AS DOUBLE)
+                   / (12.0 * (CAST(m.n AS DOUBLE) - 1.0)) > 0
+       THEN (CAST(a.r2 AS DOUBLE) / (2.0 * CAST(a.n_g AS DOUBLE))
+             - CAST(b.r2 AS DOUBLE) / (2.0 * CAST(b.n_g AS DOUBLE)))
+            / sqrt((CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) + 1.0)
+                    / 12.0
+                    - CAST(m.tie_sum_d AS DOUBLE)
+                      / (12.0 * (CAST(m.n AS DOUBLE) - 1.0)))
+                   * (1.0 / CAST(a.n_g AS DOUBLE)
+                      + 1.0 / CAST(b.n_g AS DOUBLE)))
+       END AS z
+FROM per a CROSS JOIN per b CROSS JOIN moments m
+WHERE a.source < b.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Ansari-Bradley: dispersion change across the timeline halves (r11)
+# --------------------------------------------------------------------------
+
+
+def ansari_bradley_halves_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_days, n_early, ab2, mean_ab2, var_ab2, z): the
+    Ansari-Bradley rank test of SCALE — did the dispersion of daily
+    order volume change between the first and second half of the
+    timeline? durbin_watson_daily catches serial correlation and
+    cusum_changepoint catches level shifts; A-B scores each pooled
+    observation by its distance from the rank EXTREMES (score =
+    min(rank, N+1-rank), large in the middle, small in the tails)
+    so a variance change moves the early-half score sum with no
+    location shift required — the dispersion-drift gate.
+
+    Exactness: the half split is constructive integer date
+    arithmetic (2*datediff(day, min) < span, no float midpoint);
+    scores are 2x-scaled BIGINTs off pooled midranks (s2 =
+    least(midrank2, 2(N+1) - midrank2)); ab2 = sum of early-half
+    scores is exact BIGINT. The null moments use the
+    sampling-without-replacement identities on the POOLED score
+    multiset — E[AB] = n_e * mean(s), Var[AB] = n_e (N - n_e)/(N-1)
+    * popvar(s) — which stay exact under ANY tie structure (the
+    textbook even/odd-N closed forms assume no ties); the score
+    second moment runs through DECIMAL(38,0) and z is final IEEE
+    with a zero-variance guard.
+
+    Scale: one per-day rollup, midranks and scores on the bounded
+    |distinct daily counts| spine, single-row moments."""
+    orders = tables.table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    tagged = daily.crossJoin(F.broadcast(span)).select(
+        "x",
+        (
+            F.lit(2) * F.datediff(F.col("day"), F.col("d0"))
+            < F.datediff(F.col("d1"), F.col("d0")) + F.lit(1)
+        ).cast("int").alias("early"),
+    )
+    counts = tagged.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+        F.sum("early").cast("bigint").alias("c_e"),
+    )
+    wv = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = counts.agg(F.sum("l").cast("bigint").alias("n"))
+    scored = (
+        counts.select(
+            "x",
+            "l",
+            "c_e",
+            (
+                F.lit(2) * F.coalesce(F.sum("l").over(wv), F.lit(0))
+                + F.col("l")
+                + F.lit(1)
+            ).cast("bigint").alias("midrank2"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l",
+            "c_e",
+            "n",
+            F.least(
+                F.col("midrank2"),
+                F.lit(2) * (F.col("n") + F.lit(1)) - F.col("midrank2"),
+            ).cast("bigint").alias("s2"),
+        )
+    )
+    agg = scored.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.sum("c_e").cast("bigint").alias("n_early"),
+        F.sum(F.col("c_e") * F.col("s2")).cast("bigint").alias("ab2"),
+        F.sum(F.col("l") * F.col("s2")).cast("bigint").alias("ssum"),
+        F.sum(F.expr("cast(l as decimal(19,0)) * s2 * s2"))
+        .cast("decimal(38,0)")
+        .alias("ssq_d"),
+    )
+    nd = F.col("n_days").cast("double")
+    ne = F.col("n_early").cast("double")
+    mu = F.col("ssum").cast("double") / nd
+    popvar = F.col("ssq_d").cast("double") / nd - mu * mu
+    var_ab = ne * (nd - ne) / (nd - F.lit(1.0)) * popvar
+    return agg.select(
+        "n_days",
+        "n_early",
+        "ab2",
+        (ne * mu).alias("mean_ab2"),
+        var_ab.alias("var_ab2"),
+        F.when(
+            var_ab > 0,
+            (F.col("ab2").cast("double") - ne * mu) / F.sqrt(var_ab),
+        ).alias("z"),
+    )
+
+
+ANSARI_BRADLEY_HALVES_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+tagged AS (
+  SELECT x,
+         CASE WHEN 2 * datediff('day', s.d0, day)
+                   < datediff('day', s.d0, s.d1) + 1
+              THEN 1 ELSE 0 END AS early
+  FROM daily CROSS JOIN span s
+),
+counts AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS l,
+         CAST(sum(early) AS BIGINT) AS c_e
+  FROM tagged GROUP BY 1
+),
+tot AS (SELECT CAST(sum(l) AS BIGINT) AS n FROM counts),
+scored AS (
+  SELECT l, c_e, t.n,
+         CAST(least(
+           2 * COALESCE(sum(l) OVER (
+               ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + l + 1,
+           2 * (t.n + 1)
+             - (2 * COALESCE(sum(l) OVER (
+                    ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) + l + 1)
+         ) AS BIGINT) AS s2
+  FROM counts CROSS JOIN tot t
+),
+agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_days,
+         CAST(sum(c_e) AS BIGINT) AS n_early,
+         CAST(sum(c_e * s2) AS BIGINT) AS ab2,
+         CAST(sum(l * s2) AS BIGINT) AS ssum,
+         CAST(sum(CAST(l AS DECIMAL(19,0)) * s2 * s2)
+              AS DECIMAL(38,0)) AS ssq_d
+  FROM scored
+)
+SELECT n_days, n_early, ab2,
+       CAST(n_early AS DOUBLE)
+         * (CAST(ssum AS DOUBLE) / CAST(n_days AS DOUBLE))
+         AS mean_ab2,
+       CAST(n_early AS DOUBLE)
+         * (CAST(n_days AS DOUBLE) - CAST(n_early AS DOUBLE))
+         / (CAST(n_days AS DOUBLE) - 1.0)
+         * (CAST(ssq_d AS DOUBLE) / CAST(n_days AS DOUBLE)
+            - (CAST(ssum AS DOUBLE) / CAST(n_days AS DOUBLE))
+              * (CAST(ssum AS DOUBLE) / CAST(n_days AS DOUBLE)))
+         AS var_ab2,
+       CASE WHEN CAST(n_early AS DOUBLE)
+                 * (CAST(n_days AS DOUBLE) - CAST(n_early AS DOUBLE))
+                 / (CAST(n_days AS DOUBLE) - 1.0)
+                 * (CAST(ssq_d AS DOUBLE) / CAST(n_days AS DOUBLE)
+                    - (CAST(ssum AS DOUBLE) / CAST(n_days AS DOUBLE))
+                      * (CAST(ssum AS DOUBLE)
+                         / CAST(n_days AS DOUBLE))) > 0
+       THEN (CAST(ab2 AS DOUBLE)
+             - CAST(n_early AS DOUBLE)
+               * (CAST(ssum AS DOUBLE) / CAST(n_days AS DOUBLE)))
+            / sqrt(CAST(n_early AS DOUBLE)
+                 * (CAST(n_days AS DOUBLE) - CAST(n_early AS DOUBLE))
+                 / (CAST(n_days AS DOUBLE) - 1.0)
+                 * (CAST(ssq_d AS DOUBLE) / CAST(n_days AS DOUBLE)
+                    - (CAST(ssum AS DOUBLE) / CAST(n_days AS DOUBLE))
+                      * (CAST(ssum AS DOUBLE)
+                         / CAST(n_days AS DOUBLE))))
+       END AS z
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel: day-stratified click-vs-view odds (r11)
+# --------------------------------------------------------------------------
+
+# Fixed engagement threshold for the CMH outcome (value > 50.0 is
+# "high-value"): a CONSTANT, not a data-derived median, so the
+# operator needs no near-row-sized value spine and the definition
+# is identical at every scale factor.
+_CMH_VALUE_THRESHOLD = 50.0
+
+
+def cmh_event_value_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_strata, n_events, sum_a, sum_e, sum_v, cmh): the
+    Cochran-Mantel-Haenszel test of click-vs-view association with
+    high engagement (value > 50), STRATIFIED BY DAY — the
+    confounding-proof version of ab_test_chi2's pooled 2x2:
+    day-level mix shifts (weekend traffic, campaign bursts) can
+    manufacture or mask a pooled association (the Simpson reversal
+    simpson_reversal_audit scans for); CMH sums each day's
+    (observed - expected) under that day's own margins, so only
+    WITHIN-day association survives. CMH = (sum_k a_k - sum_k
+    E_k)^2 / sum_k V_k, chi-square 1 df under H0.
+
+    Exactness: every cell, margin, and the hypergeometric-variance
+    numerator r1(n-r1)c1(n-c1) is exact integer (the variance
+    product routes through DECIMAL(38,0) — day volumes are the
+    burrows_delta overflow class at corpus scale); per-stratum E_k
+    and V_k are IEEE on exact integers, and both cross-stratum sums
+    fold the DAY-SORTED stratum list (the anova_source_lengths
+    unordered-double-sum fix). Degenerate strata (a day with no
+    clicks, no views, or a constant outcome) contribute their exact
+    zero variance and drop out of the test naturally; sum_v = 0
+    emits NULL.
+
+    Scale: one filtered per-day 2x2 rollup touches events; folds
+    run on the bounded |days| spine."""
+    ev = tables.table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    cells = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum((F.col("event_type") == "click").cast("bigint"))
+        .cast("bigint")
+        .alias("r1"),
+        F.sum(
+            (F.col("value") > F.lit(_CMH_VALUE_THRESHOLD)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(
+            (
+                (F.col("event_type") == "click")
+                & (F.col("value") > F.lit(_CMH_VALUE_THRESHOLD))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("a"),
+    )
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("nk").cast("bigint").alias("n_events"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(day, nk, r1,"
+            " c1))), cast(0.0 as double), (acc, s) -> acc"
+            " + cast(s.r1 as double) * cast(s.c1 as double)"
+            "   / cast(s.nk as double))"
+        ).alias("sum_e"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(day, nk, r1,"
+            " c1))), cast(0.0 as double), (acc, s) -> acc"
+            " + (case when s.nk > 1 then"
+            " cast(cast(cast(s.r1 as decimal(19,0)) * (s.nk - s.r1)"
+            "      as decimal(38,0))"
+            "      * cast(cast(s.c1 as decimal(19,0)) * (s.nk - s.c1)"
+            "        as decimal(38,0)) as double)"
+            " / cast(cast(cast(s.nk as decimal(19,0)) * s.nk"
+            "        as decimal(38,0)) * (s.nk - 1) as double)"
+            " else 0.0 end))"
+        ).alias("sum_v"),
+    )
+    dev = F.col("sum_a").cast("double") - F.col("sum_e")
+    return agg.select(
+        "n_strata",
+        "n_events",
+        "sum_a",
+        "sum_e",
+        "sum_v",
+        F.when(F.col("sum_v") > 0, dev * dev / F.col("sum_v")).alias(
+            "cmh"
+        ),
+    )
+
+
+CMH_EVENT_VALUE_ORACLE = """
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS nk,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r1,
+         CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_type = 'click' AND value > 50.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum(nk) AS BIGINT) AS n_events,
+         CAST(sum(a) AS BIGINT) AS sum_a,
+         list_reduce(list_prepend(0.0, list_transform(
+           list({'nk': nk, 'r1': r1, 'c1': c1} ORDER BY day),
+           s -> CAST(s.r1 AS DOUBLE) * CAST(s.c1 AS DOUBLE)
+                / CAST(s.nk AS DOUBLE))), (x, y) -> x + y) AS sum_e,
+         list_reduce(list_prepend(0.0, list_transform(
+           list({'nk': nk, 'r1': r1, 'c1': c1} ORDER BY day),
+           s -> CASE WHEN s.nk > 1 THEN
+                  CAST(CAST(CAST(s.r1 AS DECIMAL(19,0))
+                            * (s.nk - s.r1) AS DECIMAL(38,0))
+                       * CAST(CAST(s.c1 AS DECIMAL(19,0))
+                              * (s.nk - s.c1) AS DECIMAL(38,0))
+                       AS DOUBLE)
+                  / CAST(CAST(CAST(s.nk AS DECIMAL(19,0)) * s.nk
+                              AS DECIMAL(38,0)) * (s.nk - 1)
+                         AS DOUBLE)
+                ELSE 0.0 END)), (x, y) -> x + y) AS sum_v
+  FROM cells
+)
+SELECT n_strata, n_events, sum_a, sum_e, sum_v,
+       CASE WHEN sum_v > 0
+            THEN (CAST(sum_a AS DOUBLE) - sum_e)
+                 * (CAST(sum_a AS DOUBLE) - sum_e) / sum_v
+       END AS cmh
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Somers' D / tau-b: ordinal association of priority and size (r11)
+# --------------------------------------------------------------------------
+
+
+def somers_d_priority_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_total, c_pairs, d_pairs, tx_pairs, ty_pairs, d_yx, d_xy,
+    tau_b): ordinal association between an order's priority level
+    (x, the 1-URGENT..5-LOW ladder) and its line-item count (y) —
+    the EFFECT-SIZE companion to jonckheere_trend exactly as
+    cliffs_delta_sources companions mann_whitney_audit: J-T says
+    whether a monotone trend exists; Somers' D_yx says how much of
+    y's pair ordering x explains (the ordinal analogue of R^2's
+    slope reading, and the statistic behind Harrell's c = (D+1)/2).
+    Both asymmetric deltas and the symmetric Kendall tau-b come from
+    the same concordance counts.
+
+    Exactness: concordant/discordant pair counts are exact BIGINTs
+    off the |x-levels| x |y-values| cell grid — C = sum_cell c *
+    (mass strictly smaller in BOTH dims), via the 2D cumulative join
+    on the bounded grid; tie masses T_x, T_y are BIGINT from the
+    margins (through DECIMAL(38,0) at corpus scale); the deltas are
+    final IEEE divisions and tau_b's denominator multiplies the two
+    tie-corrected pair totals in DECIMAL(38,0) before one sqrt.
+    Beyond ~4e9 orders the pair totals outgrow 2^63 and the rollup
+    becomes the shard boundary (the mann_whitney_audit note).
+
+    Scale: one lineitem rollup + one key join to orders; every
+    pairwise quantity lives on the ~5 x ~13 cell grid (grid^2 join
+    of broadcast size)."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    orders = tables.table(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    obs = per_order.join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_orderpriority").alias("grp"),
+        ),
+        "l_orderkey",
+    )
+    cells = obs.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = cells.select(
+        F.col("grp").alias("ga"), F.col("v").alias("va"),
+        F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        F.col("grp").alias("gb"), F.col("v").alias("vb"),
+        F.col("c").alias("cb"),
+    )
+    cd = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ga") < F.col("gb"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("va") < F.col("vb"),
+                    F.col("ca") * F.col("cb"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("c_pairs"),
+            F.sum(
+                F.when(
+                    F.col("va") > F.col("vb"),
+                    F.col("ca") * F.col("cb"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("d_pairs"),
+        )
+    )
+    xm = cells.groupBy("grp").agg(F.sum("c").cast("bigint").alias("nx"))
+    ym = cells.groupBy("v").agg(F.sum("c").cast("bigint").alias("ny"))
+    tx = xm.agg(
+        F.sum("nx").cast("bigint").alias("n"),
+        (
+            F.sum(F.expr("cast(nx as decimal(19,0)) * (nx - 1)"))
+            .cast("decimal(38,0)")
+            / F.lit(2)
+        )
+        .cast("decimal(38,0)")
+        .alias("tx_d"),
+    )
+    ty = ym.agg(
+        (
+            F.sum(F.expr("cast(ny as decimal(19,0)) * (ny - 1)"))
+            .cast("decimal(38,0)")
+            / F.lit(2)
+        )
+        .cast("decimal(38,0)")
+        .alias("ty_d"),
+    )
+    joined = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n0_d = F.expr(
+        "cast(cast(n as decimal(19,0)) * (n - 1) as decimal(38,0))"
+        " / 2"
+    ).cast("decimal(38,0)")
+    s = (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+    denx = (n0_d - F.col("tx_d")).cast("decimal(38,0)")
+    deny = (n0_d - F.col("ty_d")).cast("decimal(38,0)")
+    return joined.select(
+        F.col("n").alias("n_total"),
+        "c_pairs",
+        "d_pairs",
+        F.col("tx_d").cast("bigint").alias("tx_pairs"),
+        F.col("ty_d").cast("bigint").alias("ty_pairs"),
+        F.when(
+            denx.cast("double") > 0, s / denx.cast("double")
+        ).alias("d_yx"),
+        F.when(
+            deny.cast("double") > 0, s / deny.cast("double")
+        ).alias("d_xy"),
+        F.when(
+            (denx.cast("double") > 0) & (deny.cast("double") > 0),
+            s / F.sqrt(denx.cast("double") * deny.cast("double")),
+        ).alias("tau_b"),
+    )
+
+
+SOMERS_D_PRIORITY_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS v
+  FROM lineitem GROUP BY 1
+),
+obs AS (
+  SELECT o.o_orderpriority AS grp, p.v
+  FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+),
+cells AS (
+  SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM obs GROUP BY 1, 2
+),
+cd AS (
+  SELECT CAST(sum(CASE WHEN a.v < b.v THEN a.c * b.c ELSE 0 END)
+              AS BIGINT) AS c_pairs,
+         CAST(sum(CASE WHEN a.v > b.v THEN a.c * b.c ELSE 0 END)
+              AS BIGINT) AS d_pairs
+  FROM cells a JOIN cells b ON a.grp < b.grp
+),
+tx AS (
+  SELECT CAST(sum(nx) AS BIGINT) AS n,
+         CAST(CAST(sum(CAST(nx AS DECIMAL(19,0)) * (nx - 1))
+                   AS DECIMAL(38,0)) / 2 AS DECIMAL(38,0)) AS tx_d
+  FROM (SELECT grp, CAST(sum(c) AS BIGINT) AS nx
+        FROM cells GROUP BY 1)
+),
+ty AS (
+  SELECT CAST(CAST(sum(CAST(ny AS DECIMAL(19,0)) * (ny - 1))
+                   AS DECIMAL(38,0)) / 2 AS DECIMAL(38,0)) AS ty_d
+  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS ny
+        FROM cells GROUP BY 1)
+)
+SELECT t.n AS n_total, cd.c_pairs, cd.d_pairs,
+       CAST(t.tx_d AS BIGINT) AS tx_pairs,
+       CAST(y.ty_d AS BIGINT) AS ty_pairs,
+       CASE WHEN CAST(CAST(CAST(CAST(t.n AS DECIMAL(19,0)) * (t.n - 1)
+                     AS DECIMAL(38,0)) / 2 AS DECIMAL(38,0)) - t.tx_d
+                 AS DOUBLE) > 0
+       THEN CAST(cd.c_pairs - cd.d_pairs AS DOUBLE)
+            / CAST(CAST(CAST(CAST(t.n AS DECIMAL(19,0)) * (t.n - 1)
+                    AS DECIMAL(38,0)) / 2 AS DECIMAL(38,0)) - t.tx_d
+                   AS DOUBLE)
+       END AS d_yx,
+       CASE WHEN CAST(CAST(CAST(CAST(t.n AS DECIMAL(19,0)) * (t.n - 1)
+                     AS DECIMAL(38,0)) / 2 AS DECIMAL(38,0)) - y.ty_d
+                 AS DOUBLE) > 0
+       THEN CAST(cd.c_pairs - cd.d_pairs AS DOUBLE)
+            / CAST(CAST(CAST(CAST(t.n AS DECIMAL(19,0)) * (t.n - 1)
+                    AS DECIMAL(38,0)) / 2 AS DECIMAL(38,0)) - y.ty_d
+                   AS DOUBLE)
+       END AS d_xy,
+       CASE WHEN CAST(CAST(CAST(CAST(t.n AS DECIMAL(19,0)) * (t.n - 1)
+                     AS DECIMAL(38,0)) / 2 AS DECIMAL(38,0)) - t.tx_d
+                 AS DOUBLE) > 0
+            AND CAST(CAST(CAST(CAST(t.n AS DECIMAL(19,0)) * (t.n - 1)
+                     AS DECIMAL(38,0)) / 2 AS DECIMAL(38,0)) - y.ty_d
+                 AS DOUBLE) > 0
+       THEN CAST(cd.c_pairs - cd.d_pairs AS DOUBLE)
+            / sqrt(CAST(CAST(CAST(CAST(t.n AS DECIMAL(19,0)) * (t.n - 1)
+                     AS DECIMAL(38,0)) / 2 AS DECIMAL(38,0)) - t.tx_d
+                   AS DOUBLE)
+                 * CAST(CAST(CAST(CAST(t.n AS DECIMAL(19,0)) * (t.n - 1)
+                     AS DECIMAL(38,0)) / 2 AS DECIMAL(38,0)) - y.ty_d
+                   AS DOUBLE))
+       END AS tau_b
+FROM cd CROSS JOIN tx t CROSS JOIN ty y
+"""

@@ -131,10 +131,12 @@ CORRECTNESS row. Rotation history:
   ``_apply_window`` appends the whole dedup-audit family
   immediately after slot 50 in constant order.
 
-NEXT ROTATION (round 12): the 6 round-11 post-freeze additions in
+NEXT ROTATION (round 12): the 10 round-11 post-freeze additions in
 tests/test_registry_window.py R12_MATERIAL (mood_median_test,
 cliffs_delta_sources, jonckheere_trend, durbin_watson_daily,
-ad_ksample_sources, fleiss_kappa_detectors — cap <= 13, the r08
+ad_ksample_sources, fleiss_kappa_detectors, dunn_posthoc_sources,
+ansari_bradley_halves, cmh_event_value, somers_d_priority — cap <=
+13, the r08
 pipeline-pressure rule), plus any r11 reds, the stale set from a
 fresh ``tools/stale_cert_audit.py`` run, manual re-certs for
 helper-level changes the audit cannot see, and age-based fills
@@ -2742,6 +2744,26 @@ def _ensure_loaded() -> None:
         "fleiss_kappa_detectors",
         dedup.fleiss_kappa_detectors_query,
         dedup.FLEISS_KAPPA_DETECTORS_ORACLE,
+    )
+    register(
+        "dunn_posthoc_sources",
+        inference.dunn_posthoc_sources_query,
+        inference.DUNN_POSTHOC_SOURCES_ORACLE,
+    )
+    register(
+        "ansari_bradley_halves",
+        inference.ansari_bradley_halves_query,
+        inference.ANSARI_BRADLEY_HALVES_ORACLE,
+    )
+    register(
+        "cmh_event_value",
+        inference.cmh_event_value_query,
+        inference.CMH_EVENT_VALUE_ORACLE,
+    )
+    register(
+        "somers_d_priority",
+        inference.somers_d_priority_query,
+        inference.SOMERS_D_PRIORITY_ORACLE,
     )
 
     _apply_window(_WINDOW_R11)

@@ -952,3 +952,117 @@ def streaming_psi(assigned: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming CMH (round-11 twin of operators/inference.cmh_event_value)
+# --------------------------------------------------------------------------
+
+CMH_OUTPUT_SCHEMA = (
+    "k string, n_strata long, n_events long, sum_a long, "
+    "sum_e double, sum_v double, cmh double"
+)
+CMH_STATE_SCHEMA = (
+    "days array<string>, nk array<long>, r1 array<long>, "
+    "c1 array<long>, a array<long>"
+)
+
+
+def _update_cmh(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    acc: dict[str, list[int]] = {}
+    if state.exists:
+        days, nk, r1, c1, a = state.get
+        acc = {
+            d: [int(w), int(x), int(y), int(z)]
+            for d, w, x, y, z in zip(days, nk, r1, c1, a)
+        }
+    for pdf in pdf_iter:
+        for day, click, high in zip(
+            pdf["day"].tolist(),
+            pdf["is_click"].tolist(),
+            pdf["is_high"].tolist(),
+        ):
+            e = acc.setdefault(str(day), [0, 0, 0, 0])
+            e[0] += 1
+            e[1] += int(click)
+            e[2] += int(high)
+            e[3] += int(click and high)
+    items = sorted(acc.items())
+    state.update(
+        (
+            [d for d, _ in items],
+            [v[0] for _, v in items],
+            [v[1] for _, v in items],
+            [v[2] for _, v in items],
+            [v[3] for _, v in items],
+        )
+    )
+    # the batch op's EXACT arithmetic, day-sorted left-to-right fold:
+    # E_k = double(r1) * double(c1) / double(nk) and the
+    # hypergeometric V_k as exact-integer products converted to
+    # double before ONE division (Python ints are exact through the
+    # products; float() conversion matches the DECIMAL->double cast
+    # while the values sit inside 2^53 — the same window where the
+    # batch op's own comparator operates)
+    sum_a = sum(v[3] for _, v in items)
+    n_events = sum(v[0] for _, v in items)
+    sum_e = 0.0
+    sum_v = 0.0
+    for _, (nk_, r1_, c1_, _a) in items:
+        sum_e += float(r1_) * float(c1_) / float(nk_)
+        if nk_ > 1:
+            sum_v += float(
+                (r1_ * (nk_ - r1_)) * (c1_ * (nk_ - c1_))
+            ) / float((nk_ * nk_) * (nk_ - 1))
+    dev = float(sum_a) - sum_e
+    cmh = dev * dev / sum_v if sum_v > 0 else None
+    yield pd.DataFrame.from_records(
+        [
+            {
+                "k": "all",
+                "n_strata": len(items),
+                "n_events": n_events,
+                "sum_a": sum_a,
+                "sum_e": sum_e,
+                "sum_v": sum_v,
+                "cmh": cmh,
+            }
+        ],
+        columns=[
+            "k", "n_strata", "n_events", "sum_a", "sum_e", "sum_v", "cmh"
+        ],
+    )
+
+
+def streaming_cmh(tagged: DataFrame) -> DataFrame:
+    """Streaming twin of ``inference.cmh_event_value``: the
+    day-stratified Cochran-Mantel-Haenszel statistic maintained AS
+    STATE while (day, is_click, is_high) rows stream in — the
+    confounder-proof A/B monitor deployed the way experimentation
+    actually runs: each arriving event updates only its own day's
+    2x2, and the cross-stratum sums re-fold the full day spine per
+    update (A4 emit-per-update) with the batch op's exact
+    day-sorted arithmetic, so a pooled-association mirage from
+    day-mix shift can never fire the alarm mid-experiment. Input
+    carries the batch op's stateless projections (``day``,
+    ``is_click``, ``is_high`` — the value threshold is the same
+    compile-time constant).
+
+    Scale: state is the (day -> four BIGINTs) spine on one global
+    key — bounded by the experiment's duration, not the stream; the
+    shuffled record is a date and two booleans. The single-reducer
+    ingest bound has the same foreachBatch pre-aggregation recipe as
+    streaming_benford: per-day 2x2 increments fold associatively."""
+    return tagged.withColumn("k", F.lit("all")).groupBy(
+        "k"
+    ).applyInPandasWithState(
+        _update_cmh,
+        outputStructType=CMH_OUTPUT_SCHEMA,
+        stateStructType=CMH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -83,11 +83,13 @@ R12_DEFERRED: set[str] = set()
 # window material by construction. The r08 verdict caps this at 13
 # (the window's re-cert margin) so the certification pipeline stops
 # compounding backlog; test_r12_material_fits_the_recert_margin
-# enforces it. The 6 entries: the ordered/median/effect-size/
+# enforces it. The 10 entries: the ordered/median/effect-size/
 # omnibus-distribution completions of the nonparametric ladder
 # (Mood, Jonckheere-Terpstra, Cliff's delta, k-sample Anderson-
-# Darling), the Durbin-Watson serial-correlation audit, and Fleiss'
-# kappa over the dup-detector tier.
+# Darling), the Durbin-Watson serial-correlation audit, Fleiss'
+# kappa over the dup-detector tier, Dunn's post-hoc pairwise z,
+# Ansari-Bradley dispersion drift, day-stratified CMH, and
+# Somers' D / tau-b ordinal association.
 R12_MATERIAL: set[str] = {
     "mood_median_test",
     "cliffs_delta_sources",
@@ -95,6 +97,12 @@ R12_MATERIAL: set[str] = {
     "durbin_watson_daily",
     "ad_ksample_sources",
     "fleiss_kappa_detectors",
+    # second batch: post-hoc localization, dispersion drift,
+    # stratified association, and ordinal effect size
+    "dunn_posthoc_sources",
+    "ansari_bradley_halves",
+    "cmh_event_value",
+    "somers_d_priority",
 }
 
 

@@ -263,3 +263,184 @@ def test_fleiss_kappa_matches_moment_identities(spark):
     # conditioning guarantees every item has at least one flag
     assert row["kappa"] <= 1.0
     assert row["sum_r"] >= n
+
+
+# ---------------------------------------------------------------------------
+# Dunn's post-hoc pairwise z
+# ---------------------------------------------------------------------------
+
+
+def test_dunn_posthoc_matches_bruteforce_pair(spark):
+    """Pooled midranks, tie-corrected sigma^2, and z for the first
+    source pair recomputed in plain Python."""
+    docs = (
+        tables.table(spark, SF, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src = defaultdict(list)
+    pooled = Counter()
+    for r in docs:
+        by_src[r["source"]].append(r["n_chars"])
+        pooled[r["n_chars"]] += 1
+    n = sum(pooled.values())
+    # midrank per value
+    mid = {}
+    cum = 0
+    for v in sorted(pooled):
+        mid[v] = cum + (pooled[v] + 1) / 2.0
+        cum += pooled[v]
+    tie = sum(t**3 - t for t in pooled.values())
+    sigma2 = n * (n + 1) / 12.0 - tie / (12.0 * (n - 1))
+    srcs = sorted(by_src)
+    a, b = srcs[0], srcs[1]
+    mra = sum(mid[v] for v in by_src[a]) / len(by_src[a])
+    mrb = sum(mid[v] for v in by_src[b]) / len(by_src[b])
+    z = (mra - mrb) / math.sqrt(
+        sigma2 * (1 / len(by_src[a]) + 1 / len(by_src[b]))
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in inference.dunn_posthoc_sources_query(spark, SF).collect()
+    }
+    row = out[(a, b)]
+    assert row["mean_rank_a"] == pytest.approx(mra, rel=1e-12)
+    assert row["mean_rank_b"] == pytest.approx(mrb, rel=1e-12)
+    assert row["z"] == pytest.approx(z, rel=1e-10)
+    k = len(srcs)
+    assert len(out) == k * (k - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley dispersion test
+# ---------------------------------------------------------------------------
+
+
+def test_ansari_bradley_matches_bruteforce(spark):
+    """Midrank A-B scores and the without-replacement null moments
+    recomputed from raw daily counts."""
+    rows = (
+        tables.table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    days = sorted(rows, key=lambda r: r["day"])
+    d0, d1 = days[0]["day"], days[-1]["day"]
+    span = (d1 - d0).days + 1
+    vals = [r["x"] for r in days]
+    early = [2 * (r["day"] - d0).days < span for r in days]
+    n = len(vals)
+    pooled = Counter(vals)
+    mid2 = {}
+    cum = 0
+    for v in sorted(pooled):
+        mid2[v] = 2 * cum + pooled[v] + 1
+        cum += pooled[v]
+    s2 = {v: min(m, 2 * (n + 1) - m) for v, m in mid2.items()}
+    ab2 = sum(s2[v] for v, e in zip(vals, early) if e)
+    n_e = sum(early)
+    ssum = sum(s2[v] for v in vals)
+    ssq = sum(s2[v] ** 2 for v in vals)
+    mu = ssum / n
+    popvar = ssq / n - mu * mu
+    var = n_e * (n - n_e) / (n - 1) * popvar
+    row = inference.ansari_bradley_halves_query(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert row["n_early"] == n_e
+    assert row["ab2"] == ab2
+    assert row["mean_ab2"] == pytest.approx(n_e * mu, rel=1e-12)
+    assert row["var_ab2"] == pytest.approx(var, rel=1e-12)
+    assert row["z"] == pytest.approx(
+        (ab2 - n_e * mu) / math.sqrt(var), rel=1e-9
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel stratified association
+# ---------------------------------------------------------------------------
+
+
+def test_cmh_matches_bruteforce(spark):
+    ev = (
+        tables.table(spark, SF, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(F.to_date("ts").alias("day"), "event_type", "value")
+        .collect()
+    )
+    strata = defaultdict(lambda: [0, 0, 0, 0])  # nk, r1, c1, a
+    for r in ev:
+        s = strata[r["day"]]
+        s[0] += 1
+        click = r["event_type"] == "click"
+        high = r["value"] > 50.0
+        s[1] += click
+        s[2] += high
+        s[3] += click and high
+    sum_a = sum(s[3] for s in strata.values())
+    sum_e = sum_v = 0.0
+    for day in sorted(strata):
+        nk, r1, c1, _ = strata[day]
+        sum_e += r1 * c1 / nk
+        if nk > 1:
+            sum_v += (
+                r1 * (nk - r1) * c1 * (nk - c1) / (nk * nk * (nk - 1))
+            )
+    row = inference.cmh_event_value_query(spark, SF).collect()[0]
+    assert row["n_strata"] == len(strata)
+    assert row["sum_a"] == sum_a
+    assert row["sum_e"] == pytest.approx(sum_e, rel=1e-12)
+    assert row["sum_v"] == pytest.approx(sum_v, rel=1e-12)
+    assert row["cmh"] == pytest.approx(
+        (sum_a - sum_e) ** 2 / sum_v, rel=1e-10
+    )
+
+
+# ---------------------------------------------------------------------------
+# Somers' D / Kendall tau-b
+# ---------------------------------------------------------------------------
+
+
+def test_somers_d_matches_bruteforce(spark):
+    li = (
+        tables.table(spark, SF, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    orders = tables.table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    obs = [(r["grp"], r["v"]) for r in li.join(orders, "l_orderkey").collect()]
+    cells = Counter(obs)
+    c_pairs = d_pairs = 0
+    items = list(cells.items())
+    for i, ((xa, ya), ca) in enumerate(items):
+        for (xb, yb), cb in items:
+            if xa < xb:
+                if ya < yb:
+                    c_pairs += ca * cb
+                elif ya > yb:
+                    d_pairs += ca * cb
+    n = len(obs)
+    nx = Counter(x for x, _ in obs)
+    ny = Counter(y for _, y in obs)
+    n0 = n * (n - 1) // 2
+    tx = sum(m * (m - 1) // 2 for m in nx.values())
+    ty = sum(m * (m - 1) // 2 for m in ny.values())
+    row = inference.somers_d_priority_query(spark, SF).collect()[0]
+    assert row["n_total"] == n
+    assert row["c_pairs"] == c_pairs
+    assert row["d_pairs"] == d_pairs
+    assert row["tx_pairs"] == tx
+    assert row["ty_pairs"] == ty
+    assert row["d_yx"] == pytest.approx(
+        (c_pairs - d_pairs) / (n0 - tx), rel=1e-12
+    )
+    assert row["d_xy"] == pytest.approx(
+        (c_pairs - d_pairs) / (n0 - ty), rel=1e-12
+    )
+    assert row["tau_b"] == pytest.approx(
+        (c_pairs - d_pairs) / math.sqrt((n0 - tx) * (n0 - ty)),
+        rel=1e-12,
+    )

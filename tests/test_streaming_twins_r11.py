@@ -208,3 +208,59 @@ def test_streaming_psi_converges_to_batch_score(spark, tmp_path):
         # ln implementations on these magnitudes
         assert g["term_fp"] == b["term_fp"], bkt
         assert g["psi_contrib"] == b["psi_contrib"], bkt
+
+
+def test_streaming_cmh_converges_to_batch_statistic(spark, tmp_path):
+    from _kafka_streams_scaffold_spark.operators import inference
+
+    ev = (
+        tables.table(spark, SF, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(F.to_date("ts").alias("day"), "event_type", "value")
+        .collect()
+    )
+    rows = [
+        {
+            "day": str(r["day"]),
+            "is_click": r["event_type"] == "click",
+            "is_high": r["value"] > 50.0,
+        }
+        for r in ev
+    ]
+    mid = len(rows) // 2
+    src = str(tmp_path / "src")
+    _write_jsonl(src, "a.json", rows[:mid], 1_700_000_000)
+    _write_jsonl(src, "b.json", rows[mid:], 1_700_000_001)
+
+    schema = T.StructType(
+        [
+            T.StructField("day", T.StringType()),
+            T.StructField("is_click", T.BooleanType()),
+            T.StructField("is_high", T.BooleanType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    store = serving.MemoryStore(["k"])
+    q = pipeline.run_update_into_store(
+        stateful.streaming_cmh(stream),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = store.snapshot()[("all",)]
+    b = inference.cmh_event_value_query(spark, SF).collect()[0]
+    assert got["n_strata"] == b["n_strata"]
+    assert got["n_events"] == b["n_events"]
+    assert got["sum_a"] == b["sum_a"]
+    # bit-equality: identical IEEE ops in identical (day-sorted)
+    # fold order over the same exact integer cells, and the integer
+    # products sit far inside 2^53 where Python's float() conversion
+    # equals the batch op's DECIMAL->double cast
+    assert got["sum_e"] == b["sum_e"]
+    assert got["sum_v"] == b["sum_v"]
+    assert got["cmh"] == b["cmh"]

@@ -1836,6 +1836,36 @@ AUDIT = [
         "a single-row BIGINT moment reduction — kappa is final "
         "IEEE on exact integers.",
     ),
+    (
+        "dunn_posthoc_sources",
+        "Reuses the Kruskal-Wallis pooled-midrank machinery: one "
+        "per-(source, value) rollup, rank sums exact BIGINT, then a "
+        "|sources|^2 broadcast pair frame — each z one IEEE "
+        "division of exact parts.",
+    ),
+    (
+        "ansari_bradley_halves",
+        "One per-day rollup; the half split is integer date "
+        "arithmetic, A-B scores are 2x-scaled BIGINTs on the "
+        "bounded |distinct daily counts| spine, and the "
+        "without-replacement null moments are a single-row "
+        "reduction (second moment through DECIMAL).",
+    ),
+    (
+        "cmh_event_value",
+        "One filtered per-day 2x2 rollup touches events; the "
+        "hypergeometric variance products route through "
+        "DECIMAL(38,0) and both cross-stratum sums fold the "
+        "day-sorted stratum list — constant outcome threshold, no "
+        "data-derived median spine.",
+    ),
+    (
+        "somers_d_priority",
+        "One lineitem rollup + key join for the priority label; "
+        "concordance counts come from the ~5 x ~13 cell grid's "
+        "broadcast self-join, tie masses from the margins through "
+        "DECIMAL(38,0) — nothing pairwise on rows.",
+    ),
 ]
 
 

@@ -932,6 +932,29 @@ def main() -> None:
             docs_reseeded(m),
             lambda: dedup.fleiss_kappa_detectors_query(spark, SF_DIR),
         ),
+        "dunn post-hoc (pooled midranks)": lambda m: _with_docs(
+            m,
+            lambda: inference_mod.dunn_posthoc_sources_query(
+                spark, SF_DIR
+            ),
+        ),
+        "ansari-bradley (scored spine)": lambda m: _with_table(
+            "orders",
+            unioned(spark, "orders", m),
+            lambda: inference_mod.ansari_bradley_halves_query(
+                spark, SF_DIR
+            ),
+        ),
+        "cmh stratified (day 2x2)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: inference_mod.cmh_event_value_query(spark, SF_DIR),
+        ),
+        "somers d (cell-grid concordance)": lambda m: _with_table(
+            "lineitem",
+            unioned(spark, "lineitem", m),
+            lambda: inference_mod.somers_d_priority_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
