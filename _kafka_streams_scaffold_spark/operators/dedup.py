@@ -3377,3 +3377,182 @@ FROM nrow CROSS JOIN s4 CROSS JOIN tie
 
 
 KENDALL_W_DETECTORS_ORACLE = _kendall_w_oracle()
+
+
+# --------------------------------------------------------------------------
+# LSH banding planner: measured bucket load per (bands, rows) scheme
+# --------------------------------------------------------------------------
+
+# Every factorization of the 32-hash signature into b bands x r rows.
+# The S-curve numbers are compile-time Python floats embedded as
+# LITERALS in both engines (they depend only on b, r, and the
+# production JACCARD_THRESHOLD), so no cross-engine pow() ever runs.
+LSH_SCHEMES = [(32, 1), (16, 2), (8, 4), (4, 8)]
+
+
+def _lsh_scheme_curve(bands: int, rows: int) -> tuple[float, float]:
+    # t50: the similarity where collision probability crosses 1/2
+    # for the 1-(1-s^r)^b S-curve -> (1 - (1/2)^(1/b))^(1/r);
+    # p_hit: collision probability AT the production threshold.
+    t50 = (1.0 - 0.5 ** (1.0 / bands)) ** (1.0 / rows)
+    p_hit = 1.0 - (1.0 - JACCARD_THRESHOLD**rows) ** bands
+    return t50, p_hit
+
+
+def lsh_param_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bands, rows_per_band, n_buckets, collision_buckets,
+    max_bucket, cand_pairs, t50, p_hit): the LSH banding PLANNER —
+    for every factorization of the 32-hash minhash signature into
+    b bands x r rows, the MEASURED bucket load on this corpus next
+    to the scheme's theoretical S-curve. gate_ordering_plan orders
+    quality gates by measured selectivity; this orders banding
+    schemes by measured join cost: cand_pairs = sum over buckets of
+    m(m-1)/2 is exactly the pair volume the candidate join must
+    process under each scheme, so the dial between recall (p_hit at
+    the production Jaccard threshold, up as r shrinks) and cost
+    (cand_pairs, up as r shrinks) is read off real data, not
+    assumed. The production 8x4 choice is auditable in one row: its
+    p_hit at 0.8 vs the 4x8 scheme's, against their measured pair
+    volumes.
+
+    Exactness: bucket sizes and m(m-1)/2 sums are exact BIGINT off
+    the SAME pinned 32-hash signatures every detector shares
+    (integer-only md5-affine hashing — dedup.py:321); the pair sum
+    routes through DECIMAL(38,0) (a degenerate corpus could put all
+    docs in one bucket: the burrows_delta class). t50/p_hit are
+    compile-time Python literals embedded identically in both
+    engines — no runtime pow.
+
+    Scale: signatures shuffle 32 ints per doc ONCE (shared pin);
+    each scheme explodes to b rows/doc (60 total across schemes),
+    and everything after is bucket-width rollups. The planner's own
+    cost is below one candidate join at any scale."""
+    docs = tables.table(spark, sf_dir, "documents")
+    sigs = _signature_table(docs)
+    parts = []
+    for bands, r in LSH_SCHEMES:
+        parts.append(
+            sigs.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(bi).alias("band"),
+                                F.concat_ws(
+                                    ":",
+                                    *[
+                                        F.col(f"h{bi * r + k}").cast(
+                                            "string"
+                                        )
+                                        for k in range(r)
+                                    ],
+                                ).alias("sig"),
+                            )
+                            for bi in range(bands)
+                        ]
+                    )
+                ).alias("bs"),
+            ).select(
+                F.lit(bands).cast("bigint").alias("bands"),
+                F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"),
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    buckets = union.groupBy("bands", "band", "sig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    per = buckets.groupBy("bands").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum((F.col("m") > 1).cast("bigint"))
+        .cast("bigint")
+        .alias("collision_buckets"),
+        F.max("m").cast("bigint").alias("max_bucket"),
+        (
+            F.sum(F.expr("cast(m as decimal(19,0)) * (m - 1)"))
+            .cast("decimal(38,0)")
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("cand_pairs"),
+    )
+    curve = F.lit(None).cast("double")
+    t50c = F.lit(None).cast("double")
+    for bands, r in LSH_SCHEMES:
+        t50, p_hit = _lsh_scheme_curve(bands, r)
+        t50c = F.when(F.col("bands") == bands, F.lit(t50)).otherwise(
+            t50c
+        )
+        curve = F.when(F.col("bands") == bands, F.lit(p_hit)).otherwise(
+            curve
+        )
+    return per.select(
+        "bands",
+        (F.lit(N_HASHES) / F.col("bands")).cast("bigint").alias(
+            "rows_per_band"
+        ),
+        "n_buckets",
+        "collision_buckets",
+        "max_bucket",
+        "cand_pairs",
+        t50c.alias("t50"),
+        curve.alias("p_hit"),
+    )
+
+
+def _lsh_param_plan_oracle() -> str:
+    scheme_rows = []
+    for bands, r in LSH_SCHEMES:
+        for bi in range(bands):
+            sig = " || ':' || ".join(
+                f"CAST(h{bi * r + k} AS VARCHAR)" for k in range(r)
+            )
+            scheme_rows.append(
+                f"SELECT CAST({bands} AS BIGINT) AS bands, {bi} AS band,"
+                f" {sig} AS sig FROM sigs"
+            )
+    all_bands = "\nUNION ALL\n".join(scheme_rows)
+    curve_rows = ",\n    ".join(
+        f"({b}, {_lsh_scheme_curve(b, r)[0]!r},"
+        f" {_lsh_scheme_curve(b, r)[1]!r})"
+        for b, r in LSH_SCHEMES
+    )
+    return f"""
+WITH {_DUCK_SHINGLE_CTE},
+hashed AS (
+  SELECT doc_id, {_BASE_DUCK} AS base FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(({a} * base + {b}) % {_MERSENNE_P}) AS h{j}" for j, (a, b) in enumerate(_AFFINE))}
+  FROM hashed GROUP BY doc_id
+),
+allbands AS ({all_bands}),
+buckets AS (
+  SELECT bands, band, sig, CAST(count(*) AS BIGINT) AS m
+  FROM allbands GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT bands,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS collision_buckets,
+         CAST(max(m) AS BIGINT) AS max_bucket,
+         CAST(CAST(sum(CAST(m AS DECIMAL(19,0)) * (m - 1))
+                   AS DECIMAL(38,0)) / 2 AS BIGINT) AS cand_pairs
+  FROM buckets GROUP BY 1
+),
+curve(bands, t50, p_hit) AS (
+  VALUES
+    {curve_rows}
+)
+SELECT p.bands, CAST({N_HASHES} / p.bands AS BIGINT) AS rows_per_band,
+       p.n_buckets, p.collision_buckets, p.max_bucket, p.cand_pairs,
+       c.t50, c.p_hit
+FROM per p JOIN curve c ON c.bands = p.bands
+"""
+
+
+LSH_PARAM_PLAN_ORACLE = _lsh_param_plan_oracle()

@@ -131,19 +131,20 @@ CORRECTNESS row. Rotation history:
   ``_apply_window`` appends the whole dedup-audit family
   immediately after slot 50 in constant order.
 
-NEXT ROTATION (round 12): the 10 round-11 post-freeze additions in
+NEXT ROTATION (round 12): the 11 round-11 post-freeze additions in
 tests/test_registry_window.py R12_MATERIAL (mood_median_test,
 cliffs_delta_sources, jonckheere_trend, durbin_watson_daily,
 ad_ksample_sources, fleiss_kappa_detectors, dunn_posthoc_sources,
-ansari_bradley_halves, cmh_event_value, somers_d_priority — cap <=
-13, the r08
+ansari_bradley_halves, cmh_event_value, somers_d_priority,
+lsh_param_plan — cap <= 13, the r08
 pipeline-pressure rule), plus any r11 reds, the stale set from a
 fresh ``tools/stale_cert_audit.py`` run, manual re-certs for
 helper-level changes the audit cannot see, and age-based fills
 (oldest green rows first: the remaining r03 rows, label_centroids
-onward alphabetically) up to 50. fleiss_kappa_detectors joined
-``_DEDUP_AUDIT_CHAIN`` (last), so if it enters the window the whole
-family block must stay consecutive. Update
+onward alphabetically) up to 50. fleiss_kappa_detectors and
+lsh_param_plan joined ``_DEDUP_AUDIT_CHAIN`` (last two), so if
+either enters the window the whole family block must stay
+consecutive. Update
 tests/test_registry_window.py in the same commit as the freeze.
 
 PREVIOUS ROTATION NOTE (round 6, kept for the audit trail): the
@@ -528,6 +529,9 @@ _DEDUP_AUDIT_CHAIN = [
     # four tier-pair pins, so it joins the consecutive keep-scope
     # block (last — every earlier member's pins stay warm for it)
     "fleiss_kappa_detectors",
+    # round-11 post-freeze addition: the banding planner reads the
+    # shared minhash-signature pin, so it rides the block too
+    "lsh_param_plan",
 ]
 
 # r07 window kept for the rotation-history tests (50/50 green in
@@ -2764,6 +2768,11 @@ def _ensure_loaded() -> None:
         "somers_d_priority",
         inference.somers_d_priority_query,
         inference.SOMERS_D_PRIORITY_ORACLE,
+    )
+    register(
+        "lsh_param_plan",
+        dedup.lsh_param_plan_query,
+        dedup.LSH_PARAM_PLAN_ORACLE,
     )
 
     _apply_window(_WINDOW_R11)

@@ -132,6 +132,7 @@ def main() -> None:
         "detector_cochran_q",
         "kendall_w_detectors",
         "fleiss_kappa_detectors",
+        "lsh_param_plan",
     }
     names = list(qs)
     timings: dict[str, float] = {}

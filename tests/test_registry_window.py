@@ -103,6 +103,9 @@ R12_MATERIAL: set[str] = {
     "ansari_bradley_halves",
     "cmh_event_value",
     "somers_d_priority",
+    # third slice: the LSH banding planner (measured bucket load per
+    # (bands, rows) factorization of the shared minhash signatures)
+    "lsh_param_plan",
 }
 
 

@@ -444,3 +444,51 @@ def test_somers_d_matches_bruteforce(spark):
         (c_pairs - d_pairs) / math.sqrt((n0 - tx) * (n0 - ty)),
         rel=1e-12,
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding planner
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_param_plan_matches_bruteforce_banding(spark):
+    """Bucket stats for every scheme recomputed in Python from the
+    SAME pinned signature table the production detectors use, plus
+    the S-curve's recall/cost monotonicity across schemes."""
+    docs = tables.table(spark, SF, "documents")
+    sigs = dedup._signature_table(docs).collect()
+    out = {
+        int(r["bands"]): r
+        for r in dedup.lsh_param_plan_query(spark, SF).collect()
+    }
+    assert set(out) == {b for b, _ in dedup.LSH_SCHEMES}
+    for bands, r in dedup.LSH_SCHEMES:
+        buckets = Counter()
+        for row in sigs:
+            for bi in range(bands):
+                sig = ":".join(
+                    str(row[f"h{bi * r + k}"]) for k in range(r)
+                )
+                buckets[(bi, sig)] += 1
+        got = out[bands]
+        assert got["rows_per_band"] == r
+        assert got["n_buckets"] == len(buckets)
+        assert got["collision_buckets"] == sum(
+            1 for m in buckets.values() if m > 1
+        )
+        assert got["max_bucket"] == max(buckets.values())
+        assert got["cand_pairs"] == sum(
+            m * (m - 1) // 2 for m in buckets.values()
+        )
+        t50, p_hit = dedup._lsh_scheme_curve(bands, r)
+        assert got["t50"] == t50
+        assert got["p_hit"] == p_hit
+    # recall falls and join cost falls as rows-per-band grows: the
+    # planner's whole point is making this dial measurable
+    by_r = sorted(out.values(), key=lambda g: g["rows_per_band"])
+    assert all(
+        a["p_hit"] >= b["p_hit"] and a["cand_pairs"] >= b["cand_pairs"]
+        for a, b in zip(by_r, by_r[1:])
+    )
+    # the S-curve midpoint tightens toward the threshold as r grows
+    assert all(a["t50"] <= b["t50"] for a, b in zip(by_r, by_r[1:]))

@@ -1866,6 +1866,14 @@ AUDIT = [
         "broadcast self-join, tie masses from the margins through "
         "DECIMAL(38,0) — nothing pairwise on rows.",
     ),
+    (
+        "lsh_param_plan",
+        "Reads the shared minhash-signature pin (32 ints/doc, one "
+        "shuffle); each scheme explodes to b rows/doc and reduces "
+        "bucket-width — the pair-volume sums never materialize a "
+        "pair. S-curve values are compile-time literals in both "
+        "engines (no runtime pow).",
+    ),
 ]
 
 

@@ -955,6 +955,13 @@ def main() -> None:
             unioned(spark, "lineitem", m),
             lambda: inference_mod.somers_d_priority_query(spark, SF_DIR),
         ),
+        # RESEEDED corpus (bucket-emitting, like the detectors: a
+        # plain union would put every doc's 10 copies in one bucket)
+        "lsh banding planner (RESEEDED)": lambda m: _with_table(
+            "documents",
+            docs_reseeded(m),
+            lambda: dedup.lsh_param_plan_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
