@@ -1066,3 +1066,85 @@ def streaming_cmh(tagged: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming Durbin-Watson (round-11 twin of stats.durbin_watson_daily)
+# --------------------------------------------------------------------------
+
+DW_OUTPUT_SCHEMA = (
+    "k string, n_days long, total_orders long, dw_num long, "
+    "dw_den long, dw double"
+)
+DW_STATE_SCHEMA = "days array<string>, x array<long>"
+
+
+def _update_dw(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    acc: dict[str, int] = {}
+    if state.exists:
+        days, xs = state.get
+        acc = {d: int(x) for d, x in zip(days, xs)}
+    for pdf in pdf_iter:
+        for day in pdf["day"].tolist():
+            acc[str(day)] = acc.get(str(day), 0) + 1
+    items = sorted(acc.items())
+    state.update(([d for d, _ in items], [x for _, x in items]))
+    # the batch op's EXACT integer arithmetic: D-scaled residuals
+    # s_t = D*x_t - S are Python ints (arbitrary precision, a
+    # superset of the BIGINT window the batch op documents), so
+    # num/den and the final single IEEE division are bit-identical
+    d = len(items)
+    s = sum(x for _, x in items)
+    sv = [d * x - s for _, x in items]
+    num = sum((sv[t] - sv[t - 1]) ** 2 for t in range(1, d))
+    den = sum(v * v for v in sv)
+    yield pd.DataFrame.from_records(
+        [
+            {
+                "k": "all",
+                "n_days": d,
+                "total_orders": s,
+                "dw_num": num,
+                "dw_den": den,
+                # float() each side first: the batch op casts BOTH
+                # BIGINTs to double before the division, and Python's
+                # int/int true division would instead round the exact
+                # rational — different once num/den outgrow 2^53
+                "dw": float(num) / float(den) if den > 0 else None,
+            }
+        ],
+        columns=["k", "n_days", "total_orders", "dw_num", "dw_den", "dw"],
+    )
+
+
+def streaming_durbin_watson(days: DataFrame) -> DataFrame:
+    """Streaming twin of ``stats.durbin_watson_daily``: the lag-1
+    serial-correlation statistic of daily arrival volume maintained
+    AS STATE while order events stream in — the ingestion-burst
+    monitor deployed live: multi-day backfills batched into bursts
+    drag dw below 2 WHILE they land, not in a nightly batch. Each
+    arriving event increments its day's counter and the full
+    day-spine DW recomputes per update (A4 emit-per-update; DW is
+    global — one new event moves the mean and so every scaled
+    residual). Input carries the batch op's stateless projection
+    (a ``day`` string column).
+
+    Scale: state is the (day -> BIGINT) spine on one global key —
+    bounded by the stream's calendar span, not its rate; the
+    shuffled record is one date string. Same foreachBatch
+    pre-aggregation recipe as streaming_benford for ingest rates
+    where the single reducer binds (per-day increments fold
+    associatively)."""
+    return days.withColumn("k", F.lit("all")).groupBy(
+        "k"
+    ).applyInPandasWithState(
+        _update_dw,
+        outputStructType=DW_OUTPUT_SCHEMA,
+        stateStructType=DW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -264,3 +264,41 @@ def test_streaming_cmh_converges_to_batch_statistic(spark, tmp_path):
     assert got["sum_e"] == b["sum_e"]
     assert got["sum_v"] == b["sum_v"]
     assert got["cmh"] == b["cmh"]
+
+
+def test_streaming_durbin_watson_converges_to_batch(spark, tmp_path):
+    from _kafka_streams_scaffold_spark.operators import stats
+
+    days = [
+        {"day": str(r["day"])}
+        for r in tables.table(spark, SF, "orders")
+        .select(F.to_date("o_orderdate").alias("day"))
+        .collect()
+    ]
+    mid = len(days) // 2
+    src = str(tmp_path / "src")
+    _write_jsonl(src, "a.json", days[:mid], 1_700_000_000)
+    _write_jsonl(src, "b.json", days[mid:], 1_700_000_001)
+
+    schema = T.StructType([T.StructField("day", T.StringType())])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    store = serving.MemoryStore(["k"])
+    q = pipeline.run_update_into_store(
+        stateful.streaming_durbin_watson(stream),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = store.snapshot()[("all",)]
+    b = stats.durbin_watson_daily_query(spark, SF).collect()[0]
+    assert got["n_days"] == b["n_days"]
+    assert got["total_orders"] == b["total_orders"]
+    # exact integer moments, then the identical double-cast division
+    assert got["dw_num"] == b["dw_num"]
+    assert got["dw_den"] == b["dw_den"]
+    assert got["dw"] == b["dw"]
