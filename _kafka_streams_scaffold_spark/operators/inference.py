@@ -4909,3 +4909,209 @@ SELECT t.n AS n_total, cd.c_pairs, cd.d_pairs,
        END AS tau_b
 FROM cd CROSS JOIN tx t CROSS JOIN ty y
 """
+
+
+# --------------------------------------------------------------------------
+# Welch's ANOVA: heteroscedastic k-sample location test (r11 add)
+# --------------------------------------------------------------------------
+
+
+def welch_anova_sources_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_rows, n_groups, w_sum, grand_mean_w, f_stat, df2): Welch's
+    heteroscedastic one-way ANOVA of ``n_chars`` across sources —
+    the third leg of the location-test triad:
+    ``anova_source_lengths`` assumes equal variances,
+    ``kruskal_wallis_sources`` drops normality, Welch keeps the
+    mean comparison but lets every source carry its OWN variance
+    (weights w_g = n_g / s_g^2), which is the honest default when
+    ``brown_forsythe_lengths`` has already shown the variances
+    differ. F* = [sum w_g (m_g - m_w)^2 / (k-1)] / [1 +
+    2(k-2)/(k^2-1) * H] with H = sum (1 - w_g/W)^2 / (n_g - 1), and
+    the Welch-Satterthwaite df2 = (k^2-1)/(3H).
+
+    Exactness: per-group moments are exact BIGINTs off ONE rollup;
+    the variance numerator n_g*ss_g - s_g^2 routes through
+    DECIMAL(38,0) (the burrows_delta overflow class); mean_g and
+    w_g are fixed per-group IEEE expressions; every cross-group sum
+    (W, the weighted mean, the A and H terms) folds the SAME
+    source-sorted struct list (the anova_source_lengths
+    unordered-double-sum fix), and F*/df2 are final IEEE. Groups
+    with n_g < 2 or zero variance cannot carry a weight and are
+    excluded at the rollup (documented; a single-doc source has no
+    within-variance to weight by).
+
+    Scale: one partial-aggregatable rollup to |sources| rows;
+    every fold is |sources|-long."""
+    docs = tables.table(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum("n_chars").cast("bigint").alias("s_g"),
+            F.sum(F.col("n_chars") * F.col("n_chars"))
+            .cast("bigint")
+            .alias("ss_g"),
+        )
+        .filter(
+            (F.col("n_g") >= 2)
+            & (
+                F.expr(
+                    "cast(cast(n_g as decimal(19,0)) * ss_g"
+                    " - cast(s_g as decimal(19,0)) * s_g"
+                    " as decimal(38,0))"
+                )
+                > 0
+            )
+        )
+        .select(
+            "source",
+            "n_g",
+            (F.col("s_g").cast("double") / F.col("n_g").cast("double"))
+            .alias("m_g"),
+            (
+                F.col("n_g").cast("double")
+                / (
+                    F.expr(
+                        "cast(cast(n_g as decimal(19,0)) * ss_g"
+                        " - cast(s_g as decimal(19,0)) * s_g"
+                        " as decimal(38,0))"
+                    ).cast("double")
+                    / (
+                        F.col("n_g").cast("double")
+                        * (F.col("n_g") - F.lit(1)).cast("double")
+                    )
+                )
+            ).alias("w_g"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.expr(
+            "array_sort(collect_list(struct(source, n_g, m_g, w_g)))"
+        ).alias("cells"),
+    ).filter(F.col("n_groups") > 1)
+    folded = agg.select(
+        "n",
+        "n_groups",
+        "cells",
+        F.expr(
+            "aggregate(cells, cast(0.0 as double),"
+            " (acc, x) -> acc + x.w_g)"
+        ).alias("w_sum"),
+        F.expr(
+            "aggregate(cells, cast(0.0 as double),"
+            " (acc, x) -> acc + x.w_g * x.m_g)"
+        ).alias("wm_sum"),
+    )
+    ybar = folded.select(
+        "n",
+        "n_groups",
+        "cells",
+        "w_sum",
+        (F.col("wm_sum") / F.col("w_sum")).alias("grand_mean_w"),
+    )
+    out = ybar.select(
+        "n",
+        "n_groups",
+        "w_sum",
+        "grand_mean_w",
+        F.expr(
+            "aggregate(cells, cast(0.0 as double), (acc, x) -> acc"
+            " + x.w_g * (x.m_g - grand_mean_w)"
+            " * (x.m_g - grand_mean_w))"
+        ).alias("a_num"),
+        F.expr(
+            "aggregate(cells, cast(0.0 as double), (acc, x) -> acc"
+            " + (1.0 - x.w_g / w_sum) * (1.0 - x.w_g / w_sum)"
+            " / cast(x.n_g - 1 as double))"
+        ).alias("h"),
+    )
+    kd = F.col("n_groups").cast("double")
+    f_stat = (F.col("a_num") / (kd - F.lit(1.0))) / (
+        F.lit(1.0)
+        + F.lit(2.0)
+        * (kd - F.lit(2.0))
+        / (kd * kd - F.lit(1.0))
+        * F.col("h")
+    )
+    return out.select(
+        F.col("n").alias("n_rows"),
+        "n_groups",
+        "w_sum",
+        "grand_mean_w",
+        F.when(F.col("h") >= 0, f_stat).alias("f_stat"),
+        F.when(
+            F.col("h") > 0,
+            (kd * kd - F.lit(1.0)) / (F.lit(3.0) * F.col("h")),
+        ).alias("df2"),
+    )
+
+
+WELCH_ANOVA_SOURCES_ORACLE = """
+WITH per0 AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(n_chars) AS BIGINT) AS s_g,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss_g
+  FROM documents GROUP BY 1
+  HAVING CAST(count(*) AS BIGINT) >= 2
+     AND CAST(CAST(count(*) AS DECIMAL(19,0)) * sum(n_chars * n_chars)
+              - CAST(sum(n_chars) AS DECIMAL(19,0)) * sum(n_chars)
+              AS DECIMAL(38,0)) > 0
+),
+per AS (
+  SELECT source, n_g,
+         CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS m_g,
+         CAST(n_g AS DOUBLE)
+           / (CAST(CAST(CAST(n_g AS DECIMAL(19,0)) * ss_g
+                        - CAST(s_g AS DECIMAL(19,0)) * s_g
+                        AS DECIMAL(38,0)) AS DOUBLE)
+              / (CAST(n_g AS DOUBLE) * CAST(n_g - 1 AS DOUBLE)))
+           AS w_g
+  FROM per0
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         list({'source': source, 'n_g': n_g, 'm_g': m_g, 'w_g': w_g}
+              ORDER BY source) AS cells
+  FROM per
+),
+folded AS (
+  SELECT n, n_groups, cells,
+         list_reduce(list_prepend(0.0, list_transform(cells,
+           x -> x.w_g)), (a, b) -> a + b) AS w_sum,
+         list_reduce(list_prepend(0.0, list_transform(cells,
+           x -> x.w_g * x.m_g)), (a, b) -> a + b) AS wm_sum
+  FROM agg WHERE n_groups > 1
+),
+ybar AS (
+  SELECT n, n_groups, cells, w_sum,
+         wm_sum / w_sum AS grand_mean_w
+  FROM folded
+),
+fin AS (
+  SELECT n, n_groups, w_sum, grand_mean_w,
+         list_reduce(list_prepend(0.0, list_transform(cells,
+           x -> x.w_g * (x.m_g - grand_mean_w)
+                * (x.m_g - grand_mean_w))), (a, b) -> a + b) AS a_num,
+         list_reduce(list_prepend(0.0, list_transform(cells,
+           x -> (1.0 - x.w_g / w_sum) * (1.0 - x.w_g / w_sum)
+                / CAST(x.n_g - 1 AS DOUBLE))), (a, b) -> a + b) AS h
+  FROM ybar
+)
+SELECT n AS n_rows, n_groups, w_sum, grand_mean_w,
+       CASE WHEN h >= 0 THEN
+         (a_num / (CAST(n_groups AS DOUBLE) - 1.0))
+         / (1.0 + 2.0 * (CAST(n_groups AS DOUBLE) - 2.0)
+              / (CAST(n_groups AS DOUBLE) * CAST(n_groups AS DOUBLE)
+                 - 1.0) * h)
+       END AS f_stat,
+       CASE WHEN h > 0 THEN
+         (CAST(n_groups AS DOUBLE) * CAST(n_groups AS DOUBLE) - 1.0)
+           / (3.0 * h)
+       END AS df2
+FROM fin
+"""

@@ -106,6 +106,9 @@ R12_MATERIAL: set[str] = {
     # third slice: the LSH banding planner (measured bucket load per
     # (bands, rows) factorization of the shared minhash signatures)
     "lsh_param_plan",
+    # fourth slice: Welch's heteroscedastic ANOVA (the unequal-
+    # variance leg of the k-sample location triad)
+    "welch_anova_sources",
 }
 
 

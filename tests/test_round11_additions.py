@@ -492,3 +492,47 @@ def test_lsh_param_plan_matches_bruteforce_banding(spark):
     )
     # the S-curve midpoint tightens toward the threshold as r grows
     assert all(a["t50"] <= b["t50"] for a, b in zip(by_r, by_r[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Welch's heteroscedastic ANOVA
+# ---------------------------------------------------------------------------
+
+
+def test_welch_anova_matches_bruteforce(spark):
+    """F* and the Welch-Satterthwaite df2 recomputed with plain
+    Python floats from the raw per-source samples."""
+    docs = (
+        tables.table(spark, SF, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r["source"]].append(r["n_chars"])
+    groups = {}
+    for srcname, vs in by_src.items():
+        n = len(vs)
+        if n < 2:
+            continue
+        mean = sum(vs) / n
+        var = sum((v - mean) ** 2 for v in vs) / (n - 1)
+        if var <= 0:
+            continue
+        groups[srcname] = (n, mean, n / var)
+    k = len(groups)
+    w_sum = sum(w for _, _, w in groups.values())
+    ybar = sum(w * m for _, m, w in groups.values()) / w_sum
+    a_num = sum(w * (m - ybar) ** 2 for _, m, w in groups.values())
+    h = sum(
+        (1 - w / w_sum) ** 2 / (n - 1) for n, _, w in groups.values()
+    )
+    f = (a_num / (k - 1)) / (1 + 2 * (k - 2) / (k * k - 1) * h)
+    df2 = (k * k - 1) / (3 * h)
+    row = inference.welch_anova_sources_query(spark, SF).collect()[0]
+    assert row["n_groups"] == k
+    assert row["n_rows"] == sum(n for n, _, _ in groups.values())
+    assert row["w_sum"] == pytest.approx(w_sum, rel=1e-12)
+    assert row["grand_mean_w"] == pytest.approx(ybar, rel=1e-12)
+    assert row["f_stat"] == pytest.approx(f, rel=1e-10)
+    assert row["df2"] == pytest.approx(df2, rel=1e-10)

@@ -1874,6 +1874,13 @@ AUDIT = [
         "pair. S-curve values are compile-time literals in both "
         "engines (no runtime pow).",
     ),
+    (
+        "welch_anova_sources",
+        "One rollup to per-source exact moments (variance numerator "
+        "through DECIMAL), per-group weights as fixed IEEE "
+        "expressions, then four source-sorted folds over the same "
+        "collected |sources| list — F* and df2 final IEEE.",
+    ),
 ]
 
 

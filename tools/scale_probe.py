@@ -962,6 +962,12 @@ def main() -> None:
             docs_reseeded(m),
             lambda: dedup.lsh_param_plan_query(spark, SF_DIR),
         ),
+        "welch anova (weighted folds)": lambda m: _with_docs(
+            m,
+            lambda: inference_mod.welch_anova_sources_query(
+                spark, SF_DIR
+            ),
+        ),
     }
 
     def embeddings(m):
