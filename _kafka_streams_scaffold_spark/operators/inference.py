@@ -5115,3 +5115,214 @@ SELECT n AS n_rows, n_groups, w_sum, grand_mean_w,
        END AS df2
 FROM fin
 """
+
+
+# --------------------------------------------------------------------------
+# Quade test: block-weighted Friedman over the daily event mix (r11)
+# --------------------------------------------------------------------------
+
+
+def quade_event_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_blocks, k_treatments, a4, b4, f_stat): the Quade test over
+    the same day x event-type volume matrix as ``friedman_event_mix``
+    — Friedman weights every day equally; Quade weights each day by
+    the rank of its within-day RANGE, so days where the event mix
+    actually separates carry the verdict and near-tied days stop
+    diluting it (the more powerful choice at small k, k <= 5 here).
+    F = (b-1) * B / (A - B) with A = sum S_ij^2, B = (1/b) sum_j
+    S_j^2, S_ij = W_b * (r_ij - (k+1)/2), F(k-1, (b-1)(k-1)) under
+    H0.
+
+    Exactness: within-day midranks and the cross-day range midranks
+    are both 2x-scaled BIGINTs (per-day rollups; the range spine is
+    |distinct ranges|-sized), so S4_ij = w2_b * (r2_ij - (k+1)) =
+    4*S_ij is exact integer; A4 = sum S4^2 and sum_j S4_j^2 route
+    through DECIMAL(38,0) and the common 16x scale cancels in F,
+    which is one final IEEE expression. A matrix where every day is
+    fully tied (all ranges equal AND all ranks tied -> A4 = B4)
+    reports NULL identically on both engines.
+
+    Scale: one per-(day, type) rollup touches events; grid,
+    midranks, ranges and moments live on the |days| x |types| spine
+    (day-partitioned bounded windows; the range-rank window runs on
+    the bounded |distinct ranges| rollup)."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type").alias("typ")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    days = daily.select("day").distinct()
+    typs = daily.select("typ").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(typs))
+        .join(daily, ["day", "typ"], "left")
+        .select(
+            "day",
+            "typ",
+            F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    lv = grid.groupBy("day", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wd = Window.partitionBy("day").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mid = lv.select(
+        "day",
+        "x",
+        (
+            F.lit(2) * F.coalesce(F.sum("cnt").over(wd), F.lit(0))
+            + F.col("cnt")
+            + F.lit(1)
+        ).cast("bigint").alias("midrank2"),
+    )
+    ranked = grid.join(mid, ["day", "x"])
+    ranges = grid.groupBy("day").agg(
+        (F.max("x") - F.min("x")).cast("bigint").alias("q")
+    )
+    qv = ranges.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    qmid = qv.select(
+        "q",
+        (
+            F.lit(2) * F.coalesce(F.sum("cnt").over(wq), F.lit(0))
+            + F.col("cnt")
+            + F.lit(1)
+        ).cast("bigint").alias("w2"),
+    )
+    weighted = ranges.join(qmid, "q").select("day", "w2")
+    dims = grid.agg(
+        F.countDistinct("day").cast("bigint").alias("b"),
+        F.countDistinct("typ").cast("bigint").alias("k"),
+    )
+    scored = (
+        ranked.join(weighted, "day")
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "typ",
+            "b",
+            "k",
+            (
+                F.col("w2")
+                * (F.col("midrank2") - (F.col("k") + F.lit(1)))
+            ).cast("bigint").alias("s4"),
+        )
+    )
+    a4 = scored.agg(
+        F.max("b").cast("bigint").alias("b"),
+        F.max("k").cast("bigint").alias("k"),
+        F.sum(F.expr("cast(s4 as decimal(19,0)) * s4"))
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("a4"),
+    )
+    sj = scored.groupBy("typ").agg(
+        F.sum("s4").cast("bigint").alias("s4_j")
+    )
+    bsum = sj.agg(
+        F.sum(F.expr("cast(s4_j as decimal(19,0)) * s4_j"))
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("sj2")
+    )
+    joined = a4.crossJoin(F.broadcast(bsum))
+    b4 = F.col("sj2").cast("double") / F.col("b").cast("double")
+    f_stat = F.when(
+        F.col("a4").cast("double") > b4,
+        (F.col("b") - F.lit(1)).cast("double")
+        * b4
+        / (F.col("a4").cast("double") - b4),
+    )
+    return joined.select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        "a4",
+        b4.alias("b4"),
+        f_stat.alias("f_stat"),
+    )
+
+
+QUADE_EVENT_MIX_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type AS typ,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM daily),
+typs AS (SELECT DISTINCT typ FROM daily),
+grid AS (
+  SELECT d.day, t.typ, CAST(COALESCE(x.x, 0) AS BIGINT) AS x
+  FROM days d CROSS JOIN typs t
+  LEFT JOIN daily x ON x.day = d.day AND x.typ = t.typ
+),
+lv AS (
+  SELECT day, x, CAST(count(*) AS BIGINT) AS cnt
+  FROM grid GROUP BY 1, 2
+),
+mid AS (
+  SELECT day, x,
+         CAST(2 * COALESCE(sum(cnt) OVER (
+             PARTITION BY day ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) + cnt + 1 AS BIGINT) AS midrank2
+  FROM lv
+),
+ranked AS (
+  SELECT g.day, g.typ, m.midrank2
+  FROM grid g JOIN mid m ON m.day = g.day AND m.x = g.x
+),
+ranges AS (
+  SELECT day, CAST(max(x) - min(x) AS BIGINT) AS q
+  FROM grid GROUP BY 1
+),
+qv AS (SELECT q, CAST(count(*) AS BIGINT) AS cnt FROM ranges GROUP BY 1),
+qmid AS (
+  SELECT q,
+         CAST(2 * COALESCE(sum(cnt) OVER (
+             ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) + cnt + 1 AS BIGINT) AS w2
+  FROM qv
+),
+weighted AS (
+  SELECT r.day, m.w2 FROM ranges r JOIN qmid m ON m.q = r.q
+),
+dims AS (
+  SELECT CAST(count(DISTINCT day) AS BIGINT) AS b,
+         CAST(count(DISTINCT typ) AS BIGINT) AS k
+  FROM grid
+),
+scored AS (
+  SELECT r.typ, d.b, d.k,
+         CAST(w.w2 * (r.midrank2 - (d.k + 1)) AS BIGINT) AS s4
+  FROM ranked r
+  JOIN weighted w ON w.day = r.day
+  CROSS JOIN dims d
+),
+a4t AS (
+  SELECT CAST(max(b) AS BIGINT) AS b, CAST(max(k) AS BIGINT) AS k,
+         CAST(CAST(sum(CAST(s4 AS DECIMAL(19,0)) * s4)
+                   AS DECIMAL(38,0)) AS BIGINT) AS a4
+  FROM scored
+),
+sj AS (
+  SELECT typ, CAST(sum(s4) AS BIGINT) AS s4_j FROM scored GROUP BY 1
+),
+bsum AS (
+  SELECT CAST(CAST(sum(CAST(s4_j AS DECIMAL(19,0)) * s4_j)
+                   AS DECIMAL(38,0)) AS BIGINT) AS sj2
+  FROM sj
+)
+SELECT a.b AS n_blocks, a.k AS k_treatments, a.a4,
+       CAST(s.sj2 AS DOUBLE) / CAST(a.b AS DOUBLE) AS b4,
+       CASE WHEN CAST(a.a4 AS DOUBLE)
+                 > CAST(s.sj2 AS DOUBLE) / CAST(a.b AS DOUBLE)
+       THEN CAST(a.b - 1 AS DOUBLE)
+            * (CAST(s.sj2 AS DOUBLE) / CAST(a.b AS DOUBLE))
+            / (CAST(a.a4 AS DOUBLE)
+               - CAST(s.sj2 AS DOUBLE) / CAST(a.b AS DOUBLE))
+       END AS f_stat
+FROM a4t a CROSS JOIN bsum s
+"""

@@ -131,12 +131,13 @@ CORRECTNESS row. Rotation history:
   ``_apply_window`` appends the whole dedup-audit family
   immediately after slot 50 in constant order.
 
-NEXT ROTATION (round 12): the 12 round-11 post-freeze additions in
+NEXT ROTATION (round 12): the 13 round-11 post-freeze additions in
 tests/test_registry_window.py R12_MATERIAL (mood_median_test,
 cliffs_delta_sources, jonckheere_trend, durbin_watson_daily,
 ad_ksample_sources, fleiss_kappa_detectors, dunn_posthoc_sources,
 ansari_bradley_halves, cmh_event_value, somers_d_priority,
-lsh_param_plan, welch_anova_sources — cap <= 13, the r08
+lsh_param_plan, welch_anova_sources, quade_event_mix — AT the 13
+cap, the r08
 pipeline-pressure rule), plus any r11 reds, the stale set from a
 fresh ``tools/stale_cert_audit.py`` run, manual re-certs for
 helper-level changes the audit cannot see, and age-based fills
@@ -2778,6 +2779,11 @@ def _ensure_loaded() -> None:
         "welch_anova_sources",
         inference.welch_anova_sources_query,
         inference.WELCH_ANOVA_SOURCES_ORACLE,
+    )
+    register(
+        "quade_event_mix",
+        inference.quade_event_mix_query,
+        inference.QUADE_EVENT_MIX_ORACLE,
     )
 
     _apply_window(_WINDOW_R11)

@@ -107,8 +107,11 @@ R12_MATERIAL: set[str] = {
     # (bands, rows) factorization of the shared minhash signatures)
     "lsh_param_plan",
     # fourth slice: Welch's heteroscedastic ANOVA (the unequal-
-    # variance leg of the k-sample location triad)
+    # variance leg of the k-sample location triad) and the Quade
+    # block-weighted completion of the Friedman blocked-rank axis —
+    # this fills the 13-slot cap exactly
     "welch_anova_sources",
+    "quade_event_mix",
 }
 
 

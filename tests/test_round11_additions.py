@@ -536,3 +536,55 @@ def test_welch_anova_matches_bruteforce(spark):
     assert row["grand_mean_w"] == pytest.approx(ybar, rel=1e-12)
     assert row["f_stat"] == pytest.approx(f, rel=1e-10)
     assert row["df2"] == pytest.approx(df2, rel=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Quade block-weighted rank test
+# ---------------------------------------------------------------------------
+
+
+def test_quade_matches_bruteforce(spark):
+    """A, B, and F recomputed from the textbook definition (range-
+    ranked block weights x centered within-block midranks) in plain
+    Python; the emitted 4x-scaled integers reduce to the same F."""
+    ev = (
+        tables.table(spark, SF, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    cells = {(str(r["day"]), r["event_type"]): r["x"] for r in ev}
+    days = sorted({d for d, _ in cells})
+    typs = sorted({t for _, t in cells})
+    k, b = len(typs), len(days)
+    grid = {
+        d: [cells.get((d, t), 0) for t in typs] for d in days
+    }
+
+    def midranks(vals):
+        out = []
+        for v in vals:
+            lt = sum(1 for u in vals if u < v)
+            eq = sum(1 for u in vals if u == v)
+            out.append(lt + (eq + 1) / 2.0)
+        return out
+
+    qs = [max(grid[d]) - min(grid[d]) for d in days]
+    w = midranks(qs)
+    s = {t: 0.0 for t in typs}
+    a = 0.0
+    for bi, d in enumerate(days):
+        r = midranks(grid[d])
+        for ti, t in enumerate(typs):
+            sij = w[bi] * (r[ti] - (k + 1) / 2.0)
+            a += sij * sij
+            s[t] += sij
+    bb = sum(v * v for v in s.values()) / b
+    f = (b - 1) * bb / (a - bb)
+    row = inference.quade_event_mix_query(spark, SF).collect()[0]
+    assert row["n_blocks"] == b
+    assert row["k_treatments"] == k
+    # the 4x integer scale: a4 = 16*A, b4 = 16*B
+    assert row["a4"] == pytest.approx(16 * a, abs=1e-6)
+    assert row["b4"] == pytest.approx(16 * bb, rel=1e-12)
+    assert row["f_stat"] == pytest.approx(f, rel=1e-10)

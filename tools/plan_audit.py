@@ -1881,6 +1881,14 @@ AUDIT = [
         "expressions, then four source-sorted folds over the same "
         "collected |sources| list — F* and df2 final IEEE.",
     ),
+    (
+        "quade_event_mix",
+        "One per-(day, type) rollup; within-day midranks and "
+        "cross-day range midranks both 2x-scaled BIGINT on bounded "
+        "spines, S4 cells exact integer, moments through "
+        "DECIMAL(38,0) — the 16x scale cancels in the single final "
+        "IEEE F expression.",
+    ),
 ]
 
 

@@ -968,6 +968,11 @@ def main() -> None:
                 spark, SF_DIR
             ),
         ),
+        "quade (range-weighted blocks)": lambda m: _with_table(
+            "events",
+            unioned(spark, "events", m),
+            lambda: inference_mod.quade_event_mix_query(spark, SF_DIR),
+        ),
     }
 
     def embeddings(m):
