@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import tables
+from ..pinning import shared_pin as _shared_pin
 from .dedup import simhash_pairs_query
 
 MAX_ROUNDS = 50  # safety bound; real convergence is diameter-bounded
@@ -54,14 +55,87 @@ def undirected(edges: DataFrame) -> DataFrame:
     connected_components + pagerank over the same graph
     (cluster_keep_list) — the 2|E|-row union/repartition then
     materializes a single time instead of per engine."""
+    return _undirected_plan(edges).localCheckpoint(eager=False)
+
+
+def _undirected_plan(edges: DataFrame) -> DataFrame:
     return (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .repartition(F.col("src"))
         .sortWithinPartitions("src")
-        .localCheckpoint(eager=False)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-11 shared roots of the SimHash doc-graph family: nine
+# registered queries (dedup_clusters, dedup_representative_stats,
+# contrastive_collision, dup_pagerank, cluster_keep_list,
+# dup_graph_degrees, kcore, source_modularity, degree_assortativity)
+# derive from the same near-dup pair list — and four of them from the
+# same CC labels / PageRank vector. Each root is a ``graph.*`` shared
+# pin (the dedup ``_tier_pairs`` hoist pattern): within one scope —
+# a composite query, or the bench's consecutive graph-family block —
+# the banded self-join, the 2|E| undirected table, the CC fixpoint
+# and the PR iteration each run ONCE instead of once per consumer.
+# Keys embed the documents scan's semantic hash, so distinct sf_dirs
+# or monkeypatched test frames never collide.
+# --------------------------------------------------------------------------
+
+
+def _dtok(spark: SparkSession, sf_dir: str) -> int:
+    return tables.table(spark, sf_dir, "documents").semanticHash()
+
+
+def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) SimHash near-dup pairs, one row per pair."""
+    return _shared_pin(
+        ("graph.edges", _dtok(spark, sf_dir)),
+        lambda: simhash_pairs_query(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+    )
+
+
+def _doc_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both directions, partitioned on src — the iterative engines'
+    input shape, materialized once per scope."""
+    # _undirected_plan, not undirected(): the pin itself checkpoints,
+    # so the lazy checkpoint inside undirected() would double-store
+    # the 2|E| blocks.
+    return _shared_pin(
+        ("graph.both", _dtok(spark, sf_dir)),
+        lambda: _undirected_plan(_doc_edges(spark, sf_dir)),
+    )
+
+
+def _doc_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) — the SimHash CC labels."""
+
+    def build() -> DataFrame:
+        docs = tables.table(spark, sf_dir, "documents").select("doc_id")
+        return connected_components(
+            docs,
+            _doc_edges(spark, sf_dir),
+            both=_doc_both(spark, sf_dir),
+        )
+
+    return _shared_pin(("graph.cc_labels", _dtok(spark, sf_dir)), build)
+
+
+def _doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pagerank) — the fixed-iteration PR vector."""
+
+    def build() -> DataFrame:
+        docs = tables.table(spark, sf_dir, "documents").select("doc_id")
+        return pagerank(
+            docs,
+            _doc_edges(spark, sf_dir),
+            both=_doc_both(spark, sf_dir),
+        )
+
+    return _shared_pin(("graph.pagerank", _dtok(spark, sf_dir)), build)
 
 
 def connected_components(
@@ -152,12 +226,10 @@ def connected_components(
 def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical duplicate clusters from the SimHash near-dup pairs:
     every document labeled with the min doc_id of its component
-    (isolated docs label themselves)."""
-    docs = tables.table(spark, sf_dir, "documents").select("doc_id")
-    edges = simhash_pairs_query(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    return connected_components(docs, edges)
+    (isolated docs label themselves). Reads the shared ``graph.cc``
+    labels (round-11): representative-stats, collision and keep-list
+    queries ride the same fixpoint instead of re-running it."""
+    return _doc_cc(spark, sf_dir)
 
 
 # Same fixpoint as a recursive reachability CTE: cluster_id is the min
@@ -195,17 +267,23 @@ def embedding_dup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer cells). Same min-label propagation engine; only the edge
     generator differs — which is the point of factoring
     connected_components over (nodes, edges)."""
-    from .similarity import ivf_near_dup_query
+    from .similarity import _etok, ivf_near_dup_query
 
-    vecs = tables.table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("doc_id")
-    )
-    edges = ivf_near_dup_query(spark, sf_dir).select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
-    )
-    return connected_components(vecs, edges).select(
-        F.col("doc_id").alias("vec_id"), "cluster_id"
-    )
+    def build() -> DataFrame:
+        vecs = tables.table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id")
+        )
+        edges = ivf_near_dup_query(spark, sf_dir).select(
+            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+        )
+        return connected_components(vecs, edges).select(
+            F.col("doc_id").alias("vec_id"), "cluster_id"
+        )
+
+    # Round-11: a ``sim.emb_cc`` shared pin — semantic_dedup_keep
+    # composes these labels with the quality score, so the embedding
+    # CC fixpoint runs once per family scope, not once per consumer.
+    return _shared_pin(("sim.emb_cc", _etok(spark, sf_dir)), build)
 
 
 def _embedding_clusters_oracle() -> str:
@@ -317,11 +395,7 @@ def dup_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the SimHash near-dup pair graph: isolated docs
     settle at the 0.15 base; hub documents of dense dup clusters rank
     highest and become the keep candidates."""
-    docs = tables.table(spark, sf_dir, "documents").select("doc_id")
-    edges = simhash_pairs_query(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    return pagerank(docs, edges)
+    return _doc_pagerank(spark, sf_dir)
 
 
 def _pagerank_oracle() -> str:
@@ -388,27 +462,22 @@ def cluster_keep_list_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is bit-exact (fixed-point contributions) and ties break on
     doc_id. Scale: adds one |V|-row join + window on top of the two
     engines' documented O(E * rounds) behavior."""
-    from ..pinning import pin as _pin
     from pyspark.sql import Window
 
-    docs = tables.table(spark, sf_dir, "documents").select("doc_id")
-    edges = _pin(
-        simhash_pairs_query(spark, sf_dir).select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        )
-    )
-    # ONE undirected/co-partitioned edge table feeds both engines —
-    # without it each would union+repartition the 2|E| rows itself.
-    both = undirected(edges)
-    # The two iterative engines are independent given the pinned edge
-    # table; submitting their round loops from two threads overlaps
-    # their jobs on the shared executors (the dedup_tier_agreement
-    # scheduling pattern), so wall time is max(CC, PR), not the sum.
+    # Round-11: both engines' outputs are graph.* shared pins — in a
+    # family-warm scope (the bench's consecutive graph block) they are
+    # already materialized and this query is one join + one window.
+    # Cold, the two builds are independent given the shared edge pin;
+    # submitting them from two threads overlaps their jobs on the
+    # shared executors (the dedup_tier_agreement scheduling pattern),
+    # so wall time is max(CC, PR), not the sum — shared_pin's per-key
+    # locks make the concurrent builds race-free.
     from concurrent.futures import ThreadPoolExecutor
 
+    _doc_both(spark, sf_dir)  # build the shared prefix once, not per thread
     with ThreadPoolExecutor(2) as ex:
-        f_cc = ex.submit(connected_components, docs, edges, both=both)
-        f_pr = ex.submit(pagerank, docs, edges, both=both)
+        f_cc = ex.submit(_doc_cc, spark, sf_dir)
+        f_pr = ex.submit(_doc_pagerank, spark, sf_dir)
         cc, pr = f_cc.result(), f_pr.result()
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("pagerank").desc(), F.col("doc_id")
@@ -496,9 +565,7 @@ def dup_graph_degrees_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: edges -> per-doc degree (one partial-aggregated shuffle),
     left join docs for the zero mass, log2 bucket, tiny groupBy."""
     docs = tables.table(spark, sf_dir, "documents").select("doc_id")
-    edges = simhash_pairs_query(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    edges = _doc_edges(spark, sf_dir)
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -597,10 +664,7 @@ def kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     no graph tier at all; this extends the dedup family per the
     north-star brief.
     """
-    edges = simhash_pairs_query(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    both = undirected(edges)
+    both = _doc_both(spark, sf_dir)
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     prev_n = None
     for _ in range(MAX_ROUNDS):
@@ -701,7 +765,9 @@ def source_modularity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     m is a one-row broadcast. Nothing here is heavier than the
     detector that feeds it."""
     docs = tables.table(spark, sf_dir, "documents").select("doc_id", "source")
-    edges = simhash_pairs_query(spark, sf_dir).select("doc_a", "doc_b")
+    edges = _doc_edges(spark, sf_dir).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
     sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
     labeled = edges.join(sa, "doc_a").join(sb, "doc_b")
@@ -818,7 +884,9 @@ def degree_assortativity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: degree rollup + one id-width join per endpoint + a single
     global integer aggregate. No pair work beyond the existing edge
     list."""
-    edges = simhash_pairs_query(spark, sf_dir).select("doc_a", "doc_b")
+    edges = _doc_edges(spark, sf_dir).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
     both = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )

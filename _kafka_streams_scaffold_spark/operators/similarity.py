@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from .. import tables
 from ..functions.xhash import hash60_duck, hash60_spark
 from ..pinning import pin as _pin
+from ..pinning import shared_pin as _shared_pin
 from ..tables import EMBED_DIM as DIM  # load-time quarantine owns the dim
 TOP_K = 5
 N_QUERIES = 10
@@ -64,6 +65,14 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("norm", F.expr(_norm_sql(vec_col, "spark")))
 
 
+def _etok(spark: SparkSession, sf_dir: str) -> int:
+    """Input-identity token for the embedding-family shared pins
+    (``sim.*`` keys): the semantic hash of the raw embeddings scan,
+    so distinct sf_dirs (or monkeypatched test frames) never collide —
+    the same contract dedup.py's ``docs.semanticHash()`` keys carry."""
+    return tables.table(spark, sf_dir, "embeddings").semanticHash()
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings spread across cores BEFORE the norm computation.
 
@@ -80,31 +89,43 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for query vectors vec_id < 10."""
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("norm").alias("q_norm"),
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("n_vec"),
-        F.col("norm").alias("n_norm"),
-    )
-    cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
-        F.col("q_norm") * F.col("n_norm")
-    )
-    scored = (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine.alias("cosine"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-    )
+    """Exact cosine top-5 neighbors for query vectors vec_id < 10.
+
+    Round-11: the exact reference list is a ``sim.ann_topk`` shared
+    pin — ten registered queries consume it (every recall/fusion/MRR
+    audit measures against this table), and within the bench's
+    consecutive embedding family it materializes once instead of
+    once per auditor (the ``_tier_pairs`` hoist pattern from r10)."""
+
+    def build() -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("norm").alias("q_norm"),
+        )
+        corpus = emb.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_vec"),
+            F.col("norm").alias("n_norm"),
+        )
+        cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
+            F.col("q_norm") * F.col("n_norm")
+        )
+        scored = (
+            corpus.crossJoin(F.broadcast(queries))
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id", cosine.alias("cosine"))
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("n_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+        )
+
+    return _shared_pin(("sim.ann_topk", _etok(spark, sf_dir)), build)
 
 
 ANN_TOPK_ORACLE = f"""
@@ -175,29 +196,38 @@ def ivf_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the cell key and AQE splits any residual skew."""
     # Pinned: the cells table (vec, norm, cell key) feeds both join
     # sides; without it the centroid-train + assign subtree re-runs
-    # three times (sizes + each side).
-    cells = _pin(ivf_cells(spark, sf_dir))
-    a = cells.select(
-        F.col("assigned_label").alias("label"),
-        "sub_id",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("va"),
-        F.col("norm").alias("na"),
-    )
-    b = cells.select(
-        F.col("assigned_label").alias("label"),
-        "sub_id",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    cosine = F.expr(_dot_sql("va", "vb", "spark")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, ["label", "sub_id"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("label", "vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
-    )
+    # three times (sizes + each side). Round-11: the verified pair
+    # list itself is a ``sim.near_dup_edges`` shared pin — the
+    # embedding CC clustering tier consumes exactly this table, so
+    # within the bench's embedding family the cell self-join runs
+    # once, not once per consumer.
+    def build() -> DataFrame:
+        cells = _pin(ivf_cells(spark, sf_dir))
+        a = cells.select(
+            F.col("assigned_label").alias("label"),
+            "sub_id",
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("va"),
+            F.col("norm").alias("na"),
+        )
+        b = cells.select(
+            F.col("assigned_label").alias("label"),
+            "sub_id",
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("vb"),
+            F.col("norm").alias("nb"),
+        )
+        cosine = F.expr(_dot_sql("va", "vb", "spark")) / (
+            F.col("na") * F.col("nb")
+        )
+        return (
+            a.join(b, ["label", "sub_id"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("label", "vec_a", "vec_b", cosine.alias("cosine"))
+            .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        )
+
+    return _shared_pin(("sim.near_dup_edges", _etok(spark, sf_dir)), build)
 
 
 # --------------------------------------------------------------------------
@@ -230,43 +260,57 @@ def dyn_ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hash-sample instead, which changes nothing below.
     SCALE.md probes that cells ∝ n while max cell size stays flat.
     Determinism: fold-form dot products, ties broken on (dist2, seed
-    id) — fully oracle-checked, no tolerance."""
-    emb = _emb(spark, sf_dir)
-    coarse = ivf_assign_query(spark, sf_dir).select(
-        "vec_id", F.col("assigned_label").alias("coarse_label")
-    )
-    h = hash60_spark("cast(vec_id as string)", _DYN_SEED)
-    nodes = _pin(
-        emb.join(coarse, "vec_id").withColumn("h", F.expr(h))
-    )
-    sizes = nodes.groupBy("coarse_label").agg(
-        F.count(F.lit(1)).alias("cell_n")
-    )
-    w_seed = Window.partitionBy("coarse_label").orderBy("h", "vec_id")
-    seeds = (
-        nodes.join(F.broadcast(sizes), "coarse_label")
-        .withColumn("sr", F.row_number().over(w_seed))
-        .filter(
-            F.col("sr")
-            <= F.expr(f"(cell_n + {IVF_TARGET_CELL - 1}) div {IVF_TARGET_CELL}")
+    id) — fully oracle-checked, no tolerance.
+
+    Round-11: a ``sim.dyn_assign`` shared pin — the kNN edge list and
+    this registered query both read it; one build per family scope."""
+
+    def build() -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        coarse = ivf_assign_query(spark, sf_dir).select(
+            "vec_id", F.col("assigned_label").alias("coarse_label")
         )
-        .select(
-            "coarse_label",
-            F.col("vec_id").alias("s_id"),
-            F.col("embedding").alias("s_vec"),
+        h = hash60_spark("cast(vec_id as string)", _DYN_SEED)
+        nodes = _pin(
+            emb.join(coarse, "vec_id").withColumn("h", F.expr(h))
         )
-    )
-    dot_vv = F.expr(_dot_sql("embedding", "embedding", "spark"))
-    dot_ss = F.expr(_dot_sql("s_vec", "s_vec", "spark"))
-    dot_vs = F.expr(_dot_sql("embedding", "s_vec", "spark"))
-    w_near = Window.partitionBy("vec_id").orderBy("dist2", "s_id")
-    return (
-        nodes.join(seeds, "coarse_label")
-        .withColumn("dist2", dot_vv - 2 * dot_vs + dot_ss)
-        .withColumn("rn", F.row_number().over(w_near))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "coarse_label", F.col("s_id").alias("sub_seed"), "dist2")
-    )
+        sizes = nodes.groupBy("coarse_label").agg(
+            F.count(F.lit(1)).alias("cell_n")
+        )
+        w_seed = Window.partitionBy("coarse_label").orderBy("h", "vec_id")
+        seeds = (
+            nodes.join(F.broadcast(sizes), "coarse_label")
+            .withColumn("sr", F.row_number().over(w_seed))
+            .filter(
+                F.col("sr")
+                <= F.expr(
+                    f"(cell_n + {IVF_TARGET_CELL - 1}) div {IVF_TARGET_CELL}"
+                )
+            )
+            .select(
+                "coarse_label",
+                F.col("vec_id").alias("s_id"),
+                F.col("embedding").alias("s_vec"),
+            )
+        )
+        dot_vv = F.expr(_dot_sql("embedding", "embedding", "spark"))
+        dot_ss = F.expr(_dot_sql("s_vec", "s_vec", "spark"))
+        dot_vs = F.expr(_dot_sql("embedding", "s_vec", "spark"))
+        w_near = Window.partitionBy("vec_id").orderBy("dist2", "s_id")
+        return (
+            nodes.join(seeds, "coarse_label")
+            .withColumn("dist2", dot_vv - 2 * dot_vs + dot_ss)
+            .withColumn("rn", F.row_number().over(w_near))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id",
+                "coarse_label",
+                F.col("s_id").alias("sub_seed"),
+                "dist2",
+            )
+        )
+
+    return _shared_pin(("sim.dyn_assign", _etok(spark, sf_dir)), build)
 
 
 # DYN_IVF_ASSIGN_ORACLE is defined after _DUCK_ASSIGN_CTES below
@@ -578,14 +622,27 @@ def ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every vector to its nearest label centroid (squared
     euclidean): label_centroids is the quantizer-update step, this is
     the assignment step, ivf_near_dup and ivf_ann are the query steps
-    over the resulting cells."""
-    w = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
-    return (
-        _vec_cell_scores(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "orig_label", F.col("c_label").alias("assigned_label"), "dist2")
-    )
+    over the resulting cells.
+
+    Round-11: a ``sim.assign`` shared pin — eight registered queries
+    derive from this assignment (cells, dyn sub-quantizer, the
+    cell-label audits); one materialization per family scope."""
+
+    def build() -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+        return (
+            _vec_cell_scores(spark, sf_dir)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id",
+                "orig_label",
+                F.col("c_label").alias("assigned_label"),
+                "dist2",
+            )
+        )
+
+    return _shared_pin(("sim.assign", _etok(spark, sf_dir)), build)
 
 
 def _duck_centroid_dots() -> tuple[str, str]:
@@ -862,36 +919,41 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sub-quantizer, whose cell sizes stay ~flat (~IVF_TARGET_CELL)
     while the CELL COUNT grows with n. Per-cell work is then bounded
     and total cost is O(n * target) at any corpus size."""
-    emb = _emb(spark, sf_dir)
-    assign = dyn_ivf_assign_query(spark, sf_dir).select(
-        "vec_id", "coarse_label", "sub_seed"
-    )
-    nodes = emb.join(assign, "vec_id")
-    a = nodes.select(
-        F.col("vec_id").alias("q_id"),
-        "coarse_label",
-        "sub_seed",
-        F.col("embedding").alias("q_vec"),
-        F.col("norm").alias("q_norm"),
-    )
-    b = nodes.select(
-        F.col("vec_id").alias("n_id"),
-        "coarse_label",
-        "sub_seed",
-        F.col("embedding").alias("n_vec"),
-        F.col("norm").alias("n_norm"),
-    )
-    cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
-        F.col("q_norm") * F.col("n_norm")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return _pin(
-        a.join(b, ["coarse_label", "sub_seed"])
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-    )
+    def build() -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        assign = dyn_ivf_assign_query(spark, sf_dir).select(
+            "vec_id", "coarse_label", "sub_seed"
+        )
+        nodes = emb.join(assign, "vec_id")
+        a = nodes.select(
+            F.col("vec_id").alias("q_id"),
+            "coarse_label",
+            "sub_seed",
+            F.col("embedding").alias("q_vec"),
+            F.col("norm").alias("q_norm"),
+        )
+        b = nodes.select(
+            F.col("vec_id").alias("n_id"),
+            "coarse_label",
+            "sub_seed",
+            F.col("embedding").alias("n_vec"),
+            F.col("norm").alias("n_norm"),
+        )
+        cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
+            F.col("q_norm") * F.col("n_norm")
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("n_id")
+        )
+        return (
+            a.join(b, ["coarse_label", "sub_seed"])
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id", cosine.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= KNN_K)
+        )
+
+    return _shared_pin(("sim.knn_edges", _etok(spark, sf_dir)), build)
 
 
 def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:

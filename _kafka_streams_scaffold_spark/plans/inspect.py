@@ -40,6 +40,14 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
 
 
+def reads_pinned(tree_text: str) -> bool:
+    """True when the plan reads a pinned (materialized) table instead
+    of re-deriving it. persist-mode pins render ``InMemoryTableScan``;
+    checkpoint-mode pins (the round-11 default — see
+    ``pinning._TRUNCATE``) render ``Scan ExistingRDD`` leaves."""
+    return "InMemoryTableScan" in tree_text or "ExistingRDD" in tree_text
+
+
 def tree(df: DataFrame, elide_cached: bool = True) -> str:
     """Just the numbered plan tree (formatted explain repeats every
     node header in the details section — counting on the full string

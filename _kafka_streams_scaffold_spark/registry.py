@@ -363,12 +363,87 @@ _WINDOW_R11 = [
     "clean_text",
     "corpus_keep",
     "data_quality_audit",
-    "dedup_clusters",
     "distinct_users_daily",
     "doc_chunks",
     "doc_fingerprint",
     "doc_repetition",
+    # LAST two on purpose (round-11 optimization): both are members
+    # of the SimHash doc-graph family, and _apply_window places
+    # _GRAPH_CHAIN immediately after the window — so the family runs
+    # back-to-back across the window boundary and the graph.* shared
+    # pins (edge list, undirected table, CC labels, PageRank vector)
+    # build once for all nine members. Window MEMBERSHIP is unchanged
+    # from the freeze; only the order inside the 50 moved, which the
+    # driver's prefix gate does not care about.
+    "dedup_clusters",
     "dup_pagerank",
+]
+
+# Round-11 optimization chains (the dedup-audit keep-scope pattern
+# generalized): each list is a family of registered queries that
+# derive from the same shared_pin roots, kept CONSECUTIVE in registry
+# order so bench.py can hold the family's pins warm across the block.
+# Membership was measured, not guessed: tools-instrumented shared_pin
+# key tracking over every registered query (see OPTIMIZATION_r11.md).
+
+# SimHash doc-graph family (graph.* pins) — continues the window's
+# dedup_clusters / dup_pagerank tail.
+_GRAPH_CHAIN = [
+    "dedup_representative_stats",
+    "contrastive_collision",
+    "cluster_keep_list",
+    "dup_graph_degrees",
+    "kcore",
+    "source_modularity",
+    "degree_assortativity",
+]
+
+# Embedding / ANN family (sim.* pins): quantizer assignment, exact
+# top-k reference, kNN edge list, PQ codebook/ADC, near-dup pairs and
+# the embedding CC labels. ann_topk itself sits in the r11 window, so
+# its pin rebuilds once inside this block (first consumer).
+_EMB_CHAIN = [
+    # coarse-assignment consumers (sim.assign builds here)
+    "ivf_assign",
+    "embedding_outliers",
+    "ncc_confusion",
+    "cell_label_gini",
+    "v_measure_cells",
+    # IVF search + audits (sim.ann_topk builds at first consumer)
+    "ivf_ann",
+    "ivf_probe_recall_curve",
+    "mrr_audit",
+    # recall ladder over the exact reference
+    "lsh_ann_recall",
+    "lsh_multiprobe_recall",
+    "matryoshka_recall",
+    "recall_at_k_curve",
+    "int8_ann_recall",
+    "binary_ann_recall",
+    "quantized_ann_ndcg",
+    "rank_biased_overlap",
+    # PQ tier (sim.pq_codebook / sim.pq_adc build here)
+    "pq_codes",
+    "pq_ann",
+    "pq_ann_rerank",
+    "pq_recall",
+    "ann_rank_fusion",
+    # dynamic sub-quantizer + kNN graph tier (sim.dyn_assign /
+    # sim.knn_edges build here)
+    "dyn_ivf_assign",
+    "knn_graph",
+    "knn_triangles",
+    "knn_lof_outliers",
+    "knn_label_purity",
+    "adamic_adar_links",
+    "local_clustering_coeff",
+    "ann_hubness_audit",
+    "label_purity_null_baseline",
+    "twonn_intrinsic_dim",
+    # near-dup pairs + embedding CC (sim.near_dup_edges / sim.emb_cc)
+    "ivf_near_dup",
+    "embedding_dup_clusters",
+    "semantic_dedup_keep",
 ]
 
 # r09 window kept for the rotation-history tests (50/50 green in
@@ -814,11 +889,15 @@ def _apply_window(window: list[str]) -> None:
     # never exceed 50 — a 51st entry would silently skip the gate.
     assert len(window) == len(set(window)) <= 50, len(window)
     ordered = {n: _QUERIES[n] for n in window}
-    # keep-scope adjacency: the dedup-audit family runs back-to-back
-    # right after the window (see _DEDUP_AUDIT_CHAIN)
-    for n in _DEDUP_AUDIT_CHAIN:
-        if n in _QUERIES and n not in ordered:
-            ordered[n] = _QUERIES[n]
+    # keep-scope adjacency: each shared-pin family runs back-to-back.
+    # _GRAPH_CHAIN first — it CONTINUES the window's trailing
+    # dedup_clusters / dup_pagerank slots, so the graph.* pins stay
+    # warm across the window boundary; then the dedup-audit family
+    # (see _DEDUP_AUDIT_CHAIN), then the embedding/ANN family.
+    for chain in (_GRAPH_CHAIN, _DEDUP_AUDIT_CHAIN, _EMB_CHAIN):
+        for n in chain:
+            if n in _QUERIES and n not in ordered:
+                ordered[n] = _QUERIES[n]
     for n, fn in _QUERIES.items():
         if n not in ordered:
             ordered[n] = fn

@@ -111,43 +111,52 @@ def main() -> None:
     _calibration(spark)
     cal_first = _calibration(spark)
 
-    # The dedup-audit family: consecutive composite queries that all
-    # derive the same shared shingle/signature/pair roots
-    # (dedup.* shared_pin keys). Within a consecutive run of these,
-    # release everything EXCEPT those roots so the second and third
-    # audits read the first one's materializations instead of
-    # re-running the four detectors (the r6 verdict's triple-pay
-    # observation); the family's shared keys are cleared the moment
-    # the next query is an outsider, so solo measurements and every
-    # other family keep the honest per-query-release contract.
-    dedup_family = {
-        "dedup_tier_agreement",
-        "dedup_token_savings",
-        "source_dedup_matrix",
-        "minhash_estimate_audit",
-        "blocking_recall_audit",
-        "detector_kappa",
-        "detector_mcnemar",
-        "dup_capture_recapture",
-        "detector_cochran_q",
-        "kendall_w_detectors",
-        "fleiss_kappa_detectors",
-        "lsh_param_plan",
-    }
+    # Shared-pin families: consecutive composite queries that derive
+    # the same shared roots (the r6 verdict's triple-pay observation,
+    # generalized in round 11 from the dedup-audit family to the
+    # SimHash doc-graph and embedding/ANN families). Within a
+    # consecutive run of one family, release everything EXCEPT that
+    # family's shared_pin roots so later members read the first
+    # member's materializations instead of re-deriving them; the keys
+    # are cleared the moment the next query is an outsider, so solo
+    # measurements and every other query keep the honest
+    # per-query-release contract. Membership lists live next to the
+    # registry order they depend on (registry._*_CHAIN).
+    from _kafka_streams_scaffold_spark import registry as _reg
+
+    families: list[tuple[set, tuple]] = [
+        (set(_reg._DEDUP_AUDIT_CHAIN), ("dedup.",)),
+        # the graph family starts on the window's trailing
+        # dedup_clusters / dup_pagerank slots and continues into the
+        # appended _GRAPH_CHAIN block
+        (
+            set(_reg._GRAPH_CHAIN) | {"dedup_clusters", "dup_pagerank"},
+            ("graph.",),
+        ),
+        (set(_reg._EMB_CHAIN) | {"ann_topk"}, ("sim.",)),
+    ]
+
+    def _family(n: str | None):
+        for fid, (members, prefixes) in enumerate(families):
+            if n in members:
+                return fid, prefixes
+        return None, ()
+
     names = list(qs)
     timings: dict[str, float] = {}
-    # Queries whose timing was taken with the dedup.* shared pins
+    # Queries whose timing was taken with their family's shared pins
     # still WARM from the preceding family member — their numbers
     # measure warm shared-pin reads, not cold builds, so they are NOT
-    # comparable to solo/check_oracle timings or to pre-r07 rounds'
-    # cold measurements. Tagged in the payload so round-over-round
+    # comparable to solo/check_oracle timings or to cold rounds'
+    # measurements. Tagged in the payload so round-over-round
     # comparisons don't misread the cheaper warm numbers as speedups.
     warm_family: list[str] = []
     t_all = time.time()
     for i, name in enumerate(names):
         fn = qs[name]
         prev = names[i - 1] if i > 0 else None
-        if name in dedup_family and prev in dedup_family:
+        fid, prefixes = _family(name)
+        if fid is not None and _family(prev)[0] == fid:
             warm_family.append(name)
         t0 = time.time()
         df = fn(spark, sf_dir)
@@ -161,10 +170,10 @@ def main() -> None:
         # first 21 registry slots with per-query release (ivf_assign
         # alone: 9.1s pinned-accumulating vs 1.1s clean).
         nxt = names[i + 1] if i + 1 < len(names) else None
-        if name in dedup_family and nxt in dedup_family:
+        if fid is not None and _family(nxt)[0] == fid:
             pinning.unpersist_all(
                 keep=lambda k: isinstance(k, tuple)
-                and str(k[0]).startswith("dedup.")
+                and str(k[0]).startswith(prefixes)
             )
         else:
             pinning.unpersist_all()

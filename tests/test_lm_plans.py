@@ -24,9 +24,14 @@ def _n(tree: str, node: str) -> int:
 
 
 def test_unigram_lm_broadcasts_surprisal_table(spark, sf_dir):
-    # elide_cached=False: the single parquet scan being asserted lives
-    # INSIDE the pinned token frame's cached build plan
-    t = pi.tree(lm.unigram_lm_score_query(spark, sf_dir), elide_cached=False)
+    # elide_cached=False + full_lineage pins: the single parquet scan
+    # being asserted lives INSIDE the pinned token frame's build plan
+    from _kafka_streams_scaffold_spark import pinning
+
+    with pinning.full_lineage():
+        t = pi.tree(
+            lm.unigram_lm_score_query(spark, sf_dir), elide_cached=False
+        )
     # vocabulary-sized surprisal table broadcasts onto the token
     # stream: occurrences must NOT sort-merge for the scoring join
     assert _n(t, "BroadcastHashJoin") >= 1

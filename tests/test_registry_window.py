@@ -150,6 +150,38 @@ def test_dedup_audit_chain_is_one_consecutive_block():
     assert names[pos[0]] == "dedup_tier_agreement"
 
 
+def test_graph_chain_is_consecutive_and_continues_the_window():
+    """Round-11: the SimHash doc-graph family shares graph.* pins
+    (edge list, undirected table, CC labels, PageRank). bench.py's
+    keep-scope needs the nine members back-to-back; the first two
+    (dedup_clusters, dup_pagerank) sit at the END of the r11 window
+    and _GRAPH_CHAIN continues immediately after it."""
+    names = list(registry.queries())
+    members = ["dedup_clusters", "dup_pagerank", *registry._GRAPH_CHAIN]
+    pos = [names.index(n) for n in members]
+    assert pos == list(range(pos[0], pos[0] + len(pos))), (
+        "graph family not consecutive in registry order"
+    )
+    # the builders run first so followers read warm pins
+    assert members[0] == "dedup_clusters"
+
+
+def test_emb_chain_is_consecutive():
+    """Round-11: the embedding/ANN family shares sim.* pins (coarse
+    assignment, exact top-k reference, PQ codebook/ADC, dynamic
+    sub-assignment, kNN edges, near-dup pairs, embedding CC labels).
+    All _EMB_CHAIN members must run back-to-back for bench.py's
+    keep-scope; membership was measured by instrumenting shared_pin
+    key usage over every registered query."""
+    names = list(registry.queries())
+    pos = sorted(names.index(n) for n in registry._EMB_CHAIN)
+    assert pos == list(range(pos[0], pos[0] + len(pos))), (
+        "embedding family not consecutive in registry order"
+    )
+    # sim.assign must build before its followers consume it
+    assert names[pos[0]] == "ivf_assign"
+
+
 def test_window_queries_need_a_driver_row():
     """The rotation's whole point: no slot is wasted on a query that
     already has a GREEN CORRECTNESS row from rounds 1-10 — except the
@@ -272,19 +304,32 @@ def test_no_registered_query_plans_cartesian_or_row_python(spark, sf_dir):
     row-at-a-time / arrow-eval Python in any registered query's plan.
     Every crossJoin in the tree must broadcast (BroadcastNestedLoop),
     and all Python execution goes through mapInPandas/applyInPandas
-    nodes, never per-expression eval."""
+    nodes, never per-expression eval.
+
+    Round-11: runs under ``pinning.full_lineage()`` — the checkpoint
+    pin default hands consumers LogicalRDD leaves, which would hide
+    every pinned build from this sweep; persist-mode pins keep the
+    complete logical derivation visible, and the logical query
+    surface audited here is identical in both modes."""
+    from _kafka_streams_scaffold_spark import pinning
     from _kafka_streams_scaffold_spark.plans import inspect as pi
 
     bad: dict[str, list[str]] = {}
-    for name, fn in registry.queries().items():
-        t = pi.tree(fn(spark, sf_dir), elide_cached=False)
-        hits = [
-            node
-            for node in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
-            if node in t
-        ]
-        if hits:
-            bad[name] = hits
+    with pinning.full_lineage():
+        for name, fn in registry.queries().items():
+            t = pi.tree(fn(spark, sf_dir), elide_cached=False)
+            hits = [
+                node
+                for node in (
+                    "CartesianProduct",
+                    "BatchEvalPython",
+                    "ArrowEvalPython",
+                )
+                if node in t
+            ]
+            if hits:
+                bad[name] = hits
+            pinning.unpersist_all()
     assert not bad, f"anti-pattern nodes in registered plans: {bad}"
 
 

@@ -58,13 +58,14 @@ def test_hilbert_chain_is_codegen_no_udf(spark, sf_dir):
 
 
 def test_phash_pairs_posting_join_shape(spark, sf_dir):
-    t = pi.tree(
-        multimodal.phash_dup_pairs_query(spark, sf_dir), elide_cached=False
-    )
+    from _kafka_streams_scaffold_spark import pinning
+
+    with pinning.full_lineage():
+        t = pi.tree(
+            multimodal.phash_dup_pairs_query(spark, sf_dir),
+            elide_cached=False,
+        )
     # candidate generation is an equi-join (posting lists), never a
     # cartesian/nested-loop pair scan
     assert _n(t, "CartesianProduct") == 0
     assert _n(t, "BroadcastNestedLoopJoin") == 0
-    from _kafka_streams_scaffold_spark import pinning
-
-    pinning.unpersist_all()

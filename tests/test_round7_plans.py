@@ -94,7 +94,7 @@ def test_session_concurrency_sessionizes_once(spark, sf_dir):
     # renderer elides the cached branches, so the Window itself is
     # asserted on the un-pinned upstream below)
     assert t.count("Scan parquet") == 0
-    assert "InMemoryTableScan" in t
+    assert pi.reads_pinned(t)  # pinned artifact read, not re-derived
     assert _n(t, "BroadcastHashJoin") == 1  # days x peaks, both tiny
 
 

@@ -16,6 +16,7 @@ from _kafka_streams_scaffold_spark.operators import (
     stats,
     textops,
 )
+from _kafka_streams_scaffold_spark import pinning
 from _kafka_streams_scaffold_spark.plans import inspect as pi
 
 
@@ -28,16 +29,18 @@ def _no_python(t: str) -> None:
 
 
 def test_tail_share_one_scan_broadcast_anti_head(spark, sf_dir):
-    t = pi.tree(
-        lexstats.tail_token_share_query(spark, sf_dir), elide_cached=False
-    )
+    with pinning.full_lineage():
+        t = pi.tree(
+            lexstats.tail_token_share_query(spark, sf_dir),
+            elide_cached=False,
+        )
     _no_python(t)
     # the (source, term) rollup is pinned: totals, the head and the
     # anti-probe all read ONE cached build — exactly one parquet scan
     # node id in the whole tree, and the explode lives inside it
     # (<= 2 distinct Generate ids: the cached build's final+initial
     # AQE variants)
-    assert "InMemoryTableScan" in t
+    assert pi.reads_pinned(t)  # pinned artifact read, not re-derived
     assert _n(t, "Scan parquet") == 1
     assert _n(t, "Generate") <= 2
     # the constant-size head enters the tail filter as a broadcast
@@ -48,11 +51,12 @@ def test_tail_share_one_scan_broadcast_anti_head(spark, sf_dir):
 
 
 def test_log_odds_grid_one_scan_broadcast_built(spark, sf_dir):
-    t = pi.tree(
-        lexstats.log_odds_terms_query(spark, sf_dir), elide_cached=False
-    )
+    with pinning.full_lineage():
+        t = pi.tree(
+            lexstats.log_odds_terms_query(spark, sf_dir), elide_cached=False
+        )
     _no_python(t)
-    assert "InMemoryTableScan" in t
+    assert pi.reads_pinned(t)  # pinned artifact read, not re-derived
     assert _n(t, "Scan parquet") == 1
     assert _n(t, "Generate") <= 2
     # the sources x vocabulary grid comes from broadcasting the
@@ -73,13 +77,15 @@ def test_lexicon_gate_is_one_scan_no_explode_shuffle(spark, sf_dir):
 
 
 def test_v_measure_single_assignment_dimension_rollups(spark, sf_dir):
-    t = pi.tree(
-        similarity.v_measure_cells_query(spark, sf_dir), elide_cached=False
-    )
+    with pinning.full_lineage():
+        t = pi.tree(
+            similarity.v_measure_cells_query(spark, sf_dir),
+            elide_cached=False,
+        )
     _no_python(t)
     # the (cell, label) joint rollup is pinned; cells/labels/grand
     # totals broadcast back onto it
-    assert "InMemoryTableScan" in t
+    assert pi.reads_pinned(t)  # pinned artifact read, not re-derived
     assert "SortMergeJoin" not in t
     assert "BroadcastNestedLoopJoin" in t or "BroadcastHashJoin" in t
 
@@ -132,15 +138,16 @@ def test_weighted_median_window_runs_on_compressed_points(spark, sf_dir):
 def test_participation_ratio_one_pass_no_smj(spark, sf_dir):
     from _kafka_streams_scaffold_spark.operators import pca
 
-    t = pi.tree(
-        pca.participation_ratio_query(spark, sf_dir), elide_cached=False
-    )
+    with pinning.full_lineage():
+        t = pi.tree(
+            pca.participation_ratio_query(spark, sf_dir), elide_cached=False
+        )
     _no_python(t)
     # one corpus scan into the pinned d^2 moment rollup; trace and
     # Frobenius folds read the cache; marginals broadcast
     assert _n(t, "Scan parquet") == 1
     assert "SortMergeJoin" not in t
-    assert "InMemoryTableScan" in t
+    assert pi.reads_pinned(t)  # pinned artifact read, not re-derived
 
 
 def test_kendall_w_no_cartesian_no_python(spark, sf_dir):

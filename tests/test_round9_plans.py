@@ -31,7 +31,7 @@ def test_js_drift_single_explode_no_pairs(spark, sf_dir):
     # the (source, token) rollup is pinned, so every consumer branch
     # reads the cache (InMemoryTableScan) — the corpus is exploded
     # exactly once, inside the single elided cache build
-    assert "InMemoryTableScan" in t
+    assert pi.reads_pinned(t)  # pinned artifact read, not re-derived
     assert _n(t, "Generate") <= 1
     # totals and the grand total enter as broadcasts, never shuffling
     # the (source, token) grid on a small side
@@ -105,7 +105,7 @@ def test_burrows_top_head_and_broadcast_pairs(spark, sf_dir):
     # both pair-join sides read the PINNED z-panel cache (the corpus
     # is tokenized exactly once, inside the elided cache build), and
     # the join itself broadcasts one side
-    assert "InMemoryTableScan" in t
+    assert pi.reads_pinned(t)  # pinned artifact read, not re-derived
     assert _n(t, "Generate") == 0
     assert "BroadcastHashJoin" in t
 
@@ -137,7 +137,7 @@ def test_adamic_adar_rides_pinned_edges(spark, sf_dir):
     _no_python(t)
     assert "CartesianProduct" not in t
     # both join sides read the pinned kNN edge list cache
-    assert "InMemoryTableScan" in t
+    assert pi.reads_pinned(t)  # pinned artifact read, not re-derived
 
 
 def test_contrastive_collision_dimension_rollup(spark, sf_dir):
@@ -200,7 +200,7 @@ def test_littles_rides_pinned_segments(spark, sf_dir):
     _no_python(t)
     assert "CartesianProduct" not in t
     # both derivations read the pinned day-segment cache
-    assert "InMemoryTableScan" in t
+    assert pi.reads_pinned(t)  # pinned artifact read, not re-derived
 
 
 def test_binseg_two_spine_passes_no_big_join(spark, sf_dir):
