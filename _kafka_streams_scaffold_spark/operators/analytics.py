@@ -2172,43 +2172,73 @@ def markov_stationary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("t")
     )
     tmat = trans.join(rowsum, "src")
-    states = ev.select(
-        F.col("event_type").alias("state")
-    ).distinct()
-    n_states = states.agg(F.count(F.lit(1)).alias("ns"))
-    v = states.crossJoin(F.broadcast(n_states)).select(
-        "state",
-        F.expr(f"cast({_MARKOV_SCALE} as bigint) div cast(ns as bigint)")
-        .cast("bigint")
-        .alias("v"),
+    # Round-11 reshape (guide §2.4 — remove shuffles outright): the
+    # iteration used to be _MARKOV_ITERS chained join+groupBy+join
+    # rounds over the broadcast-sized count matrix — ~3 tiny stages
+    # per round, ~40 stages of pure scheduling overhead (measured
+    # 7-8 s in-bench, exec-phase dominated). The matrix is |states|^2
+    # (constant, states is a small enum), so the whole fixpoint fits
+    # in ONE row: collect the matrix and the sorted state list into
+    # arrays, run the same exact-integer steps as higher-order
+    # functions inside a single projection (v'[d] = sum over inbound
+    # e of (v[e.src] * e.c) div e.t — BIGINT multiply, floor div,
+    # commutative integer sum: bit-identical to the join form, states
+    # with no inbound edges aggregate over an empty filter to the
+    # same 0), and explode back to (event_type, v_fp, pi). Plan: the
+    # corpus-touching lag window + two rollups survive; the iteration
+    # itself is now 0 shuffles instead of ~3 per round.
+    states_row = ev.agg(
+        F.array_sort(F.collect_set("event_type")).alias("ss")
     )
-    for _ in range(_MARKOV_ITERS):
-        stepped = (
-            tmat.join(
-                F.broadcast(v), tmat["src"] == v["state"]
-            )
-            .select(
-                F.col("dst").alias("state"),
-                F.expr("(v * c) div t").cast("bigint").alias("contrib"),
-            )
-            .groupBy("state")
-            .agg(F.sum("contrib").cast("bigint").alias("v"))
+    mat_row = tmat.agg(
+        F.collect_list(F.struct("src", "dst", "c", "t")).alias("mat0")
+    )
+    one = (
+        states_row.crossJoin(F.broadcast(mat_row))
+        .withColumn(
+            "mat",
+            F.expr(
+                "transform(mat0, e -> struct("
+                "cast(array_position(ss, e.src) as int) as si, "
+                "e.dst as dst, e.c as c, e.t as t))"
+            ),
         )
-        # states with no inbound transitions drop out of the groupBy;
-        # restore them with zero mass so the frame keeps |states| rows
-        v = (
-            states.join(F.broadcast(stepped), "state", "left")
-            .select(
-                "state", F.coalesce("v", F.lit(0)).cast("bigint").alias("v")
-            )
+        .withColumn(
+            "v",
+            F.expr(
+                f"transform(ss, s -> cast({_MARKOV_SCALE} as bigint)"
+                " div cast(size(ss) as bigint))"
+            ),
         )
-    total = v.agg(F.sum("v").cast("bigint").alias("tot"))
-    return v.crossJoin(F.broadcast(total)).select(
-        F.col("state").alias("event_type"),
-        F.col("v").alias("v_fp"),
-        (F.col("v").cast("double") / F.col("tot").cast("double")).alias(
-            "pi"
-        ),
+    )
+    # The fixpoint is ONE fold over a constant step sequence with the
+    # whole vector as the accumulator — NOT _MARKOV_ITERS chained
+    # withColumn("v", ...) layers: collapsed projections re-evaluate
+    # a referenced lambda expression per element ACCESS (no
+    # memoization in interpreted HOF eval), which makes a 12-deep
+    # nest exponential at runtime (measured: hangs). The fold binds
+    # each step's accumulator as a VALUE, so total work is
+    # ITERS x |states| x |matrix|.
+    fix = (
+        f"aggregate(sequence(1, {_MARKOV_ITERS}), v, "
+        "(vv, i) -> transform(ss, d -> aggregate("
+        "filter(mat, e -> e.dst = d), cast(0 as bigint), "
+        "(acc, e) -> acc + (element_at(vv, e.si) * e.c) div e.t)))"
+    )
+    one = one.withColumn("v", F.expr(fix))
+    return (
+        one.withColumn(
+            "tot",
+            F.expr("aggregate(v, cast(0 as bigint), (acc, x) -> acc + x)"),
+        )
+        .select(F.explode(F.arrays_zip("ss", "v")).alias("z"), "tot")
+        .select(
+            F.col("z.ss").alias("event_type"),
+            F.col("z.v").alias("v_fp"),
+            (F.col("z.v").cast("double") / F.col("tot").cast("double")).alias(
+                "pi"
+            ),
+        )
     )
 
 

@@ -124,6 +124,48 @@ def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _trained_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, s): the working vocabulary AFTER the BPE_ROUNDS
+    learned merges — the trained-tokenizer artifact. Round-11: a
+    ``bpe.trained_vocab`` shared pin, because THREE registered
+    queries replayed the identical training loop from scratch
+    (bpe_encode, bpe_doc_tokens, and training_manifest via
+    doc-tokens): within one scope the K-round merge replay now runs
+    once. The fold is per-word and ignores the carried ``word``
+    column, so encode (which only needs freq+s) reads the same pin.
+
+    Scale shape unchanged: the merge replay is vocabulary-sized
+    (never corpus-sized; the corpus is touched once for the initial
+    wordcount). Real encoders apply ~30k merges with the same fold;
+    K merges = K codegen'd projections over the pinned vocab frame."""
+
+    def build() -> DataFrame:
+        docs = tables.spread(
+            tables.table(spark, sf_dir, "documents"), "doc_id"
+        )
+        vocab = _pin(
+            docs.select(F.explode(tokens_expr()).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .select("word", "freq", F.expr(_SYMS0_SPARK).alias("s"))
+        )
+        for _ in range(BPE_ROUNDS):
+            top = _top1(_pairs(vocab)).select(
+                F.expr("element_at(split(pair, ' '), 1)").alias("pa"),
+                F.expr("element_at(split(pair, ' '), 2)").alias("pb"),
+                F.expr("replace(pair, ' ', '')").alias("mg"),
+            )
+            vocab = vocab.crossJoin(F.broadcast(top)).select(
+                "word", "freq", F.expr(_FOLD_SPARK).alias("s")
+            )
+        return vocab
+
+    from ..pinning import shared_pin as _shared_pin
+
+    tok = tables.table(spark, sf_dir, "documents").semanticHash()
+    return _shared_pin(("bpe.trained_vocab", tok), build)
+
+
 def bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(token, occurrences, n_words): the subword vocabulary AFTER the
     BPE_ROUNDS learned merges are applied — the encode half of the
@@ -131,29 +173,9 @@ def bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     working vocabulary and re-counts symbols). ``occurrences`` is the
     corpus-wide frequency-weighted count of each subword, ``n_words``
     the number of distinct words containing it; top 100 by weight.
-
-    Scale shape: identical to training — the merge replay is
-    vocabulary-sized (never corpus-sized; the corpus is touched once
-    for the initial wordcount), and the final symbol explode is one
-    partial-aggregated shuffle over the vocabulary. Real encoders
-    apply ~30k merges with the same fold; K merges = K codegen'd
-    projections over the pinned vocab frame."""
-    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
-    vocab = _pin(
-        docs.select(F.explode(tokens_expr()).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select("freq", F.expr(_SYMS0_SPARK).alias("s"))
-    )
-    for _ in range(BPE_ROUNDS):
-        top = _top1(_pairs(vocab)).select(
-            F.expr("element_at(split(pair, ' '), 1)").alias("pa"),
-            F.expr("element_at(split(pair, ' '), 2)").alias("pb"),
-            F.expr("replace(pair, ' ', '')").alias("mg"),
-        )
-        vocab = vocab.crossJoin(F.broadcast(top)).select(
-            "freq", F.expr(_FOLD_SPARK).alias("s")
-        )
+    Reads the shared trained vocabulary (``bpe.trained_vocab``); the
+    final symbol explode is one partial-aggregated shuffle over it."""
+    vocab = _trained_vocab(spark, sf_dir)
     return (
         vocab.select(
             "freq", F.explode(F.expr(_SYMS_SPARK)).alias("token")
@@ -257,23 +279,10 @@ def bpe_doc_tokens_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays one explode + one broadcast join + one partial-aggregated
     per-doc sum. Unseen-word handling is moot by construction (the
     vocabulary IS the corpus wordcount; a production encoder would
-    fall back to character count, the same fold with zero merges)."""
+    fall back to character count, the same fold with zero merges).
+    Reads the shared trained vocabulary (``bpe.trained_vocab``)."""
     docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
-    vocab = _pin(
-        docs.select(F.explode(tokens_expr()).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select("word", "freq", F.expr(_SYMS0_SPARK).alias("s"))
-    )
-    for _ in range(BPE_ROUNDS):
-        top = _top1(_pairs(vocab)).select(
-            F.expr("element_at(split(pair, ' '), 1)").alias("pa"),
-            F.expr("element_at(split(pair, ' '), 2)").alias("pb"),
-            F.expr("replace(pair, ' ', '')").alias("mg"),
-        )
-        vocab = vocab.crossJoin(F.broadcast(top)).select(
-            "word", "freq", F.expr(_FOLD_SPARK).alias("s")
-        )
+    vocab = _trained_vocab(spark, sf_dir)
     word_len = vocab.select(
         "word", F.expr(f"size({_SYMS_SPARK})").alias("n_toks")
     )

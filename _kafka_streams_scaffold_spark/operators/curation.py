@@ -42,38 +42,50 @@ MAX_CONTAMINATED_SHINGLES = 2
 
 
 def corpus_keep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    quality = quality_score_query(spark, sf_dir).select(
-        "doc_id", "quality_score"
-    )
-    lang = lang_id_query(spark, sf_dir).select("doc_id", "pred_lang")
-    fps = fingerprint_query(spark, sf_dir)
-    reps = exact_dedup_query(spark, sf_dir).select("fingerprint", "rep_doc_id")
-    canonical = fps.join(reps, "fingerprint").select(
-        "doc_id", (F.col("doc_id") == F.col("rep_doc_id")).alias("is_canonical")
-    )
-    contam = contamination_query(spark, sf_dir)
-
-    keep = (
-        (F.col("quality_score") >= MIN_QUALITY)
-        & (F.col("pred_lang") == KEEP_LANG)
-        & F.col("is_canonical")
-        & (F.col("n_contaminated_shingles") <= MAX_CONTAMINATED_SHINGLES)
-        & (F.col("doc_id") >= BENCHMARK_DOC_MAX)
-    )
-    return (
-        quality.join(lang, "doc_id")
-        .join(canonical, "doc_id")
-        .join(contam, "doc_id", "left")
-        .na.fill({"n_contaminated_shingles": 0})
-        .select(
-            "doc_id",
-            "quality_score",
-            "pred_lang",
-            "is_canonical",
-            "n_contaminated_shingles",
-            keep.alias("keep"),
+    # Round-11: a ``cur.keep`` shared pin — corpus_keep_full (and
+    # through it training_manifest) re-derived this whole five-gate
+    # composition per query; one materialization per family scope.
+    def build() -> DataFrame:
+        quality = quality_score_query(spark, sf_dir).select(
+            "doc_id", "quality_score"
         )
-    )
+        lang = lang_id_query(spark, sf_dir).select("doc_id", "pred_lang")
+        fps = fingerprint_query(spark, sf_dir)
+        reps = exact_dedup_query(spark, sf_dir).select(
+            "fingerprint", "rep_doc_id"
+        )
+        canonical = fps.join(reps, "fingerprint").select(
+            "doc_id",
+            (F.col("doc_id") == F.col("rep_doc_id")).alias("is_canonical"),
+        )
+        contam = contamination_query(spark, sf_dir)
+
+        keep = (
+            (F.col("quality_score") >= MIN_QUALITY)
+            & (F.col("pred_lang") == KEEP_LANG)
+            & F.col("is_canonical")
+            & (F.col("n_contaminated_shingles") <= MAX_CONTAMINATED_SHINGLES)
+            & (F.col("doc_id") >= BENCHMARK_DOC_MAX)
+        )
+        return (
+            quality.join(lang, "doc_id")
+            .join(canonical, "doc_id")
+            .join(contam, "doc_id", "left")
+            .na.fill({"n_contaminated_shingles": 0})
+            .select(
+                "doc_id",
+                "quality_score",
+                "pred_lang",
+                "is_canonical",
+                "n_contaminated_shingles",
+                keep.alias("keep"),
+            )
+        )
+
+    from ..pinning import shared_pin as _shared_pin
+
+    tok = tables.table(spark, sf_dir, "documents").semanticHash()
+    return _shared_pin(("cur.keep", tok), build)
 
 
 def _cte(sql: str) -> str:
@@ -135,39 +147,49 @@ def corpus_keep_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame, chained without materialization boundaries, and the
     whole pipeline is hash-checked end to end against the composed
     DuckDB CTEs. The added joins are all (doc_id, small-int) width."""
-    from .dedup import doc_ngram_novelty_query
-    from .lm import unigram_lm_score_query
-    from .substring_dedup import substring_dup_docs_query
+    # Round-11: a ``cur.keep_full`` shared pin — training_manifest
+    # consumed this whole four-tier composition per query.
+    def build() -> DataFrame:
+        from .dedup import doc_ngram_novelty_query
+        from .lm import unigram_lm_score_query
+        from .substring_dedup import substring_dup_docs_query
 
-    base = corpus_keep_query(spark, sf_dir)
-    spans = substring_dup_docs_query(spark, sf_dir).select(
-        "doc_id", "n_shared_windows"
-    )
-    nov = doc_ngram_novelty_query(spark, sf_dir).select("doc_id", "novelty")
-    lm_score = unigram_lm_score_query(spark, sf_dir).select(
-        "doc_id", "avg_surprisal"
-    )
-    keep_full = (
-        F.col("keep")
-        & (F.col("n_shared_windows") <= MAX_SHARED_WINDOWS)
-        & (F.col("novelty") >= MIN_NOVELTY)
-        & (F.col("avg_surprisal") <= MAX_SURPRISAL)
-    )
-    return (
-        base.join(spans, "doc_id", "left")
-        .na.fill({"n_shared_windows": 0})
-        .join(nov, "doc_id", "left")
-        .na.fill({"novelty": 1.0})  # shingle-less tiny docs: trivially novel
-        .join(lm_score, "doc_id")
-        .select(
-            "doc_id",
-            "keep",
-            "n_shared_windows",
-            "novelty",
-            "avg_surprisal",
-            keep_full.alias("keep_full"),
+        base = corpus_keep_query(spark, sf_dir)
+        spans = substring_dup_docs_query(spark, sf_dir).select(
+            "doc_id", "n_shared_windows"
         )
-    )
+        nov = doc_ngram_novelty_query(spark, sf_dir).select(
+            "doc_id", "novelty"
+        )
+        lm_score = unigram_lm_score_query(spark, sf_dir).select(
+            "doc_id", "avg_surprisal"
+        )
+        keep_full = (
+            F.col("keep")
+            & (F.col("n_shared_windows") <= MAX_SHARED_WINDOWS)
+            & (F.col("novelty") >= MIN_NOVELTY)
+            & (F.col("avg_surprisal") <= MAX_SURPRISAL)
+        )
+        return (
+            base.join(spans, "doc_id", "left")
+            .na.fill({"n_shared_windows": 0})
+            .join(nov, "doc_id", "left")
+            .na.fill({"novelty": 1.0})  # shingle-less docs: trivially novel
+            .join(lm_score, "doc_id")
+            .select(
+                "doc_id",
+                "keep",
+                "n_shared_windows",
+                "novelty",
+                "avg_surprisal",
+                keep_full.alias("keep_full"),
+            )
+        )
+
+    from ..pinning import shared_pin as _shared_pin
+
+    tok = tables.table(spark, sf_dir, "documents").semanticHash()
+    return _shared_pin(("cur.keep_full", tok), build)
 
 
 def _build_full_oracle() -> str:

@@ -398,6 +398,35 @@ _GRAPH_CHAIN = [
     "degree_assortativity",
 ]
 
+# Second-tier dedup.* consumers (pair detectors and linkage outside
+# the audit chain): they read the same shingle/signature/candidate
+# pins the audit family builds, so they run as a continuation of that
+# block under the same "dedup." keep-scope.
+_DEDUP_PAIRS_CHAIN = [
+    "minhash_lsh_pairs",
+    "edit_distance_pairs",
+    "fs_linkage_scores",
+    "linkage_entities",
+    "containment_pairs",
+    "ngram_jaccard_pairs",
+    "split_leakage_audit",
+    "sorted_neighborhood_pairs",
+    "prefix_filter_pairs",
+    "winnowing_pairs",
+]
+
+# Curation / BPE family (cur.* / bpe.* pins): the keep-gate
+# compositions and the trained-tokenizer artifact. corpus_keep itself
+# sits in the r11 window; corpus_keep_full rebuilds the cur.keep pin
+# inside its own slot.
+_CUR_CHAIN = [
+    "corpus_keep_full",
+    "bpe_train",
+    "bpe_encode",
+    "bpe_doc_tokens",
+    "training_manifest",
+]
+
 # Embedding / ANN family (sim.* pins): quantizer assignment, exact
 # top-k reference, kNN edge list, PQ codebook/ADC, near-dup pairs and
 # the embedding CC labels. ann_topk itself sits in the r11 window, so
@@ -894,7 +923,13 @@ def _apply_window(window: list[str]) -> None:
     # dedup_clusters / dup_pagerank slots, so the graph.* pins stay
     # warm across the window boundary; then the dedup-audit family
     # (see _DEDUP_AUDIT_CHAIN), then the embedding/ANN family.
-    for chain in (_GRAPH_CHAIN, _DEDUP_AUDIT_CHAIN, _EMB_CHAIN):
+    for chain in (
+        _GRAPH_CHAIN,
+        _DEDUP_AUDIT_CHAIN,
+        _DEDUP_PAIRS_CHAIN,
+        _EMB_CHAIN,
+        _CUR_CHAIN,
+    ):
         for n in chain:
             if n in _QUERIES and n not in ordered:
                 ordered[n] = _QUERIES[n]

@@ -125,7 +125,12 @@ def main() -> None:
     from _kafka_streams_scaffold_spark import registry as _reg
 
     families: list[tuple[set, tuple]] = [
-        (set(_reg._DEDUP_AUDIT_CHAIN), ("dedup.",)),
+        # audit chain + the second-tier pair/linkage consumers share
+        # the same dedup.* roots and run as one consecutive block
+        (
+            set(_reg._DEDUP_AUDIT_CHAIN) | set(_reg._DEDUP_PAIRS_CHAIN),
+            ("dedup.",),
+        ),
         # the graph family starts on the window's trailing
         # dedup_clusters / dup_pagerank slots and continues into the
         # appended _GRAPH_CHAIN block
@@ -134,6 +139,8 @@ def main() -> None:
             ("graph.",),
         ),
         (set(_reg._EMB_CHAIN) | {"ann_topk"}, ("sim.",)),
+        # curation keep-gates + trained BPE artifact
+        (set(_reg._CUR_CHAIN) | {"corpus_keep"}, ("cur.", "bpe.")),
     ]
 
     def _family(n: str | None):

@@ -43,12 +43,17 @@ def main() -> None:
     pinning.unpersist_all()
 
     families = [
-        (set(registry._DEDUP_AUDIT_CHAIN), ("dedup.",)),
+        (
+            set(registry._DEDUP_AUDIT_CHAIN)
+            | set(registry._DEDUP_PAIRS_CHAIN),
+            ("dedup.",),
+        ),
         (
             set(registry._GRAPH_CHAIN) | {"dedup_clusters", "dup_pagerank"},
             ("graph.",),
         ),
         (set(registry._EMB_CHAIN) | {"ann_topk"}, ("sim.",)),
+        (set(registry._CUR_CHAIN) | {"corpus_keep"}, ("cur.", "bpe.")),
     ]
 
     def _family(n):
