@@ -185,9 +185,22 @@ def decode_moments(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, schema=MOMENTS_SCHEMA)
 
 
-def codec_moments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _coded_payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: the encoded-container table is a ``mm.payload``
+    shared pin — codec_moments and codec_audit (adjacent in the r11
+    window) both frame the same corpus; one encode pass per family
+    scope instead of one per query."""
+    from ..pinning import shared_pin as _shared_pin
+
     docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
-    return decode_moments(with_coded_payload(docs))
+    tok = tables.table(spark, sf_dir, "documents").semanticHash()
+    return _shared_pin(
+        ("mm.payload", tok), lambda: with_coded_payload(docs)
+    )
+
+
+def codec_moments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_moments(_coded_payload_table(spark, sf_dir))
 
 
 # DuckDB reproduces the decode arithmetic from the SOURCE text (it
@@ -290,8 +303,7 @@ def codec_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated (one byte dropped) — the corruption and its detection
     are both deterministic, so the oracle predicts exactly which rows
     quarantine."""
-    docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
-    coded = with_coded_payload(docs)
+    coded = _coded_payload_table(spark, sf_dir)
     corrupted = coded.select(
         "doc_id",
         F.when(

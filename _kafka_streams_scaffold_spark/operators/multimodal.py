@@ -327,6 +327,18 @@ FROM sized
 """
 
 
+def _shared_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: the fingerprint table is a ``mm.phash`` shared pin —
+    phash_dup_pairs (both posting sides) and phash_threshold_sweep
+    derive the same table; one materialization per family scope."""
+    from ..pinning import shared_pin as _shared_pin
+
+    tok = tables.table(spark, sf_dir, "documents").semanticHash()
+    return _shared_pin(
+        ("mm.phash", tok), lambda: payload_phash_query(spark, sf_dir)
+    )
+
+
 def phash_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, hamming): payload pairs whose perceptual
     fingerprints differ in at most PHASH_HAM_MAX of 64 bits,
@@ -341,7 +353,7 @@ def phash_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair. Hot blocks (constant-ish payload grids) are the
     skew risk — at production scale df-cap the block postings exactly
     like hot shingles (dedup.df_capped_shingles)."""
-    fps = _pin(payload_phash_query(spark, sf_dir))
+    fps = _shared_phash(spark, sf_dir)
     posting = fps.select(
         "doc_id",
         F.explode(
@@ -435,7 +447,7 @@ def phash_threshold_sweep_query(
 
     Scale: identical posting-list shape to phash_dup_pairs, minus its
     filter; the histogram is a |distances|-row rollup."""
-    fps = _pin(payload_phash_query(spark, sf_dir))
+    fps = _shared_phash(spark, sf_dir)
     posting = fps.select(
         "doc_id",
         F.explode(

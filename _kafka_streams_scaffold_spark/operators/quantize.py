@@ -163,47 +163,60 @@ def int8_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same posture as ann_topk (queries broadcast, corpus
     scanned once, per-query top-k windows); at 100 TB the IVF/PQ
     tiers shortlist and this integer kernel scores — see pq.py for
-    the layered design."""
-    emb = tables.table(spark, sf_dir, "embeddings")
-    qf = emb.select("vec_id", F.expr(_Q_CODES).alias("q")).select(
-        "vec_id", "q", F.expr(_SSQ_SPARK).alias("ssq")
-    ).filter(F.col("ssq") > 0)
-    queries = qf.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("q").alias("q_q"),
-        F.col("ssq").alias("q_ssq"),
-    )
-    corpus = qf.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("q").alias("n_q"),
-        F.col("ssq").alias("n_ssq"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(q_q, n_q, (x, y) -> cast(x as bigint) * y),"
-        " 0L, (acc, t) -> acc + t)"
-    )
-    from pyspark.sql import Window as W
+    the layered design.
 
-    scored = (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select(
-            "q_id",
-            "n_id",
-            dot.alias("dot_int"),
-            (
-                dot.cast("double")
-                / (
-                    F.sqrt(F.col("q_ssq").cast("double"))
-                    * F.sqrt(F.col("n_ssq").cast("double"))
-                )
-            ).alias("qcos"),
+    Round-11: a ``sim.int8_ann`` shared pin — the recall gate, the
+    nDCG audit and rank_biased_overlap all re-ran this search; one
+    materialization per family scope."""
+
+    def build() -> DataFrame:
+        emb = tables.table(spark, sf_dir, "embeddings")
+        qf = emb.select("vec_id", F.expr(_Q_CODES).alias("q")).select(
+            "vec_id", "q", F.expr(_SSQ_SPARK).alias("ssq")
+        ).filter(F.col("ssq") > 0)
+        queries = qf.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("q").alias("q_q"),
+            F.col("ssq").alias("q_ssq"),
         )
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("qcos").desc(), F.col("n_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
-    )
+        corpus = qf.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("q").alias("n_q"),
+            F.col("ssq").alias("n_ssq"),
+        )
+        dot = F.expr(
+            "aggregate(zip_with(q_q, n_q, (x, y) -> cast(x as bigint) * y),"
+            " 0L, (acc, t) -> acc + t)"
+        )
+        from pyspark.sql import Window as W
+
+        scored = (
+            corpus.crossJoin(F.broadcast(queries))
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select(
+                "q_id",
+                "n_id",
+                dot.alias("dot_int"),
+                (
+                    dot.cast("double")
+                    / (
+                        F.sqrt(F.col("q_ssq").cast("double"))
+                        * F.sqrt(F.col("n_ssq").cast("double"))
+                    )
+                ).alias("qcos"),
+            )
+        )
+        w = W.partitionBy("q_id").orderBy(
+            F.col("qcos").desc(), F.col("n_id")
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= TOP_K
+        )
+
+    from ..pinning import shared_pin as _shared_pin
+
+    tok = tables.table(spark, sf_dir, "embeddings").semanticHash()
+    return _shared_pin(("sim.int8_ann", tok), build)
 
 
 _DUCK_QF = f"""
@@ -417,40 +430,54 @@ def binary_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scanned once, per-query top-k windows. At 100 TB binary is
     the FIRST tier of the cascade (32x less IO than float), its
     shortlist re-ranked by int8/PQ/float — binary_ann_recall measures
-    exactly what that shortlist misses."""
-    emb = tables.table(spark, sf_dir, "embeddings")
-    sigs = emb.select(
-        "vec_id",
-        F.expr(_SIG_LO).alias("lo"),
-        F.expr(_SIG_HI).alias("hi"),
-    )
-    queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("lo").alias("q_lo"),
-        F.col("hi").alias("q_hi"),
-    )
-    corpus = sigs.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("lo").alias("n_lo"),
-        F.col("hi").alias("n_hi"),
-    )
-    from pyspark.sql import Window as W
+    exactly what that shortlist misses.
 
-    scored = (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select(
-            "q_id",
-            "n_id",
-            F.expr(
-                "cast(bit_count(q_lo ^ n_lo) + bit_count(q_hi ^ n_hi) as int)"
-            ).alias("hamming"),
+    Round-11: a ``sim.binary_ann`` shared pin — the recall gate and
+    the nDCG audit re-ran this search; one materialization per
+    family scope."""
+
+    def build() -> DataFrame:
+        emb = tables.table(spark, sf_dir, "embeddings")
+        sigs = emb.select(
+            "vec_id",
+            F.expr(_SIG_LO).alias("lo"),
+            F.expr(_SIG_HI).alias("hi"),
         )
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("hamming").asc(), F.col("n_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
-    )
+        queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("lo").alias("q_lo"),
+            F.col("hi").alias("q_hi"),
+        )
+        corpus = sigs.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("lo").alias("n_lo"),
+            F.col("hi").alias("n_hi"),
+        )
+        from pyspark.sql import Window as W
+
+        scored = (
+            corpus.crossJoin(F.broadcast(queries))
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select(
+                "q_id",
+                "n_id",
+                F.expr(
+                    "cast(bit_count(q_lo ^ n_lo)"
+                    " + bit_count(q_hi ^ n_hi) as int)"
+                ).alias("hamming"),
+            )
+        )
+        w = W.partitionBy("q_id").orderBy(
+            F.col("hamming").asc(), F.col("n_id")
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= TOP_K
+        )
+
+    from ..pinning import shared_pin as _shared_pin
+
+    tok = tables.table(spark, sf_dir, "embeddings").semanticHash()
+    return _shared_pin(("sim.binary_ann", tok), build)
 
 
 BINARY_ANN_ORACLE = f"""

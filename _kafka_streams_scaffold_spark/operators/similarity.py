@@ -750,44 +750,56 @@ def ivf_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the probe table is |queries| x N_PROBE rows; the candidate
     join keys on the cell id, so each query's work co-locates with the
     (bounded) cells it probes. ann_topk stays the recall-1.0 reference;
-    recall here is measured against it in tests."""
-    emb = _emb(spark, sf_dir)
-    scores = _vec_cell_scores(spark, sf_dir)
-    w_cell = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
-    probes = (
-        scores.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("pr", F.row_number().over(w_cell))
-        .filter(F.col("pr") <= N_PROBE)
-        .select(F.col("vec_id").alias("q_id"), F.col("c_label").alias("cell"))
-    )
-    assign = ivf_assign_query(spark, sf_dir).select(
-        "vec_id", F.col("assigned_label").alias("cell")
-    )
-    corpus = emb.join(assign, "vec_id").select(
-        F.col("vec_id").alias("n_id"),
-        "cell",
-        F.col("embedding").alias("n_vec"),
-        F.col("norm").alias("n_norm"),
-    )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("norm").alias("q_norm"),
-    )
-    cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
-        F.col("q_norm") * F.col("n_norm")
-    )
-    cand = (
-        probes.join(corpus, "cell")
-        .join(F.broadcast(queries), "q_id")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine.alias("cosine"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-    )
+    recall here is measured against it in tests.
+
+    Round-11: a ``sim.ivf_ann`` shared pin — mrr_audit and
+    ann_rank_fusion re-ran this search; one materialization per
+    family scope."""
+
+    def build() -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        scores = _vec_cell_scores(spark, sf_dir)
+        w_cell = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+        probes = (
+            scores.filter(F.col("vec_id") < N_QUERIES)
+            .withColumn("pr", F.row_number().over(w_cell))
+            .filter(F.col("pr") <= N_PROBE)
+            .select(
+                F.col("vec_id").alias("q_id"), F.col("c_label").alias("cell")
+            )
+        )
+        assign = ivf_assign_query(spark, sf_dir).select(
+            "vec_id", F.col("assigned_label").alias("cell")
+        )
+        corpus = emb.join(assign, "vec_id").select(
+            F.col("vec_id").alias("n_id"),
+            "cell",
+            F.col("embedding").alias("n_vec"),
+            F.col("norm").alias("n_norm"),
+        )
+        queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("norm").alias("q_norm"),
+        )
+        cosine = F.expr(_dot_sql("q_vec", "n_vec", "spark")) / (
+            F.col("q_norm") * F.col("n_norm")
+        )
+        cand = (
+            probes.join(corpus, "cell")
+            .join(F.broadcast(queries), "q_id")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id", cosine.alias("cosine"))
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("n_id")
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+        )
+
+    return _shared_pin(("sim.ivf_ann", _etok(spark, sf_dir)), build)
 
 
 IVF_ANN_ORACLE = f"""

@@ -72,38 +72,49 @@ def power_iteration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p", "q")
         .agg(F.sum((F.col("xa") * F.col("xb")).cast(_D38)).alias("g"))
     )
-    v = spark.range(1, DIM + 1).select(
-        F.col("id").cast("int").alias("pos"),
-        F.lit(_V_SCALE).cast("long").alias("v"),
+    # Round-11 reshape (guide §2.4, the markov_stationary pattern):
+    # the iteration used to be ROUNDS chained join+groupBy rounds with
+    # an eager localCheckpoint each — ~3 tiny stages + 1 job per round
+    # of pure scheduling overhead on a DIM^2 = constant-size Gram
+    # matrix. The matrix collapses into ONE row (entries grouped by
+    # output position p, in p order), is checkpointed so the grouped
+    # array is a bound VALUE (collapsed projections would otherwise
+    # re-evaluate it per element access — the exponential-HOF lesson
+    # from markov_stationary), and the ROUNDS matvec+normalize steps
+    # run as a single higher-order fold. Arithmetic is step-for-step
+    # identical: DECIMAL(38,0) products and sums (exact, associative;
+    # same cast chain as the join form), max |s| in DECIMAL, one
+    # floor(double/double * SCALE) per component — bit-identical
+    # output (oracle-checked). The inner `array(...)`-of-one-element
+    # aggregate is the let-binding idiom: it evaluates the matvec s
+    # ONCE per round, then the normalize lambda references s as a
+    # value.
+    one = gram.agg(F.expr("collect_list(struct(p, q, g))").alias("gm"))
+    one = one.select(
+        F.expr(
+            f"transform(sequence(1, {DIM}), pp -> filter(gm, e -> e.p = pp))"
+        ).alias("gmp")
+    ).localCheckpoint(eager=True)
+    fold = (
+        f"aggregate(sequence(1, {ROUNDS}), "
+        f"transform(sequence(1, {DIM}), x -> cast({_V_SCALE} as bigint)), "
+        "(vv, i) -> aggregate("
+        "array(transform(gmp, es -> aggregate(es, cast(0 as decimal(38,0)), "
+        "(acc, e) -> acc + e.g * cast(element_at(vv, e.q) as decimal(38,0))"
+        "))), "
+        "cast(array() as array<bigint>), "
+        "(zz, s) -> transform(s, x -> cast(floor(cast(x as double) "
+        "/ cast(aggregate(s, cast(0 as decimal(38,0)), "
+        "(a, y) -> greatest(a, abs(y))) as double) "
+        f"* {_V_SCALE}) as bigint))))"
     )
-    for _ in range(ROUNDS):
-        # Eagerly checkpoint the matvec result: `s` feeds BOTH the max
-        # aggregate and the normalized next vector, so without lineage
-        # truncation each round re-derives the previous rounds twice —
-        # a 2^ROUNDS blowup of the (tiny) join pipeline (measured 14s
-        # -> ~2s at sf0.1). The checkpointed frame is 64 rows.
-        s = (
-            gram.join(F.broadcast(v), gram.q == v.pos)
-            .groupBy("p")
-            .agg(
-                F.sum(F.col("g").cast(_D38) * F.col("v").cast(_D38)).alias("s")
-            )
-            .localCheckpoint(eager=True)
+    return (
+        one.select(F.expr(fold).alias("vfin"))
+        .select(F.posexplode("vfin").alias("pos0", "v"))
+        .select(
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            (F.col("v").cast("double") / _V_SCALE).alias("component"),
         )
-        m = s.agg(F.max(F.abs(F.col("s"))).alias("m"))
-        v = (
-            s.crossJoin(F.broadcast(m))
-            .select(
-                F.col("p").alias("pos"),
-                F.floor(
-                    F.col("s").cast("double")
-                    / F.col("m").cast("double")
-                    * _V_SCALE
-                ).cast("long").alias("v"),
-            )
-        )
-    return v.select(
-        "pos", (F.col("v").cast("double") / _V_SCALE).alias("component")
     )
 
 

@@ -427,6 +427,17 @@ _CUR_CHAIN = [
     "training_manifest",
 ]
 
+# Multimodal perceptual-hash family (mm.* pins): the fingerprint
+# table feeds the pair detector (both posting sides) and the
+# threshold sweep. codec_moments / codec_audit share the mm.payload
+# encode pin too, but they sit ADJACENT in the r11 window (slots
+# 5-6), so bench.py's family set covers them there.
+_MM_CHAIN = [
+    "payload_phash",
+    "phash_dup_pairs",
+    "phash_threshold_sweep",
+]
+
 # Embedding / ANN family (sim.* pins): quantizer assignment, exact
 # top-k reference, kNN edge list, PQ codebook/ADC, near-dup pairs and
 # the embedding CC labels. ann_topk itself sits in the r11 window, so
@@ -929,6 +940,7 @@ def _apply_window(window: list[str]) -> None:
         _DEDUP_PAIRS_CHAIN,
         _EMB_CHAIN,
         _CUR_CHAIN,
+        _MM_CHAIN,
     ):
         for n in chain:
             if n in _QUERIES and n not in ordered:

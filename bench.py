@@ -141,6 +141,11 @@ def main() -> None:
         (set(_reg._EMB_CHAIN) | {"ann_topk"}, ("sim.",)),
         # curation keep-gates + trained BPE artifact
         (set(_reg._CUR_CHAIN) | {"corpus_keep"}, ("cur.", "bpe.")),
+        # multimodal: phash chain + the window-adjacent codec pair
+        (
+            set(_reg._MM_CHAIN) | {"codec_moments", "codec_audit"},
+            ("mm.",),
+        ),
     ]
 
     def _family(n: str | None):
