@@ -162,7 +162,7 @@ def _trained_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pinning import shared_pin as _shared_pin
 
-    tok = tables.table(spark, sf_dir, "documents").semanticHash()
+    tok = tables.token(spark, sf_dir, "documents")
     return _shared_pin(("bpe.trained_vocab", tok), build)
 
 

@@ -85,7 +85,7 @@ def _undirected_plan(edges: DataFrame) -> DataFrame:
 
 
 def _dtok(spark: SparkSession, sf_dir: str) -> int:
-    return tables.table(spark, sf_dir, "documents").semanticHash()
+    return tables.token(spark, sf_dir, "documents")
 
 
 def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

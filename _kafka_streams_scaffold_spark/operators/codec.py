@@ -193,7 +193,7 @@ def _coded_payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pinning import shared_pin as _shared_pin
 
     docs = tables.spread(tables.table(spark, sf_dir, "documents"), "doc_id")
-    tok = tables.table(spark, sf_dir, "documents").semanticHash()
+    tok = tables.token(spark, sf_dir, "documents")
     return _shared_pin(
         ("mm.payload", tok), lambda: with_coded_payload(docs)
     )

@@ -84,7 +84,7 @@ def corpus_keep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pinning import shared_pin as _shared_pin
 
-    tok = tables.table(spark, sf_dir, "documents").semanticHash()
+    tok = tables.token(spark, sf_dir, "documents")
     return _shared_pin(("cur.keep", tok), build)
 
 
@@ -188,7 +188,7 @@ def corpus_keep_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pinning import shared_pin as _shared_pin
 
-    tok = tables.table(spark, sf_dir, "documents").semanticHash()
+    tok = tables.token(spark, sf_dir, "documents")
     return _shared_pin(("cur.keep_full", tok), build)
 
 

@@ -187,27 +187,27 @@ SHINGLE_DF_CAP = 50
 
 def _shingle_table(docs: DataFrame) -> DataFrame:
     return _shared_pin(
-        ("dedup.shingles", docs.semanticHash()), lambda: shingles(docs)
+        ("dedup.shingles", tables.df_token(docs)), lambda: shingles(docs)
     )
 
 
 def _capped_shingle_table(docs: DataFrame) -> DataFrame:
     return _shared_pin(
-        ("dedup.capped_shingles", docs.semanticHash()),
+        ("dedup.capped_shingles", tables.df_token(docs)),
         lambda: df_capped_shingles(_shingle_table(docs)),
     )
 
 
 def _signature_table(docs: DataFrame) -> DataFrame:
     return _shared_pin(
-        ("dedup.minhash_sigs", docs.semanticHash()),
+        ("dedup.minhash_sigs", tables.df_token(docs)),
         lambda: minhash_signatures(_shingle_table(docs)),
     )
 
 
 def _candidate_table(docs: DataFrame) -> DataFrame:
     return _shared_pin(
-        ("dedup.lsh_candidates", docs.semanticHash()),
+        ("dedup.lsh_candidates", tables.df_token(docs)),
         lambda: lsh_candidates(_signature_table(docs)),
     )
 
@@ -217,7 +217,7 @@ def _capped_sizes_table(docs: DataFrame) -> DataFrame:
     twice per scoring query (na and nb join sides) and by both the
     Jaccard and containment detectors."""
     return _shared_pin(
-        ("dedup.capped_sizes", docs.semanticHash()),
+        ("dedup.capped_sizes", tables.df_token(docs)),
         lambda: _capped_shingle_table(docs)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n")),
@@ -233,7 +233,7 @@ def _capped_inter_table(docs: DataFrame) -> DataFrame:
     sh = _capped_shingle_table(docs)
     a, b = sh.alias("a"), sh.alias("b")
     return _shared_pin(
-        ("dedup.capped_inter", docs.semanticHash()),
+        ("dedup.capped_inter", tables.df_token(docs)),
         lambda: a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -1203,7 +1203,7 @@ def _tier_pairs(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
         )
 
     return _shared_pin(
-        (f"dedup.tier_pairs.{tier}", docs.semanticHash()), build
+        (f"dedup.tier_pairs.{tier}", tables.df_token(docs)), build
     )
 
 
@@ -1557,7 +1557,7 @@ def _winnow_fps(docs: DataFrame) -> DataFrame:
             .distinct()
         )
 
-    return _shared_pin(("dedup.winnow_fps", docs.semanticHash()), build)
+    return _shared_pin(("dedup.winnow_fps", tables.df_token(docs)), build)
 
 
 def winnowing_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:

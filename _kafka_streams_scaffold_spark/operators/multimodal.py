@@ -333,7 +333,7 @@ def _shared_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive the same table; one materialization per family scope."""
     from ..pinning import shared_pin as _shared_pin
 
-    tok = tables.table(spark, sf_dir, "documents").semanticHash()
+    tok = tables.token(spark, sf_dir, "documents")
     return _shared_pin(
         ("mm.phash", tok), lambda: payload_phash_query(spark, sf_dir)
     )

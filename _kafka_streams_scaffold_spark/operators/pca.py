@@ -134,54 +134,55 @@ def pca_top_component_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # power iteration IN THE PLAN: v starts uniform, each step is a
     # fold-form mat-vec + L2 normalization on d-sized frames
-    v = spark.range(1).select(
+    # Round-11 reshape (guide §2.4, the markov/power_iteration
+    # pattern): the iteration used to be PCA_ITERS chained
+    # crossJoin + collect_list aggregation rounds over the pinned
+    # 64-row covariance frame — ~2 tiny stages per round of pure
+    # scheduling overhead. The i-sorted covariance rows collapse into
+    # ONE checkpointed row (bound VALUE — collapsed projections would
+    # otherwise re-evaluate the matrix expression per element access)
+    # and the matvec+normalize steps run as a single higher-order
+    # fold. Per-element arithmetic is expression-for-expression the
+    # old one (ascending zip_with dot folds, per-element /sqrt(sum
+    # of squares) with the norm recomputed per element exactly as the
+    # old transform did), so the output is bit-identical
+    # (oracle-checked).
+    one = rows.agg(
         F.expr(
-            f"transform(sequence(1, {DIM}), x -> cast(1.0 as double) "
-            f"/ cast({DIM} as double))"
-        ).alias("v")
+            "transform(array_sort(collect_list(struct(i, arr))), "
+            "x -> x.arr)"
+        ).alias("mat")
+    ).localCheckpoint(eager=True)
+    fold = (
+        f"aggregate(sequence(1, {PCA_ITERS}), "
+        f"transform(sequence(1, {DIM}), x -> cast(1.0 as double) "
+        f"/ cast({DIM} as double)), "
+        "(vv, k) -> aggregate("
+        "array(transform(mat, row -> aggregate("
+        "zip_with(row, vv, (a, b) -> a * b), "
+        "cast(0.0 as double), (acc, t) -> acc + t))), "
+        "cast(array() as array<double>), "
+        "(zz, warr) -> transform(warr, x -> x / sqrt(aggregate("
+        "transform(warr, y -> y * y), cast(0.0 as double), "
+        "(a, t) -> a + t)))))"
     )
-    for _ in range(PCA_ITERS):
-        w = rows.crossJoin(F.broadcast(v)).select(
-            "i",
-            F.expr(
-                "aggregate(zip_with(arr, v, (a, b) -> a * b), "
-                "cast(0.0 as double), (acc, t) -> acc + t)"
-            ).alias("w"),
-        )
-        v = w.agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(i, w))), "
-                "x -> x.w)"
-            ).alias("warr")
-        ).select(
-            F.expr(
-                "transform(warr, x -> x / sqrt(aggregate(transform("
-                "warr, y -> y * y), cast(0.0 as double), "
-                "(a, t) -> a + t)))"
-            ).alias("v")
-        )
-    w_fin = rows.crossJoin(F.broadcast(v)).select(
-        "i",
+    one = one.select(F.col("mat"), F.expr(fold).alias("v"))
+    # final matvec + Rayleigh quotient on the SAME value-bound row:
+    # w_fin ordered by i (mat order), lam folds (w_i * v_i) ascending
+    # — the exact order the old i-sorted collect_list fold used.
+    one = one.select(
+        F.col("v"),
         F.expr(
-            "aggregate(zip_with(arr, v, (a, b) -> a * b), "
-            "cast(0.0 as double), (acc, t) -> acc + t)"
-        ).alias("w"),
-    )
-    lam = (
-        w_fin.crossJoin(F.broadcast(v))
-        .select((F.col("w") * F.expr("element_at(v, i + 1)")).alias("t"),
-                "i")
-        .agg(
-            F.expr(
-                "aggregate(transform(array_sort(collect_list("
-                "struct(i, t))), x -> x.t), cast(0.0 as double), "
-                "(a, x) -> a + x)"
-            ).alias("lam")
-        )
+            "aggregate(zip_with("
+            "transform(mat, row -> aggregate("
+            "zip_with(row, v, (a, b) -> a * b), "
+            "cast(0.0 as double), (acc, t) -> acc + t)), "
+            "v, (w, x) -> w * x), "
+            "cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("lam"),
     )
     return (
-        v.crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(trace))
+        one.crossJoin(F.broadcast(trace))
         .select(
             F.posexplode("v").alias("pos", "loading"),
             F.col("lam").alias("eigenvalue"),

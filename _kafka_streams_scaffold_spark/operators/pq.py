@@ -261,7 +261,7 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so within the bench's embedding family it trains once.
     from ..pinning import shared_pin as _shared_pin
 
-    tok = tables.table(spark, sf_dir, "embeddings").semanticHash()
+    tok = tables.token(spark, sf_dir, "embeddings")
     return _shared_pin(
         ("sim.pq_codebook", tok),
         lambda: sub0.join(means, ["m", "cid"], "left").select(
@@ -335,7 +335,7 @@ def _adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pinning import shared_pin as _shared_pin
 
-    tok = tables.table(spark, sf_dir, "embeddings").semanticHash()
+    tok = tables.token(spark, sf_dir, "embeddings")
     return _shared_pin(("sim.pq_adc", tok), build)
 
 

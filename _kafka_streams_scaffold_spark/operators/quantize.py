@@ -215,7 +215,7 @@ def int8_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pinning import shared_pin as _shared_pin
 
-    tok = tables.table(spark, sf_dir, "embeddings").semanticHash()
+    tok = tables.token(spark, sf_dir, "embeddings")
     return _shared_pin(("sim.int8_ann", tok), build)
 
 
@@ -476,7 +476,7 @@ def binary_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pinning import shared_pin as _shared_pin
 
-    tok = tables.table(spark, sf_dir, "embeddings").semanticHash()
+    tok = tables.token(spark, sf_dir, "embeddings")
     return _shared_pin(("sim.binary_ann", tok), build)
 
 

@@ -70,7 +70,7 @@ def _etok(spark: SparkSession, sf_dir: str) -> int:
     (``sim.*`` keys): the semantic hash of the raw embeddings scan,
     so distinct sf_dirs (or monkeypatched test frames) never collide —
     the same contract dedup.py's ``docs.semanticHash()`` keys carry."""
-    return tables.table(spark, sf_dir, "embeddings").semanticHash()
+    return tables.token(spark, sf_dir, "embeddings")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
