@@ -283,7 +283,19 @@ def embedding_dup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-11: a ``sim.emb_cc`` shared pin — semantic_dedup_keep
     # composes these labels with the quality score, so the embedding
     # CC fixpoint runs once per family scope, not once per consumer.
-    return _shared_pin(("sim.emb_cc", _etok(spark, sf_dir)), build)
+    # The near-dup dials join the key: a patched threshold/cell cap
+    # must build fresh labels, never read the other-dial table.
+    from .similarity import IVF_TARGET_CELL, NEAR_DUP_COSINE
+
+    return _shared_pin(
+        (
+            "sim.emb_cc",
+            _etok(spark, sf_dir),
+            IVF_TARGET_CELL,
+            NEAR_DUP_COSINE,
+        ),
+        build,
+    )
 
 
 def _embedding_clusters_oracle() -> str:

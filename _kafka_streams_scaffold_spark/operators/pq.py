@@ -263,7 +263,7 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = tables.token(spark, sf_dir, "embeddings")
     return _shared_pin(
-        ("sim.pq_codebook", tok),
+        ("sim.pq_codebook", tok, PQ_M, PQ_K, PQ_SEED),
         lambda: sub0.join(means, ["m", "cid"], "left").select(
             "m",
             "cid",
@@ -336,7 +336,7 @@ def _adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pinning import shared_pin as _shared_pin
 
     tok = tables.token(spark, sf_dir, "embeddings")
-    return _shared_pin(("sim.pq_adc", tok), build)
+    return _shared_pin(("sim.pq_adc", tok, N_QUERIES), build)
 
 
 def pq_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:

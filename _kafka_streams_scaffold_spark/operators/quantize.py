@@ -216,7 +216,7 @@ def int8_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pinning import shared_pin as _shared_pin
 
     tok = tables.token(spark, sf_dir, "embeddings")
-    return _shared_pin(("sim.int8_ann", tok), build)
+    return _shared_pin(("sim.int8_ann", tok, N_QUERIES, TOP_K), build)
 
 
 _DUCK_QF = f"""
@@ -477,7 +477,7 @@ def binary_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pinning import shared_pin as _shared_pin
 
     tok = tables.token(spark, sf_dir, "embeddings")
-    return _shared_pin(("sim.binary_ann", tok), build)
+    return _shared_pin(("sim.binary_ann", tok, N_QUERIES, TOP_K), build)
 
 
 BINARY_ANN_ORACLE = f"""

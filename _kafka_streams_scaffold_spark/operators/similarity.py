@@ -125,7 +125,9 @@ def ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= TOP_K)
         )
 
-    return _shared_pin(("sim.ann_topk", _etok(spark, sf_dir)), build)
+    return _shared_pin(
+        ("sim.ann_topk", _etok(spark, sf_dir), N_QUERIES, TOP_K), build
+    )
 
 
 ANN_TOPK_ORACLE = f"""
@@ -227,7 +229,15 @@ def ivf_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cosine") >= NEAR_DUP_COSINE)
         )
 
-    return _shared_pin(("sim.near_dup_edges", _etok(spark, sf_dir)), build)
+    return _shared_pin(
+        (
+            "sim.near_dup_edges",
+            _etok(spark, sf_dir),
+            IVF_TARGET_CELL,
+            NEAR_DUP_COSINE,
+        ),
+        build,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -310,7 +320,9 @@ def dyn_ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return _shared_pin(("sim.dyn_assign", _etok(spark, sf_dir)), build)
+    return _shared_pin(
+        ("sim.dyn_assign", _etok(spark, sf_dir), IVF_TARGET_CELL), build
+    )
 
 
 # DYN_IVF_ASSIGN_ORACLE is defined after _DUCK_ASSIGN_CTES below
@@ -799,7 +811,13 @@ def ivf_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= TOP_K)
         )
 
-    return _shared_pin(("sim.ivf_ann", _etok(spark, sf_dir)), build)
+    # the probe dial and panel/top-k sizes are part of the pin's
+    # identity: tests (and future callers) monkeypatch them and must
+    # get a fresh build, never the memoized other-dial table
+    return _shared_pin(
+        ("sim.ivf_ann", _etok(spark, sf_dir), N_PROBE, N_QUERIES, TOP_K),
+        build,
+    )
 
 
 IVF_ANN_ORACLE = f"""
@@ -965,7 +983,10 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= KNN_K)
         )
 
-    return _shared_pin(("sim.knn_edges", _etok(spark, sf_dir)), build)
+    return _shared_pin(
+        ("sim.knn_edges", _etok(spark, sf_dir), KNN_K, IVF_TARGET_CELL),
+        build,
+    )
 
 
 def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:

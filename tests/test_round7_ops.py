@@ -427,16 +427,21 @@ def test_unpersist_all_keep_scope(spark):
     dropped = pinning.shared_pin(
         ("other.thing", 2), lambda: spark.range(3).toDF("id")
     )
-    assert kept.storageLevel.useMemory and dropped.storageLevel.useMemory
+    # both pins are materialized (round-11: checkpoint-backed, so the
+    # marker is cached RDD blocks, not CacheManager storageLevel)
+    cached_ids = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    assert len(cached_ids) >= 2
     n = pinning.unpersist_all(
         keep=lambda k: isinstance(k, tuple)
         and str(k[0]).startswith("dedup.")
     )
     assert n == 1
-    # the kept pin is still cached AND still memoized under its key
-    assert kept.storageLevel.useMemory
+    # the kept pin is still memoized under its key AND still readable
     again = pinning.shared_pin(("dedup.fake_root", 1), lambda: 1 / 0)
     assert again is kept
+    assert kept.count() == 5
     # a full release then clears everything, including the kept one
     assert pinning.unpersist_all() == 1
     assert not pinning._SHARED and not pinning._PINNED

@@ -338,11 +338,18 @@ def test_shipping_speed_priority_buckets(spark, monkeypatch):
 
 
 def test_min_cost_supplier_plan(spark, sf_dir):
-    df = trade.min_cost_supplier_query(spark, sf_dir)
-    explained = plans.explain_str(df)
-    assert "TakeOrderedAndProject" in explained  # top-100, never a full sort
-    # type+size filters reach the part scan
-    assert any("p_type" in f for f in plans.pushed_filters(df))
+    # full_lineage pins: the part scan lives inside the pinned offers
+    # table's build plan (checkpoint pins hand consumers a leaf), and
+    # the pushdown being asserted happens in that build
+    from _kafka_streams_scaffold_spark import pinning
+
+    with pinning.full_lineage():
+        df = trade.min_cost_supplier_query(spark, sf_dir)
+        explained = plans.explain_str(df)
+        # top-100, never a full sort
+        assert "TakeOrderedAndProject" in explained
+        # type+size filters reach the part scan
+        assert any("p_type" in f for f in plans.pushed_filters(df))
 
 
 def test_shipping_speed_priority_plan_pushes_year(spark, sf_dir):
