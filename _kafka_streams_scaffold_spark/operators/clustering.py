@@ -138,6 +138,54 @@ def _doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared_pin(("graph.pagerank", _dtok(spark, sf_dir)), build)
 
 
+def _contract_partition(batches):
+    """Partition-local union-find over an edge-batch iterator
+    (round-12, guide §2.4/§4.2): every path INSIDE one partition
+    collapses to a star in a single pass, so the distributed fixpoint
+    afterwards only has to stitch stars ACROSS partitions. Emits one
+    ``(doc_id, label)`` row per node seen in the partition, with label
+    = the minimum id of the node's partition-local set (union by min
+    root, so roots are always local minima). Connectivity-preserving
+    by construction: treating the output pairs as edges yields a graph
+    with exactly the original components, so the min-reachable-id
+    result — the only thing consumers observe — is identical no matter
+    how rows landed in partitions (and therefore independent of
+    partition count / core count)."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while True:
+            p = parent.get(r, r)
+            if p == r:
+                break
+            r = p
+        while x != r:  # path compression
+            parent[x], x = r, parent.get(x, x)
+        return r
+
+    seen: set = set()
+    for pdf in batches:
+        # tolist(): plain Python ints/strs hash ~2x faster than the
+        # boxed numpy scalars pandas iteration would yield
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            seen.add(a)
+            seen.add(b)
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    if seen:
+        out = list(seen)
+        yield pd.DataFrame(
+            {"doc_id": out, "label": [find(x) for x in out]}
+        )
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, both: DataFrame | None = None
 ) -> DataFrame:
@@ -159,25 +207,58 @@ def connected_components(
     # |E|/|V| x rounds on a real graph.
     if both is None:
         both = undirected(edges)
-    # ACTIVE-SET restriction: isolated nodes (no incident edge) keep
-    # their own id as cluster_id forever, so the iteration only ever
-    # needs the nodes that appear as edge endpoints — |active| <=
-    # 2|E|, typically orders of magnitude below |V| on a near-dup
-    # graph (sf0.1: ~4k active vs 50k nodes). Isolated nodes rejoin
-    # as their own singleton clusters after convergence. The semi-join
-    # against ``nodes`` keeps the old contract that only ids present
-    # in ``nodes`` participate in label propagation.
-    active = (
-        both.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .join(nodes, "doc_id", "left_semi")
+    idt = both.schema["src"].dataType.simpleString()
+    # Round-12: LOCAL STAR CONTRACTION before the distributed loop.
+    # Measured (tools/profile_cc.py, sf0.1): each loop round costs a
+    # near-constant ~0.45s of driver-side planning + tiny-stage
+    # scheduling regardless of data size, and the embedding near-dup
+    # graph needed 14 rounds (long chains) on a 1,309-edge graph — the
+    # fixpoint was ALL fixed overhead. One partition-local union-find
+    # pass (no shuffle: ``both`` is already hash-partitioned) collapses
+    # every within-partition path to a star; the loop then only has to
+    # stitch stars across partitions, in ~log(#partitions-per-chain)
+    # rounds. The ``nodes``-restriction contract is preserved by
+    # semi-joining both endpoints before the contraction (only ids
+    # present in ``nodes`` may relay connectivity — the same effective
+    # edge set the old loop's label join enforced).
+    eligible = (
+        both.join(
+            nodes.select(F.col("doc_id").alias("src")), "src", "left_semi"
+        )
+        .join(
+            nodes.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+        )
+        .select("src", "dst")
     )
-    labels = active.select(
-        "doc_id", F.col("doc_id").alias("label")
+    # Eager: ``pairs`` feeds both the initial labels and the contracted
+    # edge table below; a lazy checkpoint would re-run the union-find
+    # once per consumer subtree inside round 1's job.
+    pairs = eligible.mapInPandas(
+        _contract_partition, schema=f"doc_id {idt}, label {idt}"
+    ).localCheckpoint(eager=True)
+    # ACTIVE-SET restriction (unchanged contract): isolated nodes never
+    # change labels, so only edge endpoints participate; they rejoin as
+    # singleton clusters in the final left join. Every eligible
+    # endpoint appears in ``pairs`` with label = its partition-local
+    # min — already a valid partial propagation state, so the loop
+    # starts from the contracted labels instead of the identity
+    # labeling.
+    labels = (
+        pairs.groupBy("doc_id")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    # The cross-partition stitch graph: node -> partition-local root.
+    # Self-loops (roots) carry no connectivity; drop them before the
+    # undirected expansion.
+    cboth = _undirected_plan(
+        pairs.filter(F.col("doc_id") != F.col("label")).select(
+            F.col("doc_id").alias("src"), F.col("label").alias("dst")
+        )
     ).localCheckpoint(eager=False)
     for _ in range(MAX_ROUNDS):
         neighbor_min = (
-            both.join(labels, both.src == labels.doc_id)
+            cboth.join(labels, cboth.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )

@@ -1,5 +1,6 @@
 """Dump ``explain('formatted')`` for named queries to
-``plans/r11/<query>_<tag>.txt`` (optimization-round evidence files).
+``plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt`` (optimization-round
+evidence files; the round dir defaults to r12).
 
 Usage: python tools/dump_plans.py <tag> <sf_dir> <query> [query ...]
        python tools/dump_plans.py <tag> <sf_dir> ALL   (every registered query)
@@ -24,7 +25,11 @@ def main() -> None:
     qs = registry.queries()
     if names == ["ALL"]:
         names = list(qs)
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)
