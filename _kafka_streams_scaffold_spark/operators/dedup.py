@@ -1357,6 +1357,28 @@ PF_TAU_DEN = 5
 
 
 def prefix_filter_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12: the PPJoin pair set is a ``dedup.``-scoped SHARED PIN
+    (the ``_tier_pairs`` pattern extended to the non-tier blocking
+    strategies): blocking_recall_audit derives this exact pair set as
+    one of its six strategies, so within one scope — the audit's own
+    composition, or the bench's consecutive dedup block — the prefix
+    join + verify run ONCE instead of once per consumer. Pair sets are
+    id-pair-width, so the pin is cheap; values are identical (the pin
+    only moves WHERE the subtree materializes). Dial constants join
+    the key per the r11 shared-pin convention."""
+    docs = tables.table(spark, sf_dir, "documents")
+    return _shared_pin(
+        (
+            "dedup.pairs.prefix_filter",
+            tables.df_token(docs),
+            PF_TAU_NUM,
+            PF_TAU_DEN,
+        ),
+        lambda: _prefix_filter_pairs_plan(spark, sf_dir),
+    )
+
+
+def _prefix_filter_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jac_num, jac_den, jaccard): ALL document pairs
     whose 3-gram-shingle-SET Jaccard clears tau = 4/5, computed with
     the classic prefix-filter candidate join (Chaudhuri et al. '06 /
@@ -1652,6 +1674,22 @@ WINNOW_MIN_SHARED = 2  # shared fingerprints to become a candidate pair
 
 
 def winnowing_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12: shared-pinned pair set (see prefix_filter_pairs_query
+    — same pattern, same reason: blocking_recall_audit re-derived this
+    exact set although the winnow-fingerprint pin was warm)."""
+    docs = tables.table(spark, sf_dir, "documents")
+    return _shared_pin(
+        (
+            "dedup.pairs.winnowing",
+            tables.df_token(docs),
+            WINNOW_W,
+            WINNOW_MIN_SHARED,
+        ),
+        lambda: _winnowing_pairs_plan(spark, sf_dir),
+    )
+
+
+def _winnowing_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, n_shared_fps, jaccard): near-dup pairs whose
     WINNOWING fingerprint sets overlap in at least WINNOW_MIN_SHARED
     fingerprints, verified with the exact capped-shingle Jaccard —
@@ -1777,6 +1815,25 @@ SNM_BLOCK_LEN = 4  # leading chars that define the block
 
 
 def sorted_neighborhood_pairs_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-12: shared-pinned pair set (see prefix_filter_pairs_query
+    — same pattern: the audit and this query materialize it once per
+    scope)."""
+    docs = tables.table(spark, sf_dir, "documents")
+    return _shared_pin(
+        (
+            "dedup.pairs.sorted_neighborhood",
+            tables.df_token(docs),
+            SNM_W,
+            SNM_KEY_LEN,
+            SNM_BLOCK_LEN,
+        ),
+        lambda: _sorted_neighborhood_pairs_plan(spark, sf_dir),
+    )
+
+
+def _sorted_neighborhood_pairs_plan(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): near-dup pairs surfaced by the
