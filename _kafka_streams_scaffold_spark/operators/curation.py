@@ -45,20 +45,46 @@ def corpus_keep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-11: a ``cur.keep`` shared pin — corpus_keep_full (and
     # through it training_manifest) re-derived this whole five-gate
     # composition per query; one materialization per family scope.
+    # Round-12 (guide §2.6, as in corpus_keep_full below): the four
+    # gate subtrees are independent until the final doc_id joins; each
+    # pins on its own thread so their jobs overlap instead of running
+    # back-to-back inside one action. Values unchanged; measured
+    # ~2.3s -> ~1.5s warm solo.
     def build() -> DataFrame:
-        quality = quality_score_query(spark, sf_dir).select(
-            "doc_id", "quality_score"
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..pinning import pin as _pin
+
+        def _canonical() -> DataFrame:
+            fps = fingerprint_query(spark, sf_dir)
+            reps = exact_dedup_query(spark, sf_dir).select(
+                "fingerprint", "rep_doc_id"
+            )
+            return _pin(
+                fps.join(reps, "fingerprint").select(
+                    "doc_id",
+                    (F.col("doc_id") == F.col("rep_doc_id")).alias(
+                        "is_canonical"
+                    ),
+                )
+            )
+
+        tasks = (
+            lambda: _pin(
+                quality_score_query(spark, sf_dir).select(
+                    "doc_id", "quality_score"
+                )
+            ),
+            lambda: _pin(
+                lang_id_query(spark, sf_dir).select("doc_id", "pred_lang")
+            ),
+            _canonical,
+            lambda: _pin(contamination_query(spark, sf_dir)),
         )
-        lang = lang_id_query(spark, sf_dir).select("doc_id", "pred_lang")
-        fps = fingerprint_query(spark, sf_dir)
-        reps = exact_dedup_query(spark, sf_dir).select(
-            "fingerprint", "rep_doc_id"
-        )
-        canonical = fps.join(reps, "fingerprint").select(
-            "doc_id",
-            (F.col("doc_id") == F.col("rep_doc_id")).alias("is_canonical"),
-        )
-        contam = contamination_query(spark, sf_dir)
+        with ThreadPoolExecutor(len(tasks)) as ex:
+            quality, lang, canonical, contam = (
+                f.result() for f in [ex.submit(t) for t in tasks]
+            )
 
         keep = (
             (F.col("quality_score") >= MIN_QUALITY)
@@ -149,21 +175,48 @@ def corpus_keep_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB CTEs. The added joins are all (doc_id, small-int) width."""
     # Round-11: a ``cur.keep_full`` shared pin — training_manifest
     # consumed this whole four-tier composition per query.
+    #
+    # Round-12 (guide §2.6 overlap independent jobs): the four tier
+    # subtrees are independent until the final doc_id joins, but
+    # composed into one action they executed nearly serially
+    # (measured: 4.5-5.0s with cur.keep warm ~= the 2.2+1.3+1.3s sum
+    # of the tiers' solo costs). Each tier now pins on its own thread
+    # — the dedup_tier_agreement scheduling pattern; every shared
+    # intermediate the threads can race (cur.keep, dedup.shingles) is
+    # a per-key-locked shared_pin, per _tier_pairs' concurrency
+    # contract — so the tier jobs overlap and the composition reads
+    # id-width pinned frames. Values unchanged (pins only move where
+    # subtrees materialize); measured 4.8s -> ~2.9s warm-keep solo.
     def build() -> DataFrame:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..pinning import pin as _pin
         from .dedup import doc_ngram_novelty_query
         from .lm import unigram_lm_score_query
         from .substring_dedup import substring_dup_docs_query
 
-        base = corpus_keep_query(spark, sf_dir)
-        spans = substring_dup_docs_query(spark, sf_dir).select(
-            "doc_id", "n_shared_windows"
+        tasks = (
+            lambda: corpus_keep_query(spark, sf_dir),
+            lambda: _pin(
+                substring_dup_docs_query(spark, sf_dir).select(
+                    "doc_id", "n_shared_windows"
+                )
+            ),
+            lambda: _pin(
+                doc_ngram_novelty_query(spark, sf_dir).select(
+                    "doc_id", "novelty"
+                )
+            ),
+            lambda: _pin(
+                unigram_lm_score_query(spark, sf_dir).select(
+                    "doc_id", "avg_surprisal"
+                )
+            ),
         )
-        nov = doc_ngram_novelty_query(spark, sf_dir).select(
-            "doc_id", "novelty"
-        )
-        lm_score = unigram_lm_score_query(spark, sf_dir).select(
-            "doc_id", "avg_surprisal"
-        )
+        with ThreadPoolExecutor(len(tasks)) as ex:
+            base, spans, nov, lm_score = (
+                f.result() for f in [ex.submit(t) for t in tasks]
+            )
         keep_full = (
             F.col("keep")
             & (F.col("n_shared_windows") <= MAX_SHARED_WINDOWS)
