@@ -1272,7 +1272,11 @@ def dedup_tier_agreement_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over it. One job computes the whole reduction (the tier pair
     # sets at sf0.1 are ~1M rows — a mask rollup shuffles them once,
     # where per-tier-pair overlap joins shuffled them 2x per cell).
-    mask_counts = _pin(
+    # Round-12: NOT pinned — the histogram has exactly one consumer
+    # (the broadcast side of the domain join below), so a pin was one
+    # extra eager job per invocation for nothing (measured ~0.1-2s
+    # depending on host state; values identical).
+    mask_counts = (
         tagged.groupBy("doc_a", "doc_b")
         .agg(F.sum("bit").alias("mask"))
         .groupBy("mask")

@@ -131,22 +131,35 @@ CORRECTNESS row. Rotation history:
   ``_apply_window`` appends the whole dedup-audit family
   immediately after slot 50 in constant order.
 
-NEXT ROTATION (round 12): the 13 round-11 post-freeze additions in
-tests/test_registry_window.py R12_MATERIAL (mood_median_test,
-cliffs_delta_sources, jonckheere_trend, durbin_watson_daily,
-ad_ksample_sources, fleiss_kappa_detectors, dunn_posthoc_sources,
-ansari_bradley_halves, cmh_event_value, somers_d_priority,
-lsh_param_plan, welch_anova_sources, quade_event_mix — AT the 13
-cap, the r08
-pipeline-pressure rule), plus any r11 reds, the stale set from a
-fresh ``tools/stale_cert_audit.py`` run, manual re-certs for
-helper-level changes the audit cannot see, and age-based fills
-(oldest green rows first: the remaining r03 rows, label_centroids
-onward alphabetically) up to 50. fleiss_kappa_detectors and
-lsh_param_plan joined ``_DEDUP_AUDIT_CHAIN`` (last two), so if
-either enters the window the whole family block must stay
-consecutive. Update
-tests/test_registry_window.py in the same commit as the freeze.
+- r12 window (``_WINDOW_R12`` below): CORRECTNESS_r11 went 50/50
+  green, so the window is the 13 R12_MATERIAL round-11 post-freeze
+  additions (the complete never-certified backlog) + 37 re-certs
+  chosen by the r11 verdict's ask #2 (plan-changed-in-r11 but not
+  driver-certified: the three iteration folds, the kNN/PQ ladders,
+  the curation/BPE and multimodal pins) and this round's own touches
+  (CC contraction -> the whole doc-graph family + linkage; the
+  shared-pinned strategy pair sets + both audits). Families sit in
+  the window as consecutive blocks; the embedding fragment is LAST so
+  ``_apply_window`` (which now appends ``_EMB_CHAIN`` first)
+  continues it across the boundary. The dedup audit+pairs family is
+  deliberately SPLIT: an 8-slot certified fragment in-window, the
+  other 14 members as their own consecutive block after the window —
+  one extra cold pin build per bench run instead of 22 window slots.
+
+NEXT ROTATION (round 13): no post-freeze additions exist this round
+(optimization rounds add no queries — R13_MATERIAL is empty), so the
+window is free for any r12 reds, the stale set from a fresh
+``tools/stale_cert_audit.py`` run, manual re-certs for helper-level
+changes the audit cannot see, and age-based fills (oldest green rows
+first: the remaining r03 rows, label_centroids onward
+alphabetically) up to 50. The r12-uncertified embedding-chain
+members that r11 changed but this window could not fit
+(pq_ann_rerank, ann_rank_fusion, mrr_audit, the recall ladder,
+dyn_ivf_assign, adamic_adar_links, local_clustering_coeff,
+ann_hubness_audit, label_purity_null_baseline, twonn_intrinsic_dim,
+ivf_assign and the cell audits) are the highest-value re-cert picks.
+Update tests/test_registry_window.py in the same commit as the
+freeze.
 
 PREVIOUS ROTATION NOTE (round 6, kept for the audit trail): the
 round-5 late additions
@@ -313,6 +326,89 @@ _WINDOW_R10 = [
 # grouped by family so janino/codegen first-touch amortizes across
 # neighbors. Zero stale-audit flags this round (the audit now globs
 # CORRECTNESS_r*.json, so the r10 rows count).
+_WINDOW_R12 = [
+    # --- never-certified backlog: the 13 R12_MATERIAL round-11
+    # post-freeze additions (nonparametric/association ladder + the
+    # two dedup-audit chain members listed in the dedup block below)
+    "mood_median_test",
+    "cliffs_delta_sources",
+    "jonckheere_trend",
+    "durbin_watson_daily",
+    "ad_ksample_sources",
+    "dunn_posthoc_sources",
+    "ansari_bradley_halves",
+    "cmh_event_value",
+    "somers_d_priority",
+    "welch_anova_sources",
+    "quade_event_mix",
+    # --- r11-optimization re-certs: the three iteration-to-fold
+    # rewrites had no driver row on their new plans (r11 verdict ask
+    # #2 — top priority of this rotation)
+    "markov_stationary",
+    "power_iteration",
+    "pca_top_component",
+    # --- multimodal family, whole (r11 mm.phash shared pins; the
+    # family is 3 slots so it certifies as one consecutive block)
+    "payload_phash",
+    "phash_dup_pairs",
+    "phash_threshold_sweep",
+    # --- curation/BPE family, whole + corpus_keep (r11 cur./bpe.
+    # pins + the round-12 thread-pooled gate builds; corpus_keep
+    # directly before corpus_keep_full also fixes the r11 layout
+    # where corpus_keep built cur.keep in a far-away slot and the
+    # chain rebuilt it)
+    "corpus_keep",
+    "corpus_keep_full",
+    "bpe_train",
+    "bpe_encode",
+    "bpe_doc_tokens",
+    "training_manifest",
+    # --- SimHash doc-graph family, whole (round-12 CC contraction +
+    # lazy-checkpoint PageRank rounds touch every member's shared
+    # roots)
+    "dedup_clusters",
+    "dup_pagerank",
+    "dedup_representative_stats",
+    "contrastive_collision",
+    "cluster_keep_list",
+    "dup_graph_degrees",
+    "kcore",
+    "source_modularity",
+    "degree_assortativity",
+    # --- dedup audit/pairs fragment: the two R12_MATERIAL chain
+    # members, the two round-12-touched audits, linkage (CC engine
+    # change) and the three newly shared-pinned strategy pair sets.
+    # The fragment runs consecutively here; the remaining 14 family
+    # members run as their own consecutive block after the window
+    # (one extra cold pin build per bench run — the price of
+    # certifying these eight without spending 22 slots)
+    "dedup_tier_agreement",
+    "blocking_recall_audit",
+    "fleiss_kappa_detectors",
+    "lsh_param_plan",
+    "linkage_entities",
+    "prefix_filter_pairs",
+    "sorted_neighborhood_pairs",
+    "winnowing_pairs",
+    # --- embedding/ANN fragment, LAST on purpose: _apply_window
+    # appends the rest of _EMB_CHAIN immediately after the window, so
+    # the family runs back-to-back across the boundary and the sim.*
+    # pins build once (the r11 dedup_clusters/dup_pagerank straddle
+    # pattern, moved to the costlier family). Members chosen per the
+    # r11 verdict: the kNN ladder, the PQ ladder, and the near-dup/CC
+    # tier — r11 plan changes without driver rows
+    "knn_graph",
+    "knn_triangles",
+    "knn_lof_outliers",
+    "knn_label_purity",
+    "pq_codes",
+    "pq_ann",
+    "pq_recall",
+    "ivf_near_dup",
+    "embedding_dup_clusters",
+    "semantic_dedup_keep",
+]
+
 _WINDOW_R11 = [
     # inference / drift tier (R11_MATERIAL)
     "kruskal_wallis_sources",
@@ -930,15 +1026,16 @@ def _apply_window(window: list[str]) -> None:
     assert len(window) == len(set(window)) <= 50, len(window)
     ordered = {n: _QUERIES[n] for n in window}
     # keep-scope adjacency: each shared-pin family runs back-to-back.
-    # _GRAPH_CHAIN first — it CONTINUES the window's trailing
-    # dedup_clusters / dup_pagerank slots, so the graph.* pins stay
-    # warm across the window boundary; then the dedup-audit family
-    # (see _DEDUP_AUDIT_CHAIN), then the embedding/ANN family.
+    # _EMB_CHAIN first (round 12) — it CONTINUES the window's trailing
+    # embedding/ANN fragment, so the sim.* pins stay warm across the
+    # window boundary; then the dedup audit+pairs families (their
+    # window fragment is separate — see _WINDOW_R12's dedup block
+    # note), then the fully-in-window families (no-ops this round).
     for chain in (
-        _GRAPH_CHAIN,
+        _EMB_CHAIN,
         _DEDUP_AUDIT_CHAIN,
         _DEDUP_PAIRS_CHAIN,
-        _EMB_CHAIN,
+        _GRAPH_CHAIN,
         _CUR_CHAIN,
         _MM_CHAIN,
     ):
@@ -2912,5 +3009,5 @@ def _ensure_loaded() -> None:
         inference.QUADE_EVENT_MIX_ORACLE,
     )
 
-    _apply_window(_WINDOW_R11)
+    _apply_window(_WINDOW_R12)
     _LOADED = True

@@ -17,67 +17,69 @@ from _kafka_streams_scaffold_spark import registry
 # Green rounds available when the r11 window was frozen.
 _PRIOR_ROUNDS = (
     "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10",
+    "r11",
 )
 
 # Queries with a GREEN prior-round row that nevertheless re-certify in
-# the r11 window. ONE sub-population this round: the round-11
-# stale_cert_audit run (after its ROUNDS glob fix, the r10 verdict's
-# #1 ask) flagged ZERO stale certifications and no helper-level
-# physical-plan change touched a certified query, so the whole
-# re-cert budget went to age-based re-validations — all 27 remaining
-# r02-green rows plus the 16 alphabetically-first r03-green rows.
-R11_RECERT: set[str] = {
-    # --- age-based re-validations: the 27 remaining r02 rows ---
-    "uppercase",
-    "wordcount",
-    "wordcount_point_lookup",
-    "purchases_agg",
-    "purchases_range_scan",
-    "user_event_type_sets",
-    "user_sessions",
-    "retention_cohorts",
-    "rolling_user_value",
-    "revenue_forecast",
-    "latest_shipper_counts",
-    "local_supplier_revenue",
-    "market_share",
-    "pricing_summary",
-    "product_profit",
-    "promo_revenue",
-    "returned_items_top_customers",
-    "revenue_cube",
-    "revenue_grouping_sets",
-    "revenue_rollup",
-    "shipping_priority",
-    "shipping_speed_priority",
-    "supplier_part_variety",
-    "top_orders_per_customer",
-    "top_revenue_supplier",
-    "top_value_parts",
-    "volume_shipping",
-    # --- age-based re-validations: the 16 oldest r03 rows ---
-    "ann_topk",
-    "approx_distinct_users",
-    "approx_percentiles",
-    "bm25_search",
-    "boilerplate_ngrams",
-    "bpe_merge_candidates",
-    "chunk_packing",
-    "clean_text",
+# the r12 window. Re-certification beats re-running never-changed
+# queries: every entry here had its PHYSICAL PLAN changed either by
+# the round-11 optimization (checkpoint pins, shared-pin families,
+# iteration-to-fold rewrites — the r11 verdict's ask #2 list) or by
+# this round's own work (CC contraction, lazy-checkpoint PageRank
+# rounds, the shared-pinned strategy pair sets, the thread-pooled
+# curation gates).
+R12_RECERT: set[str] = {
+    # r11 iteration-to-fold rewrites (verdict ask #2)
+    "markov_stationary",
+    "power_iteration",
+    "pca_top_component",
+    # multimodal mm.* pins (r11)
+    "payload_phash",
+    "phash_dup_pairs",
+    "phash_threshold_sweep",
+    # curation/BPE cur./bpe. pins (r11) + r12 thread-pooled gates
     "corpus_keep",
-    "data_quality_audit",
+    "corpus_keep_full",
+    "bpe_train",
+    "bpe_encode",
+    "bpe_doc_tokens",
+    "training_manifest",
+    # SimHash doc-graph family: r12 CC contraction + lazy PR rounds
     "dedup_clusters",
-    "distinct_users_daily",
-    "doc_chunks",
-    "doc_fingerprint",
-    "doc_repetition",
     "dup_pagerank",
+    "dedup_representative_stats",
+    "contrastive_collision",
+    "cluster_keep_list",
+    "dup_graph_degrees",
+    "kcore",
+    "source_modularity",
+    "degree_assortativity",
+    # dedup audits + the r12 shared-pinned strategy pair sets
+    "dedup_tier_agreement",
+    "blocking_recall_audit",
+    "linkage_entities",
+    "prefix_filter_pairs",
+    "sorted_neighborhood_pairs",
+    "winnowing_pairs",
+    # embedding/ANN fragment: r11 sim.* pins, r12 emb-CC contraction
+    "knn_graph",
+    "knn_triangles",
+    "knn_lof_outliers",
+    "knn_label_purity",
+    "pq_codes",
+    "pq_ann",
+    "pq_recall",
+    "ivf_near_dup",
+    "embedding_dup_clusters",
+    "semantic_dedup_keep",
 }
 
-# No never-certified backlog was deferred out of the r11 window: the
-# 5 R11_MATERIAL round-10 post-freeze additions and both round-11
-# codec additions are IN _WINDOW_R11.
-R12_DEFERRED: set[str] = set()
+# No never-certified backlog was deferred out of the r12 window: all
+# 13 R12_MATERIAL round-11 post-freeze additions are IN _WINDOW_R12,
+# and round 12 (an optimization round) registered no new queries —
+# R13_MATERIAL is empty by construction.
+R13_DEFERRED: set[str] = set()
+R13_MATERIAL: set[str] = set()
 
 # Round-11 additions registered after the r11 window froze — r12
 # window material by construction. The r08 verdict caps this at 13
@@ -126,84 +128,110 @@ def _covered() -> set[str]:
     return covered
 
 
-def test_window_is_exactly_the_r11_rotation_list():
+def test_window_is_exactly_the_r12_rotation_list():
     names = list(registry.queries())
-    w = registry._WINDOW_R11
+    w = registry._WINDOW_R12
     assert len(w) <= 50
     assert names[: len(w)] == w
 
 
-def test_dedup_audit_chain_is_one_consecutive_block():
-    """Keep-scope pin sharing (bench.py dedup_family) requires the
-    dedup-audit family to run back-to-back so the shared tier-pair /
-    shingle / signature pins stay warm across the whole family. The
-    r11 window carries NO chain member, so _apply_window appends
-    the whole family immediately after the window in constant order;
-    all chain positions in final registry order must be consecutive
-    — and dedup_tier_agreement runs first (its thread pool warms all
-    four tier-pair pins concurrently for the rest of the block)."""
+def test_material_is_entirely_in_the_window():
+    """All 13 never-certified round-11 post-freeze additions must
+    occupy r12 window slots — they are the whole backlog."""
+    assert R12_MATERIAL <= set(registry._WINDOW_R12)
+
+
+def test_dedup_audit_chain_runs_as_two_consecutive_blocks():
+    """Keep-scope pin sharing (bench.py dedup family) wants the dedup
+    audit+pairs family back-to-back. Round 12 deliberately SPLITS it:
+    an 8-member certified fragment inside the window (both audits,
+    the two R12_MATERIAL chain members, linkage and the three newly
+    shared-pinned strategy pair sets) and the remaining 14 members as
+    their own consecutive block after the window. Each block must be
+    internally consecutive — a third fragment would mean a third cold
+    pin build per bench run — and each block's first member must be a
+    pin BUILDER (dedup_tier_agreement's thread pool in the window;
+    the constant-order head of the remainder outside)."""
     names = list(registry.queries())
-    pos = sorted(names.index(n) for n in registry._DEDUP_AUDIT_CHAIN)
-    assert pos == list(range(pos[0], pos[0] + len(pos))), (
-        "dedup-audit chain not consecutive in registry order"
+    family = registry._DEDUP_AUDIT_CHAIN + registry._DEDUP_PAIRS_CHAIN
+    window = set(registry._WINDOW_R12)
+    frag = sorted(names.index(n) for n in family if n in window)
+    rem = sorted(names.index(n) for n in family if n not in window)
+    assert frag == list(range(frag[0], frag[0] + len(frag))), (
+        "in-window dedup fragment not consecutive"
     )
-    assert names[pos[0]] == "dedup_tier_agreement"
+    assert rem == list(range(rem[0], rem[0] + len(rem))), (
+        "post-window dedup remainder not consecutive"
+    )
+    assert names[frag[0]] == "dedup_tier_agreement"
 
 
-def test_graph_chain_is_consecutive_and_continues_the_window():
-    """Round-11: the SimHash doc-graph family shares graph.* pins
-    (edge list, undirected table, CC labels, PageRank). bench.py's
-    keep-scope needs the nine members back-to-back; the first two
-    (dedup_clusters, dup_pagerank) sit at the END of the r11 window
-    and _GRAPH_CHAIN continues immediately after it."""
+def test_graph_chain_is_one_consecutive_window_block():
+    """Round-12: the whole SimHash doc-graph family (9 members) sits
+    inside the window as one consecutive block — every member's
+    shared roots changed with the CC contraction, so all nine need a
+    driver row, and adjacency keeps the graph.* pins warm across the
+    block. dedup_clusters runs first (it builds edges/both/CC for
+    the family)."""
     names = list(registry.queries())
     members = ["dedup_clusters", "dup_pagerank", *registry._GRAPH_CHAIN]
     pos = [names.index(n) for n in members]
     assert pos == list(range(pos[0], pos[0] + len(pos))), (
         "graph family not consecutive in registry order"
     )
-    # the builders run first so followers read warm pins
     assert members[0] == "dedup_clusters"
+    assert set(members) <= set(registry._WINDOW_R12)
 
 
-def test_emb_chain_is_consecutive():
-    """Round-11: the embedding/ANN family shares sim.* pins (coarse
-    assignment, exact top-k reference, PQ codebook/ADC, dynamic
-    sub-assignment, kNN edges, near-dup pairs, embedding CC labels).
-    All _EMB_CHAIN members must run back-to-back for bench.py's
-    keep-scope; membership was measured by instrumenting shared_pin
-    key usage over every registered query."""
+def test_emb_chain_is_consecutive_across_the_window_boundary():
+    """Round-12: the embedding/ANN family straddles the window
+    boundary — a 10-member certified fragment ends the window and
+    _apply_window appends the rest of _EMB_CHAIN immediately after,
+    so the family still runs back-to-back and the sim.* pins build
+    once. The window's last slot and the first post-window slot must
+    both be family members."""
     names = list(registry.queries())
     pos = sorted(names.index(n) for n in registry._EMB_CHAIN)
     assert pos == list(range(pos[0], pos[0] + len(pos))), (
         "embedding family not consecutive in registry order"
     )
-    # sim.assign must build before its followers consume it
-    assert names[pos[0]] == "ivf_assign"
+    w = registry._WINDOW_R12
+    assert w[-1] in registry._EMB_CHAIN
+    assert names[len(w)] in registry._EMB_CHAIN
+
+
+def test_cur_family_window_block_builds_keep_before_keep_full():
+    """corpus_keep directly before corpus_keep_full in the window:
+    the r11 layout had corpus_keep build cur.keep in a distant slot
+    and the chain rebuilt it; adjacency makes the family read one
+    materialization."""
+    w = registry._WINDOW_R12
+    i = w.index("corpus_keep")
+    assert w[i + 1] == "corpus_keep_full"
 
 
 def test_window_queries_need_a_driver_row():
     """The rotation's whole point: no slot is wasted on a query that
-    already has a GREEN CORRECTNESS row from rounds 1-10 — except the
+    already has a GREEN CORRECTNESS row from rounds 1-11 — except the
     explicit re-certification list (implementation, helper, or
     oracle changed after the green row, or the row is old enough for
     age-based re-validation). A red row earns the query another slot
     automatically, since the guard keys on hash_match."""
-    stale = _covered() & set(registry._WINDOW_R11)
-    assert stale <= R11_RECERT, (
-        f"window wastes slots on already-covered: {stale - R11_RECERT}"
+    stale = _covered() & set(registry._WINDOW_R12)
+    assert stale <= R12_RECERT, (
+        f"window wastes slots on already-covered: {stale - R12_RECERT}"
     )
 
 
 def test_window_plus_deferred_covers_the_entire_backlog():
     """Every oracle-backed query that has never gone green must be
-    either in the r11 window or in an explicit deferral/material
+    either in the r12 window or in an explicit deferral/material
     list — nothing silently dropped from certification."""
     backlog = set(registry.oracle_sql()) - _covered()
-    missing = backlog - set(registry._WINDOW_R11) - R12_DEFERRED
-    assert missing <= R12_MATERIAL, (
+    missing = backlog - set(registry._WINDOW_R12) - R13_DEFERRED
+    assert missing <= R13_MATERIAL, (
         f"never-certified queries untracked for rotation: "
-        f"{missing - R12_MATERIAL}"
+        f"{missing - R13_MATERIAL}"
     )
 
 
@@ -212,28 +240,29 @@ def test_deferral_list_is_exactly_the_window_complement():
     deferral + material sets — if one gains a green row or enters the
     window, this forces the bookkeeping to move with it."""
     backlog = set(registry.oracle_sql()) - _covered()
-    outside = backlog - set(registry._WINDOW_R11)
-    assert outside == R12_DEFERRED | (R12_MATERIAL & backlog)
+    outside = backlog - set(registry._WINDOW_R12)
+    assert outside == R13_DEFERRED | (R13_MATERIAL & backlog)
 
 
-def test_r12_material_fits_the_recert_margin():
-    """The r08 verdict's pipeline-pressure cap: round-11 may add at
-    most 13 post-freeze queries (the window's re-cert margin), so the
-    r12 window can certify the whole backlog plus re-certs."""
+def test_r13_material_fits_the_recert_margin():
+    """The r08 verdict's pipeline-pressure cap: a round may add at
+    most 13 post-freeze queries. Round 12 is an optimization round
+    and added none."""
+    assert len(R13_MATERIAL) <= 13
     assert len(R12_MATERIAL) <= 13
 
 
 def test_recert_list_members_all_have_green_rows():
-    """R11_RECERT entries must actually BE re-certifications — a
+    """R12_RECERT entries must actually BE re-certifications — a
     never-certified query in the list would mask a bookkeeping hole
     (it belongs in the window via the backlog path instead)."""
-    missing = R11_RECERT - _covered()
-    assert not missing, f"R11_RECERT without green rows: {missing}"
+    missing = R12_RECERT - _covered()
+    assert not missing, f"R12_RECERT without green rows: {missing}"
 
 
 def test_window_entries_are_oracle_backed():
     oracles = set(registry.oracle_sql())
-    missing = [n for n in registry._WINDOW_R11 if n not in oracles]
+    missing = [n for n in registry._WINDOW_R12 if n not in oracles]
     assert not missing
 
 
