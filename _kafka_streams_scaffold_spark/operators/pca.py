@@ -147,12 +147,19 @@ def pca_top_component_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of squares) with the norm recomputed per element exactly as the
     # old transform did), so the output is bit-identical
     # (oracle-checked).
-    one = rows.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(i, arr))), "
-            "x -> x.arr)"
-        ).alias("mat")
-    ).localCheckpoint(eager=True)
+    # _pin, not a bare localCheckpoint (r11 ADVICE): the checkpointed
+    # one-row matrix must be TRACKED so unpersist_all releases its
+    # blocks between queries instead of leaving them to ContextCleaner
+    # GC. Same materialization semantics (pin() IS an eager
+    # localCheckpoint in the default mode).
+    one = _pin(
+        rows.agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, arr))), "
+                "x -> x.arr)"
+            ).alias("mat")
+        )
+    )
     fold = (
         f"aggregate(sequence(1, {PCA_ITERS}), "
         f"transform(sequence(1, {DIM}), x -> cast(1.0 as double) "

@@ -90,11 +90,16 @@ def power_iteration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONCE per round, then the normalize lambda references s as a
     # value.
     one = gram.agg(F.expr("collect_list(struct(p, q, g))").alias("gm"))
-    one = one.select(
-        F.expr(
-            f"transform(sequence(1, {DIM}), pp -> filter(gm, e -> e.p = pp))"
-        ).alias("gmp")
-    ).localCheckpoint(eager=True)
+    # _pin, not a bare localCheckpoint (r11 ADVICE): tracked so
+    # unpersist_all releases the one-row matrix between queries.
+    one = _pin(
+        one.select(
+            F.expr(
+                f"transform(sequence(1, {DIM}), "
+                "pp -> filter(gm, e -> e.p = pp))"
+            ).alias("gmp")
+        )
+    )
     fold = (
         f"aggregate(sequence(1, {ROUNDS}), "
         f"transform(sequence(1, {DIM}), x -> cast({_V_SCALE} as bigint)), "

@@ -146,9 +146,21 @@ def shared_pin(key, build) -> DataFrame:
 
 def unpersist_all(keep=None) -> int:
     """Release every pinned table; returns how many were released.
-    Safe to call at any time — consumers that already materialized
-    their results are unaffected, and an in-flight consumer would
-    simply recompute.
+    Consumers that already materialized their results are unaffected.
+
+    RELEASE-ORDER CONTRACT (r11 ADVICE): in the default checkpoint
+    mode a released pin is UNRECOVERABLE — ``_release`` unpersists the
+    localCheckpointed RDD whose lineage was truncated, so a consumer
+    that re-executes a released pin fails with a missing-checkpoint
+    error instead of recomputing (and unreplicated local-checkpoint
+    blocks likewise die with their executor on a real cluster).
+    Harness and test call sites must therefore fully execute every
+    consumer BEFORE releasing (bench.py, check_oracle.py and the test
+    suites all do: one query's actions complete before the release
+    between queries). Only persist-mode pins
+    (``SPARK_GRAFT_PIN_MODE=persist`` / ``full_lineage()``) keep the
+    old recompute-on-release semantics — use that mode for any path
+    that may re-execute a released frame.
 
     ``keep``: optional predicate over SHARED-pin keys. Matching
     shared pins (and their cached tables) survive the release — the

@@ -42,10 +42,15 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def reads_pinned(tree_text: str) -> bool:
     """True when the plan reads a pinned (materialized) table instead
-    of re-deriving it. persist-mode pins render ``InMemoryTableScan``;
-    checkpoint-mode pins (the round-11 default — see
-    ``pinning._TRUNCATE``) render ``Scan ExistingRDD`` leaves."""
-    return "InMemoryTableScan" in tree_text or "ExistingRDD" in tree_text
+    of re-deriving it — STRICT persist-mode check (``InMemoryTableScan``
+    only). Round-12 (r11 ADVICE): the checkpoint-mode fallback of
+    accepting any ``Scan ExistingRDD`` leaf was vacuous — every
+    localCheckpoint (e.g. clustering's iteration checkpoints) and
+    createDataFrame renders the same leaf, so a query that stopped
+    reading its pinned artifact could still pass. Plan-shape tests
+    that assert on pins now run under ``pinning.full_lineage()`` so
+    pins render distinguishably."""
+    return "InMemoryTableScan" in tree_text
 
 
 def tree(df: DataFrame, elide_cached: bool = True) -> str:

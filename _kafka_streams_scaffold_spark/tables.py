@@ -57,7 +57,22 @@ EMBED_DIM = 64
 # shared, keyed per live session + sf_dir + table so distinct
 # sessions or data dirs never collide. Tests that monkeypatch
 # ``tables.table`` replace the whole function and never hit the memo.
+#
+# IMMUTABLE-DATA-DIR ASSUMPTION (r11 ADVICE): the memoized relation
+# freezes the parquet file listing and schema for the session's
+# lifetime, so data REWRITTEN under the same sf_dir mid-session would
+# be served from the stale plan. Every harness here treats sf_dirs as
+# immutable (the driver's testdata is generated once); a harness that
+# regenerates data in place must call ``invalidate_table_memo()``
+# (or use a fresh sf_dir / session).
 _TABLE_MEMO: dict[tuple, tuple] = {}
+
+
+def invalidate_table_memo() -> None:
+    """Drop every memoized table plan and token (for harnesses that
+    rewrite data under an existing sf_dir mid-session)."""
+    _TABLE_MEMO.clear()
+    _TOKEN_MEMO.clear()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -72,6 +87,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # no dead session (or its plans) alive
         if ref() is spark:
             return df
+        del _TABLE_MEMO[key]  # dead weakref: evict, don't accumulate
     df = _load_table(spark, sf_dir, name)
     _TABLE_MEMO[key] = (weakref.ref(spark), df)
     return df
@@ -82,7 +98,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # collide). semanticHash() is a py4j round-trip over the analyzed plan
 # (~50 ms); the shared-pin helpers call it on every query build, so it
 # is memoized alongside the table plan it hashes.
-_TOKEN_MEMO: dict[int, int] = {}
+_TOKEN_MEMO: dict[int, tuple] = {}
 
 
 def token(spark: SparkSession, sf_dir: str, name: str) -> int:
@@ -100,6 +116,7 @@ def df_token(df: DataFrame) -> int:
         ref, tok = hit
         if ref() is df:
             return tok
+        del _TOKEN_MEMO[key]  # dead weakref: evict, don't accumulate
     tok = df.semanticHash()
     try:
         _TOKEN_MEMO[key] = (weakref.ref(df), tok)

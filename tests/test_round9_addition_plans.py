@@ -20,6 +20,23 @@ from _kafka_streams_scaffold_spark import pinning
 from _kafka_streams_scaffold_spark.plans import inspect as pi
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _full_lineage_pins():
+    """Round-12 (r11 ADVICE): these plan assertions audit PIN reads;
+    checkpoint-mode pins render the same 'Scan ExistingRDD' leaf as
+    any localCheckpoint, which made reads_pinned vacuous. Persist-mode
+    pins render InMemoryTableScan distinguishably, so every test in
+    this module runs under full-lineage pins (the audited logical
+    query surface is identical in both modes)."""
+    from _kafka_streams_scaffold_spark import pinning
+
+    with pinning.full_lineage():
+        yield
+
+
 def _n(tree: str, node: str) -> int:
     return len(set(re.findall(rf"(?<![A-Za-z]){node}[^\n(]*\((\d+)\)", tree)))
 
